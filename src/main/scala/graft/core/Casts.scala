@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Decimal-cast helpers enforcing SURVEY.md rules R2/R3: money columns in
+  * the corpus are `double`, and floating-point aggregation depends on
+  * partition order — so every oracled aggregate casts to DECIMAL *before*
+  * aggregating, and every output column gets an explicit final cast so the
+  * Spark schema matches the DuckDB oracle schema exactly.
+  *
+  * At 100 TB this is also the right call for correctness: money math in
+  * binary FP accumulates error proportional to partition count.
+  */
+object Casts {
+  /** DECIMAL(12,2) — money columns (verified ≤2 fractional digits, values
+    * < 1e10; kept narrow so DuckDB's INT64 decimal path never overflows on
+    * products). */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  def dec2(name: String): Column = dec2(col(name))
+
+  /** DECIMAL(4,2) — rate columns (discount, tax: verified ≤2 fractional
+    * digits, < 1). Narrow width keeps decimal products exact and small. */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  def rate(name: String): Column = rate(col(name))
+
+  /** Literal 1 at rate scale: (1 - rate) stays a narrow exact decimal. */
+  def one: Column = lit(1).cast(DecimalType(3, 2))
+
+  /** DECIMAL(9,6) — exact pre-aggregation cast feeding average formulas. */
+  def dec6(c: Column): Column = c.cast(DecimalType(9, 6))
+  def dec6(name: String): Column = dec6(col(name))
+
+  /** Final output cast for money sums whose scale is already 2.
+    * NEVER use a cast to *reduce* decimal scale in an oracled output:
+    * Spark casts round HALF_UP while DuckDB casts truncate. Use
+    * [[money2]] (round-then-cast — half-away-from-zero in both engines)
+    * when the intermediate scale exceeds 2. */
+  def asMoney(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Scale-reducing money output: round(x, 2) is half-away-from-zero in
+    * both Spark and DuckDB (verified live), unlike cast. */
+  def money2(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
+
+  /** Exact average: CAST(exact_decimal_sum AS DOUBLE) / count — one IEEE
+    * division of bit-identical inputs, deterministic in both engines. */
+  def avgOf(sumExact: Column, cnt: Column): Column =
+    sumExact.cast("double") / cnt
+
+  def asBigint(c: Column): Column = c.cast("long")
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation battery — SURVEY.md §2.4 rows A1–A8.
+  *
+  * Oracle-parity rules applied throughout (SURVEY §5.3 R1–R4):
+  *  - money doubles are cast to DECIMAL *before* aggregation (exact,
+  *    partition-order-independent — mandatory for 100 TB where FP sums
+  *    diverge with partition count);
+  *  - averages are computed as CAST(exact_decimal_sum AS DOUBLE)/count —
+  *    a single IEEE-754 division of identical inputs is bit-deterministic
+  *    in both engines, unlike FP accumulation;
+  *  - every output column carries an explicit final cast + alias identical
+  *    on both sides;
+  *  - every oracled query ends in a tie-free ORDER BY.
+  */
+object AggOps extends QueryModule {
+
+  /** A1+A7+P2 flagship: TPC-H Q1 analog (pricing summary report).
+    * Scale notes: single shuffle on a 6-value grouping key; partial
+    * aggregation (map-side combine) makes the shuffle O(groups), not
+    * O(rows). Survives 100 TB unchanged.
+    */
+  val a1PricingSummary = QueryDef(
+    "a1_pricing_summary",
+    (s, d) => {
+      val discPrice = dec2("l_extendedprice") * (one - rate("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          asMoney(sum(dec2("l_quantity"))).as("sum_qty"),
+          asMoney(sum(dec2("l_extendedprice"))).as("sum_base_price"),
+          money2(sum(discPrice)).as("sum_disc_price"),
+          money2(sum(discPrice * (one + rate("l_tax")))).as("sum_charge"),
+          avgOf(sum(dec6("l_quantity")), count(lit(1))).as("avg_qty"),
+          avgOf(sum(dec2("l_extendedprice")), count(lit(1))).as("avg_price"),
+          avgOf(sum(dec6("l_discount")), count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.stripMargin.trim),
+  )
+
+  /** A2: global (grouping-free) aggregate. One-row result; partial agg
+    * means O(1) data crosses the final single-partition exchange. */
+  val a2GlobalAgg = QueryDef(
+    "a2_global_agg",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        asMoney(sum(dec2("l_extendedprice"))).as("total_price"),
+        asMoney(min(dec2("l_extendedprice"))).as("min_price"),
+        asMoney(max(dec2("l_extendedprice"))).as("max_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+      ),
+    Some("""
+      SELECT count(*) AS n_rows,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
+        CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS min_price,
+        CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS max_price,
+        min(l_shipdate) AS first_ship,
+        max(l_shipdate) AS last_ship
+      FROM lineitem
+    """.stripMargin.trim),
+  )
+
+  /** A3: exact COUNT(DISTINCT) — expands to a two-phase shuffle on
+    * (group, value); still scalable because distinct values shard. */
+  val a3CountDistinct = QueryDef(
+    "a3_count_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part,
+        count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
+  /** A4: approximate distinct (HyperLogLog++). *no-oracle*: Spark's HLL
+    * sketch differs from DuckDB's; exact equality is not defined. At scale
+    * this replaces A3 when the value domain is huge: fixed-size sketch,
+    * mergeable, single shuffle of O(groups × sketch). */
+  val a4ApproxDistinct = QueryDef(
+    "a4_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        )
+        .orderBy("l_returnflag"),
+    None,
+  )
+
+  /** A5: ROLLUP over two keys. NULL super-aggregate rows force explicit
+    * NULLS FIRST on both sides (Spark defaults nulls-first, DuckDB
+    * nulls-last — SURVEY R1). */
+  val a5Rollup = QueryDef(
+    "a5_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          asMoney(sum(dec2("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        count(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.stripMargin.trim),
+  )
+
+  /** A5b: CUBE (all 4 grouping-set combinations). */
+  val a5Cube = QueryDef(
+    "a5_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """.stripMargin.trim),
+  )
+
+  /** A6: discrete percentiles via row_number — chosen over interpolating
+    * percentile()/quantile_cont() because picking an existing value has
+    * exact cross-engine parity while interpolation formulas differ in FP.
+    * Same window SQL on both sides.
+    */
+  val a6Percentiles = QueryDef(
+    "a6_percentiles",
+    (s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      ranked
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), dec2("l_quantity"))).as("p50_qty"),
+          max(when(col("rn") === ceil(col("n") * 0.9), dec2("l_quantity"))).as("p90_qty"),
+          max(when(col("rn") === ceil(col("n") * 0.99), dec2("l_quantity"))).as("p99_qty"),
+        )
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+      )
+      SELECT l_returnflag,
+        max(CASE WHEN rn = ceil(n * 0.5) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p50_qty,
+        max(CASE WHEN rn = ceil(n * 0.9) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p90_qty,
+        max(CASE WHEN rn = ceil(n * 0.99) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p99_qty
+      FROM ranked
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
+  /** A7: aggregate over a computed expression, keyed by supplier. */
+  val a7AggExpr = QueryDef(
+    "a7_agg_expr",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .orderBy("l_suppkey"),
+    Some("""
+      SELECT l_suppkey,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+      FROM lineitem
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey
+    """.stripMargin.trim),
+  )
+
+  /** A8: bounded collect — projected to a sorted joined string so the
+    * compare hashes a scalar (list-typed outputs hash differently across
+    * engines). collect_set is bounded by the tiny value domain. */
+  val a8CollectSet = QueryDef(
+    "a8_collect_set",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
+    a5Rollup, a5Cube, a6Percentiles, a7AggExpr, a8CollectSet,
+  )
+}
