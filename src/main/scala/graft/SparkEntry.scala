@@ -12,7 +12,12 @@ object SparkEntry {
 
   /** Ordered list of all operator batteries. */
   def modules: Seq[QueryModule] = Seq(
+    graft.operators.ProjectFilterOps,
+    graft.operators.JoinOps,
     graft.operators.AggOps,
+    graft.operators.WindowOps,
+    graft.operators.SetSortOps,
+    graft.operators.FnOps,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

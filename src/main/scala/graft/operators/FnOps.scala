@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function families — SURVEY.md §2.8 rows F1–F6 (string, date,
+  * math, array, map, JSON). One showcase query per family; every function
+  * is codegen'd builtin (no UDFs anywhere — SURVEY §4).
+  *
+  * Cross-engine notes baked in:
+  *  - DuckDB `year()` returns BIGINT → Spark side casts to long;
+  *  - Spark `dayofweek` is 1-based (Sun=1), DuckDB `dayofweek` 0-based;
+  *  - `date_trunc` returns DATE in DuckDB → use Spark `trunc` (also DATE);
+  *  - double `round` is half-away-from-zero in both;
+  *  - transcendentals (ln/exp on arbitrary doubles) are libm-dependent →
+  *    only exact cases (power of 2) appear in oracled outputs.
+  */
+object FnOps extends QueryModule {
+
+  /** F1: string family over part names. */
+  val f1String = QueryDef(
+    "f1_string_family",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 4).as("name_head"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devowel"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          split(col("p_name"), " ").getItem(1).as("second_word"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev_to_type"),
+        )
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        lower(p_name) AS name_lc,
+        upper(p_brand) AS brand_uc,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        substring(p_name, 1, 4) AS name_head,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        string_split(p_name, ' ')[2] AS second_word,
+        CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_to_type
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
+  /** F2: date/time family over order dates (NTZ end-to-end, R4). */
+  val f2Datetime = QueryDef(
+    "f2_datetime_family",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow1"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01 00:00:00").cast(TimestampNTZType)).cast("long").as("days_since_epoch95"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTH")).as("plus_3mo"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        )
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+        o_orderdate,
+        year(o_orderdate) AS yr,
+        month(o_orderdate) AS mo,
+        quarter(o_orderdate) AS qtr,
+        dayofweek(o_orderdate) + 1 AS dow1,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch95,
+        o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+        strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+      FROM orders
+      ORDER BY o_orderkey
+    """.stripMargin.trim),
+  )
+
+  /** F3: math family — decimal round (exact), IEEE-exact sqrt, integer
+    * power. */
+  val f3Math = QueryDef(
+    "f3_math_family",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(dec2("l_extendedprice") * lit(7), 1).cast(DecimalType(18, 1)).as("price7_r1"),
+          abs(dec2("l_quantity") - lit(25)).cast(DecimalType(18, 2)).as("qty_dev"),
+          ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+          floor(col("l_quantity") / 2).cast("long").as("qty_half_floor"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          signum(col("l_discount") - lit(0.05)).cast("long").as("disc_sign"),
+          pow(lit(2.0), col("l_linenumber")).as("pow2_line"),
+        )
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 7, 1) AS DECIMAL(18,1)) AS price7_r1,
+        CAST(abs(CAST(l_quantity AS DECIMAL(12,2)) - 25) AS DECIMAL(18,2)) AS qty_dev,
+        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        CAST(floor(l_quantity / 2) AS BIGINT) AS qty_half_floor,
+        sqrt(l_quantity) AS qty_sqrt,
+        CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+        power(2.0, l_linenumber) AS pow2_line
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim),
+  )
+
+  /** F4: array family — tokenized document text, projected to scalars so
+    * the compare hashes plain columns. */
+  val f4Array = QueryDef(
+    "f4_array_family",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          array_join(slice(col("toks"), 1, 3), "_").as("head3"),
+          array_contains(col("toks"), "data").as("has_data"),
+          element_at(array_sort(col("toks")), 1).as("first_sorted"),
+          array_join(transform(slice(col("toks"), 1, 2), x => upper(x)), "+").as("head2_uc"),
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS head3,
+        list_contains(string_split(text, ' '), 'data') AS has_data,
+        list_sort(string_split(text, ' '))[1] AS first_sorted,
+        array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 2), x -> upper(x)), '+') AS head2_uc
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** F5: map family — per-user map of event_type→count built with
+    * map_from_entries, then element_at lookups. The map is internal;
+    * the output is scalar so it oracles cleanly. */
+  val f5Map = QueryDef(
+    "f5_map_family",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(
+          col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          size(map_keys(col("m"))).cast("long").as("n_types"),
+        )
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
+  /** F6: JSON — extract `props.k` from the events payload, aggregate per
+    * event type. */
+  val f6Json = QueryDef(
+    "f6_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+        )
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(f1String, f2Datetime, f3Math, f4Array, f5Map, f6Json)
+}

@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join battery — SURVEY.md §2.3 rows J1–J8.
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier/part)
+  * are broadcast — at 100 TB the fact table never shuffles for a dim join.
+  * Fact↔fact joins (orders↔lineitem) shuffle on the join key, which is the
+  * partitioning a warehouse would bucket on; AQE handles skew at runtime.
+  */
+object JoinOps extends QueryModule {
+
+  /** J1: inner equi-join fact↔dim, aggregated by dim attribute. */
+  val j1Inner = QueryDef(
+    "j1_inner_join",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim),
+  )
+
+  /** J2: broadcast hash join of the fact table against a small dim —
+    * `broadcast()` pins the strategy so the 100 TB side streams. */
+  val j2Broadcast = QueryDef(
+    "j2_broadcast_join",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("p_brand"),
+    Some("""
+      SELECT p_brand,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """.stripMargin.trim),
+  )
+
+  /** J3: left outer join — customers with zero orders kept (count=0). */
+  val j3LeftOuter = QueryDef(
+    "j3_left_outer_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          money2(sum(coalesce(dec2("o_totalprice"), lit(0).cast(DecimalType(12, 2))))).as("sum_total"),
+        )
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name,
+        count(o_orderkey) AS n_orders,
+        CAST(round(sum(coalesce(CAST(o_totalprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DECIMAL(18,2)) AS sum_total
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey
+    """.stripMargin.trim),
+  )
+
+  /** J3b: full outer join of two aggregated sides — nations that have
+    * customers, suppliers, or both. */
+  val j3FullOuter = QueryDef(
+    "j3_full_outer_join",
+    (s, d) => {
+      val custs = Tables.customer(s, d).groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val supps = Tables.supplier(s, d).groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      custs
+        .join(supps, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        )
+        .orderBy("nationkey")
+    },
+    Some("""
+      SELECT coalesce(c.k, s.k) AS nationkey,
+        coalesce(c.n_cust, 0) AS n_cust,
+        coalesce(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.k = s.k
+      ORDER BY nationkey
+    """.stripMargin.trim),
+  )
+
+  /** J4a: left semi join (EXISTS) — customers having a recent order. */
+  val j4Semi = QueryDef(
+    "j4_semi_join",
+    (s, d) => {
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampNTZType))
+      Tables.customer(s, d)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      ORDER BY c_custkey
+    """.stripMargin.trim),
+  )
+
+  /** J4b: left anti join (NOT EXISTS) — parts never shipped in bulk
+    * (no lineitem with quantity > 40). */
+  val j4Anti = QueryDef(
+    "j4_anti_join",
+    (s, d) => {
+      val bulk = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+      Tables.part(s, d)
+        .join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_name, p_brand
+      FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40)
+      ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
+  /** J5: theta/range join against a tiny literal band table — planned as a
+    * BroadcastNestedLoopJoin with the bands side broadcast, so the big side
+    * streams once regardless of scale. */
+  val j5RangeJoin = QueryDef(
+    "j5_range_join",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("small", 0L, 100000L),
+        ("medium", 100000L, 200000L),
+        ("large", 200000L, 10000000L),
+      ).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands), dec2("o_totalprice") >= col("lo") && dec2("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .orderBy("band")
+    },
+    Some("""
+      SELECT band,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+      FROM orders
+      JOIN (VALUES ('small', 0, 100000), ('medium', 100000, 200000), ('large', 200000, 10000000)) b(band, lo, hi)
+        ON CAST(o_totalprice AS DECIMAL(12,2)) >= lo AND CAST(o_totalprice AS DECIMAL(12,2)) < hi
+      GROUP BY band
+      ORDER BY band
+    """.stripMargin.trim),
+  )
+
+  /** J6: as-of join — for every purchase event, the latest click of the
+    * same user at-or-before it. Spark has no ASOF operator; the scalable
+    * formulation unions both streams, sorts within user, and carries the
+    * last click timestamp forward with a window — one shuffle on user_id,
+    * no self-join blowup. Comparisons at microsecond precision (G2: DuckDB
+    * reads the nanos column truncated to micros).
+    */
+  val j6AsOf = QueryDef(
+    "j6_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", expr("ts div 1000"))
+      val tagged = ev
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("us"), col("event_type"))
+      // Order clicks before purchases at identical micros so "at-or-before"
+      // includes same-instant clicks (matches the oracle's <=).
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("us").asc, when(col("event_type") === "click", 0).otherwise(1).asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("last_click_us", max(when(col("event_type") === "click", col("us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"), col("last_click_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id,
+        epoch_us(p.ts) AS purchase_us,
+        (SELECT max(epoch_us(c.ts)) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_us
+      FROM events p
+      WHERE p.event_type = 'purchase'
+      ORDER BY p.event_id
+    """.stripMargin.trim),
+  )
+
+  /** J7: multi-way join chain (TPC-H Q5 analog): region→nation→customer→
+    * orders→lineitem→supplier with the local-supplier condition. Dims
+    * broadcast; the single fact-fact shuffle is on orderkey. */
+  val j7Multiway = QueryDef(
+    "j7_multiway_join",
+    (s, d) => {
+      val region = broadcast(Tables.region(s, d))
+      val nation = broadcast(Tables.nation(s, d))
+      val customer = broadcast(Tables.customer(s, d))
+      val supplier = broadcast(Tables.supplier(s, d))
+      Tables.orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("c_custkey") === col("o_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .orderBy(col("r_name").asc, col("revenue").desc, col("n_name").asc)
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+      FROM orders
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name ASC, revenue DESC, n_name ASC
+    """.stripMargin.trim),
+  )
+
+  /** J7b: TPC-H Q3 analog — 3-way join, grouped top-k by revenue. */
+  val j7ShippingPriority = QueryDef(
+    "j7_shipping_priority",
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10),
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10
+    """.stripMargin.trim),
+  )
+
+  /** J8: cross join — bounded grid (5 regions × 3 return flags). Only ever
+    * sane when one side is O(1); anything larger goes through L2/L3's
+    * LSH-bucketed paths instead. */
+  val j8Cross = QueryDef(
+    "j8_cross_join",
+    (s, d) => {
+      val flags = Tables.lineitem(s, d).select("l_returnflag").distinct()
+      Tables.region(s, d)
+        .crossJoin(broadcast(flags))
+        .select("r_name", "l_returnflag")
+        .orderBy("r_name", "l_returnflag")
+    },
+    Some("""
+      SELECT r_name, l_returnflag
+      FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+      ORDER BY r_name, l_returnflag
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    j1Inner, j2Broadcast, j3LeftOuter, j3FullOuter, j4Semi, j4Anti,
+    j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j8Cross,
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function battery — SURVEY.md §2.5 rows W1–W5.
+  *
+  * Windows shuffle once on the partition key and sort within partitions;
+  * at 100 TB the key (nation, user) must have enough cardinality to
+  * shard — true for all entries here. Every ORDER BY inside a window is
+  * made tie-free with a key suffix so both engines rank identically
+  * (SURVEY R1 applies inside windows too).
+  */
+object WindowOps extends QueryModule {
+
+  /** W1: ranking family — row_number / rank / dense_rank / ntile over
+    * customers ranked by balance within their nation. */
+  val w1Ranking = QueryDef(
+    "w1_ranking",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(dec2("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"), dec2("c_acctbal").as("acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+        )
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+        row_number() OVER w AS rn,
+        rank() OVER w AS rk,
+        dense_rank() OVER w AS drk,
+        ntile(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC)
+      ORDER BY c_nationkey, rn
+    """.stripMargin.trim),
+  )
+
+  /** W2: lag/lead — per-user gap between consecutive events (micros). */
+  val w2LagLead = QueryDef(
+    "w2_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .select(
+          col("user_id"), col("event_id"), col("us"),
+          lag(col("us"), 1).over(w).as("prev_us"),
+          lead(col("us"), 1).over(w).as("next_us"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        )
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        lag(epoch_us(ts), 1) OVER w AS prev_us,
+        lead(epoch_us(ts), 1) OVER w AS next_us,
+        epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+      ORDER BY user_id, us, event_id
+    """.stripMargin.trim),
+  )
+
+  /** W3: frame aggregates — running sum + 3-row moving average per
+    * customer over their order history. The moving average divides an
+    * exact decimal sum by the exact frame row count (both engines produce
+    * the identical IEEE division). */
+  val w3RunningFrames = QueryDef(
+    "w3_running_frames",
+    (s, d) => {
+      val ord = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = ord.rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          asMoney(sum(dec2("o_totalprice")).over(run)).as("running_total"),
+          avgOf(sum(dec2("o_totalprice")).over(mov), count(lit(1)).over(mov)).as("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER run AS DECIMAL(18,2)) AS running_total,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER mov AS DOUBLE) / count(*) OVER mov AS moving_avg3
+      FROM orders
+      WINDOW
+        run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        mov AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """.stripMargin.trim),
+  )
+
+  /** W4: RANGE frame over a numeric (micros) ordering — events within the
+    * trailing hour per user. RANGE frames need a single ordering
+    * expression; value ties are fine because the frame is value-based. */
+  val w4RangeFrame = QueryDef(
+    "w4_range_frame",
+    (s, d) => {
+      val hour = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy(col("us")).rangeBetween(-hour, 0)
+      Tables.events(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .select(
+          col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("events_last_hour"),
+          money2(sum(dec2("value")).over(w)).as("value_last_hour"),
+        )
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        count(*) OVER w AS events_last_hour,
+        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DECIMAL(18,2)) AS value_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, us, event_id
+    """.stripMargin.trim),
+  )
+
+  /** W5: top-k per group — 3 highest-revenue parts per brand. */
+  val w5TopKPerGroup = QueryDef(
+    "w5_topk_per_group",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
+      rev
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT p_brand, p_partkey,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      )
+      SELECT p_brand, p_partkey, revenue, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rn
+        FROM rev
+      ) x
+      WHERE rn <= 3
+      ORDER BY p_brand, rn
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(w1Ranking, w2LagLead, w3RunningFrames, w4RangeFrame, w5TopKPerGroup)
+}
