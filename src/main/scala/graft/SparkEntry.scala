@@ -12,12 +12,19 @@ object SparkEntry {
 
   /** Ordered list of all operator batteries. */
   def modules: Seq[QueryModule] = Seq(
+    graft.operators.IngestOps,
     graft.operators.ProjectFilterOps,
     graft.operators.JoinOps,
     graft.operators.AggOps,
     graft.operators.WindowOps,
     graft.operators.SetSortOps,
     graft.operators.FnOps,
+    graft.operators.EventOps,
+    graft.streaming.StreamOps,
+    graft.text.TextOps,
+    graft.dedup.DedupOps,
+    graft.similarity.SimilarityOps,
+    graft.multimodal.MultimodalOps,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,200 @@
+package graft.dedup
+
+import graft.core._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication battery — SURVEY.md §2.10 rows L1–L2: exact dedup,
+  * content-hash fingerprints, MinHash-LSH and SimHash near-dup candidate
+  * generation, and exact n-gram Jaccard verification.
+  *
+  * Scale design: every step is groupBy/join on a high-cardinality key
+  * (hash, band signature, shingle) — the canonical shuffle-scalable shape.
+  * The quadratic all-pairs comparison appears ONLY after LSH banding has
+  * cut the candidate set (l2), or on an explicitly bounded slice (l2c);
+  * a raw crossJoin over the corpus never happens.
+  *
+  * The corpus has no natural duplicate texts (verified), so the exact-dedup
+  * entries construct at-least-once duplicates deterministically (a second
+  * copy of every third document), which also makes the expected output
+  * SQL-derivable for the oracle.
+  */
+object DedupOps extends QueryModule {
+
+  /** L1: exact dedup — canonical row per text via row_number, never
+    * dropDuplicates (whose "first row wins" is partition-order-dependent). */
+  val l1Exact = QueryDef(
+    "l1_dedup_exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dup = docs.filter(col("doc_id") % 3 === 0).withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val all = docs.unionByName(dup)
+      val w = Window.partitionBy("text").orderBy(col("doc_id").asc)
+      all
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("keeper_id"), col("n_copies"))
+        .orderBy("keeper_id")
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+      ), ranked AS (
+        SELECT doc_id, text,
+          row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn,
+          count(*) OVER (PARTITION BY text) AS n_copies
+        FROM all_docs
+      )
+      SELECT doc_id AS keeper_id, n_copies
+      FROM ranked WHERE rn = 1
+      ORDER BY keeper_id
+    """.stripMargin.trim),
+  )
+
+  /** L1b: content-hash fingerprint dedup — SHA-256 group-by, the form
+    * that scales when texts are too large to shuffle whole (hash once,
+    * shuffle 32 bytes). Hex output matches DuckDB's sha256(). */
+  val l1Sha = QueryDef(
+    "l1_dedup_sha256",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(sha2(col("text"), 256).as("content_sha"), col("doc_id"))
+        .groupBy("content_sha")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("keeper_id"),
+    Some("""
+      SELECT sha256(text) AS content_sha, count(*) AS n_docs, min(doc_id) AS keeper_id
+      FROM documents
+      GROUP BY sha256(text)
+      ORDER BY keeper_id
+    """.stripMargin.trim),
+  )
+
+  /** L2: MinHash + LSH banding near-dup candidates. 16 hash functions in
+    * 4 bands of 4; a candidate pair is any two docs sharing a band
+    * signature. Hash family: murmur3 of (seed, shingle) via Spark's
+    * hash() — deterministic within Spark but not reproducible in DuckDB,
+    * so this entry is rows-only (*no-oracle*), verified by the exact
+    * Jaccard check in l2c and unit tests.
+    *
+    * Scale path: shingle→minhash is a per-row map; banding is a groupBy
+    * on (band, signature); pair expansion only inside buckets. This is
+    * the standard O(n·sig + candidates) LSH layout.
+    */
+  val l2MinHash = QueryDef(
+    "l2_minhash_lsh",
+    (s, d) => {
+      val nHashes = 16
+      val bandSize = 4
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // 5-char shingles, distinct per doc
+      val sh = docs.withColumn(
+        "shingle",
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)),
+        ))))
+      // minhash_k(doc) = min over shingles of murmur3(k, shingle)
+      val sigCols = (0 until nHashes).map(k => min(hash(lit(k), col("shingle"))).as(s"h$k"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // band signature = struct of its hashes; bucket-join within bands
+      val bands = (0 until nHashes / bandSize).map { b =>
+        val cols = (b * bandSize until (b + 1) * bandSize).map(k => col(s"h$k"))
+        sigs.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("band_sig"))
+      }.reduce(_ unionByName _)
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .groupBy()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+    },
+    None,
+  )
+
+  /** L2b: SimHash — 32-bit signature from token hashes; docs whose
+    * signatures agree on the top bits become candidates. Rows-only for
+    * the same hash-portability reason as l2. */
+  val l2bSimHash = QueryDef(
+    "l2b_simhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bits = 16
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      // For each bit b: +1 if murmur3(word) has bit b set else -1; sign of sum = signature bit.
+      val bitCols = (0 until bits).map { b =>
+        sum(when(shiftright(hash(col("word")), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+      }
+      val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sig = (0 until bits)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      sums
+        .select(col("doc_id"), sig.as("simhash"))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("n_docs").desc, col("simhash").asc)
+        .limit(50)
+    },
+    None,
+  )
+
+  /** L2c: exact n-gram Jaccard similarity on a bounded slice (doc_id <
+    * 120 — fixed work regardless of scale factor; the unbounded-scale
+    * path is l2's LSH banding which prunes before any pairwise work).
+    * Token 2-gram sets via per-doc distinct arrays; pairwise intersect
+    * within the same source only. Integer set sizes → one IEEE division →
+    * exact cross-engine parity.
+    */
+  val l2cNgramJaccard = QueryDef(
+    "l2c_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 120)
+        .select(
+          col("doc_id"), col("source"),
+          array_distinct(
+            transform(
+              sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(1))),
+              i => concat_ws(" ", element_at(split(col("text"), " "), i), element_at(split(col("text"), " "), i + 1)),
+            )).as("grams"),
+        )
+      val a = docs.select(col("doc_id").as("doc_a"), col("source"), col("grams").as("grams_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("grams").as("grams_b"))
+      a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+        .withColumn("n_a", size(col("grams_a")).cast("long"))
+        .withColumn("n_b", size(col("grams_b")).cast("long"))
+        .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("n_inter") > 0)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+          )) AS grams
+        FROM documents
+        WHERE doc_id < 120
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+        CAST(len(a.grams) AS BIGINT) AS n_a,
+        CAST(len(b.grams) AS BIGINT) AS n_b,
+        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) > 0
+      ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard)
+}

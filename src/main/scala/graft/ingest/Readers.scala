@@ -1,0 +1,65 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion readers — SURVEY.md §2.1 rows S2–S5: the reference's core
+  * identity (raw files / RDBMS → warehouse-ready DataFrames with inferred
+  * schemas and sanitized column names).
+  *
+  * Scale notes: schema inference reads a bounded sample (`samplingRatio` /
+  * one pass over headers), never the full corpus; a production run infers
+  * once, pins the schema, and reads the 100 TB with it (`withSchema`).
+  */
+object Readers {
+
+  /** S2: CSV with header + schema inference + name sanitization +
+    * malformed-row tolerance (PERMISSIVE keeps bad rows as nulls rather
+    * than failing the job). */
+  def csv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame =
+    Sanitize(
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path))
+
+  /** Same, with a pinned schema — the scale path (no inference pass). */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    Sanitize(spark.read.option("header", "true").schema(schema).csv(path))
+
+  /** S3: JSON-lines with inference. */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    Sanitize(spark.read.json(path))
+
+  /** S4: JDBC pull, partitioned on a numeric column so the table streams
+    * through `numPartitions` parallel connections — the only way a large
+    * RDBMS extract scales. No live database exists in this environment;
+    * construction of the reader is unit-tested, execution is not.
+    */
+  def jdbcPartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: Map[String, String] = Map.empty,
+  ): DataFrame = {
+    val reader = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  // S5 (spreadsheets): no offline connector jar exists in this
+  // environment; the supported path is a pre-conversion to CSV upstream,
+  // then `csv()` above. See SURVEY.md §7.4.
+}

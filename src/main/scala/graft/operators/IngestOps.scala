@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.core._
+import graft.core.Casts._
+import graft.ingest.{Readers, Writers}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Ingestion battery — SURVEY.md §2.1 rows S1–S3, S7, S8 as end-to-end
+  * queries: raw-format round-trips through the graft.ingest readers and
+  * writers, landing back on data the DuckDB oracle can derive from the
+  * parquet tables directly.
+  *
+  * Round-trips write under java.io.tmpdir (per-name fixed subdirs,
+  * overwritten each run, so reruns are deterministic). Only integer and
+  * string columns ride through text formats — float→text formatting is
+  * engine-specific, and a real ingest pipeline treats parsed numerics as
+  * the coercion step's job (P4).
+  */
+object IngestOps extends QueryModule {
+
+  private def tmp(name: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest", name).toString
+
+  /** S1: plain parquet scan, full table. */
+  val s1Scan = QueryDef(
+    "s1_parquet_scan",
+    (s, d) =>
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey"),
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation
+      ORDER BY n_nationkey
+    """.stripMargin.trim),
+  )
+
+  /** S2: CSV round-trip — write customers with deliberately messy headers,
+    * re-ingest with header+inference+sanitization, prove the data and the
+    * cleaned names both survive. */
+  val s2Csv = QueryDef(
+    "s2_csv_ingest",
+    (s, d) => {
+      val path = tmp("s2_csv")
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey").as("Cust Key!"),
+          col("c_name").as("  cust NAME "),
+          col("c_mktsegment").as("Market-Segment"),
+        )
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      Readers.csv(s, path)
+        .select(col("cust_key").cast("long").as("cust_key"), col("cust_name"), col("market_segment"))
+        .orderBy("cust_key")
+    },
+    Some("""
+      SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS market_segment
+      FROM customer
+      ORDER BY cust_key
+    """.stripMargin.trim),
+  )
+
+  /** S3: JSON-lines round-trip through the inferring reader. */
+  val s3Json = QueryDef(
+    "s3_json_ingest",
+    (s, d) => {
+      val path = tmp("s3_json")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).json(path)
+      Readers.jsonLines(s, path)
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
+  /** S7: partitioned warehouse write → read back with partition pruning
+    * intact → aggregate equals the source aggregate. */
+  val s7Partitioned = QueryDef(
+    "s7_partitioned_write",
+    (s, d) => {
+      val path = tmp("s7_part")
+      Writers.partitioned(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
+  /** S8: incremental high-watermark load — an initial batch (orders before
+    * 1998) plus an incremental append of everything past the observed
+    * watermark reconstructs the full table exactly. */
+  val s8Incremental = QueryDef(
+    "s8_incremental_append",
+    (s, d) => {
+      val path = tmp("s8_incr")
+      val dir = Paths.get(path)
+      if (Files.exists(dir)) { // clean slate so the append is deterministic
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val batch1 = orders.filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+      batch1.write.mode(SaveMode.Overwrite).parquet(path)
+      val wm = batch1.agg(max(col("o_orderdate"))).collect().head.get(0)
+      Writers.incrementalAppend(orders, "o_orderdate", Some(wm), path)
+      s.read.parquet(path)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .orderBy("yr")
+    },
+    Some("""
+      SELECT year(o_orderdate) AS yr,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+      FROM orders
+      GROUP BY 1
+      ORDER BY yr
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s3Json, s7Partitioned, s8Incremental)
+}

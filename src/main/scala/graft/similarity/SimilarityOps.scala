@@ -1,0 +1,154 @@
+package graft.similarity
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search battery — SURVEY.md §2.10 row L3: top-k cosine
+  * neighbors over the 64-d embedding column.
+  *
+  * Two tiers, as a real 100 TB pipeline would ship:
+  *  - l3_cosine_topk: exact brute force — the *query side* is tiny and
+  *    broadcast, so the corpus streams once; cost O(|corpus|·|queries|·d).
+  *    Right answer whenever |queries| is small.
+  *  - l3b_lsh_ann: sign-random-hyperplane LSH — corpus and queries are
+  *    bucketed by an 8-bit signature; only same-bucket pairs are scored.
+  *    Sublinear per query at scale. The hyperplanes are a deterministic
+  *    integer-arithmetic pseudo-random family, so even this entry has a
+  *    DuckDB oracle (same formula both sides).
+  *
+  * FP determinism: dot products fold left-to-right over the array in both
+  * engines (Spark `aggregate`, DuckDB `list_reduce`), elements cast
+  * float→double (exact) before multiplying — bit-identical doubles out,
+  * so ranking ties cannot diverge.
+  */
+object SimilarityOps extends QueryModule {
+
+  /** Left-to-right dot product of two double-cast float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB rendering of the same left-to-right dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** L3: exact top-5 cosine neighbors for the first 10 vectors. */
+  val l3BruteForce = QueryDef(
+    "l3_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val scored = cand
+        .join(broadcast(queries), col("q_id") =!= col("n_id"))
+        .withColumn("cosine", dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+      ), scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+          ${duckDot("q.q_vec", "e.embedding")}
+            / (sqrt(${duckDot("q.q_vec", "q.q_vec")}) * sqrt(${duckDot("e.embedding", "e.embedding")})) AS cosine
+        FROM embeddings e JOIN q ON q.q_id <> e.vec_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+        FROM scored
+      )
+      SELECT q_id, n_id, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank
+    """.stripMargin.trim),
+  )
+
+  /** Deterministic pseudo-random hyperplane component: a value in
+    * [-0.5, 0.5) derived from (plane, dim) by integer mixing — the same
+    * closed form is evaluated in both engines, so LSH buckets agree. */
+  private def planeComponent(p: Int, i: Column): Column =
+    ((lit(p + 1) * lit(2654435761L) + i * lit(40503L)) % lit(1000L)).cast("double") / 1000.0 - 0.5
+
+  private def duckPlaneComponent(p: Int): String =
+    s"CAST((($p + 1) * 2654435761 + i * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5"
+
+  /** Signed projection of the embedding onto pseudo-random plane p. */
+  private def planeBit(p: Int): Column = {
+    val proj = aggregate(
+      zip_with(
+        col("embedding"),
+        transform(sequence(lit(1), lit(64)), i => planeComponent(p, i)),
+        (x, h) => x.cast("double") * h,
+      ),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+    when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  }
+
+  private def duckPlaneBit(p: Int, vec: String): String = {
+    val proj =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 64), i -> CAST($vec[i] AS DOUBLE) * (${duckPlaneComponent(p)}))), (acc, x) -> acc + x)"
+    s"CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END"
+  }
+
+  private val nPlanes = 8
+
+  /** L3b: LSH-bucketed approximate nearest neighbors — queries only score
+    * candidates in their own 8-bit sign bucket. Oracle runs the identical
+    * arithmetic. */
+  val l3bLshAnn = QueryDef(
+    "l3b_lsh_ann",
+    (s, d) => {
+      val sig = (0 until nPlanes).map(planeBit).reduce(_ + _)
+      val emb = Tables.embeddings(s, d).withColumn("bucket", sig)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("bucket").as("n_bucket"))
+      val scored = cand
+        .join(broadcast(queries), col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
+        .withColumn("cosine", dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("bucket").as("shared_bucket"), col("cosine"), col("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      val bucketExpr = (0 until nPlanes).map(p => duckPlaneBit(p, "embedding")).mkString("(", " + ", ")")
+      s"""
+      WITH b AS (
+        SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings
+      ), q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 10
+      ), scored AS (
+        SELECT q.q_id, e.vec_id AS n_id, q.bucket AS shared_bucket,
+          ${duckDot("q.q_vec", "e.embedding")}
+            / (sqrt(${duckDot("q.q_vec", "q.q_vec")}) * sqrt(${duckDot("e.embedding", "e.embedding")})) AS cosine
+        FROM b e JOIN q ON q.bucket = e.bucket AND q.q_id <> e.vec_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+        FROM scored
+      )
+      SELECT q_id, n_id, shared_bucket, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank
+      """.stripMargin.trim
+    },
+  )
+
+  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn)
+}

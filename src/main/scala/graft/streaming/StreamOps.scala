@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming battery — SURVEY.md §2.9 streaming variants
+  * (S9 + T1/T3/T4/T6 as real streams).
+  *
+  * Each entry runs an actual streaming query — file source over the
+  * events parquet, `Trigger.AvailableNow`, memory sink — inside the
+  * batch-shaped `queries` contract: the stream drains, then the sink
+  * table is returned as the result DataFrame. Because the tumbling/session
+  * windows are epoch-aligned and the data is static, the results are
+  * deterministic and carry real DuckDB oracles — the same SQL that grades
+  * the batch twins in EventOps.
+  *
+  * Watermarks are configured exactly as a production deployment would
+  * (state cleanup at 100 TB/day rates depends on them); with AvailableNow
+  * over one file they drop nothing, which the oracle confirms.
+  */
+object StreamOps extends QueryModule {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as nanos long (G2)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream over the events table (S9), nanos→micros→timestamp. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(d)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming DataFrame into a memory sink and return the sink
+    * table. AvailableNow processes everything then stops — the streaming
+    * equivalent of a batch run. */
+  private def drain(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming T1: tumbling 1-day window with a 10-minute watermark. */
+  val streamTumbling = QueryDef(
+    "stream_t1_tumbling",
+    (s, d) => {
+      val agg = eventStream(s, d)
+        .withWatermark("ts2", "10 minutes")
+        .groupBy(window(col("ts2"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), money2(sum(dec2("value"))).as("sum_value"))
+      drain(s, agg, "graft_stream_t1", OutputMode.Complete())
+        .select(
+          unix_micros(col("window.start")).as("day_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("day_start_us", "event_type")
+    },
+    Some("""
+      SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
+        count(*) AS n_events,
+        CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day_start_us, event_type
+    """.stripMargin.trim),
+  )
+
+  /** Streaming T3: session_window (30-min gap) per user, then session
+    * counts — same semantics as EventOps' gaps-and-islands twin, so the
+    * same oracle shape grades both. */
+  val streamSessions = QueryDef(
+    "stream_t3_sessions",
+    (s, d) => {
+      val sess = eventStream(s, d)
+        .withWatermark("ts2", "10 minutes")
+        .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, sess, "graft_stream_t3", OutputMode.Complete())
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+        FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM e
+      ), sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+      ), per_sess AS (
+        SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY user_id, sess_id
+      )
+      SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
+  case class UserEvent(user_id: Long, event_id: Long)
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Streaming T6: arbitrary stateful processing — running per-user
+    * counters via flatMapGroupsWithState. With AvailableNow over static
+    * data the final emitted count per user equals the plain group count,
+    * which is the oracle. */
+  val streamStateful = QueryDef(
+    "stream_t6_stateful",
+    (s, d) => {
+      import s.implicits._
+      val typed = eventStream(s, d)
+        .select(col("user_id"), col("event_id"))
+        .as[UserEvent]
+        .groupByKey(_.user_id)
+      val counted = typed.flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[UserEvent], state: GroupState[Long]) =>
+          val newCount = state.getOption.getOrElse(0L) + events.size
+          state.update(newCount)
+          Iterator(UserCount(userId, newCount))
+      }
+      drain(s, counted.toDF(), "graft_stream_t6", OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events")) // latest update per key
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamStateful)
+}

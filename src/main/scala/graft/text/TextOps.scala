@@ -1,0 +1,213 @@
+package graft.text
+
+import graft.core._
+import graft.core.Casts._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery — SURVEY.md §2.10 row L4: corpus statistics,
+  * word frequencies, TF-DF weighting, data-driven language ID, quality
+  * scoring, and document fingerprinting over the `documents` table.
+  *
+  * Everything is tokenize→explode→aggregate: linear scans plus shuffles
+  * keyed on (word) or (doc_id), both high-cardinality — the shape that
+  * scales to a 100 TB corpus. No collect(), no UDFs; the rolling-hash
+  * fingerprint is a builtin higher-order `aggregate` with modular
+  * arithmetic kept under 2^63.
+  */
+object TextOps extends QueryModule {
+
+  private val toks = split(col("text"), " ")
+
+  /** L4a: per-language corpus statistics. Averages follow the exact
+    * sum/count rule (Casts.avgOf). */
+  val l4aStats = QueryDef(
+    "l4a_text_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), size(toks).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          avgOf(sum(col("n_toks")), count(lit(1))).as("avg_toks"),
+          avgOf(sum(col("n_chars")), count(lit(1))).as("avg_chars"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"),
+        )
+        .orderBy("lang"),
+    Some("""
+      WITH t AS (
+        SELECT lang, n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+      )
+      SELECT lang,
+        count(*) AS n_docs,
+        sum(n_toks) AS total_toks,
+        CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
+        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        min(n_toks) AS min_toks,
+        max(n_toks) AS max_toks
+      FROM t
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim),
+  )
+
+  /** L4b: global word frequencies, top 20. */
+  val l4bWordcount = QueryDef(
+    "l4b_wordcount",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(20),
+    Some("""
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+      ORDER BY freq DESC, word ASC
+      LIMIT 20
+    """.stripMargin.trim),
+  )
+
+  /** L4c: TF/DF table — term frequency, document frequency, and the
+    * tf/df ratio (a single IEEE division of exact integers; ln-based IDF
+    * is avoided because libm rounding differs across engines). */
+  val l4cTfDf = QueryDef(
+    "l4c_tf_df",
+    (s, d) => {
+      val exploded = Tables.documents(s, d).select(col("doc_id"), explode(toks).as("word"))
+      exploded
+        .groupBy("word")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("tf_per_doc", col("tf").cast("double") / col("df"))
+        .orderBy(col("tf").desc, col("word").asc)
+    },
+    Some("""
+      SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        CAST(CAST(count(*) AS BIGINT) AS DOUBLE) / count(DISTINCT doc_id) AS tf_per_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+      ORDER BY tf DESC, word ASC
+    """.stripMargin.trim),
+  )
+
+  /** L4d: data-driven language ID — build per-language word-frequency
+    * profiles from the labeled corpus, score every document by the sum of
+    * its tokens' per-language frequencies (integer arithmetic only),
+    * predict the argmax language. Reports the confusion (actual vs
+    * predicted) counts. The profile join broadcasts (vocab × langs is
+    * tiny); the scoring pass is one explode + shuffle on doc_id.
+    */
+  val l4dLangId = QueryDef(
+    "l4d_langid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      val profile = tokens.groupBy("word", "lang").agg(count(lit(1)).as("freq"))
+        .withColumnRenamed("lang", "cand_lang")
+      val scores = tokens
+        .select(col("doc_id"), col("lang"), col("word"))
+        .join(broadcast(profile), Seq("word"))
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(sum(col("freq")).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang").asc)
+      scores
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("actual"), col("cand_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+      ), profile AS (
+        SELECT word, lang AS cand_lang, count(*) AS freq FROM tokens GROUP BY 1, 2
+      ), scores AS (
+        SELECT t.doc_id, t.lang, p.cand_lang, sum(p.freq) AS score
+        FROM tokens t JOIN profile p ON t.word = p.word
+        GROUP BY 1, 2, 3
+      ), best AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+        FROM scores
+      )
+      SELECT lang AS actual, cand_lang AS predicted, count(*) AS n_docs
+      FROM best WHERE rn = 1
+      GROUP BY 1, 2
+      ORDER BY actual, predicted
+    """.stripMargin.trim),
+  )
+
+  /** L4e: per-document quality scoring — length stats, stopword ratio,
+    * vocabulary diversity. The composite score is a fixed linear formula
+    * over deterministic doubles (each term a single division/multiply of
+    * exact integers, identical expression tree on both sides). */
+  val l4eQuality = QueryDef(
+    "l4e_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          size(filter(toks, x => x.isin("a", "the"))).cast("long").as("n_stop"),
+          col("n_chars"),
+        )
+        .withColumn("diversity", col("n_uniq").cast("double") / col("n_toks"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_toks"))
+        .withColumn("avg_tok_len", col("n_chars").cast("double") / col("n_toks"))
+        .withColumn("quality", col("diversity") * lit(2.0) - col("stop_ratio") * lit(0.5))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop,
+          n_chars
+        FROM documents
+      )
+      SELECT doc_id, n_toks, n_uniq, n_stop, n_chars,
+        CAST(n_uniq AS DOUBLE) / n_toks AS diversity,
+        CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+        CAST(n_chars AS DOUBLE) / n_toks AS avg_tok_len,
+        (CAST(n_uniq AS DOUBLE) / n_toks) * 2.0 - (CAST(n_stop AS DOUBLE) / n_toks) * 0.5 AS quality
+      FROM t
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** L4f: document fingerprint — polynomial rolling hash over the token
+    * stream, h ← (h·131 + len(tok)·31 + ascii(tok[0])) mod 1e9+7. All
+    * intermediate values stay < 1.4e11, far inside both engines' BIGINT
+    * range, so the fold is exact and order-identical. */
+  val l4fFingerprint = QueryDef(
+    "l4f_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          aggregate(
+            toks,
+            lit(0L),
+            (h, t) => (h * lit(131L) + length(t).cast("long") * lit(31L) + ascii(substring(t, 1, 1)).cast("long")) % lit(1000000007L),
+          ).as("fingerprint"),
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT) * 31 + ascii(substring(t, 1, 1)))),
+          (h, x) -> (h * 131 + x) % 1000000007
+        ) AS fingerprint
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality, l4fFingerprint)
+}
