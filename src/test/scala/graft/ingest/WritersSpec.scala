@@ -1,0 +1,59 @@
+package graft.ingest
+
+import graft.SparkFixture
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WritersSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  test("incremental append: initial batch + watermark delta reconstructs the table") {
+    import spark.implicits._
+    val path = freshDir("incr")
+    val all = (1L to 100L).map(i => (i, i % 7)).toDF("id", "grp")
+    val batch1 = all.filter(col("id") <= 60)
+    batch1.write.mode(SaveMode.Overwrite).parquet(path)
+    val wm = Writers.incrementalAppend(all, "id", Some(60L), path)
+    assert(wm.contains(100L))
+    assert(spark.read.parquet(path).count() == 100)
+    assert(spark.read.parquet(path).select("id").distinct().count() == 100)
+  }
+
+  test("incremental append with no new rows appends nothing") {
+    import spark.implicits._
+    val path = freshDir("incr_empty")
+    val all = (1L to 10L).toDF("id")
+    all.write.mode(SaveMode.Overwrite).parquet(path)
+    val wm = Writers.incrementalAppend(all, "id", Some(10L), path)
+    assert(wm.isEmpty) // nothing fresh → no new watermark
+    assert(spark.read.parquet(path).count() == 10)
+  }
+
+  test("partitioned write lays out partition directories") {
+    import spark.implicits._
+    val path = freshDir("part")
+    val df = Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("id", "k")
+    Writers.partitioned(df, path, Seq("k"))
+    assert(Files.exists(Paths.get(path, "k=A")))
+    assert(Files.exists(Paths.get(path, "k=B")))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("csv reader sanitizes messy headers and infers types") {
+    val path = freshDir("csv")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "data.csv"), "User ID!,Full Name,Score %\n1,alice,95\n2,bob,87\n")
+    val df = Readers.csv(spark, path)
+    assert(df.columns.toSeq == Seq("user_id", "full_name", "score"))
+    assert(df.count() == 2)
+    assert(df.schema("user_id").dataType.typeName == "integer")
+  }
+}

