@@ -25,15 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps extends QueryModule {
 
-  /** Left-to-right dot product of two double-cast float arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x,
-    )
+  /** Left-to-right dot product of two float arrays (double accumulation).
+    * Uses the native codegen expression graft.functions.DotProduct
+    * (registered as SQL function graft_dot) — the same fold the builtin
+    * `aggregate(zip_with(...))` formulation computes, compiled instead of
+    * interpreted per element. */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def norm(a: String): Column = sqrt(dot(a, a))
 
   /** DuckDB rendering of the same left-to-right dot product. */
   private def duckDot(a: String, b: String): String =
@@ -43,13 +42,14 @@ object SimilarityOps extends QueryModule {
   val l3BruteForce = QueryDef(
     "l3_cosine_topk",
     (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
       val scored = cand
         .join(broadcast(queries), col("q_id") =!= col("n_id"))
-        .withColumn("cosine", dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
       scored
         .withColumn("rank", row_number().over(w))
@@ -112,6 +112,7 @@ object SimilarityOps extends QueryModule {
   val l3bLshAnn = QueryDef(
     "l3b_lsh_ann",
     (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val sig = (0 until nPlanes).map(planeBit).reduce(_ + _)
       val emb = Tables.embeddings(s, d).withColumn("bucket", sig)
       val queries = emb.filter(col("vec_id") < 10)
@@ -119,7 +120,7 @@ object SimilarityOps extends QueryModule {
       val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("bucket").as("n_bucket"))
       val scored = cand
         .join(broadcast(queries), col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
-        .withColumn("cosine", dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
       scored
         .withColumn("rank", row_number().over(w))
