@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys — SURVEY.md §2.3 scale notes.
+  *
+  * AQE's skew-join handles most runtime skew, but a key hot enough to
+  * overflow one task even after AQE splitting (the classic "null key" or
+  * "megacustomer" problem at 100 TB) needs salting: the big side spreads
+  * each key over `saltFactor` sub-keys, the small side replicates each row
+  * `saltFactor` times, and the join runs on (key, salt). Shuffle volume on
+  * the small side grows ×saltFactor; the hot key's partition shrinks by
+  * the same factor.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` and `small` on `key`, salted. Result equals
+    * `big.join(small, key)` exactly; only the physical distribution
+    * changes. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = big.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}
