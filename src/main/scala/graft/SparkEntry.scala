@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.WindowOps,
     graft.operators.SetSortOps,
     graft.operators.FnOps,
+    graft.operators.SqlOps,
     graft.operators.EventOps,
     graft.streaming.StreamOps,
     graft.text.TextOps,
