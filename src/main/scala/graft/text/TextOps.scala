@@ -106,7 +106,9 @@ object TextOps extends QueryModule {
     "l4d_langid",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      // tokens feed both the profile build and the scoring pass — persist
+      // so the tokenize+explode scan runs once, not twice.
+      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("word")).persist()
       val profile = tokens.groupBy("word", "lang").agg(count(lit(1)).as("freq"))
         .withColumnRenamed("lang", "cand_lang")
       val scores = tokens
