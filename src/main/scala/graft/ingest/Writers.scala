@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse writers — SURVEY.md §2.1 rows S6–S8. */
@@ -12,6 +12,21 @@ object Writers {
     * stay large. */
   def partitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table — the co-located-join layout: both sides of a
+    * recurring fact↔fact join bucketed on the join key with the same
+    * bucket count hash-partition identically on disk, so the join plans
+    * with ZERO shuffle (SortMergeJoin over bucket-aligned scans). At
+    * 100 TB this converts the dominant repeated shuffle into a one-time
+    * write cost. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 
   /** S8: incremental (high-watermark) append — only rows strictly past
     * the last loaded watermark are appended; the predicate pushes down to
@@ -29,5 +44,27 @@ object Writers {
     }
     fresh.write.mode(SaveMode.Append).parquet(path)
     fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
+  }
+
+  /** Small-file compaction — streaming/incremental ingestion leaves many
+    * tiny parquet files; at 100 TB that destroys scan parallelism math
+    * (task-per-file) and NameNode/listing costs. Rewrites the dataset
+    * into ~`targetMB`-sized files (size-based repartition, atomic via
+    * temp dir + swap). Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String): Seq[java.nio.file.Path] =
+      Files.walk(Paths.get(p)).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val before = parquetFiles(path)
+    val totalBytes = before.map(Files.size).sum
+    val nParts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val tmpPath = path + "__compact_tmp"
+    spark.read.parquet(path).repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    // swap: remove old, move compacted in place
+    Files.walk(Paths.get(path)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    Files.move(Paths.get(tmpPath), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    (before.size, parquetFiles(path).size)
   }
 }

@@ -207,6 +207,23 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A6b: sketch-based percentiles — the 100 TB path. percentile() sorts
+    * per group; percentile_approx streams a fixed-size t-digest-style
+    * sketch that merges across partitions. *no-oracle* (sketch internals
+    * differ per engine); a6 carries the exact-match score. */
+  val a6Approx = QueryDef(
+    "a6_approx_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
+        )
+        .orderBy("l_returnflag"),
+    None,
+  )
+
   /** A7: aggregate over a computed expression, keyed by supplier. */
   val a7AggExpr = QueryDef(
     "a7_agg_expr",
@@ -245,6 +262,6 @@ object AggOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
-    a5Rollup, a5Cube, a6Percentiles, a7AggExpr, a8CollectSet,
+    a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet,
   )
 }

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.TimestampNTZType
   */
 object IngestOps extends QueryModule {
 
-  private def tmp(name: String): String =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest", name).toString
+  /** Scratch dir keyed by (entry, sf dir) so concurrent runs over
+    * different scale factors can't collide. */
+  private def tmp(name: String, sfDir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest",
+      s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
 
   /** S1: plain parquet scan, full table. */
   val s1Scan = QueryDef(
@@ -44,7 +47,7 @@ object IngestOps extends QueryModule {
   val s2Csv = QueryDef(
     "s2_csv_ingest",
     (s, d) => {
-      val path = tmp("s2_csv")
+      val path = tmp("s2_csv", d)
       Tables.customer(s, d)
         .select(
           col("c_custkey").as("Cust Key!"),
@@ -68,7 +71,7 @@ object IngestOps extends QueryModule {
   val s3Json = QueryDef(
     "s3_json_ingest",
     (s, d) => {
-      val path = tmp("s3_json")
+      val path = tmp("s3_json", d)
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
         .coalesce(1)
@@ -89,7 +92,7 @@ object IngestOps extends QueryModule {
   val s7Partitioned = QueryDef(
     "s7_partitioned_write",
     (s, d) => {
-      val path = tmp("s7_part")
+      val path = tmp("s7_part", d)
       Writers.partitioned(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
         path, Seq("o_orderstatus"))
@@ -114,7 +117,7 @@ object IngestOps extends QueryModule {
   val s8Incremental = QueryDef(
     "s8_incremental_append",
     (s, d) => {
-      val path = tmp("s8_incr")
+      val path = tmp("s8_incr", d)
       val dir = Paths.get(path)
       if (Files.exists(dir)) { // clean slate so the append is deterministic
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())

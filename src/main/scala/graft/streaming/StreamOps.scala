@@ -119,6 +119,32 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T5: at-least-once delivery simulated by unioning two
+    * reads of the same source; dropDuplicates on the key de-dupes across
+    * the union before the windowless aggregate. (In production the
+    * watermarked variant — dropDuplicatesWithinWatermark — bounds the
+    * dedup state; with AvailableNow over a static file the exact form is
+    * deterministic and oracled.) */
+  val streamDedup = QueryDef(
+    "stream_t5_dedup",
+    (s, d) => {
+      val doubled = eventStream(s, d).unionByName(eventStream(s, d))
+      val deduped = doubled
+        .select("event_id", "event_type")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"))
+      drain(s, deduped, "graft_stream_t5", OutputMode.Complete())
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_unique
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   case class UserEvent(user_id: Long, event_id: Long)
   case class UserCount(user_id: Long, n_events: Long)
 
@@ -154,5 +180,5 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamStateful)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamDedup, streamStateful)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the physical-plan properties the engine's scale story depends
+  * on — a regression here means a silent 100×-at-scale slowdown even if
+  * results stay correct. */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("a1: shipdate filter pushes down to the parquet scan") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("a1: aggregation runs partial+final (two HashAggregates)") {
+    val p = plan("a1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("j2: dim join is a broadcast hash join, fact side never shuffles") {
+    val p = plan("j2_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j7: all five dim joins broadcast") {
+    val p = plan("j7_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("o2: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("o2_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("p1/p2: scans read only referenced columns") {
+    val p = plan("p2_filter_combo")
+    // lineitem is 11 columns; the query touches 5 of orders' 6
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("o_totalprice:double,o_orderdate") || p.contains("o_orderkey"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("o_custkey"), s"unreferenced column scanned: $read")
+  }
+
+  test("l3: native graft_dot expression is in the plan (codegen path)") {
+    val p = plan("l3_cosine_topk")
+    assert(p.contains("graft_dot"))
+    assert(!p.toLowerCase.contains("aggregate(zip_with"), "fell back to interpreted HOF fold")
+  }
+
+  test("bucketed co-located join plans without a shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val facts = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+      graft.ingest.Writers.bucketed(facts, "graft_bucket_a", "k", 4)
+      graft.ingest.Writers.bucketed(facts, "graft_bucket_b", "k", 4)
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+}

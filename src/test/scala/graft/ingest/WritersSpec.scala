@@ -47,6 +47,17 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("compact merges many small files without losing rows") {
+    import spark.implicits._
+    val path = freshDir("compact")
+    (1L to 1000L).toDF("id").repartition(50).write.mode(SaveMode.Overwrite).parquet(path)
+    val (before, after) = Writers.compact(spark, path, targetMB = 128)
+    assert(before == 50)
+    assert(after < before)
+    assert(spark.read.parquet(path).count() == 1000)
+    assert(spark.read.parquet(path).agg(sum(col("id"))).collect().head.getLong(0) == 500500L)
+  }
+
   test("csv reader sanitizes messy headers and infers types") {
     val path = freshDir("csv")
     Files.createDirectories(Paths.get(path))
