@@ -1,0 +1,58 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Best-fit type coercion for string-typed raw columns — the cleanup step
+  * after header-only CSV/JSON ingestion (SURVEY.md P4 as a reusable
+  * utility rather than a single query).
+  *
+  * Strategy: one aggregate pass computes, per candidate column, how many
+  * non-null values survive try_cast to each candidate type; a column is
+  * promoted to the narrowest type that loses nothing. The decision pass
+  * is a single scan (all counters in one agg), the rewrite is a
+  * projection — two linear passes total, no collect of data rows.
+  */
+object Coerce {
+
+  /** Narrowest-first candidate order. */
+  private val candidates = Seq("bigint", "double", "boolean", "timestamp_ntz")
+
+  private def parses(n: String, t: String): Column =
+    count(when(expr(s"try_cast(`$n` AS $t)").isNotNull, 1))
+
+  /** Infer the best-fit type for each string column of `df` (other
+    * columns pass through). Date-only columns (every value ≤ 10 chars and
+    * timestamp-parsable) become DATE rather than midnight timestamps. */
+  def bestFit(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) return df
+    val counters = stringCols.flatMap { n =>
+      Seq(
+        count(when(col(n).isNotNull, 1)).as(s"${n}__n"),
+        max(length(col(n))).as(s"${n}__len"),
+      ) ++ candidates.map(t => parses(n, t).as(s"${n}__$t"))
+    }
+    val row = df.agg(counters.head, counters.tail: _*).collect().head
+    def cnt(name: String): Long = row.getAs[Long](name)
+    val decisions: Map[String, Option[String]] = stringCols.map { n =>
+      val nonNull = cnt(s"${n}__n")
+      val best =
+        if (nonNull == 0) None
+        else candidates.find(t => cnt(s"${n}__$t") == nonNull) match {
+          case Some("timestamp_ntz")
+              if !row.isNullAt(row.fieldIndex(s"${n}__len")) && row.getAs[Int](s"${n}__len") <= 10 =>
+            Some("date")
+          case other => other
+        }
+      n -> best
+    }.toMap
+    df.select(df.columns.map { n =>
+      decisions.get(n).flatten match {
+        case Some(t) => col(n).cast(t).as(n)
+        case _ => col(n)
+      }
+    }: _*)
+  }
+}
