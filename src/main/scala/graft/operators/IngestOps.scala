@@ -144,5 +144,51 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s3Json, s7Partitioned, s8Incremental)
+  /** S2b: the full reference-identity pipeline in one entry — raw CSV
+    * with messy headers → header/inference read → name sanitization →
+    * best-fit type coercion (strings become BIGINT/DATE again) →
+    * warehouse DDL generated and executed → queried back from the
+    * catalog table. The oracle derives the same result from the source
+    * parquet directly. */
+  val s2bPipeline = QueryDef(
+    "s2b_ingest_pipeline",
+    (s, d) => {
+      val path = tmp("s2b_pipeline", d)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey").cast("string").as("Order Key!"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("Order Date"),
+          col("o_orderstatus").as("STATUS"),
+        )
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      // re-ingest as all-strings, then coerce: proves the coercion layer
+      val raw = graft.ingest.Readers.csvWithSchema(
+        s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("Order Key!", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("Order Date", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("STATUS", org.apache.spark.sql.types.StringType),
+        )))
+      val typed = graft.ingest.Coerce.bestFit(raw)
+      val table = "graft_s2b_orders"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
+      typed.write.mode(SaveMode.Append).saveAsTable(table)
+      s.table(table)
+        .withColumn("yr", year(col("order_date")).cast("long"))
+        .groupBy("yr", "status")
+        .agg(count(lit(1)).as("n_orders"), min(col("order_key")).as("first_key"))
+        .orderBy("yr", "status")
+    },
+    Some("""
+      SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+        count(*) AS n_orders, min(o_orderkey) AS first_key
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, status
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s7Partitioned, s8Incremental)
 }
