@@ -173,6 +173,13 @@ object IngestOps extends QueryModule {
       val typed = graft.ingest.Coerce.bestFit(raw)
       val table = "graft_s2b_orders"
       s.sql(s"DROP TABLE IF EXISTS $table")
+      // DROP on the in-memory catalog can't clean a location left by a
+      // previous JVM's managed table — remove it or CREATE refuses.
+      val loc = Paths.get(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (Files.exists(loc)) {
+        Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
       s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
       typed.write.mode(SaveMode.Append).saveAsTable(table)
       s.table(table)
