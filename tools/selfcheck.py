@@ -86,6 +86,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"WARN {name}: column ORDER differs (names match after sort): "
+                  f"spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
         s_cols, s_rows = frame_sig(spark_df)
         d_cols, d_rows = frame_sig(duck_df)
         if s_cols != d_cols:
