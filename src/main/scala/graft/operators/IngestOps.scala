@@ -54,7 +54,6 @@ object IngestOps extends QueryModule {
           col("c_name").as("  cust NAME "),
           col("c_mktsegment").as("Market-Segment"),
         )
-        .coalesce(1)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
       Readers.csv(s, path)
         .select(col("cust_key").cast("long").as("cust_key"), col("cust_name"), col("market_segment"))
@@ -74,7 +73,6 @@ object IngestOps extends QueryModule {
       val path = tmp("s3_json", d)
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-        .coalesce(1)
         .write.mode(SaveMode.Overwrite).json(path)
       Readers.jsonLines(s, path)
         .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"), col("p_brand"), col("p_size").cast("long").as("p_size"))
@@ -160,7 +158,6 @@ object IngestOps extends QueryModule {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("Order Date"),
           col("o_orderstatus").as("STATUS"),
         )
-        .coalesce(1)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
       // re-ingest as all-strings, then coerce: proves the coercion layer
       val raw = graft.ingest.Readers.csvWithSchema(

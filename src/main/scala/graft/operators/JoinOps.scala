@@ -281,6 +281,63 @@ object JoinOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** J7c: TPC-H Q10 analog — returned-item report: customers ranked by
+    * revenue lost to returns in a window, with nation context. */
+  val j7ReturnedItems = QueryDef(
+    "j7_returned_items",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+        .limit(20),
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS lost_revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY lost_revenue DESC, c_custkey ASC
+      LIMIT 20
+    """.stripMargin.trim),
+  )
+
+  /** J2b: TPC-H Q14 analog — promo revenue share: conditional aggregation
+    * over a broadcast join, ratio as one exact-decimal IEEE division. */
+  val j2PromoShare = QueryDef(
+    "j2_promo_share",
+    (s, d) => {
+      val rev = dec2("l_extendedprice") * (one - rate("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          money2(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))).as("promo_revenue"),
+          money2(sum(rev)).as("total_revenue"),
+          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") * 100.0 /
+            sum(rev).cast("double")).as("promo_pct"),
+        )
+    },
+    Some("""
+      SELECT
+        CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DECIMAL(18,2)) AS promo_revenue,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS total_revenue,
+        CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    """.stripMargin.trim),
+  )
+
   /** J8: cross join — bounded grid (5 regions × 3 return flags). Only ever
     * sane when one side is O(1); anything larger goes through L2/L3's
     * LSH-bucketed paths instead. */
@@ -301,7 +358,7 @@ object JoinOps extends QueryModule {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    j1Inner, j2Broadcast, j3LeftOuter, j3FullOuter, j4Semi, j4Anti,
-    j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j8Cross,
+    j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3FullOuter, j4Semi, j4Anti,
+    j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross,
   )
 }
