@@ -46,6 +46,29 @@ object Writers {
     fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
   }
 
+  /** Key-based upsert (MERGE) into a parquet dataset without a table
+    * format: keep-rows = existing ANTI JOIN updates (one shuffle on the
+    * key), union the updates, rewrite atomically via temp dir + swap.
+    * At 100 TB a partitioned layout limits the rewrite to touched
+    * partitions (filter `existing` by the updates' partition values
+    * before this call); a real deployment graduates to a table format
+    * with transactional MERGE, which this mirrors semantically. */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (!Files.exists(target)) {
+      updates.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val merged = existing.join(updates, Seq(key), "left_anti").unionByName(updates)
+    val tmpPath = path + "__upsert_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    Files.move(Paths.get(tmpPath), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Small-file compaction — streaming/incremental ingestion leaves many
     * tiny parquet files; at 100 TB that destroys scan parallelism math
     * (task-per-file) and NameNode/listing costs. Rewrites the dataset

@@ -151,5 +151,40 @@ object SimilarityOps extends QueryModule {
     },
   )
 
-  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn)
+  /** L2d: embedding-cosine near-duplicate detection — the vector-space
+    * member of the dedup family (SURVEY L2). Bounded all-pairs slice
+    * (vec_id < 300 on both sides → fixed work at any scale factor); the
+    * unbounded path is the LSH bucketing above. The corpus has no planted
+    * near-dups (max pairwise cosine ≈ 0.46, verified), so the threshold
+    * surfaces the genuinely most-aligned tail rather than returning
+    * either everything or nothing. */
+  val l2dEmbeddingNearDup = QueryDef(
+    "l2d_embedding_neardup",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = bounded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = bounded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", dot("ea", "eb") / (norm("ea") * norm("eb")))
+        .filter(col("cosine") > 0.4)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+    },
+    Some(s"""
+      WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      scored AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+          ${duckDot("a.embedding", "c.embedding")}
+            / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+        FROM b a JOIN b c ON a.vec_id < c.vec_id
+      )
+      SELECT vec_a, vec_b, cosine
+      FROM scored
+      WHERE cosine > 0.4
+      ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l2dEmbeddingNearDup)
 }

@@ -211,5 +211,32 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality, l4fFingerprint)
+  /** L4g: token counting two ways — whitespace tokens and a BPE-ish
+    * regex tokenizer (GPT-2-style pattern: contraction suffixes, letter
+    * runs, digit runs, punctuation runs, whitespace runs). Same regex
+    * evaluates identically in Java (Spark) and RE2 (DuckDB) on this
+    * corpus's character set. */
+  val l4gTokenCount = QueryDef(
+    "l4g_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(
+            col("text"),
+            lit("'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"),
+            lit(0))).cast("long").as("n_bpe_tokens"),
+        )
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, $$'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+$$)) AS BIGINT) AS n_bpe_tokens
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality, l4fFingerprint, l4gTokenCount)
 }

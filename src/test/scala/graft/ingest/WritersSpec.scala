@@ -47,6 +47,23 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("upsert replaces matching keys and appends new ones") {
+    import spark.implicits._
+    val path = freshDir("upsert")
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    Writers.upsertByKey(spark, path, Seq((2L, "new2"), (4L, "new4")).toDF("k", "v"), "k")
+    val got = spark.read.parquet(path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
+  }
+
+  test("upsert into a missing path creates it") {
+    import spark.implicits._
+    val path = freshDir("upsert_new") + "/sub"
+    Writers.upsertByKey(spark, path, Seq((1L, "a")).toDF("k", "v"), "k")
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("compact merges many small files without losing rows") {
     import spark.implicits._
     val path = freshDir("compact")
