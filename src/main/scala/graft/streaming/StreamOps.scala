@@ -4,7 +4,7 @@ import graft.core._
 import graft.core.Casts._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming battery — SURVEY.md §2.9 streaming variants
@@ -148,6 +148,57 @@ object StreamOps extends QueryModule {
   case class UserEvent(user_id: Long, event_id: Long)
   case class UserCount(user_id: Long, n_events: Long)
 
+  /** Spark 4 transformWithState processor: running per-user event count
+    * in a ValueState. TTLConfig.NONE because the drain is bounded; a
+    * production deployment sets a TTL so per-user state expires. */
+  class RunningCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent], timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator(UserCount(key, n))
+    }
+  }
+
+  /** Streaming T6b: the same running counter on the NEW arbitrary-state
+    * API (transformWithState, Spark 4) — requires the RocksDB state
+    * store. Same oracle as the flatMapGroupsWithState twin. */
+  val streamTws = QueryDef(
+    "stream_t6b_transform_with_state",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val counted = eventStream(s, d)
+          .select(col("user_id"), col("event_id"))
+          .as[UserEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+        drain(s, counted.toDF(), "graft_stream_t6b", OutputMode.Update())
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy("user_id")
+      } finally {
+        s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      }
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
   /** Streaming T6: arbitrary stateful processing — running per-user
     * counters via flatMapGroupsWithState. With AvailableNow over static
     * data the final emitted count per user equals the plain group count,
@@ -180,5 +231,5 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamDedup, streamStateful)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamDedup, streamStateful, streamTws)
 }
