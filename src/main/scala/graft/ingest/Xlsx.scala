@@ -1,0 +1,95 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.xml.XML
+
+/** Spreadsheet (xlsx) ingestion — SURVEY.md §2.1 row S5, previously
+  * declared out of scope for lack of an offline connector jar. XLSX is a
+  * zip of XML parts, and the JDK ships both codecs, so this is a minimal
+  * self-contained reader: first sheet, first row = header, every cell
+  * surfaced as a string (downstream typing is [[Coerce.bestFit]]'s job,
+  * same as CSV).
+  *
+  * Distribution model: files load through Spark's `binaryFile` source, so
+  * a directory of workbooks parses in parallel across executors — one
+  * task per file, which matches how spreadsheet-sized inputs arrive
+  * (many small files, never one 100 TB workbook).
+  *
+  * Supported: inline strings, shared strings, numbers, booleans, gaps
+  * (missing cells become nulls via A1-reference column mapping). Not
+  * supported: formulas (cached values are read), styles, multiple sheets.
+  */
+object Xlsx {
+
+  /** Parse one workbook's bytes into header + string rows. */
+  private[ingest] def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var shared = IndexedSeq.empty[String]
+    var sheetXml: Option[String] = None
+    try {
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { entry =>
+        entry.getName match {
+          case "xl/sharedStrings.xml" =>
+            val xml = XML.loadString(new String(zin.readAllBytes(), "UTF-8"))
+            shared = (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+          case "xl/worksheets/sheet1.xml" =>
+            sheetXml = Some(new String(zin.readAllBytes(), "UTF-8"))
+          case _ => ()
+        }
+      }
+    } finally zin.close()
+    val sheet = sheetXml.getOrElse(throw new IllegalArgumentException("xl/worksheets/sheet1.xml missing"))
+    val xml = XML.loadString(sheet)
+    val rows = (xml \\ "row").map { r =>
+      val cells = (r \ "c").map { c =>
+        val ref = (c \@ "r") // e.g. "B3"
+        val colIdx = ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+        val t = c \@ "t"
+        val v = t match {
+          case "s" => shared((c \ "v").text.trim.toInt)
+          case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
+          case "b" => if ((c \ "v").text.trim == "1") "true" else "false"
+          case _ => (c \ "v").text
+        }
+        colIdx -> v
+      }
+      val width = if (cells.isEmpty) 0 else cells.map(_._1).max + 1
+      val arr = Array.fill[String](width)(null)
+      cells.foreach { case (i, v) => arr(i) = v }
+      arr.toSeq
+    }
+    if (rows.isEmpty) (Nil, Nil)
+    else {
+      val header = rows.head.map(h => Option(h).getOrElse(""))
+      val width = header.size
+      val data = rows.tail.map(r => r.padTo(width, null).take(width))
+      (header, data)
+    }
+  }
+
+  /** S5: read a directory (or single file) of .xlsx workbooks into a
+    * DataFrame of strings with sanitized header names. All workbooks must
+    * share the first file's header. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select("path", "content")
+    val parsed = files.rdd.map { row =>
+      val (header, data) = parseWorkbook(row.getAs[Array[Byte]]("content"))
+      (row.getString(0), header, data)
+    }
+    val headers = parsed.map { case (p, h, _) => (p, h) }.collect().sortBy(_._1)
+    require(headers.nonEmpty, s"no .xlsx files under $path")
+    val header = headers.head._2
+    headers.foreach { case (p, h) =>
+      require(h == header, s"workbook $p header $h != ${headers.head._1} header $header")
+    }
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val rows = parsed.flatMap { case (_, _, data) => data.map(Row.fromSeq(_)) }
+    Sanitize(spark.createDataFrame(rows, schema))
+  }
+}
