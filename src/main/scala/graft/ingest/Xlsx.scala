@@ -70,6 +70,36 @@ object Xlsx {
     }
   }
 
+  /** Minimal xlsx writer (inline strings only) — enough to round-trip
+    * spreadsheet-sized data and to generate fixtures. Spreadsheets are a
+    * small-data interchange format by definition; rows are materialized
+    * on the driver (callers pass bounded frames — dims, reports). */
+  def write(header: Seq[String], rows: Seq[Seq[String]], path: String): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def rowXml(r: Int, cells: Seq[String]): String =
+      cells.zipWithIndex.map { case (v, i) =>
+        val colRef = {
+          var n = i + 1; val sb = new StringBuilder
+          while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+          sb.toString
+        }
+        if (v == null) "" else s"""<c r="$colRef$r" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString(s"""<row r="$r">""", "", "</row>")
+    val sheet = (header +: rows).zipWithIndex
+      .map { case (r, i) => rowXml(i + 1, r) }
+      .mkString("""<?xml version="1.0"?><worksheet><sheetData>""", "", "</sheetData></worksheet>")
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      zip.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+      zip.write("""<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""".getBytes("UTF-8"))
+      zip.closeEntry()
+      zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zip.write(sheet.getBytes("UTF-8"))
+      zip.closeEntry()
+    } finally zip.close()
+  }
+
   /** S5: read a directory (or single file) of .xlsx workbooks into a
     * DataFrame of strings with sanitized header names. All workbooks must
     * share the first file's header. */

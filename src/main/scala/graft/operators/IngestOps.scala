@@ -194,5 +194,33 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s7Partitioned, s8Incremental)
+  /** S5: spreadsheet round-trip — the nation dim (bounded, as spreadsheet
+    * data always is) exported to a real .xlsx workbook, re-ingested with
+    * the distributed reader, coerced back to types, oracled against the
+    * source table. */
+  val s5Xlsx = QueryDef(
+    "s5_xlsx_ingest",
+    (s, d) => {
+      val dir = Paths.get(tmp("s5_xlsx", d))
+      Files.createDirectories(dir)
+      Files.walk(dir).filter(_.toString.endsWith(".xlsx")).forEach(p => Files.deleteIfExists(p))
+      val rows = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("string"), col("n_name"), col("n_regionkey").cast("string"))
+        .orderBy(col("n_nationkey").cast("int"))
+        .collect() // 25-row dim: spreadsheet-sized by definition
+        .map(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq
+      graft.ingest.Xlsx.write(Seq("Nation Key", "Nation Name", "Region Key"), rows, dir.resolve("nations.xlsx").toString)
+      graft.ingest.Coerce.bestFit(graft.ingest.Xlsx.read(s, dir.toString))
+        .select(col("nation_key"), col("nation_name"), col("region_key"))
+        .orderBy("nation_key")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS nation_name, CAST(n_regionkey AS BIGINT) AS region_key
+      FROM nation
+      ORDER BY nation_key
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s5Xlsx, s7Partitioned, s8Incremental)
 }
