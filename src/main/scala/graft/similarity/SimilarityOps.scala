@@ -186,5 +186,38 @@ object SimilarityOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l2dEmbeddingNearDup)
+  /** L3c: identical top-5 search through the bounded-heap TopK
+    * Aggregator (SURVEY §2.11) instead of window/row_number — per-group
+    * shuffle volume drops from O(candidates) to O(k). Bit-identical
+    * scores ⇒ identical ranking ⇒ the same oracle as l3. */
+  val l3cTopKAggregator = QueryDef(
+    "l3c_topk_aggregator",
+    (s, d) => {
+      import graft.functions.TopKAggregator
+      import s.implicits._
+      graft.functions.VectorFunctions.register(s)
+      val topk = udaf(new TopKAggregator.TopK(5))
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      cand
+        .join(broadcast(queries), col("q_id") =!= col("n_id"))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
+        .groupBy("q_id")
+        .agg(topk(col("n_id"), col("cosine")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(
+          col("q_id"),
+          col("col.id").as("n_id"),
+          col("col.score").as("cosine"),
+          (col("pos") + 1).cast("int").as("rank"),
+        )
+        .orderBy("q_id", "rank")
+    },
+    // identical result set to l3_cosine_topk — same oracle text
+    l3BruteForce.oracle,
+  )
+
+  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l2dEmbeddingNearDup)
 }
