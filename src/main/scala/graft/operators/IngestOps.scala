@@ -167,6 +167,7 @@ object IngestOps extends QueryModule {
           org.apache.spark.sql.types.StructField("Order Date", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("STATUS", org.apache.spark.sql.types.StringType),
         )))
+      raw.persist() // parsed once: coercion's decision pass + the write both hit the cache
       val typed = graft.ingest.Coerce.bestFit(raw)
       val table = "graft_s2b_orders"
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -179,6 +180,7 @@ object IngestOps extends QueryModule {
       }
       s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
       typed.write.mode(SaveMode.Append).saveAsTable(table)
+      raw.unpersist()
       s.table(table)
         .withColumn("yr", year(col("order_date")).cast("long"))
         .groupBy("yr", "status")
