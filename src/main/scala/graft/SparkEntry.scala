@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.AggOps,
     graft.operators.WindowOps,
     graft.operators.SetSortOps,
+    graft.operators.ReshapeOps,
     graft.operators.FnOps,
     graft.operators.SqlOps,
     graft.operators.EventOps,

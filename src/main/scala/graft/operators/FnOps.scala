@@ -53,6 +53,62 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** F1b: second string batch — padding, translate, search, repetition. */
+  val f1bStringMore = QueryDef(
+    "f1b_string_extended",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_type"), 10, ".").as("type_rpad"),
+          translate(col("p_type"), "AEO", "aeo").as("type_translated"),
+          instr(col("p_name"), "o").cast("long").as("first_o"),
+          repeat(lit("-"), (col("p_size") % 5 + 1).cast("int")).as("dashes"),
+          reverse(col("p_name")).as("name_rev"),
+          substring(col("p_name"), 1, 2).as("name_left2"),
+        )
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        lpad(p_brand, 12, '*') AS brand_lpad,
+        rpad(p_type, 10, '.') AS type_rpad,
+        translate(p_type, 'AEO', 'aeo') AS type_translated,
+        CAST(instr(p_name, 'o') AS BIGINT) AS first_o,
+        repeat('-', CAST(p_size % 5 + 1 AS INTEGER)) AS dashes,
+        reverse(p_name) AS name_rev,
+        left(p_name, 2) AS name_left2
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
+  /** F2b: second date batch — calendar boundaries and ordinals. */
+  val f2bDatetimeMore = QueryDef(
+    "f2b_datetime_extended",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          last_day(col("o_orderdate")).cast(TimestampNTZType).as("month_end"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          (col("o_orderdate") + expr("INTERVAL 45 DAY")).as("plus_45d"),
+          (col("o_orderdate") - expr("INTERVAL 1 WEEK")).as("minus_1w"),
+        )
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+        CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        weekofyear(o_orderdate) AS iso_week,
+        dayofyear(o_orderdate) AS doy,
+        o_orderdate + INTERVAL 45 DAY AS plus_45d,
+        o_orderdate - INTERVAL 1 WEEK AS minus_1w
+      FROM orders
+      ORDER BY o_orderkey
+    """.stripMargin.trim),
+  )
+
   /** F2: date/time family over order dates (NTZ end-to-end, R4). */
   val f2Datetime = QueryDef(
     "f2_datetime_family",
@@ -202,5 +258,5 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(f1String, f2Datetime, f3Math, f4Array, f5Map, f6Json)
+  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f5Map, f6Json)
 }
