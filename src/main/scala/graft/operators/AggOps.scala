@@ -241,6 +241,27 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A9: HAVING — post-aggregation filter (TPC-H Q18 shape): orders whose
+    * total quantity exceeds a threshold. */
+  val a9Having = QueryDef(
+    "a9_having",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(asMoney(sum(dec2("l_quantity"))).as("total_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 150)
+        .orderBy(col("total_qty").desc, col("l_orderkey").asc),
+    Some("""
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty,
+        count(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 150
+      ORDER BY total_qty DESC, l_orderkey ASC
+    """.stripMargin.trim),
+  )
+
   /** A8: bounded collect — projected to a sorted joined string so the
     * compare hashes a scalar (list-typed outputs hash differently across
     * engines). collect_set is bounded by the tiny value domain. */
@@ -262,6 +283,6 @@ object AggOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
-    a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet,
+    a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
   )
 }

@@ -258,5 +258,30 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f5Map, f6Json)
+  /** F7: null-handling family — nullif to introduce nulls, coalesce /
+    * conditional fallbacks to absorb them, null-aware counts. */
+  val f7Null = QueryDef(
+    "f7_null_family",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_filled"),
+          when(col("l_quantity") > 25, col("l_quantity")).otherwise(lit(null)).cast("double").as("big_qty_or_null"),
+          (nullif(col("l_returnflag"), lit("N")).isNull).as("was_nulled"),
+        )
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        nullif(l_returnflag, 'N') AS flag_or_null,
+        coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled,
+        CASE WHEN l_quantity > 25 THEN l_quantity ELSE NULL END AS big_qty_or_null,
+        nullif(l_returnflag, 'N') IS NULL AS was_nulled
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f5Map, f6Json, f7Null)
 }
