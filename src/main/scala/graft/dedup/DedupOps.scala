@@ -159,13 +159,16 @@ object DedupOps extends QueryModule {
   val l2cNgramJaccard = QueryDef(
     "l2c_ngram_jaccard",
     (s, d) => {
+      // size >= 2 guard: a single-token doc would index one past the array
+      // end (ANSI runtime error) and its gram sets would diverge between
+      // engines; such docs have no 2-grams by definition.
       val docs = Tables.documents(s, d)
-        .filter(col("doc_id") < 120)
+        .filter(col("doc_id") < 120 && size(split(col("text"), " ")) >= 2)
         .select(
           col("doc_id"), col("source"),
           array_distinct(
             transform(
-              sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(1))),
+              sequence(lit(1), size(split(col("text"), " ")) - 1),
               i => concat_ws(" ", element_at(split(col("text"), " "), i), element_at(split(col("text"), " "), i + 1)),
             )).as("grams"),
         )
@@ -184,11 +187,11 @@ object DedupOps extends QueryModule {
       WITH g AS (
         SELECT doc_id, source,
           list_distinct(list_transform(
-            generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            generate_series(1, len(string_split(text, ' ')) - 1),
             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
           )) AS grams
         FROM documents
-        WHERE doc_id < 120
+        WHERE doc_id < 120 AND len(string_split(text, ' ')) >= 2
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,

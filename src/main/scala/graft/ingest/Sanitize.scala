@@ -24,14 +24,27 @@ object Sanitize {
   }
 
   /** Sanitize all names, then de-duplicate collisions by suffixing _2, _3…
-    * in column order (first occurrence keeps the bare name). */
+    * in column order (first occurrence keeps the bare name). Suffixed
+    * names are themselves checked against everything emitted OR still to
+    * come — ["a", "a", "a_2"] must not produce a second "a_2". */
   def sanitizeNames(raw: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    raw.map { r =>
-      val base = sanitizeName(r)
-      val n = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      if (n == 0) base else s"${base}_${n + 1}"
+    val bases = raw.map(sanitizeName)
+    val taken = scala.collection.mutable.Set.empty[String]
+    val pending = scala.collection.mutable.Map.empty[String, Int]
+    bases.foreach(b => pending(b) = pending.getOrElse(b, 0) + 1)
+    bases.map { base =>
+      pending(base) -= 1
+      val candidate =
+        if (!taken.contains(base)) base
+        else {
+          var i = 2
+          // skip suffixes already emitted AND those a later column will
+          // claim as its own sanitized base
+          while (taken.contains(s"${base}_$i") || pending.getOrElse(s"${base}_$i", 0) > 0) i += 1
+          s"${base}_$i"
+        }
+      taken += candidate
+      candidate
     }
   }
 

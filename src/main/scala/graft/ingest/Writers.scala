@@ -38,25 +38,50 @@ object Writers {
       lastWatermark: Option[Any],
       path: String,
   ): Option[Any] = {
-    val fresh = lastWatermark match {
+    val fresh = (lastWatermark match {
       case Some(wm) => df.filter(col(watermarkCol) > lit(wm))
       case None     => df
-    }
-    fresh.write.mode(SaveMode.Append).parquet(path)
-    fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
+    }).persist()
+    try {
+      // Compute the watermark from the SAME snapshot that gets written:
+      // re-scanning a live source after the write could observe rows that
+      // were never appended, silently skipping them on the next run.
+      val wm = fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
+      fresh.write.mode(SaveMode.Append).parquet(path)
+      wm
+    } finally fresh.unpersist()
+  }
+
+  /** Swap `tmpPath` into `path` with rename-aside: the live data moves
+    * out of the way first, so a crash at any point leaves either the old
+    * or the new dataset intact — never an empty window. */
+  private def swapIn(path: String, tmpPath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(path)
+    val aside = Paths.get(path + "__old")
+    if (Files.exists(aside)) deleteTree(aside)
+    Files.move(target, aside)
+    Files.move(Paths.get(tmpPath), target)
+    deleteTree(aside)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   /** Key-based upsert (MERGE) into a parquet dataset without a table
     * format: keep-rows = existing ANTI JOIN updates (one shuffle on the
-    * key), union the updates, rewrite atomically via temp dir + swap.
+    * key), union the updates, rewrite via temp dir + rename-aside swap.
     * At 100 TB a partitioned layout limits the rewrite to touched
     * partitions (filter `existing` by the updates' partition values
     * before this call); a real deployment graduates to a table format
     * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val target = Paths.get(path)
-    if (!Files.exists(target)) {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(path))) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
@@ -64,9 +89,7 @@ object Writers {
     val merged = existing.join(updates, Seq(key), "left_anti").unionByName(updates)
     val tmpPath = path + "__upsert_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.deleteIfExists(f))
-    Files.move(Paths.get(tmpPath), target, StandardCopyOption.ATOMIC_MOVE)
+    swapIn(path, tmpPath)
   }
 
   /** Small-file compaction — streaming/incremental ingestion leaves many
@@ -75,19 +98,19 @@ object Writers {
     * into ~`targetMB`-sized files (size-based repartition, atomic via
     * temp dir + swap). Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    def parquetFiles(p: String): Seq[java.nio.file.Path] =
-      Files.walk(Paths.get(p)).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val walk = Files.walk(Paths.get(p))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    }
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nParts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmpPath = path + "__compact_tmp"
     spark.read.parquet(path).repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    // swap: remove old, move compacted in place
-    Files.walk(Paths.get(path)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.deleteIfExists(f))
-    Files.move(Paths.get(tmpPath), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    swapIn(path, tmpPath)
     (before.size, parquetFiles(path).size)
   }
 }

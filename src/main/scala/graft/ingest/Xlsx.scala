@@ -44,9 +44,14 @@ object Xlsx {
     val sheet = sheetXml.getOrElse(throw new IllegalArgumentException("xl/worksheets/sheet1.xml missing"))
     val xml = XML.loadString(sheet)
     val rows = (xml \\ "row").map { r =>
+      var nextIdx = 0 // the r= reference attribute is optional: absent means "next column"
       val cells = (r \ "c").map { c =>
         val ref = (c \@ "r") // e.g. "B3"
-        val colIdx = ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+        val letters = ref.takeWhile(_.isLetter)
+        val colIdx =
+          if (letters.isEmpty) nextIdx
+          else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+        nextIdx = colIdx + 1
         val t = c \@ "t"
         val v = t match {
           case "s" => shared((c \ "v").text.trim.toInt)
@@ -111,15 +116,20 @@ object Xlsx {
     val parsed = files.rdd.map { row =>
       val (header, data) = parseWorkbook(row.getAs[Array[Byte]]("content"))
       (row.getString(0), header, data)
-    }
-    val headers = parsed.map { case (p, h, _) => (p, h) }.collect().sortBy(_._1)
-    require(headers.nonEmpty, s"no .xlsx files under $path")
-    val header = headers.head._2
-    headers.foreach { case (p, h) =>
-      require(h == header, s"workbook $p header $h != ${headers.head._1} header $header")
-    }
-    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
-    val rows = parsed.flatMap { case (_, _, data) => data.map(Row.fromSeq(_)) }
-    Sanitize(spark.createDataFrame(rows, schema))
+    }.persist() // header check + row extraction both read this: parse each workbook once
+    try {
+      val headers = parsed.map { case (p, h, _) => (p, h) }.collect().sortBy(_._1)
+      require(headers.nonEmpty, s"no .xlsx files under $path")
+      val header = headers.head._2
+      headers.foreach { case (p, h) =>
+        require(h == header, s"workbook $p header $h != ${headers.head._1} header $header")
+      }
+      val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+      val rows = parsed.flatMap { case (_, _, data) => data.map(Row.fromSeq(_)) }
+      val df = spark.createDataFrame(rows, schema)
+      // materialize before unpersisting so the cache actually served both passes
+      df.cache().count()
+      Sanitize(df)
+    } finally parsed.unpersist()
   }
 }

@@ -215,8 +215,10 @@ object FnOps extends QueryModule {
         .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
         .select(
           col("user_id"),
-          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
-          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          // try_element_at: plain element_at throws on a missing key under
+          // Spark 4's default ANSI mode — a user with no clicks must yield 0
+          coalesce(expr("try_element_at(m, 'click')"), lit(0L)).as("n_click"),
+          coalesce(expr("try_element_at(m, 'purchase')"), lit(0L)).as("n_purchase"),
           size(map_keys(col("m"))).cast("long").as("n_types"),
         )
         .orderBy("user_id"),

@@ -104,7 +104,9 @@ object StreamOps extends QueryModule {
           lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
         FROM events
       ), flagged AS (
-        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        -- >= not >: session_window's [start, last+gap) end is EXCLUSIVE, so
+        -- an exactly-gap-sized pause starts a new session
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         FROM e
       ), sess AS (
         SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id

@@ -18,6 +18,15 @@ class SanitizeSpec extends AnyFunSuite {
   test("collisions dedupe in column order") {
     assert(Sanitize.sanitizeNames(Seq("A B", "a-b", "a_b")) == Seq("a_b", "a_b_2", "a_b_3"))
   }
+
+  test("collision suffixes avoid names later columns legitimately own") {
+    // naive _N suffixing would emit a_2 twice here
+    val out = Sanitize.sanitizeNames(Seq("a", "a", "a_2"))
+    assert(out.distinct.size == 3, s"duplicate names in $out")
+    assert(out.head == "a" && out.last == "a_2")
+    val out2 = Sanitize.sanitizeNames(Seq("a_2", "a", "a"))
+    assert(out2.distinct.size == 3, s"duplicate names in $out2")
+  }
 }
 
 /** scalacheck property suite (sbt runs Properties natively). */
