@@ -65,7 +65,10 @@ object Writers {
     deleteTree(aside)
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
+  /** Recursive delete with the walk stream closed (Files.walk leaks
+    * directory handles otherwise). No-op for a missing path. */
+  def deleteTree(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => java.nio.file.Files.deleteIfExists(f))

@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.TimestampNTZType
   */
 object IngestOps extends QueryModule {
 
-  /** Scratch dir keyed by (entry, sf dir) so concurrent runs over
-    * different scale factors can't collide. */
+  /** Scratch dir keyed by (entry, sf dir, process) — the pid component
+    * makes concurrent harness processes (and sanitization-aliased sf
+    * paths) collision-free; within one process reruns reuse/overwrite
+    * deterministically. */
   private def tmp(name: String, sfDir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest",
+      s"p${ProcessHandle.current().pid()}",
       s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
 
   /** S1: plain parquet scan, full table. */
@@ -116,11 +119,8 @@ object IngestOps extends QueryModule {
     "s8_incremental_append",
     (s, d) => {
       val path = tmp("s8_incr", d)
-      val dir = Paths.get(path)
-      if (Files.exists(dir)) { // clean slate so the append is deterministic
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      // Overwrite mode on the first write truncates any previous run's
+      // data, so the subsequent append starts from a known state.
       val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val batch1 = orders.filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
       batch1.write.mode(SaveMode.Overwrite).parquet(path)
@@ -168,24 +168,21 @@ object IngestOps extends QueryModule {
           org.apache.spark.sql.types.StructField("STATUS", org.apache.spark.sql.types.StringType),
         )))
       raw.persist() // parsed once: coercion's decision pass + the write both hit the cache
-      val typed = graft.ingest.Coerce.bestFit(raw)
-      val table = "graft_s2b_orders"
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      // DROP on the in-memory catalog can't clean a location left by a
-      // previous JVM's managed table — remove it or CREATE refuses.
-      val loc = Paths.get(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      if (Files.exists(loc)) {
-        Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
-      typed.write.mode(SaveMode.Append).saveAsTable(table)
-      raw.unpersist()
-      s.table(table)
-        .withColumn("yr", year(col("order_date")).cast("long"))
-        .groupBy("yr", "status")
-        .agg(count(lit(1)).as("n_orders"), min(col("order_key")).as("first_key"))
-        .orderBy("yr", "status")
+      try {
+        val typed = graft.ingest.Coerce.bestFit(raw)
+        val table = "graft_s2b_orders"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // DROP on the in-memory catalog can't clean a location left by a
+        // previous JVM's managed table — remove it or CREATE refuses.
+        Writers.deleteTree(Paths.get(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table))
+        s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
+        typed.write.mode(SaveMode.Append).saveAsTable(table)
+        s.table(table)
+          .withColumn("yr", year(col("order_date")).cast("long"))
+          .groupBy("yr", "status")
+          .agg(count(lit(1)).as("n_orders"), min(col("order_key")).as("first_key"))
+          .orderBy("yr", "status")
+      } finally raw.unpersist()
     },
     Some("""
       SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
@@ -204,8 +201,8 @@ object IngestOps extends QueryModule {
     "s5_xlsx_ingest",
     (s, d) => {
       val dir = Paths.get(tmp("s5_xlsx", d))
+      Writers.deleteTree(dir)
       Files.createDirectories(dir)
-      Files.walk(dir).filter(_.toString.endsWith(".xlsx")).forEach(p => Files.deleteIfExists(p))
       val rows = Tables.nation(s, d)
         .select(col("n_nationkey").cast("string"), col("n_name"), col("n_regionkey").cast("string"))
         .orderBy(col("n_nationkey").cast("int"))

@@ -44,12 +44,17 @@ object SimilarityOps extends QueryModule {
     (s, d) => {
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
+      // norms precompute ONCE per side before the join — inside the join
+      // each corpus norm would be re-folded per query pair (3× the work);
+      // same sqrt of the same dot ⇒ bit-identical cosines either way
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .withColumn("q_norm", norm("q_vec"))
       val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        .withColumn("n_norm", norm("n_vec"))
       val scored = cand
         .join(broadcast(queries), col("q_id") =!= col("n_id"))
-        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
       scored
         .withColumn("rank", row_number().over(w))
@@ -117,10 +122,12 @@ object SimilarityOps extends QueryModule {
       val emb = Tables.embeddings(s, d).withColumn("bucket", sig)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+        .withColumn("q_norm", norm("q_vec"))
       val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("bucket").as("n_bucket"))
+        .withColumn("n_norm", norm("n_vec"))
       val scored = cand
         .join(broadcast(queries), col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
-        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
       scored
         .withColumn("rank", row_number().over(w))
@@ -164,9 +171,11 @@ object SimilarityOps extends QueryModule {
       graft.functions.VectorFunctions.register(s)
       val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       val a = bounded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .withColumn("a_norm", norm("ea"))
       val b = bounded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .withColumn("b_norm", norm("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", dot("ea", "eb") / (norm("ea") * norm("eb")))
+        .withColumn("cosine", dot("ea", "eb") / (col("a_norm") * col("b_norm")))
         .filter(col("cosine") > 0.4)
         .select("vec_a", "vec_b", "cosine")
         .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
@@ -200,10 +209,12 @@ object SimilarityOps extends QueryModule {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .withColumn("q_norm", norm("q_vec"))
       val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        .withColumn("n_norm", norm("n_vec"))
       cand
         .join(broadcast(queries), col("q_id") =!= col("n_id"))
-        .withColumn("cosine", dot("q_vec", "n_vec") / (norm("q_vec") * norm("n_vec")))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
         .groupBy("q_id")
         .agg(topk(col("n_id"), col("cosine")).as("top"))
         .select(col("q_id"), posexplode(col("top")))

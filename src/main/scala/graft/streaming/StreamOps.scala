@@ -174,9 +174,9 @@ object StreamOps extends QueryModule {
     "stream_t6b_transform_with_state",
     (s, d) => {
       import s.implicits._
-      s.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val previous = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val counted = eventStream(s, d)
           .select(col("user_id"), col("event_id"))
@@ -188,9 +188,11 @@ object StreamOps extends QueryModule {
           .agg(max(col("n_events")).as("n_events"))
           .orderBy("user_id")
       } finally {
-        s.conf.set(
-          "spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        // restore whatever the session had, not a hardcoded default
+        previous match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
       }
     },
     Some("""

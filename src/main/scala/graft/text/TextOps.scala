@@ -106,9 +106,11 @@ object TextOps extends QueryModule {
     "l4d_langid",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // tokens feed both the profile build and the scoring pass — persist
-      // so the tokenize+explode scan runs once, not twice.
-      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("word")).persist()
+      // tokens feed both the profile build and the scoring pass; the
+      // tokenize+explode is cheap enough to recompute — persisting here
+      // would pin cache for the rest of the session (the returned plan is
+      // lazy, so there is no safe point to unpersist).
+      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("word"))
       val profile = tokens.groupBy("word", "lang").agg(count(lit(1)).as("freq"))
         .withColumnRenamed("lang", "cand_lang")
       val scores = tokens
