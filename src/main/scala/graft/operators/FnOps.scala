@@ -202,6 +202,41 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** F4b: array set-algebra family — union/intersect/except/flatten/
+    * sequence over tokenized text, projected to scalars (list-typed
+    * outputs hash differently per engine). */
+  val f4bArraySets = QueryDef(
+    "f4b_array_sets",
+    (s, d) => {
+      val toksA = array_distinct(split(col("text"), " "))
+      val stop = array(lit("a"), lit("the"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(array_union(toksA, stop)).cast("long").as("n_union_stop"),
+          size(array_intersect(toksA, stop)).cast("long").as("n_stop_present"),
+          size(array_except(toksA, stop)).cast("long").as("n_content"),
+          size(flatten(array(toksA, stop))).cast("long").as("n_flat"),
+          size(sequence(lit(1), col("n_chars") % 10 + 1)).cast("long").as("n_seq"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(len(list_distinct(list_concat(toks, ['a','the']))) AS BIGINT) AS n_union_stop,
+        CAST(len(list_intersect(toks, ['a','the'])) AS BIGINT) AS n_stop_present,
+        CAST(len(list_filter(toks, x -> NOT list_contains(['a','the'], x))) AS BIGINT) AS n_content,
+        CAST(len(toks) + 2 AS BIGINT) AS n_flat,
+        CAST(len(generate_series(1, n_chars % 10 + 1)) AS BIGINT) AS n_seq
+      FROM t
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
   /** F5: map family — per-user map of event_type→count built with
     * map_from_entries, then element_at lookups. The map is internal;
     * the output is scalar so it oracles cleanly. */
@@ -285,5 +320,5 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f5Map, f6Json, f7Null)
+  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f4bArraySets, f5Map, f6Json, f7Null)
 }

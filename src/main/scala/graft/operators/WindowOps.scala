@@ -43,6 +43,33 @@ object WindowOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** W1b: distribution family — percent_rank / cume_dist / nth_value.
+    * percent_rank is (rank-1)/(n-1) and cume_dist is peers/n — single
+    * IEEE divisions of exact integers, deterministic in both engines. */
+  val w1bDistribution = QueryDef(
+    "w1b_distribution",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(dec2("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("c_custkey"), 2).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_richest"),
+        )
+        .orderBy("c_nationkey", "pct_rank", "c_custkey")
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC)
+      ORDER BY c_nationkey, pct_rank, c_custkey
+    """.stripMargin.trim),
+  )
+
   /** W2: lag/lead — per-user gap between consecutive events (micros). */
   val w2LagLead = QueryDef(
     "w2_lag_lead",
@@ -156,5 +183,5 @@ object WindowOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(w1Ranking, w2LagLead, w3RunningFrames, w4RangeFrame, w5TopKPerGroup)
+  def defs: Seq[QueryDef] = Seq(w1Ranking, w1bDistribution, w2LagLead, w3RunningFrames, w4RangeFrame, w5TopKPerGroup)
 }
