@@ -17,10 +17,15 @@ object Skew {
 
   /** Inner equi-join of `big` and `small` on `key`, salted. Result equals
     * `big.join(small, key)` exactly; only the physical distribution
-    * changes. */
+    * changes. The salt is a DETERMINISTIC hash of the row's own columns —
+    * a random or monotonic-id salt changes on task re-execution, and a
+    * partial recompute after a fetch failure would then route rows to
+    * different shuffle partitions than the copies already consumed
+    * (silent duplicates/losses). Identical rows share a salt, which only
+    * costs spreading quality, never correctness. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val salted = big.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val salted = big.withColumn("__salt", pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted
       .join(replicated, Seq(key, "__salt"))

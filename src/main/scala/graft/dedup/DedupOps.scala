@@ -111,13 +111,19 @@ object DedupOps extends QueryModule {
       }.reduce(_ unionByName _)
       val a = bands.as("a")
       val b = bands.as("b")
-      val result = a
-        .join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .groupBy()
-        .agg(count(lit(1)).as("n_candidate_pairs"))
-      result
+      try {
+        // Materialize eagerly: the result is one number, and computing it
+        // inside the fn lets the signature cache be released immediately
+        // instead of leaking into the session (the lazy-return pattern
+        // has no safe unpersist point).
+        val n = a
+          .join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .count()
+        import s.implicits._
+        Seq(n).toDF("n_candidate_pairs")
+      } finally sigs.unpersist()
     },
     None,
   )

@@ -48,12 +48,16 @@ object Ddl {
     val cols = schema.fields.map(f => Sanitize.sanitizeName(f.name) -> typeName(f.dataType))
     require(cols.map(_._1).distinct.size == cols.size,
       "sanitized column names collide; pre-apply Sanitize.sanitizeNames for suffixing")
-    val (partCols, dataCols) = cols.partition { case (n, _) => sanitizedPartitions.contains(n) }
+    val colType = cols.toMap
+    val unknown = sanitizedPartitions.filterNot(colType.contains)
+    require(unknown.isEmpty, s"partition columns not in schema: ${unknown.mkString(", ")}")
+    val dataCols = cols.filterNot { case (n, _) => sanitizedPartitions.contains(n) }
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val body = dataCols.map { case (n, t) => s"  $n $t" }.mkString(",\n")
+    // caller order, not schema order — it defines the directory nesting
     val partClause =
-      if (partCols.isEmpty) ""
-      else partCols.map { case (n, t) => s"$n $t" }.mkString("\nPARTITIONED BY (", ", ", ")")
+      if (sanitizedPartitions.isEmpty) ""
+      else sanitizedPartitions.map(n => s"$n ${colType(n)}").mkString("\nPARTITIONED BY (", ", ", ")")
     s"CREATE TABLE $ine${Sanitize.sanitizeName(table)} (\n$body\n)\nUSING $format$partClause"
   }
 }

@@ -16,7 +16,7 @@ object Sanitize {
     * underscores, prefix names that would start with a digit. Empty input
     * maps to "col". */
   def sanitizeName(raw: String): String = {
-    val cleaned = raw.toLowerCase
+    val cleaned = raw.toLowerCase(java.util.Locale.ROOT) // locale-stable: 'I' must not become 'ı' under tr_TR
       .replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
     val base = if (cleaned.isEmpty) "col" else cleaned

@@ -43,18 +43,27 @@ object Writers {
       case None     => df
     }).persist()
     try {
-      // Compute the watermark from the SAME snapshot that gets written:
-      // re-scanning a live source after the write could observe rows that
-      // were never appended, silently skipping them on the next run.
+      // Compute the watermark before the write from the cached frame so a
+      // post-write re-scan of a live source can't return a watermark for
+      // rows that were never appended (which would skip them forever —
+      // the fatal direction). Caveat: persist is a cache, not a snapshot;
+      // if a cached partition is lost and recomputed from a still-moving
+      // source, rows newer than the returned watermark can be appended
+      // now and re-appended next run (duplicates — the recoverable
+      // direction). A moving source that needs exactly-once requires a
+      // staging write + watermark-from-staged-files, or source-side
+      // snapshot isolation (JDBC repeatable-read, table-format snapshot).
       val wm = fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
       fresh.write.mode(SaveMode.Append).parquet(path)
       wm
     } finally fresh.unpersist()
   }
 
-  /** Swap `tmpPath` into `path` with rename-aside: the live data moves
-    * out of the way first, so a crash at any point leaves either the old
-    * or the new dataset intact — never an empty window. */
+  /** Swap `tmpPath` into `path` with rename-aside. A crash between the
+    * two renames leaves the data recoverable in `path__old`;
+    * [[recoverSwap]] (called by every entry point before touching the
+    * dataset) moves it back, so no state reads as "brand new" after a
+    * partial swap. */
   private def swapIn(path: String, tmpPath: String): Unit = {
     import java.nio.file.{Files, Paths}
     val target = Paths.get(path)
@@ -63,6 +72,40 @@ object Writers {
     Files.move(target, aside)
     Files.move(Paths.get(tmpPath), target)
     deleteTree(aside)
+  }
+
+  /** Heal a crashed swap: if the dataset is missing but its rename-aside
+    * copy exists, restore it. Returns true if a recovery happened. */
+  def recoverSwap(path: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(path)
+    val aside = Paths.get(path + "__old")
+    if (!Files.exists(target) && Files.exists(aside)) {
+      Files.move(aside, target)
+      true
+    } else false
+  }
+
+  /** Infer first-level-down Hive partition columns (dir segments shaped
+    * `k=v`) so rewrites preserve the layout instead of flattening it. */
+  private def partitionColsOf(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var level = Paths.get(path)
+    var continue = Files.isDirectory(level)
+    while (continue) {
+      val subdirs = {
+        val s = Files.list(level)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).toList
+        finally s.close()
+      }
+      subdirs.map(_.getFileName.toString).filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct match {
+        case Seq(one) => cols += one; level = subdirs.head; continue = true
+        case _ => continue = false
+      }
+    }
+    cols.toSeq
   }
 
   /** Recursive delete with the walk stream closed (Files.walk leaks
@@ -84,14 +127,17 @@ object Writers {
     * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
     import java.nio.file.{Files, Paths}
+    recoverSwap(path) // a crashed prior swap must not read as an empty dataset
     if (!Files.exists(Paths.get(path))) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
+    val parts = partitionColsOf(path)
     val existing = spark.read.parquet(path)
     val merged = existing.join(updates, Seq(key), "left_anti").unionByName(updates)
     val tmpPath = path + "__upsert_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
     swapIn(path, tmpPath)
   }
 
@@ -108,11 +154,14 @@ object Writers {
       try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
       finally walk.close()
     }
+    recoverSwap(path)
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nParts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmpPath = path + "__compact_tmp"
-    spark.read.parquet(path).repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val parts = partitionColsOf(path) // preserve a Hive layout instead of flattening it
+    val writer = spark.read.parquet(path).repartition(nParts).write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
     swapIn(path, tmpPath)
     (before.size, parquetFiles(path).size)
   }

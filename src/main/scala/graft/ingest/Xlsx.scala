@@ -53,11 +53,16 @@ object Xlsx {
           else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
         nextIdx = colIdx + 1
         val t = c \@ "t"
+        val vText = (c \ "v").text
+        // Styled blanks (<c .../> with a type/style but no <v>) are null,
+        // never "" — and a blank shared-string cell must not crash toInt.
         val v = t match {
-          case "s" => shared((c \ "v").text.trim.toInt)
-          case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
-          case "b" => if ((c \ "v").text.trim == "1") "true" else "false"
-          case _ => (c \ "v").text
+          case "s" => if (vText.trim.isEmpty) null else shared(vText.trim.toInt)
+          case "inlineStr" =>
+            val is = (c \ "is" \\ "t").map(_.text).mkString
+            if (is.isEmpty && (c \ "is").isEmpty) null else is
+          case "b" => if (vText.trim.isEmpty) null else if (vText.trim == "1") "true" else "false"
+          case _ => if (vText.isEmpty) null else vText
         }
         colIdx -> v
       }
@@ -126,10 +131,12 @@ object Xlsx {
       }
       val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
       val rows = parsed.flatMap { case (_, _, data) => data.map(Row.fromSeq(_)) }
-      val df = spark.createDataFrame(rows, schema)
-      // materialize before unpersisting so the cache actually served both passes
-      df.cache().count()
-      Sanitize(df)
+      // localCheckpoint (eager) materializes from the still-persisted RDD
+      // and CUTS the lineage, so `parsed` can unpersist immediately and
+      // the checkpoint blocks are released by the ContextCleaner when the
+      // returned frame is collected — unlike cache(), nothing stays
+      // pinned for the session.
+      Sanitize(spark.createDataFrame(rows, schema).localCheckpoint(true))
     } finally parsed.unpersist()
   }
 }

@@ -33,4 +33,15 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkFixture {
     val row = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").collect().head
     assert(row.isNullAt(0))
   }
+
+  test("length mismatch and null elements yield null, matching the builtin fold") {
+    VectorFunctions.register(spark)
+    val rows = spark.sql("""
+      SELECT
+        graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS len_mismatch,
+        graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS null_elem
+    """).collect().head
+    assert(rows.isNullAt(0), "mismatched lengths must not produce a partial dot product")
+    assert(rows.isNullAt(1), "a null element must poison the sum")
+  }
 }

@@ -36,6 +36,19 @@ class DdlCoerceSpec extends AnyFunSuite with SparkFixture {
     assert(!ddl.contains("  load_date DATE"))
   }
 
+  test("partition clause preserves caller order and rejects unknown columns") {
+    val schema = StructType(Seq(
+      StructField("load_date", DateType),
+      StructField("region", StringType),
+      StructField("id", LongType),
+    ))
+    val ddl = Ddl.createTable("t", schema, partitionCols = Seq("region", "load_date"))
+    assert(ddl.contains("PARTITIONED BY (region STRING, load_date DATE)"), ddl)
+    intercept[IllegalArgumentException] {
+      Ddl.createTable("t", schema, partitionCols = Seq("regoin"))
+    }
+  }
+
   test("generated DDL is executable by Spark SQL") {
     val schema = StructType(Seq(StructField("A col", LongType), StructField("b", StringType)))
     val ddl = Ddl.createTable("graft_ddl_check", schema, ifNotExists = false)

@@ -64,6 +64,31 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("a crashed swap (data parked in __old) recovers instead of reading as empty") {
+    import spark.implicits._
+    val path = freshDir("upsert_crash")
+    Seq((1L, "old1"), (2L, "old2")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(path)
+    // simulate a crash between the two swap renames: data moved aside, nothing moved in
+    Files.move(Paths.get(path), Paths.get(path + "__old"))
+    Writers.upsertByKey(spark, path, Seq((2L, "new2")).toDF("k", "v"), "k")
+    val got = spark.read.parquet(path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "old1", 2L -> "new2"), s"pre-crash rows lost: $got")
+    assert(!Files.exists(Paths.get(path + "__old")), "rename-aside copy not cleaned up")
+  }
+
+  test("upsert and compact preserve a Hive-partitioned layout") {
+    import spark.implicits._
+    val path = freshDir("upsert_part")
+    Seq((1L, "A", "x"), (2L, "B", "y")).toDF("id", "pt", "v")
+      .write.mode(SaveMode.Overwrite).partitionBy("pt").parquet(path)
+    Writers.upsertByKey(spark, path, Seq((1L, "A", "x2")).toDF("id", "pt", "v"), "id")
+    assert(Files.exists(Paths.get(path, "pt=A")), "partition dirs flattened by upsert")
+    val (_, _) = Writers.compact(spark, path, 128)
+    assert(Files.exists(Paths.get(path, "pt=A")), "partition dirs flattened by compact")
+    val got = spark.read.parquet(path).collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toMap
+    assert(got == Map(1L -> "x2", 2L -> "y"))
+  }
+
   test("compact merges many small files without losing rows") {
     import spark.implicits._
     val path = freshDir("compact")
