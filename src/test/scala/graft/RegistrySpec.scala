@@ -32,4 +32,18 @@ class RegistrySpec extends AnyFunSuite with SparkFixture {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("stateful entries (scratch dirs, catalog tables, streams) are idempotent within a session") {
+    // these mutate session/filesystem state; running twice must give
+    // identical results (the driver's Verify and Bench both invoke them
+    // in one long-lived process)
+    for (name <- Seq("s2b_ingest_pipeline", "s5_xlsx_ingest", "s7_partitioned_write",
+                     "s8_incremental_append", "stream_t1_tumbling", "stream_t5_dedup")) {
+      val fn = SparkEntry.queries(name)
+      val first = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
+      val second = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
+      assert(first == second, s"$name drifts on rerun")
+      assert(first.nonEmpty, s"$name returned no rows")
+    }
+  }
 }
