@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Perf gate: times every SparkEntry query at SPARK_GRAFT_SF_DIR and prints
+  * ONE compact JSON line `{"metric":"total","value":…,"queries":{…},…}`.
+  *
+  * The line is deliberately kept under ~1.5 KB and printed AFTER
+  * spark.stop(): round 1's line carried all 93 per-query timings at full
+  * double precision (~4 KB) while Spark shutdown threads were still
+  * writing to stderr — the driver captures merged/tailed output, and the
+  * oversized interleaved line came back `parsed: null` (BENCH_r01.json).
+  * Only the slowest queries are itemized; `value` still sums all of them.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,21 +25,26 @@ object Bench {
     // so the first timed query doesn't absorb one-time JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
-          // keep the JSON contract unchanged, but a crashed query must not
-          // masquerade as a fast success in the logs
+          // a crashed query must not masquerade as a fast success
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+          failed ::= name
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+    val slowest = results.sortBy(-_._2).take(20)
+    val qs = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Printed last, post-stop: no Spark thread can interleave with it.
+    println(line)
+    System.out.flush()
   }
 }

@@ -32,16 +32,21 @@ object Casts {
   def dec6(c: Column): Column = c.cast(DecimalType(9, 6))
   def dec6(name: String): Column = dec6(col(name))
 
-  /** Final output cast for money sums whose scale is already 2.
-    * NEVER use a cast to *reduce* decimal scale in an oracled output:
-    * Spark casts round HALF_UP while DuckDB casts truncate. Use
-    * [[money2]] (round-then-cast — half-away-from-zero in both engines)
-    * when the intermediate scale exceeds 2. */
-  def asMoney(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Final output cast for money sums: the aggregation is exact decimal
+    * (order-independent), then ONE cast to double for output. Both engines
+    * convert decimal→double correctly-rounded, and the scaled integer fits
+    * in 2^53 at every tested SF, so the result is bit-identical — unlike a
+    * DECIMAL output, which the driver's compare stringifies with trailing
+    * zeros on the Spark side ("155.00") but as float64 ("155.0") from
+    * DuckDB's .df(), failing the hash on numerically-equal values
+    * (root cause of 26 of round 1's 30 hash mismatches).
+    * NEVER cast to *reduce* decimal scale before this: Spark casts round
+    * HALF_UP while DuckDB casts truncate — use [[money2]] instead. */
+  def asMoney(c: Column): Column = c.cast("double")
 
   /** Scale-reducing money output: round(x, 2) is half-away-from-zero in
     * both Spark and DuckDB (verified live), unlike cast. */
-  def money2(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
+  def money2(c: Column): Column = round(c, 2).cast("double")
 
   /** Exact average: CAST(exact_decimal_sum AS DOUBLE) / count — one IEEE
     * division of bit-identical inputs, deterministic in both engines. */

@@ -47,10 +47,10 @@ object AggOps extends QueryModule {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         CAST(sum(CAST(l_quantity AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS avg_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
         CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS avg_disc,
@@ -77,9 +77,9 @@ object AggOps extends QueryModule {
       ),
     Some("""
       SELECT count(*) AS n_rows,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
-        CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS min_price,
-        CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS max_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+        CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
         min(l_shipdate) AS first_ship,
         max(l_shipdate) AS last_ship
       FROM lineitem
@@ -142,7 +142,7 @@ object AggOps extends QueryModule {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         count(*) AS n_rows
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -161,7 +161,7 @@ object AggOps extends QueryModule {
     Some("""
       SELECT o_orderstatus, o_orderpriority,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -184,9 +184,9 @@ object AggOps extends QueryModule {
       ranked
         .groupBy("l_returnflag")
         .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5), dec2("l_quantity"))).as("p50_qty"),
-          max(when(col("rn") === ceil(col("n") * 0.9), dec2("l_quantity"))).as("p90_qty"),
-          max(when(col("rn") === ceil(col("n") * 0.99), dec2("l_quantity"))).as("p99_qty"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("p50_qty"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("l_quantity"))).as("p90_qty"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity"))).as("p99_qty"),
         )
         .orderBy("l_returnflag")
     },
@@ -198,9 +198,9 @@ object AggOps extends QueryModule {
         FROM lineitem
       )
       SELECT l_returnflag,
-        max(CASE WHEN rn = ceil(n * 0.5) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p50_qty,
-        max(CASE WHEN rn = ceil(n * 0.9) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p90_qty,
-        max(CASE WHEN rn = ceil(n * 0.99) THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS p99_qty
+        max(CASE WHEN rn = ceil(n * 0.5) THEN l_quantity END) AS p50_qty,
+        max(CASE WHEN rn = ceil(n * 0.9) THEN l_quantity END) AS p90_qty,
+        max(CASE WHEN rn = ceil(n * 0.99) THEN l_quantity END) AS p99_qty
       FROM ranked
       GROUP BY l_returnflag
       ORDER BY l_returnflag
@@ -234,7 +234,7 @@ object AggOps extends QueryModule {
         .orderBy("l_suppkey"),
     Some("""
       SELECT l_suppkey,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem
       GROUP BY l_suppkey
       ORDER BY l_suppkey
@@ -253,11 +253,11 @@ object AggOps extends QueryModule {
         .orderBy(col("total_qty").desc, col("l_orderkey").asc),
     Some("""
       SELECT l_orderkey,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
         count(*) AS n_lines
       FROM lineitem
       GROUP BY l_orderkey
-      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 150
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
       ORDER BY total_qty DESC, l_orderkey ASC
     """.stripMargin.trim),
   )

@@ -151,8 +151,8 @@ object FnOps extends QueryModule {
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(dec2("l_extendedprice") * lit(7), 1).cast(DecimalType(18, 1)).as("price7_r1"),
-          abs(dec2("l_quantity") - lit(25)).cast(DecimalType(18, 2)).as("qty_dev"),
+          round(dec2("l_extendedprice") * lit(7), 1).cast("double").as("price7_r1"),
+          abs(dec2("l_quantity") - lit(25)).cast("double").as("qty_dev"),
           ceil(col("l_quantity")).cast("long").as("qty_ceil"),
           floor(col("l_quantity") / 2).cast("long").as("qty_half_floor"),
           sqrt(col("l_quantity")).as("qty_sqrt"),
@@ -162,8 +162,8 @@ object FnOps extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber"),
     Some("""
       SELECT l_orderkey, l_linenumber,
-        CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 7, 1) AS DECIMAL(18,1)) AS price7_r1,
-        CAST(abs(CAST(l_quantity AS DECIMAL(12,2)) - 25) AS DECIMAL(18,2)) AS qty_dev,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 7, 1) AS DOUBLE) AS price7_r1,
+        CAST(abs(CAST(l_quantity AS DECIMAL(12,2)) - 25) AS DOUBLE) AS qty_dev,
         CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         CAST(floor(l_quantity / 2) AS BIGINT) AS qty_half_floor,
         sqrt(l_quantity) AS qty_sqrt,
@@ -285,7 +285,7 @@ object FnOps extends QueryModule {
         .orderBy("event_type"),
     Some("""
       SELECT event_type,
-        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

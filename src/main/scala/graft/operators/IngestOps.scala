@@ -105,7 +105,7 @@ object IngestOps extends QueryModule {
     Some("""
       SELECT o_orderstatus,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
@@ -135,7 +135,7 @@ object IngestOps extends QueryModule {
     Some("""
       SELECT year(o_orderdate) AS yr,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
       FROM orders
       GROUP BY 1
       ORDER BY yr

@@ -27,7 +27,7 @@ object JoinOps extends QueryModule {
     Some("""
       SELECT c_mktsegment,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
@@ -49,7 +49,7 @@ object JoinOps extends QueryModule {
         .orderBy("p_brand"),
     Some("""
       SELECT p_brand,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -72,7 +72,7 @@ object JoinOps extends QueryModule {
     Some("""
       SELECT c_custkey, c_name,
         count(o_orderkey) AS n_orders,
-        CAST(round(sum(coalesce(CAST(o_totalprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DECIMAL(18,2)) AS sum_total
+        CAST(round(sum(coalesce(CAST(o_totalprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_total
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey
@@ -167,7 +167,7 @@ object JoinOps extends QueryModule {
     Some("""
       SELECT band,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
       FROM orders
       JOIN (VALUES ('small', 0, 100000), ('medium', 100000, 200000), ('large', 200000, 10000000)) b(band, lo, hi)
         ON CAST(o_totalprice AS DECIMAL(12,2)) >= lo AND CAST(o_totalprice AS DECIMAL(12,2)) < hi
@@ -238,7 +238,7 @@ object JoinOps extends QueryModule {
     },
     Some("""
       SELECT r_name, n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM orders
       JOIN lineitem ON l_orderkey = o_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -268,7 +268,7 @@ object JoinOps extends QueryModule {
         .limit(10),
     Some("""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -299,7 +299,7 @@ object JoinOps extends QueryModule {
         .limit(20),
     Some("""
       SELECT c_custkey, c_name, n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS lost_revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lost_revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -330,8 +330,8 @@ object JoinOps extends QueryModule {
     },
     Some("""
       SELECT
-        CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DECIMAL(18,2)) AS promo_revenue,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS total_revenue,
+        CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS promo_revenue,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue,
         CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
       FROM lineitem JOIN part ON l_partkey = p_partkey

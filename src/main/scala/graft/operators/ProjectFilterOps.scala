@@ -27,7 +27,7 @@ object ProjectFilterOps extends QueryModule {
       SELECT c_custkey AS cust_id,
         upper(c_name) AS name_uc,
         c_mktsegment AS segment,
-        CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 2, 2) AS DECIMAL(18,2)) AS double_bal
+        CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 2, 2) AS DOUBLE) AS double_bal
       FROM customer
       ORDER BY cust_id
     """.stripMargin.trim),
@@ -72,13 +72,13 @@ object ProjectFilterOps extends QueryModule {
           col("c_mktsegment").as("2024 segment"),
         )
       graft.ingest.Sanitize(messy)
-        .select(col("cust_key"), col("cust_name"), dec2("acct_bal").as("acct_bal"), col("c_2024_segment"))
+        .select(col("cust_key"), col("cust_name"), col("acct_bal"), col("c_2024_segment"))
         .orderBy("cust_key")
     },
     Some("""
       SELECT c_custkey AS cust_key,
         c_name AS cust_name,
-        CAST(c_acctbal AS DECIMAL(12,2)) AS acct_bal,
+        c_acctbal AS acct_bal,
         c_mktsegment AS c_2024_segment
       FROM customer
       ORDER BY cust_key

@@ -62,8 +62,8 @@ object ReshapeOps extends QueryModule {
     Some("""
       WITH wide AS (
         SELECT l_returnflag,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         FROM lineitem GROUP BY l_returnflag
       )
       SELECT l_returnflag, metric, value FROM (

@@ -24,10 +24,10 @@ object SetSortOps extends QueryModule {
     "o1_sort_multi",
     (s, d) =>
       Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"), dec2("c_acctbal").as("acctbal"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("acctbal"))
         .orderBy(col("c_mktsegment").asc, col("acctbal").desc, col("c_custkey").asc),
     Some("""
-      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal
       FROM customer
       ORDER BY c_mktsegment ASC, acctbal DESC, c_custkey ASC
     """.stripMargin.trim),
@@ -38,11 +38,11 @@ object SetSortOps extends QueryModule {
     "o2_topk",
     (s, d) =>
       Tables.orders(s, d)
-        .select(col("o_orderkey"), dec2("o_totalprice").as("totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
         .orderBy(col("totalprice").desc, col("o_orderkey").asc)
         .limit(25),
     Some("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice
+      SELECT o_orderkey, o_totalprice AS totalprice
       FROM orders
       ORDER BY totalprice DESC, o_orderkey ASC
       LIMIT 25

@@ -20,10 +20,10 @@ object WindowOps extends QueryModule {
   val w1Ranking = QueryDef(
     "w1_ranking",
     (s, d) => {
-      val w = Window.partitionBy("c_nationkey").orderBy(dec2("c_acctbal").desc, col("c_custkey").asc)
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables.customer(s, d)
         .select(
-          col("c_nationkey"), col("c_custkey"), dec2("c_acctbal").as("acctbal"),
+          col("c_nationkey"), col("c_custkey"), col("c_acctbal").as("acctbal"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rk"),
           dense_rank().over(w).as("drk"),
@@ -32,13 +32,13 @@ object WindowOps extends QueryModule {
         .orderBy("c_nationkey", "rn")
     },
     Some("""
-      SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
         row_number() OVER w AS rn,
         rank() OVER w AS rk,
         dense_rank() OVER w AS drk,
         ntile(4) OVER w AS quartile
       FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC)
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
       ORDER BY c_nationkey, rn
     """.stripMargin.trim),
   )
@@ -49,7 +49,7 @@ object WindowOps extends QueryModule {
   val w1bDistribution = QueryDef(
     "w1b_distribution",
     (s, d) => {
-      val w = Window.partitionBy("c_nationkey").orderBy(dec2("c_acctbal").desc, col("c_custkey").asc)
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables.customer(s, d)
         .select(
           col("c_nationkey"), col("c_custkey"),
@@ -63,9 +63,9 @@ object WindowOps extends QueryModule {
       SELECT c_nationkey, c_custkey,
         percent_rank() OVER w AS pct_rank,
         cume_dist() OVER w AS cume,
-        nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+        nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
       FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC)
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
       ORDER BY c_nationkey, pct_rank, c_custkey
     """.stripMargin.trim),
   )
@@ -116,7 +116,7 @@ object WindowOps extends QueryModule {
     },
     Some("""
       SELECT o_custkey, o_orderkey, o_orderdate,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER run AS DECIMAL(18,2)) AS running_total,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER run AS DOUBLE) AS running_total,
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER mov AS DOUBLE) / count(*) OVER mov AS moving_avg3
       FROM orders
       WINDOW
@@ -146,7 +146,7 @@ object WindowOps extends QueryModule {
     Some("""
       SELECT user_id, event_id, epoch_us(ts) AS us,
         count(*) OVER w AS events_last_hour,
-        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DECIMAL(18,2)) AS value_last_hour
+        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS value_last_hour
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, us, event_id
@@ -170,7 +170,7 @@ object WindowOps extends QueryModule {
     Some("""
       WITH rev AS (
         SELECT p_brand, p_partkey,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey
       )

@@ -76,7 +76,7 @@ object StreamOps extends QueryModule {
     Some("""
       SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
         count(*) AS n_events,
-        CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_value
+        CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY day_start_us, event_type

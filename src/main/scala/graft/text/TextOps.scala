@@ -43,7 +43,7 @@ object TextOps extends QueryModule {
       )
       SELECT lang,
         count(*) AS n_docs,
-        sum(n_toks) AS total_toks,
+        CAST(sum(n_toks) AS BIGINT) AS total_toks,
         CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         min(n_toks) AS min_toks,
