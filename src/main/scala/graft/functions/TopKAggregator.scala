@@ -18,8 +18,19 @@ object TopKAggregator {
 
   case class Scored(id: Long, score: Double)
 
+  /** (score DESC, id ASC) with IEEE total order on score: negation-based
+    * sortBy(-score) would sort NaN scores last while the window desc
+    * formulation ranks NaN first, so a zero-norm embedding (NaN cosine)
+    * would diverge from the row_number path and its oracle. */
+  private val ordering: Ordering[Scored] = new Ordering[Scored] {
+    def compare(a: Scored, b: Scored): Int = {
+      val byScore = java.lang.Double.compare(b.score, a.score)
+      if (byScore != 0) byScore else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+
   private def best(buf: Seq[Scored], k: Int): Seq[Scored] =
-    buf.sortBy(s => (-s.score, s.id)).take(k)
+    buf.sorted(ordering).take(k)
 
   /** Aggregator over (id, score) rows yielding the top-k as a sorted
     * sequence. Buffer stays ≤ 2k between trims. */

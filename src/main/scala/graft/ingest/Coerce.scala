@@ -19,8 +19,14 @@ object Coerce {
   /** Narrowest-first candidate order. */
   private val candidates = Seq("bigint", "double", "boolean", "timestamp_ntz")
 
+  /** Backtick-escape a column name: bestFit does not require a prior
+    * Sanitize pass, so a raw header containing a backtick must not break
+    * (or redirect) the try_cast SQL — and `functions.col` itself parses
+    * backticks as quoting, so even Column-API references need this. */
+  private def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
+
   private def parses(n: String, t: String): Column =
-    count(when(expr(s"try_cast(`$n` AS $t)").isNotNull, 1))
+    count(when(expr(s"try_cast(${quoted(n)} AS $t)").isNotNull, 1))
 
   /** Infer the best-fit type for each string column of `df` (other
     * columns pass through). Date-only columns (every value ≤ 10 chars and
@@ -30,8 +36,8 @@ object Coerce {
     if (stringCols.isEmpty) return df
     val counters = stringCols.flatMap { n =>
       Seq(
-        count(when(col(n).isNotNull, 1)).as(s"${n}__n"),
-        max(length(col(n))).as(s"${n}__len"),
+        count(when(col(quoted(n)).isNotNull, 1)).as(s"${n}__n"),
+        max(length(col(quoted(n)))).as(s"${n}__len"),
       ) ++ candidates.map(t => parses(n, t).as(s"${n}__$t"))
     }
     val row = df.agg(counters.head, counters.tail: _*).collect().head
@@ -50,8 +56,8 @@ object Coerce {
     }.toMap
     df.select(df.columns.map { n =>
       decisions.get(n).flatten match {
-        case Some(t) => col(n).cast(t).as(n)
-        case _ => col(n)
+        case Some(t) => col(quoted(n)).cast(t).as(n)
+        case _ => col(quoted(n))
       }
     }: _*)
   }

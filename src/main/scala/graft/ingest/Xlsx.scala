@@ -24,25 +24,49 @@ import scala.xml.XML
   */
 object Xlsx {
 
+  /** XML loader with external entities + DTDs disabled: workbooks are
+    * untrusted input, and scala.xml's default SAX parser would otherwise
+    * resolve XXE payloads embedded in a crafted sheet. */
+  private def loadXml(s: String): scala.xml.Elem = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    XML.withSAXParser(f.newSAXParser()).loadString(s)
+  }
+
+  /** First sheet = the `xl/worksheets/sheet<N>.xml` part with the lowest
+    * N (falling back to lexicographic order for non-numeric names), so a
+    * workbook whose parts are named sheet2.xml/sheet3.xml still reads its
+    * first sheet rather than failing on a hardcoded sheet1.xml. */
+  private val SheetName = """xl/worksheets/(?:[^/]*?)(\d*)\.xml""".r
+
   /** Parse one workbook's bytes into header + string rows. */
   private[ingest] def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared = IndexedSeq.empty[String]
-    var sheetXml: Option[String] = None
+    var sheets = Vector.empty[(String, String)] // part name -> xml
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { entry =>
         entry.getName match {
           case "xl/sharedStrings.xml" =>
-            val xml = XML.loadString(new String(zin.readAllBytes(), "UTF-8"))
+            val xml = loadXml(new String(zin.readAllBytes(), "UTF-8"))
             shared = (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
-          case "xl/worksheets/sheet1.xml" =>
-            sheetXml = Some(new String(zin.readAllBytes(), "UTF-8"))
+          case n @ SheetName(_) =>
+            sheets :+= (n -> new String(zin.readAllBytes(), "UTF-8"))
           case _ => ()
         }
       }
     } finally zin.close()
-    val sheet = sheetXml.getOrElse(throw new IllegalArgumentException("xl/worksheets/sheet1.xml missing"))
-    val xml = XML.loadString(sheet)
+    val sheet = sheets
+      .sortBy { case (n, _) =>
+        val SheetName(digits) = n: @unchecked
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong, n)
+      }
+      .headOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException("no xl/worksheets/*.xml part in workbook"))
+    val xml = loadXml(sheet)
     val rows = (xml \\ "row").map { r =>
       var nextIdx = 0 // the r= reference attribute is optional: absent means "next column"
       val cells = (r \ "c").map { c =>

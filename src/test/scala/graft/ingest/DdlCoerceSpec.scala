@@ -82,4 +82,12 @@ class DdlCoerceSpec extends AnyFunSuite with SparkFixture {
     val raw = Seq(("1"), ("2"), ("oops")).toDF("nearly_int")
     assert(Coerce.bestFit(raw).schema.head.dataType == StringType)
   }
+
+  test("bestFit survives raw headers containing backticks (no prior Sanitize)") {
+    import spark.implicits._
+    val raw = Seq("1", "2").toDF("weird ` col")
+    val coerced = Coerce.bestFit(raw)
+    assert(coerced.schema.head.dataType.typeName == "long")
+    assert(coerced.columns.toSeq == Seq("weird ` col"))
+  }
 }

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class XlsxSpec extends AnyFunSuite with SparkFixture {
 
   /** Build a minimal real xlsx: shared strings + one sheet. */
-  private def makeXlsx(sharedStrings: Seq[String], sheetRows: Seq[String]): Array[Byte] = {
+  private def makeXlsx(sharedStrings: Seq[String], sheetRows: Seq[String],
+                       sheetPart: String = "xl/worksheets/sheet1.xml"): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zip = new ZipOutputStream(bos)
     def put(name: String, content: String): Unit = {
@@ -20,7 +21,7 @@ class XlsxSpec extends AnyFunSuite with SparkFixture {
     put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
     put("xl/sharedStrings.xml",
       s"""<?xml version="1.0"?><sst>${sharedStrings.map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
-    put("xl/worksheets/sheet1.xml",
+    put(sheetPart,
       s"""<?xml version="1.0"?><worksheet><sheetData>${sheetRows.mkString}</sheetData></worksheet>""")
     zip.close()
     bos.toByteArray
@@ -46,6 +47,40 @@ class XlsxSpec extends AnyFunSuite with SparkFixture {
       Seq("2", "carol", null),
       Seq("3", null, "77"),
     ))
+  }
+
+  test("parseWorkbook reads a workbook whose first sheet part is not sheet1.xml") {
+    val oddBook = makeXlsx(
+      sharedStrings = Seq("k"),
+      sheetRows = Seq(
+        """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""",
+        """<row r="2"><c r="A2"><v>42</v></c></row>""",
+      ),
+      sheetPart = "xl/worksheets/sheet3.xml",
+    )
+    val (header, rows) = Xlsx.parseWorkbook(oddBook)
+    assert(header == Seq("k"))
+    assert(rows == Seq(Seq("42")))
+  }
+
+  test("parseWorkbook rejects DOCTYPE (XXE) payloads instead of resolving them") {
+    val evil = makeXlsx(
+      sharedStrings = Seq("k"),
+      sheetRows = Seq("""<row r="1"><c r="A1" t="s"><v>0</v></c></row>"""),
+    )
+    // splice a DOCTYPE into the sheet xml by rebuilding with a poisoned part
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.write(
+      """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY xxe SYSTEM "file:///etc/hostname">]><worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>&xxe;</t></is></c></row></sheetData></worksheet>""".getBytes("UTF-8"))
+    zip.closeEntry()
+    zip.close()
+    assertThrows[org.xml.sax.SAXParseException] {
+      Xlsx.parseWorkbook(bos.toByteArray)
+    }
+    // and the benign book still parses through the hardened loader
+    assert(Xlsx.parseWorkbook(evil)._1 == Seq("k"))
   }
 
   test("read: distributed parse, sanitized headers, coercible output") {

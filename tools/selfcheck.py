@@ -81,6 +81,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_skip += 1
             continue
         try:
+            # .df() coerces DuckDB DECIMAL to float64 (loses >15-16
+            # significant digits) — outputs are required to be typed
+            # DOUBLE/BIGINT at the SQL level instead (Casts.scala), so a
+            # decimal-typed oracle column here is a query-authoring bug.
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            dec_cols = [c for c, t, *_ in desc if "DECIMAL" in t or "HUGEINT" in t]
+            if dec_cols:
+                print(f"WARN {name}: oracle emits DECIMAL/HUGEINT columns {dec_cols}; "
+                      "cast them to DOUBLE/BIGINT in the SQL (Casts.scala rule)")
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
