@@ -26,7 +26,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Name-sorted: hash-map iteration order would shuffle which query pays
+    // first-use costs (codegen, state-store init) between rounds, making
+    // per-query timings incomparable across BENCH_r{N} files.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -59,7 +59,13 @@ object Readers {
     props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
-  // S5 (spreadsheets): no offline connector jar exists in this
-  // environment; the supported path is a pre-conversion to CSV upstream,
-  // then `csv()` above. See SURVEY.md §7.4.
+  /** S6b: ORC scan — the other columnar warehouse format Spark ships a
+    * native vectorized reader for (predicate pushdown + column pruning,
+    * same as parquet). Avro is NOT offered: the spark-avro connector jar
+    * is absent from this environment's classpath. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  // S5 (spreadsheets) has a self-contained reader in graft.ingest.Xlsx
+  // (zip+XML over Spark binaryFile — parallel across workbooks).
 }

@@ -193,6 +193,30 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S6: ORC round-trip — write the part dim as ORC, scan it back through
+    * the native vectorized ORC reader with a pushed filter, prove values
+    * survive the format change. Exercises the second columnar
+    * source/sink (Avro has no connector jar in this environment). */
+  val s6Orc = QueryDef(
+    "s6_orc_roundtrip",
+    (s, d) => {
+      val path = tmp("s6_orc", d)
+      Tables.part(s, d)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .write.mode(SaveMode.Overwrite).orc(path)
+      Readers.orc(s, path)
+        .filter(col("p_size") >= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size
+      FROM part
+      WHERE p_size >= 25
+      ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
   /** S5: spreadsheet round-trip — the nation dim (bounded, as spreadsheet
     * data always is) exported to a real .xlsx workbook, re-ingested with
     * the distributed reader, coerced back to types, oracled against the
@@ -221,5 +245,5 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s5Xlsx, s7Partitioned, s8Incremental)
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s5Xlsx, s6Orc, s7Partitioned, s8Incremental)
 }
