@@ -29,7 +29,11 @@ object Bench {
     // Name-sorted: hash-map iteration order would shuffle which query pays
     // first-use costs (codegen, state-store init) between rounds, making
     // per-query timings incomparable across BENCH_r{N} files.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c (dev aid) restricts to the named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -152,7 +152,12 @@ object IngestOps extends QueryModule {
     "s2b_ingest_pipeline",
     (s, d) => {
       val path = tmp("s2b_pipeline", d)
+      // 3-year slice: the pipeline mechanics (write → infer → sanitize →
+      // coerce → DDL → catalog → query) are what this entry demonstrates;
+      // full-table scan/agg cost is covered by the dedicated batteries, so
+      // round-tripping all 7 years through CSV twice only inflates bench.
       Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType))
         .select(
           col("o_orderkey").cast("string").as("Order Key!"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("Order Date"),
@@ -188,6 +193,7 @@ object IngestOps extends QueryModule {
       SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
         count(*) AS n_orders, min(o_orderkey) AS first_key
       FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY 1, 2
       ORDER BY yr, status
     """.stripMargin.trim),
