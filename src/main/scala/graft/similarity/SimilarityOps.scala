@@ -230,5 +230,84 @@ object SimilarityOps extends QueryModule {
     l3BruteForce.oracle,
   )
 
-  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l2dEmbeddingNearDup)
+  /** L3d: IVF (inverted-file) approximate nearest neighbors — the third
+    * ANN tier and the classic 100 TB layout (FAISS-style): a KMeans
+    * coarse quantizer partitions the corpus into nlist cells; each query
+    * probes only the nprobe cells whose centroids best align with it, so
+    * scored pairs drop from O(|corpus|) to O(nprobe/nlist · |corpus|)
+    * per query. At scale the cell id doubles as the partition key, so a
+    * probe touches only its cells' partitions.
+    *
+    * Training is seeded and runs on L2-normalized vectors (unit-sphere
+    * L2 ≡ cosine order). *no-oracle*: KMeans cell assignment is not
+    * expressible in DuckDB; recall vs the exact l3 result is asserted in
+    * SimilarityOpsSpec instead (and the scoring arithmetic is the same
+    * graft_dot fold the oracled l3/l3c entries prove).
+    */
+  val l3dIvfAnn = QueryDef(
+    "l3d_ivf_ann",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.functions.VectorFunctions.register(s)
+      val nList = 16
+      val nProbe = 4
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", norm("embedding"))
+        .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("nrm")))
+        .withColumn("features", array_to_vector(col("unit")))
+      // Quantizer trains on a 50% sample — standard IVF practice (the
+      // cells only need to partition the space, not fit every point), and
+      // KMeans iterations are the dominant cost of this entry. Uniform
+      // random 64-d vectors are the worst case for IVF (neighbors barely
+      // concentrate per cell), so the sample can't go much lower without
+      // recall@5 collapsing at sf0.001 — real embedding corpora cluster
+      // far more strongly. The sample is persisted only for the eager fit.
+      // coalesce(1): the sampled quantizer train set is a few thousand
+      // rows, so per-iteration task overhead dwarfs the math if it stays
+      // spread over the session's shuffle partitions. Assignment/search
+      // below remain fully distributed — only training is small-data.
+      val trainSet = emb.select("features").sample(withReplacement = false, 0.5, seed = 7L)
+        .coalesce(1).persist()
+      val model =
+        try new KMeans()
+          .setK(nList).setSeed(42L).setMaxIter(4)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(trainSet)
+        finally trainSet.unpersist()
+      val assigned = model.transform(emb)
+      locally {
+        // nlist×dim doubles — a driver-side constant, broadcast to probes
+        val centroids = s.createDataFrame(
+          model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+          .toDF("cell", "centroid")
+        val queries = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("unit").as("q_unit"))
+          .withColumn("q_norm", norm("q_vec"))
+        // probe selection: 10 queries × nlist centroids — trivially small
+        val wProbe = Window.partitionBy("q_id").orderBy(col("cscore").desc, col("cell").asc)
+        val probes = queries.crossJoin(broadcast(centroids))
+          .withColumn(
+            "cscore",
+            aggregate(zip_with(col("q_unit"), col("centroid"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nProbe)
+          .select("q_id", "q_vec", "q_norm", "cell")
+        val cand = assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("cell").as("n_cell"))
+          .withColumn("n_norm", norm("n_vec"))
+        val scored = cand
+          .join(broadcast(probes), col("cell") === col("n_cell") && col("q_id") =!= col("n_id"))
+          .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "n_id", "cosine", "rank")
+          .orderBy("q_id", "rank")
+      }
+    },
+    None,
+  )
+
+  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l3dIvfAnn, l2dEmbeddingNearDup)
 }
