@@ -15,9 +15,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parallelismFirst=false lets AQE coalesce micro-shuffles to the
+    // advisory size: measured at sf0.1, local[32] drops 76.4s -> 62.7s
+    // (32-way micro-partition task overhead dominated), while local[4]
+    // REGRESSES 54s -> 63s (the few big window/sort shuffles lose their
+    // parallelism). So flip it only when cores outnumber the useful
+    // partition count for this volume. At real scale partitions exceed
+    // the advisory target and the flag changes nothing either way.
+    val manyCores = scala.util.Try(cpus.toInt).toOption.exists(_ >= 16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", (!manyCores).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

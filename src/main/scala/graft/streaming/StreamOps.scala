@@ -46,16 +46,32 @@ object StreamOps extends QueryModule {
 
   /** Drain a streaming DataFrame into a memory sink and return the sink
     * table. AvailableNow processes everything then stops — the streaming
-    * equivalent of a batch run. */
+    * equivalent of a batch run.
+    *
+    * Stateful streaming pins one state-store shard per shuffle partition
+    * and AQE cannot coalesce them (disabled for stateful workloads), so
+    * the drain temporarily sizes shuffle partitions to the drained
+    * volume (one events file) instead of inheriting the CPU count — at
+    * 32 cores the 32-shard store init dominated each entry's wall time.
+    * A production deployment sizes this to state volume the same way;
+    * the value is pinned into the checkpoint, which is fresh per drain. */
   private def drain(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val previous = s.conf.getOption(key)
+    s.conf.set(key, "4")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally previous match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     s.table(name)
   }
 
