@@ -132,6 +132,33 @@ object SetSortOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** U2d: EXCEPT ALL — bag difference (each row's multiplicity is
+    * max(0, left − right)); projected through a counting aggregate so
+    * the compare hashes a deterministic set. */
+  val u2ExceptAll = QueryDef(
+    "u2_except_all",
+    (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+        .exceptAll(
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampNTZType))
+            .select("o_orderstatus", "o_orderpriority"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS multiplicity
+      FROM (
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        EXCEPT ALL
+        SELECT o_orderstatus, o_orderpriority FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      ) x
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority
+    """.stripMargin.trim),
+  )
+
   /** U3: DISTINCT on a projection. (Deterministic subset-dedup that keeps
     * a canonical row per key is L1's row_number pattern — dropDuplicates'
     * "first row wins" is partition-order-dependent and never oracled.) */
@@ -150,6 +177,6 @@ object SetSortOps extends QueryModule {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    o1SortMulti, o2TopK, u1Union, u2Intersect, u2Except, u2IntersectAll, u3Distinct,
+    o1SortMulti, o2TopK, u1Union, u2Intersect, u2Except, u2IntersectAll, u2ExceptAll, u3Distinct,
   )
 }

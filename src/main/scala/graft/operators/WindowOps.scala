@@ -96,6 +96,36 @@ object WindowOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** W2b: first/last family — first_value / last_value over a running
+    * frame, plus an IGNORE NULLS variant over a deterministically
+    * nulled column (value of 'click' events only). */
+  val w2bFirstLast = QueryDef(
+    "w2b_first_last",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("click_value", when(col("event_type") === "click", col("value")))
+        .select(
+          col("user_id"), col("event_id"),
+          first(col("event_id")).over(run).as("first_event"),
+          last(col("event_id")).over(run).as("latest_event"),
+          last(col("click_value"), ignoreNulls = true).over(run).as("last_click_value"),
+        )
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+        first_value(event_id) OVER run AS first_event,
+        last_value(event_id) OVER run AS latest_event,
+        last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER run AS last_click_value
+      FROM events
+      WINDOW run AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, epoch_us(ts), event_id
+    """.stripMargin.trim),
+  )
+
   /** W3: frame aggregates — running sum + 3-row moving average per
     * customer over their order history. The moving average divides an
     * exact decimal sum by the exact frame row count (both engines produce
@@ -183,5 +213,5 @@ object WindowOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(w1Ranking, w1bDistribution, w2LagLead, w3RunningFrames, w4RangeFrame, w5TopKPerGroup)
+  def defs: Seq[QueryDef] = Seq(w1Ranking, w1bDistribution, w2LagLead, w2bFirstLast, w3RunningFrames, w4RangeFrame, w5TopKPerGroup)
 }
