@@ -30,10 +30,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, shuffle service, parquet footer caches)
-    // so the first timed query doesn't absorb one-time JVM startup cost.
+    // Warm the session (codegen, shuffle service, parquet footer caches,
+    // streaming machinery) so the first timed query doesn't absorb
+    // one-time JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("r_regionkey", IntegerType))))
+        .option("pathGlobFilter", "region.parquet")
+        .parquet(sfDir)
+        .groupBy("r_regionkey").count()
+        .writeStream.format("memory").queryName("graft_bench_warm")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.sql("DROP VIEW IF EXISTS graft_bench_warm")
+    }
     var failed = List.empty[String]
     // Name-sorted: hash-map iteration order would shuffle which query pays
     // first-use costs (codegen, state-store init) between rounds, making
