@@ -67,11 +67,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would render 62,700 — invalid
+    // JSON, i.e. exactly the parsed-null failure this line exists to fix.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(20)
-    val qs = slowest.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = slowest.map { case (k, v) => s""""$k":${sec(v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Printed last, post-stop: no Spark thread can interleave with it.
     println(line)

@@ -84,65 +84,68 @@ object DedupOps extends QueryModule {
     * on (band, signature); pair expansion only inside buckets. This is
     * the standard O(n·sig + candidates) LSH layout.
     */
+  private val nHashes = 16
+
+  /** Per-row minhash signature in ONE primitive pass over the text:
+    * 5-char shingles, murmur3 per shingle, k-th slot = min over shingles
+    * of splitmix64(h + k·φ64). The finalizer mix matters: a family like
+    * h·(2k+1)+c_k is MONOTONIC in h, so every slot would pick the same
+    * (minimum-hash) shingle — 16 perfectly correlated estimators, i.e.
+    * not MinHash at all; splitmix64's xor-shift/multiply mix is
+    * non-monotonic, giving effectively independent permutations.
+    *
+    * Formulations tried at sf0.1 before settling on a UDF (§2.11 —
+    * "start with builtin, promote when bench demands"): explode +
+    * 16-min groupBy = 4.3 s (codegen'd but shuffles shingle rows into a
+    * hash agg); 16× array_min(transform(...)) = 5.4 s and aggregate()
+    * fold = 8.9 s (higher-order lambdas don't codegen and allocate per
+    * element). The UDF holds 16 longs on the stack, no shuffle, no
+    * per-shingle allocation. Null texts are filtered up front (the
+    * explode formulation dropped them implicitly; a null-text row must
+    * not crash the UDF or collapse into a shared all-null bucket).
+    * Output: (doc_id, h0..h15), scan→filter→project — shuffle-free
+    * (locked in by PlanAuditSpec). */
+  private[graft] def minhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigUdf = udf { (text: String) =>
+      def mix(z0: Long): Long = { // splitmix64 finalizer (public domain)
+        var z = z0
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+        z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+        z ^ (z >>> 33)
+      }
+      val mins = Array.fill(nHashes)(Long.MaxValue)
+      val n = math.max(text.length - 4, 1)
+      var i = 0
+      while (i < n) {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(text.substring(i, math.min(i + 5, text.length)))
+          .toLong
+        var k = 0
+        while (k < nHashes) {
+          val v = mix(h + k * 0x9E3779B97F4A7C15L)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      mins
+    }
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("sig", sigUdf(col("text")))
+      .select(
+        col("doc_id") +: (0 until nHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
+  }
+
   val l2MinHash = QueryDef(
     "l2_minhash_lsh",
     (s, d) => {
-      val nHashes = 16
       val bandSize = 4
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // 5-char shingles, murmur3-hashed ONCE per shingle; the k-th minhash
-      // derives by integer mixing (h·(2k+1) + k·φ) — 16× cheaper than 16
-      // string hashes and equally a universal-ish family. The whole
-      // signature is computed INSIDE one narrow projection (array_min over
-      // per-row transforms): zero shuffle until banding, unlike the
-      // explode + 16-way-min groupBy formulation, which shuffled millions
-      // of (doc, shingle-hash) rows just to re-group them by doc.
-      // Per-row signature in ONE primitive pass over the text (5-char
-      // shingles, murmur3 per shingle, k-th slot = min over shingles of
-      // splitmix64(h + k·φ64)). The finalizer mix matters: the round-1
-      // family h·(2k+1)+c_k is MONOTONIC in h, so every slot picked the
-      // same (minimum-hash) shingle — 16 perfectly correlated estimators,
-      // i.e. not MinHash at all. splitmix64's xor-shift/multiply mix is
-      // non-monotonic, giving effectively independent permutations.
-      // Formulations tried at sf0.1 before settling on a UDF (§2.11 —
-      // "start with builtin, promote when bench demands"): explode +
-      // 16-min groupBy = 4.3 s (codegen'd but shuffles shingle rows into
-      // a hash agg); 16× array_min(transform(...)) = 5.4 s and
-      // aggregate() fold = 8.9 s (higher-order lambdas don't codegen and
-      // allocate per element). The UDF holds 16 longs on the stack, no
-      // shuffle, no per-shingle allocation.
-      val sigUdf = udf { (text: String) =>
-        def mix(z0: Long): Long = { // splitmix64 finalizer (public domain)
-          var z = z0
-          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
-          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
-          z ^ (z >>> 33)
-        }
-        val mins = Array.fill(nHashes)(Long.MaxValue)
-        val n = math.max(text.length - 4, 1)
-        var i = 0
-        while (i < n) {
-          val h = scala.util.hashing.MurmurHash3
-            .stringHash(text.substring(i, math.min(i + 5, text.length)))
-            .toLong
-          var k = 0
-          while (k < nHashes) {
-            val v = mix(h + k * 0x9E3779B97F4A7C15L)
-            if (v < mins(k)) mins(k) = v
-            k += 1
-          }
-          i += 1
-        }
-        mins
-      }
-      val sigs = docs
-        .withColumn("sig", sigUdf(col("text")))
-        .select(
-          col("doc_id") +: (0 until nHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
-        // O(docs)·tiny — persist so the per-band expansion and the two
-        // sides of the candidate join reuse signatures instead of
-        // re-reading + re-hashing the corpus 8×.
-        .persist()
+      // O(docs)·tiny — persist so the per-band expansion and the two
+      // sides of the candidate join reuse signatures instead of
+      // re-reading + re-hashing the corpus 8×.
+      val sigs = minhashSignatures(docs).persist()
       val bands = (0 until nHashes / bandSize).map { b =>
         val cols = (b * bandSize until (b + 1) * bandSize).map(k => col(s"h$k"))
         sigs.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("band_sig"))

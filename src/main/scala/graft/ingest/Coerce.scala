@@ -35,7 +35,10 @@ object Coerce {
   private def plausible(c: Column, t: String): Column = t match {
     case "bigint" => c.rlike("^\\s*[+-]?\\d+\\s*$")
     case "double" =>
-      c.rlike("^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)([eEdD][+-]?\\d+)?|(?i)(nan|inf(inity)?))\\s*$")
+      // decimal/scientific forms with Java's optional f/F/d/D suffix
+      // ("1.5f" parses via Double.parseDouble and hence via the cast),
+      // hex floats (0x1.8p1), and the inf/nan literals
+      c.rlike("^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?[fFdD]?|0[xX][0-9a-fA-F]*\\.?[0-9a-fA-F]*[pP][+-]?\\d+[fFdD]?|(?i)(nan|inf(inity)?))\\s*$")
     case "boolean" =>
       lower(trim(c)).isin("true", "false", "t", "f", "y", "n", "yes", "no", "1", "0")
     case _ => lit(true)

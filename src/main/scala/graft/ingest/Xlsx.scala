@@ -42,29 +42,35 @@ object Xlsx {
     * first sheet rather than failing on a hardcoded sheet1.xml. */
   private val SheetName = """xl/worksheets/(?:[^/]*?)(\d*)\.xml""".r
 
+  /** Overflow-safe ordering key for a sheet part name: for digit strings,
+    * numeric order == (length, lexicographic) order, so no toLong that a
+    * 20-digit crafted name could blow up; digitless names sort last. */
+  private def sheetKey(name: String): (Int, String, String) = {
+    val SheetName(digits) = name: @unchecked
+    if (digits.isEmpty) (Int.MaxValue, "", name) else (digits.length, digits, name)
+  }
+
   /** Parse one workbook's bytes into header + string rows. */
   private[ingest] def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared = IndexedSeq.empty[String]
-    var sheets = Vector.empty[(String, String)] // part name -> xml
+    // only the first-ordered sheet is parsed — keep best-so-far while
+    // streaming the zip instead of buffering every sheet's XML
+    var bestSheet: Option[(String, String)] = None // part name -> xml
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { entry =>
         entry.getName match {
           case "xl/sharedStrings.xml" =>
             val xml = loadXml(new String(zin.readAllBytes(), "UTF-8"))
             shared = (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
-          case n @ SheetName(_) =>
-            sheets :+= (n -> new String(zin.readAllBytes(), "UTF-8"))
+          case n @ SheetName(_)
+              if bestSheet.forall { case (cur, _) => Ordering[(Int, String, String)].lt(sheetKey(n), sheetKey(cur)) } =>
+            bestSheet = Some(n -> new String(zin.readAllBytes(), "UTF-8"))
           case _ => ()
         }
       }
     } finally zin.close()
-    val sheet = sheets
-      .sortBy { case (n, _) =>
-        val SheetName(digits) = n: @unchecked
-        (if (digits.isEmpty) Long.MaxValue else digits.toLong, n)
-      }
-      .headOption.map(_._2)
+    val sheet = bestSheet.map(_._2)
       .getOrElse(throw new IllegalArgumentException("no xl/worksheets/*.xml part in workbook"))
     val xml = loadXml(sheet)
     val rows = (xml \\ "row").map { r =>

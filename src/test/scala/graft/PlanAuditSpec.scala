@@ -60,16 +60,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!read.contains("p_name"), s"unreferenced column scanned from ORC: $read")
   }
 
-  test("l2: minhash signatures stay in one projection — no shuffle before banding") {
+  test("l2: minhash signature stage is scan->filter->project, no shuffle before banding") {
     import org.apache.spark.sql.functions._
-    // Reconstruct the signature stage shape: everything up to banding must
-    // be scan → project (the full query then unions band projections).
-    val df = SparkEntry.queries("l2_minhash_lsh")(spark, sf())
-    // the entry materializes a count; audit the plan of its source instead
-    val p = graft.core.Tables.documents(spark, sf())
-      .select(col("doc_id"), col("text")).queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), "signature source plan should be shuffle-free")
-    assert(df.collect().head.getLong(0) >= 0L)
+    val docs = graft.core.Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val p = graft.dedup.DedupOps.minhashSignatures(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature computation shuffles:\n$p")
+    assert(p.contains("h15"), "signature projection missing minhash slots")
+  }
+
+  test("l2: minhash signatures skip null texts instead of crashing or bucketing together") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh"), (3L, "abcdefgh")).toDF("doc_id", "text")
+      .unionByName(Seq(2L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
+    val sigs = graft.dedup.DedupOps.minhashSignatures(docs).collect()
+    assert(sigs.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L), "null-text row must drop")
+    assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1), "identical texts must share a signature")
   }
 
   test("w2b/w4: window partitions shuffle once on the partition key") {

@@ -83,6 +83,16 @@ class DdlCoerceSpec extends AnyFunSuite with SparkFixture {
     assert(Coerce.bestFit(raw).schema.head.dataType == StringType)
   }
 
+  test("bestFit promotes Java-suffixed floats — plausibility guard must cover the cast grammar") {
+    import spark.implicits._
+    // Spark's string->double cast parses via Double.parseDouble, which
+    // accepts trailing f/F/d/D; the guard must not veto what the cast takes
+    val raw = Seq(("1.5f", "3"), ("2.0D", "4")).toDF("suffixed", "plain_int")
+    val types = Coerce.bestFit(raw).schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("suffixed") == "double")
+    assert(types("plain_int") == "long")
+  }
+
   test("bestFit survives raw headers containing backticks (no prior Sanitize)") {
     import spark.implicits._
     val raw = Seq("1", "2").toDF("weird ` col")

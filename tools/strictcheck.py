@@ -16,7 +16,8 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from selfcheck import TABLES  # single source of truth for the test tables
 
 
 def norm_cell(v):
@@ -56,11 +57,17 @@ def main(sf_dir, out_dir, only=()):
     for name in sorted(p.name for p in out.iterdir() if p.is_dir()):
         if only and name not in only:
             continue
-        files = sorted((out / name).glob("*.parquet"))
-        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracles:
             n_skip += 1
             continue
+        files = sorted((out / name).glob("*.parquet"))
+        if not files:
+            # the query crashed in Verify and left an empty dir — report
+            # and keep checking the rest instead of dying in pd.concat
+            print(f"FAIL {name}: no parquet output written (query crashed in Verify?)")
+            n_fail += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         duck_df = con.execute(oracles[name]).df()
         s_cols, s_rows = frame_sig(spark_df)
         d_cols, d_rows = frame_sig(duck_df)
