@@ -68,5 +68,26 @@ object SqlOps extends QueryModule {
     Some(sub3Sql),
   )
 
-  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists)
+  private val sub4Sql = """
+      SELECT n_name, t.c_custkey, t.c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+      ) t
+      ORDER BY n_name, t.c_acctbal DESC, t.c_custkey
+    """.stripMargin.trim
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    * customers per nation) — the DecorrelateInnerQuery path, distinct
+    * from scalar/IN/EXISTS rewrites. Same text runs in DuckDB. */
+  val sub4Lateral = QueryDef(
+    "sub4_lateral_join",
+    (s, d) => withViews(s, d)(sub4Sql),
+    Some(sub4Sql),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral)
 }
