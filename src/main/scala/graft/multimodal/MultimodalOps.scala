@@ -50,6 +50,87 @@ object MultimodalOps extends QueryModule {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Long)
+
+  /** STUB resize: a real implementation re-encodes the payload pixels;
+    * here only the metadata changes and the payload passes through
+    * untouched. The pipeline position (a typed map between decode and
+    * feature extraction, batched per partition) is the real part. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => r.copy(width = w, height = h)))
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames and emit
+    * every n-th one — the one→many (generator) batch shape a video
+    * pipeline needs, expressed as a typed flatMap inside mapPartitions so
+    * a real demuxer would init once per partition. Only frame INDEX and
+    * LENGTH leave the executor here; a real pipeline would attach the
+    * frame bytes (and they would shuffle only if the next stage needs
+    * them grouped). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val total = r.payload.length
+        val nFrames = (total + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyNth).iterator.map { i =>
+          val len = math.min(frameBytes, total - i * frameBytes).toLong
+          Frame(r.doc_id, i, len)
+        }
+      }
+    }
+  }
+
+  /** L5b: video-style frame sampling — every 3rd 100-byte frame of each
+    * payload, aggregated back per document. The sampled-frame count and
+    * byte total are pure integer arithmetic on the payload length, so
+    * DuckDB reproduces them exactly from the source text. */
+  val l5bFrameSample = QueryDef(
+    "l5b_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "utf-8").as("payload"),
+          lit("video/mp4").as("media_type"),
+          lit(640).as("width"),
+          lit(480).as("height"),
+        )
+        .as[MediaRecord]
+      sampleFrames(resize(media, 320, 240), frameBytes = 100, everyNth = 3).toDF()
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("frame_len")).as("sampled_bytes"),
+          max(col("frame_idx")).cast("long").as("last_idx"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          octet_length(encode(text)) AS total,
+          CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
+        FROM documents
+      ), f AS (
+        SELECT doc_id, total, n_frames,
+          CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,
+          CAST(3 * ((n_frames + 2) // 3 - 1) AS BIGINT) AS last_idx
+        FROM m
+      )
+      SELECT doc_id,
+        n_sampled,
+        CAST(CASE WHEN last_idx = n_frames - 1
+             THEN 100 * (n_sampled - 1) + (total - 100 * (n_frames - 1))
+             ELSE 100 * n_sampled END AS BIGINT) AS sampled_bytes,
+        last_idx
+      FROM f
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
   /** L5: end-to-end multimodal query — documents become fake media blobs
     * (utf-8 payload + metadata struct), flow through the typed
     * mapPartitions pipeline, and features aggregate per media type.
@@ -86,5 +167,5 @@ object MultimodalOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l5Pipeline)
+  def defs: Seq[QueryDef] = Seq(l5Pipeline, l5bFrameSample)
 }

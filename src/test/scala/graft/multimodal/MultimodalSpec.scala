@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.SparkFixture
-import graft.multimodal.MultimodalOps.{MediaRecord, StubDecoder, extractFeatures}
+import graft.multimodal.MultimodalOps.{resize, sampleFrames, extractFeatures, MediaRecord, StubDecoder}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
@@ -23,5 +23,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).byte_len == 3 && out(0).head_byte == 'a'.toInt)
     assert(out(0).gray_mean == ('a'.toInt + 'b'.toInt + 'c'.toInt) / 3.0)
     assert(out(1).byte_len == 0 && out(1).head_byte == 0 && out(1).gray_mean == 0.0)
+  }
+
+  test("resize rewrites metadata and passes the payload through untouched") {
+    import spark.implicits._
+    val in = Seq(MediaRecord(1L, "payload".getBytes("UTF-8"), "image/png", 640, 480)).toDS()
+    val out = resize(in, 320, 240).collect().head
+    assert(out.width == 320 && out.height == 240)
+    assert(new String(out.payload, "UTF-8") == "payload")
+  }
+
+  test("sampleFrames emits every n-th frame with correct tail-frame length") {
+    import spark.implicits._
+    // 250 bytes at 100 bytes/frame -> frames 0(100), 1(100), 2(50); every
+    // 2nd -> indices 0 and 2, tail frame is the 50-byte partial
+    val in = Seq(MediaRecord(1L, Array.fill[Byte](250)(7), "video/mp4", 0, 0)).toDS()
+    val frames = sampleFrames(in, frameBytes = 100, everyNth = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.frame_len)).toSeq == Seq((0, 100L), (2, 50L)))
+    // empty payload -> no frames, not a crash
+    val empty = Seq(MediaRecord(2L, Array.emptyByteArray, "video/mp4", 0, 0)).toDS()
+    assert(sampleFrames(empty, 100, 2).count() == 0)
   }
 }
