@@ -1,0 +1,55 @@
+package graft.ingest
+
+import graft.SparkFixture
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private def writeCsv(dir: String, name: String, lines: Seq[String]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.write(d.resolve(name), String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  test("loadTable: csv -> sanitized, coerced, queryable catalog table") {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_csv").toString
+    writeCsv(dir, "part1.csv", Seq(
+      "Order ID!,Order Date,Region Name",
+      "1,2024-01-02,east",
+      "2,2024-02-03,west",
+    ))
+    val df = Pipeline.loadTable(spark, dir, "Graft Pipeline Orders", overwrite = true)
+    try {
+      assert(df.columns.toSeq == Seq("order_id", "order_date", "region_name"))
+      val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+      // Spark's CSV inferSchema types small ints as integer; bestFit only
+      // widens columns the reader left as string
+      assert(types("order_id") == "integer")
+      assert(types("order_date") == "date")
+      assert(types("region_name") == "string")
+      assert(spark.table("graft_pipeline_orders").count() == 2)
+      // second load without overwrite appends
+      Pipeline.loadTable(spark, dir, "Graft Pipeline Orders")
+      assert(spark.table("graft_pipeline_orders").count() == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_orders")
+  }
+
+  test("loadTable: partitioned load produces a partition-pruned layout") {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
+    writeCsv(dir, "p.csv", Seq(
+      "id,Load Date",
+      "1,2024-01-01",
+      "2,2024-01-02",
+    ))
+    val df = Pipeline.loadTable(spark, dir, "graft_pipeline_part",
+      partitionBy = Seq("Load Date"), overwrite = true)
+    try {
+      assert(df.count() == 2)
+      val warehouse = Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_pipeline_part")
+      val partDirs = Files.list(warehouse).filter(p => p.getFileName.toString.startsWith("load_date="))
+      assert(partDirs.count() == 2, "expected one directory per load_date partition")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_part")
+  }
+}
