@@ -29,7 +29,9 @@ object Pipeline {
   /** Ingest `path` into catalog table `table`; returns the loaded table.
     *
     * @param overwrite drop + recreate the table first (false = append)
-    * @param partitionBy warehouse partition columns (sanitized names)
+    * @param partitionBy warehouse partition columns (sanitized names; if
+    *        the source headers collided during sanitization, address the
+    *        deduped name the reader produced, e.g. `load_date_2`)
     */
   def loadTable(
       spark: SparkSession,
@@ -47,22 +49,48 @@ object Pipeline {
     raw.persist() // inference decision pass + load both read it
     try {
       val typed = Coerce.bestFit(raw)
-      val name = Sanitize.sanitizeName(table)
-      // readers sanitize column names, so partition columns are
-      // addressed by their sanitized form too
-      val partCols = partitionBy.map(Sanitize.sanitizeName)
-      if (overwrite) {
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        // DROP on the in-memory catalog can't clean a location left by a
-        // previous JVM's managed table — remove it or CREATE refuses.
-        Writers.deleteTree(Paths.get(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name))
-      }
-      spark.sql(Ddl.createTable(name, typed.schema, partitionCols = partCols))
-      val writer = typed.write.mode(SaveMode.Append)
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .saveAsTable(name)
-      spark.table(name)
+      loadInto(spark, table, typed, partitionBy, overwrite)
     } finally raw.unpersist()
+  }
+
+  /** Create-if-needed (or replace) + append `df` into catalog table
+    * `table`. The DDL — including its partition-column validation — is
+    * generated BEFORE any destructive step, so a bad argument fails
+    * without having dropped the existing table. */
+  def loadInto(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      overwrite: Boolean = false,
+  ): DataFrame = {
+    val name = Sanitize.sanitizeName(table)
+    // readers sanitize column names, so partition columns are addressed
+    // by their sanitized form; require them present so a collision-deduped
+    // header (load_date_2) can't silently bind to its neighbor
+    val partCols = partitionBy.map(Sanitize.sanitizeName)
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns not in the ingested schema: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    val ddl = Ddl.createTable(name, df.schema, partitionCols = partCols) // validates before any drop
+    if (overwrite) {
+      val catalog = spark.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      // resolve the REAL location from catalog metadata (a warehouse-dir
+      // guess is wrong outside the default database and could delete an
+      // unrelated table's directory); defaultTablePath covers the
+      // leftover-from-a-previous-JVM case DROP can't clean.
+      val location =
+        if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+        else catalog.defaultTablePath(ident)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Writers.deleteTree(Paths.get(location.getPath))
+    }
+    spark.sql(ddl)
+    val writer = df.write.mode(SaveMode.Append)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .saveAsTable(name)
+    spark.table(name)
   }
 }

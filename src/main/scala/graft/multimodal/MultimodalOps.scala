@@ -69,6 +69,10 @@ object MultimodalOps extends QueryModule {
     * frame bytes (and they would shuffle only if the next stage needs
     * them grouped). */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
+    // fail fast at call time, not as an ArithmeticException/"step cannot
+    // be 0" buried in an executor task
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -91,6 +95,10 @@ object MultimodalOps extends QueryModule {
     (s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d)
+        // mirror of the oracle's WHERE: a null text would NPE the typed
+        // pipeline, and a zero-byte payload yields NO frames on the Spark
+        // side while a per-document oracle row would still exist
+        .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(
           col("doc_id"),
           encode(col("text"), "utf-8").as("payload"),
@@ -114,6 +122,7 @@ object MultimodalOps extends QueryModule {
           octet_length(encode(text)) AS total,
           CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
         FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
       ), f AS (
         SELECT doc_id, total, n_frames,
           CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,

@@ -175,14 +175,10 @@ object IngestOps extends QueryModule {
       raw.persist() // parsed once: coercion's decision pass + the write both hit the cache
       try {
         val typed = graft.ingest.Coerce.bestFit(raw)
-        val table = "graft_s2b_orders"
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        // DROP on the in-memory catalog can't clean a location left by a
-        // previous JVM's managed table — remove it or CREATE refuses.
-        Writers.deleteTree(Paths.get(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table))
-        s.sql(graft.ingest.Ddl.createTable(table, typed.schema, ifNotExists = false))
-        typed.write.mode(SaveMode.Append).saveAsTable(table)
-        s.table(table)
+        // drop/clean/DDL/append lives ONCE, in Pipeline.loadInto — s2b
+        // keeps the read+coerce steps explicit because proving the
+        // coercion layer is this entry's point.
+        graft.ingest.Pipeline.loadInto(s, "graft_s2b_orders", typed, overwrite = true)
           .withColumn("yr", year(col("order_date")).cast("long"))
           .groupBy("yr", "status")
           .agg(count(lit(1)).as("n_orders"), min(col("order_key")).as("first_key"))

@@ -35,6 +35,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_orders")
   }
 
+  test("loadTable with a bad partition column fails BEFORE dropping the existing table") {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_safe").toString
+    writeCsv(dir, "p.csv", Seq("id,v", "1,a", "2,b"))
+    Pipeline.loadTable(spark, dir, "graft_pipeline_safe", overwrite = true)
+    try {
+      assert(spark.table("graft_pipeline_safe").count() == 2)
+      intercept[IllegalArgumentException] {
+        Pipeline.loadTable(spark, dir, "graft_pipeline_safe",
+          partitionBy = Seq("not_a_column"), overwrite = true)
+      }
+      // the failed overwrite must not have destroyed the table or its data
+      assert(spark.table("graft_pipeline_safe").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_safe")
+  }
+
   test("loadTable: partitioned load produces a partition-pruned layout") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
     writeCsv(dir, "p.csv", Seq(
@@ -48,8 +63,13 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       assert(df.count() == 2)
       val warehouse = Paths.get(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_pipeline_part")
-      val partDirs = Files.list(warehouse).filter(p => p.getFileName.toString.startsWith("load_date="))
-      assert(partDirs.count() == 2, "expected one directory per load_date partition")
+      val listing = Files.list(warehouse)
+      // Files.list leaks a directory handle unless closed (same rule
+      // Writers.deleteTree documents for Files.walk)
+      val nPartDirs =
+        try listing.filter(p => p.getFileName.toString.startsWith("load_date=")).count()
+        finally listing.close()
+      assert(nPartDirs == 2, "expected one directory per load_date partition")
     } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_part")
   }
 }

@@ -43,5 +43,8 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     // empty payload -> no frames, not a crash
     val empty = Seq(MediaRecord(2L, Array.emptyByteArray, "video/mp4", 0, 0)).toDS()
     assert(sampleFrames(empty, 100, 2).count() == 0)
+    // degenerate strides fail fast at call time, not inside a task
+    intercept[IllegalArgumentException](sampleFrames(empty, 0, 2))
+    intercept[IllegalArgumentException](sampleFrames(empty, 100, 0))
   }
 }
