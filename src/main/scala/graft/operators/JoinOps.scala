@@ -79,6 +79,31 @@ object JoinOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** J3c: right outer join — the mirror of j3_left_outer written from the
+    * orders side, so the preserved (right) side is the one Spark plans as
+    * the build side of the outer hash join. Suppliers with no lineitems
+    * survive with n_items=0. */
+  val j3RightOuter = QueryDef(
+    "j3_right_outer_join",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"), "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          count(col("l_orderkey")).as("n_items"),
+          money2(sum(coalesce(dec2("l_extendedprice"), lit(0).cast(DecimalType(12, 2))))).as("sum_price"),
+        )
+        .orderBy("s_suppkey"),
+    Some("""
+      SELECT s_suppkey, s_name,
+        count(l_orderkey) AS n_items,
+        CAST(round(sum(coalesce(CAST(l_extendedprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_price
+      FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey
+    """.stripMargin.trim),
+  )
+
   /** J3b: full outer join of two aggregated sides — nations that have
     * customers, suppliers, or both. */
   val j3FullOuter = QueryDef(
@@ -358,7 +383,7 @@ object JoinOps extends QueryModule {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3FullOuter, j4Semi, j4Anti,
+    j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3RightOuter, j3FullOuter, j4Semi, j4Anti,
     j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross,
   )
 }

@@ -99,6 +99,26 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T2: sliding 1-day window every 12 h — each event lands in
+    * exactly two windows. Same oracle as the batch twin (EventOps.t2Sliding
+    * expands the slide arithmetically; Spark's window() does the same
+    * expansion internally). */
+  val streamSliding = QueryDef(
+    "stream_t2_sliding",
+    (s, d) => {
+      val agg = eventStream(s, d)
+        .withWatermark("ts2", "10 minutes")
+        .groupBy(window(col("ts2"), "1 day", "12 hours"))
+        .agg(count(lit(1)).as("n_events"), money2(sum(dec2("value"))).as("sum_value"))
+      drain(s, agg, "graft_stream_t2", OutputMode.Complete())
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_start_us")
+    },
+    graft.operators.EventOps.t2Sliding.oracle,
+  )
+
   /** Streaming T3: session_window (30-min gap) per user, then session
     * counts — same semantics as EventOps' gaps-and-islands twin, so the
     * same oracle shape grades both. */
@@ -251,5 +271,5 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSessions, streamDedup, streamStateful, streamTws)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup, streamStateful, streamTws)
 }
