@@ -114,5 +114,30 @@ object ReshapeOps extends QueryModule {
     None,
   )
 
-  def defs: Seq[QueryDef] = Seq(r1Pivot, r2Unpivot, r3GroupingSets, r4Sample)
+  /** R4b: systematic sampling — every k-th key, deterministic across ANY
+    * engine and any partitioning (unlike RNG sampling), so this variant
+    * carries a full oracle. The production trade-off: systematic samples
+    * are reproducible and cheap (a pushed-down predicate on the key) but
+    * biased if the key correlates with the measure; r4's seeded RNG
+    * sample is the unbiased one. */
+  val r4bSystematic = QueryDef(
+    "r4b_systematic_sample",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          asMoney(sum(dec2("o_totalprice"))).as("sampled_total"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+        ),
+    Some("""
+      SELECT count(*) AS n_sampled,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sampled_total,
+        count(DISTINCT o_custkey) AS n_cust
+      FROM orders
+      WHERE o_orderkey % 10 = 0
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(r1Pivot, r2Unpivot, r3GroupingSets, r4Sample, r4bSystematic)
 }
