@@ -54,4 +54,24 @@ object Casts {
     sumExact.cast("double") / cnt
 
   def asBigint(c: Column): Column = c.cast("long")
+
+  /** Integer-scaled money: a ≤2-decimal double becomes exact integral
+    * cents in one primitive round+cast. Sums and products then run as
+    * codegen'd long arithmetic — the same exactness (and partition-order
+    * independence) as the decimal path without BigDecimal per row, which
+    * profiling showed dominates the revenue-style aggregates. Bounds: a
+    * cents value ≤ 1e9 and 600k-row sums of cents×rate products stay
+    * ≤ ~1e15, far inside Long range; revisit scales if a fact table's
+    * money exceeds ~9e16 cents. Mirror in SQL:
+    * `CAST(round(x * 100) AS BIGINT)`. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  def cents(name: String): Column = cents(col(name))
+
+  /** Back from a 10^scale-scaled exact long sum to a double: ONE IEEE
+    * division of identical inputs → bit-identical in both engines. No
+    * round() here on purpose — rounding a DOUBLE at a .xx5 boundary is
+    * engine-divergent (Spark rounds the shortest decimal repr, DuckDB
+    * the binary value), while the raw quotient is always safe. */
+  def unscale(sumScaled: Column, scale: Int): Column =
+    sumScaled.cast("double") / math.pow(10, scale)
 }

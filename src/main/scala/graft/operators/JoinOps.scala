@@ -22,12 +22,12 @@ object JoinOps extends QueryModule {
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
         .orderBy("c_mktsegment"),
     Some("""
       SELECT c_mktsegment,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
@@ -43,13 +43,13 @@ object JoinOps extends QueryModule {
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"),
+          unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"),
           count(lit(1)).as("n_items"),
         )
         .orderBy("p_brand"),
     Some("""
       SELECT p_brand,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
         count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -66,13 +66,13 @@ object JoinOps extends QueryModule {
         .groupBy("c_custkey", "c_name")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          money2(sum(coalesce(dec2("o_totalprice"), lit(0).cast(DecimalType(12, 2))))).as("sum_total"),
+          unscale(sum(coalesce(cents("o_totalprice"), lit(0L))), 2).as("sum_total"),
         )
         .orderBy("c_custkey"),
     Some("""
       SELECT c_custkey, c_name,
         count(o_orderkey) AS n_orders,
-        CAST(round(sum(coalesce(CAST(o_totalprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_total
+        sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0)) / 100.0 AS sum_total
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey
@@ -91,13 +91,13 @@ object JoinOps extends QueryModule {
         .groupBy("s_suppkey", "s_name")
         .agg(
           count(col("l_orderkey")).as("n_items"),
-          money2(sum(coalesce(dec2("l_extendedprice"), lit(0).cast(DecimalType(12, 2))))).as("sum_price"),
+          unscale(sum(coalesce(cents("l_extendedprice"), lit(0L))), 2).as("sum_price"),
         )
         .orderBy("s_suppkey"),
     Some("""
       SELECT s_suppkey, s_name,
         count(l_orderkey) AS n_items,
-        CAST(round(sum(coalesce(CAST(l_extendedprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_price
+        sum(coalesce(CAST(round(l_extendedprice * 100) AS BIGINT), 0)) / 100.0 AS sum_price
       FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_suppkey, s_name
       ORDER BY s_suppkey
@@ -186,13 +186,13 @@ object JoinOps extends QueryModule {
       Tables.orders(s, d)
         .join(broadcast(bands), dec2("o_totalprice") >= col("lo") && dec2("o_totalprice") < col("hi"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
         .orderBy("band")
     },
     Some("""
       SELECT band,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
       FROM orders
       JOIN (VALUES ('small', 0, 100000), ('medium', 100000, 200000), ('large', 200000, 10000000)) b(band, lo, hi)
         ON CAST(o_totalprice AS DECIMAL(12,2)) >= lo AND CAST(o_totalprice AS DECIMAL(12,2)) < hi
@@ -258,12 +258,12 @@ object JoinOps extends QueryModule {
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .agg(unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"))
         .orderBy(col("r_name").asc, col("revenue").desc, col("n_name").asc)
     },
     Some("""
       SELECT r_name, n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
       FROM orders
       JOIN lineitem ON l_orderkey = o_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -288,12 +288,12 @@ object JoinOps extends QueryModule {
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampNTZType))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .agg(unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10),
     Some("""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -319,12 +319,12 @@ object JoinOps extends QueryModule {
         .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("lost_revenue"))
+        .agg(unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
         .limit(20),
     Some("""
       SELECT c_custkey, c_name, n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lost_revenue
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS lost_revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -339,26 +339,27 @@ object JoinOps extends QueryModule {
   )
 
   /** J2b: TPC-H Q14 analog — promo revenue share: conditional aggregation
-    * over a broadcast join, ratio as one exact-decimal IEEE division. */
+    * over a broadcast join, ratio as one IEEE division of exact
+    * integer-scaled sums (Casts.cents). */
   val j2PromoShare = QueryDef(
     "j2_promo_share",
     (s, d) => {
-      val rev = dec2("l_extendedprice") * (one - rate("l_discount"))
+      val revCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
+      val promoCents = sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L)))
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .agg(
-          money2(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))).as("promo_revenue"),
-          money2(sum(rev)).as("total_revenue"),
-          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") * 100.0 /
-            sum(rev).cast("double")).as("promo_pct"),
+          unscale(promoCents, 4).as("promo_revenue"),
+          unscale(sum(revCents), 4).as("total_revenue"),
+          (promoCents.cast("double") * 100.0 / sum(revCents).cast("double")).as("promo_pct"),
         )
     },
     Some("""
       SELECT
-        CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS promo_revenue,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue,
-        CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
-          / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
+        sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) / 10000.0 AS promo_revenue,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS total_revenue,
+        CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE) * 100.0
+          / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS promo_pct
       FROM lineitem JOIN part ON l_partkey = p_partkey
     """.stripMargin.trim),
   )

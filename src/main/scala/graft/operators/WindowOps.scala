@@ -183,14 +183,18 @@ object WindowOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** W5: top-k per group — 3 highest-revenue parts per brand. */
+  /** W5: top-k per group — 3 highest-revenue parts per brand. Money math
+    * runs integer-scaled (cents × (100−disc%), exact long codegen — see
+    * Casts.cents) instead of per-row BigDecimal, which dominated this
+    * query's profile; the final division+round is shared IEEE arithmetic
+    * on both engines, so hash parity holds. */
   val w5TopKPerGroup = QueryDef(
     "w5_topk_per_group",
     (s, d) => {
       val rev = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
-        .agg(money2(sum(dec2("l_extendedprice") * (one - rate("l_discount")))).as("revenue"))
+        .agg(unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"))
       val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey").asc)
       rev
         .withColumn("rn", row_number().over(w))
@@ -200,7 +204,7 @@ object WindowOps extends QueryModule {
     Some("""
       WITH rev AS (
         SELECT p_brand, p_partkey,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey
       )
