@@ -99,13 +99,13 @@ object IngestOps extends QueryModule {
         path, Seq("o_orderstatus"))
       s.read.parquet(path)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
         .orderBy("o_orderstatus")
     },
     Some("""
       SELECT o_orderstatus,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
@@ -129,13 +129,13 @@ object IngestOps extends QueryModule {
       s.read.parquet(path)
         .withColumn("yr", year(col("o_orderdate")).cast("long"))
         .groupBy("yr")
-        .agg(count(lit(1)).as("n_orders"), asMoney(sum(dec2("o_totalprice"))).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
         .orderBy("yr")
     },
     Some("""
       SELECT year(o_orderdate) AS yr,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
       FROM orders
       GROUP BY 1
       ORDER BY yr

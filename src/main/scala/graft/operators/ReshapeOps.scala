@@ -50,8 +50,8 @@ object ReshapeOps extends QueryModule {
       val wide = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          asMoney(sum(dec2("l_quantity"))).as("total_qty"),
-          asMoney(sum(dec2("l_extendedprice"))).as("total_price"),
+          unscale(sum(cents("l_quantity")), 2).as("total_qty"),
+          unscale(sum(cents("l_extendedprice")), 2).as("total_price"),
         )
       wide.unpivot(
         Array(col("l_returnflag")),
@@ -62,8 +62,8 @@ object ReshapeOps extends QueryModule {
     Some("""
       WITH wide AS (
         SELECT l_returnflag,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+          sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
         FROM lineitem GROUP BY l_returnflag
       )
       SELECT l_returnflag, metric, value FROM (
@@ -109,7 +109,7 @@ object ReshapeOps extends QueryModule {
         .sample(withReplacement = false, fraction = 0.1, seed = 42L)
         .agg(
           count(lit(1)).as("n_sampled"),
-          asMoney(sum(dec2("l_extendedprice"))).as("sampled_price"),
+          unscale(sum(cents("l_extendedprice")), 2).as("sampled_price"),
         ),
     None,
   )
@@ -127,12 +127,12 @@ object ReshapeOps extends QueryModule {
         .filter(col("o_orderkey") % 10 === 0)
         .agg(
           count(lit(1)).as("n_sampled"),
-          asMoney(sum(dec2("o_totalprice"))).as("sampled_total"),
+          unscale(sum(cents("o_totalprice")), 2).as("sampled_total"),
           countDistinct(col("o_custkey")).as("n_cust"),
         ),
     Some("""
       SELECT count(*) AS n_sampled,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sampled_total,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sampled_total,
         count(DISTINCT o_custkey) AS n_cust
       FROM orders
       WHERE o_orderkey % 10 = 0

@@ -139,15 +139,15 @@ object WindowOps extends QueryModule {
       Tables.orders(s, d)
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          asMoney(sum(dec2("o_totalprice")).over(run)).as("running_total"),
-          avgOf(sum(dec2("o_totalprice")).over(mov), count(lit(1)).over(mov)).as("moving_avg3"),
+          unscale(sum(cents("o_totalprice")).over(run), 2).as("running_total"),
+          (unscale(sum(cents("o_totalprice")).over(mov), 2) / count(lit(1)).over(mov)).as("moving_avg3"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
     Some("""
       SELECT o_custkey, o_orderkey, o_orderdate,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER run AS DOUBLE) AS running_total,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER mov AS DOUBLE) / count(*) OVER mov AS moving_avg3
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER run / 100.0 AS running_total,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER mov / 100.0 / count(*) OVER mov AS moving_avg3
       FROM orders
       WINDOW
         run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -169,14 +169,14 @@ object WindowOps extends QueryModule {
         .select(
           col("user_id"), col("event_id"), col("us"),
           count(lit(1)).over(w).as("events_last_hour"),
-          money2(sum(dec2("value")).over(w)).as("value_last_hour"),
+          unscale(sum(cents("value")).over(w), 2).as("value_last_hour"),
         )
         .orderBy("user_id", "us", "event_id")
     },
     Some("""
       SELECT user_id, event_id, epoch_us(ts) AS us,
         count(*) OVER w AS events_last_hour,
-        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS value_last_hour
+        sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS value_last_hour
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, us, event_id

@@ -82,7 +82,7 @@ object StreamOps extends QueryModule {
       val agg = eventStream(s, d)
         .withWatermark("ts2", "10 minutes")
         .groupBy(window(col("ts2"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), money2(sum(dec2("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
       drain(s, agg, "graft_stream_t1", OutputMode.Complete())
         .select(
           unix_micros(col("window.start")).as("day_start_us"),
@@ -92,7 +92,7 @@ object StreamOps extends QueryModule {
     Some("""
       SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
         count(*) AS n_events,
-        CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY day_start_us, event_type
@@ -109,7 +109,7 @@ object StreamOps extends QueryModule {
       val agg = eventStream(s, d)
         .withWatermark("ts2", "10 minutes")
         .groupBy(window(col("ts2"), "1 day", "12 hours"))
-        .agg(count(lit(1)).as("n_events"), money2(sum(dec2("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
       drain(s, agg, "graft_stream_t2", OutputMode.Complete())
         .select(
           unix_micros(col("window.start")).as("win_start_us"),
