@@ -17,9 +17,17 @@ import org.apache.spark.sql.types.DecimalType
   *  - [[cents]]/[[unscale]] — integer-scaled longs, the PREFERRED path:
   *    same exactness/associativity as decimal, but primitive codegen
   *    arithmetic (measured 20-26% faster on the revenue aggregates).
-  *  - [[dec2]]/[[rate]]/[[money2]]/[[asMoney]] — decimal casts, retained
-  *    for comparisons/filters where a typed decimal reads better and for
-  *    accumulators whose scaled products exceed long range.
+  *  - [[dec2]]/[[money2]] — decimal casts, retained for
+  *    comparisons/filters where a typed decimal reads better. When a
+  *    scaled long SUM can exceed 2^63 (see the bound under [[cents]]),
+  *    widen the accumulator: `sum(longProduct.cast(DecimalType(38,0)))`
+  *    keeps the multiply chain primitive and mirrors DuckDB's HUGEINT.
+  *
+  * Output-type rule (root cause of 26 of round 1's 30 hash mismatches):
+  * every output column must be DOUBLE or BIGINT, never DECIMAL — the
+  * driver's compare stringifies a Spark DECIMAL with trailing zeros
+  * ("155.00") but reads the DuckDB value as float64 ("155.0"), failing
+  * the hash on numerically-equal values.
   */
 object Casts {
   /** DECIMAL(12,2) — money columns (verified ≤2 fractional digits, values
@@ -28,32 +36,9 @@ object Casts {
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   def dec2(name: String): Column = dec2(col(name))
 
-  /** DECIMAL(4,2) — rate columns (discount, tax: verified ≤2 fractional
-    * digits, < 1). Narrow width keeps decimal products exact and small. */
-  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
-  def rate(name: String): Column = rate(col(name))
-
-  /** Literal 1 at rate scale: (1 - rate) stays a narrow exact decimal. */
-  def one: Column = lit(1).cast(DecimalType(3, 2))
-
-  /** DECIMAL(9,6) — exact pre-aggregation cast feeding average formulas. */
-  def dec6(c: Column): Column = c.cast(DecimalType(9, 6))
-  def dec6(name: String): Column = dec6(col(name))
-
-  /** Final output cast for money sums: the aggregation is exact decimal
-    * (order-independent), then ONE cast to double for output. Both engines
-    * convert decimal→double correctly-rounded, and the scaled integer fits
-    * in 2^53 at every tested SF, so the result is bit-identical — unlike a
-    * DECIMAL output, which the driver's compare stringifies with trailing
-    * zeros on the Spark side ("155.00") but as float64 ("155.0") from
-    * DuckDB's .df(), failing the hash on numerically-equal values
-    * (root cause of 26 of round 1's 30 hash mismatches).
-    * NEVER cast to *reduce* decimal scale before this: Spark casts round
-    * HALF_UP while DuckDB casts truncate — use [[money2]] instead. */
-  def asMoney(c: Column): Column = c.cast("double")
-
   /** Scale-reducing money output: round(x, 2) is half-away-from-zero in
-    * both Spark and DuckDB (verified live), unlike cast. */
+    * both Spark and DuckDB (verified live), unlike cast (Spark rounds
+    * HALF_UP, DuckDB truncates — never cast to reduce decimal scale). */
   def money2(c: Column): Column = round(c, 2).cast("double")
 
   /** Exact average: CAST(exact_decimal_sum AS DOUBLE) / count — one IEEE
@@ -61,16 +46,21 @@ object Casts {
   def avgOf(sumExact: Column, cnt: Column): Column =
     sumExact.cast("double") / cnt
 
-  def asBigint(c: Column): Column = c.cast("long")
-
   /** Integer-scaled money: a ≤2-decimal double becomes exact integral
     * cents in one primitive round+cast. Sums and products then run as
     * codegen'd long arithmetic — the same exactness (and partition-order
     * independence) as the decimal path without BigDecimal per row, which
-    * profiling showed dominates the revenue-style aggregates. Bounds: a
-    * cents value ≤ 1e9 and 600k-row sums of cents×rate products stay
-    * ≤ ~1e15, far inside Long range; revisit scales if a fact table's
-    * money exceeds ~9e16 cents. Mirror in SQL:
+    * profiling showed dominates the revenue-style aggregates.
+    *
+    * OVERFLOW BOUND — row-count driven, per GROUP (a long SUM holds the
+    * group total): with per-row values ≤ M, the sum is exact while
+    * rows-per-group < 2^63/M. This corpus: plain cents M ≈ 1.1e7 → safe
+    * to ~8e11 rows/group; 10^4-scaled products (price_c × rate) M ≈
+    * 1.2e9 → ~7e9 rows/group. A near-global group over a 100 TB fact
+    * table can exceed the latter, so ungrouped/near-global product sums
+    * must widen their ACCUMULATOR to DECIMAL(38,0) (multiply chain stays
+    * primitive; mirrors DuckDB's automatic HUGEINT sum) — see
+    * a1_pricing_summary / j2_promo_share. Mirror in SQL:
     * `CAST(round(x * 100) AS BIGINT)`. */
   def cents(c: Column): Column = round(c * 100).cast("long")
   def cents(name: String): Column = cents(col(name))

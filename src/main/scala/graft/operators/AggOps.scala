@@ -29,17 +29,20 @@ object AggOps extends QueryModule {
     * aggregation (map-side combine) makes the shuffle O(groups), not
     * O(rows). Survives 100 TB unchanged.
     *
-    * Money math is integer-scaled (Casts.cents: exact long codegen, no
-    * per-row BigDecimal — measured 26% faster on the w5 pilot, same
-    * exactness). The two-factor charge product reaches 10^6 scaling with
-    * per-row values ≤ ~1.2e13, so only its ACCUMULATOR widens to
-    * DECIMAL(38,0) (the multiply chain stays primitive long), mirroring
-    * DuckDB's automatic HUGEINT sum. */
+    * Money math is integer-scaled (Casts.cents: exact long codegen for
+    * the multiply chains — measured 26% faster than per-row BigDecimal
+    * products on the w5 pilot, same exactness). This query's groups are
+    * near-global (6 of them), so the PRODUCT sums widen their
+    * accumulators to DECIMAL(38,0) per the bound documented in
+    * Casts.cents: the multiplies stay primitive long, but each product
+    * row does pay one long→decimal conversion + decimal add in the sum —
+    * the price of staying exact past 2^63, mirroring DuckDB's automatic
+    * HUGEINT sum. Plain cents sums (M ≈ 1.1e7/row) stay pure long. */
   val a1PricingSummary = QueryDef(
     "a1_pricing_summary",
     (s, d) => {
-      val discCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
-      val chargeCents = (discCents * (lit(100L) + cents("l_tax"))).cast(DecimalType(38, 0))
+      val discCents = (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DecimalType(38, 0))
+      val chargeCents = (cents("l_extendedprice") * (lit(100L) - cents("l_discount")) * (lit(100L) + cents("l_tax"))).cast(DecimalType(38, 0))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampNTZType))
         .groupBy("l_returnflag", "l_linestatus")

@@ -340,12 +340,15 @@ object JoinOps extends QueryModule {
 
   /** J2b: TPC-H Q14 analog — promo revenue share: conditional aggregation
     * over a broadcast join, ratio as one IEEE division of exact
-    * integer-scaled sums (Casts.cents). */
+    * integer-scaled sums (Casts.cents). These sums are UNGROUPED — the
+    * weakest overflow bound in the battery — so their accumulators widen
+    * to DECIMAL(38,0) per the Casts.cents bound (multiply chain stays
+    * primitive; DuckDB's side is HUGEINT automatically). */
   val j2PromoShare = QueryDef(
     "j2_promo_share",
     (s, d) => {
-      val revCents = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
-      val promoCents = sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L)))
+      val revCents = (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DecimalType(38, 0))
+      val promoCents = sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L).cast(DecimalType(38, 0))))
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .agg(

@@ -127,9 +127,10 @@ object WindowOps extends QueryModule {
   )
 
   /** W3: frame aggregates — running sum + 3-row moving average per
-    * customer over their order history. The moving average divides an
-    * exact decimal sum by the exact frame row count (both engines produce
-    * the identical IEEE division). */
+    * customer over their order history. Frames sum exact integer-scaled
+    * cents (Casts.cents); the moving average divides the scaled frame
+    * sum by 100 and the frame row count — the same IEEE divisions on
+    * both engines. */
   val w3RunningFrames = QueryDef(
     "w3_running_frames",
     (s, d) => {
@@ -186,8 +187,9 @@ object WindowOps extends QueryModule {
   /** W5: top-k per group — 3 highest-revenue parts per brand. Money math
     * runs integer-scaled (cents × (100−disc%), exact long codegen — see
     * Casts.cents) instead of per-row BigDecimal, which dominated this
-    * query's profile; the final division+round is shared IEEE arithmetic
-    * on both engines, so hash parity holds. */
+    * query's profile; the single final division (deliberately NO round —
+    * see Casts.unscale) is shared IEEE arithmetic on both engines, so
+    * hash parity holds. */
   val w5TopKPerGroup = QueryDef(
     "w5_topk_per_group",
     (s, d) => {
