@@ -24,11 +24,21 @@ object IngestOps extends QueryModule {
   /** Scratch dir keyed by (entry, sf dir, process) — the pid component
     * makes concurrent harness processes (and sanitization-aliased sf
     * paths) collision-free; within one process reruns reuse/overwrite
-    * deterministically. */
-  private def tmp(name: String, sfDir: String): String =
+    * deterministically. A shutdown hook removes this process's own
+    * subtree so repeated harness runs don't accumulate table copies in
+    * tmp (other processes' p* dirs are never touched — they may be
+    * live). */
+  private val procScratch: java.nio.file.Path =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest",
-      s"p${ProcessHandle.current().pid()}",
-      s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      s"p${ProcessHandle.current().pid()}")
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => Writers.deleteTree(procScratch)))
+
+  private def tmp(name: String, sfDir: String): String = {
+    cleanupHook
+    procScratch.resolve(s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+  }
 
   /** S1: plain parquet scan, full table. */
   val s1Scan = QueryDef(
@@ -124,8 +134,12 @@ object IngestOps extends QueryModule {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val batch1 = orders.filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
       batch1.write.mode(SaveMode.Overwrite).parquet(path)
-      val wm = batch1.agg(max(col("o_orderdate"))).collect().head.get(0)
-      Writers.incrementalAppend(orders, "o_orderdate", Some(wm), path)
+      // headOption.flatMap(Option(_)): an empty first batch yields None
+      // (= full load in incrementalAppend), not Some(null), which would
+      // silently filter `> NULL` and append nothing
+      val wm = batch1.agg(max(col("o_orderdate"))).collect()
+        .headOption.flatMap(r => Option(r.get(0)))
+      Writers.incrementalAppend(orders, "o_orderdate", wm, path)
       s.read.parquet(path)
         .withColumn("yr", year(col("o_orderdate")).cast("long"))
         .groupBy("yr")

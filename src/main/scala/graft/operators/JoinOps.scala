@@ -42,8 +42,10 @@ object JoinOps extends QueryModule {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
+        // 25 constant brand groups = near-global: the product sum widens
+        // its accumulator to DECIMAL(38,0) per the Casts.cents bound
         .agg(
-          unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"),
+          unscale(sum((cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DecimalType(38, 0))), 4).as("revenue"),
           count(lit(1)).as("n_items"),
         )
         .orderBy("p_brand"),
@@ -258,7 +260,9 @@ object JoinOps extends QueryModule {
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(unscale(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))), 4).as("revenue"))
+        // 25 constant nation groups = near-global: widened accumulator
+        // per the Casts.cents bound
+        .agg(unscale(sum((cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DecimalType(38, 0))), 4).as("revenue"))
         .orderBy(col("r_name").asc, col("revenue").desc, col("n_name").asc)
     },
     Some("""

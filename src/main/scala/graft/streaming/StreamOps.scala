@@ -89,14 +89,9 @@ object StreamOps extends QueryModule {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("day_start_us", "event_type")
     },
-    Some("""
-      SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
-        count(*) AS n_events,
-        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
-      FROM events
-      GROUP BY 1, 2
-      ORDER BY day_start_us, event_type
-    """.stripMargin.trim),
+    // same oracle as the batch twin — referenced, not copied, so the two
+    // entries can never drift apart (t2 follows the same pattern)
+    graft.operators.EventOps.t1Tumbling.oracle,
   )
 
   /** Streaming T2: sliding 1-day window every 12 h — each event lands in
