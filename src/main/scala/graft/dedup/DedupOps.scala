@@ -27,7 +27,7 @@ object DedupOps extends QueryModule {
     "l1_dedup_exact",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dup = docs.filter(col("doc_id") % 3 === 0).withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val dup = docs.filter(col("doc_id") % 3 === 0).withColumn("doc_id", col("doc_id") + lit(1000000000000L))
       val all = docs.unionByName(dup)
       val w = Window.partitionBy("text").orderBy(col("doc_id").asc)
       all
@@ -41,7 +41,7 @@ object DedupOps extends QueryModule {
       WITH all_docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+        SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 3 = 0
       ), ranked AS (
         SELECT doc_id, text,
           row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn,
@@ -209,14 +209,20 @@ object DedupOps extends QueryModule {
       // size >= 2 guard: a single-token doc would index one past the array
       // end (ANSI runtime error) and its gram sets would diverge between
       // engines; such docs have no 2-grams by definition.
+      // tokenize ONCE into a materialized column — Catalyst's
+      // common-subexpression elimination does not reach inside lambda
+      // bodies, so inlining split() there re-tokenizes the full text
+      // twice per 2-gram element
       val docs = Tables.documents(s, d)
-        .filter(col("doc_id") < 120 && size(split(col("text"), " ")) >= 2)
+        .filter(col("doc_id") < 120)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
         .select(
           col("doc_id"), col("source"),
           array_distinct(
             transform(
-              sequence(lit(1), size(split(col("text"), " ")) - 1),
-              i => concat_ws(" ", element_at(split(col("text"), " "), i), element_at(split(col("text"), " "), i + 1)),
+              sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)),
             )).as("grams"),
         )
       val a = docs.select(col("doc_id").as("doc_a"), col("source"), col("grams").as("grams_a"))

@@ -18,12 +18,17 @@ object MLlibMinHash {
   /** Candidate near-dup pairs with Jaccard distance below `maxDistance`.
     * Input must have (doc_id, text). */
   def nearDupPairs(docs: DataFrame, maxDistance: Double, numHashTables: Int = 8): DataFrame = {
-    val tokenized = docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    // null texts are the only rows that would reach LSH with an empty
+    // vector (split("", " ") still yields [""], a non-empty token list) —
+    // say that directly instead of re-deriving size() through an
+    // interpreted higher-order aggregate per row
+    val tokenized = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
     val tf = new HashingTF()
       .setInputCol("tokens").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
     val featured = tf.transform(tokenized)
-      .filter(expr("aggregate(tokens, 0, (acc, t) -> acc + 1) > 0")) // LSH rejects empty vectors
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables)

@@ -31,7 +31,12 @@ object Writers {
   /** S8: incremental (high-watermark) append — only rows strictly past
     * the last loaded watermark are appended; the predicate pushes down to
     * the source scan so the incremental pass reads only new data. Returns
-    * the new watermark value. */
+    * the watermark to use for the NEXT run: the max of the freshly
+    * appended rows, or the CALLER'S lastWatermark when nothing fresh
+    * arrived — never None after an idle run, which would make the
+    * documented chaining pattern (`val newWm = incrementalAppend(...,
+    * lastWatermark, ...)`) silently degrade the next run into an
+    * unfiltered full re-append of the whole table. */
   def incrementalAppend(
       df: DataFrame,
       watermarkCol: String,
@@ -55,7 +60,7 @@ object Writers {
       // snapshot isolation (JDBC repeatable-read, table-format snapshot).
       val wm = fresh.agg(max(col(watermarkCol))).collect().headOption.flatMap(r => Option(r.get(0)))
       fresh.write.mode(SaveMode.Append).parquet(path)
-      wm
+      wm.orElse(lastWatermark)
     } finally fresh.unpersist()
   }
 
@@ -100,8 +105,12 @@ object Writers {
         try s.iterator().asScala.filter(Files.isDirectory(_)).toList
         finally s.close()
       }
-      subdirs.map(_.getFileName.toString).filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct match {
-        case Seq(one) => cols += one; level = subdirs.head; continue = true
+      val partDirs = subdirs.filter(_.getFileName.toString.contains("="))
+      partDirs.map(_.getFileName.toString.takeWhile(_ != '=')).distinct match {
+        // descend a k=v subdir, NOT subdirs.head — a stray non-partition
+        // directory listed first (Files.list order is unspecified) would
+        // otherwise truncate detection of the deeper partition levels
+        case Seq(one) => cols += one; level = partDirs.head; continue = true
         case _ => continue = false
       }
     }
@@ -127,6 +136,14 @@ object Writers {
     * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // A real MERGE rejects duplicate source keys; silently unioning both
+    // copies would corrupt the keyed dataset's uniqueness invariant. One
+    // extra aggregate job is the price of failing fast.
+    val Array(nRows, nKeys) = updates
+      .agg(count(lit(1)), count_distinct(col(key))).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"upsertByKey: updates contain duplicate '$key' values ($nRows rows, $nKeys distinct keys)")
     recoverSwap(path) // a crashed prior swap must not read as an empty dataset
     if (!Files.exists(Paths.get(path))) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)

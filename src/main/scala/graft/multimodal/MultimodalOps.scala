@@ -151,6 +151,13 @@ object MultimodalOps extends QueryModule {
     (s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d)
+        // mirrored in the oracle's WHERE: a null text would NPE the typed
+        // pipeline (payload null), and head_byte (first UTF-8 byte) only
+        // equals DuckDB's ascii() codepoint for an ASCII-leading text —
+        // the guard makes the parity hold on ANY corpus, not just the
+        // current ASCII fixture
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          ascii(substring(col("text"), 1, 1)) < 128)
         .select(
           col("doc_id"),
           encode(col("text"), "utf-8").as("payload"),
@@ -172,6 +179,7 @@ object MultimodalOps extends QueryModule {
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
       FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND ascii(substring(text, 1, 1)) < 128
       ORDER BY doc_id
     """.stripMargin.trim),
   )

@@ -33,7 +33,13 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     val all = (1L to 10L).toDF("id")
     all.write.mode(SaveMode.Overwrite).parquet(path)
     val wm = Writers.incrementalAppend(all, "id", Some(10L), path)
-    assert(wm.isEmpty) // nothing fresh → no new watermark
+    // nothing fresh → the CALLER'S watermark comes back, so the
+    // documented chaining pattern (feed the return value into the next
+    // run) never degrades an idle run into a full re-append
+    assert(wm == Some(10L))
+    assert(spark.read.parquet(path).count() == 10)
+    // and chaining that watermark into another idle run still appends nothing
+    assert(Writers.incrementalAppend(all, "id", wm, path) == Some(10L))
     assert(spark.read.parquet(path).count() == 10)
   }
 
