@@ -35,8 +35,9 @@ object Readers {
 
   /** S4: JDBC pull, partitioned on a numeric column so the table streams
     * through `numPartitions` parallel connections — the only way a large
-    * RDBMS extract scales. No live database exists in this environment;
-    * construction of the reader is unit-tested, execution is not.
+    * RDBMS extract scales. Executed live against embedded Derby (see
+    * [[Jdbc]] and the `s4_jdbc_pull` entry); against a networked RDBMS
+    * only the URL/driver pair changes.
     */
   def jdbcPartitioned(
       spark: SparkSession,

@@ -209,6 +209,34 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S4: live JDBC round-trip through embedded Derby (jars ship on the
+    * Spark classpath): the nation dim is loaded into a real RDBMS table
+    * over JDBC, then pulled back through [[Readers.jdbcPartitioned]] with
+    * explicit bounds so the extract runs as 4 parallel range queries —
+    * the reference's core RDBMS→warehouse identity, executed end-to-end.
+    * At 100 TB the same call fans a big fact extract across
+    * `numPartitions` DB connections; bounds come from a cheap
+    * `SELECT min(k), max(k)` pre-query. Oracle reads the same rows from
+    * the source parquet. */
+  val s4Jdbc = QueryDef(
+    "s4_jdbc_pull",
+    (s, d) => {
+      val url = graft.ingest.Jdbc.derbyUrl(tmp("s4_derby", d))
+      graft.ingest.Jdbc.load(Tables.nation(s, d), url, "NATION")
+      Readers.jdbcPartitioned(
+        s, url, "NATION", "n_nationkey",
+        lowerBound = 0L, upperBound = 25L, numPartitions = 4,
+        props = Map("driver" -> graft.ingest.Jdbc.DerbyEmbeddedDriver))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation
+      ORDER BY n_nationkey
+    """.stripMargin.trim),
+  )
+
   /** S6: ORC round-trip — write the part dim as ORC, scan it back through
     * the native vectorized ORC reader with a pushed filter, prove values
     * survive the format change. Exercises the second columnar
@@ -261,5 +289,5 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s5Xlsx, s6Orc, s7Partitioned, s8Incremental)
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s5Xlsx, s6Orc, s7Partitioned, s8Incremental)
 }
