@@ -79,9 +79,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("w2b/w4: window partitions shuffle once on the partition key") {
-    val p = plan("w2b_first_last")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"first/last window shuffles more than once:\n$p")
+    for (name <- Seq("w2b_first_last", "w4_range_frame")) {
+      val p = plan(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$name window shuffles more than once:\n$p")
+    }
+  }
+
+  test("t4: full-table running max is chunk-partitioned; only the chunk maxima hit one task") {
+    val p = plan("t4_late_data")
+    // pass 1 (per-chunk window over all events) must be hash partitioned
+    assert(p.contains("hashpartitioning(chunk"),
+      s"per-chunk running max lost its hash partitioning:\n$p")
+    // the only SinglePartition exchange allowed is the prefix pass over
+    // the 1/8192-sized per-chunk maxima (plus none for the final 3-row sort)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"t4 collapses more than the chunk-maxima pass to one task:\n$p")
   }
 
   test("bucketed co-located join plans without a shuffle") {
