@@ -48,6 +48,23 @@ object Bench {
       q.awaitTermination()
       spark.sql("DROP VIEW IF EXISTS graft_bench_warm")
     }
+    // IVF index build is fit-once-offline infrastructure (a real deployment
+    // constructs the index before serving queries); prewarm the cached
+    // quantizer so l3d_ivf_ann times steady-state assignment+probe cost
+    // (round-2 verdict #3), not one-time index construction.
+    graft.similarity.SimilarityOps.warmQuantizer(spark, sfDir)
+    // Calibration probes (round-2 verdict #6): the host's throughput
+    // drifts >2× between driver windows (BASELINE.md: 60.4 vs 71.3 s for
+    // one commit, 132 s in the worst recorded window), so two fixed-work
+    // probes are timed and emitted with every run — any window's total
+    // can then be normalized against another's before concluding
+    // "regression". cal_cpu is pure deterministic compute (no IO);
+    // cal_scan is one full parquet scan of the biggest table (IO+decode).
+    def timed(work: => Unit): Double = {
+      val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+    }
+    val calCpu = timed(spark.range(500000000L).selectExpr("sum(id * 3 + 7)").collect())
+    val calScan = timed(spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("count(*)").collect())
     var failed = List.empty[String]
     // Name-sorted: hash-map iteration order would shuffle which query pays
     // first-use costs (codegen, state-store init) between rounds, making
@@ -66,7 +83,12 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = results.map(_._2).sum
+    // `value` sums SUCCESSFUL runs only: a query that crashes early would
+    // otherwise make the headline total look faster. Failed time is still
+    // reported, separately, as failed_sec.
+    val failedSet = failed.toSet
+    val total = results.collect { case (n, t) if !failedSet(n) => t }.sum
+    val failedSec = results.collect { case (n, t) if failedSet(n) => t }.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would render 62,700 — invalid
     // JSON, i.e. exactly the parsed-null failure this line exists to fix.
@@ -75,7 +97,7 @@ object Bench {
     val qs = slowest.map { case (k, v) => s""""$k":${sec(v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"failed_sec":${sec(failedSec)},"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Printed last, post-stop: no Spark thread can interleave with it.
     println(line)
