@@ -80,12 +80,19 @@ object Pipeline {
       // resolve the REAL location from catalog metadata (a warehouse-dir
       // guess is wrong outside the default database and could delete an
       // unrelated table's directory); defaultTablePath covers the
-      // leftover-from-a-previous-JVM case DROP can't clean.
-      val location =
-        if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-        else catalog.defaultTablePath(ident)
+      // leftover-from-a-previous-JVM case DROP can't clean. Only a
+      // MANAGED table's directory is deleted: for EXTERNAL tables DROP
+      // deliberately preserves the user's data directory, and a library
+      // entry point must not destroy data DROP would keep.
+      val managedLocation =
+        if (catalog.tableExists(ident)) {
+          val meta = catalog.getTableMetadata(ident)
+          if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+            Some(meta.location)
+          else None
+        } else Some(catalog.defaultTablePath(ident))
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      Writers.deleteTree(Paths.get(location.getPath))
+      managedLocation.foreach(loc => Writers.deleteTree(Paths.get(loc.getPath)))
     }
     spark.sql(ddl)
     val writer = df.write.mode(SaveMode.Append)

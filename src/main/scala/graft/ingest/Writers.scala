@@ -138,10 +138,20 @@ object Writers {
     import java.nio.file.{Files, Paths}
     // A real MERGE rejects duplicate source keys; silently unioning both
     // copies would corrupt the keyed dataset's uniqueness invariant. One
-    // extra aggregate job is the price of failing fast.
-    val Array(nRows, nKeys) = updates
-      .agg(count(lit(1)), count_distinct(col(key))).collect().head
+    // extra aggregate job is the price of failing fast. NULL keys are
+    // counted separately: count_distinct ignores them, so without the
+    // third counter a single NULL-key row would surface as a misleading
+    // "duplicate key" failure (and N of them would be indistinguishable
+    // from real duplicates).
+    val Array(nRows, nKeys, nNullKeys) = updates
+      .agg(
+        count(lit(1)),
+        count_distinct(col(key)),
+        coalesce(sum(when(col(key).isNull, 1L).otherwise(0L)), lit(0L)),
+      ).collect().head
       .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nNullKeys == 0,
+      s"upsertByKey: updates contain $nNullKeys NULL '$key' values — a merge key must be non-null")
     require(nRows == nKeys,
       s"upsertByKey: updates contain duplicate '$key' values ($nRows rows, $nKeys distinct keys)")
     recoverSwap(path) // a crashed prior swap must not read as an empty dataset

@@ -50,6 +50,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_safe")
   }
 
+  test("loadInto overwrite on an EXTERNAL table drops the table but preserves its data dir") {
+    import spark.implicits._
+    val extDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_external")
+    Writers.deleteTree(extDir)
+    Seq((1L, "keep-me"), (2L, "keep-me-too")).toDF("id", "v")
+      .write.parquet(extDir.toString)
+    spark.sql(s"CREATE TABLE graft_pipeline_ext USING PARQUET LOCATION '${extDir}'")
+    try {
+      assert(spark.table("graft_pipeline_ext").count() == 2)
+      Pipeline.loadInto(spark, "graft_pipeline_ext",
+        Seq((9L, "new")).toDF("id", "v"), overwrite = true)
+      // the replacement (managed) table holds only the new rows...
+      assert(spark.table("graft_pipeline_ext").collect().map(_.getLong(0)).toSeq == Seq(9L))
+      // ...and the ORIGINAL external directory still holds the user's data
+      // (DROP TABLE on EXTERNAL preserves it; so must a library overwrite)
+      assert(spark.read.parquet(extDir.toString).count() == 2,
+        "external data directory was destroyed by overwrite")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pipeline_ext")
+      Writers.deleteTree(extDir)
+    }
+  }
+
   test("loadTable: partitioned load produces a partition-pruned layout") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
     writeCsv(dir, "p.csv", Seq(

@@ -63,6 +63,19 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
   }
 
+  test("upsert rejects NULL merge keys with a null-specific message, not 'duplicate key'") {
+    import spark.implicits._
+    val path = freshDir("upsert_nullkey")
+    Seq((1L, "a")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(path)
+    val updates = Seq((2L, "b")).toDF("k", "v")
+      .unionByName(Seq("c").toDF("v").withColumn("k", lit(null).cast("long")).select("k", "v"))
+    val err = intercept[IllegalArgumentException] {
+      Writers.upsertByKey(spark, path, updates, "k")
+    }
+    assert(err.getMessage.contains("NULL"), s"wrong diagnosis: ${err.getMessage}")
+    assert(!err.getMessage.contains("duplicate"), s"misleading diagnosis: ${err.getMessage}")
+  }
+
   test("upsert into a missing path creates it") {
     import spark.implicits._
     val path = freshDir("upsert_new") + "/sub"
