@@ -234,6 +234,74 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T7: the production landing pattern for S9 — a watermarked
+    * daily aggregate written to a PARQUET file sink with a real
+    * checkpoint, then the SAME query restarted from that checkpoint.
+    * Exactly-once: the restart replays nothing over the static source —
+    * duplicated windows would double the sink's rows and fail this
+    * entry's row/hash oracle, so the oracle itself is the proof.
+    *
+    * Append mode (the only mode file sinks support) emits a window only
+    * once the watermark passes its end, so with AvailableNow the final
+    * watermark is max(ts) - 10 min and the newest in-flight window stays
+    * unemitted — exactly what a production landing job does, and the
+    * oracle excludes it with the same arithmetic. Restart correctness
+    * across source GROWTH (new files between runs) is proven in
+    * StreamingSpec's two-batch recovery test. */
+  val streamFileSink = QueryDef(
+    "stream_t7_file_sink",
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream",
+        s"p${ProcessHandle.current().pid()}",
+        s"t7_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      graft.ingest.Writers.deleteTree(base) // fresh sink+checkpoint per run: deterministic
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      def runOnce(): Unit = {
+        val key = "spark.sql.shuffle.partitions"
+        val previous = s.conf.getOption(key)
+        s.conf.set(key, "4") // state-store shard sizing, as in drain()
+        try {
+          val agg = eventStream(s, d)
+            .withWatermark("ts2", "10 minutes")
+            .groupBy(window(col("ts2"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+            .select(
+              unix_micros(col("window.start")).as("day_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+          val q = agg.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally previous match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      runOnce() // initial run: lands every watermark-closed window
+      runOnce() // checkpoint restart: exactly-once ⇒ lands nothing new
+      s.read.parquet(out).orderBy("day_start_us", "event_type")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
+          count(*) AS n_events,
+          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+      )
+      SELECT day_start_us, event_type, n_events, sum_value
+      FROM agg
+      WHERE day_start_us + 86400000000 <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
+      ORDER BY day_start_us, event_type
+    """.stripMargin.trim),
+  )
+
   /** Streaming T6: arbitrary stateful processing — running per-user
     * counters via flatMapGroupsWithState. With AvailableNow over static
     * data the final emitted count per user equals the plain group count,
@@ -266,5 +334,5 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup, streamStateful, streamTws)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup, streamStateful, streamTws, streamFileSink)
 }

@@ -15,6 +15,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("t7: checkpointed file sink resumes across restarts — new files land once, old files never re-land") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test",
+      s"t7_recovery_p${ProcessHandle.current().pid()}")
+    graft.ingest.Writers.deleteTree(base)
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: ids 0..99 land exactly once
+    spark.range(100).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 100)
+    // restart with NO new data: checkpoint says everything is processed
+    runOnce()
+    assert(spark.read.parquet(out).count() == 100, "restart duplicated already-landed files")
+    // batch 2 arrives; restart lands ONLY the delta
+    spark.range(100, 150).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 150L), "delta restart lost or duplicated rows")
+  }
+
   test("streaming stateful counts equal plain group counts") {
     val streamed = StreamOps.streamStateful.fn(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
