@@ -95,7 +95,26 @@ object Pipeline {
       managedLocation.foreach(loc => Writers.deleteTree(Paths.get(loc.getPath)))
     }
     spark.sql(ddl)
-    val writer = df.write.mode(SaveMode.Append)
+    // Schema evolution (long-lived ingest pipelines ALWAYS hit drift):
+    //  - columns new in this batch → ALTER TABLE ADD COLUMNS (parquet
+    //    datasource tables support it natively; old rows read NULL),
+    //  - columns the table has but the batch lacks → NULL-filled so the
+    //    by-name append aligns.
+    // Name-based only: a same-name TYPE change is not silently coerced —
+    // the append fails loudly, which is the correct behavior for a
+    // warehouse table (a type flip needs a human decision).
+    val existingNames = spark.table(name).schema.fieldNames.map(_.toLowerCase).toSet
+    val added = df.schema.fields.filterNot(f => existingNames(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS ($colsDdl)")
+    }
+    val batchNames = df.columns.map(_.toLowerCase).toSet
+    val aligned = spark.table(name).schema.fields.foldLeft(df) { (acc, f) =>
+      if (batchNames(f.name.toLowerCase)) acc
+      else acc.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
+    val writer = aligned.write.mode(SaveMode.Append)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .saveAsTable(name)
     spark.table(name)

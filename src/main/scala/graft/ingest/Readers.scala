@@ -60,6 +60,16 @@ object Readers {
     props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
+  /** Schema-evolved parquet read: merge the (possibly drifted) schemas of
+    * every file in the dataset instead of trusting one footer — the read
+    * side of append-time schema evolution ([[Writers.incrementalAppend]]
+    * happily appends a batch with new columns; files written before the
+    * drift then surface the new columns as NULL). mergeSchema costs a
+    * footer read per file, so at 100 TB pin the merged schema once and
+    * read with `schema(...)` thereafter — same rule as CSV inference. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S6b: ORC scan — the other columnar warehouse format Spark ships a
     * native vectorized reader for (predicate pushdown + column pruning,
     * same as parquet). Avro is NOT offered: the spark-avro connector jar

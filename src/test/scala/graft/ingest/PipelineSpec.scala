@@ -73,6 +73,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("loadInto evolves the table schema: new batch columns ALTER in, missing ones null-fill") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_pipeline_evolve")
+    try {
+      // batch 1: (id, v)
+      Pipeline.loadInto(spark, "graft_pipeline_evolve", Seq((1L, "a")).toDF("id", "v"))
+      // batch 2 adds a column the table has never seen
+      Pipeline.loadInto(spark, "graft_pipeline_evolve", Seq((2L, "b", 9.5)).toDF("id", "v", "score"))
+      // batch 3 DROPS a column the table has
+      Pipeline.loadInto(spark, "graft_pipeline_evolve", Seq(3L).toDF("id"))
+      val t = spark.table("graft_pipeline_evolve")
+      assert(t.columns.toSeq == Seq("id", "v", "score"))
+      val rows = t.collect().map(r =>
+        (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, Some("a"), None),        // pre-drift row reads NULL for the new column
+        (2L, Some("b"), Some(9.5)),
+        (3L, None, None),             // short batch null-filled
+      ))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_evolve")
+  }
+
   test("loadTable: partitioned load produces a partition-pruned layout") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
     writeCsv(dir, "p.csv", Seq(

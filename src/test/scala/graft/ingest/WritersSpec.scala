@@ -63,6 +63,22 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
   }
 
+  test("incremental append with an added column reads back whole via parquetMerged") {
+    import spark.implicits._
+    val path = freshDir("incr_evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode(SaveMode.Overwrite).parquet(path)
+    // the next day's extract carries a new column
+    val wm = Writers.incrementalAppend(
+      Seq((3L, "c", 1.5)).toDF("id", "v", "score"), "id", Some(2L), path)
+    assert(wm.contains(3L))
+    // plain read trusts one footer and may miss the new column; the
+    // evolution-aware read surfaces it, NULL for pre-drift files
+    val merged = Readers.parquetMerged(spark, path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.collect().map(r => r.getLong(0) -> Option(r.get(merged.columns.indexOf("score")))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(1.5)))
+  }
+
   test("upsert rejects NULL merge keys with a null-specific message, not 'duplicate key'") {
     import spark.implicits._
     val path = freshDir("upsert_nullkey")
