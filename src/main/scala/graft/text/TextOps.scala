@@ -240,5 +240,172 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality, l4fFingerprint, l4gTokenCount)
+  /** Contiguous word n-grams of `text` as a deduped array column —
+    * shared by the boilerplate and decontamination entries. Tokenizes
+    * once into a materialized column (Catalyst CSE does not reach inside
+    * lambda bodies; l2c documents the same rule). */
+  private def gramArray(n: Int) = {
+    val t = col("toks")
+    array_distinct(
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*),
+      ))
+  }
+
+  /** L4h: C4-style boilerplate detection — phrases (3-grams) appearing in
+    * ≥5 distinct documents are boilerplate; each document reports what
+    * fraction of its distinct phrases is boilerplate (a cleaning pipeline
+    * drops or down-weights high-fraction docs). Shape at 100 TB: explode
+    * grams → groupBy gram (high-cardinality shuffle, partial agg) for the
+    * phrase census; the surviving boilerplate set is rare by definition →
+    * broadcast back against the exploded grams. No collect, no UDF. */
+  val l4hBoilerplate = QueryDef(
+    "l4h_boilerplate",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(gramArray(3)).as("gram"))
+      val boiler = grams.groupBy("gram")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .select(col("gram"), lit(1).as("is_boiler"))
+      grams
+        .join(broadcast(boiler), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          coalesce(sum(col("is_boiler")), lit(0L)).cast("long").as("n_boiler"),
+        )
+        .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), e AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        FROM toks
+      ), boiler AS (
+        SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+      )
+      SELECT e.doc_id,
+        count(*) AS n_grams,
+        CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_frac
+      FROM e LEFT JOIN boiler b ON e.gram = b.gram
+      GROUP BY e.doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** L4i: benchmark decontamination — the training-data hygiene step
+    * every LLM pipeline runs: flag training documents sharing any 4-gram
+    * with a held-out benchmark set (here the bounded doc_id < 50 slice).
+    * Shape at 100 TB: the benchmark gram set is small and FIXED →
+    * broadcast it; the training corpus streams once through explode +
+    * broadcast-semi-join — no all-pairs, no corpus shuffle. Reported per
+    * contaminated doc: how many of its grams hit, and how many distinct
+    * benchmark docs it collides with. */
+  val l4iDecontaminate = QueryDef(
+    "l4i_decontaminate",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), explode(gramArray(4)).as("gram"))
+      val bench = grams.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("bench_id"), col("gram"))
+      val train = grams.filter(col("doc_id") >= 50)
+      train
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          count_distinct(col("bench_id")).as("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+      ), e AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 3),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        FROM toks
+      )
+      SELECT tr.doc_id,
+        count(*) AS n_hits,
+        count(DISTINCT be.doc_id) AS n_bench_docs
+      FROM e tr JOIN e be ON tr.gram = be.gram
+      WHERE tr.doc_id >= 50 AND be.doc_id < 50
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id
+    """.stripMargin.trim),
+  )
+
+  /** L4j: sequence packing — concatenate-then-chunk, exactly how LLM
+    * training assembles context windows: documents are laid end-to-end
+    * in doc_id order and cut into 512-token packs; a doc belongs to the
+    * pack containing its start offset. The global running token offset
+    * uses the same two-pass chunked-cumsum idiom as t4_late_data
+    * (per-chunk window + tiny prefix pass) so no full-corpus
+    * single-partition sort exists at any scale. */
+  val l4jSeqPacking = QueryDef(
+    "l4j_seq_packing",
+    (s, d) => {
+      val PackTokens = 512L
+      val PrefixChunk = 128L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("ntok"))
+        .withColumn("chunk", expr(s"doc_id div $PrefixChunk"))
+      val wLocal = Window.partitionBy("chunk").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wPrefix = Window.orderBy(col("chunk").asc).rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = docs.groupBy("chunk").agg(sum(col("ntok")).as("chunk_tokens"))
+        .withColumn("prefix_before", coalesce(sum(col("chunk_tokens")).over(wPrefix), lit(0L)))
+        .select("chunk", "prefix_before")
+      docs
+        .withColumn("local_before", coalesce(sum(col("ntok")).over(wLocal), lit(0L)))
+        .join(prefix, Seq("chunk"))
+        .withColumn("cum_before", col("local_before") + col("prefix_before"))
+        .withColumn("pack_id", expr(s"cum_before div $PackTokens")) // integer div: no FP floor
+        .groupBy("pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+        )
+        .orderBy("pack_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents
+      ), c AS (
+        SELECT doc_id, ntok,
+          CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM d
+      )
+      SELECT CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        count(*) AS n_docs,
+        CAST(sum(ntok) AS BIGINT) AS pack_tokens,
+        min(doc_id) AS first_doc,
+        max(doc_id) AS last_doc
+      FROM c
+      GROUP BY 1
+      ORDER BY pack_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
+    l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking)
 }

@@ -97,6 +97,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"t4 collapses more than the chunk-maxima pass to one task:\n$p")
   }
 
+  test("l4i: benchmark gram set broadcasts; the training corpus never shuffles for the join") {
+    val p = plan("l4i_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join appeared:\n$p")
+  }
+
+  test("l4j: packing cumsum is chunk-partitioned like t4, one tiny SinglePartition pass") {
+    val p = plan("l4j_seq_packing")
+    assert(p.contains("hashpartitioning(chunk"), s"per-chunk cumsum lost hash partitioning:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"packing collapses more than the chunk-prefix pass:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
