@@ -13,7 +13,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("a1_pricing_summary", "j2_broadcast_join", "j7_multiway_join", "p2_filter_combo", "l3_cosine_topk", "w5_topk_per_group")
+      else Seq("a1_pricing_summary", "j2_broadcast_join", "j7_multiway_join", "p2_filter_combo",
+        "l3_cosine_topk", "w5_topk_per_group", "t4_late_data", "l4i_decontaminate", "l4j_seq_packing")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -37,8 +37,9 @@ class RegistrySpec extends AnyFunSuite with SparkFixture {
     // these mutate session/filesystem state; running twice must give
     // identical results (the driver's Verify and Bench both invoke them
     // in one long-lived process)
-    for (name <- Seq("s2b_ingest_pipeline", "s5_xlsx_ingest", "s7_partitioned_write",
-                     "s8_incremental_append", "stream_t1_tumbling", "stream_t5_dedup")) {
+    for (name <- Seq("s2b_ingest_pipeline", "s4_jdbc_pull", "s5_xlsx_ingest", "s7_partitioned_write",
+                     "s8_incremental_append", "stream_t1_tumbling", "stream_t5_dedup",
+                     "stream_t7_file_sink")) {
       val fn = SparkEntry.queries(name)
       val first = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
       val second = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
