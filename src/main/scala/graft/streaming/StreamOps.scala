@@ -302,6 +302,97 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T8: stream-stream interval join — the canonical two-stream
+    * stateful operator: every `view` is matched with the same user's
+    * `click`s arriving within the next 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both sides,
+    * which is exactly what lets Spark expire join state at 100 TB/day —
+    * without the time bound the state store would grow forever. The raw
+    * matched pairs drain append-mode to the sink; the per-user rollup
+    * happens batch-side on the sink table (multiple chained stateful
+    * operators stay out of one streaming query on purpose). Oracle: the
+    * same interval join in plain SQL. */
+  val streamStreamJoin = QueryDef(
+    "stream_t8_stream_join",
+    (s, d) => {
+      val views = eventStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts2").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts2").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val pairs = views.join(
+        clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      )
+      drain(s, pairs, "graft_stream_t8", OutputMode.Append())
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT v.user_id AS user_id, count(*) AS n_pairs
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+      GROUP BY v.user_id
+      ORDER BY v.user_id
+    """.stripMargin.trim),
+  )
+
+  /** Streaming T9: foreachBatch → keyed MERGE — the production pattern
+    * for landing a streaming aggregate in a keyed warehouse table that
+    * sinks don't natively support: each micro-batch of updated per-user
+    * counts upserts by key via [[graft.ingest.Writers.upsertByKey]]
+    * (same shape as foreachBatch + MERGE INTO on a table format). Update
+    * mode emits only the users a batch touched, so the upsert volume is
+    * O(changed keys), not O(all keys). Oracle: final per-user counts. */
+  val streamForeachUpsert = QueryDef(
+    "stream_t9_foreach_upsert",
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream",
+        s"p${ProcessHandle.current().pid()}",
+        s"t9_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      graft.ingest.Writers.deleteTree(base)
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val key = "spark.sql.shuffle.partitions"
+      val previous = s.conf.getOption(key)
+      s.conf.set(key, "4")
+      try {
+        val counts = eventStream(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+        val q = counts.writeStream
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.ingest.Writers.upsertByKey(batch.sparkSession, out, batch, "user_id")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally previous match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(out).orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
   /** Streaming T6: arbitrary stateful processing — running per-user
     * counters via flatMapGroupsWithState. With AvailableNow over static
     * data the final emitted count per user equals the plain group count,
@@ -334,5 +425,6 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup, streamStateful, streamTws, streamFileSink)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup,
+    streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert)
 }
