@@ -28,7 +28,12 @@ object Skew {
     val salted = big.withColumn("__salt", pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted
-      .join(replicated, Seq(key, "__salt"))
+      // merge hint: salting only exists for the SHUFFLE join path (a
+      // small side that fits in a broadcast would never be salted — you'd
+      // just broadcast it), so pin SMJ rather than letting the planner
+      // broadcast test-sized dims and silently skip the mechanism the
+      // caller asked to exercise
+      .join(replicated.hint("merge"), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

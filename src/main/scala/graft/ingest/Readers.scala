@@ -29,6 +29,43 @@ object Readers {
   def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
     Sanitize(spark.read.option("header", "true").schema(schema).csv(path))
 
+  /** A quarantined CSV load: `good` is the typed, sanitized clean slice;
+    * `rejects` carries each malformed input line verbatim (`raw_line`)
+    * for triage/replay. Call `release()` once both are consumed — the
+    * parsed scan is cached because Spark disallows querying the
+    * corrupt-record column straight off a CSV scan (the cache is also
+    * what makes good+rejects one parse instead of two). */
+  final case class QuarantinedLoad(good: DataFrame, rejects: DataFrame, release: () => Unit)
+
+  /** S2c: CSV read with malformed-row QUARANTINE — an ingest utility must
+    * quantify bad input, not silently null it. PERMISSIVE parsing plus an
+    * explicit corrupt-record column splits the load into (clean rows,
+    * rejected raw lines); the caller lands the rejects next to the table
+    * and alerts on the ratio. One parse pass for both sides. */
+  def csvWithRejects(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+  ): QuarantinedLoad = {
+    val corrupt = "_graft_corrupt"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt, org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt)
+      .csv(path)
+      .persist() // required: corrupt-record column is only queryable off a materialized plan
+    import org.apache.spark.sql.functions.col
+    QuarantinedLoad(
+      good = Sanitize(raw.filter(col(corrupt).isNull).drop(corrupt)),
+      rejects = raw.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw_line")),
+      release = () => { raw.unpersist(); () },
+    )
+  }
+
   /** S3: JSON-lines with inference. */
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     Sanitize(spark.read.json(path))

@@ -390,8 +390,39 @@ object JoinOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** J9: skew-salted shuffle join — the "megacustomer" mitigation
+    * ([[graft.core.Skew.saltedJoin]]): the fact side spreads each key
+    * over 8 deterministic sub-keys, the dim side replicates 8×, the SMJ
+    * runs on (key, salt) so no single task ever owns a whole hot key.
+    * Result is bit-equal to the plain join — which is exactly what the
+    * oracle proves. At test scale the keys aren't skewed; the entry
+    * locks mechanism correctness (and PlanAuditSpec locks the salted
+    * shuffle shape) so the helper is safe to reach for when a real hot
+    * key appears. */
+  val j9SkewSalted = QueryDef(
+    "j9_skew_salted",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), cents("l_extendedprice").as("price_c"))
+      val small = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.core.Skew.saltedJoin(big, small, "suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), unscale(sum(col("price_c")), 2).as("sum_price"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey,
+        count(*) AS n_items,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3RightOuter, j3FullOuter, j4Semi, j4Anti,
-    j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross,
+    j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross, j9SkewSalted,
   )
 }

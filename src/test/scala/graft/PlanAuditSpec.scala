@@ -110,6 +110,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"packing collapses more than the chunk-prefix pass:\n$p")
   }
 
+  test("j9: salted join really shuffles on (key, salt) — broadcast must not defeat the salt") {
+    val p = plan("j9_skew_salted")
+    assert(p.contains("SortMergeJoin"), s"salted join was planned as broadcast (salt is a no-op then):\n$p")
+    assert(p.contains("__salt"), s"salt column missing from the join keys:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

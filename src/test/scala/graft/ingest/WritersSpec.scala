@@ -135,6 +135,28 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).agg(sum(col("id"))).collect().head.getLong(0) == 500500L)
   }
 
+  test("csvWithRejects quarantines malformed rows with their raw lines, keeps clean rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = Paths.get(freshDir("csv_rejects"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("data.csv"), String.join("\n",
+      "id,amount",
+      "1,10.5",
+      "2,notanumber", // type mismatch → reject
+      "3,30.25",
+    ).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+    ))
+    val load = Readers.csvWithRejects(spark, dir.toString, schema)
+    try {
+      assert(load.good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val badLines = load.rejects.collect().map(_.getString(0))
+      assert(badLines.toSeq == Seq("2,notanumber"), "reject must carry the raw line for replay")
+    } finally load.release()
+  }
+
   test("csv reader sanitizes messy headers and infers types") {
     val path = freshDir("csv")
     Files.createDirectories(Paths.get(path))
