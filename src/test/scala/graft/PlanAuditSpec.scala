@@ -112,7 +112,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   test("j9: salted join really shuffles on (key, salt) — broadcast must not defeat the salt") {
     val p = plan("j9_skew_salted")
-    assert(p.contains("SortMergeJoin"), s"salted join was planned as broadcast (salt is a no-op then):\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"salted join was planned as broadcast (salt is a no-op then):\n$p")
     assert(p.contains("__salt"), s"salt column missing from the join keys:\n$p")
   }
 
