@@ -258,5 +258,108 @@ object DedupOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard)
+  /** L2f: dedup CLUSTERING — the step real pipelines run after candidate
+    * generation: near-dup pairs form a graph, connected components give
+    * the clusters, and each cluster keeps one canonical document (the
+    * min id). Components are computed by iterative min-label propagation
+    * — each round every vertex takes the min label among itself and its
+    * neighbors, converging in O(diameter) rounds (the same fixpoint
+    * GraphX/GraphFrames CC computes); each round is one join + one
+    * groupBy on doc_id, the shuffle-scalable shape, and labels are
+    * `localCheckpoint`ed so lineage stays O(1) across rounds (a cluster
+    * deployment checkpoints to reliable storage instead).
+    *
+    * The corpus has no natural near-dups (measured: max same-source
+    * 2-gram Jaccard < 0.15), so overlapping copies are constructed
+    * deterministically: every 2nd doc gets a copy missing its first 10
+    * words, every 4th another missing its first 20. At threshold 0.45
+    * some tail copies connect ONLY via the middle copy — the oracle's
+    * recursive closure and the propagation loop must both walk genuine
+    * multi-hop chains, not just mirror pairwise edges. */
+  val l2fClusters = QueryDef(
+    "l2f_dedup_clusters",
+    (s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      def tailCopy(offset: Long, drop: Int) = base
+        .filter(col("doc_id") % (if (drop == 10) 2 else 4) === 0 && size(col("toks")) >= 30)
+        .select(
+          (col("doc_id") + offset).as("doc_id"),
+          concat_ws(" ", slice(col("toks"), lit(drop + 1), size(col("toks")) - drop)).as("text"))
+      val aug = base.select("doc_id", "text")
+        .unionByName(tailCopy(1000000L, 10))
+        .unionByName(tailCopy(2000000L, 20))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(
+          col("doc_id"),
+          array_distinct(
+            transform(
+              sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)),
+            )).as("grams"))
+        .persist()
+      val lhs = aug.select(col("doc_id").as("a"), col("grams").as("ga"))
+      val rhs = aug.select(col("doc_id").as("b"), col("grams").as("gb"))
+      val undirected = lhs.join(rhs, col("a") < col("b")) // bounded slice: ~150 docs
+        .withColumn("ni", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .filter(col("ni") / (size(col("ga")) + size(col("gb")) - col("ni")) >= 0.45)
+        .select("a", "b")
+      val edges = undirected
+        .unionByName(undirected.select(col("b").as("a"), col("a").as("b")))
+        .persist()
+      var labels = aug.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 15) {
+        val viaNeighbor = edges.join(labels, edges("b") === labels("doc_id"))
+          .select(edges("a").as("doc_id"), col("component"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy("doc_id").agg(min(col("component")).as("component"))
+          .localCheckpoint() // truncate the per-round lineage growth
+        converged = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.component") =!= col("o.component")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      aug.unpersist()
+      edges.unpersist()
+      labels.orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+      ), aug AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[11:], ' ')
+        FROM base WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 30
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(string_split(text, ' ')[21:], ' ')
+        FROM base WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 30
+      ), g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, len(string_split(text, ' ')) - 1),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS grams
+        FROM aug WHERE len(string_split(text, ' ')) >= 2
+      ), e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.45
+      ), ee AS (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+      ), reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM g
+        UNION
+        SELECT reach.src, ee.b FROM reach JOIN ee ON reach.dst = ee.a
+      )
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach
+      GROUP BY src
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard, l2fClusters)
 }

@@ -46,4 +46,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 3L)) == 0.0)
   }
+
+  test("l2f: components walk multi-hop chains and every label is the cluster minimum") {
+    val labels = DedupOps.l2fClusters.fn(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tail copies (offset 2M, missing 20 leading words) must join their
+    // base doc's cluster — for some, only reachable THROUGH the 1M copy
+    // (verified in DuckDB: 12 such chains at this slice), so a pairwise-
+    // only implementation would leave them as singletons
+    val chained = labels.filter { case (id, comp) => id >= 2000000L && comp < 60L }
+    assert(chained.nonEmpty, "no tail copy reached its base cluster — propagation broke")
+    // component labels are canonical minima of their own clusters
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp, s"cluster $comp label is not its min member")
+    }
+  }
 }
