@@ -406,6 +406,47 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4k: deterministic stratified sampling — training-data MIXING: each
+    * language stratum keeps a configured share of its documents. The
+    * selector is `doc_id % 100 < rate` (content-independent, reproducible
+    * on any engine and any partitioning — unlike seeded Bernoulli
+    * sampling, which is partition-layout-dependent), so the mix is
+    * auditable and the oracle exact. At 100 TB this is a scan + filter:
+    * no shuffle until the per-stratum audit aggregate. */
+  val l4kStratifiedSample = QueryDef(
+    "l4k_stratified_sample",
+    (s, d) => {
+      val rate = map(
+        lit("en"), lit(80), lit("de"), lit(50), lit("es"), lit(30),
+        lit("fr"), lit(20), lit("zh"), lit(10))
+      Tables.documents(s, d)
+        .withColumn("keep", (col("doc_id") % 100) < element_at(rate, col("lang")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        )
+        .withColumn("realized_rate", col("n_sampled").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH rated AS (
+        SELECT lang, doc_id,
+          CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'es' THEN 30
+                    WHEN 'fr' THEN 20 WHEN 'zh' THEN 10 END AS rate
+        FROM documents
+      )
+      SELECT lang,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(sum(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS realized_rate
+      FROM rated
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
-    l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking)
+    l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
+    l4kStratifiedSample)
 }

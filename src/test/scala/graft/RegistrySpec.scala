@@ -39,7 +39,7 @@ class RegistrySpec extends AnyFunSuite with SparkFixture {
     // in one long-lived process)
     for (name <- Seq("s2b_ingest_pipeline", "s4_jdbc_pull", "s5_xlsx_ingest", "s7_partitioned_write",
                      "s8_incremental_append", "stream_t1_tumbling", "stream_t5_dedup",
-                     "stream_t7_file_sink")) {
+                     "stream_t7_file_sink", "stream_t9_foreach_upsert", "l2f_dedup_clusters")) {
       val fn = SparkEntry.queries(name)
       val first = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
       val second = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
