@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-WIDE physical-plan sweep: every pure-plan entry is screened
+  * for the two shapes that kill a 100 TB run outright — a cartesian
+  * product and an unjustified collapse of the full input into one task.
+  * PlanAuditSpec locks specific good shapes per entry; this spec is the
+  * catch-all so a NEW entry can't land with a silent scale-killer. */
+class PlanSweepSpec extends AnyFunSuite with SparkFixture {
+
+  /** Entries whose fn executes side effects (writes, streams, Derby,
+    * iterative jobs, model fits) during construction — their plan
+    * properties are locked individually in PlanAuditSpec/their specs. */
+  private val executesOnConstruction: Set[String] = Set(
+    "s2_csv_ingest", "s2b_ingest_pipeline", "s3_json_ingest", "s4_jdbc_pull",
+    "s5_xlsx_ingest", "s6_orc_roundtrip", "s7_partitioned_write", "s8_incremental_append",
+    "l2f_dedup_clusters", "l3d_ivf_ann",
+  )
+
+  /** Entries whose single final/global step legitimately runs in one
+    * task, with the reason; the sweep allows AT MOST ONE SinglePartition
+    * exchange there (the collapsed data is O(groups) or O(k), never the
+    * raw input). */
+  private val globalFinalAllowed: Map[String, String] = Map(
+    "a2_global_agg" -> "global aggregate: partial aggs collapse to one 1-row final",
+    "t4_late_data" -> "prefix pass over per-chunk maxima (1/8192 of input)",
+    "l4j_seq_packing" -> "prefix pass over per-chunk token sums (1/128 of doc count)",
+    "o2_topk" -> "TakeOrderedAndProject final: k rows to the driver",
+    "j2_promo_share" -> "global ratio aggregate (Q14 shape): partial aggs collapse to one 1-row final",
+    "r4_sample" -> "global aggregate over the sampled slice: 1-row final",
+    "r4b_systematic_sample" -> "global aggregate over the systematic slice: 1-row final",
+  )
+
+  test("no registry entry plans a cartesian product or an unjustified single-task collapse") {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !executesOnConstruction(name) && !name.startsWith("stream_")
+    } {
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        problems += s"$name: CartesianProduct in plan"
+      val nSingle = "Exchange SinglePartition".r.findAllIn(plan).size
+      val allowed = if (globalFinalAllowed.contains(name)) 1 else 0
+      if (nSingle > allowed)
+        problems += s"$name: $nSingle SinglePartition exchanges (allowed $allowed)"
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+}
