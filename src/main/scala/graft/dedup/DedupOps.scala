@@ -308,23 +308,36 @@ object DedupOps extends QueryModule {
       val edges = undirected
         .unionByName(undirected.select(col("b").as("a"), col("a").as("b")))
         .persist()
-      var labels = aug.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 15) {
-        val viaNeighbor = edges.join(labels, edges("b") === labels("doc_id"))
-          .select(edges("a").as("doc_id"), col("component"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy("doc_id").agg(min(col("component")).as("component"))
-          .localCheckpoint() // truncate the per-round lineage growth
-        converged = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.component") =!= col("o.component")).isEmpty
-        labels = next
-        rounds += 1
+      // The loop's rounds run EAGERLY (localCheckpoint materializes), so
+      // shuffle width can be pinned to the slice size for their duration
+      // — at 32 session partitions each tiny round paid 32-task overhead
+      // ×(join+groupBy+check) and dominated the entry's wall time. A
+      // full-corpus deployment sizes this to the vertex count instead.
+      val key = "spark.sql.shuffle.partitions"
+      val previous = s.conf.getOption(key)
+      s.conf.set(key, "4")
+      try {
+        var labels = aug.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 15) {
+          val viaNeighbor = edges.join(labels, edges("b") === labels("doc_id"))
+            .select(edges("a").as("doc_id"), col("component"))
+          val next = labels.unionByName(viaNeighbor)
+            .groupBy("doc_id").agg(min(col("component")).as("component"))
+            .localCheckpoint() // truncate the per-round lineage growth
+          converged = next.as("n").join(labels.as("o"), "doc_id")
+            .filter(col("n.component") =!= col("o.component")).isEmpty
+          labels = next
+          rounds += 1
+        }
+        aug.unpersist()
+        edges.unpersist()
+        labels.orderBy("doc_id")
+      } finally previous match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
       }
-      aug.unpersist()
-      edges.unpersist()
-      labels.orderBy("doc_id")
     },
     Some("""
       WITH RECURSIVE base AS (
