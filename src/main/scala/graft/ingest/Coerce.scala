@@ -59,7 +59,7 @@ object Coerce {
         max(length(col(quoted(n)))).as(s"${n}__len"),
       ) ++ candidates.map(t => parses(n, t).as(s"${n}__$t"))
     }
-    val row = df.agg(counters.head, counters.tail: _*).collect().head
+    val row = df.agg(counters.head, counters.tail.toIndexedSeq: _*).collect().head
     def cnt(name: String): Long = row.getAs[Long](name)
     val decisions: Map[String, Option[String]] = stringCols.map { n =>
       val nonNull = cnt(s"${n}__n")
@@ -73,7 +73,7 @@ object Coerce {
         }
       n -> best
     }.toMap
-    df.select(df.columns.map { n =>
+    df.select(df.columns.toIndexedSeq.map { n =>
       decisions.get(n).flatten match {
         case Some(t) => col(quoted(n)).cast(t).as(n)
         case _ => col(quoted(n))
