@@ -294,8 +294,66 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A10: statistical moments — sample stddev and Pearson correlation
+    * computed from EXACT integer moment sums (n, Σx, Σy, Σx², Σy², Σxy
+    * over cent-scaled values, widened to DECIMAL(38,0) because Σx² can
+    * exceed 2^63), with ONE final conversion to double. Built-in
+    * stddev/corr stream Welford-style partial states whose floating-point
+    * merge order varies with partitioning — not reproducible across
+    * engines or even across partition counts; the moments formulation is
+    * a plain partial+final integer aggregate: deterministic, one shuffle
+    * of O(groups), and the identical arithmetic runs on the DuckDB side. */
+  val a10Moments = QueryDef(
+    "a10_stats_moments",
+    (s, d) => {
+      val qc = cents("l_quantity").cast(DecimalType(38, 0))
+      val pc = cents("l_extendedprice").cast(DecimalType(38, 0))
+      val n = col("n")
+      val varQ = (n * col("sqq") - col("sq") * col("sq")).cast("double")
+      val varP = (n * col("spp") - col("sp") * col("sp")).cast("double")
+      val cov = (n * col("sqp") - col("sq") * col("sp")).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc).as("sq"), sum(pc).as("sp"),
+          sum(qc * qc).as("sqq"), sum(pc * pc).as("spp"), sum(qc * pc).as("sqp"),
+        )
+        .select(
+          col("l_returnflag"),
+          n.as("n_rows"),
+          (sqrt(varQ / (n * (n - 1)).cast("double")) / 100.0).as("stddev_qty"),
+          (cov / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+          count(*) AS n,
+          sum(qc) AS sq, sum(pc) AS sp,
+          sum(qc * qc) AS sqq, sum(pc * pc) AS spp, sum(qc * pc) AS sqp
+        FROM (
+          SELECT l_returnflag,
+            CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+          FROM lineitem
+        )
+        GROUP BY l_returnflag
+      )
+      SELECT l_returnflag,
+        n AS n_rows,
+        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty,
+        CAST(n * sqp - sq * sp AS DOUBLE)
+          / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price
+      FROM m
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
+    a10Moments,
   )
 }
