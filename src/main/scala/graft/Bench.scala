@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * double precision (~4 KB) while Spark shutdown threads were still
   * writing to stderr — the driver captures merged/tailed output, and the
   * oversized interleaved line came back `parsed: null` (BENCH_r01.json).
-  * Only the slowest queries are itemized; `value` still sums all of them.
+  * Only the slowest queries are itemized; `value` sums every SUCCESSFUL
+  * run (crashed queries' elapsed time is reported separately as
+  * `failed_sec` so an early crash can't make the total look faster).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,11 +50,20 @@ object Bench {
       q.awaitTermination()
       spark.sql("DROP VIEW IF EXISTS graft_bench_warm")
     }
+    // SPARK_GRAFT_ONLY=a,b,c (dev aid) restricts to the named queries —
+    // resolved here so the warm/calibration steps can be gated on it too.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // IVF index build is fit-once-offline infrastructure (a real deployment
     // constructs the index before serving queries); prewarm the cached
     // quantizer so l3d_ivf_ann times steady-state assignment+probe cost
-    // (round-2 verdict #3), not one-time index construction.
-    graft.similarity.SimilarityOps.warmQuantizer(spark, sfDir)
+    // (round-2 verdict #3), not one-time index construction. Skipped when
+    // a SPARK_GRAFT_ONLY selection doesn't include l3d (a ~3 s fit the
+    // selected queries would never use), and non-fatal: a warm/calibration
+    // failure must not kill the run before the per-query loop, whose
+    // whole point is isolating failures into `failed` per entry.
+    if (only.forall(_.contains("l3d_ivf_ann")))
+      try graft.similarity.SimilarityOps.warmQuantizer(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] quantizer warm failed: ${e.getMessage}") }
     // Calibration probes (round-2 verdict #6): the host's throughput
     // drifts >2× between driver windows (BASELINE.md: 60.4 vs 71.3 s for
     // one commit, 132 s in the worst recorded window), so two fixed-work
@@ -60,17 +71,20 @@ object Bench {
     // can then be normalized against another's before concluding
     // "regression". cal_cpu is pure deterministic compute (no IO);
     // cal_scan is one full parquet scan of the biggest table (IO+decode).
-    def timed(work: => Unit): Double = {
-      val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
-    }
-    val calCpu = timed(spark.range(500000000L).selectExpr("sum(id * 3 + 7)").collect())
-    val calScan = timed(spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("count(*)").collect())
+    // Probes report -1 on failure (e.g. a missing table) rather than
+    // aborting the run; full-registry runs need them, ONLY-filtered dev
+    // runs skip them (single-query timings aren't cross-window
+    // normalized anyway).
+    def timed(work: => Unit): Double =
+      try {
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => System.err.println(s"[bench] probe failed: ${e.getMessage}"); -1.0 }
+    val calCpu = if (only.isEmpty) timed(spark.range(500000000L).selectExpr("sum(id * 3 + 7)").collect()) else -1.0
+    val calScan = if (only.isEmpty) timed(spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("count(*)").collect()) else -1.0
     var failed = List.empty[String]
     // Name-sorted: hash-map iteration order would shuffle which query pays
     // first-use costs (codegen, state-store init) between rounds, making
     // per-query timings incomparable across BENCH_r{N} files.
-    // SPARK_GRAFT_ONLY=a,b,c (dev aid) restricts to the named queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -217,14 +217,7 @@ object DedupOps extends QueryModule {
         .filter(col("doc_id") < 120)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-        .select(
-          col("doc_id"), col("source"),
-          array_distinct(
-            transform(
-              sequence(lit(1), size(col("toks")) - 1),
-              i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)),
-            )).as("grams"),
-        )
+        .select(col("doc_id"), col("source"), Grams.distinctNgrams(col("toks"), 2).as("grams"))
       val a = docs.select(col("doc_id").as("doc_a"), col("source"), col("grams").as("grams_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("grams").as("grams_b"))
       a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
@@ -291,13 +284,7 @@ object DedupOps extends QueryModule {
         .unionByName(tailCopy(2000000L, 20))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-        .select(
-          col("doc_id"),
-          array_distinct(
-            transform(
-              sequence(lit(1), size(col("toks")) - 1),
-              i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)),
-            )).as("grams"))
+        .select(col("doc_id"), Grams.distinctNgrams(col("toks"), 2).as("grams"))
         .persist()
       val lhs = aug.select(col("doc_id").as("a"), col("grams").as("ga"))
       val rhs = aug.select(col("doc_id").as("b"), col("grams").as("gb"))
@@ -313,10 +300,7 @@ object DedupOps extends QueryModule {
       // — at 32 session partitions each tiny round paid 32-task overhead
       // ×(join+groupBy+check) and dominated the entry's wall time. A
       // full-corpus deployment sizes this to the vertex count instead.
-      val key = "spark.sql.shuffle.partitions"
-      val previous = s.conf.getOption(key)
-      s.conf.set(key, "4")
-      try {
+      ScaleOps.withShuffleWidth(s, 4) {
         var labels = aug.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
         var converged = false
         var rounds = 0
@@ -331,12 +315,13 @@ object DedupOps extends QueryModule {
           labels = next
           rounds += 1
         }
+        // a silent cap-out would return mid-propagation (WRONG) labels;
+        // 15 rounds covers any plausible diameter of this graph — fail
+        // loudly if a future slice/threshold change ever exceeds it
+        require(converged, s"l2f: label propagation did not converge in $rounds rounds")
         aug.unpersist()
         edges.unpersist()
         labels.orderBy("doc_id")
-      } finally previous match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     },
     Some("""

@@ -60,11 +60,18 @@ object Pipeline {
   def loadInto(
       spark: SparkSession,
       table: String,
-      df: DataFrame,
+      rawDf: DataFrame,
       partitionBy: Seq[String] = Nil,
       overwrite: Boolean = false,
   ): DataFrame = {
     val name = Sanitize.sanitizeName(table)
+    // Sanitize the batch's column names up front (no-op for the
+    // Readers/loadTable path, which already did): the DDL, the
+    // schema-evolution diff, the ALTER statement, and the by-name append
+    // below all assume warehouse-safe identifiers — a raw name like
+    // "net amount" would otherwise diff as missing and then break (or
+    // double-add) in ALTER TABLE.
+    val df = Sanitize(rawDf)
     // readers sanitize column names, so partition columns are addressed
     // by their sanitized form; require them present so a collision-deduped
     // header (load_date_2) can't silently bind to its neighbor

@@ -322,7 +322,10 @@ object AggOps extends QueryModule {
         .select(
           col("l_returnflag"),
           n.as("n_rows"),
-          (sqrt(varQ / (n * (n - 1)).cast("double")) / 100.0).as("stddev_qty"),
+          // n*(n-1) as DOUBLE×DOUBLE: a long product wraps negative past
+          // ~3e9 rows/group (exactly the scale this entry claims), and a
+          // final-step double multiply is deterministic in both engines
+          (sqrt(varQ / (n.cast("double") * (n - 1).cast("double"))) / 100.0).as("stddev_qty"),
           (cov / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"),
         )
         .orderBy("l_returnflag")
@@ -343,7 +346,7 @@ object AggOps extends QueryModule {
       )
       SELECT l_returnflag,
         n AS n_rows,
-        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty,
+        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0 AS stddev_qty,
         CAST(n * sqp - sq * sp AS DOUBLE)
           / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price
       FROM m

@@ -57,10 +57,7 @@ object StreamOps extends QueryModule {
     * the value is pinned into the checkpoint, which is fresh per drain. */
   private def drain(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val key = "spark.sql.shuffle.partitions"
-    val previous = s.conf.getOption(key)
-    s.conf.set(key, "4")
-    try {
+    ScaleOps.withShuffleWidth(s, 4) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -68,9 +65,6 @@ object StreamOps extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally previous match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
     s.table(name)
   }
@@ -258,30 +252,23 @@ object StreamOps extends QueryModule {
       graft.ingest.Writers.deleteTree(base) // fresh sink+checkpoint per run: deterministic
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
-      def runOnce(): Unit = {
-        val key = "spark.sql.shuffle.partitions"
-        val previous = s.conf.getOption(key)
-        s.conf.set(key, "4") // state-store shard sizing, as in drain()
-        try {
-          val agg = eventStream(s, d)
-            .withWatermark("ts2", "10 minutes")
-            .groupBy(window(col("ts2"), "1 day"), col("event_type"))
-            .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
-            .select(
-              unix_micros(col("window.start")).as("day_start_us"),
-              col("event_type"), col("n_events"), col("sum_value"))
-          val q = agg.writeStream
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode(OutputMode.Append())
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally previous match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      // state-store shard sizing, as in drain()
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val agg = eventStream(s, d)
+          .withWatermark("ts2", "10 minutes")
+          .groupBy(window(col("ts2"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("day_start_us"),
+            col("event_type"), col("n_events"), col("sum_value"))
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
       runOnce() // initial run: lands every watermark-closed window
       runOnce() // checkpoint restart: exactly-once ⇒ lands nothing new
@@ -363,10 +350,7 @@ object StreamOps extends QueryModule {
       graft.ingest.Writers.deleteTree(base)
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
-      val key = "spark.sql.shuffle.partitions"
-      val previous = s.conf.getOption(key)
-      s.conf.set(key, "4")
-      try {
+      ScaleOps.withShuffleWidth(s, 4) {
         val counts = eventStream(s, d)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"))
@@ -379,9 +363,6 @@ object StreamOps extends QueryModule {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally previous match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       s.read.parquet(out).orderBy("user_id")
     },

@@ -240,18 +240,10 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** Contiguous word n-grams of `text` as a deduped array column —
-    * shared by the boilerplate and decontamination entries. Tokenizes
-    * once into a materialized column (Catalyst CSE does not reach inside
-    * lambda bodies; l2c documents the same rule). */
-  private def gramArray(n: Int) = {
-    val t = col("toks")
-    array_distinct(
-      transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*),
-      ))
-  }
+  /** Shared word-n-gram builder over the materialized `toks` column —
+    * one definition for l4h/l4i (and the dedup battery) lives in
+    * [[graft.core.Grams]]. */
+  private def gramArray(n: Int) = Grams.distinctNgrams(col("toks"), n)
 
   /** L4h: C4-style boilerplate detection — phrases (3-grams) appearing in
     * ≥5 distinct documents are boilerplate; each document reports what
@@ -356,27 +348,17 @@ object TextOps extends QueryModule {
     * training assembles context windows: documents are laid end-to-end
     * in doc_id order and cut into 512-token packs; a doc belongs to the
     * pack containing its start offset. The global running token offset
-    * uses the same two-pass chunked-cumsum idiom as t4_late_data
-    * (per-chunk window + tiny prefix pass) so no full-corpus
-    * single-partition sort exists at any scale. */
+    * uses the shared two-pass chunked-cumsum idiom
+    * ([[graft.core.ScaleOps.chunkedPrefix]], same as t4_late_data) so no
+    * full-corpus single-partition sort exists at any scale. */
   val l4jSeqPacking = QueryDef(
     "l4j_seq_packing",
     (s, d) => {
       val PackTokens = 512L
-      val PrefixChunk = 128L
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("ntok"))
-        .withColumn("chunk", expr(s"doc_id div $PrefixChunk"))
-      val wLocal = Window.partitionBy("chunk").orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wPrefix = Window.orderBy(col("chunk").asc).rowsBetween(Window.unboundedPreceding, -1)
-      val prefix = docs.groupBy("chunk").agg(sum(col("ntok")).as("chunk_tokens"))
-        .withColumn("prefix_before", coalesce(sum(col("chunk_tokens")).over(wPrefix), lit(0L)))
-        .select("chunk", "prefix_before")
-      docs
-        .withColumn("local_before", coalesce(sum(col("ntok")).over(wLocal), lit(0L)))
-        .join(prefix, Seq("chunk"))
-        .withColumn("cum_before", col("local_before") + col("prefix_before"))
+      ScaleOps.chunkedPrefix(docs, "doc_id", "ntok", 128L, sum, "local_before", "prefix_before")
+        .withColumn("cum_before", coalesce(col("local_before"), lit(0L)) + coalesce(col("prefix_before"), lit(0L)))
         .withColumn("pack_id", expr(s"cum_before div $PackTokens")) // integer div: no FP floor
         .groupBy("pack_id")
         .agg(

@@ -89,7 +89,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   test("t4: full-table running max is chunk-partitioned; only the chunk maxima hit one task") {
     val p = plan("t4_late_data")
     // pass 1 (per-chunk window over all events) must be hash partitioned
-    assert(p.contains("hashpartitioning(chunk"),
+    assert(p.contains("hashpartitioning(__chunk"),
       s"per-chunk running max lost its hash partitioning:\n$p")
     // the only SinglePartition exchange allowed is the prefix pass over
     // the 1/8192-sized per-chunk maxima (plus none for the final 3-row sort)
@@ -105,7 +105,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   test("l4j: packing cumsum is chunk-partitioned like t4, one tiny SinglePartition pass") {
     val p = plan("l4j_seq_packing")
-    assert(p.contains("hashpartitioning(chunk"), s"per-chunk cumsum lost hash partitioning:\n$p")
+    assert(p.contains("hashpartitioning(__chunk"), s"per-chunk cumsum lost hash partitioning:\n$p")
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       s"packing collapses more than the chunk-prefix pass:\n$p")
   }

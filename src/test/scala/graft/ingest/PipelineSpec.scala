@@ -95,6 +95,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_evolve")
   }
 
+  test("loadInto evolution sanitizes raw batch column names before diff/ALTER") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_pipeline_messy")
+    try {
+      Pipeline.loadInto(spark, "graft_pipeline_messy", Seq((1L, "a")).toDF("id", "Net Amount"))
+      // second batch: same logical column under its RAW name must NOT
+      // double-add or break ALTER; a genuinely new messy name must land sanitized
+      Pipeline.loadInto(spark, "graft_pipeline_messy",
+        Seq((2L, "b", 9.0)).toDF("id", "Net Amount", "Tax-Rate!"))
+      val t = spark.table("graft_pipeline_messy")
+      assert(t.columns.toSeq == Seq("id", "net_amount", "tax_rate"))
+      assert(t.count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_messy")
+  }
+
   test("loadTable: partitioned load produces a partition-pruned layout") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
     writeCsv(dir, "p.csv", Seq(
