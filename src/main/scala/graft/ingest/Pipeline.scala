@@ -96,7 +96,16 @@ object Pipeline {
           val meta = catalog.getTableMetadata(ident)
           if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
             Some(meta.location)
-          else None
+          else {
+            // EXTERNAL: never touch the user's data directory — but a
+            // stale defaultTablePath left by a crashed prior run would
+            // resurface under the recreated MANAGED table, so clean THAT
+            // when it is a different directory than the external location
+            val dtp = catalog.defaultTablePath(ident)
+            if (Paths.get(dtp.getPath).normalize != Paths.get(meta.location.getPath).normalize)
+              Some(dtp)
+            else None
+          }
         } else Some(catalog.defaultTablePath(ident))
       spark.sql(s"DROP TABLE IF EXISTS $name")
       managedLocation.foreach(loc => Writers.deleteTree(Paths.get(loc.getPath)))
@@ -117,6 +126,17 @@ object Pipeline {
       spark.sql(s"ALTER TABLE $name ADD COLUMNS ($colsDdl)")
     }
     val batchNames = df.columns.map(_.toLowerCase).toSet
+    // NULL-fill never applies to the table's PARTITION columns: a batch
+    // missing its partition key must fail loudly (as it did before
+    // schema evolution existed) — null-filling it would silently land
+    // every row in the default partition, invisible to pruned queries.
+    val tablePartCols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .partitionColumnNames
+    val missingPartCols = tablePartCols.filterNot(p => batchNames(p.toLowerCase))
+    require(missingPartCols.isEmpty,
+      s"batch lacks the table's partition column(s): ${missingPartCols.mkString(", ")} " +
+        "(refusing to null-fill a partition key)")
     val aligned = spark.table(name).schema.fields.foldLeft(df) { (acc, f) =>
       if (batchNames(f.name.toLowerCase)) acc
       else acc.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))

@@ -21,24 +21,9 @@ import org.apache.spark.sql.types.TimestampNTZType
   */
 object IngestOps extends QueryModule {
 
-  /** Scratch dir keyed by (entry, sf dir, process) — the pid component
-    * makes concurrent harness processes (and sanitization-aliased sf
-    * paths) collision-free; within one process reruns reuse/overwrite
-    * deterministically. A shutdown hook removes this process's own
-    * subtree so repeated harness runs don't accumulate table copies in
-    * tmp (other processes' p* dirs are never touched — they may be
-    * live). */
-  private val procScratch: java.nio.file.Path =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ingest",
-      s"p${ProcessHandle.current().pid()}")
-
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => Writers.deleteTree(procScratch)))
-
-  private def tmp(name: String, sfDir: String): String = {
-    cleanupHook
-    procScratch.resolve(s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
-  }
+  /** Shared per-process scratch (see [[graft.ingest.Scratch]]). */
+  private def tmp(name: String, sfDir: String): String =
+    graft.ingest.Scratch.dir("ingest", name, sfDir).toString
 
   /** S1: plain parquet scan, full table. */
   val s1Scan = QueryDef(

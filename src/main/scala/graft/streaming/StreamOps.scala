@@ -245,10 +245,7 @@ object StreamOps extends QueryModule {
   val streamFileSink = QueryDef(
     "stream_t7_file_sink",
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream",
-        s"p${ProcessHandle.current().pid()}",
-        s"t7_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      val base = graft.ingest.Scratch.dir("streaming", "t7", d)
       graft.ingest.Writers.deleteTree(base) // fresh sink+checkpoint per run: deterministic
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
@@ -343,10 +340,7 @@ object StreamOps extends QueryModule {
   val streamForeachUpsert = QueryDef(
     "stream_t9_foreach_upsert",
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream",
-        s"p${ProcessHandle.current().pid()}",
-        s"t9_${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      val base = graft.ingest.Scratch.dir("streaming", "t9", d)
       graft.ingest.Writers.deleteTree(base)
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString

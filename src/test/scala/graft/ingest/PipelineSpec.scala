@@ -110,6 +110,22 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_messy")
   }
 
+  test("loadInto refuses to null-fill a partition key (no silent default-partition rows)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_pipeline_partguard")
+    try {
+      Pipeline.loadInto(spark, "graft_pipeline_partguard",
+        Seq((1L, "2024-01-01")).toDF("id", "load_date"), partitionBy = Seq("load_date"))
+      val err = intercept[IllegalArgumentException] {
+        // a later batch missing the partition key must fail loudly, not
+        // land every row in __HIVE_DEFAULT_PARTITION__
+        Pipeline.loadInto(spark, "graft_pipeline_partguard", Seq(2L).toDF("id"))
+      }
+      assert(err.getMessage.contains("load_date"), s"wrong diagnosis: ${err.getMessage}")
+      assert(spark.table("graft_pipeline_partguard").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_partguard")
+  }
+
   test("loadTable: partitioned load produces a partition-pruned layout") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "pipeline_part").toString
     writeCsv(dir, "p.csv", Seq(

@@ -157,6 +157,28 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     } finally load.release()
   }
 
+  test("csvWithRejects also quarantines short and over-long rows (Spark 4 CSV semantics)") {
+    import org.apache.spark.sql.types._
+    val dir = Paths.get(freshDir("csv_rejects_arity"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("data.csv"), String.join("\n",
+      "id,amount",
+      "1,10.5",
+      "2",             // too few columns
+      "3,30.25,extra", // too many columns
+    ).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+    ))
+    val load = Readers.csvWithRejects(spark, dir.toString, schema)
+    try {
+      assert(load.good.collect().map(_.getLong(0)).toSeq == Seq(1L),
+        "arity-mismatched rows must not silently null-fill into the clean slice")
+      assert(load.rejects.collect().map(_.getString(0)).sorted.toSeq == Seq("2", "3,30.25,extra"))
+    } finally load.release()
+  }
+
   test("csv reader sanitizes messy headers and infers types") {
     val path = freshDir("csv")
     Files.createDirectories(Paths.get(path))
