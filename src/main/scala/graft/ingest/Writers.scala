@@ -134,15 +134,14 @@ object Writers {
     * partitions (filter `existing` by the updates' partition values
     * before this call); a real deployment graduates to a table format
     * with transactional MERGE, which this mirrors semantically. */
-  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    // A real MERGE rejects duplicate source keys; silently unioning both
-    // copies would corrupt the keyed dataset's uniqueness invariant. One
-    // extra aggregate job is the price of failing fast. NULL keys are
-    // counted separately: count_distinct ignores them, so without the
-    // third counter a single NULL-key row would surface as a misleading
-    // "duplicate key" failure (and N of them would be indistinguishable
-    // from real duplicates).
+  /** A real MERGE rejects duplicate source keys; silently unioning both
+    * copies would corrupt the keyed dataset's uniqueness invariant. One
+    * extra aggregate job is the price of failing fast. NULL keys are
+    * counted separately: count_distinct ignores them, so without the
+    * third counter a single NULL-key row would surface as a misleading
+    * "duplicate key" failure (and N of them would be indistinguishable
+    * from real duplicates). */
+  private def requireUniqueKeys(op: String, updates: DataFrame, key: String): Unit = {
     val Array(nRows, nKeys, nNullKeys) = updates
       .agg(
         count(lit(1)),
@@ -151,9 +150,14 @@ object Writers {
       ).collect().head
       .toSeq.map(_.asInstanceOf[Long]).toArray
     require(nNullKeys == 0,
-      s"upsertByKey: updates contain $nNullKeys NULL '$key' values — a merge key must be non-null")
+      s"$op: updates contain $nNullKeys NULL '$key' values — a merge key must be non-null")
     require(nRows == nKeys,
-      s"upsertByKey: updates contain duplicate '$key' values ($nRows rows, $nKeys distinct keys)")
+      s"$op: updates contain duplicate '$key' values ($nRows rows, $nKeys distinct keys)")
+  }
+
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    requireUniqueKeys("upsertByKey", updates, key)
     recoverSwap(path) // a crashed prior swap must not read as an empty dataset
     if (!Files.exists(Paths.get(path))) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
@@ -165,6 +169,50 @@ object Writers {
     val tmpPath = path + "__upsert_tmp"
     val writer = merged.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
+    swapIn(path, tmpPath)
+  }
+
+  /** SCD Type-2 apply — dimension HISTORY instead of overwrite: the
+    * stored dim carries (data..., valid_from, valid_to) with the current
+    * version marked valid_to IS NULL. Applying a batch at
+    * `effectiveVersion`:
+    *  - current rows whose key is in the batch are CLOSED
+    *    (valid_to = effectiveVersion),
+    *  - all other rows pass through untouched,
+    *  - batch rows become the new current versions
+    *    (valid_from = effectiveVersion, valid_to = NULL).
+    * One semi + one anti join on the key (the same shuffle class as
+    * MERGE), rewrite via tmp + rename-aside swap. As with upsertByKey, a
+    * real deployment graduates to a table format; the semantics mirror
+    * MERGE ... WHEN MATCHED THEN UPDATE/INSERT history handling. */
+  def scdType2(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      key: String,
+      effectiveVersion: Long,
+  ): Unit = {
+    import java.nio.file.{Files, Paths}
+    requireUniqueKeys("scdType2", updates, key)
+    recoverSwap(path)
+    val stamped = updates
+      .withColumn("valid_from", lit(effectiveVersion))
+      .withColumn("valid_to", lit(null).cast("long"))
+    if (!Files.exists(Paths.get(path))) {
+      stamped.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val keys = updates.select(col(key)).distinct()
+    val current = existing.filter(col("valid_to").isNull)
+    val merged = existing.filter(col("valid_to").isNotNull) // history never changes
+      .unionByName(current.join(keys, Seq(key), "left_anti")) // still current
+      .unionByName(
+        current.join(keys, Seq(key), "left_semi")
+          .withColumn("valid_to", lit(effectiveVersion))) // closed by this batch
+      .unionByName(stamped)
+    val tmpPath = path + "__scd2_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
     swapIn(path, tmpPath)
   }
 

@@ -274,5 +274,95 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s5Xlsx, s6Orc, s7Partitioned, s8Incremental)
+  /** S10: SCD Type-2 dimension history — the versioned-dim semantics of
+    * [[Writers.scdType2]] as a pure oracled query: a deterministic
+    * update batch (every 4th customer switches segment) applied to the
+    * customer dim at version 1000 yields closed old versions, untouched
+    * rows, and new current versions. The three-way split is one semi +
+    * one anti join on the key — the MERGE shuffle class; history rows
+    * are never rewritten. The filesystem variant (tmp+swap rewrite) is
+    * unit-tested in WritersSpec. */
+  val s10Scd2 = QueryDef(
+    "s10_scd2_history",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), concat(lit("NEW_"), col("c_mktsegment")).as("segment"))
+      val keys = updates.select("c_custkey")
+      dim.join(keys, Seq("c_custkey"), "left_anti")
+        .unionByName(
+          dim.join(keys, Seq("c_custkey"), "left_semi")
+            .withColumn("valid_to", lit(1000L)))
+        .unionByName(
+          updates
+            .withColumn("valid_from", lit(1000L))
+            .withColumn("valid_to", lit(null).cast("long")))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""
+      WITH updates AS (
+        SELECT c_custkey, 'NEW_' || c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 4 = 0
+      )
+      SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+      FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT), CAST(1000 AS BIGINT)
+      FROM customer WHERE c_custkey IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT c_custkey, segment, CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM updates
+      ORDER BY c_custkey, valid_from
+    """.stripMargin.trim),
+  )
+
+  /** S11: data-quality gate — all rules in ONE aggregate pass over one
+    * scan ([[graft.ingest.Quality.report]]); the referential rule is
+    * precomputed as a left-anti flag so the report stays single-pass.
+    * The violation mix is deliberate: two rules with real violations,
+    * two clean, so both report paths are exercised. */
+  val s11DqReport = QueryDef(
+    "s11_dq_report",
+    (s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"))
+      val flagged = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+        // broadcast the key set at test scale; at 100 TB this flag comes
+        // from a shuffle semi-join or the FK is enforced upstream
+        .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("order_exists", col("o_orderkey").isNotNull)
+      graft.ingest.Quality.report(flagged, Seq(
+        "quantity_le_30" -> (col("l_quantity") <= 30),
+        "discount_le_0_05" -> (col("l_discount") <= 0.05),
+        "shipdate_present" -> col("l_shipdate").isNotNull,
+        "order_exists" -> col("order_exists"),
+      )).orderBy("rule")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT l.l_quantity, l.l_discount, l.l_shipdate,
+          (o.o_orderkey IS NOT NULL) AS order_exists
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      ), agg AS (
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+          CAST(sum(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+          CAST(sum(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+          CAST(sum(CASE WHEN NOT COALESCE(order_exists, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ord
+        FROM flagged
+      )
+      SELECT 'discount_le_0_05' AS rule, n_rows, v_disc AS n_violations, CAST(v_disc AS DOUBLE) / n_rows AS violation_rate FROM agg
+      UNION ALL SELECT 'order_exists', n_rows, v_ord, CAST(v_ord AS DOUBLE) / n_rows FROM agg
+      UNION ALL SELECT 'quantity_le_30', n_rows, v_qty, CAST(v_qty AS DOUBLE) / n_rows FROM agg
+      UNION ALL SELECT 'shipdate_present', n_rows, v_ship, CAST(v_ship AS DOUBLE) / n_rows FROM agg
+      ORDER BY rule
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s5Xlsx, s6Orc,
+    s7Partitioned, s8Incremental, s10Scd2, s11DqReport)
 }

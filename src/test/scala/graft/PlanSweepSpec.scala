@@ -30,6 +30,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "j2_promo_share" -> "global ratio aggregate (Q14 shape): partial aggs collapse to one 1-row final",
     "r4_sample" -> "global aggregate over the sampled slice: 1-row final",
     "r4b_systematic_sample" -> "global aggregate over the systematic slice: 1-row final",
+    "s11_dq_report" -> "all DQ rule counters collapse to one 1-row aggregate, then stack to long format",
   )
 
   test("no registry entry plans a cartesian product or an unjustified single-task collapse") {

@@ -79,6 +79,33 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(1.5)))
   }
 
+  test("scdType2 closes old versions, preserves history, and stamps new current rows") {
+    import spark.implicits._
+    val path = freshDir("scd2")
+    // version 1: two customers
+    Writers.scdType2(spark, path, Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "tier"), "k", 1L)
+    // version 2: customer 1 changes tier, customer 3 appears
+    Writers.scdType2(spark, path, Seq((1L, "PLATINUM"), (3L, "BRONZE")).toDF("k", "tier"), "k", 2L)
+    // version 3: customer 1 changes AGAIN — v2's row must close, v1's stay closed
+    Writers.scdType2(spark, path, Seq((1L, "VIP")).toDF("k", "tier"), "k", 3L)
+    val rows = spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(r => (r._1, r._3))
+    assert(rows.toSeq == Seq(
+      (1L, "GOLD", 1L, Some(2L)),     // closed by v2
+      (1L, "PLATINUM", 2L, Some(3L)), // closed by v3
+      (1L, "VIP", 3L, None),          // current
+      (2L, "SILVER", 1L, None),       // untouched current
+      (3L, "BRONZE", 2L, None),       // appeared in v2, still current
+    ))
+    // point-in-time query: state as of version 2
+    val asOfV2 = spark.read.parquet(path)
+      .where("valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOfV2 == Map(1L -> "PLATINUM", 2L -> "SILVER", 3L -> "BRONZE"))
+  }
+
   test("upsert rejects NULL merge keys with a null-specific message, not 'duplicate key'") {
     import spark.implicits._
     val path = freshDir("upsert_nullkey")
