@@ -127,13 +127,6 @@ object Writers {
     finally walk.close()
   }
 
-  /** Key-based upsert (MERGE) into a parquet dataset without a table
-    * format: keep-rows = existing ANTI JOIN updates (one shuffle on the
-    * key), union the updates, rewrite via temp dir + rename-aside swap.
-    * At 100 TB a partitioned layout limits the rewrite to touched
-    * partitions (filter `existing` by the updates' partition values
-    * before this call); a real deployment graduates to a table format
-    * with transactional MERGE, which this mirrors semantically. */
   /** A real MERGE rejects duplicate source keys; silently unioning both
     * copies would corrupt the keyed dataset's uniqueness invariant. One
     * extra aggregate job is the price of failing fast. NULL keys are
@@ -155,6 +148,13 @@ object Writers {
       s"$op: updates contain duplicate '$key' values ($nRows rows, $nKeys distinct keys)")
   }
 
+  /** Key-based upsert (MERGE) into a parquet dataset without a table
+    * format: keep-rows = existing ANTI JOIN updates (one shuffle on the
+    * key), union the updates, rewrite via temp dir + rename-aside swap.
+    * At 100 TB a partitioned layout limits the rewrite to touched
+    * partitions (filter `existing` by the updates' partition values
+    * before this call); a real deployment graduates to a table format
+    * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
     import java.nio.file.{Files, Paths}
     requireUniqueKeys("upsertByKey", updates, key)
@@ -202,17 +202,29 @@ object Writers {
       stamped.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
+    val parts = partitionColsOf(path) // preserve a Hive layout, as upsert/compact do
     val existing = spark.read.parquet(path)
-    val keys = updates.select(col(key)).distinct()
-    val current = existing.filter(col("valid_to").isNull)
-    val merged = existing.filter(col("valid_to").isNotNull) // history never changes
-      .unionByName(current.join(keys, Seq(key), "left_anti")) // still current
-      .unionByName(
-        current.join(keys, Seq(key), "left_semi")
-          .withColumn("valid_to", lit(effectiveVersion))) // closed by this batch
+    // Reject out-of-order or replayed applies BEFORE touching anything: a
+    // version ≤ the newest stored one would close current rows with an
+    // earlier bound — inverted/zero-length intervals no as-of query
+    // matches (and a silent wrong answer for point-in-time reads).
+    val newest = existing.agg(max(col("valid_from"))).collect().head
+    require(newest.isNullAt(0) || effectiveVersion > newest.getLong(0),
+      s"scdType2: effectiveVersion $effectiveVersion must exceed the newest stored " +
+        s"version ${newest.get(0)} — out-of-order or replayed apply")
+    // one scan + ONE join: mark matched keys, close matched CURRENT rows,
+    // pass everything else (history + unmatched current) through untouched
+    val keys = updates.select(col(key)).withColumn("__hit", lit(true))
+    val merged = existing.join(keys, Seq(key), "left")
+      .withColumn(
+        "valid_to",
+        when(col("valid_to").isNull && coalesce(col("__hit"), lit(false)), lit(effectiveVersion))
+          .otherwise(col("valid_to")))
+      .drop("__hit")
       .unionByName(stamped)
     val tmpPath = path + "__scd2_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
     swapIn(path, tmpPath)
   }
 

@@ -106,6 +106,34 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(asOfV2 == Map(1L -> "PLATINUM", 2L -> "SILVER", 3L -> "BRONZE"))
   }
 
+  test("scdType2 rejects out-of-order and replayed versions; preserves a Hive layout") {
+    import spark.implicits._
+    val path = freshDir("scd2_guard")
+    Writers.scdType2(spark, path,
+      Seq((1L, "GOLD", "eu"), (2L, "SILVER", "us")).toDF("k", "tier", "region"), "k", 2L)
+    // replay at the SAME version and an EARLIER version must both fail —
+    // closing a current row with version <= its valid_from writes
+    // inverted/zero-length intervals that corrupt point-in-time reads
+    for (bad <- Seq(2L, 1L)) {
+      val err = intercept[IllegalArgumentException] {
+        Writers.scdType2(spark, path, Seq((1L, "X", "eu")).toDF("k", "tier", "region"), "k", bad)
+      }
+      assert(err.getMessage.contains("out-of-order"), s"wrong diagnosis: ${err.getMessage}")
+    }
+    // partitioned layout survives an apply (upsert/compact parity)
+    val partedPath = freshDir("scd2_parts")
+    Seq((1L, "GOLD", "eu", 1L), (2L, "SILVER", "us", 1L))
+      .toDF("k", "tier", "region", "valid_from")
+      .withColumn("valid_to", lit(null).cast("long"))
+      .write.partitionBy("region").parquet(partedPath)
+    Writers.scdType2(spark, partedPath, Seq((1L, "VIP", "eu")).toDF("k", "tier", "region"), "k", 5L)
+    assert(Files.exists(Paths.get(partedPath, "region=eu")),
+      "scdType2 flattened the Hive-partitioned layout")
+    val current = spark.read.parquet(partedPath).where("valid_to IS NULL")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("tier")).toMap
+    assert(current == Map(1L -> "VIP", 2L -> "SILVER"))
+  }
+
   test("upsert rejects NULL merge keys with a null-specific message, not 'duplicate key'") {
     import spark.implicits._
     val path = freshDir("upsert_nullkey")
