@@ -428,7 +428,72 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4l: intra-document repetition signals — the Gopher-family filter
+    * real pre-training pipelines apply: the duplicate-3-gram fraction
+    * (how much of the doc is repeated phrasing) and the top-2-gram share
+    * (how dominated it is by one phrase). dup3 is per-row arithmetic on
+    * the token array (NO shuffle); top2 explodes occurrences and
+    * censuses per (doc, gram) — one high-cardinality shuffle, the same
+    * scalable shape as l4h's phrase census. The flag thresholds give a
+    * deliberate mix at test scale (~110 and ~4 of 500 docs). */
+  val l4lRepetition = QueryDef(
+    "l4l_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 3)
+      val dup3 = docs.select(
+        col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("total3"),
+        size(Grams.distinctNgrams(col("toks"), 3)).cast("long").as("distinct3"))
+      // ALL 2-gram occurrences (not distinct — repetition is the signal)
+      val g2 = docs.select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("gram"))
+      val top2 = g2.groupBy("doc_id", "gram").count()
+        .groupBy("doc_id")
+        .agg(max(col("count")).as("top_cnt"), sum(col("count")).as("total2"))
+      dup3.join(top2, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          ((col("total3") - col("distinct3")).cast("double") / col("total3")).as("dup3_frac"),
+          (col("top_cnt").cast("double") / col("total2")).as("top2_frac"))
+        .withColumn("is_repetitive",
+          (col("dup3_frac") > 0.02 || col("top2_frac") > 0.05).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), g2 AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+      ), top2 AS (
+        SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS total2 FROM (
+          SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+      ), d3 AS (
+        SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS total3,
+          CAST(len(list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS distinct3
+        FROM toks
+      )
+      SELECT d3.doc_id,
+        CAST(total3 - distinct3 AS DOUBLE) / total3 AS dup3_frac,
+        CAST(top_cnt AS DOUBLE) / total2 AS top2_frac,
+        CAST((CAST(total3 - distinct3 AS DOUBLE) / total3 > 0.02)
+          OR (CAST(top_cnt AS DOUBLE) / total2 > 0.05) AS INTEGER) AS is_repetitive
+      FROM d3 JOIN top2 ON d3.doc_id = top2.doc_id
+      ORDER BY d3.doc_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
-    l4kStratifiedSample)
+    l4kStratifiedSample, l4lRepetition)
 }
