@@ -4,7 +4,7 @@ import graft.core._
 import graft.core.Casts._
 import graft.ingest.{Readers, Writers}
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.{Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampNTZType
 
@@ -222,6 +222,59 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S4b: the daily RDBMS→warehouse incremental loop — the composition of
+    * S4 (partitioned JDBC extract) and S8 (high-watermark append) that a
+    * production deployment actually schedules. Day 0 seeds the warehouse
+    * from the database up to a stored watermark; day 1 hands the RAW JDBC
+    * frame plus that watermark to [[Writers.incrementalAppend]], whose
+    * `watermark > last` filter lands on the JDBC relation and is PUSHED
+    * INTO the database query (JdbcSpec locks `PushedFilters` on this
+    * exact composition) — so the daily pull reads only new rows FROM THE
+    * DB, never re-extracting the table. Range bounds for the parallel
+    * extract come from a cheap 1-row min/max pre-query, the production
+    * idiom for sizing a fanned extract. Oracle: the reconstructed
+    * warehouse table must equal the full source dim. */
+  val s4bJdbcIncremental = QueryDef(
+    "s4b_jdbc_incremental",
+    (s, d) => {
+      val url = graft.ingest.Jdbc.derbyUrl(tmp("s4b_derby", d))
+      val whPath = tmp("s4b_wh", d)
+      val customer = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      graft.ingest.Jdbc.load(customer, url, "CUSTOMER")
+      val Row(minKey: Long, maxKey: Long) =
+        customer.agg(min("c_custkey"), max("c_custkey")).collect().head
+      val pull = Readers.jdbcPartitioned(
+        s, url, "CUSTOMER", "c_custkey",
+        lowerBound = minKey, upperBound = maxKey + 1, numPartitions = 4,
+        props = Map("driver" -> graft.ingest.Jdbc.DerbyEmbeddedDriver))
+      // day 0: initial load up to wm0 (filter pushed into the DB query)
+      val wm0 = minKey + (maxKey - minKey) * 2 / 3
+      pull.filter(col("c_custkey") <= wm0).write.mode(SaveMode.Overwrite).parquet(whPath)
+      // day 1: only rows past the stored watermark leave the database
+      val next = Writers.incrementalAppend(pull, "c_custkey", Some(wm0), whPath)
+      require(next.exists(_.asInstanceOf[Long] == maxKey),
+        s"incremental pull must advance the watermark to $maxKey, got $next")
+      s.read.parquet(whPath)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          max(col("c_custkey")).as("max_key"),
+          unscale(sum(cents("c_acctbal")), 2).as("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        count(*) AS n_cust,
+        max(c_custkey) AS max_key,
+        sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim),
+  )
+
   /** S6: ORC round-trip — write the part dim as ORC, scan it back through
     * the native vectorized ORC reader with a pushed filter, prove values
     * survive the format change. Exercises the second columnar
@@ -331,9 +384,12 @@ object IngestOps extends QueryModule {
       val orders = Tables.orders(s, d).select(col("o_orderkey"))
       val flagged = Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
-        // broadcast the key set at test scale; at 100 TB this flag comes
-        // from a shuffle semi-join or the FK is enforced upstream
-        .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"), "left")
+        // UNHINTED join (r3 verdict): orders is a FACT-side key set, so a
+        // pinned broadcast() would ship a multi-GB build side at 100×
+        // scale. Left to the planner, AQE broadcasts while the key set is
+        // under the threshold and falls back to a shuffle join beyond it
+        // — both shapes accepted by PlanAuditSpec.
+        .join(orders, col("l_orderkey") === col("o_orderkey"), "left")
         .withColumn("order_exists", col("o_orderkey").isNotNull)
       graft.ingest.Quality.report(flagged, Seq(
         "quantity_le_30" -> (col("l_quantity") <= 30),
@@ -363,6 +419,6 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s5Xlsx, s6Orc,
-    s7Partitioned, s8Incremental, s10Scd2, s11DqReport)
+  def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
+    s5Xlsx, s6Orc, s7Partitioned, s8Incremental, s10Scd2, s11DqReport)
 }

@@ -116,6 +116,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("__salt"), s"salt column missing from the join keys:\n$p")
   }
 
+  test("s7: reading the partitioned layout back with a status filter prunes to one directory") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val path = graft.ingest.Scratch.dir("test", "s7_prune", sf()).toString
+    graft.ingest.Writers.partitioned(
+      graft.core.Tables.orders(spark, sf()).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      path, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"status filter did not become a partition filter:\n$p")
+    // drive THIS physical plan so its scan metrics populate, then prove
+    // the scan touched only the o_orderstatus=F directory's files
+    plan.execute().count()
+    val scan = plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail(s"no FileSourceScanExec leaf:\n$p"))
+    def parquetFilesUnder(dir: java.nio.file.Path): Long = {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+      finally walk.close()
+    }
+    val fDir = parquetFilesUnder(java.nio.file.Paths.get(path, "o_orderstatus=F"))
+    val all = parquetFilesUnder(java.nio.file.Paths.get(path))
+    assert(fDir > 0 && fDir < all, s"layout not partitioned as expected ($fDir of $all files)")
+    assert(scan.metrics("numFiles").value == fDir,
+      s"scan read ${scan.metrics("numFiles").value} files, expected only the $fDir under o_orderstatus=F")
+  }
+
+  test("s11: referential-flag join is planner-chosen — broadcast when small, shuffle allowed at scale") {
+    // r3 verdict: the orders key set is FACT-side, so the broadcast must
+    // not be pinned in source. Either planner shape is scale-valid; at
+    // test scale AQE/CBO should still pick the broadcast.
+    val p = plan("s11_dq_report")
+    assert(p.contains("o_orderkey"), s"referential join missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no recognizable join shape for the referential flag:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"referential flag degenerated to a nested-loop join:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
