@@ -42,6 +42,17 @@ object ScaleOps {
     * with its aggregate's identity (greatest for max, coalesce+sum for
     * sum). Locked by PlanAuditSpec: hashpartitioning(__chunk...) present,
     * ≤1 SinglePartition exchange.
+    *
+    * CONTRACT: `idCol` values must be UNIQUE — "strictly before me" is
+    * only well-defined under a total order, so duplicate ids make the
+    * rows-frame windows nondeterministic (Spark gives no stable
+    * tie-break). Uniqueness is the caller's invariant (both in-repo
+    * callers key on dense event/doc ids); it is not checked here because
+    * the check would cost a full extra aggregate per call. Negative ids
+    * ARE handled: chunking uses floor division, so negatives land in
+    * their own descending chunks instead of folding into chunk 0 with
+    * the positives (truncating `div` would break the earlier-chunk ⇒
+    * smaller-id invariant the prefix pass depends on).
     */
   def chunkedPrefix(
       df: DataFrame,
@@ -52,7 +63,13 @@ object ScaleOps {
       localName: String,
       prefixName: String,
   ): DataFrame = {
-    val chunked = df.withColumn("__chunk", expr(s"$idCol div $chunkSize"))
+    require(chunkSize > 0, s"chunkedPrefix: chunkSize must be positive, got $chunkSize")
+    // floor division in long arithmetic (no double round-trip — ids past
+    // 2^53 would lose precision): truncating `div` rounds toward zero,
+    // so correct it by one chunk when a negative id has a remainder
+    val chunked = df.withColumn(
+      "__chunk",
+      expr(s"($idCol div $chunkSize) - (CASE WHEN $idCol % $chunkSize < 0 THEN 1 ELSE 0 END)"))
     val wLocal = Window.partitionBy("__chunk").orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPrefix = Window.orderBy(col("__chunk").asc).rowsBetween(Window.unboundedPreceding, -1)

@@ -100,11 +100,19 @@ object Pipeline {
             // EXTERNAL: never touch the user's data directory — but a
             // stale defaultTablePath left by a crashed prior run would
             // resurface under the recreated MANAGED table, so clean THAT
-            // when it is a different directory than the external location
+            // when it is a different directory than the external location.
+            // When the external location IS the defaultTablePath, the two
+            // rules collide: the files must be preserved (DROP semantics)
+            // yet the recreated MANAGED table would silently re-read them
+            // alongside the new batch. No correct overwrite exists — fail
+            // loudly instead of returning old+new rows.
             val dtp = catalog.defaultTablePath(ident)
-            if (Paths.get(dtp.getPath).normalize != Paths.get(meta.location.getPath).normalize)
-              Some(dtp)
-            else None
+            require(Paths.get(dtp.getPath).normalize != Paths.get(meta.location.getPath).normalize,
+              s"loadInto(overwrite=true): EXTERNAL table $name is located at its default " +
+                s"managed path (${meta.location}); overwriting would re-read the preserved " +
+                "files under the recreated managed table. Drop the table (and relocate or " +
+                "remove its data) explicitly, or load with overwrite=false.")
+            Some(dtp)
           }
         } else Some(catalog.defaultTablePath(ident))
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -119,17 +127,13 @@ object Pipeline {
     // Name-based only: a same-name TYPE change is not silently coerced —
     // the append fails loudly, which is the correct behavior for a
     // warehouse table (a type flip needs a human decision).
-    val existingNames = spark.table(name).schema.fieldNames.map(_.toLowerCase).toSet
-    val added = df.schema.fields.filterNot(f => existingNames(f.name.toLowerCase))
-    if (added.nonEmpty) {
-      val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"ALTER TABLE $name ADD COLUMNS ($colsDdl)")
-    }
     val batchNames = df.columns.map(_.toLowerCase).toSet
     // NULL-fill never applies to the table's PARTITION columns: a batch
     // missing its partition key must fail loudly (as it did before
     // schema evolution existed) — null-filling it would silently land
     // every row in the default partition, invisible to pruned queries.
+    // Checked BEFORE the ALTER below (r3 advice): a rejected batch must
+    // leave the table schema untouched, not add its new columns first.
     val tablePartCols = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
       .partitionColumnNames
@@ -137,6 +141,12 @@ object Pipeline {
     require(missingPartCols.isEmpty,
       s"batch lacks the table's partition column(s): ${missingPartCols.mkString(", ")} " +
         "(refusing to null-fill a partition key)")
+    val existingNames = spark.table(name).schema.fieldNames.map(_.toLowerCase).toSet
+    val added = df.schema.fields.filterNot(f => existingNames(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS ($colsDdl)")
+    }
     val aligned = spark.table(name).schema.fields.foldLeft(df) { (acc, f) =>
       if (batchNames(f.name.toLowerCase)) acc
       else acc.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))

@@ -1,5 +1,7 @@
 package graft.ingest
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,29 +66,45 @@ object Writers {
     } finally fresh.unpersist()
   }
 
+  /** Hadoop FS handle for `path` (r3 verdict #3: the rewrite family runs
+    * on `org.apache.hadoop.fs.FileSystem`, not `java.nio.file`, so
+    * MERGE/SCD2/compaction work unchanged on HDFS and object stores).
+    * The active session's hadoopConf carries fs.* settings (credentials,
+    * endpoints); a bare Configuration still resolves local paths for
+    * library use outside a session. */
+  private def fsFor(path: String): (FileSystem, HPath) = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    val p = new HPath(path)
+    (p.getFileSystem(conf), p)
+  }
+
   /** Swap `tmpPath` into `path` with rename-aside. A crash between the
     * two renames leaves the data recoverable in `path__old`;
     * [[recoverSwap]] (called by every entry point before touching the
     * dataset) moves it back, so no state reads as "brand new" after a
-    * partial swap. */
+    * partial swap. On HDFS both renames are atomic metadata ops; on an
+    * object store rename is a copy (O(data)) — there the real fix is a
+    * table format with metadata commits, which this family mirrors
+    * semantically. */
   private def swapIn(path: String, tmpPath: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val target = Paths.get(path)
-    val aside = Paths.get(path + "__old")
-    if (Files.exists(aside)) deleteTree(aside)
-    Files.move(target, aside)
-    Files.move(Paths.get(tmpPath), target)
-    deleteTree(aside)
+    val (fs, target) = fsFor(path)
+    val aside = new HPath(path + "__old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    require(fs.rename(target, aside), s"swapIn: rename $target -> $aside failed")
+    require(fs.rename(new HPath(tmpPath), target), s"swapIn: rename $tmpPath -> $target failed")
+    fs.delete(aside, true)
   }
 
   /** Heal a crashed swap: if the dataset is missing but its rename-aside
     * copy exists, restore it. Returns true if a recovery happened. */
   def recoverSwap(path: String): Boolean = {
-    import java.nio.file.{Files, Paths}
-    val target = Paths.get(path)
-    val aside = Paths.get(path + "__old")
-    if (!Files.exists(target) && Files.exists(aside)) {
-      Files.move(aside, target)
+    val (fs, target) = fsFor(path)
+    val aside = new HPath(path + "__old")
+    if (!fs.exists(target) && fs.exists(aside)) {
+      require(fs.rename(aside, target), s"recoverSwap: rename $aside -> $target failed")
       true
     } else false
   }
@@ -94,31 +112,35 @@ object Writers {
   /** Infer first-level-down Hive partition columns (dir segments shaped
     * `k=v`) so rewrites preserve the layout instead of flattening it. */
   private def partitionColsOf(path: String): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+    val (fs, root) = fsFor(path)
     val cols = scala.collection.mutable.ArrayBuffer.empty[String]
-    var level = Paths.get(path)
-    var continue = Files.isDirectory(level)
+    var level = root
+    var continue = fs.exists(level) && fs.getFileStatus(level).isDirectory
     while (continue) {
-      val subdirs = {
-        val s = Files.list(level)
-        try s.iterator().asScala.filter(Files.isDirectory(_)).toList
-        finally s.close()
-      }
-      val partDirs = subdirs.filter(_.getFileName.toString.contains("="))
-      partDirs.map(_.getFileName.toString.takeWhile(_ != '=')).distinct match {
-        // descend a k=v subdir, NOT subdirs.head — a stray non-partition
-        // directory listed first (Files.list order is unspecified) would
-        // otherwise truncate detection of the deeper partition levels
-        case Seq(one) => cols += one; level = partDirs.head; continue = true
+      val partDirs = fs.listStatus(level)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      partDirs.map(_.getPath.getName.takeWhile(_ != '=')).distinct.toSeq match {
+        // descend a k=v subdir specifically — a stray non-partition
+        // directory must not truncate detection of deeper partition levels
+        case Seq(one) => cols += one; level = partDirs.head.getPath; continue = true
         case _ => continue = false
       }
     }
     cols.toSeq
   }
 
-  /** Recursive delete with the walk stream closed (Files.walk leaks
-    * directory handles otherwise). No-op for a missing path. */
+  /** Recursive delete on the path's Hadoop filesystem. No-op for a
+    * missing path. */
+  def deleteTree(path: String): Unit = {
+    val (fs, p) = fsFor(path)
+    fs.delete(p, true)
+  }
+
+  /** Local-scratch overload (java.nio): kept ONLY for process-local tmp
+    * trees — notably [[Scratch]]'s JVM-shutdown hook, which must not
+    * depend on Hadoop's FileSystem cache (closed by its own shutdown
+    * hook, racing ours). Dataset rewrite paths all use the Hadoop-FS
+    * string form above. */
   def deleteTree(p: java.nio.file.Path): Unit = {
     if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
@@ -156,10 +178,10 @@ object Writers {
     * before this call); a real deployment graduates to a table format
     * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
-    import java.nio.file.{Files, Paths}
     requireUniqueKeys("upsertByKey", updates, key)
     recoverSwap(path) // a crashed prior swap must not read as an empty dataset
-    if (!Files.exists(Paths.get(path))) {
+    val (fs, target) = fsFor(path)
+    if (!fs.exists(target)) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
@@ -192,13 +214,13 @@ object Writers {
       key: String,
       effectiveVersion: Long,
   ): Unit = {
-    import java.nio.file.{Files, Paths}
     requireUniqueKeys("scdType2", updates, key)
     recoverSwap(path)
     val stamped = updates
       .withColumn("valid_from", lit(effectiveVersion))
       .withColumn("valid_to", lit(null).cast("long"))
-    if (!Files.exists(Paths.get(path))) {
+    val (fs, target) = fsFor(path)
+    if (!fs.exists(target)) {
       stamped.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
@@ -234,16 +256,22 @@ object Writers {
     * into ~`targetMB`-sized files (size-based repartition, atomic via
     * temp dir + swap). Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
-      val walk = Files.walk(Paths.get(p))
-      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
-      finally walk.close()
+    // one recursive listing yields both the file count and the byte total
+    // (a FileStatus carries its length — no per-file stat round-trips,
+    // which matters on object stores where each stat is a request)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val (fs, root) = fsFor(p)
+      val it = fs.listFiles(root, true)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) acc += st
+      }
+      acc.toSeq
     }
     recoverSwap(path)
     val before = parquetFiles(path)
-    val totalBytes = before.map(Files.size).sum
+    val totalBytes = before.map(_.getLen).sum
     val nParts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmpPath = path + "__compact_tmp"
     val parts = partitionColsOf(path) // preserve a Hive layout instead of flattening it

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core._
 import graft.core.Casts._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types._
@@ -286,6 +286,77 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T4: the late-data DROP proof (r3 verdict #4) — the one
+    * watermark behavior the other stream entries can't show, because a
+    * single AvailableNow pass over one file never produces an event
+    * behind the watermark. Two checkpointed runs over a growing source
+    * directory:
+    *
+    *  - run 1 sees only events at/after a fixed split instant
+    *    (2024-01-15T00:00Z); its final watermark persists into the
+    *    checkpoint as max(event time) − 10 min, weeks past the split;
+    *  - a second batch of files lands containing ONLY pre-split events —
+    *    every one behind the checkpointed watermark, every day-window
+    *    fully below it;
+    *  - run 2 restarts from the checkpoint and must DROP all of them.
+    *
+    * The sink is the proof: a dropped batch leaves it with exactly the
+    * watermark-closed windows of the run-1 slice; had any late row
+    * survived, its pre-split day window (end << watermark) would emit
+    * immediately in append mode and land extra sink rows — failing the
+    * oracle, which aggregates only the post-split slice with t7's
+    * closed-window cutoff arithmetic. */
+  val streamLateDrop = QueryDef(
+    "stream_t4_late_drop",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t4", d)
+      graft.ingest.Writers.deleteTree(base)
+      val src = base.resolve("src").toString
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val splitNs = 1705276800000000L * 1000L // 2024-01-15T00:00:00Z in parquet nanos
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val agg = s.readStream.schema(eventsSchema).parquet(src)
+          .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts2", "10 minutes")
+          .groupBy(window(col("ts2"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("day_start_us"),
+            col("event_type"), col("n_events"), col("sum_value"))
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.filter(col("ts") >= splitNs).write.mode(SaveMode.Overwrite).parquet(src)
+      runOnce() // watermark climbs to max(ts) − 10 min, weeks past the split
+      ev.filter(col("ts") < splitNs).write.mode(SaveMode.Append).parquet(src)
+      runOnce() // every new event is behind the checkpointed watermark → dropped
+      s.read.parquet(out).orderBy("day_start_us", "event_type")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
+          count(*) AS n_events,
+          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        WHERE epoch_us(ts) >= 1705276800000000
+        GROUP BY 1, 2
+      )
+      SELECT day_start_us, event_type, n_events, sum_value
+      FROM agg
+      WHERE day_start_us + 86400000000 <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
+      ORDER BY day_start_us, event_type
+    """.stripMargin.trim),
+  )
+
   /** Streaming T8: stream-stream interval join — the canonical two-stream
     * stateful operator: every `view` is matched with the same user's
     * `click`s arriving within the next 30 minutes. Both sides carry
@@ -400,6 +471,6 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamDedup,
-    streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert)
+  def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
+    streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert)
 }

@@ -73,6 +73,47 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("loadInto overwrite refuses an EXTERNAL table parked at its default managed path") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_pipeline_extdef")
+    val defPath = Paths.get(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier("graft_pipeline_extdef")).getPath)
+    Writers.deleteTree(defPath)
+    Seq((1L, "keep")).toDF("id", "v").write.parquet(defPath.toString)
+    spark.sql(s"CREATE TABLE graft_pipeline_extdef USING PARQUET LOCATION '$defPath'")
+    try {
+      // DROP must preserve the files (external), but a recreated managed
+      // table at the SAME path would silently re-read them next to the new
+      // batch — loadInto must fail loudly instead of returning old+new
+      val err = intercept[IllegalArgumentException] {
+        Pipeline.loadInto(spark, "graft_pipeline_extdef",
+          Seq((9L, "new")).toDF("id", "v"), overwrite = true)
+      }
+      assert(err.getMessage.contains("default"), s"wrong diagnosis: ${err.getMessage}")
+      // nothing destroyed: table still queryable, data intact
+      assert(spark.table("graft_pipeline_extdef").count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pipeline_extdef")
+      Writers.deleteTree(defPath)
+    }
+  }
+
+  test("a batch that both adds a column and omits the partition key leaves the schema untouched") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_pipeline_partalter")
+    try {
+      Pipeline.loadInto(spark, "graft_pipeline_partalter",
+        Seq((1L, "2024-01-01")).toDF("id", "load_date"), partitionBy = Seq("load_date"))
+      intercept[IllegalArgumentException] {
+        // new column `extra` + missing partition key: the reject must fire
+        // BEFORE the ALTER, or the failed load mutates the table schema
+        Pipeline.loadInto(spark, "graft_pipeline_partalter", Seq((2L, 1.5)).toDF("id", "extra"))
+      }
+      assert(spark.table("graft_pipeline_partalter").columns.toSeq == Seq("id", "load_date"),
+        "rejected batch still ALTERed its new column into the table")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pipeline_partalter")
+  }
+
   test("loadInto evolves the table schema: new batch columns ALTER in, missing ones null-fill") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_pipeline_evolve")

@@ -49,6 +49,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids.toSeq == (0L until 150L), "delta restart lost or duplicated rows")
   }
 
+  test("t4: events behind the checkpointed watermark are dropped, not aggregated") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val splitUs = 1705276800000000L // the entry's 2024-01-15T00:00Z split
+    // precondition: the late batch is non-empty, or the proof is vacuous
+    val late = graft.core.Tables.events(spark, sf())
+      .filter(expr("ts div 1000") < splitUs).count()
+    assert(late > 0, "fixture has no pre-split events; the drop proof tests nothing")
+    val out = StreamOps.streamLateDrop.fn(spark, sf())
+    assert(out.count() > 0, "sink is empty — no watermark-closed windows landed")
+    // had any late event survived, its pre-split day window (end far below
+    // the watermark) would emit immediately in append mode
+    assert(out.filter(col("day_start_us") < splitUs).count() == 0,
+      "a pre-split window reached the sink: late data was aggregated instead of dropped")
+  }
+
   test("streaming stateful counts equal plain group counts") {
     val streamed = StreamOps.streamStateful.fn(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
