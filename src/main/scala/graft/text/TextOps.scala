@@ -500,7 +500,118 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4m: PII scrubbing — the redaction pass every pre-training pipeline
+    * runs before text leaves the ingest tier. The corpus is synthetic
+    * word soup with no real PII, so the entry INJECTS a deterministic
+    * email/phone/IP per document (same arithmetic both engines), then
+    * scrubs with character-class regexes valid in both Java regex
+    * (Spark) and RE2 (DuckDB), and reports per-source match counts plus
+    * the post-scrub byte total (proving the replacements, not just the
+    * counts, agree). Shape at 100 TB: pure per-row projection — no
+    * shuffle until the small per-source rollup; regex work stays inside
+    * whole-stage codegen. */
+  val l4mPiiScrub = QueryDef(
+    "l4m_pii_scrub",
+    (s, d) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val raw = Tables.documents(s, d)
+        .withColumn("raw", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".77")))
+      // IP before phone: both are digit runs, but disjoint by the dot/dash
+      // shapes; email first so its host part can't be half-eaten by the IP
+      // pattern's digit classes
+      val clean = raw
+        .withColumn("n_email", regexp_count(col("raw"), lit(emailRe)))
+        .withColumn("n_phone", regexp_count(col("raw"), lit(phoneRe)))
+        .withColumn("n_ip", regexp_count(col("raw"), lit(ipRe)))
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            phoneRe, "<PHONE>"))
+      clean.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast("long").as("emails_found"),
+          sum(col("n_phone")).cast("long").as("phones_found"),
+          sum(col("n_ip")).cast("long").as("ips_found"),
+          sum(length(col("scrubbed"))).cast("long").as("clean_chars"),
+        )
+        .orderBy("source")
+    },
+    Some("""
+      WITH injected AS (
+        SELECT source,
+          concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or 555-',
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+            ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.77') AS raw
+        FROM documents
+      ), scrubbed AS (
+        SELECT source,
+          len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+          len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS n_phone,
+          len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+        FROM injected
+      )
+      SELECT source,
+        count(*) AS n_docs,
+        CAST(sum(n_email) AS BIGINT) AS emails_found,
+        CAST(sum(n_phone) AS BIGINT) AS phones_found,
+        CAST(sum(n_ip) AS BIGINT) AS ips_found,
+        CAST(sum(len(clean)) AS BIGINT) AS clean_chars
+      FROM scrubbed
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim),
+  )
+
+  /** L4n: content-hash split assignment — deterministic train/val/test
+    * partitioning keyed on md5(text), the content-stable idiom real
+    * pipelines use so (a) reruns and re-crawls land each document in the
+    * same split and (b) EXACT duplicates can never straddle the
+    * train/test boundary (the subtle leak a row-number split causes).
+    * First hex nibble of the digest: 0–b train (12/16), c–d val, e–f
+    * test. md5 is identical in Spark and DuckDB, so the assignment
+    * itself is what the oracle replays. Per-row hash + tiny rollup — no
+    * wide shuffle at any scale. */
+  val l4nHashSplit = QueryDef(
+    "l4n_hash_split",
+    (s, d) => {
+      val nibble = substring(md5(col("text")), 1, 1)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(nibble <= "b", "train").when(nibble <= "d", "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT lang,
+          CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+               WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents
+      )
+      SELECT split, lang, count(*) AS n_docs
+      FROM assigned
+      GROUP BY split, lang
+      ORDER BY split, lang
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
-    l4kStratifiedSample, l4lRepetition)
+    l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit)
 }
