@@ -116,7 +116,9 @@ object Pipeline {
           }
         } else Some(catalog.defaultTablePath(ident))
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      managedLocation.foreach(loc => Writers.deleteTree(Paths.get(loc.getPath)))
+      // full URI, Hadoop-FS delete: the warehouse dir may be HDFS/object
+      // storage, where a java.nio path would silently delete nothing
+      managedLocation.foreach(loc => Writers.deleteTree(loc.toString))
     }
     spark.sql(ddl)
     // Schema evolution (long-lived ingest pipelines ALWAYS hit drift):

@@ -89,8 +89,8 @@ object Writers {
     * object store rename is a copy (O(data)) — there the real fix is a
     * table format with metadata commits, which this family mirrors
     * semantically. */
-  private def swapIn(path: String, tmpPath: String): Unit = {
-    val (fs, target) = fsFor(path)
+  private def swapIn(fs: FileSystem, path: String, tmpPath: String): Unit = {
+    val target = new HPath(path)
     val aside = new HPath(path + "__old")
     if (fs.exists(aside)) fs.delete(aside, true)
     require(fs.rename(target, aside), s"swapIn: rename $target -> $aside failed")
@@ -98,10 +98,8 @@ object Writers {
     fs.delete(aside, true)
   }
 
-  /** Heal a crashed swap: if the dataset is missing but its rename-aside
-    * copy exists, restore it. Returns true if a recovery happened. */
-  def recoverSwap(path: String): Boolean = {
-    val (fs, target) = fsFor(path)
+  private def recoverSwap(fs: FileSystem, path: String): Boolean = {
+    val target = new HPath(path)
     val aside = new HPath(path + "__old")
     if (!fs.exists(target) && fs.exists(aside)) {
       require(fs.rename(aside, target), s"recoverSwap: rename $aside -> $target failed")
@@ -109,12 +107,15 @@ object Writers {
     } else false
   }
 
+  /** Heal a crashed swap: if the dataset is missing but its rename-aside
+    * copy exists, restore it. Returns true if a recovery happened. */
+  def recoverSwap(path: String): Boolean = recoverSwap(fsFor(path)._1, path)
+
   /** Infer first-level-down Hive partition columns (dir segments shaped
     * `k=v`) so rewrites preserve the layout instead of flattening it. */
-  private def partitionColsOf(path: String): Seq[String] = {
-    val (fs, root) = fsFor(path)
+  private def partitionColsOf(fs: FileSystem, path: String): Seq[String] = {
     val cols = scala.collection.mutable.ArrayBuffer.empty[String]
-    var level = root
+    var level = new HPath(path)
     var continue = fs.exists(level) && fs.getFileStatus(level).isDirectory
     while (continue) {
       val partDirs = fs.listStatus(level)
@@ -129,8 +130,11 @@ object Writers {
     cols.toSeq
   }
 
-  /** Recursive delete on the path's Hadoop filesystem. No-op for a
-    * missing path. */
+  /** Recursive delete on the path's Hadoop filesystem (accepts a URI
+    * with scheme, e.g. a catalog table location). No-op for a missing
+    * path. Used by [[Pipeline.loadInto]] for warehouse-dir cleanup —
+    * which may live on HDFS/object storage — while the rewrite family
+    * below deletes through its already-resolved FileSystem handle. */
   def deleteTree(path: String): Unit = {
     val (fs, p) = fsFor(path)
     fs.delete(p, true)
@@ -139,8 +143,7 @@ object Writers {
   /** Local-scratch overload (java.nio): kept ONLY for process-local tmp
     * trees — notably [[Scratch]]'s JVM-shutdown hook, which must not
     * depend on Hadoop's FileSystem cache (closed by its own shutdown
-    * hook, racing ours). Dataset rewrite paths all use the Hadoop-FS
-    * string form above. */
+    * hook, racing ours). */
   def deleteTree(p: java.nio.file.Path): Unit = {
     if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
@@ -179,19 +182,19 @@ object Writers {
     * with transactional MERGE, which this mirrors semantically. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
     requireUniqueKeys("upsertByKey", updates, key)
-    recoverSwap(path) // a crashed prior swap must not read as an empty dataset
-    val (fs, target) = fsFor(path)
+    val (fs, target) = fsFor(path) // resolved ONCE; every FS op below reuses it
+    recoverSwap(fs, path) // a crashed prior swap must not read as an empty dataset
     if (!fs.exists(target)) {
       updates.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val parts = partitionColsOf(path)
+    val parts = partitionColsOf(fs, path)
     val existing = spark.read.parquet(path)
     val merged = existing.join(updates, Seq(key), "left_anti").unionByName(updates)
     val tmpPath = path + "__upsert_tmp"
     val writer = merged.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
-    swapIn(path, tmpPath)
+    swapIn(fs, path, tmpPath)
   }
 
   /** SCD Type-2 apply — dimension HISTORY instead of overwrite: the
@@ -215,16 +218,16 @@ object Writers {
       effectiveVersion: Long,
   ): Unit = {
     requireUniqueKeys("scdType2", updates, key)
-    recoverSwap(path)
+    val (fs, target) = fsFor(path)
+    recoverSwap(fs, path)
     val stamped = updates
       .withColumn("valid_from", lit(effectiveVersion))
       .withColumn("valid_to", lit(null).cast("long"))
-    val (fs, target) = fsFor(path)
     if (!fs.exists(target)) {
       stamped.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val parts = partitionColsOf(path) // preserve a Hive layout, as upsert/compact do
+    val parts = partitionColsOf(fs, path) // preserve a Hive layout, as upsert/compact do
     val existing = spark.read.parquet(path)
     // Reject out-of-order or replayed applies BEFORE touching anything: a
     // version ≤ the newest stored one would close current rows with an
@@ -247,7 +250,7 @@ object Writers {
     val tmpPath = path + "__scd2_tmp"
     val writer = merged.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
-    swapIn(path, tmpPath)
+    swapIn(fs, path, tmpPath)
   }
 
   /** Small-file compaction — streaming/incremental ingestion leaves many
@@ -259,9 +262,9 @@ object Writers {
     // one recursive listing yields both the file count and the byte total
     // (a FileStatus carries its length — no per-file stat round-trips,
     // which matters on object stores where each stat is a request)
+    val (fs, _) = fsFor(path)
     def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val (fs, root) = fsFor(p)
-      val it = fs.listFiles(root, true)
+      val it = fs.listFiles(new HPath(p), true)
       val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val st = it.next()
@@ -269,15 +272,15 @@ object Writers {
       }
       acc.toSeq
     }
-    recoverSwap(path)
+    recoverSwap(fs, path)
     val before = parquetFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nParts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmpPath = path + "__compact_tmp"
-    val parts = partitionColsOf(path) // preserve a Hive layout instead of flattening it
+    val parts = partitionColsOf(fs, path) // preserve a Hive layout instead of flattening it
     val writer = spark.read.parquet(path).repartition(nParts).write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmpPath)
-    swapIn(path, tmpPath)
+    swapIn(fs, path, tmpPath)
     (before.size, parquetFiles(path).size)
   }
 }

@@ -516,7 +516,11 @@ object TextOps extends QueryModule {
       val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phoneRe = "\\b555-[0-9]{4}\\b"
       val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      // NULL-text guard in BOTH engines: Spark's concat is NULL-absorbing
+      // while DuckDB's concat skips NULL arguments, so an unguarded NULL
+      // row would inject on one side only and break the oracle
       val raw = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .withColumn("raw", concat(
           col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
@@ -552,6 +556,7 @@ object TextOps extends QueryModule {
             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
             ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.77') AS raw
         FROM documents
+        WHERE text IS NOT NULL
       ), scrubbed AS (
         SELECT source,
           len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
