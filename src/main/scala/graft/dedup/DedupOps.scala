@@ -359,5 +359,127 @@ object DedupOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard, l2fClusters)
+  /** L2g: INCREMENTAL dedup — the daily-ingestion loop production corpora
+    * actually run: a small new batch is checked against the already-clean
+    * corpus WITHOUT re-processing the corpus pairwise. Two tiers, exactly
+    * as deployed systems stage them:
+    *  1. exact tier — md5 equi-join batch↔corpus (hash-keyed shuffle or
+    *     broadcast, planner's pick): catches byte-identical re-deliveries
+    *     for the cost of one join;
+    *  2. near tier — only the exact-survivors are Jaccard-verified
+    *     against the corpus, blocked on `source` (the same bounded-
+    *     blocking precedent as l2c; at unbounded scale the block key is
+    *     an LSH band as in l2, so the batch never meets the whole
+    *     corpus). Batch ≪ corpus is the defining property of the daily
+    *     loop, so the corpus streams ONCE and the small batch side is
+    *     broadcast-eligible.
+    * The batch is constructed deterministically (fresh docs + exact
+    * re-deliveries + first-10-words-dropped re-crawls, l2f's proven copy
+    * idiom) so every verdict path — exact_dup / near_dup / new — is
+    * exercised and the whole decision table is DuckDB-oracled, including
+    * the best-match id and its Jaccard. */
+  val l2gIncremental = QueryDef(
+    "l2g_incremental_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+      val corpus = base
+        .filter(col("doc_id") >= 100 && col("doc_id") < 400 && size(col("toks")) >= 30)
+        .select(col("doc_id").as("corpus_id"), col("source"), col("text"), col("toks"))
+      val fresh = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 30000).as("batch_id"), col("source"), col("text"))
+      val redelivered = corpus.filter(col("corpus_id") % 7 === 0)
+        .select((col("corpus_id") + 20000).as("batch_id"), col("source"), col("text"))
+      val recrawled = corpus.filter(col("corpus_id") % 5 === 0)
+        .select((col("corpus_id") + 10000).as("batch_id"), col("source"),
+          concat_ws(" ", slice(col("toks"), lit(11), size(col("toks")) - 10)).as("text"))
+      // fixed-size slices (corpus 300 docs, batch ≤ ~160) — recomputing the
+      // batch subtree inside one plan is cheaper than a cache round-trip
+      val batch = fresh.unionByName(redelivered).unionByName(recrawled)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("batch_id"), col("source"), md5(col("text")).as("h"),
+          Grams.distinctNgrams(col("toks"), 2).as("grams"))
+      val corpusIdx = corpus
+        .select(col("corpus_id"), col("source"), md5(col("text")).as("ch"),
+          Grams.distinctNgrams(col("toks"), 2).as("cgrams"))
+      val exact = batch.join(corpusIdx, col("h") === col("ch"))
+        .groupBy("batch_id").agg(min(col("corpus_id")).as("exact_id"))
+      val scored = batch.join(exact, Seq("batch_id"), "left_anti")
+        .join(corpusIdx, Seq("source"))
+        .withColumn("n_inter", size(array_intersect(col("grams"), col("cgrams"))).cast("long"))
+        .filter(col("n_inter") > 0)
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (size(col("grams")) + size(col("cgrams")) - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+      val w = Window.partitionBy("batch_id").orderBy(col("jaccard").desc, col("corpus_id").asc)
+      val near = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("batch_id"), col("corpus_id").as("near_id"), col("jaccard"))
+      batch.select("batch_id")
+        .join(exact, Seq("batch_id"), "left")
+        .join(near, Seq("batch_id"), "left")
+        .withColumn("verdict",
+          when(col("exact_id").isNotNull, "exact_dup")
+            .when(col("near_id").isNotNull, "near_dup")
+            .otherwise("new"))
+        .withColumn("match_id", coalesce(col("exact_id"), col("near_id")))
+        .select("batch_id", "verdict", "match_id", "jaccard")
+        .orderBy("batch_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id AS corpus_id, source, text
+        FROM documents
+        WHERE doc_id >= 100 AND doc_id < 400 AND len(string_split(text, ' ')) >= 30
+      ), batch AS (
+        SELECT doc_id + 30000 AS batch_id, source, text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT corpus_id + 20000, source, text FROM corpus WHERE corpus_id % 7 = 0
+        UNION ALL
+        SELECT corpus_id + 10000, source,
+          array_to_string(string_split(text, ' ')[11:], ' ')
+        FROM corpus WHERE corpus_id % 5 = 0
+      ), bg AS (
+        SELECT batch_id, source, md5(text) AS h,
+          list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS grams
+        FROM batch WHERE len(string_split(text, ' ')) >= 2
+      ), cg AS (
+        SELECT corpus_id, source, md5(text) AS ch,
+          list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS cgrams
+        FROM corpus
+      ), exact AS (
+        SELECT batch_id, min(corpus_id) AS exact_id
+        FROM bg JOIN cg ON bg.h = cg.ch GROUP BY batch_id
+      ), scored AS (
+        SELECT bg.batch_id, cg.corpus_id,
+          CAST(len(list_intersect(grams, cgrams)) AS DOUBLE)
+            / (len(grams) + len(cgrams) - len(list_intersect(grams, cgrams))) AS jaccard
+        FROM bg JOIN cg ON bg.source = cg.source
+        WHERE bg.batch_id NOT IN (SELECT batch_id FROM exact)
+          AND len(list_intersect(grams, cgrams)) > 0
+      ), near AS (
+        SELECT batch_id, corpus_id AS near_id, jaccard FROM (
+          SELECT *, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id ASC) AS rn
+          FROM scored WHERE jaccard >= 0.5
+        ) WHERE rn = 1
+      )
+      SELECT b.batch_id,
+        CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+             WHEN n.near_id IS NOT NULL THEN 'near_dup'
+             ELSE 'new' END AS verdict,
+        COALESCE(e.exact_id, n.near_id) AS match_id,
+        n.jaccard AS jaccard
+      FROM bg b
+      LEFT JOIN exact e ON b.batch_id = e.batch_id
+      LEFT JOIN near n ON b.batch_id = n.batch_id
+      ORDER BY b.batch_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard,
+    l2fClusters, l2gIncremental)
 }

@@ -61,4 +61,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(members.keys.min == comp, s"cluster $comp label is not its min member")
     }
   }
+
+  test("l2g: every re-delivery is exact_dup, every re-crawl near_dup with its own source, fresh docs are new") {
+    val rows = DedupOps.l2gIncremental.fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach {
+      case (id, verdict, matchId) if id >= 30000 =>
+        assert(verdict == "new", s"fresh doc $id misclassified as $verdict (match $matchId)")
+      case (id, verdict, matchId) if id >= 20000 =>
+        assert(verdict == "exact_dup" && matchId == id - 20000,
+          s"re-delivery $id should be exact_dup of ${id - 20000}, got $verdict/$matchId")
+      case (id, verdict, matchId) =>
+        assert(verdict == "near_dup" && matchId == id - 10000,
+          s"re-crawl $id should be near_dup of ${id - 10000}, got $verdict/$matchId")
+    }
+  }
 }
