@@ -158,6 +158,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"referential flag degenerated to a nested-loop join:\n$p")
   }
 
+  test("l4m: NULL-text guard pushes to the parquet scan; only 3 columns read") {
+    val p = plan("l4m_pii_scrub")
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(text)"),
+      s"null-text filter did not reach the scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("n_chars") && !read.contains("lang"),
+      s"unreferenced column scanned: $read")
+  }
+
+  test("l2g: both dedup tiers are equi-joins — no nested-loop fallback anywhere") {
+    val p = plan("l2g_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degenerated to a nested-loop shape:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
