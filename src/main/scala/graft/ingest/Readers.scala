@@ -109,10 +109,27 @@ object Readers {
 
   /** S6b: ORC scan — the other columnar warehouse format Spark ships a
     * native vectorized reader for (predicate pushdown + column pruning,
-    * same as parquet). Avro is NOT offered: the spark-avro connector jar
-    * is absent from this environment's classpath. */
+    * same as parquet). */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Avro source/sink, via the fully-qualified format class: Spark 4.1
+    * bundles `org.apache.spark.sql.avro.AvroFileFormat` inside spark-sql
+    * but does not register the short "avro" alias (the connector remains
+    * an "external module" by packaging). The FQCN reaches the same
+    * reader/writer, so the row-oriented interchange format the reference
+    * ecosystem ships (Avro) round-trips end-to-end here — schema
+    * embedded per file, splittable container, the standard landing
+    * format between Kafka and a warehouse. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
+  /** S12: XML ingest — Spark 4 ships the XML source natively (rowTag
+    * splits records; inference types leaf values). Same sanitize rule as
+    * CSV/JSON; same pin-the-schema advice at scale. */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    Sanitize(spark.read.option("rowTag", rowTag).format("xml").load(path))
 
   // S5 (spreadsheets) has a self-contained reader in graft.ingest.Xlsx
   // (zip+XML over Spark binaryFile — parallel across workbooks).

@@ -278,7 +278,7 @@ object IngestOps extends QueryModule {
   /** S6: ORC round-trip — write the part dim as ORC, scan it back through
     * the native vectorized ORC reader with a pushed filter, prove values
     * survive the format change. Exercises the second columnar
-    * source/sink (Avro has no connector jar in this environment). */
+    * source/sink (the row-oriented third format, Avro, is s6c). */
   val s6Orc = QueryDef(
     "s6_orc_roundtrip",
     (s, d) => {
@@ -296,6 +296,70 @@ object IngestOps extends QueryModule {
       FROM part
       WHERE p_size >= 25
       ORDER BY p_partkey
+    """.stripMargin.trim),
+  )
+
+  /** S6c: Avro round-trip — the row-oriented interchange format (the
+    * standard Kafka→warehouse landing format; schema embedded per file,
+    * splittable). Spark 4.1 bundles the Avro FileFormat but not its
+    * short alias, so [[Readers.AvroFormat]] addresses it by class name —
+    * see Readers for the packaging note. Write the supplier dim as
+    * Avro, read it back with a filter, prove values survive. Avro is a
+    * row format: no column pruning or predicate pushdown at the file
+    * level (the filter runs in Spark) — which is exactly why the
+    * warehouse layout converts to parquet/ORC on landing (S6/S6b). */
+  val s6cAvro = QueryDef(
+    "s6c_avro_roundtrip",
+    (s, d) => {
+      val path = tmp("s6c_avro", d)
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode(SaveMode.Overwrite).format(Readers.AvroFormat).save(path)
+      Readers.avro(s, path)
+        .filter(col("s_nationkey") < 13)
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          unscale(cents("s_acctbal"), 2).as("acctbal"),
+        )
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        CAST(round(s_acctbal * 100) AS BIGINT) / 100.0 AS acctbal
+      FROM supplier
+      WHERE s_nationkey < 13
+      ORDER BY s_suppkey
+    """.stripMargin.trim),
+  )
+
+  /** S12: XML ingest — the remaining raw format an ingest utility meets
+    * in the wild (exports from legacy systems). Round-trip the nation
+    * dim through Spark 4's native XML source: rowTag record splitting,
+    * leaf-type inference, then the same sanitize+cast discipline as
+    * CSV. Bounded dims are XML's realistic scale; a 100 TB corpus would
+    * never land as XML, but the reader is splittable per file anyway. */
+  val s12Xml = QueryDef(
+    "s12_xml_ingest",
+    (s, d) => {
+      val path = tmp("s12_xml", d)
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode(SaveMode.Overwrite).option("rowTag", "nation").format("xml").save(path)
+      Readers.xml(s, path, rowTag = "nation")
+        .select(
+          col("n_nationkey").cast("long").as("nation_key"),
+          col("n_name").as("nation_name"),
+          col("n_regionkey").cast("long").as("region_key"),
+        )
+        .orderBy("nation_key")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS nation_name,
+        CAST(n_regionkey AS BIGINT) AS region_key
+      FROM nation
+      ORDER BY nation_key
     """.stripMargin.trim),
   )
 
@@ -420,5 +484,5 @@ object IngestOps extends QueryModule {
   )
 
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
-    s5Xlsx, s6Orc, s7Partitioned, s8Incremental, s10Scd2, s11DqReport)
+    s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml)
 }
