@@ -371,8 +371,10 @@ object DedupOps extends QueryModule {
     *     blocking precedent as l2c; at unbounded scale the block key is
     *     an LSH band as in l2, so the batch never meets the whole
     *     corpus). Batch ≪ corpus is the defining property of the daily
-    *     loop, so the corpus streams ONCE and the small batch side is
-    *     broadcast-eligible.
+    *     loop: each tier streams the corpus once (two passes total — one
+    *     per join key, hash then block; a deployment that must not pay
+    *     the second scan persists the corpus index) and the small batch
+    *     side stays broadcast-eligible in both.
     * The batch is constructed deterministically (fresh docs + exact
     * re-deliveries + first-10-words-dropped re-crawls, l2f's proven copy
     * idiom) so every verdict path — exact_dup / near_dup / new — is
