@@ -98,5 +98,8 @@ object VectorFunctions {
 /** SparkSessionExtensions entry point registering graft's native
   * functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = VectorFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    VectorFunctions.inject(ext)
+    TextFunctions.inject(ext)
+  }
 }

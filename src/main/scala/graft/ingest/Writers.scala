@@ -22,13 +22,22 @@ object Writers {
     * 100 TB this converts the dominant repeated shuffle into a one-time
     * write cost. Requires saveAsTable (bucket metadata lives in the
     * catalog). */
-  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit = {
+    // A fresh metastore over a reused warehouse dir (each harness JVM
+    // rebuilds the catalog; spark-warehouse persists) makes saveAsTable
+    // fail with LOCATION_ALREADY_EXISTS — same stale-location hazard
+    // Pipeline.loadInto handles: drop the entry, then the orphan dir.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteTree(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)).toString)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** S8: incremental (high-watermark) append — only rows strictly past
     * the last loaded watermark are appended; the predicate pushes down to

@@ -421,8 +421,46 @@ object JoinOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** J10: bucketed co-located fact↔fact join — the storage-level answer to
+    * "this join shuffles 100 TB every night". Both sides are written as
+    * bucketed tables on the join key with the same bucket count
+    * ([[graft.ingest.Writers.bucketed]]); matching hash-partitioned
+    * layouts mean the SortMergeJoin reads bucket i against bucket i with
+    * ZERO Exchange on the join keys (PlanAuditSpec locks that shape with
+    * broadcast disabled). The write cost is paid once; every subsequent
+    * join of the pair is shuffle-free — at 100 TB that converts the
+    * dominant recurring shuffle into a one-time layout decision, exactly
+    * what warehouse bucketing exists for. The oracle replays the same
+    * join from the raw parquet: bucketing must change the plan, never
+    * the answer. */
+  val j10Bucketed = QueryDef(
+    "j10_bucketed_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), cents("l_extendedprice").as("price_c"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ingest.Writers.bucketed(li, "graft_j10_lineitem", "l_orderkey", 8)
+      graft.ingest.Writers.bucketed(ord, "graft_j10_orders", "o_orderkey", 8)
+      s.table("graft_j10_lineitem")
+        .join(s.table("graft_j10_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), unscale(sum(col("price_c")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        count(*) AS n_items,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3RightOuter, j3FullOuter, j4Semi, j4Anti,
     j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross, j9SkewSalted,
+    j10Bucketed,
   )
 }

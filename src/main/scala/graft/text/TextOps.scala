@@ -616,7 +616,122 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4o: Unicode NFC normalization — the step every dedup/hash stage
+    * (L1, L2, l4n) silently depends on: a decomposed "e"+U+0301 and a
+    * composed "é" are byte-different but the same text, so an
+    * unnormalized corpus under-dedups. The corpus here is ASCII, so (as
+    * with l4m's PII) the decomposed input is INJECTED deterministically
+    * on both sides — every 'e' becomes 'e'+COMBINING ACUTE — and the
+    * Spark side normalizes through the native codegen expression
+    * [[graft.functions.NfcNormalize]] while DuckDB replays it with its
+    * builtin `nfc_normalize`. Code-point counts before/after prove real
+    * composition happened (pre > post for any doc containing 'e').
+    * Per-row map — no shuffle at any scale; the ASCII fast path in the
+    * expression makes the 100 TB common case allocation-free. */
+  val l4oUnicodeNfc = QueryDef(
+    "l4o_unicode_nfc",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("raw", regexp_replace(col("text"), "e", "e\u0301"))
+        .withColumn("text_nfc", expr("graft_nfc(raw)"))
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("pre_cp"),
+          length(col("text_nfc")).cast("long").as("post_cp"),
+          substring(col("text_nfc"), 1, 48).as("sample"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH denorm AS (
+        SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+        FROM documents
+        WHERE text IS NOT NULL
+      ), norm AS (
+        SELECT doc_id, raw, nfc_normalize(raw) AS text_nfc FROM denorm
+      )
+      SELECT doc_id,
+        length(raw) AS pre_cp,
+        length(text_nfc) AS post_cp,
+        substr(text_nfc, 1, 48) AS sample
+      FROM norm
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  /** L4p: URL canonicalization + per-domain census — the first stage of
+    * web-corpus dedup (two crawls of the same page differ only in
+    * scheme/host case, default port, tracking params). The corpus has no
+    * URL column, so (l4m idiom) a messy URL is derived deterministically
+    * from (source, doc_id) on both sides; the canonicalizer then
+    * lowercases scheme+authority, strips `www.`, the `:443` default
+    * port, every `utm_*` tracking param, and the dangling `?`/`&`/`/`
+    * left behind. No regex group references — Java (`$1`) and RE2
+    * (`\\1`) disagree on syntax, so the chain is written to never need
+    * one. Per-row maps + one count shuffle keyed by domain: the
+    * all-domains census is exactly how crawl pipelines pick blocklist
+    * candidates, and the shape is linear at any corpus size. */
+  val l4pUrlCanonical = QueryDef(
+    "l4p_url_canonical",
+    (s, d) => {
+      val messy = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
+        col("doc_id"), lit("/?utm_source=feed&id="), col("doc_id"), lit("&utm_campaign=mix"))
+      val authority = regexp_extract(col("url"), "^[a-zA-Z]+://[^/]*", 0)
+      val rest = col("url").substr(length(authority) + 1, lit(1 << 20))
+      val canon0 = concat(lower(authority), rest)
+      Tables.documents(s, d)
+        .withColumn("url", messy)
+        .withColumn("c", canon0)
+        .withColumn("c", regexp_replace(col("c"), "://www\\.", "://"))
+        .withColumn("c", regexp_replace(col("c"), ":443/", "/"))
+        .withColumn("c", regexp_replace(col("c"), "utm_[a-z]+=[^&]*&", ""))
+        .withColumn("c", regexp_replace(col("c"), "[?&]utm_[a-z]+=[^&]*$", ""))
+        .withColumn("c", regexp_replace(col("c"), "/\\?", "?"))
+        .withColumn("domain", regexp_extract(col("c"), "://([^/:?]+)", 1))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("c")).as("first_url"),
+        )
+        .orderBy("domain")
+    },
+    Some("""
+      WITH urls AS (
+        SELECT doc_id,
+          concat('HTTPS://WWW.', upper(source), '.Example.COM:443/docs/',
+                 CAST(doc_id AS VARCHAR), '/?utm_source=feed&id=',
+                 CAST(doc_id AS VARCHAR), '&utm_campaign=mix') AS url
+        FROM documents
+      ), canon AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    concat(lower(regexp_extract(url, '^[a-zA-Z]+://[^/]*')),
+                           substr(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/]*')) + 1)),
+                    '://www\.', '://'),
+                  ':443/', '/'),
+                'utm_[a-z]+=[^&]*&', '', 'g'),
+              '[?&]utm_[a-z]+=[^&]*$', ''),
+            '/\?', '?') AS c
+        FROM urls
+      )
+      SELECT regexp_extract(c, '://([^/:?]+)', 1) AS domain,
+        count(*) AS n_docs,
+        min(c) AS first_url
+      FROM canon
+      GROUP BY domain
+      ORDER BY domain
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
-    l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit)
+    l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit, l4oUnicodeNfc,
+    l4pUrlCanonical)
 }

@@ -175,6 +175,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"incremental dedup degenerated to a nested-loop shape:\n$p")
   }
 
+  test("j10: the graded bucketed join runs shuffle-free on the join keys") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      val df = SparkEntry.queries("j10_bucketed_join")(spark, sf())
+      df.count() // finalize AQE so the executed join shape is real
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = root.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a SortMergeJoin in:\n$root")
+      joins.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"bucketed join still shuffles its inputs:\n$j")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_j10_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_j10_orders")
+    }
+  }
+
+  test("l4o: graft_nfc stays inside whole-stage codegen") {
+    // Asserted on the bare projection shape: AQE wraps the entry's
+    // post-shuffle fragment in query stages whose string form hides the
+    // codegen spans, but the claim that matters — the expression is
+    // codegen-capable and does NOT force a CodegenFallback project — is
+    // exactly this scan+project stage (the 100 TB hot path).
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    graft.functions.TextFunctions.register(spark)
+    val proj = graft.core.Tables.documents(spark, sf())
+      .selectExpr("graft_nfc(text) AS n")
+    val spans = proj.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }
+    assert(spans.exists(_.toString.contains("graft_nfc")),
+      s"graft_nfc not inside any WholeStageCodegen span:\n${proj.queryExecution.executedPlan}")
+    // and the entry itself plans with the native expression, no UDF shim
+    val p = plan("l4o_unicode_nfc")
+    assert(p.contains("graft_nfc"), s"native expression missing from entry plan:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
