@@ -483,6 +483,49 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S13: small-file compaction — the maintenance pass every long-lived
+    * ingest dataset needs: streaming/incremental appends (S8/S9) land one
+    * small file per trigger per partition, and a year of that turns a
+    * 100 TB table into hundreds of millions of files whose per-file open
+    * cost dominates every scan. The entry simulates the degraded state
+    * (48-way tiny write), runs [[Writers.compact]] (single recursive
+    * listing sizes the target partition count; atomic swap-in), and
+    * `require`s the file count actually dropped — the mechanism is
+    * asserted in-entry because file counts are not SQL-observable. The
+    * oracle then proves compaction preserved the DATA bit-for-bit: the
+    * same aggregate over the source table. */
+  val s13Compaction = QueryDef(
+    "s13_compaction",
+    (s, d) => {
+      val dir = tmp("s13_compact", d)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(48)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val (before, after) = Writers.compact(s, dir, targetMB = 128)
+      require(after < before,
+        s"compaction did not reduce the file count: $before -> $after")
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_key"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        min(o_orderkey) AS first_key,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
-    s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml)
+    s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
+    s13Compaction)
 }

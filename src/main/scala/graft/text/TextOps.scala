@@ -665,32 +665,24 @@ object TextOps extends QueryModule {
     * web-corpus dedup (two crawls of the same page differ only in
     * scheme/host case, default port, tracking params). The corpus has no
     * URL column, so (l4m idiom) a messy URL is derived deterministically
-    * from (source, doc_id) on both sides; the canonicalizer then
-    * lowercases scheme+authority, strips `www.`, the `:443` default
-    * port, every `utm_*` tracking param, and the dangling `?`/`&`/`/`
-    * left behind. No regex group references — Java (`$1`) and RE2
-    * (`\\1`) disagree on syntax, so the chain is written to never need
-    * one. Per-row maps + one count shuffle keyed by domain: the
-    * all-domains census is exactly how crawl pipelines pick blocklist
-    * candidates, and the shape is linear at any corpus size. */
+    * from (source, doc_id) on both sides; [[Urls.canonicalize]] is the
+    * library surface (lowercase scheme+authority, strip `www.`, default
+    * ports, every `utm_*` param, dangling separators — edge cases in
+    * UrlsSpec) and the oracle mirrors its chain step-for-step with RE2
+    * `\1` references where Spark uses Java `$1`. Per-row maps + one
+    * count shuffle keyed by domain: the all-domains census is exactly
+    * how crawl pipelines pick blocklist candidates, and the shape is
+    * linear at any corpus size. */
   val l4pUrlCanonical = QueryDef(
     "l4p_url_canonical",
     (s, d) => {
       val messy = concat(
         lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
         col("doc_id"), lit("/?utm_source=feed&id="), col("doc_id"), lit("&utm_campaign=mix"))
-      val authority = regexp_extract(col("url"), "^[a-zA-Z]+://[^/]*", 0)
-      val rest = col("url").substr(length(authority) + 1, lit(1 << 20))
-      val canon0 = concat(lower(authority), rest)
       Tables.documents(s, d)
         .withColumn("url", messy)
-        .withColumn("c", canon0)
-        .withColumn("c", regexp_replace(col("c"), "://www\\.", "://"))
-        .withColumn("c", regexp_replace(col("c"), ":443/", "/"))
-        .withColumn("c", regexp_replace(col("c"), "utm_[a-z]+=[^&]*&", ""))
-        .withColumn("c", regexp_replace(col("c"), "[?&]utm_[a-z]+=[^&]*$", ""))
-        .withColumn("c", regexp_replace(col("c"), "/\\?", "?"))
-        .withColumn("domain", regexp_extract(col("c"), "://([^/:?]+)", 1))
+        .withColumn("c", Urls.canonicalize(col("url")))
+        .withColumn("domain", Urls.domain(col("c")))
         .groupBy("domain")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -705,26 +697,40 @@ object TextOps extends QueryModule {
                  CAST(doc_id AS VARCHAR), '/?utm_source=feed&id=',
                  CAST(doc_id AS VARCHAR), '&utm_campaign=mix') AS url
         FROM documents
-      ), canon AS (
+      ), lowered AS (
+        SELECT doc_id,
+          concat(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')),
+                 substr(url, length(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1)) AS c
+        FROM urls
+      ), nowww AS (
+        SELECT doc_id, regexp_replace(c, '^(https?://)www\.', '\1') AS c FROM lowered
+      ), noport AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(c, '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2'),
+            '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2') AS c
+        FROM nowww
+      ), noutm AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(c, '(?:utm_[A-Za-z_]+=[^&#]*&)+', '', 'g'),
+            '[?&]utm_[A-Za-z_]+=[^&#]*', '') AS c
+        FROM noport
+      ), clean AS (
         SELECT doc_id,
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    concat(lower(regexp_extract(url, '^[a-zA-Z]+://[^/]*')),
-                           substr(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/]*')) + 1)),
-                    '://www\.', '://'),
-                  ':443/', '/'),
-                'utm_[a-z]+=[^&]*&', '', 'g'),
-              '[?&]utm_[a-z]+=[^&]*$', ''),
-            '/\?', '?') AS c
-        FROM urls
+                regexp_replace(c, '/([?#])', '\1'),
+                '\?#', '#'),
+              '\?$', ''),
+            '/$', '') AS c
+        FROM noutm
       )
-      SELECT regexp_extract(c, '://([^/:?]+)', 1) AS domain,
+      SELECT regexp_extract(c, '://([^/:?#]+)', 1) AS domain,
         count(*) AS n_docs,
         min(c) AS first_url
-      FROM canon
+      FROM clean
       GROUP BY domain
       ORDER BY domain
     """.stripMargin.trim),

@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlsSpec extends AnyFunSuite with SparkFixture {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+  }
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canon("HTTPS://ExAmPle.COM/Path/File.HTML") ==
+      Seq("https://example.com/Path/File.HTML"))
+  }
+
+  test("www and default ports strip; nonstandard port survives") {
+    assert(canon(
+      "https://www.example.com/a",
+      "https://example.com:443/a",
+      "http://example.com:80/a",
+      "http://example.com:8080/a",   // NOT a default port
+      "https://example.com:443",     // port at end of authority, no path
+    ) == Seq(
+      "https://example.com/a",
+      "https://example.com/a",
+      "http://example.com/a",
+      "http://example.com:8080/a",
+      "https://example.com",
+    ))
+  }
+
+  test("443 only strips for https, 80 only for http") {
+    assert(canon("http://example.com:443/a", "https://example.com:80/a") ==
+      Seq("http://example.com:443/a", "https://example.com:80/a"))
+  }
+
+  test("utm params drop wherever they sit; other params survive in order") {
+    assert(canon(
+      "https://example.com/a?utm_source=x&id=1",
+      "https://example.com/a?id=1&utm_source=x",
+      "https://example.com/a?utm_a=1&utm_b=2&id=3&utm_c=4",
+      "https://example.com/a?utm_only=1",
+    ) == Seq(
+      "https://example.com/a?id=1",
+      "https://example.com/a?id=1",
+      "https://example.com/a?id=3",
+      "https://example.com/a",
+    ))
+  }
+
+  test("dangling separators clean up; fragments survive") {
+    assert(canon(
+      "https://example.com/a/?id=1",   // trailing path slash before query
+      "https://example.com/a/",        // bare trailing slash
+      "https://example.com/a?utm_x=1#frag", // utm removal leaves ?#
+    ) == Seq(
+      "https://example.com/a?id=1",
+      "https://example.com/a",
+      "https://example.com/a#frag",
+    ))
+  }
+
+  test("equivalence classes collapse: every spelling of one page hashes equal") {
+    val spellings = canon(
+      "HTTPS://WWW.Example.COM:443/docs/1/?utm_source=feed&id=1&utm_campaign=x",
+      "https://example.com/docs/1?id=1",
+      "https://www.example.com/docs/1/?id=1&utm_medium=mail",
+    )
+    assert(spellings.distinct.size == 1, s"did not collapse: $spellings")
+  }
+
+  test("domain extracts the bare host") {
+    import spark.implicits._
+    val d = Seq("https://sub.example.com/a?x=1", "http://example.com:8080/b")
+      .toDF("c").select(Urls.domain(col("c")).as("d")).as[String].collect().toSeq
+    assert(d == Seq("sub.example.com", "example.com"))
+  }
+}
