@@ -25,12 +25,30 @@ object Writers {
   def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit = {
     // A fresh metastore over a reused warehouse dir (each harness JVM
     // rebuilds the catalog; spark-warehouse persists) makes saveAsTable
-    // fail with LOCATION_ALREADY_EXISTS — same stale-location hazard
-    // Pipeline.loadInto handles: drop the entry, then the orphan dir.
+    // fail with LOCATION_ALREADY_EXISTS. Same hazard — and same rules —
+    // as Pipeline.loadInto's overwrite path: only a MANAGED location (or
+    // an orphaned default path with no catalog entry) may be deleted;
+    // an EXTERNAL table's data is preserved by DROP on purpose, so
+    // recreating a managed table over it must fail loudly, not delete it.
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    deleteTree(spark.sessionState.catalog
-      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)).toString)
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val dtp = catalog.defaultTablePath(ident)
+    if (catalog.tableExists(ident)) {
+      val meta = catalog.getTableMetadata(ident)
+      if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED) {
+        spark.sql(s"DROP TABLE $table")
+        deleteTree(meta.location.toString)
+      } else {
+        require(java.nio.file.Paths.get(dtp.getPath).normalize !=
+            java.nio.file.Paths.get(meta.location.getPath).normalize,
+          s"bucketed: EXTERNAL table $table sits at its default managed path " +
+            s"(${meta.location}); rebucketing over it would destroy preserved data. " +
+            "Drop the table and relocate its data explicitly first.")
+        spark.sql(s"DROP TABLE $table") // external: directory preserved
+        deleteTree(dtp.toString)        // only the would-be managed path
+      }
+    } else deleteTree(dtp.toString)     // orphan dir from a dead metastore
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)

@@ -707,27 +707,27 @@ object TextOps extends QueryModule {
       ), noport AS (
         SELECT doc_id,
           regexp_replace(
-            regexp_replace(c, '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2'),
-            '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2') AS c
+            regexp_replace(c, '^(https://[^/?#]*):443(/|\?|#|$)', '\1\2'),
+            '^(http://[^/?#]*):80(/|\?|#|$)', '\1\2') AS c
         FROM nowww
       ), noutm AS (
         SELECT doc_id,
           regexp_replace(
-            regexp_replace(c, '(?:utm_[A-Za-z_]+=[^&#]*&)+', '', 'g'),
-            '[?&]utm_[A-Za-z_]+=[^&#]*', '') AS c
+            regexp_replace(c, '([?&])(?:utm_[A-Za-z_]+=[^&#]*&)+', '\1', 'g'),
+            '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g') AS c
         FROM noport
       ), clean AS (
         SELECT doc_id,
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(c, '/([?#])', '\1'),
-                '\?#', '#'),
+                regexp_replace(c, '/([?#])', '\1', 'g'),
+                '\?#', '#', 'g'),
               '\?$', ''),
             '/$', '') AS c
         FROM noutm
       )
-      SELECT regexp_extract(c, '://([^/:?#]+)', 1) AS domain,
+      SELECT regexp_extract(c, '://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS domain,
         count(*) AS n_docs,
         min(c) AS first_url
       FROM clean

@@ -33,14 +33,18 @@ object Urls {
     val lowered = concat(lower(authority), url.substr(length(authority) + 1, lit(1 << 20)))
     val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
     // default port: match the boundary char (or end) and restore it —
-    // RE2-portable alternative to a lookahead
+    // RE2-portable alternative to a lookahead. `[^/?#]*` (not `[^/:?#]+`)
+    // lets the authority carry userinfo (`user:pass@host`): greedy match
+    // + the required boundary pins `:443` to the PORT position only.
     val noPort = regexp_replace(
-      regexp_replace(noWww, "^(https://[^/:?#]+):443(/|\\?|#|$)", "$1$2"),
-      "^(http://[^/:?#]+):80(/|\\?|#|$)", "$1$2")
-    // a RUN of utm params each followed by & collapses in one match;
-    // a trailing utm param (followed by # or end) drops with its separator
+      regexp_replace(noWww, "^(https://[^/?#]*):443(/|\\?|#|$)", "$1$2"),
+      "^(http://[^/?#]*):80(/|\\?|#|$)", "$1$2")
+    // a RUN of utm params each followed by & collapses in one match —
+    // anchored to the [?&] separator so `xutm_a=1` (a NON-tracking param
+    // that merely contains the substring) is never touched; a trailing
+    // utm param (followed by # or end) drops with its separator
     val noUtm = regexp_replace(
-      regexp_replace(noPort, "(?:utm_[A-Za-z_]+=[^&#]*&)+", ""),
+      regexp_replace(noPort, "([?&])(?:utm_[A-Za-z_]+=[^&#]*&)+", "$1"),
       "[?&]utm_[A-Za-z_]+=[^&#]*", "")
     // dangling separators the removals can leave behind; '/' directly
     // before '?'/'#' is treated as a path terminator (a literal '/#'
@@ -50,8 +54,9 @@ object Urls {
   }
 
   /** Registrable host of an already-canonicalized URL (no port — the
-    * canonical form has stripped defaults; explicit nonstandard ports are
-    * excluded from the domain key on purpose: one census row per host). */
+    * canonical form has stripped defaults; explicit nonstandard ports and
+    * any `user:pass@` userinfo are excluded from the domain key on
+    * purpose: one census row per host). */
   def domain(canonical: Column): Column =
-    regexp_extract(canonical, "://([^/:?#]+)", 1)
+    regexp_extract(canonical, "://(?:[^/?#@]*@)?([^/:?#]+)", 1)
 }

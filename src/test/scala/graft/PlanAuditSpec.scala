@@ -176,21 +176,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("j10: the graded bucketed join runs shuffle-free on the join keys") {
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // materialized AQE stages are LEAF wrappers — plain collect() stops at
+    // them, so walk through QueryStageExec.plan explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
     try {
       val df = SparkEntry.queries("j10_bucketed_join")(spark, sf())
-      df.count() // finalize AQE so the executed join shape is real
+      // execute df ITSELF (not a derived count() — that plans a separate
+      // QueryExecution) so df's own AdaptiveSparkPlanExec finalizes and
+      // the assertion sees the adaptively-EXECUTED join shape, not the
+      // initial plan
+      df.collect()
       val root = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-      val joins = root.collect { case j: SortMergeJoinExec => j }
+      val joins = flatten(root).collect { case j: SortMergeJoinExec => j }
       assert(joins.nonEmpty, s"expected a SortMergeJoin in:\n$root")
       joins.foreach { j =>
-        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        val shuffles = j.children.flatMap(flatten).collect { case e: ShuffleExchangeExec => e }
         assert(shuffles.isEmpty,
           s"bucketed join still shuffles its inputs:\n$j")
       }

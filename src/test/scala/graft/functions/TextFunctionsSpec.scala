@@ -30,21 +30,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("interpreted and codegen paths agree on every corpus document") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
     TextFunctions.register(spark)
     val denorm = graft.core.Tables.documents(spark, sf())
       .filter(col("text").isNotNull)
       .withColumn("raw", regexp_replace(col("text"), "e", "e\u0301"))
     // codegen path: normal DataFrame execution (whole-stage codegen on)
     val viaCodegen = denorm.selectExpr("doc_id", "graft_nfc(raw) AS n")
-    // interpreted path: evaluate the expression directly per row
+    // interpreted path: the EXPRESSION's eval() per row \u2014 exercises the
+    // real nullSafeEval cast chain, not the shared static helper directly
     val viaInterp = denorm.select(col("doc_id"), col("raw")).collect().map { r =>
-      r.getLong(0) -> NfcNormalize.normalize(
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))).toString
+      r.getLong(0) -> NfcNormalize(Literal(r.getString(1))).eval(null)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     }.toMap
     viaCodegen.collect().foreach { r =>
       assert(r.getString(1) == viaInterp(r.getLong(0)),
         s"codegen/interpreted divergence at doc ${r.getLong(0)}")
     }
+    // interpreted null handling too (the codegen null path is covered by
+    // the SQL NULL test below)
+    assert(NfcNormalize(Literal(null, StringType)).eval(null) == null)
   }
 
   test("graft_nfc rejects non-string input at analysis time") {

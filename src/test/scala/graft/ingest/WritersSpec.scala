@@ -190,6 +190,30 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(path).agg(sum(col("id"))).collect().head.getLong(0) == 500500L)
   }
 
+  test("bucketed refuses to destroy an EXTERNAL table at its default managed path") {
+    import spark.implicits._
+    val table = "graft_bucketed_ext_guard"
+    val dtp = spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val df = (1L to 10L).map(i => (i % 3, i)).toDF("k", "v")
+    try {
+      // EXTERNAL table whose location IS the default managed path — the
+      // collide case where DROP preserves files a managed recreate would
+      // silently shadow (or a blunt cleanup would delete)
+      df.write.parquet(dtp.toString)
+      spark.sql(s"CREATE TABLE $table (k BIGINT, v BIGINT) USING parquet LOCATION '$dtp'")
+      val e = intercept[IllegalArgumentException] {
+        Writers.bucketed(df, table, "k", 2)
+      }
+      assert(e.getMessage.contains("EXTERNAL"))
+      // the preserved data must still be there
+      assert(spark.read.parquet(dtp.toString).count() == 10)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      Writers.deleteTree(dtp.toString)
+    }
+  }
+
   test("csvWithRejects quarantines malformed rows with their raw lines, keeps clean rows typed") {
     import org.apache.spark.sql.types._
     val dir = Paths.get(freshDir("csv_rejects"))
