@@ -525,7 +525,56 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S14: schema drift across batches — the evolution every long-lived
+    * ingest table hits: an upstream source adds a column mid-stream. Day
+    * 0's batch lands three columns; day 1's batch arrives with a NEW
+    * fourth column and appends through [[graft.ingest.Pipeline.loadInto]],
+    * whose diff issues `ALTER TABLE ADD COLUMNS` so day-0 rows read NULL
+    * under the new column — no rewrite of history, which at 100 TB is
+    * the only affordable answer. The oracle replays the drift as a
+    * UNION ALL with an explicit NULL column for the day-0 half; the
+    * per-status non-null count proves exactly the day-1 rows carry the
+    * new column. (Type FLIPS on an existing name still fail loudly —
+    * PipelineSpec; this entry grades the additive path end-to-end.) */
+  val s14SchemaDrift = QueryDef(
+    "s14_schema_drift",
+    (s, d) => {
+      val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+      val orders = Tables.orders(s, d)
+      val day0 = orders.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val day1 = orders.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      graft.ingest.Pipeline.loadInto(s, "graft_s14_orders", day0, overwrite = true)
+      graft.ingest.Pipeline.loadInto(s, "graft_s14_orders", day1)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH drifted AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      )
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        count(o_orderpriority) AS n_with_priority,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM drifted
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
-    s13Compaction)
+    s13Compaction, s14SchemaDrift)
 }
