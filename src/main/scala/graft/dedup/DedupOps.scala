@@ -482,6 +482,91 @@ object DedupOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L2h: segment-level cross-document dedup — the CCNet/RefinedWeb
+    * boilerplate-removal step: split every document into segments, drop
+    * any segment that appears in ≥2 DISTINCT documents (site headers,
+    * footers, cookie banners), reassemble what remains. The corpus has no
+    * newlines, so fixed 25-token windows stand in for paragraphs, and (as
+    * with l4m's PII) the boilerplate is INJECTED deterministically — a
+    * 25-token header prepended to every document lands exactly on segment
+    * 0 and must be removed everywhere, while each document's own content
+    * survives. Shape at 100 TB: segmentization is a per-row transform;
+    * the census is ONE shuffle keyed by segment text (high cardinality);
+    * the removal is an anti-join on the same key; reassembly groups by
+    * doc_id with per-doc state bounded by document length. No all-pairs
+    * comparison anywhere. */
+  val l2hSegmentDedup = QueryDef(
+    "l2h_segment_dedup",
+    (s, d) => {
+      val SegTokens = 25
+      // exactly 25 tokens, so the injected header IS segment 0 of every doc
+      val header = "subscribe to our newsletter for updates and follow the " +
+        "site for more of the latest coverage every day thanks for reading this page right now"
+      val withToks = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(concat(lit(header), lit(" "), col("text")), " "))
+      val segs = withToks
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0L), ceil(size(col("toks")) / lit(SegTokens.toDouble)) - 1),
+            i => array_join(slice(col("toks"), (i * SegTokens + 1).cast("int"), lit(SegTokens)), " "))
+        ).as(Seq("pos", "seg")))
+      val dupSegs = segs.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select("seg")
+      val kept = segs.join(dupSegs, Seq("seg"), "left_anti")
+      val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      val cleaned = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg"))).as("cleaned"))
+      totals.join(cleaned, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          length(coalesce(col("cleaned"), lit(""))).cast("long").as("cleaned_chars"),
+          substring(coalesce(col("cleaned"), lit("")), 1, 40).as("sample"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(concat('subscribe to our newsletter for updates and follow the site for more of the latest coverage every day thanks for reading this page right now', ' ', text), ' ') AS t
+        FROM documents
+        WHERE text IS NOT NULL
+      ), sized AS (
+        SELECT doc_id, t, CAST(ceil(len(t) / 25.0) AS BIGINT) AS nseg FROM docs
+      ), segs AS (
+        SELECT doc_id,
+          unnest(generate_series(0, nseg - 1)) AS pos,
+          unnest(list_transform(generate_series(0, nseg - 1),
+                 i -> array_to_string(t[(i*25+1):(i*25+25)], ' '))) AS seg
+        FROM sized
+      ), dup AS (
+        SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+      ), kept AS (
+        SELECT s.doc_id, s.pos, s.seg FROM segs s
+        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.seg = s.seg)
+      ), cleaned AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id
+      ), totals AS (
+        SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+      )
+      SELECT t.doc_id, t.n_segs,
+        coalesce(c.n_kept, 0) AS n_kept,
+        length(coalesce(c.cleaned, '')) AS cleaned_chars,
+        substr(coalesce(c.cleaned, ''), 1, 40) AS sample
+      FROM totals t LEFT JOIN cleaned c USING (doc_id)
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard,
-    l2fClusters, l2gIncremental)
+    l2fClusters, l2gIncremental, l2hSegmentDedup)
 }
