@@ -516,7 +516,10 @@ object DedupOps extends QueryModule {
         .filter(col("ndocs") >= 2)
         .select("seg")
       val kept = segs.join(dupSegs, Seq("seg"), "left_anti")
-      val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      // n_segs is a per-row scalar BEFORE the explode — deriving it from
+      // withToks avoids a third segmentization pass and a doc_id shuffle
+      val totals = withToks.select(col("doc_id"),
+        ceil(size(col("toks")) / lit(SegTokens.toDouble)).cast("long").as("n_segs"))
       val cleaned = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(

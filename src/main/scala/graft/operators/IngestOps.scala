@@ -539,7 +539,10 @@ object IngestOps extends QueryModule {
   val s14SchemaDrift = QueryDef(
     "s14_schema_drift",
     (s, d) => {
-      val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+      // NTZ like the sibling cuts: a plain "timestamp" (LTZ) cast would
+      // wrap the NTZ column per-row, forfeiting parquet min/max pushdown
+      // and pinning the split to the session timezone
+      val cut = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
       val orders = Tables.orders(s, d)
       val day0 = orders.filter(col("o_orderdate") < cut)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
