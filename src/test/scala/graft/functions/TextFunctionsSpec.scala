@@ -53,6 +53,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(NfcNormalize(Literal(null, StringType)).eval(null) == null)
   }
 
+  test("graft_nfc is idempotent over the denormalized corpus") {
+    TextFunctions.register(spark)
+    val diverged = graft.core.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .withColumn("raw", regexp_replace(col("text"), "e", "e\u0301"))
+      .selectExpr("graft_nfc(raw) AS once")
+      .selectExpr("once", "graft_nfc(once) AS twice")
+      .filter(col("once") =!= col("twice"))
+      .count()
+    assert(diverged == 0, s"NFC not a fixpoint on $diverged documents")
+  }
+
   test("graft_nfc rejects non-string input at analysis time") {
     TextFunctions.register(spark)
     val e = intercept[Exception] {
