@@ -175,6 +175,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"incremental dedup degenerated to a nested-loop shape:\n$p")
   }
 
+  test("l2g: near tier blocks on the LSH band key, not a low-cardinality column") {
+    val p = plan("l2g_incremental_dedup")
+    // the candidate join must key on the band signature…
+    assert(p.contains("band_sig"), s"near tier lost its LSH band key:\n$p")
+    // …and the ~5-value `source` column must be gone from the query
+    // entirely — its reappearance would mean a near-all-pairs block
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach(read =>
+      assert(!read.contains("source"),
+        s"l2g scans the low-cardinality source column again: $read"))
+  }
+
+  test("l2h: census and anti-join key on xxhash64(segment), not raw text") {
+    val p = plan("l2h_segment_dedup")
+    assert(p.contains("xxhash64"), s"census key is not the 8-byte segment hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment removal degenerated to a nested-loop shape:\n$p")
+  }
+
   test("j10: the graded bucketed join runs shuffle-free on the join keys") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
