@@ -15,22 +15,32 @@ object Writers {
   def partitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Bucketed managed table — the co-located-join layout: both sides of a
-    * recurring fact↔fact join bucketed on the join key with the same
-    * bucket count hash-partition identically on disk, so the join plans
-    * with ZERO shuffle (SortMergeJoin over bucket-aligned scans). At
-    * 100 TB this converts the dominant repeated shuffle into a one-time
-    * write cost. Requires saveAsTable (bucket metadata lives in the
-    * catalog). */
-  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit = {
-    // A fresh metastore over a reused warehouse dir (each harness JVM
-    // rebuilds the catalog; spark-warehouse persists) makes saveAsTable
-    // fail with LOCATION_ALREADY_EXISTS. Same hazard — and same rules —
-    // as Pipeline.loadInto's overwrite path: only a MANAGED location (or
-    // an orphaned default path with no catalog entry) may be deleted;
-    // an EXTERNAL table's data is preserved by DROP on purpose, so
-    // recreating a managed table over it must fail loudly, not delete it.
-    val spark = df.sparkSession
+  /** Normalized (scheme, authority, path) key for location equality.
+    * Comparing raw `URI.getPath` alone equates `hdfs://nn/warehouse/t`
+    * with `file:/warehouse/t` — a false collision that would spuriously
+    * block a legitimate recreate (fail-loud, but wrong). A missing
+    * scheme means the local filesystem. */
+  private def locKey(u: java.net.URI): (String, String, String) = (
+    Option(u.getScheme).getOrElse("file"),
+    Option(u.getAuthority).getOrElse(""),
+    java.nio.file.Paths.get(Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
+      .normalize.toString.stripSuffix("/"),
+  )
+
+  /** Clear the way for (re)creating MANAGED table `table`. A fresh
+    * metastore over a reused warehouse dir (each harness JVM rebuilds
+    * the catalog; spark-warehouse persists) makes saveAsTable fail with
+    * LOCATION_ALREADY_EXISTS. Same hazard — and same rules — as
+    * Pipeline.loadInto's overwrite path: only a MANAGED location (or a
+    * genuinely orphaned default path) may be deleted; an EXTERNAL
+    * table's data is preserved by DROP on purpose, so recreating a
+    * managed table over it must fail loudly, not delete it. The orphan
+    * branch additionally scans the catalog for ANY other entry whose
+    * location resolves to the default path (an EXTERNAL table under a
+    * different name pointing there is live data, not an orphan) — an
+    * O(tables-in-db) metastore walk, acceptable for a layout-changing
+    * maintenance write. */
+  private def prepareManagedTarget(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val dtp = catalog.defaultTablePath(ident)
@@ -40,15 +50,44 @@ object Writers {
         spark.sql(s"DROP TABLE $table")
         deleteTree(meta.location.toString)
       } else {
-        require(java.nio.file.Paths.get(dtp.getPath).normalize !=
-            java.nio.file.Paths.get(meta.location.getPath).normalize,
-          s"bucketed: EXTERNAL table $table sits at its default managed path " +
-            s"(${meta.location}); rebucketing over it would destroy preserved data. " +
+        require(locKey(dtp) != locKey(meta.location),
+          s"prepareManagedTarget: EXTERNAL table $table sits at its default managed " +
+            s"path (${meta.location}); recreating over it would destroy preserved data. " +
             "Drop the table and relocate its data explicitly first.")
         spark.sql(s"DROP TABLE $table") // external: directory preserved
         deleteTree(dtp.toString)        // only the would-be managed path
       }
-    } else deleteTree(dtp.toString)     // orphan dir from a dead metastore
+    } else {
+      // no same-name entry — but the default dir is only an orphan if no
+      // OTHER catalog entry claims it (temp views have no metadata; skip)
+      val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+      val claimant = catalog.listTables(db).filter(_.table != table).find(t =>
+        scala.util.Try(catalog.getTableMetadata(t)).toOption
+          .exists(m => locKey(m.location) == locKey(dtp)))
+      require(claimant.isEmpty,
+        s"prepareManagedTarget: table ${claimant.get} already stores its data at " +
+          s"$table's default managed path ($dtp); deleting it as an orphan would " +
+          "destroy that table. Relocate it first.")
+      deleteTree(dtp.toString) // orphan dir from a dead metastore
+    }
+  }
+
+  /** Plain managed parquet table (catalog entry + default location) with
+    * the same collision safety as [[bucketed]]. */
+  def managed(df: DataFrame, table: String): Unit = {
+    prepareManagedTarget(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Bucketed managed table — the co-located-join layout: both sides of a
+    * recurring fact↔fact join bucketed on the join key with the same
+    * bucket count hash-partition identically on disk, so the join plans
+    * with ZERO shuffle (SortMergeJoin over bucket-aligned scans). At
+    * 100 TB this converts the dominant repeated shuffle into a one-time
+    * write cost. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def bucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit = {
+    prepareManagedTarget(df.sparkSession, table)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
@@ -56,6 +95,29 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Sorted/clustered parquet layout — the SCAN-PRUNING twin of
+    * [[bucketed]] (which co-locates joins): range-repartition on the
+    * cluster key, then sort within each partition, so every output file
+    * covers a narrow, disjoint key range and carries tight parquet
+    * row-group min/max statistics. A pushed-down range predicate then
+    * skips whole row groups whose stats miss the range — at 100 TB the
+    * difference between scanning a day and scanning the table for a
+    * date-range query (PlanAuditSpec locks the skip via scan
+    * numOutputRows). Write cost: one range exchange + in-partition sort.
+    * `nFiles` sizes the layout: at scale pick totalBytes/targetFileSize,
+    * as [[compact]] does.
+    *
+    * The cluster key must be a type ParquetFilters can turn into a
+    * parquet-level predicate (int/long/date/string/decimal…).
+    * TIMESTAMP_NTZ is NOT one in Spark 4.1 — the predicate shows under
+    * PushedFilters but silently never reaches the row-group stats, so an
+    * NTZ-clustered layout prunes nothing; cluster on a derived DATE
+    * instead (s15_sorted_layout demonstrates exactly this). */
+  def clustered(df: DataFrame, path: String, clusterCol: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** S8: incremental (high-watermark) append — only rows strictly past
     * the last loaded watermark are appended; the predicate pushes down to

@@ -577,7 +577,104 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S15: sorted/clustered data layout — the scan-pruning half of the
+    * warehouse-layout pair (j10's bucketing is the join half): lineitem
+    * rewritten via [[Writers.clustered]] (range-repartition + in-file
+    * sort) so each file covers a narrow disjoint date range with tight
+    * parquet row-group min/max stats. The read-back date-range query
+    * pushes its predicate to the scan, and row groups whose stats miss
+    * the range are skipped — PlanAuditSpec locks the skip (scan
+    * numOutputRows ≪ table rows); this entry grades that the clustered
+    * rewrite preserves the DATA exactly (oracle = same aggregate over
+    * the source table). At 100 TB the layout cost is one range exchange
+    * amortized over every subsequent time-windowed scan.
+    *
+    * The cluster key is a DERIVED DATE column, not raw l_shipdate:
+    * Spark 4.1's ParquetFilters has no TimestampNTZType case, so an NTZ
+    * range predicate is listed under PushedFilters but never becomes a
+    * parquet-level predicate and prunes NOTHING (measured: 6000/6000
+    * rows scanned on a perfectly clustered NTZ layout; 357/6000 once the
+    * key is a pushdown-capable type). Date-grain clustering is the
+    * warehouse idiom anyway — and at 100 TB, knowing which predicate
+    * types actually reach row-group stats (long/int/date/string: yes;
+    * NTZ: no) decides whether a scan reads a day or the whole table. */
+  val s15SortedLayout = QueryDef(
+    "s15_sorted_layout",
+    (s, d) => {
+      val path = tmp("s15_sorted", d)
+      Writers.clustered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice")
+          .withColumn("l_shipday", to_date(col("l_shipdate"))),
+        path, "l_shipday", nFiles = 16)
+      s.read.parquet(path)
+        .filter(col("l_shipday").between(lit("1995-06-01").cast("date"), lit("1995-08-31").cast("date")))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          unscale(sum(cents("l_quantity")), 2).as("sum_qty"),
+          unscale(sum(cents("l_extendedprice")), 2).as("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        count(*) AS n_items,
+        sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-08-31'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
+  /** S16: catalog statistics / CBO — the stats half of the warehouse
+    * story: both join sides land as managed catalog tables, then
+    * `ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]` records
+    * row counts + per-column NDV/min/max in the metastore. The entry
+    * `require`s the stats actually landed (a silent no-op ANALYZE would
+    * grade as a pass otherwise) and returns the joined aggregate, which
+    * the oracle derives from the source parquet. What the stats BUY —
+    * CBO's filter-selectivity estimate shrinking a dim below the
+    * broadcast threshold with AQE off — is locked in PlanAuditSpec,
+    * where config toggling is safe (an entry's conf changes would leak:
+    * its DataFrame executes after the fn returns). */
+  val s16StatsCbo = QueryDef(
+    "s16_stats_cbo",
+    (s, d) => {
+      Writers.managed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"), "graft_s16_customer")
+      Writers.managed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"), "graft_s16_orders")
+      for (t <- Seq("graft_s16_customer", "graft_s16_orders")) {
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val meta = s.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        require(meta.stats.exists(st => st.rowCount.isDefined && st.colStats.nonEmpty),
+          s"s16: ANALYZE left no row-count/column stats on $t")
+      }
+      s.table("graft_s16_customer")
+        .join(s.table("graft_s16_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+        )
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
-    s13Compaction, s14SchemaDrift)
+    s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo)
 }

@@ -204,6 +204,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       case q: QueryStageExec => p +: flatten(q.plan)
       case _ => p +: p.children.flatMap(flatten)
     }
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
     try {
       val df = SparkEntry.queries("j10_bucketed_join")(spark, sf())
@@ -224,7 +225,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
           s"bucketed join still shuffles its inputs:\n$j")
       }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // restore the PRIOR value, not a hard-coded default — a fixture
+      // running with a non-default threshold must get it back (ADVICE r4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_j10_lineitem")
       spark.sql("DROP TABLE IF EXISTS graft_j10_orders")
     }
@@ -251,6 +254,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   test("bucketed co-located join plans without a shuffle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       val facts = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
@@ -262,9 +266,81 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       assert(!p.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$p")
       assert(joined.count() == 10000)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("s15: range-clustered layout skips row groups outside the pushed date range") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val path = graft.ingest.Scratch.dir("test", "s15_prune", sf()).toString
+    // DATE cluster key, not raw NTZ: Spark 4.1 ParquetFilters cannot build
+    // a parquet predicate for TIMESTAMP_NTZ, so an NTZ layout prunes 0 row
+    // groups (measured) — see the s15 entry + Writers.clustered scaladoc
+    val src = graft.core.Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+      .withColumn("l_shipday", to_date(col("l_shipdate")))
+    graft.ingest.Writers.clustered(src, path, "l_shipday", nFiles = 16)
+    val pruned = spark.read.parquet(path)
+      .filter(col("l_shipday").between(lit("1995-06-01").cast("date"), lit("1995-08-31").cast("date")))
+    val plan = pruned.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipday"),
+      s"date range did not push to the parquet scan:\n$p")
+    // drive THIS plan so its scan metrics populate (s7's idiom)
+    plan.execute().count()
+    val scan = plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail(s"no FileSourceScanExec leaf:\n$p"))
+    val out = scan.metrics("numOutputRows").value
+    val total = src.count()
+    assert(out > 0, "filter range selected nothing — the skip assertion would be vacuous")
+    // 3 months of a 7-year span lands in ≤2 of 16 range files; an
+    // unclustered layout would emit ALL rows from every row group
+    assert(out < total / 4,
+      s"row-group skipping ineffective: scan emitted $out of $total rows")
+  }
+
+  test("s16: ANALYZE stats feed CBO — filtered dim shrinks below a bracketed threshold, AQE off") {
+    import org.apache.spark.sql.functions.col
+    // the entry creates + ANALYZEs the catalog tables (its result is oracled)
+    SparkEntry.queries("s16_stats_cbo")(spark, sf()).collect()
+    val saved = Seq(
+      "spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val full = spark.table("graft_s16_customer")
+      val dim = full.filter(col("c_mktsegment") === "BUILDING")
+      val fullStats = full.queryExecution.optimizedPlan.stats
+      val filtStats = dim.queryExecution.optimizedPlan.stats
+      assert(fullStats.rowCount.isDefined && filtStats.rowCount.isDefined,
+        "ANALYZE row counts are not reaching the optimizer under CBO")
+      assert(filtStats.rowCount.get < fullStats.rowCount.get &&
+        filtStats.sizeInBytes < fullStats.sizeInBytes,
+        s"column stats did not shrink the filtered estimate: " +
+          s"${filtStats.rowCount}/${filtStats.sizeInBytes} vs ${fullStats.rowCount}/${fullStats.sizeInBytes}")
+      // bracket the broadcast threshold strictly BETWEEN the two estimates:
+      // only the stats-shrunk filtered dim clears it — no magic constants
+      val mid = (filtStats.sizeInBytes + fullStats.sizeInBytes) / 2
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+      val orders = spark.table("graft_s16_orders")
+      val withStats = dim.join(orders, col("c_custkey") === col("o_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"stats-shrunk dim was not broadcast at the bracketed threshold:\n$withStats")
+      val fullJoin = full.join(orders, col("c_custkey") === col("o_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(!fullJoin.contains("BroadcastHashJoin"),
+        s"unfiltered dim must exceed the bracketed threshold (stats are what shrank it):\n$fullJoin")
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS graft_s16_customer")
+      spark.sql("DROP TABLE IF EXISTS graft_s16_orders")
     }
   }
 }
