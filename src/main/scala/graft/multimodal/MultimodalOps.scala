@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so a real decoder would amortize codec init per
   * partition, not per row.
   *
-  * The container has no image/audio codecs, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake; the Spark-side plumbing (schema,
-  * partitioning, batch shape) is real and oracled via byte-level
-  * functions DuckDB shares (octet_length, md5).
+  * IMAGE decode is REAL: [[Png]] renders and decodes actual PNGs through
+  * javax.imageio (ships in the JDK — no new dependency), and
+  * l5c_image_decode proves the decoded per-pixel statistics against a
+  * closed-form DuckDB oracle. Audio/video codecs do not exist in this
+  * container, so [[StubDecoder]] remains a clearly-marked deterministic
+  * fake for those media types only — same pipeline shape, one function
+  * to swap.
   */
 object MultimodalOps extends QueryModule {
 
@@ -24,15 +27,77 @@ object MultimodalOps extends QueryModule {
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String, width: Int, height: Int)
   final case class MediaFeature(doc_id: Long, media_type: String, byte_len: Long, head_byte: Int, gray_mean: Double)
 
-  /** STUB: stands in for an image/audio decoder (none installed in this
-    * environment). Deterministic: derives a fake "gray mean" from payload
-    * bytes so tests have stable expectations. A real deployment swaps
-    * this one function for e.g. a JNI codec; the pipeline shape is
-    * unchanged. */
+  /** STUB: stands in for an AUDIO/VIDEO decoder (no such codecs in this
+    * environment; images decode for real via [[Png]]). Deterministic:
+    * derives a fake "gray mean" from payload bytes so tests have stable
+    * expectations. A real deployment swaps this one function for e.g. a
+    * JNI codec; the pipeline shape is unchanged. */
   object StubDecoder {
     def decode(payload: Array[Byte]): Double =
       if (payload.isEmpty) 0.0
       else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+  }
+
+  /** REAL image codec on javax.imageio (in the JDK — no external
+    * dependency, works headless). [[Png.render]] draws the deterministic
+    * test card `pixel(x,y) = (id·31 + 7x + 13y) mod 256` as 8-bit gray
+    * and encodes a genuine PNG; [[Png.decode]] parses the container and
+    * reads every pixel back. PNG is lossless, so decoded statistics
+    * equal the closed-form arithmetic a SQL oracle can compute — which
+    * is how l5c proves the decode read real pixels, not container
+    * bytes. */
+  object Png {
+    def render(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, graySum: Long)
+
+    def decode(payload: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += (img.getRGB(x, y) & 0xff).toLong // gray: all channels equal
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, sum)
+    }
+  }
+
+  final case class ImageFeature(doc_id: Long, width: Int, height: Int, gray_sum: Long, byte_len: Long)
+
+  /** Typed REAL-decode stage: every payload through javax.imageio inside
+    * mapPartitions — the codec-handle-per-partition shape; only decoded
+    * features (not pixels) leave the executor. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec/reader init would go here
+      rows.map { r =>
+        val dec = Png.decode(r.payload)
+        ImageFeature(r.doc_id, dec.width, dec.height, dec.graySum, r.payload.length.toLong)
+      }
+    }
   }
 
   /** The library pipeline: binary + metadata in, per-row features out,
@@ -184,5 +249,54 @@ object MultimodalOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l5Pipeline, l5bFrameSample)
+  /** L5c: REAL image decode, oracled on decoded-not-synthetic features —
+    * each doc_id becomes a genuine PNG (rendered on the executors by
+    * [[Png.render]], varying widths), flows through the typed
+    * mapPartitions decode stage, and the DECODED width/height/pixel sum
+    * must equal the closed-form arithmetic DuckDB computes from doc_id
+    * alone. A decoder that didn't parse the container and read actual
+    * pixels cannot produce these numbers (the old byte-stats stub sums
+    * compressed PNG bytes and fails this oracle by construction). Fixed
+    * 200-image slice: decode cost is bounded at any sf; at 100 TB the
+    * same stage fans out per partition with pixels never shuffling. */
+  val l5cImageDecode = QueryDef(
+    "l5c_image_decode",
+    (s, d) => {
+      import s.implicits._
+      val render = udf((id: Long) => Png.render(id, (8 + id % 5).toInt, 8))
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          render(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"),
+          lit(0).as("width"),
+          lit(0).as("height"),
+        )
+        .as[MediaRecord]
+      decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("gray_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 8 AS h
+        FROM documents WHERE doc_id < 200
+      ), px AS (
+        SELECT i.doc_id, i.w, i.h, g1.x, g2.y
+        FROM imgs i
+        JOIN (SELECT unnest(generate_series(0, 11)) AS x) g1 ON g1.x < i.w
+        JOIN (SELECT unnest(generate_series(0, 7)) AS y) g2 ON g2.y < i.h
+      )
+      SELECT doc_id,
+        CAST(max(w) AS INT) AS width,
+        CAST(max(h) AS INT) AS height,
+        CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS gray_sum
+      FROM px
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l5Pipeline, l5bFrameSample, l5cImageDecode)
 }

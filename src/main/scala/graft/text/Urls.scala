@@ -27,10 +27,12 @@ object Urls {
     * (path case is significant per RFC 3986). */
   def canonicalize(url: Column): Column = {
     val authority = regexp_extract(url, AuthorityRe, 0)
-    // lowercase ONLY scheme+authority; the path/query stay case-exact
-    // bounded tail length: Int.MaxValue would overflow substringSQL's
-    // start+len arithmetic; 1 MiB exceeds any sane URL
-    val lowered = concat(lower(authority), url.substr(length(authority) + 1, lit(1 << 20)))
+    // lowercase ONLY scheme+authority; the path/query stay case-exact.
+    // Tail length = length(url): always sufficient, and — unlike a fixed
+    // cap — identical to the oracle's uncapped substr(url, n), so no URL
+    // length can make the two engines diverge (ADVICE r4). A literal
+    // Int.MaxValue would overflow substringSQL's start+len arithmetic.
+    val lowered = concat(lower(authority), url.substr(length(authority) + 1, length(url)))
     val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
     // default port: match the boundary char (or end) and restore it —
     // RE2-portable alternative to a lookahead. `[^/?#]*` (not `[^/:?#]+`)

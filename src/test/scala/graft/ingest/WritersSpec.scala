@@ -166,6 +166,26 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(path + "__old")), "rename-aside copy not cleaned up")
   }
 
+  test("a crash leaving BOTH a stale staging dir and a parked __old recovers cleanly") {
+    import spark.implicits._
+    val path = freshDir("upsert_crash_tmp")
+    Seq((1L, "old1"), (2L, "old2")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(path)
+    // crash at the WORST point of a previous upsert: its merged output is
+    // fully staged in __upsert_tmp, the live dataset was renamed aside,
+    // and the swap-in rename never ran (target missing). The stale staging
+    // rows must never surface — the crashed run's merge is lost by design,
+    // the pre-crash data is not.
+    Seq((1L, "half-merged"), (9L, "ghost")).toDF("k", "v")
+      .write.mode(SaveMode.Overwrite).parquet(path + "__upsert_tmp")
+    Files.move(Paths.get(path), Paths.get(path + "__old"))
+    Writers.upsertByKey(spark, path, Seq((2L, "new2")).toDF("k", "v"), "k")
+    val got = spark.read.parquet(path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "old1", 2L -> "new2"),
+      s"recovery mixed in stale staged rows or lost pre-crash rows: $got")
+    assert(!Files.exists(Paths.get(path + "__old")), "rename-aside copy not cleaned up")
+    assert(!Files.exists(Paths.get(path + "__upsert_tmp")), "stale staging dir left behind")
+  }
+
   test("upsert and compact preserve a Hive-partitioned layout") {
     import spark.implicits._
     val path = freshDir("upsert_part")

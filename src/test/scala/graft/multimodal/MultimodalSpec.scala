@@ -1,10 +1,37 @@
 package graft.multimodal
 
 import graft.SparkFixture
-import graft.multimodal.MultimodalOps.{resize, sampleFrames, extractFeatures, MediaRecord, StubDecoder}
+import graft.multimodal.MultimodalOps.{resize, sampleFrames, extractFeatures, decodeImages, MediaRecord, Png, StubDecoder}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  test("Png round-trip: decoded dimensions and pixel sum equal the closed form") {
+    for (id <- Seq(0L, 7L, 199L); (w, h) <- Seq((8, 8), (12, 8), (1, 1))) {
+      val bytes = Png.render(id, w, h)
+      // a real PNG container, not a raw dump
+      assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val dec = Png.decode(bytes)
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(dec.width == w && dec.height == h, s"dims for id=$id")
+      assert(dec.graySum == expected, s"pixel sum for id=$id ${w}x$h")
+    }
+  }
+
+  test("Png.decode rejects non-image payloads loudly") {
+    intercept[IllegalArgumentException](Png.decode("not a png".getBytes("UTF-8")))
+  }
+
+  test("decodeImages runs the real decoder distributed and keeps byte lengths") {
+    import spark.implicits._
+    val in = Seq(
+      MediaRecord(1L, Png.render(1L, 10, 8), "image/png", 0, 0),
+      MediaRecord(2L, Png.render(2L, 8, 8), "image/png", 0, 0),
+    ).toDS().repartition(2)
+    val out = decodeImages(in).collect().sortBy(_.doc_id)
+    assert(out.map(f => (f.doc_id, f.width, f.height)).toSeq == Seq((1L, 10, 8), (2L, 8, 8)))
+    assert(out.forall(f => f.byte_len > 0 && f.gray_sum > 0))
+  }
 
   test("StubDecoder is deterministic and byte-driven") {
     assert(StubDecoder.decode(Array.emptyByteArray) == 0.0)
