@@ -161,7 +161,7 @@ object Writers {
     * The active session's hadoopConf carries fs.* settings (credentials,
     * endpoints); a bare Configuration still resolves local paths for
     * library use outside a session. */
-  private def fsFor(path: String): (FileSystem, HPath) = {
+  private[ingest] def fsFor(path: String): (FileSystem, HPath) = {
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
@@ -248,7 +248,7 @@ object Writers {
     * third counter a single NULL-key row would surface as a misleading
     * "duplicate key" failure (and N of them would be indistinguishable
     * from real duplicates). */
-  private def requireUniqueKeys(op: String, updates: DataFrame, key: String): Unit = {
+  private[ingest] def requireUniqueKeys(op: String, updates: DataFrame, key: String): Unit = {
     val Array(nRows, nKeys, nNullKeys) = updates
       .agg(
         count(lit(1)),

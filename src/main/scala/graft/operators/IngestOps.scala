@@ -674,7 +674,60 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S17: snapshot-versioned table — MERGE with time travel through
+    * [[graft.ingest.Versioned]]'s commit-marker protocol (the G6-bounded
+    * stand-in for a transactional table format; scaladoc there). v1 loads
+    * the customer dim; v2 is a MERGE (every 4th customer changes segment,
+    * every 10th key gains a NEWCOMER row at key+1M). The entry reads BOTH
+    * snapshots — v2 as `read` (current), v1 as `readAt` time travel —
+    * proving the merge landed AND history survived it unchanged; the
+    * oracle reconstructs both states from the source table. Readers of
+    * v1 during the v2 commit would have seen nothing change: versions
+    * are immutable and the commit marker appears atomically — the
+    * concurrent-reader window the tmp+swap family has is closed here. */
+  val s17Snapshot = QueryDef(
+    "s17_snapshot_merge",
+    (s, d) => {
+      val path = tmp("s17_versioned", d)
+      Writers.deleteTree(path) // deterministic rerun: history starts at v1
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      graft.ingest.Versioned.commit(dim, path) // v1
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), concat(lit("NEW_"), col("c_mktsegment")).as("segment"))
+        .unionByName(
+          Tables.customer(s, d)
+            .filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWCOMER").as("segment")))
+      graft.ingest.Versioned.upsert(s, path, updates, "c_custkey") // v2
+      val v1 = graft.ingest.Versioned.readAt(s, path, 1L)
+        .groupBy("segment").agg(count(lit(1)).as("n_cust"))
+        .withColumn("snapshot", lit("v1"))
+      val v2 = graft.ingest.Versioned.read(s, path)
+        .groupBy("segment").agg(count(lit(1)).as("n_cust"))
+        .withColumn("snapshot", lit("v2"))
+      v1.unionByName(v2)
+        .select("snapshot", "segment", "n_cust")
+        .orderBy("snapshot", "segment")
+    },
+    Some("""
+      WITH v2 AS (
+        SELECT CASE WHEN c_custkey % 4 = 0 THEN 'NEW_' || c_mktsegment
+                    ELSE c_mktsegment END AS segment
+        FROM customer
+        UNION ALL
+        SELECT 'NEWCOMER' AS segment FROM customer WHERE c_custkey % 10 = 0
+      )
+      SELECT 'v1' AS snapshot, c_mktsegment AS segment, count(*) AS n_cust
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'v2', segment, count(*) FROM v2 GROUP BY segment
+      ORDER BY snapshot, segment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
-    s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo)
+    s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot)
 }

@@ -1,0 +1,92 @@
+package graft.ingest
+
+import graft.SparkFixture
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+class VersionedSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
+    p.toString
+  }
+
+  test("commit/read round trip; versions increment; upsert merges by key") {
+    import spark.implicits._
+    val path = freshDir("versioned_rt")
+    assert(Versioned.currentVersion(path).isEmpty)
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    assert(v1 == 1L && Versioned.currentVersion(path).contains(1L))
+    val v2 = Versioned.upsert(spark, path, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "k")
+    assert(v2 == 2L)
+    val cur = Versioned.read(spark, path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // time travel: v1 unchanged by the merge
+    val old = Versioned.readAt(spark, path, 1L).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b"))
+    assert(Versioned.versions(path) == Seq(1L, 2L))
+  }
+
+  test("a crashed commit (claimed, data written, marker missing) is invisible to readers") {
+    import spark.implicits._
+    val path = freshDir("versioned_crash")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+    // simulate a crash: the v2 attempt claimed its dir and even finished
+    // writing data, but died before the _committed marker
+    val v2dir = Paths.get(path, "v00002")
+    Files.createDirectories(v2dir)
+    Files.createFile(v2dir.resolve("_claim"))
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(v2dir.resolve("data").toString)
+    assert(Versioned.currentVersion(path).contains(1L), "uncommitted attempt must be invisible")
+    assert(Versioned.read(spark, path).count() == 1)
+    intercept[IllegalArgumentException](Versioned.readAt(spark, path, 2L))
+    // the next commit must NOT reuse the claimed version
+    val v = Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path)
+    assert(v == 3L, s"claimed-but-crashed version was reused: got v$v")
+    assert(Versioned.versions(path) == Seq(1L, 3L))
+  }
+
+  test("a reader pinned before a commit keeps its snapshot (isolation), even mid-plan") {
+    import spark.implicits._
+    val path = freshDir("versioned_pin")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val pinned = Versioned.read(spark, path) // resolves v1 NOW
+    Versioned.upsert(spark, path, Seq((1L, "CHANGED")).toDF("k", "v"), "k")
+    // the pinned frame still reads v1's immutable directory
+    val got = pinned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b"), s"snapshot isolation broken: $got")
+    // while a fresh resolve sees v2
+    val now = Versioned.read(spark, path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "CHANGED", 2L -> "b"))
+  }
+
+  test("vacuum keeps the newest K committed versions and clears crashed attempts") {
+    import spark.implicits._
+    val path = freshDir("versioned_vacuum")
+    for (i <- 1 to 4) Versioned.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), path)
+    // plus a crashed attempt between 4 and a fifth commit
+    val crashed = Paths.get(path, "v00005")
+    Files.createDirectories(crashed)
+    Files.createFile(crashed.resolve("_claim"))
+    Versioned.commit(Seq((6L, "v6")).toDF("k", "v"), path) // v6
+    val removed = Versioned.vacuum(path, keepLast = 2)
+    // committed history is 1,2,3,4,6 (the claim collision pushed the last
+    // commit to v6); keep {4,6} → doomed: v1,v2,v3 + crashed v5 = 4
+    assert(removed == 4, s"expected 4 dirs removed, got $removed")
+    assert(Versioned.versions(path) == Seq(4L, 6L))
+    intercept[IllegalArgumentException](Versioned.readAt(spark, path, 1L))
+    assert(Versioned.readAt(spark, path, 4L).count() == 1)
+    intercept[IllegalArgumentException](Versioned.vacuum(path, 0))
+  }
+
+  test("upsert rejects duplicate and NULL merge keys before touching history") {
+    import spark.implicits._
+    val path = freshDir("versioned_guard")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+    intercept[IllegalArgumentException](
+      Versioned.upsert(spark, path, Seq((2L, "x"), (2L, "y")).toDF("k", "v"), "k"))
+    assert(Versioned.versions(path) == Seq(1L), "failed upsert must not create a version")
+  }
+}
