@@ -11,36 +11,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * environment (SURVEY §7.5 G6), so this implements the core of their
   * commit protocol directly on `org.apache.hadoop.fs`:
   *
-  *  - Every commit writes a brand-new IMMUTABLE version directory
-  *    `v{N}/data/`; existing versions are never touched.
+  *  - Every commit creates an IMMUTABLE version directory `v{N}` holding
+  *    its new data files plus a `_manifest` listing EVERY file of the
+  *    snapshot — new files by local path, files inherited from earlier
+  *    versions BY REFERENCE. Data files are never modified or moved.
   *  - `_claim` is created FIRST with atomic create-if-absent — two racing
   *    writers cannot both own a version; the loser advances to N+1 and
-  *    retries (same role as Delta's optimistic log-entry rename).
-  *  - `_committed` is created LAST: its atomic appearance IS the commit.
-  *    A reader either sees it (whole snapshot visible) or doesn't (the
-  *    version does not exist yet) — there is no intermediate state, so
+  *    retries (the same role as Delta's optimistic log-entry rename).
+  *  - `_committed` is created LAST, after the data and the manifest are
+  *    fully written: its atomic appearance IS the commit. A reader either
+  *    sees the whole snapshot or none of it — no intermediate state, so
   *    concurrent readers NEVER observe a partial table.
   *  - Readers resolve `current = max committed version` once, at
-  *    DataFrame construction, and pin that directory: a commit that lands
-  *    mid-query changes nothing for them (snapshot isolation), and
-  *    `readAt` gives time travel to any retained version.
-  *  - [[vacuum]] is the retention knob: drops all but the last K
-  *    committed versions plus any crashed (claimed-but-uncommitted)
-  *    attempts below the current version.
+  *    DataFrame construction, and pin that manifest: a commit landing
+  *    mid-query changes nothing for them (snapshot isolation);
+  *    [[readAt]] is time travel to any retained version.
+  *  - [[upsertPartitioned]] is the 100 TB MERGE shape: only partitions
+  *    containing updated keys are rewritten; every other file is carried
+  *    into the new manifest by reference — metadata-only, zero data
+  *    copied (s18's entry `require`s exactly this). [[upsert]] remains
+  *    the full-snapshot fallback for unpartitioned tables.
+  *  - [[vacuum]] is the retention knob: drops version directories that
+  *    are neither retained nor referenced by any retained manifest
+  *    (directory-granular GC; per-file GC inside a still-referenced old
+  *    version is the production extension).
   *
-  * Scale notes: the protocol costs one directory listing per resolve
-  * (O(retained versions), bounded by vacuum) and zero renames of data
-  * files. On HDFS, create-if-absent and file visibility are atomic; on
-  * strongly-consistent object stores (S3 today) visibility holds and the
-  * claim needs a conditional PUT — the one primitive a production port
-  * swaps in. Each MERGE rewrites the full snapshot (like the swap
-  * family); a partitioned variant would rewrite only touched partitions
-  * under the same marker protocol.
+  * Scale notes: a resolve costs one directory listing + one manifest
+  * read (O(files in snapshot) metadata, zero data IO); commits rename
+  * nothing. On HDFS, create-if-absent and close-then-visible are atomic;
+  * on strongly-consistent object stores the claim becomes a conditional
+  * PUT — the one primitive a production port swaps in.
   */
 object Versioned {
 
   private val ClaimFile = "_claim"
   private val CommittedFile = "_committed"
+  private val ManifestFile = "_manifest"
+
+  /** One snapshot file: path relative to the table root (so manifests
+    * survive a table-root move) + the Hive partition dir fragment
+    * (`col=value`) it belongs to, empty for unpartitioned commits. */
+  final case class ManifestEntry(relPath: String, partDir: String)
 
   private def versionDir(root: HPath, v: Long) = new HPath(root, f"v$v%05d")
   private def dataDir(root: HPath, v: Long) = new HPath(versionDir(root, v), "data")
@@ -67,6 +78,115 @@ object Versioned {
 
   def currentVersion(path: String): Option[Long] = versions(path).lastOption
 
+  /** The committed manifest of `version` — public so callers (and s18's
+    * copy-on-write proof) can inspect which files a snapshot references. */
+  def manifest(path: String, version: Long): Seq[ManifestEntry] = {
+    val (fs, root) = Writers.fsFor(path)
+    require(isCommitted(fs, root, version),
+      s"Versioned.manifest: version $version of $path is not committed")
+    readManifest(fs, root, version)
+  }
+
+  private def readManifest(fs: FileSystem, root: HPath, v: Long): Seq[ManifestEntry] = {
+    val in = fs.open(new HPath(versionDir(root, v), ManifestFile))
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    raw.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
+    }
+  }
+
+  private def writeManifest(fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry]): Unit = {
+    val out = fs.create(new HPath(versionDir(root, v), ManifestFile), false)
+    try out.write(entries.map(e => s"${e.partDir}\t${e.relPath}").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** List the parquet files a fresh write left under `v`'s data dir as
+    * manifest entries. `partitioned` controls whether the parent dir is
+    * required to be a `col=value` fragment (partitionBy layout). */
+  private def localEntries(fs: FileSystem, root: HPath, v: Long, partitioned: Boolean): Seq[ManifestEntry] = {
+    val data = dataDir(root, v)
+    val it = fs.listFiles(data, true)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val parent = p.getParent.getName
+        val partDir =
+          if (!partitioned) ""
+          else {
+            require(parent.contains("="),
+              s"Versioned: expected a col=value partition dir above $p, got '$parent'")
+            parent
+          }
+        acc += ManifestEntry(rel, partDir)
+      }
+    }
+    acc.toSeq.sortBy(_.relPath)
+  }
+
+  /** Claim the next free version ≥ current+1 (atomic create-if-absent;
+    * the loser of a race advances). Returns the claimed version. */
+  private def claimNext(fs: FileSystem, root: HPath, path: String): Long = {
+    fs.mkdirs(root)
+    var v = currentVersion(path).getOrElse(0L) + 1
+    while (true) {
+      val dir = versionDir(root, v)
+      fs.mkdirs(dir)
+      try {
+        fs.create(new HPath(dir, ClaimFile), false).close()
+        return v
+      } catch { case _: java.io.IOException => v += 1 }
+    }
+    v // unreachable
+  }
+
+  /** Commit `df` as the next (unpartitioned) version; returns it. */
+  def commit(df: DataFrame, path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val v = claimNext(fs, root, path)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** Commit `df` Hive-partitioned on `partCol` — the layout
+    * [[upsertPartitioned]] requires (each file belongs to exactly one
+    * partition, so a later MERGE can carry untouched partitions by
+    * reference). */
+  def commitPartitioned(df: DataFrame, path: String, partCol: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val v = claimNext(fs, root, path)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = true))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** Materialize a set of manifest entries. Files are grouped by the
+    * version directory that physically holds them and each group is read
+    * with `basePath` pinned to that version's data dir, so Hive partition
+    * columns (`col=value` dirs) are recovered identically no matter which
+    * version a file lives in; groups then union by name. */
+  private def readEntries(spark: SparkSession, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+    require(entries.nonEmpty, "Versioned: empty snapshot")
+    entries.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (ver, es) =>
+        val base = new HPath(new HPath(root, ver), "data").toString
+        val files = es.map(e => new HPath(root, e.relPath).toString)
+        spark.read.option("basePath", base).parquet(files: _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Pin and read one committed snapshot (time travel). Fails loudly for
     * a version that was vacuumed or never committed — silently reading an
     * adjacent snapshot would be a wrong-answer class. */
@@ -74,7 +194,7 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     require(isCommitted(fs, root, version),
       s"Versioned.readAt: version $version of $path is not committed (never existed, crashed, or vacuumed)")
-    spark.read.parquet(dataDir(root, version).toString)
+    readEntries(spark, root, readManifest(fs, root, version))
   }
 
   /** Read the current snapshot. The version is resolved HERE, so the
@@ -86,33 +206,11 @@ object Versioned {
     readAt(spark, path, v)
   }
 
-  /** Commit `df` as the next version; returns the version number.
-    * Safe under concurrent committers (claim race → retry at N+1) and
-    * crashes (an unclaimed `_committed` never appears, so a half-written
-    * attempt is invisible to every reader). */
-  def commit(df: DataFrame, path: String): Long = {
-    val (fs, root) = Writers.fsFor(path)
-    fs.mkdirs(root)
-    var v = currentVersion(path).getOrElse(0L) + 1
-    var claimed = false
-    while (!claimed) {
-      val dir = versionDir(root, v)
-      fs.mkdirs(dir)
-      try {
-        // atomic create-if-absent: exactly one writer owns version v
-        fs.create(new HPath(dir, ClaimFile), false).close()
-        claimed = true
-      } catch { case _: java.io.IOException => v += 1 }
-    }
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    // the LAST step: the marker's atomic appearance is the commit point
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
-  }
-
-  /** MERGE: replace rows matching `key` in the current snapshot with
-    * `updates`, append the rest, commit as a new version. History stays
-    * readable via [[readAt]] until vacuumed. */
+  /** Full-snapshot MERGE: replace rows matching `key` with `updates`,
+    * append the rest, commit as a new version. The whole table is
+    * rewritten — correct for unpartitioned tables; partitioned tables
+    * should use [[upsertPartitioned]], which rewrites only touched
+    * partitions. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame, key: String): Long = {
     Writers.requireUniqueKeys("Versioned.upsert", updates, key)
     val merged = read(spark, path)
@@ -121,19 +219,73 @@ object Versioned {
     commit(merged, path)
   }
 
-  /** Retention: keep the newest `keepLast` committed versions, delete
-    * everything older — including crashed (claimed, never committed)
-    * attempts below the current version, which are garbage by
-    * definition. Returns the number of version directories removed. */
+  /** Copy-on-write partitioned MERGE — the shape that scales: only the
+    * partitions that contain updated keys are read and rewritten; every
+    * file of every untouched partition is carried into the new manifest
+    * BY REFERENCE (metadata-only, zero bytes copied — at 100 TB a
+    * single-partition fix costs one partition's rewrite, not a table
+    * rewrite). Contract: the table was committed via
+    * [[commitPartitioned]]; update partition values are non-null; a key
+    * never MOVES between partitions (the standard pruned-MERGE contract
+    * — matching is per-partition, so a moved key would leave its old row
+    * behind; keys that move need the full-snapshot [[upsert]]).
+    * The distinct-partition-values collect is bounded by the partition
+    * count of the BATCH — the same driver-side cardinality any engine's
+    * partition pruning materializes. */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      key: String,
+      partCol: String,
+  ): Long = {
+    Writers.requireUniqueKeys("Versioned.upsertPartitioned", updates, key)
+    val (fs, root) = Writers.fsFor(path)
+    val cur = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.upsertPartitioned: no committed version under $path"))
+    val entries = readManifest(fs, root, cur)
+    require(entries.forall(_.partDir.nonEmpty),
+      s"Versioned.upsertPartitioned: $path was not committed with commitPartitioned")
+    val vals = updates.select(partCol).distinct().collect().map(_.get(0))
+    require(!vals.contains(null),
+      s"Versioned.upsertPartitioned: updates carry a NULL $partCol — partition values must be non-null")
+    val touchedDirs = vals.map(v =>
+      s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString)).toSet
+    val (touched, untouched) = entries.partition(e => touchedDirs.contains(e.partDir))
+    val base =
+      if (touched.isEmpty) updates // all-new partitions: nothing to merge against
+      else
+        readEntries(spark, root, touched)
+          .join(updates, Seq(key), "left_anti")
+          .unionByName(updates)
+    val v = claimNext(fs, root, path)
+    base.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v,
+      untouched ++ localEntries(fs, root, v, partitioned = true))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** Retention: keep the newest `keepLast` committed versions plus every
+    * version directory any retained manifest still references; delete
+    * the rest — including crashed (claimed, never committed) attempts
+    * below the current version. Returns the number of version
+    * directories removed. */
   def vacuum(path: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"vacuum must keep at least 1 version, got $keepLast")
     val (fs, root) = Writers.fsFor(path)
     if (!fs.exists(root)) return 0
     val committed = versions(path)
-    val keep = committed.takeRight(keepLast).toSet
+    val kept = committed.takeRight(keepLast)
     val current = committed.lastOption.getOrElse(0L)
+    val referenced: Set[String] =
+      kept.flatMap(v => readManifest(fs, root, v).map(_.relPath.takeWhile(_ != '/'))).toSet ++
+        kept.map(v => versionDir(root, v).getName)
     val all = fs.listStatus(root).toSeq.flatMap(st => parseVersion(st.getPath.getName))
-    val doomed = all.filter(v => !keep.contains(v) && v < current)
+    val doomed = all.filter(v =>
+      !referenced.contains(versionDir(root, v).getName) && v < current)
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
     doomed.size
   }

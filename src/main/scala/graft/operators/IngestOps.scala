@@ -727,7 +727,65 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S18: copy-on-write partitioned MERGE on the versioned table — the
+    * 100 TB merge shape: updates touch ONE partition (BUILDING), so the
+    * new snapshot rewrites only that partition and carries every other
+    * partition's files BY REFERENCE in its manifest (metadata-only). The
+    * reference-not-rewrite claim is `require`d in-entry from the two
+    * manifests — untouched v2 entries must be EXACTLY v1's, still
+    * pointing into v00001, while BUILDING's entries must point into
+    * v00002 — because file identity is not SQL-observable. The oracle
+    * then grades both snapshots' CONTENT: v1 via time travel unchanged,
+    * v2 with every 3rd BUILDING customer renamed. */
+  val s18PartitionedMerge = QueryDef(
+    "s18_partitioned_merge",
+    (s, d) => {
+      val path = tmp("s18_pmerge", d)
+      Writers.deleteTree(path) // deterministic rerun: history starts at v1
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment").as("segment"))
+      graft.ingest.Versioned.commitPartitioned(dim, path, "segment") // v1
+      val updates = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(lit("UPD_"), col("c_name")).as("c_name"),
+          lit("BUILDING").as("segment"))
+      graft.ingest.Versioned.upsertPartitioned(s, path, updates, "c_custkey", "segment") // v2
+      val m1 = graft.ingest.Versioned.manifest(path, 1L).toSet
+      val m2 = graft.ingest.Versioned.manifest(path, 2L)
+      val (touched2, untouched2) = m2.partition(_.partDir == "segment=BUILDING")
+      require(untouched2.nonEmpty && untouched2.forall(m1.contains),
+        "s18: untouched partitions were rewritten instead of carried by reference")
+      require(untouched2.forall(_.relPath.startsWith("v00001/")),
+        "s18: untouched entries must still point into v1's immutable directory")
+      require(touched2.nonEmpty && touched2.forall(_.relPath.startsWith("v00002/")),
+        "s18: the touched partition must be rewritten under v2")
+      def snap(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(when(col("c_name").startsWith("UPD_"), 1L).otherwise(0L)).as("n_upd"),
+        )
+        .withColumn("snapshot", lit(tag))
+      snap(graft.ingest.Versioned.readAt(s, path, 1L), "v1")
+        .unionByName(snap(graft.ingest.Versioned.read(s, path), "v2"))
+        .select("snapshot", "segment", "n_cust", "n_upd")
+        .orderBy("snapshot", "segment")
+    },
+    Some("""
+      SELECT 'v1' AS snapshot, c_mktsegment AS segment, count(*) AS n_cust,
+        CAST(0 AS BIGINT) AS n_upd
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'v2', c_mktsegment, count(*),
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer GROUP BY c_mktsegment
+      ORDER BY snapshot, segment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
-    s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot)
+    s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
+    s18PartitionedMerge)
 }

@@ -81,6 +81,60 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Versioned.vacuum(path, 0))
   }
 
+  test("partitioned merge rewrites only touched partitions; untouched files carry by reference") {
+    import spark.implicits._
+    val path = freshDir("versioned_cow")
+    val base = Seq((1L, "a", "P1"), (2L, "b", "P1"), (3L, "c", "P2"), (4L, "d", "P3"))
+      .toDF("k", "v", "pt")
+    Versioned.commitPartitioned(base, path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((3L, "c2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    // content: only P2 changed
+    val cur = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[String]("pt"))).toMap
+    assert(cur == Map(1L -> ("a", "P1"), 2L -> ("b", "P1"), 3L -> ("c2", "P2"), 4L -> ("d", "P3")))
+    // layout: P1/P3 files are v1's, verbatim; P2's are v2's
+    val m1 = Versioned.manifest(path, 1L).toSet
+    val m2 = Versioned.manifest(path, 2L)
+    val (p2, rest) = m2.partition(_.partDir == "pt=P2")
+    assert(rest.nonEmpty && rest.forall(m1.contains), "untouched partitions were rewritten")
+    assert(rest.forall(_.relPath.startsWith("v00001/")))
+    assert(p2.nonEmpty && p2.forall(_.relPath.startsWith("v00002/")))
+    // partition column reconstructs across mixed-version file groups
+    assert(Versioned.read(spark, path).filter($"pt" === "P1").count() == 2)
+    // time travel still sees the pre-merge P2
+    assert(Versioned.readAt(spark, path, 1L).filter($"k" === 3L)
+      .collect().head.getAs[String]("v") == "c")
+  }
+
+  test("merging into a brand-new partition needs no existing files to read") {
+    import spark.implicits._
+    val path = freshDir("versioned_newpart")
+    Versioned.commitPartitioned(Seq((1L, "a", "P1")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((9L, "z", "P9")).toDF("k", "v", "pt"), "k", "pt")
+    val cur = Versioned.read(spark, path).collect().map(r => r.getAs[Long]("k")).sorted.toSeq
+    assert(cur == Seq(1L, 9L))
+  }
+
+  test("vacuum never deletes a version dir still referenced by a retained manifest") {
+    import spark.implicits._
+    val path = freshDir("versioned_ref_vacuum")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    // keepLast=1 retains only v2 — but v2's manifest references v1's P1
+    // files, so v1's directory MUST survive
+    val removed = Versioned.vacuum(path, keepLast = 1)
+    assert(removed == 0, "vacuum deleted a version still referenced by the current manifest")
+    val cur = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(cur == Map(1L -> "a", 2L -> "b2"))
+    // a full rewrite (plain upsert) drops the reference; then v1/v2 can go
+    Versioned.upsert(spark, path, Seq((1L, "a3", "P1")).toDF("k", "v", "pt"), "k")
+    val removed2 = Versioned.vacuum(path, keepLast = 1)
+    assert(removed2 == 2, s"expected v1+v2 reclaimed once unreferenced, got $removed2")
+    assert(Versioned.read(spark, path).count() == 2)
+  }
+
   test("upsert rejects duplicate and NULL merge keys before touching history") {
     import spark.implicits._
     val path = freshDir("versioned_guard")
