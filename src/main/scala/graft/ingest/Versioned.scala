@@ -184,7 +184,10 @@ object Versioned {
         val files = es.map(e => new HPath(root, e.relPath).toString)
         spark.read.option("basePath", base).parquet(files: _*)
       }
-      .reduce(_ unionByName _)
+      // allowMissingColumns: an appendCommit may add a column mid-history
+      // (SURVEY S14's drift class); files from before the drift read NULL
+      // under it, the same ALTER-only semantics Pipeline.loadInto grades
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Pin and read one committed snapshot (time travel). Fails loudly for
@@ -204,6 +207,69 @@ object Versioned {
     val v = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.read: no committed version under $path"))
     readAt(spark, path, v)
+  }
+
+  /** Append-only commit — the S8 high-watermark idiom on snapshots: the
+    * new version's manifest is the PREVIOUS manifest plus the freshly
+    * written files (metadata-only carry, zero rewrite of history). A
+    * batch that adds a column is fine: older files read NULL under it
+    * (ALTER-only drift semantics, enforced in [[readEntries]]). */
+  def appendCommit(df: DataFrame, path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val prev = currentVersion(path) match {
+      case Some(cv) => readManifest(fs, root, cv)
+      case None     => Nil
+    }
+    val v = claimNext(fs, root, path)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** Keyed DELETE: commit a new snapshot without the rows whose `key` is
+    * in `keys` (single-column frame or any frame carrying `key`). Full
+    * rewrite, like [[upsert]] — the partition-pruned variant composes
+    * the same way upsertPartitioned does. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
+    val remaining = read(spark, path).join(keys.select(key), Seq(key), "left_anti")
+    commit(remaining, path)
+  }
+
+  /** Change data feed: the keyed diff between two committed snapshots —
+    * what a downstream consumer must apply to catch up from `fromV` to
+    * `toV` without re-reading the table. One full-outer join on the key;
+    * row images compared null-safely as a struct:
+    *  - key only in `toV`   → `insert` (after-image)
+    *  - key only in `fromV` → `delete` (before-image — the consumer
+    *    needs to know WHAT was deleted)
+    *  - in both, any non-key column differs → `update` (after-image)
+    *  - identical rows produce nothing.
+    * At 100 TB this is one shuffle on the key — the same class as the
+    * MERGE that produced the versions; a production feed persists
+    * per-commit deltas instead of diffing, which this API mirrors
+    * semantically (Delta CDF, Iceberg changelog). Requires identical
+    * schemas on both snapshots (diffing across a drift boundary would
+    * misreport every old row as an update). */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
+    val before = readAt(spark, path, fromV)
+    val after = readAt(spark, path, toV)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"changes: schema drift between v$fromV and v$toV — " +
+        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val others = before.columns.filterNot(_ == key).sorted.toSeq
+    def img(df: DataFrame, name: String) =
+      df.select(col(key), struct(others.map(col): _*).as(name))
+    img(before, "__before").join(img(after, "__after"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__before").isNull, "insert")
+          .when(col("__after").isNull, "delete")
+          .when(!(col("__before") <=> col("__after")), "update"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("__img", coalesce(col("__after"), col("__before")))
+      .select(col(key) +: col("change_type") +: others.map(c => col(s"__img.$c").as(c)): _*)
   }
 
   /** Full-snapshot MERGE: replace rows matching `key` with `updates`,

@@ -784,8 +784,65 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S19: change data feed — the keyed diff a downstream consumer applies
+    * to catch up between snapshots without re-reading the table
+    * ([[graft.ingest.Versioned.changes]]; Delta-CDF/Iceberg-changelog
+    * semantics). History: v1 = customer dim; v2 = MERGE (every 4th
+    * customer re-segmented, every 10th key spawns a NEWCOMER at key+1M);
+    * v3 = DELETE of every 7th base customer. The feed is
+    * changes(v1→v2) ∪ changes(v2→v3): updates and inserts surface with
+    * their after-image, deletes with their before-image (which for a
+    * %28 key is the NEW_ segment v2 gave it — the oracle reproduces that
+    * composition exactly). Unchanged rows never appear: the diff is the
+    * delta, not the table. */
+  val s19ChangeFeed = QueryDef(
+    "s19_change_feed",
+    (s, d) => {
+      val path = tmp("s19_cdc", d)
+      Writers.deleteTree(path) // deterministic rerun: history starts at v1
+      val V = graft.ingest.Versioned
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      V.commit(dim, path) // v1
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), concat(lit("NEW_"), col("c_mktsegment")).as("segment"))
+        .unionByName(
+          Tables.customer(s, d)
+            .filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWCOMER").as("segment")))
+      V.upsert(s, path, updates, "c_custkey") // v2
+      V.delete(s, path,
+        Tables.customer(s, d).filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        "c_custkey") // v3
+      V.changes(s, path, 1L, 2L, "c_custkey").withColumn("step", lit("v1->v2"))
+        .unionByName(
+          V.changes(s, path, 2L, 3L, "c_custkey").withColumn("step", lit("v2->v3")))
+        .select("step", "change_type", "c_custkey", "segment")
+        .orderBy("step", "c_custkey")
+    },
+    Some("""
+      WITH feed AS (
+        SELECT 'v1->v2' AS step, 'update' AS change_type, c_custkey,
+          'NEW_' || c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT 'v1->v2', 'insert', c_custkey + 1000000, 'NEWCOMER'
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 'v2->v3', 'delete', c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN 'NEW_' || c_mktsegment
+               ELSE c_mktsegment END
+        FROM customer WHERE c_custkey % 7 = 0
+      )
+      SELECT step, change_type, c_custkey, segment
+      FROM feed
+      ORDER BY step, c_custkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
-    s18PartitionedMerge)
+    s18PartitionedMerge, s19ChangeFeed)
 }

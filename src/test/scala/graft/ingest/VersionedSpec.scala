@@ -135,6 +135,45 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.read(spark, path).count() == 2)
   }
 
+  test("appendCommit carries history by reference and tolerates an added column") {
+    import spark.implicits._
+    val path = freshDir("versioned_append")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    // day 2's extract carries a NEW column — older files must read NULL
+    Versioned.appendCommit(Seq((3L, "c", 1.5)).toDF("k", "v", "score"), path)
+    val m2 = Versioned.manifest(path, 2L)
+    assert(m2.exists(_.relPath.startsWith("v00001/")), "append rewrote history instead of referencing it")
+    assert(m2.exists(_.relPath.startsWith("v00002/")))
+    val rows = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(1.5)))
+    // v1 time travel still has the pre-drift schema
+    assert(!Versioned.readAt(spark, path, 1L).columns.contains("score"))
+  }
+
+  test("changes() emits exactly the keyed diff with correct images") {
+    import spark.implicits._
+    val path = freshDir("versioned_cdc")
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
+    Versioned.upsert(spark, path, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), "k") // update + insert
+    Versioned.delete(spark, path, Seq(1L).toDF("k"), "k")                         // delete
+    val d12 = Versioned.changes(spark, path, 1L, 2L, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[String]("v"))).sortBy(_._1)
+    assert(d12.toSeq == Seq((2L, "update", "b2"), (4L, "insert", "d")),
+      s"v1->v2 diff wrong: ${d12.toSeq}")
+    val d23 = Versioned.changes(spark, path, 2L, 3L, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[String]("v")))
+    assert(d23.toSeq == Seq((1L, "delete", "a")), s"v2->v3 diff wrong: ${d23.toSeq}")
+    // transitive feed: v1->v3 collapses the update+insert+delete correctly
+    val d13 = Versioned.changes(spark, path, 1L, 3L, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).sortBy(_._1)
+    assert(d13.toSeq == Seq((1L, "delete"), (2L, "update"), (4L, "insert")))
+    // guards: inverted range and drift both fail loudly
+    intercept[IllegalArgumentException](Versioned.changes(spark, path, 2L, 1L, "k"))
+    Versioned.appendCommit(Seq((9L, "z", 0.1)).toDF("k", "v", "score"), path)
+    intercept[IllegalArgumentException](Versioned.changes(spark, path, 3L, 4L, "k"))
+  }
+
   test("upsert rejects duplicate and NULL merge keys before touching history") {
     import spark.implicits._
     val path = freshDir("versioned_guard")
