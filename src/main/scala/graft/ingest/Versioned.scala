@@ -47,6 +47,7 @@ object Versioned {
   private val ClaimFile = "_claim"
   private val CommittedFile = "_committed"
   private val ManifestFile = "_manifest"
+  private val MetaFile = "_meta"
 
   /** One snapshot file: path relative to the table root (so manifests
     * survive a table-root move) + the Hive partition dir fragment
@@ -209,12 +210,43 @@ object Versioned {
     readAt(spark, path, v)
   }
 
+  /** Application metadata a commit carries (e.g. a streaming batch id).
+    * Written to `_meta` BEFORE the `_committed` marker, so metadata and
+    * data become visible in the same atomic step — which is what makes
+    * [[appendCommitOnce]]'s exactly-once guarantee hold across a crash
+    * between "data written" and "caller recorded the batch id": here
+    * there is no second step to lose. */
+  def commitMeta(path: String, version: Long): Map[String, String] = {
+    val (fs, root) = Writers.fsFor(path)
+    require(isCommitted(fs, root, version),
+      s"Versioned.commitMeta: version $version of $path is not committed")
+    val mp = new HPath(versionDir(root, version), MetaFile)
+    if (!fs.exists(mp)) Map.empty
+    else {
+      val in = fs.open(mp)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.split("\n").filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  private def writeMeta(fs: FileSystem, root: HPath, v: Long, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      val out = fs.create(new HPath(versionDir(root, v), MetaFile), false)
+      try out.write(meta.map { case (k, w) => s"$k\t$w" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
   /** Append-only commit — the S8 high-watermark idiom on snapshots: the
     * new version's manifest is the PREVIOUS manifest plus the freshly
     * written files (metadata-only carry, zero rewrite of history). A
     * batch that adds a column is fine: older files read NULL under it
     * (ALTER-only drift semantics, enforced in [[readEntries]]). */
-  def appendCommit(df: DataFrame, path: String): Long = {
+  def appendCommit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = Writers.fsFor(path)
     val prev = currentVersion(path) match {
       case Some(cv) => readManifest(fs, root, cv)
@@ -223,9 +255,24 @@ object Versioned {
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     writeManifest(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false))
+    writeMeta(fs, root, v, meta)
     fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
     v
   }
+
+  private val BatchKey = "graft.batchId"
+
+  /** Idempotent [[appendCommit]] keyed by an application batch id — the
+    * `foreachBatch` exactly-once pattern: a replayed micro-batch (crash
+    * after commit, before the engine advanced its checkpoint) finds its
+    * id already committed and does nothing. The id rides in the version's
+    * [[commitMeta]], atomic with the data under the `_committed` marker,
+    * so there is no window where data landed but the id didn't. */
+  def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long =
+    versions(path).find(v => commitMeta(path, v).get(BatchKey).contains(batchId)) match {
+      case Some(v) => v // replay: already committed, skip
+      case None    => appendCommit(df, path, Map(BatchKey -> batchId))
+    }
 
   /** Keyed DELETE: commit a new snapshot without the rows whose `key` is
     * in `keys` (single-column frame or any frame carrying `key`). Full

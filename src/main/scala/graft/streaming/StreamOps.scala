@@ -471,6 +471,64 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T10: foreachBatch → snapshot-table sink — the modern
+    * landing pattern (stream into a transactional table, not bare
+    * parquet): each micro-batch lands as an idempotent
+    * [[graft.ingest.Versioned.appendCommitOnce]], whose batch id rides
+    * in the commit's atomic metadata, so a replayed batch (crash after
+    * commit, before the checkpoint advanced) commits NOTHING twice —
+    * application-level exactly-once on top of AvailableNow's engine-level
+    * guarantee. The entry proves both layers: a checkpoint restart adds
+    * no versions (engine), and a deliberately re-applied batch id adds
+    * no versions (application). Readers of the table during the run see
+    * whole snapshots only — the reason to land into Versioned at all. */
+  val streamVersionedSink = QueryDef(
+    "stream_t10_versioned_sink",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t10", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("table").toString
+      val ckpt = base.resolve("ckpt").toString
+      val V = graft.ingest.Versioned
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = eventStream(s, d)
+          .select(col("event_id"), col("us").as("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            V.appendCommitOnce(batch, tbl, id.toString): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val vFirst = V.currentVersion(tbl).getOrElse(
+        throw new IllegalStateException("stream_t10: no version committed"))
+      runOnce() // engine layer: checkpoint restart re-reads nothing
+      require(V.currentVersion(tbl).contains(vFirst),
+        s"restart from checkpoint re-committed data (v$vFirst -> ${V.currentVersion(tbl)})")
+      // application layer: a REPLAYED batch id must be a no-op even though
+      // the data frame is non-empty
+      V.appendCommitOnce(V.read(s, tbl).limit(1), tbl, "0")
+      require(V.currentVersion(tbl).contains(vFirst),
+        "replayed batch id was committed twice — exactly-once broken")
+      V.read(s, tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
-    streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert)
+    streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
+    streamVersionedSink)
 }

@@ -174,6 +174,23 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Versioned.changes(spark, path, 3L, 4L, "k"))
   }
 
+  test("appendCommitOnce is idempotent per batch id; meta is atomic with the commit") {
+    import spark.implicits._
+    val path = freshDir("versioned_once")
+    val v1 = Versioned.appendCommitOnce(Seq((1L, "a")).toDF("k", "v"), path, batchId = "7")
+    assert(v1 == 1L)
+    assert(Versioned.commitMeta(path, 1L) == Map("graft.batchId" -> "7"))
+    // replay of the same batch id: no new version, same version returned,
+    // even though the data frame differs (a replay after crash re-derives
+    // the batch — byte equality is not guaranteed, id equality is)
+    val again = Versioned.appendCommitOnce(Seq((9L, "ghost")).toDF("k", "v"), path, batchId = "7")
+    assert(again == 1L && Versioned.versions(path) == Seq(1L))
+    assert(Versioned.read(spark, path).count() == 1)
+    // the NEXT batch commits normally and appends
+    val v2 = Versioned.appendCommitOnce(Seq((2L, "b")).toDF("k", "v"), path, batchId = "8")
+    assert(v2 == 2L && Versioned.read(spark, path).count() == 2)
+  }
+
   test("upsert rejects duplicate and NULL merge keys before touching history") {
     import spark.implicits._
     val path = freshDir("versioned_guard")
