@@ -210,6 +210,33 @@ object Versioned {
     readAt(spark, path, v)
   }
 
+  /** Partition-pruned snapshot read — pruning done at the MANIFEST, not
+    * the scan: only files whose partition value is in `partValues` are
+    * handed to Spark, so untouched partitions are never listed, opened,
+    * or even seen by the planner (the table-format planning model; a
+    * directory-pruned FileSourceScan still lists the directories).
+    * Requires a [[commitPartitioned]]/[[upsertPartitioned]] history. */
+  def readPartitions(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      partValues: Set[String],
+  ): DataFrame = {
+    val (fs, root) = Writers.fsFor(path)
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.readPartitions: no committed version under $path"))
+    val entries = readManifest(fs, root, v)
+    require(entries.forall(_.partDir.nonEmpty),
+      s"Versioned.readPartitions: $path was not committed partitioned")
+    val wanted = partValues.map(w =>
+      s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(w))
+    val hit = entries.filter(e => wanted.contains(e.partDir))
+    require(hit.nonEmpty,
+      s"Versioned.readPartitions: no files for $partCol in $partValues at v$v " +
+        s"(existing: ${entries.map(_.partDir).distinct.sorted.mkString(", ")})")
+    readEntries(spark, root, hit)
+  }
+
   /** Application metadata a commit carries (e.g. a streaming batch id).
     * Written to `_meta` BEFORE the `_committed` marker, so metadata and
     * data become visible in the same atomic step — which is what makes

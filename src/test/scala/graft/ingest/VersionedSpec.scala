@@ -191,6 +191,38 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(v2 == 2L && Versioned.read(spark, path).count() == 2)
   }
 
+  test("concurrent committers all land distinct committed versions (claim race)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_race")
+    val futures = (1 to 6).map { i =>
+      Future(Versioned.commit(Seq((i.toLong, s"w$i")).toDF("k", "v"), path))
+    }
+    val got = Await.result(Future.sequence(futures), 120.seconds)
+    assert(got.toSet.size == 6, s"two writers shared a version: $got")
+    assert(Versioned.versions(path).size == 6)
+    // the table is last-commit-wins per version; every version is readable
+    got.foreach(v => assert(Versioned.readAt(spark, path, v).count() == 1))
+  }
+
+  test("readPartitions prunes at the manifest — untouched partitions' files never reach Spark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val path = freshDir("versioned_prune")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2"), (3L, "c", "P3")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    val pruned = Versioned.readPartitions(spark, path, "pt", Set("P2"))
+    assert(pruned.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq == Seq((2L, "b2")))
+    // file-level proof: only pt=P2 paths were handed to the reader
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("pt=P2")), s"pruning leaked files: ${files.toSeq}")
+    // asking for a partition that has no files fails loudly
+    intercept[IllegalArgumentException](Versioned.readPartitions(spark, path, "pt", Set("NOPE")))
+  }
+
   test("upsert rejects duplicate and NULL merge keys before touching history") {
     import spark.implicits._
     val path = freshDir("versioned_guard")
