@@ -132,6 +132,25 @@ object Versioned {
     acc.toSeq.sortBy(_.relPath)
   }
 
+  /** Atomic create-if-absent for the claim file. On HDFS (and stores
+    * with conditional create) `fs.create(overwrite=false)` is atomic
+    * server-side — but Hadoop's LOCAL filesystem implements it as
+    * check-then-act, which the concurrency spec caught losing a claim
+    * under load (two writers in one data dir). For `file:` schemes the
+    * claim therefore goes through POSIX O_CREAT|O_EXCL
+    * (`java.nio.Files.createFile`), which IS atomic. */
+  private def atomicClaim(fs: FileSystem, dir: HPath): Boolean = {
+    val claim = new HPath(dir, ClaimFile)
+    if (fs.getUri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   /** Claim the next free version ≥ current+1 (atomic create-if-absent;
     * the loser of a race advances). Returns the claimed version. */
   private def claimNext(fs: FileSystem, root: HPath, path: String): Long = {
@@ -140,10 +159,8 @@ object Versioned {
     while (true) {
       val dir = versionDir(root, v)
       fs.mkdirs(dir)
-      try {
-        fs.create(new HPath(dir, ClaimFile), false).close()
-        return v
-      } catch { case _: java.io.IOException => v += 1 }
+      if (atomicClaim(fs, dir)) return v
+      v += 1
     }
     v // unreachable
   }
