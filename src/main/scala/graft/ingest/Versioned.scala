@@ -16,8 +16,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    snapshot — new files by local path, files inherited from earlier
   *    versions BY REFERENCE. Data files are never modified or moved.
   *  - `_claim` is created FIRST with atomic create-if-absent — two racing
-  *    writers cannot both own a version; the loser advances to N+1 and
-  *    retries (the same role as Delta's optimistic log-entry rename).
+  *    writers cannot both own a version. A REPLACE-ALL commit advances
+  *    past a taken slot (its content is base-independent; concurrent
+  *    replace-alls are last-writer-wins by contract). A DERIVED commit
+  *    (append/upsert/delete/partitioned merge) must claim EXACTLY
+  *    base+1: losing that claim means another writer committed from the
+  *    same base, and advancing would silently drop their rows (the
+  *    lost-update anomaly) — losers fail with
+  *    ConcurrentModificationException and retry from the new snapshot,
+  *    Delta's optimistic log-entry semantics.
   *  - `_committed` is created LAST, after the data and the manifest are
   *    fully written: its atomic appearance IS the commit. A reader either
   *    sees the whole snapshot or none of it — no intermediate state, so
@@ -138,7 +145,11 @@ object Versioned {
     * check-then-act, which the concurrency spec caught losing a claim
     * under load (two writers in one data dir). For `file:` schemes the
     * claim therefore goes through POSIX O_CREAT|O_EXCL
-    * (`java.nio.Files.createFile`), which IS atomic. */
+    * (`java.nio.Files.createFile`), which IS atomic. Only the
+    * file-already-exists outcome means "claim lost" — any other
+    * IOException (safe mode, permissions, connectivity) propagates, so a
+    * persistent FS fault surfaces instead of spinning the claim loop
+    * through version numbers forever. */
   private def atomicClaim(fs: FileSystem, dir: HPath): Boolean = {
     val claim = new HPath(dir, ClaimFile)
     if (fs.getUri.getScheme == "file")
@@ -148,11 +159,17 @@ object Versioned {
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     else
       try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+      }
   }
 
   /** Claim the next free version ≥ current+1 (atomic create-if-absent;
-    * the loser of a race advances). Returns the claimed version. */
+    * the loser of a race advances). Returns the claimed version. Used by
+    * the REPLACE-ALL [[commit]], whose content does not depend on the
+    * base snapshot — concurrent replace-alls are last-writer-wins by
+    * contract, so advancing past a taken slot is safe. */
   private def claimNext(fs: FileSystem, root: HPath, path: String): Long = {
     fs.mkdirs(root)
     var v = currentVersion(path).getOrElse(0L) + 1
@@ -163,6 +180,50 @@ object Versioned {
       v += 1
     }
     v // unreachable
+  }
+
+  /** Claim EXACTLY base+1 or fail — the optimistic-concurrency rule for
+    * every DERIVED commit (append/upsert/delete/partitioned merge),
+    * whose new snapshot was computed FROM `base`: if base+1 is already
+    * claimed, another writer is committing from the same (or newer) base
+    * and silently advancing would publish a snapshot that drops their
+    * changes — the lost-update anomaly. Exactly one contender wins the
+    * claim; losers get a ConcurrentModificationException and must
+    * re-read the new current snapshot and retry (Delta's log-entry
+    * semantics). A claim left by a CRASHED writer blocks derived commits
+    * by design — see [[recoverClaims]]. */
+  private def claimExact(fs: FileSystem, root: HPath, base: Long): Long = {
+    val v = base + 1
+    val dir = versionDir(root, v)
+    fs.mkdirs(dir)
+    if (!atomicClaim(fs, dir))
+      throw new java.util.ConcurrentModificationException(
+        s"Versioned: version $v is already claimed — a concurrent commit derived from " +
+          s"base $base (or a crashed attempt; see recoverClaims). Re-read and retry.")
+    v
+  }
+
+  /** Operator-driven recovery of CRASHED derived commits: delete
+    * claimed-but-uncommitted version dirs whose claim is older than
+    * `olderThanMs`. Age-gated on purpose — an uncommitted claim younger
+    * than the threshold may belong to a live, slow writer, and deleting
+    * under it would let its final `_committed` marker publish a corrupt
+    * snapshot (Hadoop creates recreate parents). Pick a threshold above
+    * the longest plausible commit. Returns the versions reclaimed. */
+  def recoverClaims(path: String, olderThanMs: Long): Seq[Long] = {
+    val (fs, root) = Writers.fsFor(path)
+    if (!fs.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val doomed = fs.listStatus(root).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName))
+      .filter { v =>
+        val dir = versionDir(root, v)
+        val claim = new HPath(dir, ClaimFile)
+        !isCommitted(fs, root, v) && fs.exists(claim) &&
+          fs.getFileStatus(claim).getModificationTime < cutoff
+      }
+    doomed.foreach(v => fs.delete(versionDir(root, v), true))
+    doomed.sorted
   }
 
   /** Commit `df` as the next (unpartitioned) version; returns it. */
@@ -292,11 +353,10 @@ object Versioned {
     * (ALTER-only drift semantics, enforced in [[readEntries]]). */
   def appendCommit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = Writers.fsFor(path)
-    val prev = currentVersion(path) match {
-      case Some(cv) => readManifest(fs, root, cv)
-      case None     => Nil
-    }
-    val v = claimNext(fs, root, path)
+    fs.mkdirs(root)
+    val base = currentVersion(path).getOrElse(0L)
+    val prev = if (base == 0L) Nil else readManifest(fs, root, base)
+    val v = claimExact(fs, root, base) // derived from base: lost-update guard
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     writeManifest(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false))
     writeMeta(fs, root, v, meta)
@@ -313,7 +373,11 @@ object Versioned {
     * [[commitMeta]], atomic with the data under the `_committed` marker,
     * so there is no window where data landed but the id didn't. */
   def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long =
-    versions(path).find(v => commitMeta(path, v).get(BatchKey).contains(batchId)) match {
+    // scan DESCENDING: a replayed id is almost always the latest batch, so
+    // the common replay costs one _meta read, not a walk of the whole
+    // history (a long-lived stream indexes ids in its latest manifest or
+    // bounds the scan by the engine's checkpoint instead)
+    versions(path).reverse.find(v => commitMeta(path, v).get(BatchKey).contains(batchId)) match {
       case Some(v) => v // replay: already committed, skip
       case None    => appendCommit(df, path, Map(BatchKey -> batchId))
     }
@@ -323,8 +387,15 @@ object Versioned {
     * rewrite, like [[upsert]] — the partition-pruned variant composes
     * the same way upsertPartitioned does. */
   def delete(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
-    val remaining = read(spark, path).join(keys.select(key), Seq(key), "left_anti")
-    commit(remaining, path)
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.delete: no committed version under $path"))
+    val remaining = readAt(spark, path, base).join(keys.select(key), Seq(key), "left_anti")
+    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+    remaining.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
   }
 
   /** Change data feed: the keyed diff between two committed snapshots —
@@ -370,10 +441,17 @@ object Versioned {
     * partitions. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame, key: String): Long = {
     Writers.requireUniqueKeys("Versioned.upsert", updates, key)
-    val merged = read(spark, path)
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.upsert: no committed version under $path"))
+    val merged = readAt(spark, path, base)
       .join(updates, Seq(key), "left_anti")
       .unionByName(updates)
-    commit(merged, path)
+    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+    merged.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
   }
 
   /** Copy-on-write partitioned MERGE — the shape that scales: only the
@@ -410,14 +488,14 @@ object Versioned {
       s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(v.toString)).toSet
     val (touched, untouched) = entries.partition(e => touchedDirs.contains(e.partDir))
-    val base =
+    val merged =
       if (touched.isEmpty) updates // all-new partitions: nothing to merge against
       else
         readEntries(spark, root, touched)
           .join(updates, Seq(key), "left_anti")
           .unionByName(updates)
-    val v = claimNext(fs, root, path)
-    base.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    val v = claimExact(fs, root, cur) // derived from cur: lost-update guard
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir(root, v).toString)
     writeManifest(fs, root, v,
       untouched ++ localEntries(fs, root, v, partitioned = true))
@@ -426,9 +504,13 @@ object Versioned {
   }
 
   /** Retention: keep the newest `keepLast` committed versions plus every
-    * version directory any retained manifest still references; delete
-    * the rest — including crashed (claimed, never committed) attempts
-    * below the current version. Returns the number of version
+    * version directory any retained manifest still references; delete the
+    * other COMMITTED versions. Uncommitted (claimed) directories are
+    * never touched — one could belong to a live, slow writer, and
+    * deleting under it would let its final `_committed` marker publish a
+    * snapshot whose data files are gone (Hadoop creates recreate parent
+    * dirs). Crashed claims are reclaimed by the age-gated
+    * [[recoverClaims]] instead. Returns the number of version
     * directories removed. */
   def vacuum(path: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"vacuum must keep at least 1 version, got $keepLast")
@@ -436,13 +518,10 @@ object Versioned {
     if (!fs.exists(root)) return 0
     val committed = versions(path)
     val kept = committed.takeRight(keepLast)
-    val current = committed.lastOption.getOrElse(0L)
     val referenced: Set[String] =
       kept.flatMap(v => readManifest(fs, root, v).map(_.relPath.takeWhile(_ != '/'))).toSet ++
         kept.map(v => versionDir(root, v).getName)
-    val all = fs.listStatus(root).toSeq.flatMap(st => parseVersion(st.getPath.getName))
-    val doomed = all.filter(v =>
-      !referenced.contains(versionDir(root, v).getName) && v < current)
+    val doomed = committed.filter(v => !referenced.contains(versionDir(root, v).getName))
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
     doomed.size
   }

@@ -18,14 +18,24 @@ object Writers {
   /** Normalized (scheme, authority, path) key for location equality.
     * Comparing raw `URI.getPath` alone equates `hdfs://nn/warehouse/t`
     * with `file:/warehouse/t` — a false collision that would spuriously
-    * block a legitimate recreate (fail-loud, but wrong). A missing
-    * scheme means the local filesystem. */
-  private def locKey(u: java.net.URI): (String, String, String) = (
-    Option(u.getScheme).getOrElse("file"),
-    Option(u.getAuthority).getOrElse(""),
-    java.nio.file.Paths.get(Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
-      .normalize.toString.stripSuffix("/"),
-  )
+    * block a legitimate recreate (fail-loud, but wrong). The opposite
+    * error is worse: defaulting a MISSING scheme to `file` would make a
+    * scheme-less metastore location (common for entries migrated from
+    * Hive) compare UNEQUAL to the qualified default path on an
+    * hdfs-default deployment, letting the destruction guard pass and
+    * delete live data. So both sides are qualified through the actual
+    * FileSystem first — makeQualified resolves scheme and authority from
+    * fs.defaultFS exactly the way reads of that location would. */
+  private def locKey(u: java.net.URI): (String, String, String) = {
+    val (fs, p) = fsFor(u.toString)
+    val q = fs.makeQualified(p).toUri
+    (
+      Option(q.getScheme).getOrElse("file"),
+      Option(q.getAuthority).getOrElse(""),
+      java.nio.file.Paths.get(Option(q.getPath).filter(_.nonEmpty).getOrElse("/"))
+        .normalize.toString.stripSuffix("/"),
+    )
+  }
 
   /** Clear the way for (re)creating MANAGED table `table`. A fresh
     * metastore over a reused warehouse dir (each harness JVM rebuilds

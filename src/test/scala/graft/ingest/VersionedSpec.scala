@@ -8,8 +8,7 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
 
   private def freshDir(name: String): String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
+    Writers.deleteTree(p) // the production recursive delete, not a spec-local copy
     p.toString
   }
 
@@ -42,10 +41,49 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.currentVersion(path).contains(1L), "uncommitted attempt must be invisible")
     assert(Versioned.read(spark, path).count() == 1)
     intercept[IllegalArgumentException](Versioned.readAt(spark, path, 2L))
-    // the next commit must NOT reuse the claimed version
+    // a replace-all commit must NOT reuse the claimed version (advances)
     val v = Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path)
     assert(v == 3L, s"claimed-but-crashed version was reused: got v$v")
     assert(Versioned.versions(path) == Seq(1L, 3L))
+    // …while a DERIVED commit from base 3 needs slot 4, which is free
+    assert(Versioned.appendCommit(Seq((4L, "d")).toDF("k", "v"), path) == 4L)
+  }
+
+  test("a derived commit whose base+1 slot is claimed fails loudly instead of dropping the rival") {
+    import spark.implicits._
+    val path = freshDir("versioned_conflict")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+    // rival writer (or crashed attempt) holds the base+1 slot
+    val v2dir = Paths.get(path, "v00002")
+    Files.createDirectories(v2dir)
+    Files.createFile(v2dir.resolve("_claim"))
+    intercept[java.util.ConcurrentModificationException](
+      Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path))
+    intercept[java.util.ConcurrentModificationException](
+      Versioned.upsert(spark, path, Seq((1L, "x")).toDF("k", "v"), "k"))
+    assert(Versioned.versions(path) == Seq(1L), "a losing derived commit must publish nothing")
+    // age-gated recovery clears the crashed claim; the derived commit then lands
+    assert(Versioned.recoverClaims(path, olderThanMs = 0L) == Seq(2L))
+    assert(Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path) == 2L)
+    assert(Versioned.read(spark, path).count() == 2)
+  }
+
+  test("concurrent derived commits from one base: exactly one wins, losers error, no lost update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_lostupdate")
+    Versioned.commit(Seq((0L, "base")).toDF("k", "v"), path)
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future(
+        try Right(Versioned.appendCommit(Seq((i.toLong, s"w$i")).toDF("k", "v"), path))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) })
+    }), 120.seconds)
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.size == 1, s"exactly one derived commit may win a base: $results")
+    // the winner's rows are in the snapshot — nothing was silently dropped
+    assert(Versioned.read(spark, path).count() == 2)
   }
 
   test("a reader pinned before a commit keeps its snapshot (isolation), even mid-plan") {
@@ -62,23 +100,29 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(now == Map(1L -> "CHANGED", 2L -> "b"))
   }
 
-  test("vacuum keeps the newest K committed versions and clears crashed attempts") {
+  test("vacuum keeps the newest K committed versions; crashed claims need age-gated recovery") {
     import spark.implicits._
     val path = freshDir("versioned_vacuum")
     for (i <- 1 to 4) Versioned.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), path)
-    // plus a crashed attempt between 4 and a fifth commit
+    // plus a crashed attempt between 4 and a fifth (replace-all) commit
     val crashed = Paths.get(path, "v00005")
     Files.createDirectories(crashed)
     Files.createFile(crashed.resolve("_claim"))
     Versioned.commit(Seq((6L, "v6")).toDF("k", "v"), path) // v6
     val removed = Versioned.vacuum(path, keepLast = 2)
     // committed history is 1,2,3,4,6 (the claim collision pushed the last
-    // commit to v6); keep {4,6} → doomed: v1,v2,v3 + crashed v5 = 4
-    assert(removed == 4, s"expected 4 dirs removed, got $removed")
+    // commit to v6); keep {4,6} → doomed: v1,v2,v3. The crashed v5 is NOT
+    // vacuum's to take — it might belong to a live writer
+    assert(removed == 3, s"expected 3 committed dirs removed, got $removed")
+    assert(Files.exists(crashed), "vacuum must not touch an uncommitted claim")
     assert(Versioned.versions(path) == Seq(4L, 6L))
     intercept[IllegalArgumentException](Versioned.readAt(spark, path, 1L))
     assert(Versioned.readAt(spark, path, 4L).count() == 1)
     intercept[IllegalArgumentException](Versioned.vacuum(path, 0))
+    // the crashed claim is recoverClaims' job, behind an age threshold
+    assert(Versioned.recoverClaims(path, olderThanMs = 1000L * 3600) == Nil)
+    assert(Versioned.recoverClaims(path, olderThanMs = 0L) == Seq(5L))
+    assert(!Files.exists(crashed))
   }
 
   test("partitioned merge rewrites only touched partitions; untouched files carry by reference") {

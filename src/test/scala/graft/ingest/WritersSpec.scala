@@ -10,8 +10,7 @@ class WritersSpec extends AnyFunSuite with SparkFixture {
 
   private def freshDir(name: String): String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
+    Writers.deleteTree(p) // the production recursive delete, not a spec-local copy
     p.toString
   }
 
