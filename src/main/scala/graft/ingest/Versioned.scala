@@ -56,10 +56,22 @@ object Versioned {
   private val ManifestFile = "_manifest"
   private val MetaFile = "_meta"
 
+  /** Manifest entry kinds: `data` is a snapshot data file; `delete` is a
+    * merge-on-read delete file (a single-column parquet of keys that
+    * readers anti-join against data files from EARLIER versions). */
+  val KindData = "data"
+  val KindDelete = "delete"
+
   /** One snapshot file: path relative to the table root (so manifests
-    * survive a table-root move) + the Hive partition dir fragment
-    * (`col=value`) it belongs to, empty for unpartitioned commits. */
-  final case class ManifestEntry(relPath: String, partDir: String)
+    * survive a table-root move), the Hive partition dir fragment
+    * (`col=value`) it belongs to (empty for unpartitioned commits), and
+    * its kind ([[KindData]] or [[KindDelete]]). */
+  final case class ManifestEntry(relPath: String, partDir: String, kind: String = KindData)
+
+  /** The version directory that physically holds a manifest entry. */
+  private def entryVersion(e: ManifestEntry): Long =
+    parseVersion(e.relPath.takeWhile(_ != '/')).getOrElse(
+      throw new IllegalStateException(s"Versioned: malformed manifest path ${e.relPath}"))
 
   private def versionDir(root: HPath, v: Long) = new HPath(root, f"v$v%05d")
   private def dataDir(root: HPath, v: Long) = new HPath(versionDir(root, v), "data")
@@ -102,22 +114,29 @@ object Versioned {
       finally in.close()
     raw.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
-      ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
+      val j = line.indexOf('\t', i + 1)
+      ManifestEntry(
+        kind = line.substring(0, i),
+        partDir = line.substring(i + 1, j),
+        relPath = line.substring(j + 1))
     }
   }
 
   private def writeManifest(fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry]): Unit = {
     val out = fs.create(new HPath(versionDir(root, v), ManifestFile), false)
-    try out.write(entries.map(e => s"${e.partDir}\t${e.relPath}").mkString("\n").getBytes("UTF-8"))
+    try out.write(entries.map(e => s"${e.kind}\t${e.partDir}\t${e.relPath}").mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** List the parquet files a fresh write left under `v`'s data dir as
-    * manifest entries. `partitioned` controls whether the parent dir is
-    * required to be a `col=value` fragment (partitionBy layout). */
-  private def localEntries(fs: FileSystem, root: HPath, v: Long, partitioned: Boolean): Seq[ManifestEntry] = {
-    val data = dataDir(root, v)
-    val it = fs.listFiles(data, true)
+  /** List the parquet files a fresh write left under `v`'s `subdir` as
+    * manifest entries of `kind`. `partitioned` controls whether the
+    * parent dir is required to be a `col=value` fragment (partitionBy
+    * layout). */
+  private def localEntries(
+      fs: FileSystem, root: HPath, v: Long,
+      partitioned: Boolean, subdir: String = "data", kind: String = KindData): Seq[ManifestEntry] = {
+    val dir = new HPath(versionDir(root, v), subdir)
+    val it = fs.listFiles(dir, true)
     val acc = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
     val rootUri = root.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
@@ -133,7 +152,7 @@ object Versioned {
               s"Versioned: expected a col=value partition dir above $p, got '$parent'")
             parent
           }
-        acc += ManifestEntry(rel, partDir)
+        acc += ManifestEntry(rel, partDir, kind)
       }
     }
     acc.toSeq.sortBy(_.relPath)
@@ -276,7 +295,33 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     require(isCommitted(fs, root, version),
       s"Versioned.readAt: version $version of $path is not committed (never existed, crashed, or vacuumed)")
-    readEntries(spark, root, readManifest(fs, root, version))
+    materialize(spark, root, readManifest(fs, root, version))
+  }
+
+  /** Materialize a full manifest: data entries read per owning version,
+    * merge-on-read delete files applied VERSION-SEQUENCED — a delete
+    * committed at version v anti-joins only data files from versions
+    * < v, so a later append that legitimately reuses a deleted key is
+    * not swallowed (Iceberg's sequence-number rule). */
+  private def materialize(spark: SparkSession, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+    val (dels, datas) = entries.partition(_.kind == KindDelete)
+    if (dels.isEmpty) readEntries(spark, root, datas)
+    else {
+      val delFrames = dels.sortBy(entryVersion).map { e =>
+        val keys = spark.read.parquet(new HPath(root, e.relPath).toString)
+        require(keys.columns.length == 1,
+          s"Versioned: delete file ${e.relPath} must carry exactly one key column, " +
+            s"got ${keys.columns.mkString(",")}")
+        (entryVersion(e), keys, keys.columns.head)
+      }
+      datas.groupBy(entryVersion).toSeq.sortBy(_._1)
+        .map { case (gv, es) =>
+          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, root, es)) {
+            case (acc, (_, keys, kc)) => acc.join(keys, Seq(kc), "left_anti")
+          }
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Read the current snapshot. The version is resolved HERE, so the
@@ -304,6 +349,9 @@ object Versioned {
     val v = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.readPartitions: no committed version under $path"))
     val entries = readManifest(fs, root, v)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.readPartitions: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first, or use read() which applies them")
     require(entries.forall(_.partDir.nonEmpty),
       s"Versioned.readPartitions: $path was not committed partitioned")
     val wanted = partValues.map(w =>
@@ -479,6 +527,10 @@ object Versioned {
     val cur = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.upsertPartitioned: no committed version under $path"))
     val entries = readManifest(fs, root, cur)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.upsertPartitioned: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first (a partition carried by reference would otherwise " +
+        "detach from the delete files that apply to it)")
     require(entries.forall(_.partDir.nonEmpty),
       s"Versioned.upsertPartitioned: $path was not committed with commitPartitioned")
     val vals = updates.select(partCol).distinct().collect().map(_.get(0))
@@ -499,6 +551,61 @@ object Versioned {
       .parquet(dataDir(root, v).toString)
     writeManifest(fs, root, v,
       untouched ++ localEntries(fs, root, v, partitioned = true))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** MERGE-ON-READ delete — the O(delete-set) alternative to the
+    * copy-on-write [[delete]]: the commit writes ONLY a single-column
+    * parquet of deleted keys under `v/deletes` and carries the previous
+    * manifest by reference — ZERO data files rewritten (s20's entry
+    * `require`s exactly that), the right trade when deletes are tiny
+    * relative to the table (GDPR erasure, retraction feeds). Readers pay
+    * one anti-join per outstanding delete file, version-sequenced so a
+    * later append reusing a deleted key survives; [[compactDeletes]]
+    * folds the debt back into pure data files when read cost outweighs
+    * write savings — the same rewrite-vs-read knob Iceberg v2 exposes. */
+  def deleteMergeOnRead(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.deleteMergeOnRead: no committed version under $path"))
+    val prev = readManifest(fs, root, base)
+    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+    keys.select(key).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new HPath(versionDir(root, v), "deletes").toString)
+    writeManifest(fs, root, v,
+      prev ++ localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete))
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** Fold outstanding merge-on-read deletes into a fresh pure-data
+    * snapshot (full rewrite), preserving a Hive-partitioned layout if
+    * the table has one — otherwise compaction would strand
+    * [[upsertPartitioned]]/[[readPartitions]] forever. After this, reads
+    * pay no anti-joins and the partition-scoped operations are available
+    * again. */
+  def compactDeletes(spark: SparkSession, path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.compactDeletes: no committed version under $path"))
+    val dataEntries = readManifest(fs, root, base).filter(_.kind == KindData)
+    val partCol = dataEntries.map(_.partDir.takeWhile(_ != '=')).distinct match {
+      case Seq(one) if one.nonEmpty && dataEntries.forall(_.partDir.nonEmpty) => Some(one)
+      case _ => None
+    }
+    val df = readAt(spark, path, base) // deletes applied
+    val v = claimExact(fs, root, base)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    partCol match {
+      case Some(pc) =>
+        writer.partitionBy(pc).parquet(dataDir(root, v).toString)
+        writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = true))
+      case None =>
+        writer.parquet(dataDir(root, v).toString)
+        writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    }
     fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
     v
   }

@@ -841,8 +841,62 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S20: merge-on-read DELETE — the O(delete-set) erasure path
+    * ([[graft.ingest.Versioned.deleteMergeOnRead]]): v2 commits ONLY a
+    * key file and carries v1's data manifest verbatim (require'd
+    * in-entry: the data entries of the two manifests are identical, so
+    * ZERO data bytes moved for the delete — at 100 TB that is a GDPR
+    * erasure that costs megabytes, not a table rewrite). Readers of v2
+    * pay one anti-join; v3 = compactDeletes folds the debt into pure
+    * data files (require'd: no delete entries remain, everything lives
+    * under v3). The oracle grades all three snapshots' content: v1
+    * untouched, v2 and v3 identical minus the deleted keys. */
+  val s20MergeOnRead = QueryDef(
+    "s20_merge_on_read",
+    (s, d) => {
+      val path = tmp("s20_mor", d)
+      Writers.deleteTree(path) // deterministic rerun: history starts at v1
+      val V = graft.ingest.Versioned
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      V.commit(dim, path) // v1
+      V.deleteMergeOnRead(s, path,
+        Tables.customer(s, d).filter(col("c_custkey") % 5 === 0).select("c_custkey"),
+        "c_custkey") // v2: key file only
+      val m1 = V.manifest(path, 1L).toSet
+      val m2 = V.manifest(path, 2L)
+      val (dels2, datas2) = m2.partition(_.kind == V.KindDelete)
+      require(dels2.nonEmpty && datas2.toSet == m1,
+        "s20: merge-on-read delete must rewrite ZERO data files")
+      V.compactDeletes(s, path) // v3
+      val m3 = V.manifest(path, 3L)
+      require(m3.forall(e => e.kind == V.KindData && e.relPath.startsWith("v00003/")),
+        "s20: compaction must fold the deletes into pure data files")
+      def snap(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy("segment").agg(count(lit(1)).as("n_cust"))
+        .withColumn("snapshot", lit(tag))
+      snap(V.readAt(s, path, 1L), "v1")
+        .unionByName(snap(V.readAt(s, path, 2L), "v2_mor"))
+        .unionByName(snap(V.read(s, path), "v3_compacted"))
+        .select("snapshot", "segment", "n_cust")
+        .orderBy("snapshot", "segment")
+    },
+    Some("""
+      WITH kept AS (
+        SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 5 <> 0
+      )
+      SELECT 'v1' AS snapshot, c_mktsegment AS segment, count(*) AS n_cust
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'v2_mor', segment, count(*) FROM kept GROUP BY segment
+      UNION ALL
+      SELECT 'v3_compacted', segment, count(*) FROM kept GROUP BY segment
+      ORDER BY snapshot, segment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
-    s18PartitionedMerge, s19ChangeFeed)
+    s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead)
 }

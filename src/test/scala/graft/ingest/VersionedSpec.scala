@@ -267,6 +267,56 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Versioned.readPartitions(spark, path, "pt", Set("NOPE")))
   }
 
+  test("merge-on-read delete rewrites nothing; a later append may reuse the key (sequencing)") {
+    import spark.implicits._
+    val path = freshDir("versioned_mor")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Versioned.deleteMergeOnRead(spark, path, Seq(1L).toDF("k"), "k")
+    // zero data files moved: v2's data entries are exactly v1's
+    val m2 = Versioned.manifest(path, 2L)
+    assert(m2.filter(_.kind == Versioned.KindData).toSet == Versioned.manifest(path, 1L).toSet)
+    assert(m2.exists(e => e.kind == Versioned.KindDelete && e.relPath.startsWith("v00002/")))
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a key deleted at v2 may be legitimately re-appended at v3: the
+    // delete is version-sequenced and must NOT swallow the newer row
+    Versioned.appendCommit(Seq((1L, "reborn")).toDF("k", "v"), path)
+    val rows = Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "reborn", 2L -> "b"),
+      s"delete swallowed a row appended AFTER it: $rows")
+    // compaction folds the delete debt into pure data files, same content
+    Versioned.compactDeletes(spark, path)
+    assert(Versioned.manifest(path, 4L).forall(_.kind == Versioned.KindData))
+    val after = Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == rows)
+    // time travel through the MoR version still applies its delete
+    assert(Versioned.readAt(spark, path, 2L).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("partition-scoped operations refuse while merge-on-read deletes are outstanding") {
+    import spark.implicits._
+    val path = freshDir("versioned_mor_guard")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.deleteMergeOnRead(spark, path, Seq(1L).toDF("k"), "k")
+    // carrying a partition by reference would detach it from the delete
+    intercept[IllegalArgumentException](
+      Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt"))
+    intercept[IllegalArgumentException](
+      Versioned.readPartitions(spark, path, "pt", Set("P2")))
+    // read() applies the delete; after compaction the guards lift AND the
+    // partitioned layout survives, so partition-scoped merges work again
+    assert(Versioned.read(spark, path).collect().map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    Versioned.compactDeletes(spark, path)
+    assert(Versioned.manifest(path, 3L).forall(_.partDir.startsWith("pt=")),
+      "compaction flattened the Hive-partitioned layout")
+    Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    val rows = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows == Map(2L -> "b2"))
+  }
+
   test("upsert rejects duplicate and NULL merge keys before touching history") {
     import spark.implicits._
     val path = freshDir("versioned_guard")
