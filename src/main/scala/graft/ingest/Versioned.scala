@@ -115,10 +115,13 @@ object Versioned {
     raw.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
       val j = line.indexOf('\t', i + 1)
-      ManifestEntry(
-        kind = line.substring(0, i),
-        partDir = line.substring(i + 1, j),
-        relPath = line.substring(j + 1))
+      if (j < 0) // legacy 2-field line (pre-kind format): partDir \t relPath
+        ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
+      else
+        ManifestEntry(
+          kind = line.substring(0, i),
+          partDir = line.substring(i + 1, j),
+          relPath = line.substring(j + 1))
     }
   }
 
@@ -245,14 +248,55 @@ object Versioned {
     doomed.sorted
   }
 
+  /** The commit tail shared by every writer: manifest, then optional
+    * metadata, then the atomic `_committed` marker — the ORDER is the
+    * protocol (everything must be durable before the marker appears).
+    * One implementation so a future protocol change (checksums, extra
+    * metadata) lands exactly once. */
+  private def publish(
+      fs: FileSystem, root: HPath, v: Long,
+      entries: Seq[ManifestEntry], meta: Map[String, String] = Map.empty): Long = {
+    writeManifest(fs, root, v, entries)
+    writeMeta(fs, root, v, meta)
+    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    v
+  }
+
+  /** The single Hive partition column of a manifest's data entries, if
+    * the layout is uniformly partitioned — how rewrites know to preserve
+    * it instead of silently flattening and stranding
+    * [[upsertPartitioned]]/[[readPartitions]]. */
+  private def layoutPartCol(entries: Seq[ManifestEntry]): Option[String] = {
+    val datas = entries.filter(_.kind == KindData)
+    datas.map(_.partDir.takeWhile(_ != '=')).distinct match {
+      case Seq(one) if one.nonEmpty && datas.forall(_.partDir.nonEmpty) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** Full-snapshot rewrite DERIVED from `base` (claims exactly base+1),
+    * preserving the base's partitioned layout. Shared by [[upsert]],
+    * [[delete]], and [[compactDeletes]]. */
+  private def rewriteFrom(fs: FileSystem, root: HPath, base: Long, df: DataFrame): Long = {
+    val partCol = layoutPartCol(readManifest(fs, root, base))
+    val v = claimExact(fs, root, base)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    partCol match {
+      case Some(pc) =>
+        writer.partitionBy(pc).parquet(dataDir(root, v).toString)
+        publish(fs, root, v, localEntries(fs, root, v, partitioned = true))
+      case None =>
+        writer.parquet(dataDir(root, v).toString)
+        publish(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    }
+  }
+
   /** Commit `df` as the next (unpartitioned) version; returns it. */
   def commit(df: DataFrame, path: String): Long = {
     val (fs, root) = Writers.fsFor(path)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = false))
   }
 
   /** Commit `df` Hive-partitioned on `partCol` — the layout
@@ -264,9 +308,7 @@ object Versioned {
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = true))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = true))
   }
 
   /** Materialize a set of manifest entries. Files are grouped by the
@@ -317,7 +359,13 @@ object Versioned {
       datas.groupBy(entryVersion).toSeq.sortBy(_._1)
         .map { case (gv, es) =>
           delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, root, es)) {
-            case (acc, (_, keys, kc)) => acc.join(keys, Seq(kc), "left_anti")
+            // a data group from before a key column appeared (schema
+            // drift) reads NULL under it — a keyed delete matches no NULL
+            // rows, so skipping the anti-join for that group is the
+            // correct semantics, not a workaround
+            case (acc, (_, keys, kc)) if acc.columns.contains(kc) =>
+              acc.join(keys, Seq(kc), "left_anti")
+            case (acc, _) => acc
           }
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -406,10 +454,7 @@ object Versioned {
     val prev = if (base == 0L) Nil else readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false))
-    writeMeta(fs, root, v, meta)
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), meta)
   }
 
   private val BatchKey = "graft.batchId"
@@ -432,18 +477,14 @@ object Versioned {
 
   /** Keyed DELETE: commit a new snapshot without the rows whose `key` is
     * in `keys` (single-column frame or any frame carrying `key`). Full
-    * rewrite, like [[upsert]] — the partition-pruned variant composes
-    * the same way upsertPartitioned does. */
+    * rewrite, preserving a partitioned layout ([[rewriteFrom]]);
+    * [[deleteMergeOnRead]] is the O(delete-set) alternative. */
   def delete(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.delete: no committed version under $path"))
     val remaining = readAt(spark, path, base).join(keys.select(key), Seq(key), "left_anti")
-    val v = claimExact(fs, root, base) // derived from base: lost-update guard
-    remaining.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    rewriteFrom(fs, root, base, remaining)
   }
 
   /** Change data feed: the keyed diff between two committed snapshots —
@@ -495,11 +536,7 @@ object Versioned {
     val merged = readAt(spark, path, base)
       .join(updates, Seq(key), "left_anti")
       .unionByName(updates)
-    val v = claimExact(fs, root, base) // derived from base: lost-update guard
-    merged.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    rewriteFrom(fs, root, base, merged)
   }
 
   /** Copy-on-write partitioned MERGE — the shape that scales: only the
@@ -549,10 +586,7 @@ object Versioned {
     val v = claimExact(fs, root, cur) // derived from cur: lost-update guard
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir(root, v).toString)
-    writeManifest(fs, root, v,
-      untouched ++ localEntries(fs, root, v, partitioned = true))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    publish(fs, root, v, untouched ++ localEntries(fs, root, v, partitioned = true))
   }
 
   /** MERGE-ON-READ delete — the O(delete-set) alternative to the
@@ -569,15 +603,21 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.deleteMergeOnRead: no committed version under $path"))
+    // validate BEFORE committing: a delete keyed on a column the snapshot
+    // does not carry would commit fine and then poison every subsequent
+    // read (the anti-join fails at materialize time) — with compaction,
+    // the documented repair path, failing the same way
+    val snapshotCols = readAt(spark, path, base).columns
+    require(snapshotCols.contains(key),
+      s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot " +
+        s"(${snapshotCols.mkString(", ")}) — committing it would make every read fail")
     val prev = readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     keys.select(key).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new HPath(versionDir(root, v), "deletes").toString)
-    writeManifest(fs, root, v,
+    publish(fs, root, v,
       prev ++ localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete))
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
   }
 
   /** Fold outstanding merge-on-read deletes into a fresh pure-data
@@ -590,24 +630,10 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.compactDeletes: no committed version under $path"))
-    val dataEntries = readManifest(fs, root, base).filter(_.kind == KindData)
-    val partCol = dataEntries.map(_.partDir.takeWhile(_ != '=')).distinct match {
-      case Seq(one) if one.nonEmpty && dataEntries.forall(_.partDir.nonEmpty) => Some(one)
-      case _ => None
-    }
-    val df = readAt(spark, path, base) // deletes applied
-    val v = claimExact(fs, root, base)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    partCol match {
-      case Some(pc) =>
-        writer.partitionBy(pc).parquet(dataDir(root, v).toString)
-        writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = true))
-      case None =>
-        writer.parquet(dataDir(root, v).toString)
-        writeManifest(fs, root, v, localEntries(fs, root, v, partitioned = false))
-    }
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
-    v
+    // no outstanding deletes → nothing to fold; a scheduled maintenance
+    // run on a clean table must be a no-op, not a full table rewrite
+    if (!readManifest(fs, root, base).exists(_.kind == KindDelete)) return base
+    rewriteFrom(fs, root, base, readAt(spark, path, base)) // deletes applied
   }
 
   /** Retention: keep the newest `keepLast` committed versions plus every
@@ -625,9 +651,19 @@ object Versioned {
     if (!fs.exists(root)) return 0
     val committed = versions(path)
     val kept = committed.takeRight(keepLast)
+    // an uncommitted claim at u may be an IN-FLIGHT derived commit from
+    // base u-1: until it resolves (commits or is reclaimed), its base —
+    // and everything its base's manifest references — must survive, or
+    // the writer's final marker would publish a snapshot whose carried
+    // files vacuum just deleted
+    val uncommitted = fs.listStatus(root).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName))
+      .filterNot(committed.contains)
+    val pinnedBases = uncommitted.map(_ - 1).filter(committed.contains)
+    val anchors = (kept ++ pinnedBases).distinct
     val referenced: Set[String] =
-      kept.flatMap(v => readManifest(fs, root, v).map(_.relPath.takeWhile(_ != '/'))).toSet ++
-        kept.map(v => versionDir(root, v).getName)
+      anchors.flatMap(v => readManifest(fs, root, v).map(_.relPath.takeWhile(_ != '/'))).toSet ++
+        anchors.map(v => versionDir(root, v).getName)
     val doomed = committed.filter(v => !referenced.contains(versionDir(root, v).getName))
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
     doomed.size
