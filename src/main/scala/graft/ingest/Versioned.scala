@@ -1,7 +1,8 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Snapshot-versioned parquet table — the transactional-table semantics
   * (snapshot isolation, time travel, MERGE, retention) the rewrite family
@@ -29,19 +30,37 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    fully written: its atomic appearance IS the commit. A reader either
   *    sees the whole snapshot or none of it — no intermediate state, so
   *    concurrent readers NEVER observe a partial table.
+  *  - Every commit records the committed frame's schema in `_meta`
+  *    (`graft.schema`), which buys three things: an all-rows DELETE
+  *    publishes a legitimately EMPTY snapshot that still reads (as an
+  *    empty frame with the right schema, not an error); the reader can
+  *    skip parquet footer inference; and [[readEntries]] can prove a
+  *    multi-version history is drift-free and collapse it into ONE scan
+  *    (see below).
   *  - Readers resolve `current = max committed version` once, at
   *    DataFrame construction, and pin that manifest: a commit landing
   *    mid-query changes nothing for them (snapshot isolation);
   *    [[readAt]] is time travel to any retained version.
+  *  - READER-PLAN GROWTH (r5 verdict #1): a long `appendCommit` history
+  *    owns files across many version dirs. When every owning version
+  *    recorded the SAME schema and the layout is unpartitioned,
+  *    [[readEntries]] hands ALL files to one `spark.read.parquet` — one
+  *    scan node regardless of commit count. Only genuine drift
+  *    (per-version unionByName) or a partitioned layout (per-base
+  *    partition recovery) pay per-version plan nodes, and
+  *    [[compactFiles]] folds either case back to a single version.
   *  - [[upsertPartitioned]] is the 100 TB MERGE shape: only partitions
   *    containing updated keys are rewritten; every other file is carried
   *    into the new manifest by reference — metadata-only, zero data
-  *    copied (s18's entry `require`s exactly this). [[upsert]] remains
-  *    the full-snapshot fallback for unpartitioned tables.
+  *    copied (s18's entry `require`s exactly this). Partitioning may be
+  *    multi-column (`date=…/region=…`); [[upsert]] remains the
+  *    full-snapshot fallback for unpartitioned tables.
   *  - [[vacuum]] is the retention knob: drops version directories that
-  *    are neither retained nor referenced by any retained manifest
-  *    (directory-granular GC; per-file GC inside a still-referenced old
-  *    version is the production extension).
+  *    are neither retained nor referenced by any retained manifest, then
+  *    reclaims INDIVIDUAL superseded files inside still-referenced old
+  *    version dirs (per-file GC — a `_gc` tombstone marks the dir as
+  *    history-unreadable while its surviving files remain addressable
+  *    by newer manifests).
   *
   * Scale notes: a resolve costs one directory listing + one manifest
   * read (O(files in snapshot) metadata, zero data IO); commits rename
@@ -55,6 +74,7 @@ object Versioned {
   private val CommittedFile = "_committed"
   private val ManifestFile = "_manifest"
   private val MetaFile = "_meta"
+  private val GcFile = "_gc"
 
   /** Manifest entry kinds: `data` is a snapshot data file; `delete` is a
     * merge-on-read delete file (a single-column parquet of keys that
@@ -62,10 +82,13 @@ object Versioned {
   val KindData = "data"
   val KindDelete = "delete"
 
+  /** `_meta` key carrying the committed frame's schema as Spark JSON. */
+  private val SchemaKey = "graft.schema"
+
   /** One snapshot file: path relative to the table root (so manifests
-    * survive a table-root move), the Hive partition dir fragment
-    * (`col=value`) it belongs to (empty for unpartitioned commits), and
-    * its kind ([[KindData]] or [[KindDelete]]). */
+    * survive a table-root move), the Hive partition fragment it belongs
+    * to (`a=1` or `a=1/b=x` for multi-column layouts; empty for
+    * unpartitioned commits), and its kind ([[KindData]]/[[KindDelete]]). */
   final case class ManifestEntry(relPath: String, partDir: String, kind: String = KindData)
 
   /** The version directory that physically holds a manifest entry. */
@@ -81,11 +104,17 @@ object Versioned {
       Some(name.tail.toLong)
     else None
 
+  /** Committed AND not file-GC'd: a `_gc` tombstone means vacuum
+    * reclaimed superseded files inside the dir, so the version's own
+    * snapshot is no longer readable (its surviving files live on, still
+    * addressable by the newer manifests that reference them). */
   private def isCommitted(fs: FileSystem, root: HPath, v: Long): Boolean =
-    fs.exists(new HPath(versionDir(root, v), CommittedFile))
+    fs.exists(new HPath(versionDir(root, v), CommittedFile)) &&
+      !fs.exists(new HPath(versionDir(root, v), GcFile))
 
   /** All committed versions, ascending. Crashed attempts (claimed but
-    * never committed) are invisible here by construction. */
+    * never committed) and file-GC'd history are invisible here by
+    * construction. */
   def versions(path: String): Seq[Long] = {
     val (fs, root) = Writers.fsFor(path)
     if (!fs.exists(root)) Nil
@@ -133,27 +162,29 @@ object Versioned {
 
   /** List the parquet files a fresh write left under `v`'s `subdir` as
     * manifest entries of `kind`. `partitioned` controls whether the
-    * parent dir is required to be a `col=value` fragment (partitionBy
-    * layout). */
+    * path between `subdir` and the file is required to be a chain of
+    * `col=value` fragments (partitionBy layout, possibly multi-level). */
   private def localEntries(
       fs: FileSystem, root: HPath, v: Long,
       partitioned: Boolean, subdir: String = "data", kind: String = KindData): Seq[ManifestEntry] = {
     val dir = new HPath(versionDir(root, v), subdir)
+    if (!fs.exists(dir)) return Nil // an empty frame writes no files at all
     val it = fs.listFiles(dir, true)
     val acc = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
     val rootUri = root.toUri.getPath.stripSuffix("/")
+    val subUri = dir.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       if (p.getName.endsWith(".parquet")) {
         val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        val parent = p.getParent.getName
         val partDir =
           if (!partitioned) ""
           else {
-            require(parent.contains("="),
-              s"Versioned: expected a col=value partition dir above $p, got '$parent'")
-            parent
+            val frag = p.getParent.toUri.getPath.stripPrefix(subUri).stripPrefix("/")
+            require(frag.nonEmpty && frag.split("/").forall(_.contains("=")),
+              s"Versioned: expected col=value partition dirs between $dir and $p, got '$frag'")
+            frag
           }
         acc += ManifestEntry(rel, partDir, kind)
       }
@@ -231,7 +262,10 @@ object Versioned {
     * than the threshold may belong to a live, slow writer, and deleting
     * under it would let its final `_committed` marker publish a corrupt
     * snapshot (Hadoop creates recreate parents). Pick a threshold above
-    * the longest plausible commit. Returns the versions reclaimed. */
+    * the longest plausible commit. File-GC'd history dirs are not
+    * recovery's to take — their surviving files are still referenced
+    * (vacuum removed their `_claim` for exactly this reason). Returns
+    * the versions reclaimed. */
   def recoverClaims(path: String, olderThanMs: Long): Seq[Long] = {
     val (fs, root) = Writers.fsFor(path)
     if (!fs.exists(root)) return Nil
@@ -241,103 +275,149 @@ object Versioned {
       .filter { v =>
         val dir = versionDir(root, v)
         val claim = new HPath(dir, ClaimFile)
-        !isCommitted(fs, root, v) && fs.exists(claim) &&
+        !fs.exists(new HPath(dir, CommittedFile)) && fs.exists(claim) &&
           fs.getFileStatus(claim).getModificationTime < cutoff
       }
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
     doomed.sorted
   }
 
-  /** The commit tail shared by every writer: manifest, then optional
-    * metadata, then the atomic `_committed` marker — the ORDER is the
-    * protocol (everything must be durable before the marker appears).
-    * One implementation so a future protocol change (checksums, extra
-    * metadata) lands exactly once. */
+  /** The commit tail shared by every writer: manifest, then metadata
+    * (always including the committed frame's schema), then the atomic
+    * `_committed` marker — the ORDER is the protocol (everything must be
+    * durable before the marker appears). One implementation so a future
+    * protocol change (checksums, extra metadata) lands exactly once. */
   private def publish(
-      fs: FileSystem, root: HPath, v: Long,
-      entries: Seq[ManifestEntry], meta: Map[String, String] = Map.empty): Long = {
+      fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry],
+      schema: StructType, meta: Map[String, String] = Map.empty): Long = {
     writeManifest(fs, root, v, entries)
-    writeMeta(fs, root, v, meta)
+    writeMeta(fs, root, v, meta + (SchemaKey -> schema.json))
     fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
     v
   }
 
-  /** The single Hive partition column of a manifest's data entries, if
-    * the layout is uniformly partitioned — how rewrites know to preserve
-    * it instead of silently flattening and stranding
-    * [[upsertPartitioned]]/[[readPartitions]]. */
-  private def layoutPartCol(entries: Seq[ManifestEntry]): Option[String] = {
+  /** The Hive partition columns of a manifest's data entries, in layout
+    * order, if the layout is uniformly partitioned (empty otherwise) —
+    * how rewrites know to preserve the layout instead of silently
+    * flattening and stranding [[upsertPartitioned]]/[[readPartitions]]. */
+  private def layoutPartCols(entries: Seq[ManifestEntry]): Seq[String] = {
     val datas = entries.filter(_.kind == KindData)
-    datas.map(_.partDir.takeWhile(_ != '=')).distinct match {
-      case Seq(one) if one.nonEmpty && datas.forall(_.partDir.nonEmpty) => Some(one)
-      case _ => None
-    }
+    if (datas.isEmpty || datas.exists(_.partDir.isEmpty)) Nil
+    else
+      datas.map(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '='))).distinct match {
+        case Seq(one) if one.forall(_.nonEmpty) => one
+        case _ => Nil // mixed layouts: treat as unpartitioned
+      }
   }
 
   /** Full-snapshot rewrite DERIVED from `base` (claims exactly base+1),
     * preserving the base's partitioned layout. Shared by [[upsert]],
-    * [[delete]], and [[compactDeletes]]. */
+    * [[delete]], [[compactDeletes]] and [[compactFiles]]. A rewrite
+    * that keeps zero rows is legal: it publishes an empty manifest whose
+    * schema (in `_meta`) keeps the table readable as an empty frame. */
   private def rewriteFrom(fs: FileSystem, root: HPath, base: Long, df: DataFrame): Long = {
-    val partCol = layoutPartCol(readManifest(fs, root, base))
+    val partCols = layoutPartCols(readManifest(fs, root, base))
     val v = claimExact(fs, root, base)
     val writer = df.write.mode(SaveMode.Overwrite)
-    partCol match {
-      case Some(pc) =>
-        writer.partitionBy(pc).parquet(dataDir(root, v).toString)
-        publish(fs, root, v, localEntries(fs, root, v, partitioned = true))
-      case None =>
-        writer.parquet(dataDir(root, v).toString)
-        publish(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    if (partCols.nonEmpty) {
+      writer.partitionBy(partCols: _*).parquet(dataDir(root, v).toString)
+      publish(fs, root, v, localEntries(fs, root, v, partitioned = true), df.schema)
+    } else {
+      writer.parquet(dataDir(root, v).toString)
+      publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema)
     }
   }
 
-  /** Commit `df` as the next (unpartitioned) version; returns it. */
-  def commit(df: DataFrame, path: String): Long = {
+  /** Commit `df` as the next (unpartitioned) version; returns it.
+    * `meta` rides in the commit's atomic `_meta` (e.g. a consumer's
+    * applied-watermark — see stream_t11's CDF materialization loop). */
+  def commit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = Writers.fsFor(path)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    publish(fs, root, v, localEntries(fs, root, v, partitioned = false))
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema, meta)
   }
 
-  /** Commit `df` Hive-partitioned on `partCol` — the layout
-    * [[upsertPartitioned]] requires (each file belongs to exactly one
-    * partition, so a later MERGE can carry untouched partitions by
-    * reference). */
-  def commitPartitioned(df: DataFrame, path: String, partCol: String): Long = {
+  /** Commit `df` Hive-partitioned on `partCols` (one or more columns,
+    * layout order) — the layout [[upsertPartitioned]] requires (each
+    * file belongs to exactly one partition tuple, so a later MERGE can
+    * carry untouched partitions by reference). */
+  def commitPartitioned(df: DataFrame, path: String, partCols: String*): Long = {
+    require(partCols.nonEmpty, "Versioned.commitPartitioned: at least one partition column")
     val (fs, root) = Writers.fsFor(path)
     val v = claimNext(fs, root, path)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(dataDir(root, v).toString)
-    publish(fs, root, v, localEntries(fs, root, v, partitioned = true))
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = true), df.schema)
   }
 
-  /** Materialize a set of manifest entries. Files are grouped by the
-    * version directory that physically holds them and each group is read
-    * with `basePath` pinned to that version's data dir, so Hive partition
-    * columns (`col=value` dirs) are recovered identically no matter which
-    * version a file lives in; groups then union by name. */
-  private def readEntries(spark: SparkSession, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
-    require(entries.nonEmpty, "Versioned: empty snapshot")
-    entries.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+  /** The schema a version's commit recorded in `_meta` (None for
+    * pre-schema-meta history). */
+  private def metaSchema(fs: FileSystem, root: HPath, v: Long): Option[StructType] =
+    readMeta(fs, root, v).get(SchemaKey).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Materialize a set of manifest entries.
+    *
+    * FAST PATH (bounds reader-plan growth on long append histories — r5
+    * verdict #1): when the layout is unpartitioned and every OWNING
+    * version recorded the same schema in `_meta`, all files go to ONE
+    * `spark.read.schema(s).parquet(files*)` — a single scan node no
+    * matter how many commits own the files, and zero footer inference.
+    *
+    * Otherwise files are grouped by owning version dir and each group is
+    * read with `basePath` pinned to that version's data dir, so Hive
+    * partition columns (`col=value` dirs) are recovered identically no
+    * matter which version a file lives in; groups then union by name
+    * (`allowMissingColumns`: an appendCommit may add a column
+    * mid-history — SURVEY S14's drift class; files from before the
+    * drift read NULL under it). */
+  private def readEntries(
+      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+    require(entries.nonEmpty, "Versioned: empty entry set")
+    val groups = entries.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    if (entries.forall(_.partDir.isEmpty)) {
+      val schemas = groups.map { case (ver, _) =>
+        metaSchema(fs, root, parseVersion(ver).getOrElse(-1L))
+      }
+      if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1)
+        return spark.read.schema(schemas.head.get)
+          .parquet(entries.map(e => new HPath(root, e.relPath).toString): _*)
+    }
+    groups
       .map { case (ver, es) =>
         val base = new HPath(new HPath(root, ver), "data").toString
         val files = es.map(e => new HPath(root, e.relPath).toString)
-        spark.read.option("basePath", base).parquet(files: _*)
+        val rd = spark.read.option("basePath", base)
+        // the owning version's recorded schema pins partition-column
+        // TYPES: without it, Spark's partition-value inference can type
+        // `day=2024-01-01` as DATE on read-back while the committed
+        // column was STRING — a silent type drift that would poison the
+        // next merge's unionByName. Legacy (pre-schema-meta) versions
+        // fall back to inference.
+        metaSchema(fs, root, parseVersion(ver).getOrElse(-1L)) match {
+          case Some(sc) => rd.schema(sc).parquet(files: _*)
+          case None     => rd.parquet(files: _*)
+        }
       }
-      // allowMissingColumns: an appendCommit may add a column mid-history
-      // (SURVEY S14's drift class); files from before the drift read NULL
-      // under it, the same ALTER-only semantics Pipeline.loadInto grades
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Pin and read one committed snapshot (time travel). Fails loudly for
     * a version that was vacuumed or never committed — silently reading an
-    * adjacent snapshot would be a wrong-answer class. */
+    * adjacent snapshot would be a wrong-answer class. An EMPTY committed
+    * snapshot (an all-rows DELETE is legitimate) reads as an empty frame
+    * with the schema its commit recorded. */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val (fs, root) = Writers.fsFor(path)
     require(isCommitted(fs, root, version),
       s"Versioned.readAt: version $version of $path is not committed (never existed, crashed, or vacuumed)")
-    materialize(spark, root, readManifest(fs, root, version))
+    val entries = readManifest(fs, root, version)
+    if (entries.isEmpty) {
+      val schema = metaSchema(fs, root, version).getOrElse(
+        throw new IllegalStateException(
+          s"Versioned.readAt: version $version of $path is empty and predates schema metadata"))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    } else materialize(spark, fs, root, entries)
   }
 
   /** Materialize a full manifest: data entries read per owning version,
@@ -345,9 +425,10 @@ object Versioned {
     * committed at version v anti-joins only data files from versions
     * < v, so a later append that legitimately reuses a deleted key is
     * not swallowed (Iceberg's sequence-number rule). */
-  private def materialize(spark: SparkSession, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+  private def materialize(
+      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
     val (dels, datas) = entries.partition(_.kind == KindDelete)
-    if (dels.isEmpty) readEntries(spark, root, datas)
+    if (dels.isEmpty) readEntries(spark, fs, root, datas)
     else {
       val delFrames = dels.sortBy(entryVersion).map { e =>
         val keys = spark.read.parquet(new HPath(root, e.relPath).toString)
@@ -358,7 +439,7 @@ object Versioned {
       }
       datas.groupBy(entryVersion).toSeq.sortBy(_._1)
         .map { case (gv, es) =>
-          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, root, es)) {
+          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, fs, root, es)) {
             // a data group from before a key column appeared (schema
             // drift) reads NULL under it — a keyed delete matches no NULL
             // rows, so skipping the anti-join for that group is the
@@ -381,34 +462,63 @@ object Versioned {
     readAt(spark, path, v)
   }
 
+  /** The partition tuple a manifest entry belongs to, unescaped
+    * (`Map(col -> value)`; empty for unpartitioned entries). */
+  private def partTuple(e: ManifestEntry): Map[String, String] =
+    if (e.partDir.isEmpty) Map.empty
+    else e.partDir.split("/").map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+    }.toMap
+
   /** Partition-pruned snapshot read — pruning done at the MANIFEST, not
-    * the scan: only files whose partition value is in `partValues` are
+    * the scan: only files whose partition tuple satisfies `pred` are
     * handed to Spark, so untouched partitions are never listed, opened,
     * or even seen by the planner (the table-format planning model; a
     * directory-pruned FileSourceScan still lists the directories).
-    * Requires a [[commitPartitioned]]/[[upsertPartitioned]] history. */
+    * Requires a [[commitPartitioned]]/[[upsertPartitioned]] history;
+    * works for single- and multi-column layouts. */
+  def readPartitionsWhere(
+      spark: SparkSession, path: String, pred: Map[String, String] => Boolean): DataFrame = {
+    val (fs, root) = Writers.fsFor(path)
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.readPartitionsWhere: no committed version under $path"))
+    val entries = readManifest(fs, root, v)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.readPartitionsWhere: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first, or use read() which applies them")
+    require(entries.forall(_.partDir.nonEmpty),
+      s"Versioned.readPartitionsWhere: $path was not committed partitioned")
+    val hit = entries.filter(e => pred(partTuple(e)))
+    require(hit.nonEmpty,
+      s"Versioned.readPartitionsWhere: no files satisfy the partition predicate at v$v " +
+        s"(existing: ${entries.map(_.partDir).distinct.sorted.mkString(", ")})")
+    readEntries(spark, fs, root, hit)
+  }
+
+  /** Single-column convenience over [[readPartitionsWhere]]. */
   def readPartitions(
       spark: SparkSession,
       path: String,
       partCol: String,
       partValues: Set[String],
-  ): DataFrame = {
-    val (fs, root) = Writers.fsFor(path)
-    val v = currentVersion(path).getOrElse(
-      throw new IllegalArgumentException(s"Versioned.readPartitions: no committed version under $path"))
-    val entries = readManifest(fs, root, v)
-    require(entries.forall(_.kind == KindData),
-      s"Versioned.readPartitions: $path has outstanding merge-on-read deletes — " +
-        "run compactDeletes first, or use read() which applies them")
-    require(entries.forall(_.partDir.nonEmpty),
-      s"Versioned.readPartitions: $path was not committed partitioned")
-    val wanted = partValues.map(w =>
-      s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(w))
-    val hit = entries.filter(e => wanted.contains(e.partDir))
-    require(hit.nonEmpty,
-      s"Versioned.readPartitions: no files for $partCol in $partValues at v$v " +
-        s"(existing: ${entries.map(_.partDir).distinct.sorted.mkString(", ")})")
-    readEntries(spark, root, hit)
+  ): DataFrame =
+    readPartitionsWhere(spark, path, m => m.get(partCol).exists(partValues.contains))
+
+  private def readMeta(fs: FileSystem, root: HPath, v: Long): Map[String, String] = {
+    val mp = new HPath(versionDir(root, v), MetaFile)
+    if (!fs.exists(mp)) Map.empty
+    else {
+      val in = fs.open(mp)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.split("\n").filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
   }
 
   /** Application metadata a commit carries (e.g. a streaming batch id).
@@ -421,18 +531,7 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     require(isCommitted(fs, root, version),
       s"Versioned.commitMeta: version $version of $path is not committed")
-    val mp = new HPath(versionDir(root, version), MetaFile)
-    if (!fs.exists(mp)) Map.empty
-    else {
-      val in = fs.open(mp)
-      val raw =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      raw.split("\n").filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
-    }
+    readMeta(fs, root, version)
   }
 
   private def writeMeta(fs: FileSystem, root: HPath, v: Long, meta: Map[String, String]): Unit =
@@ -454,31 +553,77 @@ object Versioned {
     val prev = if (base == 0L) Nil else readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), meta)
+    publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), df.schema, meta)
   }
 
   private val BatchKey = "graft.batchId"
+  private val BatchIdxKey = "graft.batchIds"
+
+  private def parseIdx(s: String): Map[String, Long] =
+    s.split(",").filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
+
+  private def renderIdx(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._2).map { case (id, v) => s"$id:$v" }.mkString(",")
 
   /** Idempotent [[appendCommit]] keyed by an application batch id — the
     * `foreachBatch` exactly-once pattern: a replayed micro-batch (crash
     * after commit, before the engine advanced its checkpoint) finds its
-    * id already committed and does nothing. The id rides in the version's
-    * [[commitMeta]], atomic with the data under the `_committed` marker,
-    * so there is no window where data landed but the id didn't. */
-  def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long =
-    // scan DESCENDING: a replayed id is almost always the latest batch, so
-    // the common replay costs one _meta read, not a walk of the whole
-    // history (a long-lived stream indexes ids in its latest manifest or
-    // bounds the scan by the engine's checkpoint instead)
-    versions(path).reverse.find(v => commitMeta(path, v).get(BatchKey).contains(batchId)) match {
+    * id already committed and does nothing.
+    *
+    * Replay detection is O(1), not O(history): every Once-commit carries
+    * the FULL applied-id index (`id:version` pairs) forward in its
+    * `_meta`, so the lookup reads ONE metadata file — the latest
+    * version's — and, because the index rides the latest commit, it
+    * SURVIVES vacuum deleting the old version dirs that originally
+    * committed those ids (the r5-ADVICE retention/replay interaction).
+    * A history whose latest commit predates the index (or was written by
+    * a plain [[appendCommit]]) falls back to one walk over retained
+    * versions' metadata and rebuilds the index into the new commit. The
+    * index is written atomically with the data under the `_committed`
+    * marker, and the commit claims exactly base+1, so a rival landing
+    * between the index read and the claim fails loudly instead of
+    * publishing a stale index.
+    *
+    * The index grows O(#batches) bytes of metadata; a production
+    * deployment bounds it to a replay-horizon window (the engine can
+    * only replay the last unacknowledged batch), which this
+    * implementation keeps whole for auditability at test scale. */
+  def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long = {
+    require(!batchId.contains(",") && !batchId.contains(":") && !batchId.contains("\n"),
+      s"Versioned.appendCommitOnce: batch id may not contain ',', ':' or newline: '$batchId'")
+    val (fs, root) = Writers.fsFor(path)
+    fs.mkdirs(root)
+    val base = currentVersion(path).getOrElse(0L)
+    val idx: Map[String, Long] =
+      if (base == 0L) Map.empty
+      else readMeta(fs, root, base).get(BatchIdxKey) match {
+        case Some(s) => parseIdx(s) // O(1): the latest commit carries the whole index
+        case None => // legacy/mixed history: one walk, then the index is rebuilt
+          versions(path).flatMap { v =>
+            val m = readMeta(fs, root, v)
+            m.get(BatchIdxKey).map(parseIdx).getOrElse(Map.empty) ++
+              m.get(BatchKey).map(_ -> v).toMap
+          }.toMap
+      }
+    idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
-      case None    => appendCommit(df, path, Map(BatchKey -> batchId))
+      case None =>
+        val prev = if (base == 0L) Nil else readManifest(fs, root, base)
+        val v = claimExact(fs, root, base) // derived from base: lost-update guard
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+        publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), df.schema,
+          Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx + (batchId -> v))))
     }
+  }
 
   /** Keyed DELETE: commit a new snapshot without the rows whose `key` is
     * in `keys` (single-column frame or any frame carrying `key`). Full
     * rewrite, preserving a partitioned layout ([[rewriteFrom]]);
-    * [[deleteMergeOnRead]] is the O(delete-set) alternative. */
+    * [[deleteMergeOnRead]] is the O(delete-set) alternative. Deleting
+    * every row is legal — the table becomes a readable empty snapshot. */
   def delete(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
@@ -487,40 +632,81 @@ object Versioned {
     rewriteFrom(fs, root, base, remaining)
   }
 
-  /** Change data feed: the keyed diff between two committed snapshots —
-    * what a downstream consumer must apply to catch up from `fromV` to
-    * `toV` without re-reading the table. One full-outer join on the key;
-    * row images compared null-safely as a struct:
+  /** Change data feed: what a downstream consumer must apply to catch up
+    * from `fromV` to `toV` without re-reading the table.
+    *
+    * APPEND FAST PATH: when `toV` is reachable from `fromV` by pure
+    * appends (every `fromV` entry survives into `toV`, all delta entries
+    * are data files), the inserts ARE the new files — the feed reads
+    * ONLY them, no diff, no shuffle, no key-uniqueness assumption
+    * (Delta-CDF serves appends the same way). This also serves feeds
+    * across an additive schema drift: rows from before a column existed
+    * are not re-reported.
+    *
+    * Otherwise (rewrite commits) the feed is the keyed diff between the
+    * two snapshots — one full-outer join on the key, row images compared
+    * null-safely as a struct over the COMMON non-key columns:
     *  - key only in `toV`   → `insert` (after-image)
     *  - key only in `fromV` → `delete` (before-image — the consumer
     *    needs to know WHAT was deleted)
-    *  - in both, any non-key column differs → `update` (after-image)
-    *  - identical rows produce nothing.
-    * At 100 TB this is one shuffle on the key — the same class as the
-    * MERGE that produced the versions; a production feed persists
-    * per-commit deltas instead of diffing, which this API mirrors
-    * semantically (Delta CDF, Iceberg changelog). Requires identical
-    * schemas on both snapshots (diffing across a drift boundary would
-    * misreport every old row as an update). */
+    *  - in both, any common non-key column differs → `update`
+    *    (after-image); identical rows produce nothing.
+    * Columns present on only one side (an additive drift crossed the
+    * feed window) read NULL in images from the other side, and every
+    * emitted row carries `schema_change = true` so the consumer knows to
+    * ALTER before applying — the same ALTER-only semantics the rest of
+    * the table supports. At 100 TB the diff is one shuffle on the key —
+    * the same class as the MERGE that produced the versions; the append
+    * fast path is how the common case avoids even that. */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
+    val (fs, root) = Writers.fsFor(path)
+    require(isCommitted(fs, root, fromV) && isCommitted(fs, root, toV),
+      s"changes: both v$fromV and v$toV must be committed versions of $path")
+    val mFrom = readManifest(fs, root, fromV)
+    val mTo = readManifest(fs, root, toV)
+    val toSet = mTo.toSet
+    val delta = mTo.filterNot(mFrom.toSet)
+
     val before = readAt(spark, path, fromV)
     val after = readAt(spark, path, toV)
-    require(before.columns.sorted.sameElements(after.columns.sorted),
-      s"changes: schema drift between v$fromV and v$toV — " +
-        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
-    val others = before.columns.filterNot(_ == key).sorted.toSeq
-    def img(df: DataFrame, name: String) =
-      df.select(col(key), struct(others.map(col): _*).as(name))
-    img(before, "__before").join(img(after, "__after"), Seq(key), "full_outer")
-      .withColumn("change_type",
-        when(col("__before").isNull, "insert")
-          .when(col("__after").isNull, "delete")
-          .when(!(col("__before") <=> col("__after")), "update"))
-      .filter(col("change_type").isNotNull)
-      .withColumn("__img", coalesce(col("__after"), col("__before")))
-      .select(col(key) +: col("change_type") +: others.map(c => col(s"__img.$c").as(c)): _*)
+    require(before.columns.contains(key) && after.columns.contains(key),
+      s"changes: key '$key' must exist in both snapshots")
+    val beforeT = before.schema.map(f => f.name -> f.dataType).toMap
+    val afterT = after.schema.map(f => f.name -> f.dataType).toMap
+    for (c <- beforeT.keySet & afterT.keySet)
+      require(beforeT(c) == afterT(c),
+        s"changes: column '$c' changed type between v$fromV and v$toV " +
+          s"(${beforeT(c)} vs ${afterT(c)}) — only additive drift is supported")
+    val allOthers = (before.columns ++ after.columns).distinct.filterNot(_ == key).sorted.toSeq
+    val typeOf = beforeT ++ afterT
+    val schemaChanged = before.columns.sorted.toSeq != after.columns.sorted.toSeq
+    def image(df: DataFrame, cols: Seq[String]) =
+      cols.map(c => if (df.columns.contains(c)) col(c) else lit(null).cast(typeOf(c)).as(c))
+
+    if (mFrom.forall(toSet.contains) && delta.nonEmpty && delta.forall(_.kind == KindData) &&
+        mFrom.forall(_.kind == KindData)) {
+      // append-only: the new files are the inserts, read nothing else
+      val ins = readEntries(spark, fs, root, delta)
+      ins.select(
+        col(key) +: lit("insert").as("change_type") +: lit(schemaChanged).as("schema_change") +:
+          image(ins, allOthers): _*)
+    } else {
+      val commonOthers = (before.columns.toSet & after.columns.toSet - key).toSeq.sorted
+      def side(df: DataFrame, name: String) =
+        df.select(col(key), struct(commonOthers.map(col): _*).as(s"__cmp$name"),
+          struct(image(df, allOthers): _*).as(s"__img$name"))
+      side(before, "B").join(side(after, "A"), Seq(key), "full_outer")
+        .withColumn("change_type",
+          when(col("__imgB").isNull, "insert")
+            .when(col("__imgA").isNull, "delete")
+            .when(!(col("__cmpB") <=> col("__cmpA")), "update"))
+        .filter(col("change_type").isNotNull)
+        .withColumn("__img", coalesce(col("__imgA"), col("__imgB")))
+        .select(col(key) +: col("change_type") +: lit(schemaChanged).as("schema_change") +:
+          allOthers.map(c => col(s"__img.$c").as(c)): _*)
+    }
   }
 
   /** Full-snapshot MERGE: replace rows matching `key` with `updates`,
@@ -544,21 +730,30 @@ object Versioned {
     * file of every untouched partition is carried into the new manifest
     * BY REFERENCE (metadata-only, zero bytes copied — at 100 TB a
     * single-partition fix costs one partition's rewrite, not a table
-    * rewrite). Contract: the table was committed via
-    * [[commitPartitioned]]; update partition values are non-null; a key
-    * never MOVES between partitions (the standard pruned-MERGE contract
-    * — matching is per-partition, so a moved key would leave its old row
-    * behind; keys that move need the full-snapshot [[upsert]]).
-    * The distinct-partition-values collect is bounded by the partition
+    * rewrite). `partCols` may be one or more columns and must equal the
+    * table's committed layout in order. Contract: the table was
+    * committed via [[commitPartitioned]]; update partition values are
+    * non-null; a key never MOVES between partitions (the standard
+    * pruned-MERGE contract — matching is per-partition, so a moved key
+    * would leave its old row behind; keys that move need the
+    * full-snapshot [[upsert]]).
+    * The distinct-partition-tuples collect is bounded by the partition
     * count of the BATCH — the same driver-side cardinality any engine's
-    * partition pruning materializes. */
+    * partition pruning materializes. Because the touched-partition
+    * directories are PREDICTED from the batch's values, the freshly
+    * written dirs are verified against the prediction after the write: a
+    * value whose string rendering diverges from Spark's partition-path
+    * encoding (r5 ADVICE) fails the commit loudly instead of silently
+    * duplicating the partition under two names. */
   def upsertPartitioned(
       spark: SparkSession,
       path: String,
       updates: DataFrame,
       key: String,
-      partCol: String,
+      partCols: String*
   ): Long = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.nonEmpty, "Versioned.upsertPartitioned: at least one partition column")
     Writers.requireUniqueKeys("Versioned.upsertPartitioned", updates, key)
     val (fs, root) = Writers.fsFor(path)
     val cur = currentVersion(path).getOrElse(
@@ -568,25 +763,40 @@ object Versioned {
       s"Versioned.upsertPartitioned: $path has outstanding merge-on-read deletes — " +
         "run compactDeletes first (a partition carried by reference would otherwise " +
         "detach from the delete files that apply to it)")
-    require(entries.forall(_.partDir.nonEmpty),
-      s"Versioned.upsertPartitioned: $path was not committed with commitPartitioned")
-    val vals = updates.select(partCol).distinct().collect().map(_.get(0))
-    require(!vals.contains(null),
-      s"Versioned.upsertPartitioned: updates carry a NULL $partCol — partition values must be non-null")
-    val touchedDirs = vals.map(v =>
-      s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v.toString)).toSet
+    require(layoutPartCols(entries) == partCols.toSeq,
+      s"Versioned.upsertPartitioned: $path is laid out on " +
+        s"(${layoutPartCols(entries).mkString(", ")}), not (${partCols.mkString(", ")}) — " +
+        "partition columns must match the committed layout in order")
+    val tuples = updates.select(partCols.map(col): _*).distinct().collect()
+    require(tuples.forall(r => partCols.indices.forall(i => !r.isNullAt(i))),
+      s"Versioned.upsertPartitioned: updates carry a NULL partition value — must be non-null")
+    val touchedDirs = tuples.map { r =>
+      partCols.indices.map { i =>
+        s"${partCols(i)}=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(r.get(i).toString)
+      }.mkString("/")
+    }.toSet
     val (touched, untouched) = entries.partition(e => touchedDirs.contains(e.partDir))
     val merged =
       if (touched.isEmpty) updates // all-new partitions: nothing to merge against
       else
-        readEntries(spark, root, touched)
+        readEntries(spark, fs, root, touched)
           .join(updates, Seq(key), "left_anti")
           .unionByName(updates)
     val v = claimExact(fs, root, cur) // derived from cur: lost-update guard
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(dataDir(root, v).toString)
-    publish(fs, root, v, untouched ++ localEntries(fs, root, v, partitioned = true))
+    val fresh = localEntries(fs, root, v, partitioned = true)
+    val freshDirs = fresh.map(_.partDir).toSet
+    // post-write verification (r5 ADVICE): Spark rendered the batch's
+    // partition values into dirs we did not predict → the untouched/
+    // touched split above was wrong; abort (uncommitted claim,
+    // recoverClaims-able) instead of publishing duplicate partitions
+    require(freshDirs.subsetOf(touchedDirs),
+      s"Versioned.upsertPartitioned: partition-value rendering diverged from Spark's " +
+        s"path encoding — wrote ${freshDirs.diff(touchedDirs).mkString(", ")}, " +
+        s"predicted ${touchedDirs.mkString(", ")}. Not committing.")
+    publish(fs, root, v, untouched ++ fresh, merged.schema)
   }
 
   /** MERGE-ON-READ delete — the O(delete-set) alternative to the
@@ -607,17 +817,18 @@ object Versioned {
     // does not carry would commit fine and then poison every subsequent
     // read (the anti-join fails at materialize time) — with compaction,
     // the documented repair path, failing the same way
-    val snapshotCols = readAt(spark, path, base).columns
-    require(snapshotCols.contains(key),
+    val snapshot = readAt(spark, path, base)
+    require(snapshot.columns.contains(key),
       s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot " +
-        s"(${snapshotCols.mkString(", ")}) — committing it would make every read fail")
+        s"(${snapshot.columns.mkString(", ")}) — committing it would make every read fail")
     val prev = readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     keys.select(key).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new HPath(versionDir(root, v), "deletes").toString)
     publish(fs, root, v,
-      prev ++ localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete))
+      prev ++ localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete),
+      snapshot.schema)
   }
 
   /** Fold outstanding merge-on-read deletes into a fresh pure-data
@@ -636,36 +847,98 @@ object Versioned {
     rewriteFrom(fs, root, base, readAt(spark, path, base)) // deletes applied
   }
 
+  /** Data-file compaction — the maintenance knob that keeps a long
+    * append/MoR history cheap to read (r5 verdict #1): rewrites the
+    * current snapshot into ONE fresh version (folding any delete debt,
+    * preserving a partitioned layout), optionally clustering into
+    * `numFiles` output files. After it, the whole table lives in a
+    * single version dir — one scan, zero anti-joins — and [[vacuum]]
+    * can reclaim the history. A NO-OP when the snapshot is already
+    * compact (pure data, single owning version, within the file budget):
+    * a scheduled maintenance loop must not rewrite a clean table. */
+  def compactFiles(spark: SparkSession, path: String, numFiles: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles.forall(_ >= 1), s"compactFiles: numFiles must be >= 1, got $numFiles")
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.compactFiles: no committed version under $path"))
+    val entries = readManifest(fs, root, base)
+    val owners = entries.map(entryVersion).distinct
+    if (entries.nonEmpty && entries.forall(_.kind == KindData) && owners.size == 1 &&
+        numFiles.forall(entries.size <= _)) return base
+    val snap = readAt(spark, path, base)
+    val partCols = layoutPartCols(entries)
+    val df = (numFiles, partCols) match {
+      case (Some(n), Nil) => snap.repartition(n)
+      // partitioned layout: cluster by partition value so each task
+      // writes whole partitions — n tasks, ~1 file per (task, partition)
+      case (Some(n), ps)  => snap.repartition(n, ps.map(col): _*)
+      case _              => snap
+    }
+    rewriteFrom(fs, root, base, df)
+  }
+
   /** Retention: keep the newest `keepLast` committed versions plus every
     * version directory any retained manifest still references; delete the
-    * other COMMITTED versions. Uncommitted (claimed) directories are
-    * never touched — one could belong to a live, slow writer, and
-    * deleting under it would let its final `_committed` marker publish a
-    * snapshot whose data files are gone (Hadoop creates recreate parent
-    * dirs). Crashed claims are reclaimed by the age-gated
-    * [[recoverClaims]] instead. Returns the number of version
-    * directories removed. */
+    * other COMMITTED versions, then (per-file GC) reclaim individual
+    * parquet files inside the still-referenced old dirs that no retained
+    * manifest references — a file superseded by a partitioned MERGE is
+    * reclaimed even though siblings in its dir live on. A file-GC'd dir
+    * gets a `_gc` tombstone: its own snapshot is no longer readable
+    * ([[readAt]] fails loudly; [[versions]] hides it) while its
+    * surviving files remain addressable by newer manifests. Uncommitted
+    * (claimed) directories are never touched — one could belong to a
+    * live, slow writer, and deleting under it would let its final
+    * `_committed` marker publish a snapshot whose data files are gone
+    * (Hadoop creates recreate parent dirs). Crashed claims are reclaimed
+    * by the age-gated [[recoverClaims]] instead. Returns the number of
+    * whole version directories removed. */
   def vacuum(path: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"vacuum must keep at least 1 version, got $keepLast")
     val (fs, root) = Writers.fsFor(path)
     if (!fs.exists(root)) return 0
     val committed = versions(path)
     val kept = committed.takeRight(keepLast)
+    val allDirs = fs.listStatus(root).toSeq.flatMap(st => parseVersion(st.getPath.getName))
+    val gcd = allDirs.filter(v => fs.exists(new HPath(versionDir(root, v), GcFile)))
     // an uncommitted claim at u may be an IN-FLIGHT derived commit from
     // base u-1: until it resolves (commits or is reclaimed), its base —
     // and everything its base's manifest references — must survive, or
     // the writer's final marker would publish a snapshot whose carried
-    // files vacuum just deleted
-    val uncommitted = fs.listStatus(root).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName))
-      .filterNot(committed.contains)
+    // files vacuum just deleted. (File-GC'd dirs are NOT in-flight
+    // writers — their claims were removed when they were tombstoned.)
+    val uncommitted = allDirs.filterNot(committed.contains).filterNot(gcd.contains)
     val pinnedBases = uncommitted.map(_ - 1).filter(committed.contains)
     val anchors = (kept ++ pinnedBases).distinct
-    val referenced: Set[String] =
-      anchors.flatMap(v => readManifest(fs, root, v).map(_.relPath.takeWhile(_ != '/'))).toSet ++
-        anchors.map(v => versionDir(root, v).getName)
-    val doomed = committed.filter(v => !referenced.contains(versionDir(root, v).getName))
+    val refFiles: Set[String] =
+      anchors.flatMap(v => readManifest(fs, root, v).map(_.relPath)).toSet
+    val referencedDirs = refFiles.map(_.takeWhile(_ != '/')) ++
+      anchors.map(v => versionDir(root, v).getName)
+    val doomed = (committed ++ gcd).distinct
+      .filter(v => !referencedDirs.contains(versionDir(root, v).getName))
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
+    // per-file GC: inside surviving NON-ANCHOR dirs (kept only because
+    // some retained manifest references SOME of their files), delete the
+    // parquet files nothing retained references
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    for (v <- (committed ++ gcd).distinct if !doomed.contains(v) && !anchors.contains(v)) {
+      val dir = versionDir(root, v)
+      val it = fs.listFiles(dir, true)
+      val junk = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") &&
+            !refFiles.contains(p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")))
+          junk += p
+      }
+      if (junk.nonEmpty) {
+        junk.foreach(fs.delete(_, false))
+        fs.create(new HPath(dir, GcFile), true).close()
+        // the claim served its purpose; removing it keeps recoverClaims
+        // from ever mistaking this tombstoned dir for a crashed writer
+        fs.delete(new HPath(dir, ClaimFile), false)
+      }
+    }
     doomed.size
   }
 }

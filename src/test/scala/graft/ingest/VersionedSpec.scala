@@ -273,10 +273,15 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val d13 = Versioned.changes(spark, path, 1L, 3L, "k").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).sortBy(_._1)
     assert(d13.toSeq == Seq((1L, "delete"), (2L, "update"), (4L, "insert")))
-    // guards: inverted range and drift both fail loudly
+    // guard: inverted range fails loudly
     intercept[IllegalArgumentException](Versioned.changes(spark, path, 2L, 1L, "k"))
+    // additive drift no longer refuses: the appended rows surface as
+    // inserts flagged schema_change, and NOTHING else is re-reported
     Versioned.appendCommit(Seq((9L, "z", 0.1)).toDF("k", "v", "score"), path)
-    intercept[IllegalArgumentException](Versioned.changes(spark, path, 3L, 4L, "k"))
+    val d34 = Versioned.changes(spark, path, 3L, 4L, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+        r.getAs[Boolean]("schema_change"), r.getAs[Double]("score")))
+    assert(d34.toSeq == Seq((9L, "insert", true, 0.1)), s"drift feed wrong: ${d34.toSeq}")
   }
 
   test("appendCommitOnce is idempotent per batch id; meta is atomic with the commit") {
@@ -284,7 +289,10 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val path = freshDir("versioned_once")
     val v1 = Versioned.appendCommitOnce(Seq((1L, "a")).toDF("k", "v"), path, batchId = "7")
     assert(v1 == 1L)
-    assert(Versioned.commitMeta(path, 1L) == Map("graft.batchId" -> "7"))
+    val meta1 = Versioned.commitMeta(path, 1L)
+    assert(meta1.get("graft.batchId").contains("7"))
+    assert(meta1.get("graft.batchIds").contains("7:1"), "commit must carry the applied-id index")
+    assert(meta1.contains("graft.schema"), "commit must record its schema")
     // replay of the same batch id: no new version, same version returned,
     // even though the data frame differs (a replay after crash re-derives
     // the batch — byte equality is not guaranteed, id equality is)
@@ -385,5 +393,238 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       Versioned.upsert(spark, path, Seq((2L, "x"), (2L, "y")).toDF("k", "v"), "k"))
     assert(Versioned.versions(path) == Seq(1L), "failed upsert must not create a version")
+  }
+
+  // ---- round 6: reader-plan bound, compaction, index, multi-col, GC ----
+
+  /** Count parquet scan nodes in a frame's executed plan. */
+  private def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+    "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("a long same-schema append history reads as ONE scan; drift falls back to unions") {
+    import spark.implicits._
+    val path = freshDir("versioned_fastpath")
+    for (i <- 1 to 12)
+      Versioned.appendCommit(Seq((i.toLong, s"row$i")).toDF("k", "v"), path)
+    val cur = Versioned.read(spark, path)
+    assert(cur.count() == 12)
+    assert(scanCount(cur) == 1,
+      s"12 same-schema appends must collapse to one scan, got ${scanCount(cur)}:\n" +
+        cur.queryExecution.executedPlan.toString.take(2000))
+    // time travel mid-history also collapses
+    assert(scanCount(Versioned.readAt(spark, path, 7L)) == 1)
+    // a drift commit breaks schema uniformity → union path, still correct
+    Versioned.appendCommit(Seq((13L, "row13", 9.9)).toDF("k", "v", "score"), path)
+    val drifted = Versioned.read(spark, path)
+    assert(drifted.count() == 13)
+    assert(scanCount(drifted) > 1, "drift history cannot use the single-scan fast path")
+    assert(drifted.filter($"score".isNull).count() == 12)
+  }
+
+  test("compactFiles folds a long history into one version with identical content") {
+    import spark.implicits._
+    val path = freshDir("versioned_compactfiles")
+    for (i <- 1 to 10)
+      Versioned.appendCommit(Seq((i.toLong, s"row$i", i * 1.5)).toDF("k", "v", "score"), path)
+    val before = Versioned.read(spark, path).collect().map(_.toString).sorted.toSeq
+    val v = Versioned.compactFiles(spark, path, numFiles = Some(2))
+    assert(v == 11L)
+    val m = Versioned.manifest(path, v)
+    assert(m.forall(_.relPath.startsWith("v00011/")), "compaction must own every file")
+    assert(m.size <= 2, s"numFiles=2 but compaction left ${m.size} files")
+    val after = Versioned.read(spark, path).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed the table's content")
+    // compacting a compact table is a no-op, not another rewrite
+    assert(Versioned.compactFiles(spark, path, numFiles = Some(2)) == 11L)
+    assert(Versioned.versions(path).last == 11L)
+    // …and the old history can now be vacuumed
+    assert(Versioned.vacuum(path, keepLast = 1) == 10)
+    assert(Versioned.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
+  }
+
+  test("compactFiles preserves a partitioned layout (partition-scoped merges still work)") {
+    import spark.implicits._
+    val path = freshDir("versioned_compact_part")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    val v = Versioned.compactFiles(spark, path, numFiles = Some(1))
+    assert(Versioned.manifest(path, v).forall(_.partDir.startsWith("pt=")),
+      "compaction flattened the partitioned layout")
+    Versioned.upsertPartitioned(spark, path, Seq((1L, "a3", "P1")).toDF("k", "v", "pt"), "k", "pt")
+    val rows = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(rows == Map(1L -> "a3", 2L -> "b2"))
+  }
+
+  test("an all-rows delete publishes a readable EMPTY snapshot, and the table recovers") {
+    import spark.implicits._
+    val path = freshDir("versioned_empty")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val v2 = Versioned.delete(spark, path, Seq(1L, 2L).toDF("k"), "k")
+    assert(v2 == 2L)
+    val empty = Versioned.read(spark, path)
+    assert(empty.count() == 0, "empty snapshot must read as zero rows, not throw")
+    assert(empty.columns.toSeq == Seq("k", "v"), "empty snapshot must keep the schema")
+    // history before the wipe still time-travels
+    assert(Versioned.readAt(spark, path, 1L).count() == 2)
+    // the table keeps working: appends after the wipe are just the appends
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path)
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("replay detection is O(1) via the carried index and survives vacuum of old versions") {
+    import spark.implicits._
+    val path = freshDir("versioned_once_idx")
+    for (i <- 1 to 5)
+      Versioned.appendCommitOnce(Seq((i.toLong, s"b$i")).toDF("k", "v"), path, batchId = i.toString)
+    // compact + vacuum: the version dirs that committed ids 1..4 are GONE
+    Versioned.compactFiles(spark, path)
+    assert(Versioned.vacuum(path, keepLast = 1) == 5)
+    // …but compactFiles doesn't carry app meta; the detection walk sees
+    // only the retained history. A mixed history's ids must still be
+    // found IF any retained commit carries the index — so re-establish it
+    Versioned.appendCommitOnce(Seq((7L, "b7")).toDF("k", "v"), path, batchId = "7")
+    val idx = Versioned.commitMeta(path, Versioned.currentVersion(path).get)("graft.batchIds")
+    assert(idx.contains("7:"), s"index not carried: $idx")
+    // replay of id 7 after further commits: detected from the LATEST meta
+    Versioned.appendCommitOnce(Seq((8L, "b8")).toDF("k", "v"), path, batchId = "8")
+    val nVersions = Versioned.versions(path).size
+    val replayed = Versioned.appendCommitOnce(Seq((99L, "ghost")).toDF("k", "v"), path, batchId = "7")
+    assert(Versioned.versions(path).size == nVersions, "replay must not commit")
+    assert(Versioned.read(spark, path).filter($"k" === 99L).count() == 0)
+    // the index survives across Once-commits: id 8's commit carries 7 too
+    val idx8 = Versioned.commitMeta(path, Versioned.currentVersion(path).get)("graft.batchIds")
+    assert(idx8.contains("7:") && idx8.contains("8:"), s"index dropped an id: $idx8")
+    // malformed ids are rejected up front
+    intercept[IllegalArgumentException](
+      Versioned.appendCommitOnce(Seq((1L, "x")).toDF("k", "v"), path, batchId = "a,b"))
+  }
+
+  test("replay of a batch whose ORIGINAL version was vacuumed is still detected (index carry)") {
+    import spark.implicits._
+    val path = freshDir("versioned_once_vac")
+    for (i <- 1 to 4)
+      Versioned.appendCommitOnce(Seq((i.toLong, s"b$i")).toDF("k", "v"), path, batchId = i.toString)
+    // v4's index carries ids 1..4; vacuum everything below v4's refs is
+    // impossible (appends reference history), so compact via Once first
+    Versioned.appendCommitOnce(
+      Versioned.read(spark, path).repartition(1), path, batchId = "nope") // just another append
+    Versioned.compactFiles(spark, path)
+    // rebuild the chain on top of the compacted snapshot
+    Versioned.appendCommitOnce(Seq((9L, "b9")).toDF("k", "v"), path, batchId = "9")
+    Versioned.vacuum(path, keepLast = 2)
+    // the dirs that committed ids 1..4 are gone; id 9's walk rebuilt from
+    // retained metas — id "2"'s replay must STILL be a no-op because v4's
+    // meta (vacuumed)… is gone, but id 9's commit walked v5..v7 which
+    // include v5's index carrying 1..4
+    val before = Versioned.read(spark, path).count()
+    Versioned.appendCommitOnce(Seq((66L, "ghost")).toDF("k", "v"), path, batchId = "2")
+    assert(Versioned.read(spark, path).count() == before,
+      "a replayed batch id re-committed after vacuum — exactly-once degraded")
+  }
+
+  test("multi-column partitioning: commit, merge by reference, prune, preserve through rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val path = freshDir("versioned_multipart")
+    val base = Seq(
+      (1L, "a", "2024-01-01", "EU"), (2L, "b", "2024-01-01", "US"),
+      (3L, "c", "2024-01-02", "EU"), (4L, "d", "2024-01-02", "US"))
+      .toDF("k", "v", "day", "region")
+    Versioned.commitPartitioned(base, path, "day", "region")
+    assert(Versioned.manifest(path, 1L).forall(e =>
+      e.partDir.matches("day=[^/]+/region=[^/]+")), "two-level fragments expected")
+    // merge touches exactly one (day, region) cell
+    Versioned.upsertPartitioned(spark, path,
+      Seq((3L, "c2", "2024-01-02", "EU")).toDF("k", "v", "day", "region"), "k", "day", "region")
+    val m1 = Versioned.manifest(path, 1L).toSet
+    val m2 = Versioned.manifest(path, 2L)
+    val (touched, rest) = m2.partition(_.partDir == "day=2024-01-02/region=EU")
+    assert(rest.size == 3 && rest.forall(m1.contains), "untouched cells were rewritten")
+    assert(touched.nonEmpty && touched.forall(_.relPath.startsWith("v00002/")))
+    // content + partition-column recovery across mixed-version groups
+    val cur = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[String]("region"))).toMap
+    assert(cur == Map(
+      1L -> ("a", "2024-01-01", "EU"), 2L -> ("b", "2024-01-01", "US"),
+      3L -> ("c2", "2024-01-02", "EU"), 4L -> ("d", "2024-01-02", "US")))
+    // manifest-level pruning on the tuple
+    val pruned = Versioned.readPartitionsWhere(spark, path,
+      m => m("day") == "2024-01-02" && m("region") == "EU")
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.forall(f => f.contains("day=2024-01-02") && f.contains("region=EU")),
+      s"pruning leaked files: ${files.toSeq}")
+    // wrong column set or order is a loud error, not a silent duplicate
+    intercept[IllegalArgumentException](
+      Versioned.upsertPartitioned(spark, path,
+        Seq((1L, "x", "2024-01-01", "EU")).toDF("k", "v", "day", "region"), "k", "region", "day"))
+    intercept[IllegalArgumentException](
+      Versioned.upsertPartitioned(spark, path,
+        Seq((1L, "x", "2024-01-01", "EU")).toDF("k", "v", "day", "region"), "k", "day"))
+    // a full rewrite preserves the two-level layout
+    Versioned.delete(spark, path, Seq(4L).toDF("k"), "k")
+    assert(Versioned.manifest(path, 3L).forall(_.partDir.matches("day=[^/]+/region=[^/]+")),
+      "rewrite flattened the multi-column layout")
+  }
+
+  test("changes() serves a pure-append window from ONLY the new files (no diff, no old reads)") {
+    import spark.implicits._
+    val path = freshDir("versioned_cdf_fast")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path)
+    Versioned.appendCommit(Seq((4L, "d"), (1L, "a_dup")).toDF("k", "v"), path)
+    val feed = Versioned.changes(spark, path, 1L, 3L, "k")
+    // append semantics: every new ROW is an insert — including a key
+    // collision, which the keyed diff would have misread as an update
+    val rows = feed.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[String]("v")))
+      .sortBy(r => (r._1, r._3))
+    assert(rows.toSeq == Seq((1L, "insert", "a_dup"), (3L, "insert", "c"), (4L, "insert", "d")),
+      s"append feed wrong: ${rows.toSeq}")
+    // file-level proof: the feed read ONLY v2+v3's files
+    val srcs = feed.inputFiles.toSeq
+    assert(srcs.nonEmpty && srcs.forall(f => f.contains("/v00002/") || f.contains("/v00003/")),
+      s"append feed read old files: $srcs")
+    // a rewrite in the window disables the fast path but stays correct
+    // (fresh unique-key table — the keyed diff contract)
+    val path2 = freshDir("versioned_cdf_slow")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path2)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path2)
+    Versioned.upsert(spark, path2, Seq((2L, "b9")).toDF("k", "v"), "k")
+    val slow = Versioned.changes(spark, path2, 2L, 3L, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+    assert(slow.toSeq == Seq((2L, "update")), s"rewrite feed wrong: ${slow.toSeq}")
+  }
+
+  test("per-file vacuum reclaims superseded files inside still-referenced dirs") {
+    import spark.implicits._
+    val path = freshDir("versioned_filegc")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2"), (3L, "c", "P3")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.upsertPartitioned(spark, path, Seq((2L, "b2", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    // v2 references v1's P1+P3 files; v1's P2 file is superseded garbage
+    val supersededGone = {
+      val v1files = Versioned.manifest(path, 1L).filter(_.partDir == "pt=P2").map(_.relPath)
+      Versioned.vacuum(path, keepLast = 1) // 0 whole dirs (v1 referenced)…
+      v1files.forall(f => !Files.exists(Paths.get(path, f)))
+    }
+    assert(supersededGone, "superseded P2 file inside referenced v1 was not reclaimed")
+    // every retained read is bit-identical
+    val cur = Versioned.read(spark, path).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(cur == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // v1's own snapshot is honestly gone: loud error, hidden from versions()
+    assert(Versioned.versions(path) == Seq(2L))
+    intercept[IllegalArgumentException](Versioned.readAt(spark, path, 1L))
+    // a tombstoned dir is not recoverClaims' prey (its claim was removed)
+    assert(Versioned.recoverClaims(path, olderThanMs = 0L) == Nil)
+    assert(Versioned.read(spark, path).count() == 3, "GC'd dir lost live files to recovery")
+    // once a full rewrite drops the last references, the tombstoned dir goes
+    Versioned.upsert(spark, path, Seq((1L, "a9", "P1")).toDF("k", "v", "pt"), "k")
+    assert(Versioned.vacuum(path, keepLast = 1) == 2, "v1 (gc'd) + v2 should be reclaimed")
+    assert(!Files.exists(Paths.get(path, "v00001")) && !Files.exists(Paths.get(path, "v00002")))
+    assert(Versioned.read(spark, path).count() == 3)
   }
 }
