@@ -895,8 +895,167 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S21: bounded reader-plan growth on a long append history (r5
+    * verdict #1) — the flagship Versioned loop at its worst: 12 daily
+    * `appendCommit`s land 12 versions, yet the read-back plan is
+    * `require`d to contain EXACTLY ONE parquet scan node, because every
+    * commit records its schema in `_meta` and the drift-free
+    * unpartitioned history collapses to a single
+    * `spark.read.schema(s).parquet(files*)` — O(1) plan nodes in commit
+    * count, where the r5 shape paid one union branch per version.
+    * `compactFiles` then folds the 12-version history into one version
+    * within a 4-file budget (`require`d from the manifest), a second
+    * compaction run is `require`d to be a NO-OP, and vacuum reclaims all
+    * 12 superseded dirs — write amplification zero until maintenance,
+    * metadata-only until then. The oracle grades the final content: the
+    * 12 slices partition `orders` exactly, so the compacted table must
+    * aggregate to the source table's numbers. */
+  val s21CompactedHistory = QueryDef(
+    "s21_compacted_history",
+    (s, d) => {
+      val path = tmp("s21_history", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      for (slice <- 0 until 12)
+        V.appendCommit(src.filter(col("o_orderkey") % 12 === slice), path)
+      val longRead = V.read(s, path)
+      val scans = "Scan parquet".r
+        .findAllIn(longRead.queryExecution.executedPlan.toString).length
+      require(scans == 1,
+        s"s21: 12 same-schema appends must read as ONE scan node, got $scans")
+      val vc = V.compactFiles(s, path, numFiles = Some(4))
+      val m = V.manifest(path, vc)
+      require(m.size <= 4 && m.forall(_.relPath.startsWith(f"v$vc%05d/")),
+        s"s21: compaction must own <=4 files under v$vc, got ${m.size}")
+      require(V.compactFiles(s, path, numFiles = Some(4)) == vc,
+        "s21: compacting a compact table must be a no-op")
+      require(V.vacuum(path, keepLast = 1) == 12,
+        "s21: vacuum after compaction must reclaim the 12 superseded dirs")
+      V.read(s, path)
+        .groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+        )
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT o_orderkey % 4 AS bucket,
+        count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_cust,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      GROUP BY bucket
+      ORDER BY bucket
+    """.stripMargin.trim),
+  )
+
+  /** S22: MULTI-COLUMN copy-on-write MERGE — real warehouse tables
+    * partition on tuples like (date, region), not one column; the
+    * versioned table's manifests carry the full Hive fragment
+    * (`o_orderpriority=…/o_orderstatus=…`), so a MERGE that touches one
+    * (priority, status) CELL rewrites that cell only and carries every
+    * other cell's files by reference (`require`d from the two manifests,
+    * since file identity is not SQL-observable). The touched cell is
+    * verified post-write against Spark's own partition-path rendering
+    * (the r5 ADVICE divergence guard runs on every such merge). The
+    * oracle grades both snapshots' content. */
+  val s22MultipartMerge = QueryDef(
+    "s22_multipart_merge",
+    (s, d) => {
+      val path = tmp("s22_multipart", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+      V.commitPartitioned(base, path, "o_orderpriority", "o_orderstatus") // v1
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus"))
+      V.upsertPartitioned(s, path, updates, "o_orderkey", "o_orderpriority", "o_orderstatus") // v2
+      val cell = "o_orderpriority=1-URGENT/o_orderstatus=F"
+      val m1 = V.manifest(path, 1L).toSet
+      val m2 = V.manifest(path, 2L)
+      val (touched, untouched) = m2.partition(_.partDir == cell)
+      require(untouched.nonEmpty && untouched.forall(m1.contains) &&
+        untouched.forall(_.relPath.startsWith("v00001/")),
+        "s22: untouched (priority, status) cells must carry by reference into v1")
+      require(touched.nonEmpty && touched.forall(_.relPath.startsWith("v00002/")),
+        "s22: the touched cell must be rewritten under v2")
+      def snap(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .withColumn("snapshot", lit(tag))
+      snap(V.readAt(s, path, 1L), "v1").unionByName(snap(V.read(s, path), "v2"))
+        .select("snapshot", "o_orderpriority", "o_orderstatus", "n_orders", "sum_total")
+        .orderBy("snapshot", "o_orderpriority", "o_orderstatus")
+    },
+    Some("""
+      WITH v2 AS (
+        SELECT o_orderpriority, o_orderstatus,
+          CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+                 AND o_orderkey % 2 = 0
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+      )
+      SELECT 'v1' AS snapshot, o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+      UNION ALL
+      SELECT 'v2', o_orderpriority, o_orderstatus, count(*),
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      FROM v2 GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY snapshot, o_orderpriority, o_orderstatus
+    """.stripMargin.trim),
+  )
+
+  /** S23: CDF served from MANIFESTS on an append window (r5 verdict #4)
+    * — when `toV` is reachable from `fromV` by pure appends, the new
+    * files ARE the feed: `changes` reads ONLY them (proved via
+    * `inputFiles` — every scanned file must live under the two append
+    * versions' dirs), no keyed diff, no shuffle over history, no
+    * re-reading the v1 slice at any scale. The third append ADDS a
+    * column mid-window (the ALTER-only drift class), which the diff path
+    * used to refuse — the feed crosses it: pre-drift inserts read NULL
+    * under the new column and every row carries `schema_change = true`
+    * so a consumer knows to ALTER before applying. Oracle: the two
+    * appended slices, with `o_orderpriority` only on the drifted one. */
+  val s23AppendFeed = QueryDef(
+    "s23_append_feed",
+    (s, d) => {
+      val path = tmp("s23_feed", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val src = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      V.commit(src.filter(col("o_orderkey") % 3 === 0), path)       // v1
+      V.appendCommit(src.filter(col("o_orderkey") % 3 === 1), path) // v2
+      V.appendCommit( // v3: appends WITH a new column — additive drift
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 2)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"), path)
+      val feed = V.changes(s, path, 1L, 3L, "o_orderkey")
+      val srcs = feed.inputFiles.toSeq
+      require(srcs.nonEmpty && srcs.forall(f => f.contains("/v00002/") || f.contains("/v00003/")),
+        s"s23: an append-window feed must read ONLY the appended files, got $srcs")
+      feed.select("o_orderkey", "change_type", "schema_change", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, 'insert' AS change_type, TRUE AS schema_change,
+        CASE WHEN o_orderkey % 3 = 2 THEN o_orderpriority END AS o_orderpriority,
+        o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 IN (1, 2)
+      ORDER BY o_orderkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
-    s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead)
+    s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
+    s22MultipartMerge, s23AppendFeed)
 }

@@ -528,7 +528,102 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T11: CDF CONSUMER — the downstream half of the change
+    * feed: a materialized view that catches up to a Versioned table by
+    * applying `changes(v-1, v)` per committed version instead of
+    * re-reading the table (the standard table-format →
+    * materialized-view loop). The source is built by the stream_t10
+    * producer shape (event stream → appendCommitOnce) plus two
+    * batch mutations (a keyed UPDATE and a DELETE), so the consumer
+    * exercises all three feed paths: the append windows arrive via the
+    * manifest fast path (only new files read), the rewrite windows via
+    * the keyed diff. The consumer is exactly-once by the same idiom the
+    * producer uses: each apply-commit carries the source version it
+    * materialized in its atomic `_meta`, so a replayed loop (crash
+    * between apply and checkpoint) skips already-applied feeds —
+    * `require`d by running the loop twice. Final `require`: the view's
+    * content EQUALS the source's current snapshot (both-ways exceptAll),
+    * which is the whole point of a change feed. Oracle: the final state
+    * reconstructed from `events`. */
+  val streamCdfConsumer = QueryDef(
+    "stream_t11_cdf_consumer",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t11", d)
+      graft.ingest.Writers.deleteTree(base)
+      val src = base.resolve("src").toString
+      val dst = base.resolve("dst").toString
+      val ckpt = base.resolve("ckpt").toString
+      val V = graft.ingest.Versioned
+      // producer: land the event stream as an exactly-once versioned table
+      ScaleOps.withShuffleWidth(s, 4) {
+        val q = eventStream(s, d)
+          .select(col("event_id"), col("us").as("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            V.appendCommitOnce(batch, src, id.toString): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // …then OLTP-ish maintenance: a keyed UPDATE and a DELETE
+      V.upsert(s, src,
+        V.read(s, src).filter(col("event_id") % 97 === 0)
+          .withColumn("event_type", lit("edited")), "event_id")
+      V.delete(s, src,
+        V.read(s, src).filter(col("event_id") % 101 === 0).select("event_id"), "event_id")
+      // consumer: materialize the view by applying each version's feed
+      def lastApplied: Long = V.currentVersion(dst)
+        .flatMap(v => V.commitMeta(dst, v).get("graft.cdf.applied"))
+        .map(_.toLong).getOrElse(0L)
+      def consume(): Unit =
+        for (v <- V.versions(src) if v > lastApplied) {
+          val state =
+            if (v == 1L) V.readAt(s, src, 1L) // bootstrap: v1 IS the initial state
+            else {
+              val feed = V.changes(s, src, v - 1, v, "event_id")
+              val ups = feed.filter(col("change_type") =!= "delete")
+                .drop("change_type", "schema_change")
+              val dels = feed.filter(col("change_type") === "delete").select("event_id")
+              V.read(s, dst)
+                .join(dels, Seq("event_id"), "left_anti")
+                .join(ups.select("event_id"), Seq("event_id"), "left_anti")
+                .unionByName(ups)
+            }
+          V.commit(state, dst, Map("graft.cdf.applied" -> v.toString)): Unit
+        }
+      consume()
+      val applied = V.versions(dst).size
+      consume() // replayed loop: every feed already applied → no commits
+      require(V.versions(dst).size == applied,
+        "stream_t11: consumer re-applied an already-applied feed — exactly-once broken")
+      val srcCur = V.read(s, src)
+      val dstCur = V.read(s, dst)
+      require(srcCur.exceptAll(dstCur).isEmpty && dstCur.exceptAll(srcCur).isEmpty,
+        "stream_t11: materialized view diverged from the source snapshot")
+      dstCur
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH state AS (
+        SELECT CASE WHEN event_id % 97 = 0 THEN 'edited' ELSE event_type END AS event_type,
+          value
+        FROM events
+        WHERE event_id % 101 <> 0
+      )
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM state
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
-    streamVersionedSink)
+    streamVersionedSink, streamCdfConsumer)
 }
