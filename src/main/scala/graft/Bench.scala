@@ -105,7 +105,7 @@ object Bench {
     // Name-sorted: hash-map iteration order would shuffle which query pays
     // first-use costs (codegen, state-store init) between rounds, making
     // per-query timings incomparable across BENCH_r{N} files.
-    val results: Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results: Seq[(String, Double, Double, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -123,13 +123,19 @@ object Bench {
           }
           i += 1
         }
-        // (name, best sample, worst sample — the spread is the spike signal)
-        if (crashed) None else Some((name, times.min, times.max))
+        // (name, best sample, worst sample, first sample — the min/max
+        // spread is the spike signal; the FIRST sample is what a
+        // single-shot protocol would have reported)
+        if (crashed) None else Some((name, times.min, times.max, times.head))
       }
     // `value` sums SUCCESSFUL runs only: a query that crashes early would
     // otherwise make the headline total look faster. Failed time is still
     // reported, separately, as failed_sec.
     val total = results.map(_._2).sum
+    // first-sample total = the r2-r4 single-shot protocol on this window,
+    // emitted alongside so cross-round comparisons that predate min-of-N
+    // stay directly comparable (r5 ADVICE)
+    val totalFirst = results.map(_._4).sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would render 62,700 — invalid
     // JSON, i.e. exactly the parsed-null failure this line exists to fix.
@@ -137,12 +143,12 @@ object Bench {
     // slowest-16 itemized with BOTH samples (min graded, max shows the
     // window spread) — 16×2 entries keeps the line safely under 1.5 KB
     val slowest = results.sortBy(-_._2).take(16)
-    val qs = slowest.map { case (k, v, _) => s""""$k":${sec(v)}""" }
+    val qs = slowest.map { case (k, v, _, _) => s""""$k":${sec(v)}""" }
       .mkString("{", ",", "}")
-    val qs2 = slowest.map { case (k, _, w) => s""""$k":${sec(w)}""" }
+    val qs2 = slowest.map { case (k, _, w, _) => s""""$k":${sec(w)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size + failed.size},"runs_per_query":$runsPerQuery,"failed":$failedJson,"failed_sec":${sec(failedSec)},"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"queries_worst":$qs2,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","value_first_run":${sec(totalFirst)},"n_queries":${results.size + failed.size},"runs_per_query":$runsPerQuery,"failed":$failedJson,"failed_sec":${sec(failedSec)},"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"queries_worst":$qs2,"sf":"$sfDir"}"""
     spark.stop()
     // Printed last, post-stop: no Spark thread can interleave with it.
     println(line)
