@@ -88,8 +88,15 @@ object Versioned {
   /** One snapshot file: path relative to the table root (so manifests
     * survive a table-root move), the Hive partition fragment it belongs
     * to (`a=1` or `a=1/b=x` for multi-column layouts; empty for
-    * unpartitioned commits), and its kind ([[KindData]]/[[KindDelete]]). */
-  final case class ManifestEntry(relPath: String, partDir: String, kind: String = KindData)
+    * unpartitioned commits), its kind ([[KindData]]/[[KindDelete]]),
+    * and optional per-file column statistics — canonical JSON
+    * `{"col":{"min":…,"max":…}}` (numbers for numeric columns,
+    * lexically-ordered canonical strings for string/date/timestamp) —
+    * the Iceberg-style metadata [[readSkipping]] prunes on without
+    * opening a single file. Stats travel WITH the entry: a file carried
+    * by reference through later commits keeps its statistics. */
+  final case class ManifestEntry(
+      relPath: String, partDir: String, kind: String = KindData, stats: Option[String] = None)
 
   /** The version directory that physically holds a manifest entry. */
   private def entryVersion(e: ManifestEntry): Long =
@@ -146,17 +153,22 @@ object Versioned {
       val j = line.indexOf('\t', i + 1)
       if (j < 0) // legacy 2-field line (pre-kind format): partDir \t relPath
         ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
-      else
+      else {
+        val k = line.indexOf('\t', j + 1) // optional 4th field: stats JSON
         ManifestEntry(
           kind = line.substring(0, i),
           partDir = line.substring(i + 1, j),
-          relPath = line.substring(j + 1))
+          relPath = if (k < 0) line.substring(j + 1) else line.substring(j + 1, k),
+          stats = if (k < 0) None else Some(line.substring(k + 1)))
+      }
     }
   }
 
   private def writeManifest(fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry]): Unit = {
     val out = fs.create(new HPath(versionDir(root, v), ManifestFile), false)
-    try out.write(entries.map(e => s"${e.kind}\t${e.partDir}\t${e.relPath}").mkString("\n").getBytes("UTF-8"))
+    try out.write(entries
+      .map(e => s"${e.kind}\t${e.partDir}\t${e.relPath}" + e.stats.map("\t" + _).getOrElse(""))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -315,17 +327,24 @@ object Versioned {
     * [[delete]], [[compactDeletes]] and [[compactFiles]]. A rewrite
     * that keeps zero rows is legal: it publishes an empty manifest whose
     * schema (in `_meta`) keeps the table readable as an empty frame. */
-  private def rewriteFrom(fs: FileSystem, root: HPath, base: Long, df: DataFrame): Long = {
+  private def rewriteFrom(
+      fs: FileSystem, root: HPath, base: Long, df: DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
     val partCols = layoutPartCols(readManifest(fs, root, base))
     val v = claimExact(fs, root, base)
     val writer = df.write.mode(SaveMode.Overwrite)
-    if (partCols.nonEmpty) {
-      writer.partitionBy(partCols: _*).parquet(dataDir(root, v).toString)
-      publish(fs, root, v, localEntries(fs, root, v, partitioned = true), df.schema)
-    } else {
-      writer.parquet(dataDir(root, v).toString)
-      publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema)
-    }
+    val entries =
+      if (partCols.nonEmpty) {
+        writer.partitionBy(partCols: _*).parquet(dataDir(root, v).toString)
+        localEntries(fs, root, v, partitioned = true)
+      } else {
+        writer.parquet(dataDir(root, v).toString)
+        localEntries(fs, root, v, partitioned = false)
+      }
+    val enriched =
+      if (statsCols.isEmpty) entries
+      else withFileStats(df.sparkSession, root, entries, statsCols)
+    publish(fs, root, v, enriched, df.schema)
   }
 
   /** Commit `df` as the next (unpartitioned) version; returns it.
@@ -619,6 +638,169 @@ object Versioned {
     }
   }
 
+  /** Canonical, ORDER-PRESERVING stat expression for a column: numerics
+    * stay numeric; date/timestamp become fixed-width sortable strings;
+    * strings pass through; anything else (arrays, structs, binary) gets
+    * no statistics. */
+  private def statExpr(dt: DataType, c: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => Some(col(c))
+      case _: StringType => Some(col(c))
+      case _: DateType => Some(date_format(col(c), "yyyy-MM-dd"))
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(date_format(col(c), "yyyy-MM-dd HH:mm:ss"))
+      case _ => None
+    }
+  }
+
+  /** Compute per-file min/max for `statsCols` over a freshly written
+    * version's files and attach them to the entries as canonical JSON.
+    * One extra scan of the new files at commit time (the write path pays
+    * for the read path, Delta/Iceberg's trade); the collect is one row
+    * per file — driver-side metadata, same cardinality as the manifest. */
+  private def withFileStats(
+      spark: SparkSession, root: HPath, entries: Seq[ManifestEntry],
+      statsCols: Seq[String]): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (statsCols.isEmpty || entries.isEmpty) return entries
+    val files = entries.map(e => new HPath(root, e.relPath).toString)
+    val df = spark.read.parquet(files: _*)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val tracked = statsCols.filter(c =>
+      types.contains(c) && statExpr(types(c), c).isDefined)
+    require(tracked.nonEmpty,
+      s"Versioned: none of the stats columns ${statsCols.mkString(",")} is a " +
+        s"sortable scalar column of ${types.keys.mkString(",")}")
+    val aggs = tracked.flatMap { c =>
+      val e = statExpr(types(c), c).get
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+    }
+    val byFile = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = m.createObjectNode()
+        for (c <- tracked) {
+          val cn = o.putObject(c)
+          def put(field: String, v: Any): Unit = v match {
+            case null       => cn.putNull(field)
+            case n: Byte    => cn.put(field, n.toLong)
+            case n: Short   => cn.put(field, n.toLong)
+            case n: Int     => cn.put(field, n.toLong)
+            case n: Long    => cn.put(field, n)
+            case n: Float   => cn.put(field, n.toDouble)
+            case n: Double  => cn.put(field, n)
+            case n: java.math.BigDecimal => cn.put(field, n)
+            case s: String  => cn.put(field, s)
+            case other      => cn.put(field, other.toString)
+          }
+          put("min", r.getAs[Any](s"__mn_$c"))
+          put("max", r.getAs[Any](s"__mx_$c"))
+        }
+        new java.net.URI(r.getAs[String]("__f")).getPath -> m.writeValueAsString(o)
+      }.toMap
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    entries.map(e => e.copy(stats = byFile.get(s"$rootUri/${e.relPath}")))
+  }
+
+  /** Commit `df` range-clustered on `clusterCol` into `nFiles` files,
+    * recording per-file min/max for `statsCols` (default: the cluster
+    * column) in the manifest — the s15 sorted-layout story ON the table
+    * format: each file covers a narrow disjoint range, so
+    * [[readSkipping]] can drop whole files at the MANIFEST, before the
+    * planner lists anything, and parquet row-group stats prune further
+    * inside the survivors. One range exchange at write, amortized over
+    * every subsequent windowed scan. */
+  def commitClustered(
+      df: DataFrame, path: String, clusterCol: String, nFiles: Int,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles >= 1, s"commitClustered: nFiles must be >= 1, got $nFiles")
+    val (fs, root) = Writers.fsFor(path)
+    val v = claimNext(fs, root, path)
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    val spark = df.sparkSession
+    val entries = withFileStats(spark, root,
+      localEntries(fs, root, v, partitioned = false),
+      if (statsCols.isEmpty) Seq(clusterCol) else statsCols)
+    publish(fs, root, v, entries, df.schema)
+  }
+
+  /** True iff the [min,max] range recorded for `c` in `stats` can
+    * intersect [lo,hi] — numbers compare numerically, everything else
+    * lexically on the canonical encodings [[statExpr]] wrote. A missing
+    * stat (file predates stats, column untracked, all-NULL min) means
+    * "cannot skip". */
+  private def statsOverlap(stats: Option[String], c: String, lo: Any, hi: Any): Boolean = {
+    val node = stats.map(new com.fasterxml.jackson.databind.ObjectMapper().readTree(_))
+      .flatMap(n => Option(n.get(c)))
+    node match {
+      case None => true
+      case Some(cn) =>
+        val (mn, mx) = (cn.get("min"), cn.get("max"))
+        if (mn == null || mx == null || mn.isNull || mx.isNull) true
+        else {
+          def lt(a: com.fasterxml.jackson.databind.JsonNode, b: Any): Boolean =
+            (a.isNumber, b) match {
+              case (true, n: Number) => a.asDouble < n.doubleValue
+              case _                 => a.asText < b.toString
+            }
+          def gt(a: com.fasterxml.jackson.databind.JsonNode, b: Any): Boolean =
+            (a.isNumber, b) match {
+              case (true, n: Number) => a.asDouble > n.doubleValue
+              case _                 => a.asText > b.toString
+            }
+          !(lt(mx, lo) || gt(mn, hi)) // disjoint iff max < lo or min > hi
+        }
+    }
+  }
+
+  /** Statistics-pruned range read: only files whose recorded
+    * [min,max] for `column` intersects [lo,hi] are handed to Spark —
+    * whole files drop at the MANIFEST (zero listing, zero footers for
+    * the skipped ones), then the exact predicate still applies on top,
+    * so files without statistics are read-and-filtered, never wrongly
+    * skipped. `lo`/`hi` are inclusive; pass numbers for numeric
+    * columns and canonical strings (`yyyy-MM-dd[ HH:mm:ss]`) for
+    * date/timestamp columns — the encodings the stats were written in. */
+  def readSkipping(spark: SparkSession, path: String, column: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, root) = Writers.fsFor(path)
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.readSkipping: no committed version under $path"))
+    val entries = readManifest(fs, root, v)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.readSkipping: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first, or use read() which applies them")
+    val keep = entries.filter(e => statsOverlap(e.stats, column, lo, hi))
+    if (keep.isEmpty) {
+      val schema = metaSchema(fs, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"Versioned.readSkipping: every file skipped and v$v predates schema metadata"))
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    }
+    // the exact predicate compares the RAW column against the bounds
+    // cast to its type (same ordering as the canonical stat encodings),
+    // keeping the filter an attribute comparison that still pushes into
+    // parquet row-group stats inside the surviving files — a
+    // date_format() wrapper here would file-skip correctly but scan
+    // every row group of every kept file
+    val types = (metaSchema(fs, root, v).map(_.fields.toSeq).getOrElse(Nil))
+      .map(f => f.name -> f.dataType).toMap
+    val (loL, hiL) = types.get(column) match {
+      case Some(dt) => (lit(lo).cast(dt), lit(hi).cast(dt))
+      case None     => (lit(lo), lit(hi))
+    }
+    readEntries(spark, fs, root, keep)
+      .filter(col(column) >= loL && col(column) <= hiL)
+  }
+
   /** Keyed DELETE: commit a new snapshot without the rows whose `key` is
     * in `keys` (single-column frame or any frame carrying `key`). Full
     * rewrite, preserving a partitioned layout ([[rewriteFrom]]);
@@ -856,7 +1038,9 @@ object Versioned {
     * can reclaim the history. A NO-OP when the snapshot is already
     * compact (pure data, single owning version, within the file budget):
     * a scheduled maintenance loop must not rewrite a clean table. */
-  def compactFiles(spark: SparkSession, path: String, numFiles: Option[Int] = None): Long = {
+  def compactFiles(
+      spark: SparkSession, path: String, numFiles: Option[Int] = None,
+      statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     require(numFiles.forall(_ >= 1), s"compactFiles: numFiles must be >= 1, got $numFiles")
     val (fs, root) = Writers.fsFor(path)
@@ -868,14 +1052,42 @@ object Versioned {
         numFiles.forall(entries.size <= _)) return base
     val snap = readAt(spark, path, base)
     val partCols = layoutPartCols(entries)
-    val df = (numFiles, partCols) match {
-      case (Some(n), Nil) => snap.repartition(n)
+    // statsCols: a table serving readSkipping keeps its per-file stats
+    // through maintenance — cluster by the first stats column so the
+    // rewritten files keep narrow ranges worth recording
+    val df = (numFiles, partCols, statsCols) match {
+      case (Some(n), Nil, sc +: _) =>
+        snap.repartitionByRange(n, col(sc)).sortWithinPartitions(sc)
+      case (Some(n), Nil, _) => snap.repartition(n)
       // partitioned layout: cluster by partition value so each task
       // writes whole partitions — n tasks, ~1 file per (task, partition)
-      case (Some(n), ps)  => snap.repartition(n, ps.map(col): _*)
-      case _              => snap
+      case (Some(n), ps, _)  => snap.repartition(n, ps.map(col): _*)
+      case _                 => snap
     }
-    rewriteFrom(fs, root, base, df)
+    rewriteFrom(fs, root, base, df, statsCols)
+  }
+
+  /** Optimistic-concurrency retry loop for DERIVED commits: runs `body`
+    * (an upsert/delete/append against `path`), and when a rival writer
+    * wins the base+1 claim first (ConcurrentModificationException),
+    * re-derives from the NEW current snapshot and tries again — which is
+    * exactly what the exception contract demands of callers, packaged
+    * once. The body must re-read the table's current state on each
+    * attempt (all Versioned derived operations do). Backoff is linear
+    * and bounded; a body that keeps losing after `maxAttempts` rethrows
+    * the last conflict — livelock surfaces instead of spinning. */
+  def retryDerived[T](maxAttempts: Int = 5, backoffMs: Long = 50L)(body: => T): T = {
+    require(maxAttempts >= 1, s"retryDerived: maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case _: java.util.ConcurrentModificationException if attempt < maxAttempts =>
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Retention: keep the newest `keepLast` committed versions plus every

@@ -1053,9 +1053,57 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S24: per-file column statistics + manifest-level file skipping —
+    * s15's sorted-layout story ON the table format: `commitClustered`
+    * range-clusters orders by a derived order DAY into 12 files and
+    * records each file's min/max day in the MANIFEST (Iceberg-style
+    * metadata), so a 3-month range read drops whole files at the
+    * manifest — before the planner lists anything, `require`d via
+    * `inputFiles` strictly below the table's file count — while the
+    * exact predicate stays a raw attribute comparison that still pushes
+    * into parquet row-group stats inside the survivors. At 100 TB this
+    * is the difference between listing/opening a year and reading a
+    * quarter; stats ride the manifest entries, so files carried by
+    * reference through later commits keep theirs. Oracle: the same
+    * range aggregate over the source table. */
+  val s24FileSkipping = QueryDef(
+    "s24_file_skipping",
+    (s, d) => {
+      val path = tmp("s24_skip", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      V.commitClustered(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day")),
+        path, clusterCol = "o_day", nFiles = 12)
+      val nFiles = V.manifest(path, 1L).size
+      val pruned = V.readSkipping(s, path, "o_day", "1995-06-01", "1995-08-31")
+      val touched = pruned.inputFiles.length
+      require(touched > 0 && touched < nFiles,
+        s"s24: manifest stats must skip whole files ($touched of $nFiles touched)")
+      pruned
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-08-31'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
-    s22MultipartMerge, s23AppendFeed)
+    s22MultipartMerge, s23AppendFeed, s24FileSkipping)
 }

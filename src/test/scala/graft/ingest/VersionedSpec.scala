@@ -598,6 +598,82 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(slow.toSeq == Seq((2L, "update")), s"rewrite feed wrong: ${slow.toSeq}")
   }
 
+  test("commitClustered records per-file stats; readSkipping prunes at the manifest") {
+    import spark.implicits._
+    val path = freshDir("versioned_stats")
+    val df = (1 to 400).map(i => (i.toLong, s"row$i", i * 0.5)).toDF("k", "v", "score")
+    Versioned.commitClustered(df, path, "k", nFiles = 8, statsCols = Seq("k", "v"))
+    val m = Versioned.manifest(path, 1L)
+    assert(m.size > 1 && m.forall(_.stats.isDefined), "every clustered file needs stats")
+    // a narrow range must touch a strict subset of files…
+    val narrow = Versioned.readSkipping(spark, path, "k", 10L, 60L)
+    assert(narrow.inputFiles.length < m.size,
+      s"no files skipped: ${narrow.inputFiles.length} of ${m.size} read")
+    // …and return exactly the filter's rows
+    assert(narrow.collect().map(_.getLong(0)).sorted.toSeq == (10L to 60L))
+    // string-column stats prune lexically ("row100".."row110" etc.)
+    val strHit = Versioned.readSkipping(spark, path, "v", "row100", "row102")
+    assert(strHit.collect().map(_.getString(1)).sorted.toSeq == Seq("row100", "row101", "row102"))
+    // a fully-disjoint range reads NOTHING and returns an empty typed frame
+    val none = Versioned.readSkipping(spark, path, "k", 100000L, 200000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v", "score"))
+    // stats survive carry-by-reference: append more data, old files keep
+    // their ranges and a query inside the old range skips the new file
+    Versioned.appendCommit(Seq((1000L, "new", 1.0)).toDF("k", "v", "score"), path)
+    val m2 = Versioned.manifest(path, 2L)
+    assert(m2.count(_.stats.isDefined) == m.size, "carried entries lost their stats")
+    val afterAppend = Versioned.readSkipping(spark, path, "k", 10L, 60L)
+    assert(afterAppend.collect().map(_.getLong(0)).sorted.toSeq == (10L to 60L))
+    // the stats-less appended file is never wrongly skipped
+    assert(Versioned.readSkipping(spark, path, "k", 999L, 1001L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1000L))
+    // a column with no recorded stats reads everything, still correct
+    assert(Versioned.readSkipping(spark, path, "score", 0.5, 1.0)
+      .count() == 3) // scores 0.5 (k=1), 1.0 (k=2), 1.0 (k=1000)
+  }
+
+  test("compactFiles keeps per-file stats through maintenance when asked") {
+    import spark.implicits._
+    val path = freshDir("versioned_stats_compact")
+    val df = (1 to 300).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    Versioned.commitClustered(df, path, "k", nFiles = 6)
+    Versioned.appendCommit(Seq((301L, "tail")).toDF("k", "v"), path)
+    val vc = Versioned.compactFiles(spark, path, numFiles = Some(4), statsCols = Seq("k"))
+    val m = Versioned.manifest(path, vc)
+    assert(m.forall(_.stats.isDefined), "compaction dropped the per-file stats")
+    val pruned = Versioned.readSkipping(spark, path, "k", 5L, 20L)
+    assert(pruned.inputFiles.length < m.size, "compacted files lost their pruning ranges")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (5L to 20L))
+  }
+
+  test("retryDerived re-derives after losing a claim race; every winner's rows survive") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_retry")
+    Versioned.commit(Seq((0L, "base")).toDF("k", "v"), path)
+    // without retry, most of these contending appends would throw; with
+    // it, ALL must land (each body re-reads the new current on retry)
+    val got = Await.result(Future.sequence((1 to 5).map { i =>
+      Future(Versioned.retryDerived(maxAttempts = 20, backoffMs = 20L) {
+        Versioned.appendCommit(Seq((i.toLong, s"w$i")).toDF("k", "v"), path)
+      })
+    }), 180.seconds)
+    assert(got.distinct.size == 5, s"two retried appends shared a version: $got")
+    assert(Versioned.read(spark, path).count() == 6,
+      "a retried append's rows were lost — the retry republished a stale base")
+    // exhausted attempts rethrow the conflict instead of spinning
+    val blocked = freshDir("versioned_retry_blocked")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), blocked)
+    Files.createDirectories(Paths.get(blocked, "v00002"))
+    Files.createFile(Paths.get(blocked, "v00002", "_claim"))
+    intercept[java.util.ConcurrentModificationException](
+      Versioned.retryDerived(maxAttempts = 2, backoffMs = 1L) {
+        Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), blocked)
+      })
+  }
+
   test("per-file vacuum reclaims superseded files inside still-referenced dirs") {
     import spark.implicits._
     val path = freshDir("versioned_filegc")
