@@ -85,6 +85,11 @@ object Versioned {
   /** `_meta` key carrying the committed frame's schema as Spark JSON. */
   private val SchemaKey = "graft.schema"
 
+  /** Shared JSON codec for manifest statistics — ObjectMapper is
+    * thread-safe after configuration and costs real time to construct;
+    * a per-entry instance would be O(#files) driver overhead at scale. */
+  private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** One snapshot file: path relative to the table root (so manifests
     * survive a table-root move), the Hive partition fragment it belongs
     * to (`a=1` or `a=1/b=x` for multi-column layouts; empty for
@@ -682,8 +687,7 @@ object Versioned {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val o = m.createObjectNode()
+        val o = Json.createObjectNode()
         for (c <- tracked) {
           val cn = o.putObject(c)
           def put(field: String, v: Any): Unit = v match {
@@ -701,7 +705,7 @@ object Versioned {
           put("min", r.getAs[Any](s"__mn_$c"))
           put("max", r.getAs[Any](s"__mx_$c"))
         }
-        new java.net.URI(r.getAs[String]("__f")).getPath -> m.writeValueAsString(o)
+        new java.net.URI(r.getAs[String]("__f")).getPath -> Json.writeValueAsString(o)
       }.toMap
     val rootUri = root.toUri.getPath.stripSuffix("/")
     entries.map(e => e.copy(stats = byFile.get(s"$rootUri/${e.relPath}")))
@@ -738,8 +742,7 @@ object Versioned {
     * stat (file predates stats, column untracked, all-NULL min) means
     * "cannot skip". */
   private def statsOverlap(stats: Option[String], c: String, lo: Any, hi: Any): Boolean = {
-    val node = stats.map(new com.fasterxml.jackson.databind.ObjectMapper().readTree(_))
-      .flatMap(n => Option(n.get(c)))
+    val node = stats.map(Json.readTree(_)).flatMap(n => Option(n.get(c)))
     node match {
       case None => true
       case Some(cn) =>
