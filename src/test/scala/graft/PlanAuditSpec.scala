@@ -302,6 +302,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"row-group skipping ineffective: scan emitted $out of $total rows")
   }
 
+  test("s24: manifest file skipping composes with parquet pushdown inside survivors") {
+    import org.apache.spark.sql.functions.col
+    val V = graft.ingest.Versioned
+    val path = graft.ingest.Scratch.dir("test", "s24_prune", sf()).toString
+    graft.ingest.Writers.deleteTree(path)
+    V.commitClustered(
+      graft.core.Tables.orders(spark, sf())
+        .select(col("o_orderkey"), col("o_totalprice"),
+          org.apache.spark.sql.functions.date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day")),
+      path, clusterCol = "o_day", nFiles = 8)
+    val total = V.read(spark, path).count()
+    val pruned = V.readSkipping(spark, path, "o_day", "1995-06-01", "1995-08-31")
+    // layer 1: whole files dropped at the manifest, before any listing
+    assert(pruned.inputFiles.length < V.manifest(path, 1L).size,
+      "manifest-level skipping dropped no files")
+    // layer 2: the residual predicate is a raw attribute comparison that
+    // still reaches the parquet scan as a pushed filter (a formatted/
+    // wrapped column here would silently lose row-group pruning)
+    val plan = pruned.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_day"),
+      s"range predicate did not push into the surviving files' scan:\n$p")
+    // layer 3: and the scan emits only the window's rows
+    plan.execute().count()
+    val scan = plan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail(s"no FileSourceScanExec leaf:\n$p"))
+    val out = scan.metrics("numOutputRows").value
+    assert(out > 0 && out < total / 4,
+      s"scan emitted $out of $total rows — skipping layers ineffective")
+  }
+
   test("s16: ANALYZE stats feed CBO — filtered dim shrinks below a bracketed threshold, AQE off") {
     import org.apache.spark.sql.functions.col
     // the entry creates + ANALYZEs the catalog tables (its result is oracled)

@@ -39,7 +39,8 @@ class RegistrySpec extends AnyFunSuite with SparkFixture {
     // in one long-lived process)
     for (name <- Seq("s2b_ingest_pipeline", "s4_jdbc_pull", "s5_xlsx_ingest", "s7_partitioned_write",
                      "s8_incremental_append", "stream_t1_tumbling", "stream_t5_dedup",
-                     "stream_t7_file_sink", "stream_t9_foreach_upsert", "l2f_dedup_clusters")) {
+                     "stream_t7_file_sink", "stream_t9_foreach_upsert", "l2f_dedup_clusters",
+                     "s21_compacted_history", "s24_file_skipping", "stream_t11_cdf_consumer")) {
       val fn = SparkEntry.queries(name)
       val first = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
       val second = fn(spark, sf()).collect().map(_.toString).sorted.toSeq
