@@ -380,6 +380,14 @@ object Versioned {
   private def metaSchema(fs: FileSystem, root: HPath, v: Long): Option[StructType] =
     readMeta(fs, root, v).get(SchemaKey).map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
+  /** The current snapshot's recorded schema, without touching any data
+    * file — what the streaming source resolves at stream start. None if
+    * the table has no committed version or predates schema metadata. */
+  def schemaOf(path: String): Option[StructType] = {
+    val (fs, root) = Writers.fsFor(path)
+    currentVersion(path).flatMap(v => metaSchema(fs, root, v))
+  }
+
   /** Materialize a set of manifest entries.
     *
     * FAST PATH (bounds reader-plan growth on long append histories — r5

@@ -623,7 +623,64 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T12: VERSIONED TABLE AS A STREAMING SOURCE — the read
+    * half of the table-format streaming loop (t10 writes into the
+    * table; this tails OUT of it): `readStream.format("graft-versioned")`
+    * (org.apache.spark.sql.graft.VersionedStreamSource, registered via
+    * DataSourceRegister) treats committed VERSIONS as offsets — each
+    * micro-batch reads exactly the files the version range appended, so
+    * a consumer is O(new data) per batch at any table size and the
+    * engine's checkpoint makes the tail exactly-once across restarts.
+    * The entry proves the incremental contract end-to-end: three
+    * append commits stream in run 1; a fourth lands and run 2 (same
+    * checkpoint) appends ONLY its rows to the sink (`require`d by
+    * count); a third idle run appends nothing. Oracle: the full events
+    * aggregate — the tailed sink must reconstruct the table exactly. */
+  val streamVersionedSource = QueryDef(
+    "stream_t12_versioned_source",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t12", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val V = graft.ingest.Versioned
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      def tail(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("graft-versioned").option("path", tbl).load()
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      for (slice <- 0 until 3)
+        V.appendCommit(ev.filter(col("event_id") % 4 === slice), tbl)
+      tail() // run 1: the three committed versions stream as the backlog
+      val afterFirst = s.read.parquet(sink).count()
+      V.appendCommit(ev.filter(col("event_id") % 4 === 3), tbl)
+      tail() // run 2, same checkpoint: ONLY v4's files stream
+      val total = s.read.parquet(sink).count()
+      require(afterFirst < total && total == ev.count(),
+        s"t12: incremental tail wrong ($afterFirst then $total of ${ev.count()})")
+      tail() // run 3: no new versions — nothing may land
+      require(s.read.parquet(sink).count() == total,
+        "t12: an idle tail re-emitted data")
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
-    streamVersionedSink, streamCdfConsumer)
+    streamVersionedSink, streamCdfConsumer, streamVersionedSource)
 }

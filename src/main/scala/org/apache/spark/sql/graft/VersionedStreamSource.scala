@@ -1,0 +1,136 @@
+/* This file lives under org.apache.spark.sql (not graft.*) on purpose:
+ * a v1 streaming Source must hand MicroBatchExecution a DataFrame whose
+ * logical plan is flagged isStreaming, and the only way to build one —
+ * `Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))`
+ * — is private[sql]. Table formats ship their streaming sources exactly
+ * this way (a shim package inside the Spark namespace); everything else
+ * about the source delegates to the public graft.ingest.Versioned API. */
+package org.apache.spark.sql.graft
+
+import graft.ingest.Versioned
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SOURCE over a [[graft.ingest.Versioned]] table — the read
+  * half of the table-format streaming story (stream_t10's sink is the
+  * write half): `spark.readStream.format("graft-versioned")
+  * .option("path", tbl).load()` tails the table's commit log, one
+  * micro-batch per committed version range.
+  *
+  * Offsets ARE version numbers (monotonic, durable, replayable): batch
+  * (from, to] reads exactly the data files manifest(to) added over
+  * manifest(from) — for an append-only table that is the committed
+  * delta, served without touching ANY historical file, so a consumer is
+  * O(new data) per batch at any table size. The engine checkpoints the
+  * version offsets; a restarted stream resumes from the last committed
+  * version exactly-once.
+  *
+  * Contract (Delta's source semantics, narrowed to what this format
+  * serves losslessly):
+  *  - the table must be UNPARTITIONED and append-only over the streamed
+  *    window. A rewrite commit (upsert/delete/compaction) changes
+  *    history rather than appending, so the source fails loudly unless
+  *    `ignoreChanges=true`, which re-emits the rewritten version's new
+  *    files (Delta's documented ignoreChanges behavior) — downstream
+  *    must tolerate re-delivery, the same contract Delta imposes.
+  *  - merge-on-read delete commits add no data files; with
+  *    `ignoreChanges` they stream as empty batches (deletes are not
+  *    retractions in an append-log consumer).
+  *  - vacuumed history cannot be replayed: a checkpoint pointing below
+  *    the retention horizon fails at the manifest read, loudly.
+  *
+  * The schema is pinned at stream START from the table's recorded
+  * current schema; files appended later with MORE columns still read
+  * (extra columns ignored, missing read NULL) — the engine requires a
+  * fixed source schema, so a consumer picks up drift by restarting, the
+  * standard table-format stream contract. */
+class VersionedStreamSource(
+    spark: ClassicSession,
+    path: String,
+    override val schema: StructType,
+    ignoreChanges: Boolean,
+) extends Source {
+
+  override def getOffset: Option[OffsetV1] =
+    Versioned.currentVersion(path).map(LongOffset(_))
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong // SerializedOffset after a restart
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val to = versionOf(end)
+    val mFrom: Set[Versioned.ManifestEntry] =
+      if (from == 0L) Set.empty else Versioned.manifest(path, from).toSet
+    val mTo = Versioned.manifest(path, to)
+    val appendOnly = mFrom.subsetOf(mTo.toSet)
+    if (!appendOnly && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft-versioned source: versions ($from, $to] of $path contain a rewrite " +
+          "(upsert/delete/compaction) — a streaming tail of an append log cannot represent " +
+          "it. Restart from the current snapshot, or set ignoreChanges=true to re-emit " +
+          "rewritten files (downstream must tolerate re-delivery).")
+    val delta = mTo.filterNot(mFrom).filter(_.kind == Versioned.KindData)
+    require(delta.forall(_.partDir.isEmpty),
+      s"graft-versioned source: $path is Hive-partitioned — the streaming source serves " +
+        "the unpartitioned append-log shape (what the versioned streaming sink writes)")
+    val files = delta.map(e => s"$path/${e.relPath}")
+    val relation = DataSource(
+      sparkSession = spark,
+      className = "parquet",
+      paths = files,
+      userSpecifiedSchema = Some(schema),
+    ).resolveRelation(checkFilesExist = false)
+    Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-versioned")` provider (registered via
+  * META-INF/services for [[DataSourceRegister]]). Options: `path`
+  * (required), `ignoreChanges` (default false). */
+class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned source: 'path' option is required"))
+
+  private def resolveSchema(schema: Option[StructType], path: String): StructType =
+    schema.orElse(Versioned.schemaOf(path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-versioned source: $path has no committed version (or predates schema " +
+          "metadata) and no schema was supplied — commit first or pass .schema(...)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), resolveSchema(schema, pathOf(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val ignoreChanges = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v }
+      .exists(_.toBoolean)
+    new VersionedStreamSource(
+      sqlContext.sparkSession.asInstanceOf[ClassicSession],
+      path, resolveSchema(schema, path), ignoreChanges)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkFixture
+import graft.ingest.{Versioned, Writers}
+import java.nio.file.Paths
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-versioned` streaming SOURCE (org.apache.spark.sql.graft):
+  * offsets are version numbers, each micro-batch reads exactly the data
+  * files the version range appended — the table-format tail-the-log
+  * contract, checkpointed by the engine. */
+class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  private def runTail(tbl: String, ckpt: String, sink: String,
+      ignoreChanges: Boolean = false): Unit = {
+    val reader = spark.readStream.format("graft-versioned").option("path", tbl)
+    val src = (if (ignoreChanges) reader.option("ignoreChanges", "true") else reader).load()
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("tails an append history incrementally: each run reads ONLY the new versions' files") {
+    import spark.implicits._
+    val base = freshDir("vss_tail")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    Versioned.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), tbl)
+    runTail(tbl, ckpt, sink)
+    val got1 = spark.read.parquet(sink).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got1 == Map(1L -> "a", 2L -> "b", 3L -> "c"), s"first tail wrong: $got1")
+    // second run from the SAME checkpoint: only the new version streams
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "v"), tbl)
+    runTail(tbl, ckpt, sink)
+    val got2 = spark.read.parquet(sink).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got2.length == 4, s"incremental tail re-emitted or dropped rows: ${got2.toSeq}")
+    assert(got2.toMap.contains(4L))
+    // third run with NO new commits: nothing new lands
+    runTail(tbl, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 4, "an idle tail must emit nothing")
+  }
+
+  test("a rewrite in the window fails loudly; ignoreChanges re-emits the rewritten files") {
+    import spark.implicits._
+    val base = freshDir("vss_rewrite")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    Versioned.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    runTail(tbl, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 2)
+    Versioned.upsert(spark, tbl, Seq((2L, "b2")).toDF("k", "v"), "k") // rewrite
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runTail(tbl, ckpt, sink))
+    assert(e.getMessage.contains("rewrite") || e.getCause.getMessage.contains("rewrite"),
+      s"expected the append-only violation to surface, got: ${e.getMessage}")
+    // ignoreChanges: the rewritten version's files stream (re-delivery
+    // semantics — both keys reappear with post-rewrite values)
+    runTail(tbl, ckpt, sink, ignoreChanges = true)
+    val after = spark.read.parquet(sink).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(after.length == 4 && after.count(_ == (2L -> "b2")) == 1,
+      s"ignoreChanges must re-emit the rewritten files (re-delivery): ${after.toSeq}")
+  }
+
+  test("schema comes from the table's recorded metadata; partitioned tables are refused") {
+    import spark.implicits._
+    val base = freshDir("vss_guards")
+    val tbl = s"$base/tbl"
+    Versioned.commit(Seq((1L, "a", 0.5)).toDF("k", "v", "score"), tbl)
+    val src = spark.readStream.format("graft-versioned").option("path", tbl).load()
+    assert(src.schema.fieldNames.toSeq == Seq("k", "v", "score"),
+      "source must resolve the schema from _meta without a data read")
+    assert(src.isStreaming)
+    // a missing path option or an uncommitted table fails at plan time
+    intercept[IllegalArgumentException](
+      spark.readStream.format("graft-versioned").load())
+    intercept[IllegalArgumentException](
+      spark.readStream.format("graft-versioned").option("path", s"$base/nope").load())
+    // partitioned layout: refused at batch planning (data changed shape)
+    val ptbl = s"$base/ptbl"; val ckpt = s"$base/pckpt"; val sink = s"$base/psink"
+    Versioned.commitPartitioned(Seq((1L, "a", "P1")).toDF("k", "v", "pt"), ptbl, "pt")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runTail(ptbl, ckpt, sink))
+    assert(e.getMessage.contains("partition") || e.getCause.getMessage.contains("partition"))
+  }
+
+  test("the sink-to-source loop closes: stream INTO the table, stream OUT of it, same rows") {
+    import spark.implicits._
+    val base = freshDir("vss_loop")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    // producer: micro-batches land via the exactly-once sink idiom (t10)
+    for ((batch, id) <- Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"))).zipWithIndex)
+      Versioned.appendCommitOnce(batch.toDF("k", "v"), tbl, id.toString)
+    // consumer: tail the same table as a stream
+    runTail(tbl, ckpt, sink)
+    val out = spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L), s"sink→source loop lost rows: $out")
+  }
+}
