@@ -494,6 +494,32 @@ object Versioned {
     readAt(spark, path, v)
   }
 
+  /** When each retained version was committed (epoch millis of its
+    * `_committed` marker — the atomic instant the snapshot became
+    * visible), ascending. The basis for timestamp time travel. */
+  def commitTimes(path: String): Seq[(Long, Long)] = {
+    val (fs, root) = Writers.fsFor(path)
+    versions(path).map { v =>
+      v -> fs.getFileStatus(new HPath(versionDir(root, v), CommittedFile)).getModificationTime
+    }
+  }
+
+  /** The latest version committed at or before `epochMs` (TIMESTAMP AS
+    * OF): None if the table's first retained commit is later. Vacuumed
+    * history cannot be resolved — same contract as [[readAt]]. */
+  def versionAsOf(path: String, epochMs: Long): Option[Long] =
+    commitTimes(path).takeWhile(_._2 <= epochMs).lastOption.map(_._1)
+
+  /** Timestamp time travel: the snapshot visible to a reader at
+    * `epochMs` ([[versionAsOf]] + [[readAt]]). */
+  def readAsOf(spark: SparkSession, path: String, epochMs: Long): DataFrame = {
+    val v = versionAsOf(path, epochMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned.readAsOf: no version of $path was committed at or before $epochMs " +
+          "(before first commit, or vacuumed)"))
+    readAt(spark, path, v)
+  }
+
   /** The partition tuple a manifest entry belongs to, unescaped
     * (`Map(col -> value)`; empty for unpartitioned entries). */
   private def partTuple(e: ManifestEntry): Map[String, String] =

@@ -54,6 +54,7 @@ class VersionedStreamSource(
     path: String,
     override val schema: StructType,
     ignoreChanges: Boolean,
+    startingVersion: Option[Long],
 ) extends Source {
 
   override def getOffset: Option[OffsetV1] =
@@ -65,7 +66,10 @@ class VersionedStreamSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(versionOf).getOrElse(0L)
+    // a fresh stream (no checkpointed offset) starts from startingVersion
+    // (that version INCLUDED) instead of replaying the whole backlog —
+    // Delta's startingVersion contract; a checkpointed offset wins
+    val from = start.map(versionOf).getOrElse(startingVersion.map(_ - 1L).getOrElse(0L))
     val to = versionOf(end)
     val mFrom: Set[Versioned.ManifestEntry] =
       if (from == 0L) Set.empty else Versioned.manifest(path, from).toSet
@@ -96,7 +100,9 @@ class VersionedStreamSource(
 
 /** `format("graft-versioned")` provider (registered via
   * META-INF/services for [[DataSourceRegister]]). Options: `path`
-  * (required), `ignoreChanges` (default false). */
+  * (required), `ignoreChanges` (default false), `startingVersion`
+  * (first version a FRESH stream emits — skip the backlog; a
+  * checkpointed offset always wins on restart). */
 class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
@@ -129,8 +135,10 @@ class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegist
     val ignoreChanges = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v }
       .exists(_.toBoolean)
+    val startingVersion = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong }
     new VersionedStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession],
-      path, resolveSchema(schema, path), ignoreChanges)
+      path, resolveSchema(schema, path), ignoreChanges, startingVersion)
   }
 }

@@ -632,6 +632,25 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       .count() == 3) // scores 0.5 (k=1), 1.0 (k=2), 1.0 (k=1000)
   }
 
+  test("timestamp time travel resolves the snapshot a reader saw at that instant") {
+    import spark.implicits._
+    val path = freshDir("versioned_asof")
+    Versioned.commit(Seq((1L, "v1")).toDF("k", "v"), path)
+    Thread.sleep(60) // commit-marker mtimes must straddle the probe times
+    val between = System.currentTimeMillis()
+    Thread.sleep(60)
+    Versioned.upsert(spark, path, Seq((1L, "v2")).toDF("k", "v"), "k")
+    assert(Versioned.versionAsOf(path, between).contains(1L))
+    assert(Versioned.readAsOf(spark, path, between)
+      .collect().head.getString(1) == "v1", "readAsOf must see the pre-commit snapshot")
+    assert(Versioned.readAsOf(spark, path, System.currentTimeMillis())
+      .collect().head.getString(1) == "v2")
+    // before the first commit: no snapshot existed — loud error
+    val t0 = Versioned.commitTimes(path).head._2
+    assert(Versioned.versionAsOf(path, t0 - 1000).isEmpty)
+    intercept[IllegalArgumentException](Versioned.readAsOf(spark, path, t0 - 1000))
+  }
+
   test("compactFiles keeps per-file stats through maintenance when asked") {
     import spark.implicits._
     val path = freshDir("versioned_stats_compact")

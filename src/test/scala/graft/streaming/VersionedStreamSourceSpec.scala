@@ -93,6 +93,27 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("partition") || e.getCause.getMessage.contains("partition"))
   }
 
+  test("startingVersion skips the backlog for a fresh stream; checkpoints still win") {
+    import spark.implicits._
+    val base = freshDir("vss_startver")
+    val tbl = s"$base/tbl"; val sink = s"$base/sink"
+    Versioned.appendCommit(Seq((1L, "a")).toDF("k", "v"), tbl)
+    Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), tbl)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), tbl)
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", tbl).option("startingVersion", "3").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L), s"startingVersion=3 must emit only v3's rows: $got")
+    // the same checkpoint then tails incrementally as usual
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "v"), tbl)
+    runTail(tbl, s"$base/ckpt", sink)
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("the sink-to-source loop closes: stream INTO the table, stream OUT of it, same rows") {
     import spark.implicits._
     val base = freshDir("vss_loop")
