@@ -1050,6 +1050,29 @@ object Versioned {
       snapshot.schema)
   }
 
+  /** RESTORE: roll the table back to retained `version` by publishing
+    * that snapshot's manifest as a NEW commit — history is never
+    * rewritten, the bad commits stay inspectable, and not one data
+    * byte moves (the new manifest carries every file by reference;
+    * Delta's RESTORE semantics). A derived commit: claims exactly
+    * current+1, so a concurrent writer cannot be silently rolled over.
+    * Restoring the current version is a no-op. The restored version
+    * must still be retained — vacuumed history cannot be restored,
+    * loudly. */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val cur = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.restore: no committed version under $path"))
+    require(isCommitted(fs, root, version),
+      s"Versioned.restore: version $version of $path is not committed (never existed, crashed, or vacuumed)")
+    if (version == cur) return cur
+    val entries = readManifest(fs, root, version)
+    val schema = metaSchema(fs, root, version)
+      .getOrElse(readAt(spark, path, version).schema) // legacy pre-schema-meta history
+    val v = claimExact(fs, root, cur) // derived: lost-update guard
+    publish(fs, root, v, entries, schema)
+  }
+
   /** Fold outstanding merge-on-read deletes into a fresh pure-data
     * snapshot (full rewrite), preserving a Hive-partitioned layout if
     * the table has one — otherwise compaction would strand

@@ -632,6 +632,31 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       .count() == 3) // scores 0.5 (k=1), 1.0 (k=2), 1.0 (k=1000)
   }
 
+  test("restore rolls back metadata-only: no data moves, history stays inspectable") {
+    import spark.implicits._
+    val path = freshDir("versioned_restore")
+    Versioned.commit(Seq((1L, "good"), (2L, "good")).toDF("k", "v"), path)   // v1
+    Versioned.upsert(spark, path, Seq((1L, "BAD")).toDF("k", "v"), "k")      // v2: the bad deploy
+    val v3 = Versioned.restore(spark, path, 1L)
+    assert(v3 == 3L)
+    // content is v1's again…
+    val cur = Versioned.read(spark, path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "good", 2L -> "good"))
+    // …via v1's FILES, by reference — zero bytes copied
+    assert(Versioned.manifest(path, 3L) == Versioned.manifest(path, 1L),
+      "restore must republish the old manifest verbatim, not rewrite data")
+    // the bad commit stays inspectable (forensics), and vacuum keeps v1's
+    // dir because the current manifest references it
+    assert(Versioned.readAt(spark, path, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "BAD", 2L -> "good"))
+    Versioned.vacuum(path, keepLast = 1)
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == cur)
+    // restoring the current version is a no-op; vacuumed history refuses
+    assert(Versioned.restore(spark, path, 3L) == 3L)
+    intercept[IllegalArgumentException](Versioned.restore(spark, path, 2L))
+  }
+
   test("timestamp time travel resolves the snapshot a reader saw at that instant") {
     import spark.implicits._
     val path = freshDir("versioned_asof")
