@@ -770,6 +770,59 @@ object Versioned {
     publish(fs, root, v, entries, df.schema)
   }
 
+  /** Commit `df` Z-ORDER clustered on `zCols` (2-4 NUMERIC columns)
+    * into `nFiles` files, recording per-file min/max for every zCol —
+    * multi-dimensional file skipping: where [[commitClustered]] makes
+    * ONE column's ranges tight, bit-interleaving the per-column
+    * quantile-bucket ranks makes EVERY zCol's per-file range narrow at
+    * once, so [[readSkipping]] prunes on any of them (Delta's OPTIMIZE
+    * ZORDER BY trade: each dimension prunes somewhat worse than its
+    * dedicated sort, every dimension prunes far better than someone
+    * else's sort).
+    *
+    * Scale notes: bucket bounds come from one `approxQuantile` pass
+    * (driver gets nb-1 doubles per column — no global sort, no
+    * single-partition window); the z-value is pure integer bit math on
+    * codegen'd expressions; the clustered write is one range exchange.
+    * Quantile bucketing (not min/max width buckets) keeps the curve
+    * balanced under skew. NULLs rank into the top bucket; a range
+    * predicate never selects NULL, so skipping stays sound. */
+  def commitZOrdered(
+      df: DataFrame, path: String, zCols: Seq[String], nFiles: Int): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"commitZOrdered: 2-4 z-order columns (one column wants commitClustered), got ${zCols.size}")
+    require(nFiles >= 1, s"commitZOrdered: nFiles must be >= 1, got $nFiles")
+    val numeric = df.schema.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name).toSet
+    require(zCols.forall(numeric.contains),
+      s"commitZOrdered: z-order columns must be numeric, got ${zCols.filterNot(numeric).mkString(", ")}")
+    val nb = 16 // quantile buckets per dimension: 4 bits x up to 4 dims = <=16-bit z
+    val bits = 4
+    val k = zCols.size
+    val zExpr = zCols.zipWithIndex.map { case (c, j) =>
+      val bounds = df.stat.approxQuantile(c, (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+      val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(nb - 1)) {
+        case (acc, (b, i)) => when(col(c).cast("double") <= b, lit(i)).otherwise(acc)
+      }
+      (0 until bits).map(bit =>
+        org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftright(bucket, bit).bitwiseAND(lit(1)),
+          bit * k + j))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val (fs, root) = Writers.fsFor(path)
+    val v = claimNext(fs, root, path)
+    df.withColumn("__graft_z", zExpr)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+    val entries = withFileStats(df.sparkSession, root,
+      localEntries(fs, root, v, partitioned = false), zCols)
+    publish(fs, root, v, entries, df.schema)
+  }
+
   /** True iff the [min,max] range recorded for `c` in `stats` can
     * intersect [lo,hi] — numbers compare numerically, everything else
     * lexically on the canonical encodings [[statExpr]] wrote. A missing
@@ -911,6 +964,20 @@ object Versioned {
       ins.select(
         col(key) +: lit("insert").as("change_type") +: lit(schemaChanged).as("schema_change") +:
           image(ins, allOthers): _*)
+    } else if (mFrom.forall(toSet.contains) && delta.nonEmpty &&
+        delta.forall(_.kind == KindDelete) &&
+        delta.forall(e => spark.read.parquet(new HPath(root, e.relPath).toString)
+          .columns.sameElements(Array(key)))) {
+      // merge-on-read DELETE window: the delta is exactly the delete-key
+      // files, keyed on the caller's key — the feed is the before-images
+      // of those keys, fetched with ONE semi-join against the old
+      // snapshot (delete sets are tiny → broadcast; no full-outer diff
+      // of two whole snapshots)
+      val keys = delta.map(e => spark.read.parquet(new HPath(root, e.relPath).toString))
+        .reduce(_.union(_)).distinct()
+      before.join(keys, Seq(key), "left_semi")
+        .select(col(key) +: lit("delete").as("change_type") +:
+          lit(schemaChanged).as("schema_change") +: image(before, allOthers): _*)
     } else {
       val commonOthers = (before.columns.toSet & after.columns.toSet - key).toSeq.sorted
       def side(df: DataFrame, name: String) =

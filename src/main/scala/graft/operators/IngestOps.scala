@@ -1101,9 +1101,59 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S25: Z-ORDER clustering — multi-dimensional file skipping
+    * ([[graft.ingest.Versioned.commitZOrdered]]): s24's single-column
+    * clustering makes ONE column's per-file ranges tight; interleaving
+    * the quantile-bucket ranks of (o_custkey, o_orderkey) makes BOTH
+    * tight at once, so a range read on EITHER dimension drops whole
+    * files at the manifest — `require`d for both dimensions via
+    * `inputFiles` (a single-column sort cannot pass the off-dimension
+    * half of that require). Bounds are derived from the data
+    * (max/5) on both the Spark and oracle sides, so the entry grades
+    * identically at every sf. At 100 TB this is the layout that serves
+    * mixed per-customer AND per-order access patterns from one copy of
+    * the data. */
+  val s25Zorder = QueryDef(
+    "s25_zorder_skipping",
+    (s, d) => {
+      val path = tmp("s25_zorder", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      V.commitZOrdered(src, path, Seq("o_custkey", "o_orderkey"), nFiles = 16)
+      val nFiles = V.manifest(path, 1L).size
+      val bounds = src.agg(max(col("o_custkey")), max(col("o_orderkey"))).collect().head
+      val (hiC, hiO) = (bounds.getLong(0) / 5, bounds.getLong(1) / 5)
+      val onC = V.readSkipping(s, path, "o_custkey", 1L, hiC)
+      val onO = V.readSkipping(s, path, "o_orderkey", 1L, hiO)
+      require(onC.inputFiles.length < nFiles && onO.inputFiles.length < nFiles,
+        s"s25: z-order must prune BOTH dimensions " +
+          s"(custkey ${onC.inputFiles.length}, orderkey ${onO.inputFiles.length} of $nFiles)")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .withColumn("dim", lit(tag))
+      agg(onC, "custkey").unionByName(agg(onO, "orderkey"))
+        .select("dim", "n_orders", "sum_total")
+        .orderBy("dim")
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_custkey) // 5 AS hc, max(o_orderkey) // 5 AS ho FROM orders
+      )
+      SELECT 'custkey' AS dim, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders, b WHERE o_custkey BETWEEN 1 AND hc
+      UNION ALL
+      SELECT 'orderkey', count(*),
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      FROM orders, b WHERE o_orderkey BETWEEN 1 AND ho
+      ORDER BY dim
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
-    s22MultipartMerge, s23AppendFeed, s24FileSkipping)
+    s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder)
 }

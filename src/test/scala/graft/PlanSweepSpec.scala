@@ -18,19 +18,19 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "l2f_dedup_clusters", "l3d_ivf_ann",
   )
 
-  /** Entries whose single final/global step legitimately runs in one
-    * task, with the reason; the sweep allows AT MOST ONE SinglePartition
-    * exchange there (the collapsed data is O(groups) or O(k), never the
-    * raw input). */
-  private val globalFinalAllowed: Map[String, String] = Map(
-    "a2_global_agg" -> "global aggregate: partial aggs collapse to one 1-row final",
-    "t4_late_data" -> "prefix pass over per-chunk maxima (1/8192 of input)",
-    "l4j_seq_packing" -> "prefix pass over per-chunk token sums (1/128 of doc count)",
-    "o2_topk" -> "TakeOrderedAndProject final: k rows to the driver",
-    "j2_promo_share" -> "global ratio aggregate (Q14 shape): partial aggs collapse to one 1-row final",
-    "r4_sample" -> "global aggregate over the sampled slice: 1-row final",
-    "r4b_systematic_sample" -> "global aggregate over the systematic slice: 1-row final",
-    "s11_dq_report" -> "all DQ rule counters collapse to one 1-row aggregate, then stack to long format",
+  /** Entries whose final/global steps legitimately run in one task,
+    * with (allowed SinglePartition exchange count, reason); the
+    * collapsed data is always O(groups) or O(k), never the raw input. */
+  private val globalFinalAllowed: Map[String, (Int, String)] = Map(
+    "a2_global_agg" -> (1, "global aggregate: partial aggs collapse to one 1-row final"),
+    "t4_late_data" -> (1, "prefix pass over per-chunk maxima (1/8192 of input)"),
+    "l4j_seq_packing" -> (1, "prefix pass over per-chunk token sums (1/128 of doc count)"),
+    "o2_topk" -> (1, "TakeOrderedAndProject final: k rows to the driver"),
+    "j2_promo_share" -> (1, "global ratio aggregate (Q14 shape): partial aggs collapse to one 1-row final"),
+    "r4_sample" -> (1, "global aggregate over the sampled slice: 1-row final"),
+    "r4b_systematic_sample" -> (1, "global aggregate over the systematic slice: 1-row final"),
+    "s11_dq_report" -> (1, "all DQ rule counters collapse to one 1-row aggregate, then stack to long format"),
+    "s25_zorder_skipping" -> (2, "two 1-row global aggregates (one per pruned z dimension), unioned"),
   )
 
   test("no registry entry plans a cartesian product or an unjustified single-task collapse") {
@@ -43,7 +43,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
       if (plan.contains("CartesianProduct"))
         problems += s"$name: CartesianProduct in plan"
       val nSingle = "Exchange SinglePartition".r.findAllIn(plan).size
-      val allowed = if (globalFinalAllowed.contains(name)) 1 else 0
+      val allowed = globalFinalAllowed.get(name).map(_._1).getOrElse(0)
       if (nSingle > allowed)
         problems += s"$name: $nSingle SinglePartition exchanges (allowed $allowed)"
     }

@@ -632,6 +632,23 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       .count() == 3) // scores 0.5 (k=1), 1.0 (k=2), 1.0 (k=1000)
   }
 
+  test("a merge-on-read delete window feeds via semi-join on the delete file, not a full diff") {
+    import spark.implicits._
+    val path = freshDir("versioned_cdf_mor")
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
+    Versioned.deleteMergeOnRead(spark, path, Seq(1L, 3L, 99L).toDF("k"), "k") // 99: no such key
+    val feed = Versioned.changes(spark, path, 1L, 2L, "k")
+    val rows = feed.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[String]("v")))
+      .sortBy(_._1)
+    // before-images of the deleted keys; the nonexistent key 99 feeds nothing
+    assert(rows.toSeq == Seq((1L, "delete", "a"), (3L, "delete", "c")), s"MoR feed wrong: ${rows.toSeq}")
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter"),
+      s"MoR delete window must not pay the full-outer snapshot diff:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected a semi-join feed plan:\n$plan")
+  }
+
   test("restore rolls back metadata-only: no data moves, history stays inspectable") {
     import spark.implicits._
     val path = freshDir("versioned_restore")
@@ -674,6 +691,31 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val t0 = Versioned.commitTimes(path).head._2
     assert(Versioned.versionAsOf(path, t0 - 1000).isEmpty)
     intercept[IllegalArgumentException](Versioned.readAsOf(spark, path, t0 - 1000))
+  }
+
+  test("z-order clustering lets readSkipping prune on EITHER dimension") {
+    import spark.implicits._
+    val path = freshDir("versioned_zorder")
+    // a 20x20 grid: a and b are independent — a single-column sort would
+    // make the OTHER column's per-file ranges span everything
+    val grid = (0 until 400).map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong))
+      .toDF("id", "a", "b")
+    Versioned.commitZOrdered(grid, path, Seq("a", "b"), nFiles = 16)
+    val m = Versioned.manifest(path, 1L)
+    assert(m.size > 4 && m.forall(_.stats.isDefined))
+    val onA = Versioned.readSkipping(spark, path, "a", 0L, 4L)
+    val onB = Versioned.readSkipping(spark, path, "b", 0L, 4L)
+    assert(onA.inputFiles.length < m.size, s"a-range skipped nothing (${onA.inputFiles.length}/${m.size})")
+    assert(onB.inputFiles.length < m.size, s"b-range skipped nothing (${onB.inputFiles.length}/${m.size})")
+    assert(onA.collect().map(_.getAs[Long]("a")).forall(_ <= 4L) && onA.count() == 100)
+    assert(onB.collect().map(_.getAs[Long]("b")).forall(_ <= 4L) && onB.count() == 100)
+    // guards: one column or a non-numeric column refuse up front
+    intercept[IllegalArgumentException](
+      Versioned.commitZOrdered(grid, freshDir("vz2"), Seq("a"), 4))
+    intercept[IllegalArgumentException](
+      Versioned.commitZOrdered(
+        grid.withColumn("s", org.apache.spark.sql.functions.lit("x")),
+        freshDir("vz3"), Seq("a", "s"), 4))
   }
 
   test("compactFiles keeps per-file stats through maintenance when asked") {
