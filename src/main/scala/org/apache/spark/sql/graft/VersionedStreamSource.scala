@@ -10,6 +10,8 @@ package org.apache.spark.sql.graft
 import graft.ingest.Versioned
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.streaming.{
+  Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -55,7 +57,8 @@ class VersionedStreamSource(
     override val schema: StructType,
     ignoreChanges: Boolean,
     startingVersion: Option[Long],
-) extends Source {
+    maxVersionsPerBatch: Option[Long],
+) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def getOffset: Option[OffsetV1] =
     Versioned.currentVersion(path).map(LongOffset(_))
@@ -63,6 +66,31 @@ class VersionedStreamSource(
   private def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
     case other         => other.json.trim.toLong // SerializedOffset after a restart
+  }
+
+  /** ADMISSION CONTROL: `maxVersionsPerBatch` bounds how many commits
+    * one micro-batch advances — a month of backlog catches up in
+    * bounded, checkpointable steps instead of one giant batch (the
+    * same knob as file-source maxFilesPerTrigger). AvailableNow pins
+    * the end version at prepare time, so the run drains exactly what
+    * existed when it started and then stops — commits landing mid-run
+    * wait for the next trigger. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Versioned.currentVersion(path)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(o => o.json.trim.toLong)
+      .orElse(startingVersion.map(_ - 1L)).getOrElse(0L)
+    val avail = availableNowCap.orElse(Versioned.currentVersion(path))
+    avail
+      .map(a => maxVersionsPerBatch.map(n => math.min(a, from + n)).getOrElse(a))
+      .filter(_ > from)
+      .map(LongOffset(_))
+      .orNull
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -102,7 +130,9 @@ class VersionedStreamSource(
   * META-INF/services for [[DataSourceRegister]]). Options: `path`
   * (required), `ignoreChanges` (default false), `startingVersion`
   * (first version a FRESH stream emits — skip the backlog; a
-  * checkpointed offset always wins on restart). */
+  * checkpointed offset always wins on restart), `maxVersionsPerBatch`
+  * (bound each micro-batch to N commits — backlog catch-up in
+  * checkpointable steps). */
 class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
@@ -137,8 +167,12 @@ class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegist
       .exists(_.toBoolean)
     val startingVersion = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong }
+    val maxVersions = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong }
+    require(maxVersions.forall(_ >= 1),
+      s"graft-versioned source: maxVersionsPerBatch must be >= 1, got $maxVersions")
     new VersionedStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession],
-      path, resolveSchema(schema, path), ignoreChanges, startingVersion)
+      path, resolveSchema(schema, path), ignoreChanges, startingVersion, maxVersions)
   }
 }

@@ -114,6 +114,28 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("maxVersionsPerBatch drains a backlog in bounded, checkpointable steps") {
+    import spark.implicits._
+    val base = freshDir("vss_maxver")
+    val tbl = s"$base/tbl"; val sink = s"$base/sink"
+    for (i <- 1 to 4)
+      Versioned.appendCommit(Seq((i.toLong, s"w$i")).toDF("k", "v"), tbl)
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", tbl).option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every row lands…
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // …across 4 bounded batches, not one giant catch-up batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 4,
+      s"expected 4 one-version batches, got $dataBatches: " +
+        q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}").mkString(", "))
+  }
+
   test("the sink-to-source loop closes: stream INTO the table, stream OUT of it, same rows") {
     import spark.implicits._
     val base = freshDir("vss_loop")
