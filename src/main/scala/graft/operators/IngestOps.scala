@@ -1151,9 +1151,58 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S26: RESTORE + timestamp time travel — the bad-deploy drill on the
+    * versioned table: v2 corrupts half the dim; `restore` rolls back by
+    * REPUBLISHING v1's manifest (require'd verbatim-equal — zero data
+    * bytes moved, the bad commit stays inspectable for forensics), and
+    * `readAsOf` at v2's commit instant still sees the corruption
+    * (require'd row-identical to `readAt(2)` — what an auditor replays).
+    * The oracle grades both worlds' content: the corrupted snapshot and
+    * the restored current one. */
+  val s26RestoreTravel = QueryDef(
+    "s26_restore_timetravel",
+    (s, d) => {
+      val path = tmp("s26_restore", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      V.commit(dim, path) // v1
+      V.upsert(s, path, // v2: the bad deploy — half the dim corrupted
+        dim.filter(col("c_custkey") % 2 === 0).withColumn("segment", lit("CORRUPTED")),
+        "c_custkey")
+      V.restore(s, path, 1L) // v3: metadata-only rollback
+      require(V.manifest(path, 3L) == V.manifest(path, 1L),
+        "s26: restore must republish v1's manifest verbatim, not rewrite data")
+      val t2 = V.commitTimes(path).find(_._1 == 2L).get._2
+      require(V.readAsOf(s, path, t2).filter(col("segment") === "CORRUPTED").count() ==
+        V.readAt(s, path, 2L).filter(col("segment") === "CORRUPTED").count(),
+        "s26: timestamp travel to v2's instant must replay the corrupted snapshot")
+      def snap(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy("segment").agg(count(lit(1)).as("n_cust"))
+        .withColumn("snapshot", lit(tag))
+      snap(V.readAt(s, path, 2L), "v2_bad")
+        .unionByName(snap(V.read(s, path), "v3_restored"))
+        .select("snapshot", "segment", "n_cust")
+        .orderBy("snapshot", "segment")
+    },
+    Some("""
+      WITH bad AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN 'CORRUPTED' ELSE c_mktsegment END AS segment
+        FROM customer
+      )
+      SELECT 'v2_bad' AS snapshot, segment, count(*) AS n_cust
+      FROM bad GROUP BY segment
+      UNION ALL
+      SELECT 'v3_restored', c_mktsegment, count(*)
+      FROM customer GROUP BY c_mktsegment
+      ORDER BY snapshot, segment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
-    s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder)
+    s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel)
 }
