@@ -64,9 +64,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *
   * Scale notes: a resolve costs one directory listing + one manifest
   * read (O(files in snapshot) metadata, zero data IO); commits rename
-  * nothing. On HDFS, create-if-absent and close-then-visible are atomic;
-  * on strongly-consistent object stores the claim becomes a conditional
-  * PUT — the one primitive a production port swaps in.
+  * nothing. Each commit WRITES a full manifest — O(snapshot file count)
+  * metadata per commit, ~60 bytes/file, so ~60 MB at a million files:
+  * fine for the compaction-maintained histories this format targets
+  * ([[compactFiles]] bounds file count), and the known growth path is
+  * Delta/Iceberg's split — per-commit delta logs folded into periodic
+  * checkpoint manifests — which changes the storage of manifests, not
+  * the reader/writer semantics above. On HDFS, create-if-absent and
+  * close-then-visible are atomic; on strongly-consistent object stores
+  * the claim becomes a conditional PUT — the one primitive a
+  * production port swaps in.
   */
 object Versioned {
 
