@@ -666,12 +666,22 @@ object Versioned {
       if (base == 0L) Map.empty
       else readMeta(fs, root, base).get(BatchIdxKey) match {
         case Some(s) => parseIdx(s) // O(1): the latest commit carries the whole index
-        case None => // legacy/mixed history: one walk, then the index is rebuilt
-          versions(path).flatMap { v =>
-            val m = readMeta(fs, root, v)
-            m.get(BatchIdxKey).map(parseIdx).getOrElse(Map.empty) ++
-              m.get(BatchKey).map(_ -> v).toMap
-          }.toMap
+        case None =>
+          // legacy/mixed history: one walk, then the index is rebuilt.
+          // The walk lists version dirs DIRECTLY rather than via
+          // versions(path): a file-GC'd (_gc-tombstoned) dir is hidden
+          // from versions() but its _meta survives per-file GC, and an
+          // id recorded only there must stay visible or a replayed
+          // batch would double-commit (r6 ADVICE).
+          fs.listStatus(root).toSeq
+            .flatMap(st => parseVersion(st.getPath.getName))
+            .filter(v => fs.exists(new HPath(versionDir(root, v), CommittedFile)))
+            .sorted
+            .flatMap { v =>
+              val m = readMeta(fs, root, v)
+              m.get(BatchIdxKey).map(parseIdx).getOrElse(Map.empty) ++
+                m.get(BatchKey).map(_ -> v).toMap
+            }.toMap
       }
     idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
@@ -834,7 +844,30 @@ object Versioned {
     * intersect [lo,hi] — numbers compare numerically, everything else
     * lexically on the canonical encodings [[statExpr]] wrote. A missing
     * stat (file predates stats, column untracked, all-NULL min) means
-    * "cannot skip". */
+    * "cannot skip".
+    *
+    * Comparison precision is part of the never-wrongly-skip contract
+    * (r6 ADVICE): numeric bounds compare as EXACT BigDecimal — a double
+    * round-trip loses bits above 2^53, and a Long key domain (snowflake
+    * ids, hashes) whose true min/max straddles the probe bound within
+    * that lost precision would be silently skipped. String bounds
+    * compare as unsigned UTF-8 BYTES, the same order Spark's min/max
+    * (UTF8String binary compare) wrote them in — Java String `<` is
+    * UTF-16 code-unit order, which diverges for supplementary
+    * characters vs U+E000..U+FFFF. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def statsOverlap(stats: Option[String], c: String, lo: Any, hi: Any): Boolean = {
     val node = stats.map(Json.readTree(_)).flatMap(n => Option(n.get(c)))
     node match {
@@ -845,13 +878,15 @@ object Versioned {
         else {
           def lt(a: com.fasterxml.jackson.databind.JsonNode, b: Any): Boolean =
             (a.isNumber, b) match {
-              case (true, n: Number) => a.asDouble < n.doubleValue
-              case _                 => a.asText < b.toString
+              case (true, _: Number) =>
+                a.decimalValue.compareTo(new java.math.BigDecimal(b.toString)) < 0
+              case _ => utf8Lt(a.asText, b.toString)
             }
           def gt(a: com.fasterxml.jackson.databind.JsonNode, b: Any): Boolean =
             (a.isNumber, b) match {
-              case (true, n: Number) => a.asDouble > n.doubleValue
-              case _                 => a.asText > b.toString
+              case (true, _: Number) =>
+                a.decimalValue.compareTo(new java.math.BigDecimal(b.toString)) > 0
+              case _ => utf8Lt(b.toString, a.asText)
             }
           !(lt(mx, lo) || gt(mn, hi)) // disjoint iff max < lo or min > hi
         }
@@ -1181,8 +1216,13 @@ object Versioned {
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.compactFiles: no committed version under $path"))
     val entries = readManifest(fs, root, base)
+    // an EMPTY snapshot (all-rows delete) is already as compact as it
+    // gets — without this, a scheduled maintenance loop would publish a
+    // fresh empty version on every run, unbounded version growth on a
+    // clean table (r6 ADVICE)
+    if (entries.isEmpty) return base
     val owners = entries.map(entryVersion).distinct
-    if (entries.nonEmpty && entries.forall(_.kind == KindData) && owners.size == 1 &&
+    if (entries.forall(_.kind == KindData) && owners.size == 1 &&
         numFiles.forall(entries.size <= _)) return base
     val snap = readAt(spark, path, base)
     val partCols = layoutPartCols(entries)
@@ -1278,11 +1318,18 @@ object Versioned {
           junk += p
       }
       if (junk.nonEmpty) {
-        junk.foreach(fs.delete(_, false))
+        // tombstone FIRST, then delete (r6 ADVICE): the _gc marker makes
+        // the version loudly unreadable (readAt/versions hide it) before
+        // any file disappears, so a crash mid-GC cannot leave a version
+        // that still advertises itself as committed while its files are
+        // gone (FileNotFoundException at scan time). File deletion after
+        // the tombstone is safely resumable — the next vacuum re-lists
+        // and re-deletes the same junk set.
         fs.create(new HPath(dir, GcFile), true).close()
         // the claim served its purpose; removing it keeps recoverClaims
         // from ever mistaking this tombstoned dir for a crashed writer
         fs.delete(new HPath(dir, ClaimFile), false)
+        junk.foreach(fs.delete(_, false))
       }
     }
     doomed.size

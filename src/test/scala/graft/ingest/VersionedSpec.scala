@@ -789,4 +789,75 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(path, "v00001")) && !Files.exists(Paths.get(path, "v00002")))
     assert(Versioned.read(spark, path).count() == 3)
   }
+
+  test("file skipping compares numeric bounds exactly — no double rounding above 2^53") {
+    import spark.implicits._
+    val path = freshDir("versioned_stats_exact")
+    // one file whose Long min=max is exactly 2^53: the next FOUR Longs
+    // all collapse back onto 2^53 (or 2^53+2) after a double round-trip,
+    // so a double comparison cannot tell [2^53+1, 2^53+3] apart from a
+    // range touching the file
+    val a = 9007199254740992L // 2^53
+    Versioned.commitClustered(Seq(Tuple1(a)).toDF("k"), path, "k",
+      nFiles = 1, statsCols = Seq("k"))
+    // probe strictly ABOVE the file's max: exact arithmetic skips it;
+    // d(2^53+1) == d(2^53) would keep it
+    val above = Versioned.readSkipping(spark, path, "k", a + 1L, a + 3L)
+    assert(above.inputFiles.isEmpty,
+      s"bounds compared with double precision: read ${above.inputFiles.length} files")
+    assert(above.count() == 0)
+    // and the exact hit still reads the file
+    val hit = Versioned.readSkipping(spark, path, "k", a, a)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(a))
+  }
+
+  test("string stats prune in UTF-8 byte order, matching Spark's min/max ordering") {
+    import spark.implicits._
+    val path = freshDir("versioned_stats_utf8")
+    // U+1F600 sorts ABOVE U+E000 in UTF-8 bytes (F0… > EE…) — Spark's
+    // min/max order — but BELOW it in Java's UTF-16 code-unit order
+    // (surrogate D83D < E000). A code-unit comparison would wrongly
+    // skip this file for any probe range above U+E000.
+    val emoji = "😀" // U+1F600
+    Versioned.commitClustered(Seq(Tuple1(emoji)).toDF("v"), path, "v",
+      nFiles = 1, statsCols = Seq("v"))
+    val hit = Versioned.readSkipping(spark, path, "v", "", "🤓")
+    assert(hit.count() == 1,
+      "file wrongly skipped: string bounds compared in UTF-16 order, not UTF-8")
+    // a range that truly ends below the file still skips it
+    val miss = Versioned.readSkipping(spark, path, "v", "", "")
+    assert(miss.inputFiles.isEmpty && miss.count() == 0)
+  }
+
+  test("compactFiles is a no-op on a legitimately empty snapshot") {
+    import spark.implicits._
+    val path = freshDir("versioned_compact_empty")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Versioned.delete(spark, path, Seq(1L, 2L).toDF("k"), "k") // v2: empty snapshot
+    assert(Versioned.read(spark, path).count() == 0)
+    // a scheduled maintenance loop must not mint a new version per run
+    assert(Versioned.compactFiles(spark, path) == 2L)
+    assert(Versioned.compactFiles(spark, path, numFiles = Some(4)) == 2L)
+    assert(Versioned.currentVersion(path).contains(2L),
+      "compacting an empty table published fresh empty versions")
+  }
+
+  test("replay detection survives when the only record lives in a file-GC'd dir's meta") {
+    import spark.implicits._
+    val path = freshDir("versioned_once_gc")
+    val v1 = Versioned.appendCommitOnce(Seq((1L, "a")).toDF("k", "v"), path, "batch-1")
+    Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path) // v2: plain — carries NO index
+    // simulate per-file GC tombstoning v1 (what vacuum does when some of
+    // a dir's files are superseded): the dir's own snapshot becomes
+    // unreadable, its claim is removed, but _meta survives
+    Files.createFile(Paths.get(path, "v00001", "_gc"))
+    Files.deleteIfExists(Paths.get(path, "v00001", "_claim"))
+    assert(Versioned.versions(path) == Seq(2L), "tombstoned v1 should be hidden")
+    // the latest commit lacks the index → fallback walk; it must still
+    // see batch-1 (recorded only in tombstoned v1's meta) or the replay
+    // double-commits
+    val replayed = Versioned.appendCommitOnce(Seq((1L, "a")).toDF("k", "v"), path, "batch-1")
+    assert(replayed == v1, s"replayed batch re-committed as v$replayed")
+    assert(Versioned.currentVersion(path).contains(2L))
+  }
 }
