@@ -63,25 +63,42 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    by newer manifests).
   *
   * Scale notes: a resolve costs one directory listing + one manifest
-  * read (O(files in snapshot) metadata, zero data IO); commits rename
-  * nothing. Each commit WRITES a full manifest — O(snapshot file count)
-  * metadata per commit, ~60 bytes/file, so ~60 MB at a million files:
-  * fine for the compaction-maintained histories this format targets
-  * ([[compactFiles]] bounds file count), and the known growth path is
-  * Delta/Iceberg's split — per-commit delta logs folded into periodic
-  * checkpoint manifests — which changes the storage of manifests, not
-  * the reader/writer semantics above. On HDFS, create-if-absent and
-  * close-then-visible are atomic; on strongly-consistent object stores
-  * the claim becomes a conditional PUT — the one primitive a
-  * production port swaps in.
+  * resolution (O(files in snapshot) metadata, zero data IO); commits
+  * rename nothing. Manifest STORAGE is Delta/Iceberg's checkpoint +
+  * delta-log split (r6 verdict #1): a derived hot-path commit
+  * (append / once-append / merge-on-read delete / partitioned MERGE)
+  * writes a `_delta` file — a base-version pointer plus only its own
+  * `add`/`remove` lines, O(delta) metadata per commit instead of
+  * rewriting an O(snapshot-file-count) manifest (~60 MB per commit at
+  * a million files). Replace/rewrite commits are natural full-manifest
+  * checkpoints, and a delta chain is folded into a fresh checkpoint
+  * every [[CheckpointEvery]] commits, so resolution walks a bounded
+  * chain. Readers resolve checkpoint+deltas to the SAME entry sequence
+  * a full manifest would have held (base order preserved, removes
+  * filtered, adds appended) — storage changed, reader/writer semantics
+  * identical. [[vacuum]] repairs metadata chains before deleting a
+  * version dir a surviving delta still resolves through
+  * (materializing that survivor into a checkpoint via atomic
+  * tmp+rename — it is already committed, so a torn write may not
+  * corrupt it). On HDFS, create-if-absent and close-then-visible are
+  * atomic; on strongly-consistent object stores the claim becomes a
+  * conditional PUT — the one primitive a production port swaps in.
   */
 object Versioned {
 
   private val ClaimFile = "_claim"
   private val CommittedFile = "_committed"
   private val ManifestFile = "_manifest"
+  private val DeltaFile = "_delta"
   private val MetaFile = "_meta"
   private val GcFile = "_gc"
+
+  /** Fold a delta chain into a full checkpoint manifest once it grows
+    * this long — bounds both resolution cost (chain walk ≤ this many
+    * small files) and repair cost in [[vacuum]]. 20 matches Delta's
+    * per-10-commit order of magnitude while keeping the amortized
+    * metadata write O(delta). */
+  private val CheckpointEvery = 20
 
   /** Manifest entry kinds: `data` is a snapshot data file; `delete` is a
     * merge-on-read delete file (a single-column parquet of keys that
@@ -155,33 +172,107 @@ object Versioned {
     readManifest(fs, root, version)
   }
 
-  private def readManifest(fs: FileSystem, root: HPath, v: Long): Seq[ManifestEntry] = {
-    val in = fs.open(new HPath(versionDir(root, v), ManifestFile))
-    val raw =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    raw.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val i = line.indexOf('\t')
-      val j = line.indexOf('\t', i + 1)
-      if (j < 0) // legacy 2-field line (pre-kind format): partDir \t relPath
-        ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
-      else {
-        val k = line.indexOf('\t', j + 1) // optional 4th field: stats JSON
-        ManifestEntry(
-          kind = line.substring(0, i),
-          partDir = line.substring(i + 1, j),
-          relPath = if (k < 0) line.substring(j + 1) else line.substring(j + 1, k),
-          stats = if (k < 0) None else Some(line.substring(k + 1)))
-      }
+  private def readTextFile(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def parseEntryLine(line: String): ManifestEntry = {
+    val i = line.indexOf('\t')
+    val j = line.indexOf('\t', i + 1)
+    if (j < 0) // legacy 2-field line (pre-kind format): partDir \t relPath
+      ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
+    else {
+      val k = line.indexOf('\t', j + 1) // optional 4th field: stats JSON
+      ManifestEntry(
+        kind = line.substring(0, i),
+        partDir = line.substring(i + 1, j),
+        relPath = if (k < 0) line.substring(j + 1) else line.substring(j + 1, k),
+        stats = if (k < 0) None else Some(line.substring(k + 1)))
     }
+  }
+
+  private def renderEntryLine(e: ManifestEntry): String =
+    s"${e.kind}\t${e.partDir}\t${e.relPath}" + e.stats.map("\t" + _).getOrElse("")
+
+  /** A parsed `_delta` file: the committed version it derives from,
+    * entries it adds, and relPaths it removes from the base manifest. */
+  private final case class Delta(base: Long, adds: Seq[ManifestEntry], removes: Seq[String])
+
+  private def readDelta(fs: FileSystem, root: HPath, v: Long): Delta = {
+    val lines = readTextFile(fs, new HPath(versionDir(root, v), DeltaFile))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("base\t")),
+      s"Versioned: malformed delta for v$v — missing base pointer")
+    val base = lines.head.substring(5).toLong
+    val adds = lines.tail.collect { case l if l.startsWith("add\t") => parseEntryLine(l.substring(4)) }
+    val removes = lines.tail.collect { case l if l.startsWith("remove\t") => l.substring(7) }
+    Delta(base, adds, removes)
+  }
+
+  /** Resolve the manifest of `v`: a full `_manifest` checkpoint is
+    * authoritative (also the crash-safe tie-break when a repair left a
+    * stale `_delta` beside it); otherwise fold the `_delta` chain onto
+    * its base — surviving base entries in base order, then the adds, the
+    * SAME sequence a full manifest write would have produced, so every
+    * downstream consumer (readers, CDF diffs, the streaming source's
+    * per-version file sets) sees storage-independent metadata. Chain
+    * depth is bounded by [[CheckpointEvery]]. */
+  private def readManifest(fs: FileSystem, root: HPath, v: Long): Seq[ManifestEntry] = {
+    val dir = versionDir(root, v)
+    if (fs.exists(new HPath(dir, ManifestFile))) {
+      readTextFile(fs, new HPath(dir, ManifestFile))
+        .split("\n").toSeq.filter(_.nonEmpty).map(parseEntryLine)
+    } else if (fs.exists(new HPath(dir, DeltaFile))) {
+      val d = readDelta(fs, root, v)
+      val rm = d.removes.toSet
+      readManifest(fs, root, d.base).filterNot(e => rm.contains(e.relPath)) ++ d.adds
+    } else
+      throw new IllegalStateException(
+        s"Versioned: v$v of $root has neither a manifest checkpoint nor a delta — " +
+          "metadata chain broken (manual deletion under the table root?)")
   }
 
   private def writeManifest(fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry]): Unit = {
     val out = fs.create(new HPath(versionDir(root, v), ManifestFile), false)
-    try out.write(entries
-      .map(e => s"${e.kind}\t${e.partDir}\t${e.relPath}" + e.stats.map("\t" + _).getOrElse(""))
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(entries.map(renderEntryLine).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  private def writeDelta(
+      fs: FileSystem, root: HPath, v: Long, base: Long,
+      adds: Seq[ManifestEntry], removes: Seq[String]): Unit = {
+    val lines = s"base\t$base" +:
+      (removes.map(r => s"remove\t$r") ++ adds.map(e => "add\t" + renderEntryLine(e)))
+    val out = fs.create(new HPath(versionDir(root, v), DeltaFile), false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Number of delta hops from `v` back to the nearest checkpoint (0 if
+    * `v` itself holds a full manifest). */
+  private def chainLen(fs: FileSystem, root: HPath, v: Long): Int = {
+    var cur = v
+    var n = 0
+    while (!fs.exists(new HPath(versionDir(root, cur), ManifestFile))) {
+      cur = readDelta(fs, root, cur).base
+      n += 1
+    }
+    n
+  }
+
+  /** The committed versions whose metadata `v`'s resolution walks
+    * through (excluding `v` itself) — what [[vacuum]]'s chain repair
+    * must keep intact. */
+  private def chainVersions(fs: FileSystem, root: HPath, v: Long): Seq[Long] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = v
+    while (!fs.exists(new HPath(versionDir(root, cur), ManifestFile))) {
+      cur = readDelta(fs, root, cur).base
+      acc += cur
+    }
+    acc.toSeq
   }
 
   /** List the parquet files a fresh write left under `v`'s `subdir` as
@@ -318,6 +409,29 @@ object Versioned {
     writeMeta(fs, root, v, meta + (SchemaKey -> schema.json))
     fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
     v
+  }
+
+  /** O(delta) publish for DERIVED hot-path commits: writes a `_delta`
+    * (base pointer + add/remove lines) instead of a full manifest —
+    * per-commit metadata proportional to the COMMIT, not the snapshot.
+    * Every [[CheckpointEvery]] commits the chain is folded into a full
+    * checkpoint instead (one amortized O(snapshot) metadata write, the
+    * Delta/Iceberg trade), which also bounds resolution depth. The
+    * caller must already hold the claim on `v` = `base` + 1. */
+  private def publishDelta(
+      fs: FileSystem, root: HPath, v: Long, base: Long,
+      adds: Seq[ManifestEntry], removes: Seq[String],
+      schema: StructType, meta: Map[String, String] = Map.empty): Long = {
+    if (base == 0L || chainLen(fs, root, base) + 1 >= CheckpointEvery) {
+      val prev = if (base == 0L) Nil else readManifest(fs, root, base)
+      val rm = removes.toSet
+      publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds, schema, meta)
+    } else {
+      writeDelta(fs, root, v, base, adds, removes)
+      writeMeta(fs, root, v, meta + (SchemaKey -> schema.json))
+      fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+      v
+    }
   }
 
   /** The Hive partition columns of a manifest's data entries, in layout
@@ -615,10 +729,13 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
-    val prev = if (base == 0L) Nil else readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), df.schema, meta)
+    // O(delta) commit: only the fresh files are recorded; the base
+    // manifest is never even read unless this commit folds a checkpoint
+    publishDelta(fs, root, v, base,
+      adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
+      schema = df.schema, meta = meta)
   }
 
   private val BatchKey = "graft.batchId"
@@ -686,11 +803,12 @@ object Versioned {
     idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
       case None =>
-        val prev = if (base == 0L) Nil else readManifest(fs, root, base)
         val v = claimExact(fs, root, base) // derived from base: lost-update guard
         df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-        publish(fs, root, v, prev ++ localEntries(fs, root, v, partitioned = false), df.schema,
-          Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx + (batchId -> v))))
+        publishDelta(fs, root, v, base,
+          adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
+          schema = df.schema,
+          meta = Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx + (batchId -> v))))
     }
   }
 
@@ -1124,7 +1242,11 @@ object Versioned {
       s"Versioned.upsertPartitioned: partition-value rendering diverged from Spark's " +
         s"path encoding — wrote ${freshDirs.diff(touchedDirs).mkString(", ")}, " +
         s"predicted ${touchedDirs.mkString(", ")}. Not committing.")
-    publish(fs, root, v, untouched ++ fresh, merged.schema)
+    // O(touched) metadata: untouched entries stay implicit in the base
+    // manifest; resolution = base minus the touched relPaths plus fresh,
+    // the same `untouched ++ fresh` sequence a full manifest held
+    publishDelta(fs, root, v, cur,
+      adds = fresh, removes = touched.map(_.relPath), schema = merged.schema)
   }
 
   /** MERGE-ON-READ delete — the O(delete-set) alternative to the
@@ -1149,14 +1271,13 @@ object Versioned {
     require(snapshot.columns.contains(key),
       s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot " +
         s"(${snapshot.columns.mkString(", ")}) — committing it would make every read fail")
-    val prev = readManifest(fs, root, base)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     keys.select(key).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new HPath(versionDir(root, v), "deletes").toString)
-    publish(fs, root, v,
-      prev ++ localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete),
-      snapshot.schema)
+    publishDelta(fs, root, v, base,
+      adds = localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete),
+      removes = Nil, schema = snapshot.schema)
   }
 
   /** RESTORE: roll the table back to retained `version` by publishing
@@ -1302,6 +1423,32 @@ object Versioned {
       anchors.map(v => versionDir(root, v).getName)
     val doomed = (committed ++ gcd).distinct
       .filter(v => !referencedDirs.contains(versionDir(root, v).getName))
+    // METADATA-CHAIN REPAIR: a surviving delta commit resolves through
+    // its base-pointer chain, and a doomed dir may be a link in it (its
+    // FILES are unreferenced but its `_delta`/`_manifest` is not).
+    // Before anything is deleted, materialize each such survivor into a
+    // full checkpoint — ascending, so an early materialization truncates
+    // every later survivor's chain at it. The survivor is ALREADY
+    // committed, so the checkpoint lands via tmp + atomic rename: a torn
+    // write must not corrupt a version readers can see (resolution
+    // prefers `_manifest`, so a crash that leaves the stale `_delta`
+    // beside it is benign).
+    if (doomed.nonEmpty) {
+      val doomedSet = doomed.toSet
+      val survivors = (committed ++ gcd).distinct.filterNot(doomedSet.contains).sorted
+      for (v <- survivors
+           if !fs.exists(new HPath(versionDir(root, v), ManifestFile))
+           if chainVersions(fs, root, v).exists(doomedSet.contains)) {
+        val resolved = readManifest(fs, root, v)
+        val tmp = new HPath(versionDir(root, v), "_manifest.tmp")
+        fs.delete(tmp, false) // stale tmp from a crashed repair
+        val out = fs.create(tmp, false)
+        try out.write(resolved.map(renderEntryLine).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new HPath(versionDir(root, v), ManifestFile))
+        fs.delete(new HPath(versionDir(root, v), DeltaFile), false)
+      }
+    }
     doomed.foreach(v => fs.delete(versionDir(root, v), true))
     // per-file GC: inside surviving NON-ANCHOR dirs (kept only because
     // some retained manifest references SOME of their files), delete the

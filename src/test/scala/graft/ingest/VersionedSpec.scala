@@ -860,4 +860,89 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(replayed == v1, s"replayed batch re-committed as v$replayed")
     assert(Versioned.currentVersion(path).contains(2L))
   }
+
+  test("append commits write O(delta) metadata; chains fold into periodic checkpoints") {
+    import spark.implicits._
+    val path = freshDir("versioned_ckpt")
+    val n = 25
+    for (i <- 1 to n)
+      Versioned.appendCommit(Seq((i.toLong, s"row$i")).toDF("k", "v").coalesce(1), path)
+    // storage shape: v1 is a checkpoint (no base), v21 folds the 20-deep
+    // chain into the next checkpoint, everything else is a delta
+    def manifestF(v: Int) = Paths.get(path, f"v$v%05d", "_manifest")
+    def deltaF(v: Int) = Paths.get(path, f"v$v%05d", "_delta")
+    val checkpoints = (1 to n).filter(v => Files.exists(manifestF(v)))
+    assert(checkpoints == Seq(1, 21),
+      s"expected checkpoints at v1 and v21 with CheckpointEvery=20, got $checkpoints")
+    for (v <- (1 to n).filterNot(checkpoints.contains)) {
+      assert(Files.exists(deltaF(v)) && !Files.exists(manifestF(v)))
+      // the bound the whole feature exists for: per-commit metadata is
+      // proportional to the COMMIT (here: base pointer + one added file),
+      // not to the snapshot
+      val lines = new String(Files.readAllBytes(deltaF(v)), "UTF-8").split("\n")
+      assert(lines.length == 2,
+        s"v$v delta should carry exactly base+1 lines, got ${lines.length}")
+      assert(Files.size(deltaF(v)) < Files.size(manifestF(21)),
+        s"v$v delta is not smaller than a full checkpoint")
+    }
+    // resolution is storage-independent: every version reads the full
+    // prefix, whether it resolves from a checkpoint or a delta chain
+    assert(Versioned.manifest(path, n.toLong).size == n)
+    for (v <- Seq(1, 10, 20, 21, 25))
+      assert(Versioned.readAt(spark, path, v.toLong).count() == v,
+        s"v$v resolution lost rows")
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to n.toLong))
+    // a checkpoint resolves to the SAME sequence the delta chain held:
+    // v21's full manifest must extend v20's resolved entries
+    assert(Versioned.manifest(path, 21L).take(20) == Versioned.manifest(path, 20L))
+  }
+
+  test("vacuum materializes a surviving delta into a checkpoint before deleting its chain link") {
+    import spark.implicits._
+    val path = freshDir("versioned_ckpt_vacuum")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b0", "P2")).toDF("k", "v", "pt"), path, "pt") // v1 checkpoint
+    for (i <- 1 to 3) // v2..v4: delta commits, each superseding P2 again
+      Versioned.upsertPartitioned(spark, path, Seq((2L, s"b$i", "P2")).toDF("k", "v", "pt"), "k", "pt")
+    assert(!Files.exists(Paths.get(path, "v00003", "_manifest")),
+      "upsertPartitioned should commit deltas")
+    // v2's files are superseded garbage (only v3/v4 retained) → its dir is
+    // doomed — but v3's delta chain resolves THROUGH v2's metadata
+    Versioned.vacuum(path, keepLast = 2)
+    assert(!Files.exists(Paths.get(path, "v00002")), "v2 should be whole-dir reclaimed")
+    // repair: v3 became a checkpoint (so the chain never touches v2);
+    // v4's one-hop chain to v3 stays a delta
+    assert(Files.exists(Paths.get(path, "v00003", "_manifest")) &&
+      !Files.exists(Paths.get(path, "v00003", "_delta")),
+      "v3 was not materialized into a checkpoint")
+    assert(Files.exists(Paths.get(path, "v00004", "_delta")))
+    // every retained read still resolves, bit-identical content
+    assert(Versioned.readAt(spark, path, 3L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a", 2L -> "b2"))
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a", 2L -> "b3"))
+  }
+
+  test("delta storage serves MoR deletes, CDF windows and compaction unchanged") {
+    import spark.implicits._
+    val path = freshDir("versioned_ckpt_mixed")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)            // v1 checkpoint
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path)                 // v2 delta
+    Versioned.deleteMergeOnRead(spark, path, Seq(1L).toDF("k"), "k")            // v3 delta (MoR)
+    assert(Files.exists(Paths.get(path, "v00003", "_delta")))
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // CDF append fast path across a delta commit
+    val ins = Versioned.changes(spark, path, 1L, 2L, "k").collect()
+    assert(ins.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSeq ==
+      Seq((3L, "insert")))
+    // CDF MoR window across a delta commit
+    val dels = Versioned.changes(spark, path, 2L, 3L, "k").collect()
+    assert(dels.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSeq ==
+      Seq((1L, "delete")))
+    // compaction folds the debt into a checkpoint rewrite
+    val vc = Versioned.compactDeletes(spark, path)
+    assert(Files.exists(Paths.get(path, f"v$vc%05d", "_manifest")))
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
 }
