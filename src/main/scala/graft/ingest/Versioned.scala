@@ -1259,7 +1259,9 @@ object Versioned {
     * later append reusing a deleted key survives; [[compactDeletes]]
     * folds the debt back into pure data files when read cost outweighs
     * write savings — the same rewrite-vs-read knob Iceberg v2 exposes. */
-  def deleteMergeOnRead(spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
+  def deleteMergeOnRead(
+      spark: SparkSession, path: String, keys: DataFrame, key: String,
+      meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.deleteMergeOnRead: no committed version under $path"))
@@ -1277,7 +1279,7 @@ object Versioned {
       .parquet(new HPath(versionDir(root, v), "deletes").toString)
     publishDelta(fs, root, v, base,
       adds = localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete),
-      removes = Nil, schema = snapshot.schema)
+      removes = Nil, schema = snapshot.schema, meta = meta)
   }
 
   /** RESTORE: roll the table back to retained `version` by publishing

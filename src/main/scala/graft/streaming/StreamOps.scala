@@ -537,13 +537,29 @@ object StreamOps extends QueryModule {
     * batch mutations (a keyed UPDATE and a DELETE), so the consumer
     * exercises all three feed paths: the append windows arrive via the
     * manifest fast path (only new files read), the rewrite windows via
-    * the keyed diff. The consumer is exactly-once by the same idiom the
-    * producer uses: each apply-commit carries the source version it
-    * materialized in its atomic `_meta`, so a replayed loop (crash
-    * between apply and checkpoint) skips already-applied feeds —
-    * `require`d by running the loop twice. Final `require`: the view's
-    * content EQUALS the source's current snapshot (both-ways exceptAll),
-    * which is the whole point of a change feed. Oracle: the final state
+    * the keyed diff.
+    *
+    * THE APPLY IS O(feed), NOT O(view) (r6 verdict #2): inserts and
+    * update after-images land via `appendCommit`, and deletes plus the
+    * OLD images of updates via `deleteMergeOnRead` — both write-only
+    * derived commits that never read a view data file (version
+    * sequencing makes the delete-then-append pair correct: the delete
+    * at version d anti-joins only data from versions < d, so the
+    * re-appended after-image survives). A full-state rewrite per feed
+    * would be O(view x versions) at 100 TB of materialized view; here
+    * the view's data files are untouched, `require`d in-entry: no
+    * frame the apply commits reads a single dst file (`inputFiles`
+    * swept per feed). Read debt folds back via the documented
+    * compaction knob. The consumer is exactly-once by the same idiom
+    * the producer uses: the feed's FINAL apply-commit carries the
+    * source version it materialized in its atomic `_meta`, so a
+    * replayed loop (crash between apply and checkpoint) skips
+    * already-applied feeds — `require`d by running the loop twice (a
+    * crash BETWEEN the pair's commits replays the whole feed, which
+    * re-deletes the same keys — redundant but idempotent — and then
+    * lands the after-images once). Final `require`: the view's content
+    * EQUALS the source's current snapshot (both-ways exceptAll), which
+    * is the whole point of a change feed. Oracle: the final state
     * reconstructed from `events`. */
   val streamCdfConsumer = QueryDef(
     "stream_t11_cdf_consumer",
@@ -580,19 +596,28 @@ object StreamOps extends QueryModule {
         .map(_.toLong).getOrElse(0L)
       def consume(): Unit =
         for (v <- V.versions(src) if v > lastApplied) {
-          val state =
-            if (v == 1L) V.readAt(s, src, 1L) // bootstrap: v1 IS the initial state
-            else {
-              val feed = V.changes(s, src, v - 1, v, "event_id")
-              val ups = feed.filter(col("change_type") =!= "delete")
-                .drop("change_type", "schema_change")
-              val dels = feed.filter(col("change_type") === "delete").select("event_id")
-              V.read(s, dst)
-                .join(dels, Seq("event_id"), "left_anti")
-                .join(ups.select("event_id"), Seq("event_id"), "left_anti")
-                .unionByName(ups)
-            }
-          V.commit(state, dst, Map("graft.cdf.applied" -> v.toString)): Unit
+          val applied = Map("graft.cdf.applied" -> v.toString)
+          if (v == 1L) // bootstrap: v1 IS the initial state — the one O(state) step
+            V.commit(V.readAt(s, src, 1L), dst, applied): Unit
+          else {
+            val feed = V.changes(s, src, v - 1, v, "event_id").persist()
+            val ups = feed.filter(col("change_type") =!= "delete")
+              .drop("change_type", "schema_change")
+            // old images of UPDATES must go too — the after-image is
+            // re-appended at a LATER version, so MoR sequencing keeps it
+            val gone = feed.filter(col("change_type") =!= "insert").select("event_id")
+            // the whole point: the apply never opens a view data file
+            for (f <- ups.inputFiles ++ gone.inputFiles)
+              require(!f.contains(dst),
+                s"stream_t11: applying v$v's feed read view file $f — apply must be O(feed)")
+            if (!gone.isEmpty)
+              V.deleteMergeOnRead(s, dst, gone, "event_id",
+                // the watermark rides the FINAL commit of the pair only
+                meta = if (ups.isEmpty) applied else Map.empty): Unit
+            if (gone.isEmpty || !ups.isEmpty)
+              V.appendCommit(ups, dst, applied): Unit
+            feed.unpersist(): Unit
+          }
         }
       consume()
       val applied = V.versions(dst).size
