@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    same base, and advancing would silently drop their rows (the
   *    lost-update anomaly) — losers fail with
   *    ConcurrentModificationException and retry from the new snapshot,
-  *    Delta's optimistic log-entry semantics.
+  *    Delta's optimistic log-entry semantics. [[upsertPartitioned]]
+  *    narrows the guard with LOGICAL conflict detection
+  *    ([[claimDisjoint]]): a loser whose rival provably changed only
+  *    OTHER partitions rebases onto the rival's snapshot and lands
+  *    without surfacing a retry — partition-disjoint writers commit
+  *    concurrently, overlapping ones still fail loudly.
   *  - `_committed` is created LAST, after the data and the manifest are
   *    fully written: its atomic appearance IS the commit. A reader either
   *    sees the whole snapshot or none of it — no intermediate state, so
@@ -197,8 +202,12 @@ object Versioned {
     s"${e.kind}\t${e.partDir}\t${e.relPath}" + e.stats.map("\t" + _).getOrElse("")
 
   /** A parsed `_delta` file: the committed version it derives from,
-    * entries it adds, and relPaths it removes from the base manifest. */
-  private final case class Delta(base: Long, adds: Seq[ManifestEntry], removes: Seq[String])
+    * entries it adds, and (partDir, relPath) pairs it removes from the
+    * base manifest — removes carry their partition dir so a concurrent
+    * writer can compute a rival delta's touched-partition set without
+    * resolving the rival's base manifest. */
+  private final case class Delta(
+      base: Long, adds: Seq[ManifestEntry], removes: Seq[(String, String)])
 
   private def readDelta(fs: FileSystem, root: HPath, v: Long): Delta = {
     val lines = readTextFile(fs, new HPath(versionDir(root, v), DeltaFile))
@@ -207,7 +216,11 @@ object Versioned {
       s"Versioned: malformed delta for v$v — missing base pointer")
     val base = lines.head.substring(5).toLong
     val adds = lines.tail.collect { case l if l.startsWith("add\t") => parseEntryLine(l.substring(4)) }
-    val removes = lines.tail.collect { case l if l.startsWith("remove\t") => l.substring(7) }
+    val removes = lines.tail.collect { case l if l.startsWith("remove\t") =>
+      val body = l.substring(7)
+      val i = body.indexOf('\t')
+      (body.substring(0, i), body.substring(i + 1))
+    }
     Delta(base, adds, removes)
   }
 
@@ -226,7 +239,7 @@ object Versioned {
         .split("\n").toSeq.filter(_.nonEmpty).map(parseEntryLine)
     } else if (fs.exists(new HPath(dir, DeltaFile))) {
       val d = readDelta(fs, root, v)
-      val rm = d.removes.toSet
+      val rm = d.removes.map(_._2).toSet
       readManifest(fs, root, d.base).filterNot(e => rm.contains(e.relPath)) ++ d.adds
     } else
       throw new IllegalStateException(
@@ -242,9 +255,10 @@ object Versioned {
 
   private def writeDelta(
       fs: FileSystem, root: HPath, v: Long, base: Long,
-      adds: Seq[ManifestEntry], removes: Seq[String]): Unit = {
+      adds: Seq[ManifestEntry], removes: Seq[(String, String)]): Unit = {
     val lines = s"base\t$base" +:
-      (removes.map(r => s"remove\t$r") ++ adds.map(e => "add\t" + renderEntryLine(e)))
+      (removes.map { case (pd, rp) => s"remove\t$pd\t$rp" } ++
+        adds.map(e => "add\t" + renderEntryLine(e)))
     val out = fs.create(new HPath(versionDir(root, v), DeltaFile), false)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -371,6 +385,79 @@ object Versioned {
     v
   }
 
+  /** The partition dirs a committed version CHANGED, when that is
+    * knowable without resolving manifests: a delta commit's adds ∪
+    * removes carry their partDirs explicitly. None means "cannot
+    * reason" — a full-manifest checkpoint (replace/rewrite/fold), a
+    * merge-on-read delete file (keyed, applies across partitions), or
+    * an unpartitioned add — and the caller must treat it as conflicting
+    * with everything. */
+  private def changedPartDirs(fs: FileSystem, root: HPath, w: Long): Option[Set[String]] = {
+    val dir = versionDir(root, w)
+    if (fs.exists(new HPath(dir, ManifestFile)) || !fs.exists(new HPath(dir, DeltaFile))) None
+    else {
+      val d = readDelta(fs, root, w)
+      if (d.adds.exists(_.kind != KindData)) None
+      else {
+        val dirs = d.adds.map(_.partDir).toSet ++ d.removes.map(_._1)
+        if (dirs.exists(_.isEmpty)) None else Some(dirs)
+      }
+    }
+  }
+
+  /** Claim for a PARTITION-SCOPED derived commit, with conflict
+    * detection instead of blanket serialization (Delta's logical
+    * conflict check on top of the physical claim): when base+1 is
+    * already taken, wait (bounded) for the in-flight rival to publish,
+    * then inspect every version that landed after `base` — if each is a
+    * partition-scoped delta whose changed partitions are DISJOINT from
+    * `touchedDirs`, this writer's read set (the touched partitions'
+    * files) and remove set are untouched in the new current manifest,
+    * so the commit REBASES: derive from the new current and claim
+    * again, no data recomputed, no retry surfaced to the caller. Any
+    * overlap, any rival whose change set is unknowable (rewrites,
+    * checkpoints, MoR deletes), or a rival that never publishes inside
+    * the wait window throws ConcurrentModificationException exactly as
+    * before — the lost-update guard is narrowed, not weakened. Returns
+    * (claimed version, the base actually derived from). */
+  private def claimDisjoint(
+      fs: FileSystem, root: HPath, path: String, base: Long,
+      touchedDirs: Set[String], inflightWaitMs: Long = 10000L): (Long, Long) = {
+    var b = base
+    var rebases = 0
+    while (rebases <= 64) { // a bound far above any plausible contention, not a policy knob
+      try return (claimExact(fs, root, b), b)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // the rival holds the b+1 claim; give it the wait window to
+          // publish (its data write is in flight) — a crashed rival
+          // times out and surfaces the conflict for recoverClaims
+          val deadline = System.currentTimeMillis() + inflightWaitMs
+          var landed = versions(path).filter(_ > b)
+          while (landed.isEmpty && System.currentTimeMillis() < deadline) {
+            Thread.sleep(50L)
+            landed = versions(path).filter(_ > b)
+          }
+          if (landed.isEmpty) throw e
+          for (w <- landed) {
+            val dirs = changedPartDirs(fs, root, w).getOrElse(
+              throw new java.util.ConcurrentModificationException(
+                s"Versioned: concurrent commit v$w of $path is not partition-scoped — " +
+                  "cannot prove disjointness. Re-read and retry."))
+            val overlap = dirs.intersect(touchedDirs)
+            if (overlap.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"Versioned: concurrent commit v$w of $path touched overlapping " +
+                  s"partition(s) ${overlap.mkString(", ")}. Re-read and retry.")
+          }
+          b = landed.max
+          rebases += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"Versioned: gave up rebasing after 64 disjoint rivals on $path — livelock guard")
+  }
+
   /** Operator-driven recovery of CRASHED derived commits: delete
     * claimed-but-uncommitted version dirs whose claim is older than
     * `olderThanMs`. Age-gated on purpose — an uncommitted claim younger
@@ -420,11 +507,11 @@ object Versioned {
     * caller must already hold the claim on `v` = `base` + 1. */
   private def publishDelta(
       fs: FileSystem, root: HPath, v: Long, base: Long,
-      adds: Seq[ManifestEntry], removes: Seq[String],
+      adds: Seq[ManifestEntry], removes: Seq[(String, String)],
       schema: StructType, meta: Map[String, String] = Map.empty): Long = {
     if (base == 0L || chainLen(fs, root, base) + 1 >= CheckpointEvery) {
       val prev = if (base == 0L) Nil else readManifest(fs, root, base)
-      val rm = removes.toSet
+      val rm = removes.map(_._2).toSet
       publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds, schema, meta)
     } else {
       writeDelta(fs, root, v, base, adds, removes)
@@ -1222,14 +1309,19 @@ object Versioned {
           .escapePathName(r.get(i).toString)
       }.mkString("/")
     }.toSet
-    val (touched, untouched) = entries.partition(e => touchedDirs.contains(e.partDir))
+    val touched = entries.filter(e => touchedDirs.contains(e.partDir))
     val merged =
       if (touched.isEmpty) updates // all-new partitions: nothing to merge against
       else
         readEntries(spark, fs, root, touched)
           .join(updates, Seq(key), "left_anti")
           .unionByName(updates)
-    val v = claimExact(fs, root, cur) // derived from cur: lost-update guard
+    // lost-update guard with DISJOINTNESS: a rival that only changed
+    // OTHER partitions did not invalidate this merge's read set (the
+    // touched partitions' files), so the commit rebases onto the
+    // rival's snapshot instead of failing — partition-disjoint writers
+    // land concurrently, overlapping ones still conflict loudly
+    val (v, derivedBase) = claimDisjoint(fs, root, path, cur, touchedDirs)
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(dataDir(root, v).toString)
     val fresh = localEntries(fs, root, v, partitioned = true)
@@ -1244,9 +1336,11 @@ object Versioned {
         s"predicted ${touchedDirs.mkString(", ")}. Not committing.")
     // O(touched) metadata: untouched entries stay implicit in the base
     // manifest; resolution = base minus the touched relPaths plus fresh,
-    // the same `untouched ++ fresh` sequence a full manifest held
-    publishDelta(fs, root, v, cur,
-      adds = fresh, removes = touched.map(_.relPath), schema = merged.schema)
+    // the same `untouched ++ fresh` sequence a full manifest held. The
+    // delta's base is whatever claimDisjoint rebased onto — the removes
+    // are still valid there (disjoint rivals never touched them).
+    publishDelta(fs, root, v, derivedBase,
+      adds = fresh, removes = touched.map(e => (e.partDir, e.relPath)), schema = merged.schema)
   }
 
   /** MERGE-ON-READ delete — the O(delete-set) alternative to the

@@ -945,4 +945,68 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Files.exists(Paths.get(path, f"v$vc%05d", "_manifest")))
     assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("partition-disjoint concurrent merges both land WITHOUT a retry loop") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_disjoint")
+    Versioned.commitPartitioned(
+      Seq((1L, "a0", "P1"), (2L, "b0", "P2"), (3L, "c0", "P3")).toDF("k", "v", "pt"),
+      path, "pt")
+    // deliberately NO retryDerived: disjointness itself must let both
+    // land — the loser of the physical claim race waits for the rival's
+    // publish, proves the partitions are disjoint, and rebases
+    val got = Await.result(Future.sequence(Seq(
+      Future(Versioned.upsertPartitioned(spark, path,
+        Seq((1L, "a1", "P1")).toDF("k", "v", "pt"), "k", "pt")),
+      Future(Versioned.upsertPartitioned(spark, path,
+        Seq((3L, "c1", "P3")).toDF("k", "v", "pt"), "k", "pt")),
+    )), 180.seconds)
+    assert(got.sorted == Seq(2L, 3L), s"expected both merges to land as v2+v3, got $got")
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a1", 2L -> "b0", 3L -> "c1"),
+      "a rebased merge dropped the rival's update — lost update through rebase")
+  }
+
+  test("overlapping concurrent merges still conflict; rewrites are never rebased over") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_overlap")
+    Versioned.commitPartitioned(
+      Seq((1L, "a0", "P1"), (2L, "b0", "P2")).toDF("k", "v", "pt"), path, "pt")
+    // force the race deterministically: hold the v2 claim as an
+    // in-flight rival, start a SAME-partition merge (it derives from v1
+    // and must wait on us), then publish a P1-touching delta as v2 —
+    // the waiter must refuse to rebase
+    Files.createDirectories(Paths.get(path, "v00002"))
+    Files.createFile(Paths.get(path, "v00002", "_claim"))
+    val waiter = Future(blocking {
+      try Left(Versioned.upsertPartitioned(spark, path,
+        Seq((1L, "mine", "P1")).toDF("k", "v", "pt"), "k", "pt"))
+      catch { case e: java.util.ConcurrentModificationException => Right(e.getMessage) }
+    })
+    Thread.sleep(500) // let the waiter lose the claim and enter its wait
+    // rival publishes v2 touching P1 (hand-built delta: remove P1's old
+    // file, no adds — a legal prune of the partition)
+    val p1rel = Versioned.manifest(path, 1L).filter(_.partDir == "pt=P1").map(_.relPath)
+    Files.write(Paths.get(path, "v00002", "_delta"),
+      (s"base\t1" +: p1rel.map(r => s"remove\tpt=P1\t$r")).mkString("\n").getBytes("UTF-8"))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pt", org.apache.spark.sql.types.StringType))).json
+    Files.write(Paths.get(path, "v00002", "_meta"), s"graft.schema\t$schemaJson".getBytes("UTF-8"))
+    Files.createFile(Paths.get(path, "v00002", "_committed"))
+    val out = Await.result(waiter, 180.seconds)
+    assert(out.isRight, s"overlapping merge was rebased over a P1-touching rival: $out")
+    assert(out.exists(_.contains("pt=P1")), s"conflict should name the partition: $out")
+    // and the table is exactly what the rival left (P1 pruned, P2 intact)
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(2L -> "b0"))
+  }
 }
