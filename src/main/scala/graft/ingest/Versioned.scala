@@ -812,17 +812,25 @@ object Versioned {
     * written files (metadata-only carry, zero rewrite of history). A
     * batch that adds a column is fine: older files read NULL under it
     * (ALTER-only drift semantics, enforced in [[readEntries]]). */
-  def appendCommit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
+  def appendCommit(
+      df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
     val v = claimExact(fs, root, base) // derived from base: lost-update guard
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     // O(delta) commit: only the fresh files are recorded; the base
-    // manifest is never even read unless this commit folds a checkpoint
+    // manifest is never even read unless this commit folds a checkpoint.
+    // statsCols: an append-log serving range-filtered readers (or the
+    // streaming source's filtered tail) records per-file min/max for its
+    // OWN files — one extra scan of the new files, zero history touched.
+    val local = localEntries(fs, root, v, partitioned = false)
+    val adds =
+      if (statsCols.isEmpty) local
+      else withFileStats(df.sparkSession, root, local, statsCols)
     publishDelta(fs, root, v, base,
-      adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
-      schema = df.schema, meta = meta)
+      adds = adds, removes = Nil, schema = df.schema, meta = meta)
   }
 
   private val BatchKey = "graft.batchId"
@@ -1097,6 +1105,17 @@ object Versioned {
         }
     }
   }
+
+  /** Public stats-pruning predicate for planners layered ON the
+    * manifest (the streaming source's filtered tail): may `e`'s
+    * recorded [min,max] for `column` intersect [lo, hi]? An entry
+    * without statistics is always a possible match — pruning is an
+    * optimization, never a correctness filter. Pass numbers for
+    * numeric columns and canonical strings (`yyyy-MM-dd[ HH:mm:ss]`)
+    * for date/timestamp columns — the encodings the stats were
+    * written in. */
+  def statsMayOverlap(e: ManifestEntry, column: String, lo: Any, hi: Any): Boolean =
+    statsOverlap(e.stats, column, lo, hi)
 
   /** Statistics-pruned range read: only files whose recorded
     * [min,max] for `column` intersects [lo,hi] are handed to Spark —

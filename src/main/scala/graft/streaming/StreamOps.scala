@@ -705,7 +705,83 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T13: STATS-PRUNED FILTERED TAIL — the streaming source
+    * applies manifest file statistics when PLANNING each micro-batch
+    * (r6 verdict #4): the producer appends range-clustered slices with
+    * `appendCommit(statsCols = event_id)`, so every appended file
+    * carries its [min,max]; the consumer tails with the
+    * `statsFilter*` options and a matching row filter. The batch must
+    * then read STRICTLY FEWER files than the table appended —
+    * `require`d on the micro-batch's REAL executed plan via
+    * `StreamIntrospect.lastBatchInputFiles` (files whose recorded
+    * range cannot reach the predicate are never handed to the planner
+    * — the streaming analogue of readSkipping's manifest pruning, the
+    * two-layer skipping story extended to the tail). The row filter
+    * keeps exactness: stats pruning only cuts IO. Oracle: the same
+    * range predicate over `events`, expressed with the same
+    * floor-division split point. */
+  val streamStatsTail = QueryDef(
+    "stream_t13_stats_tail",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t13", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val V = graft.ingest.Versioned
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      // four appends, each ONE file covering a disjoint event_id
+      // quartile, stats recorded at commit time
+      val q1 = maxId / 4; val q2 = maxId / 2; val q3 = 3L * maxId / 4
+      val slices = Seq((1L, q1), (q1 + 1, q2), (q2 + 1, q3), (q3 + 1, maxId))
+      for ((lo, hi) <- slices)
+        V.appendCommit(
+          ev.filter(col("event_id") >= lo && col("event_id") <= hi).coalesce(1),
+          tbl, statsCols = Seq("event_id"))
+      val appended = V.manifest(tbl, V.currentVersion(tbl).get).size
+      require(appended == 4, s"t13: expected 4 appended files, got $appended")
+      // filtered tail over the top half only: (q2, maxId]
+      ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("graft-versioned")
+          .option("path", tbl)
+          .option("statsFilterColumn", "event_id")
+          .option("statsFilterLower", (q2 + 1).toString)
+          .option("statsFilterUpper", maxId.toString)
+          .load()
+          .filter(col("event_id") > q2) // exactness stays the row filter's job
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // THE claim: planning pruned whole files at the manifest — the
+        // micro-batch's executed plan scanned fewer files than the
+        // table appended (read off the stream's last execution;
+        // foreachBatch frames are LogicalRDD-wrapped and blind)
+        val scanned = org.apache.spark.sql.graft.StreamIntrospect
+          .lastBatchInputFiles(q).count(_.contains("/tbl/"))
+        require(scanned > 0 && scanned < appended,
+          s"t13: stats pushdown did not prune the batch plan ($scanned of $appended files)")
+      }
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
-    streamVersionedSink, streamCdfConsumer, streamVersionedSource)
+    streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail)
 }

@@ -58,6 +58,7 @@ class VersionedStreamSource(
     ignoreChanges: Boolean,
     startingVersion: Option[Long],
     maxVersionsPerBatch: Option[Long],
+    statsFilter: Option[(String, Any, Any)] = None,
 ) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def getOffset: Option[OffsetV1] =
@@ -113,7 +114,17 @@ class VersionedStreamSource(
     require(delta.forall(_.partDir.isEmpty),
       s"graft-versioned source: $path is Hive-partitioned — the streaming source serves " +
         "the unpartitioned append-log shape (what the versioned streaming sink writes)")
-    val files = delta.map(e => s"$path/${e.relPath}")
+    // STATS PUSHDOWN INTO BATCH PLANNING: a filtered tail (statsFilter*
+    // options) drops whole appended files whose recorded [min,max]
+    // cannot intersect the range — before the planner lists or opens
+    // anything, the manifest-level analogue of readSkipping. Files
+    // without statistics always pass; the consumer's own row filter
+    // stays responsible for exactness, so pruning only cuts IO.
+    val pruned = statsFilter match {
+      case Some((c, lo, hi)) => delta.filter(e => Versioned.statsMayOverlap(e, c, lo, hi))
+      case None              => delta
+    }
+    val files = pruned.map(e => s"$path/${e.relPath}")
     val relation = DataSource(
       sparkSession = spark,
       className = "parquet",
@@ -126,13 +137,41 @@ class VersionedStreamSource(
   override def stop(): Unit = ()
 }
 
+/** Plan introspection for streaming proofs, shim-packaged for the same
+  * reason as the source itself (StreamingQueryWrapper and
+  * IncrementalExecution are private[sql]): `foreachBatch` hands user
+  * code a LogicalRDD-wrapped frame whose `inputFiles` is always empty,
+  * but the micro-batch's REAL executed plan — with the source's
+  * substituted file relation — survives on the stream's lastExecution.
+  * This is how an entry can `require` what a batch actually scanned. */
+object StreamIntrospect {
+  def lastBatchInputFiles(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[String] = {
+    val se = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery
+      case s: org.apache.spark.sql.execution.streaming.runtime.StreamExecution => s
+    }
+    Option(se.lastExecution).toSeq.flatMap(_.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten)
+  }
+}
+
 /** `format("graft-versioned")` provider (registered via
   * META-INF/services for [[DataSourceRegister]]). Options: `path`
   * (required), `ignoreChanges` (default false), `startingVersion`
   * (first version a FRESH stream emits — skip the backlog; a
   * checkpointed offset always wins on restart), `maxVersionsPerBatch`
   * (bound each micro-batch to N commits — backlog catch-up in
-  * checkpointable steps). */
+  * checkpointable steps), and `statsFilterColumn` +
+  * `statsFilterLower` + `statsFilterUpper` (all three together): a
+  * FILTERED TAIL — each micro-batch plans only the appended files
+  * whose manifest statistics (appendCommit's statsCols) may intersect
+  * the inclusive range. Bounds are parsed against the column's type
+  * (numeric columns numerically, everything else as the canonical
+  * string encodings). Pruning drops IO, not rows the consumer's own
+  * filter wouldn't drop — files without stats always stream. */
 class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
@@ -171,8 +210,31 @@ class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegist
       .collectFirst { case (k, v) if k.equalsIgnoreCase("maxVersionsPerBatch") => v.toLong }
     require(maxVersions.forall(_ >= 1),
       s"graft-versioned source: maxVersionsPerBatch must be >= 1, got $maxVersions")
+    val resolved = resolveSchema(schema, path)
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val statsFilter = (opt("statsFilterColumn"), opt("statsFilterLower"), opt("statsFilterUpper")) match {
+      case (None, None, None) => None
+      case (Some(c), Some(lo), Some(hi)) =>
+        val field = resolved.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-versioned source: statsFilterColumn '$c' is not a column of $path " +
+              s"(${resolved.fieldNames.mkString(", ")})"))
+        // bounds must compare in the SAME domain the stats were written
+        // in: numeric columns numerically (exact decimal), everything
+        // else as the canonical string encodings
+        def typed(s: String): Any = field.dataType match {
+          case _: org.apache.spark.sql.types.NumericType => new java.math.BigDecimal(s)
+          case _                                         => s
+        }
+        Some((c, typed(lo), typed(hi)))
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft-versioned source: statsFilterColumn, statsFilterLower and statsFilterUpper " +
+            "must be set together")
+    }
     new VersionedStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession],
-      path, resolveSchema(schema, path), ignoreChanges, startingVersion, maxVersions)
+      path, resolved, ignoreChanges, startingVersion, maxVersions, statsFilter)
   }
 }

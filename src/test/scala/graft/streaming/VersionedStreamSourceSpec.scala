@@ -148,4 +148,49 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
     val out = spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq
     assert(out == Seq(1L, 2L, 3L), s"sink→source loop lost rows: $out")
   }
+
+  test("a filtered tail plans micro-batches from manifest stats: pruned files never stream") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = freshDir("vss_stats")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    // four one-file appends covering disjoint k ranges, stats at commit
+    for (lo <- Seq(0L, 100L, 200L, 300L))
+      Versioned.appendCommit(
+        (lo until lo + 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1),
+        tbl, statsCols = Seq("k"))
+    assert(Versioned.manifest(tbl, 4L).forall(_.stats.isDefined))
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", tbl)
+      .option("statsFilterColumn", "k")
+      .option("statsFilterLower", "250")
+      .option("statsFilterUpper", "399")
+      .load()
+      .filter(col("k") >= 250L && col("k") <= 399L)
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // rows exact (the row filter's job)…
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq ==
+      (250L to 399L), "filtered tail lost or duplicated rows")
+    // …and the plan pruned: the batch's REAL executed plan (foreachBatch
+    // frames are LogicalRDD-wrapped, hence StreamIntrospect) scanned
+    // only the two files whose stats reach [250, 399]
+    val scanned = org.apache.spark.sql.graft.StreamIntrospect.lastBatchInputFiles(q)
+      .filter(_.contains("/tbl/"))
+    assert(scanned.length == 2, s"expected the batch to scan exactly 2 of 4 files: $scanned")
+    // a tail WITHOUT the filter options scans everything — the pruning
+    // really is the stats filter's doing
+    val q2 = spark.readStream.format("graft-versioned").option("path", tbl).load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink2").option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(org.apache.spark.sql.graft.StreamIntrospect.lastBatchInputFiles(q2)
+      .count(_.contains("/tbl/")) == 4)
+  }
 }
