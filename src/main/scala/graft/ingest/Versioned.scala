@@ -611,6 +611,21 @@ object Versioned {
     * (`allowMissingColumns`: an appendCommit may add a column
     * mid-history — SURVEY S14's drift class; files from before the
     * drift read NULL under it). */
+  /** Nullability-erased copy of a type: an in-memory frame (Long →
+    * non-nullable) and its parquet round-trip (everything nullable)
+    * describe the SAME files, and treating them as drift would cost the
+    * single-scan fast path a per-version union. Reading non-nullable
+    * data under a nullable schema is always sound. */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(asNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      org.apache.spark.sql.types.MapType(asNullable(kt), asNullable(vt), valueContainsNull = true)
+    case other => other
+  }
+
   private def readEntries(
       spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
     require(entries.nonEmpty, "Versioned: empty entry set")
@@ -618,6 +633,7 @@ object Versioned {
     if (entries.forall(_.partDir.isEmpty)) {
       val schemas = groups.map { case (ver, _) =>
         metaSchema(fs, root, parseVersion(ver).getOrElse(-1L))
+          .map(s => asNullable(s).asInstanceOf[StructType])
       }
       if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1)
         return spark.read.schema(schemas.head.get)
@@ -1475,6 +1491,46 @@ object Versioned {
       case _                 => snap
     }
     rewriteFrom(fs, root, base, df, statsCols)
+  }
+
+  /** OPTIMIZE-ON-WRITE maintenance policy: fold the current snapshot
+    * whenever it has outgrown `maxFiles` manifest entries (small-file
+    * debt from an append loop, or merge-on-read delete debt — both
+    * count: every entry is read-path cost) — the trigger that keeps a
+    * daily ingest loop permanently compact without a human remembering
+    * [[compactFiles]]. Returns the compaction's version when one ran,
+    * None when the table is within budget (the common case: one
+    * manifest resolution, no data touched). Compaction is a derived
+    * commit, so a rival landing mid-fold is retried from the fresh
+    * snapshot — bounded, loud on livelock. */
+  def maintainIfNeeded(
+      spark: SparkSession, path: String, maxFiles: Int,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Option[Long] = {
+    require(maxFiles >= 1, s"maintainIfNeeded: maxFiles must be >= 1, got $maxFiles")
+    require(targetFiles >= 1 && targetFiles <= maxFiles,
+      s"maintainIfNeeded: targetFiles must be in [1, $maxFiles], got $targetFiles")
+    val (fs, root) = Writers.fsFor(path)
+    currentVersion(path).flatMap { v =>
+      if (readManifest(fs, root, v).size <= maxFiles) None
+      else Some(retryDerived(maxAttempts = 3) {
+        compactFiles(spark, path, Some(targetFiles), statsCols)
+      })
+    }
+  }
+
+  /** [[appendCommit]] with the optimize-on-write policy attached: land
+    * the batch, then fold the snapshot if the append pushed it over
+    * `maxFiles`. Returns the APPEND's version (the data commit — the
+    * maintenance fold, when it runs, is metadata the caller can see in
+    * [[versions]]). The post-call invariant a loop can rely on:
+    * `manifest(current).size <= maxFiles`. */
+  def appendCommitCompacting(
+      df: DataFrame, path: String, maxFiles: Int,
+      targetFiles: Int = 1, meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    val v = appendCommit(df, path, meta, statsCols)
+    maintainIfNeeded(df.sparkSession, path, maxFiles, targetFiles, statsCols)
+    v
   }
 
   /** Optimistic-concurrency retry loop for DERIVED commits: runs `body`

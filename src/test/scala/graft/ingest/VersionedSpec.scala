@@ -946,6 +946,34 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("optimize-on-write keeps a 50-append loop under the file budget, forever") {
+    import spark.implicits._
+    val path = freshDir("versioned_autocompact")
+    val maxFiles = 8
+    for (i <- 1 to 50) {
+      Versioned.appendCommitCompacting(
+        Seq((i.toLong, s"row$i")).toDF("k", "v").coalesce(1), path, maxFiles = maxFiles)
+      // THE policy invariant: no commit ever leaves the snapshot over
+      // budget — the maintenance fold is part of the write, not a
+      // separate human-driven job
+      val size = Versioned.manifest(path, Versioned.currentVersion(path).get).size
+      assert(size <= maxFiles, s"after append $i the snapshot holds $size files")
+    }
+    // the data survived every fold
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 50L))
+    // compactions really ran (version count exceeds the 50 appends)…
+    assert(Versioned.currentVersion(path).get > 50L)
+    // …and a compacted unpartitioned snapshot still reads as ONE scan
+    val plan = Versioned.read(spark, path).queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 == 1,
+      s"compacted history should plan a single scan:\n$plan")
+    // within budget → maintenance is a no-op, not a rewrite
+    val before = Versioned.currentVersion(path).get
+    assert(Versioned.maintainIfNeeded(spark, path, maxFiles).isEmpty)
+    assert(Versioned.currentVersion(path).contains(before))
+  }
+
   test("partition-disjoint concurrent merges both land WITHOUT a retry loop") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
