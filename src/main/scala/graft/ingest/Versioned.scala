@@ -114,6 +114,46 @@ object Versioned {
   /** `_meta` key carrying the committed frame's schema as Spark JSON. */
   private val SchemaKey = "graft.schema"
 
+  /** `_meta` key carrying the commit's column-id map (`name:id` pairs,
+    * comma-separated) — Iceberg-style STABLE ids under the logical
+    * names. Ids are carried forward by name on every commit and minted
+    * (max+1) for new columns, so [[renameColumn]] can move a name while
+    * readers keep matching files to columns BY ID: rename and drop are
+    * metadata-only commits, zero data rewritten. */
+  private val ColIdsKey = "graft.colIds"
+
+  private def parseColIds(s: String): Map[String, Int] =
+    s.split(",").filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toInt
+    }.toMap
+
+  private def renderColIds(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._2).map { case (n, i) => s"$n:$i" }.mkString(",")
+
+  private def colIdsOf(fs: FileSystem, root: HPath, v: Long): Map[String, Int] =
+    readMeta(fs, root, v).get(ColIdsKey).map(parseColIds).getOrElse(Map.empty)
+
+  /** Carry the base commit's column ids forward by name and mint fresh
+    * ids for columns this commit introduces. A column that disappears
+    * from the schema simply drops out of the map (its id is never
+    * reused — minting is max+1 over ALL ids ever seen in the base). */
+  private def carryColIds(
+      fs: FileSystem, root: HPath, prev: Option[Long], schema: StructType): Map[String, Int] = {
+    val old = prev.map(v => colIdsOf(fs, root, v)).getOrElse(Map.empty)
+    var next = (0 +: old.values.toSeq).max
+    schema.fieldNames.map { n =>
+      n -> old.getOrElse(n, { next += 1; next })
+    }.toMap
+  }
+
+  /** The (schema, column ids) a snapshot version presents to readers —
+    * what files from OTHER owning versions must be aligned to. */
+  private final case class Target(schema: StructType, ids: Map[String, Int])
+
+  private def targetOf(fs: FileSystem, root: HPath, v: Long): Option[Target] =
+    metaSchema(fs, root, v).map(s => Target(s, colIdsOf(fs, root, v)))
+
   /** Shared JSON codec for manifest statistics — ObjectMapper is
     * thread-safe after configuration and costs real time to construct;
     * a per-entry instance would be O(#files) driver overhead at scale. */
@@ -398,6 +438,10 @@ object Versioned {
     else {
       val d = readDelta(fs, root, w)
       if (d.adds.exists(_.kind != KindData)) None
+      // an EMPTY delta is a metadata-only commit (rename/drop): it
+      // changed the SCHEMA every later commit publishes under — a rival
+      // merge rebasing over it would silently revert the evolution
+      else if (d.adds.isEmpty && d.removes.isEmpty) None
       else {
         val dirs = d.adds.map(_.partDir).toSet ++ d.removes.map(_._1)
         if (dirs.exists(_.isEmpty)) None else Some(dirs)
@@ -485,15 +529,19 @@ object Versioned {
   }
 
   /** The commit tail shared by every writer: manifest, then metadata
-    * (always including the committed frame's schema), then the atomic
-    * `_committed` marker — the ORDER is the protocol (everything must be
-    * durable before the marker appears). One implementation so a future
+    * (always including the committed frame's schema and its column-id
+    * map, ids carried from `prevForIds`), then the atomic `_committed`
+    * marker — the ORDER is the protocol (everything must be durable
+    * before the marker appears). One implementation so a future
     * protocol change (checksums, extra metadata) lands exactly once. */
   private def publish(
       fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry],
-      schema: StructType, meta: Map[String, String] = Map.empty): Long = {
+      schema: StructType, prevForIds: Option[Long],
+      meta: Map[String, String] = Map.empty): Long = {
+    val ids = meta.get(ColIdsKey).map(parseColIds)
+      .getOrElse(carryColIds(fs, root, prevForIds, schema))
+    writeMeta(fs, root, v, meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)))
     writeManifest(fs, root, v, entries)
-    writeMeta(fs, root, v, meta + (SchemaKey -> schema.json))
     fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
     v
   }
@@ -509,13 +557,18 @@ object Versioned {
       fs: FileSystem, root: HPath, v: Long, base: Long,
       adds: Seq[ManifestEntry], removes: Seq[(String, String)],
       schema: StructType, meta: Map[String, String] = Map.empty): Long = {
+    val prevV = if (base == 0L) None else Some(base)
     if (base == 0L || chainLen(fs, root, base) + 1 >= CheckpointEvery) {
       val prev = if (base == 0L) Nil else readManifest(fs, root, base)
       val rm = removes.map(_._2).toSet
-      publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds, schema, meta)
+      publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds,
+        schema, prevV, meta)
     } else {
+      val ids = meta.get(ColIdsKey).map(parseColIds)
+        .getOrElse(carryColIds(fs, root, prevV, schema))
       writeDelta(fs, root, v, base, adds, removes)
-      writeMeta(fs, root, v, meta + (SchemaKey -> schema.json))
+      writeMeta(fs, root, v,
+        meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)))
       fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
       v
     }
@@ -557,7 +610,7 @@ object Versioned {
     val enriched =
       if (statsCols.isEmpty) entries
       else withFileStats(df.sparkSession, root, entries, statsCols)
-    publish(fs, root, v, enriched, df.schema)
+    publish(fs, root, v, enriched, df.schema, prevForIds = Some(base))
   }
 
   /** Commit `df` as the next (unpartitioned) version; returns it.
@@ -565,9 +618,11 @@ object Versioned {
     * applied-watermark — see stream_t11's CDF materialization loop). */
   def commit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = Writers.fsFor(path)
+    val prev = currentVersion(path)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema, meta)
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema,
+      prevForIds = prev, meta = meta)
   }
 
   /** Commit `df` Hive-partitioned on `partCols` (one or more columns,
@@ -577,10 +632,12 @@ object Versioned {
   def commitPartitioned(df: DataFrame, path: String, partCols: String*): Long = {
     require(partCols.nonEmpty, "Versioned.commitPartitioned: at least one partition column")
     val (fs, root) = Writers.fsFor(path)
+    val prev = currentVersion(path)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(dataDir(root, v).toString)
-    publish(fs, root, v, localEntries(fs, root, v, partitioned = true), df.schema)
+    publish(fs, root, v, localEntries(fs, root, v, partitioned = true), df.schema,
+      prevForIds = prev)
   }
 
   /** The schema a version's commit recorded in `_meta` (None for
@@ -626,8 +683,32 @@ object Versioned {
     case other => other
   }
 
+  /** Align one owning version's frame to the target schema THROUGH the
+    * column ids: a target column whose id lives under a different name
+    * in `wIds` was renamed since `w` committed — select it AS the
+    * target name; an id absent from `w` is additive drift — NULL-fill;
+    * a physical column whose id left the target schema was dropped —
+    * never selected. When either side predates ids, fall back to the
+    * by-name semantics the format always had. */
+  private def alignToTarget(
+      df: DataFrame, wIds: Map[String, Int], t: Target): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val idToW = wIds.map(_.swap)
+    df.select(t.schema.fields.toSeq.map { f =>
+      val srcName: Option[String] = t.ids.get(f.name) match {
+        case Some(id) if wIds.nonEmpty => idToW.get(id)
+        case _                         => Some(f.name)
+      }
+      srcName.filter(df.columns.contains) match {
+        case Some(n) => col(n).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
   private def readEntries(
-      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry],
+      target: Option[Target] = None): DataFrame = {
     require(entries.nonEmpty, "Versioned: empty entry set")
     val groups = entries.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     if (entries.forall(_.partDir.isEmpty)) {
@@ -635,7 +716,12 @@ object Versioned {
         metaSchema(fs, root, parseVersion(ver).getOrElse(-1L))
           .map(s => asNullable(s).asInstanceOf[StructType])
       }
-      if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1)
+      // the single-scan fast path needs the IDENTITY mapping: every
+      // owning version's schema equal (nullability erased) and, when a
+      // target is pinned, equal to the target's too (a rename on top of
+      // unrenamed files must take the aligning path below)
+      if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1 &&
+          target.forall(t => asNullable(t.schema).json == schemas.head.get.json))
         return spark.read.schema(schemas.head.get)
           .parquet(entries.map(e => new HPath(root, e.relPath).toString): _*)
     }
@@ -644,15 +730,20 @@ object Versioned {
         val base = new HPath(new HPath(root, ver), "data").toString
         val files = es.map(e => new HPath(root, e.relPath).toString)
         val rd = spark.read.option("basePath", base)
+        val wVer = parseVersion(ver).getOrElse(-1L)
         // the owning version's recorded schema pins partition-column
         // TYPES: without it, Spark's partition-value inference can type
         // `day=2024-01-01` as DATE on read-back while the committed
         // column was STRING — a silent type drift that would poison the
         // next merge's unionByName. Legacy (pre-schema-meta) versions
         // fall back to inference.
-        metaSchema(fs, root, parseVersion(ver).getOrElse(-1L)) match {
+        val raw = metaSchema(fs, root, wVer) match {
           case Some(sc) => rd.schema(sc).parquet(files: _*)
           case None     => rd.parquet(files: _*)
+        }
+        target match {
+          case Some(t) => alignToTarget(raw, colIdsOf(fs, root, wVer), t)
+          case None    => raw
         }
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -673,7 +764,7 @@ object Versioned {
         throw new IllegalStateException(
           s"Versioned.readAt: version $version of $path is empty and predates schema metadata"))
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    } else materialize(spark, fs, root, entries)
+    } else materialize(spark, fs, root, entries, targetOf(fs, root, version))
   }
 
   /** Materialize a full manifest: data entries read per owning version,
@@ -682,9 +773,10 @@ object Versioned {
     * < v, so a later append that legitimately reuses a deleted key is
     * not swallowed (Iceberg's sequence-number rule). */
   private def materialize(
-      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry]): DataFrame = {
+      spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry],
+      target: Option[Target]): DataFrame = {
     val (dels, datas) = entries.partition(_.kind == KindDelete)
-    if (dels.isEmpty) readEntries(spark, fs, root, datas)
+    if (dels.isEmpty) readEntries(spark, fs, root, datas, target)
     else {
       val delFrames = dels.sortBy(entryVersion).map { e =>
         val keys = spark.read.parquet(new HPath(root, e.relPath).toString)
@@ -695,7 +787,7 @@ object Versioned {
       }
       datas.groupBy(entryVersion).toSeq.sortBy(_._1)
         .map { case (gv, es) =>
-          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, fs, root, es)) {
+          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, fs, root, es, target)) {
             // a data group from before a key column appeared (schema
             // drift) reads NULL under it — a keyed delete matches no NULL
             // rows, so skipping the anti-join for that group is the
@@ -776,7 +868,7 @@ object Versioned {
     require(hit.nonEmpty,
       s"Versioned.readPartitionsWhere: no files satisfy the partition predicate at v$v " +
         s"(existing: ${entries.map(_.partDir).distinct.sorted.mkString(", ")})")
-    readEntries(spark, fs, root, hit)
+    readEntries(spark, fs, root, hit, targetOf(fs, root, v))
   }
 
   /** Single-column convenience over [[readPartitionsWhere]]. */
@@ -1005,6 +1097,7 @@ object Versioned {
     import org.apache.spark.sql.functions.col
     require(nFiles >= 1, s"commitClustered: nFiles must be >= 1, got $nFiles")
     val (fs, root) = Writers.fsFor(path)
+    val prev = currentVersion(path)
     val v = claimNext(fs, root, path)
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
@@ -1013,7 +1106,7 @@ object Versioned {
     val entries = withFileStats(spark, root,
       localEntries(fs, root, v, partitioned = false),
       if (statsCols.isEmpty) Seq(clusterCol) else statsCols)
-    publish(fs, root, v, entries, df.schema)
+    publish(fs, root, v, entries, df.schema, prevForIds = prev)
   }
 
   /** Commit `df` Z-ORDER clustered on `zCols` (2-4 NUMERIC columns)
@@ -1058,6 +1151,7 @@ object Versioned {
         .reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
     val (fs, root) = Writers.fsFor(path)
+    val prev = currentVersion(path)
     val v = claimNext(fs, root, path)
     df.withColumn("__graft_z", zExpr)
       .repartitionByRange(nFiles, col("__graft_z"))
@@ -1066,7 +1160,7 @@ object Versioned {
       .write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     val entries = withFileStats(df.sparkSession, root,
       localEntries(fs, root, v, partitioned = false), zCols)
-    publish(fs, root, v, entries, df.schema)
+    publish(fs, root, v, entries, df.schema, prevForIds = prev)
   }
 
   /** True iff the [min,max] range recorded for `c` in `stats` can
@@ -1169,7 +1263,7 @@ object Versioned {
       case Some(dt) => (lit(lo).cast(dt), lit(hi).cast(dt))
       case None     => (lit(lo), lit(hi))
     }
-    readEntries(spark, fs, root, keep)
+    readEntries(spark, fs, root, keep, targetOf(fs, root, v))
       .filter(col(column) >= loL && col(column) <= hiL)
   }
 
@@ -1242,7 +1336,7 @@ object Versioned {
     if (mFrom.forall(toSet.contains) && delta.nonEmpty && delta.forall(_.kind == KindData) &&
         mFrom.forall(_.kind == KindData)) {
       // append-only: the new files are the inserts, read nothing else
-      val ins = readEntries(spark, fs, root, delta)
+      val ins = readEntries(spark, fs, root, delta, targetOf(fs, root, toV))
       ins.select(
         col(key) +: lit("insert").as("change_type") +: lit(schemaChanged).as("schema_change") +:
           image(ins, allOthers): _*)
@@ -1348,7 +1442,7 @@ object Versioned {
     val merged =
       if (touched.isEmpty) updates // all-new partitions: nothing to merge against
       else
-        readEntries(spark, fs, root, touched)
+        readEntries(spark, fs, root, touched, targetOf(fs, root, cur))
           .join(updates, Seq(key), "left_anti")
           .unionByName(updates)
     // lost-update guard with DISJOINTNESS: a rival that only changed
@@ -1411,6 +1505,76 @@ object Versioned {
       removes = Nil, schema = snapshot.schema, meta = meta)
   }
 
+  /** Shared validation for the metadata-only schema-evolution commits:
+    * the column-id mapping applies at READ time per owning version, so
+    * two shapes must be refused up front — partition columns (their
+    * names are baked into every partDir fragment and Spark's partition
+    * recovery) and outstanding merge-on-read deletes (a delete file's
+    * key column is matched BY NAME against aligned frames; evolving
+    * the name would silently detach the delete — run compactDeletes
+    * first). Returns (fs, root, base version, base entries, schema,
+    * ids). */
+  private def evolutionBase(path: String, op: String)
+      : (FileSystem, HPath, Long, Seq[ManifestEntry], StructType, Map[String, Int]) = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.$op: no committed version under $path"))
+    val entries = readManifest(fs, root, base)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.$op: $path has outstanding merge-on-read deletes — run compactDeletes first " +
+        "(their key columns are matched by name and would detach)")
+    val schema = metaSchema(fs, root, base).getOrElse(
+      throw new IllegalStateException(
+        s"Versioned.$op: $path predates schema metadata — recommit once before evolving"))
+    (fs, root, base, entries, schema, colIdsOf(fs, root, base))
+  }
+
+  /** RENAME a column without touching a single data file (r6 verdict
+    * #7): a metadata-only derived commit — the manifest is carried
+    * verbatim (an empty delta), the new schema moves the old column's
+    * STABLE id under the new name, and readers align every owning
+    * version's files to the current names through the ids. Time travel
+    * below the rename still reads the old names — each snapshot
+    * presents the schema it committed. Partition columns and tables
+    * with outstanding MoR deletes are refused ([[evolutionBase]]). */
+  def renameColumn(path: String, from: String, to: String): Long = {
+    val (fs, root, base, _, schema, ids) = evolutionBase(path, "renameColumn")
+    require(schema.fieldNames.contains(from),
+      s"Versioned.renameColumn: no column '$from' in (${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"Versioned.renameColumn: column '$to' already exists")
+    require(!layoutPartCols(readManifest(fs, root, base)).contains(from),
+      s"Versioned.renameColumn: '$from' is a partition column — its name is baked into " +
+        "the directory layout; repartition the table to rename it")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newIds = (ids - from) + (to -> ids.getOrElse(from,
+      (0 +: ids.values.toSeq).max + 1))
+    val v = claimExact(fs, root, base) // derived: lost-update guard
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = newSchema, meta = Map(ColIdsKey -> renderColIds(newIds)))
+  }
+
+  /** DROP a column without touching a single data file: metadata-only
+    * derived commit — the column leaves the schema and the id map;
+    * readers simply never select it (the bytes stay in the files until
+    * the next natural rewrite folds them out). Time travel below the
+    * drop still reads it. Dropping the last column, a partition
+    * column, or evolving under MoR deletes is refused. */
+  def dropColumn(path: String, name: String): Long = {
+    val (fs, root, base, _, schema, ids) = evolutionBase(path, "dropColumn")
+    require(schema.fieldNames.contains(name),
+      s"Versioned.dropColumn: no column '$name' in (${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"Versioned.dropColumn: refusing to drop the last column '$name'")
+    require(!layoutPartCols(readManifest(fs, root, base)).contains(name),
+      s"Versioned.dropColumn: '$name' is a partition column — repartition the table to drop it")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val v = claimExact(fs, root, base) // derived: lost-update guard
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = newSchema, meta = Map(ColIdsKey -> renderColIds(ids - name)))
+  }
+
   /** RESTORE: roll the table back to retained `version` by publishing
     * that snapshot's manifest as a NEW commit — history is never
     * rewritten, the bad commits stay inspectable, and not one data
@@ -1431,7 +1595,7 @@ object Versioned {
     val schema = metaSchema(fs, root, version)
       .getOrElse(readAt(spark, path, version).schema) // legacy pre-schema-meta history
     val v = claimExact(fs, root, cur) // derived: lost-update guard
-    publish(fs, root, v, entries, schema)
+    publish(fs, root, v, entries, schema, prevForIds = Some(version))
   }
 
   /** Fold outstanding merge-on-read deletes into a fresh pure-data

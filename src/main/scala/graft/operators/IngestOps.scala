@@ -1200,9 +1200,58 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S27: COLUMN-MAPPING SCHEMA EVOLUTION — rename and drop as
+    * metadata-only commits on the versioned table (r6 verdict #7): the
+    * history is committed half-and-half, a column is RENAMED and
+    * another DROPPED mid-history, and a post-evolution append lands
+    * under the new name. In-entry requires pin the contract: the
+    * evolution commits carry the previous manifest VERBATIM (zero data
+    * files written — stable column ids do the mapping at read time),
+    * and the final schema is exactly the evolved one. The oracle
+    * reconstructs the same result from `orders` with plain SQL aliases
+    * — rename/drop never change data, only names. */
+  val s27ColumnMapping = QueryDef(
+    "s27_column_mapping",
+    (s, d) => {
+      val path = tmp("s27_colmap", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("o_custkey"))
+      V.commit(src.filter(col("o_orderkey") % 2 === 0), path) // v1: even half, OLD names
+      val before = V.manifest(path, 1L)
+      V.renameColumn(path, "o_totalprice", "price")           // v2: metadata only
+      V.dropColumn(path, "o_custkey")                         // v3: metadata only
+      require(V.manifest(path, 3L) == before,
+        "s27: rename/drop must carry the manifest verbatim — no data rewritten")
+      require(V.versions(path) == Seq(1L, 2L, 3L))
+      // the odd half lands AFTER the evolution, under the NEW shape —
+      // the snapshot now mixes files written under both namings and the
+      // stable ids reconcile them at read time
+      V.appendCommit(
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice").as("price")),
+        path)
+      val cur = V.read(s, path)
+      require(cur.columns.toSeq == Seq("o_orderkey", "o_orderpriority", "price"),
+        s"s27: evolved schema wrong: ${cur.columns.mkString(", ")}")
+      cur.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("price")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
-    s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel)
+    s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
+    s27ColumnMapping)
 }

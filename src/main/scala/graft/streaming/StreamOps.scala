@@ -601,8 +601,13 @@ object StreamOps extends QueryModule {
             V.commit(V.readAt(s, src, 1L), dst, applied): Unit
           else {
             val feed = V.changes(s, src, v - 1, v, "event_id").persist()
+            // the feed orders non-key columns alphabetically; re-select
+            // the view's own column order so appended files keep the
+            // canonical shape (and positional consumers stay sane)
+            val viewCols = V.read(s, dst).columns.toSeq
             val ups = feed.filter(col("change_type") =!= "delete")
               .drop("change_type", "schema_change")
+              .select(viewCols.map(col): _*)
             // old images of UPDATES must go too — the after-image is
             // re-appended at a LATER version, so MoR sequencing keeps it
             val gone = feed.filter(col("change_type") =!= "insert").select("event_id")
@@ -625,7 +630,9 @@ object StreamOps extends QueryModule {
       require(V.versions(dst).size == applied,
         "stream_t11: consumer re-applied an already-applied feed — exactly-once broken")
       val srcCur = V.read(s, src)
-      val dstCur = V.read(s, dst)
+      // column-align before the positional exceptAll compare — a view
+      // materialized across schema-order drift must still be row-equal
+      val dstCur = V.read(s, dst).select(srcCur.columns.toSeq.map(col): _*)
       require(srcCur.exceptAll(dstCur).isEmpty && dstCur.exceptAll(srcCur).isEmpty,
         "stream_t11: materialized view diverged from the source snapshot")
       dstCur

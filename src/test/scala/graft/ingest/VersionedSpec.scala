@@ -946,6 +946,68 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("renameColumn is metadata-only: old files read under the new name via stable ids") {
+    import spark.implicits._
+    val path = freshDir("versioned_rename")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)      // v1
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path)           // v2
+    val before = Versioned.manifest(path, 2L)
+    val vr = Versioned.renameColumn(path, "v", "label")                   // v3: metadata only
+    assert(vr == 3L)
+    // not one data file moved, added, or removed
+    assert(Versioned.manifest(path, 3L) == before, "rename touched the manifest's files")
+    assert(!Files.exists(Paths.get(path, "v00003", "data")), "rename wrote data files")
+    // the current snapshot presents the new name, all rows intact
+    val cur = Versioned.read(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "label"))
+    assert(cur.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // time travel below the rename still reads the name THAT snapshot had
+    assert(Versioned.readAt(spark, path, 2L).columns.toSeq == Seq("k", "v"))
+    // appends after the rename mix freely with pre-rename files
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "label"), path)
+    assert(Versioned.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("label") === "d").count() == 1)
+    assert(Versioned.read(spark, path).count() == 4)
+    // a rewrite (compaction) folds the rename into the files themselves
+    Versioned.compactFiles(spark, path, numFiles = Some(1))
+    val folded = Versioned.read(spark, path)
+    assert(folded.columns.toSeq == Seq("k", "label") && folded.count() == 4)
+  }
+
+  test("dropColumn is metadata-only; CDF across a rename flags schema_change; guards hold") {
+    import spark.implicits._
+    val path = freshDir("versioned_drop")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w"), path) // v1
+    Versioned.dropColumn(path, "w")                                                  // v2
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
+    assert(Versioned.readAt(spark, path, 1L).columns.toSeq == Seq("k", "v", "w"))
+    assert(!Files.exists(Paths.get(path, "v00002", "data")))
+    // a fresh append does NOT resurrect the dropped column for old rows
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), path)                      // v3
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
+    // CDF across a rename keeps the NULL-fill schema_change contract
+    Versioned.renameColumn(path, "v", "txt")                                         // v4
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "txt"), path)                    // v5
+    val feed = Versioned.changes(spark, path, 3L, 5L, "k")
+    assert(feed.columns.contains("schema_change"))
+    assert(feed.collect().forall(_.getAs[Boolean]("schema_change")),
+      "a feed window crossing a rename must flag schema_change")
+    // guards: partition columns, last column, MoR debt
+    intercept[IllegalArgumentException](Versioned.dropColumn(path, "nope"))
+    val ptbl = freshDir("versioned_rename_part")
+    Versioned.commitPartitioned(Seq((1L, "x", "P1")).toDF("k", "v", "pt"), ptbl, "pt")
+    intercept[IllegalArgumentException](Versioned.renameColumn(ptbl, "pt", "part"))
+    intercept[IllegalArgumentException](Versioned.dropColumn(ptbl, "pt"))
+    val single = freshDir("versioned_drop_last")
+    Versioned.commit(Seq(Tuple1(1L)).toDF("k"), single)
+    intercept[IllegalArgumentException](Versioned.dropColumn(single, "k"))
+    val mor = freshDir("versioned_rename_mor")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), mor)
+    Versioned.deleteMergeOnRead(spark, mor, Seq(1L).toDF("k"), "k")
+    intercept[IllegalArgumentException](Versioned.renameColumn(mor, "v", "w"))
+  }
+
   test("optimize-on-write keeps a 50-append loop under the file budget, forever") {
     import spark.implicits._
     val path = freshDir("versioned_autocompact")
