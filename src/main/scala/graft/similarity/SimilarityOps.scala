@@ -269,7 +269,13 @@ object SimilarityOps extends QueryModule {
       import org.apache.spark.ml.functions.array_to_vector
       graft.functions.VectorFunctions.register(s)
       val nList = 16
-      val nProbe = 4
+      // 6 of 16 cells: the recall/cost knob every IVF deployment tunes.
+      // Uniform-random 64-d vectors are IVF's worst case and recall@5
+      // SINKS as the corpus grows (at sf0.01 nprobe=4 measured 0.40,
+      // under the 0.5 floor the entry itself enforces) — real embedding
+      // corpora cluster far harder, so production would run a lower
+      // nprobe for the same recall.
+      val nProbe = 6
       val emb = Tables.embeddings(s, d)
         .withColumn("nrm", norm("embedding"))
         .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("nrm")))
