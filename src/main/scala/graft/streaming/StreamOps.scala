@@ -602,9 +602,10 @@ object StreamOps extends QueryModule {
           else {
             val feed = V.changes(s, src, v - 1, v, "event_id").persist()
             // the feed orders non-key columns alphabetically; re-select
-            // the view's own column order so appended files keep the
+            // the view's own column order (from the commit metadata —
+            // no view read plan built) so appended files keep the
             // canonical shape (and positional consumers stay sane)
-            val viewCols = V.read(s, dst).columns.toSeq
+            val viewCols = V.schemaOf(dst).get.fieldNames.toSeq
             val ups = feed.filter(col("change_type") =!= "delete")
               .drop("change_type", "schema_change")
               .select(viewCols.map(col): _*)
@@ -615,11 +616,16 @@ object StreamOps extends QueryModule {
             for (f <- ups.inputFiles ++ gone.inputFiles)
               require(!f.contains(dst),
                 s"stream_t11: applying v$v's feed read view file $f — apply must be O(feed)")
-            if (!gone.isEmpty)
+            // one pass over the cached feed decides both branches
+            val kinds = feed.groupBy("change_type").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val nGone = kinds.filterNot(_._1 == "insert").values.sum
+            val nUps = kinds.filterNot(_._1 == "delete").values.sum
+            if (nGone > 0)
               V.deleteMergeOnRead(s, dst, gone, "event_id",
                 // the watermark rides the FINAL commit of the pair only
-                meta = if (ups.isEmpty) applied else Map.empty): Unit
-            if (gone.isEmpty || !ups.isEmpty)
+                meta = if (nUps == 0) applied else Map.empty): Unit
+            if (nGone == 0 || nUps > 0)
               V.appendCommit(ups, dst, applied): Unit
             feed.unpersist(): Unit
           }
