@@ -751,7 +751,10 @@ object StreamOps extends QueryModule {
       val slices = Seq((1L, q1), (q1 + 1, q2), (q2 + 1, q3), (q3 + 1, maxId))
       for ((lo, hi) <- slices)
         V.appendCommit(
-          ev.filter(col("event_id") >= lo && col("event_id") <= hi).coalesce(1),
+          // repartition, not coalesce: coalesce(1) would collapse the
+          // events scan + filter into ONE task; the shuffle keeps the
+          // read side parallel and only the single-file write serial
+          ev.filter(col("event_id") >= lo && col("event_id") <= hi).repartition(1),
           tbl, statsCols = Seq("event_id"))
       val appended = V.manifest(tbl, V.currentVersion(tbl).get).size
       require(appended == 4, s"t13: expected 4 appended files, got $appended")
