@@ -304,16 +304,21 @@ object Versioned {
     finally out.close()
   }
 
+  /** `_meta` key caching a delta commit's own chain depth so the next
+    * writer's checkpoint decision costs ONE metadata read instead of a
+    * walk. Only consulted when the dir really holds a delta — a later
+    * vacuum repair that materializes a checkpoint beside a stale hint
+    * is answered by the `_manifest` check first. */
+  private val ChainLenKey = "graft.chainLen"
+
   /** Number of delta hops from `v` back to the nearest checkpoint (0 if
     * `v` itself holds a full manifest). */
   private def chainLen(fs: FileSystem, root: HPath, v: Long): Int = {
-    var cur = v
-    var n = 0
-    while (!fs.exists(new HPath(versionDir(root, cur), ManifestFile))) {
-      cur = readDelta(fs, root, cur).base
-      n += 1
+    if (fs.exists(new HPath(versionDir(root, v), ManifestFile))) 0
+    else readMeta(fs, root, v).get(ChainLenKey) match {
+      case Some(n) => n.toInt
+      case None    => 1 + chainLen(fs, root, readDelta(fs, root, v).base) // legacy walk
     }
-    n
   }
 
   /** The committed versions whose metadata `v`'s resolution walks
@@ -558,7 +563,8 @@ object Versioned {
       adds: Seq[ManifestEntry], removes: Seq[(String, String)],
       schema: StructType, meta: Map[String, String] = Map.empty): Long = {
     val prevV = if (base == 0L) None else Some(base)
-    if (base == 0L || chainLen(fs, root, base) + 1 >= CheckpointEvery) {
+    val depth = if (base == 0L) 0 else chainLen(fs, root, base) + 1
+    if (base == 0L || depth >= CheckpointEvery) {
       val prev = if (base == 0L) Nil else readManifest(fs, root, base)
       val rm = removes.map(_._2).toSet
       publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds,
@@ -568,7 +574,8 @@ object Versioned {
         .getOrElse(carryColIds(fs, root, prevV, schema))
       writeDelta(fs, root, v, base, adds, removes)
       writeMeta(fs, root, v,
-        meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)))
+        meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)) +
+          (ChainLenKey -> depth.toString))
       fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
       v
     }

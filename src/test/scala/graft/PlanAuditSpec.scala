@@ -375,4 +375,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS graft_s16_orders")
     }
   }
+
+  test("s27: a column-mapped read is scans + projections — evolution adds no shuffle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val V = graft.ingest.Versioned
+    val path = graft.ingest.Scratch.dir("test", "s27_plan", sf()).toString
+    graft.ingest.Writers.deleteTree(path)
+    V.commit(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "x"), path)
+    V.renameColumn(path, "v", "label")
+    V.dropColumn(path, "x")
+    V.appendCommit(Seq((3L, "c")).toDF("k", "label"), path)
+    val df = V.read(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    // the id-based alignment is pure column selection: renames and
+    // drops at 100 TB must cost zero exchanges, zero extra scans of
+    // untouched files — anything beyond scan/project/union here means
+    // the evolution leaked into the physical plan
+    assert(!plan.contains("Exchange"),
+      s"column-mapped read introduced a shuffle:\n$plan")
+    assert(plan.split("FileScan").length - 1 == 2,
+      s"expected exactly the two owning versions' scans:\n$plan")
+    // and the dropped column is pruned AT THE SCAN, not post-projected:
+    // old files' ReadSchema must not materialize x
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.forall(!_.contains("x")),
+      s"dropped column still read from disk: $scans\n$plan")
+  }
 }
