@@ -469,9 +469,45 @@ object Versioned {
     * the wait window throws ConcurrentModificationException exactly as
     * before — the lost-update guard is narrowed, not weakened. Returns
     * (claimed version, the base actually derived from). */
+  /** How long a rebasing claim waits for an in-flight rival to publish
+    * before treating it as crashed. Property-tunable so specs that
+    * deliberately stage a crashed claim don't pay the full window. */
+  private def inflightWaitMs: Long =
+    sys.props.get("graft.versioned.inflightWaitMs").map(_.toLong).getOrElse(10000L)
+
+  /** Wait (bounded) for the in-flight rival holding `b`+1 to resolve.
+    * Returns the versions that landed above `b` — non-empty when the
+    * rival (and possibly others) published, EMPTY when the rival
+    * abandoned its claim without publishing (an [[appendCommitOnce]]
+    * that discovered its batch already committed removes `_claim` and
+    * walks away; the slot is claimable again). A rival that does
+    * neither inside the window is indistinguishable from a crash:
+    * rethrows `orig` for [[recoverClaims]] to arbitrate. */
+  private def awaitRival(
+      fs: FileSystem, root: HPath, path: String, b: Long,
+      orig: java.util.ConcurrentModificationException): Seq[Long] = {
+    val claim = new HPath(versionDir(root, b + 1), ClaimFile)
+    val deadline = System.currentTimeMillis() + inflightWaitMs
+    var landed = versions(path).filter(_ > b)
+    while (landed.isEmpty && System.currentTimeMillis() < deadline) {
+      if (!fs.exists(claim)) {
+        // claim gone, nothing committed: the rival abandoned — but
+        // re-check for a publication that raced the claim removal
+        val last = versions(path).filter(_ > b)
+        if (last.isEmpty) return Nil
+        landed = last
+      } else {
+        Thread.sleep(50L)
+        landed = versions(path).filter(_ > b)
+      }
+    }
+    if (landed.isEmpty) throw orig
+    landed
+  }
+
   private def claimDisjoint(
       fs: FileSystem, root: HPath, path: String, base: Long,
-      touchedDirs: Set[String], inflightWaitMs: Long = 10000L): (Long, Long) = {
+      touchedDirs: Set[String]): (Long, Long) = {
     var b = base
     var rebases = 0
     while (rebases <= 64) { // a bound far above any plausible contention, not a policy knob
@@ -480,14 +516,9 @@ object Versioned {
         case e: java.util.ConcurrentModificationException =>
           // the rival holds the b+1 claim; give it the wait window to
           // publish (its data write is in flight) — a crashed rival
-          // times out and surfaces the conflict for recoverClaims
-          val deadline = System.currentTimeMillis() + inflightWaitMs
-          var landed = versions(path).filter(_ > b)
-          while (landed.isEmpty && System.currentTimeMillis() < deadline) {
-            Thread.sleep(50L)
-            landed = versions(path).filter(_ > b)
-          }
-          if (landed.isEmpty) throw e
+          // times out and surfaces the conflict for recoverClaims.
+          // An EMPTY result means the rival abandoned: re-claim b+1.
+          val landed = awaitRival(fs, root, path, b, e)
           for (w <- landed) {
             val dirs = changedPartDirs(fs, root, w).getOrElse(
               throw new java.util.ConcurrentModificationException(
@@ -499,12 +530,69 @@ object Versioned {
                 s"Versioned: concurrent commit v$w of $path touched overlapping " +
                   s"partition(s) ${overlap.mkString(", ")}. Re-read and retry.")
           }
-          b = landed.max
+          if (landed.nonEmpty) b = landed.max
           rebases += 1
       }
     }
     throw new java.util.ConcurrentModificationException(
       s"Versioned: gave up rebasing after 64 disjoint rivals on $path — livelock guard")
+  }
+
+  /** Claim for a PURE-ADD derived commit ([[appendCommit]] and friends):
+    * an append has no read set and removes nothing, so it commutes with
+    * ANY published rival — another append, a rewrite, a compaction
+    * checkpoint, a merge-on-read delete (version-sequencing keeps the
+    * appended rows out of its scope) — with ONE exception: a rival that
+    * changed the schema/column-id mapping. This append would republish
+    * its own schema with ids carried from the new head, silently
+    * reverting the rival's evolution (or dropping its new column), so a
+    * moved mapping conflicts loudly and the caller must recompute. When
+    * base+1 is taken, wait (bounded) for the in-flight rival to publish,
+    * compare the new head's recorded mapping (schema nullability-erased,
+    * ids exact) against `base`'s, and rebase when unchanged — concurrent
+    * same-schema appends, THE hot multi-feed ingestion path, all land
+    * with no retry loop and no data rewritten. A rival that never
+    * publishes inside the window (crashed claim) throws
+    * ConcurrentModificationException exactly as before. Returns
+    * (claimed version, the base actually derived from). */
+  private def claimAppend(
+      fs: FileSystem, root: HPath, path: String, base: Long,
+      schema: StructType): (Long, Long) = {
+    def mapping(v: Long): (Option[String], Map[String, Int]) = {
+      val m = readMeta(fs, root, v)
+      (m.get(SchemaKey).map(j => asNullable(DataType.fromJson(j)).json),
+        m.get(ColIdsKey).map(parseColIds).getOrElse(Map.empty))
+    }
+    // base==0: the rival CREATED the table; the id compare is vacuous
+    // (carry-by-name from an equal schema reuses the rival's ids), so
+    // only the schema must match what this append is about to publish
+    val want = if (base == 0L) None else Some(mapping(base))
+    var b = base
+    var rebases = 0
+    while (rebases <= 64) { // bound far above plausible contention, not a policy knob
+      try return (claimExact(fs, root, b), b)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // empty = the rival abandoned its claim: re-claim b+1 as-is
+          val landed = awaitRival(fs, root, path, b, e)
+          if (landed.nonEmpty) {
+            val head = landed.max
+            val got = mapping(head)
+            val ok = want match {
+              case Some(w) => got == w
+              case None    => got._1.contains(asNullable(schema).json)
+            }
+            if (!ok)
+              throw new java.util.ConcurrentModificationException(
+                s"Versioned: concurrent commit v$head of $path changed the schema/column-id " +
+                  "mapping — rebasing this append would republish the old one. Re-read and retry.")
+            b = head
+          }
+          rebases += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"Versioned: gave up rebasing after 64 rival appends on $path — livelock guard")
   }
 
   /** Operator-driven recovery of CRASHED derived commits: delete
@@ -933,7 +1021,10 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
-    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+    // lost-update guard narrowed for the pure-add shape: a rival that
+    // published under us (same schema mapping) is rebased over, so
+    // concurrent same-schema feeds land without serializing
+    val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     // O(delta) commit: only the fresh files are recorded; the base
     // manifest is never even read unless this commit folds a checkpoint.
@@ -944,7 +1035,7 @@ object Versioned {
     val adds =
       if (statsCols.isEmpty) local
       else withFileStats(df.sparkSession, root, local, statsCols)
-    publishDelta(fs, root, v, base,
+    publishDelta(fs, root, v, derivedBase,
       adds = adds, removes = Nil, schema = df.schema, meta = meta)
   }
 
@@ -975,50 +1066,74 @@ object Versioned {
     * a plain [[appendCommit]]) falls back to one walk over retained
     * versions' metadata and rebuilds the index into the new commit. The
     * index is written atomically with the data under the `_committed`
-    * marker, and the commit claims exactly base+1, so a rival landing
-    * between the index read and the claim fails loudly instead of
-    * publishing a stale index.
+    * marker; a rival landing between the index read and the claim is
+    * handled by [[claimAppend]]'s rebase, which re-reads the index at
+    * the version actually derived from — so the published index always
+    * carries every rival's ids, and a concurrently replayed id is
+    * detected there (the claim is abandoned, the rival's version
+    * returned: exactly-once survives the rebase).
     *
     * The index grows O(#batches) bytes of metadata; a production
     * deployment bounds it to a replay-horizon window (the engine can
     * only replay the last unacknowledged batch), which this
     * implementation keeps whole for auditability at test scale. */
+  /** The applied-batch-id index as of version `at` (empty for an empty
+    * table). O(1) when `at`'s commit carries the index; a legacy/mixed
+    * history — one whose head predates the index or was written by a
+    * plain [[appendCommit]] — costs one walk, after which the next
+    * Once-commit rebuilds the index into its own `_meta`. The walk
+    * lists version dirs DIRECTLY rather than via versions(path): a
+    * file-GC'd (_gc-tombstoned) dir is hidden from versions() but its
+    * _meta survives per-file GC, and an id recorded only there must
+    * stay visible or a replayed batch would double-commit (r6 ADVICE). */
+  private def batchIndexAt(fs: FileSystem, root: HPath, at: Long): Map[String, Long] =
+    if (at == 0L) Map.empty
+    else readMeta(fs, root, at).get(BatchIdxKey) match {
+      case Some(s) => parseIdx(s) // O(1): the latest commit carries the whole index
+      case None =>
+        fs.listStatus(root).toSeq
+          .flatMap(st => parseVersion(st.getPath.getName))
+          .filter(v => fs.exists(new HPath(versionDir(root, v), CommittedFile)))
+          .sorted
+          .flatMap { v =>
+            val m = readMeta(fs, root, v)
+            m.get(BatchIdxKey).map(parseIdx).getOrElse(Map.empty) ++
+              m.get(BatchKey).map(_ -> v).toMap
+          }.toMap
+    }
+
   def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long = {
     require(!batchId.contains(",") && !batchId.contains(":") && !batchId.contains("\n"),
       s"Versioned.appendCommitOnce: batch id may not contain ',', ':' or newline: '$batchId'")
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
-    val idx: Map[String, Long] =
-      if (base == 0L) Map.empty
-      else readMeta(fs, root, base).get(BatchIdxKey) match {
-        case Some(s) => parseIdx(s) // O(1): the latest commit carries the whole index
-        case None =>
-          // legacy/mixed history: one walk, then the index is rebuilt.
-          // The walk lists version dirs DIRECTLY rather than via
-          // versions(path): a file-GC'd (_gc-tombstoned) dir is hidden
-          // from versions() but its _meta survives per-file GC, and an
-          // id recorded only there must stay visible or a replayed
-          // batch would double-commit (r6 ADVICE).
-          fs.listStatus(root).toSeq
-            .flatMap(st => parseVersion(st.getPath.getName))
-            .filter(v => fs.exists(new HPath(versionDir(root, v), CommittedFile)))
-            .sorted
-            .flatMap { v =>
-              val m = readMeta(fs, root, v)
-              m.get(BatchIdxKey).map(parseIdx).getOrElse(Map.empty) ++
-                m.get(BatchKey).map(_ -> v).toMap
-            }.toMap
-      }
+    val idx = batchIndexAt(fs, root, base)
     idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
       case None =>
-        val v = claimExact(fs, root, base) // derived from base: lost-update guard
-        df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-        publishDelta(fs, root, v, base,
-          adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
-          schema = df.schema,
-          meta = Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx + (batchId -> v))))
+        val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
+        // a rebase means rivals landed between the index read and the
+        // claim — re-read the index AT THE DERIVED BASE before writing:
+        // one of them may have been THIS batch replayed concurrently,
+        // and the published index must carry every rival's ids forward
+        // (an index that rebased without re-reading would erase them)
+        val idx2 = if (derivedBase == base) idx else batchIndexAt(fs, root, derivedBase)
+        idx2.get(batchId) match {
+          case Some(existing) =>
+            // abandon: remove ONLY the claim marker — deleting the dir
+            // would race a contender's mkdirs inside its own claim
+            // attempt. The empty slot is claimable again, and waiters
+            // on this claim observe the abandon and re-claim.
+            fs.delete(new HPath(versionDir(root, v), ClaimFile), false)
+            existing
+          case None =>
+            df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+            publishDelta(fs, root, v, derivedBase,
+              adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
+              schema = df.schema,
+              meta = Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx2 + (batchId -> v))))
+        }
     }
   }
 

@@ -12,6 +12,14 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     p.toString
   }
 
+  /** Run `body` with the rebase wait window shrunk: tests that stage a
+    * CRASHED claim (one that never publishes) should not pay the full
+    * production in-flight wait before the conflict surfaces. */
+  private def withShortInflightWait[T](body: => T): T = {
+    sys.props("graft.versioned.inflightWaitMs") = "250"
+    try body finally sys.props.remove("graft.versioned.inflightWaitMs")
+  }
+
   test("commit/read round trip; versions increment; upsert merges by key") {
     import spark.implicits._
     val path = freshDir("versioned_rt")
@@ -53,12 +61,15 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val path = freshDir("versioned_conflict")
     Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
-    // rival writer (or crashed attempt) holds the base+1 slot
+    // rival writer (or crashed attempt) holds the base+1 slot — it never
+    // publishes, so even the append's rebase path must time out and throw
     val v2dir = Paths.get(path, "v00002")
     Files.createDirectories(v2dir)
     Files.createFile(v2dir.resolve("_claim"))
-    intercept[java.util.ConcurrentModificationException](
-      Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path))
+    withShortInflightWait {
+      intercept[java.util.ConcurrentModificationException](
+        Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path))
+    }
     intercept[java.util.ConcurrentModificationException](
       Versioned.upsert(spark, path, Seq((1L, "x")).toDF("k", "v"), "k"))
     assert(Versioned.versions(path) == Seq(1L), "a losing derived commit must publish nothing")
@@ -68,28 +79,88 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.read(spark, path).count() == 2)
   }
 
-  test("concurrent derived commits: one winner PER BASE, losers error, no lost update") {
+  test("concurrent same-schema appends ALL land via rebase — no losers, no lost update") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val path = freshDir("versioned_lostupdate")
     Versioned.commit(Seq((0L, "base")).toDF("k", "v"), path)
-    // The guarantee is one winner per BASE, not per test run: a future
-    // scheduled after an earlier winner's commit legitimately reads the
-    // NEW base and also wins. The invariant that can never break is that
-    // every winner's rows survive into the final snapshot — appends are
-    // cumulative, so final count = 1 base row + one row per winner.
+    // a pure add has no read set and removes nothing, so the claim loser
+    // waits for the rival to publish and rebases onto it (the schema/id
+    // mapping is unchanged) — every contender must land, every row must
+    // survive, and no two may share a version
     val results = Await.result(Future.sequence((1 to 4).map { i =>
       Future(
         try Right(Versioned.appendCommit(Seq((i.toLong, s"w$i")).toDF("k", "v"), path))
         catch { case e: java.util.ConcurrentModificationException => Left(e) })
     }), 120.seconds)
     val wins = results.collect { case Right(v) => v }
-    assert(wins.nonEmpty && wins.distinct.size == wins.size,
-      s"winners must hold distinct versions: $results")
-    assert(Versioned.read(spark, path).count() == 1 + wins.size,
-      s"a winning append's rows were lost: ${results}")
+    assert(wins.size == 4, s"a contending append failed instead of rebasing: $results")
+    assert(wins.distinct.size == 4, s"two appends shared a version: $results")
+    assert(Versioned.read(spark, path).count() == 5,
+      s"an append's rows were lost in the rebase: ${results}")
+    assert(Versioned.versions(path) == (1L to 5L),
+      s"rebased appends must land consecutively: ${Versioned.versions(path)}")
+  }
+
+  test("appendCommitOnce raced with ITSELF commits exactly once; rebases keep rival batch ids") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_once_race")
+    Versioned.commit(Seq((0L, "base")).toDF("k", "v"), path)
+    // 2 replicas × 3 distinct batches, all concurrent: the exactly-once
+    // contract is per batch id — a replica that loses the claim race
+    // rebases, re-reads the index at the derived base, and must find its
+    // twin's commit there instead of double-committing the batch
+    val results = Await.result(Future.sequence((1 to 6).map { i =>
+      val batch = s"b${(i - 1) % 3}"
+      Future(batch -> Versioned.appendCommitOnce(
+        Seq((i.toLong, batch)).toDF("k", "v"), path, batch))
+    }), 120.seconds)
+    val byBatch = results.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byBatch.forall(_._2.size == 1),
+      s"a replayed batch id landed under two versions: $results")
+    assert(Versioned.read(spark, path).count() == 1 + 3,
+      "a batch double-committed (or a winner's rows were lost)")
+    // and the final index carries all three ids — a rebase that dropped
+    // a rival's id would let a later replay of it double-commit
+    val head = Versioned.currentVersion(path).get
+    val replay = Versioned.appendCommitOnce(Seq((99L, "b0")).toDF("k", "v"), path, "b0")
+    assert(replay == byBatch("b0").head && Versioned.currentVersion(path).get == head,
+      "a post-race replay re-committed: the rebased index lost the rival's batch id")
+  }
+
+  test("an append never rebases over a rival that moved the schema/column-id mapping") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_append_schema_conflict")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+    // stage the race: the v2 slot is claimed (in-flight rival), the
+    // append starts waiting on it, and THEN the rival publishes as a
+    // schema evolution — a rename landing mid-wait. The waiter must
+    // refuse to rebase: republishing its own (k, v) mapping on top
+    // would silently revert the rival's rename.
+    val v2dir = Paths.get(path, "v00002")
+    Files.createDirectories(v2dir)
+    Files.createFile(v2dir.resolve("_claim"))
+    val waiter = Future(
+      try Left(Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path))
+      catch { case e: java.util.ConcurrentModificationException => Right(e.getMessage) })
+    Thread.sleep(2000) // the append has read base=1 and is waiting on the claim
+    Files.write(v2dir.resolve("_delta"), "base\t1".getBytes("UTF-8"))
+    val rivalSchema = Seq((1L, "a")).toDF("k", "label").schema.json
+    Files.write(v2dir.resolve("_meta"),
+      s"graft.schema\t$rivalSchema\ngraft.colIds\tk:1,label:2\ngraft.chainLen\t1".getBytes("UTF-8"))
+    Files.createFile(v2dir.resolve("_committed"))
+    val got = Await.result(waiter, 60.seconds)
+    assert(got.isRight && got.toOption.get.contains("mapping"),
+      s"the append should have conflicted on the moved mapping: $got")
+    assert(Versioned.versions(path) == Seq(1L, 2L), "the losing append must publish nothing")
   }
 
   test("a merge-on-read delete keyed on a missing column is rejected before committing") {
@@ -749,15 +820,18 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(got.distinct.size == 5, s"two retried appends shared a version: $got")
     assert(Versioned.read(spark, path).count() == 6,
       "a retried append's rows were lost — the retry republished a stale base")
-    // exhausted attempts rethrow the conflict instead of spinning
+    // exhausted attempts rethrow the conflict instead of spinning (the
+    // staged claim never publishes, so every attempt's rebase times out)
     val blocked = freshDir("versioned_retry_blocked")
     Versioned.commit(Seq((1L, "a")).toDF("k", "v"), blocked)
     Files.createDirectories(Paths.get(blocked, "v00002"))
     Files.createFile(Paths.get(blocked, "v00002", "_claim"))
-    intercept[java.util.ConcurrentModificationException](
-      Versioned.retryDerived(maxAttempts = 2, backoffMs = 1L) {
-        Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), blocked)
-      })
+    withShortInflightWait {
+      intercept[java.util.ConcurrentModificationException](
+        Versioned.retryDerived(maxAttempts = 2, backoffMs = 1L) {
+          Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), blocked)
+        })
+    }
   }
 
   test("per-file vacuum reclaims superseded files inside still-referenced dirs") {
