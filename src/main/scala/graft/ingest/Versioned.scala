@@ -748,6 +748,29 @@ object Versioned {
     currentVersion(path).flatMap(v => metaSchema(fs, root, v))
   }
 
+  /** One version's recorded schema (the batch connector resolves each
+    * owning version with this to decide whether the identity-mapping
+    * fast path is sound). None for pre-schema-meta history. */
+  def schemaAt(path: String, version: Long): Option[StructType] = {
+    val (fs, root) = Writers.fsFor(path)
+    metaSchema(fs, root, version)
+  }
+
+  /** One version's stable column-id map (empty for pre-id history) —
+    * the schema-evolution identity readers compare before treating two
+    * versions' files as byte-compatible. */
+  def columnIds(path: String, version: Long): Map[String, Int] = {
+    val (fs, root) = Writers.fsFor(path)
+    colIdsOf(fs, root, version)
+  }
+
+  /** Nullability-erased copy of a schema — the equivalence the
+    * single-scan fast path (and the external batch connector) compare
+    * under: an in-memory frame and its parquet round-trip describe the
+    * same files. */
+  def nullabilityErased(schema: StructType): StructType =
+    asNullable(schema).asInstanceOf[StructType]
+
   /** Materialize a set of manifest entries.
     *
     * FAST PATH (bounds reader-plan growth on long append histories — r5

@@ -1248,10 +1248,103 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S28: the BATCH CONNECTOR — `spark.read.format("graft-versioned")`.
+    * s24 proved manifest-stats skipping through the library call
+    * ([[graft.ingest.Versioned.readSkipping]], caller names the column);
+    * here the same two-layer skip happens inside CATALYST: a plain
+    * `.filter` on the connector frame splits into the scan's
+    * dataFilters, the [[org.apache.spark.sql.graft.VersionedFileIndex]]
+    * folds them to per-column bounds and drops whole files at
+    * `listFiles` time, and the surviving files still carry the
+    * attribute predicate into parquet row-group stats (`require`d via
+    * PushedFilters). At 100 TB this is the difference between "fast if
+    * you call the special API" and "fast for every query": BI tools,
+    * SQL, and joins all plan through the same FileIndex. */
+  val s28BatchConnector = QueryDef(
+    "s28_batch_connector",
+    (s, d) => {
+      val path = tmp("s28_conn", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      V.commitClustered(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day")),
+        path, clusterCol = "o_day", nFiles = 12)
+      val df = s.read.format("graft-versioned").load(path)
+        .filter(col("o_day") >= "1995-06-01" && col("o_day") <= "1995-12-31")
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(throw new IllegalStateException("s28: connector must plan a FileSourceScanExec"))
+      val planned = scan.selectedPartitions.totalNumberOfFiles
+      require(planned > 0 && planned < 12,
+        s"s28: Catalyst dataFilters must skip whole files at the manifest ($planned of 12 planned)")
+      require(scan.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+        "s28: the exact predicate must still push into parquet row groups below the index")
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-12-31'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
+  /** S29: connector PARTITION pruning — the Hive `k=v` layout recorded
+    * in the manifest becomes a real Catalyst partitionSchema, so an
+    * equality filter on the partition column classifies as a
+    * partitionFilter and unselected directories are never listed, never
+    * opened (`require`d: exactly one of three partitions planned). The
+    * partition column's TYPE comes from the commit's recorded schema,
+    * not re-inference — the same drift guard the library read path
+    * carries. */
+  val s29PartitionedConnector = QueryDef(
+    "s29_partitioned_connector",
+    (s, d) => {
+      val path = tmp("s29_conn", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      V.commitPartitioned(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+        path, "o_orderstatus")
+      val nParts = V.manifest(path, 1L).map(_.partDir).distinct.size
+      val df = s.read.format("graft-versioned").load(path).filter(col("o_orderstatus") === "F")
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(throw new IllegalStateException("s29: connector must plan a FileSourceScanExec"))
+      require(scan.partitionFilters.nonEmpty,
+        "s29: o_orderstatus = 'F' must classify as a partition filter")
+      require(scan.selectedPartitions.partitionCount == 1 && nParts == 3,
+        s"s29: exactly 1 of $nParts partition dirs may be planned")
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_cust,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
-    s27ColumnMapping)
+    s27ColumnMapping, s28BatchConnector, s29PartitionedConnector)
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.streaming.{
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a [[graft.ingest.Versioned]] table — the read
@@ -172,9 +172,71 @@ object StreamIntrospect {
   * (numeric columns numerically, everything else as the canonical
   * string encodings). Pruning drops IO, not rows the consumer's own
   * filter wouldn't drop — files without stats always stream. */
-class VersionedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedSourceProvider extends StreamSourceProvider with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  /** Batch read: `spark.read.format("graft-versioned").load(tbl)` —
+    * resolves one committed snapshot (current, `versionAsOf`, or
+    * `timestampAsOf`) into a [[HadoopFsRelation]] whose
+    * [[VersionedFileIndex]] serves partition pruning and manifest-stats
+    * file skipping inside Catalyst planning, with Spark's vectorized
+    * parquet reader (and its row-group pushdown) unchanged below.
+    *
+    * Served losslessly only when every owning version maps to the
+    * target schema by IDENTITY (nullability erased, same column ids)
+    * and no merge-on-read debt is outstanding — the shapes where a file
+    * list IS the snapshot. Anything needing per-version alignment
+    * (renames over unrewritten files, MoR deletes) fails loudly toward
+    * [[graft.ingest.Versioned.read]], which serves them all. */
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val version: Long = opt("versionAsOf").map(_.toLong)
+      .orElse(opt("timestampAsOf").map { ts =>
+        val ms = java.sql.Timestamp.valueOf(ts).getTime
+        Versioned.versionAsOf(path, ms).getOrElse(throw new IllegalArgumentException(
+          s"graft-versioned: no version of $path committed at or before $ts"))
+      })
+      .getOrElse(Versioned.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"graft-versioned: no committed version under $path")))
+    val entries = Versioned.manifest(path, version)
+    require(entries.forall(_.kind == Versioned.KindData),
+      s"graft-versioned: $path@v$version has outstanding merge-on-read deletes — " +
+        "run compactDeletes first, or use Versioned.read which applies them")
+    val schema = Versioned.schemaAt(path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-versioned: $path@v$version predates schema metadata — use Versioned.read"))
+    val ids = Versioned.columnIds(path, version)
+    val erasedTarget = Versioned.nullabilityErased(schema).json
+    val owners = entries.map(e => e.relPath.takeWhile(_ != '/').drop(1).toLong).distinct
+    owners.foreach { w =>
+      val ok = Versioned.schemaAt(path, w)
+        .exists(s => Versioned.nullabilityErased(s).json == erasedTarget) &&
+        Versioned.columnIds(path, w) == ids
+      require(ok, s"graft-versioned: $path@v$version spans a schema evolution " +
+        s"(owning version $w differs) — use Versioned.read, which aligns through column ids")
+    }
+    val partCols: Seq[String] =
+      entries.find(_.partDir.nonEmpty).map(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+        .getOrElse(Seq.empty)
+    require(entries.forall(e =>
+      e.partDir.split("/").toSeq.filter(_.nonEmpty).map(_.takeWhile(_ != '=')) ==
+        (if (entries.exists(_.partDir.nonEmpty)) partCols else Seq.empty)),
+      s"graft-versioned: $path@v$version mixes partition layouts — use Versioned.read")
+    val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
+    val index = new VersionedFileIndex(spark, path, version, entries, schema, partCols)
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

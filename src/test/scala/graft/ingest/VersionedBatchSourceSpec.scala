@@ -1,0 +1,114 @@
+package graft.ingest
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VersionedFileIndex
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batch half of the graft-versioned connector: a Catalyst FileIndex
+  * over one committed snapshot, pruning on partition values and manifest
+  * file stats during planning. */
+class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(name: String): String = {
+    val p = s"/tmp/graft-test/batchsource/$name"
+    Writers.deleteTree(p)
+    p
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+
+  test("stats pruning: a range filter drops whole files at planning, result exact") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("stats")
+    val src = (1L to 4000L).map(i => (i, s"r$i", i % 7)).toDF("k", "s", "m")
+    Versioned.commitClustered(src, path, clusterCol = "k", nFiles = 10)
+
+    val df = s.read.format("graft-versioned").load(path).filter($"k" >= 500L && $"k" <= 900L)
+    val scan = scanOf(df)
+    val planned = scan.selectedPartitions.totalNumberOfFiles
+    assert(planned > 0 && planned < 10, s"expected pruning, planned $planned of 10")
+    assert(VersionedFileIndex.lastPlanned(path).exists { case (kept, total) =>
+      kept == planned && total == 10 })
+    // parquet pushdown survives below the index
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual"))
+    assert(df.agg(count(lit(1)), sum($"k")).as[(Long, Long)].head() ==
+      ((401L, (500L to 900L).sum)))
+  }
+
+  test("equality and one-sided filters prune; files without stats always survive") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("nostats")
+    Versioned.commitClustered(
+      (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v"), path, clusterCol = "k", nFiles = 5)
+    // an append WITHOUT statsCols: its file must never be skipped
+    Versioned.appendCommit((5000L to 5100L).map(i => (i, i * 2)).toDF("k", "v"), path)
+
+    val all = Versioned.manifest(path, 2L)
+    val statless = all.count(_.stats.isEmpty)
+    assert(statless >= 1, "the plain append must carry no stats")
+
+    val eq = s.read.format("graft-versioned").load(path).filter($"k" === 42L)
+    eq.collect()
+    val (keptEq, totalEq) = VersionedFileIndex.lastPlanned(path).get
+    assert(totalEq == all.size && keptEq == 1 + statless,
+      s"equality should keep 1 stats file + every stats-less file, got $keptEq/$totalEq")
+    assert(eq.count() == 1)
+
+    val oneSided = s.read.format("graft-versioned").load(path).filter($"k" > 900L)
+    assert(oneSided.as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((901L to 1000L) ++ (5000L to 5100L)))
+    val (kept1, _) = VersionedFileIndex.lastPlanned(path).get
+    assert(kept1 < all.size, "one-sided numeric bound should still prune clustered files")
+  }
+
+  test("partition pruning: only the filtered k=v directory's files are planned") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("parts")
+    val src = (1L to 300L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3), i * 10)).toDF("id", "grp", "v")
+    Versioned.commitPartitioned(src, path, "grp")
+
+    val df = s.read.format("graft-versioned").load(path).filter($"grp" === "b")
+    val scan = scanOf(df)
+    assert(scan.partitionFilters.nonEmpty, "grp = 'b' must classify as a partition filter")
+    assert(scan.selectedPartitions.partitionCount == 1)
+    val got = df.select($"id", $"grp", $"v").as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = src.filter($"grp" === "b").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("versionAsOf pins a snapshot; MoR debt and schema evolution are refused") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("travel")
+    Versioned.commit((1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"), path)
+    Versioned.appendCommit((11L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), path)
+
+    val v1 = s.read.format("graft-versioned").option("versionAsOf", "1").load(path)
+    assert(v1.count() == 10)
+    assert(s.read.format("graft-versioned").load(path).count() == 20)
+
+    Versioned.deleteMergeOnRead(s, path, (1L to 3L).toDF("k"), "k")
+    val mor = intercept[IllegalArgumentException] {
+      s.read.format("graft-versioned").load(path).collect()
+    }
+    assert(mor.getMessage.contains("merge-on-read"))
+    // pinned below the MoR commit still serves
+    assert(s.read.format("graft-versioned").option("versionAsOf", "2").load(path).count() == 20)
+
+    val evo = tmp("evolved")
+    Versioned.commit((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"), evo)
+    Versioned.renameColumn(evo, "name", "title")
+    val e = intercept[IllegalArgumentException] {
+      s.read.format("graft-versioned").load(evo).collect()
+    }
+    assert(e.getMessage.contains("schema evolution"))
+  }
+}
