@@ -1341,10 +1341,65 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S30: the WRITE half of the connector + the SQL catalog surface.
+    * Every `df.write.format("graft-versioned")` mode lands through the
+    * manifest commit protocol: overwrite is a full snapshot, append is
+    * the O(delta) path, and `option("batchId", …)` makes the append
+    * idempotent — the replay in the middle of this entry MUST be a
+    * no-op (`require`d on the version number), which is the
+    * exactly-once contract a restarted ETL job needs. The SQL half
+    * registers the table with `CREATE TABLE … USING` and proves a raw
+    * `INSERT INTO` — which would drop files no manifest records — is
+    * refused before anything is staged. The final aggregate reads back
+    * through the connector's pruning FileIndex. */
+  val s30ConnectorWrite = QueryDef(
+    "s30_connector_write",
+    (s, d) => {
+      val path = tmp("s30_conn", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      val cut = lit("1995-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      li.filter(col("l_shipdate") < cut)
+        .write.format("graft-versioned").mode("overwrite").save(path)
+      val tail = li.filter(col("l_shipdate") >= cut && col("l_shipdate") < hi)
+      tail.write.format("graft-versioned").mode("append").option("batchId", "y1995").save(path)
+      tail.write.format("graft-versioned").mode("append").option("batchId", "y1995").save(path)
+      require(V.currentVersion(path).contains(2L),
+        "s30: the replayed batchId append must be a no-op")
+      s.sql("DROP TABLE IF EXISTS graft_s30")
+      s.sql(s"CREATE TABLE graft_s30 USING `graft-versioned` OPTIONS (path '$path')")
+      val refused =
+        try { s.sql("INSERT INTO graft_s30 VALUES (0, 'N', 0.0, 0.0, TIMESTAMP'1995-06-01 00:00:00')"); false }
+        catch { case _: Exception => true }
+      require(refused, "s30: INSERT INTO bypassing the manifest must be refused")
+      val back = s.read.format("graft-versioned").load(path)
+      require(s.sql("SELECT count(*) FROM graft_s30").head().getLong(0) == back.count(),
+        "s30: the catalog table and the connector frame must serve the same snapshot")
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          unscale(sum(cents("l_quantity")), 2).as("sum_qty"),
+          unscale(sum(cents("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        count(*) AS n_items,
+        sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
-    s27ColumnMapping, s28BatchConnector, s29PartitionedConnector)
+    s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite)
 }

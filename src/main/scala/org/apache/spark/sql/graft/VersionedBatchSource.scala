@@ -211,6 +211,28 @@ final class VersionedFileIndex(
   }
 }
 
+/** The [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]]
+  * the connector's relations read through, with the WRITE half removed:
+  * a SQL `INSERT INTO` over a `graft-versioned` catalog table would
+  * otherwise plan `InsertIntoHadoopFsRelationCommand` and drop parquet
+  * files straight into the table root — files no manifest records, so
+  * every subsequent read silently ignores them (data loss from the
+  * writer's point of view). `prepareWrite` runs before the committer
+  * touches the filesystem, so the refusal lands with nothing staged.
+  * Manifest-protocol writes go through
+  * `df.write.format("graft-versioned")` or the `Versioned` API. */
+final class VersionedReadOnlyParquetFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft-versioned: INSERT INTO would write files the manifest never records — " +
+        "write through df.write.format(\"graft-versioned\") or graft.ingest.Versioned instead")
+}
+
 object VersionedFileIndex {
   /** Last (files planned, files total) per table — the observable the
     * connector specs and registry entries `require` pruning through

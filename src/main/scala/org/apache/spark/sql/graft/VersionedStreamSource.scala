@@ -8,14 +8,16 @@
 package org.apache.spark.sql.graft
 
 import graft.ingest.Versioned
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.read.streaming.{
   Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{DataSource, DataSourceUtils, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a [[graft.ingest.Versioned]] table — the read
@@ -172,7 +174,8 @@ object StreamIntrospect {
   * (numeric columns numerically, everything else as the canonical
   * string encodings). Pruning drops IO, not rows the consumer's own
   * filter wouldn't drop — files without stats always stream. */
-class VersionedSourceProvider extends StreamSourceProvider with RelationProvider with DataSourceRegister {
+class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -234,8 +237,73 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      fileFormat = new VersionedReadOnlyParquetFormat,
       options = Map.empty)(spark)
+  }
+
+  /** Batch write: `df.write.format("graft-versioned").mode(...)
+    * .save(tbl)` — every mode lands through the MANIFEST COMMIT
+    * PROTOCOL, never by dropping files into a directory:
+    *
+    *  - `overwrite` (and first write in any mode) → a full snapshot
+    *    commit; `.partitionBy(cols)` → `commitPartitioned` with the
+    *    Hive layout the MERGE/pruning paths expect;
+    *  - `append` → `appendCommit`, the O(delta) path — concurrent
+    *    same-schema appends rebase instead of serializing. An
+    *    `option("batchId", id)` upgrades it to the idempotent
+    *    `appendCommitOnce` (a replayed job is a no-op, the
+    *    exactly-once contract streaming sinks rely on);
+    *    `option("statsCols", "a,b")` records per-file min/max for the
+    *    new files so filtered readers skip them;
+    *  - `errorifexists` / `ignore` keep their SaveMode contracts
+    *    against the table's COMMITTED existence (a concurrently-racing
+    *    first commit is still arbitrated by the `_claim` protocol).
+    *
+    * `.partitionBy` with append is refused: appends add an
+    * unpartitioned delta, and mixing layouts under one snapshot would
+    * push every reader off the partition-pruned fast path — the
+    * partition-preserving merge is `Versioned.upsertPartitioned`. */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val partCols: Seq[String] =
+      opt(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+        .map(DataSourceUtils.decodePartitioningColumns).getOrElse(Seq.empty)
+    val statsCols: Seq[String] =
+      opt("statsCols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = Versioned.currentVersion(path).isDefined
+    def fullCommit(): Unit =
+      if (partCols.nonEmpty) Versioned.commitPartitioned(data, path, partCols: _*)
+      else Versioned.commit(data, path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"graft-versioned: $path already has a committed version (mode=errorifexists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        require(partCols.isEmpty,
+          "graft-versioned: partitionBy+append would mix layouts under one snapshot — " +
+            "use Versioned.upsertPartitioned for partition-preserving merges")
+        opt("batchId") match {
+          case Some(id) => Versioned.appendCommitOnce(data, path, id)
+          case None     => Versioned.appendCommit(data, path, statsCols = statsCols)
+        }
+      case _ => fullCommit()
+    }
+    // Hand back the read relation so Spark's cache invalidation sees the
+    // table; a snapshot the strict batch reader refuses (e.g. appending
+    // onto merge-on-read debt is legal) degrades to a schema-only stub.
+    try createRelation(sqlContext, parameters) catch {
+      case _: RuntimeException =>
+        val ctx = sqlContext
+        new BaseRelation {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = data.schema
+        }
+    }
   }
 
   private def pathOf(parameters: Map[String, String]): String =

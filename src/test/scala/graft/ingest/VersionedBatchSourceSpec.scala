@@ -84,6 +84,83 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("write connector: every mode commits through the manifest protocol") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("write")
+
+    (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft-versioned").mode("overwrite").save(path)
+    assert(Versioned.currentVersion(path).contains(1L))
+
+    (101L to 150L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft-versioned").mode("append").option("batchId", "b1").save(path)
+    assert(Versioned.currentVersion(path).contains(2L))
+    // replayed batch id: the write must be a no-op, not a duplicate
+    (101L to 150L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft-versioned").mode("append").option("batchId", "b1").save(path)
+    assert(Versioned.currentVersion(path).contains(2L), "replayed batchId must not commit")
+    assert(s.read.format("graft-versioned").load(path).count() == 150L)
+
+    // statsCols on append: the fresh files carry min/max and prune
+    (5000L to 5999L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft-versioned").mode("append").option("statsCols", "k").save(path)
+    val probe = s.read.format("graft-versioned").load(path).filter($"k" >= 5500L)
+    assert(probe.count() == 500L)
+
+    val err = intercept[IllegalArgumentException] {
+      (1L to 5L).map(i => (i, i)).toDF("k", "v")
+        .write.format("graft-versioned").mode("errorIfExists").save(path)
+    }
+    assert(err.getMessage.contains("already has a committed version"))
+    (1L to 5L).map(i => (i, i)).toDF("k", "v")
+      .write.format("graft-versioned").mode("ignore").save(path)
+    assert(Versioned.currentVersion(path).contains(3L), "ignore must not commit")
+  }
+
+  test("write connector: partitionBy lands the Hive layout; append refuses to mix") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("write_parts")
+    val src = (1L to 300L).map(i => (i, Seq("x", "y", "z")(i.toInt % 3), i * 10)).toDF("id", "grp", "v")
+    src.write.format("graft-versioned").mode("overwrite").partitionBy("grp").save(path)
+
+    val df = s.read.format("graft-versioned").load(path).filter($"grp" === "y")
+    val scan = scanOf(df)
+    assert(scan.partitionFilters.nonEmpty && scan.selectedPartitions.partitionCount == 1)
+    assert(df.count() == 100L)
+
+    val mix = intercept[Exception] {
+      src.write.format("graft-versioned").mode("append").partitionBy("grp").save(path)
+    }
+    assert(mix.getMessage.contains("mix layouts"))
+  }
+
+  test("SQL surface: CREATE TABLE USING serves reads; INSERT INTO is refused unstaged") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("sql")
+    (1L to 60L).map(i => (i, s"n$i")).toDF("k", "name")
+      .write.format("graft-versioned").mode("overwrite").save(path)
+
+    s.sql("DROP TABLE IF EXISTS graft_sql_tbl")
+    s.sql(s"CREATE TABLE graft_sql_tbl USING `graft-versioned` OPTIONS (path '$path')")
+    try {
+      assert(s.sql("SELECT count(*) FROM graft_sql_tbl WHERE k > 30").as[Long].head() == 30L)
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO graft_sql_tbl VALUES (999, 'rogue')")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => Option(c.getMessage).exists(_.contains("manifest never records"))),
+        s"INSERT must be refused by the read-only format, got: $e")
+      // the refusal staged nothing: the table still reads clean and whole
+      assert(s.sql("SELECT count(*) FROM graft_sql_tbl").as[Long].head() == 60L)
+      assert(Versioned.currentVersion(path).contains(1L))
+    } finally s.sql("DROP TABLE IF EXISTS graft_sql_tbl")
+  }
+
   test("versionAsOf pins a snapshot; MoR debt and schema evolution are refused") {
     val s = spark
     import s.implicits._
