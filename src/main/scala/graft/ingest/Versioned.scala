@@ -1125,7 +1125,9 @@ object Versioned {
           }.toMap
     }
 
-  def appendCommitOnce(df: DataFrame, path: String, batchId: String): Long = {
+  def appendCommitOnce(
+      df: DataFrame, path: String, batchId: String,
+      statsCols: Seq[String] = Nil): Long = {
     require(!batchId.contains(",") && !batchId.contains(":") && !batchId.contains("\n"),
       s"Versioned.appendCommitOnce: batch id may not contain ',', ':' or newline: '$batchId'")
     val (fs, root) = Writers.fsFor(path)
@@ -1152,8 +1154,12 @@ object Versioned {
             existing
           case None =>
             df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+            val local = localEntries(fs, root, v, partitioned = false)
+            val adds =
+              if (statsCols.isEmpty) local
+              else withFileStats(df.sparkSession, root, local, statsCols)
             publishDelta(fs, root, v, derivedBase,
-              adds = localEntries(fs, root, v, partitioned = false), removes = Nil,
+              adds = adds, removes = Nil,
               schema = df.schema,
               meta = Map(BatchKey -> batchId, BatchIdxKey -> renderIdx(idx2 + (batchId -> v))))
         }

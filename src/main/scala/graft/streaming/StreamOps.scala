@@ -797,7 +797,66 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T14: the NATIVE sink — stream_t10's landing pattern
+    * without the foreachBatch plumbing: `writeStream.format(
+    * "graft-versioned")` gives every pipeline the idempotent
+    * manifest-commit sink as a one-liner. Both exactly-once layers are
+    * re-proven through the connector surface (a checkpoint restart
+    * commits nothing; a replayed `sinkId#batchId` commits nothing), the
+    * sink's `statsCols` option records per-file min/max as each batch
+    * lands, and the readback goes through the BATCH connector — so one
+    * entry exercises write-stream → manifest → pruned batch read, all
+    * three through `format("graft-versioned")`. */
+  val streamConnectorSink = QueryDef(
+    "stream_t14_connector_sink",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t14", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("table").toString
+      val ckpt = base.resolve("ckpt").toString
+      val V = graft.ingest.Versioned
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = eventStream(s, d)
+          .select(col("event_id"), col("us").as("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .writeStream
+          .format("graft-versioned")
+          .option("path", tbl)
+          .option("sinkId", "t14")
+          .option("statsCols", "event_id")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val vFirst = V.currentVersion(tbl).getOrElse(
+        throw new IllegalStateException("t14: no version committed"))
+      runOnce() // engine layer: checkpoint restart re-commits nothing
+      require(V.currentVersion(tbl).contains(vFirst),
+        s"t14: restart from checkpoint re-committed (v$vFirst -> ${V.currentVersion(tbl)})")
+      // application layer: a replayed sink batch id must be a no-op
+      V.appendCommitOnce(V.read(s, tbl).limit(1), tbl, "t14#0")
+      require(V.currentVersion(tbl).contains(vFirst),
+        "t14: replayed sink batch id was committed twice — exactly-once broken")
+      require(V.manifest(tbl, vFirst).forall(_.stats.nonEmpty),
+        "t14: the sink's statsCols must ride every committed file")
+      s.read.format("graft-versioned").load(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
-    streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail)
+    streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
+    streamConnectorSink)
 }

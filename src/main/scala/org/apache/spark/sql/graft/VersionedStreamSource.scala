@@ -13,11 +13,12 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.read.streaming.{
   Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{DataSource, DataSourceUtils, LogicalRelation}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SOURCE over a [[graft.ingest.Versioned]] table — the read
@@ -175,7 +176,7 @@ object StreamIntrospect {
   * string encodings). Pruning drops IO, not rows the consumer's own
   * filter wouldn't drop — files without stats always stream. */
 class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -306,6 +307,45 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
     }
   }
 
+  /** Streaming SINK: `df.writeStream.format("graft-versioned")
+    * .option("path", tbl).start()` — each micro-batch lands as an
+    * idempotent [[Versioned.appendCommitOnce]] keyed by
+    * `<sinkId>#<batchId>`, so a batch replayed after a crash (committed,
+    * but the engine's checkpoint had not advanced) commits NOTHING
+    * twice: application-level exactly-once stacked on the engine's
+    * guarantee, and concurrent readers of the table only ever see whole
+    * committed snapshots. `sinkId` defaults from the checkpoint
+    * location — the stable identity of a restarted query — so two
+    * different queries appending to one table cannot collide on batch
+    * numbers. `option("statsCols", "a,b")` records per-file min/max on
+    * each micro-batch's files, which the streaming SOURCE's stats
+    * pruning and the batch connector's FileIndex both serve — a stream
+    * that tails this table skips files the filter excludes.
+    *
+    * Append output mode only: the table is an append-log here; update/
+    * complete semantics belong to the foreachBatch MERGE patterns
+    * (stream_t9/t11), where the key mapping is explicit. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink: only Append output mode lands an append-log ($outputMode given); " +
+        "use foreachBatch + Versioned.upsert for update semantics")
+    require(partitionColumns.isEmpty,
+      "graft-versioned sink: partitionBy is not supported — appends are unpartitioned deltas")
+    val sinkId = opt("sinkId")
+      .orElse(opt("checkpointLocation").map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
+      .getOrElse("sink")
+    val statsCols: Seq[String] =
+      opt("statsCols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new VersionedSink(path, sinkId, statsCols)
+  }
+
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException(
@@ -367,4 +407,25 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
       sqlContext.sparkSession.asInstanceOf[ClassicSession],
       path, resolved, ignoreChanges, startingVersion, maxVersions, statsFilter)
   }
+}
+
+/** The v1 [[Sink]] behind `writeStream.format("graft-versioned")`.
+  *
+  * `addBatch`'s DataFrame carries the micro-batch's INCREMENTAL plan
+  * with the streaming flag still set — a direct `.write` would be
+  * rejected, and every extra action would re-run the stateful plan. The
+  * sink re-wraps the executed rows (`queryExecution.toRdd`) as a batch
+  * frame, the same de-streaming every v1 table-format sink performs,
+  * then lands it through ONE idempotent manifest commit. */
+private[graft] class VersionedSink(
+    path: String, sinkId: String, statsCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession.asInstanceOf[ClassicSession]
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    Versioned.appendCommitOnce(batch, path, s"$sinkId#$batchId", statsCols = statsCols): Unit
+  }
+
+  override def toString: String = s"VersionedSink[$path]"
 }

@@ -193,4 +193,70 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(org.apache.spark.sql.graft.StreamIntrospect.lastBatchInputFiles(q2)
       .count(_.contains("/tbl/")) == 4)
   }
+
+  test("sink: writeStream.format lands micro-batches as idempotent manifest commits") {
+    import spark.implicits._
+    val base = freshDir("vsk_sink")
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    Versioned.appendCommit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), src)
+    Versioned.appendCommit(Seq((3L, 30L)).toDF("k", "v"), src)
+
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-versioned").option("path", src)
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream.format("graft-versioned")
+        .option("path", dst).option("sinkId", "t")
+        .option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    // two source versions, one per micro-batch → two sink commits
+    assert(Versioned.currentVersion(dst).contains(2L),
+      s"expected 2 sink commits, got ${Versioned.currentVersion(dst)}")
+    assert(Versioned.read(spark, dst).as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // engine layer: a checkpoint restart with no new data commits nothing
+    pump()
+    assert(Versioned.currentVersion(dst).contains(2L), "idle restart must not commit")
+
+    // application layer: a replayed (sinkId, batchId) pair is a no-op
+    // even with a non-empty frame — the crash-between-commit-and-
+    // checkpoint window streaming sinks must absorb
+    Versioned.appendCommitOnce(Seq((99L, 990L)).toDF("k", "v"), dst, "t#1")
+    assert(Versioned.currentVersion(dst).contains(2L),
+      "replayed sink batch id committed twice — exactly-once broken")
+
+    // statsCols rode through: every sink file carries k min/max, so a
+    // filtered batch read over dst prunes files at planning
+    assert(Versioned.manifest(dst, 2L).forall(_.stats.nonEmpty),
+      "sink files must carry the requested per-file stats")
+
+    // incremental: only the new source version lands on the next pump
+    Versioned.appendCommit(Seq((4L, 40L)).toDF("k", "v"), src)
+    pump()
+    assert(Versioned.currentVersion(dst).contains(3L))
+    assert(Versioned.read(spark, dst).count() == 4)
+  }
+
+  test("sink: update output mode and partitionBy are refused") {
+    import spark.implicits._
+    val base = freshDir("vsk_refuse")
+    val src = s"$base/src"
+    Versioned.appendCommit(Seq((1L, "a")).toDF("k", "v"), src)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-versioned").option("path", src).load()
+        .writeStream.format("graft-versioned")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("Append output mode")) ||
+      msgs(e).exists(_.contains("does not support Update")) ||
+      msgs(e).exists(_.contains("only Append")), s"unexpected refusal: ${msgs(e)}")
+  }
 }
