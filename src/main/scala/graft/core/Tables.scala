@@ -23,15 +23,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read unless `nanosAsLong` is set (runtime-settable; see FIXTURES.md).
-    * After the conf the column surfaces as LongType nanoseconds. DuckDB
-    * reads the same column as a microsecond TIMESTAMP (nanos truncated), so
-    * oracled queries must compare at microsecond precision:
-    * Spark `ts div 1000` == DuckDB `epoch_us(ts)`.
+  /** `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    * Spark `TimestampNTZType` (corpus regenerated 2026-08-13; earlier
+    * corpora wrote INT64 TIMESTAMP(NANOS), which Spark surfaced as a
+    * nanoseconds long under `nanosAsLong`). Every downstream operator and
+    * oracle was built on the nanos-long contract — Spark `ts div 1000` ==
+    * DuckDB `epoch_us(ts)` — so the loader re-surfaces `ts` as LongType
+    * epoch NANOSECONDS: the NTZ wall-clock is anchored at UTC (session
+    * zone pinned here, making the NTZ→TZ cast deterministic in any
+    * harness session) and scaled ×1000. DuckDB reads the same column as a
+    * naive microsecond TIMESTAMP, so the micros-precision compare is
+    * bit-identical to the old corpus (whose sub-micro digits DuckDB
+    * truncated anyway).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
   }
 }

@@ -24,22 +24,32 @@ import org.apache.spark.sql.types._
   */
 object StreamOps extends QueryModule {
 
+  /** Scratch-dir event files are written from [[Tables.events]] output, so
+    * `ts` is the loader-normalized LongType epoch nanoseconds. */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as nanos long (G2)
+    StructField("ts", LongType), // epoch nanos, as Tables.events surfaces it
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** File-source stream over the events table (S9), nanos→micros→timestamp. */
+  /** The driver corpus itself stores `ts` as TIMESTAMP(MICROS, NTZ) —
+    * raw-dir streams read that shape and re-normalize to nanos exactly
+    * like [[Tables.events]] (UTC-anchored NTZ→TZ cast ×1000). */
+  private val rawEventsSchema = StructType(
+    eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** File-source stream over the events table (S9), NTZ→nanos→micros→timestamp. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.readStream
-      .schema(eventsSchema)
+      .schema(rawEventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(d)
+      .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       .withColumn("us", expr("ts div 1000"))
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
   }
