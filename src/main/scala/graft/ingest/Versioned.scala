@@ -1522,6 +1522,54 @@ object Versioned {
     }
   }
 
+  /** Change data feed across a version WINDOW at per-commit granularity —
+    * the multi-version surface the `graft-versioned` connector's
+    * `readChangeFeed` option serves (Delta's CDF read shape). One row per
+    * changed key per commit, each carrying `commit_version` so a consumer
+    * can apply commits in order (or group by version, as stream_t11's
+    * loop does one call at a time).
+    *
+    * `fromV` is the FIRST version whose changes are included. When it is
+    * the table's oldest committed version the feed bootstraps: that
+    * snapshot's rows are emitted as `insert`s (Delta's startingVersion=0
+    * semantics) — the one intentionally O(snapshot) window. Every later
+    * version pairs with its committed PREDECESSOR through [[changes]],
+    * so append commits serve O(new files), merge-on-read deletes
+    * O(delete set), and only genuine rewrites pay a keyed diff.
+    *
+    * Feeds crossing an additive schema drift union by NAME: columns a
+    * version predates read NULL in its rows (and those rows carry
+    * `schema_change = true` from the underlying per-commit feed). The
+    * union plan is O(window length) on the driver — bounded by the same
+    * retention that keeps the window replayable at all. */
+  def changeFeed(spark: SparkSession, path: String, fromV: Long, toV: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV >= 1 && fromV <= toV,
+      s"changeFeed: need 1 <= fromV <= toV, got ($fromV, $toV)")
+    val all = versions(path)
+    val window = all.filter(v => v >= fromV && v <= toV)
+    require(window.nonEmpty,
+      s"changeFeed: no committed version of $path in [$fromV, $toV]")
+    val predecessor: Map[Long, Long] = all.zip(all.drop(1)).map(_.swap).toMap
+    val feeds = window.map { v =>
+      val feed = predecessor.get(v) match {
+        case Some(p) => changes(spark, path, p, v, key)
+        case None => // window starts at the oldest version: bootstrap inserts
+          val snap = readAt(spark, path, v)
+          require(snap.columns.contains(key),
+            s"changeFeed: key '$key' must exist in v$v of $path")
+          val others = snap.columns.filterNot(_ == key).sorted.toSeq
+          snap.select(col(key) +: lit("insert").as("change_type") +:
+            lit(false).as("schema_change") +: others.map(col): _*)
+      }
+      feed.withColumn("commit_version", lit(v))
+    }
+    val joined = feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+    // commit_version leads, images keep the per-commit alphabetical order
+    joined.select(col("commit_version") +:
+      joined.columns.filterNot(_ == "commit_version").map(col): _*)
+  }
+
   /** Full-snapshot MERGE: replace rows matching `key` with `updates`,
     * append the rest, commit as a new version. The whole table is
     * rewritten — correct for unpartitioned tables; partitioned tables

@@ -1396,10 +1396,83 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S31: CHANGE DATA FEED through the connector —
+    * `spark.read.format("graft-versioned").option("readChangeFeed",
+    * "true")` serves the whole history as one frame at per-commit
+    * granularity (Delta's CDF read surface): `commit_version` +
+    * `change_type` + the row image per changed key.
+    *
+    * The history exercises all three commit shapes a consumer must
+    * survive: v1 (bootstrap — the snapshot AS inserts, Delta's
+    * startingVersion=0 semantics), v2 (a full-snapshot MERGE → keyed
+    * diff: updates carry after-images, new keys are inserts), v3 (a
+    * merge-on-read DELETE → the feed is the before-images of exactly
+    * the deleted keys, served by the O(delete-set) fast path with zero
+    * data rewritten). A second windowed read (`startingVersion=2`)
+    * must equal the bootstrap feed's tail — the replay-from-checkpoint
+    * shape. Oracle reconstructs every image (including the
+    * update-then-delete key whose before-image must show the UPDATED
+    * segment) straight from `customer`. */
+  val s31ConnectorCdf = QueryDef(
+    "s31_connector_cdf",
+    (s, d) => {
+      val path = tmp("s31_cdf", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      V.commit(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")), path) // v1
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), concat(lit("NEW_"), col("c_mktsegment")).as("segment"))
+        .unionByName(
+          Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit("NEWCOMER").as("segment")))
+      V.upsert(s, path, updates, "c_custkey") // v2: rewrite → keyed diff
+      V.deleteMergeOnRead(s, path,
+        Tables.customer(s, d).filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        "c_custkey") // v3: MoR → before-images via the O(delete-set) path
+      def cdf(extra: (String, String)*) = {
+        val r = s.read.format("graft-versioned")
+          .option("readChangeFeed", "true").option("keyColumn", "c_custkey")
+        extra.foreach { case (k, v) => r.option(k, v) }
+        r.load(path)
+      }
+      val feed = cdf()
+      val tail = cdf("startingVersion" -> "2")
+      require(tail.count() == feed.filter(col("commit_version") >= 2L).count(),
+        "s31: the startingVersion window must equal the bootstrap feed's tail")
+      feed.select(col("commit_version"), col("change_type"), col("c_custkey"), col("segment"))
+        .orderBy("commit_version", "c_custkey")
+    },
+    Some("""
+      WITH feed AS (
+        SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+          c_custkey, c_mktsegment AS segment
+        FROM customer
+        UNION ALL
+        SELECT 2, 'update', c_custkey, 'NEW_' || c_mktsegment
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT 2, 'insert', c_custkey + 1000000, 'NEWCOMER'
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 3, 'delete', c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN 'NEW_' || c_mktsegment
+               ELSE c_mktsegment END
+        FROM customer WHERE c_custkey % 7 = 0
+      )
+      SELECT commit_version, change_type, c_custkey, segment
+      FROM feed
+      ORDER BY commit_version, c_custkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
-    s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite)
+    s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
+    s31ConnectorCdf)
 }

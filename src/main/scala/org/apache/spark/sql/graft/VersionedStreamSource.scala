@@ -192,12 +192,39 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
     * and no merge-on-read debt is outstanding — the shapes where a file
     * list IS the snapshot. Anything needing per-version alignment
     * (renames over unrewritten files, MoR deletes) fails loudly toward
-    * [[graft.ingest.Versioned.read]], which serves them all. */
+    * [[graft.ingest.Versioned.read]], which serves them all.
+    *
+    * `option("readChangeFeed", "true")` switches the read to the CDF
+    * surface instead: [[graft.ingest.Versioned.changeFeed]] over
+    * `startingVersion` (default: the oldest committed version, which
+    * bootstraps that snapshot as inserts — Delta's startingVersion=0
+    * shape) .. `endingVersion` (default: current), keyed on the
+    * mandatory `keyColumn` option (this format's CDF for rewrite
+    * commits is a keyed diff, not a logged file set). The feed frame is
+    * computed through the library API and served via a [[TableScan]] —
+    * feeds are O(changed rows), already far below scan-pruning size. */
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
     def opt(name: String): Option[String] =
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    if (opt("readChangeFeed").exists(_.toBoolean)) {
+      val key = opt("keyColumn").getOrElse(throw new IllegalArgumentException(
+        "graft-versioned CDF: option(\"keyColumn\", ...) is required — change rows " +
+          "for rewrite commits are a keyed snapshot diff"))
+      val cur = Versioned.currentVersion(path).getOrElse(throw new IllegalArgumentException(
+        s"graft-versioned: no committed version under $path"))
+      val from = opt("startingVersion").map(_.toLong)
+        .getOrElse(Versioned.versions(path).head)
+      val to = opt("endingVersion").map(_.toLong).getOrElse(cur)
+      val outer = sqlContext
+      val feed = Versioned.changeFeed(outer.sparkSession, path, from, to, key)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema: StructType = feed.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+      }
+    }
     val version: Long = opt("versionAsOf").map(_.toLong)
       .orElse(opt("timestampAsOf").map { ts =>
         val ms = java.sql.Timestamp.valueOf(ts).getTime

@@ -161,6 +161,49 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     } finally s.sql("DROP TABLE IF EXISTS graft_sql_tbl")
   }
 
+  test("readChangeFeed serves the per-commit history; windows and key are enforced") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("cdf")
+    Versioned.commit((1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"), path) // v1
+    Versioned.appendCommit((11L to 15L).map(i => (i, s"v$i")).toDF("k", "s"), path) // v2
+    Versioned.upsert(s, path, Seq((3L, "EDIT")).toDF("k", "s"), "k") // v3
+    Versioned.deleteMergeOnRead(s, path, Seq(4L, 11L).toDF("k"), "k") // v4
+
+    def feed(opts: (String, String)*) = {
+      val r = s.read.format("graft-versioned")
+        .option("readChangeFeed", "true").option("keyColumn", "k")
+      opts.foreach { case (n, v) => r.option(n, v) }
+      r.load(path).select($"commit_version", $"change_type", $"k", $"s")
+        .as[(Long, String, Long, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+    }
+
+    val full = feed()
+    assert(full.filter(_._1 == 1L) == (1L to 10L).map(i => (1L, "insert", i, s"v$i")),
+      "v1 must bootstrap as inserts")
+    assert(full.filter(_._1 == 2L) == (11L to 15L).map(i => (2L, "insert", i, s"v$i")),
+      "the append window's feed is exactly its new rows")
+    assert(full.filter(_._1 == 3L) == Seq((3L, "update", 3L, "EDIT")))
+    assert(full.filter(_._1 == 4L) ==
+      Seq((4L, "delete", 4L, "v4"), (4L, "delete", 11L, "v11")),
+      "MoR deletes must feed before-images of exactly the deleted keys")
+
+    // windowing: inclusive start and end, matching the full feed's slices
+    assert(feed("startingVersion" -> "3") == full.filter(_._1 >= 3L))
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "3") ==
+      full.filter(t => t._1 >= 2L && t._1 <= 3L))
+    // library API and connector serve the same frame
+    val lib = Versioned.changeFeed(s, path, 1L, 4L, "k")
+      .select($"commit_version", $"change_type", $"k", $"s")
+      .as[(Long, String, Long, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(lib == full)
+
+    val noKey = intercept[IllegalArgumentException] {
+      s.read.format("graft-versioned").option("readChangeFeed", "true").load(path)
+    }
+    assert(noKey.getMessage.contains("keyColumn"))
+  }
+
   test("versionAsOf pins a snapshot; MoR debt and schema evolution are refused") {
     val s = spark
     import s.implicits._
