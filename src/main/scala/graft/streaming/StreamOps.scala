@@ -865,8 +865,82 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T15: the CDF SOURCE — `readStream.format("graft-versioned")
+    * .option("readChangeFeed", "true")` streams a table's change feed at
+    * per-commit granularity with the ENGINE checkpointing the version
+    * offsets: stream_t11's materialized-view loop without the hand-rolled
+    * applied-watermark. The history crosses all three commit shapes
+    * (bootstrap snapshot → inserts; full-snapshot MERGE → keyed update
+    * diff; merge-on-read DELETE → before-images of exactly the deleted
+    * keys). Three checkpointed runs prove the contract: run 1 drains the
+    * backlog, an idle restart emits NOTHING, and after a maintenance
+    * commit the third run emits ONLY that version's feed — `require`d by
+    * sink counts between runs. Oracle reconstructs every change row from
+    * `events` (the delete images must show the UPDATED value, proving
+    * feeds sequence correctly across version boundaries). */
+  val streamCdfSource = QueryDef(
+    "stream_t15_cdf_source",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t15", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val V = graft.ingest.Versioned
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      V.commit(ev.filter(col("event_id") % 3 === 0), tbl) // v1: the snapshot
+      V.upsert(s, tbl, ev.filter(col("event_id") % 30 === 0)
+        .withColumn("event_type", lit("edited")), "event_id") // v2: keyed MERGE
+      def pump(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("graft-versioned")
+          .option("path", tbl)
+          .option("readChangeFeed", "true")
+          .option("keyColumn", "event_id")
+          .option("maxVersionsPerBatch", "1") // backlog in bounded batches
+          .load()
+          .select("commit_version", "change_type", "event_id", "event_type")
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pump() // run 1: v1 bootstrap inserts + v2's update diff
+      val afterFirst = s.read.parquet(sink).count()
+      pump() // run 2: idle — the engine's checkpoint owns the offsets
+      require(s.read.parquet(sink).count() == afterFirst,
+        "t15: an idle CDF tail re-emitted change rows")
+      V.deleteMergeOnRead(s, tbl,
+        ev.filter(col("event_id") % 60 === 0).select("event_id"), "event_id") // v3
+      pump() // run 3: ONLY v3's before-images may stream
+      val nDeleted = ev.filter(col("event_id") % 60 === 0).count()
+      require(s.read.parquet(sink).count() == afterFirst + nDeleted,
+        "t15: the incremental run must emit exactly the delete feed")
+      s.read.parquet(sink)
+        .select(col("commit_version"), col("change_type"), col("event_id"), col("event_type"))
+        .orderBy("commit_version", "event_id")
+    },
+    Some("""
+      WITH feed AS (
+        SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+          event_id, event_type
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT 2, 'update', event_id, 'edited'
+        FROM events WHERE event_id % 30 = 0
+        UNION ALL
+        SELECT 3, 'delete', event_id, 'edited'
+        FROM events WHERE event_id % 60 = 0
+      )
+      SELECT commit_version, change_type, event_id, event_type
+      FROM feed
+      ORDER BY commit_version, event_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
-    streamConnectorSink)
+    streamConnectorSink, streamCdfSource)
 }

@@ -62,6 +62,7 @@ class VersionedStreamSource(
     startingVersion: Option[Long],
     maxVersionsPerBatch: Option[Long],
     statsFilter: Option[(String, Any, Any)] = None,
+    cdfKey: Option[String] = None,
 ) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def getOffset: Option[OffsetV1] =
@@ -103,6 +104,23 @@ class VersionedStreamSource(
     // Delta's startingVersion contract; a checkpointed offset wins
     val from = start.map(versionOf).getOrElse(startingVersion.map(_ - 1L).getOrElse(0L))
     val to = versionOf(end)
+    if (cdfKey.isDefined) {
+      // CDF MODE: the micro-batch is the change feed of versions
+      // (from, to] — rewrites are served as keyed diffs rather than
+      // refused, merge-on-read deletes as before-images, appends as
+      // their new files; a fresh unwindowed stream bootstraps the
+      // oldest snapshot as inserts. Columns align to the schema pinned
+      // at stream start (a later additive drift reads NULL until the
+      // consumer restarts — the standard table-format stream contract).
+      import org.apache.spark.sql.functions.{col, lit}
+      val feed = Versioned.changeFeed(spark, path, from + 1L, to, cdfKey.get)
+      val aligned = feed.select(schema.fields.toIndexedSeq.map { f =>
+        if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      return spark.internalCreateDataFrame(
+        aligned.queryExecution.toRdd, aligned.schema, isStreaming = true)
+    }
     val mFrom: Set[Versioned.ManifestEntry] =
       if (from == 0L) Set.empty else Versioned.manifest(path, from).toSet
     val mTo = Versioned.manifest(path, to)
@@ -174,7 +192,19 @@ object StreamIntrospect {
   * the inclusive range. Bounds are parsed against the column's type
   * (numeric columns numerically, everything else as the canonical
   * string encodings). Pruning drops IO, not rows the consumer's own
-  * filter wouldn't drop — files without stats always stream. */
+  * filter wouldn't drop — files without stats always stream.
+  *
+  * `readChangeFeed=true` + `keyColumn` switch the source to CDF mode:
+  * each micro-batch is [[graft.ingest.Versioned.changeFeed]] over its
+  * version range (commit_version + change_type + row images), so
+  * rewrite commits stream as keyed diffs and merge-on-read deletes as
+  * before-images instead of failing the append-log contract —
+  * engine-checkpointed exactly-once materialized-view consumption
+  * (stream_t11's loop as a first-class source). `startingVersion`
+  * keeps its meaning (first version whose CHANGES stream; without it
+  * a fresh stream bootstraps the oldest snapshot as inserts);
+  * `maxVersionsPerBatch` still bounds catch-up; `statsFilter*` is
+  * refused (feeds are diffs, not file scans). */
 class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
     with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
@@ -384,12 +414,48 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
         s"graft-versioned source: $path has no committed version (or predates schema " +
           "metadata) and no schema was supplied — commit first or pass .schema(...)"))
 
+  private def cdfKeyOf(parameters: Map[String, String]): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v }
+      .filter(_.toBoolean)
+      .map { _ =>
+        parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keyColumn") => v }
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-versioned CDF source: option(\"keyColumn\", ...) is required — change " +
+              "rows for rewrite commits are a keyed snapshot diff"))
+      }
+
+  /** The streamed feed's schema, pinned from the TABLE schema at stream
+    * start: [[graft.ingest.Versioned.changeFeed]]'s column contract
+    * (commit_version, key, change_type, schema_change, non-key columns
+    * alphabetically), everything nullable so pre-drift rows can NULL-fill. */
+  private def cdfSchema(table: StructType, key: String): StructType = {
+    require(table.fieldNames.contains(key),
+      s"graft-versioned CDF source: keyColumn '$key' is not a table column " +
+        s"(${table.fieldNames.mkString(", ")})")
+    val others = table.fields.filterNot(_.name == key).sortBy(_.name)
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
+    StructType(
+      org.apache.spark.sql.types.StructField("commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true) +:
+      org.apache.spark.sql.types.StructField(key, table(key).dataType, nullable = true) +:
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) +:
+      org.apache.spark.sql.types.StructField("schema_change",
+        org.apache.spark.sql.types.BooleanType, nullable = true) +:
+      others.toIndexedSeq)
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), resolveSchema(schema, pathOf(parameters)))
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    cdfKeyOf(parameters) match {
+      case Some(key) => (shortName(), cdfSchema(resolveSchema(None, path), key))
+      case None      => (shortName(), resolveSchema(schema, path))
+    }
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -430,9 +496,20 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
           "graft-versioned source: statsFilterColumn, statsFilterLower and statsFilterUpper " +
             "must be set together")
     }
-    new VersionedStreamSource(
-      sqlContext.sparkSession.asInstanceOf[ClassicSession],
-      path, resolved, ignoreChanges, startingVersion, maxVersions, statsFilter)
+    cdfKeyOf(parameters) match {
+      case some @ Some(key) =>
+        require(statsFilter.isEmpty,
+          "graft-versioned CDF source: statsFilter* options apply to the append-log tail, " +
+            "not the change feed (rewrite feeds are keyed diffs, not file scans)")
+        new VersionedStreamSource(
+          sqlContext.sparkSession.asInstanceOf[ClassicSession],
+          path, cdfSchema(resolveSchema(None, path), key), ignoreChanges,
+          startingVersion, maxVersions, None, some)
+      case None =>
+        new VersionedStreamSource(
+          sqlContext.sparkSession.asInstanceOf[ClassicSession],
+          path, resolved, ignoreChanges, startingVersion, maxVersions, statsFilter)
+    }
   }
 }
 

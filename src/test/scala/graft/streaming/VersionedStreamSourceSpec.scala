@@ -194,6 +194,49 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
       .count(_.contains("/tbl/")) == 4)
   }
 
+  test("CDF mode streams per-commit change rows, checkpointed exactly-once") {
+    import spark.implicits._
+    val base = freshDir("vss_cdf")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), tbl) // v1
+    Versioned.upsert(spark, tbl, Seq((2L, "B2"), (9L, "i")).toDF("k", "v"), "k") // v2
+    Versioned.deleteMergeOnRead(spark, tbl, Seq(1L).toDF("k"), "k") // v3
+
+    // schema resolves BEFORE the stream runs, from the table metadata
+    val src = spark.readStream.format("graft-versioned")
+      .option("path", tbl).option("readChangeFeed", "true").option("keyColumn", "k").load()
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.toSeq ==
+      Seq("commit_version", "k", "change_type", "schema_change", "v"))
+
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", tbl).option("readChangeFeed", "true").option("keyColumn", "k")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    def rows = spark.read.parquet(sink)
+      .select("commit_version", "change_type", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val first = rows
+    assert(first == Seq(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"), (1L, "insert", 3L, "c"),
+      (2L, "update", 2L, "B2"), (2L, "insert", 9L, "i"),
+      (3L, "delete", 1L, "a")), s"CDF stream wrong: $first")
+    pump() // idle restart from the checkpoint: nothing may land
+    assert(rows == first, "an idle CDF tail re-emitted change rows")
+    Versioned.appendCommit(Seq((10L, "j")).toDF("k", "v"), tbl) // v4
+    pump() // only the new version's feed streams
+    assert(rows == first :+ ((4L, "insert", 10L, "j")),
+      "the incremental CDF batch must be exactly v4's inserts")
+  }
+
   test("sink: writeStream.format lands micro-batches as idempotent manifest commits") {
     import spark.implicits._
     val base = freshDir("vsk_sink")
