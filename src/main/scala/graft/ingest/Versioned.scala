@@ -1033,6 +1033,71 @@ object Versioned {
       finally out.close()
     }
 
+  /** Table history — the `DESCRIBE HISTORY` surface: one row per visible
+    * committed version, derived entirely from what the protocol already
+    * records (manifests, `_meta`, the commit marker's mtime), so it
+    * serves any table ever written, not just ones created after the
+    * feature. Operations are CLASSIFIED from each commit's manifest
+    * delta against its predecessor:
+    *
+    *  - `commit`   — the table's first visible version
+    *  - `append`   — adds data files only, removes nothing
+    *  - `delete`   — adds merge-on-read delete files only
+    *  - `metadata` — manifest carried verbatim (rename/drop/restore-style
+    *    commits that move zero bytes)
+    *  - `rewrite`  — anything replacing files (MERGE, keyed delete,
+    *    compaction, z-order)
+    *
+    * Driver-side cost is O(history length) manifest reads — the same
+    * metadata cardinality `versions()` itself walks, amortized by the
+    * checkpoint chain; the result is a tiny local frame (one row per
+    * commit), which is what an operator inspecting a table wants. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, TimestampType, StructField => SF}
+    import scala.jdk.CollectionConverters._
+    val (fs, root) = Writers.fsFor(path)
+    val vs = versions(path)
+    val preds: Seq[Option[Long]] = None +: vs.init.map(Some(_))
+    val rows = vs.zip(preds).map { case (v, prev) =>
+      val m = readManifest(fs, root, v)
+      val mPrev = prev.map(p => readManifest(fs, root, p)).getOrElse(Nil)
+      val added = m.filterNot(mPrev.toSet)
+      val removed = mPrev.filterNot(m.toSet)
+      val op =
+        if (prev.isEmpty) "commit"
+        else if (added.isEmpty && removed.isEmpty) "metadata"
+        else if (removed.isEmpty && added.forall(_.kind == KindDelete)) "delete"
+        else if (removed.isEmpty && added.forall(_.kind == KindData)) "append"
+        else "rewrite"
+      // nullability-erased: a rewrite whose plan flips nullable flags
+      // (join/union read-backs do) is not a schema EVOLUTION
+      val schemaChanged = prev.exists { p =>
+        (metaSchema(fs, root, v), metaSchema(fs, root, p)) match {
+          case (Some(a), Some(b)) => nullabilityErased(a).json != nullabilityErased(b).json
+          case _                  => false
+        }
+      }
+      val meta = readMeta(fs, root, v)
+      val ts = new java.sql.Timestamp(
+        fs.getFileStatus(new HPath(versionDir(root, v), CommittedFile)).getModificationTime)
+      Row(v, ts, op, added.size.toLong, removed.size.toLong, m.size.toLong,
+        schemaChanged, meta.get(BatchKey).orNull,
+        fs.exists(new HPath(versionDir(root, v), ManifestFile)))
+    }
+    val schema = StructType(Seq(
+      SF("version", LongType, nullable = false),
+      SF("committed_at", TimestampType, nullable = false),
+      SF("operation", StringType, nullable = false),
+      SF("n_added", LongType, nullable = false),
+      SF("n_removed", LongType, nullable = false),
+      SF("n_files", LongType, nullable = false),
+      SF("schema_changed", BooleanType, nullable = false),
+      SF("batch_id", StringType, nullable = true),
+      SF("is_checkpoint", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema)
+  }
+
   /** Append-only commit — the S8 high-watermark idiom on snapshots: the
     * new version's manifest is the PREVIOUS manifest plus the freshly
     * written files (metadata-only carry, zero rewrite of history). A

@@ -1468,11 +1468,68 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S32: TABLE HISTORY — `Versioned.history` is the DESCRIBE HISTORY
+    * surface: one row per committed version with the operation
+    * CLASSIFIED from each commit's manifest delta (commit / append /
+    * rewrite / merge-on-read delete / metadata-only), the commit
+    * instant, file-count deltas, the schema-change flag and any
+    * recorded streaming batch id — derived entirely from what the
+    * protocol already writes, so it serves tables created before the
+    * feature existed. The entry drives one of every operation shape
+    * and grades the classified sequence; commit instants are require'd
+    * monotone in-entry (wall-clock values can't cross engines). */
+  val s32History = QueryDef(
+    "s32_history",
+    (s, d) => {
+      val path = tmp("s32_hist", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      // n_nationkey is int32 in the corpus; the appended batch derives
+      // key+100 as LONG, so cast up-front or v2 becomes a (real) widening
+      // schema evolution and the graded operation sequence shifts
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      V.commit(dim, path) // v1: commit
+      V.appendCommitOnce(
+        dim.withColumn("n_nationkey", col("n_nationkey") + 100L), path, "b1") // v2: append
+      V.upsert(s, path,
+        dim.filter(col("n_nationkey") % 5 === 0)
+          .withColumn("n_name", concat(lit("X_"), col("n_name"))), "n_nationkey") // v3: rewrite
+      V.deleteMergeOnRead(s, path,
+        dim.filter(col("n_nationkey") % 7 === 0).select("n_nationkey"), "n_nationkey") // v4: delete
+      V.compactDeletes(s, path) // v5: rewrite (folds the MoR debt)
+      V.renameColumn(path, "n_name", "nation_name") // v6: metadata-only evolution
+      val h = V.history(s, path).orderBy("version").collect()
+      require(h.length == 6, s"s32: expected 6 history rows, got ${h.length}")
+      val instants = h.map(_.getTimestamp(1).getTime)
+      require(instants.zip(instants.tail).forall { case (a, b) => a <= b },
+        "s32: commit instants must be monotone non-decreasing")
+      require(h(1).getLong(3) >= 1 && h(1).getLong(4) == 0,
+        "s32: the append must add files and remove none")
+      require(h(5).getLong(3) == 0 && h(5).getLong(4) == 0,
+        "s32: the metadata-only evolution must move zero files")
+      V.history(s, path)
+        .select(col("version"), col("operation"), col("schema_changed"), col("batch_id"))
+        .orderBy("version")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'commit',   false, CAST(NULL AS VARCHAR)),
+        (CAST(2 AS BIGINT), 'append',   false, 'b1'),
+        (CAST(3 AS BIGINT), 'rewrite',  false, CAST(NULL AS VARCHAR)),
+        (CAST(4 AS BIGINT), 'delete',   false, CAST(NULL AS VARCHAR)),
+        (CAST(5 AS BIGINT), 'rewrite',  false, CAST(NULL AS VARCHAR)),
+        (CAST(6 AS BIGINT), 'metadata', true,  CAST(NULL AS VARCHAR))
+      ) AS t(version, operation, schema_changed, batch_id)
+      ORDER BY version
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
-    s31ConnectorCdf)
+    s31ConnectorCdf, s32History)
 }

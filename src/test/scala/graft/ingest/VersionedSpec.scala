@@ -1173,4 +1173,39 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(Versioned.read(spark, path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(2L -> "b0"))
   }
+
+  test("history classifies every operation shape from the manifest deltas alone") {
+    import spark.implicits._
+    val path = freshDir("versioned_history")
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path) // v1
+    Versioned.appendCommitOnce(Seq((4L, "d")).toDF("k", "v"), path, "feed-9") // v2
+    Versioned.upsert(spark, path, Seq((2L, "B")).toDF("k", "v"), "k") // v3
+    Versioned.deleteMergeOnRead(spark, path, Seq(1L).toDF("k"), "k") // v4
+    Versioned.compactDeletes(spark, path) // v5
+    Versioned.renameColumn(path, "v", "val") // v6
+    Versioned.restore(spark, path, 5L) // v7: manifest carried by reference
+
+    val h = Versioned.history(spark, path).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 7L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("commit", "append", "rewrite", "delete", "rewrite", "metadata", "metadata"),
+      s"misclassified: ${h.map(_.getString(2)).toSeq}")
+    // append: adds without removals, carrying its batch id
+    assert(h(1).getLong(3) >= 1 && h(1).getLong(4) == 0 && h(1).getString(7) == "feed-9")
+    // MoR delete: the only added entry is the delete-key file
+    assert(h(3).getLong(3) == 1 && h(3).getLong(4) == 0)
+    // metadata-only commits move nothing
+    assert(h(5).getLong(3) == 0 && h(5).getLong(4) == 0)
+    assert(h(6).getLong(3) == 0 && h(6).getLong(4) == 0)
+    // schema change rides the rename — and the restore, which republishes
+    // the RESTORED version's pre-rename schema (crossing the rename back)
+    assert(h.map(r => r.getBoolean(6)).toSeq ==
+      Seq(false, false, false, false, false, true, true))
+    // commit instants are monotone; the first commits are full checkpoints,
+    // hot-path derived commits are delta links
+    val ts = h.map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    assert(h(0).getBoolean(8), "v1 must be a full-manifest checkpoint")
+    assert(!h(1).getBoolean(8), "a hot-path append must be a delta link")
+  }
 }
