@@ -736,8 +736,81 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4q: BIGRAM LANGUAGE-MODEL QUALITY SCORE — the CCNet-style
+    * perplexity filter, self-trained: an add-one-smoothed bigram LM is
+    * estimated FROM the corpus itself and every document is scored by
+    * its average bigram probability (low score = improbable word
+    * sequences = filter candidate). Everything stays exact-integer so
+    * both engines hash identically: each P(w2|w1) = (c12+1)/(c1+V)
+    * rounds once to a 1e9-scaled long (the verified round-parity path,
+    * Casts.cents's idiom), sums run as long arithmetic, and the final
+    * average is one IEEE division (Casts.avgOf).
+    *
+    * Scale shape: the LM tables are corpus-level aggregates (one
+    * shuffle each), the score join keys on (w1,w2)/(w1) — at 100 TB
+    * the LM trains on a sample and BROADCASTS (its cardinality is
+    * vocabulary-bound, not corpus-bound), which is how the vocabulary
+    * count rides a broadcast cross join here rather than a driver
+    * collect. */
+  val l4qBigramLm = QueryDef(
+    "l4q_bigram_lm",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+          )).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = docs.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p_e9",
+          expr("CAST(round((c12 + 1) * 1000000000.0 / (c1 + v)) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e9")).as("sum_p_e9"))
+        .withColumn("avg_p_e9", avgOf(col("sum_p_e9"), col("n_bigrams")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ),
+      bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM docs, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+      ),
+      cnt12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+      cnt1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+      vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(toks) AS w FROM docs)
+      ),
+      scored AS (
+        SELECT b.doc_id,
+          CAST(round((c.c12 + 1) * 1000000000.0 / (o.c1 + vocab.v)) AS BIGINT) AS p_e9
+        FROM bi b
+        JOIN cnt12 c USING (w1, w2)
+        JOIN cnt1 o USING (w1)
+        CROSS JOIN vocab
+      )
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(p_e9) AS BIGINT) AS sum_p_e9,
+        CAST(CAST(sum(p_e9) AS BIGINT) AS DOUBLE) / count(*) AS avg_p_e9
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
     l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit, l4oUnicodeNfc,
-    l4pUrlCanonical)
+    l4pUrlCanonical, l4qBigramLm)
 }

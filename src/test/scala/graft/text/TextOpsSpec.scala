@@ -44,4 +44,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       assert(div > 0 && div <= 1.0)
     }
   }
+
+  test("bigram LM scores every multi-token doc with probabilities in (0, 1]") {
+    import graft.core.Tables
+    val rows = TextOps.l4qBigramLm.fn(spark, sf()).collect()
+    val multiTok = Tables.documents(spark, sf())
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == multiTok, "every multi-token doc must be scored")
+    for (r <- rows) {
+      val n = r.getLong(1); val sum = r.getLong(2); val avg = r.getDouble(3)
+      assert(n >= 1 && sum >= 1, s"doc ${r.getLong(0)}: degenerate LM sum")
+      // each 1e9-scaled P is in (0, 1e9]; so is their average
+      assert(avg > 0 && avg <= 1000000000.0, s"doc ${r.getLong(0)}: avg P out of range $avg")
+    }
+    // a self-trained LM must rate at least one doc above the corpus floor
+    assert(rows.map(_.getDouble(3)).max > rows.map(_.getDouble(3)).min,
+      "LM collapsed to a constant score — smoothing or counts are broken")
+  }
 }
