@@ -1103,6 +1103,45 @@ object Versioned {
     * written files (metadata-only carry, zero rewrite of history). A
     * batch that adds a column is fine: older files read NULL under it
     * (ALTER-only drift semantics, enforced in [[readEntries]]). */
+  /** Partitioned APPEND — the daily-feed shape on a Hive-layout table:
+    * the batch lands `partitionBy` the table's COMMITTED layout (derived
+    * from the base manifest, never caller-supplied — a drifting caller
+    * cannot fork the layout), and only the fresh files join the manifest
+    * with their `k=v` fragments. O(delta) metadata like [[appendCommit]],
+    * same rebase-over-rival-adds concurrency (a pure add commutes with
+    * any rival add regardless of which partitions either touched), and
+    * the appended files participate in every partition-scoped operation
+    * (copy-on-write MERGE groups, partition pruning, readPartitions).
+    * `statsCols` must name DATA columns — partition values live in the
+    * directory fragments, not the files. */
+  def appendCommitPartitioned(
+      df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned.appendCommitPartitioned: no committed version under $path — " +
+          "bootstrap the layout with commitPartitioned first"))
+    val layout = layoutPartCols(readManifest(fs, root, base))
+    require(layout.nonEmpty,
+      s"Versioned.appendCommitPartitioned: $path was not committed partitioned — use appendCommit")
+    require(layout.forall(df.columns.contains),
+      s"Versioned.appendCommitPartitioned: batch must carry the layout columns " +
+        s"(${layout.mkString(", ")})")
+    require(statsCols.forall(c => !layout.contains(c)),
+      s"Versioned.appendCommitPartitioned: statsCols must be data columns, not partition " +
+        s"columns (${layout.mkString(", ")})")
+    val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
+    df.write.mode(SaveMode.Overwrite).partitionBy(layout: _*)
+      .parquet(dataDir(root, v).toString)
+    val local = localEntries(fs, root, v, partitioned = true)
+    val adds =
+      if (statsCols.isEmpty) local
+      else withFileStats(df.sparkSession, root, local, statsCols)
+    publishDelta(fs, root, v, derivedBase,
+      adds = adds, removes = Nil, schema = df.schema, meta = meta)
+  }
+
   def appendCommit(
       df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long = {

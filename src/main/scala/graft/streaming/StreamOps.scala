@@ -939,8 +939,57 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T16: HIVE-PARTITIONED APPEND LOG as a stream — the daily
+    * warehouse shape ([[graft.ingest.Versioned.commitPartitioned]]
+    * bootstrap + `appendCommitPartitioned` feeds) tailed directly:
+    * each micro-batch reads only the touched partitions' new files and
+    * injects the directory values typed through the source schema, so
+    * a partitioned 100 TB table streams at O(new data) per batch with
+    * zero layout flattening. The oracle aggregates the whole events
+    * log per event_type — every row must arrive exactly once WITH its
+    * partition value intact across the bootstrap + two feed commits. */
+  val streamPartitionedTail = QueryDef(
+    "stream_t16_partitioned_tail",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t16", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val V = graft.ingest.Versioned
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      V.commitPartitioned(ev.filter(col("event_id") % 2 === 0), tbl, "event_type") // v1
+      V.appendCommitPartitioned(ev.filter(col("event_id") % 4 === 1), tbl) // v2
+      V.appendCommitPartitioned(ev.filter(col("event_id") % 4 === 3), tbl) // v3
+      ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("graft-versioned")
+          .option("path", tbl)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      require(s.read.parquet(sink).count() == ev.count(),
+        "t16: the partitioned tail must deliver every row exactly once")
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
-    streamConnectorSink, streamCdfSource)
+    streamConnectorSink, streamCdfSource, streamPartitionedTail)
 }

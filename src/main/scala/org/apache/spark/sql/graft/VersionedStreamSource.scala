@@ -37,12 +37,16 @@ import org.apache.spark.sql.types.StructType
   *
   * Contract (Delta's source semantics, narrowed to what this format
   * serves losslessly):
-  *  - the table must be UNPARTITIONED and append-only over the streamed
-  *    window. A rewrite commit (upsert/delete/compaction) changes
-  *    history rather than appending, so the source fails loudly unless
+  *  - the table must be append-only over the streamed window. A rewrite
+  *    commit (upsert/delete/compaction) changes history rather than
+  *    appending, so the source fails loudly unless
   *    `ignoreChanges=true`, which re-emits the rewritten version's new
   *    files (Delta's documented ignoreChanges behavior) — downstream
   *    must tolerate re-delivery, the same contract Delta imposes.
+  *    Hive-partitioned append logs (commitPartitioned +
+  *    appendCommitPartitioned) stream too: each batch injects the
+  *    touched partitions' directory values, typed through the source
+  *    schema.
   *  - merge-on-read delete commits add no data files; with
   *    `ignoreChanges` they stream as empty batches (deletes are not
   *    retractions in an append-log consumer).
@@ -132,9 +136,6 @@ class VersionedStreamSource(
           "it. Restart from the current snapshot, or set ignoreChanges=true to re-emit " +
           "rewritten files (downstream must tolerate re-delivery).")
     val delta = mTo.filterNot(mFrom).filter(_.kind == Versioned.KindData)
-    require(delta.forall(_.partDir.isEmpty),
-      s"graft-versioned source: $path is Hive-partitioned — the streaming source serves " +
-        "the unpartitioned append-log shape (what the versioned streaming sink writes)")
     // STATS PUSHDOWN INTO BATCH PLANNING: a filtered tail (statsFilter*
     // options) drops whole appended files whose recorded [min,max]
     // cannot intersect the range — before the planner lists or opens
@@ -145,14 +146,52 @@ class VersionedStreamSource(
       case Some((c, lo, hi)) => delta.filter(e => Versioned.statsMayOverlap(e, c, lo, hi))
       case None              => delta
     }
-    val files = pruned.map(e => s"$path/${e.relPath}")
-    val relation = DataSource(
-      sparkSession = spark,
-      className = "parquet",
-      paths = files,
-      userSpecifiedSchema = Some(schema),
-    ).resolveRelation(checkFilesExist = false)
-    Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    def streamRelation(files: Seq[String], fileSchema: StructType): DataFrame = {
+      val relation = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = files,
+        userSpecifiedSchema = Some(fileSchema),
+      ).resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+    if (pruned.forall(_.partDir.isEmpty))
+      streamRelation(pruned.map(e => s"$path/${e.relPath}"), schema)
+    else {
+      // HIVE-PARTITIONED APPEND LOG (appendCommitPartitioned feeds): the
+      // appended files live under k=v fragments and do not carry the
+      // partition columns physically — each touched partition's file
+      // group reads with the data schema and gets its directory values
+      // injected, typed through the source schema (the same type-pinning
+      // rule as the library read path; directory strings never
+      // re-inferred). Per-batch group count is bounded by the partitions
+      // the batch touched — planning granularity, not data volume.
+      import org.apache.spark.sql.functions.{col, lit}
+      require(pruned.forall(_.partDir.nonEmpty),
+        s"graft-versioned source: versions ($from, $to] of $path mix partitioned and " +
+          "unpartitioned files — a single batch cannot serve both layouts")
+      val partNames = pruned.head.partDir.split("/").toSeq.map(_.takeWhile(_ != '='))
+      require(partNames.forall(n => schema.fieldNames.contains(n)),
+        s"graft-versioned source: partition columns (${partNames.mkString(", ")}) missing " +
+          "from the source schema")
+      val dataSchema = StructType(schema.fields.filterNot(f => partNames.contains(f.name)))
+      val frames = pruned.groupBy(_.partDir).toSeq.sortBy(_._1).map { case (dir, es) =>
+        val kv = dir.split("/").map { seg =>
+          val i = seg.indexOf('=')
+          seg.take(i) -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(i + 1))
+        }.toMap
+        val base = streamRelation(es.map(e => s"$path/${e.relPath}"), dataSchema)
+        val withParts = partNames.foldLeft(base) { (acc, n) =>
+          val raw = kv.get(n).filterNot(
+            _ == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          acc.withColumn(n,
+            raw.map(lit(_)).getOrElse(lit(null)).cast(schema(schema.fieldIndex(n)).dataType))
+        }
+        withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      }
+      frames.reduce(_.unionByName(_))
+    }
   }
 
   override def stop(): Unit = ()

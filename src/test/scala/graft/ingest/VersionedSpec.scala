@@ -1174,6 +1174,32 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(2L -> "b0"))
   }
 
+  test("appendCommitPartitioned enforces the committed layout and refuses partition statsCols") {
+    import spark.implicits._
+    val path = freshDir("versioned_partapp")
+    Versioned.commitPartitioned(Seq((1L, 10L, "P1")).toDF("k", "v", "pt"), path, "pt")
+    Versioned.appendCommitPartitioned(Seq((2L, 20L, "P2")).toDF("k", "v", "pt"), path,
+      statsCols = Seq("v"))
+    // the appended file carries its fragment AND its data-column stats
+    val m = Versioned.manifest(path, 2L)
+    val fresh = m.filter(_.relPath.startsWith("v00002"))
+    assert(fresh.nonEmpty && fresh.forall(e => e.partDir == "pt=P2" && e.stats.nonEmpty))
+    // partition-scoped MERGE still sees appended files (copy-on-write grouping)
+    Versioned.upsertPartitioned(spark, path, Seq((2L, 21L, "P2")).toDF("k", "v", "pt"), "k", "pt")
+    assert(Versioned.read(spark, path).as[(Long, Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10L, "P1"), (2L, 21L, "P2")))
+    // guards: unpartitioned table, missing layout column, partition statsCols
+    val flat = freshDir("versioned_partapp_flat")
+    Versioned.commit(Seq((1L, 1L)).toDF("k", "v"), flat)
+    intercept[IllegalArgumentException](
+      Versioned.appendCommitPartitioned(Seq((2L, 2L)).toDF("k", "v"), flat))
+    intercept[IllegalArgumentException](
+      Versioned.appendCommitPartitioned(Seq((3L, 30L)).toDF("k", "v"), path))
+    intercept[IllegalArgumentException](
+      Versioned.appendCommitPartitioned(Seq((3L, 30L, "P3")).toDF("k", "v", "pt"), path,
+        statsCols = Seq("pt")))
+  }
+
   test("history classifies every operation shape from the manifest deltas alone") {
     import spark.implicits._
     val path = freshDir("versioned_history")

@@ -71,7 +71,7 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"ignoreChanges must re-emit the rewritten files (re-delivery): ${after.toSeq}")
   }
 
-  test("schema comes from the table's recorded metadata; partitioned tables are refused") {
+  test("schema comes from the table's recorded metadata; guards fail at plan time") {
     import spark.implicits._
     val base = freshDir("vss_guards")
     val tbl = s"$base/tbl"
@@ -85,12 +85,29 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
       spark.readStream.format("graft-versioned").load())
     intercept[IllegalArgumentException](
       spark.readStream.format("graft-versioned").option("path", s"$base/nope").load())
-    // partitioned layout: refused at batch planning (data changed shape)
-    val ptbl = s"$base/ptbl"; val ckpt = s"$base/pckpt"; val sink = s"$base/psink"
-    Versioned.commitPartitioned(Seq((1L, "a", "P1")).toDF("k", "v", "pt"), ptbl, "pt")
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
-      runTail(ptbl, ckpt, sink))
-    assert(e.getMessage.contains("partition") || e.getCause.getMessage.contains("partition"))
+  }
+
+  test("a Hive-partitioned append log streams with typed partition values injected") {
+    import spark.implicits._
+    val base = freshDir("vss_parts")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "v", "pt"), tbl, "pt") // v1
+    Versioned.appendCommitPartitioned(
+      Seq((3L, "c", "P1"), (4L, "d", "P3")).toDF("k", "v", "pt"), tbl) // v2: 2 partitions
+    runTail(tbl, ckpt, sink)
+    val got = spark.read.parquet(sink).as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", "P1"), (2L, "b", "P2"), (3L, "c", "P1"), (4L, "d", "P3")),
+      s"partitioned tail lost rows or partition values: $got")
+    // incremental: only the new version's partitions stream
+    Versioned.appendCommitPartitioned(Seq((5L, "e", "P2")).toDF("k", "v", "pt"), tbl) // v3
+    runTail(tbl, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 5)
+    // the appended files joined the manifest with their fragments: a
+    // partition-scoped library read sees them
+    val p1 = Versioned.readPartitions(spark, tbl, "pt", Set("P1"))
+      .as[(Long, String, String)].collect().map(_._1).sorted.toSeq
+    assert(p1 == Seq(1L, 3L))
   }
 
   test("startingVersion skips the backlog for a fresh stream; checkpoints still win") {
