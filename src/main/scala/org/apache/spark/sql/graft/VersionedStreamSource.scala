@@ -277,6 +277,17 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
     val path = pathOf(parameters)
     def opt(name: String): Option[String] =
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    if (opt("history").exists(_.toBoolean)) {
+      // DESCRIBE HISTORY surface: one row per committed version,
+      // classified from the protocol's own artifacts (Versioned.history)
+      val outer = sqlContext
+      val hist = Versioned.history(outer.sparkSession, path)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema: StructType = hist.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
+      }
+    }
     if (opt("readChangeFeed").exists(_.toBoolean)) {
       val key = opt("keyColumn").getOrElse(throw new IllegalArgumentException(
         "graft-versioned CDF: option(\"keyColumn\", ...) is required — change rows " +

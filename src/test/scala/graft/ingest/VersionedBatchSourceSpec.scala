@@ -204,6 +204,31 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(noKey.getMessage.contains("keyColumn"))
   }
 
+  test("history and CDF read through the connector on a partitioned table") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("cdf_parts")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "v", "pt"), path, "pt") // v1
+    Versioned.appendCommitPartitioned(Seq((3L, "c", "P1")).toDF("k", "v", "pt"), path) // v2
+    Versioned.upsertPartitioned(s, path, Seq((2L, "B", "P2")).toDF("k", "v", "pt"), "k", "pt") // v3
+
+    val feed = s.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("keyColumn", "k").load(path)
+      .select($"commit_version", $"change_type", $"k", $"v", $"pt")
+      .as[(Long, String, Long, String, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(feed == Seq(
+      (1L, "insert", 1L, "a", "P1"), (1L, "insert", 2L, "b", "P2"),
+      (2L, "insert", 3L, "c", "P1"),
+      (3L, "update", 2L, "B", "P2")),
+      s"partitioned CDF wrong: $feed")
+
+    val h = s.read.format("graft-versioned").option("history", "true").load(path)
+      .select($"version", $"operation").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(h == Seq((1L, "commit"), (2L, "append"), (3L, "rewrite")),
+      s"connector history wrong: $h")
+  }
+
   test("versionAsOf pins a snapshot; MoR debt and schema evolution are refused") {
     val s = spark
     import s.implicits._
