@@ -1654,6 +1654,15 @@ object Versioned {
     val window = all.filter(v => v >= fromV && v <= toV)
     require(window.nonEmpty,
       s"changeFeed: no committed version of $path in [$fromV, $toV]")
+    // fromV must itself be a visible committed version: a start below the
+    // retention floor asks for changes whose predecessor snapshots were
+    // vacuumed — serving the floor's bootstrap instead would hand a
+    // consumer full-state inserts it would double-apply. Loud, like a
+    // checkpoint below the retention horizon on the streaming source.
+    require(window.head == fromV,
+      s"changeFeed: version $fromV of $path is not committed/retained — the feed " +
+        s"window floor is ${all.headOption.getOrElse(-1L)} (vacuumed history cannot " +
+        "be replayed; restart from the floor's bootstrap or the current snapshot)")
     val predecessor: Map[Long, Long] = all.zip(all.drop(1)).map(_.swap).toMap
     val feeds = window.map { v =>
       val feed = predecessor.get(v) match {

@@ -204,6 +204,35 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(noKey.getMessage.contains("keyColumn"))
   }
 
+  test("after vacuum, an unwindowed change feed bootstraps at the retention floor") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("cdf_vacuum")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path) // v1
+    Versioned.upsert(s, path, Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), "k") // v2
+    Versioned.upsert(s, path, Seq((3L, "c")).toDF("k", "v"), "k") // v3
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "v"), path) // v4
+    Versioned.vacuum(path, keepLast = 2) // v1/v2 gone; floor is v3
+    val feed = s.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("keyColumn", "k").load(path)
+      .select($"commit_version", $"change_type", $"k", $"v")
+      .as[(Long, String, Long, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+    // v3's snapshot becomes the bootstrap (its own diff vs vacuumed v2 is
+    // unreplayable by design); v4 still feeds incrementally
+    assert(feed == Seq(
+      (3L, "insert", 1L, "a2"), (3L, "insert", 2L, "b"), (3L, "insert", 3L, "c"),
+      (4L, "insert", 4L, "d")),
+      s"post-vacuum feed must bootstrap at the floor: $feed")
+    // an explicit window below the floor fails loudly, not silently empty
+    val below = intercept[Exception] {
+      s.read.format("graft-versioned")
+        .option("readChangeFeed", "true").option("keyColumn", "k")
+        .option("startingVersion", "2").load(path).collect()
+    }
+    assert(Option(below.getMessage).exists(m =>
+      m.contains("committed") || m.contains("changeFeed")), s"got: $below")
+  }
+
   test("history and CDF read through the connector on a partitioned table") {
     val s = spark
     import s.implicits._
