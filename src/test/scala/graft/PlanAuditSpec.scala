@@ -404,4 +404,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(scans.forall(!_.contains("x")),
       s"dropped column still read from disk: $scans\n$plan")
   }
+
+  test("l4q: LM joins stay equi-keyed; the only nested-loop is the 1-row vocab broadcast") {
+    val p = plan("l4q_bigram_lm")
+    assert(!p.contains("CartesianProduct"), s"bigram LM planned a cartesian:\n$p")
+    // crossJoin(broadcast(1-row vocab)) is the ONE legitimate BNLJ; the
+    // (w1,w2) count join and the (w1) context join must both be hash/merge
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the vocab broadcast as a BNLJ, found $bnlj:\n$p")
+    assert(p.contains("BroadcastExchange"), s"vocab side must broadcast, not shuffle:\n$p")
+  }
 }

@@ -1135,6 +1135,31 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       "a rebased merge dropped the rival's update — lost update through rebase")
   }
 
+  test("concurrent partitioned appends both land by rebase — even on the SAME partition") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_partapp_race")
+    Versioned.commitPartitioned(
+      Seq((1L, 10L, "P1"), (2L, 20L, "P2")).toDF("k", "v", "pt"), path, "pt")
+    // pure adds commute regardless of which partitions they touch — the
+    // claim loser rebases over the rival's published add, no retry loop
+    val got = Await.result(Future.sequence(Seq(
+      Future(Versioned.appendCommitPartitioned(
+        Seq((3L, 30L, "P1")).toDF("k", "v", "pt"), path)),
+      Future(Versioned.appendCommitPartitioned(
+        Seq((4L, 40L, "P1")).toDF("k", "v", "pt"), path)),
+    )), 180.seconds)
+    assert(got.sorted == Seq(2L, 3L), s"expected both appends to land as v2+v3, got $got")
+    assert(Versioned.read(spark, path).as[(Long, Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10L, "P1"), (2L, 20L, "P2"), (3L, 30L, "P1"), (4L, 40L, "P1")),
+      "a rebased partitioned append lost the rival's rows")
+    // both P1 files are in the final manifest with their fragments
+    val p1 = Versioned.manifest(path, 3L).filter(_.partDir == "pt=P1")
+    assert(p1.size >= 3, s"P1 must hold the bootstrap + both appended files: $p1")
+  }
+
   test("overlapping concurrent merges still conflict; rewrites are never rebased over") {
     import spark.implicits._
     import scala.concurrent.{Await, Future, blocking}
