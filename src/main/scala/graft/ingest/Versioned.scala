@@ -1680,7 +1680,7 @@ object Versioned {
     val joined = feeds.reduce(_.unionByName(_, allowMissingColumns = true))
     // commit_version leads, images keep the per-commit alphabetical order
     joined.select(col("commit_version") +:
-      joined.columns.filterNot(_ == "commit_version").map(col): _*)
+      joined.columns.filterNot(_ == "commit_version").toIndexedSeq.map(col): _*)
   }
 
   /** Full-snapshot MERGE: replace rows matching `key` with `updates`,

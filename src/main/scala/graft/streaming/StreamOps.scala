@@ -754,7 +754,7 @@ object StreamOps extends QueryModule {
       val V = graft.ingest.Versioned
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
       // four appends, each ONE file covering a disjoint event_id
       // quartile, stats recorded at commit time
       val q1 = maxId / 4; val q2 = maxId / 2; val q3 = 3L * maxId / 4
