@@ -178,6 +178,7 @@ class VersionedStreamSource(
       val frames = pruned.groupBy(_.partDir).toSeq.sortBy(_._1).map { case (dir, es) =>
         val kv = dir.split("/").map { seg =>
           val i = seg.indexOf('=')
+          require(i > 0, s"graft-versioned source: malformed partition dir '$dir' in $path")
           seg.take(i) -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.drop(i + 1))
         }.toMap
