@@ -353,5 +353,66 @@ object SimilarityOps extends QueryModule {
     None,
   )
 
-  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l3dIvfAnn, l2dEmbeddingNearDup)
+  /** L3e: DETERMINISTIC NEGATIVE SAMPLING for contrastive training —
+    * every anchor gets k=4 negatives assigned by a Knuth multiplicative
+    * congruential formula over (anchor, j): reproducible across runs,
+    * partitionings and engines (pure int64 arithmetic — no RNG state,
+    * no engine-specific hash), with an anchor collision stepping to the
+    * next id. Each pair is annotated with its cosine so a trainer can
+    * split easy/hard negatives downstream. Scale shape: the assignment
+    * is a per-row projection off the id column; the two embedding
+    * fetches are equi-joins on ids (the corpus side shuffles once per
+    * key set); the corpus count is a 1-row broadcast, not a collect. */
+  val l3eNegativeSampling = QueryDef(
+    "l3e_negative_sampling",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val nRow = emb.agg(count(lit(1)).as("n"))
+      val assigned = emb.select(col("vec_id").as("anchor_id"))
+        .select(col("anchor_id"), explode(expr("sequence(0, 3)")).as("j"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("raw",
+          expr("(anchor_id * 2654435761 + j * 40503 + 17) % n"))
+        .withColumn("neg_id",
+          expr("CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END"))
+      val anchors = emb.select(col("vec_id").as("anchor_id"), col("embedding").as("a_vec"))
+        .withColumn("a_norm", norm("a_vec"))
+      val negs = emb.select(col("vec_id").as("neg_id"), col("embedding").as("n_vec"))
+        .withColumn("n_norm", norm("n_vec"))
+      assigned
+        .join(anchors, Seq("anchor_id"))
+        .join(negs, Seq("neg_id"))
+        .withColumn("cosine", dot("a_vec", "n_vec") / (col("a_norm") * col("n_norm")))
+        // j rides as LONG: DuckDB's range() yields BIGINT and the driver
+        // compares schemas, not just values
+        .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"), col("cosine"))
+        .orderBy("anchor_id", "j")
+    },
+    Some(s"""
+      WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+      assigned AS (
+        SELECT e.vec_id AS anchor_id, t.j,
+          (e.vec_id * 2654435761 + t.j * 40503 + 17) % nrow.n AS raw
+        FROM embeddings e
+        CROSS JOIN nrow
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+      ),
+      pairs AS (
+        SELECT anchor_id, j,
+          CASE WHEN raw = anchor_id THEN (raw + 1) % (SELECT n FROM nrow) ELSE raw END AS neg_id
+        FROM assigned
+      )
+      SELECT p.anchor_id, p.j, p.neg_id,
+        ${duckDot("a.embedding", "b.embedding")}
+          / (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.anchor_id
+      JOIN embeddings b ON b.vec_id = p.neg_id
+      ORDER BY p.anchor_id, p.j
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l3dIvfAnn,
+    l3eNegativeSampling, l2dEmbeddingNearDup)
 }
