@@ -101,5 +101,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.inject(ext)
     TextFunctions.inject(ext)
+    GeneratorFunctions.inject(ext)
   }
 }

@@ -809,8 +809,41 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4r: TRIGRAM CENSUS through the native GENERATOR — §2.11's UDTF
+    * tier exercised by a graded entry: `graft_ngrams(tokens, 3)` emits
+    * grams lazily off the original token array (no per-document
+    * intermediate gram array, no interpreted lambda dispatch — see
+    * [[graft.functions.NGramsGenerator]]), feeding the same census
+    * shuffle shape as the shingling stages of the dedup pipeline. The
+    * floor keeps the output the recurring-phrase tail, which is what a
+    * boilerplate/contamination review actually reads. */
+  val l4rNgramCensus = QueryDef(
+    "l4r_ngram_census",
+    (s, d) => {
+      graft.functions.GeneratorFunctions.register(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "graft_ngrams(split(text, ' '), 3) AS ngram")
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 3)
+        .orderBy(col("n").desc, col("ngram").asc)
+    },
+    Some("""
+      SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT d.doc_id,
+          concat_ws(' ', d.toks[t.i], d.toks[t.i + 1], d.toks[t.i + 2]) AS ngram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+        LATERAL (SELECT unnest(range(1, len(d.toks) - 1)) AS i) t
+      )
+      GROUP BY ngram
+      HAVING count(*) >= 3
+      ORDER BY n DESC, ngram ASC
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
     l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit, l4oUnicodeNfc,
-    l4pUrlCanonical, l4qBigramLm)
+    l4pUrlCanonical, l4qBigramLm, l4rNgramCensus)
 }
