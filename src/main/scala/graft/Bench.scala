@@ -30,6 +30,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", (!manyCores).toString)
       .config("spark.ui.enabled", "false")
+      // Session-wide UTC, declared at build like Verify/SparkFixture:
+      // entries used to inherit it from Tables.events' (now scoped)
+      // conf mutation as an accident of call order (r7 ADVICE).
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, shuffle service, parquet footer caches,

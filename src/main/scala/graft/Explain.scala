@@ -20,6 +20,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {

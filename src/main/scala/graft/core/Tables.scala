@@ -35,13 +35,25 @@ object Tables {
     * naive microsecond TIMESTAMP, so the micros-precision compare is
     * bit-identical to the old corpus (whose sub-micro digits DuckDB
     * truncated anyway).
-    */
+    *
+    * The UTC anchor is SCOPED, not a session-wide pin (r7 ADVICE): the
+    * NTZ→TZ cast binds the session zone at ANALYSIS time
+    * (ResolveTimeZone stamps the Cast when `withColumn` analyzes the
+    * plan), so pinning UTC only around the eager analysis and restoring
+    * the caller's zone leaves every other timestamp expression in the
+    * session untouched while this frame's cast stays deterministic. */
   def events(s: SparkSession, d: String): DataFrame = {
+    val prior = s.conf.getOption("spark.sql.session.timeZone")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    table(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.unix_micros(
-        org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    try
+      table(s, d, "events").withColumn(
+        "ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    finally prior match {
+      case Some(z) => s.conf.set("spark.sql.session.timeZone", z)
+      case None    => s.conf.unset("spark.sql.session.timeZone")
+    }
   }
 }

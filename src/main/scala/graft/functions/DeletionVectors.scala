@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** POSITIONAL DELETION VECTOR lookup — the read half of the
+  * merge-on-read delete story (Delta deletion vectors / Iceberg v3
+  * position deletes, re-expressed as a Catalyst filter): instead of one
+  * ANTI-JOIN per outstanding delete commit, the scan keeps every row
+  * whose `(file, row position)` is not covered by a broadcast run-list.
+  * O(log runs) binary search per row inside whole-stage codegen — no
+  * shuffle, no build side, no join node in the read plan.
+  *
+  * The map is keyed by manifest-relative file paths; the probing
+  * `_metadata.file_path` is a full URI, so [[DvMap.contains]] strips
+  * everything through the table-root marker once per distinct file (a
+  * per-thread one-entry cache keeps the hot path to a byte-compare —
+  * rows arrive file-clustered, so the cache hits for entire scans).
+  * Overlapping runs from independent delete commits are merged at
+  * construction; a file absent from the map deletes nothing. */
+final class DvMap private (
+    marker: String,
+    runs: Map[String, (Array[Long], Array[Long])]) extends Serializable {
+
+  @transient private lazy val cache =
+    new ThreadLocal[(UTF8String, (Array[Long], Array[Long]))]
+
+  def contains(file: UTF8String, pos: Long): Boolean = {
+    val c = cache.get()
+    val hit =
+      if (c != null && c._1.equals(file)) c._2
+      else {
+        val p = file.toString
+        val i = p.indexOf(marker)
+        val key = if (i >= 0) p.substring(i + marker.length) else p
+        val r = runs.getOrElse(key, DvMap.Empty)
+        cache.set((file.clone(), r))
+        r
+      }
+    val starts = hit._1
+    if (starts.length == 0) false
+    else {
+      // last run with start <= pos (runs are merged+sorted → disjoint)
+      var lo = 0
+      var hi = starts.length - 1
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= pos) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans >= 0 && pos < hit._2(ans)
+    }
+  }
+
+  /** Rel paths this vector names (what the CDF before-image read scans). */
+  def files: Set[String] = runs.keySet
+
+  def totalPositions: Long = runs.valuesIterator.map { case (s, e) =>
+    s.indices.iterator.map(i => e(i) - s(i)).sum
+  }.sum
+}
+
+object DvMap {
+  private val Empty = (Array.emptyLongArray, Array.emptyLongArray)
+
+  /** Build from raw (relPath, start, len) runs, merging overlaps — two
+    * delete commits may each cover the same position, and a binary
+    * search over UNMERGED overlapping runs could miss coverage. */
+  def apply(marker: String, raw: Seq[(String, Long, Long)]): DvMap = {
+    val byFile = raw.groupBy(_._1).map { case (f, rs) =>
+      val sorted = rs.map(r => (r._2, r._2 + r._3)).sortBy(_._1)
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((s, e) <- sorted) {
+        if (ends.nonEmpty && s <= ends.last) {
+          if (e > ends.last) ends(ends.length - 1) = e
+        } else { starts += s; ends += e }
+      }
+      f -> (starts.toArray, ends.toArray)
+    }
+    new DvMap(marker, byFile)
+  }
+}
+
+/** `dv_contains(file_path, row_index)` over a broadcast [[DvMap]] —
+  * ships to executors inside the serialized plan (the map is
+  * O(delete-debt runs), the same driver-size bound Delta's in-memory
+  * DVs carry). Codegen-friendly: the generated code is one virtual
+  * call on the referenced map, so the surrounding filter stays inside
+  * WholeStageCodegen. */
+case class DvContains(left: Expression, right: Expression, dv: DvMap)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dv_contains expects (string file, bigint pos), got ($l, $r)")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_dv_contains"
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(f: Any, p: Any): Any =
+    dv.contains(f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDv", dv, classOf[DvMap].getName)
+    defineCodeGen(ctx, ev, (f, p) => s"$ref.contains($f, $p)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvContains =
+    copy(left = newLeft, right = newRight)
+}

@@ -25,10 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * built per gram, which is the shape the dedup/census pipelines
   * (l2c/l4h-style shingling) actually stream through their shuffles.
   *
-  * Semantics match the builtin chain exactly, including the edges: a
-  * NULL array or NULL/invalid n yields zero rows (explode-of-NULL), a
-  * NULL token inside a gram renders as the empty string the way
-  * `concat_ws` drops nulls, and n > size yields zero rows. Generators
+  * Semantics match the builtin chain on every input the chain handles
+  * sanely: a NULL array or NULL/invalid n yields zero rows
+  * (explode-of-NULL), and a NULL token inside a gram renders as the
+  * empty string the way `concat_ws` drops nulls. For size < n the
+  * generator deliberately yields ZERO rows where the naive builtin
+  * chain would not — `sequence(0, size-n)` with a negative stop
+  * DESCENDS (default step -1), so the chain emits partial grams or
+  * errors on the slice at start 0 unless the caller adds a
+  * `size(toks) >= n` guard filter; the generator bakes that guard in
+  * (l4r's census twin carries the guard explicitly for this reason).
+  * Generators
   * run outside whole-stage codegen by design (every builtin explode
   * does too — the Generate operator is the iteration, CodegenFallback
   * only covers this expression's own eval). */

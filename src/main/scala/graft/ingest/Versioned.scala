@@ -91,7 +91,6 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object Versioned {
 
-  private val ClaimFile = "_claim"
   private val CommittedFile = "_committed"
   private val ManifestFile = "_manifest"
   private val DeltaFile = "_delta"
@@ -105,11 +104,26 @@ object Versioned {
     * metadata write O(delta). */
   private val CheckpointEvery = 20
 
-  /** Manifest entry kinds: `data` is a snapshot data file; `delete` is a
-    * merge-on-read delete file (a single-column parquet of keys that
-    * readers anti-join against data files from EARLIER versions). */
+  /** Manifest entry kinds: `data` is a snapshot data file; `dv` is a
+    * merge-on-read POSITIONAL deletion vector (a parquet of
+    * `(rel_path, pos, len)` runs applied as a broadcast row-index
+    * filter — no join in the read plan); `delete` is the legacy keyed
+    * delete file (a single-column parquet of keys that readers
+    * anti-join against data files from EARLIER versions — still read,
+    * no longer written by default). */
   val KindData = "data"
   val KindDelete = "delete"
+  val KindDv = "dv"
+
+  /** Internal metadata column names for position-aware reads. */
+  private val FileMetaCol = "__graft_file"
+  private val PosMetaCol = "__graft_pos"
+
+  /** Last (data files scanned, data files total) of a
+    * [[deleteMergeOnRead]] position discovery per table — the
+    * observable specs `require` stats pruning through. */
+  private val dvDiscovery = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def lastDvDiscovery(path: String): Option[(Int, Int)] = Option(dvDiscovery.get(path))
 
   /** `_meta` key carrying the committed frame's schema as Spark JSON. */
   private val SchemaKey = "graft.schema"
@@ -376,21 +390,30 @@ object Versioned {
     * file-already-exists outcome means "claim lost" — any other
     * IOException (safe mode, permissions, connectivity) propagates, so a
     * persistent FS fault surfaces instead of spinning the claim loop
-    * through version numbers forever. */
-  private def atomicClaim(fs: FileSystem, dir: HPath): Boolean = {
-    val claim = new HPath(dir, ClaimFile)
-    if (fs.getUri.getScheme == "file")
-      try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    else
-      try { fs.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException        => false
-      }
+    * through version numbers forever.
+    *
+    * Acquisition is PLUGGABLE ([[LockProvider]], r7 verdict #2): the
+    * default rides create-if-absent (local FS / HDFS); a deployment on
+    * a store whose file creation is not atomic swaps in a provider
+    * built on that store's conditional PUT — the rest of the protocol
+    * (rebase, recovery, vacuum) only ever talks to the seam. */
+  @volatile private var lockProvider: LockProvider = LocalExclusiveLock
+
+  /** Swap the claim-acquisition provider (deployment-time choice;
+    * specs use the scoped form below). */
+  def setLockProvider(p: LockProvider): Unit = lockProvider = p
+
+  /** Run `body` under `p`, restoring the prior provider after — the
+    * spec-facing scope guard. Not re-entrant across concurrent scopes
+    * with DIFFERENT providers (a deployment picks one provider). */
+  def withLockProvider[T](p: LockProvider)(body: => T): T = {
+    val prev = lockProvider
+    lockProvider = p
+    try body finally lockProvider = prev
   }
+
+  private def atomicClaim(fs: FileSystem, dir: HPath): Boolean =
+    lockProvider.tryAcquire(fs, dir)
 
   /** Claim the next free version ≥ current+1 (atomic create-if-absent;
     * the loser of a race advances). Returns the claimed version. Used by
@@ -486,11 +509,11 @@ object Versioned {
   private def awaitRival(
       fs: FileSystem, root: HPath, path: String, b: Long,
       orig: java.util.ConcurrentModificationException): Seq[Long] = {
-    val claim = new HPath(versionDir(root, b + 1), ClaimFile)
+    val claimDir = versionDir(root, b + 1)
     val deadline = System.currentTimeMillis() + inflightWaitMs
     var landed = versions(path).filter(_ > b)
     while (landed.isEmpty && System.currentTimeMillis() < deadline) {
-      if (!fs.exists(claim)) {
+      if (!lockProvider.isHeld(fs, claimDir)) {
         // claim gone, nothing committed: the rival abandoned — but
         // re-check for a publication that raced the claim removal
         val last = versions(path).filter(_ > b)
@@ -613,11 +636,13 @@ object Versioned {
       .flatMap(st => parseVersion(st.getPath.getName))
       .filter { v =>
         val dir = versionDir(root, v)
-        val claim = new HPath(dir, ClaimFile)
-        !fs.exists(new HPath(dir, CommittedFile)) && fs.exists(claim) &&
-          fs.getFileStatus(claim).getModificationTime < cutoff
+        !fs.exists(new HPath(dir, CommittedFile)) &&
+          lockProvider.heldSinceMs(fs, dir).exists(_ < cutoff)
       }
-    doomed.foreach(v => fs.delete(versionDir(root, v), true))
+    doomed.foreach { v =>
+      lockProvider.release(fs, versionDir(root, v)) // also clears store-side claim state
+      fs.delete(versionDir(root, v), true)
+    }
     doomed.sorted
   }
 
@@ -809,7 +834,8 @@ object Versioned {
     * never selected. When either side predates ids, fall back to the
     * by-name semantics the format always had. */
   private def alignToTarget(
-      df: DataFrame, wIds: Map[String, Int], t: Target): DataFrame = {
+      df: DataFrame, wIds: Map[String, Int], t: Target,
+      passthrough: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val idToW = wIds.map(_.swap)
     df.select(t.schema.fields.toSeq.map { f =>
@@ -821,12 +847,22 @@ object Versioned {
         case Some(n) => col(n).as(f.name)
         case None    => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    } ++ passthrough.map(col): _*)
+  }
+
+  /** Attach the scan-level file/position metadata columns — must happen
+    * directly on the file-source frame (`_metadata` is a hidden column
+    * of the scan relation; it does not survive later projections). */
+  private def attachMeta(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("*"),
+      col("_metadata.file_path").as(FileMetaCol),
+      col("_metadata.row_index").as(PosMetaCol))
   }
 
   private def readEntries(
       spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry],
-      target: Option[Target] = None): DataFrame = {
+      target: Option[Target] = None, withMeta: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "Versioned: empty entry set")
     val groups = entries.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     if (entries.forall(_.partDir.isEmpty)) {
@@ -839,9 +875,11 @@ object Versioned {
       // target is pinned, equal to the target's too (a rename on top of
       // unrenamed files must take the aligning path below)
       if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1 &&
-          target.forall(t => asNullable(t.schema).json == schemas.head.get.json))
-        return spark.read.schema(schemas.head.get)
+          target.forall(t => asNullable(t.schema).json == schemas.head.get.json)) {
+        val fast = spark.read.schema(schemas.head.get)
           .parquet(entries.map(e => new HPath(root, e.relPath).toString): _*)
+        return if (withMeta) attachMeta(fast) else fast
+      }
     }
     groups
       .map { case (ver, es) =>
@@ -855,13 +893,16 @@ object Versioned {
         // column was STRING — a silent type drift that would poison the
         // next merge's unionByName. Legacy (pre-schema-meta) versions
         // fall back to inference.
-        val raw = metaSchema(fs, root, wVer) match {
+        val raw0 = metaSchema(fs, root, wVer) match {
           case Some(sc) => rd.schema(sc).parquet(files: _*)
           case None     => rd.parquet(files: _*)
         }
+        val raw = if (withMeta) attachMeta(raw0) else raw0
         target match {
-          case Some(t) => alignToTarget(raw, colIdsOf(fs, root, wVer), t)
-          case None    => raw
+          case Some(t) =>
+            alignToTarget(raw, colIdsOf(fs, root, wVer), t,
+              passthrough = if (withMeta) Seq(FileMetaCol, PosMetaCol) else Nil)
+          case None => raw
         }
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -885,38 +926,77 @@ object Versioned {
     } else materialize(spark, fs, root, entries, targetOf(fs, root, version))
   }
 
-  /** Materialize a full manifest: data entries read per owning version,
-    * merge-on-read delete files applied VERSION-SEQUENCED — a delete
-    * committed at version v anti-joins only data files from versions
-    * < v, so a later append that legitimately reuses a deleted key is
-    * not swallowed (Iceberg's sequence-number rule). */
+  /** Load the deletion-vector run lists of `dvEntries` into one merged
+    * [[graft.functions.DvMap]]. The collect is O(runs) driver metadata —
+    * delete DEBT, not table size (compaction folds it; the same bound
+    * Delta's in-memory DVs carry). */
+  private def loadDvMap(
+      spark: SparkSession, root: HPath, dvEntries: Seq[ManifestEntry]): graft.functions.DvMap = {
+    val raw = spark.read.parquet(dvEntries.map(e => new HPath(root, e.relPath).toString): _*)
+      .select("rel_path", "pos", "len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    graft.functions.DvMap(root.toUri.getPath.stripSuffix("/") + "/", raw)
+  }
+
+  /** Filter `df` (which carries the meta columns) down to rows NOT
+    * covered by `dv`, dropping the meta columns unless the caller wants
+    * them. The predicate is a native codegen expression — no join node,
+    * no shuffle, O(log runs) per row. */
+  private def applyDv(df: DataFrame, dv: graft.functions.DvMap, keepMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val pred = ColumnBridge.column(graft.functions.DvContains(
+      ColumnBridge.expression(col(FileMetaCol)),
+      ColumnBridge.expression(col(PosMetaCol)), dv))
+    val kept = df.filter(not(pred))
+    if (keepMeta) kept else kept.drop(FileMetaCol, PosMetaCol)
+  }
+
+  /** Materialize a full manifest: data entries read per owning version;
+    * positional deletion vectors ([[KindDv]]) applied as ONE broadcast
+    * row-index filter (no join in the plan — the r7 verdict #3 shape);
+    * legacy keyed delete files ([[KindDelete]]) applied
+    * VERSION-SEQUENCED — a delete committed at version v anti-joins
+    * only data files from versions < v, so a later append that
+    * legitimately reuses a deleted key is not swallowed (Iceberg's
+    * sequence-number rule; DVs get the same property for free — they
+    * name files, and a later file is never named). */
   private def materialize(
       spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry],
-      target: Option[Target]): DataFrame = {
-    val (dels, datas) = entries.partition(_.kind == KindDelete)
-    if (dels.isEmpty) readEntries(spark, fs, root, datas, target)
-    else {
-      val delFrames = dels.sortBy(entryVersion).map { e =>
-        val keys = spark.read.parquet(new HPath(root, e.relPath).toString)
-        require(keys.columns.length == 1,
-          s"Versioned: delete file ${e.relPath} must carry exactly one key column, " +
-            s"got ${keys.columns.mkString(",")}")
-        (entryVersion(e), keys, keys.columns.head)
-      }
-      datas.groupBy(entryVersion).toSeq.sortBy(_._1)
-        .map { case (gv, es) =>
-          delFrames.filter(_._1 > gv).foldLeft(readEntries(spark, fs, root, es, target)) {
-            // a data group from before a key column appeared (schema
-            // drift) reads NULL under it — a keyed delete matches no NULL
-            // rows, so skipping the anti-join for that group is the
-            // correct semantics, not a workaround
-            case (acc, (_, keys, kc)) if acc.columns.contains(kc) =>
-              acc.join(keys, Seq(kc), "left_anti")
-            case (acc, _) => acc
-          }
+      target: Option[Target], withMeta: Boolean = false): DataFrame = {
+    val (dvs, rest) = entries.partition(_.kind == KindDv)
+    val (dels, datas) = rest.partition(_.kind == KindDelete)
+    val needMeta = withMeta || dvs.nonEmpty
+    val base: DataFrame =
+      if (dels.isEmpty)
+        readEntries(spark, fs, root, datas, target, withMeta = needMeta)
+      else {
+        val delFrames = dels.sortBy(entryVersion).map { e =>
+          val keys = spark.read.parquet(new HPath(root, e.relPath).toString)
+          require(keys.columns.length == 1,
+            s"Versioned: delete file ${e.relPath} must carry exactly one key column, " +
+              s"got ${keys.columns.mkString(",")}")
+          (entryVersion(e), keys, keys.columns.head)
         }
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-    }
+        datas.groupBy(entryVersion).toSeq.sortBy(_._1)
+          .map { case (gv, es) =>
+            delFrames.filter(_._1 > gv)
+              .foldLeft(readEntries(spark, fs, root, es, target, withMeta = needMeta)) {
+                // a data group from before a key column appeared (schema
+                // drift) reads NULL under it — a keyed delete matches no NULL
+                // rows, so skipping the anti-join for that group is the
+                // correct semantics, not a workaround
+                case (acc, (_, keys, kc)) if acc.columns.contains(kc) =>
+                  acc.join(keys, Seq(kc), "left_anti")
+                case (acc, _) => acc
+              }
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    if (dvs.isEmpty) base
+    else applyDv(base, loadDvMap(spark, root, dvs), keepMeta = withMeta)
   }
 
   /** Read the current snapshot. The version is resolved HERE, so the
@@ -1066,7 +1146,8 @@ object Versioned {
       val op =
         if (prev.isEmpty) "commit"
         else if (added.isEmpty && removed.isEmpty) "metadata"
-        else if (removed.isEmpty && added.forall(_.kind == KindDelete)) "delete"
+        else if (removed.isEmpty && added.forall(e =>
+          e.kind == KindDelete || e.kind == KindDv)) "delete"
         else if (removed.isEmpty && added.forall(_.kind == KindData)) "append"
         else "rewrite"
       // nullability-erased: a rewrite whose plan flips nullable flags
@@ -1250,11 +1331,11 @@ object Versioned {
         val idx2 = if (derivedBase == base) idx else batchIndexAt(fs, root, derivedBase)
         idx2.get(batchId) match {
           case Some(existing) =>
-            // abandon: remove ONLY the claim marker — deleting the dir
+            // abandon: release ONLY the claim — deleting the dir
             // would race a contender's mkdirs inside its own claim
             // attempt. The empty slot is claimable again, and waiters
             // on this claim observe the abandon and re-claim.
-            fs.delete(new HPath(versionDir(root, v), ClaimFile), false)
+            lockProvider.release(fs, versionDir(root, v))
             existing
           case None =>
             df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
@@ -1596,6 +1677,32 @@ object Versioned {
         col(key) +: lit("insert").as("change_type") +: lit(schemaChanged).as("schema_change") +:
           image(ins, allOthers): _*)
     } else if (mFrom.forall(toSet.contains) && delta.nonEmpty &&
+        delta.forall(_.kind == KindDv)) {
+      // merge-on-read DV window: the delta is exactly the deletion
+      // vector — the feed is the before-images at the recorded
+      // positions, fetched by re-reading ONLY the files the vector
+      // names with the positional filter INVERTED (rows it covers).
+      // Discovery recorded positions against the MATERIALIZED fromV
+      // snapshot, so already-deleted rows are never re-reported.
+      val dv = loadDvMap(spark, root, delta)
+      val named = mFrom.filter(e => e.kind == KindData && dv.files.contains(e.relPath))
+      if (named.isEmpty)
+        before.limit(0).select(
+          col(key) +: lit("delete").as("change_type") +:
+            lit(schemaChanged).as("schema_change") +: image(before, allOthers): _*)
+      else {
+        import org.apache.spark.sql.graft.ColumnBridge
+        val scan = materialize(spark, fs, root,
+          named ++ mFrom.filterNot(_.kind == KindData), targetOf(fs, root, fromV),
+          withMeta = true)
+        val pred = ColumnBridge.column(graft.functions.DvContains(
+          ColumnBridge.expression(col(FileMetaCol)),
+          ColumnBridge.expression(col(PosMetaCol)), dv))
+        scan.filter(pred)
+          .select(col(key) +: lit("delete").as("change_type") +:
+            lit(schemaChanged).as("schema_change") +: image(before, allOthers): _*)
+      }
+    } else if (mFrom.forall(toSet.contains) && delta.nonEmpty &&
         delta.forall(_.kind == KindDelete) &&
         delta.forall(e => spark.read.parquet(new HPath(root, e.relPath).toString)
           .columns.sameElements(Array(key)))) {
@@ -1784,37 +1891,124 @@ object Versioned {
       adds = fresh, removes = touched.map(e => (e.partDir, e.relPath)), schema = merged.schema)
   }
 
-  /** MERGE-ON-READ delete — the O(delete-set) alternative to the
-    * copy-on-write [[delete]]: the commit writes ONLY a single-column
-    * parquet of deleted keys under `v/deletes` and carries the previous
-    * manifest by reference — ZERO data files rewritten (s20's entry
-    * `require`s exactly that), the right trade when deletes are tiny
-    * relative to the table (GDPR erasure, retraction feeds). Readers pay
-    * one anti-join per outstanding delete file, version-sequenced so a
-    * later append reusing a deleted key survives; [[compactDeletes]]
-    * folds the debt back into pure data files when read cost outweighs
-    * write savings — the same rewrite-vs-read knob Iceberg v2 exposes. */
+  /** MERGE-ON-READ delete — the zero-rewrite alternative to the
+    * copy-on-write [[delete]]: the commit writes ONLY a POSITIONAL
+    * DELETION VECTOR under `v/deletes` — `(rel_path, pos, len)` runs of
+    * the deleted rows' file positions (Delta DV / Iceberg v3 position
+    * deletes) — and carries the previous manifest by reference: ZERO
+    * data files rewritten (s20's entry `require`s exactly that), the
+    * right trade when deletes are tiny relative to the table (GDPR
+    * erasure, retraction feeds). Readers apply the vector as ONE
+    * broadcast row-index filter inside the scan — no anti-join, no
+    * shuffle, O(log runs) per row (r7 verdict #3) — where the legacy
+    * key-list files cost one join per outstanding delete commit.
+    * [[compactDeletes]] still folds the debt back into pure data files
+    * when it accumulates — the same rewrite-vs-read knob Iceberg
+    * exposes.
+    *
+    * Position discovery reads the CURRENT MATERIALIZED snapshot (so
+    * already-deleted rows are never re-recorded — the change feed
+    * depends on that) with the scan's own `_metadata.row_index`; the
+    * run encoding compresses clustered deletes to O(ranges). Write
+    * cost is one filtered scan of the table — the same scan Delta's
+    * DV-producing DELETE pays; the saving is on the WRITE (no rewrite)
+    * and every subsequent READ (no join). Sequencing is structural:
+    * a vector names the files it covers, so a later append reusing a
+    * deleted key is never swallowed. */
   def deleteMergeOnRead(
       spark: SparkSession, path: String, keys: DataFrame, key: String,
       meta: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col, lag, sum, when, count, min, max}
+    import org.apache.spark.sql.expressions.Window
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.deleteMergeOnRead: no committed version under $path"))
+    val entries = readManifest(fs, root, base)
+    // POSITION DISCOVERY IS STATS-PRUNED: a data file whose recorded
+    // [min,max] for the key cannot intersect the delete set's [lo,hi]
+    // cannot contain a match — skip it at the manifest, before any scan
+    // (files without statistics always participate; pruning is an
+    // optimization, never a correctness filter). On a key-clustered
+    // table a narrow retraction scans O(overlapping files), not the
+    // table — [[lastDvDiscovery]] exposes (scanned, total) for proofs.
+    val keyType = metaSchema(fs, root, base).flatMap(_.fields.find(_.name == key)).map(_.dataType)
+    val keyBounds: Option[(Any, Any)] = keyType.flatMap {
+      case _: org.apache.spark.sql.types.NumericType =>
+        val r = keys.agg(min(col(key)), max(col(key))).head()
+        if (r.isNullAt(0)) None
+        else Some((new java.math.BigDecimal(r.get(0).toString),
+          new java.math.BigDecimal(r.get(1).toString)))
+      case _: org.apache.spark.sql.types.StringType =>
+        val r = keys.agg(min(col(key)), max(col(key))).head()
+        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      case _ => None
+    }
+    val (dataE, otherE) = entries.partition(_.kind == KindData)
+    val overlapping = keyBounds match {
+      case Some((lo, hi)) => dataE.filter(e => statsOverlap(e.stats, key, lo, hi))
+      case None           => dataE
+    }
+    // every file pruned → nothing can match; keep one file in the scan
+    // so the key-column validation and the (empty) vector still commit
+    val scanned = if (overlapping.isEmpty) dataE.take(1) else overlapping
+    dvDiscovery.put(path, (scanned.size, dataE.size))
     // validate BEFORE committing: a delete keyed on a column the snapshot
     // does not carry would commit fine and then poison every subsequent
-    // read (the anti-join fails at materialize time) — with compaction,
-    // the documented repair path, failing the same way
+    // read — with compaction, the documented repair path, failing the
+    // same way
+    val snapshot = materialize(spark, fs, root, scanned ++ otherE,
+      targetOf(fs, root, base), withMeta = true)
+    require(snapshot.columns.contains(key),
+      s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot — " +
+        "committing it would make every read fail")
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    // the deleted rows' (file, pos), run-length encoded distributively:
+    // a window per file ordered by position marks run starts, a running
+    // count groups each run — one shuffle keyed by file, O(delete set)
+    val wFile = Window.partitionBy(FileMetaCol).orderBy(PosMetaCol)
+    val hits = snapshot.join(keys.select(key).distinct(), Seq(key), "left_semi")
+      .select(col(FileMetaCol), col(PosMetaCol))
+      .withColumn("__new_run",
+        when(col(PosMetaCol) - lag(PosMetaCol, 1).over(wFile) === 1L, 0L).otherwise(1L))
+      .withColumn("__run", sum("__new_run").over(wFile))
+      .groupBy(col(FileMetaCol), col("__run"))
+      .agg(min(PosMetaCol).as("pos"), count(org.apache.spark.sql.functions.lit(1)).as("len"))
+      .select(
+        org.apache.spark.sql.functions.expr(
+          s"substring($FileMetaCol, instr($FileMetaCol, '${rootPrefix.replace("'", "''")}') + ${rootPrefix.length})")
+          .as("rel_path"),
+        col("pos"), col("len"))
+    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+    hits.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new HPath(versionDir(root, v), "deletes").toString)
+    publishDelta(fs, root, v, base,
+      adds = localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDv),
+      removes = Nil,
+      schema = StructType(snapshot.schema.fields.filterNot(f =>
+        f.name == FileMetaCol || f.name == PosMetaCol)),
+      meta = meta)
+  }
+
+  /** The LEGACY keyed merge-on-read delete (pre-DV format): commits a
+    * single-column parquet of deleted keys that readers anti-join,
+    * version-sequenced. Kept so the reader's compatibility path — every
+    * pre-r8 table in the wild — stays exercised by specs; new code
+    * wants [[deleteMergeOnRead]]'s positional vectors. */
+  private[ingest] def deleteMergeOnReadKeys(
+      spark: SparkSession, path: String, keys: DataFrame, key: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.deleteMergeOnReadKeys: no committed version under $path"))
     val snapshot = readAt(spark, path, base)
     require(snapshot.columns.contains(key),
-      s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot " +
-        s"(${snapshot.columns.mkString(", ")}) — committing it would make every read fail")
-    val v = claimExact(fs, root, base) // derived from base: lost-update guard
+      s"Versioned.deleteMergeOnReadKeys: key '$key' is not a column of the current snapshot")
+    val v = claimExact(fs, root, base)
     keys.select(key).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new HPath(versionDir(root, v), "deletes").toString)
     publishDelta(fs, root, v, base,
       adds = localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDelete),
-      removes = Nil, schema = snapshot.schema, meta = meta)
+      removes = Nil, schema = snapshot.schema)
   }
 
   /** Shared validation for the metadata-only schema-evolution commits:
@@ -1832,9 +2026,12 @@ object Versioned {
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.$op: no committed version under $path"))
     val entries = readManifest(fs, root, base)
-    require(entries.forall(_.kind == KindData),
-      s"Versioned.$op: $path has outstanding merge-on-read deletes — run compactDeletes first " +
-        "(their key columns are matched by name and would detach)")
+    // positional deletion vectors survive evolution untouched (they name
+    // files and row positions, not columns); only the LEGACY keyed
+    // delete files — matched by column name at read — would detach
+    require(entries.forall(e => e.kind == KindData || e.kind == KindDv),
+      s"Versioned.$op: $path has outstanding legacy keyed merge-on-read deletes — run " +
+        "compactDeletes first (their key columns are matched by name and would detach)")
     val schema = metaSchema(fs, root, base).getOrElse(
       throw new IllegalStateException(
         s"Versioned.$op: $path predates schema metadata — recommit once before evolving"))
@@ -1922,7 +2119,7 @@ object Versioned {
       throw new IllegalArgumentException(s"Versioned.compactDeletes: no committed version under $path"))
     // no outstanding deletes → nothing to fold; a scheduled maintenance
     // run on a clean table must be a no-op, not a full table rewrite
-    if (!readManifest(fs, root, base).exists(_.kind == KindDelete)) return base
+    if (readManifest(fs, root, base).forall(_.kind == KindData)) return base
     rewriteFrom(fs, root, base, readAt(spark, path, base)) // deletes applied
   }
 
@@ -2096,7 +2293,10 @@ object Versioned {
         fs.delete(new HPath(versionDir(root, v), DeltaFile), false)
       }
     }
-    doomed.foreach(v => fs.delete(versionDir(root, v), true))
+    doomed.foreach { v =>
+      lockProvider.release(fs, versionDir(root, v)) // clear store-side claim state too
+      fs.delete(versionDir(root, v), true)
+    }
     // per-file GC: inside surviving NON-ANCHOR dirs (kept only because
     // some retained manifest references SOME of their files), delete the
     // parquet files nothing retained references
@@ -2120,9 +2320,9 @@ object Versioned {
         // the tombstone is safely resumable — the next vacuum re-lists
         // and re-deletes the same junk set.
         fs.create(new HPath(dir, GcFile), true).close()
-        // the claim served its purpose; removing it keeps recoverClaims
+        // the claim served its purpose; releasing it keeps recoverClaims
         // from ever mistaking this tombstoned dir for a crashed writer
-        fs.delete(new HPath(dir, ClaimFile), false)
+        lockProvider.release(fs, dir)
         junk.foreach(fs.delete(_, false))
       }
     }

@@ -841,16 +841,19 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** S20: merge-on-read DELETE — the O(delete-set) erasure path
+  /** S20: merge-on-read DELETE — the zero-rewrite erasure path
     * ([[graft.ingest.Versioned.deleteMergeOnRead]]): v2 commits ONLY a
-    * key file and carries v1's data manifest verbatim (require'd
-    * in-entry: the data entries of the two manifests are identical, so
-    * ZERO data bytes moved for the delete — at 100 TB that is a GDPR
-    * erasure that costs megabytes, not a table rewrite). Readers of v2
-    * pay one anti-join; v3 = compactDeletes folds the debt into pure
-    * data files (require'd: no delete entries remain, everything lives
-    * under v3). The oracle grades all three snapshots' content: v1
-    * untouched, v2 and v3 identical minus the deleted keys. */
+    * POSITIONAL DELETION VECTOR (r7 verdict #3) and carries v1's data
+    * manifest verbatim (require'd in-entry: the data entries of the two
+    * manifests are identical, so ZERO data bytes moved for the delete —
+    * at 100 TB that is a GDPR erasure that costs megabytes, not a table
+    * rewrite). Readers of v2 apply the vector as a broadcast row-index
+    * filter — require'd in-entry: NO join node anywhere in the v2 read
+    * plan, where the pre-r8 key files cost one anti-join per delete
+    * commit; v3 = compactDeletes folds the debt into pure data files
+    * (require'd: no delete entries remain, everything lives under v3).
+    * The oracle grades all three snapshots' content: v1 untouched, v2
+    * and v3 identical minus the deleted keys. */
   val s20MergeOnRead = QueryDef(
     "s20_merge_on_read",
     (s, d) => {
@@ -865,9 +868,12 @@ object IngestOps extends QueryModule {
         "c_custkey") // v2: key file only
       val m1 = V.manifest(path, 1L).toSet
       val m2 = V.manifest(path, 2L)
-      val (dels2, datas2) = m2.partition(_.kind == V.KindDelete)
-      require(dels2.nonEmpty && datas2.toSet == m1,
-        "s20: merge-on-read delete must rewrite ZERO data files")
+      val (dels2, datas2) = m2.partition(_.kind != V.KindData)
+      require(dels2.nonEmpty && dels2.forall(_.kind == V.KindDv) && datas2.toSet == m1,
+        "s20: merge-on-read delete must land a deletion vector and rewrite ZERO data files")
+      val morPlan = V.readAt(s, path, 2L).queryExecution.executedPlan.toString
+      require(!morPlan.toLowerCase.contains("join"),
+        s"s20: the deletion vector must read join-free, got:\n$morPlan")
       V.compactDeletes(s, path) // v3
       val m3 = V.manifest(path, 3L)
       require(m3.forall(e => e.kind == V.KindData && e.relPath.startsWith("v00003/")),
@@ -1349,9 +1355,11 @@ object IngestOps extends QueryModule {
     * no-op (`require`d on the version number), which is the
     * exactly-once contract a restarted ETL job needs. The SQL half
     * registers the table with `CREATE TABLE … USING` and proves a raw
-    * `INSERT INTO` — which would drop files no manifest records — is
-    * refused before anything is staged. The final aggregate reads back
-    * through the connector's pruning FileIndex. */
+    * `INSERT INTO … VALUES` lands as ONE manifest-protocol append
+    * (since r8 the relation is insertable — s33 grades the full DML
+    * lifecycle; the sentinel probe row is excluded from the oracled
+    * aggregate by its impossible order key). The final aggregate reads
+    * back through the connector's pruning FileIndex. */
   val s30ConnectorWrite = QueryDef(
     "s30_connector_write",
     (s, d) => {
@@ -1371,14 +1379,17 @@ object IngestOps extends QueryModule {
         "s30: the replayed batchId append must be a no-op")
       s.sql("DROP TABLE IF EXISTS graft_s30")
       s.sql(s"CREATE TABLE graft_s30 USING `graft-versioned` OPTIONS (path '$path')")
-      val refused =
-        try { s.sql("INSERT INTO graft_s30 VALUES (0, 'N', 0.0, 0.0, TIMESTAMP'1995-06-01 00:00:00')"); false }
-        catch { case _: Exception => true }
-      require(refused, "s30: INSERT INTO bypassing the manifest must be refused")
+      s.sql("INSERT INTO graft_s30 VALUES (0, 'X', 0.0, 0.0, TIMESTAMP'1995-06-01 00:00:00')")
+      require(V.currentVersion(path).contains(3L),
+        "s30: SQL INSERT INTO must land as ONE manifest-protocol commit")
+      s.sql("REFRESH TABLE graft_s30")
+      require(s.sql("SELECT count(*) FROM graft_s30 WHERE l_orderkey = 0").head().getLong(0) == 1L,
+        "s30: the inserted probe row must be readable through the manifest")
       val back = s.read.format("graft-versioned").load(path)
       require(s.sql("SELECT count(*) FROM graft_s30").head().getLong(0) == back.count(),
         "s30: the catalog table and the connector frame must serve the same snapshot")
-      back.groupBy("l_returnflag")
+      back.filter(col("l_orderkey") > 0L) // the probe row is sentinel-keyed out
+        .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           unscale(sum(cents("l_quantity")), 2).as("sum_qty"),
           unscale(sum(cents("l_extendedprice")), 2).as("sum_price"))
@@ -1525,11 +1536,90 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S33: SQL DML through the connector — the seam that makes the
+    * table format usable from pure SQL (r7 verdict #1). `INSERT INTO`
+    * no longer plans the refused raw-file write: the connector relation
+    * is an `InsertableRelation`
+    * ([[org.apache.spark.sql.graft.GraftVersionedRelation]]), so the
+    * insert lands as a manifest-protocol [[graft.ingest.Versioned
+    * .appendCommit]] (O(delta), rebase-friendly). `MERGE INTO` is
+    * served by the injected resolution rule
+    * ([[org.apache.spark.sql.graft.GraftMergeIntoRule]] — Delta's
+    * DeltaAnalysis seam): star UPDATE+INSERT → `upsert`, matched
+    * DELETE → keyed copy-on-write `delete`. The entry drives the full
+    * SQL lifecycle — bootstrap, CREATE TABLE, INSERT INTO, upsert
+    * MERGE, delete MERGE — `require`ing the protocol observables (one
+    * derived commit per statement, v2 classified `append` by DESCRIBE
+    * HISTORY, the post-MERGE SELECT seeing the new snapshot without a
+    * manual refresh), and oracles the FINAL state against `customer`. */
+  val s33SqlDml = QueryDef(
+    "s33_sql_dml",
+    (s, d) => {
+      val path = tmp("s33_dml", d)
+      Writers.deleteTree(path)
+      val V = graft.ingest.Versioned
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      V.commit(cust.filter(col("c_custkey") % 2 === 0), path) // v1: bootstrap
+      s.sql("DROP TABLE IF EXISTS graft_s33")
+      s.sql(s"CREATE TABLE graft_s33 USING `graft-versioned` OPTIONS (path '$path')")
+      cust.filter(col("c_custkey") % 2 === 1).createOrReplaceTempView("s33_src")
+      s.sql("INSERT INTO graft_s33 SELECT c_custkey, segment FROM s33_src") // v2: append
+      require(V.currentVersion(path).contains(2L),
+        "s33: INSERT INTO must land as ONE manifest-protocol commit")
+      require(V.history(s, path).filter(col("version") === 2L)
+          .head().getAs[String]("operation") == "append",
+        "s33: the SQL INSERT must classify as an O(delta) append, not a rewrite")
+      s.sql("REFRESH TABLE graft_s33") // v1 file-table contract after an external-style write
+      require(s.sql("SELECT count(*) FROM graft_s33").head().getLong(0) == cust.count(),
+        "s33: after INSERT the table must hold both halves")
+      cust.filter(col("c_custkey") % 4 === 0)
+        .withColumn("segment", concat(lit("M_"), col("segment")))
+        .unionByName(
+          cust.filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("FRESH").as("segment")))
+        .createOrReplaceTempView("s33_delta")
+      s.sql("""
+        MERGE INTO graft_s33 t USING s33_delta s ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """) // v3: upsert through the merge rule
+      require(V.currentVersion(path).contains(3L),
+        "s33: MERGE must land as one derived commit")
+      // the merge command refreshes the cached catalog relation itself —
+      // the very next SELECT over the NAME must already see v3
+      require(s.sql("SELECT count(*) FROM graft_s33 WHERE segment = 'FRESH'").head().getLong(0) ==
+          cust.filter(col("c_custkey") % 10 === 0).count(),
+        "s33: the post-MERGE SELECT must see the merged snapshot without a manual refresh")
+      cust.filter(col("c_custkey") % 9 === 0).select("c_custkey")
+        .createOrReplaceTempView("s33_gone")
+      s.sql("""
+        MERGE INTO graft_s33 t USING s33_gone s ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN DELETE
+      """) // v4: keyed copy-on-write delete
+      require(V.currentVersion(path).contains(4L),
+        "s33: the delete MERGE must land as one derived commit")
+      s.sql("SELECT c_custkey, segment FROM graft_s33 ORDER BY c_custkey")
+    },
+    Some("""
+      WITH merged AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN 'M_' || c_mktsegment ELSE c_mktsegment END AS segment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 'FRESH' FROM customer WHERE c_custkey % 10 = 0
+      )
+      SELECT c_custkey, segment FROM merged
+      WHERE c_custkey % 9 <> 0 OR c_custkey > 1000000
+      ORDER BY c_custkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
-    s31ConnectorCdf, s32History)
+    s31ConnectorCdf, s32History, s33SqlDml)
 }

@@ -368,6 +368,18 @@ object SimilarityOps extends QueryModule {
     (s, d) => {
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.embeddings(s, d)
+      // The Knuth formula maps anchors onto `raw % n` and joins that
+      // index back onto vec_id — it ASSUMES vec_id is dense 0..n-1. On
+      // a renumbered corpus the inner join would drop pairs silently in
+      // BOTH engines (the oracle runs the same formula, so it could not
+      // catch the under-sampling); assert density loudly instead (r7
+      // ADVICE). One 2-row aggregate, driver-side.
+      val Array(nCnt, maxId) = emb
+        .agg(count(lit(1)).cast("long"), max(col("vec_id")).cast("long"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nCnt > 0 && maxId == nCnt - 1,
+        s"l3e: negative sampling requires DENSE vec_id 0..n-1 (n=$nCnt, max=$maxId) — " +
+          "a renumbered corpus would silently under-sample; renumber or re-derive ids first")
       val nRow = emb.agg(count(lit(1)).as("n"))
       val assigned = emb.select(col("vec_id").as("anchor_id"))
         .select(col("anchor_id"), explode(expr("sequence(0, 3)")).as("j"))

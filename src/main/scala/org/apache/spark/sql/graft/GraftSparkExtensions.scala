@@ -1,0 +1,214 @@
+/* Shim-packaged for the same reason as the connector: the MERGE
+ * rewrite pattern-matches Catalyst's parsed `MergeIntoTable` plan and
+ * plans a `LeafRunnableCommand`, both of which are Spark-internal
+ * surfaces (the exact seam Delta's DeltaAnalysis rule rides). All
+ * table semantics delegate to the public graft.ingest.Versioned API. */
+package org.apache.spark.sql.graft
+
+import graft.ingest.Versioned
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Column ↔ Expression bridge for the library packages: the classic
+  * converters are `private[sql]`, so the graft.* side reaches them
+  * through this shim (the only reason it exists). */
+object ColumnBridge {
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
+
+/** `spark.sql.extensions` entry point (set at session build by
+  * Verify/Bench/the test fixture — any deployment wanting SQL MERGE on
+  * `graft-versioned` tables adds the same one config line). Injects the
+  * one rule the connector cannot express through public provider seams:
+  * MERGE INTO. INSERT INTO needs no extension — it lands through
+  * [[GraftVersionedRelation]]'s `InsertableRelation` seam. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(session => new GraftMergeIntoRule(session))
+}
+
+/** Resolution rule: `MERGE INTO <graft-versioned table> t USING src s
+  * ON t.k = s.k ...` → [[GraftMergeIntoCommand]] over the library's
+  * merge primitives, the v1-relation analogue of Delta's
+  * `DeltaAnalysis` MERGE rewrite (Spark's builtin row-level MERGE
+  * machinery only serves DSv2 tables with `SupportsRowLevelOperations`
+  * — a v1 target would otherwise die in CheckAnalysis).
+  *
+  * Supported shapes — the classic upsert/retract trio, matched either
+  * as the parsed star actions or as the identity column-by-column
+  * assignments `ResolveReferences` may have already expanded them to
+  * (both forms arrive here depending on rule ordering inside the
+  * resolution batch):
+  *
+  *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    → [[Versioned.upsert]] (partition-layout tables:
+  *    [[Versioned.upsertPartitioned]], touched partitions only);
+  *  - `WHEN MATCHED THEN UPDATE SET *` alone → upsert restricted to
+  *    keys already present (no inserts);
+  *  - `WHEN MATCHED THEN DELETE` alone → keyed [[Versioned.delete]]
+  *    (copy-on-write, so the committed snapshot stays readable by the
+  *    strict batch connector).
+  *
+  * Clause conditions, non-identity assignments, and
+  * NOT-MATCHED-BY-SOURCE clauses are refused with an explicit message
+  * — a restricted MERGE that errs loudly beats a permissive one that
+  * guesses semantics. Non-graft targets pass through untouched. */
+class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved && isGraft(m.targetTable) =>
+      rewrite(m)
+    case _ => plan
+  }
+
+  private def isGraft(target: LogicalPlan): Boolean =
+    EliminateSubqueryAliases(target) match {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[GraftVersionedRelation]
+      case _                   => false
+    }
+
+  private def fail(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-versioned MERGE: $why. Supported: ON t.k = s.k with WHEN MATCHED THEN " +
+        "UPDATE SET * [WHEN NOT MATCHED THEN INSERT *], or WHEN MATCHED THEN DELETE alone; " +
+        "other shapes go through graft.ingest.Versioned directly")
+
+  /** Column name behind a condition/assignment side — resolved or not
+    * (the rule can fire either before or after `ResolveReferences`
+    * touches the merge clauses in the same resolution batch). */
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference  => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _                      => None
+  }
+
+  /** An UPDATE/INSERT action is "star-equivalent" when it is the parsed
+    * star form, or every assignment maps a column from the same-named
+    * source column (what star expansion produces). */
+  private def starEquivalent(assigns: Seq[Assignment]): Boolean =
+    assigns.forall { a =>
+      (nameOf(a.key), nameOf(a.value)) match {
+        case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+        case _                  => false
+      }
+    }
+
+  private def rewrite(m: MergeIntoTable): LogicalPlan = {
+    val lr = EliminateSubqueryAliases(m.targetTable).asInstanceOf[LogicalRelation]
+    val rel = lr.relation.asInstanceOf[GraftVersionedRelation]
+    val key = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        (nameOf(l), nameOf(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) =>
+            // canonical casing from the table schema, not the SQL text
+            lr.schema.fields.map(_.name).find(_.equalsIgnoreCase(a))
+              .getOrElse(fail(s"merge key '$a' is not a column of the target table"))
+          case (Some(a), Some(b)) =>
+            fail(s"ON must equate one shared key column, got '$a' = '$b'")
+          case _ => fail("ON must be a plain column equality (no casts or functions)")
+        }
+      case _ => fail("ON must be a single equality t.k = s.k")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    val shape = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(_: UpdateStarAction), Seq(_: InsertStarAction)) => GraftMergeIntoCommand.Upsert
+      case (Seq(UpdateAction(None, as, _)), Seq(InsertAction(None, bs)))
+          if starEquivalent(as) && starEquivalent(bs) => GraftMergeIntoCommand.Upsert
+      case (Seq(_: UpdateStarAction), Seq()) => GraftMergeIntoCommand.UpdateOnly
+      case (Seq(UpdateAction(None, as, _)), Seq()) if starEquivalent(as) =>
+        GraftMergeIntoCommand.UpdateOnly
+      case (Seq(DeleteAction(None)), Seq()) => GraftMergeIntoCommand.DeleteMatched
+      case (ma, na) =>
+        fail(s"unsupported clause shape (matched=${ma.map(_.getClass.getSimpleName).mkString(",")}, " +
+          s"notMatched=${na.map(_.getClass.getSimpleName).mkString(",")}); clause conditions and " +
+          "non-star assignments are not supported")
+    }
+    // the catalog identifier (when the target IS a catalog table) lets
+    // the command refresh the session's cached relation, so the very
+    // next SELECT over the table name sees the merged snapshot. The
+    // INNERMOST alias is the catalog name — `MERGE INTO tbl t` wraps
+    // the table's own qualified SubqueryAlias in the user alias `t`.
+    val ident = m.targetTable.collect {
+      case SubqueryAlias(id, _: LogicalRelation) => id.qualifier :+ id.name
+    }.lastOption
+    GraftMergeIntoCommand(rel.tablePath, m.sourceTable, key, shape, ident)
+  }
+}
+
+/** The planned MERGE: executes one derived commit through the library
+  * API. The source plan is carried ALREADY-RESOLVED from analysis;
+  * execution wraps it as a frame, aligns it to the target's column set
+  * by name, and hands it to the matching Versioned primitive — which
+  * is where the real scale work (partition-scoped rewrite, claim
+  * protocol, rebase-on-rival) already lives. */
+case class GraftMergeIntoCommand(
+    path: String,
+    source: LogicalPlan,
+    key: String,
+    shape: GraftMergeIntoCommand.Shape,
+    catalogIdent: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val classic = spark.asInstanceOf[ClassicSession]
+    val src = Dataset.ofRows(classic, source)
+    val targetCols = Versioned.schemaOf(path).map(_.fieldNames.toSeq)
+      .getOrElse(Versioned.read(spark, path).columns.toSeq)
+    require(targetCols.exists(_.equalsIgnoreCase(key)),
+      s"graft-versioned MERGE: key '$key' is not a column of $path")
+    val layout = Versioned.manifest(path,
+      Versioned.currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"graft-versioned MERGE: no committed version under $path")))
+      .find(_.partDir.nonEmpty)
+      .map(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(Seq.empty)
+    shape match {
+      case GraftMergeIntoCommand.DeleteMatched =>
+        Versioned.delete(spark, path, src.select(col(key)).distinct(), key)
+      case other =>
+        val missing = targetCols.filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"graft-versioned MERGE: source must carry every target column for SET */INSERT * " +
+            s"(missing: ${missing.mkString(", ")})")
+        val aligned = src.select(targetCols.map(c =>
+          col(src.columns.find(_.equalsIgnoreCase(c)).get).as(c)): _*)
+        val updates = other match {
+          case GraftMergeIntoCommand.UpdateOnly =>
+            // SET * without INSERT *: only keys already present merge
+            aligned.join(
+              Versioned.read(spark, path).select(col(key)).distinct(), Seq(key), "left_semi")
+          case _ => aligned
+        }
+        if (layout.nonEmpty) Versioned.upsertPartitioned(spark, path, updates, key, layout: _*)
+        else Versioned.upsert(spark, path, updates, key)
+    }
+    // v1 catalog tables cache their resolved relation (pinned snapshot);
+    // refresh so the next SELECT over the NAME resolves the new version
+    catalogIdent.foreach { id =>
+      try spark.catalog.refreshTable(id.map(p => s"`$p`").mkString("."))
+      catch { case _: Exception => () } // a path-only target has no catalog entry
+    }
+    Seq.empty
+  }
+}
+
+object GraftMergeIntoCommand {
+  sealed trait Shape extends Serializable
+  case object Upsert extends Shape
+  case object UpdateOnly extends Shape
+  case object DeleteMatched extends Shape
+}

@@ -212,15 +212,17 @@ final class VersionedFileIndex(
 }
 
 /** The [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]]
-  * the connector's relations read through, with the WRITE half removed:
-  * a SQL `INSERT INTO` over a `graft-versioned` catalog table would
-  * otherwise plan `InsertIntoHadoopFsRelationCommand` and drop parquet
-  * files straight into the table root — files no manifest records, so
-  * every subsequent read silently ignores them (data loss from the
-  * writer's point of view). `prepareWrite` runs before the committer
-  * touches the filesystem, so the refusal lands with nothing staged.
-  * Manifest-protocol writes go through
-  * `df.write.format("graft-versioned")` or the `Versioned` API. */
+  * the connector's relations read through, with the raw WRITE half
+  * removed. Plain `INSERT INTO` lands through the manifest commit
+  * protocol via [[GraftVersionedRelation.insert]] (the
+  * `InsertableRelation` case of `DataSourceAnalysis` matches before the
+  * `HadoopFsRelation` one), so this refusal is the BACKSTOP for the one
+  * shape that still routes to `InsertIntoHadoopFsRelationCommand` — a
+  * static `PARTITION (k=v)` clause — which would drop parquet files
+  * straight into the table root: files no manifest records, silently
+  * invisible to every subsequent read (data loss from the writer's
+  * point of view). `prepareWrite` runs before the committer touches the
+  * filesystem, so the refusal lands with nothing staged. */
 final class VersionedReadOnlyParquetFormat
     extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
   override def prepareWrite(
@@ -229,8 +231,62 @@ final class VersionedReadOnlyParquetFormat
       options: Map[String, String],
       dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw new UnsupportedOperationException(
-      "graft-versioned: INSERT INTO would write files the manifest never records — " +
-        "write through df.write.format(\"graft-versioned\") or graft.ingest.Versioned instead")
+      "graft-versioned: INSERT with a static PARTITION clause would write files the " +
+        "manifest never records — use plain INSERT INTO (manifest-protocol append), " +
+        "df.write.format(\"graft-versioned\") or graft.ingest.Versioned instead")
+}
+
+/** The connector's batch relation: a [[HadoopFsRelation]] (so Catalyst
+  * plans a pruning `FileSourceScanExec` through the
+  * [[VersionedFileIndex]]) that is ALSO an
+  * [[org.apache.spark.sql.sources.InsertableRelation]], which is what
+  * makes SQL DML land through the manifest commit protocol:
+  * `DataSourceAnalysis` plans `INSERT INTO t` / `INSERT OVERWRITE t`
+  * over an insertable relation as `InsertIntoDataSourceCommand` —
+  * [[insert]] below — instead of the raw-file
+  * `InsertIntoHadoopFsRelationCommand` (whose path stays refused by
+  * [[VersionedReadOnlyParquetFormat]] as the backstop for static
+  * PARTITION clauses, the one INSERT shape that bypasses this seam).
+  *
+  * `INSERT INTO` is [[graft.ingest.Versioned.appendCommit]] — the
+  * O(delta) path, concurrent same-schema appends rebase;
+  * `INSERT OVERWRITE` is a full snapshot commit. A Hive-partitioned
+  * layout keeps its layout through both (`appendCommitPartitioned` /
+  * `commitPartitioned` — the inserted frame carries the partition
+  * columns as ordinary trailing columns, Spark's v1 insert contract).
+  *
+  * Snapshot semantics after DML follow Spark's v1 file-table contract:
+  * this relation pins the snapshot resolved at ANALYSIS time, and a
+  * catalog table's resolved relation is cached by the session — run
+  * `REFRESH TABLE t` (or re-`load()`) to observe a commit landed after
+  * the table was first resolved, exactly as with a parquet table whose
+  * files changed underneath. */
+final class GraftVersionedRelation(
+    spark: ClassicSession,
+    val tablePath: String,
+    index: VersionedFileIndex,
+    partitionSchemaV: StructType,
+    dataSchemaV: StructType)
+  extends org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+    location = index,
+    partitionSchema = partitionSchemaV,
+    dataSchema = dataSchemaV,
+    bucketSpec = None,
+    fileFormat = new VersionedReadOnlyParquetFormat,
+    options = Map("path" -> tablePath))(spark)
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    val partCols = partitionSchemaV.fieldNames.toSeq
+    if (overwrite) {
+      if (partCols.nonEmpty) Versioned.commitPartitioned(data, tablePath, partCols: _*)
+      else Versioned.commit(data, tablePath)
+    } else {
+      if (partCols.nonEmpty) Versioned.appendCommitPartitioned(data, tablePath)
+      else Versioned.appendCommit(data, tablePath)
+    }
+    (): Unit
+  }
 }
 
 object VersionedFileIndex {

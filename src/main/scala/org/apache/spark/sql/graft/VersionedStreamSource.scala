@@ -91,9 +91,23 @@ class VersionedStreamSource(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Where a FRESH stream (no checkpointed offset, no startingVersion)
+    * starts. Append-log mode replays from the beginning (version 0 —
+    * every retained version streams). CDF mode must instead bootstrap
+    * at the RETENTION FLOOR: on a vacuumed table the oldest retained
+    * version is > 1, and a `from` of 0 would drive `changeFeed(path,
+    * 1, to)` straight into its retention require — the batch CDF
+    * relation already defaults `startingVersion` to `versions.head`
+    * for exactly this reason (r7 ADVICE). Resolved lazily ONCE: the
+    * floor seen at first use stays the stream's origin even if vacuum
+    * advances it mid-run (the checkpointed offset wins from then on). */
+  private lazy val freshFrom: Long =
+    startingVersion.map(_ - 1L).getOrElse(
+      if (cdfKey.isDefined) Versioned.versions(path).head - 1L else 0L)
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(startOffset).map(o => o.json.trim.toLong)
-      .orElse(startingVersion.map(_ - 1L)).getOrElse(0L)
+      .getOrElse(freshFrom)
     val avail = availableNowCap.orElse(Versioned.currentVersion(path))
     avail
       .map(a => maxVersionsPerBatch.map(n => math.min(a, from + n)).getOrElse(a))
@@ -105,8 +119,9 @@ class VersionedStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // a fresh stream (no checkpointed offset) starts from startingVersion
     // (that version INCLUDED) instead of replaying the whole backlog —
-    // Delta's startingVersion contract; a checkpointed offset wins
-    val from = start.map(versionOf).getOrElse(startingVersion.map(_ - 1L).getOrElse(0L))
+    // Delta's startingVersion contract; a checkpointed offset wins; CDF
+    // mode bootstraps at the retention floor ([[freshFrom]])
+    val from = start.map(versionOf).getOrElse(freshFrom)
     val to = versionOf(end)
     if (cdfKey.isDefined) {
       // CDF MODE: the micro-batch is the change feed of versions
@@ -341,13 +356,7 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
     val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
     val index = new VersionedFileIndex(spark, path, version, entries, schema, partCols)
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new VersionedReadOnlyParquetFormat,
-      options = Map.empty)(spark)
+    new GraftVersionedRelation(spark, path, index, index.partitionSchema, dataSchema)
   }
 
   /** Batch write: `df.write.format("graft-versioned").mode(...)

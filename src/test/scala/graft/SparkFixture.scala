@@ -20,5 +20,6 @@ object SparkFixture {
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
     .getOrCreate()
 }

@@ -136,7 +136,7 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(mix.getMessage.contains("mix layouts"))
   }
 
-  test("SQL surface: CREATE TABLE USING serves reads; INSERT INTO is refused unstaged") {
+  test("SQL surface: CREATE TABLE USING serves reads; INSERT INTO lands through the manifest") {
     val s = spark
     import s.implicits._
     val path = tmp("sql")
@@ -147,18 +147,46 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     s.sql(s"CREATE TABLE graft_sql_tbl USING `graft-versioned` OPTIONS (path '$path')")
     try {
       assert(s.sql("SELECT count(*) FROM graft_sql_tbl WHERE k > 30").as[Long].head() == 30L)
+      // plain INSERT INTO routes through the InsertableRelation seam:
+      // ONE manifest-protocol append commit, no unrecorded files
+      s.sql("INSERT INTO graft_sql_tbl VALUES (999, 'landed')")
+      assert(Versioned.currentVersion(path).contains(2L),
+        "INSERT INTO must land as one appendCommit")
+      s.sql("REFRESH TABLE graft_sql_tbl") // v1 file-table contract: cached relation pins a snapshot
+      assert(s.sql("SELECT count(*) FROM graft_sql_tbl").as[Long].head() == 61L)
+      assert(Versioned.read(s, path).count() == 61L,
+        "the SQL-inserted row must be a manifest-recorded file, visible to the library read")
+      // INSERT OVERWRITE replaces the snapshot through the same seam
+      s.sql("INSERT OVERWRITE graft_sql_tbl VALUES (1, 'only')")
+      s.sql("REFRESH TABLE graft_sql_tbl")
+      assert(Versioned.currentVersion(path).contains(3L))
+      assert(s.sql("SELECT count(*) FROM graft_sql_tbl").as[Long].head() == 1L)
+    } finally s.sql("DROP TABLE IF EXISTS graft_sql_tbl")
+  }
+
+  test("SQL surface backstop: a static PARTITION clause INSERT is refused unstaged") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("sql_part")
+    Versioned.commitPartitioned(
+      Seq((1L, "a", "P1"), (2L, "b", "P2")).toDF("k", "name", "p"), path, "p")
+    s.sql("DROP TABLE IF EXISTS graft_sql_part")
+    s.sql(s"CREATE TABLE graft_sql_part (k BIGINT, name STRING, p STRING) " +
+      s"USING `graft-versioned` PARTITIONED BY (p) OPTIONS (path '$path')")
+    try {
+      // the PARTITION-clause shape bypasses InsertableRelation (it plans
+      // InsertIntoHadoopFsRelationCommand) — the read-only format must
+      // refuse it BEFORE any file is staged outside the manifest
       val e = intercept[Exception] {
-        s.sql("INSERT INTO graft_sql_tbl VALUES (999, 'rogue')")
+        s.sql("INSERT INTO graft_sql_part PARTITION (p='P1') VALUES (999, 'rogue')")
       }
       def causes(t: Throwable): Seq[Throwable] =
         Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
-      assert(causes(e).exists(_.getMessage != null) &&
-        causes(e).exists(c => Option(c.getMessage).exists(_.contains("manifest never records"))),
-        s"INSERT must be refused by the read-only format, got: $e")
-      // the refusal staged nothing: the table still reads clean and whole
-      assert(s.sql("SELECT count(*) FROM graft_sql_tbl").as[Long].head() == 60L)
+      assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("manifest never records"))),
+        s"static-partition INSERT must be refused by the read-only format, got: $e")
       assert(Versioned.currentVersion(path).contains(1L))
-    } finally s.sql("DROP TABLE IF EXISTS graft_sql_tbl")
+      assert(Versioned.read(s, path).count() == 2L, "the refusal must stage nothing")
+    } finally s.sql("DROP TABLE IF EXISTS graft_sql_part")
   }
 
   test("readChangeFeed serves the per-commit history; windows and key are enforced") {

@@ -415,7 +415,8 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     // zero data files moved: v2's data entries are exactly v1's
     val m2 = Versioned.manifest(path, 2L)
     assert(m2.filter(_.kind == Versioned.KindData).toSet == Versioned.manifest(path, 1L).toSet)
-    assert(m2.exists(e => e.kind == Versioned.KindDelete && e.relPath.startsWith("v00002/")))
+    assert(m2.exists(e => e.kind == Versioned.KindDv && e.relPath.startsWith("v00002/")),
+      "the delete must land as a positional deletion vector")
     assert(Versioned.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(2L))
     // a key deleted at v2 may be legitimately re-appended at v3: the
     // delete is version-sequenced and must NOT swallow the newer row
@@ -703,7 +704,7 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       .count() == 3) // scores 0.5 (k=1), 1.0 (k=2), 1.0 (k=1000)
   }
 
-  test("a merge-on-read delete window feeds via semi-join on the delete file, not a full diff") {
+  test("a merge-on-read delete window feeds from the deletion vector, not a snapshot diff") {
     import spark.implicits._
     val path = freshDir("versioned_cdf_mor")
     Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
@@ -717,7 +718,9 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val plan = feed.queryExecution.executedPlan.toString
     assert(!plan.contains("FullOuter"),
       s"MoR delete window must not pay the full-outer snapshot diff:\n$plan")
-    assert(plan.contains("LeftSemi"), s"expected a semi-join feed plan:\n$plan")
+    // the positional vector is a scan-level filter: NO join of any kind
+    assert(!plan.toLowerCase.contains("join"),
+      s"DV feed must read positions, not join:\n$plan")
   }
 
   test("restore rolls back metadata-only: no data moves, history stays inspectable") {
@@ -1076,10 +1079,16 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val single = freshDir("versioned_drop_last")
     Versioned.commit(Seq(Tuple1(1L)).toDF("k"), single)
     intercept[IllegalArgumentException](Versioned.dropColumn(single, "k"))
+    // positional DVs survive schema evolution (they name files and row
+    // positions, not columns): rename over DV debt is allowed and the
+    // deleted row stays deleted under the new name
     val mor = freshDir("versioned_rename_mor")
-    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), mor)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), mor)
     Versioned.deleteMergeOnRead(spark, mor, Seq(1L).toDF("k"), "k")
-    intercept[IllegalArgumentException](Versioned.renameColumn(mor, "v", "w"))
+    Versioned.renameColumn(mor, "v", "w")
+    val morRows = Versioned.read(spark, mor).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("w")).toMap
+    assert(morRows == Map(2L -> "b"), s"rename over DV debt broke the read: $morRows")
   }
 
   test("optimize-on-write keeps a 50-append loop under the file budget, forever") {
@@ -1258,5 +1267,120 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
     assert(h(0).getBoolean(8), "v1 must be a full-manifest checkpoint")
     assert(!h(1).getBoolean(8), "a hot-path append must be a delta link")
+  }
+
+  test("LockProvider seam: exactly-once commits under the non-atomic-create conditional-put provider") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("versioned_condput_race")
+    Versioned.withLockProvider(ConditionalPutLock) {
+      // 6-way replace-all race: marker creation is overwrite=true (two
+      // racers would BOTH "succeed" at the file layer) — mutual
+      // exclusion must come entirely from the conditional-put table
+      val futures = (1 to 6).map { i =>
+        Future(Versioned.commit(Seq((i.toLong, s"w$i")).toDF("k", "v"), path))
+      }
+      val got = Await.result(Future.sequence(futures), 120.seconds)
+      assert(got.toSet.size == 6, s"two writers shared a version under ConditionalPutLock: $got")
+      assert(Versioned.versions(path).size == 6)
+      got.foreach(v => assert(Versioned.readAt(spark, path, v).count() == 1))
+      // 4-way same-schema append race: every appended row must survive
+      // (rebase, not lost-update) with the provider arbitrating claims
+      val appends = (10 to 13).map { i =>
+        Future(Versioned.appendCommit(Seq((i.toLong, s"a$i")).toDF("k", "v"), path))
+      }
+      Await.result(Future.sequence(appends), 120.seconds)
+      val keys = Versioned.read(spark, path).select("k").collect().map(_.getLong(0)).toSet
+      assert((10L to 13L).forall(keys.contains), s"an append was lost under ConditionalPutLock: $keys")
+    }
+  }
+
+  test("LockProvider seam: a crashed writer's durable marker blocks acquisition until recovery") {
+    import spark.implicits._
+    val path = freshDir("versioned_condput_crash")
+    Versioned.withLockProvider(ConditionalPutLock) {
+      Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+      // crashed PREVIOUS process: the durable _claim marker exists but
+      // the store-side table (process-scoped) has no entry for it
+      val v2dir = Paths.get(path, "v00002")
+      Files.createDirectories(v2dir)
+      Files.createFile(v2dir.resolve("_claim"))
+      // a derived commit must refuse the slot (conditional PUT sees the object)
+      withShortInflightWait {
+        intercept[java.util.ConcurrentModificationException](
+          Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path))
+      }
+      // age-gated recovery arbitrates through the provider, then the slot is free
+      assert(Versioned.recoverClaims(path, olderThanMs = 0L) == Seq(2L))
+      assert(Versioned.appendCommit(Seq((2L, "b")).toDF("k", "v"), path) == 2L)
+      assert(Versioned.read(spark, path).count() == 2)
+    }
+  }
+
+  test("deletion vectors: heavy delete debt reads with NO join node; runs merge across commits") {
+    import spark.implicits._
+    val path = freshDir("versioned_dv_heavy")
+    // 3 files, 3000 rows
+    Versioned.commit((1L to 3000L).map(i => (i, s"r$i")).toDF("k", "v").repartition(3), path)
+    // five independent DV delete commits, overlapping and clustered
+    Versioned.deleteMergeOnRead(spark, path, (1L to 500L).toDF("k"), "k")       // v2
+    Versioned.deleteMergeOnRead(spark, path, (400L to 900L).toDF("k"), "k")     // v3 (overlaps v2)
+    Versioned.deleteMergeOnRead(spark, path, Seq(2999L, 3000L).toDF("k"), "k")  // v4
+    Versioned.deleteMergeOnRead(spark, path, (1000L to 1010L).toDF("k"), "k")   // v5
+    Versioned.deleteMergeOnRead(spark, path, Seq(901L).toDF("k"), "k")          // v6
+    val df = Versioned.read(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"five outstanding DV commits must still read join-free:\n$plan")
+    assert(plan.contains("graft_dv_contains"), s"the DV filter must be in the plan:\n$plan")
+    val kept = df.collect().map(_.getLong(0)).toSet
+    val expected = (1L to 3000L).toSet -- (1L to 900L) -- Set(2999L, 3000L) -- (1000L to 1010L) - 901L
+    assert(kept == expected, s"DV read dropped/kept the wrong rows (${kept.size} vs ${expected.size})")
+    // a DV re-delete of an already-deleted key is a no-op for the feed:
+    // positions were discovered against the MATERIALIZED snapshot
+    val feed = Versioned.changes(spark, path, 5L, 6L, "k").collect()
+    assert(feed.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSeq ==
+      Seq((901L, "delete")), "the v6 window must feed exactly its own deletion")
+    // compaction folds all five vectors; content identical
+    Versioned.compactDeletes(spark, path)
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("legacy keyed delete files still read: anti-join sequencing preserved for pre-DV tables") {
+    import spark.implicits._
+    val path = freshDir("versioned_dv_legacy")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Versioned.deleteMergeOnReadKeys(spark, path, Seq(1L).toDF("k"), "k") // legacy format
+    assert(Versioned.manifest(path, 2L).exists(_.kind == Versioned.KindDelete))
+    assert(Versioned.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // sequencing: a later append may reuse the key
+    Versioned.appendCommit(Seq((1L, "reborn")).toDF("k", "v"), path)
+    val rows = Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "reborn", 2L -> "b"))
+    // a NEW positional delete stacks on top of legacy key debt
+    Versioned.deleteMergeOnRead(spark, path, Seq(2L).toDF("k"), "k")
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "reborn"))
+    Versioned.compactDeletes(spark, path)
+    assert(Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "reborn"))
+  }
+
+  test("DV position discovery is stats-pruned: a narrow delete scans only overlapping files") {
+    import spark.implicits._
+    val path = freshDir("versioned_dv_pruned")
+    // 10 key-clustered files with per-file min/max recorded
+    Versioned.commitClustered((1L to 10000L).map(i => (i, s"r$i")).toDF("k", "v"),
+      path, clusterCol = "k", nFiles = 10)
+    // a retraction touching one narrow key range
+    Versioned.deleteMergeOnRead(spark, path, (2000L to 2050L).toDF("k"), "k")
+    val (scanned, total) = Versioned.lastDvDiscovery(path).get
+    assert(total == 10 && scanned < 10 && scanned >= 1,
+      s"discovery must scan only stats-overlapping files ($scanned of $total)")
+    val kept = Versioned.read(spark, path).count()
+    assert(kept == 10000L - 51L, s"wrong row count after pruned-discovery delete: $kept")
   }
 }
