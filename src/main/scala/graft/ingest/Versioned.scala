@@ -60,6 +60,21 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    copied (s18's entry `require`s exactly this). Partitioning may be
   *    multi-column (`date=…/region=…`); [[upsert]] remains the
   *    full-snapshot fallback for unpartitioned tables.
+  *  - MULTI-TABLE CONSISTENCY (r7 verdict #7): there is deliberately NO
+  *    cross-table transaction. The supported two-table pattern (the
+  *    CDF-consumer loop: source table → change feed → materialized
+  *    view) gets exactly-once convergence from two per-TABLE
+  *    guarantees composed: (1) the applied-source-version watermark
+  *    rides the FINAL commit of each feed's apply atomically in that
+  *    commit's `_meta`, and recovery reads the LATEST commit carrying
+  *    a watermark (never just the head — a crash can leave the apply
+  *    pair's watermark-less first half on top); (2) every apply step
+  *    is idempotent under replay (a re-run delete discovers zero
+  *    positions against the already-deleted view; a re-run append
+  *    lands the images the crash lost). A crash at ANY point between
+  *    the two tables' commits therefore leaves a state the next loop
+  *    run converges from — spec'd in VersionedSpec ("two-table CDF
+  *    pair") and exercised end-to-end by stream_t11.
   *  - [[vacuum]] is the retention knob: drops version directories that
   *    are neither retained nor referenced by any retained manifest, then
   *    reclaims INDIVIDUAL superseded files inside still-referenced old
@@ -736,13 +751,15 @@ object Versioned {
   /** Commit `df` as the next (unpartitioned) version; returns it.
     * `meta` rides in the commit's atomic `_meta` (e.g. a consumer's
     * applied-watermark — see stream_t11's CDF materialization loop). */
-  def commit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty): Long = {
+  def commit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     val prev = currentVersion(path)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
-    publish(fs, root, v, localEntries(fs, root, v, partitioned = false), df.schema,
-      prevForIds = prev, meta = meta)
+    val entries = localEntries(fs, root, v, partitioned = false)
+    if (bloomCols.nonEmpty) writeBloomIndex(df.sparkSession, fs, root, v, entries, bloomCols)
+    publish(fs, root, v, entries, df.schema, prevForIds = prev, meta = meta)
   }
 
   /** Commit `df` Hive-partitioned on `partCols` (one or more columns,
@@ -1225,7 +1242,7 @@ object Versioned {
 
   def appendCommit(
       df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
@@ -1239,10 +1256,12 @@ object Versioned {
     // statsCols: an append-log serving range-filtered readers (or the
     // streaming source's filtered tail) records per-file min/max for its
     // OWN files — one extra scan of the new files, zero history touched.
+    // bloomCols does the same for POINT lookups (per-file blooms).
     val local = localEntries(fs, root, v, partitioned = false)
     val adds =
       if (statsCols.isEmpty) local
       else withFileStats(df.sparkSession, root, local, statsCols)
+    if (bloomCols.nonEmpty) writeBloomIndex(df.sparkSession, fs, root, v, local, bloomCols)
     publishDelta(fs, root, v, derivedBase,
       adds = adds, removes = Nil, schema = df.schema, meta = meta)
   }
@@ -1417,6 +1436,135 @@ object Versioned {
       }.toMap
     val rootUri = root.toUri.getPath.stripSuffix("/")
     entries.map(e => e.copy(stats = byFile.get(s"$rootUri/${e.relPath}")))
+  }
+
+  /** The hash domain the per-file blooms live in: 64-bit xxhash (seed
+    * 42, Spark's default) of the column value — the same construction
+    * Spark's runtime-filter blooms use, and the reason write and probe
+    * can both ride codegen'd builtin machinery. */
+  private def bloomHashExpr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(e), 42L)
+
+  /** PER-FILE BLOOM INDEX (r7 verdict #5): min/max statistics cannot
+    * prune equality probes over UNIFORMLY distributed keys (every
+    * file's range spans everything — snowflake ids, hashes); a small
+    * per-file bloom can. Recorded at commit under `vN/bloom/` as
+    * `(rel_path, column, bloom)` rows, built in ONE distributed pass —
+    * `groupBy(input_file_name)` over Spark's own codegen'd
+    * `bloom_filter_agg` (xxhash64 domain) — and consulted by
+    * [[readSkippingEq]] and the connector's FileIndex for `col = k`
+    * predicates. ~1.2 MB per file per column at the default 1M
+    * items / 3% fpp — sidecar metadata, never scanned by readers that
+    * don't probe. The index rides the version that CREATED the files,
+    * so carried-by-reference files keep their blooms through
+    * append/restore history exactly like file stats do. */
+  private def writeBloomIndex(
+      spark: SparkSession, fs: FileSystem, root: HPath, v: Long,
+      entries: Seq[ManifestEntry], bloomCols: Seq[String],
+      expectedItemsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.graft.ColumnBridge
+    if (entries.isEmpty) return
+    val files = entries.map(e => new HPath(root, e.relPath).toString)
+    val df = spark.read.parquet(files: _*)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val tracked = bloomCols.filter(c => types.get(c).exists {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    require(tracked.nonEmpty,
+      s"Versioned: none of the bloom columns ${bloomCols.mkString(",")} is an " +
+        s"integral/string column of ${types.keys.mkString(",")}")
+    val aggs = tracked.map { c =>
+      ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          bloomHashExpr(ColumnBridge.expression(col(c))), expectedItemsPerFile)
+          .toAggregateExpression()).as(s"__bf_$c")
+    }
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per new file — driver metadata, manifest cardinality
+      .flatMap { r =>
+        val rel = new java.net.URI(r.getAs[String]("__f")).getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+        tracked.map(c => Row(rel, c, r.getAs[Array[Byte]](s"__bf_$c")))
+      }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("rel_path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new HPath(versionDir(root, v), "bloom").toString)
+  }
+
+  /** The bloom filters recorded for `column` across the owning versions
+    * of `entries`: rel_path → deserialized filter. O(files) driver
+    * metadata, loaded only when a point probe asks. */
+  private def loadBloomIndex(
+      spark: SparkSession, fs: FileSystem, root: HPath,
+      entries: Seq[ManifestEntry], column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val owners = entries.map(e => e.relPath.takeWhile(_ != '/')).distinct
+    val dirs = owners.map(o => new HPath(new HPath(root, o), "bloom"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) Map.empty
+    else spark.read.parquet(dirs: _*)
+      .filter(org.apache.spark.sql.functions.col("column") === column)
+      .collect()
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom")))
+      .toMap
+  }
+
+  /** The xxhash64 the blooms store for a probe value of type `dt`. */
+  private def bloomHashOf(value: Any, dt: DataType): Long =
+    bloomHashExpr(org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt))
+      .eval(null).asInstanceOf[Long]
+
+  /** Last (files kept, files total) of a [[readSkippingEq]] probe per
+    * table — the observable entries `require` bloom pruning through. */
+  private val bloomProbe = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def lastBloomProbe(path: String): Option[(Int, Int)] = Option(bloomProbe.get(path))
+
+  /** POINT-LOOKUP read: only files whose bloom for `column` might
+    * contain `value` (and whose min/max stats, when present, admit it)
+    * are handed to Spark — the equality analogue of [[readSkipping]],
+    * for the uniform-key domains where min/max prunes nothing. Files
+    * without a recorded bloom always survive (pruning is an
+    * optimization, never a correctness filter); the exact `col = value`
+    * predicate still applies on top and pushes into parquet row
+    * groups inside the kept files. */
+  def readSkippingEq(spark: SparkSession, path: String, column: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, root) = Writers.fsFor(path)
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.readSkippingEq: no committed version under $path"))
+    val entries = readManifest(fs, root, v)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.readSkippingEq: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first, or use read() which applies them")
+    val dt = metaSchema(fs, root, v).flatMap(_.fields.find(_.name == column)).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Versioned.readSkippingEq: '$column' is not a recorded column of $path"))
+    val statDomainV: Any = dt match {
+      case _: org.apache.spark.sql.types.NumericType => new java.math.BigDecimal(value.toString)
+      case _                                         => value.toString
+    }
+    val blooms = loadBloomIndex(spark, fs, root, entries, column)
+    val hash = bloomHashOf(value, dt)
+    val keep = entries
+      .filter(e => statsOverlap(e.stats, column, statDomainV, statDomainV))
+      .filter(e => blooms.get(e.relPath).forall(_.mightContainLong(hash)))
+    bloomProbe.put(path, (keep.size, entries.size))
+    if (keep.isEmpty) {
+      val schema = metaSchema(fs, root, v).get
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    }
+    readEntries(spark, fs, root, keep, targetOf(fs, root, v))
+      .filter(col(column) === lit(value).cast(dt))
   }
 
   /** Commit `df` range-clustered on `clusterCol` into `nFiles` files,
@@ -2164,6 +2312,104 @@ object Versioned {
       case _                 => snap
     }
     rewriteFrom(fs, root, base, df, statsCols)
+  }
+
+  /** A manifest entry's recorded [min, max] for `c`, in comparison
+    * domain (numeric stats as exact BigDecimal, everything else as the
+    * canonical strings) — None when the file has no stat for `c`. */
+  private def statBounds(e: ManifestEntry, c: String): Option[(Any, Any)] =
+    e.stats.flatMap { s =>
+      Option(Json.readTree(s).get(c)).flatMap { cn =>
+        val (mn, mx) = (cn.get("min"), cn.get("max"))
+        if (mn == null || mx == null || mn.isNull || mx.isNull) None
+        else if (mn.isNumber) Some((mn.decimalValue, mx.decimalValue))
+        else Some((mn.asText, mx.asText))
+      }
+    }
+
+  private def statCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) =>
+      if (utf8Lt(x, y)) -1 else if (utf8Lt(y, x)) 1 else 0
+    case _ => 0
+  }
+
+  /** The STRAGGLERS of a clustered layout: the complement of the
+    * largest pairwise-disjoint subset of the files' recorded
+    * [min, max] intervals for `clusterCol` (classic interval
+    * scheduling — greedy by earliest upper bound), plus every file
+    * with no recorded stat. On a [[commitClustered]] table that an
+    * append loop keeps landing unclustered batches on, the original
+    * range-disjoint files stay CLEAN and exactly the appended
+    * full-range files come back — the set whose rewrite restores
+    * pruning without touching the rest. */
+  private def clusterStragglers(
+      entries: Seq[ManifestEntry], clusterCol: String): Seq[ManifestEntry] = {
+    val (stated, statless) = entries.map(e => e -> statBounds(e, clusterCol))
+      .partition(_._2.isDefined)
+    val sorted = stated.map { case (e, b) => (e, b.get) }
+      .sortWith((x, y) => statCmp(x._2._2, y._2._2) < 0)
+    val clean = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    var lastHi: Option[Any] = None
+    for ((e, (lo, hi)) <- sorted)
+      if (lastHi.forall(h => statCmp(lo, h) > 0)) { clean += e; lastHi = Some(hi) }
+    statless.map(_._1) ++ sorted.map(_._1).filterNot(clean.contains)
+  }
+
+  /** INCREMENTAL CLUSTERING MAINTENANCE (r7 verdict #4): where
+    * [[commitZOrdered]]/[[commitClustered]] rewrite the whole table,
+    * this policy re-clusters ONLY the straggler files — the ones whose
+    * `clusterCol` ranges overlap the layout (appended unclustered
+    * batches, stats-less files) — into `targetFiles` fresh
+    * range-disjoint files, carrying every clean file BY REFERENCE
+    * (metadata-only, zero bytes copied). An append-heavy loop calling
+    * this keeps [[readSkipping]]'s pruning effectiveness forever
+    * without ever paying a full-table rewrite: each fold costs
+    * O(stragglers), and between folds (stragglers within
+    * `maxStragglers`) one manifest resolution, no data touched.
+    * Returns the maintenance commit's version, None when within
+    * budget. Unpartitioned pure-data layouts only (a partitioned
+    * table's clustering is its partition layout; MoR debt folds via
+    * [[compactDeletes]] first). */
+  def maintainClusteredIfNeeded(
+      spark: SparkSession, path: String, clusterCol: String,
+      maxStragglers: Int = 4, targetFiles: Int = 4): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(maxStragglers >= 0, s"maintainClusteredIfNeeded: maxStragglers >= 0, got $maxStragglers")
+    require(targetFiles >= 1, s"maintainClusteredIfNeeded: targetFiles >= 1, got $targetFiles")
+    val (fs, root) = Writers.fsFor(path)
+    val base0 = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned.maintainClusteredIfNeeded: no committed version under $path"))
+    val probe = readManifest(fs, root, base0)
+    if (probe.forall(_.kind == KindData) && probe.forall(_.partDir.isEmpty) &&
+        clusterStragglers(probe, clusterCol).size <= maxStragglers) return None
+    Some(retryDerived(maxAttempts = 3) {
+      val base = currentVersion(path).get
+      val entries = readManifest(fs, root, base)
+      require(entries.forall(_.kind == KindData),
+        s"Versioned.maintainClusteredIfNeeded: $path has outstanding merge-on-read deletes — " +
+          "run compactDeletes first")
+      require(entries.forall(_.partDir.isEmpty),
+        s"Versioned.maintainClusteredIfNeeded: $path is Hive-partitioned — its clustering " +
+          "is the partition layout (compactFiles maintains it)")
+      val messy = clusterStragglers(entries, clusterCol)
+      if (messy.size <= maxStragglers) base
+      else {
+        val df = readEntries(spark, fs, root, messy, targetOf(fs, root, base))
+        require(df.columns.contains(clusterCol),
+          s"Versioned.maintainClusteredIfNeeded: '$clusterCol' is not a column of $path")
+        val v = claimExact(fs, root, base)
+        df.repartitionByRange(targetFiles, col(clusterCol))
+          .sortWithinPartitions(clusterCol)
+          .write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+        val adds = withFileStats(spark, root,
+          localEntries(fs, root, v, partitioned = false), Seq(clusterCol))
+        publishDelta(fs, root, v, base,
+          adds = adds, removes = messy.map(e => (e.partDir, e.relPath)),
+          schema = metaSchema(fs, root, base).getOrElse(df.schema))
+      }
+    })
   }
 
   /** OPTIMIZE-ON-WRITE maintenance policy: fold the current snapshot

@@ -604,10 +604,15 @@ object StreamOps extends QueryModule {
           .withColumn("event_type", lit("edited")), "event_id")
       V.delete(s, src,
         V.read(s, src).filter(col("event_id") % 101 === 0).select("event_id"), "event_id")
-      // consumer: materialize the view by applying each version's feed
-      def lastApplied: Long = V.currentVersion(dst)
+      // consumer: materialize the view by applying each version's feed.
+      // The applied watermark is the LATEST commit carrying one — a
+      // crash between a feed's delete+append pair leaves the pair's
+      // watermark-less first half on top, and walking back (instead of
+      // reading only the head) keeps recovery bounded to the one
+      // interrupted feed (VersionedSpec's two-table pair crash spec).
+      def lastApplied: Long = V.versions(dst).reverse.iterator
         .flatMap(v => V.commitMeta(dst, v).get("graft.cdf.applied"))
-        .map(_.toLong).getOrElse(0L)
+        .map(_.toLong).nextOption().getOrElse(0L)
       def consume(): Unit =
         for (v <- V.versions(src) if v > lastApplied) {
           val applied = Map("graft.cdf.applied" -> v.toString)
@@ -992,8 +997,81 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T17: EVENT-TIME semantics on the VERSIONED tail (r7
+    * verdict #6) — stream_t4 proved watermark-driven late-data drops on
+    * the FILE source; this is the same two-checkpointed-run proof with
+    * the `graft-versioned` commit-log source feeding the windowed agg,
+    * closing the gap where only file streams exercised T4:
+    *
+    *  - run 1 tails a table holding only events at/after the split
+    *    instant; the final watermark (max event time − 10 min)
+    *    persists into the checkpoint, weeks past the split;
+    *  - an `appendCommit` then lands ONLY pre-split events — a
+    *    legitimate append-log commit, but every row is behind the
+    *    checkpointed watermark;
+    *  - run 2 resumes from the checkpoint (version offsets) and must
+    *    DROP them all: the sink keeps exactly run 1's closed windows.
+    *
+    * Watermarks apply to the loaded stream frame exactly as on any
+    * source (`withWatermark` downstream of `load()` — Spark's
+    * composable contract; the source itself only serves versions), so
+    * the whole T4-T6 operator family composes with the table tail.
+    * Oracle: t4's closed-window cutoff arithmetic on the post-split
+    * slice. */
+  val streamVersionedLateDrop = QueryDef(
+    "stream_t17_versioned_late_drop",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t17", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val V = graft.ingest.Versioned
+      val splitNs = 1705276800000000L * 1000L // 2024-01-15T00:00:00Z in nanos
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val agg = s.readStream.format("graft-versioned").option("path", tbl).load()
+          .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts2", "10 minutes")
+          .groupBy(window(col("ts2"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("day_start_us"),
+            col("event_type"), col("n_events"), col("sum_value"))
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      V.commit(ev.filter(col("ts") >= splitNs), tbl)
+      runOnce() // watermark climbs to max(ts) − 10 min, weeks past the split
+      V.appendCommit(ev.filter(col("ts") < splitNs), tbl)
+      runOnce() // the appended commit is entirely behind the watermark → dropped
+      s.read.parquet(out).orderBy("day_start_us", "event_type")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us, event_type,
+          count(*) AS n_events,
+          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        WHERE epoch_us(ts) >= 1705276800000000
+        GROUP BY 1, 2
+      )
+      SELECT day_start_us, event_type, n_events, sum_value
+      FROM agg
+      WHERE day_start_us + 86400000000 <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
+      ORDER BY day_start_us, event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
-    streamConnectorSink, streamCdfSource, streamPartitionedTail)
+    streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop)
 }

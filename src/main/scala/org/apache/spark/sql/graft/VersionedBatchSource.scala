@@ -187,6 +187,46 @@ final class VersionedFileIndex(
     } yield (lo, hi)
   }
 
+  /** Equality predicates eligible for BLOOM pruning: `col = lit` pairs
+    * rendered as (column, xxhash64-of-literal) — the hash domain the
+    * per-file blooms were built in. */
+  private def bloomProbes(filters: Seq[Expression]): Seq[(String, Long)] = {
+    def hashOf(l: Literal): Option[Long] = l.dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: StringType
+          if l.value != null =>
+        Some(new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l), 42L)
+          .eval(null).asInstanceOf[Long])
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Long)] = e match {
+      case And(a, b) => walk(a) ++ walk(b)
+      case EqualTo(a: AttributeReference, l: Literal) => hashOf(l).map(a.name -> _).toSeq
+      case EqualTo(l: Literal, a: AttributeReference) => hashOf(l).map(a.name -> _).toSeq
+      case _ => Nil
+    }
+    filters.flatMap(walk)
+  }
+
+  /** Per-column bloom filters for the snapshot's files, loaded lazily
+    * the first time an equality filter asks (one small parquet read per
+    * owning version — planning-time metadata, cached for the index's
+    * lifetime). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+  private def bloomsFor(column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.computeIfAbsent(column, { c =>
+      val owners = entries.map(_.relPath.takeWhile(_ != '/')).distinct
+      val dirs = owners.map(o => new HPath(new HPath(root, o), "bloom"))
+        .filter(fs.exists(_)).map(_.toString)
+      if (dirs.isEmpty) Map.empty
+      else spark.read.parquet(dirs: _*)
+        .filter(org.apache.spark.sql.functions.col("column") === c)
+        .collect()
+        .map(r => r.getString(0) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom")))
+        .toMap
+    })
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -194,13 +234,17 @@ final class VersionedFileIndex(
       val p = Predicate.createInterpreted(bindToPartition(f)); p.initialize(0); p
     }
     val bounds = statsBounds(dataFilters).flatMap { case (c, b) => close(c, b).map(c -> _) }
+    val probes = bloomProbes(dataFilters)
     val kept = statuses
       .groupBy(_._1.partDir).toSeq.sortBy(_._1)
       .map { case (dir, es) => (partValues(dir), es) }
       .filter { case (values, _) => partPred.forall(_.eval(values)) }
       .map { case (values, es) =>
         val keep = es.filter { case (e, _) =>
-          bounds.forall { case (c, (lo, hi)) => Versioned.statsMayOverlap(e, c, lo, hi) }
+          bounds.forall { case (c, (lo, hi)) => Versioned.statsMayOverlap(e, c, lo, hi) } &&
+            probes.forall { case (c, h) =>
+              bloomsFor(c).get(e.relPath).forall(_.mightContainLong(h))
+            }
         }
         PartitionDirectory(values, keep.map(_._2).toArray)
       }

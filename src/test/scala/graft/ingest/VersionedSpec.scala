@@ -1383,4 +1383,91 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val kept = Versioned.read(spark, path).count()
     assert(kept == 10000L - 51L, s"wrong row count after pruned-discovery delete: $kept")
   }
+
+  test("incremental clustering: an append loop keeps pruning effectiveness, clean files by reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("versioned_incr_cluster")
+    // bootstrap: 8 range-disjoint files on k, stats recorded
+    Versioned.commitClustered((1L to 8000L).map(i => (i, s"r$i")).toDF("k", "v"),
+      path, clusterCol = "k", nFiles = 8)
+    val cleanV1 = Versioned.manifest(path, 1L).toSet
+    // within budget: maintenance is a no-op, no version published
+    assert(Versioned.maintainClusteredIfNeeded(spark, path, "k", maxStragglers = 4).isEmpty)
+    // an append-heavy loop lands 6 unclustered full-range batches
+    for (i <- 1 to 6)
+      Versioned.appendCommit(
+        Seq((i * 1000L + 100L, "x"), (7000L + i, "y")).toDF("k", "v").coalesce(1),
+        path, statsCols = Seq("k"))
+    // over budget now → ONE incremental fold
+    val folded = Versioned.maintainClusteredIfNeeded(spark, path, "k", maxStragglers = 4,
+      targetFiles = 2)
+    assert(folded.nonEmpty, "6 full-range stragglers must trigger maintenance")
+    val m = Versioned.manifest(path, folded.get)
+    // every original clean file carried BY REFERENCE — no full rewrite
+    assert(cleanV1.subsetOf(m.toSet),
+      "incremental maintenance must not rewrite the clean clustered files")
+    // the stragglers are gone, replaced by <= targetFiles fresh files
+    assert(m.size <= cleanV1.size + 2, s"straggler fold left ${m.size} files")
+    // pruning effectiveness restored: a narrow probe reads few files
+    val probe = Versioned.readSkipping(spark, path, "k", 3500L, 3600L)
+    val probeFiles = probe.inputFiles.length
+    assert(probeFiles <= 3,
+      s"narrow probe should read O(1) files after maintenance, read $probeFiles")
+    assert(probe.count() == 101L) // 3500..3600 inclusive; no appended key lands in the window
+    // content check without off-by-hand arithmetic: full table intact
+    val total = Versioned.read(spark, path).count()
+    assert(total == 8000L + 12L, s"maintenance lost rows: $total")
+  }
+
+  test("two-table CDF pair: a crash between the delete and append commits recovers non-divergent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = freshDir("versioned_pair_src")
+    val dst = freshDir("versioned_pair_dst")
+    // source history: v1 bootstrap, v2 = a MERGE (update k=2, insert k=4)
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), src)
+    Versioned.upsert(spark, src, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), "k")
+
+    // the t11 consumer idiom: the applied-source-version WATERMARK rides
+    // the FINAL commit of each feed's delete+append pair, atomically in
+    // that commit's _meta — there is no cross-table transaction, and
+    // this spec proves none is needed
+    // the recovery rule: the watermark is the LATEST commit that
+    // carries one — a crash can leave watermark-less commits (the
+    // pair's first half) on top, and they must not regress it
+    def lastApplied: Long = Versioned.versions(dst).reverse.iterator
+      .flatMap(v => Versioned.commitMeta(dst, v).get("applied")).map(_.toLong)
+      .nextOption().getOrElse(0L)
+    def applyFeed(v: Long, crashBetweenPair: Boolean): Unit = {
+      val applied = Map("applied" -> v.toString)
+      if (v == 1L) { Versioned.commit(Versioned.readAt(spark, src, 1L), dst, applied); return }
+      val feed = Versioned.changes(spark, src, v - 1, v, "k")
+      val ups = feed.filter(col("change_type") =!= "delete").select("k", "v")
+      val gone = feed.filter(col("change_type") =!= "insert").select("k")
+      if (gone.count() > 0) Versioned.deleteMergeOnRead(spark, dst, gone, "k")
+      if (crashBetweenPair) return // CRASH: delete landed, append + watermark did not
+      Versioned.appendCommit(ups, dst, applied): Unit
+    }
+    def consume(crash: Boolean = false): Unit =
+      for (v <- Versioned.versions(src) if v > lastApplied)
+        applyFeed(v, crash && v == 2L)
+
+    consume(crash = true) // v1 applied; v2's delete committed, then "crash"
+    // the watermark still reads v1: the half-applied feed is invisible to
+    // recovery bookkeeping, the view is merely missing rows it will re-land
+    assert(lastApplied == 1L)
+    consume() // recovery: re-applies feed v2 from the start
+    // re-running the delete found nothing left to delete (positions are
+    // discovered against the materialized view) and the append landed
+    // exactly once: the view CONVERGES to the source snapshot
+    val got = Versioned.read(spark, dst).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"),
+      s"view diverged after crash-recovery: $got")
+    assert(lastApplied == 2L)
+    // and a further replay is a no-op (exactly-once bookkeeping intact)
+    val nv = Versioned.versions(dst).size
+    consume()
+    assert(Versioned.versions(dst).size == nv, "replay after recovery must commit nothing")
+  }
 }
