@@ -319,4 +319,32 @@ class VersionedStreamSourceSpec extends AnyFunSuite with SparkFixture {
       msgs(e).exists(_.contains("does not support Update")) ||
       msgs(e).exists(_.contains("only Append")), s"unexpected refusal: ${msgs(e)}")
   }
+
+  test("a fresh CDF stream on a vacuumed table bootstraps at the retention floor") {
+    import spark.implicits._
+    val base = freshDir("vss_cdf_vacuum")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val sink = s"$base/sink"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), tbl)                  // v1
+    Versioned.upsert(spark, tbl, Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), "k") // v2
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "v"), tbl)            // v3
+    Versioned.vacuum(tbl, keepLast = 2) // v1 gone: retention floor is now v2
+    assert(Versioned.versions(tbl) == Seq(2L, 3L))
+    // a FRESH unwindowed CDF stream must not ask for changes below the
+    // floor (from=0 would drive changeFeed(1, …) into its retention
+    // require) — it bootstraps v2's snapshot as inserts, then v3's feed
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", tbl).option("readChangeFeed", "true").option("keyColumn", "k")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(sink)
+      .select("commit_version", "change_type", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows == Seq(
+      (2L, "insert", 1L, "a2"), (2L, "insert", 2L, "b"),
+      (3L, "insert", 3L, "c")), s"vacuumed-table CDF bootstrap wrong: $rows")
+  }
 }
