@@ -2109,18 +2109,50 @@ object Versioned {
     require(snapshot.columns.contains(key),
       s"Versioned.deleteMergeOnRead: key '$key' is not a column of the current snapshot — " +
         "committing it would make every read fail")
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    // the deleted rows' (file, pos), run-length encoded distributively:
-    // a window per file ordered by position marks run starts, a running
-    // count groups each run — one shuffle keyed by file, O(delete set)
-    val wFile = Window.partitionBy(FileMetaCol).orderBy(PosMetaCol)
     val hits = snapshot.join(keys.select(key).distinct(), Seq(key), "left_semi")
+    commitDv(spark, fs, root, base, hits, snapshot.schema, meta)
+  }
+
+  /** DV-backed predicate DELETE — `DELETE FROM t WHERE cond` with zero
+    * data files rewritten: the matching rows' positions commit as a
+    * deletion vector exactly like [[deleteMergeOnRead]]'s, but the
+    * match set is an arbitrary predicate instead of a key list (an
+    * arbitrary predicate has no [lo, hi] to stats-prune on, so
+    * discovery scans the snapshot once — the same scan the
+    * copy-on-write [[delete]] pays, minus the whole rewrite). This is
+    * what the SQL `DELETE FROM` statement lands as. */
+  def deleteWhere(
+      spark: SparkSession, path: String, cond: org.apache.spark.sql.Column,
+      meta: Map[String, String] = Map.empty): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.deleteWhere: no committed version under $path"))
+    val entries = readManifest(fs, root, base)
+    val nData = entries.count(_.kind == KindData)
+    dvDiscovery.put(path, (nData, nData))
+    val snapshot = materialize(spark, fs, root, entries, targetOf(fs, root, base), withMeta = true)
+    commitDv(spark, fs, root, base, snapshot.filter(cond), snapshot.schema, meta)
+  }
+
+  /** Run-length encode the `(file, position)` pairs of `matches` (a
+    * meta-column-carrying frame) and commit them as one deletion
+    * vector: a window per file ordered by position marks run starts, a
+    * running count groups each run — one shuffle keyed by file,
+    * O(match set). */
+  private def commitDv(
+      spark: SparkSession, fs: FileSystem, root: HPath, base: Long,
+      matches: DataFrame, schemaWithMeta: StructType, meta: Map[String, String]): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lag, lit, min, sum, when}
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val wFile = Window.partitionBy(FileMetaCol).orderBy(PosMetaCol)
+    val hits = matches
       .select(col(FileMetaCol), col(PosMetaCol))
       .withColumn("__new_run",
         when(col(PosMetaCol) - lag(PosMetaCol, 1).over(wFile) === 1L, 0L).otherwise(1L))
       .withColumn("__run", sum("__new_run").over(wFile))
       .groupBy(col(FileMetaCol), col("__run"))
-      .agg(min(PosMetaCol).as("pos"), count(org.apache.spark.sql.functions.lit(1)).as("len"))
+      .agg(min(PosMetaCol).as("pos"), count(lit(1)).as("len"))
       .select(
         org.apache.spark.sql.functions.expr(
           s"substring($FileMetaCol, instr($FileMetaCol, '${rootPrefix.replace("'", "''")}') + ${rootPrefix.length})")
@@ -2132,9 +2164,42 @@ object Versioned {
     publishDelta(fs, root, v, base,
       adds = localEntries(fs, root, v, partitioned = false, subdir = "deletes", kind = KindDv),
       removes = Nil,
-      schema = StructType(snapshot.schema.fields.filterNot(f =>
+      schema = StructType(schemaWithMeta.fields.filterNot(f =>
         f.name == FileMetaCol || f.name == PosMetaCol)),
       meta = meta)
+  }
+
+  /** Copy-on-write predicate UPDATE — `UPDATE t SET c = expr WHERE
+    * cond`: the new snapshot rewrites every row through
+    * `when(cond, value).otherwise(col)` per assigned column (assigned
+    * values cast to the column's committed type), preserving a
+    * partitioned layout. An update cannot be a deletion vector (it
+    * changes bytes), so this pays the rewrite the way [[upsert]] does;
+    * partition-scoped updates on a Hive layout go through
+    * [[upsertPartitioned]] with a computed update set instead. This is
+    * what the SQL `UPDATE` statement lands as. */
+  def updateWhere(
+      spark: SparkSession, path: String, set: Map[String, org.apache.spark.sql.Column],
+      cond: Option[org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "Versioned.updateWhere: empty SET clause")
+    val (fs, root) = Writers.fsFor(path)
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"Versioned.updateWhere: no committed version under $path"))
+    val snap = readAt(spark, path, base)
+    val missing = set.keys.filterNot(snap.columns.contains)
+    require(missing.isEmpty,
+      s"Versioned.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    val types = snap.schema.map(f => f.name -> f.dataType).toMap
+    val updated = snap.select(snap.columns.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(value) =>
+          val cast = value.cast(types(c))
+          cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    rewriteFrom(fs, root, base, updated)
   }
 
   /** The LEGACY keyed merge-on-read delete (pre-DV format): commits a

@@ -1546,12 +1546,17 @@ object IngestOps extends QueryModule {
     * served by the injected resolution rule
     * ([[org.apache.spark.sql.graft.GraftMergeIntoRule]] — Delta's
     * DeltaAnalysis seam): star UPDATE+INSERT → `upsert`, matched
-    * DELETE → keyed copy-on-write `delete`. The entry drives the full
-    * SQL lifecycle — bootstrap, CREATE TABLE, INSERT INTO, upsert
-    * MERGE, delete MERGE — `require`ing the protocol observables (one
-    * derived commit per statement, v2 classified `append` by DESCRIBE
-    * HISTORY, the post-MERGE SELECT seeing the new snapshot without a
-    * manual refresh), and oracles the FINAL state against `customer`. */
+    * DELETE → keyed copy-on-write `delete`. `UPDATE … SET … WHERE` and
+    * `DELETE FROM … WHERE` plan through the same rule to
+    * `updateWhere` (copy-on-write) and `deleteWhere` (a POSITIONAL
+    * DELETION VECTOR — require'd in-entry: the DELETE statement
+    * rewrites ZERO data files). The entry drives the full SQL
+    * lifecycle — bootstrap, CREATE TABLE, INSERT INTO, upsert MERGE,
+    * delete MERGE, predicate UPDATE, DV DELETE, compaction —
+    * `require`ing the protocol observables (one derived commit per
+    * statement, v2 classified `append` by DESCRIBE HISTORY, the
+    * post-MERGE SELECT seeing the new snapshot without a manual
+    * refresh), and oracles the FINAL state against `customer`. */
   val s33SqlDml = QueryDef(
     "s33_sql_dml",
     (s, d) => {
@@ -1599,6 +1604,26 @@ object IngestOps extends QueryModule {
       """) // v4: keyed copy-on-write delete
       require(V.currentVersion(path).contains(4L),
         "s33: the delete MERGE must land as one derived commit")
+      s.sql("""
+        UPDATE graft_s33 SET segment = concat('U_', segment)
+        WHERE c_custkey % 11 = 0 AND c_custkey < 1000000
+      """) // v5: predicate UPDATE (copy-on-write)
+      require(V.currentVersion(path).contains(5L),
+        "s33: UPDATE must land as one derived commit")
+      s.sql("DELETE FROM graft_s33 WHERE segment = 'FRESH' AND c_custkey % 4 = 2") // v6: DV
+      require(V.currentVersion(path).contains(6L),
+        "s33: DELETE FROM must land as one derived commit")
+      require(V.manifest(path, 6L).filter(_.kind == V.KindData).toSet ==
+          V.manifest(path, 5L).toSet,
+        "s33: the SQL DELETE must land as a deletion vector — ZERO data files rewritten")
+      // SQL keeps serving BETWEEN the DV delete and compaction (the
+      // library-fallback relation applies the vector)
+      s.sql("REFRESH TABLE graft_s33")
+      require(s.sql("SELECT count(*) FROM graft_s33 WHERE segment = 'FRESH' AND c_custkey % 4 = 2")
+          .head().getLong(0) == 0L,
+        "s33: a SELECT over outstanding DV debt must already see the deletion")
+      V.compactDeletes(s, path) // v7: fold the vector; pruning relation resumes
+      s.sql("REFRESH TABLE graft_s33")
       s.sql("SELECT c_custkey, segment FROM graft_s33 ORDER BY c_custkey")
     },
     Some("""
@@ -1608,9 +1633,18 @@ object IngestOps extends QueryModule {
         FROM customer
         UNION ALL
         SELECT c_custkey + 1000000, 'FRESH' FROM customer WHERE c_custkey % 10 = 0
+      ),
+      afterdel AS (
+        SELECT * FROM merged WHERE c_custkey % 9 <> 0 OR c_custkey > 1000000
+      ),
+      afterupd AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 11 = 0 AND c_custkey < 1000000
+               THEN 'U_' || segment ELSE segment END AS segment
+        FROM afterdel
       )
-      SELECT c_custkey, segment FROM merged
-      WHERE c_custkey % 9 <> 0 OR c_custkey > 1000000
+      SELECT c_custkey, segment FROM afterupd
+      WHERE NOT (segment = 'FRESH' AND c_custkey % 4 = 2)
       ORDER BY c_custkey
     """.stripMargin.trim),
   )

@@ -69,12 +69,57 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved && isGraft(m.targetTable) =>
       rewrite(m)
+    // DELETE FROM / UPDATE on a graft target: Spark's builtin row-level
+    // machinery is v2-only, so these plan to the library's predicate
+    // primitives (DELETE as a deletion vector — zero rewrite; UPDATE as
+    // the copy-on-write rewrite). The condition/assignment expressions
+    // are carried UNRESOLVED-by-name and re-resolve against the freshly
+    // read snapshot at execution ([[GraftDmlCommand]]).
+    case DeleteFromTable(target, cond) if target.resolved && isGraft(target) =>
+      checkSimple(cond)
+      GraftDmlCommand(pathOf(target), GraftDmlCommand.Delete(byName(cond)),
+        identOf(target))
+    case UpdateTable(target, assigns, cond) if target.resolved && isGraft(target) =>
+      cond.foreach(checkSimple)
+      assigns.foreach(a => checkSimple(a.value))
+      val set = assigns.map { a =>
+        nameOf(a.key).getOrElse(fail("UPDATE SET must assign plain columns")) -> byName(a.value)
+      }
+      GraftDmlCommand(pathOf(target), GraftDmlCommand.Update(set, cond.map(byName)),
+        identOf(target))
     case _ => plan
+  }
+
+  private def pathOf(target: LogicalPlan): String =
+    EliminateSubqueryAliases(target).asInstanceOf[LogicalRelation]
+      .relation.asInstanceOf[GraftTableRelation].tablePath
+
+  private def identOf(target: LogicalPlan): Option[Seq[String]] =
+    target.collect {
+      case SubqueryAlias(id, _: LogicalRelation) => id.qualifier :+ id.name
+    }.lastOption
+
+  /** Refuse condition shapes whose by-name re-resolution against a
+    * fresh snapshot read would change meaning: subqueries (their plans
+    * are bound to THIS statement's analysis) — everything else
+    * (comparisons, functions, literals over the table's own columns)
+    * re-resolves faithfully. */
+  private def checkSimple(e: Expression): Unit =
+    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      fail("subqueries in DELETE/UPDATE conditions are not supported — " +
+        "stage the subquery into a frame and use the Versioned API")
+
+  /** Detach an expression from this statement's resolved attributes:
+    * every AttributeReference becomes an UnresolvedAttribute of the
+    * same name, so the expression re-resolves against the snapshot the
+    * command reads at EXECUTION time (fresh exprIds). */
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
   }
 
   private def isGraft(target: LogicalPlan): Boolean =
     EliminateSubqueryAliases(target) match {
-      case lr: LogicalRelation => lr.relation.isInstanceOf[GraftVersionedRelation]
+      case lr: LogicalRelation => lr.relation.isInstanceOf[GraftTableRelation]
       case _                   => false
     }
 
@@ -106,7 +151,7 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(m: MergeIntoTable): LogicalPlan = {
     val lr = EliminateSubqueryAliases(m.targetTable).asInstanceOf[LogicalRelation]
-    val rel = lr.relation.asInstanceOf[GraftVersionedRelation]
+    val rel = lr.relation.asInstanceOf[GraftTableRelation]
     val key = m.mergeCondition match {
       case EqualTo(l, r) =>
         (nameOf(l), nameOf(r)) match {
@@ -211,4 +256,39 @@ object GraftMergeIntoCommand {
   case object Upsert extends Shape
   case object UpdateOnly extends Shape
   case object DeleteMatched extends Shape
+}
+
+/** The planned predicate DML statements: `DELETE FROM t WHERE cond`
+  * lands as [[Versioned.deleteWhere]] (a positional deletion vector —
+  * zero data files rewritten, join-free reads after), `UPDATE t SET …
+  * [WHERE cond]` as [[Versioned.updateWhere]] (copy-on-write). The
+  * carried expressions are name-detached at rewrite time and wrapped
+  * as Columns here, so they resolve against the snapshot actually read
+  * when the command runs. */
+case class GraftDmlCommand(
+    path: String,
+    op: GraftDmlCommand.Op,
+    catalogIdent: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    op match {
+      case GraftDmlCommand.Delete(cond) =>
+        Versioned.deleteWhere(spark, path, ColumnBridge.column(cond))
+      case GraftDmlCommand.Update(set, cond) =>
+        Versioned.updateWhere(spark, path,
+          set.map { case (c, v) => c -> ColumnBridge.column(v) }.toMap,
+          cond.map(ColumnBridge.column))
+    }
+    catalogIdent.foreach { id =>
+      try spark.catalog.refreshTable(id.map(p => s"`$p`").mkString("."))
+      catch { case _: Exception => () }
+    }
+    Seq.empty
+  }
+}
+
+object GraftDmlCommand {
+  sealed trait Op extends Serializable
+  final case class Delete(cond: Expression) extends Op
+  final case class Update(set: Seq[(String, Expression)], cond: Option[Expression]) extends Op
 }

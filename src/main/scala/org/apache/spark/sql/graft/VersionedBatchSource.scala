@@ -280,6 +280,52 @@ final class VersionedReadOnlyParquetFormat
         "df.write.format(\"graft-versioned\") or graft.ingest.Versioned instead")
 }
 
+/** What every graft batch relation shape exposes to the DML rules: the
+  * table path the library primitives commit through, and the insert
+  * seam. Implemented by the pruning [[GraftVersionedRelation]] (pure
+  * data snapshots) and the [[GraftVersionedMoRRelation]] fallback
+  * (snapshots with outstanding merge-on-read debt). */
+trait GraftTableRelation extends org.apache.spark.sql.sources.InsertableRelation {
+  def tablePath: String
+
+  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    val partCols = Versioned.currentVersion(tablePath)
+      .map(v => Versioned.manifest(tablePath, v))
+      .flatMap(_.find(_.partDir.nonEmpty))
+      .map(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(Seq.empty)
+    if (overwrite) {
+      if (partCols.nonEmpty) Versioned.commitPartitioned(data, tablePath, partCols: _*)
+      else Versioned.commit(data, tablePath)
+    } else {
+      if (partCols.nonEmpty) Versioned.appendCommitPartitioned(data, tablePath)
+      else Versioned.appendCommit(data, tablePath)
+    }
+    (): Unit
+  }
+}
+
+/** Fallback batch relation for snapshots carrying MERGE-ON-READ debt
+  * (deletion vectors / legacy keyed delete files): a `TableScan` over
+  * the library read path, which applies the vectors. SQL stays fully
+  * functional between a `DELETE FROM` and the next compaction — the
+  * trade is planning granularity (no FileIndex pruning while debt is
+  * outstanding; `compactDeletes`/`maintainIfNeeded` restore the
+  * pruning relation). */
+final class GraftVersionedMoRRelation(
+    outer: org.apache.spark.sql.SQLContext, override val tablePath: String, version: Long)
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.TableScan with GraftTableRelation {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = outer
+  override val schema: StructType = Versioned.nullabilityErased(
+    Versioned.schemaAt(tablePath, version).getOrElse(
+      Versioned.readAt(outer.sparkSession, tablePath, version).schema))
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    Versioned.readAt(outer.sparkSession, tablePath, version).rdd
+}
+
 /** The connector's batch relation: a [[HadoopFsRelation]] (so Catalyst
   * plans a pruning `FileSourceScanExec` through the
   * [[VersionedFileIndex]]) that is ALSO an
@@ -307,7 +353,7 @@ final class VersionedReadOnlyParquetFormat
   * files changed underneath. */
 final class GraftVersionedRelation(
     spark: ClassicSession,
-    val tablePath: String,
+    override val tablePath: String,
     index: VersionedFileIndex,
     partitionSchemaV: StructType,
     dataSchemaV: StructType)
@@ -318,20 +364,7 @@ final class GraftVersionedRelation(
     bucketSpec = None,
     fileFormat = new VersionedReadOnlyParquetFormat,
     options = Map("path" -> tablePath))(spark)
-  with org.apache.spark.sql.sources.InsertableRelation {
-
-  override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-    val partCols = partitionSchemaV.fieldNames.toSeq
-    if (overwrite) {
-      if (partCols.nonEmpty) Versioned.commitPartitioned(data, tablePath, partCols: _*)
-      else Versioned.commit(data, tablePath)
-    } else {
-      if (partCols.nonEmpty) Versioned.appendCommitPartitioned(data, tablePath)
-      else Versioned.appendCommit(data, tablePath)
-    }
-    (): Unit
-  }
-}
+  with GraftTableRelation
 
 object VersionedFileIndex {
   /** Last (files planned, files total) per table — the observable the

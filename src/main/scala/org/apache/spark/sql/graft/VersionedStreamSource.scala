@@ -330,12 +330,22 @@ class VersionedSourceProvider extends StreamSourceProvider with RelationProvider
       .getOrElse(Versioned.currentVersion(path).getOrElse(
         throw new IllegalArgumentException(s"graft-versioned: no committed version under $path")))
     val entries = Versioned.manifest(path, version)
-    require(entries.forall(_.kind == Versioned.KindData),
-      s"graft-versioned: $path@v$version has outstanding merge-on-read deletes — " +
-        "run compactDeletes first, or use Versioned.read which applies them")
-    val schema = Versioned.schemaAt(path, version).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-versioned: $path@v$version predates schema metadata — use Versioned.read"))
+    // a snapshot carrying merge-on-read debt (deletion vectors / legacy
+    // keyed delete files) cannot be served as a bare file list: fall
+    // back to the library read path, which applies the vectors — SQL
+    // keeps working between a DELETE FROM and the next compaction, at
+    // the cost of FileIndex pruning until the debt folds
+    if (entries.exists(_.kind != Versioned.KindData))
+      return new GraftVersionedMoRRelation(sqlContext, path, version)
+    // nullability-ERASED, like the library read path: a rewrite commit
+    // (UPDATE/MERGE read-backs) legitimately flips NOT NULL flags, and a
+    // catalog table that pinned the bootstrap's non-null schema must
+    // keep resolving across that — nullability is not part of the
+    // format's schema identity
+    val schema = Versioned.nullabilityErased(
+      Versioned.schemaAt(path, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-versioned: $path@v$version predates schema metadata — use Versioned.read")))
     val ids = Versioned.columnIds(path, version)
     val erasedTarget = Versioned.nullabilityErased(schema).json
     val owners = entries.map(e => e.relPath.takeWhile(_ != '/').drop(1).toLong).distinct

@@ -286,7 +286,7 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
       s"connector history wrong: $h")
   }
 
-  test("versionAsOf pins a snapshot; MoR debt and schema evolution are refused") {
+  test("versionAsOf pins a snapshot; MoR debt serves via fallback; evolution refused") {
     val s = spark
     import s.implicits._
     val path = tmp("travel")
@@ -298,12 +298,20 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(s.read.format("graft-versioned").load(path).count() == 20)
 
     Versioned.deleteMergeOnRead(s, path, (1L to 3L).toDF("k"), "k")
-    val mor = intercept[IllegalArgumentException] {
-      s.read.format("graft-versioned").load(path).collect()
-    }
-    assert(mor.getMessage.contains("merge-on-read"))
-    // pinned below the MoR commit still serves
+    // a snapshot with deletion-vector debt SERVES through the library
+    // fallback relation (SQL keeps working between DELETE and
+    // compaction); the vector is applied, pruning resumes after folding
+    val mor = s.read.format("graft-versioned").load(path)
+    assert(mor.count() == 17, "the fallback must apply the deletion vector")
+    assert(mor.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.isEmpty, "MoR debt must not plan as a bare file scan")
+    // pinned below the MoR commit still serves the pruning relation
     assert(s.read.format("graft-versioned").option("versionAsOf", "2").load(path).count() == 20)
+    Versioned.compactDeletes(s, path)
+    assert(s.read.format("graft-versioned").load(path).queryExecution.executedPlan
+      .collectLeaves().collectFirst { case f: FileSourceScanExec => f }.nonEmpty,
+      "compaction must restore the pruning FileIndex relation")
 
     val evo = tmp("evolved")
     Versioned.commit((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"), evo)
@@ -312,5 +320,43 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
       s.read.format("graft-versioned").load(evo).collect()
     }
     assert(e.getMessage.contains("schema evolution"))
+  }
+
+  test("SQL UPDATE and DELETE FROM plan to the library primitives; subqueries refused") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("sql_dml")
+    Versioned.commit((1L to 40L).map(i => (i, i * 10L, s"n$i")).toDF("k", "score", "name"), path)
+    s.sql("DROP TABLE IF EXISTS graft_dml_tbl")
+    s.sql(s"CREATE TABLE graft_dml_tbl USING `graft-versioned` OPTIONS (path '$path')")
+    try {
+      // predicate UPDATE: copy-on-write, expression over the row itself
+      s.sql("UPDATE graft_dml_tbl SET score = score + 5, name = upper(name) WHERE k % 10 = 0")
+      assert(Versioned.currentVersion(path).contains(2L))
+      val updated = Versioned.read(s, path).filter($"k" === 20L).head()
+      assert(updated.getAs[Long]("score") == 205L && updated.getAs[String]("name") == "N20")
+      assert(Versioned.read(s, path).filter($"k" === 21L).head().getAs[Long]("score") == 210L,
+        "UPDATE must not touch rows outside the predicate")
+      // DELETE FROM: lands as a deletion vector — zero data files rewritten
+      s.sql("DELETE FROM graft_dml_tbl WHERE score > 350")
+      assert(Versioned.currentVersion(path).contains(3L))
+      assert(Versioned.manifest(path, 3L).filter(_.kind == Versioned.KindData).toSet ==
+        Versioned.manifest(path, 2L).toSet,
+        "SQL DELETE must commit a deletion vector, not rewrite data")
+      assert(Versioned.read(s, path).count() == 35L) // 36..40 gone (score 360..400; 40 updated to 405)
+      // an UPDATE with no WHERE touches every row
+      s.sql("UPDATE graft_dml_tbl SET name = lower(name)")
+      assert(Versioned.read(s, path).select("name").collect().forall(r =>
+        r.getString(0) == r.getString(0).toLowerCase))
+      // subqueries in the condition are refused loudly, nothing committed
+      val before = Versioned.currentVersion(path)
+      val e = intercept[Exception] {
+        s.sql("DELETE FROM graft_dml_tbl WHERE k IN (SELECT k FROM graft_dml_tbl WHERE score > 100)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("subqueries")), s"wrong refusal: $e")
+      assert(Versioned.currentVersion(path) == before)
+    } finally s.sql("DROP TABLE IF EXISTS graft_dml_tbl")
   }
 }

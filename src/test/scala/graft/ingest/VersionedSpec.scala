@@ -1394,10 +1394,13 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     val cleanV1 = Versioned.manifest(path, 1L).toSet
     // within budget: maintenance is a no-op, no version published
     assert(Versioned.maintainClusteredIfNeeded(spark, path, "k", maxStragglers = 4).isEmpty)
-    // an append-heavy loop lands 6 unclustered full-range batches
+    // an append-heavy loop lands 6 unclustered FULL-RANGE batches (each
+    // file spans the whole key domain — the shape that defeats pruning;
+    // the second row sits above every clustered file's max so the
+    // straggler set is boundary-jitter-independent)
     for (i <- 1 to 6)
       Versioned.appendCommit(
-        Seq((i * 1000L + 100L, "x"), (7000L + i, "y")).toDF("k", "v").coalesce(1),
+        Seq((i * 1000L + 100L, "x"), (8000L + i, "y")).toDF("k", "v").coalesce(1),
         path, statsCols = Seq("k"))
     // over budget now → ONE incremental fold
     val folded = Versioned.maintainClusteredIfNeeded(spark, path, "k", maxStragglers = 4,
