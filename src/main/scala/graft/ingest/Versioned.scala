@@ -111,6 +111,8 @@ object Versioned {
   private val DeltaFile = "_delta"
   private val MetaFile = "_meta"
   private val GcFile = "_gc"
+  private val TxnRefFile = "_txnref"
+  private val TxnIdKey = "graft.txnId"
 
   /** Fold a delta chain into a full checkpoint manifest once it grows
     * this long — bounds both resolution cost (chain walk ≤ this many
@@ -217,10 +219,18 @@ object Versioned {
   /** Committed AND not file-GC'd: a `_gc` tombstone means vacuum
     * reclaimed superseded files inside the dir, so the version's own
     * snapshot is no longer readable (its surviving files live on, still
-    * addressable by the newer manifests that reference them). */
-  private def isCommitted(fs: FileSystem, root: HPath, v: Long): Boolean =
-    fs.exists(new HPath(versionDir(root, v), CommittedFile)) &&
-      !fs.exists(new HPath(versionDir(root, v), GcFile))
+    * addressable by the newer manifests that reference them).
+    *
+    * A version staged under a multi-table transaction ([[commitTxn]])
+    * whose coordinator has DECIDED commits lazily here: the first
+    * reader to look rolls the `_committed` marker forward. The extra
+    * `_txnref` probe only runs for dirs with no marker — in-flight or
+    * crashed claims, never the committed common case. */
+  private def isCommitted(fs: FileSystem, root: HPath, v: Long): Boolean = {
+    val dir = versionDir(root, v)
+    (fs.exists(new HPath(dir, CommittedFile)) || txnRollForward(fs, dir)) &&
+      !fs.exists(new HPath(dir, GcFile))
+  }
 
   /** All committed versions, ascending. Crashed attempts (claimed but
     * never committed) and file-GC'd history are invisible here by
@@ -652,13 +662,165 @@ object Versioned {
       .filter { v =>
         val dir = versionDir(root, v)
         !fs.exists(new HPath(dir, CommittedFile)) &&
-          lockProvider.heldSinceMs(fs, dir).exists(_ < cutoff)
+          lockProvider.heldSinceMs(fs, dir).exists(_ < cutoff) &&
+          // a txn participant whose coordinator DECIDED is published by
+          // the roll-forward probe, not reclaimed; an undecided one may
+          // only die once its coordinator is fenced (see txnAbortSafe)
+          !txnRollForward(fs, dir) &&
+          txnAbortSafe(fs, dir, cutoff)
       }
     doomed.foreach { v =>
       lockProvider.release(fs, versionDir(root, v)) // also clears store-side claim state
       fs.delete(versionDir(root, v), true)
     }
     doomed.sorted
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-table transactions (two-phase, presumed-abort) — r7 verdict #7.
+  //
+  // The CDF-consumer pattern publishes a derived VIEW and its applied
+  // WATERMARK as two tables; without a coordinating transaction a crash
+  // between the two commits leaves them divergent. [[commitTxn]] makes
+  // the pair (or any N tables) atomic with no extra coordinator
+  // service: every write is STAGED first (claim held, data + manifest +
+  // `_meta` durable, NO `_committed` marker), then the FIRST write's
+  // marker is published — that single atomic create IS the commit
+  // decision — and the remaining markers follow. A participant whose
+  // marker never landed carries a `_txnref` naming the coordinator
+  // (path, version, txn-id): any later reader or [[recoverClaims]] that
+  // finds the coordinator committed under the SAME txn-id rolls the
+  // marker forward (the decision was durable, so the outcome is
+  // already fixed); if the coordinator never decided, the staged dirs
+  // age out through the normal crashed-claim recovery — presumed
+  // abort. The txn-id pin matters: an aborted coordinator slot can be
+  // re-claimed and committed by an unrelated writer, and without the
+  // pin a lingering participant would mistake that commit for its own
+  // decision.
+  // ------------------------------------------------------------------
+
+  /** One table's write inside a [[commitTxn]]: an O(delta) append by
+    * default, or a REPLACE-ALL snapshot commit (`replace = true`) —
+    * the two shapes the view+watermark pattern needs. */
+  final case class TxnWrite(
+      path: String, df: DataFrame, replace: Boolean = false,
+      meta: Map[String, String] = Map.empty, statsCols: Seq[String] = Nil)
+
+  /** Commit every write atomically across tables: all become visible
+    * or none do. `writes.head` is the coordinator — its `_committed`
+    * marker is the decision point. Paths must be distinct (two writes
+    * to one table are two versions, not a transaction). Returns
+    * path -> committed version. Claims are held on every table from
+    * staging until the markers land, so rival derived commits on the
+    * participant tables wait/conflict exactly as they would behind any
+    * in-flight commit. */
+  def commitTxn(writes: Seq[TxnWrite]): Map[String, Long] = {
+    val staged = txnStage(writes)
+    txnPublish(staged, staged.size)
+    staged.toMap
+  }
+
+  /** Phase 1 (spec-visible so crash points between phases can be
+    * driven deterministically): stage every write — claims held, data
+    * and manifest/meta durable, no markers. Coordinator first. */
+  private[graft] def txnStage(writes: Seq[TxnWrite]): Seq[(String, Long)] = {
+    require(writes.nonEmpty, "Versioned.commitTxn: at least one write")
+    require(writes.map(_.path).distinct.size == writes.size,
+      "Versioned.commitTxn: participant paths must be distinct")
+    val txnId = java.util.UUID.randomUUID().toString
+    val coord = writes.head
+    val cv = txnStageOne(coord, coord.meta + (TxnIdKey -> txnId), ref = None)
+    val rest = writes.tail.map { w =>
+      w.path -> txnStageOne(w, w.meta, ref = Some((coord.path, cv, txnId)))
+    }
+    (coord.path -> cv) +: rest
+  }
+
+  /** Phase 2: publish the first `upTo` markers (coordinator is index
+    * 0 — `upTo = 0` models a crash before the decision, `1` a crash
+    * after the decision but before the participants' markers). */
+  private[graft] def txnPublish(staged: Seq[(String, Long)], upTo: Int): Unit =
+    staged.take(upTo).foreach { case (p, v) =>
+      val (fs, root) = Writers.fsFor(p)
+      writeMarker(fs, versionDir(root, v))
+    }
+
+  private def txnStageOne(
+      w: TxnWrite, meta: Map[String, String],
+      ref: Option[(String, Long, String)]): Long = {
+    val (fs, root) = Writers.fsFor(w.path)
+    fs.mkdirs(root)
+    def writeRef(v: Long): Unit = ref.foreach { case (cp, cv, id) =>
+      val out = fs.create(new HPath(versionDir(root, v), TxnRefFile), false)
+      try out.write(s"$cp\t$cv\t$id".getBytes("UTF-8")) finally out.close()
+    }
+    if (w.replace) {
+      val prev = currentVersion(w.path)
+      val v = claimNext(fs, root, w.path)
+      writeRef(v)
+      w.df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+      val entries = localEntries(fs, root, v, partitioned = false)
+      val enriched =
+        if (w.statsCols.isEmpty) entries
+        else withFileStats(w.df.sparkSession, root, entries, w.statsCols)
+      publish(fs, root, v, enriched, w.df.schema, prevForIds = prev,
+        meta = meta, marker = false)
+    } else {
+      val base = currentVersion(w.path).getOrElse(0L)
+      val (v, derivedBase) = claimAppend(fs, root, w.path, base, w.df.schema)
+      writeRef(v)
+      w.df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
+      val local = localEntries(fs, root, v, partitioned = false)
+      val adds =
+        if (w.statsCols.isEmpty) local
+        else withFileStats(w.df.sparkSession, root, local, w.statsCols)
+      publishDelta(fs, root, v, derivedBase, adds = adds, removes = Nil,
+        schema = w.df.schema, meta = meta, marker = false)
+    }
+  }
+
+  /** True (and the marker is written) iff `dir` is a txn participant
+    * whose coordinator committed under the participant's recorded
+    * txn-id — the decision was durable, so the participant's outcome
+    * is already COMMIT and publishing its marker merely records it. */
+  private def txnRollForward(fs: FileSystem, dir: HPath): Boolean = {
+    val refP = new HPath(dir, TxnRefFile)
+    if (!fs.exists(refP)) return false
+    val parts = readTextFile(fs, refP).trim.split('\t')
+    if (parts.length != 3) return false
+    val (coordPath, coordV, txnId) = (parts(0), parts(1).toLong, parts(2))
+    val (cfs, croot) = Writers.fsFor(coordPath)
+    val decided = cfs.exists(new HPath(versionDir(croot, coordV), CommittedFile)) &&
+      readMeta(cfs, croot, coordV).get(TxnIdKey).contains(txnId)
+    if (decided) { writeMarker(fs, dir); true } else false
+  }
+
+  /** Whether a stale, undecided participant claim may be deleted: only
+    * once its coordinator can never decide COMMIT for this txn. The
+    * coordinator's staged dir being gone, its slot having been
+    * recycled by an UNRELATED commit (txn-id mismatch — roll-forward
+    * already said no), or its claim being released all fence the
+    * decision; a coordinator claim still held but itself stale past
+    * the cutoff is deleted HERE — that deletion is the abort decision,
+    * under the same age-gate trust model recoverClaims documents for
+    * plain crashed claims. A young coordinator claim means the writer
+    * may be alive mid-stage: not abortable yet. */
+  private def txnAbortSafe(fs: FileSystem, dir: HPath, cutoff: Long): Boolean = {
+    val refP = new HPath(dir, TxnRefFile)
+    if (!fs.exists(refP)) return true
+    val parts = readTextFile(fs, refP).trim.split('\t')
+    if (parts.length != 3) return true
+    val (coordPath, coordV) = (parts(0), parts(1).toLong)
+    val (cfs, croot) = Writers.fsFor(coordPath)
+    val cdir = versionDir(croot, coordV)
+    if (!cfs.exists(cdir)) true
+    else if (cfs.exists(new HPath(cdir, CommittedFile))) true // recycled slot, not our decision
+    else if (!lockProvider.isHeld(cfs, cdir)) true
+    else if (lockProvider.heldSinceMs(cfs, cdir).exists(_ < cutoff)) {
+      lockProvider.release(cfs, cdir)
+      cfs.delete(cdir, true)
+      true
+    } else false
   }
 
   /** The commit tail shared by every writer: manifest, then metadata
@@ -670,14 +832,24 @@ object Versioned {
   private def publish(
       fs: FileSystem, root: HPath, v: Long, entries: Seq[ManifestEntry],
       schema: StructType, prevForIds: Option[Long],
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty, marker: Boolean = true): Long = {
     val ids = meta.get(ColIdsKey).map(parseColIds)
       .getOrElse(carryColIds(fs, root, prevForIds, schema))
     writeMeta(fs, root, v, meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)))
     writeManifest(fs, root, v, entries)
-    fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+    if (marker) writeMarker(fs, versionDir(root, v))
     v
   }
+
+  /** Atomic-create the `_committed` marker, tolerating a lost race with
+    * a concurrent txn roll-forward (the marker existing is the SAME
+    * outcome; any other create failure still surfaces). */
+  private def writeMarker(fs: FileSystem, dir: HPath): Unit =
+    try fs.create(new HPath(dir, CommittedFile), false).close()
+    catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(new HPath(dir, CommittedFile))) throw e
+    }
 
   /** O(delta) publish for DERIVED hot-path commits: writes a `_delta`
     * (base pointer + add/remove lines) instead of a full manifest —
@@ -689,14 +861,15 @@ object Versioned {
   private def publishDelta(
       fs: FileSystem, root: HPath, v: Long, base: Long,
       adds: Seq[ManifestEntry], removes: Seq[(String, String)],
-      schema: StructType, meta: Map[String, String] = Map.empty): Long = {
+      schema: StructType, meta: Map[String, String] = Map.empty,
+      marker: Boolean = true): Long = {
     val prevV = if (base == 0L) None else Some(base)
     val depth = if (base == 0L) 0 else chainLen(fs, root, base) + 1
     if (base == 0L || depth >= CheckpointEvery) {
       val prev = if (base == 0L) Nil else readManifest(fs, root, base)
       val rm = removes.map(_._2).toSet
       publish(fs, root, v, prev.filterNot(e => rm.contains(e.relPath)) ++ adds,
-        schema, prevV, meta)
+        schema, prevV, meta, marker)
     } else {
       val ids = meta.get(ColIdsKey).map(parseColIds)
         .getOrElse(carryColIds(fs, root, prevV, schema))
@@ -704,7 +877,7 @@ object Versioned {
       writeMeta(fs, root, v,
         meta + (SchemaKey -> schema.json) + (ColIdsKey -> renderColIds(ids)) +
           (ChainLenKey -> depth.toString))
-      fs.create(new HPath(versionDir(root, v), CommittedFile), false).close()
+      if (marker) writeMarker(fs, versionDir(root, v))
       v
     }
   }

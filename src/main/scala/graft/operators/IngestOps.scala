@@ -1748,11 +1748,80 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S36: MULTI-TABLE TRANSACTION (r7 verdict #7) — the CDF-consumer
+    * pattern publishes a derived VIEW and its applied-feed WATERMARK as
+    * two tables; [[graft.ingest.Versioned.commitTxn]] makes the pair
+    * atomic via two-phase presumed-abort: every write stages (claim
+    * held, data+manifest durable, no `_committed`), then the
+    * coordinator's single atomic marker IS the decision, and
+    * participants that lost their marker to a crash roll forward
+    * lazily from a `_txnref` (coordinator path+version+txn-id) probe.
+    * No coordinator service, O(1) extra metadata per txn — at 100 TB
+    * the decision is still one marker create. In-entry proof: feed 2
+    * "crashes" between the decision and the participant's marker, and
+    * the watermark table's next read heals it (require); feed 3's txn
+    * crashes BEFORE the decision and recovery reclaims both staged
+    * dirs, leaving the pair exactly at feed 2 (require). Oracle: the
+    * final view ⨯ watermark summary straight off `orders`. */
+  val s36TxnPair = QueryDef(
+    "s36_txn_pair",
+    (s, d) => {
+      val viewPath = tmp("s36_view", d)
+      val wmPath = tmp("s36_wm", d)
+      Writers.deleteTree(viewPath); Writers.deleteTree(wmPath)
+      val V = graft.ingest.Versioned
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      def feed(r: Int) = orders.filter(col("o_orderkey") % 2 === r)
+      def viewOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+      // feed 1: the happy path — one atomic pair
+      V.commitTxn(Seq(
+        V.TxnWrite(viewPath, viewOf(feed(1)), replace = true),
+        V.TxnWrite(wmPath, Seq((1L, feed(1).count())).toDF("feed", "applied"))))
+      // feed 2: decision lands, the participant's marker does not (crash)
+      val st2 = V.txnStage(Seq(
+        V.TxnWrite(viewPath, viewOf(orders), replace = true),
+        V.TxnWrite(wmPath, Seq((2L, feed(0).count())).toDF("feed", "applied"))))
+      V.txnPublish(st2, 1)
+      require(V.versions(wmPath).size == 2,
+        "s36: a decided participant must roll forward on first read — no divergence window")
+      // feed 3: crash BEFORE the decision — presumed abort
+      val st3 = V.txnStage(Seq(
+        V.TxnWrite(viewPath, viewOf(orders.limit(0)), replace = true),
+        V.TxnWrite(wmPath, Seq((3L, 0L)).toDF("feed", "applied"))))
+      V.txnPublish(st3, 0)
+      require(V.recoverClaims(wmPath, olderThanMs = 0L).nonEmpty,
+        "s36: recovery must reclaim the undecided participant")
+      require(V.recoverClaims(viewPath, olderThanMs = 0L).isEmpty,
+        "s36: participant recovery must already have fenced the coordinator's staged dir")
+      require(V.versions(viewPath).size == 2 && V.versions(wmPath).size == 2,
+        "s36: the aborted pair must leave both tables exactly at feed 2")
+      val wmAgg = V.read(s, wmPath)
+        .agg(max("feed").as("last_feed"), sum("applied").as("rows_applied"))
+      V.read(s, viewPath).crossJoin(broadcast(wmAgg)).orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH v AS (
+        SELECT o_orderpriority, count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+        FROM orders GROUP BY o_orderpriority
+      ), w AS (
+        SELECT CAST(2 AS BIGINT) AS last_feed, count(*) AS rows_applied FROM orders
+      )
+      SELECT o_orderpriority, n_orders, sum_total, last_feed, rows_applied
+      FROM v CROSS JOIN w
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
     s18PartitionedMerge, s19ChangeFeed, s20MergeOnRead, s21CompactedHistory,
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
-    s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup)
+    s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
+    s36TxnPair)
 }

@@ -33,6 +33,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "s25_zorder_skipping" -> (2, "two 1-row global aggregates (one per pruned z dimension), unioned"),
     "l4q_bigram_lm" -> (1, "vocabulary size: 1-row global countDistinct, broadcast into the score join"),
     "l3e_negative_sampling" -> (1, "corpus count: 1-row global aggregate, broadcast into the assignment"),
+    "s36_txn_pair" -> (1, "watermark summary: 1-row global aggregate, broadcast into the view"),
   )
 
   test("no registry entry plans a cartesian product or an unjustified single-task collapse") {

@@ -1473,4 +1473,82 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     consume()
     assert(Versioned.versions(dst).size == nv, "replay after recovery must commit nothing")
   }
+
+  test("commitTxn: view+watermark land atomically; both shapes (replace/append) version correctly") {
+    import spark.implicits._
+    val view = freshDir("txn_view")
+    val wm = freshDir("txn_wm")
+    val got = Versioned.commitTxn(Seq(
+      Versioned.TxnWrite(view, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), replace = true),
+      Versioned.TxnWrite(wm, Seq((1L, 7L)).toDF("feed", "applied"))))
+    assert(got == Map(view -> 1L, wm -> 1L))
+    assert(Versioned.read(spark, view).count() == 2L)
+    assert(Versioned.read(spark, wm).count() == 1L)
+    // a second txn: replace the view, append the next watermark row
+    Versioned.commitTxn(Seq(
+      Versioned.TxnWrite(view, Seq((1L, 11L), (2L, 20L), (3L, 30L)).toDF("k", "n"), replace = true),
+      Versioned.TxnWrite(wm, Seq((1L, 8L)).toDF("feed", "applied"))))
+    assert(Versioned.versions(view) == Seq(1L, 2L) && Versioned.versions(wm) == Seq(1L, 2L))
+    assert(Versioned.read(spark, view).count() == 3L)
+    assert(Versioned.read(spark, wm).count() == 2L) // append, not replace
+  }
+
+  test("commitTxn: a crash BEFORE the decision leaves nothing visible and recovers to abort") {
+    import spark.implicits._
+    val view = freshDir("txn_crash0_view")
+    val wm = freshDir("txn_crash0_wm")
+    Versioned.commit(Seq((1L, 1L)).toDF("k", "n"), view)
+    Versioned.commit(Seq((0L, 0L)).toDF("feed", "applied"), wm)
+    val staged = Versioned.txnStage(Seq(
+      Versioned.TxnWrite(view, Seq((2L, 2L)).toDF("k", "n")),
+      Versioned.TxnWrite(wm, Seq((1L, 5L)).toDF("feed", "applied"))))
+    Versioned.txnPublish(staged, 0) // CRASH before the coordinator marker
+    // undecided: neither table shows the staged version
+    assert(Versioned.versions(view) == Seq(1L) && Versioned.versions(wm) == Seq(1L))
+    // presumed abort: recovery reclaims the participant (fencing the
+    // coordinator's staged dir first) and then finds the coordinator gone
+    assert(Versioned.recoverClaims(wm, olderThanMs = 0L) == Seq(2L))
+    assert(Versioned.recoverClaims(view, olderThanMs = 0L).isEmpty,
+      "participant recovery must have fenced (deleted) the coordinator's staged dir")
+    // both tables fully writable again, slots reclaimed
+    assert(Versioned.appendCommit(Seq((9L, 9L)).toDF("k", "n"), view) == 2L)
+    assert(Versioned.appendCommit(Seq((9L, 9L)).toDF("feed", "applied"), wm) == 2L)
+  }
+
+  test("commitTxn: a crash AFTER the decision rolls the participant forward on first read") {
+    import spark.implicits._
+    val view = freshDir("txn_crash1_view")
+    val wm = freshDir("txn_crash1_wm")
+    val staged = Versioned.txnStage(Seq(
+      Versioned.TxnWrite(view, Seq((1L, 10L)).toDF("k", "n"), replace = true),
+      Versioned.TxnWrite(wm, Seq((1L, 3L)).toDF("feed", "applied"))))
+    Versioned.txnPublish(staged, 1) // decision durable; CRASH before the participant marker
+    // the outcome is fixed: the first reader rolls the watermark forward
+    assert(Versioned.versions(view) == Seq(1L))
+    assert(Versioned.versions(wm) == Seq(1L),
+      "decided participant must roll forward lazily — no divergence window")
+    assert(Versioned.read(spark, wm).as[(Long, Long)].collect().toSeq == Seq((1L, 3L)))
+    // recovery must NOT reclaim a decided participant either
+    assert(Versioned.recoverClaims(wm, olderThanMs = 0L).isEmpty)
+  }
+
+  test("commitTxn: a recycled coordinator slot never reads as a phantom decision (txn-id pin)") {
+    import spark.implicits._
+    val view = freshDir("txn_pin_view")
+    val wm = freshDir("txn_pin_wm")
+    val staged = Versioned.txnStage(Seq(
+      Versioned.TxnWrite(view, Seq((1L, 1L)).toDF("k", "n")),
+      Versioned.TxnWrite(wm, Seq((1L, 1L)).toDF("feed", "applied"))))
+    Versioned.txnPublish(staged, 0) // crash before the decision
+    // coordinator-side recovery runs first (another operator's sweep)
+    assert(Versioned.recoverClaims(view, olderThanMs = 0L) == Seq(1L))
+    // an unrelated writer re-claims and COMMITS the same slot
+    assert(Versioned.commit(Seq((42L, 42L)).toDF("k", "n"), view) == 1L)
+    // the lingering participant must not mistake that commit for its decision
+    assert(Versioned.versions(wm).isEmpty,
+      "participant rolled forward off an unrelated commit — txn-id pin broken")
+    // and its recovery now aborts cleanly (slot recycled ⇒ fence is moot)
+    assert(Versioned.recoverClaims(wm, olderThanMs = 0L) == Seq(1L))
+    assert(Versioned.versions(view) == Seq(1L) && Versioned.versions(wm).isEmpty)
+  }
 }
