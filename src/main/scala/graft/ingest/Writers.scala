@@ -171,7 +171,7 @@ object Writers {
     * The active session's hadoopConf carries fs.* settings (credentials,
     * endpoints); a bare Configuration still resolves local paths for
     * library use outside a session. */
-  private[ingest] def fsFor(path: String): (FileSystem, HPath) = {
+  private[graft] def fsFor(path: String): (FileSystem, HPath) = {
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())

@@ -1,0 +1,174 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  test("unpartitioned round trip; the log is spec-shaped JSON") {
+    import spark.implicits._
+    val path = freshDir("delta_rt")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(DeltaLake.write(df, path) == 0L)
+    val got = DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the v0 commit must carry protocol + metaData + adds, one JSON object per line
+    val log = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    val lines = log.split('\n').filter(_.nonEmpty).map(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(_))
+    assert(lines.exists(n => n.has("protocol") &&
+      n.get("protocol").get("minReaderVersion").asInt == 1))
+    val meta = lines.find(_.has("metaData")).get.get("metaData")
+    assert(meta.get("format").get("provider").asText == "parquet")
+    assert(meta.has("schemaString") && meta.has("partitionColumns") && meta.has("id"))
+    val adds = lines.filter(_.has("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val ad = a.get("add")
+      assert(ad.has("path") && ad.has("partitionValues") && ad.has("size") &&
+        ad.get("dataChange").asBoolean)
+      val st = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ad.get("stats").asText)
+      assert(st.get("numRecords").asLong > 0L)
+      assert(st.get("minValues").has("k") && st.get("maxValues").has("v"))
+    }
+  }
+
+  test("partitioned write: append accumulates, overwrite removes, partition filters prune files") {
+    import spark.implicits._
+    val path = freshDir("delta_part")
+    val a = Seq((1L, "x", "F"), (2L, "y", "O")).toDF("k", "v", "status")
+    val b = Seq((3L, "z", "F")).toDF("k", "v", "status")
+    DeltaLake.write(a, path, partitionBy = Seq("status"))
+    DeltaLake.write(b, path, partitionBy = Seq("status"), mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).count() == 3L)
+    // partition pruning through the shared FileIndex: only F files planned
+    val f = DeltaLake.read(spark, path).filter(col("status") === "F")
+    assert(f.count() == 2L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"partition filter must prune Delta files at planning ($kept/$total)")
+    // overwrite: old files removed from the live set
+    DeltaLake.write(Seq((9L, "w", "P")).toDF("k", "v", "status"), path,
+      partitionBy = Seq("status"), mode = SaveMode.Overwrite)
+    val after = DeltaLake.read(spark, path).as[(Long, String, String)].collect()
+    assert(after.toSeq == Seq((9L, "w", "P")))
+    // time travel: version 0 still serves the original two rows
+    assert(DeltaLake.read(spark, path, versionAsOf = Some(0L)).count() == 2L)
+  }
+
+  test("stats skipping prunes data files on a value predicate") {
+    import spark.implicits._
+    val path = freshDir("delta_stats")
+    // 4 disjoint key-range files
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    DeltaLake.write(df, path)
+    val probe = DeltaLake.read(spark, path).filter(col("k") === 42L)
+    assert(probe.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(total >= 4 && kept < total,
+      s"translated Delta min/max stats must skip whole files ($kept/$total)")
+  }
+
+  test("checkpoint folds the log: reads survive vacuuming the folded JSON commits") {
+    import spark.implicits._
+    val path = freshDir("delta_cp")
+    DeltaLake.write(Seq((0L, "r0")).toDF("k", "v"), path)
+    for (i <- 1 to 3)
+      DeltaLake.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.checkpoint(spark, path) == 3L)
+    // retention vacuum: the folded JSON files can disappear
+    for (v <- 0L to 3L)
+      java.nio.file.Files.delete(Paths.get(path, "_delta_log", f"$v%020d.json"))
+    assert(DeltaLake.read(spark, path).count() == 4L, "checkpoint-only read must work")
+    // and the log keeps growing above the checkpoint
+    DeltaLake.write(Seq((4L, "r4")).toDF("k", "v"), path, mode = SaveMode.Append)
+    DeltaLake.write(Seq((5L, "r5")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1).length == 6)
+    // a gap ABOVE the checkpoint (v4 lost, v5 present) still fails loudly
+    java.nio.file.Files.delete(Paths.get(path, "_delta_log", f"${4L}%020d.json"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
+    assert(e.getMessage.contains("gap"))
+  }
+
+  test("special and null partition values round-trip through the hive escaping") {
+    import spark.implicits._
+    val path = freshDir("delta_esc")
+    val df = Seq((1L, "a/b c"), (2L, "p%q=r"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "part")
+    DeltaLake.write(df, path, partitionBy = Seq("part"))
+    val got = DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a/b c"), (2L, "p%q=r"), (3L, null)))
+    // and the log records the RAW values (escaping is a path concern only)
+    val s = DeltaLake.snapshot(spark, path)
+    val pvs = s.files.map(_.partitionValues("part")).toSet
+    assert(pvs == Set(Some("a/b c"), Some("p%q=r"), None))
+  }
+
+  test("reader protocol gate: minReaderVersion 3 fails loudly instead of misreading") {
+    import spark.implicits._
+    val path = freshDir("delta_gate")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
+    // hand-raise the protocol as a foreign writer with reader features would
+    val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
+    java.nio.file.Files.write(log,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
+    assert(e.getMessage.contains("reader protocol 3"))
+  }
+
+  test("format(\"delta\") serves the familiar read/write surface") {
+    import spark.implicits._
+    val path = freshDir("delta_fmt")
+    Seq((1L, "a", "F"), (2L, "b", "O")).toDF("k", "v", "status")
+      .write.format("delta").partitionBy("status").save(path)
+    Seq((3L, "c", "F")).toDF("k", "v", "status")
+      .write.format("delta").mode("append").save(path)
+    assert(spark.read.format("delta").load(path).count() == 3L)
+    assert(spark.read.format("delta").option("versionAsOf", "0").load(path).count() == 2L)
+    // the provider wrote a real Delta log, not a parquet dir
+    assert(DeltaLake.versions(path) == Seq(0L, 1L))
+    val f = spark.read.format("delta").load(path).filter(col("status") === "O")
+    assert(f.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"format(delta) read must prune partitions ($kept/$total)")
+  }
+
+  test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("delta_race")
+    DeltaLake.write(Seq((0L, "base")).toDF("k", "v"), path)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (1 to 4).map { i =>
+      Future {
+        gate.await()
+        try Right(DeltaLake.write(Seq((i.toLong, s"w$i")).toDF("k", "v"), path,
+          mode = SaveMode.Append))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }
+      }
+    }
+    gate.countDown()
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.nonEmpty, "at least one racing append must land")
+    assert(wins.distinct.size == wins.size, s"two appends claimed one version: $wins")
+    // every version that exists is readable and contiguous, and the live
+    // rows are exactly base + the winners (no lost update, no phantom)
+    assert(DeltaLake.versions(path) == (0L to wins.max))
+    assert(DeltaLake.read(spark, path).count() == 1L + wins.size)
+  }
+}
