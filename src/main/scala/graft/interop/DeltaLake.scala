@@ -216,6 +216,41 @@ object DeltaLake {
       partCols, files.values.toSeq)
   }
 
+  /** The `add` actions of ONE commit, plus whether the commit carried
+    * any `remove` (a rewrite/overwrite a streaming tail must refuse or
+    * re-emit — Delta's source contract). The JSON commit file must
+    * still exist: a version folded into a checkpoint and vacuumed
+    * cannot be replayed as a tail batch, and fails loudly here. */
+  def changesIn(path: String, v: Long): (Seq[AddFile], Boolean) = {
+    val (fs, root) = Writers.fsFor(path)
+    val f = jsonFile(root, v)
+    require(fs.exists(f),
+      s"DeltaLake: commit $v of $path has no JSON log entry (vacuumed?) — " +
+        "a streaming tail cannot replay it; restart the stream from the current snapshot")
+    val in = fs.open(f)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    var hasRemoves = false
+    val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val n = Json.readTree(line)
+      Option(n.get("protocol")).foreach(p =>
+        require(p.get("minReaderVersion").asInt <= 2,
+          s"DeltaLake: $path requires reader protocol ${p.get("minReaderVersion").asInt}"))
+      if (n.has("remove")) hasRemoves = true
+      Option(n.get("add")).foreach { a =>
+        val pv = Option(a.get("partitionValues")).map { o =>
+          o.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
+        adds += AddFile(decodePath(a.get("path").asText), pv, a.get("size").asLong,
+          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+      }
+    }
+    (adds.toSeq, hasRemoves)
+  }
+
   private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext
@@ -332,21 +367,15 @@ object DeltaLake {
     if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
     else w.parquet(tmp.toString)
 
-    // per-file stats: ONE distributed pass over the staged files
-    val dataCols = df.schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
-    val stats = stageStats(spark, tmp, dataCols)
-
     // move each staged data file under the table root, keeping the
     // Hive partition dirs the reader renders partitionValues into
-    def walk(dir: HPath, rel: String): Seq[(String, HPath, Long)] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        else if (name.endsWith(".parquet"))
-          Seq((if (rel.isEmpty) name else s"$rel/$name", st.getPath, st.getLen))
-        else Nil
-      }
-    val staged = walk(tmp, "")
+    val staged = walkStaged(fs, tmp, "")
+    // per-file stats: ONE distributed pass over the staged files (an
+    // EMPTY frame stages no files — nothing to scan)
+    val dataCols = df.schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
+    val stats =
+      if (staged.isEmpty) Map.empty[String, String]
+      else stageStats(spark, tmp, dataCols)
     val now = System.currentTimeMillis()
     val adds = staged.map { case (rel, from, size) =>
       val segs = rel.split("/").dropRight(1).toSeq
@@ -394,6 +423,110 @@ object DeltaLake {
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
+
+  /** COPY-ON-WRITE DELETE (Delta's `DELETE FROM` shape): ONE
+    * distributed pass counts matches per live file, then ONLY the
+    * files that contain matching rows are rewritten (their survivors
+    * re-staged through [[write]]'s machinery) — every untouched file
+    * stays live in the log by reference, zero bytes moved. The commit
+    * is `remove`(touched) + `add`(survivor files), atomic like any
+    * other. At 100 TB a selective delete costs O(touched files), not
+    * O(table). Returns the committed version. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, sum, when}
+    val (fs, root) = Writers.fsFor(path)
+    val snap = snapshot(spark, path)
+    val full = read(spark, path)
+    // pass 1: which files hold matches (partition cols resolvable —
+    // the predicate may reference them — via the pruning relation)
+    val touched = full
+      .groupBy(input_file_name().as("__f"))
+      .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"), count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getAs[String]("__f"), r.getAs[Long]("__hits")))
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    def relOf(raw: String): String = {
+      val abs = new java.net.URI(raw).getPath
+      require(abs.startsWith(rootPrefix), s"DeltaLake.deleteWhere: foreign file $abs")
+      abs.stripPrefix(rootPrefix)
+    }
+    // raw strings exactly as input_file_name renders them — the stable
+    // join key for pass 2's file filter
+    val touchedRaw = touched.filter(_._2 > 0L).map(_._1).toSeq
+    val touchedRel = touchedRaw.map(relOf).toSet
+    if (touchedRel.isEmpty) return snap.version // nothing matched: no commit needed
+    val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+    // pass 2: survivors of ONLY the touched files, partition values intact
+    // DELETE drops rows where the predicate is TRUE; a NULL predicate
+    // keeps the row (SQL DELETE semantics, same as pass 1's when())
+    val survivors = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .filter(predicate.isNull || !predicate)
+      .drop("__f")
+    val now = System.currentTimeMillis()
+    // stage survivors exactly like a write, but commit removes+adds
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = survivors.write.mode(SaveMode.Overwrite)
+    if (snap.partitionColumns.nonEmpty)
+      w.partitionBy(snap.partitionColumns: _*).parquet(tmp.toString)
+    else w.parquet(tmp.toString)
+    val staged = walkStaged(fs, tmp, "")
+    val dataCols = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)).toSeq
+    // a delete that empties every touched file stages NOTHING — the
+    // commit is then pure removes, which is legal and exactly right
+    val stats =
+      if (staged.isEmpty) Map.empty[String, String]
+      else stageStats(spark, tmp, dataCols)
+    val adds = staged.map { case (rel, from, size) =>
+      val segs = rel.split("/").dropRight(1).toSeq
+      val pv: Map[String, Option[String]] = segs.map { seg =>
+        val i = seg.indexOf('=')
+        val raw = seg.drop(i + 1)
+        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
+      }.toMap
+      val fileName = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val relOut = (segs :+ fileName).mkString("/")
+      val dest = new HPath(root, relOut)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(from, dest), s"DeltaLake.deleteWhere: rename $from -> $dest failed")
+      AddFile(relOut, pv, size, now, stats.get(from.toUri.getPath))
+    }
+    fs.delete(tmp, true): Unit
+    val v = snap.version + 1
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    keepByFile.foreach { f =>
+      val o = Json.createObjectNode()
+      val rm = o.putObject("remove")
+      rm.put("path", f.path); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      lines += Json.writeValueAsString(o)
+    }
+    adds.foreach(a => lines += addLine(a))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "DELETE")
+    lines += Json.writeValueAsString(ci)
+    val out = try fs.create(jsonFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"DeltaLake: version $v of $path was committed concurrently", e)
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Recursively list the parquet files of a staging dir as
+    * (partition-relative path, absolute path, size). */
+  private def walkStaged(fs: FileSystem, dir: HPath, rel: String): Seq[(String, HPath, Long)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) walkStaged(fs, st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      else if (name.endsWith(".parquet"))
+        Seq((if (rel.isEmpty) name else s"$rel/$name", st.getPath, st.getLen))
+      else Nil
+    }
 
   /** numRecords/minValues/maxValues/nullCount per staged file, one
     * distributed aggregation grouped by input_file_name — never a

@@ -1,9 +1,13 @@
 package graft.interop
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("delta")` / `df.write.format("delta")` over
   * [[DeltaLake]] — the familiar surface for users coming FROM Delta,
@@ -15,13 +19,39 @@ import org.apache.spark.sql.sources.{
   * `overwrite`/`append` plus `.partitionBy(...)`, all landing through
   * the atomic log-commit protocol in [[DeltaLake.write]]. */
 final class DeltaSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "delta"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException("delta: 'path' is required"))
+
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  /** Streaming read: `spark.readStream.format("delta").load(tbl)` —
+    * tails the transaction log through [[org.apache.spark.sql.graft.DeltaStreamSource]].
+    * Options: `startingVersion` (first version a fresh stream emits;
+    * default bootstraps the current snapshot), `ignoreChanges`
+    * (re-emit rewrite versions instead of failing). */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("delta", schema.getOrElse(
+      DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val snap = DeltaLake.snapshot(sqlContext.sparkSession, path)
+    new org.apache.spark.sql.graft.DeltaStreamSource(
+      sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
+      schema.getOrElse(snap.schema), snap.partitionColumns,
+      ignoreChanges = opt(parameters, "ignoreChanges").exists(_.toBoolean),
+      startingVersion = opt(parameters, "startingVersion").map(_.toLong))
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

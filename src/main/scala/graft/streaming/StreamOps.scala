@@ -1070,8 +1070,75 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T18: DELTA-FORMAT TAIL — the interop log
+    * ([[graft.interop.DeltaLake]]) served as a streaming source:
+    * `readStream.format("delta")` bootstraps the live snapshot, then
+    * each micro-batch reads exactly the new commits' `add` actions
+    * with partition values injected from the log's `partitionValues`
+    * (no directory listing at any point — O(new data) per batch at
+    * any table size, the same scaling law as the native tail). The
+    * lifecycle here is a partitioned create + a drain + two appends +
+    * a resumed drain; the resumed batch must scan ONLY the appended
+    * files (StreamIntrospect require). Oracle: the full events
+    * aggregate — every row exactly once with its partition value. */
+  val streamDeltaTail = QueryDef(
+    "stream_t18_delta_tail",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t18", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format("delta").partitionBy("event_type").save(tbl) // v0: bootstrap
+      def drainOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("delta").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce() // bootstrap: the live snapshot
+      ev.filter(col("event_id") % 4 === 1)
+        .write.format("delta").mode("append").save(tbl) // v1
+      ev.filter(col("event_id") % 4 === 3)
+        .write.format("delta").mode("append").save(tbl) // v2
+      // the resumed drain must plan ONLY the two appended commits' files
+      val before = graft.interop.DeltaLake.snapshot(s, tbl, versionAsOf = Some(0L)).files.size
+      val total = graft.interop.DeltaLake.snapshot(s, tbl).files.size
+      ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("delta").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val scanned = org.apache.spark.sql.graft.StreamIntrospect.lastBatchInputFiles(q).size
+        require(scanned <= total - before && scanned > 0,
+          s"t18: the resumed batch must scan only the appended files " +
+            s"($scanned scanned, $before bootstrap, $total total)")
+      }
+      require(s.read.parquet(sink).count() == ev.count(),
+        "t18: the delta tail must deliver every row exactly once")
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
-    streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop)
+    streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop,
+    streamDeltaTail)
 }

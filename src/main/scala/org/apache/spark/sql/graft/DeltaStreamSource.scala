@@ -1,0 +1,105 @@
+/* Shim-packaged for the same reason as VersionedStreamSource: a v1
+ * streaming Source must hand MicroBatchExecution a DataFrame whose
+ * logical plan is flagged isStreaming, and `Dataset.ofRows(spark,
+ * LogicalRelation(relation, isStreaming = true))` is private[sql].
+ * Everything else delegates to the public graft.interop.DeltaLake API. */
+package org.apache.spark.sql.graft
+
+import graft.interop.DeltaLake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SOURCE over a Delta table's transaction log —
+  * `spark.readStream.format("delta").load(tbl)` with this library's
+  * from-spec log implementation: offsets are log versions; a fresh
+  * stream's first batch is the CURRENT SNAPSHOT's live file set (the
+  * Delta source's documented bootstrap), or the tail from
+  * `startingVersion`; every later batch reads exactly the `add`
+  * actions of the committed version range — O(new data) per batch at
+  * any table size, no directory listing ever.
+  *
+  * Contract (Delta's): a version carrying `remove` actions (overwrite,
+  * delete, compaction) breaks the append-only tail and fails loudly
+  * unless `ignoreChanges=true`, which re-emits that version's adds —
+  * downstream must tolerate re-delivery. Partition columns are not in
+  * the data files; each batch injects them from the log's
+  * `partitionValues`, typed through the schema pinned at stream start. */
+class DeltaStreamSource(
+    spark: ClassicSession,
+    path: String,
+    override val schema: StructType,
+    partCols: Seq[String],
+    ignoreChanges: Boolean,
+    startingVersion: Option[Long],
+) extends Source {
+
+  override def getOffset: Option[OffsetV1] =
+    DeltaLake.versions(path).lastOption.map(LongOffset(_))
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong // SerializedOffset after a restart
+  }
+
+  private def addsOf(v: Long): Seq[DeltaLake.AddFile] = {
+    val (adds, hasRemoves) = DeltaLake.changesIn(path, v)
+    if (hasRemoves && !ignoreChanges)
+      throw new IllegalStateException(
+        s"delta source: version $v of $path contains remove actions (overwrite/delete/" +
+          "compaction) — a streaming tail of an append log cannot represent it. Restart " +
+          "from the current snapshot, or set ignoreChanges=true to re-emit the version's " +
+          "files (downstream must tolerate re-delivery).")
+    adds
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    val files: Seq[DeltaLake.AddFile] = start match {
+      // fresh stream: the live snapshot at `to` (Delta's bootstrap), or
+      // the tail from startingVersion (that version INCLUDED)
+      case None => startingVersion match {
+        case Some(sv) => (sv to to).flatMap(addsOf)
+        case None     => DeltaLake.snapshot(spark, path, Some(to)).files
+      }
+      case Some(s0) => (versionOf(s0) + 1L to to).flatMap(addsOf)
+    }
+    def streamRelation(paths: Seq[String], fileSchema: StructType): DataFrame = {
+      val relation = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = paths,
+        userSpecifiedSchema = Some(fileSchema),
+      ).resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+    if (partCols.isEmpty)
+      streamRelation(files.map(f => s"$path/${f.path}"), schema)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      val frames = files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).map(kv => kv._1 + "=" + kv._2.getOrElse("")).mkString("/"))
+        .map { case (pv, fs) =>
+          val base = streamRelation(fs.map(f => s"$path/${f.path}"), dataSchema)
+          val withParts = partCols.foldLeft(base) { (acc, c) =>
+            val raw = pv.getOrElse(c, None)
+            acc.withColumn(c,
+              raw.map(lit(_)).getOrElse(lit(null)).cast(schema(schema.fieldIndex(c)).dataType))
+          }
+          withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        }
+      if (frames.isEmpty) {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        spark.internalCreateDataFrame(empty.queryExecution.toRdd, schema, isStreaming = true)
+      } else frames.reduce(_.unionByName(_))
+    }
+  }
+
+  override def stop(): Unit = ()
+}

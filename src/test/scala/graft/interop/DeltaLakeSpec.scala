@@ -145,6 +145,77 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(kept < total, s"format(delta) read must prune partitions ($kept/$total)")
   }
 
+  test("readStream.format(\"delta\") tails the log: snapshot bootstrap, O(new) batches, rewrite gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("delta_stream")
+    val path = s"$base/tbl"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    Seq((1L, "a", "F"), (2L, "b", "O")).toDF("k", "v", "status")
+      .write.format("delta").partitionBy("status").save(path)
+    Seq((3L, "c", "F")).toDF("k", "v", "status")
+      .write.format("delta").mode("append").save(path)
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("delta").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce() // bootstrap: the LIVE snapshot (both versions), partition values intact
+    val got = spark.read.parquet(sink).as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", "F"), (2L, "b", "O"), (3L, "c", "F")))
+    // tail: only the new commit's adds stream on resume (exactly once)
+    Seq((4L, "d", "O")).toDF("k", "v", "status")
+      .write.format("delta").mode("append").save(path)
+    drainOnce()
+    assert(spark.read.parquet(sink).count() == 4L, "resume must deliver only the new commit")
+    // a rewrite (remove actions) breaks the tail loudly...
+    Seq((9L, "z", "P")).toDF("k", "v", "status")
+      .write.format("delta").mode("overwrite").partitionBy("status").save(path)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drainOnce())
+    assert(e.getMessage.contains("remove actions") || e.getCause.getMessage.contains("remove actions"))
+    // ...unless ignoreChanges re-emits the rewritten version's files
+    val q2 = spark.readStream.format("delta").option("ignoreChanges", "true").load(path)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 5L)
+  }
+
+  test("deleteWhere is copy-on-write at file granularity: untouched files carried by reference") {
+    import spark.implicits._
+    val path = freshDir("delta_del")
+    // 4 disjoint key-range files; the predicate hits exactly one range
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    DeltaLake.write(df, path)
+    val before = DeltaLake.snapshot(spark, path).files.map(_.path).toSet
+    assert(before.size == 4)
+    val v = DeltaLake.deleteWhere(spark, path, col("k") >= 100L && col("k") < 150L)
+    assert(v == 1L)
+    val after = DeltaLake.snapshot(spark, path)
+    // exactly the one file holding 100..149 was rewritten; 3 carried
+    assert(before.intersect(after.files.map(_.path).toSet).size == 3,
+      "untouched files must stay live by reference")
+    assert(DeltaLake.read(spark, path).count() == 350L)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 120L).count() == 0L)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 99L).count() == 1L)
+    // time travel still serves the pre-delete snapshot
+    assert(DeltaLake.read(spark, path, versionAsOf = Some(0L)).count() == 400L)
+    // a no-match delete commits nothing
+    assert(DeltaLake.deleteWhere(spark, path, col("k") === -1L) == 1L)
+    assert(DeltaLake.versions(path) == Seq(0L, 1L))
+    // partitioned table: predicate on the partition column rewrites
+    // only that partition's files, survivors keep their partition value
+    val p2 = freshDir("delta_del_part")
+    DeltaLake.write(Seq((1L, "x", "F"), (2L, "y", "O"), (3L, "z", "F")).toDF("k", "v", "s"),
+      p2, partitionBy = Seq("s"))
+    DeltaLake.deleteWhere(spark, p2, col("s") === "F" && col("k") === 1L)
+    val got = DeltaLake.read(spark, p2).as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "y", "O"), (3L, "z", "F")))
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
