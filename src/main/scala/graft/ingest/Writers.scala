@@ -258,7 +258,7 @@ object Writers {
     * third counter a single NULL-key row would surface as a misleading
     * "duplicate key" failure (and N of them would be indistinguishable
     * from real duplicates). */
-  private[ingest] def requireUniqueKeys(op: String, updates: DataFrame, key: String): Unit = {
+  private[graft] def requireUniqueKeys(op: String, updates: DataFrame, key: String): Unit = {
     val Array(nRows, nKeys, nNullKeys) = updates
       .agg(
         count(lit(1)),

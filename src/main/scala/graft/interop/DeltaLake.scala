@@ -445,16 +445,10 @@ object DeltaLake {
       .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"), count(lit(1)).as("__n"))
       .collect()
       .map(r => (r.getAs[String]("__f"), r.getAs[Long]("__hits")))
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    def relOf(raw: String): String = {
-      val abs = new java.net.URI(raw).getPath
-      require(abs.startsWith(rootPrefix), s"DeltaLake.deleteWhere: foreign file $abs")
-      abs.stripPrefix(rootPrefix)
-    }
     // raw strings exactly as input_file_name renders them — the stable
     // join key for pass 2's file filter
     val touchedRaw = touched.filter(_._2 > 0L).map(_._1).toSeq
-    val touchedRel = touchedRaw.map(relOf).toSet
+    val touchedRel = touchedRaw.map(relOf(path, _, "deleteWhere")).toSet
     if (touchedRel.isEmpty) return snap.version // nothing matched: no commit needed
     val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
     // pass 2: survivors of ONLY the touched files, partition values intact
@@ -464,18 +458,67 @@ object DeltaLake {
       .filter(col("__f").isin(touchedRaw: _*))
       .filter(predicate.isNull || !predicate)
       .drop("__f")
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors, "DELETE")
+  }
+
+  /** COPY-ON-WRITE MERGE by key (Delta's `MERGE ... WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` shape): only the
+    * files holding a MATCHED key are rewritten — their unmatched rows
+    * survive, matched rows are replaced by the update images, and
+    * unmatched updates append. Untouched files stay live by reference:
+    * O(touched files + updates), never O(table). */
+  def upsertByKey(spark: SparkSession, path: String,
+      updates: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val snap = snapshot(spark, path)
+    require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
+    require(Versioned.nullabilityErased(snap.schema).json ==
+      Versioned.nullabilityErased(updates.schema).json,
+      "DeltaLake.upsertByKey: update schema differs from the table schema")
+    Writers.requireUniqueKeys("DeltaLake.upsertByKey", updates, key)
+    val full = read(spark, path)
+    // pass 1: the files holding a matched key (semi-join, shuffles on
+    // the key — broadcastable when the update set is small, AQE's call)
+    val touchedRaw = full.withColumn("__f", input_file_name())
+      .join(updates.select(col(key)), Seq(key), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    val touchedRel = touchedRaw.map(relOf(path, _, "upsertByKey")).toSet
+    val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+    // pass 2: unmatched survivors of the touched files + ALL updates
+    val survivors = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .drop("__f")
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val newData = survivors.unionByName(
+      updates.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*))
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE")
+  }
+
+  private def relOf(path: String, raw: String, op: String): String = {
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val abs = new java.net.URI(raw).getPath
+    require(abs.startsWith(rootPrefix), s"DeltaLake.$op: foreign file $abs")
+    abs.stripPrefix(rootPrefix)
+  }
+
+  /** The shared rewrite tail: stage `newData` in the table's layout,
+    * then commit `remove`(removedRel) + `add`(staged) atomically. A
+    * rewrite that stages nothing is a pure-remove commit (legal —
+    * e.g. a delete that empties every touched file). */
+  private def commitRewrite(spark: SparkSession, path: String, snap: Snapshot,
+      removedRel: Seq[String], newData: DataFrame, operation: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
-    // stage survivors exactly like a write, but commit removes+adds
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = survivors.write.mode(SaveMode.Overwrite)
+    val w = newData.write.mode(SaveMode.Overwrite)
     if (snap.partitionColumns.nonEmpty)
       w.partitionBy(snap.partitionColumns: _*).parquet(tmp.toString)
     else w.parquet(tmp.toString)
     val staged = walkStaged(fs, tmp, "")
     val dataCols = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name)).toSeq
-    // a delete that empties every touched file stages NOTHING — the
-    // commit is then pure removes, which is legal and exactly right
     val stats =
       if (staged.isEmpty) Map.empty[String, String]
       else stageStats(spark, tmp, dataCols)
@@ -490,22 +533,22 @@ object DeltaLake {
       val relOut = (segs :+ fileName).mkString("/")
       val dest = new HPath(root, relOut)
       fs.mkdirs(dest.getParent)
-      require(fs.rename(from, dest), s"DeltaLake.deleteWhere: rename $from -> $dest failed")
+      require(fs.rename(from, dest), s"DeltaLake.$operation: rename $from -> $dest failed")
       AddFile(relOut, pv, size, now, stats.get(from.toUri.getPath))
     }
     fs.delete(tmp, true): Unit
     val v = snap.version + 1
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    keepByFile.foreach { f =>
+    removedRel.foreach { p =>
       val o = Json.createObjectNode()
       val rm = o.putObject("remove")
-      rm.put("path", f.path); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      rm.put("path", p); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
       lines += Json.writeValueAsString(o)
     }
     adds.foreach(a => lines += addLine(a))
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
-    info.put("timestamp", now); info.put("operation", "DELETE")
+    info.put("timestamp", now); info.put("operation", operation)
     lines += Json.writeValueAsString(ci)
     val out = try fs.create(jsonFile(root, v), false) catch {
       case e: java.io.IOException =>

@@ -216,6 +216,29 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((2L, "y", "O"), (3L, "z", "F")))
   }
 
+  test("upsertByKey is copy-on-write MERGE: matched files rewritten, updates land, rest carried") {
+    import spark.implicits._
+    val path = freshDir("delta_merge")
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).cast("long").as("v"))
+      .repartitionByRange(4, col("k"))
+    DeltaLake.write(df, path)
+    val before = DeltaLake.snapshot(spark, path).files.map(_.path).toSet
+    // update two keys in ONE range file, insert one brand-new key
+    val updates = Seq((110L, 999L), (120L, 998L), (9000L, 42L)).toDF("k", "v")
+    val v = DeltaLake.upsertByKey(spark, path, updates, "k")
+    assert(v == 1L)
+    val after = DeltaLake.snapshot(spark, path)
+    assert(before.intersect(after.files.map(_.path).toSet).size == 3,
+      "only the matched range file may be rewritten")
+    val got = DeltaLake.read(spark, path)
+    assert(got.count() == 401L)
+    assert(got.filter(col("k") === 110L).head().getLong(1) == 999L)
+    assert(got.filter(col("k") === 9000L).head().getLong(1) == 42L)
+    assert(got.filter(col("k") === 119L).head().getLong(1) == 119L % 7)
+    // time travel serves the pre-merge image
+    assert(DeltaLake.read(spark, path, versionAsOf = Some(0L)).count() == 400L)
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
