@@ -53,7 +53,7 @@ object DeltaLake {
   private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
   private val LogDirName = "_delta_log"
   private val LastCheckpointName = "_last_checkpoint"
-  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
 
@@ -100,36 +100,9 @@ object DeltaLake {
     fs.exists(logDir(root)) && versions(path).nonEmpty
   }
 
-  // ------------------------------------------------- hive path escaping
-
-  /** The Hive partition-path escape convention (what Spark's own
-    * partitioned writes produce and `ExternalCatalogUtils` decodes):
-    * control chars and the reserved set percent-encode as %XX. */
-  private val escapeChars: Set[Char] =
-    (Seq('\b', '\t', '\n', '\f', '\r', '"', '#', '%', '\'', '*', '/', ':',
-      '=', '?', '\\', '{', '[', ']', '^') ++ (0 until 32).map(_.toChar)).toSet
-
-  private def escapePathName(s: String): String = {
-    val b = new StringBuilder
-    s.foreach { c =>
-      if (escapeChars.contains(c)) b.append(f"%%${c.toInt}%02X") else b.append(c)
-    }
-    b.toString
-  }
-
-  private def unescapePathName(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16) catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { b.append(code.toChar); i += 3 }
-        else { b.append(c); i += 1 }
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
+  // hive path escaping shared with the other interop modules: [[Hive]]
+  private def escapePathName(s: String): String = Hive.escapePathName(s)
+  private def unescapePathName(s: String): String = Hive.unescapePathName(s)
 
   // ------------------------------------------------------------- reader
 

@@ -1,0 +1,57 @@
+package graft.interop
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/** `spark.read.format("iceberg")` / `df.write.format("iceberg")` over
+  * [[Iceberg]] — the familiar surface for users coming from Iceberg,
+  * resolvable because no Iceberg jar is on the classpath to claim the
+  * short name. Read option: `snapshotId` (time travel). Write modes:
+  * overwrite/append with `.partitionBy(...)` (identity transforms). */
+final class IcebergSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "iceberg"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException("iceberg: 'path' is required"))
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val snapshotId = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong
+    }
+    val df = Iceberg.read(sqlContext.sparkSession, pathOf(parameters), snapshotId)
+    // the underlying relation is the HadoopFsRelation Iceberg.read built
+    df.queryExecution.logical.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelationWithTable(rel, _) => rel
+    }.getOrElse(throw new IllegalStateException("iceberg: unexpected plan shape"))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val partitionBy: Seq[String] = parameters
+      .collectFirst {
+        case (k, v) if k.equalsIgnoreCase(DataSourceUtils.PARTITIONING_COLUMNS_KEY) =>
+          DataSourceUtils.decodePartitioningColumns(v)
+      }
+      .getOrElse(Seq.empty)
+    val exists = Iceberg.isIcebergTable(path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(s"iceberg: $path already exists (mode=errorifexists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        Iceberg.write(data, path, partitionBy, SaveMode.Append): Unit
+      case _ =>
+        Iceberg.write(data, path, partitionBy, SaveMode.Overwrite): Unit
+    }
+    createRelation(sqlContext, parameters)
+  }
+}

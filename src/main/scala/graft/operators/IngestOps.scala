@@ -1886,6 +1886,54 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S38: ICEBERG FORMAT INTEROP (the other half of r7 verdict
+    * "missing #4") — [[graft.interop.Iceberg]] implements the PUBLIC
+    * v2 table spec with no Iceberg jar: metadata.json with per-column
+    * field ids, Avro manifest lists/manifests written with the spec's
+    * field-id props (via org.apache.avro — spark-avro can't attach
+    * them), parquet data files carrying parquet field ids. The entry
+    * drives create (partitioned) + append + a filtered read,
+    * require-ing manifest-driven partition pruning at planning time
+    * and snapshot time travel. At 100 TB reads plan off O(files)
+    * manifest metadata — no directory listing, the spec's design.
+    * Oracle: the same filter+agg straight off `orders`. */
+  val s38IcebergInterop = QueryDef(
+    "s38_iceberg_interop",
+    (s, d) => {
+      val path = tmp("s38_ice", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"), col("o_orderstatus"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.format("iceberg").partitionBy("o_orderstatus").save(path)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .write.format("iceberg").mode("append").save(path)
+      val snaps = I.snapshots(path)
+      require(snaps.size == 2, "s38: two snapshots expected")
+      require(s.read.format("iceberg").option("snapshotId", snaps.head._1.toString)
+          .load(path).count() == orders.filter(col("o_orderkey") % 2 === 0).count(),
+        "s38: snapshot time travel must serve the create image")
+      val read = s.read.format("iceberg").load(path).filter(col("o_orderstatus") === "O")
+      val out = read.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderpriority")
+      require(out.count() > 0, "s38: empty result")
+      val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+      require(kept < total,
+        s"s38: the status filter must prune Iceberg files at planning time ($kept/$total)")
+      out
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -1893,5 +1941,5 @@ object IngestOps extends QueryModule {
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
-    s36TxnPair, s37DeltaInterop)
+    s36TxnPair, s37DeltaInterop, s38IcebergInterop)
 }

@@ -1,0 +1,140 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class IcebergSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  test("round trip; metadata.json and the avro manifests are spec-shaped with field ids") {
+    import spark.implicits._
+    val path = freshDir("ice_rt")
+    val snapId = Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val got = Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+    // metadata.json: v2, schemas carry per-column ids, snapshot listed
+    val metaText = new String(Files.readAllBytes(
+      Paths.get(path, "metadata", "v00001.metadata.json")), "UTF-8")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaText)
+    assert(meta.get("format-version").asInt == 2)
+    val fields = meta.get("schemas").get(0).get("fields")
+    assert(fields.get(0).get("id").asInt == 1 && fields.get(0).get("name").asText == "k")
+    assert(meta.get("current-snapshot-id").asLong == snapId)
+    assert(meta.get("snapshots").get(0).get("sequence-number").asLong == 1L)
+    // the manifest list's avro schema carries the spec field-ids
+    val listFile = meta.get("snapshots").get(0).get("manifest-list").asText
+    val in = new java.io.FileInputStream(listFile)
+    val r = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val avroSchema = r.getSchema
+    r.close()
+    assert(avroSchema.getField("manifest_path").getObjectProp("field-id") != null ||
+      avroSchema.getField("manifest_path").getProp("field-id") == "500")
+    // the parquet data files carry parquet field ids (spec requirement)
+    val dataFile = Iceberg.snapshot(spark, path).files.head.path
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile),
+        spark.sparkContext.hadoopConfiguration))
+    val pqSchema = footer.getFileMetaData.getSchema
+    footer.close()
+    assert(pqSchema.getType(0).getId != null && pqSchema.getType(0).getId.intValue() == 1,
+      s"data files must carry parquet field ids, got schema $pqSchema")
+  }
+
+  test("partitioned writes prune at planning; append carries prior manifests; time travel works") {
+    import spark.implicits._
+    val path = freshDir("ice_part")
+    val s1 = Iceberg.write(Seq((1L, "x", "F"), (2L, "y", "O")).toDF("k", "v", "status"),
+      path, partitionBy = Seq("status"))
+    val s2 = Iceberg.write(Seq((3L, "z", "F")).toDF("k", "v", "status"),
+      path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).count() == 3L)
+    assert(Iceberg.snapshots(path).map(_._1) == Seq(s1, s2))
+    // partition pruning through the shared FileIndex
+    val f = Iceberg.read(spark, path).filter(col("status") === "F")
+    assert(f.count() == 2L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"partition filter must prune Iceberg files at planning ($kept/$total)")
+    // time travel to the first snapshot
+    assert(Iceberg.read(spark, path, snapshotId = Some(s1)).count() == 2L)
+    // overwrite replaces the live set; the old snapshots stay readable
+    Iceberg.write(Seq((9L, "w", "P")).toDF("k", "v", "status"),
+      path, partitionBy = Seq("status"), mode = SaveMode.Overwrite)
+    val after = Iceberg.read(spark, path).as[(Long, String, String)].collect()
+    assert(after.toSeq == Seq((9L, "w", "P")))
+    assert(Iceberg.read(spark, path, snapshotId = Some(s2)).count() == 3L)
+  }
+
+  test("unsupported partition transforms and foreign snapshots fail loudly") {
+    import spark.implicits._
+    val path = freshDir("ice_gate")
+    Iceberg.write(Seq((1L, "a", "F")).toDF("k", "v", "status"),
+      path, partitionBy = Seq("status"))
+    // a foreign writer's non-identity transform must be refused, not misread
+    val mf = Paths.get(path, "metadata", "v00001.metadata.json")
+    // drop the local-FS checksum sidecar so the doctored bytes read back
+    Files.deleteIfExists(Paths.get(path, "metadata", ".v00001.metadata.json.crc"))
+    val doctored = new String(Files.readAllBytes(mf), "UTF-8")
+      .replace("\"identity\"", "\"bucket[16]\"")
+    Files.write(mf, doctored.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, path).count())
+    assert(e.getMessage.contains("identity partition transforms"))
+    // unknown snapshot id
+    Files.write(mf, doctored.replace("\"bucket[16]\"", "\"identity\"").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.read(spark, path, snapshotId = Some(42L)).count())
+    assert(e2.getMessage.contains("snapshot 42"))
+  }
+
+  test("format(\"iceberg\") serves the familiar read/write surface") {
+    import spark.implicits._
+    val path = freshDir("ice_fmt")
+    Seq((1L, "a", "F"), (2L, "b", "O")).toDF("k", "v", "status")
+      .write.format("iceberg").partitionBy("status").save(path)
+    Seq((3L, "c", "F")).toDF("k", "v", "status")
+      .write.format("iceberg").mode("append").save(path)
+    assert(spark.read.format("iceberg").load(path).count() == 3L)
+    val s1 = Iceberg.snapshots(path).head._1
+    assert(spark.read.format("iceberg").option("snapshotId", s1.toString)
+      .load(path).count() == 2L)
+    val f = spark.read.format("iceberg").load(path).filter(col("status") === "O")
+    assert(f.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"format(iceberg) read must prune partitions ($kept/$total)")
+  }
+
+  test("racing writers arbitrate on the metadata-version create") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("ice_race")
+    Iceberg.write(Seq((0L, "base")).toDF("k", "v"), path)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (1 to 3).map { i =>
+      Future {
+        gate.await()
+        try Right(Iceberg.write(Seq((i.toLong, s"w$i")).toDF("k", "v"), path,
+          mode = SaveMode.Append))
+        catch { case _: java.util.ConcurrentModificationException => Left(()) }
+      }
+    }
+    gate.countDown()
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    val wins = results.collect { case Right(id) => id }
+    assert(wins.nonEmpty, "at least one racing append must land")
+    // the winners' rows all landed exactly once; no lost update
+    assert(Iceberg.read(spark, path).count() == 1L + wins.size)
+    assert(Iceberg.snapshots(path).size == 1 + wins.size)
+  }
+}
