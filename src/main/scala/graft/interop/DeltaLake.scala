@@ -123,7 +123,17 @@ object DeltaLake {
     def gateProtocol(minReader: Int): Unit =
       require(minReader <= 2,
         s"DeltaLake: $path requires reader protocol $minReader (reader features such as " +
-          "deletion vectors / column mapping) — this from-spec reader implements protocol 2")
+          "deletion vectors / v2 checkpoints) — this from-spec reader implements protocol 2")
+
+    // COLUMN MAPPING rides minReaderVersion 2, so the protocol gate
+    // alone would let a mapped table through — and its data files use
+    // PHYSICAL column names, which a by-name parquet read resolves to
+    // all-NULL columns. Misreading silently is the one unforgivable
+    // failure mode for an interop reader: gate on the table config.
+    def gateColumnMapping(mode: Option[String]): Unit =
+      require(mode.forall(m => m == "none" || m.isEmpty),
+        s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — physical column " +
+          "names in the data files are not implemented by this from-spec reader")
 
     def applyAdd(p: String, pv: Map[String, Option[String]], size: Long, mod: Long,
         stats: Option[String]): Unit =
@@ -139,6 +149,9 @@ object DeltaLake {
           gateProtocol(r.getAs[Row]("protocol").getAs[Int]("minReaderVersion"))
         if (cols("metaData") && r.getAs[Row]("metaData") != null) {
           val m = r.getAs[Row]("metaData")
+          val conf = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+            .map(_.toMap).getOrElse(Map.empty)
+          gateColumnMapping(conf.get("delta.columnMapping.mode"))
           schema = Some(DataType.fromJson(m.getAs[String]("schemaString")).asInstanceOf[StructType])
           partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
         }
@@ -166,6 +179,8 @@ object DeltaLake {
         val n = Json.readTree(line)
         Option(n.get("protocol")).foreach(p => gateProtocol(p.get("minReaderVersion").asInt))
         Option(n.get("metaData")).foreach { m =>
+          gateColumnMapping(Option(m.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText))
           schema = Some(DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType])
           partCols = Option(m.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
             .getOrElse(Nil)

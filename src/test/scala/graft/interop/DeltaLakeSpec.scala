@@ -128,6 +128,21 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("reader protocol 3"))
   }
 
+  test("column-mapping tables are refused: physical names would misread as NULLs") {
+    import spark.implicits._
+    val path = freshDir("delta_colmap")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
+    // a foreign writer enables column mapping (rides minReaderVersion 2,
+    // so the protocol gate alone would NOT catch it)
+    val meta = """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+      """"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],""" +
+      """"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      meta.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
+    assert(e.getMessage.contains("columnMapping"))
+  }
+
   test("format(\"delta\") serves the familiar read/write surface") {
     import spark.implicits._
     val path = freshDir("delta_fmt")
