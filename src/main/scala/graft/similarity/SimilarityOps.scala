@@ -259,6 +259,7 @@ object SimilarityOps extends QueryModule {
     * the one-time index construction. */
   def warmQuantizer(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     l3dIvfAnn.fn(s, d).queryExecution // builds the plan → fits the model via the cache
+    l3fPqAnn.fn(s, d).queryExecution // same for the PQ codebook
     ()
   }
 
@@ -425,6 +426,123 @@ object SimilarityOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Fitted PQ codebooks, one per corpus dir — like [[quantizerCache]],
+    * the codebook is built ONCE offline and every query serves off it. */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** L3f: PRODUCT-QUANTIZATION ANN (the memory-bound tier of the FAISS
+    * playbook, beside l3d's IVF compute tier) — each 64-d vector
+    * compresses to M=8 sub-codes from a K=16-centroid codebook (32×
+    * smaller than the float vectors), queries scan the CODES via an
+    * asymmetric-distance lookup table and only a top-R shortlist is
+    * re-ranked against true vectors. At 100 TB the ADC scan touches
+    * 8 bytes/vector instead of 256 — the difference between an
+    * in-memory index and an IO-bound one.
+    *
+    * Spark-first, zero UDFs: encoding is posexplode(subvectors) ⋈
+    * broadcast(centroids) → per-(vector, subspace) argmin via
+    * row_number; the query LUT is 10×8×16 rows (broadcast); the ADC
+    * scan is explode(codes) ⋈ broadcast(LUT) → sum — joins and
+    * window functions end to end, fully codegen'd and distributed.
+    *
+    * One codebook is shared across subspaces: the fixture's uniform
+    * vectors make every subspace identically distributed, so
+    * per-subspace codebooks (a loop over M fits) would learn the same
+    * centroids; a deployment on anisotropic embeddings would fit per
+    * subspace (or OPQ-rotate) — the serving plan is unchanged.
+    *
+    * *no-oracle* like l3d (KMeans centroids aren't expressible in
+    * DuckDB); the IN-ENTRY recall@5 gate vs the exact top-k — same
+    * scoring fold as the oracled l3 — is the grade, enforced at every
+    * scale factor the entry runs at. */
+  val l3fPqAnn = QueryDef(
+    "l3f_pq_ann",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.functions.VectorFunctions.register(s)
+      val M = 8; val sub = 8; val topR = 50
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", norm("embedding"))
+        .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("nrm")))
+      // (vec_id, m, subvec): M sub-vectors per embedding
+      def subvectors(df: org.apache.spark.sql.DataFrame, idCol: String) = df.select(
+        col(idCol),
+        posexplode(transform(sequence(lit(0), lit(M - 1)),
+          m => slice(col("unit"), m * lit(sub) + lit(1), lit(sub)))).as(Seq("m", "subvec")))
+      val model = pqCodebookCache.computeIfAbsent(d, _ => {
+        // codebook training: K=16 centroids over a subvector sample —
+        // the offline index build (cached; Bench warms it like l3d's)
+        val train = subvectors(emb, "vec_id")
+          .sample(withReplacement = false, 0.25, seed = 11L)
+          .select(array_to_vector(col("subvec")).as("features"))
+          .coalesce(1).persist()
+        try new KMeans().setK(16).setSeed(42L).setMaxIter(4)
+          .setFeaturesCol("features").setPredictionCol("code").fit(train)
+        finally train.unpersist()
+      })
+      val cents = s.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+        .toDF("code", "centroid")
+      // ENCODE: argmin_code ||subvec − centroid||² per (vec_id, m) —
+      // 16 broadcast rows against the exploded corpus, then an argmin
+      // window; codes re-assemble ordered by subspace
+      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
+      val codes = subvectors(emb, "vec_id")
+        .crossJoin(broadcast(cents))
+        .withColumn("l2", aggregate(zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+        .groupBy("vec_id")
+        .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
+          e => e.getField("code")).as("codes"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("unit"), col("nrm").as("q_norm"))
+      // ADC LOOKUP TABLE: partial dot of every query subvector with
+      // every centroid — 10×8×16 rows, broadcast to the code scan
+      val lut = subvectors(queries, "q_id")
+        .crossJoin(broadcast(cents))
+        .withColumn("part", aggregate(zip_with(col("subvec"), col("centroid"),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+        .select("q_id", "m", "code", "part")
+      // ADC SCAN over the compressed corpus: explode codes, look up the
+      // partial, sum per (query, candidate) — never touches a float vector
+      val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id").asc)
+      val shortlist = codes.select(col("vec_id").as("n_id"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .join(broadcast(lut), Seq("m", "code"))
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id").agg(sum("part").as("adc"))
+        .withColumn("ar", row_number().over(wAdc)).filter(col("ar") <= topR)
+      // RE-RANK the shortlist against true vectors (bounded: 10×R rows)
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("nrm").as("n_norm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      val pqTop = shortlist.join(cand, "n_id")
+        .join(broadcast(queries.select("q_id", "q_vec", "q_norm")), "q_id")
+        .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("q_id", "n_id", "cosine", "rank")
+      // IN-ENTRY RECALL GRADE vs the exact top-k (l3d's pattern):
+      // uniform vectors are PQ's worst case; the ADC shortlist + exact
+      // re-rank must still keep most of the true top-5
+      val exactTop = cand
+        .crossJoin(broadcast(queries.select("q_id", "q_vec", "q_norm")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cosine", dot("q_vec", "n_vec") / (col("q_norm") * col("n_norm")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+      val total = exactTop.count()
+      val hits = pqTop.join(exactTop, Seq("q_id", "n_id"), "left_semi").count()
+      require(total > 0 && hits.toDouble / total >= 0.5,
+        s"l3f: PQ recall@5 degraded to $hits/$total vs the exact top-k")
+      pqTop.orderBy("q_id", "rank")
+    },
+    None,
+  )
+
   def defs: Seq[QueryDef] = Seq(l3BruteForce, l3bLshAnn, l3cTopKAggregator, l3dIvfAnn,
-    l3eNegativeSampling, l2dEmbeddingNearDup)
+    l3eNegativeSampling, l2dEmbeddingNearDup, l3fPqAnn)
 }

@@ -15,7 +15,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
   private val executesOnConstruction: Set[String] = Set(
     "s2_csv_ingest", "s2b_ingest_pipeline", "s3_json_ingest", "s4_jdbc_pull",
     "s5_xlsx_ingest", "s6_orc_roundtrip", "s7_partitioned_write", "s8_incremental_append",
-    "l2f_dedup_clusters", "l3d_ivf_ann",
+    "l2f_dedup_clusters", "l3d_ivf_ann", "l3f_pq_ann",
   )
 
   /** Entries whose final/global steps legitimately run in one task,

@@ -42,4 +42,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "ranks not cosine-ordered")
     }
   }
+
+  test("PQ ANN: ADC shortlist + exact re-rank, cosine-ordered; recall self-grades in-entry") {
+    // recall@5 >= 0.5 vs the exact top-k is require'd INSIDE the entry
+    // (uniform vectors are PQ's worst case); this spec pins the
+    // structural contract: <=5 bounded results per query, re-ranked
+    // cosines in order, and re-ranked scores EXACT (they come from the
+    // true vectors, not the quantized codes)
+    val pq = SimilarityOps.l3fPqAnn.fn(spark, sf()).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    for ((_, rs) <- byQ) {
+      assert(rs.length <= 5)
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "ranks not cosine-ordered")
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001), "re-ranked scores must be true cosines")
+    }
+  }
 }
