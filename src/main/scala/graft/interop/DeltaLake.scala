@@ -305,13 +305,12 @@ object DeltaLake {
       classic, path, s.version, entries, s.schema, s.partitionColumns)
     val dataSchema =
       StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
-    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map("path" -> path))(classic)
+    // GraftDeltaRelation: reads prune through the index; INSERT INTO a
+    // catalog table lands through write() (log-protocol commit), and
+    // the read-only format backstop refuses the static-PARTITION shape
+    // that would drop unrecorded files into the table root
+    new org.apache.spark.sql.graft.GraftDeltaRelation(
+      classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
   }
 
   // ------------------------------------------------------------- writer

@@ -314,6 +314,15 @@ object Iceberg {
     * identity partition values prune at planning time; `snapshotId`
     * time-travels. */
   def read(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    classic.baseRelationToDataFrame(relationFor(spark, path, snapshotId))
+  }
+
+  /** The relation behind [[read]] — also what the `format("iceberg")`
+    * provider hands Spark: reads prune through the shared FileIndex,
+    * INSERT INTO lands through [[write]] (log-protocol commit). */
+  private[graft] def relationFor(spark: SparkSession, path: String,
+      snapshotId: Option[Long]): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val s = snapshot(spark, path, snapshotId)
     val classic = spark.asInstanceOf[ClassicSession]
     val (_, root) = Writers.fsFor(path)
@@ -331,14 +340,8 @@ object Iceberg {
       classic, path, s.snapshotId, entries, s.schema, s.partitionColumns)
     val dataSchema =
       StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = index,
-      partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map("path" -> path))(classic)
-    classic.baseRelationToDataFrame(rel)
+    new org.apache.spark.sql.graft.GraftIcebergRelation(
+      classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
   }
 
   // ------------------------------------------------------------- writer

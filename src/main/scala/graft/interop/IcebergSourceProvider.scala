@@ -25,11 +25,7 @@ final class IcebergSourceProvider extends RelationProvider
     val snapshotId = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong
     }
-    val df = Iceberg.read(sqlContext.sparkSession, pathOf(parameters), snapshotId)
-    // the underlying relation is the HadoopFsRelation Iceberg.read built
-    df.queryExecution.logical.collectFirst {
-      case org.apache.spark.sql.execution.datasources.LogicalRelationWithTable(rel, _) => rel
-    }.getOrElse(throw new IllegalStateException("iceberg: unexpected plan shape"))
+    Iceberg.relationFor(sqlContext.sparkSession, pathOf(parameters), snapshotId)
   }
 
   override def createRelation(

@@ -1,0 +1,85 @@
+/* Shim-packaged like the other connector relations: HadoopFsRelation
+ * subclassing + Dataset plumbing live inside the Spark namespace. The
+ * interop formats' SQL-facing relations are defined here so that
+ * `INSERT INTO` a catalog table backed by format("delta") /
+ * format("iceberg") lands through the LOG COMMIT PROTOCOL instead of
+ * `InsertIntoHadoopFsRelationCommand` dropping raw parquet files into
+ * the table root — files the log never records, silently invisible to
+ * every read: data loss from the writer's point of view. The
+ * InsertableRelation case of DataSourceAnalysis matches first for
+ * plain INSERT INTO; the read-only file format below is the backstop
+ * for the one shape that still routes to the raw-file command (a
+ * static `PARTITION (k=v)` clause), refusing before anything stages. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.types.StructType
+
+/** ParquetFileFormat whose write half refuses — the backstop for raw
+  * file writes into a log-committed table (see file header). */
+final class LogCommitOnlyParquetFormat(formatName: String)
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  // zero-arg constructor for any reflective instantiation path
+  def this() = this("log-committed")
+  override def prepareWrite(
+      sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      s"$formatName: INSERT with a static PARTITION clause would write files the " +
+        s"transaction log never records — use plain INSERT INTO (log-protocol append) " +
+        s"or df.write.format(\"$formatName\") instead")
+}
+
+/** The Delta interop batch relation: reads through the pruning
+  * FileIndex, inserts through [[graft.interop.DeltaLake.write]]. */
+final class GraftDeltaRelation(
+    spark: ClassicSession,
+    tablePath: String,
+    index: VersionedFileIndex,
+    partitionSchemaV: StructType,
+    dataSchemaV: StructType,
+    partCols: Seq[String])
+  extends org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+    location = index,
+    partitionSchema = partitionSchemaV,
+    dataSchema = dataSchemaV,
+    bucketSpec = None,
+    fileFormat = new LogCommitOnlyParquetFormat("delta"),
+    options = Map("path" -> tablePath))(spark)
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    graft.interop.DeltaLake.write(data, tablePath,
+      partitionBy = if (overwrite) partCols else Nil,
+      mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (): Unit
+  }
+}
+
+/** The Iceberg interop batch relation: same contract as the Delta one. */
+final class GraftIcebergRelation(
+    spark: ClassicSession,
+    tablePath: String,
+    index: VersionedFileIndex,
+    partitionSchemaV: StructType,
+    dataSchemaV: StructType,
+    partCols: Seq[String])
+  extends org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+    location = index,
+    partitionSchema = partitionSchemaV,
+    dataSchema = dataSchemaV,
+    bucketSpec = None,
+    fileFormat = new LogCommitOnlyParquetFormat("iceberg"),
+    options = Map("path" -> tablePath))(spark)
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    graft.interop.Iceberg.write(data, tablePath,
+      partitionBy = if (overwrite) partCols else Nil,
+      mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (): Unit
+  }
+}

@@ -254,6 +254,24 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path, versionAsOf = Some(0L)).count() == 400L)
   }
 
+  test("SQL INSERT INTO a delta catalog table lands as a log commit, never as raw files") {
+    import spark.implicits._
+    val path = freshDir("delta_sql")
+    Seq((1L, "a")).toDF("k", "v").write.format("delta").save(path)
+    spark.sql("DROP TABLE IF EXISTS delta_sql_t")
+    spark.sql(s"CREATE TABLE delta_sql_t USING delta OPTIONS (path '$path')")
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("delta_sql_src")
+    spark.sql("INSERT INTO delta_sql_t SELECT k, v FROM delta_sql_src")
+    // the insert MUST be a log commit: version advanced, rows visible to
+    // the library reader (raw files outside the log would be invisible)
+    assert(DeltaLake.versions(path) == Seq(0L, 1L),
+      "INSERT INTO must land as exactly one Delta log commit")
+    assert(DeltaLake.read(spark, path).count() == 3L)
+    spark.sql("REFRESH TABLE delta_sql_t")
+    assert(spark.sql("SELECT count(*) FROM delta_sql_t").head().getLong(0) == 3L)
+    spark.sql("DROP TABLE delta_sql_t")
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

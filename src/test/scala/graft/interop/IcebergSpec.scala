@@ -113,6 +113,22 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(kept < total, s"format(iceberg) read must prune partitions ($kept/$total)")
   }
 
+  test("SQL INSERT INTO an iceberg catalog table lands as a snapshot, never as raw files") {
+    import spark.implicits._
+    val path = freshDir("ice_sql")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    spark.sql("DROP TABLE IF EXISTS ice_sql_t")
+    spark.sql(s"CREATE TABLE ice_sql_t USING iceberg OPTIONS (path '$path')")
+    Seq((2L, "b")).toDF("k", "v").createOrReplaceTempView("ice_sql_src")
+    spark.sql("INSERT INTO ice_sql_t SELECT k, v FROM ice_sql_src")
+    assert(Iceberg.snapshots(path).size == 2,
+      "INSERT INTO must land as exactly one Iceberg snapshot")
+    assert(Iceberg.read(spark, path).count() == 2L)
+    spark.sql("REFRESH TABLE ice_sql_t")
+    assert(spark.sql("SELECT count(*) FROM ice_sql_t").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE ice_sql_t")
+  }
+
   test("racing writers arbitrate on the metadata-version create") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
