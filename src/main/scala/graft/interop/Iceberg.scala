@@ -55,9 +55,13 @@ object Iceberg {
 
   private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** `bounds` holds per-column (min, max) in the compare domain of
+    * [[Versioned.statsMayOverlap]] — typed values writer-side, decoded
+    * single-value-serialized bounds reader-side. */
   final case class DataFileRef(
       path: String, partitionValues: Map[String, Option[String]],
-      recordCount: Long, sizeInBytes: Long)
+      recordCount: Long, sizeInBytes: Long,
+      bounds: Map[String, (Any, Any)] = Map.empty)
 
   final case class Snapshot(
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
@@ -177,13 +181,23 @@ object Iceberg {
     }""")
 
   /** The spec's `manifest_entry` record with its nested `data_file`
-    * (r2) and per-table `partition` (r102) records. Built per table
-    * because r102's fields are the partition spec's. */
+    * (r2) and per-table `partition` (r102) records, including the
+    * `lower_bounds`/`upper_bounds` column-statistics maps (field-ids
+    * 125/128; Avro's map-with-non-string-keys representation — an
+    * array of key/value records flagged `logicalType: map`). Built per
+    * table because r102's fields are the partition spec's. */
   private def manifestEntrySchema(
       partFields: Seq[(String, DataType, Int)]): org.apache.avro.Schema = {
     val r102Fields = partFields.map { case (name, dt, fid) =>
       s"""{"name": "${name}", "type": ["null", ${avroPartitionType(dt)}], "default": null, "field-id": $fid}"""
     }.mkString(",")
+    def boundsMap(name: String, fid: Int, kId: Int, vId: Int): String =
+      s"""{"name": "$name", "field-id": $fid, "default": null, "type": ["null",
+        {"type": "array", "logicalType": "map", "items": {
+          "type": "record", "name": "k${kId}_v$vId", "fields": [
+            {"name": "key", "type": "int", "field-id": $kId},
+            {"name": "value", "type": "bytes", "field-id": $vId}
+          ]}}]}"""
     new org.apache.avro.Schema.Parser().parse(s"""{
       "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -199,11 +213,69 @@ object Iceberg {
               "type": "record", "name": "r102", "fields": [$r102Fields]
             }},
             {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            ${boundsMap("lower_bounds", 125, 126, 127)},
+            ${boundsMap("upper_bounds", 128, 129, 130)}
           ]
         }}
       ]
     }""")
+  }
+
+  private def boundable(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: FloatType | _: DoubleType | _: StringType |
+        _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  /** The spec's single-value binary serialization (Appendix D) for the
+    * bound types this module records: little-endian fixed-width
+    * numerics, UTF-8 strings, date as int days, timestamps as long
+    * micros. Returns None for types bounds are not recorded for. */
+  private def encodeBound(dt: DataType, v: Any): Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    // flip() ONLY the buffers a put advanced — a wrap()ed buffer is
+    // already positioned at 0 and flipping it would truncate to empty
+    val fixed = (dt, v) match {
+      case (_, null) => return None
+      case (_: IntegerType, x: Int) => Some(le(4).putInt(x))
+      case (_: LongType, x: Long) => Some(le(8).putLong(x))
+      case (_: FloatType, x: Float) => Some(le(4).putFloat(x))
+      case (_: DoubleType, x: Double) => Some(le(8).putDouble(x))
+      case (_: StringType, x: String) =>
+        return Some(ByteBuffer.wrap(x.getBytes("UTF-8")))
+      case (_: DateType, x: java.sql.Date) =>
+        Some(le(4).putInt(x.toLocalDate.toEpochDay.toInt))
+      case (_: TimestampType, x: java.sql.Timestamp) =>
+        Some(le(8).putLong(x.getTime * 1000L + (x.getNanos / 1000) % 1000))
+      case _ => None
+    }
+    fixed.map { b => b.flip(); b }
+  }
+
+  /** Decode a bound buffer back to the value domain
+    * [[Versioned.statsMayOverlap]] compares in: numbers for numerics,
+    * canonical strings for strings/dates. Timestamp bounds decode to
+    * `yyyy-MM-dd HH:mm:ss` UTC (the canonical stats encoding). */
+  private def decodeBound(dt: DataType, raw: java.nio.ByteBuffer): Option[Any] = {
+    import java.nio.ByteOrder
+    val b = raw.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case _: IntegerType if b.remaining == 4 => Some(b.getInt)
+      case _: LongType if b.remaining == 8 => Some(b.getLong)
+      case _: FloatType if b.remaining == 4 => Some(b.getFloat)
+      case _: DoubleType if b.remaining == 8 => Some(b.getDouble)
+      case _: StringType =>
+        val arr = new Array[Byte](b.remaining); b.get(arr); Some(new String(arr, "UTF-8"))
+      case _: DateType if b.remaining == 4 =>
+        Some(java.time.LocalDate.ofEpochDay(b.getInt.toLong).toString)
+      case _: TimestampType if b.remaining == 8 =>
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(b.getLong, 1000000L), 0, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------- reader
@@ -273,6 +345,35 @@ object Iceberg {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg: snapshot $wantId of $path does not exist"))
     val listPath = new HPath(snapNode.get("manifest-list").asText)
+    // field-id -> column, for decoding the bounds maps
+    val idToField: Map[Int, StructField] = {
+      val curId = meta.get("current-schema-id").asInt
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      iterator(sn.get("fields")).map(f =>
+        f.get("id").asInt -> StructField(f.get("name").asText,
+          sparkType(f.get("type").asText))).toMap
+    }
+    def boundBuffers(dfr: GenericRecord, field: String): Map[Int, java.nio.ByteBuffer] =
+      if (dfr.getSchema.getField(field) == null) Map.empty
+      else dfr.get(field) match {
+        case l: java.util.List[_] =>
+          l.toArray.collect { case kv: GenericRecord =>
+            kv.get("key").asInstanceOf[Int] -> kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          }.toMap
+        case _ => Map.empty
+      }
+    def decodeBounds(dfr: GenericRecord): Map[String, (Any, Any)] = {
+      val lows = boundBuffers(dfr, "lower_bounds")
+      val highs = boundBuffers(dfr, "upper_bounds")
+      (lows.keySet intersect highs.keySet).toSeq.flatMap { fid =>
+        idToField.get(fid).flatMap { f =>
+          for {
+            lo <- decodeBound(f.dataType, lows(fid))
+            hi <- decodeBound(f.dataType, highs(fid))
+          } yield f.name -> (lo, hi)
+        }
+      }.toMap
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     readAvro(fs, listPath).foreach { mf =>
       require(mf.get("content").asInstanceOf[Int] == 0,
@@ -291,7 +392,8 @@ object Iceberg {
           }.toMap
           files += DataFileRef(df.get("file_path").toString, pv,
             df.get("record_count").asInstanceOf[Long],
-            df.get("file_size_in_bytes").asInstanceOf[Long])
+            df.get("file_size_in_bytes").asInstanceOf[Long],
+            bounds = decodeBounds(df))
         }
       }
     }
@@ -334,7 +436,27 @@ object Iceberg {
         val v = f.partitionValues.getOrElse(c, None)
         c + "=" + v.map(Hive.escapePathName).getOrElse(Hive.DefaultPartition)
       }.mkString("/")
-      Versioned.ManifestEntry(relPath = abs.stripPrefix(rootPrefix), partDir = partDir)
+      // decoded manifest bounds → the native per-file stats JSON, so
+      // value predicates skip whole Iceberg files at planning like on
+      // the native and Delta paths
+      val stats = if (f.bounds.isEmpty) None else {
+        val o = Json.createObjectNode()
+        f.bounds.foreach { case (c, (lo, hi)) =>
+          val cn = o.putObject(c)
+          def put(k: String, v: Any): Unit = v match {
+            case n: Int => cn.put(k, n.toLong): Unit
+            case n: Long => cn.put(k, n): Unit
+            case n: Float => cn.put(k, n.toDouble): Unit
+            case n: Double => cn.put(k, n): Unit
+            case str: String => cn.put(k, str): Unit
+            case other => cn.put(k, other.toString): Unit
+          }
+          put("min", lo); put("max", hi)
+        }
+        Some(Json.writeValueAsString(o))
+      }
+      Versioned.ManifestEntry(relPath = abs.stripPrefix(rootPrefix), partDir = partDir,
+        stats = stats)
     }
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
       classic, path, s.snapshotId, entries, s.schema, s.partitionColumns)
@@ -402,13 +524,28 @@ object Iceberg {
       case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
       case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
-    // per-file record counts: one distributed pass
-    val counts: Map[String, Long] = {
-      import org.apache.spark.sql.functions.{count, input_file_name, lit}
-      val staged0 = spark.read.parquet(tmp.toString)
-      if (!fs.exists(tmp) || walkStagedFiles(fs, tmp, "").isEmpty) Map.empty
-      else staged0.groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1)).toMap
+    // per-file record counts AND column bounds: one distributed pass
+    val boundCols = df.schema.fields.toSeq
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => boundable(f.dataType))
+    val fileAgg: Map[String, (Long, Map[String, (Any, Any)])] = {
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      if (walkStagedFiles(fs, tmp, "").isEmpty) Map.empty
+      else {
+        val aggs = count(lit(1)).as("__n") +: boundCols.flatMap(f =>
+          Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
+        spark.read.parquet(tmp.toString)
+          .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val bounds = boundCols.flatMap { f =>
+              (r.getAs[Any](s"__mn_${f.name}"), r.getAs[Any](s"__mx_${f.name}")) match {
+                case (null, _) | (_, null) => None
+                case (lo, hi) => Some(f.name -> (lo, hi))
+              }
+            }.toMap
+            new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("__n"), bounds)
+          }.toMap
+      }
     }
     val moved = walkStagedFiles(fs, tmp, "").map { case (rel, from, size) =>
       val segs = rel.split("/").dropRight(1).toSeq
@@ -423,8 +560,8 @@ object Iceberg {
       val dest = new HPath(root, relOut)
       fs.mkdirs(dest.getParent)
       require(fs.rename(from, dest), s"Iceberg.write: rename $from -> $dest failed")
-      DataFileRef(dest.toUri.getPath, pv,
-        counts.getOrElse(from.toUri.getPath, 0L), size)
+      val (n, bounds) = fileAgg.getOrElse(from.toUri.getPath, (0L, Map.empty[String, (Any, Any)]))
+      DataFileRef(dest.toUri.getPath, pv, n, size, bounds)
     }
     fs.delete(tmp, true): Unit
 
@@ -454,6 +591,22 @@ object Iceberg {
       dfr.put("partition", part)
       dfr.put("record_count", f.recordCount)
       dfr.put("file_size_in_bytes", f.sizeInBytes)
+      // column bounds as the spec's map<field-id, single-value bytes>
+      def boundsArray(fieldName: String, pick: ((Any, Any)) => Any): AnyRef = {
+        val arrSchema = r2Schema.getField(fieldName).schema().getTypes.get(1)
+        val kvSchema = arrSchema.getElementType
+        val arr = new java.util.ArrayList[GenericRecord]()
+        f.bounds.toSeq.sortBy(t => fieldIds(t._1)).foreach { case (c, lohi) =>
+          encodeBound(df.schema(c).dataType, pick(lohi)).foreach { buf =>
+            val kv = new GenericData.Record(kvSchema)
+            kv.put("key", fieldIds(c)); kv.put("value", buf)
+            arr.add(kv): Unit
+          }
+        }
+        if (arr.isEmpty) null else new GenericData.Array(arrSchema, arr)
+      }
+      dfr.put("lower_bounds", boundsArray("lower_bounds", _._1))
+      dfr.put("upper_bounds", boundsArray("upper_bounds", _._2))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

@@ -4,7 +4,7 @@ import graft.SparkFixture
 import graft.ingest.Writers
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, format_string, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class IcebergSpec extends AnyFunSuite with SparkFixture {
@@ -111,6 +111,31 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(f.count() == 1L)
     val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
     assert(kept < total, s"format(iceberg) read must prune partitions ($kept/$total)")
+  }
+
+  test("manifest column bounds skip data files on a value predicate") {
+    import spark.implicits._
+    val path = freshDir("ice_stats")
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    Iceberg.write(df, path)
+    // the bounds really round-trip the spec's single-value serialization
+    val snap = Iceberg.snapshot(spark, path)
+    assert(snap.files.forall(_.bounds.contains("k")), "every file must carry k bounds")
+    val probe = Iceberg.read(spark, path).filter(col("k") === 42L)
+    assert(probe.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(total >= 4 && kept < total,
+      s"decoded lower/upper bounds must skip whole files ($kept/$total)")
+    // string bounds too: UTF-8 single-value serialization
+    val p2 = freshDir("ice_stats_str")
+    Iceberg.write(spark.range(0, 100)
+      .select(concat(lit("user_"), format_string("%03d", col("id"))).as("name"))
+      .repartitionByRange(4, col("name")), p2)
+    val probe2 = Iceberg.read(spark, p2).filter(col("name") === "user_042")
+    assert(probe2.count() == 1L)
+    val (kept2, total2) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(p2).get
+    assert(kept2 < total2, s"string bounds must prune ($kept2/$total2)")
   }
 
   test("SQL INSERT INTO an iceberg catalog table lands as a snapshot, never as raw files") {
