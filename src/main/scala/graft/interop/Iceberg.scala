@@ -719,6 +719,55 @@ object Iceberg {
     snapshotId
   }
 
+  /** The data files ADDED by snapshots with sequence number in
+    * (fromSeq, toSeq], plus whether any of those snapshots was NOT a
+    * plain append (an overwrite rewrites history — a streaming tail
+    * must refuse or re-emit it, the same contract as the Delta tail).
+    * Served off the CURRENT metadata: each snapshot's manifest list
+    * still references the manifests it added (they are never deleted
+    * here), keyed by their recorded sequence numbers. */
+  def changesBetween(spark: SparkSession, path: String,
+      fromSeq: Long, toSeq: Long): (Seq[DataFileRef], Boolean) = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val schema = schemaFromMeta(meta)
+    val partCols = partColsFromMeta(meta).map(_._1)
+    val snaps = iterator(meta.get("snapshots")).toSeq
+      .filter(s => s.get("sequence-number").asLong > fromSeq &&
+        s.get("sequence-number").asLong <= toSeq)
+      .sortBy(_.get("sequence-number").asLong)
+    var nonAppend = false
+    val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
+    snaps.foreach { sn =>
+      val seq = sn.get("sequence-number").asLong
+      if (sn.get("summary").get("operation").asText != "append") nonAppend = true
+      readAvro(fs, new HPath(sn.get("manifest-list").asText))
+        .filter(_.get("sequence_number").asInstanceOf[Long] == seq)
+        .foreach { mf =>
+          readAvro(fs, new HPath(mf.get("manifest_path").toString)).foreach { e =>
+            if (e.get("status").asInstanceOf[Int] == 1) { // ADDED
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              val pv: Map[String, Option[String]] = partCols.map { c =>
+                c -> Option(part.get(c)).map(renderPartitionValue(schema, c, _))
+              }.toMap
+              files += DataFileRef(df.get("file_path").toString, pv,
+                df.get("record_count").asInstanceOf[Long],
+                df.get("file_size_in_bytes").asInstanceOf[Long])
+            }
+          }
+        }
+    }
+    (files.toSeq, nonAppend)
+  }
+
+  /** Current highest sequence number (0 for an empty table). */
+  def currentSequence(path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    if (metaVersions(fs, root).isEmpty) 0L
+    else readMetadata(fs, root)._2.get("last-sequence-number").asLong
+  }
+
   private def avroPartitionValue(dt: DataType, s: String): Any = dt match {
     case _: IntegerType => Integer.valueOf(s.toInt)
     case _: LongType => java.lang.Long.valueOf(s.toLong)

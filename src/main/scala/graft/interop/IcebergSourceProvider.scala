@@ -3,8 +3,11 @@ package graft.interop
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("iceberg")` / `df.write.format("iceberg")` over
   * [[Iceberg]] — the familiar surface for users coming from Iceberg,
@@ -12,13 +15,35 @@ import org.apache.spark.sql.sources.{
   * short name. Read option: `snapshotId` (time travel). Write modes:
   * overwrite/append with `.partitionBy(...)` (identity transforms). */
 final class IcebergSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "iceberg"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException("iceberg: 'path' is required"))
+
+  /** Streaming read: `spark.readStream.format("iceberg").load(tbl)` —
+    * tails the snapshot log (sequence numbers as offsets). Option:
+    * `ignoreChanges` (re-emit overwrite snapshots instead of failing). */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("iceberg", schema.getOrElse(
+      Iceberg.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val snap = Iceberg.snapshot(sqlContext.sparkSession, path)
+    new org.apache.spark.sql.graft.IcebergStreamSource(
+      sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
+      schema.getOrElse(snap.schema), snap.partitionColumns,
+      ignoreChanges = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v.toBoolean
+      }.getOrElse(false))
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

@@ -1136,9 +1136,73 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T19: ICEBERG-FORMAT TAIL — the from-spec snapshot log
+    * ([[graft.interop.Iceberg]]) as a streaming source: sequence
+    * numbers are the offsets, a fresh stream bootstraps the live
+    * snapshot, and each micro-batch reads exactly the manifests the
+    * new snapshots added (partition values injected from the manifest
+    * `partition` records — no directory listing, O(new data) per
+    * batch). Same lifecycle and oracle shape as t18's Delta tail, so
+    * the three table formats (native, Delta, Iceberg) are proven
+    * streamable under one contract. */
+  val streamIcebergTail = QueryDef(
+    "stream_t19_iceberg_tail",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t19", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("tbl").toString
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format("iceberg").partitionBy("event_type").save(tbl)
+      def drainOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("iceberg").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce() // bootstrap: the live snapshot
+      ev.filter(col("event_id") % 4 === 1)
+        .write.format("iceberg").mode("append").save(tbl)
+      ev.filter(col("event_id") % 4 === 3)
+        .write.format("iceberg").mode("append").save(tbl)
+      val before = graft.interop.Iceberg.snapshot(s, tbl,
+        snapshotId = Some(graft.interop.Iceberg.snapshots(tbl).head._1)).files.size
+      val total = graft.interop.Iceberg.snapshot(s, tbl).files.size
+      ScaleOps.withShuffleWidth(s, 4) {
+        val q = s.readStream.format("iceberg").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val scanned = org.apache.spark.sql.graft.StreamIntrospect.lastBatchInputFiles(q).size
+        require(scanned <= total - before && scanned > 0,
+          s"t19: the resumed batch must scan only the appended files " +
+            s"($scanned scanned, $before bootstrap, $total total)")
+      }
+      require(s.read.parquet(sink).count() == ev.count(),
+        "t19: the iceberg tail must deliver every row exactly once")
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
     streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop,
-    streamDeltaTail)
+    streamDeltaTail, streamIcebergTail)
 }

@@ -1,0 +1,88 @@
+/* Shim-packaged like the Delta/versioned stream sources (the
+ * isStreaming LogicalRelation constructor is private[sql]). */
+package org.apache.spark.sql.graft
+
+import graft.interop.Iceberg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SOURCE over an Iceberg table's snapshot log —
+  * `spark.readStream.format("iceberg").load(tbl)` with this library's
+  * from-spec layout: offsets are SEQUENCE NUMBERS (monotonic, durable,
+  * replayable); a fresh stream's first batch is the current snapshot's
+  * live file set, every later batch reads exactly the manifests the
+  * new snapshots added — O(new data) per batch, no directory listing.
+  * A non-append snapshot (overwrite) fails loudly unless
+  * `ignoreChanges=true` re-emits its added files. */
+class IcebergStreamSource(
+    spark: ClassicSession,
+    path: String,
+    override val schema: StructType,
+    partCols: Seq[String],
+    ignoreChanges: Boolean,
+) extends Source {
+
+  override def getOffset: Option[OffsetV1] = {
+    val seq = Iceberg.currentSequence(path)
+    if (seq == 0L) None else Some(LongOffset(seq))
+  }
+
+  private def seqOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = seqOf(end)
+    val files: Seq[Iceberg.DataFileRef] = start match {
+      case None => Iceberg.snapshot(spark, path).files // bootstrap: the live set
+      case Some(s0) =>
+        val (adds, nonAppend) = Iceberg.changesBetween(spark, path, seqOf(s0), to)
+        if (nonAppend && !ignoreChanges)
+          throw new IllegalStateException(
+            s"iceberg source: sequence (${seqOf(s0)}, $to] of $path contains a non-append " +
+              "snapshot (overwrite) — a streaming tail of an append log cannot represent " +
+              "it. Restart from the current snapshot, or set ignoreChanges=true to re-emit " +
+              "the snapshot's files (downstream must tolerate re-delivery).")
+        adds
+    }
+    def streamRelation(paths: Seq[String], fileSchema: StructType): DataFrame = {
+      val relation = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = paths,
+        userSpecifiedSchema = Some(fileSchema),
+      ).resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+    if (partCols.isEmpty)
+      streamRelation(files.map(f => new java.net.URI(f.path).getPath), schema)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      val frames = files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).map(kv => kv._1 + "=" + kv._2.getOrElse("")).mkString("/"))
+        .map { case (pv, fs) =>
+          val base = streamRelation(fs.map(f => new java.net.URI(f.path).getPath), dataSchema)
+          val withParts = partCols.foldLeft(base) { (acc, c) =>
+            val raw = pv.getOrElse(c, None)
+            acc.withColumn(c,
+              raw.map(lit(_)).getOrElse(lit(null)).cast(schema(schema.fieldIndex(c)).dataType))
+          }
+          withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        }
+      if (frames.isEmpty) {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        spark.internalCreateDataFrame(empty.queryExecution.toRdd, schema, isStreaming = true)
+      } else frames.reduce(_.unionByName(_))
+    }
+  }
+
+  override def stop(): Unit = ()
+}

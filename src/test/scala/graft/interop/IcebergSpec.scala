@@ -154,6 +154,44 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE ice_sql_t")
   }
 
+  test("readStream.format(\"iceberg\") tails the snapshot log: bootstrap, O(new) batches, overwrite gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("ice_stream")
+    val path = s"$base/tbl"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    Seq((1L, "a", "F"), (2L, "b", "O")).toDF("k", "v", "status")
+      .write.format("iceberg").partitionBy("status").save(path)
+    Seq((3L, "c", "F")).toDF("k", "v", "status")
+      .write.format("iceberg").mode("append").save(path)
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("iceberg").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce() // bootstrap: both snapshots' live set, partition values intact
+    val got = spark.read.parquet(sink).as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", "F"), (2L, "b", "O"), (3L, "c", "F")))
+    // tail: only the new snapshot's adds stream on resume
+    Seq((4L, "d", "O")).toDF("k", "v", "status")
+      .write.format("iceberg").mode("append").save(path)
+    drainOnce()
+    assert(spark.read.parquet(sink).count() == 4L, "resume must deliver only the new snapshot")
+    // an overwrite breaks the tail loudly...
+    Seq((9L, "z", "P")).toDF("k", "v", "status")
+      .write.format("iceberg").mode("overwrite").partitionBy("status").save(path)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drainOnce())
+    assert(e.getMessage.contains("non-append") || e.getCause.getMessage.contains("non-append"))
+    // ...unless ignoreChanges re-emits its files
+    val q2 = spark.readStream.format("iceberg").option("ignoreChanges", "true").load(path)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 5L)
+  }
+
   test("racing writers arbitrate on the metadata-version create") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
