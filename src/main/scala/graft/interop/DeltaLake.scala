@@ -204,6 +204,42 @@ object DeltaLake {
       partCols, files.values.toSeq)
   }
 
+  /** (version, commit timestamp ms, operation) per JSON log entry —
+    * timestamps from `commitInfo` (file modification time when a
+    * foreign writer omitted it). Versions folded into a checkpoint and
+    * vacuumed are absent, the same retention bound Delta itself has
+    * for timestamp time travel. */
+  def commitsWithTimes(path: String): Seq[(Long, Long, String)] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (jsonVs, _) = listLog(fs, root)
+    jsonVs.map { v =>
+      val f = jsonFile(root, v)
+      val in = fs.open(f)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val ci = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(Json.readTree).flatMap(n => Option(n.get("commitInfo"))).toSeq.headOption
+      val ts = ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong))
+        .getOrElse(fs.getFileStatus(f).getModificationTime)
+      val op = ci.flatMap(c => Option(c.get("operation")).map(_.asText)).getOrElse("UNKNOWN")
+      (v, ts, op)
+    }
+  }
+
+  /** The newest version committed at or before `tsMs` — Delta's
+    * `timestampAsOf` resolution. */
+  def versionAsOf(path: String, tsMs: Long): Long =
+    commitsWithTimes(path).filter(_._2 <= tsMs).map(_._1).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"DeltaLake: no commit of $path at or before $tsMs"))
+
+  /** DESCRIBE HISTORY surface: one row per retained commit. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commitsWithTimes(path)
+      .map { case (v, ts, op) => (v, new java.sql.Timestamp(ts), op) }
+      .toDF("version", "timestamp", "operation")
+  }
+
   /** The `add` actions of ONE commit, plus whether the commit carried
     * any `remove` (a rewrite/overwrite a streaming tail must refuse or
     * re-emit — Delta's source contract). The JSON commit file must

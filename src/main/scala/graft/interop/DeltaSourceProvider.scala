@@ -55,10 +55,21 @@ final class DeltaSourceProvider extends RelationProvider
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val versionAsOf = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
+    val path = pathOf(parameters)
+    if (opt(parameters, "history").exists(_.toBoolean)) {
+      val outer = sqlContext
+      val hist = DeltaLake.history(outer.sparkSession, path)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema = hist.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
+      }
     }
-    DeltaLake.relationFor(sqlContext.sparkSession, pathOf(parameters), versionAsOf)
+    val versionAsOf = opt(parameters, "versionAsOf").map(_.toLong)
+      .orElse(opt(parameters, "timestampAsOf").map { ts =>
+        DeltaLake.versionAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)
+      })
+    DeltaLake.relationFor(sqlContext.sparkSession, path, versionAsOf)
   }
 
   override def createRelation(

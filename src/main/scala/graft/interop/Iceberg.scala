@@ -328,6 +328,26 @@ object Iceberg {
       .map(s => (s.get("snapshot-id").asLong, s.get("timestamp-ms").asLong)).toSeq
   }
 
+  /** The newest snapshot committed at or before `tsMs` — Iceberg's
+    * `as-of-timestamp` resolution over the snapshot log. */
+  def snapshotAsOf(path: String, tsMs: Long): Long = {
+    val cands = snapshots(path).filter(_._2 <= tsMs)
+    require(cands.nonEmpty, s"Iceberg: no snapshot of $path at or before $tsMs")
+    cands.maxBy(_._2)._1
+  }
+
+  /** DESCRIBE HISTORY surface: one row per snapshot. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    iterator(meta.get("snapshots")).toSeq.map { s =>
+      (s.get("snapshot-id").asLong, s.get("sequence-number").asLong,
+        new java.sql.Timestamp(s.get("timestamp-ms").asLong),
+        s.get("summary").get("operation").asText)
+    }.toDF("snapshot_id", "sequence_number", "timestamp", "operation")
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {

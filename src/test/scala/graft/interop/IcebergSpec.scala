@@ -192,6 +192,20 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(sink).count() == 5L)
   }
 
+  test("history and asOfTimestamp resolve off the snapshot log") {
+    import spark.implicits._
+    val path = freshDir("ice_hist")
+    val s1 = Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path)
+    Iceberg.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Append)
+    val hist = spark.read.format("iceberg").option("history", "true").load(path)
+      .orderBy("sequence_number").collect()
+    assert(hist.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(hist.map(_.getString(3)).toSeq == Seq("overwrite", "append"))
+    val t1 = Iceberg.snapshots(path).head._2
+    assert(Iceberg.snapshotAsOf(path, t1) == s1 || Iceberg.snapshots(path).map(_._2).distinct.size == 1)
+    intercept[IllegalArgumentException](Iceberg.snapshotAsOf(path, t1 - 100000L))
+  }
+
   test("racing writers arbitrate on the metadata-version create") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
