@@ -672,6 +672,31 @@ object DeltaLake {
     Json.writeValueAsString(o)
   }
 
+  /** VACUUM: delete data files under the table root that the CURRENT
+    * snapshot no longer references — storage reclamation after
+    * overwrites/deletes/merges, Delta's core retention operation. Time
+    * travel to versions whose files were reclaimed stops working (the
+    * documented Delta trade); the log itself is untouched, so history
+    * metadata remains inspectable. Returns the number of files
+    * deleted. `checkpoint` first + deleting the folded JSON commits is
+    * the full retention story ([[checkpoint]]'s scaladoc). */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val (fs, root) = Writers.fsFor(path)
+    val live: Set[String] = snapshot(spark, path).files.map(_.path).toSet
+    def walk(dir: HPath, rel: String): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == LogDirName || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet"))
+          Seq(if (rel.isEmpty) name else s"$rel/$name")
+        else Nil
+      }
+    val doomed = walk(root, "").filterNot(live.contains)
+    doomed.foreach(relP => fs.delete(new HPath(root, relP), false))
+    doomed.size
+  }
+
   // --------------------------------------------------------- checkpoint
 
   private val checkpointSchema: StructType = StructType(Seq(

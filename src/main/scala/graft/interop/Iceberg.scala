@@ -788,6 +788,62 @@ object Iceberg {
     else readMetadata(fs, root)._2.get("last-sequence-number").asLong
   }
 
+  /** EXPIRE SNAPSHOTS: drop every snapshot except the newest
+    * `keepLast` from the metadata (a new metadata version — atomic
+    * like any commit) and delete the manifests and data files only
+    * the expired snapshots referenced. The spec's snapshot-expiration
+    * operation: bounded metadata growth and storage reclamation, at
+    * the cost of time travel past the horizon. Returns the number of
+    * data files reclaimed. */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "Iceberg.expireSnapshots: keepLast must be >= 1")
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val snaps = iterator(meta.get("snapshots")).toSeq.sortBy(_.get("sequence-number").asLong)
+    if (snaps.size <= keepLast) return 0
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+
+    def filesOf(sn: JsonNode): (Set[String], Set[String]) = { // (manifest paths, data paths)
+      val list = new HPath(sn.get("manifest-list").asText)
+      val manifests = readAvro(fs, list).map(_.get("manifest_path").toString)
+      val data = manifests.flatMap(m => readAvro(fs, new HPath(m))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+      (manifests.toSet, data.toSet)
+    }
+    val keptFiles = kept.map(filesOf)
+    val keptManifests = keptFiles.flatMap(_._1).toSet
+    val keptData = keptFiles.flatMap(_._2).toSet
+    var reclaimedData = 0
+    expired.foreach { sn =>
+      val (ms, ds) = filesOf(sn)
+      ds.diff(keptData).foreach { p =>
+        if (fs.delete(new HPath(p), false)) reclaimedData += 1
+      }
+      ms.diff(keptManifests).foreach(p => fs.delete(new HPath(p), false))
+      fs.delete(new HPath(sn.get("manifest-list").asText), false)
+    }
+    // new metadata version with only the kept snapshots
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val snapsArr = newMeta.putArray("snapshots")
+    kept.foreach(snapsArr.add)
+    val keptIds = kept.map(_.get("snapshot-id").asLong).toSet
+    val logArr = newMeta.putArray("snapshot-log")
+    iterator(meta.get("snapshot-log"))
+      .filter(e => keptIds.contains(e.get("snapshot-id").asLong)).foreach(logArr.add)
+    val v = metaV + 1
+    val out = try fs.create(metaFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg: metadata version $v of $path was committed concurrently", e)
+    }
+    try out.write(Json.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta)
+      .getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new HPath(metaDir(root), "version-hint.text"), true)
+    try hint.write(v.toString.getBytes("UTF-8")) finally hint.close()
+    reclaimedData
+  }
+
   private def avroPartitionValue(dt: DataType, s: String): Any = dt match {
     case _: IntegerType => Integer.valueOf(s.toInt)
     case _: LongType => java.lang.Long.valueOf(s.toLong)

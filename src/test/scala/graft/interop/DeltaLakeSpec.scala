@@ -292,6 +292,23 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](DeltaLake.versionAsOf(path, t0 - 100000L))
   }
 
+  test("vacuum reclaims files the live snapshot no longer references") {
+    import spark.implicits._
+    val path = freshDir("delta_vac")
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    DeltaLake.write(df, path)
+    DeltaLake.deleteWhere(spark, path, col("k") >= 100L && col("k") < 150L) // 1 file rewritten
+    val reclaimed = DeltaLake.vacuum(spark, path)
+    assert(reclaimed == 1, s"exactly the rewritten file should be reclaimed, got $reclaimed")
+    // the live snapshot is untouched
+    assert(DeltaLake.read(spark, path).count() == 350L)
+    // a second vacuum is a no-op
+    assert(DeltaLake.vacuum(spark, path) == 0)
+    // history metadata is still inspectable even though v0 can't be scanned
+    assert(DeltaLake.commitsWithTimes(path).map(_._1) == Seq(0L, 1L))
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

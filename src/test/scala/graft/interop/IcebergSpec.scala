@@ -206,6 +206,24 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Iceberg.snapshotAsOf(path, t1 - 100000L))
   }
 
+  test("expireSnapshots bounds metadata and reclaims expired-only files") {
+    import spark.implicits._
+    val path = freshDir("ice_expire")
+    Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path) // s1
+    Iceberg.write(Seq((9L, "z")).toDF("k", "v"), path, mode = SaveMode.Overwrite) // s2: s1's files dead
+    Iceberg.write(Seq((10L, "y")).toDF("k", "v"), path, mode = SaveMode.Append) // s3
+    assert(Iceberg.snapshots(path).size == 3)
+    val reclaimed = Iceberg.expireSnapshots(spark, path, keepLast = 2)
+    assert(reclaimed >= 1, "s1's overwritten file must be reclaimed")
+    assert(Iceberg.snapshots(path).size == 2)
+    // the kept snapshots still read, including time travel within the horizon
+    assert(Iceberg.read(spark, path).count() == 2L)
+    val keptFirst = Iceberg.snapshots(path).head._1
+    assert(Iceberg.read(spark, path, snapshotId = Some(keptFirst)).count() == 1L)
+    // expiring everything but the head is idempotent on re-run
+    assert(Iceberg.expireSnapshots(spark, path, keepLast = 2) == 0)
+  }
+
   test("racing writers arbitrate on the metadata-version create") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
