@@ -309,6 +309,38 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.commitsWithTimes(path).map(_._1) == Seq(0L, 1L))
   }
 
+  test("the writer folds a checkpoint automatically every 10 commits") {
+    import spark.implicits._
+    val path = freshDir("delta_autocp")
+    DeltaLake.write(Seq((0L, "r")).toDF("k", "v"), path)
+    for (i <- 1 to 10)
+      DeltaLake.write(Seq((i.toLong, "r")).toDF("k", "v"), path, mode = SaveMode.Append)
+    // v10 crossed the fold threshold: checkpoint + _last_checkpoint exist
+    assert(java.nio.file.Files.exists(
+      Paths.get(path, "_delta_log", f"${10L}%020d.checkpoint.parquet")))
+    val lc = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", "_last_checkpoint")), "UTF-8")
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lc).get("version").asLong == 10L)
+    assert(DeltaLake.read(spark, path).count() == 11L)
+  }
+
+  test("a streaming tail with startingVersion skips the backlog") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("delta_sv")
+    val path = s"$base/tbl"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    DeltaLake.write(Seq((1L, "old")).toDF("k", "v"), path)
+    Seq((2L, "new")).toDF("k", "v").write.format("delta").mode("append").save(path)
+    val q = spark.readStream.format("delta").option("startingVersion", "1").load(path)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink).as[(Long, String)].collect()
+    assert(got.toSeq == Seq((2L, "new")), s"startingVersion=1 must skip v0, got ${got.toSeq}")
+  }
+
   test("racing appends arbitrate on the atomic version-file create: no lost update, no gap") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
