@@ -462,7 +462,13 @@ object SimilarityOps extends QueryModule {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       graft.functions.VectorFunctions.register(s)
-      val M = 8; val sub = 8; val topR = 50
+      // K=64 (6-bit codes) and a top-150 shortlist: uniform random
+      // vectors are PQ's worst case, and at the sf0.1 corpus (50k) the
+      // 4-bit/top-50 configuration decayed below the 0.5 recall floor
+      // the entry itself enforces — the same gate-driven tuning that
+      // set l3d's nprobe. Codes are still 8×6 bits = 6 bytes/vector,
+      // a 42× compression of the 256-byte float embedding.
+      val M = 8; val sub = 8; val K = 64; val topR = 150
       val emb = Tables.embeddings(s, d)
         .withColumn("nrm", norm("embedding"))
         .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("nrm")))
@@ -472,13 +478,13 @@ object SimilarityOps extends QueryModule {
         posexplode(transform(sequence(lit(0), lit(M - 1)),
           m => slice(col("unit"), m * lit(sub) + lit(1), lit(sub)))).as(Seq("m", "subvec")))
       val model = pqCodebookCache.computeIfAbsent(d, _ => {
-        // codebook training: K=16 centroids over a subvector sample —
+        // codebook training: K centroids over a subvector sample —
         // the offline index build (cached; Bench warms it like l3d's)
         val train = subvectors(emb, "vec_id")
           .sample(withReplacement = false, 0.25, seed = 11L)
           .select(array_to_vector(col("subvec")).as("features"))
           .coalesce(1).persist()
-        try new KMeans().setK(16).setSeed(42L).setMaxIter(4)
+        try new KMeans().setK(K).setSeed(42L).setMaxIter(4)
           .setFeaturesCol("features").setPredictionCol("code").fit(train)
         finally train.unpersist()
       })
@@ -486,14 +492,16 @@ object SimilarityOps extends QueryModule {
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
         .toDF("code", "centroid")
       // ENCODE: argmin_code ||subvec − centroid||² per (vec_id, m) —
-      // 16 broadcast rows against the exploded corpus, then an argmin
-      // window; codes re-assemble ordered by subspace
-      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
+      // K broadcast rows against the exploded corpus; the argmin is
+      // min(struct(l2, code)) so it PARTIAL-AGGREGATES map-side (no
+      // all-candidates shuffle, unlike a window) with the (l2, code)
+      // struct order as the deterministic tie rule
       val codes = subvectors(emb, "vec_id")
         .crossJoin(broadcast(cents))
         .withColumn("l2", aggregate(zip_with(col("subvec"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
-        .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("l2"), col("code"))).getField("code").as("code"))
         .groupBy("vec_id")
         .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
           e => e.getField("code")).as("codes"))
