@@ -57,15 +57,25 @@ object Iceberg {
 
   /** `bounds` holds per-column (min, max) in the compare domain of
     * [[Versioned.statsMayOverlap]] — typed values writer-side, decoded
-    * single-value-serialized bounds reader-side. */
+    * single-value-serialized bounds reader-side. `seq` is the file's
+    * DATA SEQUENCE NUMBER (explicit on the manifest entry, inherited
+    * from the manifest-list record when null — the spec's inheritance
+    * rule), which decides which position deletes apply to it. */
   final case class DataFileRef(
       path: String, partitionValues: Map[String, Option[String]],
       recordCount: Long, sizeInBytes: Long,
-      bounds: Map[String, (Any, Any)] = Map.empty)
+      bounds: Map[String, (Any, Any)] = Map.empty,
+      seq: Long = 0L)
+
+  /** A v2 POSITION DELETE file (`content=1`): rows of
+    * `(file_path, pos)` naming deleted row positions. Applies to data
+    * files whose data sequence number is <= `seq`. */
+  final case class DeleteFileRef(path: String, seq: Long, recordCount: Long)
 
   final case class Snapshot(
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
-      schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef])
+      schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef],
+      deletes: Seq[DeleteFileRef] = Nil)
 
   // ------------------------------------------------------------ layout
 
@@ -395,10 +405,12 @@ object Iceberg {
       }.toMap
     }
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
     readAvro(fs, listPath).foreach { mf =>
-      require(mf.get("content").asInstanceOf[Int] == 0,
-        s"Iceberg: $path snapshot $wantId references a DELETE manifest — " +
-          "v2 delete files are not implemented by this reader")
+      val mContent = mf.get("content").asInstanceOf[Int]
+      val mSeq = mf.get("sequence_number").asInstanceOf[Long]
+      require(mContent == 0 || mContent == 1,
+        s"Iceberg: $path snapshot $wantId references a manifest of unknown content $mContent")
       val mPath = new HPath(mf.get("manifest_path").toString)
       readAvro(fs, mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -406,19 +418,31 @@ object Iceberg {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
             s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
-          val part = df.get("partition").asInstanceOf[GenericRecord]
-          val pv: Map[String, Option[String]] = partCols.map { c =>
-            c -> Option(part.get(c)).map(renderPartitionValue(schema, c, _))
-          }.toMap
-          files += DataFileRef(df.get("file_path").toString, pv,
-            df.get("record_count").asInstanceOf[Long],
-            df.get("file_size_in_bytes").asInstanceOf[Long],
-            bounds = decodeBounds(df))
+          // the spec's sequence-number inheritance: null on the entry →
+          // the manifest-list record's sequence number
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+          if (mContent == 0) {
+            val part = df.get("partition").asInstanceOf[GenericRecord]
+            val pv: Map[String, Option[String]] = partCols.map { c =>
+              c -> Option(part.get(c)).map(renderPartitionValue(schema, c, _))
+            }.toMap
+            files += DataFileRef(df.get("file_path").toString, pv,
+              df.get("record_count").asInstanceOf[Long],
+              df.get("file_size_in_bytes").asInstanceOf[Long],
+              bounds = decodeBounds(df), seq = seq)
+          } else {
+            require(df.get("content").asInstanceOf[Int] == 1,
+              s"Iceberg: $path snapshot $wantId references an EQUALITY delete file — " +
+                "only position deletes (content=1) are implemented by this reader")
+            deletes += DeleteFileRef(df.get("file_path").toString, seq,
+              df.get("record_count").asInstanceOf[Long])
+          }
         }
       }
     }
     Snapshot(wantId, snapNode.get("sequence-number").asLong,
-      snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq)
+      snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq)
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -432,20 +456,95 @@ object Iceberg {
       case _ => v.toString
     }
 
+  private val FileMetaCol = "__iceberg_file"
+  private val PosMetaCol = "__iceberg_pos"
+
   /** Read an Iceberg table through the shared pruning FileIndex —
     * identity partition values prune at planning time; `snapshotId`
-    * time-travels. */
+    * time-travels. A snapshot carrying position-delete files reads
+    * with the deletes applied as ONE broadcast row-index filter
+    * ([[graft.functions.DvMap]] — no join node, the same merge-on-read
+    * shape as the native format's deletion vectors). */
   def read(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, path, snapshotId)
+    snapshotFrame(spark, path, s, withMeta = false)
+  }
+
+  /** The snapshot as a DataFrame; `withMeta = true` keeps the scan's
+    * `(file, row position)` metadata columns (what position-delete
+    * discovery probes). Outstanding position deletes are applied HERE —
+    * below the returned frame — so discovery never re-records an
+    * already-deleted row. */
+  private def snapshotFrame(spark: SparkSession, path: String, s: Snapshot,
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
-    classic.baseRelationToDataFrame(relationFor(spark, path, snapshotId))
+    val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
+    if (s.deletes.isEmpty && !withMeta) return base
+    // `_metadata` is a hidden column of the scan relation — attach it
+    // directly on the scan frame (it does not survive later projections)
+    val withM = base.select(col("*"),
+      col("_metadata.file_path").as(FileMetaCol),
+      col("_metadata.row_index").as(PosMetaCol))
+    val kept =
+      if (s.deletes.isEmpty) withM
+      else {
+        val (_, root) = Writers.fsFor(path)
+        val dv = loadDeleteMap(spark, root, s)
+        withM.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.DvContains(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
+      }
+    if (withMeta) kept else kept.drop(FileMetaCol, PosMetaCol)
+  }
+
+  /** Load a snapshot's position-delete files into one merged
+    * [[graft.functions.DvMap]], honoring the spec's applicability rule:
+    * a delete row is dropped unless the data file it names has data
+    * sequence number <= the delete file's. The collect is O(delete
+    * debt) driver metadata — the same bound Delta's in-memory DVs and
+    * the native format's run lists carry. */
+  private def loadDeleteMap(spark: SparkSession, root: HPath,
+      s: Snapshot): graft.functions.DvMap = {
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val dataSeq: Map[String, Long] =
+      s.files.map(f => new java.net.URI(f.path).getPath -> f.seq).toMap
+    val raw = s.deletes.groupBy(_.seq).toSeq.flatMap { case (dSeq, dfs) =>
+      spark.read.parquet(dfs.map(d => new HPath(d.path).toString): _*)
+        .select("file_path", "pos")
+        .collect()
+        .flatMap { r =>
+          val target = new java.net.URI(r.getString(0)).getPath
+          // a file absent from the snapshot (already rewritten away) or
+          // newer than the delete (re-added path) is not covered
+          dataSeq.get(target).filter(_ <= dSeq)
+            .map(_ => (target.stripPrefix(rootPrefix), r.getLong(1), 1L))
+        }
+    }
+    graft.functions.DvMap(rootPrefix, raw)
   }
 
   /** The relation behind [[read]] — also what the `format("iceberg")`
-    * provider hands Spark: reads prune through the shared FileIndex,
-    * INSERT INTO lands through [[write]] (log-protocol commit). */
+    * provider hands Spark. A clean snapshot serves as the pruning
+    * [[org.apache.spark.sql.graft.VersionedFileIndex]] HadoopFsRelation
+    * (INSERT INTO lands through [[write]]); a snapshot with outstanding
+    * position deletes falls back to a `TableScan` over [[read]] — SQL
+    * stays fully functional while delete debt is outstanding, at the
+    * cost of FileIndex planning granularity (same trade as the native
+    * connector's MoR relation). */
   private[graft] def relationFor(spark: SparkSession, path: String,
-      snapshotId: Option[Long]): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+      snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
     val s = snapshot(spark, path, snapshotId)
+    if (s.deletes.nonEmpty) {
+      val classic = spark.asInstanceOf[ClassicSession]
+      new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
+        classic.sqlContext, path, snapshotId)
+    } else relationForSnapshot(spark, path, s)
+  }
+
+  private def relationForSnapshot(spark: SparkSession, path: String,
+      s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val classic = spark.asInstanceOf[ClassicSession]
     val (_, root) = Writers.fsFor(path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
@@ -739,6 +838,154 @@ object Iceberg {
     snapshotId
   }
 
+  /** Merge-on-read `DELETE FROM t WHERE cond` — the v2 spec's POSITION
+    * DELETE path: the matching rows' `(file_path, pos)` pairs are
+    * written as ONE position-delete parquet file (spec schema —
+    * `file_path` string field-id 2147483546, `pos` long field-id
+    * 2147483545, rows sorted by file then position) and published as a
+    * new snapshot whose manifest list carries every prior manifest
+    * untouched plus one DELETE manifest (`content=1`). ZERO data files
+    * rewritten; every subsequent [[read]] applies the positions as a
+    * broadcast row-index filter (no join). Discovery reads the current
+    * MATERIALIZED snapshot (existing deletes applied), so an
+    * already-deleted row is never re-recorded.
+    *
+    * The delete manifest records the table's partition spec with null
+    * partition values — position deletes name exact file paths, so
+    * partition scoping is only a pruning aid this reader does not
+    * need. Returns the new snapshot id, or the current one unchanged
+    * when no row matches (an empty delete is not a commit). */
+  def deleteMergeOnRead(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val s = snapshot(spark, path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val q = rootPrefix.replace("'", "''")
+    // manifest file_path entries are scheme-less absolute paths; the
+    // scan's `_metadata.file_path` is a full URI — cut from the table
+    // root so the recorded paths match the manifests byte-for-byte
+    val matches = snapshotFrame(spark, path, s, withMeta = true)
+      .filter(cond)
+      .select(
+        expr(s"substring($FileMetaCol, instr($FileMetaCol, '$q'))").as("file_path"),
+        col(PosMetaCol).as("pos"))
+    // ---- stage the delete file with the spec's reserved field ids
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+      StructField("pos", LongType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build())))
+    val sorted = spark.createDataFrame(
+      matches.repartition(1).sortWithinPartitions("file_path", "pos").rdd, delSchema)
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    finally prevConf match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val staged = walkStagedFiles(fs, tmp, "")
+    val n =
+      if (staged.isEmpty) 0L
+      else spark.read.parquet(tmp.toString).count()
+    if (n == 0L) { fs.delete(tmp, true); return s.snapshotId }
+    val (_, from, size) = staged.head
+    val dest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-deletes.parquet")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(from, dest), s"Iceberg.deleteMergeOnRead: rename $from -> $dest failed")
+    fs.delete(tmp, true): Unit
+
+    // ---- one DELETE manifest (content=1) naming the position-delete file
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val partFieldTriples: Seq[(String, DataType, Int)] =
+      s.partitionColumns.zipWithIndex.map { case (c, i) => (c, s.schema(c).dataType, 1000 + i) }
+    val entrySchema = manifestEntrySchema(partFieldTriples)
+    val r2Schema = entrySchema.getField("data_file").schema()
+    val r102Schema = r2Schema.getField("partition").schema()
+    val dfr = new GenericData.Record(r2Schema)
+    dfr.put("content", 1) // POSITION_DELETES
+    dfr.put("file_path", dest.toUri.getPath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
+    dfr.put("record_count", n)
+    dfr.put("file_size_in_bytes", fs.getFileStatus(dest).getLen)
+    dfr.put("lower_bounds", null)
+    dfr.put("upper_bounds", null)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1) // ADDED
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", null) // inherited from the manifest list
+    e.put("file_sequence_number", null)
+    e.put("data_file", dfr)
+    val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-d0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, Seq(e))
+
+    // ---- manifest list: every current manifest carried + the delete one
+    val curSnapNode = iterator(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == s.snapshotId).get
+    val carried = readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText)).map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.forEach(f => c.put(f.name(), r.get(f.name())))
+      c
+    }
+    val delManifest = new GenericData.Record(manifestFileSchema)
+    delManifest.put("manifest_path", manifestPath.toUri.getPath)
+    delManifest.put("manifest_length", manifestLen)
+    delManifest.put("partition_spec_id", 0)
+    delManifest.put("content", 1) // deletes
+    delManifest.put("sequence_number", seq)
+    delManifest.put("min_sequence_number", seq)
+    delManifest.put("added_snapshot_id", snapshotId)
+    delManifest.put("added_files_count", 1)
+    delManifest.put("existing_files_count", 0)
+    delManifest.put("deleted_files_count", 0)
+    delManifest.put("added_rows_count", n)
+    delManifest.put("existing_rows_count", 0L)
+    delManifest.put("deleted_rows_count", 0L)
+    val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
+    writeAvro(fs, listPath, manifestFileSchema, carried :+ delManifest)
+
+    // ---- next metadata version: same schema/spec, one more snapshot
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("current-snapshot-id", snapshotId)
+    val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("sequence-number", seq)
+    snapNode.putObject("summary").put("operation", "delete")
+    snapNode.put("manifest-list", listPath.toUri.getPath)
+    snapNode.put("schema-id", meta.get("current-schema-id").asInt)
+    val se = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
+    commitMetadata(fs, root, metaV + 1, newMeta, path)
+    snapshotId
+  }
+
+  /** Atomic create of the next metadata.json version — THE commit —
+    * plus the advisory version hint. Racing writers surface
+    * ConcurrentModificationException, same as every commit path. */
+  private def commitMetadata(fs: FileSystem, root: HPath, v: Long,
+      meta: JsonNode, path: String): Unit = {
+    val out = try fs.create(metaFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg: metadata version $v of $path was committed concurrently", e)
+    }
+    try out.write(Json.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+      .getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new HPath(metaDir(root), "version-hint.text"), true)
+    try hint.write(v.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
   /** The data files ADDED by snapshots with sequence number in
     * (fromSeq, toSeq], plus whether any of those snapshots was NOT a
     * plain append (an overwrite rewrites history — a streaming tail
@@ -763,6 +1010,10 @@ object Iceberg {
       if (sn.get("summary").get("operation").asText != "append") nonAppend = true
       readAvro(fs, new HPath(sn.get("manifest-list").asText))
         .filter(_.get("sequence_number").asInstanceOf[Long] == seq)
+        // a DELETE manifest's entries are position-delete files, not
+        // data — never emit them as rows (the snapshot is non-append,
+        // so the tail gates on it anyway)
+        .filter(_.get("content").asInstanceOf[Int] == 0)
         .foreach { mf =>
           readAvro(fs, new HPath(mf.get("manifest_path").toString)).foreach { e =>
             if (e.get("status").asInstanceOf[Int] == 1) { // ADDED
@@ -814,9 +1065,12 @@ object Iceberg {
     val keptFiles = kept.map(filesOf)
     val keptManifests = keptFiles.flatMap(_._1).toSet
     val keptData = keptFiles.flatMap(_._2).toSet
+    // resolve every expired snapshot's file set BEFORE deleting anything:
+    // two expired snapshots routinely share manifests (append carries
+    // them), and reading the second after deleting the first's would fail
+    val expiredFiles = expired.map(filesOf)
     var reclaimedData = 0
-    expired.foreach { sn =>
-      val (ms, ds) = filesOf(sn)
+    expired.zip(expiredFiles).foreach { case (sn, (ms, ds)) =>
       ds.diff(keptData).foreach { p =>
         if (fs.delete(new HPath(p), false)) reclaimedData += 1
       }

@@ -1934,6 +1934,51 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S39: Iceberg v2 MERGE-ON-READ DELETE — `deleteMergeOnRead` lands
+    * the spec's position-delete path: one parquet of `(file_path, pos)`
+    * rows (reserved field ids 2147483546/2147483545) published through
+    * a `content=1` DELETE manifest, ZERO data files rewritten. Reads
+    * apply the positions as a broadcast row-index filter
+    * ([[graft.functions.DvMap]]) — no join node, the same merge-on-read
+    * shape as the native format's deletion vectors (s20). At 100 TB a
+    * narrow retraction costs one filtered scan to discover positions
+    * and O(delete debt) metadata per read — not a table rewrite.
+    * Oracle: the surviving rows straight off `orders`. */
+  val s39IcebergMorDelete = QueryDef(
+    "s39_iceberg_mor_delete",
+    (s, d) => {
+      val path = tmp("s39_ice_mor", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.format("iceberg").save(path)
+      val before = I.snapshot(s, path)
+      I.deleteMergeOnRead(s, path, col("o_orderstatus") === "F")
+      val after = I.snapshot(s, path)
+      require(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+        "s39: a merge-on-read delete must rewrite ZERO data files")
+      require(after.deletes.nonEmpty && after.deletes.map(_.recordCount).sum > 0,
+        "s39: a position-delete file must be recorded")
+      val read = I.read(s, path)
+      require(!read.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+        "s39: position deletes must apply as a row-index filter, not a join")
+      val out = read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+      require(out.count() > 0, "s39: empty result")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -1941,5 +1986,5 @@ object IngestOps extends QueryModule {
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
-    s36TxnPair, s37DeltaInterop, s38IcebergInterop)
+    s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete)
 }

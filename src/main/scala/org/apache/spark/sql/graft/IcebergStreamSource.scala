@@ -40,7 +40,18 @@ class IcebergStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = seqOf(end)
     val files: Seq[Iceberg.DataFileRef] = start match {
-      case None => Iceberg.snapshot(spark, path).files // bootstrap: the live set
+      case None => // bootstrap: the live set
+        val snap = Iceberg.snapshot(spark, path)
+        // raw file unions cannot subtract position-delete rows — a
+        // bootstrap over outstanding delete debt would over-serve
+        // deleted rows. Refuse rather than misread; a rewrite
+        // (copy-on-write delete / compaction) clears the debt.
+        if (snap.deletes.nonEmpty)
+          throw new IllegalStateException(
+            s"iceberg source: $path carries ${snap.deletes.size} position-delete file(s) — " +
+              "a streaming bootstrap over merge-on-read delete debt would re-serve deleted " +
+              "rows. Rewrite the table (copy-on-write delete or compaction) before tailing it.")
+        snap.files
       case Some(s0) =>
         val (adds, nonAppend) = Iceberg.changesBetween(spark, path, seqOf(s0), to)
         if (nonAppend && !ignoreChanges)

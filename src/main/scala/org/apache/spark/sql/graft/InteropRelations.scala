@@ -83,3 +83,34 @@ final class GraftIcebergRelation(
     (): Unit
   }
 }
+
+/** Fallback Iceberg batch relation for snapshots carrying POSITION
+  * DELETE debt: a `TableScan` over [[graft.interop.Iceberg.read]],
+  * which applies the delete files as a broadcast row-index filter.
+  * SQL stays fully functional between a merge-on-read DELETE and the
+  * next rewrite — the trade is planning granularity (no FileIndex
+  * pruning while debt is outstanding), the same contract as the native
+  * connector's [[GraftVersionedMoRRelation]]. Still insertable: an
+  * append lands a new snapshot whose files no outstanding delete
+  * names. */
+final class GraftIcebergMoRRelation(
+    outer: org.apache.spark.sql.SQLContext,
+    tablePath: String,
+    snapshotId: Option[Long])
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.TableScan
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = outer
+  override val schema: StructType = graft.ingest.Versioned.nullabilityErased(
+    graft.interop.Iceberg.snapshot(outer.sparkSession, tablePath, snapshotId).schema)
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    graft.interop.Iceberg.read(outer.sparkSession, tablePath, snapshotId).rdd
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    graft.interop.Iceberg.write(data, tablePath,
+      mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (): Unit
+  }
+}

@@ -248,4 +248,95 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 1L + wins.size)
     assert(Iceberg.snapshots(path).size == 1 + wins.size)
   }
+
+  test("merge-on-read DELETE: spec-shaped position-delete file, join-free reads, zero rewrites") {
+    val path = freshDir("ice_mor")
+    val df = spark.range(0, 200).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    Iceberg.write(df, path)
+    val before = Iceberg.snapshot(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") % 10 === 0)
+    val after = Iceberg.snapshot(spark, path)
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "a merge-on-read delete must rewrite ZERO data files")
+    assert(after.deletes.size == 1 && after.deletes.head.recordCount == 20L)
+    val got = Iceberg.read(spark, path)
+    assert(got.count() == 180L)
+    assert(got.filter(col("k") % 10 === 0).count() == 0L)
+    assert(!got.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+      "position deletes must apply as a row-index filter, not a join")
+    // the delete file itself is spec-shaped: reserved field ids, sorted rows
+    val delFile = after.deletes.head.path
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delFile),
+        spark.sparkContext.hadoopConfiguration))
+    val pqSchema = footer.getFileMetaData.getSchema
+    footer.close()
+    assert(pqSchema.getType(pqSchema.getFieldIndex("file_path")).getId.intValue() == 2147483546 &&
+      pqSchema.getType(pqSchema.getFieldIndex("pos")).getId.intValue() == 2147483545,
+      s"position-delete files must carry the spec's reserved field ids, got $pqSchema")
+    val delRows = spark.read.parquet(delFile)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delRows == delRows.sorted, "delete rows must be sorted by (file_path, pos)")
+    assert(delRows.forall { case (f, _) => after.files.exists(df2 =>
+      new java.net.URI(df2.path).getPath == f) },
+      "every recorded path must match a manifest data-file path byte-for-byte")
+    // a second delete composes and never re-records already-deleted rows
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 20)
+    val after2 = Iceberg.snapshot(spark, path)
+    assert(after2.deletes.map(_.recordCount).sum == 38L,
+      "discovery reads the materialized snapshot — 0 and 10 are already deleted")
+    assert(Iceberg.read(spark, path).count() == 162L)
+    // an empty delete is not a commit
+    val nSnaps = Iceberg.snapshots(path).size
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === -1L)
+    assert(Iceberg.snapshots(path).size == nSnaps)
+    // sequencing: an appended row reusing a deleted key/position is not swallowed
+    import spark.implicits._
+    Iceberg.write(Seq((0L, 0L)).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).filter(col("k") === 0L).count() == 1L)
+    assert(Iceberg.read(spark, path).count() == 163L)
+    // time travel to the pre-delete snapshot still serves every row
+    assert(Iceberg.read(spark, path, snapshotId = Some(before.snapshotId)).count() == 200L)
+  }
+
+  test("delete debt through SQL, history, streaming gate, and reclamation") {
+    import spark.implicits._
+    val path = freshDir("ice_mor_sql")
+    Iceberg.write(spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 3).as("v")), path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") >= 90L)
+    // format("iceberg") serves the debt-carrying snapshot via the MoR fallback
+    assert(spark.read.format("iceberg").load(path).count() == 90L)
+    // and it stays insertable through SQL
+    spark.sql("DROP TABLE IF EXISTS ice_mor_t")
+    spark.sql(s"CREATE TABLE ice_mor_t USING iceberg OPTIONS (path '$path')")
+    Seq((1000L, 0L)).toDF("k", "v").createOrReplaceTempView("ice_mor_src")
+    spark.sql("INSERT INTO ice_mor_t SELECT k, v FROM ice_mor_src")
+    spark.sql("REFRESH TABLE ice_mor_t")
+    assert(spark.sql("SELECT count(*) FROM ice_mor_t").head().getLong(0) == 91L)
+    spark.sql("DROP TABLE ice_mor_t")
+    // DESCRIBE HISTORY shows the delete operation
+    val ops = Iceberg.history(spark, path).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "delete") == 1)
+    // a fresh streaming bootstrap over delete debt refuses rather than over-serving
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("iceberg").load(path).writeStream
+        .format("memory").queryName("ice_mor_tail")
+        .option("checkpointLocation", freshDir("ice_mor_cp")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getCause.getMessage.contains("position-delete"),
+      s"bootstrap over delete debt must gate loudly, got: ${e.getCause.getMessage}")
+    // overwrite clears the debt; expiring history reclaims the delete file too
+    val delFile = Iceberg.snapshot(spark, path).deletes.head.path
+    Iceberg.write(Seq((1L, 1L)).toDF("k", "v"), path, mode = SaveMode.Overwrite)
+    assert(Iceberg.expireSnapshots(spark, path, keepLast = 1) >= 1)
+    assert(!Files.exists(Paths.get(delFile)),
+      "an expired delete snapshot's position-delete file must be reclaimed")
+    assert(Iceberg.snapshot(spark, path).deletes.isEmpty)
+    assert(Iceberg.read(spark, path).count() == 1L)
+  }
 }
