@@ -625,64 +625,7 @@ object Iceberg {
       case None => df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     }
 
-    // ---- stage data files with parquet FIELD IDS (spec requirement)
-    val withIds = StructType(df.schema.fields.map { f =>
-      val mb = new MetadataBuilder().withMetadata(f.metadata)
-        .putLong("parquet.field.id", fieldIds(f.name).toLong)
-      f.copy(metadata = mb.build())
-    })
-    val dfIds = spark.createDataFrame(df.rdd, withIds)
-    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try {
-      val w = dfIds.write.mode(SaveMode.Overwrite)
-      if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
-      else w.parquet(tmp.toString)
-    } finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-    }
-    // per-file record counts AND column bounds: one distributed pass
-    val boundCols = df.schema.fields.toSeq
-      .filterNot(f => partCols.contains(f.name))
-      .filter(f => boundable(f.dataType))
-    val fileAgg: Map[String, (Long, Map[String, (Any, Any)])] = {
-      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
-      if (walkStagedFiles(fs, tmp, "").isEmpty) Map.empty
-      else {
-        val aggs = count(lit(1)).as("__n") +: boundCols.flatMap(f =>
-          Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
-        spark.read.parquet(tmp.toString)
-          .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val bounds = boundCols.flatMap { f =>
-              (r.getAs[Any](s"__mn_${f.name}"), r.getAs[Any](s"__mx_${f.name}")) match {
-                case (null, _) | (_, null) => None
-                case (lo, hi) => Some(f.name -> (lo, hi))
-              }
-            }.toMap
-            new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("__n"), bounds)
-          }.toMap
-      }
-    }
-    val moved = walkStagedFiles(fs, tmp, "").map { case (rel, from, size) =>
-      val segs = rel.split("/").dropRight(1).toSeq
-      val pv: Map[String, Option[String]] = segs.map { seg =>
-        val i = seg.indexOf('=')
-        val raw = seg.drop(i + 1)
-        seg.take(i) -> (if (raw == Hive.DefaultPartition) None
-          else Some(Hive.unescapePathName(raw)))
-      }.toMap
-      val fileName = s"${java.util.UUID.randomUUID()}.parquet"
-      val relOut = (Seq("data") ++ segs :+ fileName).mkString("/")
-      val dest = new HPath(root, relOut)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(from, dest), s"Iceberg.write: rename $from -> $dest failed")
-      val (n, bounds) = fileAgg.getOrElse(from.toUri.getPath, (0L, Map.empty[String, (Any, Any)]))
-      DataFileRef(dest.toUri.getPath, pv, n, size, bounds)
-    }
-    fs.delete(tmp, true): Unit
+    val moved = stageDataFiles(spark, df, fs, root, partCols, fieldIds)
 
     // ---- metadata: ids, sequence numbers, snapshot
     val now = System.currentTimeMillis()
@@ -695,47 +638,8 @@ object Iceberg {
     }
 
     // ---- one new manifest with the added files
-    val entrySchema = manifestEntrySchema(partFieldTriples)
-    val r2Schema = entrySchema.getField("data_file").schema()
-    val r102Schema = r2Schema.getField("partition").schema()
-    val entries = moved.map { f =>
-      val part = new GenericData.Record(r102Schema)
-      partFieldTriples.foreach { case (c, dt, _) =>
-        part.put(c, f.partitionValues.getOrElse(c, None).map(avroPartitionValue(dt, _)).orNull)
-      }
-      val dfr = new GenericData.Record(r2Schema)
-      dfr.put("content", 0)
-      dfr.put("file_path", f.path)
-      dfr.put("file_format", "PARQUET")
-      dfr.put("partition", part)
-      dfr.put("record_count", f.recordCount)
-      dfr.put("file_size_in_bytes", f.sizeInBytes)
-      // column bounds as the spec's map<field-id, single-value bytes>
-      def boundsArray(fieldName: String, pick: ((Any, Any)) => Any): AnyRef = {
-        val arrSchema = r2Schema.getField(fieldName).schema().getTypes.get(1)
-        val kvSchema = arrSchema.getElementType
-        val arr = new java.util.ArrayList[GenericRecord]()
-        f.bounds.toSeq.sortBy(t => fieldIds(t._1)).foreach { case (c, lohi) =>
-          encodeBound(df.schema(c).dataType, pick(lohi)).foreach { buf =>
-            val kv = new GenericData.Record(kvSchema)
-            kv.put("key", fieldIds(c)); kv.put("value", buf)
-            arr.add(kv): Unit
-          }
-        }
-        if (arr.isEmpty) null else new GenericData.Array(arrSchema, arr)
-      }
-      dfr.put("lower_bounds", boundsArray("lower_bounds", _._1))
-      dfr.put("upper_bounds", boundsArray("upper_bounds", _._2))
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", null) // inherited from the manifest list
-      e.put("file_sequence_number", null)
-      e.put("data_file", dfr)
-      e
-    }
-    val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
-    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
+    val (manifestPath, manifestLen) = writeAddedManifest(
+      fs, root, moved, snapshotId, partFieldTriples, fieldIds, df.schema)
 
     // ---- manifest list: prior manifests (append) + the new one
     val priorManifests: Seq[GenericRecord] = prior match {
@@ -970,6 +874,219 @@ object Iceberg {
     snapshotId
   }
 
+  /** COPY-ON-WRITE DELETE (`DELETE FROM t WHERE cond`, rewrite shape):
+    * one distributed pass finds the files holding matches, then ONLY
+    * those files are rewritten — untouched files stay live by
+    * reference (their manifest entries carried or re-marked EXISTING
+    * with explicit sequence numbers). O(touched files), never
+    * O(table). Outstanding position deletes on untouched files are
+    * carried; on rewritten files they fold into the rewrite. Prefer
+    * [[deleteMergeOnRead]] when read-side debt is acceptable — this
+    * path pays the rewrite to keep the snapshot debt-free (e.g. for a
+    * streaming tail). */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
+    val s = snapshot(spark, path)
+    val full = read(spark, path)
+    val touchedRaw = full
+      .groupBy(input_file_name().as("__f"))
+      .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"))
+      .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
+    if (touchedRaw.isEmpty) return s.snapshotId // nothing matched: no commit
+    val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
+    // survivors of ONLY the touched files. DELETE drops rows where the
+    // predicate is TRUE; a NULL predicate keeps the row (SQL semantics)
+    val survivors = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .filter(predicate.isNull || !predicate)
+      .drop("__f")
+    commitRewriteSnapshot(spark, path, touchedAbs, Some(survivors), "delete",
+      dropDeleteManifests = false)
+  }
+
+  /** COPY-ON-WRITE MERGE by key (`MERGE ... WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *`): only the files holding a
+    * matched key are rewritten — their unmatched rows survive, matched
+    * rows are replaced by the update images, unmatched updates append.
+    * O(touched files + updates). */
+  def upsertByKey(spark: SparkSession, path: String,
+      updates: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val s = snapshot(spark, path)
+    require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
+    require(Versioned.nullabilityErased(s.schema).json ==
+      Versioned.nullabilityErased(updates.schema).json,
+      "Iceberg.upsertByKey: update schema differs from the table schema")
+    Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
+    val full = read(spark, path)
+    val touchedRaw = full.withColumn("__f", input_file_name())
+      .join(updates.select(col(key)), Seq(key), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
+    val survivors = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .drop("__f")
+      .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val newData = survivors.unionByName(
+      updates.select(s.schema.fieldNames.toIndexedSeq.map(col): _*))
+    commitRewriteSnapshot(spark, path, touchedAbs, Some(newData), "overwrite",
+      dropDeleteManifests = false)
+  }
+
+  /** Fold outstanding position-delete debt into the data: rewrite ONLY
+    * the files the delete vectors name (survivors re-staged), drop
+    * every delete manifest. The spec's `replace` operation — row set
+    * unchanged, snapshot debt-free afterwards (what a streaming
+    * bootstrap requires). No-op on a debt-free table. */
+  def rewriteDeletes(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val s = snapshot(spark, path)
+    if (s.deletes.isEmpty) return s.snapshotId
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val dv = loadDeleteMap(spark, root, s)
+    val coveredRel = dv.files.toSeq
+    val q = rootPrefix.replace("'", "''")
+    val full = snapshotFrame(spark, path, s, withMeta = true)
+    val survivors = full
+      .filter(expr(
+        s"substring($FileMetaCol, instr($FileMetaCol, '$q') + ${rootPrefix.length})")
+        .isin(coveredRel: _*))
+      .drop(FileMetaCol, PosMetaCol)
+    commitRewriteSnapshot(spark, path, coveredRel.map(rootPrefix + _).toSet,
+      Some(survivors), "replace", dropDeleteManifests = true)
+  }
+
+  /** The shared copy-on-write commit: stage `newData` (when present),
+    * carry every untouched manifest by reference, and REWRITE only the
+    * manifests naming a removed file — removed entries re-marked
+    * DELETED (status 2), kept ones EXISTING (status 0), both with
+    * EXPLICIT sequence numbers so the list-record inheritance cannot
+    * re-stamp them. Publishes the next metadata version atomically. */
+  private def commitRewriteSnapshot(spark: SparkSession, path: String,
+      removedAbs: Set[String], newData: Option[DataFrame], operation: String,
+      dropDeleteManifests: Boolean): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
+    val schema = schemaFromMeta(meta)
+    val partCols = partColsFromMeta(meta).map(_._1)
+    val fieldIds: Map[String, Int] = {
+      val curId = meta.get("current-schema-id").asInt
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    }
+    val partFieldTriples: Seq[(String, DataType, Int)] = partCols.zipWithIndex.map {
+      case (c, i) => (c, schema(c).dataType, 1000 + i)
+    }
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val added = newData.map(df => stageDataFiles(spark, df, fs, root, partCols, fieldIds))
+      .getOrElse(Nil)
+
+    val curSnapNode = iterator(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
+    val outManifests = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText)).foreach { mf =>
+      val mContent = mf.get("content").asInstanceOf[Int]
+      val mSeq = mf.get("sequence_number").asInstanceOf[Long]
+      def carry(): Unit = {
+        val c = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.forEach(f2 => c.put(f2.name(), mf.get(f2.name())))
+        outManifests += c
+      }
+      if (mContent == 1) { if (!dropDeleteManifests) carry() }
+      else {
+        val live = readAvro(fs, new HPath(mf.get("manifest_path").toString))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+        val touched = live.exists(e => removedAbs.contains(
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+        if (!touched) carry()
+        else {
+          val entrySchema = manifestEntrySchema(partFieldTriples)
+          var kept = 0; var dropped = 0
+          var keptRows = 0L; var droppedRows = 0L
+          val rewritten = live.map { e =>
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            val eSeq = Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+            val removed = removedAbs.contains(dfr.get("file_path").toString)
+            val rc = dfr.get("record_count").asInstanceOf[Long]
+            if (removed) { dropped += 1; droppedRows += rc }
+            else { kept += 1; keptRows += rc }
+            val ne = new GenericData.Record(entrySchema)
+            ne.put("status", if (removed) 2 else 0)
+            ne.put("snapshot_id", if (removed) snapshotId else e.get("snapshot_id"))
+            ne.put("sequence_number", eSeq)
+            ne.put("file_sequence_number",
+              Option(e.get("file_sequence_number")).getOrElse(eSeq))
+            ne.put("data_file", dfr)
+            ne
+          }
+          val newPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
+          val len = writeAvro(fs, newPath, entrySchema, rewritten)
+          val rec = new GenericData.Record(manifestFileSchema)
+          rec.put("manifest_path", newPath.toUri.getPath)
+          rec.put("manifest_length", len)
+          rec.put("partition_spec_id", 0)
+          rec.put("content", 0)
+          rec.put("sequence_number", mSeq)
+          rec.put("min_sequence_number", mf.get("min_sequence_number"))
+          rec.put("added_snapshot_id", snapshotId)
+          rec.put("added_files_count", 0)
+          rec.put("existing_files_count", kept)
+          rec.put("deleted_files_count", dropped)
+          rec.put("added_rows_count", 0L)
+          rec.put("existing_rows_count", keptRows)
+          rec.put("deleted_rows_count", droppedRows)
+          outManifests += rec
+        }
+      }
+    }
+    if (added.nonEmpty) {
+      val (mp, ml) = writeAddedManifest(
+        fs, root, added, snapshotId, partFieldTriples, fieldIds, schema)
+      val rec = new GenericData.Record(manifestFileSchema)
+      rec.put("manifest_path", mp.toUri.getPath)
+      rec.put("manifest_length", ml)
+      rec.put("partition_spec_id", 0)
+      rec.put("content", 0)
+      rec.put("sequence_number", seq)
+      rec.put("min_sequence_number", seq)
+      rec.put("added_snapshot_id", snapshotId)
+      rec.put("added_files_count", added.size)
+      rec.put("existing_files_count", 0)
+      rec.put("deleted_files_count", 0)
+      rec.put("added_rows_count", added.map(_.recordCount).sum)
+      rec.put("existing_rows_count", 0L)
+      rec.put("deleted_rows_count", 0L)
+      outManifests += rec
+    }
+    val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
+    writeAvro(fs, listPath, manifestFileSchema, outManifests.toSeq)
+
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("current-snapshot-id", snapshotId)
+    val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("sequence-number", seq)
+    snapNode.putObject("summary").put("operation", operation)
+    snapNode.put("manifest-list", listPath.toUri.getPath)
+    snapNode.put("schema-id", meta.get("current-schema-id").asInt)
+    val se = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
+    commitMetadata(fs, root, metaV + 1, newMeta, path)
+    snapshotId
+  }
+
   /** Atomic create of the next metadata.json version — THE commit —
     * plus the advisory version hint. Racing writers surface
     * ConcurrentModificationException, same as every commit path. */
@@ -1111,6 +1228,123 @@ object Iceberg {
         java.time.LocalDateTime.parse(s.replace(" ", "T"))
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
     case _ => s
+  }
+
+  /** Write a data manifest of ADDED entries for `files` (sequence
+    * numbers inherited from the manifest-list record). Shared by
+    * [[write]] and the copy-on-write rewrite paths. */
+  private def writeAddedManifest(fs: FileSystem, root: HPath, files: Seq[DataFileRef],
+      snapshotId: Long, partFieldTriples: Seq[(String, DataType, Int)],
+      fieldIds: Map[String, Int], schema: StructType): (HPath, Long) = {
+    val entrySchema = manifestEntrySchema(partFieldTriples)
+    val r2Schema = entrySchema.getField("data_file").schema()
+    val r102Schema = r2Schema.getField("partition").schema()
+    val entries = files.map { f =>
+      val part = new GenericData.Record(r102Schema)
+      partFieldTriples.foreach { case (c, dt, _) =>
+        part.put(c, f.partitionValues.getOrElse(c, None).map(avroPartitionValue(dt, _)).orNull)
+      }
+      val dfr = new GenericData.Record(r2Schema)
+      dfr.put("content", 0)
+      dfr.put("file_path", f.path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", part)
+      dfr.put("record_count", f.recordCount)
+      dfr.put("file_size_in_bytes", f.sizeInBytes)
+      // column bounds as the spec's map<field-id, single-value bytes>
+      def boundsArray(fieldName: String, pick: ((Any, Any)) => Any): AnyRef = {
+        val arrSchema = r2Schema.getField(fieldName).schema().getTypes.get(1)
+        val kvSchema = arrSchema.getElementType
+        val arr = new java.util.ArrayList[GenericRecord]()
+        f.bounds.toSeq.sortBy(t => fieldIds(t._1)).foreach { case (c, lohi) =>
+          encodeBound(schema(c).dataType, pick(lohi)).foreach { buf =>
+            val kv = new GenericData.Record(kvSchema)
+            kv.put("key", fieldIds(c)); kv.put("value", buf)
+            arr.add(kv): Unit
+          }
+        }
+        if (arr.isEmpty) null else new GenericData.Array(arrSchema, arr)
+      }
+      dfr.put("lower_bounds", boundsArray("lower_bounds", _._1))
+      dfr.put("upper_bounds", boundsArray("upper_bounds", _._2))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", null) // inherited from the manifest list
+      e.put("file_sequence_number", null)
+      e.put("data_file", dfr)
+      e
+    }
+    val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
+    (manifestPath, manifestLen)
+  }
+
+  /** Stage `df` as parquet data files with parquet FIELD IDS (spec
+    * requirement), record per-file counts + column bounds in one
+    * distributed pass, and move them under `data/` in the table's
+    * Hive-rendered partition layout. Shared by [[write]] and the
+    * copy-on-write rewrite paths. */
+  private def stageDataFiles(spark: SparkSession, df: DataFrame, fs: FileSystem,
+      root: HPath, partCols: Seq[String], fieldIds: Map[String, Int]): Seq[DataFileRef] = {
+    val withIds = StructType(df.schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", fieldIds(f.name).toLong)
+      f.copy(metadata = mb.build())
+    })
+    val dfIds = spark.createDataFrame(df.rdd, withIds)
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try {
+      val w = dfIds.write.mode(SaveMode.Overwrite)
+      if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
+      else w.parquet(tmp.toString)
+    } finally prevConf match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    // per-file record counts AND column bounds: one distributed pass
+    val boundCols = df.schema.fields.toSeq
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => boundable(f.dataType))
+    val fileAgg: Map[String, (Long, Map[String, (Any, Any)])] = {
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      if (walkStagedFiles(fs, tmp, "").isEmpty) Map.empty
+      else {
+        val aggs = count(lit(1)).as("__n") +: boundCols.flatMap(f =>
+          Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
+        spark.read.parquet(tmp.toString)
+          .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val bounds = boundCols.flatMap { f =>
+              (r.getAs[Any](s"__mn_${f.name}"), r.getAs[Any](s"__mx_${f.name}")) match {
+                case (null, _) | (_, null) => None
+                case (lo, hi) => Some(f.name -> (lo, hi))
+              }
+            }.toMap
+            new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("__n"), bounds)
+          }.toMap
+      }
+    }
+    val moved = walkStagedFiles(fs, tmp, "").map { case (rel, from, size) =>
+      val segs = rel.split("/").dropRight(1).toSeq
+      val pv: Map[String, Option[String]] = segs.map { seg =>
+        val i = seg.indexOf('=')
+        val raw = seg.drop(i + 1)
+        seg.take(i) -> (if (raw == Hive.DefaultPartition) None
+          else Some(Hive.unescapePathName(raw)))
+      }.toMap
+      val fileName = s"${java.util.UUID.randomUUID()}.parquet"
+      val relOut = (Seq("data") ++ segs :+ fileName).mkString("/")
+      val dest = new HPath(root, relOut)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(from, dest), s"Iceberg.write: rename $from -> $dest failed")
+      val (n, bounds) = fileAgg.getOrElse(from.toUri.getPath, (0L, Map.empty[String, (Any, Any)]))
+      DataFileRef(dest.toUri.getPath, pv, n, size, bounds)
+    }
+    fs.delete(tmp, true): Unit
+    moved
   }
 
   private def walkStagedFiles(fs: FileSystem, dir: HPath,

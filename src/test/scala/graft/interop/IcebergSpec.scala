@@ -301,6 +301,66 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path, snapshotId = Some(before.snapshotId)).count() == 200L)
   }
 
+  test("copy-on-write DELETE and MERGE rewrite only the touched files") {
+    import spark.implicits._
+    val path = freshDir("ice_cow")
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    Iceberg.write(df, path)
+    val before = Iceberg.snapshot(spark, path)
+    assert(before.files.size == 4)
+    // delete hits only the first range file: k-bounds confine the match
+    Iceberg.deleteWhere(spark, path, col("k") < 50L)
+    val afterDel = Iceberg.snapshot(spark, path)
+    assert(Iceberg.read(spark, path).count() == 350L)
+    val carried = before.files.map(_.path).toSet intersect afterDel.files.map(_.path).toSet
+    assert(carried.size == 3,
+      s"only the file holding k<50 may be rewritten (carried ${carried.size}/4)")
+    assert(afterDel.deletes.isEmpty, "copy-on-write leaves no read-side debt")
+    // a no-match delete is not a commit
+    val nSnaps = Iceberg.snapshots(path).size
+    Iceberg.deleteWhere(spark, path, col("k") === -5L)
+    assert(Iceberg.snapshots(path).size == nSnaps)
+    // MERGE: one matched key (rewrites its file), one new key (insert)
+    Iceberg.upsertByKey(spark, path,
+      Seq((399L, 999L), (1000L, 1L)).toDF("k", "v"), "k")
+    val afterUp = Iceberg.snapshot(spark, path)
+    val got = Iceberg.read(spark, path)
+    assert(got.count() == 351L)
+    assert(got.filter(col("k") === 399L).select("v").head().getLong(0) == 999L)
+    assert(got.filter(col("k") === 1000L).count() == 1L)
+    val carried2 = afterDel.files.map(_.path).toSet intersect afterUp.files.map(_.path).toSet
+    assert(carried2.size == afterDel.files.size - 1,
+      "MERGE must rewrite only the file holding the matched key")
+    // time travel across the rewrites still serves the old images
+    assert(Iceberg.read(spark, path, snapshotId = Some(before.snapshotId)).count() == 400L)
+  }
+
+  test("rewriteDeletes folds position-delete debt and re-enables the streaming tail") {
+    val path = freshDir("ice_fold")
+    Iceberg.write(spark.range(0, 300).select(col("id").as("k"), (col("id") % 5).as("v"))
+      .repartitionByRange(3, col("k")), path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") >= 280L)
+    val debt = Iceberg.snapshot(spark, path)
+    assert(debt.deletes.nonEmpty)
+    Iceberg.rewriteDeletes(spark, path)
+    val clean = Iceberg.snapshot(spark, path)
+    assert(clean.deletes.isEmpty, "rewriteDeletes must clear every delete manifest")
+    assert(Iceberg.read(spark, path).count() == 280L)
+    // only the file the vector named was rewritten
+    val carried = debt.files.map(_.path).toSet intersect clean.files.map(_.path).toSet
+    assert(carried.size == debt.files.size - 1,
+      s"only the covered file may be rewritten (carried ${carried.size}/${debt.files.size})")
+    // idempotent on a clean table
+    assert(Iceberg.rewriteDeletes(spark, path) == clean.snapshotId)
+    // and the streaming bootstrap accepts the table again
+    val q = spark.readStream.format("iceberg").load(path).writeStream
+      .format("memory").queryName("ice_fold_tail")
+      .option("checkpointLocation", freshDir("ice_fold_cp")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ice_fold_tail").count() == 280L)
+  }
+
   test("delete debt through SQL, history, streaming gate, and reclamation") {
     import spark.implicits._
     val path = freshDir("ice_mor_sql")
