@@ -65,10 +65,16 @@ object DeltaLake {
       size: Long, modificationTime: Long, stats: Option[String])
 
   /** A reconstructed snapshot: the schema and partition columns of the
-    * latest `metaData` at-or-below `version`, and the active file set. */
+    * latest `metaData` at-or-below `version`, and the active file set.
+    * `columnMapping` (LOGICAL name → physical name) is non-empty for a
+    * `delta.columnMapping.mode=name` table: its data files, partition
+    * values, and stats all use the physical names; `schema` and
+    * `partitionColumns` stay logical. */
   final case class Snapshot(
       version: Long, schema: StructType, partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile], columnMapping: Map[String, String] = Map.empty) {
+    def physicalName(c: String): String = columnMapping.getOrElse(c, c)
+  }
 
   // ---------------------------------------------------------------- paths
 
@@ -129,11 +135,16 @@ object DeltaLake {
     // alone would let a mapped table through — and its data files use
     // PHYSICAL column names, which a by-name parquet read resolves to
     // all-NULL columns. Misreading silently is the one unforgivable
-    // failure mode for an interop reader: gate on the table config.
-    def gateColumnMapping(mode: Option[String]): Unit =
-      require(mode.forall(m => m == "none" || m.isEmpty),
-        s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — physical column " +
-          "names in the data files are not implemented by this from-spec reader")
+    // failure mode for an interop reader: `name` mode is implemented
+    // (resolve by the schema metadata's physicalName, rename on read);
+    // `id` mode (field-id resolution) stays gated.
+    var mapMode: Option[String] = None
+    def gateColumnMapping(mode: Option[String]): Unit = {
+      require(mode.forall(m => m == "none" || m.isEmpty || m == "name"),
+        s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — field-id column " +
+          "resolution is not implemented by this from-spec reader")
+      mapMode = mode.filter(m => m.nonEmpty && m != "none")
+    }
 
     def applyAdd(p: String, pv: Map[String, Option[String]], size: Long, mod: Long,
         stats: Option[String]): Unit =
@@ -198,10 +209,19 @@ object DeltaLake {
         Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
       }
     }
-    Snapshot(target,
-      schema.getOrElse(throw new IllegalStateException(
-        s"DeltaLake: $path log through v$target carries no metaData action")),
-      partCols, files.values.toSeq)
+    val raw = schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLake: $path log through v$target carries no metaData action"))
+    val mapping: Map[String, String] =
+      if (mapMode.isEmpty) Map.empty
+      else raw.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"DeltaLake: $path is column-mapped but field '${f.name}' carries no " +
+            "delta.columnMapping.physicalName — refusing to guess")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    // logical schema without the mapping bookkeeping in field metadata
+    val logical = StructType(raw.fields.map(_.copy(metadata = Metadata.empty)))
+    Snapshot(target, logical, partCols, files.values.toSeq, mapping)
   }
 
   /** (version, commit timestamp ms, operation) per JSON log entry —
@@ -317,20 +337,46 @@ object DeltaLake {
   /** Read a Delta table as a DataFrame through the native pruning
     * FileIndex: partition filters prune on the log's `partitionValues`,
     * data filters prune on the translated per-file stats — both at
-    * Catalyst planning time. */
+    * Catalyst planning time. A column-mapped (`name` mode) table scans
+    * under its PHYSICAL names — pruning included, since the log's
+    * partition values and stats use them too — and renames to the
+    * logical schema on top (Catalyst pushes filters through the
+    * aliases, so pruning still fires). */
   def read(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val classic = spark.asInstanceOf[ClassicSession]
-    classic.baseRelationToDataFrame(relationFor(spark, path, versionAsOf))
+    val s = snapshot(spark, path, versionAsOf)
+    val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
+    if (s.columnMapping.isEmpty) base
+    else base.select(s.schema.fields.toIndexedSeq.map(f =>
+      col(s.physicalName(f.name)).as(f.name)): _*)
   }
 
   /** The [[org.apache.spark.sql.sources.BaseRelation]] behind [[read]]
-    * — also what the `format("delta")` provider hands Spark. */
+    * — also what the `format("delta")` provider hands Spark. A mapped
+    * table serves through a `TableScan` fallback exposing the LOGICAL
+    * schema (the HadoopFsRelation's scan schema must be physical, which
+    * SQL users must never see). */
   private[graft] def relationFor(spark: SparkSession, path: String,
-      versionAsOf: Option[Long]): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+      versionAsOf: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
     val s = snapshot(spark, path, versionAsOf)
+    if (s.columnMapping.nonEmpty) {
+      val classic = spark.asInstanceOf[ClassicSession]
+      new org.apache.spark.sql.graft.GraftDeltaMappedRelation(
+        classic.sqlContext, path, versionAsOf)
+    } else relationForSnapshot(spark, path, s)
+  }
+
+  private def relationForSnapshot(spark: SparkSession, path: String,
+      s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val classic = spark.asInstanceOf[ClassicSession]
+    // a mapped table's file layout speaks physical names throughout:
+    // scan schema, partition dirs, and stats all translate together
+    val scanSchema = StructType(s.schema.fields.map(f =>
+      f.copy(name = s.physicalName(f.name))))
+    val scanPartCols = s.partitionColumns.map(s.physicalName)
     val entries = s.files.map { f =>
-      val partDir = s.partitionColumns.map { c =>
+      val partDir = scanPartCols.map { c =>
         val v = f.partitionValues.getOrElse(c, None)
         c + "=" + v.map(escapePathName).getOrElse(HiveDefaultPartition)
       }.mkString("/")
@@ -338,15 +384,15 @@ object DeltaLake {
         stats = f.stats.flatMap(translateStats))
     }
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
-      classic, path, s.version, entries, s.schema, s.partitionColumns)
+      classic, path, s.version, entries, scanSchema, scanPartCols)
     val dataSchema =
-      StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
+      StructType(scanSchema.fields.filterNot(f => scanPartCols.contains(f.name)))
     // GraftDeltaRelation: reads prune through the index; INSERT INTO a
     // catalog table lands through write() (log-protocol commit), and
     // the read-only format backstop refuses the static-PARTITION shape
     // that would drop unrecorded files into the table root
     new org.apache.spark.sql.graft.GraftDeltaRelation(
-      classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
+      classic, path, index, index.partitionSchema, dataSchema, scanPartCols)
   }
 
   // ------------------------------------------------------------- writer
@@ -375,6 +421,12 @@ object DeltaLake {
       case _ => partitionBy
     }
     prior.foreach { p =>
+      // this writer stages files under LOGICAL column names — appending
+      // them to a column-mapped table would mix naming schemes and make
+      // every mapped read resolve the new files to NULL
+      require(p.columnMapping.isEmpty,
+        s"DeltaLake.write: $path is column-mapped (physical file names) — " +
+          "writing through this logical-name writer would corrupt it")
       if (mode == SaveMode.Append) {
         require(p.partitionColumns == partCols,
           s"DeltaLake.write: append partitioning $partCols differs from the table's ${p.partitionColumns}")
@@ -460,6 +512,9 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, sum, when}
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.deleteWhere: $path is column-mapped — the rewrite would stage " +
+        "logical-name files into a physical-name table")
     val full = read(spark, path)
     // pass 1: which files hold matches (partition cols resolvable —
     // the predicate may reference them — via the pruning relation)
@@ -494,6 +549,9 @@ object DeltaLake {
       updates: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.upsertByKey: $path is column-mapped — the rewrite would stage " +
+        "logical-name files into a physical-name table")
     require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
     require(Versioned.nullabilityErased(snap.schema).json ==
       Versioned.nullabilityErased(updates.schema).json,

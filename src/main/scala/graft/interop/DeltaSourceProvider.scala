@@ -46,6 +46,11 @@ final class DeltaSourceProvider extends RelationProvider
       providerName: String, parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val snap = DeltaLake.snapshot(sqlContext.sparkSession, path)
+    // the tail reads data files by LOGICAL name; a column-mapped
+    // table's files carry physical names and would resolve to NULLs
+    require(snap.columnMapping.isEmpty,
+      s"delta source: $path is column-mapped (delta.columnMapping.mode=name) — " +
+        "streaming reads of mapped tables are not implemented; read it as a batch table")
     new org.apache.spark.sql.graft.DeltaStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
       schema.getOrElse(snap.schema), snap.partitionColumns,

@@ -114,3 +114,23 @@ final class GraftIcebergMoRRelation(
     (): Unit
   }
 }
+
+/** Fallback Delta batch relation for COLUMN-MAPPED (`name` mode)
+  * tables: a `TableScan` over [[graft.interop.DeltaLake.read]], which
+  * scans under the physical names and renames to the logical schema.
+  * SQL users see only logical names. Read-only — this library's writer
+  * stages logical-name files and must never touch a mapped table. */
+final class GraftDeltaMappedRelation(
+    outer: org.apache.spark.sql.SQLContext,
+    tablePath: String,
+    versionAsOf: Option[Long])
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.TableScan {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = outer
+  override val schema: StructType = graft.ingest.Versioned.nullabilityErased(
+    graft.interop.DeltaLake.snapshot(outer.sparkSession, tablePath, versionAsOf).schema)
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    graft.interop.DeltaLake.read(outer.sparkSession, tablePath, versionAsOf).rdd
+}

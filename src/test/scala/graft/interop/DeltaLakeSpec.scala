@@ -128,19 +128,90 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("reader protocol 3"))
   }
 
-  test("column-mapping tables are refused: physical names would misread as NULLs") {
+  test("column-mapped (name mode) tables read under physical names; id mode stays gated") {
+    import org.apache.spark.sql.types._
     import spark.implicits._
     val path = freshDir("delta_colmap")
-    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
-    // a foreign writer enables column mapping (rides minReaderVersion 2,
-    // so the protocol gate alone would NOT catch it)
-    val meta = """{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
-      """"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],""" +
-      """"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
-    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
-      meta.getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("columnMapping"))
+    // hand-craft a mapped table exactly as a foreign Delta writer lays
+    // it out: data files + partition dirs under PHYSICAL names...
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("col-aaa", "col-bbb", "col-ccc")
+      .repartition(2).write.partitionBy("col-ccc").parquet(path)
+    def fld(name: String, dt: DataType, phys: String, id: Int) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(fld("k", LongType, "col-aaa", 1),
+      fld("v", StringType, "col-bbb", 2), fld("p", LongType, "col-ccc", 3)))
+    // ...and a log whose schemaString carries the mapping metadata
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = scala.collection.mutable.ArrayBuffer(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    val metaNode = om.createObjectNode()
+    val md = metaNode.putObject("metaData")
+    md.put("id", "t1"); md.put("schemaString", logical.json)
+    md.putObject("format").put("provider", "parquet")
+    md.putArray("partitionColumns").add("p")
+    md.putObject("configuration").put("delta.columnMapping.mode", "name")
+    md.put("createdTime", 1L)
+    lines += om.writeValueAsString(metaNode)
+    for (pv <- Seq(10L, 20L)) {
+      val dir = Paths.get(path, s"col-ccc=$pv")
+      val dataFile = java.nio.file.Files.list(dir).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = s"col-ccc=$pv/${Paths.get(dataFile).getFileName}"
+      val addNode = om.createObjectNode()
+      val add = addNode.putObject("add")
+      add.put("path", rel)
+      add.putObject("partitionValues").put("col-ccc", pv.toString)
+      add.put("size", java.nio.file.Files.size(Paths.get(dataFile)))
+      add.put("modificationTime", 1L); add.put("dataChange", true)
+      lines += om.writeValueAsString(addNode)
+    }
+    java.nio.file.Files.createDirectories(Paths.get(path, "_delta_log"))
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // reads serve the LOGICAL schema with the physical files' values
+    val got = DeltaLake.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(got.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // partition pruning still fires (the log speaks physical throughout)
+    assert(got.filter(col("p") === 10L).count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"partition filter must prune a mapped table too ($kept/$total)")
+    // SQL surface shows logical names only
+    val sqlDf = spark.read.format("delta").load(path)
+    assert(sqlDf.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(sqlDf.filter(col("v") === "b").count() == 1L)
+    // every write path refuses: this writer stages logical-name files
+    val eW = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((9L, "z", 30L)).toDF("k", "v", "p"), path,
+        mode = SaveMode.Append))
+    assert(eW.getMessage.contains("column-mapped"))
+    val eD = intercept[IllegalArgumentException](
+      DeltaLake.deleteWhere(spark, path, col("k") === 1L))
+    assert(eD.getMessage.contains("column-mapped"))
+    // the streaming tail refuses too (it reads files by logical name)
+    val eS = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("delta").load(path).writeStream
+        .format("memory").queryName("delta_colmap_tail")
+        .option("checkpointLocation", freshDir("delta_colmap_cp")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(eS.getCause.getMessage.contains("column-mapped"))
+    // id mode (field-id resolution) stays loudly gated
+    val path2 = freshDir("delta_colmap_id")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path2)
+    val meta2 = om.createObjectNode()
+    val md2 = meta2.putObject("metaData")
+    md2.put("id", "t2"); md2.put("schemaString", logical.json)
+    md2.putObject("format").put("provider", "parquet")
+    md2.putArray("partitionColumns")
+    md2.putObject("configuration").put("delta.columnMapping.mode", "id")
+    java.nio.file.Files.write(Paths.get(path2, "_delta_log", f"${1L}%020d.json"),
+      (om.writeValueAsString(meta2) + "\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](DeltaLake.read(spark, path2).count())
+    assert(e2.getMessage.contains("field-id"))
   }
 
   test("format(\"delta\") serves the familiar read/write surface") {
