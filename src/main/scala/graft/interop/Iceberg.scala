@@ -75,7 +75,151 @@ object Iceberg {
   final case class Snapshot(
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
       schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef],
-      deletes: Seq[DeleteFileRef] = Nil)
+      deletes: Seq[DeleteFileRef] = Nil, partFields: Seq[PartField] = Nil)
+
+  // ------------------------------------------------ partition transforms
+
+  /** The spec's partition transforms (the subset this module
+    * implements; anything else fails loudly at read). */
+  sealed trait PartTransform { def spec: String }
+  case object TIdentity extends PartTransform { val spec = "identity" }
+  final case class TBucket(n: Int) extends PartTransform { def spec = s"bucket[$n]" }
+  final case class TTruncate(w: Int) extends PartTransform { def spec = s"truncate[$w]" }
+  case object TYear extends PartTransform { val spec = "year" }
+  case object TMonth extends PartTransform { val spec = "month" }
+  case object TDay extends PartTransform { val spec = "day" }
+  case object THour extends PartTransform { val spec = "hour" }
+
+  /** One partition-spec field: `name` is the partition FIELD name (the
+    * manifest partition record's key and the staging dir name), `source`
+    * the table column it derives from. For identity, name == source. */
+  final case class PartField(name: String, source: String, transform: PartTransform,
+      fieldId: Int) {
+    def isIdentity: Boolean = transform == TIdentity
+  }
+
+  private val bucketArgRe = """bucket\((\d+)\s*,\s*([^)\s]+)\)""".r
+  private val truncArgRe = """truncate\((\d+)\s*,\s*([^)\s]+)\)""".r
+  private val unaryArgRe = """(years|months|days|hours)\(([^)\s]+)\)""".r
+
+  /** Parse a writer-side `partitionBy` element: plain column names are
+    * identity; `bucket(N, c)` / `truncate(W, c)` / `days(c)` /
+    * `months(c)` / `years(c)` / `hours(c)` are the spec transforms. */
+  private def parsePartSpec(s: String): (String, PartTransform) = s.trim match {
+    case bucketArgRe(n, c) => (c, TBucket(n.toInt))
+    case truncArgRe(w, c) => (c, TTruncate(w.toInt))
+    case unaryArgRe(f, c) => (c, f match {
+      case "years" => TYear
+      case "months" => TMonth
+      case "days" => TDay
+      case "hours" => THour
+    })
+    case c => (c, TIdentity)
+  }
+
+  private val bucketSpecRe = """bucket\[(\d+)\]""".r
+  private val truncSpecRe = """truncate\[(\d+)\]""".r
+  private def parseTransformSpec(s: String): Option[PartTransform] = s match {
+    case "identity" => Some(TIdentity)
+    case bucketSpecRe(n) => Some(TBucket(n.toInt))
+    case truncSpecRe(w) => Some(TTruncate(w.toInt))
+    case "year" => Some(TYear)
+    case "month" => Some(TMonth)
+    case "day" => Some(TDay)
+    case "hour" => Some(THour)
+    case _ => None
+  }
+
+  /** The Avro/dir value type of a transform's OUTPUT (what the
+    * manifest partition record stores): identity/truncate keep the
+    * source type; everything else is the spec's int ordinal. */
+  private def transformResultType(t: PartTransform, sourceType: DataType): DataType = t match {
+    case TIdentity => sourceType
+    case TTruncate(_) => sourceType
+    case _ => IntegerType
+  }
+
+  /** The staging column that materializes a transform at write time —
+    * all builtin codegen expressions except bucket, which is the
+    * [[graft.functions.IcebergBucket]] codegen expression (spec
+    * murmur3). day/month/year/hour extract in the session time zone;
+    * this library pins its sessions to UTC (the spec's domain for
+    * timestamp transforms). */
+  private def transformColumn(c: String, dt: DataType,
+      t: PartTransform): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    t match {
+      case TIdentity => col(c)
+      case TBucket(n) =>
+        ColumnBridge.column(graft.functions.IcebergBucket(ColumnBridge.expression(col(c)), n))
+      case TTruncate(w) => dt match {
+        case _: StringType => substring(col(c), 1, w)
+        case _ => (col(c) - pmod(col(c), lit(w))).cast(dt)
+      }
+      case TYear => (year(col(c)) - 1970).cast(IntegerType)
+      case TMonth => ((year(col(c)) - 1970) * 12 + month(col(c)) - 1).cast(IntegerType)
+      case TDay => datediff(col(c).cast(DateType), to_date(lit("1970-01-01"))).cast(IntegerType)
+      case THour => floor(col(c).cast(LongType) / 3600L).cast(IntegerType)
+    }
+  }
+
+  /** The dir/manifest STRING a source-column literal must have
+    * transformed to — what [[relationForSnapshot]]'s transformKeep
+    * prunes with at planning time. Internal Catalyst literal domains:
+    * Int for int/date (days), Long for long/timestamps (micros),
+    * UTF8String for strings. None = cannot prune (never wrong, only
+    * conservative). */
+  private def expectedTransformValue(t: PartTransform, dt: DataType,
+      litVal: Any): Option[String] = {
+    import graft.functions.IcebergTransforms
+    if (litVal == null) return None
+    def asLong: Option[Long] = litVal match {
+      case i: java.lang.Integer => Some(i.toLong)
+      case l: java.lang.Long => Some(l)
+      case _ => None
+    }
+    def utcDateTime: Option[java.time.LocalDateTime] = (dt, litVal) match {
+      case (_: DateType, i: java.lang.Integer) =>
+        Some(java.time.LocalDate.ofEpochDay(i.toLong).atStartOfDay)
+      case (_: TimestampType | _: TimestampNTZType, l: java.lang.Long) =>
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(l.longValue, 1000000L),
+          (Math.floorMod(l.longValue, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    t match {
+      case TIdentity => None // identity prunes through the partition schema
+      case TBucket(n) => dt match {
+        case _: StringType => litVal match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            Some(IcebergTransforms.bucketUTF8(s, n).toString)
+          case _ => None
+        }
+        case _: IntegerType | _: LongType | _: DateType | _: TimestampType |
+            _: TimestampNTZType => asLong.map(IcebergTransforms.bucketLong(_, n).toString)
+        case _ => None
+      }
+      case TTruncate(w) => dt match {
+        case _: StringType => litVal match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            Some(s.substring(0, w).toString) // same code-point semantics as substring()
+          case _ => None
+        }
+        case _: IntegerType | _: LongType =>
+          asLong.map(v => (v - Math.floorMod(v, w.toLong)).toString)
+        case _ => None
+      }
+      case TYear => utcDateTime.map(d => (d.getYear - 1970).toString)
+      case TMonth => utcDateTime.map(d => ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toString)
+      case TDay => utcDateTime.map(d => d.toLocalDate.toEpochDay.toString)
+      case THour => asLong.flatMap(v => dt match {
+        case _: TimestampType | _: TimestampNTZType =>
+          Some(Math.floorDiv(v, 3600L * 1000000L).toString)
+        case _ => None
+      })
+    }
+  }
 
   // ------------------------------------------------------------ layout
 
@@ -310,16 +454,24 @@ object Iceberg {
     }.toSeq)
   }
 
-  private def partColsFromMeta(meta: JsonNode): Seq[(String, Int)] = {
+  private def partFieldsFromMeta(meta: JsonNode): Seq[PartField] = {
     val specId = meta.get("default-spec-id").asInt
     val spec = iterator(meta.get("partition-specs"))
       .find(s => s.get("spec-id").asInt == specId)
       .getOrElse(throw new IllegalStateException("Iceberg: default-spec-id not in partition-specs"))
+    val curSchemaId = meta.get("current-schema-id").asInt
+    val idToName: Map[Int, String] = {
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curSchemaId).get
+      iterator(sn.get("fields")).map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    }
     iterator(spec.get("fields")).map { f =>
-      require(f.get("transform").asText == "identity",
-        s"Iceberg: only identity partition transforms are implemented " +
-          s"(found ${f.get("transform").asText})")
-      (f.get("name").asText, f.get("field-id").asInt)
+      val tSpec = f.get("transform").asText
+      val t = parseTransformSpec(tSpec).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg: partition transform '$tSpec' is not implemented by this reader " +
+          "(identity, bucket[N], truncate[W], year, month, day, hour are)"))
+      val srcId = f.get("source-id").asInt
+      PartField(f.get("name").asText,
+        idToName.getOrElse(srcId, f.get("name").asText), t, f.get("field-id").asInt)
     }.toSeq
   }
 
@@ -364,7 +516,10 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
     val schema = schemaFromMeta(meta)
-    val partCols = partColsFromMeta(meta).map(_._1)
+    val partFields = partFieldsFromMeta(meta)
+    // identity fields surface as read-back columns (dir-injected); the
+    // transform fields are layout/pruning metadata only
+    val partCols = partFields.filter(_.isIdentity).map(_.name)
     val wantId = snapshotId.getOrElse {
       require(meta.hasNonNull("current-snapshot-id"),
         s"Iceberg: $path has no current snapshot")
@@ -424,8 +579,10 @@ object Iceberg {
             .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           if (mContent == 0) {
             val part = df.get("partition").asInstanceOf[GenericRecord]
-            val pv: Map[String, Option[String]] = partCols.map { c =>
-              c -> Option(part.get(c)).map(renderPartitionValue(schema, c, _))
+            val pv: Map[String, Option[String]] = partFields.map { f =>
+              f.name -> Option(
+                if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
+                .map(renderTransformValue(schema, f, _))
             }.toMap
             files += DataFileRef(df.get("file_path").toString, pv,
               df.get("record_count").asInstanceOf[Long],
@@ -442,7 +599,8 @@ object Iceberg {
       }
     }
     Snapshot(wantId, snapNode.get("sequence-number").asLong,
-      snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq)
+      snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
+      partFields)
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -453,6 +611,18 @@ object Iceberg {
       case _: TimestampType | _: TimestampNTZType =>
         java.time.Instant.EPOCH.plus(v.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
           .toString.stripSuffix("Z").replace("T", " ")
+      case _ => v.toString
+    }
+
+  /** A partition record value in ITS FIELD's domain: identity values
+    * render through the source column's type; transform outputs
+    * (bucket/day/... ints, truncated values) render verbatim — the same
+    * strings the staging dirs carry, so planning-time compares are
+    * byte-equal. */
+  private def renderTransformValue(schema: StructType, f: PartField, v: Any): String =
+    f.transform match {
+      case TIdentity => renderPartitionValue(schema, f.source, v)
+      case TTruncate(_) => renderPartitionValue(schema, f.source, v)
       case _ => v.toString
     }
 
@@ -551,9 +721,12 @@ object Iceberg {
     val entries = s.files.map { f =>
       val abs = new java.net.URI(f.path).getPath
       require(abs.startsWith(rootPrefix), s"Iceberg: foreign data file ${f.path}")
-      val partDir = s.partitionColumns.map { c =>
-        val v = f.partitionValues.getOrElse(c, None)
-        c + "=" + v.map(Hive.escapePathName).getOrElse(Hive.DefaultPartition)
+      // ALL partition fields land in the dir string: identity fields
+      // feed the partition schema's typed injection, transform fields
+      // are what transformKeep prunes on
+      val partDir = s.partFields.map { pf =>
+        val v = f.partitionValues.getOrElse(pf.name, None)
+        pf.name + "=" + v.map(Hive.escapePathName).getOrElse(Hive.DefaultPartition)
       }.mkString("/")
       // decoded manifest bounds → the native per-file stats JSON, so
       // value predicates skip whole Iceberg files at planning like on
@@ -578,11 +751,48 @@ object Iceberg {
         stats = stats)
     }
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
-      classic, path, s.snapshotId, entries, s.schema, s.partitionColumns)
+      classic, path, s.snapshotId, entries, s.schema, s.partitionColumns,
+      transformKeep = transformKeepFn(s))
     val dataSchema =
       StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
     new org.apache.spark.sql.graft.GraftIcebergRelation(
       classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
+  }
+
+  /** Planning-time pruning for NON-IDENTITY partition fields: an
+    * equality data filter on a transform's source column maps through
+    * the transform (the same spec functions the writer used) to the
+    * expected partition value, and files recording a different value
+    * are dropped before the scan. Only removes what the exact
+    * predicate could not keep; any unmappable shape keeps the file. */
+  private def transformKeepFn(s: Snapshot): Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Versioned.ManifestEntry => Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, Literal}
+    val tFields = s.partFields.filterNot(_.isIdentity)
+    if (tFields.isEmpty) (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => _ => true
+    else { filters =>
+      val eqs: Map[String, Any] = filters.collect {
+        case EqualTo(a: AttributeReference, l: Literal) if l.value != null => a.name -> l.value
+        case EqualTo(l: Literal, a: AttributeReference) if l.value != null => a.name -> l.value
+      }.toMap
+      val wanted: Seq[(String, String)] = tFields.flatMap { f =>
+        eqs.get(f.source).flatMap(v =>
+          expectedTransformValue(f.transform, s.schema(f.source).dataType, v))
+          .map(f.name -> _)
+      }
+      if (wanted.isEmpty) (_: Versioned.ManifestEntry) => true
+      else { e =>
+        val kv: Map[String, String] = e.partDir.split("/").iterator
+          .filter(_.contains('=')).map { seg =>
+            val i = seg.indexOf('=')
+            seg.take(i) -> Hive.unescapePathName(seg.drop(i + 1))
+          }.toMap
+        // a NULL partition value can never equal a literal; a missing
+        // field (foreign layout quirk) conservatively keeps the file
+        wanted.forall { case (n, v) => kv.get(n).forall(rec =>
+          rec != Hive.DefaultPartition && rec == v) }
+      }
+    }
   }
 
   // ------------------------------------------------------------- writer
@@ -591,7 +801,15 @@ object Iceberg {
     * Overwrite (and any first write) publishes a manifest list holding
     * only the new manifest; Append carries every prior manifest
     * untouched and adds one — O(new files) metadata, the spec's fast
-    * append. */
+    * append.
+    *
+    * `partitionBy` elements are either plain column names (identity)
+    * or the spec's transforms — `bucket(N, c)`, `truncate(W, c)`,
+    * `years(c)`, `months(c)`, `days(c)`, `hours(c)`. Transform fields
+    * cluster the layout and prune equality predicates on the source
+    * column at planning time; unlike identity fields, their source
+    * columns stay IN the data files (the transform value is metadata,
+    * not a column). */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
@@ -602,20 +820,38 @@ object Iceberg {
     val priorVs = metaVersions(fs, root)
     val prior: Option[(Long, JsonNode)] =
       if (priorVs.isEmpty) None else Some(readMetadata(fs, root))
+    def parseRequested(): Seq[PartField] = partitionBy.zipWithIndex.map { case (s0, i) =>
+      val (src, t) = parsePartSpec(s0)
+      require(df.schema.fieldNames.contains(src),
+        s"Iceberg.write: partition source column '$src' is not in the frame")
+      val name = t match {
+        case TIdentity => src
+        case TBucket(_) => s"${src}_bucket"
+        case TTruncate(_) => s"${src}_trunc"
+        case TYear => s"${src}_year"
+        case TMonth => s"${src}_month"
+        case TDay => s"${src}_day"
+        case THour => s"${src}_hour"
+      }
+      PartField(name, src, t, 1000 + i)
+    }
     prior.foreach { case (_, m) =>
       if (mode == SaveMode.Append) {
-        val partCols = partColsFromMeta(m).map(_._1)
-        val effective = if (partitionBy.isEmpty) partCols else partitionBy
-        require(effective == partCols,
-          s"Iceberg.write: append partitioning $effective differs from the table's $partCols")
+        val tableFields = partFieldsFromMeta(m)
+        if (partitionBy.nonEmpty) {
+          val req = parseRequested().map(f => (f.name, f.source, f.transform))
+          require(req == tableFields.map(f => (f.name, f.source, f.transform)),
+            s"Iceberg.write: append partitioning $partitionBy differs from the table's " +
+              tableFields.map(f => s"${f.transform.spec}(${f.source})").mkString(", "))
+        }
         require(Versioned.nullabilityErased(schemaFromMeta(m)).json ==
           Versioned.nullabilityErased(df.schema).json,
           "Iceberg.write: append schema differs from the table schema")
       }
     }
-    val partCols: Seq[String] = prior match {
-      case Some((_, m)) if mode == SaveMode.Append => partColsFromMeta(m).map(_._1)
-      case _ => partitionBy
+    val partFields: Seq[PartField] = prior match {
+      case Some((_, m)) if mode == SaveMode.Append => partFieldsFromMeta(m)
+      case _ => parseRequested()
     }
     val fieldIds: Map[String, Int] = prior match {
       case Some((_, m)) =>
@@ -625,7 +861,7 @@ object Iceberg {
       case None => df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     }
 
-    val moved = stageDataFiles(spark, df, fs, root, partCols, fieldIds)
+    val moved = stageWithTransforms(spark, df, fs, root, partFields, fieldIds)
 
     // ---- metadata: ids, sequence numbers, snapshot
     val now = System.currentTimeMillis()
@@ -633,8 +869,8 @@ object Iceberg {
     val lastSeq = prior.map(_._2.get("last-sequence-number").asLong).getOrElse(0L)
     val seq = lastSeq + 1
     val newMetaV = prior.map(_._1 + 1).getOrElse(1L)
-    val partFieldTriples: Seq[(String, DataType, Int)] = partCols.zipWithIndex.map {
-      case (c, i) => (c, df.schema(c).dataType, 1000 + i)
+    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
+      (f.name, transformResultType(f.transform, df.schema(f.source).dataType), f.fieldId)
     }
 
     // ---- one new manifest with the added files
@@ -696,12 +932,12 @@ object Iceberg {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     val specFields = spec0.putArray("fields")
-    partFieldTriples.foreach { case (c, _, fid) =>
+    partFields.foreach { f =>
       val pf = specFields.addObject()
-      pf.put("name", c); pf.put("transform", "identity")
-      pf.put("source-id", fieldIds(c)); pf.put("field-id", fid)
+      pf.put("name", f.name); pf.put("transform", f.transform.spec)
+      pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
     }
-    meta.put("last-partition-id", partFieldTriples.lastOption.map(_._3).getOrElse(999))
+    meta.put("last-partition-id", partFields.lastOption.map(_.fieldId).getOrElse(999))
     meta.put("default-sort-order-id", 0)
     val orders = meta.putArray("sort-orders")
     val order0 = orders.addObject()
@@ -805,8 +1041,9 @@ object Iceberg {
     // ---- one DELETE manifest (content=1) naming the position-delete file
     val seq = meta.get("last-sequence-number").asLong + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    val partFieldTriples: Seq[(String, DataType, Int)] =
-      s.partitionColumns.zipWithIndex.map { case (c, i) => (c, s.schema(c).dataType, 1000 + i) }
+    val partFieldTriples: Seq[(String, DataType, Int)] = s.partFields.map { f =>
+      (f.name, transformResultType(f.transform, s.schema(f.source).dataType), f.fieldId)
+    }
     val entrySchema = manifestEntrySchema(partFieldTriples)
     val r2Schema = entrySchema.getField("data_file").schema()
     val r102Schema = r2Schema.getField("partition").schema()
@@ -972,19 +1209,19 @@ object Iceberg {
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
     val schema = schemaFromMeta(meta)
-    val partCols = partColsFromMeta(meta).map(_._1)
+    val partFields = partFieldsFromMeta(meta)
     val fieldIds: Map[String, Int] = {
       val curId = meta.get("current-schema-id").asInt
       val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
       iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
     }
-    val partFieldTriples: Seq[(String, DataType, Int)] = partCols.zipWithIndex.map {
-      case (c, i) => (c, schema(c).dataType, 1000 + i)
+    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
+      (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
     }
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val seq = meta.get("last-sequence-number").asLong + 1
-    val added = newData.map(df => stageDataFiles(spark, df, fs, root, partCols, fieldIds))
-      .getOrElse(Nil)
+    val added = newData.map(df =>
+      stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(Nil)
 
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
@@ -1115,7 +1352,7 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
     val schema = schemaFromMeta(meta)
-    val partCols = partColsFromMeta(meta).map(_._1)
+    val partFields = partFieldsFromMeta(meta)
     val snaps = iterator(meta.get("snapshots")).toSeq
       .filter(s => s.get("sequence-number").asLong > fromSeq &&
         s.get("sequence-number").asLong <= toSeq)
@@ -1136,8 +1373,10 @@ object Iceberg {
             if (e.get("status").asInstanceOf[Int] == 1) { // ADDED
               val df = e.get("data_file").asInstanceOf[GenericRecord]
               val part = df.get("partition").asInstanceOf[GenericRecord]
-              val pv: Map[String, Option[String]] = partCols.map { c =>
-                c -> Option(part.get(c)).map(renderPartitionValue(schema, c, _))
+              val pv: Map[String, Option[String]] = partFields.map { f =>
+                f.name -> Option(
+                  if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
+                  .map(renderTransformValue(schema, f, _))
               }.toMap
               files += DataFileRef(df.get("file_path").toString, pv,
                 df.get("record_count").asInstanceOf[Long],
@@ -1278,6 +1517,24 @@ object Iceberg {
     val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
     (manifestPath, manifestLen)
+  }
+
+  /** [[stageDataFiles]] under a partition spec that may carry
+    * transforms: non-identity fields materialize as staging columns
+    * (codegen expressions, dropped from the data files by partitionBy —
+    * the transform value is layout metadata, not a column; the SOURCE
+    * columns stay in the files). Their parquet-field-id slots reuse the
+    * partition field ids, which never reach a data file. */
+  private def stageWithTransforms(spark: SparkSession, df: DataFrame, fs: FileSystem,
+      root: HPath, partFields: Seq[PartField],
+      fieldIds: Map[String, Int]): Seq[DataFileRef] = {
+    val tFields = partFields.filterNot(_.isIdentity)
+    val staged = tFields.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f.name,
+        transformColumn(f.source, df.schema(f.source).dataType, f.transform))
+    }
+    stageDataFiles(spark, staged, fs, root, partFields.map(_.name),
+      fieldIds ++ tFields.map(f => f.name -> f.fieldId))
   }
 
   /** Stage `df` as parquet data files with parquet FIELD IDS (spec

@@ -1979,6 +1979,49 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S40: Iceberg BUCKET partition transform — the spec's murmur3
+    * hash layout (`bucket[16]` over `o_custkey`, vectors locked in
+    * IcebergTransformsSpec) written from `partitionBy("bucket(16, c)")`
+    * and pruned at Catalyst planning time: an equality predicate on
+    * the SOURCE column maps through the same transform to its bucket,
+    * and every other bucket's files never reach the scan (require'd
+    * via lastPlanned). This is the layout that makes point lookups on
+    * a uniform key O(1/N of the table) at 100 TB, where min/max
+    * stats are useless. Oracle: the same probe straight off `orders`. */
+  val s40IcebergBucket = QueryDef(
+    "s40_iceberg_bucket",
+    (s, d) => {
+      val path = tmp("s40_ice_bucket", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      I.write(orders, path, partitionBy = Seq("bucket(16, o_custkey)"))
+      val snap = I.snapshot(s, path)
+      require(snap.partitionColumns.isEmpty && snap.partFields.exists(!_.isIdentity),
+        "s40: the bucket field must be layout metadata, not a column")
+      val k = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val out = I.read(s, path)
+        .filter(col("o_custkey") === k)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_custkey")
+      require(out.count() > 0, "s40: empty result")
+      val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+      require(kept * 8 <= total,
+        s"s40: the equality probe must plan only its bucket's files ($kept/$total)")
+      out
+    },
+    Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -1986,5 +2029,5 @@ object IngestOps extends QueryModule {
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
-    s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete)
+    s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket)
 }

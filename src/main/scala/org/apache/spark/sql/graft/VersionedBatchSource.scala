@@ -50,6 +50,13 @@ final class VersionedFileIndex(
     entries: Seq[Versioned.ManifestEntry],
     fullSchema: StructType,
     partCols: Seq[String],
+    // extra per-query file predicate derived from the data filters —
+    // the seam Iceberg's non-identity partition transforms prune
+    // through (bucket/truncate/day values live in the entry's partDir,
+    // not in any data column's stats). Must only REMOVE files the
+    // exact predicate could not keep; default keeps everything.
+    transformKeep: Seq[Expression] => Versioned.ManifestEntry => Boolean =
+      (_: Seq[Expression]) => (_: Versioned.ManifestEntry) => true,
 ) extends FileIndex {
 
   private val root = new HPath(tablePath)
@@ -235,13 +242,15 @@ final class VersionedFileIndex(
     }
     val bounds = statsBounds(dataFilters).flatMap { case (c, b) => close(c, b).map(c -> _) }
     val probes = bloomProbes(dataFilters)
+    val tKeep = transformKeep(dataFilters)
     val kept = statuses
       .groupBy(_._1.partDir).toSeq.sortBy(_._1)
       .map { case (dir, es) => (partValues(dir), es) }
       .filter { case (values, _) => partPred.forall(_.eval(values)) }
       .map { case (values, es) =>
         val keep = es.filter { case (e, _) =>
-          bounds.forall { case (c, (lo, hi)) => Versioned.statsMayOverlap(e, c, lo, hi) } &&
+          tKeep(e) &&
+            bounds.forall { case (c, (lo, hi)) => Versioned.statsMayOverlap(e, c, lo, hi) } &&
             probes.forall { case (c, h) =>
               bloomsFor(c).get(e.relPath).forall(_.mightContainLong(h))
             }

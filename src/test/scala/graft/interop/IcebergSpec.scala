@@ -80,17 +80,17 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     val path = freshDir("ice_gate")
     Iceberg.write(Seq((1L, "a", "F")).toDF("k", "v", "status"),
       path, partitionBy = Seq("status"))
-    // a foreign writer's non-identity transform must be refused, not misread
+    // a foreign writer's UNKNOWN transform must be refused, not misread
     val mf = Paths.get(path, "metadata", "v00001.metadata.json")
     // drop the local-FS checksum sidecar so the doctored bytes read back
     Files.deleteIfExists(Paths.get(path, "metadata", ".v00001.metadata.json.crc"))
     val doctored = new String(Files.readAllBytes(mf), "UTF-8")
-      .replace("\"identity\"", "\"bucket[16]\"")
+      .replace("\"identity\"", "\"zorder[4]\"")
     Files.write(mf, doctored.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](Iceberg.read(spark, path).count())
-    assert(e.getMessage.contains("identity partition transforms"))
+    assert(e.getMessage.contains("not implemented by this reader"))
     // unknown snapshot id
-    Files.write(mf, doctored.replace("\"bucket[16]\"", "\"identity\"").getBytes("UTF-8"))
+    Files.write(mf, doctored.replace("\"zorder[4]\"", "\"identity\"").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](
       Iceberg.read(spark, path, snapshotId = Some(42L)).count())
     assert(e2.getMessage.contains("snapshot 42"))
@@ -299,6 +299,67 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 163L)
     // time travel to the pre-delete snapshot still serves every row
     assert(Iceberg.read(spark, path, snapshotId = Some(before.snapshotId)).count() == 200L)
+  }
+
+  test("bucket/truncate/day partition transforms: spec layout, equality pruning, full round-trip") {
+    val path = freshDir("ice_bucket")
+    val df = spark.range(0, 1000).coalesce(1)
+      .select(col("id").as("k"), concat(lit("u"), format_string("%04d", col("id"))).as("name"),
+        (col("id") % 7).as("v"))
+    Iceberg.write(df, path, partitionBy = Seq("bucket(8, k)"))
+    // the spec metadata records the transform, and the SOURCE column
+    // stays in the data files (unlike identity partitioning)
+    val metaText = new String(Files.readAllBytes(
+      Paths.get(path, "metadata", "v00001.metadata.json")), "UTF-8")
+    assert(metaText.contains("\"bucket[8]\""))
+    val snap = Iceberg.snapshot(spark, path)
+    assert(snap.partitionColumns.isEmpty, "a bucket field must not surface as a column")
+    assert(snap.files.size == 8, s"one file per bucket expected, got ${snap.files.size}")
+    val full = Iceberg.read(spark, path)
+    assert(full.columns.toSeq == Seq("k", "name", "v"))
+    assert(full.count() == 1000L)
+    // dir values match the spec's murmur3 exactly
+    val expected = graft.functions.IcebergTransforms.bucketLong(42L, 8)
+    val hit = snap.files.find(_.partitionValues("k_bucket").contains(expected.toString))
+    assert(hit.nonEmpty, "the bucket dir for k=42 must exist under the spec hash")
+    // equality on the source column prunes to ONE bucket at planning
+    assert(Iceberg.read(spark, path).filter(col("k") === 42L).count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(total == 8 && kept == 1,
+      s"k=42 must plan exactly its bucket's file ($kept/$total)")
+    // string bucket pruning too — and appends keep the spec
+    Iceberg.write(spark.range(1000, 1100).coalesce(1)
+      .select(col("id").as("k"), concat(lit("u"), format_string("%04d", col("id"))).as("name"),
+        (col("id") % 7).as("v")), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).count() == 1100L)
+    assert(Iceberg.read(spark, path).filter(col("k") === 1050L).count() == 1L)
+    val (kept2, total2) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept2 <= 2 && total2 == 16,
+      s"after the append, k=1050 must plan at most one bucket per snapshot ($kept2/$total2)")
+
+    // truncate(100, k): range files named by their lower bound
+    val p2 = freshDir("ice_trunc")
+    Iceberg.write(df.coalesce(1), p2, partitionBy = Seq("truncate(100, k)"))
+    assert(Iceberg.read(spark, p2).filter(col("k") === 742L).count() == 1L)
+    val (keptT, totalT) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(p2).get
+    assert(totalT == 10 && keptT == 1, s"k=742 must plan only the 700-bucket ($keptT/$totalT)")
+
+    // days(ts): calendar layout off a timestamp column, UTC domain
+    val p3 = freshDir("ice_days")
+    val events = spark.range(0, 96).coalesce(1)
+      .select(col("id").as("n"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).cast("timestamp") +
+          org.apache.spark.sql.functions.expr("make_interval(0, 0, 0, 0, id * 6, 0, 0)")).as("ts"))
+    Iceberg.write(events, p3, partitionBy = Seq("days(ts)"))
+    val snap3 = Iceberg.snapshot(spark, p3)
+    val dayOrdinals = snap3.files.flatMap(_.partitionValues("ts_day")).distinct.sorted
+    val mar1 = java.time.LocalDate.parse("2024-03-01").toEpochDay
+    assert(dayOrdinals == (mar1 until mar1 + 24).map(_.toString).sorted,
+      "day ordinals must be the spec's days-from-epoch ints")
+    assert(Iceberg.read(spark, p3)
+      .filter(col("ts") === java.sql.Timestamp.valueOf("2024-03-05 12:00:00")).count() == 1L)
+    val (keptD, totalD) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(p3).get
+    assert(keptD == 1 && totalD == 24, s"a ts equality must plan one day file ($keptD/$totalD)")
   }
 
   test("copy-on-write DELETE and MERGE rewrite only the touched files") {
