@@ -53,16 +53,29 @@ object DeltaLake {
   private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
   private val LogDirName = "_delta_log"
   private val LastCheckpointName = "_last_checkpoint"
+  /** Reader features this from-spec reader implements (protocol 3
+    * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
+    * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping", "timestampNtz")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
 
+  /** A `deletionVector` descriptor exactly as the add action records
+    * it: `storageType` "u" (uuid file name), "p" (absolute path), or
+    * "i" (inline z85); `offset` points at the blob's length field
+    * inside the DV file. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
   /** One live data file of a snapshot. `partitionValues` uses None for
     * a null partition value (the spec's JSON null). `stats` is the raw
-    * Delta stats JSON, if recorded. */
+    * Delta stats JSON, if recorded. `dv` is the file's outstanding
+    * deletion vector, if any. */
   final case class AddFile(
       path: String, partitionValues: Map[String, Option[String]],
-      size: Long, modificationTime: Long, stats: Option[String])
+      size: Long, modificationTime: Long, stats: Option[String],
+      dv: Option[DvDescriptor] = None)
 
   /** A reconstructed snapshot: the schema and partition columns of the
     * latest `metaData` at-or-below `version`, and the active file set.
@@ -74,6 +87,7 @@ object DeltaLake {
       version: Long, schema: StructType, partitionColumns: Seq[String],
       files: Seq[AddFile], columnMapping: Map[String, String] = Map.empty) {
     def physicalName(c: String): String = columnMapping.getOrElse(c, c)
+    def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
   }
 
   // ---------------------------------------------------------------- paths
@@ -126,10 +140,16 @@ object DeltaLake {
     var partCols: Seq[String] = Nil
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    def gateProtocol(minReader: Int): Unit =
-      require(minReader <= 2,
-        s"DeltaLake: $path requires reader protocol $minReader (reader features such as " +
-          "deletion vectors / v2 checkpoints) — this from-spec reader implements protocol 2")
+    def gateProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
+      if (minReader >= 3) {
+        // table-features protocol: every listed reader feature must be
+        // one this reader implements — anything else is a loud refusal
+        val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+        require(minReader == 3 && readerFeatures.nonEmpty && unsupported.isEmpty,
+          s"DeltaLake: $path requires reader protocol $minReader with features " +
+            s"[${readerFeatures.mkString(", ")}] — this from-spec reader implements " +
+            s"[${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}]")
+      }
 
     // COLUMN MAPPING rides minReaderVersion 2, so the protocol gate
     // alone would let a mapped table through — and its data files use
@@ -147,8 +167,8 @@ object DeltaLake {
     }
 
     def applyAdd(p: String, pv: Map[String, Option[String]], size: Long, mod: Long,
-        stats: Option[String]): Unit =
-      files(p) = AddFile(p, pv, size, mod, stats)
+        stats: Option[String], dv: Option[DvDescriptor]): Unit =
+      files(p) = AddFile(p, pv, size, mod, stats, dv)
 
     // 1) newest checkpoint at-or-below the target
     val cp = cpVs.filter(_ <= target).lastOption
@@ -156,8 +176,15 @@ object DeltaLake {
       val rows = spark.read.parquet(checkpointFile(root, c).toString)
       val cols = rows.columns.toSet
       rows.collect().foreach { r =>
-        if (cols("protocol") && r.getAs[Row]("protocol") != null)
-          gateProtocol(r.getAs[Row]("protocol").getAs[Int]("minReaderVersion"))
+        if (cols("protocol") && r.getAs[Row]("protocol") != null) {
+          val p = r.getAs[Row]("protocol")
+          val feats =
+            if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(
+                p.fieldIndex("readerFeatures")))
+              p.getAs[scala.collection.Seq[String]]("readerFeatures").toSeq
+            else Nil
+          gateProtocol(p.getAs[Int]("minReaderVersion"), feats)
+        }
         if (cols("metaData") && r.getAs[Row]("metaData") != null) {
           val m = r.getAs[Row]("metaData")
           val conf = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
@@ -170,8 +197,17 @@ object DeltaLake {
           val a = r.getAs[Row]("add")
           val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
             .map(_.toMap.map { case (k, v) => k -> Option(v) }).getOrElse(Map.empty)
+          val dv =
+            if (a.schema.fieldNames.contains("deletionVector") &&
+                !a.isNullAt(a.fieldIndex("deletionVector"))) {
+              val d = a.getAs[Row]("deletionVector")
+              Some(DvDescriptor(d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
+                d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
+            } else None
           applyAdd(a.getAs[String]("path"), pv, a.getAs[Long]("size"),
-            a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")))
+            a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv)
         }
         if (cols("remove") && r.getAs[Row]("remove") != null)
           files.remove(r.getAs[Row]("remove").getAs[String]("path")): Unit
@@ -188,7 +224,11 @@ object DeltaLake {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = Json.readTree(line)
-        Option(n.get("protocol")).foreach(p => gateProtocol(p.get("minReaderVersion").asInt))
+        Option(n.get("protocol")).foreach { p =>
+          val feats = Option(p.get("readerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+          gateProtocol(p.get("minReaderVersion").asInt, feats)
+        }
         Option(n.get("metaData")).foreach { m =>
           gateColumnMapping(Option(m.get("configuration"))
             .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText))
@@ -202,9 +242,14 @@ object DeltaLake {
               e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
             }.toMap
           }.getOrElse(Map.empty[String, Option[String]])
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DvDescriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+          }
           applyAdd(decodePath(a.get("path").asText), pv, a.get("size").asLong,
             Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
         }
         Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
       }
@@ -277,9 +322,14 @@ object DeltaLake {
     val adds = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val n = Json.readTree(line)
-      Option(n.get("protocol")).foreach(p =>
-        require(p.get("minReaderVersion").asInt <= 2,
-          s"DeltaLake: $path requires reader protocol ${p.get("minReaderVersion").asInt}"))
+      Option(n.get("protocol")).foreach { p =>
+        val mr = p.get("minReaderVersion").asInt
+        val feats = Option(p.get("readerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        require(mr <= 2 || (mr == 3 && feats.nonEmpty &&
+            feats.forall(SupportedReaderFeatures.contains)),
+          s"DeltaLake: $path requires reader protocol $mr [${feats.mkString(", ")}]")
+      }
       if (n.has("remove")) hasRemoves = true
       Option(n.get("add")).foreach { a =>
         val pv = Option(a.get("partitionValues")).map { o =>
@@ -287,9 +337,14 @@ object DeltaLake {
             e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
           }.toMap
         }.getOrElse(Map.empty[String, Option[String]])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DvDescriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+            d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+        }
         adds += AddFile(decodePath(a.get("path").asText), pv, a.get("size").asLong,
           Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-          Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
       }
     }
     (adds.toSeq, hasRemoves)
@@ -342,14 +397,63 @@ object DeltaLake {
     * partition values and stats use them too — and renames to the
     * logical schema on top (Catalyst pushes filters through the
     * aliases, so pruning still fires). */
+  private val FileMetaCol = "__delta_file"
+  private val PosMetaCol = "__delta_pos"
+
   def read(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
     val s = snapshot(spark, path, versionAsOf)
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
-    if (s.columnMapping.isEmpty) base
-    else base.select(s.schema.fields.toIndexedSeq.map(f =>
+    // outstanding deletion vectors apply as ONE broadcast row-index
+    // filter over the scan's (file, row position) metadata — no join,
+    // the same shape as the native format's vectors
+    val undeleted =
+      if (!s.hasDeletionVectors) base
+      else {
+        val dv = loadDvMap(spark, path, s)
+        base.select(col("*"),
+          col("_metadata.file_path").as(FileMetaCol),
+          col("_metadata.row_index").as(PosMetaCol))
+          .filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DvContains(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+              org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
+          .drop(FileMetaCol, PosMetaCol)
+      }
+    if (s.columnMapping.isEmpty) undeleted
+    else undeleted.select(s.schema.fields.toIndexedSeq.map(f =>
       col(s.physicalName(f.name)).as(f.name)): _*)
+  }
+
+  /** Load every outstanding deletion vector of `s` into one merged
+    * [[graft.functions.DvMap]] — O(delete debt) driver metadata, the
+    * same bound Delta's own in-memory DVs carry. All three descriptor
+    * storage shapes resolve: "i" inline z85, "p" absolute path, "u"
+    * uuid-named file under the table root. */
+  private def loadDvMap(spark: SparkSession, path: String,
+      s: Snapshot): graft.functions.DvMap = {
+    val (fs, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val raw: Seq[(String, Long, Long)] = s.files.flatMap { f =>
+      f.dv.toSeq.flatMap { d =>
+        val bytes = d.storageType match {
+          case "i" => DeltaDv.z85Decode(d.pathOrInlineDv)
+          case "p" => DeltaDv.readBlob(fs, new HPath(d.pathOrInlineDv),
+            d.offset.getOrElse(1), d.sizeInBytes)
+          case "u" => DeltaDv.readBlob(fs, DeltaDv.uuidPath(root, d.pathOrInlineDv),
+            d.offset.getOrElse(1), d.sizeInBytes)
+          case other => throw new IllegalArgumentException(
+            s"DeltaLake: $path: unknown deletionVector storageType '$other'")
+        }
+        val positions = DeltaDv.deserialize(bytes)
+        require(positions.length.toLong == d.cardinality,
+          s"DeltaLake: $path: deletion vector of ${f.path} decodes ${positions.length} " +
+            s"positions but declares cardinality ${d.cardinality}")
+        positions.toSeq.map(p => (f.path, p, 1L))
+      }
+    }
+    graft.functions.DvMap(rootPrefix, raw)
   }
 
   /** The [[org.apache.spark.sql.sources.BaseRelation]] behind [[read]]
@@ -360,7 +464,10 @@ object DeltaLake {
   private[graft] def relationFor(spark: SparkSession, path: String,
       versionAsOf: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
     val s = snapshot(spark, path, versionAsOf)
-    if (s.columnMapping.nonEmpty) {
+    // column-mapped and DV-carrying snapshots both need work on top of
+    // the raw scan (rename / row-index filter) — serve them through the
+    // TableScan fallback over read()
+    if (s.columnMapping.nonEmpty || s.hasDeletionVectors) {
       val classic = spark.asInstanceOf[ClassicSession]
       new org.apache.spark.sql.graft.GraftDeltaMappedRelation(
         classic.sqlContext, path, versionAsOf)
@@ -489,6 +596,110 @@ object DeltaLake {
     info.put("operation", if (mode == SaveMode.Append) "WRITE" else "CREATE OR REPLACE TABLE AS SELECT")
     lines += Json.writeValueAsString(ci)
 
+    val out = try fs.create(jsonFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"DeltaLake: version $v of $path was committed concurrently", e)
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
+    v
+  }
+
+  /** MERGE-ON-READ DELETE — Delta's DELETION VECTOR path: the matching
+    * rows' per-file row indexes are serialized as portable
+    * RoaringBitmapArrays ([[DeltaDv]]) into ONE `deletion_vector_*.bin`
+    * file, and the commit re-adds each touched file with a
+    * `deletionVector` descriptor (`remove` + `add` of the same path,
+    * zero data files rewritten). The table upgrades to the
+    * table-features protocol (3/7, `deletionVectors`). A file with an
+    * existing vector gets a SUPERSEDING vector holding the union of
+    * old and new positions, per the protocol. Discovery reads the
+    * current materialized snapshot, so already-deleted rows are never
+    * re-recorded; the bitmap build is O(delete debt) driver memory —
+    * the same bound Delta's own DV writer carries. Returns the
+    * committed version, or the current one when nothing matched. */
+  def deleteMergeOnRead(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val (fs, root) = Writers.fsFor(path)
+    val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.deleteMergeOnRead: $path is column-mapped — not supported by this writer")
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val classic = spark.asInstanceOf[ClassicSession]
+    val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap))
+      .select(col("*"),
+        col("_metadata.file_path").as(FileMetaCol),
+        col("_metadata.row_index").as(PosMetaCol))
+    val live =
+      if (!snap.hasDeletionVectors) base
+      else base.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DvContains(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
+          loadDvMap(spark, path, snap)))))
+    val q = rootPrefix.replace("'", "''")
+    val matches = live.filter(cond)
+      .select(expr(
+        s"substring($FileMetaCol, instr($FileMetaCol, '$q') + ${rootPrefix.length})")
+        .as("__rel"), col(PosMetaCol).as("__pos"))
+      .collect()
+    if (matches.isEmpty) return snap.version
+    val byFile: Map[String, Array[Long]] = matches
+      .groupBy(_.getString(0)).map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+    // union with each touched file's existing vector (superseding DV)
+    val merged: Seq[(String, Array[Long])] = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
+      val old: Array[Long] = snap.files.find(_.path == rel).flatMap(_.dv).map { d =>
+        DeltaDv.deserialize(d.storageType match {
+          case "i" => DeltaDv.z85Decode(d.pathOrInlineDv)
+          case "p" => DeltaDv.readBlob(fs, new HPath(d.pathOrInlineDv),
+            d.offset.getOrElse(1), d.sizeInBytes)
+          case "u" => DeltaDv.readBlob(fs, DeltaDv.uuidPath(root, d.pathOrInlineDv),
+            d.offset.getOrElse(1), d.sizeInBytes)
+        })
+      }.getOrElse(Array.empty[Long])
+      rel -> (old ++ ps)
+    }
+    val blobs = merged.map { case (_, ps) => DeltaDv.serialize(ps) }
+    val binRel = s"deletion_vector_${java.util.UUID.randomUUID()}.bin"
+    val binAbs = rootPrefix + binRel
+    val framing = DeltaDv.writeFile(fs, new HPath(root, binRel), blobs)
+
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    merged.zip(framing).foreach { case ((rel, ps), (offset, size)) =>
+      val cardinality = ps.distinct.length.toLong
+      val f = snap.files.find(_.path == rel).get
+      val rm = Json.createObjectNode()
+      val r = rm.putObject("remove")
+      r.put("path", rel); r.put("deletionTimestamp", now); r.put("dataChange", true)
+      lines += Json.writeValueAsString(rm)
+      val ad = Json.createObjectNode()
+      val a = ad.putObject("add")
+      a.put("path", rel)
+      val pvn = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, ov) =>
+        ov match { case Some(s0) => pvn.put(k, s0): Unit; case None => pvn.putNull(k): Unit }
+      }
+      a.put("size", f.size); a.put("modificationTime", f.modificationTime)
+      a.put("dataChange", true)
+      f.stats.foreach(a.put("stats", _))
+      val dvn = a.putObject("deletionVector")
+      dvn.put("storageType", "p")
+      dvn.put("pathOrInlineDv", binAbs)
+      dvn.put("offset", offset)
+      dvn.put("sizeInBytes", size)
+      dvn.put("cardinality", cardinality)
+      lines += Json.writeValueAsString(ad)
+    }
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "DELETE")
+    lines += Json.writeValueAsString(ci)
     val out = try fs.create(jsonFile(root, v), false) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
@@ -740,17 +951,29 @@ object DeltaLake {
     * the full retention story ([[checkpoint]]'s scaladoc). */
   def vacuum(spark: SparkSession, path: String): Int = {
     val (fs, root) = Writers.fsFor(path)
-    val live: Set[String] = snapshot(spark, path).files.map(_.path).toSet
+    val snap = snapshot(spark, path)
+    val live: Set[String] = snap.files.map(_.path).toSet
+    // deletion-vector files referenced by a live descriptor must
+    // survive; superseded ones are reclaimable like dead data files
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val liveDvs: Set[String] = snap.files.flatMap(_.dv).map { d =>
+      d.storageType match {
+        case "p" => d.pathOrInlineDv.stripPrefix(rootPrefix)
+        case "u" => DeltaDv.uuidPath(root, d.pathOrInlineDv)
+          .toUri.getPath.stripPrefix(rootPrefix)
+        case _ => "" // inline: nothing on disk
+      }
+    }.toSet
     def walk(dir: HPath, rel: String): Seq[String] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (name == LogDirName || name.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        else if (name.endsWith(".parquet"))
+        else if (name.endsWith(".parquet") || name.endsWith(".bin"))
           Seq(if (rel.isEmpty) name else s"$rel/$name")
         else Nil
       }
-    val doomed = walk(root, "").filterNot(live.contains)
+    val doomed = walk(root, "").filterNot(live.contains).filterNot(liveDvs.contains)
     doomed.foreach(relP => fs.delete(new HPath(root, relP), false))
     doomed.size
   }
@@ -760,7 +983,9 @@ object DeltaLake {
   private val checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -776,7 +1001,13 @@ object DeltaLake {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -791,16 +1022,25 @@ object DeltaLake {
     val s = snapshot(spark, path)
     val (fs, root) = Writers.fsFor(path)
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(Row(1, 2), null, null, null))
+    // a DV-carrying table is on the table-features protocol; folding it
+    // into a checkpoint must preserve that, or a replay from the
+    // checkpoint would both under-gate readers and drop the vectors
+    val protocolRow =
+      if (s.hasDeletionVectors) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
+    rows.add(Row(protocolRow, null, null, null))
     rows.add(Row(null,
       Row(java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
         s.schema.json, s.partitionColumns, Map.empty[String, String],
         System.currentTimeMillis()),
       null, null))
     s.files.foreach { f =>
+      val dvRow = f.dv.map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null,
         Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, f.modificationTime, true, f.stats.orNull),
+          f.size, f.modificationTime, true, f.stats.orNull, dvRow),
         null))
     }
     val tmp = new HPath(root, s".cp-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -51,6 +51,12 @@ final class DeltaSourceProvider extends RelationProvider
     require(snap.columnMapping.isEmpty,
       s"delta source: $path is column-mapped (delta.columnMapping.mode=name) — " +
         "streaming reads of mapped tables are not implemented; read it as a batch table")
+    // raw file unions cannot subtract deletion-vector rows: a bootstrap
+    // over DV debt would re-serve deleted rows
+    require(!snap.hasDeletionVectors,
+      s"delta source: $path carries deletion vectors — a streaming bootstrap over " +
+        "merge-on-read delete debt would re-serve deleted rows. Rewrite the table " +
+        "(copy-on-write delete / compaction) before tailing it.")
     new org.apache.spark.sql.graft.DeltaStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
       schema.getOrElse(snap.schema), snap.partitionColumns,

@@ -2022,6 +2022,50 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S41: Delta DELETION VECTORS — `deleteMergeOnRead` serializes the
+    * matching rows' per-file positions as portable RoaringBitmapArrays
+    * (the protocol's format, z85/roaring vectors locked in DeltaDvSpec)
+    * and re-adds each touched file with a `deletionVector` descriptor:
+    * ZERO data files rewritten, table upgraded to the table-features
+    * protocol (3/7). Reads apply the vectors as a broadcast row-index
+    * filter — no join. The Delta twin of s39's Iceberg position
+    * deletes and s20's native vectors. Oracle: the surviving rows
+    * straight off `orders`. */
+  val s41DeltaMorDelete = QueryDef(
+    "s41_delta_mor_delete",
+    (s, d) => {
+      val path = tmp("s41_delta_dv", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders, path)
+      val before = D.snapshot(s, path)
+      D.deleteMergeOnRead(s, path, col("o_orderstatus") === "F")
+      val after = D.snapshot(s, path)
+      require(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+        "s41: a deletion-vector delete must rewrite ZERO data files")
+      require(after.hasDeletionVectors && after.files.flatMap(_.dv).map(_.cardinality).sum > 0,
+        "s41: deletion vectors must be recorded")
+      val read = D.read(s, path)
+      require(!read.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+        "s41: deletion vectors must apply as a row-index filter, not a join")
+      val out = read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+      require(out.count() > 0, "s41: empty result")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2029,5 +2073,6 @@ object IngestOps extends QueryModule {
     s22MultipartMerge, s23AppendFeed, s24FileSkipping, s25Zorder, s26RestoreTravel,
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
-    s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket)
+    s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
+    s41DeltaMorDelete)
 }

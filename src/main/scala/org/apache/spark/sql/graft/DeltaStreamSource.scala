@@ -54,6 +54,11 @@ class DeltaStreamSource(
           "compaction) — a streaming tail of an append log cannot represent it. Restart " +
           "from the current snapshot, or set ignoreChanges=true to re-emit the version's " +
           "files (downstream must tolerate re-delivery).")
+    // even under ignoreChanges, a DV-carrying add cannot be served as a
+    // raw file scan — that would re-deliver the DELETED rows too
+    require(adds.forall(_.dv.isEmpty),
+      s"delta source: version $v of $path adds deletion-vector files — a file-level " +
+        "tail cannot subtract their rows; rewrite the table before tailing past it")
     adds
   }
 
@@ -64,7 +69,12 @@ class DeltaStreamSource(
       // the tail from startingVersion (that version INCLUDED)
       case None => startingVersion match {
         case Some(sv) => (sv to to).flatMap(addsOf)
-        case None     => DeltaLake.snapshot(spark, path, Some(to)).files
+        case None =>
+          val snap = DeltaLake.snapshot(spark, path, Some(to))
+          require(!snap.hasDeletionVectors,
+            s"delta source: $path carries deletion vectors at v$to — a bootstrap over " +
+              "merge-on-read delete debt would re-serve deleted rows")
+          snap.files
       }
       case Some(s0) => (versionOf(s0) + 1L to to).flatMap(addsOf)
     }

@@ -122,10 +122,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     // hand-raise the protocol as a foreign writer with reader features would
     val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
     java.nio.file.Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("reader protocol 3"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("column-mapped (name mode) tables read under physical names; id mode stays gated") {
@@ -212,6 +212,122 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       (om.writeValueAsString(meta2) + "\n").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](DeltaLake.read(spark, path2).count())
     assert(e2.getMessage.contains("field-id"))
+  }
+
+  test("deletion vectors: MoR delete, superseding union, checkpoint fold, vacuum, stream gate") {
+    import spark.implicits._
+    val path = freshDir("delta_dv")
+    DeltaLake.write(spark.range(0, 200).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")), path)
+    val before = DeltaLake.snapshot(spark, path)
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") % 10 === 0L)
+    val after = DeltaLake.snapshot(spark, path)
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "a DV delete must rewrite ZERO data files")
+    assert(after.hasDeletionVectors &&
+      after.files.flatMap(_.dv).map(_.cardinality).sum == 20L)
+    assert(after.files.flatMap(_.dv).forall(_.storageType == "p"))
+    val got = DeltaLake.read(spark, path)
+    assert(got.count() == 180L && got.filter(col("k") % 10 === 0L).count() == 0L)
+    assert(!got.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+      "deletion vectors must apply as a row-index filter, not a join")
+    // the commit upgraded the table to the table-features protocol
+    val logText = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+    assert(logText.contains("\"minReaderVersion\":3") && logText.contains("deletionVectors"))
+    // a second delete SUPERSEDES the per-file vector (union, not append)
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") < 20L)
+    val after2 = DeltaLake.snapshot(spark, path)
+    assert(after2.files.flatMap(_.dv).map(_.cardinality).sum == 38L,
+      "per-file vectors must be superseded by the union of old and new positions")
+    assert(DeltaLake.read(spark, path).count() == 162L)
+    assert(after2.files.count(_.dv.nonEmpty) >= 1)
+    // no-match delete is not a commit
+    val nV = DeltaLake.versions(path).size
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === -1L)
+    assert(DeltaLake.versions(path).size == nV)
+    // an appended row reusing a deleted position is untouched (new file)
+    DeltaLake.write(Seq((0L, 0L)).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 0L).count() == 1L)
+    assert(DeltaLake.read(spark, path).count() == 163L)
+    // time travel before the deletes still serves every row
+    assert(DeltaLake.read(spark, path, versionAsOf = Some(0L)).count() == 200L)
+    // SQL serves the DV snapshot through the fallback relation
+    assert(spark.read.format("delta").load(path).count() == 163L)
+    // checkpoint folding preserves descriptors AND the protocol
+    DeltaLake.checkpoint(spark, path)
+    assert(DeltaLake.snapshot(spark, path).hasDeletionVectors)
+    assert(DeltaLake.read(spark, path).count() == 163L)
+    // vacuum keeps every LIVE deletion-vector file (both bins still
+    // carry some file's current vector) and the data stays intact
+    val liveBins = DeltaLake.snapshot(spark, path).files.flatMap(_.dv)
+      .map(_.pathOrInlineDv).toSet
+    DeltaLake.vacuum(spark, path)
+    liveBins.foreach(p => assert(java.nio.file.Files.exists(Paths.get(p)),
+      s"live DV $p must survive vacuum"))
+    assert(DeltaLake.read(spark, path).count() == 163L)
+    // a fresh streaming bootstrap over DV debt refuses
+    val eS = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("delta").load(path).writeStream
+        .format("memory").queryName("delta_dv_tail")
+        .option("checkpointLocation", freshDir("delta_dv_cp")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(eS.getCause.getMessage.contains("deletion vectors"))
+    // copy-on-write delete folds every file's debt (pure-remove commit),
+    // after which the orphaned DV bins are vacuum-reclaimable
+    DeltaLake.deleteWhere(spark, path, col("k") >= 0L)
+    assert(DeltaLake.read(spark, path).count() == 0L)
+    val reclaimed = DeltaLake.vacuum(spark, path)
+    assert(reclaimed >= liveBins.size + 1,
+      s"dead data files AND orphaned DV bins must be reclaimed (got $reclaimed)")
+    liveBins.foreach(p => assert(!java.nio.file.Files.exists(Paths.get(p)),
+      s"orphaned DV $p must be reclaimed"))
+  }
+
+  test("foreign deletion-vector shapes: inline z85 and uuid-named files") {
+    import spark.implicits._
+    val path = freshDir("delta_dv_foreign")
+    DeltaLake.write(spark.range(0, 10).coalesce(1)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), path)
+    val f = DeltaLake.snapshot(spark, path).files.head
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // INLINE: positions {0,1} serialize to a multiple-of-4 byte blob
+    val inline = DeltaDv.z85Encode(DeltaDv.serialize(Array(0L, 1L)))
+    def commit(v: Long, dvNode: String): Unit = {
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"remove":{"path":"${f.path}","deletionTimestamp":1,"dataChange":true}}""",
+        s"""{"add":{"path":"${f.path}","partitionValues":{},"size":${f.size},""" +
+          s""""modificationTime":1,"dataChange":true,"deletionVector":$dvNode}}""")
+      java.nio.file.Files.write(Paths.get(path, "_delta_log", f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    commit(1L, s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${
+      DeltaDv.serialize(Array(0L, 1L)).length},"cardinality":2}""")
+    assert(DeltaLake.read(spark, path).count() == 8L)
+    assert(DeltaLake.read(spark, path).filter(col("k") < 2L).count() == 0L)
+    // UUID file: positions {5}, bin written under the uuid naming scheme
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val blob = DeltaDv.serialize(Array(5L))
+    val framing = DeltaDv.writeFile(fs,
+      new org.apache.hadoop.fs.Path(path, s"deletion_vector_$uuid.bin"), Seq(blob))
+    commit(2L, s"""{"storageType":"u","pathOrInlineDv":"${DeltaDv.z85Encode(bb.array())}",""" +
+      s""""offset":${framing.head._1},"sizeInBytes":${framing.head._2},"cardinality":1}""")
+    assert(DeltaLake.read(spark, path).count() == 9L)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 5L).count() == 0L)
+    // an unknown reader feature still refuses loudly
+    val lines3 = Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${3L}%020d.json"),
+      (lines3.mkString("\n") + "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("format(\"delta\") serves the familiar read/write surface") {
