@@ -621,26 +621,51 @@ object DeltaLake {
     * committed version, or the current one when nothing matched. */
   def deleteMergeOnRead(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, expr, not}
-    val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.deleteMergeOnRead: $path is column-mapped — not supported by this writer")
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    commitDeletionVectors(spark, path, snap, liveWithMeta(spark, path, snap).filter(cond))
+  }
+
+  /** Keyed deletion-vector delete — `MERGE … WHEN MATCHED THEN
+    * DELETE`'s shape: the match set is a SEMI-JOIN against `keys`
+    * (shuffles on the key, broadcastable when small), so a large
+    * delete-key frame never collects driver-side during discovery. */
+  def deleteMatched(spark: SparkSession, path: String,
+      keys: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, path)
+    require(snap.schema.fieldNames.contains(key), s"DeltaLake.deleteMatched: no column $key")
+    commitDeletionVectors(spark, path, snap,
+      liveWithMeta(spark, path, snap)
+        .join(keys.select(col(key)).distinct(), Seq(key), "left_semi"))
+  }
+
+  /** The current snapshot with the scan's (file, row position) metadata
+    * attached and outstanding deletion vectors applied — what DV
+    * discovery probes. */
+  private def liveWithMeta(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap))
       .select(col("*"),
         col("_metadata.file_path").as(FileMetaCol),
         col("_metadata.row_index").as(PosMetaCol))
-    val live =
-      if (!snap.hasDeletionVectors) base
-      else base.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.DvContains(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
-          org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
-          loadDvMap(spark, path, snap)))))
+    if (!snap.hasDeletionVectors) base
+    else base.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DvContains(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
+        loadDvMap(spark, path, snap)))))
+  }
+
+  private def commitDeletionVectors(spark: SparkSession, path: String,
+      snap: Snapshot, matchesWithMeta: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (fs, root) = Writers.fsFor(path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.deleteMergeOnRead: $path is column-mapped — not supported by this writer")
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val q = rootPrefix.replace("'", "''")
-    val matches = live.filter(cond)
+    val matches = matchesWithMeta
       .select(expr(
         s"substring($FileMetaCol, instr($FileMetaCol, '$q') + ${rootPrefix.length})")
         .as("__rel"), col(PosMetaCol).as("__pos"))
@@ -748,6 +773,50 @@ object DeltaLake {
       .filter(predicate.isNull || !predicate)
       .drop("__f")
     commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors, "DELETE")
+  }
+
+  /** COPY-ON-WRITE predicate UPDATE — `UPDATE t SET c = expr [WHERE
+    * cond]`: only the files holding a matching row are rewritten, each
+    * surviving row passed through `when(cond, value).otherwise(col)`
+    * per assigned column (values cast to the column's declared type).
+    * O(touched files), never O(table). */
+  def updateWhere(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      cond: Option[org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
+    require(set.nonEmpty, "DeltaLake.updateWhere: empty SET clause")
+    val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.updateWhere: $path is column-mapped — the rewrite would stage " +
+        "logical-name files into a physical-name table")
+    val missing = set.keys.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"DeltaLake.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    val full = read(spark, path)
+    val touchedRaw = cond match {
+      case Some(p) => full
+        .groupBy(input_file_name().as("__f"))
+        .agg(sum(when(p, 1L).otherwise(0L)).as("__hits"))
+        .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
+      case None => full.select(input_file_name().as("__f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    }
+    if (touchedRaw.isEmpty) return snap.version
+    val touchedRel = touchedRaw.map(relOf(path, _, "updateWhere")).toSet
+    val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+    val types = snap.schema.map(f => f.name -> f.dataType).toMap
+    val rewritten = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .drop("__f")
+      .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(value) =>
+            val cast = value.cast(types(c))
+            cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), rewritten, "UPDATE")
   }
 
   /** COPY-ON-WRITE MERGE by key (Delta's `MERGE ... WHEN MATCHED THEN

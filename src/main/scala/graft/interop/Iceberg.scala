@@ -996,7 +996,30 @@ object Iceberg {
     * need. Returns the new snapshot id, or the current one unchanged
     * when no row matches (an empty delete is not a commit). */
   def deleteMergeOnRead(spark: SparkSession, path: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: org.apache.spark.sql.Column): Long =
+    commitPositionDeletes(spark, path,
+      snapshotFrame(spark, path, snapshot(spark, path), withMeta = true).filter(cond))
+
+  /** Keyed merge-on-read delete — `MERGE … WHEN MATCHED THEN DELETE`'s
+    * shape: the match set is a SEMI-JOIN against `keys` (shuffles on
+    * the key, broadcastable when small) instead of a predicate, so a
+    * large delete-key frame never collects driver-side. */
+  def deleteMatched(spark: SparkSession, path: String,
+      keys: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, path)
+    require(s.schema.fieldNames.contains(key), s"Iceberg.deleteMatched: no column $key")
+    commitPositionDeletes(spark, path,
+      snapshotFrame(spark, path, s, withMeta = true)
+        .join(keys.select(col(key)).distinct(), Seq(key), "left_semi"))
+  }
+
+  /** The shared position-delete commit: run the matched frame's
+    * `(file, position)` metadata down to one spec-shaped delete file
+    * and publish it. `matches` must carry the snapshotFrame meta
+    * columns. */
+  private def commitPositionDeletes(spark: SparkSession, path: String,
+      matchesWithMeta: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
@@ -1006,8 +1029,7 @@ object Iceberg {
     // manifest file_path entries are scheme-less absolute paths; the
     // scan's `_metadata.file_path` is a full URI — cut from the table
     // root so the recorded paths match the manifests byte-for-byte
-    val matches = snapshotFrame(spark, path, s, withMeta = true)
-      .filter(cond)
+    val matches = matchesWithMeta
       .select(
         expr(s"substring($FileMetaCol, instr($FileMetaCol, '$q'))").as("file_path"),
         col(PosMetaCol).as("pos"))
@@ -1169,6 +1191,47 @@ object Iceberg {
     val newData = survivors.unionByName(
       updates.select(s.schema.fieldNames.toIndexedSeq.map(col): _*))
     commitRewriteSnapshot(spark, path, touchedAbs, Some(newData), "overwrite",
+      dropDeleteManifests = false)
+  }
+
+  /** COPY-ON-WRITE predicate UPDATE — `UPDATE t SET c = expr [WHERE
+    * cond]`: only the files holding a matching row are rewritten, each
+    * surviving row passed through `when(cond, value).otherwise(col)`
+    * per assigned column (values cast to the column's declared type).
+    * O(touched files), never O(table). */
+  def updateWhere(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      cond: Option[org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
+    require(set.nonEmpty, "Iceberg.updateWhere: empty SET clause")
+    val s = snapshot(spark, path)
+    val missing = set.keys.filterNot(s.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"Iceberg.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    val full = read(spark, path)
+    val touchedRaw = cond match {
+      case Some(p) => full
+        .groupBy(input_file_name().as("__f"))
+        .agg(sum(when(p, 1L).otherwise(0L)).as("__hits"))
+        .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
+      case None => full.select(input_file_name().as("__f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    }
+    if (touchedRaw.isEmpty) return s.snapshotId
+    val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
+    val types = s.schema.map(f => f.name -> f.dataType).toMap
+    val rewritten = full.withColumn("__f", input_file_name())
+      .filter(col("__f").isin(touchedRaw: _*))
+      .drop("__f")
+      .select(s.schema.fieldNames.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(value) =>
+            val cast = value.cast(types(c))
+            cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commitRewriteSnapshot(spark, path, touchedAbs, Some(rewritten), "overwrite",
       dropDeleteManifests = false)
   }
 

@@ -2066,6 +2066,57 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S42: SQL DML over the INTEROP formats — the statements a user
+    * coming from Delta types, landing through the format's own log
+    * protocol: `DELETE FROM` as deletion vectors (zero rewrite,
+    * in-entry require), `MERGE INTO … UPDATE SET * / INSERT *` as the
+    * copy-on-write keyed merge of only the touched files. The final
+    * SELECT reads the post-DML snapshot through the catalog table.
+    * Oracle: the same mutation replayed as a CASE projection off
+    * `orders`. */
+  val s42InteropSqlDml = QueryDef(
+    "s42_interop_sql_dml",
+    (s, d) => {
+      val path = tmp("s42_sqldml", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders, path)
+      s.sql("DROP TABLE IF EXISTS s42_t")
+      s.sql(s"CREATE TABLE s42_t USING delta OPTIONS (path '$path')")
+      val before = D.snapshot(s, path)
+      s.sql("DELETE FROM s42_t WHERE o_orderstatus = 'F'")
+      val after = D.snapshot(s, path)
+      require(after.files.map(_.path).toSet == before.files.map(_.path).toSet &&
+        after.hasDeletionVectors,
+        "s42: SQL DELETE must land as deletion vectors, zero data files rewritten")
+      orders.filter(col("o_orderstatus") =!= "F" && col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", lit(0.0))
+        .createOrReplaceTempView("s42_updates")
+      s.sql("""MERGE INTO s42_t t USING s42_updates s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      val out = s.sql("""
+        SELECT o_orderstatus, count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+        FROM s42_t
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+      require(out.count() > 0, "s42: empty result")
+      s.sql("DROP TABLE s42_t")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(CASE WHEN o_orderkey % 50 = 0 THEN 0.0 ELSE o_totalprice END
+          * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2074,5 +2125,5 @@ object IngestOps extends QueryModule {
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
-    s41DeltaMorDelete)
+    s41DeltaMorDelete, s42InteropSqlDml)
 }

@@ -69,6 +69,33 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved && isGraft(m.targetTable) =>
       rewrite(m)
+    // the same DML statements over the INTEROP formats land through
+    // their own log-commit writers: DELETE as the format's native
+    // merge-on-read shape (Delta deletion vectors / Iceberg position
+    // deletes — zero rewrite), UPDATE and MERGE as the copy-on-write
+    // rewrite of only the touched files
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved &&
+          interopOf(m.targetTable).nonEmpty =>
+      val (flavor, p) = interopOf(m.targetTable).get
+      val lr = EliminateSubqueryAliases(m.targetTable).asInstanceOf[LogicalRelation]
+      val (key, shape) = parseKeyShape(m, lr.schema.fields.map(_.name).toSeq)
+      GraftInteropMergeCommand(flavor, p, m.sourceTable, key, shape, identOf(m.targetTable))
+    case DeleteFromTable(target, cond)
+        if target.resolved && interopOf(target).nonEmpty =>
+      checkSimple(cond)
+      val (flavor, p) = interopOf(target).get
+      GraftInteropDmlCommand(flavor, p, GraftDmlCommand.Delete(byName(cond)), identOf(target))
+    case UpdateTable(target, assigns, cond)
+        if target.resolved && interopOf(target).nonEmpty =>
+      cond.foreach(checkSimple)
+      assigns.foreach(a => checkSimple(a.value))
+      val (flavor, p) = interopOf(target).get
+      val set = assigns.map { a =>
+        nameOf(a.key).getOrElse(fail("UPDATE SET must assign plain columns")) -> byName(a.value)
+      }
+      GraftInteropDmlCommand(flavor, p, GraftDmlCommand.Update(set, cond.map(byName)),
+        identOf(target))
     // DELETE FROM / UPDATE on a graft target: Spark's builtin row-level
     // machinery is v2-only, so these plan to the library's predicate
     // primitives (DELETE as a deletion vector — zero rewrite; UPDATE as
@@ -123,6 +150,20 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _                   => false
     }
 
+  /** (format flavor, table path) when the target is an interop-format
+    * relation — any of the four batch relation shapes. */
+  private def interopOf(target: LogicalPlan): Option[(String, String)] =
+    EliminateSubqueryAliases(target) match {
+      case lr: LogicalRelation => lr.relation match {
+        case r: GraftDeltaRelation       => Some(("delta", r.tablePath))
+        case r: GraftDeltaMappedRelation => Some(("delta", r.tablePath))
+        case r: GraftIcebergRelation     => Some(("iceberg", r.tablePath))
+        case r: GraftIcebergMoRRelation  => Some(("iceberg", r.tablePath))
+        case _                           => None
+      }
+      case _ => None
+    }
+
   private def fail(why: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft-versioned MERGE: $why. Supported: ON t.k = s.k with WHEN MATCHED THEN " +
@@ -149,15 +190,16 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  private def rewrite(m: MergeIntoTable): LogicalPlan = {
-    val lr = EliminateSubqueryAliases(m.targetTable).asInstanceOf[LogicalRelation]
-    val rel = lr.relation.asInstanceOf[GraftTableRelation]
+  /** The merge key (canonical table-schema casing) and clause shape —
+    * shared between the native and interop MERGE rewrites. */
+  private def parseKeyShape(m: MergeIntoTable,
+      schemaFields: Seq[String]): (String, GraftMergeIntoCommand.Shape) = {
     val key = m.mergeCondition match {
       case EqualTo(l, r) =>
         (nameOf(l), nameOf(r)) match {
           case (Some(a), Some(b)) if a.equalsIgnoreCase(b) =>
             // canonical casing from the table schema, not the SQL text
-            lr.schema.fields.map(_.name).find(_.equalsIgnoreCase(a))
+            schemaFields.find(_.equalsIgnoreCase(a))
               .getOrElse(fail(s"merge key '$a' is not a column of the target table"))
           case (Some(a), Some(b)) =>
             fail(s"ON must equate one shared key column, got '$a' = '$b'")
@@ -180,6 +222,13 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"notMatched=${na.map(_.getClass.getSimpleName).mkString(",")}); clause conditions and " +
           "non-star assignments are not supported")
     }
+    (key, shape)
+  }
+
+  private def rewrite(m: MergeIntoTable): LogicalPlan = {
+    val lr = EliminateSubqueryAliases(m.targetTable).asInstanceOf[LogicalRelation]
+    val rel = lr.relation.asInstanceOf[GraftTableRelation]
+    val (key, shape) = parseKeyShape(m, lr.schema.fields.map(_.name).toSeq)
     // the catalog identifier (when the target IS a catalog table) lets
     // the command refresh the session's cached relation, so the very
     // next SELECT over the table name sees the merged snapshot. The
@@ -291,4 +340,101 @@ object GraftDmlCommand {
   sealed trait Op extends Serializable
   final case class Delete(cond: Expression) extends Op
   final case class Update(set: Seq[(String, Expression)], cond: Option[Expression]) extends Op
+}
+
+/** MERGE INTO a Delta/Iceberg interop table: the same clause shapes as
+  * the native command, executed through the format's own log-commit
+  * writers — upserts as the copy-on-write keyed merge (only touched
+  * files rewritten), matched-DELETE as the format's merge-on-read
+  * shape (Delta deletion vectors / Iceberg position deletes, zero
+  * rewrite), with a keyed SEMI-JOIN match so the delete-key frame
+  * never collects during discovery. */
+case class GraftInteropMergeCommand(
+    flavor: String,
+    path: String,
+    source: LogicalPlan,
+    key: String,
+    shape: GraftMergeIntoCommand.Shape,
+    catalogIdent: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val classic = spark.asInstanceOf[ClassicSession]
+    val src = Dataset.ofRows(classic, source)
+    def read() = flavor match {
+      case "delta" => graft.interop.DeltaLake.read(spark, path)
+      case _       => graft.interop.Iceberg.read(spark, path)
+    }
+    val target = read()
+    shape match {
+      case GraftMergeIntoCommand.DeleteMatched =>
+        flavor match {
+          case "delta" => graft.interop.DeltaLake.deleteMatched(spark, path, src, key)
+          case _       => graft.interop.Iceberg.deleteMatched(spark, path, src, key)
+        }
+      case other =>
+        val targetFields = target.schema.fields.toSeq
+        val missing = targetFields.map(_.name)
+          .filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"$flavor MERGE: source must carry every target column for SET */INSERT * " +
+            s"(missing: ${missing.mkString(", ")})")
+        // align names AND types to the target schema (SQL literals may
+        // arrive narrower than the table's column types)
+        val aligned = src.select(targetFields.map(f =>
+          col(src.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
+        val updates = other match {
+          case GraftMergeIntoCommand.UpdateOnly =>
+            aligned.join(target.select(col(key)).distinct(), Seq(key), "left_semi")
+          case _ => aligned
+        }
+        flavor match {
+          case "delta" => graft.interop.DeltaLake.upsertByKey(spark, path, updates, key)
+          case _       => graft.interop.Iceberg.upsertByKey(spark, path, updates, key)
+        }
+    }
+    catalogIdent.foreach { id =>
+      try spark.catalog.refreshTable(id.map(p => s"`$p`").mkString("."))
+      catch { case _: Exception => () }
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM` / `UPDATE` over a Delta/Iceberg interop table:
+  * DELETE lands as the format's merge-on-read shape (deletion vectors
+  * / position deletes — zero data files rewritten), UPDATE as the
+  * copy-on-write rewrite of only the touched files. Conditions are
+  * carried name-detached and re-resolve against the snapshot read at
+  * execution, exactly like the native [[GraftDmlCommand]]. */
+case class GraftInteropDmlCommand(
+    flavor: String,
+    path: String,
+    op: GraftDmlCommand.Op,
+    catalogIdent: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    op match {
+      case GraftDmlCommand.Delete(cond) =>
+        val c = ColumnBridge.column(cond)
+        flavor match {
+          case "delta" => graft.interop.DeltaLake.deleteMergeOnRead(spark, path, c)
+          case _       => graft.interop.Iceberg.deleteMergeOnRead(spark, path, c)
+        }
+      case GraftDmlCommand.Update(set, cond) =>
+        val s = set.map { case (c, v) => c -> ColumnBridge.column(v) }.toMap
+        val p = cond.map(ColumnBridge.column)
+        flavor match {
+          case "delta" => graft.interop.DeltaLake.updateWhere(spark, path, s, p)
+          case _       => graft.interop.Iceberg.updateWhere(spark, path, s, p)
+        }
+    }
+    catalogIdent.foreach { id =>
+      try spark.catalog.refreshTable(id.map(p => s"`$p`").mkString("."))
+      catch { case _: Exception => () }
+    }
+    Seq.empty
+  }
 }

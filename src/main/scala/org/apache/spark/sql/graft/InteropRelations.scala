@@ -37,7 +37,7 @@ final class LogCommitOnlyParquetFormat(formatName: String)
   * FileIndex, inserts through [[graft.interop.DeltaLake.write]]. */
 final class GraftDeltaRelation(
     spark: ClassicSession,
-    tablePath: String,
+    val tablePath: String,
     index: VersionedFileIndex,
     partitionSchemaV: StructType,
     dataSchemaV: StructType,
@@ -62,7 +62,7 @@ final class GraftDeltaRelation(
 /** The Iceberg interop batch relation: same contract as the Delta one. */
 final class GraftIcebergRelation(
     spark: ClassicSession,
-    tablePath: String,
+    val tablePath: String,
     index: VersionedFileIndex,
     partitionSchemaV: StructType,
     dataSchemaV: StructType,
@@ -95,15 +95,19 @@ final class GraftIcebergRelation(
   * names. */
 final class GraftIcebergMoRRelation(
     outer: org.apache.spark.sql.SQLContext,
-    tablePath: String,
+    val tablePath: String,
     snapshotId: Option[Long])
   extends org.apache.spark.sql.sources.BaseRelation
   with org.apache.spark.sql.sources.TableScan
   with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
-  override val schema: StructType = graft.ingest.Versioned.nullabilityErased(
-    graft.interop.Iceberg.snapshot(outer.sparkSession, tablePath, snapshotId).schema)
+  // the metadata schema VERBATIM (nullability included): a catalog
+  // table stores the clean relation's schema at CREATE, and a later
+  // fallback resolution must report the same one or FindDataSourceTable
+  // refuses the "mismatched user-specified schema"
+  override val schema: StructType =
+    graft.interop.Iceberg.snapshot(outer.sparkSession, tablePath, snapshotId).schema
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     graft.interop.Iceberg.read(outer.sparkSession, tablePath, snapshotId).rdd
@@ -122,14 +126,16 @@ final class GraftIcebergMoRRelation(
   * stages logical-name files and must never touch a mapped table. */
 final class GraftDeltaMappedRelation(
     outer: org.apache.spark.sql.SQLContext,
-    tablePath: String,
+    val tablePath: String,
     versionAsOf: Option[Long])
   extends org.apache.spark.sql.sources.BaseRelation
   with org.apache.spark.sql.sources.TableScan {
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
-  override val schema: StructType = graft.ingest.Versioned.nullabilityErased(
-    graft.interop.DeltaLake.snapshot(outer.sparkSession, tablePath, versionAsOf).schema)
+  // log schema VERBATIM — same catalog-consistency contract as the
+  // Iceberg fallback above
+  override val schema: StructType =
+    graft.interop.DeltaLake.snapshot(outer.sparkSession, tablePath, versionAsOf).schema
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     graft.interop.DeltaLake.read(outer.sparkSession, tablePath, versionAsOf).rdd

@@ -330,6 +330,39 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
+  test("SQL DELETE/UPDATE/MERGE on a delta catalog table land through the log") {
+    import spark.implicits._
+    val path = freshDir("delta_sqldml")
+    DeltaLake.write((0L until 100L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartitionByRange(4, col("k")), path)
+    spark.sql("DROP TABLE IF EXISTS delta_dml_t")
+    spark.sql(s"CREATE TABLE delta_dml_t USING delta OPTIONS (path '$path')")
+    // DELETE lands as deletion vectors: zero data files rewritten
+    val before = DeltaLake.snapshot(spark, path)
+    spark.sql("DELETE FROM delta_dml_t WHERE k >= 90")
+    val after = DeltaLake.snapshot(spark, path)
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet &&
+      after.hasDeletionVectors, "SQL DELETE must land as a deletion vector")
+    assert(spark.sql("SELECT count(*) FROM delta_dml_t").head().getLong(0) == 90L)
+    // UPDATE is the copy-on-write rewrite of only the touched files
+    spark.sql("UPDATE delta_dml_t SET v = v + 1000 WHERE k < 10")
+    assert(spark.sql("SELECT sum(v) FROM delta_dml_t WHERE k < 10").head().getLong(0) ==
+      (0L until 10L).map(k => k % 7 + 1000).sum)
+    // MERGE upsert: one matched update + one insert
+    Seq((5L, 777L), (500L, 1L)).toDF("k", "v").createOrReplaceTempView("delta_dml_src")
+    spark.sql("""MERGE INTO delta_dml_t t USING delta_dml_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM delta_dml_t WHERE k = 5").head().getLong(0) == 777L)
+    assert(spark.sql("SELECT count(*) FROM delta_dml_t").head().getLong(0) == 91L)
+    // MERGE matched-DELETE: keyed merge-on-read delete
+    Seq(500L).toDF("k").createOrReplaceTempView("delta_dml_del")
+    spark.sql("""MERGE INTO delta_dml_t t USING delta_dml_del s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM delta_dml_t").head().getLong(0) == 90L)
+    assert(spark.sql("SELECT count(*) FROM delta_dml_t WHERE k = 500").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE delta_dml_t")
+  }
+
   test("format(\"delta\") serves the familiar read/write surface") {
     import spark.implicits._
     val path = freshDir("delta_fmt")

@@ -422,6 +422,39 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ice_fold_tail").count() == 280L)
   }
 
+  test("SQL DELETE/UPDATE/MERGE on an iceberg catalog table land through the log") {
+    import spark.implicits._
+    val path = freshDir("ice_sqldml")
+    Iceberg.write((0L until 100L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartitionByRange(4, col("k")), path)
+    spark.sql("DROP TABLE IF EXISTS ice_dml_t")
+    spark.sql(s"CREATE TABLE ice_dml_t USING iceberg OPTIONS (path '$path')")
+    // DELETE lands as a position-delete file: zero data files rewritten
+    val before = Iceberg.snapshot(spark, path)
+    spark.sql("DELETE FROM ice_dml_t WHERE k >= 90")
+    val after = Iceberg.snapshot(spark, path)
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet &&
+      after.deletes.nonEmpty, "SQL DELETE must land as a position-delete file")
+    assert(spark.sql("SELECT count(*) FROM ice_dml_t").head().getLong(0) == 90L)
+    // UPDATE is the copy-on-write rewrite of only the touched files
+    spark.sql("UPDATE ice_dml_t SET v = v + 1000 WHERE k < 10")
+    assert(spark.sql("SELECT sum(v) FROM ice_dml_t WHERE k < 10").head().getLong(0) ==
+      (0L until 10L).map(k => k % 7 + 1000).sum)
+    // MERGE upsert: one matched update + one insert
+    Seq((5L, 777L), (500L, 1L)).toDF("k", "v").createOrReplaceTempView("ice_dml_src")
+    spark.sql("""MERGE INTO ice_dml_t t USING ice_dml_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM ice_dml_t WHERE k = 5").head().getLong(0) == 777L)
+    assert(spark.sql("SELECT count(*) FROM ice_dml_t").head().getLong(0) == 91L)
+    // MERGE matched-DELETE: keyed merge-on-read position delete
+    Seq(500L).toDF("k").createOrReplaceTempView("ice_dml_del")
+    spark.sql("""MERGE INTO ice_dml_t t USING ice_dml_del s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM ice_dml_t").head().getLong(0) == 90L)
+    assert(spark.sql("SELECT count(*) FROM ice_dml_t WHERE k = 500").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE ice_dml_t")
+  }
+
   test("delete debt through SQL, history, streaming gate, and reclamation") {
     import spark.implicits._
     val path = freshDir("ice_mor_sql")
