@@ -2096,9 +2096,13 @@ object IngestOps extends QueryModule {
         .createOrReplaceTempView("s42_updates")
       s.sql("""MERGE INTO s42_t t USING s42_updates s ON t.o_orderkey = s.o_orderkey
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      // 100.0D: a plain 100.0 literal is DECIMAL in Spark SQL, and a
+      // decimal sum_total stringifies with trailing zeros the strict
+      // hash compare rejects (Casts.scala rule: outputs DOUBLE, never
+      // DECIMAL)
       val out = s.sql("""
         SELECT o_orderstatus, count(*) AS n_orders,
-          sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS sum_total
         FROM s42_t
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")
