@@ -72,10 +72,20 @@ object Iceberg {
     * files whose data sequence number is <= `seq`. */
   final case class DeleteFileRef(path: String, seq: Long, recordCount: Long)
 
+  /** A v2 EQUALITY DELETE file (`content=2`): rows of delete-key
+    * values over `columns` (resolved from the spec's `equality_ids`).
+    * Applies to data files whose data sequence number is STRICTLY less
+    * than `seq` (the spec's rule — a file added with the delete is not
+    * affected), matched with null-safe equality. */
+  final case class EqDeleteRef(path: String, seq: Long, columns: Seq[String])
+
   final case class Snapshot(
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
       schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef],
-      deletes: Seq[DeleteFileRef] = Nil, partFields: Seq[PartField] = Nil)
+      deletes: Seq[DeleteFileRef] = Nil, partFields: Seq[PartField] = Nil,
+      eqDeletes: Seq[EqDeleteRef] = Nil) {
+    def hasDeleteDebt: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
+  }
 
   // ------------------------------------------------ partition transforms
 
@@ -369,7 +379,9 @@ object Iceberg {
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             ${boundsMap("lower_bounds", 125, 126, 127)},
-            ${boundsMap("upper_bounds", 128, 129, 130)}
+            ${boundsMap("upper_bounds", 128, 129, 130)},
+            {"name": "equality_ids", "field-id": 135, "default": null,
+              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]
         }}
       ]
@@ -561,6 +573,7 @@ object Iceberg {
     }
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
+    val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDeleteRef]
     readAvro(fs, listPath).foreach { mf =>
       val mContent = mf.get("content").asInstanceOf[Int]
       val mSeq = mf.get("sequence_number").asInstanceOf[Long]
@@ -588,19 +601,32 @@ object Iceberg {
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long],
               bounds = decodeBounds(df), seq = seq)
-          } else {
-            require(df.get("content").asInstanceOf[Int] == 1,
-              s"Iceberg: $path snapshot $wantId references an EQUALITY delete file — " +
-                "only position deletes (content=1) are implemented by this reader")
-            deletes += DeleteFileRef(df.get("file_path").toString, seq,
-              df.get("record_count").asInstanceOf[Long])
+          } else df.get("content").asInstanceOf[Int] match {
+            case 1 =>
+              deletes += DeleteFileRef(df.get("file_path").toString, seq,
+                df.get("record_count").asInstanceOf[Long])
+            case 2 =>
+              val ids: Seq[Int] =
+                (if (df.getSchema.getField("equality_ids") == null) null
+                else df.get("equality_ids")) match {
+                  case l: java.util.List[_] => l.toArray.toSeq.map(_.asInstanceOf[Int])
+                  case _ => Nil
+                }
+              require(ids.nonEmpty,
+                s"Iceberg: $path snapshot $wantId has an equality delete file without equality_ids")
+              val cols = ids.map(id => idToField.getOrElse(id,
+                throw new IllegalArgumentException(
+                  s"Iceberg: equality_ids references unknown field id $id")).name)
+              eqDeletes += EqDeleteRef(df.get("file_path").toString, seq, cols)
+            case other => throw new IllegalArgumentException(
+              s"Iceberg: $path snapshot $wantId references a delete file of unknown content $other")
           }
         }
       }
     }
     Snapshot(wantId, snapNode.get("sequence-number").asLong,
       snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
-      partFields)
+      partFields, eqDeletes.toSeq)
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -644,8 +670,30 @@ object Iceberg {
     * `(file, row position)` metadata columns (what position-delete
     * discovery probes). Outstanding position deletes are applied HERE —
     * below the returned frame — so discovery never re-records an
-    * already-deleted row. */
+    * already-deleted row. Equality deletes apply VERSION-SEQUENCED:
+    * data files grouped by sequence number, each group anti-joined
+    * (null-safe, per the spec) against only the delete files with a
+    * STRICTLY greater sequence number — a row re-inserted after the
+    * delete is never swallowed. */
   private def snapshotFrame(spark: SparkSession, path: String, s: Snapshot,
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (s.eqDeletes.isEmpty || s.files.isEmpty)
+      return snapshotFrameNoEq(spark, path, s.copy(eqDeletes = Nil), withMeta)
+    val groups = s.files.groupBy(_.seq).toSeq.sortBy(_._1)
+    groups.map { case (gseq, fs2) =>
+      val base = snapshotFrameNoEq(spark, path,
+        s.copy(files = fs2, eqDeletes = Nil), withMeta)
+      s.eqDeletes.filter(_.seq > gseq).foldLeft(base) { (acc, d) =>
+        val del = spark.read.parquet(new HPath(d.path).toString)
+          .select(d.columns.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+        val cond = d.columns.map(c => acc(c) <=> del(s"__eq_$c")).reduce(_ && _)
+        acc.join(del, cond, "left_anti")
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  private def snapshotFrameNoEq(spark: SparkSession, path: String, s: Snapshot,
       withMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
@@ -706,7 +754,7 @@ object Iceberg {
   private[graft] def relationFor(spark: SparkSession, path: String,
       snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
     val s = snapshot(spark, path, snapshotId)
-    if (s.deletes.nonEmpty) {
+    if (s.hasDeleteDebt) {
       val classic = spark.asInstanceOf[ClassicSession]
       new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
         classic.sqlContext, path, snapshotId)
@@ -1059,8 +1107,64 @@ object Iceberg {
     fs.mkdirs(dest.getParent)
     require(fs.rename(from, dest), s"Iceberg.deleteMergeOnRead: rename $from -> $dest failed")
     fs.delete(tmp, true): Unit
+    commitDeleteFile(fs, root, metaV, meta, s, dest, n, fileContent = 1, equalityIds = Nil)
+  }
 
-    // ---- one DELETE manifest (content=1) naming the position-delete file
+  /** EQUALITY DELETE (`content=2`) — the Flink-style streaming
+    * retraction shape: `keys`' rows (over any subset of table columns)
+    * commit as one equality-delete parquet whose `equality_ids` name
+    * the match columns; every CURRENT data file is affected (their
+    * sequence numbers are strictly below the new delete's), while rows
+    * appended later are not. O(keys) write, no table scan at all —
+    * cheaper than a position delete when the match set is a key list.
+    * Readers apply it as a sequenced null-safe anti-join. */
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val s = snapshot(spark, path)
+    val missing = keys.columns.filterNot(s.schema.fieldNames.contains)
+    require(keys.columns.nonEmpty && missing.isEmpty,
+      s"Iceberg.deleteEquality: key columns must be table columns (bad: ${missing.mkString(", ")})")
+    val fieldIds: Map[String, Int] = {
+      val curId = meta.get("current-schema-id").asInt
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    }
+    // stage the delete file with the table's parquet field ids
+    val withIds = StructType(keys.schema.fields.map { f =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", fieldIds(f.name).toLong).build())
+    })
+    val distinctKeys = keys.distinct()
+    val staged = spark.createDataFrame(distinctKeys.repartition(1).rdd, withIds)
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    finally prevConf match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val stagedFiles = walkStagedFiles(fs, tmp, "")
+    val n = if (stagedFiles.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+    if (n == 0L) { fs.delete(tmp, true); return s.snapshotId }
+    val dest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-eq-deletes.parquet")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(stagedFiles.head._2, dest),
+      s"Iceberg.deleteEquality: rename ${stagedFiles.head._2} -> $dest failed")
+    fs.delete(tmp, true): Unit
+    commitDeleteFile(fs, root, metaV, meta, s, dest, n, fileContent = 2,
+      equalityIds = keys.columns.toSeq.map(fieldIds))
+  }
+
+  /** The shared delete-file commit: one DELETE manifest (`content=1`)
+    * naming the staged delete parquet (`fileContent` 1 = position
+    * deletes, 2 = equality deletes with `equalityIds`), the current
+    * manifests carried untouched, one new snapshot (operation
+    * `delete`), the next metadata version created atomically. */
+  private def commitDeleteFile(fs: FileSystem, root: HPath, metaV: Long, meta: JsonNode,
+      s: Snapshot, dest: HPath, n: Long, fileContent: Int, equalityIds: Seq[Int]): Long = {
+    val path = root.toString
     val seq = meta.get("last-sequence-number").asLong + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val partFieldTriples: Seq[(String, DataType, Int)] = s.partFields.map { f =>
@@ -1070,7 +1174,7 @@ object Iceberg {
     val r2Schema = entrySchema.getField("data_file").schema()
     val r102Schema = r2Schema.getField("partition").schema()
     val dfr = new GenericData.Record(r2Schema)
-    dfr.put("content", 1) // POSITION_DELETES
+    dfr.put("content", fileContent)
     dfr.put("file_path", dest.toUri.getPath)
     dfr.put("file_format", "PARQUET")
     dfr.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
@@ -1078,6 +1182,12 @@ object Iceberg {
     dfr.put("file_size_in_bytes", fs.getFileStatus(dest).getLen)
     dfr.put("lower_bounds", null)
     dfr.put("upper_bounds", null)
+    if (equalityIds.nonEmpty) {
+      val arrSchema = r2Schema.getField("equality_ids").schema().getTypes.get(1)
+      val arr = new java.util.ArrayList[Integer]()
+      equalityIds.foreach(id => arr.add(Integer.valueOf(id)): Unit)
+      dfr.put("equality_ids", new GenericData.Array[Integer](arrSchema, arr))
+    } else dfr.put("equality_ids", null)
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1) // ADDED
     e.put("snapshot_id", snapshotId)
@@ -1243,11 +1353,26 @@ object Iceberg {
   def rewriteDeletes(spark: SparkSession, path: String): Long = {
     import org.apache.spark.sql.functions.expr
     val s = snapshot(spark, path)
-    if (s.deletes.isEmpty) return s.snapshotId
+    if (!s.hasDeleteDebt) return s.snapshotId
     val (_, root) = Writers.fsFor(path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    val dv = loadDeleteMap(spark, root, s)
-    val coveredRel = dv.files.toSeq
+    // covered = files a position-delete names, plus every file an
+    // equality delete COULD apply to (data seq strictly below the
+    // delete's — equality deletes carry no file list, so the bound is
+    // by sequence number, not by match; after streaming retractions
+    // this approaches a full compaction, which a debt fold is)
+    val posCovered: Set[String] =
+      if (s.deletes.isEmpty) Set.empty
+      else loadDeleteMap(spark, root, s).files
+    val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
+    val eqCovered: Set[String] = s.files.filter(_.seq < maxEqSeq)
+      .map(f => new java.net.URI(f.path).getPath.stripPrefix(rootPrefix)).toSet
+    val coveredRel = (posCovered ++ eqCovered).toSeq
+    if (coveredRel.isEmpty)
+      // debt files that no longer apply to anything: a metadata-only
+      // cleanup (drop the delete manifests, carry every data manifest)
+      return commitRewriteSnapshot(spark, path, Set.empty, None, "replace",
+        dropDeleteManifests = true)
     val q = rootPrefix.replace("'", "''")
     val full = snapshotFrame(spark, path, s, withMeta = true)
     val survivors = full

@@ -46,11 +46,12 @@ class IcebergStreamSource(
         // bootstrap over outstanding delete debt would over-serve
         // deleted rows. Refuse rather than misread; a rewrite
         // (copy-on-write delete / compaction) clears the debt.
-        if (snap.deletes.nonEmpty)
+        if (snap.hasDeleteDebt)
           throw new IllegalStateException(
-            s"iceberg source: $path carries ${snap.deletes.size} position-delete file(s) — " +
-              "a streaming bootstrap over merge-on-read delete debt would re-serve deleted " +
-              "rows. Rewrite the table (copy-on-write delete or compaction) before tailing it.")
+            s"iceberg source: $path carries ${snap.deletes.size} position-delete and " +
+              s"${snap.eqDeletes.size} equality-delete file(s) — a streaming bootstrap over " +
+              "merge-on-read delete debt would re-serve deleted rows. Rewrite the table " +
+              "(copy-on-write delete or compaction) before tailing it.")
         snap.files
       case Some(s0) =>
         val (adds, nonAppend) = Iceberg.changesBetween(spark, path, seqOf(s0), to)

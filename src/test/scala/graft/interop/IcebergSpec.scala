@@ -422,6 +422,41 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ice_fold_tail").count() == 280L)
   }
 
+  test("equality deletes: retraction write, sequenced null-safe reads, debt fold") {
+    import spark.implicits._
+    val path = freshDir("ice_eq")
+    Iceberg.write((0L until 100L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartitionByRange(2, col("k")), path)
+    val dataFiles = Iceberg.snapshot(spark, path).files.map(_.path).toSet
+    // single-column retraction: no table scan, O(keys) write
+    Iceberg.deleteEquality(spark, path, Seq(3L, 7L).toDF("k"))
+    val s1 = Iceberg.snapshot(spark, path)
+    assert(s1.eqDeletes.size == 1 && s1.eqDeletes.head.columns == Seq("k"))
+    assert(s1.files.map(_.path).toSet == dataFiles, "zero data files rewritten")
+    assert(Iceberg.read(spark, path).count() == 98L)
+    assert(Iceberg.read(spark, path).filter(col("k") === 3L).count() == 0L)
+    // SEQUENCING: a row with a deleted key appended AFTER the delete
+    // has a higher sequence number — the delete must not swallow it
+    Iceberg.write(Seq((3L, 99L)).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).filter(col("k") === 3L).count() == 1L)
+    assert(Iceberg.read(spark, path).count() == 99L)
+    // multi-column equality delete matches on every named column
+    Iceberg.deleteEquality(spark, path, Seq((4L, 4L)).toDF("k", "v"))
+    assert(Iceberg.read(spark, path).count() == 98L)
+    assert(Iceberg.read(spark, path).filter(col("k") === 4L).count() == 0L)
+    // the later (3, 99) row still survives both deletes
+    assert(Iceberg.read(spark, path).filter(col("k") === 3L).count() == 1L)
+    // the manifest records the spec's equality_ids for foreign readers
+    assert(Iceberg.snapshot(spark, path).eqDeletes.map(_.columns).toSet ==
+      Set(Seq("k"), Seq("k", "v")))
+    // a fold rewrites the covered files and clears every delete manifest
+    Iceberg.rewriteDeletes(spark, path)
+    val clean = Iceberg.snapshot(spark, path)
+    assert(!clean.hasDeleteDebt)
+    assert(Iceberg.read(spark, path).count() == 98L)
+    assert(Iceberg.read(spark, path).filter(col("k") === 3L).count() == 1L)
+  }
+
   test("SQL DELETE/UPDATE/MERGE on an iceberg catalog table land through the log") {
     import spark.implicits._
     val path = freshDir("ice_sqldml")
