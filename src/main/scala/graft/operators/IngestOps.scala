@@ -1379,16 +1379,19 @@ object IngestOps extends QueryModule {
         "s30: the replayed batchId append must be a no-op")
       s.sql("DROP TABLE IF EXISTS graft_s30")
       s.sql(s"CREATE TABLE graft_s30 USING `graft-versioned` OPTIONS (path '$path')")
-      s.sql("INSERT INTO graft_s30 VALUES (0, 'X', 0.0, 0.0, TIMESTAMP'1995-06-01 00:00:00')")
+      // sentinel key -1: the corpus generator emits l_orderkey = 0 rows
+      // (one lands in this date window at sf0.1), so only a key outside
+      // the generator's domain is collision-proof
+      s.sql("INSERT INTO graft_s30 VALUES (-1, 'X', 0.0, 0.0, TIMESTAMP'1995-06-01 00:00:00')")
       require(V.currentVersion(path).contains(3L),
         "s30: SQL INSERT INTO must land as ONE manifest-protocol commit")
       s.sql("REFRESH TABLE graft_s30")
-      require(s.sql("SELECT count(*) FROM graft_s30 WHERE l_orderkey = 0").head().getLong(0) == 1L,
+      require(s.sql("SELECT count(*) FROM graft_s30 WHERE l_orderkey = -1").head().getLong(0) == 1L,
         "s30: the inserted probe row must be readable through the manifest")
       val back = s.read.format("graft-versioned").load(path)
       require(s.sql("SELECT count(*) FROM graft_s30").head().getLong(0) == back.count(),
         "s30: the catalog table and the connector frame must serve the same snapshot")
-      back.filter(col("l_orderkey") > 0L) // the probe row is sentinel-keyed out
+      back.filter(col("l_orderkey") >= 0L) // the probe row is sentinel-keyed out
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           unscale(sum(cents("l_quantity")), 2).as("sum_qty"),
