@@ -360,6 +360,22 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       .filter(col("ts") === java.sql.Timestamp.valueOf("2024-03-05 12:00:00")).count() == 1L)
     val (keptD, totalD) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(p3).get
     assert(keptD == 1 && totalD == 24, s"a ts equality must plan one day file ($keptD/$totalD)")
+
+    // months(ts) and hours(ts): spec ordinals (months since 1970-01,
+    // hours since epoch) both in the dirs and in pruning
+    val p4 = freshDir("ice_months")
+    Iceberg.write(events, p4, partitionBy = Seq("months(ts)"))
+    val snap4 = Iceberg.snapshot(spark, p4)
+    assert(snap4.files.flatMap(_.partitionValues("ts_month")).distinct.sorted ==
+      Seq(((2024 - 1970) * 12 + 2).toString), "March 2024 is month ordinal 650")
+    assert(Iceberg.read(spark, p4)
+      .filter(col("ts") === java.sql.Timestamp.valueOf("2024-03-05 12:00:00")).count() == 1L)
+    val p5 = freshDir("ice_hours")
+    Iceberg.write(events.limit(8), p5, partitionBy = Seq("hours(ts)"))
+    assert(Iceberg.read(spark, p5)
+      .filter(col("ts") === java.sql.Timestamp.valueOf("2024-03-01 18:00:00")).count() == 1L)
+    val (keptH, totalH) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(p5).get
+    assert(keptH == 1 && totalH == 8, s"hour equality must plan one file ($keptH/$totalH)")
   }
 
   test("copy-on-write DELETE and MERGE rewrite only the touched files") {
