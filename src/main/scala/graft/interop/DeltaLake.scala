@@ -330,8 +330,13 @@ object DeltaLake {
             feats.forall(SupportedReaderFeatures.contains)),
           s"DeltaLake: $path requires reader protocol $mr [${feats.mkString(", ")}]")
       }
-      if (n.has("remove")) hasRemoves = true
-      Option(n.get("add")).foreach { a =>
+      // dataChange=false actions are MAINTENANCE (compaction/OPTIMIZE):
+      // the row set is unchanged, so a tail neither gates on their
+      // removes nor re-delivers their adds — the spec's streaming rule
+      def changesData(node: JsonNode): Boolean =
+        Option(node.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean)
+      Option(n.get("remove")).foreach(rm => if (changesData(rm)) hasRemoves = true)
+      Option(n.get("add")).filter(changesData).foreach { a =>
         val pv = Option(a.get("partitionValues")).map { o =>
           o.properties().asScala.map { e =>
             e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
@@ -775,6 +780,50 @@ object DeltaLake {
     commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors, "DELETE")
   }
 
+  /** OPTIMIZE-style small-file COMPACTION: bin-pack each partition's
+    * small files (< targetBytes/2, where at least two share a
+    * partition) into ~targetBytes outputs, committed as remove+add
+    * with `dataChange=false` — the spec's maintenance marker. Files
+    * carrying deletion vectors are always selected and their vectors
+    * FOLD into the rewrite (the row set was already without those
+    * rows, so dataChange stays false — Delta's own OPTIMIZE/REORG
+    * semantics). A streaming tail SKIPS dataChange=false commits
+    * entirely ([[changesIn]]), so compaction neither breaks nor
+    * re-delivers a tail. Returns the committed version, or the current
+    * one when there is nothing to do. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.compact: $path is column-mapped — not supported by this writer")
+    val smallByPart = snap.files.filter(_.size < targetBytes / 2)
+      .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
+    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    val selected = (smallByPart ++ dvFiles).distinctBy(_.path)
+    if (selected.isEmpty) return snap.version
+    val sub = snap.copy(files = selected)
+    val classic = spark.asInstanceOf[ClassicSession]
+    val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
+    val rows =
+      if (!sub.hasDeletionVectors) base
+      else {
+        import org.apache.spark.sql.functions.{col, not}
+        base.select(col("*"),
+          col("_metadata.file_path").as(FileMetaCol),
+          col("_metadata.row_index").as(PosMetaCol))
+          .filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DvContains(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+              org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
+              loadDvMap(spark, path, sub)))))
+          .drop(FileMetaCol, PosMetaCol)
+      }
+    val nOut = math.max(1L,
+      (selected.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+    commitRewrite(spark, path, snap, selected.map(_.path), rows.coalesce(nOut),
+      "OPTIMIZE", dataChange = false)
+  }
+
   /** COPY-ON-WRITE predicate UPDATE — `UPDATE t SET c = expr [WHERE
     * cond]`: only the files holding a matching row are rewritten, each
     * surviving row passed through `when(cond, value).otherwise(col)`
@@ -869,7 +918,8 @@ object DeltaLake {
     * rewrite that stages nothing is a pure-remove commit (legal —
     * e.g. a delete that empties every touched file). */
   private def commitRewrite(spark: SparkSession, path: String, snap: Snapshot,
-      removedRel: Seq[String], newData: DataFrame, operation: String): Long = {
+      removedRel: Seq[String], newData: DataFrame, operation: String,
+      dataChange: Boolean = true): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -903,10 +953,10 @@ object DeltaLake {
     removedRel.foreach { p =>
       val o = Json.createObjectNode()
       val rm = o.putObject("remove")
-      rm.put("path", p); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      rm.put("path", p); rm.put("deletionTimestamp", now); rm.put("dataChange", dataChange)
       lines += Json.writeValueAsString(o)
     }
-    adds.foreach(a => lines += addLine(a))
+    adds.foreach(a => lines += addLine(a, dataChange))
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
@@ -994,7 +1044,7 @@ object DeltaLake {
     Json.writeValueAsString(o)
   }
 
-  private def addLine(a: AddFile): String = {
+  private def addLine(a: AddFile, dataChange: Boolean = true): String = {
     val o = Json.createObjectNode()
     val ad = o.putObject("add")
     // spec: add.path is URI-encoded
@@ -1005,7 +1055,7 @@ object DeltaLake {
     }
     ad.put("size", a.size)
     ad.put("modificationTime", a.modificationTime)
-    ad.put("dataChange", true)
+    ad.put("dataChange", dataChange)
     a.stats.foreach(s => ad.put("stats", s): Unit)
     Json.writeValueAsString(o)
   }

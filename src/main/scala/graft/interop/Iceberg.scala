@@ -1384,6 +1384,48 @@ object Iceberg {
       Some(survivors), "replace", dropDeleteManifests = true)
   }
 
+  /** Small-file COMPACTION: bin-pack each partition's small files
+    * (< targetBytes/2, where at least two share a partition) into
+    * ~targetBytes outputs, published as the spec's `replace` operation
+    * — the row set is unchanged, so a streaming tail SKIPS the
+    * snapshot entirely ([[changesBetween]]) instead of gating or
+    * re-delivering. Files covered by outstanding position/equality
+    * deletes are always selected, folding the debt into the rewrite;
+    * when that covers every applicable file the delete manifests drop
+    * too. Returns the committed snapshot id, or the current one when
+    * there is nothing to do. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val s = snapshot(spark, path)
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val smallByPart = s.files.filter(_.sizeInBytes < targetBytes / 2)
+      .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
+    val posCovered: Set[String] =
+      if (s.deletes.isEmpty) Set.empty
+      else loadDeleteMap(spark, root, s).files.map(rootPrefix + _)
+    val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
+    val debtFiles = s.files.filter(f =>
+      posCovered.contains(new java.net.URI(f.path).getPath) || f.seq < maxEqSeq)
+    val selected = (smallByPart ++ debtFiles).distinctBy(_.path)
+    if (selected.isEmpty) {
+      // delete files that apply to nothing: metadata-only cleanup
+      if (s.hasDeleteDebt)
+        return commitRewriteSnapshot(spark, path, Set.empty, None, "replace",
+          dropDeleteManifests = true)
+      return s.snapshotId
+    }
+    val rows = snapshotFrame(spark, path, s.copy(files = selected), withMeta = false)
+    val nOut = math.max(1L,
+      (selected.map(_.sizeInBytes).sum + targetBytes - 1) / targetBytes).toInt
+    val selectedAbs = selected.map(f => new java.net.URI(f.path).getPath).toSet
+    // every file any delete applies to is in the selection (debtFiles ⊆
+    // selected), so after the rewrite no delete manifest applies to
+    // anything — safe to drop them whenever debt existed
+    commitRewriteSnapshot(spark, path, selectedAbs, Some(rows.coalesce(nOut)),
+      "replace", dropDeleteManifests = s.hasDeleteDebt)
+  }
+
   /** The shared copy-on-write commit: stage `newData` (when present),
     * carry every untouched manifest by reference, and REWRITE only the
     * manifests naming a removed file — removed entries re-marked
@@ -1547,7 +1589,10 @@ object Iceberg {
       .sortBy(_.get("sequence-number").asLong)
     var nonAppend = false
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
-    snaps.foreach { sn =>
+    // `replace` snapshots (compaction / delete-debt folds) leave the
+    // ROW SET unchanged — the spec's streaming rule is to skip them
+    // entirely: nothing to emit, nothing to gate on
+    snaps.filter(_.get("summary").get("operation").asText != "replace").foreach { sn =>
       val seq = sn.get("sequence-number").asLong
       if (sn.get("summary").get("operation").asText != "append") nonAppend = true
       readAvro(fs, new HPath(sn.get("manifest-list").asText))

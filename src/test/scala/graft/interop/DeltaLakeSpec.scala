@@ -330,6 +330,51 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
+  test("compact bin-packs small files with dataChange=false; a tail survives it") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = freshDir("delta_compact")
+    // 6 tiny single-row commits -> 6 small files
+    for (k <- 0L until 6L)
+      DeltaLake.write(Seq((k, k % 3)).toDF("k", "v"), path,
+        mode = if (k == 0) SaveMode.Overwrite else SaveMode.Append)
+    assert(DeltaLake.snapshot(spark, path).files.size == 6)
+    // start a tail and drain the bootstrap (parquet sink: resumable)
+    val base = freshDir("delta_compact_tail")
+    val sink = s"$base/sink"; val cp = s"$base/cp"
+    def drain(): Unit = {
+      val q = spark.readStream.format("delta").load(path).writeStream
+        .format("parquet").option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() == 6L)
+    // compaction: files drop, data identical, dataChange=false recorded
+    val v = DeltaLake.compact(spark, path, targetBytes = 1L << 20)
+    assert(DeltaLake.snapshot(spark, path).files.size == 1,
+      s"6 tiny files must bin-pack into one, got ${DeltaLake.snapshot(spark, path).files.size}")
+    assert(DeltaLake.read(spark, path).count() == 6L)
+    val logText = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(logText.contains("\"dataChange\":false") && !logText.contains("\"dataChange\":true"))
+    // append after compaction; the resumed tail sees ONLY the new row —
+    // the compaction commit is skipped, not gated on, not re-delivered
+    DeltaLake.write(Seq((100L, 0L)).toDF("k", "v"), path, mode = SaveMode.Append)
+    drain()
+    assert(spark.read.parquet(sink).count() == 7L,
+      "the tail must skip the dataChange=false commit and deliver only the append")
+    // compaction also folds deletion-vector debt (row set unchanged)
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 100L)
+    assert(DeltaLake.snapshot(spark, path).hasDeletionVectors)
+    DeltaLake.compact(spark, path, targetBytes = 1L << 20)
+    assert(!DeltaLake.snapshot(spark, path).hasDeletionVectors)
+    assert(DeltaLake.read(spark, path).count() == 6L)
+    // nothing left to do -> no commit
+    val vNow = DeltaLake.versions(path).max
+    assert(DeltaLake.compact(spark, path) == vNow)
+  }
+
   test("SQL DELETE/UPDATE/MERGE on a delta catalog table land through the log") {
     import spark.implicits._
     val path = freshDir("delta_sqldml")

@@ -438,6 +438,46 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ice_fold_tail").count() == 280L)
   }
 
+  test("compact bin-packs small files as a replace snapshot; a tail skips it") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = freshDir("ice_compact")
+    for (k <- 0L until 6L)
+      Iceberg.write(Seq((k, k % 3)).toDF("k", "v"), path,
+        mode = if (k == 0) SaveMode.Overwrite else SaveMode.Append)
+    assert(Iceberg.snapshot(spark, path).files.size == 6)
+    val base = freshDir("ice_compact_tail")
+    val sink = s"$base/sink"; val cp = s"$base/cp"
+    def drain(): Unit = {
+      val q = spark.readStream.format("iceberg").load(path).writeStream
+        .format("parquet").option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() == 6L)
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)
+    val snap = Iceberg.snapshot(spark, path)
+    assert(snap.files.size == 1, s"6 tiny files must bin-pack into one, got ${snap.files.size}")
+    assert(Iceberg.read(spark, path).count() == 6L)
+    assert(Iceberg.history(spark, path).filter(col("operation") === "replace").count() >= 1)
+    // the resumed tail skips the replace snapshot and serves only the append
+    Iceberg.write(Seq((100L, 0L)).toDF("k", "v"), path, mode = SaveMode.Append)
+    drain()
+    assert(spark.read.parquet(sink).count() == 7L,
+      "the tail must skip the replace snapshot and deliver only the append")
+    // compaction folds delete debt too (position + equality)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 100L)
+    Iceberg.deleteEquality(spark, path, Seq(0L).toDF("k"))
+    assert(Iceberg.snapshot(spark, path).hasDeleteDebt)
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)
+    assert(!Iceberg.snapshot(spark, path).hasDeleteDebt)
+    assert(Iceberg.read(spark, path).count() == 5L)
+    // nothing left to do -> no commit
+    val sNow = Iceberg.snapshot(spark, path).snapshotId
+    assert(Iceberg.compact(spark, path) == sNow)
+  }
+
   test("equality deletes: retraction write, sequenced null-safe reads, debt fold") {
     import spark.implicits._
     val path = freshDir("ice_eq")
