@@ -2124,6 +2124,50 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S43: interop COMPACTION — `DeltaLake.compact` bin-packs the small
+    * files of a many-tiny-commit table into one and commits it with
+    * `dataChange=false`, the maintenance marker a streaming tail skips
+    * instead of gating on (spec'd with a live resumed tail; Iceberg's
+    * twin publishes a `replace` snapshot). In-entry requires: the file
+    * count actually drops and the commit carries ONLY dataChange=false
+    * actions. At 100 TB this is the nightly OPTIMIZE that keeps scan
+    * task counts bounded without ever disturbing downstream consumers.
+    * Oracle: the compacted table must still be exactly `orders`. */
+  val s43InteropCompaction = QueryDef(
+    "s43_interop_compaction",
+    (s, d) => {
+      val path = tmp("s43_compact", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      for (i <- 0L until 4L)
+        D.write(orders.filter(col("o_orderkey") % 4 === i).repartition(3), path,
+          mode = if (i == 0) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+      val before = D.snapshot(s, path)
+      require(before.files.size >= 8, s"s43: expected a small-file mess, got ${before.files.size}")
+      val v = D.compact(s, path)
+      val after = D.snapshot(s, path)
+      require(after.files.size < before.files.size,
+        s"s43: compaction must shrink the file count (${before.files.size} -> ${after.files.size})")
+      val logText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json")), "UTF-8")
+      require(logText.contains("\"dataChange\":false") && !logText.contains("\"dataChange\":true"),
+        "s43: the compaction commit must carry only dataChange=false actions")
+      D.read(s, path).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2132,5 +2176,5 @@ object IngestOps extends QueryModule {
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
-    s41DeltaMorDelete, s42InteropSqlDml)
+    s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction)
 }
