@@ -515,7 +515,7 @@ object DeltaLake {
     * version. Per-file stats are always recorded. Folds a parquet
     * checkpoint every [[CheckpointEvery]] commits. */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Long = {
+      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"DeltaLake.write: mode must be Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -542,11 +542,39 @@ object DeltaLake {
       if (mode == SaveMode.Append) {
         require(p.partitionColumns == partCols,
           s"DeltaLake.write: append partitioning $partCols differs from the table's ${p.partitionColumns}")
-        require(Versioned.nullabilityErased(p.schema).json ==
-          Versioned.nullabilityErased(df.schema).json,
-          "DeltaLake.write: append schema differs from the table schema")
+        if (!mergeSchema)
+          require(Versioned.nullabilityErased(p.schema).json ==
+            Versioned.nullabilityErased(df.schema).json,
+            "DeltaLake.write: append schema differs from the table schema " +
+              "(pass mergeSchema=true for additive evolution)")
       }
     }
+    // mergeSchema append: the table schema becomes the UNION — new
+    // columns join at the end, columns the frame omits stay (its files
+    // simply lack them and read back NULL), same-name columns must
+    // type-match. A changed union re-emits metaData; the reader takes
+    // the newest one, and older files resolve the added columns to
+    // NULL by parquet-by-name.
+    val tableSchema: StructType = prior match {
+      case Some(p) if mode == SaveMode.Append && mergeSchema =>
+        val conflicts = df.schema.fields.flatMap { f =>
+          p.schema.fields.find(_.name == f.name)
+            .filter(pf => Versioned.nullabilityErased(StructType(Seq(pf))).json !=
+              Versioned.nullabilityErased(StructType(Seq(f))).json)
+            .map(pf => s"${f.name}: table ${pf.dataType.sql} vs frame ${f.dataType.sql}")
+        }
+        require(conflicts.isEmpty,
+          s"DeltaLake.write: mergeSchema type conflicts — ${conflicts.mkString("; ")}")
+        // evolved columns are NULLABLE by construction — every
+        // pre-evolution file lacks them
+        StructType(p.schema.fields ++
+          df.schema.fields.filterNot(f => p.schema.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true)))
+      case _ => df.schema
+    }
+    val schemaChanged = prior.exists(p =>
+      Versioned.nullabilityErased(p.schema).json !=
+        Versioned.nullabilityErased(tableSchema).json)
 
     // stage with Spark's parquet writer, then move into the table layout
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -585,8 +613,8 @@ object DeltaLake {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     if (prior.isEmpty)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    if (prior.isEmpty || mode == SaveMode.Overwrite)
-      lines += metaDataLine(df.schema, partCols, now)
+    if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged)
+      lines += metaDataLine(tableSchema, partCols, now)
     if (mode == SaveMode.Overwrite)
       prior.toSeq.flatMap(_.files).foreach { f =>
         val o = Json.createObjectNode()

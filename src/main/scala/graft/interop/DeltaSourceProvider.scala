@@ -99,7 +99,8 @@ final class DeltaSourceProvider extends RelationProvider
         throw new IllegalArgumentException(s"delta: $path already exists (mode=errorifexists)")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
-        DeltaLake.write(data, path, partitionBy, SaveMode.Append): Unit
+        DeltaLake.write(data, path, partitionBy, SaveMode.Append,
+          mergeSchema = opt(parameters, "mergeSchema").exists(_.toBoolean)): Unit
       case _ =>
         DeltaLake.write(data, path, partitionBy, SaveMode.Overwrite): Unit
     }

@@ -859,7 +859,7 @@ object Iceberg {
     * columns stay IN the data files (the transform value is metadata,
     * not a column). */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Long = {
+      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"Iceberg.write: mode must be Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -892,21 +892,60 @@ object Iceberg {
             s"Iceberg.write: append partitioning $partitionBy differs from the table's " +
               tableFields.map(f => s"${f.transform.spec}(${f.source})").mkString(", "))
         }
-        require(Versioned.nullabilityErased(schemaFromMeta(m)).json ==
-          Versioned.nullabilityErased(df.schema).json,
-          "Iceberg.write: append schema differs from the table schema")
+        if (!mergeSchema)
+          require(Versioned.nullabilityErased(schemaFromMeta(m)).json ==
+            Versioned.nullabilityErased(df.schema).json,
+            "Iceberg.write: append schema differs from the table schema " +
+              "(pass mergeSchema=true for additive evolution)")
       }
     }
     val partFields: Seq[PartField] = prior match {
       case Some((_, m)) if mode == SaveMode.Append => partFieldsFromMeta(m)
       case _ => parseRequested()
     }
-    val fieldIds: Map[String, Int] = prior match {
+    // mergeSchema append: the table schema becomes the UNION. New
+    // columns get FRESH field ids above last-column-id (the spec's
+    // add-column evolution — ids are never reused), and a new schema
+    // joins the `schemas` list under a bumped schema-id; columns the
+    // frame omits stay, their values reading NULL from older files by
+    // field-id/by-name resolution.
+    val (tableSchema: StructType, fieldIds: Map[String, Int]) = prior match {
       case Some((_, m)) =>
         val curId = m.get("current-schema-id").asInt
         val sn = iterator(m.get("schemas")).find(_.get("schema-id").asInt == curId).get
-        iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
-      case None => df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+        val priorIds = iterator(sn.get("fields"))
+          .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+        if (mode == SaveMode.Append) {
+          val priorSchema = schemaFromMeta(m)
+          val newFields =
+            df.schema.fields.filterNot(f => priorSchema.fieldNames.contains(f.name)).toSeq
+          if (mergeSchema && newFields.nonEmpty) {
+            val conflicts = df.schema.fields.flatMap { f =>
+              priorSchema.fields.find(_.name == f.name)
+                .filter(pf => Versioned.nullabilityErased(StructType(Seq(pf))).json !=
+                  Versioned.nullabilityErased(StructType(Seq(f))).json)
+                .map(pf => s"${f.name}: table ${pf.dataType.sql} vs frame ${f.dataType.sql}")
+            }
+            require(conflicts.isEmpty,
+              s"Iceberg.write: mergeSchema type conflicts — ${conflicts.mkString("; ")}")
+            val base = m.get("last-column-id").asInt
+            val extended = priorIds ++ newFields.zipWithIndex.map { case (f, i) =>
+              f.name -> (base + 1 + i)
+            }
+            (StructType(priorSchema.fields ++
+              newFields.map(_.copy(nullable = true))), extended)
+          } else (priorSchema, priorIds)
+        } else {
+          // overwrite: carried names keep their ids (the spec's id
+          // stability), new names get fresh ids above last-column-id
+          var next = m.get("last-column-id").asInt
+          val ids = df.schema.fieldNames.map { n =>
+            n -> priorIds.getOrElse(n, { next += 1; next })
+          }.toMap
+          (df.schema, ids)
+        }
+      case None =>
+        (df.schema, df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
     }
 
     val moved = stageWithTransforms(spark, df, fs, root, partFields, fieldIds)
@@ -965,15 +1004,33 @@ object Iceberg {
     meta.put("last-sequence-number", seq)
     meta.put("last-updated-ms", now)
     meta.put("last-column-id", fieldIds.values.max)
-    meta.put("current-schema-id", 0)
+    // schema history: an UNCHANGED append carries the prior `schemas`
+    // list + current-schema-id verbatim; a changed table schema (first
+    // write, overwrite, mergeSchema evolution) joins the list under a
+    // bumped schema-id — the spec's add-column evolution
+    val priorSchemaNodes: Seq[JsonNode] = prior.toSeq.flatMap { case (_, m) =>
+      iterator(m.get("schemas")).toSeq
+    }
+    val priorCurId: Option[Int] = prior.map(_._2.get("current-schema-id").asInt)
+    val schemaUnchanged = prior.exists { case (_, m) =>
+      Versioned.nullabilityErased(schemaFromMeta(m)).json ==
+        Versioned.nullabilityErased(tableSchema).json
+    }
+    val curSchemaId: Int =
+      if (schemaUnchanged) priorCurId.get
+      else priorSchemaNodes.map(_.get("schema-id").asInt).maxOption.map(_ + 1).getOrElse(0)
+    meta.put("current-schema-id", curSchemaId)
     val schemas = meta.putArray("schemas")
-    val schemaNode = schemas.addObject()
-    schemaNode.put("type", "struct"); schemaNode.put("schema-id", 0)
-    val fieldsArr = schemaNode.putArray("fields")
-    df.schema.fields.foreach { f =>
-      val fn = fieldsArr.addObject()
-      fn.put("id", fieldIds(f.name)); fn.put("name", f.name)
-      fn.put("required", !f.nullable); fn.put("type", icebergType(f.dataType))
+    priorSchemaNodes.foreach(schemas.add)
+    if (!schemaUnchanged) {
+      val schemaNode = schemas.addObject()
+      schemaNode.put("type", "struct"); schemaNode.put("schema-id", curSchemaId)
+      val fieldsArr = schemaNode.putArray("fields")
+      tableSchema.fields.foreach { f =>
+        val fn = fieldsArr.addObject()
+        fn.put("id", fieldIds(f.name)); fn.put("name", f.name)
+        fn.put("required", !f.nullable); fn.put("type", icebergType(f.dataType))
+      }
     }
     meta.put("default-spec-id", 0)
     val specs = meta.putArray("partition-specs")
@@ -1004,7 +1061,7 @@ object Iceberg {
     val summary = snapNode.putObject("summary")
     summary.put("operation", if (mode == SaveMode.Append) "append" else "overwrite")
     snapNode.put("manifest-list", listPath.toUri.getPath)
-    snapNode.put("schema-id", 0)
+    snapNode.put("schema-id", curSchemaId)
     val slog = meta.putArray("snapshot-log")
     prior.foreach { case (_, m) =>
       iterator(m.get("snapshot-log")).foreach(e => slog.add(e))

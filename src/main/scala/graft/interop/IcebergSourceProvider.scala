@@ -83,7 +83,8 @@ final class IcebergSourceProvider extends RelationProvider
         throw new IllegalArgumentException(s"iceberg: $path already exists (mode=errorifexists)")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
-        Iceberg.write(data, path, partitionBy, SaveMode.Append): Unit
+        Iceberg.write(data, path, partitionBy, SaveMode.Append,
+          mergeSchema = opt(parameters, "mergeSchema").exists(_.toBoolean)): Unit
       case _ =>
         Iceberg.write(data, path, partitionBy, SaveMode.Overwrite): Unit
     }

@@ -330,6 +330,38 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
+  test("mergeSchema append evolves the table additively; old files read NULL") {
+    import spark.implicits._
+    val path = freshDir("delta_evolve")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    // appending a wider frame without mergeSchema stays a loud error
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+        mode = SaveMode.Append))
+    assert(e.getMessage.contains("mergeSchema"))
+    // with mergeSchema: the union schema lands via a new metaData action
+    DeltaLake.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+      mode = SaveMode.Append, mergeSchema = true)
+    val got = DeltaLake.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(got.as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // a later append may OMIT the evolved column (its files lack it)
+    DeltaLake.write(Seq((4L, "d")).toDF("k", "v"), path,
+      mode = SaveMode.Append, mergeSchema = true)
+    assert(DeltaLake.read(spark, path).count() == 4L)
+    assert(DeltaLake.read(spark, path).filter(col("score").isNull).count() == 3L)
+    // type conflicts refuse loudly
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((5L, 9L, 0.1)).toDF("k", "v", "score"), path,
+        mode = SaveMode.Append, mergeSchema = true))
+    assert(e2.getMessage.contains("type conflict"))
+    // the provider surface carries the familiar option
+    Seq((6L, "f", 1.5)).toDF("k", "v", "score").write.format("delta")
+      .mode("append").option("mergeSchema", "true").save(path)
+    assert(spark.read.format("delta").load(path).count() == 5L)
+  }
+
   test("compact bin-packs small files with dataChange=false; a tail survives it") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -438,6 +438,42 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ice_fold_tail").count() == 280L)
   }
 
+  test("mergeSchema append evolves the schema with fresh field ids") {
+    import spark.implicits._
+    val path = freshDir("ice_evolve")
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val e = intercept[IllegalArgumentException](
+      Iceberg.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+        mode = SaveMode.Append))
+    assert(e.getMessage.contains("mergeSchema"))
+    Iceberg.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+      mode = SaveMode.Append, mergeSchema = true)
+    val got = Iceberg.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(got.as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // the spec bookkeeping: a NEW schema-id, the new column under a
+    // FRESH field id above the prior last-column-id, old schema retained
+    val metaText = new String(Files.readAllBytes(
+      Paths.get(path, "metadata", "v00002.metadata.json")), "UTF-8")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaText)
+    assert(meta.get("current-schema-id").asInt == 1)
+    assert(meta.get("schemas").size == 2, "the prior schema must stay in the list")
+    val newSchema = meta.get("schemas").get(1)
+    val scoreField = {
+      val it = newSchema.get("fields").elements()
+      var found: com.fasterxml.jackson.databind.JsonNode = null
+      while (it.hasNext) { val f = it.next(); if (f.get("name").asText == "score") found = f }
+      found
+    }
+    assert(scoreField != null && scoreField.get("id").asInt == 3)
+    // an append omitting the evolved column still lands; reads fill NULL
+    Iceberg.write(Seq((4L, "d")).toDF("k", "v"), path,
+      mode = SaveMode.Append, mergeSchema = true)
+    assert(Iceberg.read(spark, path).count() == 4L)
+    assert(Iceberg.read(spark, path).filter(col("score").isNull).count() == 3L)
+  }
+
   test("compact bin-packs small files as a replace snapshot; a tail skips it") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
