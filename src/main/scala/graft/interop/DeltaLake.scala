@@ -85,9 +85,12 @@ object DeltaLake {
     * `partitionColumns` stay logical. */
   final case class Snapshot(
       version: Long, schema: StructType, partitionColumns: Seq[String],
-      files: Seq[AddFile], columnMapping: Map[String, String] = Map.empty) {
+      files: Seq[AddFile], columnMapping: Map[String, String] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
     def physicalName(c: String): String = columnMapping.getOrElse(c, c)
     def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
+    def cdfEnabled: Boolean =
+      configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
   }
 
   // ---------------------------------------------------------------- paths
@@ -159,6 +162,7 @@ object DeltaLake {
     // (resolve by the schema metadata's physicalName, rename on read);
     // `id` mode (field-id resolution) stays gated.
     var mapMode: Option[String] = None
+    var tableConf: Map[String, String] = Map.empty
     def gateColumnMapping(mode: Option[String]): Unit = {
       require(mode.forall(m => m == "none" || m.isEmpty || m == "name"),
         s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — field-id column " +
@@ -190,6 +194,7 @@ object DeltaLake {
           val conf = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
             .map(_.toMap).getOrElse(Map.empty)
           gateColumnMapping(conf.get("delta.columnMapping.mode"))
+          tableConf = conf
           schema = Some(DataType.fromJson(m.getAs[String]("schemaString")).asInstanceOf[StructType])
           partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
         }
@@ -232,6 +237,9 @@ object DeltaLake {
         Option(n.get("metaData")).foreach { m =>
           gateColumnMapping(Option(m.get("configuration"))
             .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText))
+          tableConf = Option(m.get("configuration")).filterNot(_.isNull).map { c =>
+            c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          }.getOrElse(Map.empty)
           schema = Some(DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType])
           partCols = Option(m.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
             .getOrElse(Nil)
@@ -266,7 +274,7 @@ object DeltaLake {
       }.toMap
     // logical schema without the mapping bookkeeping in field metadata
     val logical = StructType(raw.fields.map(_.copy(metadata = Metadata.empty)))
-    Snapshot(target, logical, partCols, files.values.toSeq, mapping)
+    Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf)
   }
 
   /** (version, commit timestamp ms, operation) per JSON log entry —
@@ -614,7 +622,8 @@ object DeltaLake {
     if (prior.isEmpty)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged)
-      lines += metaDataLine(tableSchema, partCols, now)
+      lines += metaDataLine(tableSchema, partCols, now,
+        prior.map(_.configuration).getOrElse(Map.empty))
     if (mode == SaveMode.Overwrite)
       prior.toSeq.flatMap(_.files).foreach { f =>
         val o = Json.createObjectNode()
@@ -754,6 +763,12 @@ object DeltaLake {
       dvn.put("cardinality", cardinality)
       lines += Json.writeValueAsString(ad)
     }
+    if (snap.cdfEnabled) {
+      import org.apache.spark.sql.functions.lit
+      lines ++= stageCdc(spark, root, snap,
+        matchesWithMeta.drop(FileMetaCol, PosMetaCol)
+          .withColumn("_change_type", lit("delete")), now)
+    }
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "DELETE")
@@ -801,11 +816,153 @@ object DeltaLake {
     // pass 2: survivors of ONLY the touched files, partition values intact
     // DELETE drops rows where the predicate is TRUE; a NULL predicate
     // keeps the row (SQL DELETE semantics, same as pass 1's when())
-    val survivors = full.withColumn("__f", input_file_name())
+    val touchedRows = full.withColumn("__f", input_file_name())
       .filter(col("__f").isin(touchedRaw: _*))
-      .filter(predicate.isNull || !predicate)
-      .drop("__f")
-    commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors, "DELETE")
+    val survivors = touchedRows.filter(predicate.isNull || !predicate).drop("__f")
+    val cdc =
+      if (!snap.cdfEnabled) None
+      else Some(touchedRows.filter(predicate).drop("__f")
+        .withColumn("_change_type", lit("delete")))
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors, "DELETE",
+      cdcRows = cdc)
+  }
+
+  // ------------------------------------------------------ change data feed
+
+  /** Turn the CHANGE DATA FEED on: re-emits metaData with
+    * `delta.enableChangeDataFeed=true` (and the legacy writer version
+    * that rides with it). From this commit on, every mutation through
+    * this writer also lands `cdc` actions, and [[changeFeed]] serves
+    * per-commit row images. */
+  def enableChangeDataFeed(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    if (snap.cdfEnabled) return snap.version
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaDataLine(snap.schema, snap.partitionColumns, now,
+        snap.configuration + ("delta.enableChangeDataFeed" -> "true")),
+      {
+        val ci = Json.createObjectNode()
+        val info = ci.putObject("commitInfo")
+        info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+        Json.writeValueAsString(ci)
+      })
+    val out = try fs.create(jsonFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"DeltaLake: version $v of $path was committed concurrently", e)
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Stage `rows` (table columns + `_change_type`) as cdc parquet
+    * under `_change_data/`, partitioned like the table, and return the
+    * spec's `cdc` action lines (`dataChange=false` per the protocol). */
+  private def stageCdc(spark: SparkSession, root: HPath, snap: Snapshot,
+      rows: DataFrame, now: Long): Seq[String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = rows.write.mode(SaveMode.Overwrite)
+    if (snap.partitionColumns.nonEmpty)
+      w.partitionBy(snap.partitionColumns: _*).parquet(tmp.toString)
+    else w.parquet(tmp.toString)
+    val staged = walkStaged(fs, tmp, "")
+    val lines = staged.map { case (rel, from, size) =>
+      val segs = rel.split("/").dropRight(1).toSeq
+      val pv: Map[String, Option[String]] = segs.map { seg =>
+        val i = seg.indexOf('=')
+        val raw = seg.drop(i + 1)
+        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
+      }.toMap
+      val relOut = (Seq("_change_data") ++ segs :+
+        s"cdc-${java.util.UUID.randomUUID()}.snappy.parquet").mkString("/")
+      val dest = new HPath(root, relOut)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(from, dest), s"DeltaLake.cdc: rename $from -> $dest failed")
+      val o = Json.createObjectNode()
+      val c = o.putObject("cdc")
+      c.put("path", new java.net.URI(null, null, relOut, null).toASCIIString)
+      val pvn = c.putObject("partitionValues")
+      pv.foreach { case (k, ov) =>
+        ov match { case Some(s0) => pvn.put(k, s0): Unit; case None => pvn.putNull(k): Unit }
+      }
+      c.put("size", size)
+      c.put("dataChange", false)
+      Json.writeValueAsString(o)
+    }
+    fs.delete(tmp, true): Unit
+    lines
+  }
+
+  /** The CHANGE DATA FEED between versions as one frame: the table
+    * columns + `_change_type` + `_commit_version`. Per commit:
+    * recorded `cdc` actions are read verbatim; a pure-append commit
+    * derives `insert` images from its add actions (the protocol's
+    * reconstruction rule); a MUTATION without cdc actions (committed
+    * before the feed was enabled) fails loudly rather than guessing.
+    * Maintenance commits (`dataChange=false`) and metadata-only
+    * commits contribute nothing. */
+  def changeFeed(spark: SparkSession, path: String, startingVersion: Long,
+      endingVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, root) = Writers.fsFor(path)
+    val snap = snapshot(spark, path)
+    val end = endingVersion.getOrElse(snap.version)
+    require(startingVersion >= 0 && end <= snap.version && startingVersion <= end,
+      s"DeltaLake.changeFeed: bad window [$startingVersion, $end] (latest ${snap.version})")
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    val withPart = StructType(dataSchema.fields ++
+      snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c))))
+    def readFiles(rels: Seq[String], base: String, extra: StructType): DataFrame = {
+      val rd = spark.read
+        .schema(StructType(withPart.fields ++ extra.fields))
+        .option("basePath", base)
+      rd.parquet(rels.map(r => new HPath(root, r).toString): _*)
+    }
+    val frames = (startingVersion to end).flatMap { v =>
+      val f = jsonFile(root, v)
+      require(fs.exists(f),
+        s"DeltaLake.changeFeed: commit $v of $path has no JSON log entry (vacuumed?)")
+      val in = fs.open(f)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val cdcRels = scala.collection.mutable.ArrayBuffer.empty[String]
+      val addRels = scala.collection.mutable.ArrayBuffer.empty[String]
+      var mutRemoves = false
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val n = Json.readTree(line)
+        Option(n.get("cdc")).foreach(c => cdcRels += decodePath(c.get("path").asText))
+        def changesData(node: JsonNode): Boolean =
+          Option(node.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean)
+        Option(n.get("add")).filter(changesData).foreach(a =>
+          addRels += decodePath(a.get("path").asText))
+        Option(n.get("remove")).filter(changesData).foreach(_ => mutRemoves = true)
+      }
+      if (cdcRels.nonEmpty)
+        Some(readFiles(cdcRels.toSeq, new HPath(root, "_change_data").toString,
+          StructType(Seq(StructField("_change_type", StringType))))
+          .withColumn("_commit_version", lit(v)))
+      else if (mutRemoves)
+        throw new IllegalStateException(
+          s"DeltaLake.changeFeed: commit $v of $path mutates rows without cdc actions — " +
+            "it predates enableChangeDataFeed; start the window after the mutation")
+      else if (addRels.nonEmpty)
+        Some(readFiles(addRels.toSeq, root.toString, StructType(Nil))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else None // metadata-only / maintenance commit
+    }
+    val cols = snap.schema.fieldNames.toIndexedSeq.map(col) ++
+      Seq(col("_change_type"), col("_commit_version"))
+    if (frames.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(snap.schema.fields ++ Seq(StructField("_change_type", StringType),
+          StructField("_commit_version", LongType))))
+    else frames.map(_.select(cols: _*)).reduce(_.unionByName(_))
   }
 
   /** OPTIMIZE-style small-file COMPACTION: bin-pack each partition's
@@ -882,10 +1039,11 @@ object DeltaLake {
     val touchedRel = touchedRaw.map(relOf(path, _, "updateWhere")).toSet
     val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
     val types = snap.schema.map(f => f.name -> f.dataType).toMap
-    val rewritten = full.withColumn("__f", input_file_name())
+    val touchedRows = full.withColumn("__f", input_file_name())
       .filter(col("__f").isin(touchedRaw: _*))
       .drop("__f")
-      .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+    def applied(src: DataFrame): DataFrame = src.select(
+      snap.schema.fieldNames.toIndexedSeq.map { c =>
         set.get(c) match {
           case Some(value) =>
             val cast = value.cast(types(c))
@@ -893,7 +1051,16 @@ object DeltaLake {
           case None => col(c)
         }
       }: _*)
-    commitRewrite(spark, path, snap, keepByFile.map(_.path), rewritten, "UPDATE")
+    val rewritten = applied(touchedRows)
+    val cdc =
+      if (!snap.cdfEnabled) None
+      else {
+        val matched = cond.map(touchedRows.filter).getOrElse(touchedRows)
+        Some(matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(matched).withColumn("_change_type", lit("update_postimage"))))
+      }
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), rewritten, "UPDATE",
+      cdcRows = cdc)
   }
 
   /** COPY-ON-WRITE MERGE by key (Delta's `MERGE ... WHEN MATCHED THEN
@@ -928,9 +1095,24 @@ object DeltaLake {
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .drop("__f")
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val newData = survivors.unionByName(
-      updates.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*))
-    commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE")
+    val aligned = updates.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val newData = survivors.unionByName(aligned)
+    val cdc =
+      if (!snap.cdfEnabled) None
+      else {
+        import org.apache.spark.sql.functions.lit
+        val targetKeys = full.select(col(key)).distinct()
+        val pre = full.join(updates.select(col(key)), Seq(key), "left_semi")
+          .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = aligned.join(targetKeys, Seq(key), "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = aligned.join(targetKeys, Seq(key), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
+    commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE",
+      cdcRows = cdc)
   }
 
   private def relOf(path: String, raw: String, op: String): String = {
@@ -947,7 +1129,7 @@ object DeltaLake {
     * e.g. a delete that empties every touched file). */
   private def commitRewrite(spark: SparkSession, path: String, snap: Snapshot,
       removedRel: Seq[String], newData: DataFrame, operation: String,
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -985,6 +1167,7 @@ object DeltaLake {
       lines += Json.writeValueAsString(o)
     }
     adds.foreach(a => lines += addLine(a, dataChange))
+    cdcRows.foreach(rows => lines ++= stageCdc(spark, root, snap, rows, now))
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
@@ -1058,7 +1241,8 @@ object DeltaLake {
       }.toMap
   }
 
-  private def metaDataLine(schema: StructType, partitionBy: Seq[String], now: Long): String = {
+  private def metaDataLine(schema: StructType, partitionBy: Seq[String], now: Long,
+      configuration: Map[String, String] = Map.empty): String = {
     val o = Json.createObjectNode()
     val m = o.putObject("metaData")
     m.put("id", java.util.UUID.randomUUID().toString)
@@ -1067,7 +1251,8 @@ object DeltaLake {
     m.put("schemaString", schema.json)
     val pcs = m.putArray("partitionColumns")
     partitionBy.foreach(pcs.add)
-    m.putObject("configuration")
+    val conf = m.putObject("configuration")
+    configuration.foreach { case (k, v) => conf.put(k, v): Unit }
     m.put("createdTime", now)
     Json.writeValueAsString(o)
   }
@@ -1114,7 +1299,10 @@ object DeltaLake {
     def walk(dir: HPath, rel: String): Seq[String] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
-        if (name == LogDirName || name.startsWith(".")) Nil
+        // _change_data holds the change feed's row images — per-commit
+        // history, never referenced by the live snapshot, reclaimed
+        // only with its log window
+        if (name == LogDirName || name == "_change_data" || name.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
         else if (name.endsWith(".parquet") || name.endsWith(".bin"))
           Seq(if (rel.isEmpty) name else s"$rel/$name")

@@ -76,6 +76,17 @@ final class DeltaSourceProvider extends RelationProvider
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
       }
     }
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      val outer = sqlContext
+      val feed = DeltaLake.changeFeed(outer.sparkSession, path,
+        opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L),
+        opt(parameters, "endingVersion").map(_.toLong))
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema = feed.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = feed.rdd
+      }
+    }
     val versionAsOf = opt(parameters, "versionAsOf").map(_.toLong)
       .orElse(opt(parameters, "timestampAsOf").map { ts =>
         DeltaLake.versionAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)

@@ -2168,6 +2168,52 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S44: Delta CHANGE DATA FEED — `enableChangeDataFeed` flips the
+    * table property, after which every mutation also lands `cdc`
+    * actions (row images partitioned like the table under
+    * `_change_data/`, `dataChange=false` per the protocol) and
+    * `changeFeed` serves the per-commit images: derived inserts for
+    * pure appends, recorded pre/post-images for UPDATE, delete images
+    * for CoW and deletion-vector deletes. The Delta twin of the native
+    * format's CDF (s19/s31). Oracle reconstructs every image class
+    * straight off `orders`. */
+  val s44DeltaCdf = QueryDef(
+    "s44_delta_cdf",
+    (s, d) => {
+      val path = tmp("s44_cdf", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders, path) // v0: derived inserts
+      D.enableChangeDataFeed(s, path) // v1: metadata only
+      D.updateWhere(s, path, Map("o_totalprice" -> lit(0.0)),
+        Some(col("o_orderkey") % 10 === 0)) // v2: pre/post images
+      D.deleteWhere(s, path, col("o_orderkey") % 10 === 5) // v3: delete images
+      val out = D.changeFeed(s, path, 0L)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("_change_type")
+      require(out.count() == 4, "s44: all four image classes expected")
+      out
+    },
+    Some("""
+      SELECT _change_type, count(*) AS n_rows,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'insert' AS _change_type, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'update_preimage', o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'update_postimage', 0.0 FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'delete', o_totalprice FROM orders WHERE o_orderkey % 10 = 5
+      )
+      GROUP BY _change_type
+      ORDER BY _change_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2176,5 +2222,5 @@ object IngestOps extends QueryModule {
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
-    s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction)
+    s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf)
 }

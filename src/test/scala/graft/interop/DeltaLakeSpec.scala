@@ -4,7 +4,7 @@ import graft.SparkFixture
 import graft.ingest.Writers
 import java.nio.file.Paths
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
@@ -328,6 +328,51 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       (lines3.mkString("\n") + "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
     assert(e.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("change data feed: cdc actions per mutation, derived inserts, loud pre-enablement gate") {
+    import spark.implicits._
+    val path = freshDir("delta_cdf")
+    DeltaLake.write((0L until 40L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartitionByRange(2, col("k")), path) // v0: inserts (derived)
+    DeltaLake.enableChangeDataFeed(spark, path) // v1: metadata only
+    assert(DeltaLake.snapshot(spark, path).cdfEnabled)
+    DeltaLake.updateWhere(spark, path, Map("v" -> lit(100L)),
+      Some(col("k") < 4L)) // v2: update pre/post images
+    DeltaLake.deleteWhere(spark, path, col("k") >= 38L) // v3: CoW delete images
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 10L) // v4: DV delete image
+    DeltaLake.upsertByKey(spark, path,
+      Seq((5L, 500L), (1000L, 1L)).toDF("k", "v"), "k") // v5: update + insert images
+    val feed = DeltaLake.changeFeed(spark, path, 0L)
+    assert(feed.schema.fieldNames.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 41L, s"40 bootstrap + 1 merge insert, got $byType")
+    assert(byType("update_preimage") == 5L && byType("update_postimage") == 5L,
+      s"4 UPDATE + 1 MERGE images, got $byType")
+    assert(byType("delete") == 3L, s"2 CoW + 1 DV delete, got $byType")
+    // images carry the right values: postimages of the UPDATE are 100
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "update_postimage" && col("v") === 100L).count() == 4L)
+    // the DV delete's image is the deleted row itself
+    assert(feed.filter(col("_commit_version") === 4L).select("k").head().getLong(0) == 10L)
+    // a window starting mid-history serves only its commits
+    assert(DeltaLake.changeFeed(spark, path, 3L).select("_commit_version")
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // the familiar option surface
+    assert(spark.read.format("delta").option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3").load(path)
+      .count() == 10L) // 4 pre + 4 post + 2 deletes
+    // a mutation WITHOUT cdc (pre-enablement) gates the window loudly
+    val p2 = freshDir("delta_cdf_gate")
+    DeltaLake.write((0L until 10L).map(k => (k, k)).toDF("k", "v"), p2)
+    DeltaLake.deleteWhere(spark, p2, col("k") === 0L) // v1: no cdc recorded
+    val e = intercept[IllegalStateException](
+      DeltaLake.changeFeed(spark, p2, 0L).count())
+    assert(e.getMessage.contains("without cdc"))
+    // vacuum never reclaims the change-data files
+    DeltaLake.vacuum(spark, path)
+    assert(DeltaLake.changeFeed(spark, path, 2L, Some(2L)).count() == 8L)
   }
 
   test("mergeSchema append evolves the table additively; old files read NULL") {
