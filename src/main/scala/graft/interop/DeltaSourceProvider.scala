@@ -35,17 +35,38 @@ final class DeltaSourceProvider extends RelationProvider
     * Options: `startingVersion` (first version a fresh stream emits;
     * default bootstraps the current snapshot), `ignoreChanges`
     * (re-emit rewrite versions instead of failing). */
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+
+  private def cdfSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("delta", schema.getOrElse(
-      DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+    ("delta", schema.getOrElse {
+      val table = DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+      if (wantsCdf(parameters)) cdfSchema(table) else table
+    })
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val snap = DeltaLake.snapshot(sqlContext.sparkSession, path)
+    if (wantsCdf(parameters)) {
+      require(snap.cdfEnabled,
+        s"delta source: $path does not have delta.enableChangeDataFeed=true — " +
+          "enable the change data feed before streaming it")
+      return new org.apache.spark.sql.graft.DeltaCdfStreamSource(
+        sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
+        schema.getOrElse(cdfSchema(snap.schema)),
+        opt(parameters, "startingVersion").map(_.toLong))
+    }
     // the tail reads data files by LOGICAL name; a column-mapped
     // table's files carry physical names and would resolve to NULLs
     require(snap.columnMapping.isEmpty,

@@ -113,3 +113,44 @@ class DeltaStreamSource(
 
   override def stop(): Unit = ()
 }
+
+/** Streaming CHANGE-DATA-FEED source —
+  * `spark.readStream.format("delta").option("readChangeFeed", "true")`:
+  * offsets are log versions; each micro-batch is
+  * [[graft.interop.DeltaLake.changeFeed]] over exactly the newly
+  * committed version window, so consumers see per-commit row images
+  * (`_change_type`, `_commit_version`) instead of file adds. A fresh
+  * stream starts after the current version (new changes only) unless
+  * `startingVersion` rewinds it; a pre-enablement mutation inside a
+  * batch window fails loudly through changeFeed's own gate. */
+class DeltaCdfStreamSource(
+    spark: ClassicSession,
+    path: String,
+    override val schema: StructType,
+    startingVersion: Option[Long],
+) extends Source {
+
+  override def getOffset: Option[OffsetV1] =
+    DeltaLake.versions(path).lastOption.map(LongOffset(_))
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    val from = start.map(versionOf(_) + 1L)
+      .orElse(startingVersion)
+      .getOrElse(to + 1L) // fresh unwindowed stream: new commits only
+    val batch =
+      if (from > to) {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        empty
+      } else DeltaLake.changeFeed(spark, path, from, Some(to))
+    spark.internalCreateDataFrame(batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}

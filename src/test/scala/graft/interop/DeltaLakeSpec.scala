@@ -375,6 +375,49 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.changeFeed(spark, path, 2L, Some(2L)).count() == 8L)
   }
 
+  test("readStream + readChangeFeed tails the feed: per-commit images, checkpointed resume") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = freshDir("delta_cdf_stream")
+    DeltaLake.write((0L until 20L).map(k => (k, k % 3)).toDF("k", "v"), path)
+    DeltaLake.enableChangeDataFeed(spark, path)
+    val base = freshDir("delta_cdf_stream_tail")
+    val sink = s"$base/sink"; val cp = s"$base/cp"
+    def drain(): Unit = {
+      val q = spark.readStream.format("delta")
+        .option("readChangeFeed", "true").option("startingVersion", "0").load(path)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap from v0: the derived inserts
+    val boot = spark.read.parquet(sink)
+    assert(boot.schema.fieldNames.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+    assert(boot.count() == 20L &&
+      boot.filter(col("_change_type") === "insert").count() == 20L)
+    // a mutation lands; the resumed tail delivers exactly its images
+    DeltaLake.updateWhere(spark, path, Map("v" -> lit(99L)), Some(col("k") < 2L))
+    drain()
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 24L, "resume must add 2 pre + 2 post images")
+    assert(after.filter(col("_change_type") === "update_postimage" &&
+      col("v") === 99L).count() == 2L)
+    // a DV delete streams its delete images too
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 19L)
+    drain()
+    assert(spark.read.parquet(sink).filter(col("_change_type") === "delete").count() == 1L)
+    // streaming a table without the feed enabled refuses loudly
+    val p2 = freshDir("delta_cdf_stream_off")
+    DeltaLake.write(Seq((1L, 1L)).toDF("k", "v"), p2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("delta").option("readChangeFeed", "true").load(p2)
+        .writeStream.format("memory").queryName("delta_cdf_off")
+        .option("checkpointLocation", freshDir("delta_cdf_off_cp")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getCause.getMessage.contains("enableChangeDataFeed"))
+  }
+
   test("mergeSchema append evolves the table additively; old files read NULL") {
     import spark.implicits._
     val path = freshDir("delta_evolve")
