@@ -1366,7 +1366,10 @@ object DeltaLake {
     rows.add(Row(protocolRow, null, null, null))
     rows.add(Row(null,
       Row(java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
-        s.schema.json, s.partitionColumns, Map.empty[String, String],
+        // table configuration MUST fold too — dropping it here would
+        // silently disable the change data feed (and any property)
+        // once the JSON commits are vacuumed past the checkpoint
+        s.schema.json, s.partitionColumns, s.configuration,
         System.currentTimeMillis()),
       null, null))
     s.files.foreach { f =>

@@ -373,6 +373,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     // vacuum never reclaims the change-data files
     DeltaLake.vacuum(spark, path)
     assert(DeltaLake.changeFeed(spark, path, 2L, Some(2L)).count() == 8L)
+    // a checkpoint folds the table CONFIGURATION too — the feed must
+    // stay enabled when the log is read checkpoint-first
+    DeltaLake.checkpoint(spark, path)
+    assert(DeltaLake.snapshot(spark, path).cdfEnabled,
+      "enableChangeDataFeed must survive checkpoint folding")
   }
 
   test("readStream + readChangeFeed tails the feed: per-commit images, checkpointed resume") {
