@@ -911,6 +911,9 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, lit}
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
+    require(snap.columnMapping.isEmpty,
+      s"DeltaLake.changeFeed: $path is column-mapped — feed reads resolve files by " +
+        "logical name and would misread physical-name files")
     val end = endingVersion.getOrElse(snap.version)
     require(startingVersion >= 0 && end <= snap.version && startingVersion <= end,
       s"DeltaLake.changeFeed: bad window [$startingVersion, $end] (latest ${snap.version})")
@@ -933,15 +936,23 @@ object DeltaLake {
       val cdcRels = scala.collection.mutable.ArrayBuffer.empty[String]
       val addRels = scala.collection.mutable.ArrayBuffer.empty[String]
       var mutRemoves = false
+      var dvAdds = false
       text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = Json.readTree(line)
         Option(n.get("cdc")).foreach(c => cdcRels += decodePath(c.get("path").asText))
         def changesData(node: JsonNode): Boolean =
           Option(node.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean)
-        Option(n.get("add")).filter(changesData).foreach(a =>
-          addRels += decodePath(a.get("path").asText))
+        Option(n.get("add")).filter(changesData).foreach { a =>
+          if (Option(a.get("deletionVector")).exists(!_.isNull)) dvAdds = true
+          addRels += decodePath(a.get("path").asText)
+        }
         Option(n.get("remove")).filter(changesData).foreach(_ => mutRemoves = true)
       }
+      // a foreign DV-carrying add without cdc cannot be derived as
+      // plain inserts — its file over-serves the deleted rows
+      require(cdcRels.nonEmpty || !dvAdds,
+        s"DeltaLake.changeFeed: commit $v of $path adds deletion-vector files without " +
+          "cdc actions — the feed cannot be derived from them")
       if (cdcRels.nonEmpty)
         Some(readFiles(cdcRels.toSeq, new HPath(root, "_change_data").toString,
           StructType(Seq(StructField("_change_type", StringType))))
