@@ -50,8 +50,10 @@ object DeltaDv {
       w32(12347) // SERIAL_COOKIE_NO_RUNCONTAINER
       w32(byKey.size)
       byKey.foreach { case (k, vs) => w16(k); w16(vs.length - 1) }
-      // offset header (required with this cookie)
-      var off = 4 + 4 + 8 * byKey.size + 4 * byKey.size
+      // offset header (required with this cookie) — offsets are from
+      // the bitmap's start: cookie(4) + count(4) + descriptive header
+      // (4 bytes/container) + this offset header (4 bytes/container)
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
       byKey.foreach { case (_, vs) =>
         w32(off)
         off += (if (vs.length <= 4096) 2 * vs.length else 8192)

@@ -83,10 +83,18 @@ object DeltaLake {
     * `delta.columnMapping.mode=name` table: its data files, partition
     * values, and stats all use the physical names; `schema` and
     * `partitionColumns` stay logical. */
+  /** The table's protocol action as last replayed. */
+  final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
+
   final case class Snapshot(
       version: Long, schema: StructType, partitionColumns: Seq[String],
       files: Seq[AddFile], columnMapping: Map[String, String] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      // schemaString VERBATIM (field metadata like physicalName intact)
+      // — what any re-emission of metaData/checkpoints must carry
+      rawSchema: StructType = StructType(Nil),
+      protocol: Protocol = Protocol(1, 2)) {
     def physicalName(c: String): String = columnMapping.getOrElse(c, c)
     def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
     def cdfEnabled: Boolean =
@@ -143,6 +151,7 @@ object DeltaLake {
     var partCols: Seq[String] = Nil
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
+    var protocolV = Protocol(1, 2)
     def gateProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
       if (minReader >= 3) {
         // table-features protocol: every listed reader feature must be
@@ -182,12 +191,14 @@ object DeltaLake {
       rows.collect().foreach { r =>
         if (cols("protocol") && r.getAs[Row]("protocol") != null) {
           val p = r.getAs[Row]("protocol")
-          val feats =
-            if (p.schema.fieldNames.contains("readerFeatures") && !p.isNullAt(
-                p.fieldIndex("readerFeatures")))
-              p.getAs[scala.collection.Seq[String]]("readerFeatures").toSeq
+          def feats(col: String): Seq[String] =
+            if (p.schema.fieldNames.contains(col) && !p.isNullAt(p.fieldIndex(col)))
+              p.getAs[scala.collection.Seq[String]](col).toSeq
             else Nil
-          gateProtocol(p.getAs[Int]("minReaderVersion"), feats)
+          gateProtocol(p.getAs[Int]("minReaderVersion"), feats("readerFeatures"))
+          protocolV = Protocol(p.getAs[Int]("minReaderVersion"),
+            p.getAs[Int]("minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
         }
         if (cols("metaData") && r.getAs[Row]("metaData") != null) {
           val m = r.getAs[Row]("metaData")
@@ -230,9 +241,12 @@ object DeltaLake {
       text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = Json.readTree(line)
         Option(n.get("protocol")).foreach { p =>
-          val feats = Option(p.get("readerFeatures")).filterNot(_.isNull)
+          def feats(field: String): Seq[String] = Option(p.get(field)).filterNot(_.isNull)
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-          gateProtocol(p.get("minReaderVersion").asInt, feats)
+          gateProtocol(p.get("minReaderVersion").asInt, feats("readerFeatures"))
+          protocolV = Protocol(p.get("minReaderVersion").asInt,
+            p.get("minWriterVersion").asInt,
+            feats("readerFeatures"), feats("writerFeatures"))
         }
         Option(n.get("metaData")).foreach { m =>
           gateColumnMapping(Option(m.get("configuration"))
@@ -266,15 +280,34 @@ object DeltaLake {
       s"DeltaLake: $path log through v$target carries no metaData action"))
     val mapping: Map[String, String] =
       if (mapMode.isEmpty) Map.empty
-      else raw.fields.map { f =>
-        require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"DeltaLake: $path is column-mapped but field '${f.name}' carries no " +
-            "delta.columnMapping.physicalName — refusing to guess")
-        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+      else {
+        // NESTED fields carry their own physical names in a mapped
+        // table; this reader only translates the top level, and a
+        // by-name read of an untranslated nested field silently
+        // resolves to NULL — the misread gateColumnMapping exists to
+        // prevent. Refuse nested shapes loudly instead.
+        def nested(dt: DataType): Boolean = dt match {
+          case _: StructType => true
+          case a: ArrayType => nested(a.elementType)
+          case m: MapType => nested(m.keyType) || nested(m.valueType)
+          case _ => false
+        }
+        val bad = raw.fields.filter(f => nested(f.dataType)).map(_.name)
+        require(bad.isEmpty,
+          s"DeltaLake: $path is column-mapped and carries nested columns " +
+            s"(${bad.mkString(", ")}) — nested physical-name resolution is not " +
+            "implemented by this reader")
+        raw.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"DeltaLake: $path is column-mapped but field '${f.name}' carries no " +
+              "delta.columnMapping.physicalName — refusing to guess")
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
+      }
     // logical schema without the mapping bookkeeping in field metadata
     val logical = StructType(raw.fields.map(_.copy(metadata = Metadata.empty)))
-    Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf)
+    Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf,
+      rawSchema = raw, protocol = protocolV)
   }
 
   /** (version, commit timestamp ms, operation) per JSON log entry —
@@ -632,6 +665,18 @@ object DeltaLake {
         lines += Json.writeValueAsString(o)
       }
     adds.foreach(a => lines += addLine(a))
+    // an overwrite on a CDF-enabled table must record its images too —
+    // delete images of every prior row, insert images of the new ones —
+    // or the commit would be a mutation the feed cannot read. Staged
+    // unpartitioned (the layout may change mid-overwrite); the feed
+    // reads the partition columns as ordinary file columns there.
+    prior.filter(p => p.cdfEnabled && mode == SaveMode.Overwrite).foreach { p =>
+      import org.apache.spark.sql.functions.lit
+      val images = read(spark, path).withColumn("_change_type", lit("delete"))
+        .unionByName(df.withColumn("_change_type", lit("insert")),
+          allowMissingColumns = true)
+      lines ++= stageCdc(spark, root, p.copy(partitionColumns = Nil), images, now)
+    }
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now)
@@ -736,8 +781,7 @@ object DeltaLake {
     val now = System.currentTimeMillis()
     val v = snap.version + 1
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    lines += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    lines += protocolLine(withDeletionVectors(snap.protocol))
     merged.zip(framing).foreach { case ((rel, ps), (offset, size)) =>
       val cardinality = ps.distinct.length.toLong
       val f = snap.files.find(_.path == rel).get
@@ -827,6 +871,39 @@ object DeltaLake {
       cdcRows = cdc)
   }
 
+  // ------------------------------------------------------------- protocol
+
+  private def protocolLine(p: Protocol): String = {
+    val o = Json.createObjectNode()
+    val pn = o.putObject("protocol")
+    pn.put("minReaderVersion", p.minReader); pn.put("minWriterVersion", p.minWriter)
+    if (p.minReader >= 3 || p.minWriter >= 7) {
+      val rf = pn.putArray("readerFeatures"); p.readerFeatures.distinct.sorted.foreach(rf.add)
+      val wf = pn.putArray("writerFeatures"); p.writerFeatures.distinct.sorted.foreach(wf.add)
+    }
+    Json.writeValueAsString(o)
+  }
+
+  /** The protocol after additionally requiring deletion-vector
+    * support: an upgrade to the table-features protocol that CARRIES
+    * the prior protocol's capabilities (legacy version numbers
+    * translate to their implied feature sets — clobbering them with a
+    * bare [deletionVectors] would tell foreign readers to stop
+    * honoring features the table still uses). */
+  private def withDeletionVectors(prior: Protocol): Protocol =
+    if (prior.minReader >= 3)
+      Protocol(3, 7, (prior.readerFeatures :+ "deletionVectors").distinct,
+        (prior.writerFeatures :+ "deletionVectors").distinct)
+    else {
+      val legacyReader = if (prior.minReader >= 2) Seq("columnMapping") else Nil
+      val legacyWriter =
+        (if (prior.minWriter >= 2) Seq("appendOnly", "invariants") else Nil) ++
+          (if (prior.minWriter >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+          (if (prior.minWriter >= 5) Seq("columnMapping") else Nil)
+      Protocol(3, 7, (legacyReader :+ "deletionVectors").distinct,
+        (legacyWriter :+ "deletionVectors").distinct)
+    }
+
   // ------------------------------------------------------ change data feed
 
   /** Turn the CHANGE DATA FEED on: re-emits metaData with
@@ -840,9 +917,18 @@ object DeltaLake {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     val v = snap.version + 1
+    // the protocol RATCHETS — a table already on table features keeps
+    // them and gains the changeDataFeed writer feature; legacy tables
+    // bump to the CDF writer version. The re-emitted metaData carries
+    // the RAW schema (field metadata such as physicalName intact).
+    val newProtocol =
+      if (snap.protocol.minReader >= 3)
+        snap.protocol.copy(minWriter = 7,
+          writerFeatures = (snap.protocol.writerFeatures :+ "changeDataFeed").distinct)
+      else snap.protocol.copy(minWriter = math.max(snap.protocol.minWriter, 4))
     val lines = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
-      metaDataLine(snap.schema, snap.partitionColumns, now,
+      protocolLine(newProtocol),
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now,
         snap.configuration + ("delta.enableChangeDataFeed" -> "true")),
       {
         val ci = Json.createObjectNode()
@@ -1368,19 +1454,21 @@ object DeltaLake {
     val s = snapshot(spark, path)
     val (fs, root) = Writers.fsFor(path)
     val rows = new java.util.ArrayList[Row]()
-    // a DV-carrying table is on the table-features protocol; folding it
-    // into a checkpoint must preserve that, or a replay from the
-    // checkpoint would both under-gate readers and drop the vectors
-    val protocolRow =
-      if (s.hasDeletionVectors) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
-      else Row(1, 2, null, null)
+    // the checkpoint must fold the table's ACTUAL protocol and the RAW
+    // schemaString (field metadata such as physicalName intact) — once
+    // the JSON tail is vacuumed, this row is the only copy a reader
+    // has; a hardcoded protocol or a metadata-stripped schema would
+    // under-gate foreign readers and break mapped-table resolution
+    val p = s.protocol
+    val protocolRow = Row(p.minReader, p.minWriter,
+      if (p.minReader >= 3 || p.minWriter >= 7) p.readerFeatures else null,
+      if (p.minReader >= 3 || p.minWriter >= 7) p.writerFeatures else null)
     rows.add(Row(protocolRow, null, null, null))
     rows.add(Row(null,
       Row(java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
-        // table configuration MUST fold too — dropping it here would
-        // silently disable the change data feed (and any property)
-        // once the JSON commits are vacuumed past the checkpoint
-        s.schema.json, s.partitionColumns, s.configuration,
+        // configuration MUST fold too — dropping it would silently
+        // disable the change data feed (and any property)
+        s.rawSchema.json, s.partitionColumns, s.configuration,
         System.currentTimeMillis()),
       null, null))
     s.files.foreach { f =>

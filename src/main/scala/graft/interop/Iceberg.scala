@@ -1003,7 +1003,11 @@ object Iceberg {
     meta.put("location", root.toUri.getPath)
     meta.put("last-sequence-number", seq)
     meta.put("last-updated-ms", now)
-    meta.put("last-column-id", fieldIds.values.max)
+    // last-column-id is MONOTONIC (the spec's id-reuse guard): an
+    // overwrite that drops columns must not lower it, or a later
+    // evolution would mint an id an old schema in the history still binds
+    meta.put("last-column-id", math.max(fieldIds.values.max,
+      prior.map(_._2.get("last-column-id").asInt).getOrElse(0)))
     // schema history: an UNCHANGED append carries the prior `schemas`
     // list + current-schema-id verbatim; a changed table schema (first
     // write, overwrite, mergeSchema evolution) joins the list under a
@@ -1312,21 +1316,25 @@ object Iceberg {
     * streaming tail). */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
     val s = snapshot(spark, path)
-    val full = read(spark, path)
+    // discovery keys on the snapshotFrame's file METADATA COLUMN, not
+    // input_file_name(): the latter is undefined past the anti-joins
+    // equality-delete debt inserts into the plan (a shuffled join
+    // evaluates it off-scan as ""), which would silently no-op the DELETE
+    val full = snapshotFrame(spark, path, s, withMeta = true)
     val touchedRaw = full
-      .groupBy(input_file_name().as("__f"))
+      .groupBy(col(FileMetaCol).as("__f"))
       .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"))
       .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
     if (touchedRaw.isEmpty) return s.snapshotId // nothing matched: no commit
     val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
     // survivors of ONLY the touched files. DELETE drops rows where the
     // predicate is TRUE; a NULL predicate keeps the row (SQL semantics)
-    val survivors = full.withColumn("__f", input_file_name())
-      .filter(col("__f").isin(touchedRaw: _*))
+    val survivors = full
+      .filter(col(FileMetaCol).isin(touchedRaw: _*))
       .filter(predicate.isNull || !predicate)
-      .drop("__f")
+      .drop(FileMetaCol, PosMetaCol)
     commitRewriteSnapshot(spark, path, touchedAbs, Some(survivors), "delete",
       dropDeleteManifests = false)
   }
@@ -1338,22 +1346,22 @@ object Iceberg {
     * O(touched files + updates). */
   def upsertByKey(spark: SparkSession, path: String,
       updates: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     val s = snapshot(spark, path)
     require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
     require(Versioned.nullabilityErased(s.schema).json ==
       Versioned.nullabilityErased(updates.schema).json,
       "Iceberg.upsertByKey: update schema differs from the table schema")
     Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
-    val full = read(spark, path)
-    val touchedRaw = full.withColumn("__f", input_file_name())
+    // metadata-column discovery — see deleteWhere for why not input_file_name
+    val full = snapshotFrame(spark, path, s, withMeta = true)
+    val touchedRaw = full
       .join(updates.select(col(key)), Seq(key), "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      .select(col(FileMetaCol)).distinct().collect().map(_.getString(0)).toSeq
     val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
-    val survivors = full.withColumn("__f", input_file_name())
-      .filter(col("__f").isin(touchedRaw: _*))
+    val survivors = full
+      .filter(col(FileMetaCol).isin(touchedRaw: _*))
       .join(updates.select(col(key)), Seq(key), "left_anti")
-      .drop("__f")
       .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
     val newData = survivors.unionByName(
       updates.select(s.schema.fieldNames.toIndexedSeq.map(col): _*))
@@ -1369,27 +1377,27 @@ object Iceberg {
   def updateWhere(spark: SparkSession, path: String,
       set: Map[String, org.apache.spark.sql.Column],
       cond: Option[org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, sum, when}
     require(set.nonEmpty, "Iceberg.updateWhere: empty SET clause")
     val s = snapshot(spark, path)
     val missing = set.keys.filterNot(s.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"Iceberg.updateWhere: SET names non-columns (${missing.mkString(", ")})")
-    val full = read(spark, path)
+    // metadata-column discovery — see deleteWhere for why not input_file_name
+    val full = snapshotFrame(spark, path, s, withMeta = true)
     val touchedRaw = cond match {
       case Some(p) => full
-        .groupBy(input_file_name().as("__f"))
+        .groupBy(col(FileMetaCol).as("__f"))
         .agg(sum(when(p, 1L).otherwise(0L)).as("__hits"))
         .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
-      case None => full.select(input_file_name().as("__f"))
+      case None => full.select(col(FileMetaCol))
         .distinct().collect().map(_.getString(0)).toSeq
     }
     if (touchedRaw.isEmpty) return s.snapshotId
     val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
     val types = s.schema.map(f => f.name -> f.dataType).toMap
-    val rewritten = full.withColumn("__f", input_file_name())
-      .filter(col("__f").isin(touchedRaw: _*))
-      .drop("__f")
+    val rewritten = full
+      .filter(col(FileMetaCol).isin(touchedRaw: _*))
       .select(s.schema.fieldNames.toIndexedSeq.map { c =>
         set.get(c) match {
           case Some(value) =>

@@ -119,17 +119,19 @@ final class GraftIcebergMoRRelation(
   }
 }
 
-/** Fallback Delta batch relation for COLUMN-MAPPED (`name` mode)
-  * tables: a `TableScan` over [[graft.interop.DeltaLake.read]], which
-  * scans under the physical names and renames to the logical schema.
-  * SQL users see only logical names. Read-only — this library's writer
-  * stages logical-name files and must never touch a mapped table. */
+/** Fallback Delta batch relation for snapshots the raw scan cannot
+  * serve directly — COLUMN-MAPPED (`name` mode) tables (physical-name
+  * scans renamed to the logical schema) and DELETION-VECTOR debt (the
+  * broadcast row-index filter): a `TableScan` over
+  * [[graft.interop.DeltaLake.read]]. SQL users see only logical
+  * names. */
 final class GraftDeltaMappedRelation(
     outer: org.apache.spark.sql.SQLContext,
     val tablePath: String,
     versionAsOf: Option[Long])
   extends org.apache.spark.sql.sources.BaseRelation
-  with org.apache.spark.sql.sources.TableScan {
+  with org.apache.spark.sql.sources.TableScan
+  with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
   // log schema VERBATIM — same catalog-consistency contract as the
@@ -139,4 +141,13 @@ final class GraftDeltaMappedRelation(
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     graft.interop.DeltaLake.read(outer.sparkSession, tablePath, versionAsOf).rdd
+
+  // INSERT INTO stays available while deletion-vector debt is
+  // outstanding (an append's new files are never named by old
+  // vectors); DeltaLake.write itself refuses mapped tables loudly
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    graft.interop.DeltaLake.write(data, tablePath,
+      mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (): Unit
+  }
 }

@@ -33,6 +33,26 @@ class DeltaDvSpec extends AnyFunSuite {
     }
   }
 
+  test("offset header points at the actual container data (foreign seek-path readers)") {
+    // two containers (keys 0 and 1): layout is cookie(4) + count(4) +
+    // descriptive(4*2) + offsets(4*2) = 24 bytes before container data
+    val bytes = DeltaDv.serialize(Array(5L, 70000L))
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(4 + 8) // skip magic + bitmap count
+    assert(buf.getInt() == 12347)
+    assert(buf.getInt() == 2) // two containers
+    buf.position(buf.position() + 8) // descriptive header
+    val off0 = buf.getInt(); val off1 = buf.getInt()
+    assert(off0 == 24, s"first container offset must be 24, got $off0")
+    assert(off1 == 26, s"second container offset must be 26, got $off1")
+    // the in-bitmap absolute position: offsets are relative to the
+    // bitmap start (byte 12 of the array) — the value there must be
+    // the container's first 16-bit value
+    val bm = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((bm.getShort(12 + off0) & 0xFFFF) == 5)
+    assert((bm.getShort(12 + off1) & 0xFFFF) == (70000 & 0xFFFF))
+  }
+
   test("deserializer reads run containers other writers emit") {
     // hand-craft one bitmap with the SERIAL_COOKIE run form: runs
     // [10,15] and [100,100] in key 0 -> stored as (10,5) and (100,0)
