@@ -446,6 +446,26 @@ object DeltaLake {
   private val FileMetaCol = "__delta_file"
   private val PosMetaCol = "__delta_pos"
 
+  /** Attach the scan's `(file, row position)` metadata columns — must
+    * happen directly on the scan frame (`_metadata` is a hidden column
+    * of the relation; it does not survive later projections). */
+  private def withRowMeta(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    base.select(col("*"),
+      col("_metadata.file_path").as(FileMetaCol),
+      col("_metadata.row_index").as(PosMetaCol))
+  }
+
+  /** Drop the rows `dv` covers — one broadcast row-index filter, no
+    * join. Expects the [[withRowMeta]] columns. */
+  private def dropCovered(df: DataFrame, dv: graft.functions.DvMap): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    df.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DvContains(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
+  }
+
   def read(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
@@ -456,17 +476,8 @@ object DeltaLake {
     // the same shape as the native format's vectors
     val undeleted =
       if (!s.hasDeletionVectors) base
-      else {
-        val dv = loadDvMap(spark, path, s)
-        base.select(col("*"),
-          col("_metadata.file_path").as(FileMetaCol),
-          col("_metadata.row_index").as(PosMetaCol))
-          .filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.DvContains(
-              org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
-              org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
-          .drop(FileMetaCol, PosMetaCol)
-      }
+      else dropCovered(withRowMeta(base), loadDvMap(spark, path, s))
+        .drop(FileMetaCol, PosMetaCol)
     if (s.columnMapping.isEmpty) undeleted
     else undeleted.select(s.schema.fields.toIndexedSeq.map(f =>
       col(s.physicalName(f.name)).as(f.name)): _*)
@@ -730,18 +741,11 @@ object DeltaLake {
     * attached and outstanding deletion vectors applied — what DV
     * discovery probes. */
   private def liveWithMeta(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
-    val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap))
-      .select(col("*"),
-        col("_metadata.file_path").as(FileMetaCol),
-        col("_metadata.row_index").as(PosMetaCol))
+    val base = withRowMeta(
+      classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap)))
     if (!snap.hasDeletionVectors) base
-    else base.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.DvContains(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
-        org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
-        loadDvMap(spark, path, snap)))))
+    else dropCovered(base, loadDvMap(spark, path, snap))
   }
 
   private def commitDeletionVectors(spark: SparkSession, path: String,
@@ -1088,18 +1092,8 @@ object DeltaLake {
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
     val rows =
       if (!sub.hasDeletionVectors) base
-      else {
-        import org.apache.spark.sql.functions.{col, not}
-        base.select(col("*"),
-          col("_metadata.file_path").as(FileMetaCol),
-          col("_metadata.row_index").as(PosMetaCol))
-          .filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.DvContains(
-              org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
-              org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
-              loadDvMap(spark, path, sub)))))
-          .drop(FileMetaCol, PosMetaCol)
-      }
+      else dropCovered(withRowMeta(base), loadDvMap(spark, path, sub))
+        .drop(FileMetaCol, PosMetaCol)
     val nOut = math.max(1L,
       (selected.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
     commitRewrite(spark, path, snap, selected.map(_.path), rows.coalesce(nOut),
