@@ -91,6 +91,13 @@ object ConditionalPutLock extends LockProvider {
       false
     } else {
       fs.create(claim(dir), true).close() // NON-atomic on purpose — see scaladoc
+      // the durable marker now carries the mutual exclusion (every
+      // later acquire — this process or another — sees it and
+      // refuses); the table entry only had to close the CAS→create
+      // window. Dropping it here keeps the JVM-wide table TRANSIENT:
+      // without this, one entry leaked per committed version for the
+      // process lifetime (no commit path ever calls release).
+      table.remove(k)
       true
     }
   }
@@ -99,6 +106,10 @@ object ConditionalPutLock extends LockProvider {
     fs.delete(claim(dir), false)
     table.remove(key(fs, dir)): Unit
   }
+
+  /** Observability for specs: entries currently mid-CAS. A healthy
+    * process holds zero between commits — the table is transient. */
+  private[ingest] def pendingClaims: Int = table.size
 
   override def isHeld(fs: FileSystem, dir: HPath): Boolean =
     table.containsKey(key(fs, dir)) || fs.exists(claim(dir))

@@ -1724,7 +1724,18 @@ object Versioned {
         s"Versioned.readSkippingEq: '$column' is not a recorded column of $path"))
     val statDomainV: Any = dt match {
       case _: org.apache.spark.sql.types.NumericType => new java.math.BigDecimal(value.toString)
-      case _                                         => value.toString
+      // the recorded stats are canonical `yyyy-MM-dd HH:mm:ss`
+      // (statExpr truncates to seconds); Timestamp.toString appends
+      // fractional seconds (".0"), which compares PAST a same-second
+      // max and would wrongly skip the file holding the row
+      case _: org.apache.spark.sql.types.TimestampType => value match {
+        case t: java.sql.Timestamp =>
+          java.time.LocalDateTime.ofInstant(
+            t.toInstant, java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        case other => other.toString
+      }
+      case _ => value.toString
     }
     val blooms = loadBloomIndex(spark, fs, root, entries, column)
     val hash = bloomHashOf(value, dt)
@@ -2787,11 +2798,17 @@ object Versioned {
     val rootUri = root.toUri.getPath.stripSuffix("/")
     for (v <- (committed ++ gcd).distinct if !doomed.contains(v) && !anchors.contains(v)) {
       val dir = versionDir(root, v)
+      val bloomPrefix = new HPath(dir, "bloom").toUri.getPath
       val it = fs.listFiles(dir, true)
       val junk = scala.collection.mutable.ArrayBuffer.empty[HPath]
       while (it.hasNext) {
         val p = it.next().getPath
+        // the bloom SIDECAR is metadata, never manifest-referenced —
+        // counting it as junk would tombstone a version whose data
+        // files are all still referenced AND delete the live point-
+        // lookup index for files carried by reference
         if (p.getName.endsWith(".parquet") &&
+            !p.toUri.getPath.startsWith(bloomPrefix + "/") &&
             !refFiles.contains(p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")))
           junk += p
       }

@@ -415,7 +415,8 @@ object DeltaLake {
     * ({"col":{"min":..,"max":..}}) [[Versioned.statsMayOverlap]] prunes
     * with. Only scalar min/max pairs translate; anything else is
     * dropped (pruning is an optimization, never a correctness filter). */
-  private def translateStats(deltaStats: String): Option[String] = {
+  private def translateStats(deltaStats: String,
+      zone: java.time.ZoneId): Option[String] = {
     val n = try Json.readTree(deltaStats) catch { case _: Exception => return None }
     val mins = Option(n.get("minValues")).filterNot(_.isNull)
     val maxs = Option(n.get("maxValues")).filterNot(_.isNull)
@@ -425,10 +426,16 @@ object DeltaLake {
       val c = e.getKey
       val mx = maxs.get.get(c)
       def scalar(v: JsonNode): Boolean = v != null && !v.isNull && !v.isContainerNode
+      // foreign writers record ISO-8601 timestamp stats; the pruning
+      // compare needs session-zone canonical seconds (floor/ceil)
+      def canon(v: JsonNode, ceil: Boolean): JsonNode =
+        if (v.isTextual) new com.fasterxml.jackson.databind.node.TextNode(
+          StatsTime.canonicalize(v.asText, zone, ceil))
+        else v
       if (scalar(e.getValue) && scalar(mx)) {
         val cn = o.putObject(c)
-        cn.set[JsonNode]("min", e.getValue)
-        cn.set[JsonNode]("max", mx)
+        cn.set[JsonNode]("min", canon(e.getValue, ceil = false))
+        cn.set[JsonNode]("max", canon(mx, ceil = true))
         (): Unit
       }
     }
@@ -539,13 +546,14 @@ object DeltaLake {
     val scanSchema = StructType(s.schema.fields.map(f =>
       f.copy(name = s.physicalName(f.name))))
     val scanPartCols = s.partitionColumns.map(s.physicalName)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val entries = s.files.map { f =>
       val partDir = scanPartCols.map { c =>
         val v = f.partitionValues.getOrElse(c, None)
         c + "=" + v.map(escapePathName).getOrElse(HiveDefaultPartition)
       }.mkString("/")
       Versioned.ManifestEntry(relPath = f.path, partDir = partDir,
-        stats = f.stats.flatMap(translateStats))
+        stats = f.stats.flatMap(translateStats(_, zone)))
     }
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
       classic, path, s.version, entries, scanSchema, scanPartCols)
@@ -1308,7 +1316,8 @@ object DeltaLake {
         val mins = o.putObject("minValues"); val maxs = o.putObject("maxValues")
         val ncs = o.putObject("nullCount")
         statable.foreach { f =>
-          def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode, v: Any): Unit = v match {
+          def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode, v: Any,
+              ceil: Boolean): Unit = v match {
             case null => () // spec: omit missing stats rather than write nulls
             case n: Byte => tgt.put(f.name, n.toLong): Unit
             case n: Short => tgt.put(f.name, n.toLong): Unit
@@ -1319,13 +1328,17 @@ object DeltaLake {
             case n: java.math.BigDecimal => tgt.put(f.name, n): Unit
             case b: Boolean => tgt.put(f.name, b): Unit
             case d: java.sql.Date => tgt.put(f.name, d.toString): Unit
+            // the LOG stores zone-independent UTC ISO (the protocol
+            // shape foreign readers parse); [[StatsTime.canonicalize]]
+            // maps it into the session compare domain at read time.
+            // Min floors, max ceils, so the [lo, hi] window only widens
             case t: java.sql.Timestamp =>
-              tgt.put(f.name, t.toInstant.toString.stripSuffix("Z")): Unit
+              tgt.put(f.name, StatsTime.renderUtcIso(t.toInstant, ceil)): Unit
             case s: String => tgt.put(f.name, s): Unit
             case other => tgt.put(f.name, other.toString): Unit
           }
-          put(mins, r.getAs[Any](s"__mn_${f.name}"))
-          put(maxs, r.getAs[Any](s"__mx_${f.name}"))
+          put(mins, r.getAs[Any](s"__mn_${f.name}"), ceil = false)
+          put(maxs, r.getAs[Any](s"__mx_${f.name}"), ceil = true)
           ncs.put(f.name, r.getAs[Long](s"__nc_${f.name}")): Unit
         }
         new java.net.URI(r.getAs[String]("__f")).getPath -> Json.writeValueAsString(o)

@@ -37,3 +37,59 @@ private[interop] object Hive {
     b.toString
   }
 }
+
+/** Canonical timestamp rendering for the interop formats' per-file
+  * statistics: the pruning compare
+  * ([[graft.ingest.Versioned.statsMayOverlap]] /
+  * `VersionedFileIndex.statDomain`) works on `yyyy-MM-dd HH:mm:ss`
+  * strings in the SESSION time zone, byte-wise — an ISO `T` separator,
+  * fractional seconds, or a fixed-UTC rendering under a non-UTC
+  * session all compare wrongly and can prune files that hold matching
+  * rows. Bounds widen, never narrow: minimums floor to the second,
+  * maximums ceil. */
+private[interop] object StatsTime {
+
+  private val Fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  def render(instant: java.time.Instant, zone: java.time.ZoneId, ceil: Boolean): String = {
+    val adjusted =
+      if (ceil && instant.getNano > 0)
+        instant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).plusSeconds(1)
+      else instant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+    java.time.LocalDateTime.ofInstant(adjusted, zone).format(Fmt)
+  }
+
+  /** Spec-shaped stats rendering for the DELTA LOG: zone-independent
+    * UTC ISO-8601 with `Z` — the shape foreign Delta readers parse and
+    * [[canonicalize]] maps into the session compare domain at read
+    * time. Writing a session-zone rendering instead would corrupt the
+    * round trip whenever the session zone is not UTC (the reader must
+    * treat zone-less/`Z` stats as UTC instants, per the protocol). */
+  def renderUtcIso(instant: java.time.Instant, ceil: Boolean): String = {
+    val adjusted =
+      if (ceil && instant.getNano > 0)
+        instant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).plusSeconds(1)
+      else instant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(adjusted)
+  }
+
+  private val IsoLike =
+    """(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2}:\d{2})(\.\d+)?(Z|[+-]\d{2}:?\d{2})?""".r
+
+  /** Canonicalize a FOREIGN stats string when it looks like an ISO
+    * timestamp (Delta writes `2024-01-15T08:00:00.123Z` shapes);
+    * anything else passes through untouched. Zone-less values are the
+    * spec's UTC-stored instants. */
+  def canonicalize(raw: String, zone: java.time.ZoneId, ceil: Boolean): String = raw match {
+    case IsoLike(date, time, frac, zoneSuffix) =>
+      val nanos = Option(frac).map(f => (f.drop(1).padTo(9, '0').take(9)).toLong).getOrElse(0L)
+      val ldt = java.time.LocalDateTime.parse(s"${date}T$time").plusNanos(nanos)
+      val instant = Option(zoneSuffix).filter(_ != "Z") match {
+        case Some(off) =>
+          ldt.atOffset(java.time.ZoneOffset.of(off)).toInstant
+        case None => ldt.toInstant(java.time.ZoneOffset.UTC)
+      }
+      render(instant, zone, ceil)
+    case _ => raw
+  }
+}

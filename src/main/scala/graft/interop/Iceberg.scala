@@ -423,8 +423,13 @@ object Iceberg {
   /** Decode a bound buffer back to the value domain
     * [[Versioned.statsMayOverlap]] compares in: numbers for numerics,
     * canonical strings for strings/dates. Timestamp bounds decode to
-    * `yyyy-MM-dd HH:mm:ss` UTC (the canonical stats encoding). */
-  private def decodeBound(dt: DataType, raw: java.nio.ByteBuffer): Option[Any] = {
+    * `yyyy-MM-dd HH:mm:ss` in the SESSION time zone (the canonical
+    * stats encoding `statDomain` renders probe literals in — a fixed
+    * UTC rendering would shift against non-UTC sessions and mis-prune),
+    * floored for lower bounds and ceiled for upper bounds so the
+    * [lo, hi] window only ever widens. */
+  private def decodeBound(dt: DataType, raw: java.nio.ByteBuffer,
+      zone: java.time.ZoneId, ceil: Boolean): Option[Any] = {
     import java.nio.ByteOrder
     val b = raw.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     dt match {
@@ -437,9 +442,9 @@ object Iceberg {
       case _: DateType if b.remaining == 4 =>
         Some(java.time.LocalDate.ofEpochDay(b.getInt.toLong).toString)
       case _: TimestampType if b.remaining == 8 =>
-        Some(java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(b.getLong, 1000000L), 0, java.time.ZoneOffset.UTC)
-          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+        val micros = b.getLong
+        val instant = java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+        Some(StatsTime.render(instant, zone, ceil))
       case _ => None
     }
   }
@@ -559,14 +564,15 @@ object Iceberg {
           }.toMap
         case _ => Map.empty
       }
+    val boundZone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     def decodeBounds(dfr: GenericRecord): Map[String, (Any, Any)] = {
       val lows = boundBuffers(dfr, "lower_bounds")
       val highs = boundBuffers(dfr, "upper_bounds")
       (lows.keySet intersect highs.keySet).toSeq.flatMap { fid =>
         idToField.get(fid).flatMap { f =>
           for {
-            lo <- decodeBound(f.dataType, lows(fid))
-            hi <- decodeBound(f.dataType, highs(fid))
+            lo <- decodeBound(f.dataType, lows(fid), boundZone, ceil = false)
+            hi <- decodeBound(f.dataType, highs(fid), boundZone, ceil = true)
           } yield f.name -> (lo, hi)
         }
       }.toMap
@@ -1684,6 +1690,19 @@ object Iceberg {
         }
     }
     (files.toSeq, nonAppend)
+  }
+
+  /** The id of the newest snapshot with sequence number <= `seq` —
+    * what a streaming bootstrap pins its first batch to (serving the
+    * LIVE snapshot instead would double-deliver any commit that lands
+    * between the checkpointed offset and the batch read). */
+  def snapshotIdAtSeq(path: String, seq: Long): Option[Long] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    iterator(meta.get("snapshots")).toSeq
+      .filter(_.get("sequence-number").asLong <= seq)
+      .sortBy(_.get("sequence-number").asLong)
+      .lastOption.map(_.get("snapshot-id").asLong)
   }
 
   /** Current highest sequence number (0 for an empty table). */

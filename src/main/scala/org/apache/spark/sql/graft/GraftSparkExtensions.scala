@@ -209,11 +209,15 @@ class GraftMergeIntoRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    // star actions carry their own WHEN ... AND <cond> too — matching
+    // them without checking it would silently apply the action to rows
+    // the condition was meant to protect
     val shape = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(_: UpdateStarAction), Seq(_: InsertStarAction)) => GraftMergeIntoCommand.Upsert
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        GraftMergeIntoCommand.Upsert
       case (Seq(UpdateAction(None, as, _)), Seq(InsertAction(None, bs)))
           if starEquivalent(as) && starEquivalent(bs) => GraftMergeIntoCommand.Upsert
-      case (Seq(_: UpdateStarAction), Seq()) => GraftMergeIntoCommand.UpdateOnly
+      case (Seq(UpdateStarAction(None)), Seq()) => GraftMergeIntoCommand.UpdateOnly
       case (Seq(UpdateAction(None, as, _)), Seq()) if starEquivalent(as) =>
         GraftMergeIntoCommand.UpdateOnly
       case (Seq(DeleteAction(None)), Seq()) => GraftMergeIntoCommand.DeleteMatched

@@ -37,11 +37,21 @@ class IcebergStreamSource(
     case other         => other.json.trim.toLong
   }
 
+  private def emptyBatch(): DataFrame = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    spark.internalCreateDataFrame(empty.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = seqOf(end)
     val files: Seq[Iceberg.DataFileRef] = start match {
-      case None => // bootstrap: the live set
-        val snap = Iceberg.snapshot(spark, path)
+      case None => // bootstrap: the snapshot AT the end offset — the
+        // live set could already include commits past `to`, which the
+        // next batch would then re-deliver
+        val snapId = Iceberg.snapshotIdAtSeq(path, to)
+        if (snapId.isEmpty) return emptyBatch()
+        val snap = Iceberg.snapshot(spark, path, snapId)
         // raw file unions cannot subtract position-delete rows — a
         // bootstrap over outstanding delete debt would over-serve
         // deleted rows. Refuse rather than misread; a rewrite
@@ -88,11 +98,8 @@ class IcebergStreamSource(
           }
           withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
         }
-      if (frames.isEmpty) {
-        val empty = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        spark.internalCreateDataFrame(empty.queryExecution.toRdd, schema, isStreaming = true)
-      } else frames.reduce(_.unionByName(_))
+      if (frames.isEmpty) emptyBatch()
+      else frames.reduce(_.unionByName(_))
     }
   }
 

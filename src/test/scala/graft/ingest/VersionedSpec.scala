@@ -1297,6 +1297,20 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ConditionalPutLock's CAS table is transient: no entry leaks per committed version") {
+    import spark.implicits._
+    val path = freshDir("versioned_condput_leak")
+    Versioned.withLockProvider(ConditionalPutLock) {
+      Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path)
+      (0 until 4).foreach(i =>
+        Versioned.appendCommit(Seq((10L + i, "x")).toDF("k", "v"), path))
+    }
+    // a long-running writer (streaming micro-batch per second) must not
+    // grow the JVM-wide table by one entry per committed version
+    assert(ConditionalPutLock.pendingClaims == 0,
+      "every acquire must drop its CAS entry once the durable marker exists")
+  }
+
   test("LockProvider seam: a crashed writer's durable marker blocks acquisition until recovery") {
     import spark.implicits._
     val path = freshDir("versioned_condput_crash")
@@ -1550,5 +1564,46 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     // and its recovery now aborts cleanly (slot recycled ⇒ fence is moot)
     assert(Versioned.recoverClaims(wm, olderThanMs = 0L) == Seq(1L))
     assert(Versioned.versions(view) == Seq(1L) && Versioned.versions(wm).isEmpty)
+  }
+
+  test("vacuum spares bloom sidecars: carried versions stay readable, point lookups keep pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("versioned_vacuum_bloom")
+    val base = (0L until 400L).map(k => (k, k % 7)).toDF("id", "v")
+      .repartition(4, col("id"))
+    Versioned.commit(base, path, bloomCols = Seq("id"))                       // v1
+    Versioned.appendCommit(Seq((1000L, 1L)).toDF("id", "v"), path)            // v2
+    Versioned.appendCommit(Seq((1001L, 2L)).toDF("id", "v"), path)            // v3
+    // v1 is outside keepLast but every data file it holds is carried by
+    // reference in v3's manifest: nothing may be tombstoned or deleted —
+    // the bloom sidecar is metadata, not junk
+    assert(Versioned.vacuum(path, keepLast = 2) == 0)
+    assert(Versioned.versions(path) == Seq(1L, 2L, 3L),
+      "a fully-referenced version must survive vacuum intact")
+    assert(Versioned.readAt(spark, path, 1L).count() == 400L)
+    // and the sidecar still prunes whole files on a point probe
+    val got = Versioned.readSkippingEq(spark, path, "id", 42L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(42L))
+    val (kept, total) = Versioned.lastBloomProbe(path).get
+    assert(total >= 4 && kept < total,
+      s"bloom sidecar must have survived vacuum and pruned ($kept/$total)")
+  }
+
+  test("readSkippingEq timestamp probe compares in the canonical second-truncated domain") {
+    import spark.implicits._
+    val path = freshDir("versioned_skipeq_ts")
+    val rows = (0 until 16).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-15 ${i % 24}%02d:18:30")))
+    // range-clustered on ts => per-file disjoint [min,max] stats windows
+    Versioned.commitClustered(rows.toDF("k", "ts"), path, clusterCol = "ts", nFiles = 4)
+    // the probe equals a recorded per-file max exactly; a Timestamp.toString
+    // rendering ("…:30.0") compares PAST it and silently loses the row
+    val probe = java.sql.Timestamp.valueOf("2024-01-15 09:18:30")
+    val got = Versioned.readSkippingEq(spark, path, "ts", probe).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(9L),
+      "equality probe on a timestamp stat boundary must find the row")
+    val (kept, total) = Versioned.lastBloomProbe(path).get
+    assert(kept < total, s"stats must still prune the other files ($kept/$total)")
   }
 }

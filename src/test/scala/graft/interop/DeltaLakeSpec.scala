@@ -757,4 +757,61 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.versions(path) == (0L to wins.max))
     assert(DeltaLake.read(spark, path).count() == 1L + wins.size)
   }
+
+  test("MERGE star actions with clause conditions refuse instead of dropping the condition") {
+    import spark.implicits._
+    val path = freshDir("delta_merge_cond")
+    DeltaLake.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path)
+    spark.sql("DROP TABLE IF EXISTS delta_mc_t")
+    spark.sql(s"CREATE TABLE delta_mc_t USING delta OPTIONS (path '$path')")
+    Seq((1L, 111L), (3L, 333L)).toDF("k", "v").createOrReplaceTempView("delta_mc_src")
+    // UpdateStarAction(Some(cond)): an unconditional Upsert here would
+    // overwrite rows the condition was meant to protect
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO delta_mc_t t USING delta_mc_src s ON t.k = s.k
+        WHEN MATCHED AND t.v = 10 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("unsupported clause shape")), s"got: $msgs")
+    // the refusal left the table untouched
+    assert(spark.sql("SELECT sum(v) FROM delta_mc_t").head().getLong(0) == 30L)
+    assert(spark.sql("SELECT count(*) FROM delta_mc_t").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE delta_mc_t")
+  }
+
+  test("timestamp stats: spec UTC-ISO in the log, canonical session compare at plan time") {
+    import spark.implicits._
+    val path = freshDir("delta_ts_stats")
+    val rows = (0 until 24).map(h =>
+      (h.toLong, java.sql.Timestamp.valueOf(f"2024-01-15 $h%02d:00:00")))
+    DeltaLake.write(rows.toDF("k", "ts").repartitionByRange(4, col("ts")), path)
+    // the log records protocol-shaped zone-independent ISO-8601 (`Z`)
+    val logDir = Paths.get(path, "_delta_log")
+    val log = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve("0" * 20 + ".json")), "UTF-8")
+    assert("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z""".r.findFirstIn(log).isDefined,
+      "timestamp stats must be spec UTC ISO-8601 in the log")
+    // a same-day upper bound must NOT prune the files holding matches
+    // (an uncanonicalized 'T' rendering compares past ' ' and drops them)
+    val morning = spark.read.format("delta").load(path)
+      .filter(col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-15 08:00:00")))
+    assert(morning.count() == 9L, "same-day bound lost rows to stats mis-pruning")
+    // and the canonicalized bounds really do prune at the manifest
+    val narrow = spark.read.format("delta").load(path)
+      .filter(col("ts") === lit(java.sql.Timestamp.valueOf("2024-01-15 01:00:00")))
+    assert(narrow.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(total == 4 && kept < total,
+      s"canonicalized timestamp bounds must skip whole files ($kept/$total)")
+    // foreign-writer shapes all land in the same compare domain
+    val utc = java.time.ZoneId.of("UTC")
+    assert(StatsTime.canonicalize("2024-01-15T08:00:00.123Z", utc, ceil = false) ==
+      "2024-01-15 08:00:00")
+    assert(StatsTime.canonicalize("2024-01-15T08:00:00.123Z", utc, ceil = true) ==
+      "2024-01-15 08:00:01")
+    assert(StatsTime.canonicalize("2024-01-15T03:30:00-05:00", utc, ceil = false) ==
+      "2024-01-15 08:30:00")
+    assert(StatsTime.canonicalize("not a timestamp", utc, ceil = false) == "not a timestamp")
+  }
 }

@@ -620,4 +620,42 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.snapshot(spark, path).deletes.isEmpty)
     assert(Iceberg.read(spark, path).count() == 1L)
   }
+
+  test("stream bootstrap pins the snapshot AT the end offset, not the live set") {
+    import spark.implicits._
+    val path = freshDir("ice_stream_pin")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("iceberg").save(path)                       // seq 1
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("iceberg").mode("append").save(path)        // seq 2
+    val schema = Iceberg.read(spark, path).schema
+    val src = new org.apache.spark.sql.graft.IcebergStreamSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      path, schema, Nil, ignoreChanges = false)
+    // the engine checkpointed end=1 before seq 2 landed (crash-replay,
+    // or a commit racing between getOffset and getBatch): the bootstrap
+    // must serve snapshot seq 1 — the live set would re-deliver seq 2's
+    // file in the next batch, breaking exactly-once
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val seq1Files = Iceberg.snapshot(spark, path,
+      Iceberg.snapshotIdAtSeq(path, 1L)).files.map(_.path).toSet
+    // a streaming frame refuses batch execution, so read the file set
+    // off the analyzed relations instead of inputFiles
+    def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[org.apache.spark.sql.sources.BaseRelation] match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten.map(new java.net.URI(_).getPath).toSet
+    val served = filesOf(src.getBatch(None, LongOffset(1L)))
+    assert(served.nonEmpty && served.forall(f => seq1Files.exists(f.endsWith)),
+      s"bootstrap served files beyond the end offset: $served vs $seq1Files")
+    // the follow-up batch (1, 2] delivers exactly seq 2's adds — no overlap
+    val tail = filesOf(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+    assert(tail.nonEmpty && tail.intersect(served).isEmpty,
+      "tail batch must not re-deliver bootstrap files")
+  }
 }
