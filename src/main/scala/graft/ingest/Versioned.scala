@@ -1677,7 +1677,10 @@ object Versioned {
   /** The bloom filters recorded for `column` across the owning versions
     * of `entries`: rel_path → deserialized filter. O(files) driver
     * metadata, loaded only when a point probe asks. */
-  private def loadBloomIndex(
+  /** Load the bloom sidecars covering `entries` for `column` — keyed by
+    * manifest relPath. THE one loader: [[readSkippingEq]] and the
+    * connector's FileIndex equality pruning both ride it. */
+  def loadBloomIndex(
       spark: SparkSession, fs: FileSystem, root: HPath,
       entries: Seq[ManifestEntry], column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
     val owners = entries.map(e => e.relPath.takeWhile(_ != '/')).distinct

@@ -636,38 +636,12 @@ object DeltaLake {
       Versioned.nullabilityErased(p.schema).json !=
         Versioned.nullabilityErased(tableSchema).json)
 
-    // stage with Spark's parquet writer, then move into the table layout
-    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = df.write.mode(SaveMode.Overwrite)
-    if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
-    else w.parquet(tmp.toString)
-
     // move each staged data file under the table root, keeping the
     // Hive partition dirs the reader renders partitionValues into
-    val staged = walkStaged(fs, tmp, "")
-    // per-file stats: ONE distributed pass over the staged files (an
-    // EMPTY frame stages no files — nothing to scan)
     val dataCols = df.schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
-    val stats =
-      if (staged.isEmpty) Map.empty[String, String]
-      else stageStats(spark, tmp, dataCols)
     val now = System.currentTimeMillis()
-    val adds = staged.map { case (rel, from, size) =>
-      val segs = rel.split("/").dropRight(1).toSeq
-      val pv: Map[String, Option[String]] = segs.map { seg =>
-        val i = seg.indexOf('=')
-        require(i > 0, s"DeltaLake.write: malformed staged partition dir $rel")
-        val raw = seg.drop(i + 1)
-        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
-      }.toMap
-      val fileName = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
-      val relOut = (segs :+ fileName).mkString("/")
-      val dest = new HPath(root, relOut)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(from, dest), s"DeltaLake.write: rename $from -> $dest failed")
-      AddFile(relOut, pv, size, now, stats.get(from.toUri.getPath))
-    }
-    fs.delete(tmp, true): Unit
+    val adds = stageFiles(spark, root, df, partCols, Some(dataCols), "write", Nil, "part")
+      .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
 
     // assemble and atomically create the commit
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -702,12 +676,7 @@ object DeltaLake {
     info.put("operation", if (mode == SaveMode.Append) "WRITE" else "CREATE OR REPLACE TABLE AS SELECT")
     lines += Json.writeValueAsString(ci)
 
-    val out = try fs.create(jsonFile(root, v), false) catch {
-      case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"DeltaLake: version $v of $path was committed concurrently", e)
-    }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    commitLines(fs, root, v, lines.toSeq)
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
@@ -829,12 +798,7 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "DELETE")
     lines += Json.writeValueAsString(ci)
-    val out = try fs.create(jsonFile(root, v), false) catch {
-      case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"DeltaLake: version $v of $path was committed concurrently", e)
-    }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    commitLines(fs, root, v, lines.toSeq)
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
@@ -948,12 +912,7 @@ object DeltaLake {
         info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
         Json.writeValueAsString(ci)
       })
-    val out = try fs.create(jsonFile(root, v), false) catch {
-      case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"DeltaLake: version $v of $path was committed concurrently", e)
-    }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    commitLines(fs, root, v, lines)
     v
   }
 
@@ -962,25 +921,8 @@ object DeltaLake {
     * spec's `cdc` action lines (`dataChange=false` per the protocol). */
   private def stageCdc(spark: SparkSession, root: HPath, snap: Snapshot,
       rows: DataFrame, now: Long): Seq[String] = {
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = rows.write.mode(SaveMode.Overwrite)
-    if (snap.partitionColumns.nonEmpty)
-      w.partitionBy(snap.partitionColumns: _*).parquet(tmp.toString)
-    else w.parquet(tmp.toString)
-    val staged = walkStaged(fs, tmp, "")
-    val lines = staged.map { case (rel, from, size) =>
-      val segs = rel.split("/").dropRight(1).toSeq
-      val pv: Map[String, Option[String]] = segs.map { seg =>
-        val i = seg.indexOf('=')
-        val raw = seg.drop(i + 1)
-        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
-      }.toMap
-      val relOut = (Seq("_change_data") ++ segs :+
-        s"cdc-${java.util.UUID.randomUUID()}.snappy.parquet").mkString("/")
-      val dest = new HPath(root, relOut)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(from, dest), s"DeltaLake.cdc: rename $from -> $dest failed")
+    stageFiles(spark, root, rows, snap.partitionColumns, None, "cdc",
+      Seq("_change_data"), "cdc").map { case (relOut, pv, size, _) =>
       val o = Json.createObjectNode()
       val c = o.putObject("cdc")
       c.put("path", new java.net.URI(null, null, relOut, null).toASCIIString)
@@ -992,8 +934,6 @@ object DeltaLake {
       c.put("dataChange", false)
       Json.writeValueAsString(o)
     }
-    fs.delete(tmp, true): Unit
-    lines
   }
 
   /** The CHANGE DATA FEED between versions as one frame: the table
@@ -1231,32 +1171,11 @@ object DeltaLake {
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
-    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = newData.write.mode(SaveMode.Overwrite)
-    if (snap.partitionColumns.nonEmpty)
-      w.partitionBy(snap.partitionColumns: _*).parquet(tmp.toString)
-    else w.parquet(tmp.toString)
-    val staged = walkStaged(fs, tmp, "")
     val dataCols = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name)).toSeq
-    val stats =
-      if (staged.isEmpty) Map.empty[String, String]
-      else stageStats(spark, tmp, dataCols)
-    val adds = staged.map { case (rel, from, size) =>
-      val segs = rel.split("/").dropRight(1).toSeq
-      val pv: Map[String, Option[String]] = segs.map { seg =>
-        val i = seg.indexOf('=')
-        val raw = seg.drop(i + 1)
-        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
-      }.toMap
-      val fileName = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
-      val relOut = (segs :+ fileName).mkString("/")
-      val dest = new HPath(root, relOut)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(from, dest), s"DeltaLake.$operation: rename $from -> $dest failed")
-      AddFile(relOut, pv, size, now, stats.get(from.toUri.getPath))
-    }
-    fs.delete(tmp, true): Unit
+    val adds = stageFiles(spark, root, newData, snap.partitionColumns,
+      Some(dataCols), operation, Nil, "part")
+      .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
     val v = snap.version + 1
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     removedRel.foreach { p =>
@@ -1271,26 +1190,67 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
     lines += Json.writeValueAsString(ci)
-    val out = try fs.create(jsonFile(root, v), false) catch {
-      case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"DeltaLake: version $v of $path was committed concurrently", e)
-    }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    commitLines(fs, root, v, lines.toSeq)
+    // the log folds on the SAME cadence as write() — a DML-heavy table
+    // (only rewrite commits) must not grow an unbounded json chain
+    if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
 
-  /** Recursively list the parquet files of a staging dir as
-    * (partition-relative path, absolute path, size). */
-  private def walkStaged(fs: FileSystem, dir: HPath, rel: String): Seq[(String, HPath, Long)] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) walkStaged(fs, st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-      else if (name.endsWith(".parquet"))
-        Seq((if (rel.isEmpty) name else s"$rel/$name", st.getPath, st.getLen))
-      else Nil
+  /** Stage `df` through Spark's parquet writer and move every staged
+    * file into the table layout under `destPrefix`, returning
+    * (table-relative path, partitionValues, size, stats JSON) per file.
+    * THE one staging path — [[write]], [[commitRewrite]] and
+    * [[stageCdc]] all commit through it, so a fix to the
+    * partition-dir parse, stats keying, or rename handling lands once.
+    * `statsCols = None` skips the stats pass (cdc files carry none). */
+  private def stageFiles(spark: SparkSession, root: HPath, df: DataFrame,
+      partCols: Seq[String], statsCols: Option[Seq[StructField]], op: String,
+      destPrefix: Seq[String], fileTag: String)
+      : Seq[(String, Map[String, Option[String]], Long, Option[String])] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
+    else w.parquet(tmp.toString)
+    val staged = Staging.walk(fs, tmp)
+    // per-file stats: ONE distributed pass over the staged files (an
+    // EMPTY frame stages no files — nothing to scan)
+    val stats = statsCols match {
+      case Some(cols) if staged.nonEmpty => stageStats(spark, tmp, cols)
+      case _ => Map.empty[String, String]
     }
+    val placed = staged.map { case (rel, from, size) =>
+      val segs = rel.split("/").dropRight(1).toSeq
+      val pv: Map[String, Option[String]] = segs.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"DeltaLake.$op: malformed staged partition dir $rel")
+        val raw = seg.drop(i + 1)
+        seg.take(i) -> (if (raw == HiveDefaultPartition) None else Some(unescapePathName(raw)))
+      }.toMap
+      val fileName = s"$fileTag-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val relOut = (destPrefix ++ segs :+ fileName).mkString("/")
+      val dest = new HPath(root, relOut)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(from, dest), s"DeltaLake.$op: rename $from -> $dest failed")
+      (relOut, pv, size, stats.get(from.toUri.getPath))
+    }
+    fs.delete(tmp, true): Unit
+    placed
+  }
+
+  /** Atomically create version `v`'s commit file from `lines` — the ONE
+    * arbitration point every commit path shares (create-if-absent; the
+    * loser of a race surfaces as ConcurrentModificationException). */
+  private def commitLines(fs: FileSystem, root: HPath, v: Long, lines: Seq[String]): Unit = {
+    val out = try fs.create(jsonFile(root, v), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"DeltaLake: version $v of $root was committed concurrently", e)
+    }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
 
   /** numRecords/minValues/maxValues/nullCount per staged file, one
     * distributed aggregation grouped by input_file_name — never a

@@ -38,6 +38,22 @@ private[interop] object Hive {
   }
 }
 
+/** Shared staging-dir walker for the interop writers: the parquet
+  * files Spark staged, as (partition-relative path, absolute path,
+  * size). */
+private[interop] object Staging {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  def walk(fs: FileSystem, dir: HPath, rel: String = ""): Seq[(String, HPath, Long)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) walk(fs, st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      else if (name.endsWith(".parquet"))
+        Seq((if (rel.isEmpty) name else s"$rel/$name", st.getPath, st.getLen))
+      else Nil
+    }
+}
+
 /** Canonical timestamp rendering for the interop formats' per-file
   * statistics: the pruning compare
   * ([[graft.ingest.Versioned.statsMayOverlap]] /

@@ -1164,7 +1164,7 @@ object Iceberg {
       case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
       case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
-    val staged = walkStagedFiles(fs, tmp, "")
+    val staged = Staging.walk(fs, tmp)
     val n =
       if (staged.isEmpty) 0L
       else spark.read.parquet(tmp.toString).count()
@@ -1212,7 +1212,7 @@ object Iceberg {
       case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
       case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
-    val stagedFiles = walkStagedFiles(fs, tmp, "")
+    val stagedFiles = Staging.walk(fs, tmp)
     val n = if (stagedFiles.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
     if (n == 0L) { fs.delete(tmp, true); return s.snapshotId }
     val dest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-eq-deletes.parquet")
@@ -1884,7 +1884,7 @@ object Iceberg {
       .filter(f => boundable(f.dataType))
     val fileAgg: Map[String, (Long, Map[String, (Any, Any)])] = {
       import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
-      if (walkStagedFiles(fs, tmp, "").isEmpty) Map.empty
+      if (Staging.walk(fs, tmp).isEmpty) Map.empty
       else {
         val aggs = count(lit(1)).as("__n") +: boundCols.flatMap(f =>
           Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
@@ -1901,7 +1901,7 @@ object Iceberg {
           }.toMap
       }
     }
-    val moved = walkStagedFiles(fs, tmp, "").map { case (rel, from, size) =>
+    val moved = Staging.walk(fs, tmp).map { case (rel, from, size) =>
       val segs = rel.split("/").dropRight(1).toSeq
       val pv: Map[String, Option[String]] = segs.map { seg =>
         val i = seg.indexOf('=')
@@ -1921,14 +1921,4 @@ object Iceberg {
     moved
   }
 
-  private def walkStagedFiles(fs: FileSystem, dir: HPath,
-      rel: String): Seq[(String, HPath, Long)] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) walkStagedFiles(fs, st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-      else if (name.endsWith(".parquet"))
-        Seq((if (rel.isEmpty) name else s"$rel/$name", st.getPath, st.getLen))
-      else Nil
-    }
 }

@@ -221,18 +221,8 @@ final class VersionedFileIndex(
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
   private def bloomsFor(column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
-    bloomCache.computeIfAbsent(column, { c =>
-      val owners = entries.map(_.relPath.takeWhile(_ != '/')).distinct
-      val dirs = owners.map(o => new HPath(new HPath(root, o), "bloom"))
-        .filter(fs.exists(_)).map(_.toString)
-      if (dirs.isEmpty) Map.empty
-      else spark.read.parquet(dirs: _*)
-        .filter(org.apache.spark.sql.functions.col("column") === c)
-        .collect()
-        .map(r => r.getString(0) ->
-          org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom")))
-        .toMap
-    })
+    bloomCache.computeIfAbsent(column,
+      c => Versioned.loadBloomIndex(spark, fs, root, entries, c))
 
   override def listFiles(
       partitionFilters: Seq[Expression],
