@@ -1334,7 +1334,76 @@ object DeltaLake {
     ad.put("modificationTime", a.modificationTime)
     ad.put("dataChange", dataChange)
     a.stats.foreach(s => ad.put("stats", s): Unit)
+    a.dv.foreach { d =>
+      val dvn = ad.putObject("deletionVector")
+      dvn.put("storageType", d.storageType)
+      dvn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(dvn.put("offset", _): Unit)
+      dvn.put("sizeInBytes", d.sizeInBytes)
+      dvn.put("cardinality", d.cardinality): Unit
+    }
     Json.writeValueAsString(o)
+  }
+
+  /** RESTORE to `versionAsOf` — Delta's `RESTORE TABLE t TO VERSION
+    * AS OF n`: ONE new commit whose live file set (and schema) becomes
+    * the target snapshot's. Pure metadata — no data file is read,
+    * copied, or rewritten, so restoring a 100 TB table costs O(files)
+    * log lines; the commit is the DIFF (only files whose membership or
+    * deletion-vector state changed), so restoring one bad commit on a
+    * huge table stays small. Table PROPERTIES stay current (Delta's
+    * documented RESTORE behavior); the abandoned versions remain
+    * time-travelable until vacuum. Fails loudly when a target data
+    * file was already vacuumed (the restored snapshot would be
+    * unreadable). On a CDF-enabled table the commit records full
+    * delete+insert images, like overwrite — the feed reads a restore
+    * as the mutation it is. Returns the new version (the current one
+    * when the target IS the current state — nothing to commit). */
+  def restore(spark: SparkSession, path: String, versionAsOf: Long): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val cur = snapshot(spark, path)
+    require(versionAsOf <= cur.version,
+      s"DeltaLake.restore: version $versionAsOf is beyond the current ${cur.version}")
+    val tgt = snapshot(spark, path, Some(versionAsOf))
+    require(tgt.columnMapping == cur.columnMapping,
+      "DeltaLake.restore: restoring across a column-mapping change would mix naming schemes")
+    tgt.files.foreach(f => require(fs.exists(new HPath(root, f.path)),
+      s"DeltaLake.restore: data file ${f.path} of version $versionAsOf was vacuumed"))
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val tgtByPath = tgt.files.map(f => f.path -> f).toMap
+    // a same-path file whose dv/stats state changed is remove+add —
+    // the superseding shape every reader already replays
+    val removed = cur.files.filterNot(f => tgtByPath.get(f.path).contains(f))
+    val added = tgt.files.filterNot(f => curByPath.get(f.path).contains(f))
+    val schemaChanged = cur.rawSchema.json != tgt.rawSchema.json ||
+      cur.partitionColumns != tgt.partitionColumns
+    if (removed.isEmpty && added.isEmpty && !schemaChanged) return cur.version
+    val now = System.currentTimeMillis()
+    val v = cur.version + 1
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (schemaChanged)
+      lines += metaDataLine(tgt.rawSchema, tgt.partitionColumns, now, cur.configuration)
+    removed.foreach { f =>
+      val o = Json.createObjectNode()
+      val rm = o.putObject("remove")
+      rm.put("path", f.path); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      lines += Json.writeValueAsString(o)
+    }
+    added.foreach(a => lines += addLine(a.copy(modificationTime = now)))
+    if (cur.cdfEnabled) {
+      import org.apache.spark.sql.functions.lit
+      val images = read(spark, path).withColumn("_change_type", lit("delete"))
+        .unionByName(read(spark, path, Some(versionAsOf))
+          .withColumn("_change_type", lit("insert")), allowMissingColumns = true)
+      lines ++= stageCdc(spark, root, cur.copy(partitionColumns = Nil), images, now)
+    }
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "RESTORE")
+    lines += Json.writeValueAsString(ci)
+    commitLines(fs, root, v, lines.toSeq)
+    if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
+    v
   }
 
   /** VACUUM: delete data files under the table root that the CURRENT

@@ -1692,6 +1692,31 @@ object Iceberg {
     (files.toSeq, nonAppend)
   }
 
+  /** ROLLBACK to `snapshotId` — the spec's `rollback_to_snapshot`
+    * maintenance op: a NEW metadata version whose `current-snapshot-id`
+    * is the (still-listed) target snapshot. Pure metadata — zero data
+    * movement at any scale. The snapshot list and
+    * `last-sequence-number` are untouched (sequences stay monotonic),
+    * so a later append sequences AFTER the rollback and a streaming
+    * tail keeps its exactly-once offsets: the rollback itself adds no
+    * snapshot (nothing new to deliver) and the next append's adds are
+    * computed against the rolled-back base. Returns `snapshotId`. */
+  def rollback(spark: SparkSession, path: String, snapshotId: Long): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(iterator(meta.get("snapshots")).exists(_.get("snapshot-id").asLong == snapshotId),
+      s"Iceberg.rollback: snapshot $snapshotId is not in the history of $path " +
+        "(expired snapshots cannot be rolled back to)")
+    val now = System.currentTimeMillis()
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    m.put("current-snapshot-id", snapshotId)
+    m.put("last-updated-ms", now)
+    val e = m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log").addObject()
+    e.put("timestamp-ms", now); e.put("snapshot-id", snapshotId)
+    commitMetadata(fs, root, metaV + 1, m, path)
+    snapshotId
+  }
+
   /** The id of the newest snapshot with sequence number <= `seq` —
     * what a streaming bootstrap pins its first batch to (serving the
     * LIVE snapshot instead would double-deliver any commit that lands

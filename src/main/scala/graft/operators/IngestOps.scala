@@ -2214,6 +2214,73 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S45: interop RESTORE/ROLLBACK — "undo the bad load" on the foreign
+    * formats: [[graft.interop.DeltaLake.restore]] commits the DIFF back
+    * to a prior version (Delta's `RESTORE TABLE t TO VERSION AS OF n`)
+    * and [[graft.interop.Iceberg.rollback]] repoints
+    * `current-snapshot-id` (the spec's `rollback_to_snapshot`). Both
+    * are PURE METADATA — the in-entry requires prove neither rewind
+    * wrote a single data file, the property that makes recovery on a
+    * 100 TB table an O(files) log write instead of a table rewrite —
+    * and history/sequences stay monotonic so time travel and streaming
+    * tails keep working. Oracle: after the garbage overwrite/append is
+    * rewound, each table must read back as exactly `orders` again. */
+  val s45InteropRestore = QueryDef(
+    "s45_interop_restore",
+    (s, d) => {
+      val dPath = tmp("s45_delta", d); val iPath = tmp("s45_ice", d)
+      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
+      def dataFiles(p: String): Set[String] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString)
+            .filter(f => f.endsWith(".parquet") &&
+              !f.contains("_delta_log") && !f.contains("/metadata/")).toSet
+        } finally st.close()
+      }
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      // delta: good v0 -> garbage overwrite v1 -> RESTORE (v2)
+      D.write(orders, dPath)
+      D.write(orders.limit(5).withColumn("o_totalprice", lit(-1.0)), dPath)
+      val dBefore = dataFiles(dPath)
+      require(D.restore(s, dPath, 0L) == 2L, "s45: restore must commit as v2")
+      require(dataFiles(dPath) == dBefore, "s45: delta restore must be metadata-only")
+      require(D.read(s, dPath, Some(1L)).count() == 5L,
+        "s45: the abandoned version must stay time-travelable")
+      // iceberg: good seq1 -> garbage append seq2 -> rollback
+      I.write(orders, iPath)
+      I.write(orders.limit(5).withColumn("o_totalprice", lit(-1.0)), iPath,
+        mode = SaveMode.Append)
+      val iBefore = dataFiles(iPath)
+      I.rollback(s, iPath, I.snapshotIdAtSeq(iPath, 1L).get)
+      require(dataFiles(iPath) == iBefore, "s45: iceberg rollback must be metadata-only")
+      require(I.snapshots(iPath).size == 2 && I.currentSequence(iPath) == 2L,
+        "s45: rollback must keep history and the monotonic sequence")
+      val out = D.read(s, dPath).withColumn("src", lit("delta"))
+        .unionByName(I.read(s, iPath).withColumn("src", lit("iceberg")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s45: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'delta' AS src, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'iceberg' AS src, o_orderstatus, o_totalprice FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2222,5 +2289,6 @@ object IngestOps extends QueryModule {
     s27ColumnMapping, s28BatchConnector, s29PartitionedConnector, s30ConnectorWrite,
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
-    s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf)
+    s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
+    s45InteropRestore)
 }

@@ -758,6 +758,41 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).count() == 1L + wins.size)
   }
 
+  test("restore rewinds the live set as one metadata-only diff commit") {
+    import spark.implicits._
+    val path = freshDir("delta_restore")
+    val orig = (0L until 50L).map(k => (k, k % 3)).toDF("k", "v")
+    DeltaLake.write(orig.repartitionByRange(2, col("k")), path)                 // v0
+    DeltaLake.write(Seq((999L, 9L)).toDF("k", "v"), path)                       // v1 overwrite
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 999L)                 // v2 (DV)
+    val before = listDataFiles(path)
+    val v = DeltaLake.restore(spark, path, 0L)
+    assert(v == 3L)
+    // metadata only: restore created NO new data files
+    assert(listDataFiles(path) == before, "restore must not write data files")
+    val got = DeltaLake.read(spark, path).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (0L until 50L).map(k => (k, k % 3)))
+    // the abandoned versions stay time-travelable
+    assert(DeltaLake.read(spark, path, Some(1L)).count() == 1L)
+    // restoring to the current state is a no-op (no empty commit)
+    assert(DeltaLake.restore(spark, path, 3L) == 3L)
+    assert(DeltaLake.versions(path).max == 3L)
+    // a DV'd target round-trips: restore to v2's deleted-empty state
+    assert(DeltaLake.restore(spark, path, 2L) == 4L)
+    assert(DeltaLake.read(spark, path).count() == 0L)
+  }
+
+  private def listDataFiles(path: String): Set[String] = {
+    val d = Paths.get(path)
+    val s = java.nio.file.Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_delta_log"))
+        .map(_.toString).toSet
+    } finally s.close()
+  }
+
   test("MERGE star actions with clause conditions refuse instead of dropping the condition") {
     import spark.implicits._
     val path = freshDir("delta_merge_cond")

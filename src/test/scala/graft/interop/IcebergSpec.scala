@@ -621,6 +621,26 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 1L)
   }
 
+  test("rollback repoints current-snapshot-id; appends sequence after it") {
+    import spark.implicits._
+    val path = freshDir("ice_rollback")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("iceberg").save(path)       // seq 1
+    Seq((3L, "c")).toDF("k", "v").write.format("iceberg").mode("append").save(path)   // seq 2
+    val target = Iceberg.snapshotIdAtSeq(path, 1L).get
+    assert(Iceberg.rollback(spark, path, target) == target)
+    // pure metadata: history keeps BOTH snapshots, sequence stays monotonic
+    assert(Iceberg.snapshots(path).size == 2 && Iceberg.currentSequence(path) == 2L)
+    val got = Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+    // a post-rollback append bases on the rolled-back set and sequences after
+    Seq((4L, "d")).toDF("k", "v").write.format("iceberg").mode("append").save(path)   // seq 3
+    assert(Iceberg.currentSequence(path) == 3L)
+    val after = Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // an unknown (never committed / expired) snapshot refuses loudly
+    intercept[IllegalArgumentException](Iceberg.rollback(spark, path, 12345L))
+  }
+
   test("stream bootstrap pins the snapshot AT the end offset, not the live set") {
     import spark.implicits._
     val path = freshDir("ice_stream_pin")
