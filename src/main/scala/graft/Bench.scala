@@ -34,6 +34,8 @@ object Bench {
       // entries used to inherit it from Tables.events' (now scoped)
       // conf mutation as an accident of call order (r7 ADVICE).
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

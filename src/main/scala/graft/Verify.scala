@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
       .getOrCreate()

@@ -99,6 +99,149 @@ object DeltaLake {
     def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
     def cdfEnabled: Boolean =
       configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
+    def mapMode: Option[String] =
+      configuration.get("delta.columnMapping.mode").filter(m => m.nonEmpty && m != "none")
+    def isIdMode: Boolean = mapMode.contains("id")
+  }
+
+  // ------------------------------------------------- column mapping
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val FieldIdKey = "delta.columnMapping.id"
+  private val MaxIdKey = "delta.columnMapping.maxColumnId"
+  /** Spark's parquet field-id metadata key: schemas carrying it write
+    * ids into the footer (`fieldId.write.enabled`, default on) and
+    * resolve columns by id instead of name when `fieldId.read.enabled`
+    * — exactly the resolution rule Delta's `id` mapping mode needs. */
+  private val ParquetIdKey = "parquet.field.id"
+
+  private def hasNestedFields(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: ArrayType => hasNestedFields(a.elementType)
+    case m: MapType => hasNestedFields(m.keyType) || hasNestedFields(m.valueType)
+    case _ => false
+  }
+
+  /** The PHYSICAL shape of a raw (metadata-carrying) mapped field:
+    * renamed to its `physicalName` RECURSIVELY (nested struct fields
+    * carry their own physical names in a mapped table); in `id` mode
+    * every field additionally carries `parquet.field.id` so staged
+    * parquet stamps ids and scans resolve by them. Refusing a field
+    * without mapping metadata (instead of guessing the logical name)
+    * is what keeps a half-mapped foreign table from misreading. */
+  private def physicalField(f: StructField, ids: Boolean, where: String): StructField = {
+    require(f.metadata.contains(PhysNameKey),
+      s"DeltaLake: $where: column-mapped field '${f.name}' carries no $PhysNameKey — " +
+        "refusing to guess")
+    if (ids) require(f.metadata.contains(FieldIdKey),
+      s"DeltaLake: $where: id-mapped field '${f.name}' carries no $FieldIdKey")
+    val mb = new MetadataBuilder()
+    if (ids) mb.putLong(ParquetIdKey, f.metadata.getLong(FieldIdKey))
+    StructField(f.metadata.getString(PhysNameKey),
+      physicalType(f.dataType, ids, where), f.nullable, mb.build())
+  }
+  private def physicalType(dt: DataType, ids: Boolean, where: String): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField(_, ids, where)))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType, ids, where))
+    case m: MapType => m.copy(keyType = physicalType(m.keyType, ids, where),
+      valueType = physicalType(m.valueType, ids, where))
+    case other => other
+  }
+
+  /** Strip mapping bookkeeping, recursively — the logical type users see. */
+  private def stripType(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = stripType(f.dataType),
+        metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = stripType(a.elementType))
+    case m: MapType => m.copy(keyType = stripType(m.keyType),
+      valueType = stripType(m.valueType))
+    case other => other
+  }
+
+  /** Rename `df`'s table columns LOGICAL→PHYSICAL before staging into a
+    * mapped table (identity otherwise). Nested fields rename through a
+    * cast to the physical struct shape; extra non-table columns (e.g.
+    * `_change_type`) pass through untouched. THE seam every staging
+    * path shares — data files of a mapped table always speak physical. */
+  private def toPhysicalDf(df: DataFrame, raw: StructType, mode: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (mode.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      raw.fields.find(_.name == c) match {
+        case Some(rf) =>
+          val pf = physicalField(rf, mode.contains("id"), "stage")
+          val base = if (hasNestedFields(rf.dataType)) col(c).cast(pf.dataType) else col(c)
+          base.as(pf.name, pf.metadata)
+        case None => col(c)
+      }
+    }: _*)
+  }
+  private def toPhysicalDf(df: DataFrame, snap: Snapshot): DataFrame =
+    toPhysicalDf(df, snap.rawSchema, snap.mapMode)
+
+  /** Rename PHYSICAL→LOGICAL after a raw scan of a mapped table
+    * (identity otherwise). Unknown columns (row-meta, `_change_type`)
+    * pass through. */
+  private def fromPhysicalDf(df: DataFrame, raw: StructType, mode: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (mode.isEmpty) df
+    else {
+      val byPhys: Map[String, StructField] = raw.fields.map { f =>
+        (physicalField(f, mode.contains("id"), "read").name, f)
+      }.toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        byPhys.get(c) match {
+          case Some(lf) =>
+            val base = if (hasNestedFields(lf.dataType)) col(c).cast(stripType(lf.dataType))
+              else col(c)
+            base.as(lf.name)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+  private def fromPhysicalDf(df: DataFrame, snap: Snapshot): DataFrame =
+    fromPhysicalDf(df, snap.rawSchema, snap.mapMode)
+
+  /** The physical scan fields of a raw mapped schema, and the
+    * physical→logical rename — public seams for the streaming source
+    * shim (org.apache.spark.sql.graft), which reads a mapped table's
+    * files directly. Identity when `mode` is empty. */
+  def physicalFields(raw: StructType, mode: Option[String], where: String): Seq[StructField] =
+    if (mode.isEmpty) raw.fields.toSeq
+    else raw.fields.toSeq.map(physicalField(_, mode.contains("id"), where))
+  def toLogicalNames(df: DataFrame, raw: StructType, mode: Option[String]): DataFrame =
+    fromPhysicalDf(df, raw, mode)
+
+  /** Mint mapping metadata for `f` (depth-first for nested):
+    * sequential `delta.columnMapping.id`s after `maxId` and physical
+    * names from `phys` — Delta's `col-<uuid>` for new columns, the
+    * field's OWN name for an in-place upgrade (existing files already
+    * speak it). Returns the mapped field and the new max id. */
+  private def mintField(f: StructField, maxId: Long,
+      phys: StructField => String = _ => s"col-${java.util.UUID.randomUUID()}")
+      : (StructField, Long) = {
+    val (dt, mx) = mintType(f.dataType, maxId, phys)
+    val id = mx + 1
+    val md = new MetadataBuilder().putLong(FieldIdKey, id)
+      .putString(PhysNameKey, phys(f)).build()
+    (f.copy(dataType = dt, metadata = md), id)
+  }
+  private def mintType(dt: DataType, maxId: Long,
+      phys: StructField => String): (DataType, Long) = dt match {
+    case s: StructType =>
+      val (fields, mx) = s.fields.foldLeft((Vector.empty[StructField], maxId)) {
+        case ((acc, m), f) => val (nf, m2) = mintField(f, m, phys); (acc :+ nf, m2)
+      }
+      (StructType(fields), mx)
+    case a: ArrayType =>
+      val (et, mx) = mintType(a.elementType, maxId, phys); (a.copy(elementType = et), mx)
+    case m: MapType =>
+      val (kt, mx1) = mintType(m.keyType, maxId, phys)
+      val (vt, mx2) = mintType(m.valueType, mx1, phys)
+      (m.copy(keyType = kt, valueType = vt), mx2)
+    case other => (other, maxId)
   }
 
   // ---------------------------------------------------------------- paths
@@ -167,15 +310,16 @@ object DeltaLake {
     // alone would let a mapped table through — and its data files use
     // PHYSICAL column names, which a by-name parquet read resolves to
     // all-NULL columns. Misreading silently is the one unforgivable
-    // failure mode for an interop reader: `name` mode is implemented
-    // (resolve by the schema metadata's physicalName, rename on read);
-    // `id` mode (field-id resolution) stays gated.
+    // failure mode for an interop reader: `name` mode resolves by the
+    // schema metadata's physicalName (renamed on read), `id` mode by
+    // parquet field ids ([[ParquetIdKey]] on the scan schema); any
+    // other mode fails loudly.
     var mapMode: Option[String] = None
     var tableConf: Map[String, String] = Map.empty
     def gateColumnMapping(mode: Option[String]): Unit = {
-      require(mode.forall(m => m == "none" || m.isEmpty || m == "name"),
-        s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — field-id column " +
-          "resolution is not implemented by this from-spec reader")
+      require(mode.forall(m => m == "none" || m.isEmpty || m == "name" || m == "id"),
+        s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — only name and " +
+          "id column resolution are implemented by this from-spec reader")
       mapMode = mode.filter(m => m.nonEmpty && m != "none")
     }
 
@@ -280,32 +424,15 @@ object DeltaLake {
       s"DeltaLake: $path log through v$target carries no metaData action"))
     val mapping: Map[String, String] =
       if (mapMode.isEmpty) Map.empty
-      else {
-        // NESTED fields carry their own physical names in a mapped
-        // table; this reader only translates the top level, and a
-        // by-name read of an untranslated nested field silently
-        // resolves to NULL — the misread gateColumnMapping exists to
-        // prevent. Refuse nested shapes loudly instead.
-        def nested(dt: DataType): Boolean = dt match {
-          case _: StructType => true
-          case a: ArrayType => nested(a.elementType)
-          case m: MapType => nested(m.keyType) || nested(m.valueType)
-          case _ => false
-        }
-        val bad = raw.fields.filter(f => nested(f.dataType)).map(_.name)
-        require(bad.isEmpty,
-          s"DeltaLake: $path is column-mapped and carries nested columns " +
-            s"(${bad.mkString(", ")}) — nested physical-name resolution is not " +
-            "implemented by this reader")
-        raw.fields.map { f =>
-          require(f.metadata.contains("delta.columnMapping.physicalName"),
-            s"DeltaLake: $path is column-mapped but field '${f.name}' carries no " +
-              "delta.columnMapping.physicalName — refusing to guess")
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-        }.toMap
-      }
+      else raw.fields.map { f =>
+        // physicalField validates the whole tree (nested fields carry
+        // their own physical names / ids) — a half-mapped schema fails
+        // HERE, loudly, instead of resolving to NULLs at scan time
+        f.name -> physicalField(f, mapMode.contains("id"), path).name
+      }.toMap
     // logical schema without the mapping bookkeeping in field metadata
-    val logical = StructType(raw.fields.map(_.copy(metadata = Metadata.empty)))
+    val logical = StructType(raw.fields.map(f =>
+      f.copy(dataType = stripType(f.dataType), metadata = Metadata.empty)))
     Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf,
       rawSchema = raw, protocol = protocolV)
   }
@@ -485,9 +612,7 @@ object DeltaLake {
       if (!s.hasDeletionVectors) base
       else dropCovered(withRowMeta(base), loadDvMap(spark, path, s))
         .drop(FileMetaCol, PosMetaCol)
-    if (s.columnMapping.isEmpty) undeleted
-    else undeleted.select(s.schema.fields.toIndexedSeq.map(f =>
-      col(s.physicalName(f.name)).as(f.name)): _*)
+    fromPhysicalDf(undeleted, s)
   }
 
   /** Load every outstanding deletion vector of `s` into one merged
@@ -542,9 +667,18 @@ object DeltaLake {
       s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val classic = spark.asInstanceOf[ClassicSession]
     // a mapped table's file layout speaks physical names throughout:
-    // scan schema, partition dirs, and stats all translate together
-    val scanSchema = StructType(s.schema.fields.map(f =>
-      f.copy(name = s.physicalName(f.name))))
+    // scan schema, partition dirs, and stats all translate together.
+    // In `id` mode the scan schema carries parquet.field.id, and the
+    // session MUST resolve parquet columns by id — with the conf off,
+    // Spark would silently match by (physical) name and misread any
+    // foreign file whose column names differ, so gate loudly.
+    if (s.isIdMode)
+      require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+        s"DeltaLake: $path uses delta.columnMapping.mode=id — set " +
+          "spark.sql.parquet.fieldId.read.enabled=true (at session build) to read it")
+    val scanSchema =
+      if (s.columnMapping.isEmpty) StructType(s.schema.fields)
+      else StructType(s.rawSchema.fields.map(physicalField(_, s.isIdMode, path)))
     val scanPartCols = s.partitionColumns.map(s.physicalName)
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val entries = s.files.map { f =>
@@ -575,7 +709,8 @@ object DeltaLake {
     * version. Per-file stats are always recorded. Folds a parquet
     * checkpoint every [[CheckpointEvery]] commits. */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false): Long = {
+      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
+      columnMapping: Option[String] = None): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"DeltaLake.write: mode must be Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -592,13 +727,21 @@ object DeltaLake {
       case Some(p) if mode == SaveMode.Append && partitionBy.isEmpty => p.partitionColumns
       case _ => partitionBy
     }
+    // column-mapping mode of the table AFTER this write: creation may
+    // request one (`name` or `id`); an existing table's mode is
+    // immutable here ([[upgradeColumnMapping]] is the explicit path)
+    val mapModeW: Option[String] = prior match {
+      case Some(p) =>
+        require(columnMapping.forall(p.mapMode.contains),
+          s"DeltaLake.write: $path already has delta.columnMapping.mode=" +
+            s"${p.mapMode.getOrElse("none")} — use upgradeColumnMapping to change it")
+        p.mapMode
+      case None =>
+        columnMapping.foreach(m => require(m == "name" || m == "id",
+          s"DeltaLake.write: unknown columnMapping mode '$m' (expected name or id)"))
+        columnMapping
+    }
     prior.foreach { p =>
-      // this writer stages files under LOGICAL column names — appending
-      // them to a column-mapped table would mix naming schemes and make
-      // every mapped read resolve the new files to NULL
-      require(p.columnMapping.isEmpty,
-        s"DeltaLake.write: $path is column-mapped (physical file names) — " +
-          "writing through this logical-name writer would corrupt it")
       if (mode == SaveMode.Append) {
         require(p.partitionColumns == partCols,
           s"DeltaLake.write: append partitioning $partCols differs from the table's ${p.partitionColumns}")
@@ -636,20 +779,56 @@ object DeltaLake {
       Versioned.nullabilityErased(p.schema).json !=
         Versioned.nullabilityErased(tableSchema).json)
 
+    // RAW table schema + configuration: on a mapped table, retained
+    // columns (same name, same type) KEEP their mapping metadata —
+    // their already-written physical files stay readable — while new
+    // columns (creation, overwrite's new shape, mergeSchema evolution)
+    // mint sequential ids and col-<uuid> physical names, ratcheting
+    // delta.columnMapping.maxColumnId
+    val (rawTable, newConf): (StructType, Map[String, String]) = mapModeW match {
+      case None => (tableSchema, prior.map(_.configuration).getOrElse(Map.empty))
+      case Some(m) =>
+        val priorRaw = prior.map(_.rawSchema).getOrElse(StructType(Nil))
+        val conf0 = prior.map(_.configuration).getOrElse(Map.empty)
+        val startId = conf0.get(MaxIdKey).map(_.toLong).getOrElse(0L)
+        def erased(dt: DataType): String = Versioned.nullabilityErased(
+          StructType(Seq(StructField("x", stripType(dt))))).json
+        val (fields, maxId) = tableSchema.fields.foldLeft((Vector.empty[StructField], startId)) {
+          case ((acc, mx), f) =>
+            priorRaw.fields.find(pf => pf.name == f.name &&
+              erased(pf.dataType) == erased(f.dataType)) match {
+              case Some(pf) => (acc :+ pf.copy(nullable = f.nullable), mx)
+              case None =>
+                val (nf, mx2) = mintField(f.copy(dataType = stripType(f.dataType)), mx)
+                (acc :+ nf, mx2)
+            }
+        }
+        (StructType(fields),
+          conf0 + ("delta.columnMapping.mode" -> m, MaxIdKey -> maxId.toString))
+    }
     // move each staged data file under the table root, keeping the
-    // Hive partition dirs the reader renders partitionValues into
-    val dataCols = df.schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
+    // Hive partition dirs the reader renders partitionValues into —
+    // PHYSICAL names throughout on a mapped table (files, partition
+    // dirs, stats keys), the protocol's layout
+    def physName(c: String): String =
+      if (mapModeW.isEmpty) c
+      else physicalField(rawTable(rawTable.fieldIndex(c)), mapModeW.contains("id"), "write").name
+    val stageDf = toPhysicalDf(df, rawTable, mapModeW)
+    val physPartCols = partCols.map(physName)
+    val dataCols = stageDf.schema.fields.filterNot(f => physPartCols.contains(f.name)).toSeq
     val now = System.currentTimeMillis()
-    val adds = stageFiles(spark, root, df, partCols, Some(dataCols), "write", Nil, "part")
+    val adds = stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
       .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
 
     // assemble and atomically create the commit
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     if (prior.isEmpty)
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += (if (mapModeW.isEmpty)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else // legacy versions that imply columnMapping support
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
     if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged)
-      lines += metaDataLine(tableSchema, partCols, now,
-        prior.map(_.configuration).getOrElse(Map.empty))
+      lines += metaDataLine(rawTable, partCols, now, newConf)
     if (mode == SaveMode.Overwrite)
       prior.toSeq.flatMap(_.files).foreach { f =>
         val o = Json.createObjectNode()
@@ -665,6 +844,12 @@ object DeltaLake {
     // reads the partition columns as ordinary file columns there.
     prior.filter(p => p.cdfEnabled && mode == SaveMode.Overwrite).foreach { p =>
       import org.apache.spark.sql.functions.lit
+      // a mapped overwrite that CHANGES the schema would stage cdc
+      // images mixing prior physical names with unmapped new columns —
+      // a shape the feed reader cannot resolve; refuse loudly
+      require(p.mapMode.isEmpty || !schemaChanged,
+        s"DeltaLake.write: $path is column-mapped and CDF-enabled — a " +
+          "schema-changing overwrite cannot record readable change images")
       val images = read(spark, path).withColumn("_change_type", lit("delete"))
         .unionByName(df.withColumn("_change_type", lit("insert")),
           allowMissingColumns = true)
@@ -721,16 +906,17 @@ object DeltaLake {
     val classic = spark.asInstanceOf[ClassicSession]
     val base = withRowMeta(
       classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap)))
-    if (!snap.hasDeletionVectors) base
-    else dropCovered(base, loadDvMap(spark, path, snap))
+    // logical names for the caller's predicates; the row-meta columns
+    // pass through the rename untouched
+    fromPhysicalDf(
+      if (!snap.hasDeletionVectors) base
+      else dropCovered(base, loadDvMap(spark, path, snap)), snap)
   }
 
   private def commitDeletionVectors(spark: SparkSession, path: String,
       snap: Snapshot, matchesWithMeta: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val (fs, root) = Writers.fsFor(path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.deleteMergeOnRead: $path is column-mapped — not supported by this writer")
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val q = rootPrefix.replace("'", "''")
     val matches = matchesWithMeta
@@ -816,9 +1002,6 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, sum, when}
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.deleteWhere: $path is column-mapped — the rewrite would stage " +
-        "logical-name files into a physical-name table")
     val full = read(spark, path)
     // pass 1: which files hold matches (partition cols resolvable —
     // the predicate may reference them — via the pruning relation)
@@ -916,12 +1099,88 @@ object DeltaLake {
     v
   }
 
+  // ------------------------------------------------- mapping lifecycle
+
+  /** Upgrade an EXISTING table to `name`-mode COLUMN MAPPING: one
+    * metadata commit in which every field (recursively) keeps its
+    * current name as the `physicalName` — the already-written data
+    * files speak it, so nothing rewrites — and gains a fresh mapping
+    * id; the protocol ratchets to columnMapping support (legacy 2/5,
+    * or the feature on a table-features table). The point of the
+    * upgrade is [[renameColumn]]: renames become pure metadata
+    * afterwards. `id` mode is creation-only (pass
+    * `columnMapping=Some("id")` to [[write]]) — existing files carry
+    * no parquet field ids to resolve by. Idempotent. */
+  def upgradeColumnMapping(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    if (snap.mapMode.contains("name")) return snap.version
+    require(snap.mapMode.isEmpty,
+      s"DeltaLake.upgradeColumnMapping: $path already uses mode=${snap.mapMode.get}")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val (fields, maxId) = snap.rawSchema.fields
+      .foldLeft((Vector.empty[StructField], 0L)) {
+        case ((acc, mx), f) => val (nf, mx2) = mintField(f, mx, _.name); (acc :+ nf, mx2)
+      }
+    val newProtocol =
+      if (snap.protocol.minReader >= 3)
+        snap.protocol.copy(
+          readerFeatures = (snap.protocol.readerFeatures :+ "columnMapping").distinct,
+          writerFeatures = (snap.protocol.writerFeatures :+ "columnMapping").distinct)
+      else Protocol(math.max(snap.protocol.minReader, 2), math.max(snap.protocol.minWriter, 5))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+    commitLines(fs, root, v, Seq(
+      protocolLine(newProtocol),
+      metaDataLine(StructType(fields), snap.partitionColumns, now,
+        snap.configuration +
+          ("delta.columnMapping.mode" -> "name", MaxIdKey -> maxId.toString)),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** Pure-metadata column RENAME — the operation column mapping exists
+    * for: the LOGICAL name changes in the schema while the physical
+    * name in every already-written data file stays, so renaming a
+    * column on a 100 TB table writes ONE metaData line and moves zero
+    * bytes. Top-level columns only (nested renames would need a raw
+    * dotted-path edit — not implemented). Refuses unmapped tables
+    * loudly: without mapping, honoring the rename would mean rewriting
+    * every data file. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.mapMode.nonEmpty,
+      s"DeltaLake.renameColumn: $path is not column-mapped — run " +
+        "upgradeColumnMapping first (a rename without mapping would rewrite every file)")
+    require(snap.schema.fieldNames.contains(from),
+      s"DeltaLake.renameColumn: no column $from")
+    require(!snap.schema.fieldNames.contains(to),
+      s"DeltaLake.renameColumn: column $to already exists")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val fields = snap.rawSchema.fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    val parts = snap.partitionColumns.map(c => if (c == from) to else c)
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "RENAME COLUMN")
+    commitLines(fs, root, v, Seq(
+      metaDataLine(StructType(fields), parts, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
   /** Stage `rows` (table columns + `_change_type`) as cdc parquet
     * under `_change_data/`, partitioned like the table, and return the
     * spec's `cdc` action lines (`dataChange=false` per the protocol). */
   private def stageCdc(spark: SparkSession, root: HPath, snap: Snapshot,
       rows: DataFrame, now: Long): Seq[String] = {
-    stageFiles(spark, root, rows, snap.partitionColumns, None, "cdc",
+    // cdc files of a mapped table speak physical names like its data
+    // files (`_change_type` passes the rename through untouched)
+    stageFiles(spark, root, toPhysicalDf(rows, snap),
+      snap.partitionColumns.map(snap.physicalName), None, "cdc",
       Seq("_change_data"), "cdc").map { case (relOut, pv, size, _) =>
       val o = Json.createObjectNode()
       val c = o.putObject("cdc")
@@ -949,16 +1208,22 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, lit}
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.changeFeed: $path is column-mapped — feed reads resolve files by " +
-        "logical name and would misread physical-name files")
+    if (snap.isIdMode)
+      require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+        s"DeltaLake.changeFeed: $path uses delta.columnMapping.mode=id — set " +
+          "spark.sql.parquet.fieldId.read.enabled=true (at session build) to read it")
     val end = endingVersion.getOrElse(snap.version)
     require(startingVersion >= 0 && end <= snap.version && startingVersion <= end,
       s"DeltaLake.changeFeed: bad window [$startingVersion, $end] (latest ${snap.version})")
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    // data and cdc files of a mapped table speak PHYSICAL names — read
+    // them that way, rename to the logical schema at the end
+    val physFields: Seq[StructField] =
+      if (snap.columnMapping.isEmpty) snap.schema.fields.toSeq
+      else snap.rawSchema.fields.toSeq.map(physicalField(_, snap.isIdMode, path))
+    val physPartNames = snap.partitionColumns.map(snap.physicalName)
+    val dataSchema = StructType(physFields.filterNot(f => physPartNames.contains(f.name)))
     val withPart = StructType(dataSchema.fields ++
-      snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c))))
+      physPartNames.map(p => physFields.find(_.name == p).get))
     def readFiles(rels: Seq[String], base: String, extra: StructType): DataFrame = {
       val rd = spark.read
         .schema(StructType(withPart.fields ++ extra.fields))
@@ -1011,7 +1276,7 @@ object DeltaLake {
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(snap.schema.fields ++ Seq(StructField("_change_type", StringType),
           StructField("_commit_version", LongType))))
-    else frames.map(_.select(cols: _*)).reduce(_.unionByName(_))
+    else frames.map(f => fromPhysicalDf(f, snap).select(cols: _*)).reduce(_.unionByName(_))
   }
 
   /** OPTIMIZE-style small-file COMPACTION: bin-pack each partition's
@@ -1028,8 +1293,6 @@ object DeltaLake {
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): Long = {
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.compact: $path is column-mapped — not supported by this writer")
     val smallByPart = snap.files.filter(_.size < targetBytes / 2)
       .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
     val dvFiles = snap.files.filter(_.dv.nonEmpty)
@@ -1038,10 +1301,11 @@ object DeltaLake {
     val sub = snap.copy(files = selected)
     val classic = spark.asInstanceOf[ClassicSession]
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
-    val rows =
+    // back to LOGICAL names — commitRewrite's staging re-physicalizes
+    val rows = fromPhysicalDf(
       if (!sub.hasDeletionVectors) base
       else dropCovered(withRowMeta(base), loadDvMap(spark, path, sub))
-        .drop(FileMetaCol, PosMetaCol)
+        .drop(FileMetaCol, PosMetaCol), sub)
     val nOut = math.max(1L,
       (selected.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
     commitRewrite(spark, path, snap, selected.map(_.path), rows.coalesce(nOut),
@@ -1059,9 +1323,6 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, sum, when}
     require(set.nonEmpty, "DeltaLake.updateWhere: empty SET clause")
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.updateWhere: $path is column-mapped — the rewrite would stage " +
-        "logical-name files into a physical-name table")
     val missing = set.keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"DeltaLake.updateWhere: SET names non-columns (${missing.mkString(", ")})")
@@ -1112,9 +1373,6 @@ object DeltaLake {
       updates: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val snap = snapshot(spark, path)
-    require(snap.columnMapping.isEmpty,
-      s"DeltaLake.upsertByKey: $path is column-mapped — the rewrite would stage " +
-        "logical-name files into a physical-name table")
     require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
     require(Versioned.nullabilityErased(snap.schema).json ==
       Versioned.nullabilityErased(updates.schema).json,
@@ -1171,9 +1429,13 @@ object DeltaLake {
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
-    val dataCols = snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)).toSeq
-    val adds = stageFiles(spark, root, newData, snap.partitionColumns,
+    // rewrites of a mapped table re-stage under PHYSICAL names — the
+    // survivors came back logical through read()/fromPhysicalDf
+    val stageDf = toPhysicalDf(newData, snap)
+    val physPartCols = snap.partitionColumns.map(snap.physicalName)
+    val dataCols = stageDf.schema.fields
+      .filterNot(f => physPartCols.contains(f.name)).toSeq
+    val adds = stageFiles(spark, root, stageDf, physPartCols,
       Some(dataCols), operation, Nil, "part")
       .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
     val v = snap.version + 1
@@ -1365,8 +1627,12 @@ object DeltaLake {
     require(versionAsOf <= cur.version,
       s"DeltaLake.restore: version $versionAsOf is beyond the current ${cur.version}")
     val tgt = snapshot(spark, path, Some(versionAsOf))
-    require(tgt.columnMapping == cur.columnMapping,
-      "DeltaLake.restore: restoring across a column-mapping change would mix naming schemes")
+    // restoring ACROSS a rename is fine (physical names are stable —
+    // the schema revert IS the un-rename); across a mapping-MODE change
+    // the naming schemes of the two file sets disagree
+    require(tgt.mapMode == cur.mapMode,
+      "DeltaLake.restore: restoring across a column-mapping mode change would mix " +
+        "naming schemes")
     tgt.files.foreach(f => require(fs.exists(new HPath(root, f.path)),
       s"DeltaLake.restore: data file ${f.path} of version $versionAsOf was vacuumed"))
     val curByPath = cur.files.map(f => f.path -> f).toMap

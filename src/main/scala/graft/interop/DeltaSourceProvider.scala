@@ -67,11 +67,6 @@ final class DeltaSourceProvider extends RelationProvider
         schema.getOrElse(cdfSchema(snap.schema)),
         opt(parameters, "startingVersion").map(_.toLong))
     }
-    // the tail reads data files by LOGICAL name; a column-mapped
-    // table's files carry physical names and would resolve to NULLs
-    require(snap.columnMapping.isEmpty,
-      s"delta source: $path is column-mapped (delta.columnMapping.mode=name) — " +
-        "streaming reads of mapped tables are not implemented; read it as a batch table")
     // raw file unions cannot subtract deletion-vector rows: a bootstrap
     // over DV debt would re-serve deleted rows
     require(!snap.hasDeletionVectors,
@@ -82,7 +77,8 @@ final class DeltaSourceProvider extends RelationProvider
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
       schema.getOrElse(snap.schema), snap.partitionColumns,
       ignoreChanges = opt(parameters, "ignoreChanges").exists(_.toBoolean),
-      startingVersion = opt(parameters, "startingVersion").map(_.toLong))
+      startingVersion = opt(parameters, "startingVersion").map(_.toLong),
+      rawSchema = snap.rawSchema, mapMode = snap.mapMode)
   }
 
   override def createRelation(

@@ -2281,6 +2281,71 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S46: interop COLUMN MAPPING — Delta's decoupling of logical from
+    * physical column names, both modes end-to-end:
+    * [[graft.interop.DeltaLake]] `name` mode (physical names in the
+    * schema metadata; [[graft.interop.DeltaLake.renameColumn]] is then
+    * ONE metaData line — require'd in-entry to write zero data files,
+    * the property that makes a rename on a 100 TB table free) and `id`
+    * mode (columns resolve by parquet footer field ids, so even the
+    * physical names are mutable). The name-mode table is PARTITIONED —
+    * its partition dirs render under minted physical names — and
+    * appended to AFTER the rename under the new logical name; both
+    * generations must read back as one table. Oracle: the rebuilt
+    * logical view must aggregate exactly like `orders`. */
+  val s46ColumnMapping = QueryDef(
+    "s46_interop_column_mapping",
+    (s, d) => {
+      val nPath = tmp("s46_name", d); val iPath = tmp("s46_id", d)
+      Writers.deleteTree(nPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake
+      def dataFiles(p: String): Set[String] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString)
+            .filter(f => f.endsWith(".parquet") && !f.contains("_delta_log")).toSet
+        } finally st.close()
+      }
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      // name mode: mapped + partitioned create of the even keys,
+      // pure-metadata rename, append the odd keys under the NEW name
+      D.write(orders.filter(col("o_orderkey") % 2 === 0), nPath,
+        partitionBy = Seq("o_orderstatus"), columnMapping = Some("name"))
+      require(!java.nio.file.Files.list(java.nio.file.Paths.get(nPath)).toArray
+        .map(_.toString).exists(_.contains("o_orderstatus=")),
+        "s46: a mapped table's partition dirs must use physical names")
+      val before = dataFiles(nPath)
+      D.renameColumn(s, nPath, "o_totalprice", "price")
+      require(dataFiles(nPath) == before, "s46: rename must be metadata-only")
+      D.write(orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price"), nPath, mode = SaveMode.Append)
+      // id mode: whole table, columns resolved by parquet field ids
+      D.write(orders, iPath, columnMapping = Some("id"))
+      val out = D.read(s, nPath).withColumnRenamed("price", "o_totalprice")
+        .withColumn("src", lit("name"))
+        .unionByName(D.read(s, iPath).withColumn("src", lit("id")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s46: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'name' AS src, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'id' AS src, o_orderstatus, o_totalprice FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2290,5 +2355,5 @@ object IngestOps extends QueryModule {
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
-    s45InteropRestore)
+    s45InteropRestore, s46ColumnMapping)
 }

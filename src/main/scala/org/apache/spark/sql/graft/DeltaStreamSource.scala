@@ -12,7 +12,7 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Streaming SOURCE over a Delta table's transaction log —
   * `spark.readStream.format("delta").load(tbl)` with this library's
@@ -36,7 +36,19 @@ class DeltaStreamSource(
     partCols: Seq[String],
     ignoreChanges: Boolean,
     startingVersion: Option[Long],
+    // column-mapping shape pinned at stream start: data files of a
+    // mapped table speak PHYSICAL names (stable across later renames),
+    // so each batch scans physical and renames to the pinned logical
+    rawSchema: StructType = StructType(Nil),
+    mapMode: Option[String] = None,
 ) extends Source {
+
+  private val physFields: Seq[StructField] =
+    if (mapMode.isEmpty) schema.fields.toSeq
+    else DeltaLake.physicalFields(rawSchema, mapMode, path)
+  // logical → physical top-level names (identity when unmapped)
+  private val physName: Map[String, String] =
+    schema.fieldNames.zip(physFields.map(_.name)).toMap
 
   override def getOffset: Option[OffsetV1] =
     DeltaLake.versions(path).lastOption.map(LongOffset(_))
@@ -87,17 +99,24 @@ class DeltaStreamSource(
       ).resolveRelation(checkFilesExist = false)
       Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
     }
-    if (partCols.isEmpty)
-      streamRelation(files.map(f => s"$path/${f.path}"), schema)
-    else {
+    if (partCols.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val scan = streamRelation(files.map(f => s"$path/${f.path}"),
+        StructType(physFields))
+      DeltaLake.toLogicalNames(scan, rawSchema, mapMode)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    } else {
       import org.apache.spark.sql.functions.{col, lit}
-      val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      val physPartNames = partCols.map(physName)
+      val dataSchema = StructType(physFields.filterNot(f => physPartNames.contains(f.name)))
       val frames = files.groupBy(_.partitionValues).toSeq
         .sortBy(_._1.toSeq.sortBy(_._1).map(kv => kv._1 + "=" + kv._2.getOrElse("")).mkString("/"))
         .map { case (pv, fs) =>
-          val base = streamRelation(fs.map(f => s"$path/${f.path}"), dataSchema)
+          val base = DeltaLake.toLogicalNames(
+            streamRelation(fs.map(f => s"$path/${f.path}"), dataSchema), rawSchema, mapMode)
+          // the log's partitionValues are keyed by PHYSICAL name
           val withParts = partCols.foldLeft(base) { (acc, c) =>
-            val raw = pv.getOrElse(c, None)
+            val raw = pv.getOrElse(physName(c), None)
             acc.withColumn(c,
               raw.map(lit(_)).getOrElse(lit(null)).cast(schema(schema.fieldIndex(c)).dataType))
           }

@@ -19,6 +19,8 @@ object SparkFixture {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.fieldId.read.enabled", "true")
+    .config("spark.sql.parquet.fieldId.write.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
     .getOrCreate()

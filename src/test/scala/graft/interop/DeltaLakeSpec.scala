@@ -128,7 +128,7 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
-  test("column-mapped (name mode) tables read under physical names; id mode stays gated") {
+  test("column-mapped (name mode) foreign tables read, write, and stream") {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val path = freshDir("delta_colmap")
@@ -183,35 +183,171 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     val sqlDf = spark.read.format("delta").load(path)
     assert(sqlDf.schema.fieldNames.toSeq == Seq("k", "v", "p"))
     assert(sqlDf.filter(col("v") === "b").count() == 1L)
-    // every write path refuses: this writer stages logical-name files
-    val eW = intercept[IllegalArgumentException](
-      DeltaLake.write(Seq((9L, "z", 30L)).toDF("k", "v", "p"), path,
-        mode = SaveMode.Append))
-    assert(eW.getMessage.contains("column-mapped"))
-    val eD = intercept[IllegalArgumentException](
-      DeltaLake.deleteWhere(spark, path, col("k") === 1L))
-    assert(eD.getMessage.contains("column-mapped"))
-    // the streaming tail refuses too (it reads files by logical name)
-    val eS = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = spark.readStream.format("delta").load(path).writeStream
-        .format("memory").queryName("delta_colmap_tail")
-        .option("checkpointLocation", freshDir("delta_colmap_cp")).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    assert(eS.getCause.getMessage.contains("column-mapped"))
-    // id mode (field-id resolution) stays loudly gated
-    val path2 = freshDir("delta_colmap_id")
-    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path2)
-    val meta2 = om.createObjectNode()
-    val md2 = meta2.putObject("metaData")
-    md2.put("id", "t2"); md2.put("schemaString", logical.json)
-    md2.putObject("format").put("provider", "parquet")
-    md2.putArray("partitionColumns")
-    md2.putObject("configuration").put("delta.columnMapping.mode", "id")
-    java.nio.file.Files.write(Paths.get(path2, "_delta_log", f"${1L}%020d.json"),
-      (om.writeValueAsString(meta2) + "\n").getBytes("UTF-8"))
-    val e2 = intercept[IllegalArgumentException](DeltaLake.read(spark, path2).count())
-    assert(e2.getMessage.contains("field-id"))
+    // the streaming tail serves logical names from the physical files
+    val q = spark.readStream.format("delta").load(path).writeStream
+      .format("memory").queryName("delta_colmap_tail")
+      .option("checkpointLocation", freshDir("delta_colmap_cp")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("delta_colmap_tail").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // APPENDS stage under physical names (the mapped-writer path)
+    DeltaLake.write(Seq((9L, "z", 30L)).toDF("k", "v", "p"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).as[(Long, String, Long)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a", 10L), (2L, "b", 20L), (9L, "z", 30L)))
+    // the appended file landed in a PHYSICAL partition dir, its columns physical
+    val appended = java.nio.file.Files.list(Paths.get(path, "col-ccc=30")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(appended.nonEmpty, "append must stage under the physical partition dir")
+    assert(spark.read.parquet(appended.head).columns.toSet == Set("col-aaa", "col-bbb"))
+    // copy-on-write DELETE rewrites under physical names too
+    DeltaLake.deleteWhere(spark, path, col("k") === 9L)
+    assert(DeltaLake.read(spark, path).as[(Long, String, Long)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("columnMapping=name creation: full write/DML/CDF lifecycle under minted physical names") {
+    import spark.implicits._
+    val path = freshDir("delta_cm_create")
+    DeltaLake.write(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "p"), path,
+      partitionBy = Seq("p"), columnMapping = Some("name"))
+    val s0 = DeltaLake.snapshot(spark, path)
+    assert(s0.mapMode.contains("name"))
+    assert(s0.protocol.minReader == 2 && s0.protocol.minWriter == 5)
+    // physical names are minted col-<uuid>, never the logical names
+    assert(s0.columnMapping.values.forall(_.startsWith("col-")))
+    assert(s0.configuration("delta.columnMapping.maxColumnId") == "3")
+    // the data files and partition dirs speak physical
+    val physP = s0.physicalName("p")
+    assert(java.nio.file.Files.exists(Paths.get(path, s"$physP=10")))
+    assert(DeltaLake.read(spark, path).as[(Long, String, Long)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // stats skip on the physical keys: an equality probe prunes files
+    assert(DeltaLake.read(spark, path).filter(col("p") === 10L).count() == 1L)
+    // append, update, upsert, MoR delete, compact — all mapped-aware
+    DeltaLake.write(Seq((3L, "c", 10L)).toDF("k", "v", "p"), path, mode = SaveMode.Append)
+    DeltaLake.updateWhere(spark, path, Map("v" -> lit("C")), Some(col("k") === 3L))
+    DeltaLake.upsertByKey(spark, path,
+      Seq((2L, "B", 20L), (4L, "d", 20L)).toDF("k", "v", "p"), "k")
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)
+    assert(DeltaLake.read(spark, path).as[(Long, String, Long)].collect().sortBy(_._1)
+      .toSeq == Seq((2L, "B", 20L), (3L, "C", 10L), (4L, "d", 20L)))
+    DeltaLake.compact(spark, path, targetBytes = 1L << 20)
+    assert(DeltaLake.read(spark, path).count() == 3L)
+    // mergeSchema evolution MINTS a mapping for the new column
+    DeltaLake.write(Seq((5L, "e", 10L, 99L)).toDF("k", "v", "p", "extra"), path,
+      mode = SaveMode.Append, mergeSchema = true)
+    val s1 = DeltaLake.snapshot(spark, path)
+    assert(s1.columnMapping.keySet == Set("k", "v", "p", "extra"))
+    assert(s1.configuration("delta.columnMapping.maxColumnId") == "4")
+    assert(s1.columnMapping("k") == s0.columnMapping("k"), "retained ids must not re-mint")
+    assert(DeltaLake.read(spark, path).filter(col("extra").isNotNull).count() == 1L)
+    // CDF on the mapped table: enable, mutate, read the feed logically
+    DeltaLake.enableChangeDataFeed(spark, path)
+    val vDel = DeltaLake.deleteWhere(spark, path, col("k") === 4L)
+    val feed = DeltaLake.changeFeed(spark, path, vDel)
+    assert(feed.filter(col("_change_type") === "delete").select("k")
+      .as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("columnMapping=id: parquet field ids resolve columns, surviving physical renames") {
+    import spark.implicits._
+    val path = freshDir("delta_cm_id")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      columnMapping = Some("id"))
+    assert(DeltaLake.snapshot(spark, path).isIdMode)
+    assert(DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+    // FORGE a foreign writer renaming every physical name in the log
+    // while keeping the field ids — id-mode readers must not care,
+    // because resolution is by the parquet footer's field ids
+    val snap = DeltaLake.snapshot(spark, path)
+    import org.apache.spark.sql.types.StructType
+    val renamed = StructType(snap.rawSchema.fields.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.columnMapping.physicalName",
+          "renamed-" + f.metadata.getLong("delta.columnMapping.id")).build()
+      f.copy(metadata = md)
+    })
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t"); md.put("schemaString", renamed.json)
+    md.putObject("format").put("provider", "parquet")
+    md.putArray("partitionColumns")
+    val conf = md.putObject("configuration")
+    snap.configuration.foreach { case (k, v) => conf.put(k, v) }
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      (om.writeValueAsString(meta) + "\n").getBytes("UTF-8"))
+    // values still resolve: name matching would find NO column called
+    // renamed-1/renamed-2 in the files and serve nulls or fail
+    assert(DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+    // appends after the rename stage files under the NEW physical
+    // names with the SAME ids — both generations resolve by id
+    DeltaLake.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("upgradeColumnMapping + renameColumn: a rename is one metadata line, zero data files") {
+    import spark.implicits._
+    val path = freshDir("delta_cm_upgrade")
+    DeltaLake.write((0L until 40L).map(k => (k, k % 4)).toDF("k", "grp"), path)
+    // renames without mapping refuse (they would rewrite every file)
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.renameColumn(spark, path, "grp", "bucket"))
+    assert(e.getMessage.contains("not column-mapped"))
+    val before = listDataFiles(path)
+    DeltaLake.upgradeColumnMapping(spark, path)
+    val up = DeltaLake.snapshot(spark, path)
+    // upgrade keeps each field's own name as physicalName — the
+    // existing files already speak it
+    assert(up.mapMode.contains("name") && up.physicalName("grp") == "grp")
+    assert(DeltaLake.upgradeColumnMapping(spark, path) == up.version, "idempotent")
+    DeltaLake.renameColumn(spark, path, "grp", "bucket")
+    assert(listDataFiles(path) == before, "rename must write zero data files")
+    val got = DeltaLake.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "bucket"))
+    assert(got.filter(col("bucket") === 2L).count() == 10L)
+    // appends under the NEW logical name land in the OLD physical layout
+    DeltaLake.write(Seq((100L, 9L)).toDF("k", "bucket"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).filter(col("bucket") === 9L).count() == 1L)
+    // RESTORE across the rename reverts the schema, still metadata-only
+    val files2 = listDataFiles(path)
+    DeltaLake.restore(spark, path, 1L) // v1 = the upgrade commit (pre-rename)
+    assert(listDataFiles(path) == files2)
+    assert(DeltaLake.read(spark, path).schema.fieldNames.toSeq == Seq("k", "grp"))
+    assert(DeltaLake.read(spark, path).count() == 40L)
+  }
+
+  test("nested struct columns map recursively in both directions") {
+    import spark.implicits._
+    val path = freshDir("delta_cm_nested")
+    import org.apache.spark.sql.types.StructType
+    val df = Seq((1L, ("x", 10L)), (2L, ("y", 20L))).toDF("k", "s")
+    DeltaLake.write(df, path, columnMapping = Some("name"))
+    val snap = DeltaLake.snapshot(spark, path)
+    // nested fields carry their own minted physical names
+    val rawS = snap.rawSchema("s").dataType.asInstanceOf[StructType]
+    assert(rawS.fields.forall(_.metadata.contains("delta.columnMapping.physicalName")))
+    // the staged file's nested columns are physical
+    val file = listDataFiles(path).head
+    val fileS = spark.read.parquet(file).schema
+    assert(fileS.fieldNames.forall(_.startsWith("col-")))
+    val innerNames = fileS.fields.collectFirst {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        f.dataType.asInstanceOf[StructType].fieldNames.toSeq
+    }.get
+    assert(innerNames.forall(_.startsWith("col-")), s"inner fields physical: $innerNames")
+    // and the read renames all levels back to logical
+    val got = DeltaLake.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(got.select(col("k"), col("s._1"), col("s._2")).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "x", 10L), (2L, "y", 20L)))
+    // rewrite DML round-trips the nested mapping
+    DeltaLake.deleteWhere(spark, path, col("s._2") === 10L)
+    assert(DeltaLake.read(spark, path).select(col("s._1")).as[String].collect()
+      .toSeq == Seq("y"))
   }
 
   test("deletion vectors: MoR delete, superseding union, checkpoint fold, vacuum, stream gate") {
