@@ -195,7 +195,10 @@ object DeltaLake {
           case Some(lf) =>
             val base = if (hasNestedFields(lf.dataType)) col(c).cast(stripType(lf.dataType))
               else col(c)
-            base.as(lf.name)
+            // explicit empty metadata: the alias must not inherit the
+            // scan attribute's parquet.field.id plumbing into the
+            // user-facing logical schema
+            base.as(lf.name, Metadata.empty)
           case None => col(c)
         }
       }: _*)
@@ -213,6 +216,14 @@ object DeltaLake {
     else raw.fields.toSeq.map(physicalField(_, mode.contains("id"), where))
   def toLogicalNames(df: DataFrame, raw: StructType, mode: Option[String]): DataFrame =
     fromPhysicalDf(df, raw, mode)
+
+
+  /** Metadata-insensitive schema compare key — field metadata (scan
+    * plumbing like parquet.field.id, or mapping bookkeeping a frame
+    * picked up elsewhere) must never fail a schema-equality require. */
+  private def cleanJson(sc: StructType): String = Versioned.nullabilityErased(
+    StructType(sc.fields.map(f => f.copy(dataType = stripType(f.dataType),
+      metadata = Metadata.empty)))).json
 
   /** Mint mapping metadata for `f` (depth-first for nested):
     * sequential `delta.columnMapping.id`s after `maxId` and physical
@@ -746,8 +757,7 @@ object DeltaLake {
         require(p.partitionColumns == partCols,
           s"DeltaLake.write: append partitioning $partCols differs from the table's ${p.partitionColumns}")
         if (!mergeSchema)
-          require(Versioned.nullabilityErased(p.schema).json ==
-            Versioned.nullabilityErased(df.schema).json,
+          require(cleanJson(p.schema) == cleanJson(df.schema),
             "DeltaLake.write: append schema differs from the table schema " +
               "(pass mergeSchema=true for additive evolution)")
       }
@@ -762,8 +772,7 @@ object DeltaLake {
       case Some(p) if mode == SaveMode.Append && mergeSchema =>
         val conflicts = df.schema.fields.flatMap { f =>
           p.schema.fields.find(_.name == f.name)
-            .filter(pf => Versioned.nullabilityErased(StructType(Seq(pf))).json !=
-              Versioned.nullabilityErased(StructType(Seq(f))).json)
+            .filter(pf => cleanJson(StructType(Seq(pf))) != cleanJson(StructType(Seq(f))))
             .map(pf => s"${f.name}: table ${pf.dataType.sql} vs frame ${f.dataType.sql}")
         }
         require(conflicts.isEmpty,
@@ -776,8 +785,7 @@ object DeltaLake {
       case _ => df.schema
     }
     val schemaChanged = prior.exists(p =>
-      Versioned.nullabilityErased(p.schema).json !=
-        Versioned.nullabilityErased(tableSchema).json)
+      cleanJson(p.schema) != cleanJson(tableSchema))
 
     // RAW table schema + configuration: on a mapped table, retained
     // columns (same name, same type) KEEP their mapping metadata —
@@ -1374,8 +1382,7 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val snap = snapshot(spark, path)
     require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
-    require(Versioned.nullabilityErased(snap.schema).json ==
-      Versioned.nullabilityErased(updates.schema).json,
+    require(cleanJson(snap.schema) == cleanJson(updates.schema),
       "DeltaLake.upsertByKey: update schema differs from the table schema")
     Writers.requireUniqueKeys("DeltaLake.upsertByKey", updates, key)
     val full = read(spark, path)

@@ -40,9 +40,11 @@ import org.apache.spark.sql.types._
   * through the SAME pruning [[org.apache.spark.sql.graft.VersionedFileIndex]]
   * as the native and Delta paths — identity partition values from the
   * manifest `partition` records prune at Catalyst planning with no
-  * directory listing. Deletes (v2 positional/equality delete files)
-  * are NOT implemented: a snapshot referencing delete manifests fails
-  * loudly rather than misreading.
+  * directory listing. Scan schemas stamp each column's field id as
+  * `parquet.field.id`, so columns resolve by FOOTER ID per the spec —
+  * [[renameColumn]] is pure metadata and foreign naming never
+  * misreads. v2 deletes (positional + equality) apply merge-on-read,
+  * sequence-correct; unknown manifest content fails loudly.
   *
   * WRITE: append reuses the prior snapshot's manifests untouched and
   * adds ONE new manifest (O(new files) metadata, the spec's fast
@@ -83,7 +85,12 @@ object Iceberg {
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
       schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef],
       deletes: Seq[DeleteFileRef] = Nil, partFields: Seq[PartField] = Nil,
-      eqDeletes: Seq[EqDeleteRef] = Nil) {
+      eqDeletes: Seq[EqDeleteRef] = Nil,
+      // current-schema column name -> Iceberg field id: what the scan
+      // schema stamps as parquet.field.id so columns resolve by FOOTER
+      // IDS, not names — the spec's rule, and what makes a renamed
+      // column keep reading its pre-rename files
+      fieldIds: Map[String, Int] = Map.empty) {
     def hasDeleteDebt: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -460,6 +467,14 @@ object Iceberg {
     (v, Json.readTree(text))
   }
 
+
+  /** Metadata-insensitive schema compare key: field metadata (e.g. the
+    * scan plumbing's parquet.field.id, or mapping bookkeeping a user's
+    * frame picked up from another table) must never fail a
+    * schema-equality require. */
+  private def cleanJson(sc: StructType): String = Versioned.nullabilityErased(
+    StructType(sc.fields.map(_.copy(metadata = Metadata.empty)))).json
+
   private def schemaFromMeta(meta: JsonNode): StructType = {
     val curId = meta.get("current-schema-id").asInt
     val schemaNode = iterator(meta.get("schemas"))
@@ -632,7 +647,8 @@ object Iceberg {
     }
     Snapshot(wantId, snapNode.get("sequence-number").asLong,
       snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
-      partFields, eqDeletes.toSeq)
+      partFields, eqDeletes.toSeq,
+      fieldIds = idToField.map { case (id, f) => f.name -> id })
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -703,13 +719,19 @@ object Iceberg {
       withMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
+    // the scan schema's parquet.field.id metadata is resolution
+    // plumbing — strip it from the USER-facing frame, or a
+    // read-then-append pipeline would fail the writer's schema-equality
+    // requires on bookkeeping the user never wrote
+    def stripIds(df: DataFrame): DataFrame =
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(c, Metadata.empty)): _*)
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
-    if (s.deletes.isEmpty && !withMeta) return base
+    if (s.deletes.isEmpty && !withMeta) return stripIds(base)
     // `_metadata` is a hidden column of the scan relation — attach it
     // directly on the scan frame (it does not survive later projections)
-    val withM = base.select(col("*"),
+    val withM = stripIds(base.select(col("*"),
       col("_metadata.file_path").as(FileMetaCol),
-      col("_metadata.row_index").as(PosMetaCol))
+      col("_metadata.row_index").as(PosMetaCol)))
     val kept =
       if (s.deletes.isEmpty) withM
       else {
@@ -804,11 +826,24 @@ object Iceberg {
       Versioned.ManifestEntry(relPath = abs.stripPrefix(rootPrefix), partDir = partDir,
         stats = stats)
     }
+    // the scan schema stamps each column's Iceberg field id as
+    // parquet.field.id, so the parquet reader resolves columns BY
+    // FOOTER ID (the spec's resolution rule, active with the session's
+    // fieldId.read conf) — a renamed column keeps reading its
+    // pre-rename files, and a foreign writer's different physical
+    // naming never misreads
+    val scanSchema = StructType(s.schema.fields.map { f =>
+      s.fieldIds.get(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+        case None => f
+      }
+    })
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
-      classic, path, s.snapshotId, entries, s.schema, s.partitionColumns,
+      classic, path, s.snapshotId, entries, scanSchema, s.partitionColumns,
       transformKeep = transformKeepFn(s))
     val dataSchema =
-      StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
+      StructType(scanSchema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
     new org.apache.spark.sql.graft.GraftIcebergRelation(
       classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
   }
@@ -899,8 +934,7 @@ object Iceberg {
               tableFields.map(f => s"${f.transform.spec}(${f.source})").mkString(", "))
         }
         if (!mergeSchema)
-          require(Versioned.nullabilityErased(schemaFromMeta(m)).json ==
-            Versioned.nullabilityErased(df.schema).json,
+          require(cleanJson(schemaFromMeta(m)) == cleanJson(df.schema),
             "Iceberg.write: append schema differs from the table schema " +
               "(pass mergeSchema=true for additive evolution)")
       }
@@ -928,8 +962,8 @@ object Iceberg {
           if (mergeSchema && newFields.nonEmpty) {
             val conflicts = df.schema.fields.flatMap { f =>
               priorSchema.fields.find(_.name == f.name)
-                .filter(pf => Versioned.nullabilityErased(StructType(Seq(pf))).json !=
-                  Versioned.nullabilityErased(StructType(Seq(f))).json)
+                .filter(pf => cleanJson(StructType(Seq(pf))) !=
+                  cleanJson(StructType(Seq(f))))
                 .map(pf => s"${f.name}: table ${pf.dataType.sql} vs frame ${f.dataType.sql}")
             }
             require(conflicts.isEmpty,
@@ -1023,8 +1057,7 @@ object Iceberg {
     }
     val priorCurId: Option[Int] = prior.map(_._2.get("current-schema-id").asInt)
     val schemaUnchanged = prior.exists { case (_, m) =>
-      Versioned.nullabilityErased(schemaFromMeta(m)).json ==
-        Versioned.nullabilityErased(tableSchema).json
+      cleanJson(schemaFromMeta(m)) == cleanJson(tableSchema)
     }
     val curSchemaId: Int =
       if (schemaUnchanged) priorCurId.get
@@ -1355,8 +1388,7 @@ object Iceberg {
     import org.apache.spark.sql.functions.col
     val s = snapshot(spark, path)
     require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
-    require(Versioned.nullabilityErased(s.schema).json ==
-      Versioned.nullabilityErased(updates.schema).json,
+    require(cleanJson(s.schema) == cleanJson(updates.schema),
       "Iceberg.upsertByKey: update schema differs from the table schema")
     Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
     // metadata-column discovery — see deleteWhere for why not input_file_name
@@ -1715,6 +1747,39 @@ object Iceberg {
     e.put("timestamp-ms", now); e.put("snapshot-id", snapshotId)
     commitMetadata(fs, root, metaV + 1, m, path)
     snapshotId
+  }
+
+  /** Pure-metadata column RENAME — Iceberg's native strength: columns
+    * resolve by FIELD ID, so a rename is just a new schema (same ids,
+    * new name) under a bumped schema-id joining the `schemas` list;
+    * every existing data file keeps serving the column through its
+    * parquet footer ids. Zero data movement at any scale. Refuses
+    * renaming a partition-spec source column (the spec's partition
+    * field names would go stale against the dirs and manifests). */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
+    require(names.contains(from), s"Iceberg.renameColumn: no column $from")
+    require(!names.contains(to), s"Iceberg.renameColumn: column $to already exists")
+    require(!partFieldsFromMeta(meta).exists(_.source == from),
+      s"Iceberg.renameColumn: $from is a partition source column — renaming it " +
+        "would orphan the partition spec")
+    val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", maxSchemaId + 1)
+    iterator(newSchema.get("fields")).foreach { f =>
+      if (f.get("name").asText == from)
+        f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", to): Unit
+    }
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
   }
 
   /** The id of the newest snapshot with sequence number <= `seq` —

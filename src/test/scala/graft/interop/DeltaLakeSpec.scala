@@ -287,6 +287,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     DeltaLake.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append)
     assert(DeltaLake.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
       .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // read-then-append round-trips: the scan's field-id plumbing must
+    // not leak into the frame and fail the schema-equality require
+    DeltaLake.write(DeltaLake.read(spark, path).filter(col("k") === 3L), path,
+      mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).count() == 4L)
   }
 
   test("upgradeColumnMapping + renameColumn: a rename is one metadata line, zero data files") {

@@ -621,6 +621,46 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 1L)
   }
 
+  test("renameColumn is pure metadata: field-id resolution keeps pre-rename files readable") {
+    import spark.implicits._
+    val path = freshDir("ice_rename")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amount")
+      .write.format("iceberg").save(path)
+    def dataFiles(): Set[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.toString)
+          .filter(f => f.endsWith(".parquet") && !f.contains("/metadata/")).toSet
+      } finally st.close()
+    }
+    val before = dataFiles()
+    Iceberg.renameColumn(spark, path, "amount", "total")
+    assert(dataFiles() == before, "rename must write zero data files")
+    val got = Iceberg.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "total"))
+    // the VALUES come from pre-rename files: only footer field ids can
+    // resolve a column the file calls 'amount' under the name 'total'
+    assert(got.select("k", "total").as[(Long, Long)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, 10L), (2L, 20L)))
+    // filters on the renamed column still stats-prune and evaluate
+    assert(got.filter(col("total") === 20L).count() == 1L)
+    // appends under the NEW name mix with old files transparently
+    Seq((3L, "c", 30L)).toDF("k", "v", "total")
+      .write.format("iceberg").mode("append").save(path)
+    assert(Iceberg.read(spark, path).select("k", "total").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a partition source column refuses (the spec would go stale)
+    val p2 = freshDir("ice_rename_part")
+    Seq((1L, 10L)).toDF("k", "p").write.format("iceberg").partitionBy("p").save(p2)
+    val e = intercept[IllegalArgumentException](
+      Iceberg.renameColumn(spark, p2, "p", "q"))
+    assert(e.getMessage.contains("partition source"))
+    // unknown columns refuse
+    intercept[IllegalArgumentException](Iceberg.renameColumn(spark, path, "zz", "yy"))
+    intercept[IllegalArgumentException](Iceberg.renameColumn(spark, path, "k", "v"))
+  }
+
   test("rollback repoints current-snapshot-id; appends sequence after it") {
     import spark.implicits._
     val path = freshDir("ice_rollback")
