@@ -476,6 +476,22 @@ object DeltaLake {
       .getOrElse(throw new IllegalArgumentException(
         s"DeltaLake: no commit of $path at or before $tsMs"))
 
+  /** The `files` inspection table: one row per LIVE data file of the
+    * current snapshot (path, rendered partition, size, modification
+    * time, raw stats JSON, outstanding deletion-vector cardinality) —
+    * the ops surface for storage audits, driven from the same snapshot
+    * replay the scan uses. */
+  def files(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, path)
+    s.files.map { f =>
+      val part = f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/")
+      (f.path, part, f.size, new java.sql.Timestamp(f.modificationTime),
+        f.stats.orNull, f.dv.map(_.cardinality).getOrElse(0L))
+    }.toDF("path", "partition", "size", "modification_time", "stats", "dv_cardinality")
+  }
+
   /** DESCRIBE HISTORY surface: one row per retained commit. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -814,6 +830,12 @@ object DeltaLake {
         (StructType(fields),
           conf0 + ("delta.columnMapping.mode" -> m, MaxIdKey -> maxId.toString))
     }
+    // CHECK constraints + NOT NULL enforce BEFORE staging — the
+    // protocol's writer-version-3 contract (appends enforce the
+    // TABLE's nullability, not the frame's)
+    enforceConstraints(df,
+      prior.filter(_ => mode == SaveMode.Append).map(_.schema).getOrElse(tableSchema),
+      newConf, "write")
     // move each staged data file under the table root, keeping the
     // Hive partition dirs the reader renders partitionValues into —
     // PHYSICAL names throughout on a mapped table (files, partition
@@ -1104,6 +1126,86 @@ object DeltaLake {
         Json.writeValueAsString(ci)
       })
     commitLines(fs, root, v, lines)
+    v
+  }
+
+  // ----------------------------------------------------- constraints
+
+  /** Enforce the table's CHECK constraints (`delta.constraints.*`
+    * properties — the protocol's minWriterVersion 3 contract: a writer
+    * that cannot enforce them must not write) and NOT NULL fields on
+    * `rows` before they are committed. ONE validation job, and only on
+    * constrained tables — unconstrained writes pay nothing. CHECK
+    * semantics are SQL's: a row violates only when the expression
+    * evaluates to FALSE (null passes). */
+  private def enforceConstraints(rows: DataFrame, schema: StructType,
+      configuration: Map[String, String], op: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      configuration.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith("delta.constraints.") =>
+          s"CHECK ${k.stripPrefix("delta.constraints.")}: $v" ->
+            not(coalesce(expr(v), lit(true)))
+      } ++
+        schema.fields.filter(f => !f.nullable && rows.columns.contains(f.name)).map(f =>
+          s"NOT NULL ${f.name}" -> col(f.name).isNull)
+    if (checks.isEmpty) return
+    val viol = rows.filter(checks.map(_._2).reduce(_ || _)).take(1)
+    if (viol.nonEmpty)
+      throw new IllegalArgumentException(
+        s"DeltaLake.$op: row ${viol.head} violates a table constraint " +
+          s"(${checks.map(_._1).mkString("; ")})")
+  }
+
+  /** ADD a CHECK constraint: validates the WHOLE existing table first
+    * (Delta's ALTER TABLE ADD CONSTRAINT behavior — a constraint the
+    * data already violates refuses), then re-emits metaData with
+    * `delta.constraints.<name>` and ratchets the protocol to the
+    * constraint-enforcing writer version. Every subsequent write
+    * through this library enforces it ([[enforceConstraints]]). */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"DeltaLake.addCheckConstraint: bad constraint name '$name'")
+    val snap = snapshot(spark, path)
+    require(!snap.configuration.contains(s"delta.constraints.$name"),
+      s"DeltaLake.addCheckConstraint: constraint $name already exists")
+    enforceConstraints(read(spark, path), StructType(Nil),
+      Map(s"delta.constraints.$name" -> sqlExpr), "addCheckConstraint")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val newProtocol =
+      if (snap.protocol.minReader >= 3)
+        snap.protocol.copy(writerFeatures =
+          (snap.protocol.writerFeatures :+ "checkConstraints").distinct)
+      else snap.protocol.copy(minWriter = math.max(snap.protocol.minWriter, 3))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ADD CONSTRAINT")
+    commitLines(fs, root, v, Seq(
+      protocolLine(newProtocol),
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now,
+        snap.configuration + (s"delta.constraints.$name" -> sqlExpr)),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** DROP a CHECK constraint — metadata only. */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.configuration.contains(s"delta.constraints.$name"),
+      s"DeltaLake.dropCheckConstraint: no constraint $name")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "DROP CONSTRAINT")
+    commitLines(fs, root, v, Seq(
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now,
+        snap.configuration - s"delta.constraints.$name"),
+      Json.writeValueAsString(ci)))
     v
   }
 
@@ -1436,6 +1538,11 @@ object DeltaLake {
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
+    // UPDATE/MERGE-derived rows must satisfy the table's constraints
+    // like any other write (survivors trivially pass; one job, only on
+    // constrained tables; maintenance rewrites carry already-validated
+    // rows — dataChange=false skips the pass)
+    if (dataChange) enforceConstraints(newData, snap.schema, snap.configuration, operation)
     // rewrites of a mapped table re-stage under PHYSICAL names — the
     // survivors came back logical through read()/fromPhysicalDf
     val stageDf = toPhysicalDf(newData, snap)

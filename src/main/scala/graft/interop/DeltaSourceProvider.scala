@@ -84,15 +84,18 @@ final class DeltaSourceProvider extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
-    if (opt(parameters, "history").exists(_.toBoolean)) {
+    def inspection(df: org.apache.spark.sql.DataFrame): BaseRelation = {
       val outer = sqlContext
-      val hist = DeltaLake.history(outer.sparkSession, path)
-      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
         override val sqlContext: SQLContext = outer
-        override val schema = hist.schema
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
+        override val schema = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
       }
     }
+    if (opt(parameters, "history").exists(_.toBoolean))
+      return inspection(DeltaLake.history(sqlContext.sparkSession, path))
+    if (opt(parameters, "files").exists(_.toBoolean))
+      return inspection(DeltaLake.files(sqlContext.sparkSession, path))
     if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
       val outer = sqlContext
       val feed = DeltaLake.changeFeed(outer.sparkSession, path,

@@ -542,6 +542,21 @@ object Iceberg {
     }.toDF("snapshot_id", "sequence_number", "timestamp", "operation")
   }
 
+  /** The `files` metadata table: one row per live data file of the
+    * current snapshot (path, rendered partition, record count, size,
+    * data sequence number) — the ops surface Iceberg exposes as
+    * `tbl.files`, driven from the SAME manifest walk the scan uses. */
+  def files(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, path)
+    s.files.map { f =>
+      val part = f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/")
+      (f.path, part, f.recordCount, f.sizeInBytes, f.seq)
+    }.toDF("file_path", "partition", "record_count", "file_size_in_bytes",
+      "sequence_number")
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {
@@ -1800,6 +1815,48 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     if (metaVersions(fs, root).isEmpty) 0L
     else readMetadata(fs, root)._2.get("last-sequence-number").asLong
+  }
+
+  /** REMOVE ORPHAN FILES — the spec's maintenance op for files NO
+    * retained snapshot references: crashed writers' staged leftovers
+    * and files orphaned by failed commits. Walks the table's data area
+    * (the `metadata/` subtree is never touched), subtracts every
+    * manifest and data/delete file ANY retained snapshot references —
+    * orphans only; expired history is [[expireSnapshots]]' job — and
+    * deletes what is older than `olderThanMs` (recent files may belong
+    * to an in-flight commit; pass a conservative cutoff, as the spec's
+    * own tooling defaults to days). Empty leftover directories
+    * (crashed `.staged-*` trees) are pruned. Returns the number of
+    * files deleted. */
+  def removeOrphanFiles(spark: SparkSession, path: String, olderThanMs: Long): Int = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val referenced: Set[String] = iterator(meta.get("snapshots")).toSeq.flatMap { sn =>
+      val listPath = sn.get("manifest-list").asText
+      val manifests = readAvro(fs, new HPath(listPath)).map(_.get("manifest_path").toString)
+      // every entry's path counts, deleted-status included — those
+      // files belong to history until the snapshot itself expires
+      val data = manifests.flatMap(m => readAvro(fs, new HPath(m))
+        .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+      (listPath +: manifests) ++ data
+    }.map(p => new java.net.URI(p).getPath).toSet
+    val metaDirPath = metaDir(root).toUri.getPath.stripSuffix("/")
+    var removed = 0
+    def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { st =>
+      val p = st.getPath
+      if (p.toUri.getPath.stripSuffix("/") != metaDirPath) {
+        if (st.isDirectory) {
+          walk(p)
+          if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
+        } else {
+          val abs = p.toUri.getPath
+          if (!referenced.contains(abs) && st.getModificationTime < olderThanMs &&
+            fs.delete(p, false)) removed += 1
+        }
+      }
+    }
+    walk(root)
+    removed
   }
 
   /** EXPIRE SNAPSHOTS: drop every snapshot except the newest

@@ -51,15 +51,18 @@ final class IcebergSourceProvider extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
-    if (opt(parameters, "history").exists(_.toBoolean)) {
+    def inspection(df: org.apache.spark.sql.DataFrame): BaseRelation = {
       val outer = sqlContext
-      val hist = Iceberg.history(outer.sparkSession, path)
-      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
         override val sqlContext: SQLContext = outer
-        override val schema = hist.schema
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = hist.rdd
+        override val schema = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
       }
     }
+    if (opt(parameters, "history").exists(_.toBoolean))
+      return inspection(Iceberg.history(sqlContext.sparkSession, path))
+    if (opt(parameters, "files").exists(_.toBoolean))
+      return inspection(Iceberg.files(sqlContext.sparkSession, path))
     val snapshotId = opt(parameters, "snapshotId").map(_.toLong)
       .orElse(opt(parameters, "asOfTimestamp").map { ts =>
         Iceberg.snapshotAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)

@@ -355,6 +355,70 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       .toSeq == Seq("y"))
   }
 
+  test("CHECK constraints + NOT NULL enforce on every write path") {
+    import spark.implicits._
+    val path = freshDir("delta_constraints")
+    // Option-typed amount: the table column is NULLABLE (a toDF of raw
+    // Longs would mint NOT NULL columns and make the null-append test
+    // below exercise the wrong constraint)
+    DeltaLake.write(Seq((1L, Some(10L)), (2L, Some(20L))).toDF("k", "amount"), path)
+    // adding a constraint the data violates refuses
+    val e0 = intercept[IllegalArgumentException](
+      DeltaLake.addCheckConstraint(spark, path, "big", "amount > 15"))
+    assert(e0.getMessage.contains("violates"))
+    val v = DeltaLake.addCheckConstraint(spark, path, "positive", "amount > 0")
+    assert(DeltaLake.snapshot(spark, path).protocol.minWriter >= 3)
+    assert(DeltaLake.addCheckConstraint(spark, path, "positive2", "amount > 0") == v + 1)
+    DeltaLake.dropCheckConstraint(spark, path, "positive2")
+    // appends that violate refuse, before anything is committed
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((3L, Some(-5L))).toDF("k", "amount"), path,
+        mode = SaveMode.Append))
+    assert(e1.getMessage.contains("positive"))
+    assert(DeltaLake.read(spark, path).count() == 2L, "failed write must not land")
+    // null passes a CHECK (SQL semantics)
+    DeltaLake.write(Seq((3L, Option.empty[Long])).toDF("k", "amount"), path,
+      mode = SaveMode.Append)
+    // UPDATE that would break the constraint refuses
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.updateWhere(spark, path, Map("amount" -> lit(-1L)), Some(col("k") === 1L)))
+    assert(e2.getMessage.contains("positive"))
+    // MERGE enforcement
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLake.upsertByKey(spark, path, Seq((2L, Some(-9L))).toDF("k", "amount"), "k"))
+    assert(e3.getMessage.contains("positive"))
+    DeltaLake.upsertByKey(spark, path, Seq((2L, Some(99L))).toDF("k", "amount"), "k")
+    assert(DeltaLake.read(spark, path).filter(col("amount") === 99L).count() == 1L)
+    // a foreign table with constraints is enforced by this writer too
+    // (the log property IS the contract); NOT NULL fields likewise
+    val p2 = freshDir("delta_notnull")
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    DeltaLake.write(df, p2)
+    val e4 = intercept[IllegalArgumentException](
+      DeltaLake.write(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(null, "x")), df.schema.copy(fields =
+          df.schema.fields.map(_.copy(nullable = true)))), p2, mode = SaveMode.Append))
+    assert(e4.getMessage.contains("NOT NULL"))
+  }
+
+  test("the files inspection table lists the live snapshot's files") {
+    import spark.implicits._
+    val path = freshDir("delta_files_table")
+    DeltaLake.write(Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "v", "p"), path,
+      partitionBy = Seq("p"))
+    val files = spark.read.format("delta").option("files", "true").load(path)
+    assert(files.count() == 2L)
+    assert(files.select("partition").as[String].collect().toSet == Set("p=10", "p=20"))
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)
+    val after = spark.read.format("delta").option("files", "true").load(path)
+    assert(after.filter(col("dv_cardinality") > 0L).count() == 1L)
+  }
+
   test("deletion vectors: MoR delete, superseding union, checkpoint fold, vacuum, stream gate") {
     import spark.implicits._
     val path = freshDir("delta_dv")

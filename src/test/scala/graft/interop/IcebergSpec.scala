@@ -661,6 +661,34 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Iceberg.renameColumn(spark, path, "k", "v"))
   }
 
+  test("removeOrphanFiles reclaims unreferenced files, never history or metadata") {
+    import spark.implicits._
+    val path = freshDir("ice_orphans")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    Seq((2L, "b")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    // plant orphans: a stray data parquet and a crashed staging dir
+    val stray = java.nio.file.Paths.get(path, "data", "orphan.parquet")
+    java.nio.file.Files.createDirectories(stray.getParent)
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    val staged = java.nio.file.Paths.get(path, ".staged-deadbeef", "part-0.parquet")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    java.nio.file.Files.write(staged, Array[Byte](1))
+    // a too-recent cutoff deletes nothing (in-flight commit safety)
+    assert(Iceberg.removeOrphanFiles(spark, path, 0L) == 0)
+    val n = Iceberg.removeOrphanFiles(spark, path, System.currentTimeMillis() + 1000L)
+    assert(n == 2, s"both orphans reclaimed, got $n")
+    assert(!java.nio.file.Files.exists(stray) && !java.nio.file.Files.exists(staged.getParent))
+    // the table (both snapshots) still reads in full
+    assert(Iceberg.read(spark, path).count() == 2L)
+    assert(Iceberg.snapshots(path).size == 2)
+    val first = Iceberg.snapshots(path).minBy(_._2)._1
+    assert(Iceberg.read(spark, path, Some(first)).count() == 1L, "history intact")
+    // the files inspection table serves the live manifest walk
+    val files = spark.read.format("iceberg").option("files", "true").load(path)
+    assert(files.count() == 2L &&
+      files.select("record_count").as[Long].collect().sum == 2L)
+  }
+
   test("rollback repoints current-snapshot-id; appends sequence after it") {
     import spark.implicits._
     val path = freshDir("ice_rollback")
