@@ -1,0 +1,103 @@
+package graft.interop
+
+import graft.ingest.Writers
+
+import org.apache.spark.sql.SparkSession
+
+/** ZERO-COPY table-format conversion — Delta Lake's UniForm model,
+  * from the public protocol/spec descriptions: the DATA stays exactly
+  * where it is, a second metadata layer is published over the same
+  * parquet files, and afterwards BOTH stacks read the table
+  * (`format("delta")` and `format("iceberg")` here; any spec-compliant
+  * foreign reader elsewhere). On a 100 TB table the conversion cost is
+  * O(files) metadata writes — versus a full rewrite for an
+  * export/import migration.
+  *
+  * Direction notes:
+  *  - [[icebergToDelta]]: Iceberg data files always carry column names
+  *    alongside their field ids, and Delta resolves by name, so the
+  *    files read as-is. Requires no outstanding delete debt (compact
+  *    first) and an identity-only partition spec (transform layouts
+  *    have no Delta partition equivalent).
+  *  - [[deltaToIceberg]]: Delta data files carry NO parquet field ids,
+  *    which Iceberg's strict id resolution would reject — the
+  *    published metadata therefore records the spec's
+  *    `schema.name-mapping.default` property, flipping readers to
+  *    name-based resolution for this table (the same mechanism the
+  *    spec prescribes for imported files). Requires no deletion
+  *    vectors (compact folds them) and an unmapped table (a
+  *    column-mapped table's physical naming contradicts the name
+  *    mapping).
+  *
+  * The conversion is ONE-SHOT: writes through one stack afterwards
+  * leave the other stack's metadata at the conversion-time snapshot
+  * (re-run the conversion after dropping the stale layer to re-sync;
+  * continuous dual-commit is out of scope here). */
+object Convert {
+
+  /** Publish Iceberg metadata over a Delta table's live snapshot.
+    * Returns the Iceberg snapshot id. */
+  def deltaToIceberg(spark: SparkSession, path: String): Long = {
+    val snap = DeltaLake.snapshot(spark, path)
+    require(!snap.hasDeletionVectors,
+      s"Convert.deltaToIceberg: $path carries deletion vectors — compact first " +
+        "(the vectors fold into plain files)")
+    require(snap.mapMode.isEmpty,
+      s"Convert.deltaToIceberg: $path is column-mapped — its physical file naming " +
+        "contradicts the name mapping a converted table needs")
+    val (fs, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    // per-file record counts: from the Delta stats when recorded (this
+    // library always records them), ONE distributed count over the
+    // remaining files otherwise — never a per-file job
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fromStats: Map[String, Long] = snap.files.flatMap { f =>
+      f.stats.flatMap { s0 =>
+        val n = om.readTree(s0)
+        if (n.hasNonNull("numRecords")) Some(f.path -> n.get("numRecords").asLong)
+        else None
+      }
+    }.toMap
+    val missing = snap.files.map(_.path).filterNot(fromStats.contains)
+    val counted: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{count, input_file_name, lit}
+        spark.read.parquet(missing.map(rootPrefix + _): _*)
+          .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+          .collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath.stripPrefix(rootPrefix) ->
+            r.getLong(1))
+          .toMap
+      }
+    val files = snap.files.map { f =>
+      Iceberg.DataFileRef(rootPrefix + f.path, f.partitionValues,
+        fromStats.getOrElse(f.path, counted(f.path)), f.size, seq = 1L)
+    }
+    Iceberg.publishConverted(spark, path, snap.schema, snap.partitionColumns, files)
+  }
+
+  /** Publish Delta metadata over an Iceberg table's current snapshot.
+    * Returns the Delta version (0). */
+  def icebergToDelta(spark: SparkSession, path: String): Long = {
+    val s = Iceberg.snapshot(spark, path)
+    require(!s.hasDeleteDebt,
+      s"Convert.icebergToDelta: $path carries outstanding delete files — compact first")
+    require(s.partFields.forall(_.isIdentity),
+      s"Convert.icebergToDelta: $path uses partition transforms " +
+        s"(${s.partFields.filterNot(_.isIdentity).map(_.transform.spec).mkString(", ")}) — " +
+        "Delta has no transform-partition equivalent")
+    val (fs, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val now = System.currentTimeMillis()
+    val adds = s.files.map { f =>
+      val abs = new java.net.URI(f.path).getPath
+      require(abs.startsWith(rootPrefix),
+        s"Convert.icebergToDelta: data file $abs lies outside the table root")
+      val stats = s"""{"numRecords":${f.recordCount}}"""
+      DeltaLake.AddFile(abs.stripPrefix(rootPrefix), f.partitionValues,
+        f.sizeInBytes, now, Some(stats))
+    }
+    DeltaLake.publishConverted(spark, path, s.schema, s.partitionColumns, adds)
+  }
+}

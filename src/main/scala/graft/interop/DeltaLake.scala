@@ -1129,6 +1129,30 @@ object DeltaLake {
     v
   }
 
+  /** Publish DELTA METADATA over an EXISTING file set without touching
+    * a byte of data — the conversion seam [[Convert]] uses. One v0
+    * commit: protocol 1/2, metaData, one `add` per file (paths
+    * relative to the table root, `numRecords` stats included so
+    * downstream conversions and planning keep their counts). */
+  private[interop] def publishConverted(spark: SparkSession, path: String,
+      schema: StructType, partCols: Seq[String], adds: Seq[AddFile]): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    require(!isDeltaTable(path),
+      s"DeltaLake.publishConverted: $path already has a Delta log")
+    fs.mkdirs(logDir(root))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataLine(schema, partCols, now)
+    adds.foreach(a => lines += addLine(a))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "CONVERT")
+    lines += Json.writeValueAsString(ci)
+    commitLines(fs, root, 0L, lines.toSeq)
+    0L
+  }
+
   // ----------------------------------------------------- constraints
 
   /** Enforce the table's CHECK constraints (`delta.constraints.*`

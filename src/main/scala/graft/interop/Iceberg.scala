@@ -660,10 +660,17 @@ object Iceberg {
         }
       }
     }
+    // a table with a NAME MAPPING (the spec's mechanism for imported /
+    // converted data files that carry no parquet field ids) resolves
+    // columns BY NAME: suppress the id stamping, or every converted
+    // file would fail the strict id lookup
+    val nameMapped = Option(meta.get("properties"))
+      .exists(p => p.hasNonNull("schema.name-mapping.default"))
     Snapshot(wantId, snapNode.get("sequence-number").asLong,
       snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
       partFields, eqDeletes.toSeq,
-      fieldIds = idToField.map { case (id, f) => f.name -> id })
+      fieldIds = if (nameMapped) Map.empty
+        else idToField.map { case (id, f) => f.name -> id })
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -1105,7 +1112,14 @@ object Iceberg {
     val orders = meta.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0); order0.putArray("fields")
-    meta.putObject("properties")
+    // table PROPERTIES carry forward (a converted table's
+    // name-mapping marker, user-set properties) — dropping them on
+    // every commit would silently strip behavior
+    val propsNode = meta.putObject("properties")
+    prior.foreach { case (_, m) =>
+      Option(m.get("properties")).filter(_.isObject).foreach(
+        _.properties().forEach(e => propsNode.set[JsonNode](e.getKey, e.getValue): Unit))
+    }
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
     // carry prior snapshots (time travel), then the new one
@@ -1981,6 +1995,112 @@ object Iceberg {
     val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
     (manifestPath, manifestLen)
+  }
+
+  /** Publish ICEBERG METADATA over an EXISTING file set without
+    * touching a byte of data — the conversion seam [[Convert]] uses
+    * (UniForm's model: one copy of data, a second metadata layer on
+    * top). Writes metadata v1: fresh sequential field ids, an identity
+    * partition spec over `partCols`, ONE manifest of all `files`
+    * (already absolute-pathed), and — because converted files carry no
+    * parquet field ids — the spec's `schema.name-mapping.default`
+    * property, which flips this reader (and spec-compliant foreign
+    * readers) to name-based column resolution for the table. */
+  private[interop] def publishConverted(spark: SparkSession, path: String,
+      schema: StructType, partCols: Seq[String], files: Seq[DataFileRef]): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    require(metaVersions(fs, root).isEmpty,
+      s"Iceberg.publishConverted: $path already has Iceberg metadata")
+    fs.mkdirs(metaDir(root))
+    val fieldIds = schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val partFields = partCols.zipWithIndex.map { case (c, i) =>
+      PartField(c, c, TIdentity, 1000 + i)
+    }
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val partFieldTriples = partFields.map(f => (f.name, schema(f.source).dataType, f.fieldId))
+    val (manifestPath, manifestLen) = writeAddedManifest(
+      fs, root, files, snapshotId, partFieldTriples, fieldIds, schema)
+    val newManifest = new GenericData.Record(manifestFileSchema)
+    newManifest.put("manifest_path", manifestPath.toUri.getPath)
+    newManifest.put("manifest_length", manifestLen)
+    newManifest.put("partition_spec_id", 0)
+    newManifest.put("content", 0)
+    newManifest.put("sequence_number", 1L)
+    newManifest.put("min_sequence_number", 1L)
+    newManifest.put("added_snapshot_id", snapshotId)
+    newManifest.put("added_files_count", files.size)
+    newManifest.put("existing_files_count", 0)
+    newManifest.put("deleted_files_count", 0)
+    newManifest.put("added_rows_count", files.map(_.recordCount).sum)
+    newManifest.put("existing_rows_count", 0L)
+    newManifest.put("deleted_rows_count", 0L)
+    val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
+    writeAvro(fs, listPath, manifestFileSchema, Seq(newManifest))
+    val meta = Json.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("table-uuid", java.util.UUID.randomUUID().toString)
+    meta.put("location", root.toUri.getPath)
+    meta.put("last-sequence-number", 1L)
+    meta.put("last-updated-ms", now)
+    meta.put("last-column-id", fieldIds.values.max)
+    meta.put("current-schema-id", 0)
+    val schemas = meta.putArray("schemas")
+    val schemaNode = schemas.addObject()
+    schemaNode.put("type", "struct"); schemaNode.put("schema-id", 0)
+    val fieldsArr = schemaNode.putArray("fields")
+    schema.fields.foreach { f =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", fieldIds(f.name)); fn.put("name", f.name)
+      fn.put("required", !f.nullable); fn.put("type", icebergType(f.dataType))
+    }
+    meta.put("default-spec-id", 0)
+    val specs = meta.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    val specFields = spec0.putArray("fields")
+    partFields.foreach { f =>
+      val pf = specFields.addObject()
+      pf.put("name", f.name); pf.put("transform", f.transform.spec)
+      pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
+    }
+    meta.put("last-partition-id", partFields.lastOption.map(_.fieldId).getOrElse(999))
+    meta.put("default-sort-order-id", 0)
+    val orders = meta.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0); order0.putArray("fields")
+    val props = meta.putObject("properties")
+    // spec shape: [{"field-id": n, "names": ["col"]}, ...]
+    val mapping = Json.createArrayNode()
+    schema.fields.foreach { f =>
+      val e = mapping.addObject()
+      e.put("field-id", fieldIds(f.name))
+      e.putArray("names").add(f.name): Unit
+    }
+    props.put("schema.name-mapping.default", Json.writeValueAsString(mapping))
+    meta.put("current-snapshot-id", snapshotId)
+    val snaps = meta.putArray("snapshots")
+    val snapNode = snaps.addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("sequence-number", 1L)
+    snapNode.putObject("summary").put("operation", "append")
+    snapNode.put("manifest-list", listPath.toUri.getPath)
+    snapNode.put("schema-id", 0)
+    val slog = meta.putArray("snapshot-log")
+    val se = slog.addObject()
+    se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
+    meta.putArray("metadata-log")
+    val out = try fs.create(metaFile(root, 1L), false) catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg: metadata version 1 of $path was committed concurrently", e)
+    }
+    try out.write(Json.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+      .getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new HPath(metaDir(root), "version-hint.text"), true)
+    try hint.write("1".getBytes("UTF-8")) finally hint.close()
+    snapshotId
   }
 
   /** [[stageDataFiles]] under a partition spec that may carry

@@ -2346,6 +2346,66 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S47: ZERO-COPY format conversion — [[graft.interop.Convert]]
+    * publishes the OTHER stack's metadata over the same parquet files
+    * (UniForm's model): Delta→Iceberg records the spec's
+    * `schema.name-mapping.default` (converted files carry no parquet
+    * field ids, so the table flips to name resolution);
+    * Iceberg→Delta emits a v0 log whose adds reference the Iceberg
+    * data files in place, numRecords carried from the manifests.
+    * In-entry requires prove NEITHER direction wrote a data file — on
+    * 100 TB the conversion costs O(files) metadata, not a rewrite —
+    * and that each converted view serves the full row set.
+    * Oracle: both converted views aggregate exactly like `orders`. */
+  val s47InteropConvert = QueryDef(
+    "s47_interop_convert",
+    (s, d) => {
+      val dPath = tmp("s47_d2i", d); val iPath = tmp("s47_i2d", d)
+      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
+      def dataFiles(p: String): Set[String] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString)
+            .filter(f => f.endsWith(".parquet") && !f.contains("_delta_log") &&
+              !f.contains("/metadata/")).toSet
+        } finally st.close()
+      }
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      // delta -> iceberg, partitioned (converted manifests must prune)
+      D.write(orders, dPath, partitionBy = Seq("o_orderstatus"))
+      val dBefore = dataFiles(dPath)
+      graft.interop.Convert.deltaToIceberg(s, dPath)
+      require(dataFiles(dPath) == dBefore, "s47: delta->iceberg must be metadata-only")
+      // iceberg -> delta
+      I.write(orders, iPath)
+      val iBefore = dataFiles(iPath)
+      graft.interop.Convert.icebergToDelta(s, iPath)
+      require(dataFiles(iPath) == iBefore, "s47: iceberg->delta must be metadata-only")
+      val out = I.read(s, dPath).withColumn("src", lit("d2i"))
+        .unionByName(D.read(s, iPath).withColumn("src", lit("i2d")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s47: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'd2i' AS src, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'i2d' AS src, o_orderstatus, o_totalprice FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2355,5 +2415,5 @@ object IngestOps extends QueryModule {
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
-    s45InteropRestore, s46ColumnMapping)
+    s45InteropRestore, s46ColumnMapping, s47InteropConvert)
 }

@@ -1,0 +1,98 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConvertSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  private def dataFiles(path: String): Set[String] = {
+    val st = Files.walk(Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !f.contains("_delta_log") &&
+          !f.contains("/metadata/")).toSet
+    } finally st.close()
+  }
+
+  test("deltaToIceberg publishes metadata over the same files; both stacks read") {
+    import spark.implicits._
+    val path = freshDir("conv_d2i")
+    DeltaLake.write(
+      Seq((1L, "a", "F"), (2L, "b", "O"), (3L, "c", "F")).toDF("k", "v", "status"),
+      path, partitionBy = Seq("status"))
+    val before = dataFiles(path)
+    Convert.deltaToIceberg(spark, path)
+    assert(dataFiles(path) == before, "conversion must not write data files")
+    // both stacks serve identical rows
+    val viaDelta = DeltaLake.read(spark, path).as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    val viaIceberg = Iceberg.read(spark, path).as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(viaDelta == viaIceberg && viaDelta.map(_._1) == Seq(1L, 2L, 3L))
+    // partition pruning works through the converted manifests
+    assert(Iceberg.read(spark, path).filter(col("status") === "O").count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"converted Iceberg metadata must prune ($kept/$total)")
+    // the name mapping property is recorded (converted files carry no ids)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(Files.readAllBytes(Paths.get(path, "metadata", "v00001.metadata.json")),
+        "UTF-8"))
+    assert(meta.get("properties").hasNonNull("schema.name-mapping.default"))
+    // an ICEBERG append after conversion mixes id-carrying new files
+    // with id-less converted ones — name resolution covers both
+    Seq((4L, "d", "O")).toDF("k", "v", "status")
+      .write.format("iceberg").mode("append").save(path)
+    assert(Iceberg.read(spark, path).count() == 4L)
+    assert(Iceberg.read(spark, path).filter(col("status") === "O").count() == 2L)
+    // deletion-vector debt refuses (the files over-serve deleted rows)
+    val p2 = freshDir("conv_d2i_dv")
+    DeltaLake.write(spark.range(0, 50).selectExpr("id AS k", "id % 3 AS v"), p2)
+    DeltaLake.deleteMergeOnRead(spark, p2, col("k") === 7L)
+    val e = intercept[IllegalArgumentException](Convert.deltaToIceberg(spark, p2))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("icebergToDelta publishes a v0 log over the same files; both stacks read") {
+    import spark.implicits._
+    val path = freshDir("conv_i2d")
+    Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "v", "p")
+      .write.format("iceberg").partitionBy("p").save(path)
+    Seq((3L, "z", 10L)).toDF("k", "v", "p")
+      .write.format("iceberg").mode("append").save(path)
+    val before = dataFiles(path)
+    Convert.icebergToDelta(spark, path)
+    assert(dataFiles(path) == before, "conversion must not write data files")
+    val viaDelta = DeltaLake.read(spark, path).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val viaIceberg = Iceberg.read(spark, path).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(viaDelta == viaIceberg && viaDelta.size == 3)
+    // partition pruning through the converted Delta log
+    assert(DeltaLake.read(spark, path).filter(col("p") === 20L).count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"converted Delta metadata must prune ($kept/$total)")
+    // numRecords stats came across from the manifests
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.files.forall(_.stats.exists(_.contains("numRecords"))))
+    // a DELTA append after conversion lands through the log
+    DeltaLake.write(Seq((4L, "w", 20L)).toDF("k", "v", "p"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).count() == 4L)
+    // a transform-partitioned table refuses (no Delta equivalent)
+    val p2 = freshDir("conv_i2d_bucket")
+    Iceberg.write(spark.range(0, 20).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+      p2, partitionBy = Seq("bucket(4, k)"))
+    val e = intercept[IllegalArgumentException](Convert.icebergToDelta(spark, p2))
+    assert(e.getMessage.contains("transform"))
+  }
+}
