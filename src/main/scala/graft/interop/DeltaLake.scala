@@ -57,6 +57,13 @@ object DeltaLake {
     * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping", "timestampNtz")
+  /** Writer features this from-spec writer honors. A table demanding
+    * anything else (rowTracking, icebergCompat, v2Checkpoint, ...)
+    * refuses WRITES loudly — ignoring an unimplemented writer feature
+    * corrupts the table's invariants even when every read works. */
+  private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
+    "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
+    "generatedColumns")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -735,18 +742,33 @@ object DeltaLake {
     * `add`s; `Append` emits `add`s only. Returns the committed
     * version. Per-file stats are always recorded. Folds a parquet
     * checkpoint every [[CheckpointEvery]] commits. */
-  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+  def write(dfIn: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
       columnMapping: Option[String] = None): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"DeltaLake.write: mode must be Overwrite or Append, got $mode")
-    val spark = df.sparkSession
+    val spark = dfIn.sparkSession
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(logDir(root))
     val (jsonVs, cpVs) = listLog(fs, root)
     val existing = (jsonVs ++ cpVs).distinct.sorted
     val prior = if (existing.isEmpty) None else Some(snapshot(spark, path))
     val v = prior.map(_.version + 1).getOrElse(0L)
+    // GENERATED COLUMNS the frame omits are computed here (the
+    // protocol's generated-columns writer contract); columns the frame
+    // DOES carry are validated against their expression in
+    // enforceConstraints instead
+    val df = prior match {
+      case Some(p) =>
+        p.rawSchema.fields
+          .filter(f => f.metadata.contains("delta.generationExpression") &&
+            !dfIn.columns.contains(f.name))
+          .foldLeft(dfIn)((acc, f) => acc.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(
+              f.metadata.getString("delta.generationExpression"))
+              .cast(stripType(f.dataType))))
+      case None => dfIn
+    }
     // append inherits the table's partitioning when the caller names
     // none (the familiar Delta behavior); naming a DIFFERENT layout is
     // the loud error
@@ -769,6 +791,8 @@ object DeltaLake {
         columnMapping
     }
     prior.foreach { p =>
+      // an overwrite REMOVES the live set — a mutation appendOnly forbids
+      gateWriter(p, path, "write", mutates = mode == SaveMode.Overwrite)
       if (mode == SaveMode.Append) {
         require(p.partitionColumns == partCols,
           s"DeltaLake.write: append partitioning $partCols differs from the table's ${p.partitionColumns}")
@@ -809,14 +833,24 @@ object DeltaLake {
     // columns (creation, overwrite's new shape, mergeSchema evolution)
     // mint sequential ids and col-<uuid> physical names, ratcheting
     // delta.columnMapping.maxColumnId
+    def erased(dt: DataType): String = Versioned.nullabilityErased(
+      StructType(Seq(StructField("x", stripType(dt))))).json
     val (rawTable, newConf): (StructType, Map[String, String]) = mapModeW match {
-      case None => (tableSchema, prior.map(_.configuration).getOrElse(Map.empty))
+      case None =>
+        // retained fields (same name + type) KEEP their raw metadata —
+        // a re-emitted metaData must not silently strip a generated
+        // column's expression or any foreign field bookkeeping
+        val priorRaw = prior.map(_.rawSchema).getOrElse(StructType(Nil))
+        val fields = tableSchema.fields.map { f =>
+          priorRaw.fields.find(pf => pf.name == f.name &&
+            erased(pf.dataType) == erased(f.dataType))
+            .map(pf => pf.copy(nullable = f.nullable)).getOrElse(f)
+        }
+        (StructType(fields), prior.map(_.configuration).getOrElse(Map.empty))
       case Some(m) =>
         val priorRaw = prior.map(_.rawSchema).getOrElse(StructType(Nil))
         val conf0 = prior.map(_.configuration).getOrElse(Map.empty)
         val startId = conf0.get(MaxIdKey).map(_.toLong).getOrElse(0L)
-        def erased(dt: DataType): String = Versioned.nullabilityErased(
-          StructType(Seq(StructField("x", stripType(dt))))).json
         val (fields, maxId) = tableSchema.fields.foldLeft((Vector.empty[StructField], startId)) {
           case ((acc, mx), f) =>
             priorRaw.fields.find(pf => pf.name == f.name &&
@@ -834,7 +868,7 @@ object DeltaLake {
     // protocol's writer-version-3 contract (appends enforce the
     // TABLE's nullability, not the frame's)
     enforceConstraints(df,
-      prior.filter(_ => mode == SaveMode.Append).map(_.schema).getOrElse(tableSchema),
+      prior.filter(_ => mode == SaveMode.Append).map(_.rawSchema).getOrElse(rawTable),
       newConf, "write")
     // move each staged data file under the table root, keeping the
     // Hive partition dirs the reader renders partitionValues into —
@@ -947,6 +981,7 @@ object DeltaLake {
       snap: Snapshot, matchesWithMeta: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val (fs, root) = Writers.fsFor(path)
+    gateWriter(snap, path, "deleteMergeOnRead", mutates = true)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val q = rootPrefix.replace("'", "''")
     val matches = matchesWithMeta
@@ -1153,6 +1188,27 @@ object DeltaLake {
     0L
   }
 
+  // ------------------------------------------------- writer gating
+
+  /** The write-side protocol gate, called by every mutating path:
+    * refuse tables whose writer protocol demands features this writer
+    * does not implement, and enforce `delta.appendOnly=true` (the
+    * protocol's append-only writer contract — `mutates=false` marks
+    * the pure-append path). */
+  private def gateWriter(snap: Snapshot, path: String, op: String,
+      mutates: Boolean): Unit = {
+    if (snap.protocol.minWriter >= 7) {
+      val unsupported = snap.protocol.writerFeatures.filterNot(SupportedWriterFeatures)
+      require(unsupported.isEmpty,
+        s"DeltaLake.$op: $path requires writer features [${unsupported.mkString(", ")}] " +
+          s"this from-spec writer does not implement " +
+          s"([${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}])")
+    }
+    if (mutates)
+      require(!snap.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+        s"DeltaLake.$op: $path has delta.appendOnly=true — rows may only be appended")
+  }
+
   // ----------------------------------------------------- constraints
 
   /** Enforce the table's CHECK constraints (`delta.constraints.*`
@@ -1172,7 +1228,13 @@ object DeltaLake {
             not(coalesce(expr(v), lit(true)))
       } ++
         schema.fields.filter(f => !f.nullable && rows.columns.contains(f.name)).map(f =>
-          s"NOT NULL ${f.name}" -> col(f.name).isNull)
+          s"NOT NULL ${f.name}" -> col(f.name).isNull) ++
+        schema.fields.filter(f => f.metadata.contains("delta.generationExpression") &&
+          rows.columns.contains(f.name)).map { f =>
+          val e = expr(f.metadata.getString("delta.generationExpression"))
+            .cast(stripType(f.dataType))
+          s"GENERATED ${f.name}" -> not(col(f.name) <=> e)
+        }
     if (checks.isEmpty) return
     val viol = rows.filter(checks.map(_._2).reduce(_ || _)).take(1)
     if (viol.nonEmpty)
@@ -1211,6 +1273,43 @@ object DeltaLake {
       protocolLine(newProtocol),
       metaDataLine(snap.rawSchema, snap.partitionColumns, now,
         snap.configuration + (s"delta.constraints.$name" -> sqlExpr)),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** ADD a GENERATED COLUMN (`GENERATED ALWAYS AS (expr)`): metadata
+    * only — the new nullable field carries
+    * `delta.generationExpression` in its metadata and the protocol
+    * ratchets to the generated-columns writer version. Files written
+    * before the addition read NULL for it (the same contract as
+    * add-column evolution); every subsequent write through this
+    * library COMPUTES the column when the frame omits it and VALIDATES
+    * it when present ([[enforceConstraints]]). */
+  def addGeneratedColumn(spark: SparkSession, path: String,
+      name: String, dataType: DataType, sqlExpr: String): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.mapMode.isEmpty,
+      s"DeltaLake.addGeneratedColumn: $path is column-mapped — adding mapped " +
+        "generated columns is not implemented")
+    require(!snap.schema.fieldNames.contains(name),
+      s"DeltaLake.addGeneratedColumn: column $name already exists")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val field = StructField(name, dataType, nullable = true,
+      new MetadataBuilder().putString("delta.generationExpression", sqlExpr).build())
+    val newProtocol =
+      if (snap.protocol.minReader >= 3)
+        snap.protocol.copy(writerFeatures =
+          (snap.protocol.writerFeatures :+ "generatedColumns").distinct)
+      else snap.protocol.copy(minWriter = math.max(snap.protocol.minWriter, 4))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ADD COLUMNS")
+    commitLines(fs, root, v, Seq(
+      protocolLine(newProtocol),
+      metaDataLine(StructType(snap.rawSchema.fields :+ field),
+        snap.partitionColumns, now, snap.configuration),
       Json.writeValueAsString(ci)))
     v
   }
@@ -1562,11 +1661,14 @@ object DeltaLake {
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
+    // maintenance rewrites (dataChange=false, e.g. OPTIMIZE) are legal
+    // on append-only tables — the row set is unchanged
+    gateWriter(snap, path, operation, mutates = dataChange)
     // UPDATE/MERGE-derived rows must satisfy the table's constraints
     // like any other write (survivors trivially pass; one job, only on
     // constrained tables; maintenance rewrites carry already-validated
     // rows — dataChange=false skips the pass)
-    if (dataChange) enforceConstraints(newData, snap.schema, snap.configuration, operation)
+    if (dataChange) enforceConstraints(newData, snap.rawSchema, snap.configuration, operation)
     // rewrites of a mapped table re-stage under PHYSICAL names — the
     // survivors came back logical through read()/fromPhysicalDf
     val stageDf = toPhysicalDf(newData, snap)
@@ -1762,6 +1864,7 @@ object DeltaLake {
   def restore(spark: SparkSession, path: String, versionAsOf: Long): Long = {
     val (fs, root) = Writers.fsFor(path)
     val cur = snapshot(spark, path)
+    gateWriter(cur, path, "restore", mutates = true)
     require(versionAsOf <= cur.version,
       s"DeltaLake.restore: version $versionAsOf is beyond the current ${cur.version}")
     val tgt = snapshot(spark, path, Some(versionAsOf))

@@ -406,6 +406,82 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e4.getMessage.contains("NOT NULL"))
   }
 
+  test("generated columns: computed when omitted, validated when present") {
+    import spark.implicits._
+    val path = freshDir("delta_gen")
+    DeltaLake.write(Seq((1L, "ab"), (2L, "xyz")).toDF("k", "v"), path)
+    DeltaLake.addGeneratedColumn(spark, path, "v_len",
+      org.apache.spark.sql.types.IntegerType, "length(v)")
+    assert(DeltaLake.snapshot(spark, path).protocol.minWriter >= 4)
+    // pre-addition files read NULL for the generated column
+    assert(DeltaLake.read(spark, path).filter(col("v_len").isNull).count() == 2L)
+    // an append WITHOUT the column computes it
+    DeltaLake.write(Seq((3L, "hello")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 3L)
+      .select("v_len").as[Int].head() == 5)
+    // an append WITH a wrong value refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((4L, "no", 99)).toDF("k", "v", "v_len"), path,
+        mode = SaveMode.Append))
+    assert(e.getMessage.contains("GENERATED"))
+    // with the right value it lands
+    DeltaLake.write(Seq((4L, "no", 2)).toDF("k", "v", "v_len"), path,
+      mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).count() == 4L)
+    // UPDATE breaking the generation invariant refuses
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.updateWhere(spark, path, Map("v" -> lit("longer")), Some(col("k") === 4L)))
+    assert(e2.getMessage.contains("GENERATED"))
+    // the expression survives an overwrite's metaData re-emission
+    DeltaLake.write(Seq((9L, "zzz")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.snapshot(spark, path).rawSchema("v_len")
+      .metadata.contains("delta.generationExpression"))
+  }
+
+  test("writer gating: appendOnly tables refuse mutations; unknown writer features refuse writes") {
+    import spark.implicits._
+    val path = freshDir("delta_appendonly")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
+    // set delta.appendOnly via the property path enableChangeDataFeed uses
+    val snap = DeltaLake.snapshot(spark, path)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t"); md.put("schemaString", snap.rawSchema.json)
+    md.putObject("format").put("provider", "parquet")
+    md.putArray("partitionColumns")
+    md.putObject("configuration").put("delta.appendOnly", "true")
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      (om.writeValueAsString(meta) + "\n").getBytes("UTF-8"))
+    // appends still land
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Append)
+    // every mutating path refuses
+    for (op <- Seq(
+      () => DeltaLake.deleteWhere(spark, path, col("k") === 1L),
+      () => DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L),
+      () => DeltaLake.updateWhere(spark, path, Map("v" -> lit("x")), None),
+      () => DeltaLake.upsertByKey(spark, path, Seq((1L, "z")).toDF("k", "v"), "k"),
+      () => DeltaLake.write(Seq((9L, "z")).toDF("k", "v"), path),
+      () => DeltaLake.restore(spark, path, 0L))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("appendOnly"), e.getMessage)
+    }
+    // compaction (dataChange=false) is still legal on append-only tables
+    DeltaLake.compact(spark, path, targetBytes = 1L << 20)
+    assert(DeltaLake.read(spark, path).count() == 2L)
+    // unknown writer features: reads work, writes refuse loudly
+    val p2 = freshDir("delta_wfeat")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), p2)
+    java.nio.file.Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"readerFeatures":[],"writerFeatures":["rowTracking"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaLake.read(spark, p2).count() == 1L)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), p2, mode = SaveMode.Append))
+    assert(e2.getMessage.contains("rowTracking"))
+  }
+
   test("the files inspection table lists the live snapshot's files") {
     import spark.implicits._
     val path = freshDir("delta_files_table")
