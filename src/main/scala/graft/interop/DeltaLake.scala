@@ -56,14 +56,15 @@ object DeltaLake {
   /** Reader features this from-spec reader implements (protocol 3
     * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping", "timestampNtz")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
+    "timestampNtz", "v2Checkpoint")
   /** Writer features this from-spec writer honors. A table demanding
     * anything else (rowTracking, icebergCompat, v2Checkpoint, ...)
     * refuses WRITES loudly — ignoring an unimplemented writer feature
     * corrupts the table's invariants even when every read works. */
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
-    "generatedColumns")
+    "generatedColumns", "v2Checkpoint")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -277,7 +278,17 @@ object DeltaLake {
       if (n.endsWith(suffix) && n.length == 20 + suffix.length &&
         n.take(20).forall(_.isDigit)) Some(n.take(20).toLong)
       else None
-    (names.flatMap(vOf(_, ".json")).sorted, names.flatMap(vOf(_, ".checkpoint.parquet")).sorted)
+    // checkpoints come in three spec shapes: classic single-file
+    // `.checkpoint.parquet`, multi-part `.checkpoint.%010d.%010d.parquet`,
+    // and V2 `.checkpoint.<uuid>.{parquet,json}` — all list as the
+    // version; snapshot() resolves the concrete files
+    def cpOf(n: String): Option[Long] =
+      if (n.length > 20 && n.take(20).forall(_.isDigit) &&
+        n.drop(20).startsWith(".checkpoint") &&
+        (n.endsWith(".parquet") || (n.drop(20) != ".json" && n.endsWith(".json"))))
+        Some(n.take(20).toLong)
+      else None
+    (names.flatMap(vOf(_, ".json")).sorted, names.flatMap(cpOf).distinct.sorted)
   }
 
   /** All log versions present (JSON or checkpoint), ascending. */
@@ -345,50 +356,152 @@ object DeltaLake {
         stats: Option[String], dv: Option[DvDescriptor]): Unit =
       files(p) = AddFile(p, pv, size, mod, stats, dv)
 
-    // 1) newest checkpoint at-or-below the target
+    // row-shaped action replay, shared by classic/multi-part/v2
+    // checkpoint files and their sidecars; `sidecars` collects v2
+    // sidecar references for the caller to read next
+    val sidecarDir = new HPath(logDir(root), "_sidecars")
+    def replayRow(r: Row, cols: Set[String],
+        sidecars: scala.collection.mutable.Buffer[HPath]): Unit = {
+      if (cols("protocol") && r.getAs[Row]("protocol") != null) {
+        val p = r.getAs[Row]("protocol")
+        def feats(col: String): Seq[String] =
+          if (p.schema.fieldNames.contains(col) && !p.isNullAt(p.fieldIndex(col)))
+            p.getAs[scala.collection.Seq[String]](col).toSeq
+          else Nil
+        gateProtocol(p.getAs[Int]("minReaderVersion"), feats("readerFeatures"))
+        protocolV = Protocol(p.getAs[Int]("minReaderVersion"),
+          p.getAs[Int]("minWriterVersion"),
+          feats("readerFeatures"), feats("writerFeatures"))
+      }
+      if (cols("metaData") && r.getAs[Row]("metaData") != null) {
+        val m = r.getAs[Row]("metaData")
+        val conf = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+          .map(_.toMap).getOrElse(Map.empty)
+        gateColumnMapping(conf.get("delta.columnMapping.mode"))
+        tableConf = conf
+        schema = Some(DataType.fromJson(m.getAs[String]("schemaString")).asInstanceOf[StructType])
+        partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+      }
+      if (cols("add") && r.getAs[Row]("add") != null) {
+        val a = r.getAs[Row]("add")
+        val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+          .map(_.toMap.map { case (k, v) => k -> Option(v) }).getOrElse(Map.empty)
+        val dv =
+          if (a.schema.fieldNames.contains("deletionVector") &&
+              !a.isNullAt(a.fieldIndex("deletionVector"))) {
+            val d = a.getAs[Row]("deletionVector")
+            Some(DvDescriptor(d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
+              d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
+          } else None
+        applyAdd(decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
+          a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv)
+      }
+      if (cols("remove") && r.getAs[Row]("remove") != null)
+        files.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path"))): Unit
+      if (cols("sidecar") && r.getAs[Row]("sidecar") != null) {
+        // spec: sidecar files always live under _delta_log/_sidecars;
+        // bare file names resolve there
+        val sp = decodePath(r.getAs[Row]("sidecar").getAs[String]("path"))
+        sidecars += (if (sp.contains("/")) new HPath(sp) else new HPath(sidecarDir, sp))
+      }
+    }
+
+
+    def replayJsonNode(n: JsonNode,
+        sidecars: scala.collection.mutable.Buffer[HPath]): Unit = {
+      Option(n.get("protocol")).foreach { p =>
+        def feats(field: String): Seq[String] = Option(p.get(field)).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        gateProtocol(p.get("minReaderVersion").asInt, feats("readerFeatures"))
+        protocolV = Protocol(p.get("minReaderVersion").asInt,
+          p.get("minWriterVersion").asInt,
+          feats("readerFeatures"), feats("writerFeatures"))
+      }
+      Option(n.get("metaData")).foreach { m =>
+        gateColumnMapping(Option(m.get("configuration"))
+          .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText))
+        tableConf = Option(m.get("configuration")).filterNot(_.isNull).map { c =>
+          c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty)
+        schema = Some(DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType])
+        partCols = Option(m.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Nil)
+      }
+      Option(n.get("add")).foreach { a =>
+        val pv = Option(a.get("partitionValues")).map { o =>
+          o.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DvDescriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+            d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+        }
+        applyAdd(decodePath(a.get("path").asText), pv, a.get("size").asLong,
+          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
+      }
+      Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
+      Option(n.get("sidecar")).filterNot(_.isNull).foreach { sc =>
+        val sp = decodePath(sc.get("path").asText)
+        sidecars += (if (sp.contains("/")) new HPath(sp) else new HPath(sidecarDir, sp))
+      }
+    }
+
+    // 1) newest checkpoint at-or-below the target — classic single
+    // file, multi-part (%010d.%010d), or V2 (uuid-named top file, json
+    // or parquet, with add/remove batches in _sidecars parquet files)
     val cp = cpVs.filter(_ <= target).lastOption
     cp.foreach { c =>
-      val rows = spark.read.parquet(checkpointFile(root, c).toString)
-      val cols = rows.columns.toSet
-      rows.collect().foreach { r =>
-        if (cols("protocol") && r.getAs[Row]("protocol") != null) {
-          val p = r.getAs[Row]("protocol")
-          def feats(col: String): Seq[String] =
-            if (p.schema.fieldNames.contains(col) && !p.isNullAt(p.fieldIndex(col)))
-              p.getAs[scala.collection.Seq[String]](col).toSeq
-            else Nil
-          gateProtocol(p.getAs[Int]("minReaderVersion"), feats("readerFeatures"))
-          protocolV = Protocol(p.getAs[Int]("minReaderVersion"),
-            p.getAs[Int]("minWriterVersion"),
-            feats("readerFeatures"), feats("writerFeatures"))
+      val prefix = f"$c%020d.checkpoint"
+      val names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+      val classic = names.find(_ == s"$prefix.parquet")
+      val multiRe = (java.util.regex.Pattern.quote(prefix) + "\\.\\d{10}\\.\\d{10}\\.parquet").r
+      val multipart = names.filter(n => multiRe.matches(n)).sorted
+      val others = names.filterNot(n => classic.contains(n) || multipart.contains(n))
+      // several v2 writers may each have left a complete checkpoint —
+      // any one serves; take the lexicographic last deterministically
+      val v2Top = others.filter(n => n.endsWith(".parquet") || n.endsWith(".json"))
+        .sorted.lastOption
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val parquetFiles: Seq[String] =
+        if (classic.nonEmpty)
+          classic.toSeq.map(n => new HPath(logDir(root), n).toString)
+        else if (multipart.nonEmpty) {
+          val totals = multipart.map(_.stripSuffix(".parquet").split('.').last.toInt).distinct
+          require(totals.size == 1 && multipart.size == totals.head,
+            s"DeltaLake: $path multi-part checkpoint v$c is incomplete " +
+              s"(${multipart.size} of ${totals.mkString("/")} parts)")
+          multipart.map(n => new HPath(logDir(root), n).toString)
+        } else v2Top match {
+          case Some(n) if n.endsWith(".parquet") =>
+            Seq(new HPath(logDir(root), n).toString)
+          case Some(n) => // v2 JSON top file: action lines, parsed below
+            val in = fs.open(new HPath(logDir(root), n))
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+              replayJsonNode(Json.readTree(line), sidecars)
+            }
+            Nil
+          case None => throw new IllegalStateException(
+            s"DeltaLake: $path checkpoint v$c listed but no readable file found")
         }
-        if (cols("metaData") && r.getAs[Row]("metaData") != null) {
-          val m = r.getAs[Row]("metaData")
-          val conf = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
-            .map(_.toMap).getOrElse(Map.empty)
-          gateColumnMapping(conf.get("delta.columnMapping.mode"))
-          tableConf = conf
-          schema = Some(DataType.fromJson(m.getAs[String]("schemaString")).asInstanceOf[StructType])
-          partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
-        }
-        if (cols("add") && r.getAs[Row]("add") != null) {
-          val a = r.getAs[Row]("add")
-          val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-            .map(_.toMap.map { case (k, v) => k -> Option(v) }).getOrElse(Map.empty)
-          val dv =
-            if (a.schema.fieldNames.contains("deletionVector") &&
-                !a.isNullAt(a.fieldIndex("deletionVector"))) {
-              val d = a.getAs[Row]("deletionVector")
-              Some(DvDescriptor(d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
-                d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
-            } else None
-          applyAdd(a.getAs[String]("path"), pv, a.getAs[Long]("size"),
-            a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv)
-        }
-        if (cols("remove") && r.getAs[Row]("remove") != null)
-          files.remove(r.getAs[Row]("remove").getAs[String]("path")): Unit
+      if (parquetFiles.nonEmpty) {
+        val rows = spark.read.parquet(parquetFiles: _*)
+        val cols = rows.columns.toSet
+        rows.collect().foreach(r => replayRow(r, cols, sidecars))
+      }
+      if (sidecars.nonEmpty) {
+        val srows = spark.read.parquet(sidecars.map(_.toString).toSeq: _*)
+        val scols = srows.columns.toSet
+        val none = scala.collection.mutable.ArrayBuffer.empty[HPath]
+        srows.collect().foreach(r => replayRow(r, scols, none))
+        require(none.isEmpty, s"DeltaLake: $path checkpoint v$c nests sidecars in sidecars")
       }
     }
 
@@ -400,43 +513,14 @@ object DeltaLake {
         s"DeltaLake: $path log has a gap at version $v (have ${jsonVs.mkString(",")})")
       val in = fs.open(jsonFile(root, v))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // sidecar actions only appear inside v2 checkpoint files, never
+      // in commit JSON — a buffer that must stay empty enforces that
+      val none = scala.collection.mutable.ArrayBuffer.empty[HPath]
       text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-        val n = Json.readTree(line)
-        Option(n.get("protocol")).foreach { p =>
-          def feats(field: String): Seq[String] = Option(p.get(field)).filterNot(_.isNull)
-            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-          gateProtocol(p.get("minReaderVersion").asInt, feats("readerFeatures"))
-          protocolV = Protocol(p.get("minReaderVersion").asInt,
-            p.get("minWriterVersion").asInt,
-            feats("readerFeatures"), feats("writerFeatures"))
-        }
-        Option(n.get("metaData")).foreach { m =>
-          gateColumnMapping(Option(m.get("configuration"))
-            .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText))
-          tableConf = Option(m.get("configuration")).filterNot(_.isNull).map { c =>
-            c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-          }.getOrElse(Map.empty)
-          schema = Some(DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType])
-          partCols = Option(m.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
-            .getOrElse(Nil)
-        }
-        Option(n.get("add")).foreach { a =>
-          val pv = Option(a.get("partitionValues")).map { o =>
-            o.properties().asScala.map { e =>
-              e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
-            }.toMap
-          }.getOrElse(Map.empty[String, Option[String]])
-          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
-            DvDescriptor(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
-              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
-              d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
-          }
-          applyAdd(decodePath(a.get("path").asText), pv, a.get("size").asLong,
-            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
-        }
-        Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
+        replayJsonNode(Json.readTree(line), none)
       }
+      require(none.isEmpty,
+        s"DeltaLake: $path commit $v carries sidecar actions outside a checkpoint")
     }
     val raw = schema.getOrElse(throw new IllegalStateException(
       s"DeltaLake: $path log through v$target carries no metaData action"))
@@ -2019,17 +2103,35 @@ object DeltaLake {
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null,
-        Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
+        // spec: checkpoint add.path is URI-encoded, same as the JSON log
+        Row(new java.net.URI(null, null, f.path, null).toASCIIString,
+          f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, f.modificationTime, true, f.stats.orNull, dvRow),
         null))
     }
+    // a table on the v2Checkpoint feature gets a V2-SHAPED checkpoint
+    // (uuid-named file + the spec's mandatory checkpointMetadata
+    // action) — writing the classic shape there would violate the
+    // writer contract the feature declares
+    val isV2 = (p.readerFeatures ++ p.writerFeatures).contains("v2Checkpoint")
+    val (cpDf, dest) =
+      if (!isV2)
+        (spark.createDataFrame(rows, checkpointSchema), checkpointFile(root, s.version))
+      else {
+        val v2Schema = StructType(checkpointSchema.fields :+
+          StructField("checkpointMetadata",
+            StructType(Seq(StructField("version", LongType)))))
+        val rows2 = new java.util.ArrayList[Row]()
+        rows.forEach(r => rows2.add(Row.fromSeq(r.toSeq :+ null)): Unit)
+        rows2.add(Row(null, null, null, null, Row(s.version)))
+        (spark.createDataFrame(rows2, v2Schema), new HPath(logDir(root),
+          f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+      }
     val tmp = new HPath(root, s".cp-${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.createDataFrame(rows, checkpointSchema).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    cpDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val part = fs.listStatus(tmp).toSeq
       .find(st => st.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("DeltaLake.checkpoint: no parquet part written"))
-    val dest = checkpointFile(root, s.version)
     fs.delete(dest, false)
     require(fs.rename(part.getPath, dest), s"DeltaLake.checkpoint: rename to $dest failed")
     fs.delete(tmp, true)

@@ -122,10 +122,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     // hand-raise the protocol as a foreign writer with reader features would
     val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
     java.nio.file.Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
   }
 
   test("column-mapped (name mode) foreign tables read, write, and stream") {
@@ -482,6 +482,127 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("rowTracking"))
   }
 
+  test("multi-part and V2 checkpoints read after the JSON tail is vacuumed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    // ---- multi-part: split a classic checkpoint into 2 spec-named parts
+    val path = freshDir("delta_cp_multi")
+    DeltaLake.write((0L until 40L).map(k => (k, k % 4)).toDF("k", "grp"),
+      path, partitionBy = Seq("grp"))
+    DeltaLake.write(Seq((100L, 9L)).toDF("k", "grp"), path, mode = SaveMode.Append)
+    DeltaLake.checkpoint(spark, path)
+    val log = Paths.get(path, "_delta_log")
+    val classic = log.resolve(f"${1L}%020d.checkpoint.parquet")
+    val cpDf = spark.read.parquet(classic.toString)
+    def writeOnePart(df: org.apache.spark.sql.DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = freshDir("cp_forge_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(Paths.get(part), dest)
+    }
+    writeOnePart(cpDf.filter(col("add").isNull),
+      log.resolve(f"${1L}%020d.checkpoint.0000000001.0000000002.parquet"))
+    writeOnePart(cpDf.filter(col("add").isNotNull),
+      log.resolve(f"${1L}%020d.checkpoint.0000000002.0000000002.parquet"))
+    java.nio.file.Files.delete(classic)
+    java.nio.file.Files.deleteIfExists(log.resolve(f"${1L}%020d.checkpoint.parquet.crc"))
+    for (v <- 0L to 1L) {
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(log.resolve(f".$v%020d.json.crc"))
+    }
+    assert(DeltaLake.read(spark, path).count() == 41L)
+    assert(DeltaLake.read(spark, path).filter(col("grp") === 2L).count() == 10L,
+      "partition pruning must survive the multi-part replay")
+    // an INCOMPLETE multi-part set refuses instead of serving half a table
+    java.nio.file.Files.move(
+      log.resolve(f"${1L}%020d.checkpoint.0000000002.0000000002.parquet"),
+      log.resolve("hidden.tmp"))
+    val eMulti = intercept[IllegalArgumentException](DeltaLake.snapshot(spark, path))
+    assert(eMulti.getMessage.contains("incomplete"))
+    java.nio.file.Files.move(log.resolve("hidden.tmp"),
+      log.resolve(f"${1L}%020d.checkpoint.0000000002.0000000002.parquet"))
+
+    // ---- V2: uuid-named JSON top file + add batches in _sidecars
+    val p2 = freshDir("delta_cp_v2")
+    DeltaLake.write((0L until 30L).map(k => (k, k % 3)).toDF("k", "grp"), p2)
+    DeltaLake.write(Seq((200L, 7L)).toDF("k", "grp"), p2, mode = SaveMode.Append)
+    DeltaLake.checkpoint(spark, p2)
+    val log2 = Paths.get(p2, "_delta_log")
+    val classic2 = log2.resolve(f"${1L}%020d.checkpoint.parquet")
+    val cpDf2 = spark.read.parquet(classic2.toString)
+    // sidecar parquet: ALL add actions
+    java.nio.file.Files.createDirectories(log2.resolve("_sidecars"))
+    writeOnePart(cpDf2.filter(col("add").isNotNull).select("add"),
+      log2.resolve("_sidecars").resolve("batch-1.parquet"))
+    // v2 JSON top: protocol + metaData (from the snapshot) + the sidecar ref
+    val snap2 = DeltaLake.snapshot(spark, p2)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val protoLine =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    val metaNode = om.createObjectNode()
+    val md = metaNode.putObject("metaData")
+    md.put("id", "v2t"); md.put("schemaString", snap2.rawSchema.json)
+    md.putObject("format").put("provider", "parquet")
+    md.putArray("partitionColumns")
+    md.putObject("configuration")
+    val sidecarLine = """{"sidecar":{"path":"batch-1.parquet","sizeInBytes":1}}"""
+    val cpMeta = """{"checkpointMetadata":{"version":1}}"""
+    java.nio.file.Files.write(
+      log2.resolve(f"${1L}%020d.checkpoint.80a083e8-7026.json"),
+      (Seq(protoLine, om.writeValueAsString(metaNode), sidecarLine, cpMeta)
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(classic2)
+    java.nio.file.Files.deleteIfExists(log2.resolve(f".${1L}%020d.checkpoint.parquet.crc"))
+    for (v <- 0L to 1L) {
+      java.nio.file.Files.delete(log2.resolve(f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(log2.resolve(f".$v%020d.json.crc"))
+    }
+    assert(DeltaLake.read(spark, p2).count() == 31L)
+    // the v2Checkpoint reader feature passes the protocol gate
+    assert(DeltaLake.snapshot(spark, p2).protocol.readerFeatures.contains("v2Checkpoint"))
+    // appends on top of the v2 checkpoint replay on top of it
+    DeltaLake.write(Seq((300L, 8L)).toDF("k", "grp"), p2, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, p2).count() == 32L)
+    // checkpointing a v2-feature table writes the V2 SHAPE (uuid name +
+    // checkpointMetadata), which this reader then resolves
+    DeltaLake.checkpoint(spark, p2)
+    val v2names = java.nio.file.Files.list(log2).toArray.map(_.toString)
+      .filter(n => n.contains(f"${2L}%020d.checkpoint."))
+    assert(v2names.nonEmpty && v2names.forall(!_.endsWith("checkpoint.parquet")),
+      s"v2 tables must get uuid-named checkpoints, got ${v2names.toSeq}")
+    assert(DeltaLake.read(spark, p2).count() == 32L)
+
+    // ---- V2 with a PARQUET top file carrying the sidecar column
+    val p3 = freshDir("delta_cp_v2pq")
+    DeltaLake.write((0L until 20L).map(k => (k, k % 2)).toDF("k", "grp"), p3)
+    DeltaLake.write(Seq((500L, 5L)).toDF("k", "grp"), p3, mode = SaveMode.Append)
+    DeltaLake.checkpoint(spark, p3)
+    val log3 = Paths.get(p3, "_delta_log")
+    val classic3 = log3.resolve(f"${1L}%020d.checkpoint.parquet")
+    val cpDf3 = spark.read.parquet(classic3.toString)
+    java.nio.file.Files.createDirectories(log3.resolve("_sidecars"))
+    writeOnePart(cpDf3.filter(col("add").isNotNull).select("add"),
+      log3.resolve("_sidecars").resolve("batch-a.parquet"))
+    val metaRows = cpDf3.filter(col("add").isNull)
+      .withColumn("sidecar",
+        lit(null).cast("struct<path:string,sizeInBytes:bigint>"))
+    val scRow = metaRows.limit(1).select(
+      metaRows.columns.filterNot(_ == "sidecar").toIndexedSeq.map(c =>
+        lit(null).cast(metaRows.schema(c).dataType).as(c)) :+
+        struct(lit("batch-a.parquet").as("path"), lit(1L).as("sizeInBytes"))
+          .as("sidecar"): _*)
+    writeOnePart(metaRows.unionByName(scRow),
+      log3.resolve(f"${1L}%020d.checkpoint.11112222-3344.parquet"))
+    java.nio.file.Files.delete(classic3)
+    for (v <- 0L to 1L) {
+      java.nio.file.Files.delete(log3.resolve(f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(log3.resolve(f".$v%020d.json.crc"))
+    }
+    assert(DeltaLake.read(spark, p3).count() == 21L)
+  }
+
   test("the files inspection table lists the live snapshot's files") {
     import spark.implicits._
     val path = freshDir("delta_files_table")
@@ -604,11 +725,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).filter(col("k") === 5L).count() == 0L)
     // an unknown reader feature still refuses loudly
     val lines3 = Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+      """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""")
     java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${3L}%020d.json"),
       (lines3.mkString("\n") + "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
   }
 
   test("change data feed: cdc actions per mutation, derived inserts, loud pre-enablement gate") {
