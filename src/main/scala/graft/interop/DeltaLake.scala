@@ -102,7 +102,11 @@ object DeltaLake {
       // schemaString VERBATIM (field metadata like physicalName intact)
       // — what any re-emission of metaData/checkpoints must carry
       rawSchema: StructType = StructType(Nil),
-      protocol: Protocol = Protocol(1, 2)) {
+      protocol: Protocol = Protocol(1, 2),
+      // latest `txn` action per appId — the protocol's application
+      // transaction watermark, what a streaming sink dedups batch
+      // replays against
+      txns: Map[String, Long] = Map.empty) {
     def physicalName(c: String): String = columnMapping.getOrElse(c, c)
     def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
     def cdfEnabled: Boolean =
@@ -345,6 +349,7 @@ object DeltaLake {
     // other mode fails loudly.
     var mapMode: Option[String] = None
     var tableConf: Map[String, String] = Map.empty
+    var txns: Map[String, Long] = Map.empty
     def gateColumnMapping(mode: Option[String]): Unit = {
       require(mode.forall(m => m == "none" || m.isEmpty || m == "name" || m == "id"),
         s"DeltaLake: $path uses delta.columnMapping.mode=${mode.get} — only name and " +
@@ -400,6 +405,10 @@ object DeltaLake {
       }
       if (cols("remove") && r.getAs[Row]("remove") != null)
         files.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path"))): Unit
+      if (cols("txn") && r.getAs[Row]("txn") != null) {
+        val t = r.getAs[Row]("txn")
+        txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
+      }
       if (cols("sidecar") && r.getAs[Row]("sidecar") != null) {
         // spec: sidecar files always live under _delta_log/_sidecars;
         // bare file names resolve there
@@ -445,6 +454,8 @@ object DeltaLake {
           Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
       }
       Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
+      Option(n.get("txn")).filterNot(_.isNull).foreach(t =>
+        txns += t.get("appId").asText -> t.get("version").asLong)
       Option(n.get("sidecar")).filterNot(_.isNull).foreach { sc =>
         val sp = decodePath(sc.get("path").asText)
         sidecars += (if (sp.contains("/")) new HPath(sp) else new HPath(sidecarDir, sp))
@@ -536,7 +547,7 @@ object DeltaLake {
     val logical = StructType(raw.fields.map(f =>
       f.copy(dataType = stripType(f.dataType), metadata = Metadata.empty)))
     Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf,
-      rawSchema = raw, protocol = protocolV)
+      rawSchema = raw, protocol = protocolV, txns = txns)
   }
 
   /** (version, commit timestamp ms, operation) per JSON log entry —
@@ -828,7 +839,8 @@ object DeltaLake {
     * checkpoint every [[CheckpointEvery]] commits. */
   def write(dfIn: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
-      columnMapping: Option[String] = None): Long = {
+      columnMapping: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"DeltaLake.write: mode must be Overwrite or Append, got $mode")
     val spark = dfIn.sparkSession
@@ -1002,6 +1014,15 @@ object DeltaLake {
         .unionByName(df.withColumn("_change_type", lit("insert")),
           allowMissingColumns = true)
       lines ++= stageCdc(spark, root, p.copy(partitionColumns = Nil), images, now)
+    }
+    // the application-transaction watermark (spec `txn` action) — a
+    // streaming sink stamps (appId, batchId) so a checkpoint replay of
+    // the same batch is detectable and skippable
+    txn.foreach { case (appId, ver) =>
+      val o = Json.createObjectNode()
+      val t = o.putObject("txn")
+      t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
+      lines += Json.writeValueAsString(o)
     }
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
@@ -2054,6 +2075,9 @@ object DeltaLake {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
@@ -2090,19 +2114,24 @@ object DeltaLake {
     val protocolRow = Row(p.minReader, p.minWriter,
       if (p.minReader >= 3 || p.minWriter >= 7) p.readerFeatures else null,
       if (p.minReader >= 3 || p.minWriter >= 7) p.writerFeatures else null)
-    rows.add(Row(protocolRow, null, null, null))
+    rows.add(Row(protocolRow, null, null, null, null))
     rows.add(Row(null,
       Row(java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
         // configuration MUST fold too — dropping it would silently
         // disable the change data feed (and any property)
         s.rawSchema.json, s.partitionColumns, s.configuration,
         System.currentTimeMillis()),
-      null, null))
+      null, null, null))
+    // the latest txn watermark per appId MUST fold (spec) — vacuuming
+    // the JSON tail must not reopen a streaming sink's replay window
+    s.txns.toSeq.sortBy(_._1).foreach { case (appId, ver) =>
+      rows.add(Row(null, null, Row(appId, ver), null, null))
+    }
     s.files.foreach { f =>
       val dvRow = f.dv.map(d =>
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
-      rows.add(Row(null, null,
+      rows.add(Row(null, null, null,
         // spec: checkpoint add.path is URI-encoded, same as the JSON log
         Row(new java.net.URI(null, null, f.path, null).toASCIIString,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
@@ -2123,7 +2152,7 @@ object DeltaLake {
             StructType(Seq(StructField("version", LongType)))))
         val rows2 = new java.util.ArrayList[Row]()
         rows.forEach(r => rows2.add(Row.fromSeq(r.toSeq :+ null)): Unit)
-        rows2.add(Row(null, null, null, null, Row(s.version)))
+        rows2.add(Row(null, null, null, null, null, Row(s.version)))
         (spark.createDataFrame(rows2, v2Schema), new HPath(logDir(root),
           f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
       }

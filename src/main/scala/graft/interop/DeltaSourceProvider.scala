@@ -3,10 +3,11 @@ package graft.interop
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("delta")` / `df.write.format("delta")` over
@@ -19,7 +20,29 @@ import org.apache.spark.sql.types.StructType
   * `overwrite`/`append` plus `.partitionBy(...)`, all landing through
   * the atomic log-commit protocol in [[DeltaLake.write]]. */
 final class DeltaSourceProvider extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  /** Streaming sink: `df.writeStream.format("delta").start(tbl)` with
+    * the protocol's `txn`-action exactly-once (see
+    * [[org.apache.spark.sql.graft.DeltaSink]]). Append mode only —
+    * the log is an append journal; update/complete semantics belong
+    * to foreachBatch + upsertByKey. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"delta sink: only Append output mode is supported ($outputMode given); " +
+        "use foreachBatch + DeltaLake.upsertByKey for update semantics")
+    val appId = opt(parameters, "txnAppId")
+      .orElse(opt(parameters, "checkpointLocation")
+        .map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
+      .getOrElse("delta-sink")
+    new org.apache.spark.sql.graft.DeltaSink(path, appId, partitionColumns)
+  }
 
   override def shortName(): String = "delta"
 

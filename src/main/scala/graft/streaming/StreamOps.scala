@@ -1200,9 +1200,64 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** T20: DELTA streaming SINK — `writeStream.format("delta")` lands
+    * every micro-batch as one atomic log commit CARRYING the
+    * protocol's `txn` action (appId=t20, version=batchId). Exactly-once
+    * is graded twice in-entry: an engine-level checkpoint restart
+    * re-commits nothing, and an application-level REPLAY of the last
+    * batch id (the crash-between-commit-and-checkpoint case) is
+    * skipped by the snapshot's txn watermark instead of
+    * double-appending. At scale each batch is O(new data): the sink
+    * stages the batch's files and appends one JSON commit — no read of
+    * the existing table, no compaction on the hot path. */
+  val streamDeltaSink = QueryDef(
+    "stream_t20_delta_sink",
+    (s, d) => {
+      val base = graft.ingest.Scratch.dir("streaming", "t20", d)
+      graft.ingest.Writers.deleteTree(base)
+      val tbl = base.resolve("table").toString
+      val ckpt = base.resolve("ckpt").toString
+      val D = graft.interop.DeltaLake
+      def runOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
+        val q = eventStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .writeStream
+          .format("delta")
+          .option("path", tbl)
+          .option("txnAppId", "t20")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val vFirst = D.versions(tbl).max
+      runOnce() // engine layer: checkpoint restart re-commits nothing
+      require(D.versions(tbl).max == vFirst,
+        s"t20: restart from checkpoint re-committed (v$vFirst -> ${D.versions(tbl).max})")
+      // application layer: a replayed batch id must be a txn-watermark no-op
+      val wm = D.snapshot(s, tbl).txns("t20")
+      new org.apache.spark.sql.graft.DeltaSink(tbl, "t20", Nil)
+        .addBatch(wm, D.read(s, tbl).limit(1))
+      require(D.versions(tbl).max == vFirst,
+        "t20: replayed sink batch id was committed twice — exactly-once broken")
+      s.read.format("delta").load(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), unscale(sum(cents("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
     streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop,
-    streamDeltaTail, streamIcebergTail)
+    streamDeltaTail, streamIcebergTail, streamDeltaSink)
 }

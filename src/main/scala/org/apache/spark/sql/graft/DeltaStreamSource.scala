@@ -7,10 +7,10 @@ package org.apache.spark.sql.graft
 
 import graft.interop.DeltaLake
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -131,6 +131,35 @@ class DeltaStreamSource(
   }
 
   override def stop(): Unit = ()
+}
+
+/** Streaming SINK over a Delta table —
+  * `df.writeStream.format("delta").start(tbl)` — with the protocol's
+  * EXACTLY-ONCE contract: every batch commit carries a `txn` action
+  * `(appId, batchId)`, and `addBatch` first consults the snapshot's
+  * latest txn watermark for this appId — a batch at-or-below it is a
+  * CHECKPOINT REPLAY after a crash between the table commit and the
+  * streaming checkpoint advance, and is skipped instead of
+  * double-appended. The watermark folds into checkpoints, so
+  * vacuuming the JSON tail never reopens the replay window. `appId`
+  * defaults to a hash of the query's checkpointLocation (one sink,
+  * one app), overridable via option("txnAppId") when several
+  * queries feed one table. */
+class DeltaSink(
+    path: String, appId: String, partitionBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (DeltaLake.isDeltaTable(path) &&
+      DeltaLake.snapshot(data.sparkSession, path).txns.get(appId).exists(_ >= batchId))
+      return // replayed batch: already committed exactly once
+    val spark = data.sparkSession.asInstanceOf[ClassicSession]
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    DeltaLake.write(batch, path, partitionBy, SaveMode.Append,
+      txn = Some(appId -> batchId)): Unit
+  }
+
+  override def toString: String = s"DeltaSink[$path]"
 }
 
 /** Streaming CHANGE-DATA-FEED source —

@@ -603,6 +603,56 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, p3).count() == 21L)
   }
 
+  test("streaming sink: txn actions make batch replays exactly-once") {
+    import spark.implicits._
+    val src = freshDir("delta_sink_src")
+    val tbl = freshDir("delta_sink_tbl")
+    val cp = freshDir("delta_sink_cp")
+    java.nio.file.Files.createDirectories(Paths.get(src))
+    def feed(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$src/$name")
+    feed("b1", Seq((1L, "a"), (2L, "b")))
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, v STRING").option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+        .writeStream.format("delta").option("checkpointLocation", cp)
+        .start(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(DeltaLake.read(spark, tbl).count() == 2L)
+    // the commit carries the txn watermark
+    val snap = DeltaLake.snapshot(spark, tbl)
+    assert(snap.txns.size == 1 && snap.txns.values.head >= 0L)
+    // a RESTART with the same checkpoint delivers nothing new and —
+    // crucially — replays nothing into the table
+    runOnce()
+    assert(DeltaLake.read(spark, tbl).count() == 2L, "restart must not double-append")
+    // new data flows through; a replay AFTER a crash between table
+    // commit and checkpoint advance is skipped by the txn watermark:
+    // simulate by re-delivering batch 1 manually through the sink
+    feed("b2", Seq((3L, "c")))
+    runOnce()
+    assert(DeltaLake.read(spark, tbl).count() == 3L)
+    val appId = DeltaLake.snapshot(spark, tbl).txns.keys.head
+    val sink = new org.apache.spark.sql.graft.DeltaSink(tbl, appId, Nil)
+    val replayedBatch = DeltaLake.snapshot(spark, tbl).txns(appId)
+    sink.addBatch(replayedBatch, Seq((99L, "dup")).toDF("k", "v"))
+    assert(DeltaLake.read(spark, tbl).count() == 3L,
+      "a batch at the txn watermark is a replay and must be skipped")
+    sink.addBatch(replayedBatch + 1, Seq((4L, "d")).toDF("k", "v"))
+    assert(DeltaLake.read(spark, tbl).count() == 4L)
+    // the watermark survives a checkpoint fold + json vacuum
+    DeltaLake.checkpoint(spark, tbl)
+    val v = DeltaLake.versions(tbl).max
+    for (old <- 0L until v)
+      java.nio.file.Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"$old%020d.json"))
+    assert(DeltaLake.snapshot(spark, tbl).txns(appId) == replayedBatch + 1,
+      "txn watermarks must fold into checkpoints")
+  }
+
   test("the files inspection table lists the live snapshot's files") {
     import spark.implicits._
     val path = freshDir("delta_files_table")
