@@ -922,7 +922,8 @@ object Iceberg {
     * columns stay IN the data files (the transform value is metadata,
     * not a column). */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false): Long = {
+      mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"Iceberg.write: mode must be Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -1132,6 +1133,10 @@ object Iceberg {
     snapNode.put("sequence-number", seq)
     val summary = snapNode.putObject("summary")
     summary.put("operation", if (mode == SaveMode.Append) "append" else "overwrite")
+    // caller-supplied summary properties — e.g. a streaming sink's
+    // (query-id, epoch) exactly-once watermark, the mechanism the
+    // spec's real streaming integrations use
+    summaryProps.foreach { case (k, v) => summary.put(k, v): Unit }
     snapNode.put("manifest-list", listPath.toUri.getPath)
     snapNode.put("schema-id", curSchemaId)
     val slog = meta.putArray("snapshot-log")
@@ -1776,6 +1781,24 @@ object Iceberg {
     e.put("timestamp-ms", now); e.put("snapshot-id", snapshotId)
     commitMetadata(fs, root, metaV + 1, m, path)
     snapshotId
+  }
+
+  /** The highest committed streaming epoch for `appId`, scanned from
+    * the RETAINED snapshots' summary properties — the exactly-once
+    * watermark the streaming sink consults before committing a batch
+    * (the same mechanism the spec's real streaming integrations use:
+    * Flink's max-committed-checkpoint-id, Spark's epoch summaries).
+    * Bound: expiring ALL of an app's snapshots forgets its watermark —
+    * the retention horizon must outlive the longest replay window. */
+  def lastCommittedEpoch(path: String, appId: String): Option[Long] = {
+    val (fs, root) = Writers.fsFor(path)
+    if (metaVersions(fs, root).isEmpty) return None
+    val (_, meta) = readMetadata(fs, root)
+    iterator(meta.get("snapshots")).flatMap { sn =>
+      Option(sn.get("summary")).filter(_.hasNonNull("streaming-app-id"))
+        .filter(_.get("streaming-app-id").asText == appId)
+        .flatMap(su => Option(su.get("streaming-epoch-id")).map(_.asText.toLong))
+    }.maxOption
   }
 
   /** Pure-metadata column RENAME — Iceberg's native strength: columns

@@ -3,10 +3,11 @@ package graft.interop
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("iceberg")` / `df.write.format("iceberg")` over
@@ -15,7 +16,26 @@ import org.apache.spark.sql.types.StructType
   * short name. Read option: `snapshotId` (time travel). Write modes:
   * overwrite/append with `.partitionBy(...)` (identity transforms). */
 final class IcebergSourceProvider extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  /** Streaming sink: `df.writeStream.format("iceberg").start(tbl)` —
+    * summary-property exactly-once (see
+    * [[org.apache.spark.sql.graft.IcebergSink]]). Append mode only. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"iceberg sink: only Append output mode is supported ($outputMode given)")
+    val appId = opt(parameters, "appId")
+      .orElse(opt(parameters, "checkpointLocation")
+        .map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
+      .getOrElse("iceberg-sink")
+    new org.apache.spark.sql.graft.IcebergSink(path, appId, partitionColumns)
+  }
 
   override def shortName(): String = "iceberg"
 

@@ -4,10 +4,10 @@ package org.apache.spark.sql.graft
 
 import graft.interop.Iceberg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
 
@@ -104,4 +104,30 @@ class IcebergStreamSource(
   }
 
   override def stop(): Unit = ()
+}
+
+/** Streaming SINK over an Iceberg table —
+  * `df.writeStream.format("iceberg").start(tbl)`: each micro-batch
+  * commits as ONE snapshot whose summary carries the
+  * `(streaming-app-id, streaming-epoch-id)` watermark, and `addBatch`
+  * skips any batch at-or-below the highest committed epoch — the
+  * crash-between-commit-and-checkpoint replay lands exactly once, the
+  * same summary-property mechanism the spec's real streaming
+  * integrations use. O(new data) per batch: an Iceberg append carries
+  * the prior manifests untouched and adds one manifest. */
+class IcebergSink(
+    path: String, appId: String, partitionBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (Iceberg.lastCommittedEpoch(path, appId).exists(_ >= batchId))
+      return // replayed batch: already committed exactly once
+    val spark = data.sparkSession.asInstanceOf[ClassicSession]
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    Iceberg.write(batch, path, partitionBy, SaveMode.Append,
+      summaryProps = Map("streaming-app-id" -> appId,
+        "streaming-epoch-id" -> batchId.toString)): Unit
+  }
+
+  override def toString: String = s"IcebergSink[$path]"
 }

@@ -689,6 +689,37 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       files.select("record_count").as[Long].collect().sum == 2L)
   }
 
+  test("streaming sink: snapshot-summary epochs make batch replays exactly-once") {
+    import spark.implicits._
+    val src = freshDir("ice_sink_src"); val tbl = freshDir("ice_sink_tbl")
+    val cp = freshDir("ice_sink_cp")
+    java.nio.file.Files.createDirectories(Paths.get(src))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/b1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("k LONG, v STRING").parquet(s"$src/*")
+        .writeStream.format("iceberg").option("checkpointLocation", cp)
+        .option("appId", "icet").start(tbl)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(Iceberg.read(spark, tbl).count() == 2L)
+    val epoch = Iceberg.lastCommittedEpoch(tbl, "icet").get
+    // restart with the same checkpoint: nothing re-committed
+    runOnce()
+    assert(Iceberg.read(spark, tbl).count() == 2L)
+    // an application-level replay of the committed epoch is skipped
+    val sink = new org.apache.spark.sql.graft.IcebergSink(tbl, "icet", Nil)
+    sink.addBatch(epoch, Seq((99L, "dup")).toDF("k", "v"))
+    assert(Iceberg.read(spark, tbl).count() == 2L,
+      "a batch at the committed epoch is a replay and must be skipped")
+    sink.addBatch(epoch + 1, Seq((3L, "c")).toDF("k", "v"))
+    assert(Iceberg.read(spark, tbl).count() == 3L)
+    assert(Iceberg.lastCommittedEpoch(tbl, "icet").contains(epoch + 1))
+    // a different app's epochs are independent
+    assert(Iceberg.lastCommittedEpoch(tbl, "other").isEmpty)
+  }
+
   test("rollback repoints current-snapshot-id; appends sequence after it") {
     import spark.implicits._
     val path = freshDir("ice_rollback")
