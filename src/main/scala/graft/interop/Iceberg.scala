@@ -1120,6 +1120,9 @@ object Iceberg {
     prior.foreach { case (_, m) =>
       Option(m.get("properties")).filter(_.isObject).foreach(
         _.properties().forEach(e => propsNode.set[JsonNode](e.getKey, e.getValue): Unit))
+      // named refs survive commits too — a write must not unpin tags
+      Option(m.get("refs")).filter(_.isObject).foreach(r =>
+        meta.set[JsonNode]("refs", r.deepCopy()): Unit)
     }
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
@@ -1783,6 +1786,59 @@ object Iceberg {
     snapshotId
   }
 
+  /** Named REFS (the spec's `refs` map): tag or branch name →
+    * (snapshot-id, type). `main` is implicit (current-snapshot-id). */
+  def refs(path: String): Map[String, (Long, String)] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    Option(meta.get("refs")).filter(_.isObject).map { r =>
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
+      r.properties().forEach { e =>
+        out += e.getKey -> (e.getValue.get("snapshot-id").asLong,
+          Option(e.getValue.get("type")).map(_.asText).getOrElse("tag"))
+      }
+      out.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Create a named TAG or BRANCH pinned at `snapshotId` — one
+    * metadata commit adding the spec's `refs` entry. A ref PINS its
+    * snapshot against [[expireSnapshots]], which is the operational
+    * point: tags are durable audit/rollback anchors on a table whose
+    * unnamed history ages out. */
+  def createRef(spark: SparkSession, path: String, name: String,
+      snapshotId: Long, refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"Iceberg.createRef: type must be tag or branch, got $refType")
+    require(name != "main", "Iceberg.createRef: 'main' is the implicit current branch")
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(iterator(meta.get("snapshots")).exists(_.get("snapshot-id").asLong == snapshotId),
+      s"Iceberg.createRef: snapshot $snapshotId is not in the history of $path")
+    require(!refs(path).contains(name), s"Iceberg.createRef: ref $name already exists")
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val r = if (m.hasNonNull("refs") && m.get("refs").isObject)
+      m.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    else m.putObject("refs")
+    val e = r.putObject(name)
+    e.put("snapshot-id", snapshotId); e.put("type", refType)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+  }
+
+  /** Drop a named ref — metadata only; the snapshot stays until it
+    * ages out unpinned. */
+  def dropRef(spark: SparkSession, path: String, name: String): Unit = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(refs(path).contains(name), s"Iceberg.dropRef: no ref $name")
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    m.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove(name)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+  }
+
   /** The highest committed streaming epoch for `appId`, scanned from
     * the RETAINED snapshots' summary properties — the exactly-once
     * watermark the streaming sink consults before committing a batch
@@ -1909,7 +1965,17 @@ object Iceberg {
     val (metaV, meta) = readMetadata(fs, root)
     val snaps = iterator(meta.get("snapshots")).toSeq.sortBy(_.get("sequence-number").asLong)
     if (snaps.size <= keepLast) return 0
-    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    // a snapshot a named ref pins NEVER expires (the spec's retention
+    // rule) — tags are durable anchors precisely because of this
+    val pinned: Set[Long] = Option(meta.get("refs")).filter(_.isObject).map { r =>
+      val ids = scala.collection.mutable.Set.empty[Long]
+      r.properties().forEach(e => ids += e.getValue.get("snapshot-id").asLong)
+      ids.toSet
+    }.getOrElse(Set.empty)
+    val (expired0, kept0) = snaps.splitAt(snaps.size - keepLast)
+    val (rescued, expired) = expired0.partition(sn => pinned.contains(sn.get("snapshot-id").asLong))
+    val kept = (rescued ++ kept0).sortBy(_.get("sequence-number").asLong)
+    if (expired.isEmpty) return 0
 
     def filesOf(sn: JsonNode): (Set[String], Set[String]) = { // (manifest paths, data paths)
       val list = new HPath(sn.get("manifest-list").asText)

@@ -84,6 +84,10 @@ final class IcebergSourceProvider extends RelationProvider
     if (opt(parameters, "files").exists(_.toBoolean))
       return inspection(Iceberg.files(sqlContext.sparkSession, path))
     val snapshotId = opt(parameters, "snapshotId").map(_.toLong)
+      .orElse(opt(parameters, "tag").orElse(opt(parameters, "branch")).map { n =>
+        Iceberg.refs(path).getOrElse(n, throw new IllegalArgumentException(
+          s"iceberg: no ref '$n' on $path"))._1
+      })
       .orElse(opt(parameters, "asOfTimestamp").map { ts =>
         Iceberg.snapshotAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)
       })

@@ -720,6 +720,44 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.lastCommittedEpoch(tbl, "other").isEmpty)
   }
 
+  test("refs: tags pin snapshots against expiry and resolve as read anchors") {
+    import spark.implicits._
+    val path = freshDir("ice_refs")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)           // seq 1
+    val s1 = Iceberg.snapshots(path).head._1
+    Seq((2L, "b")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    Seq((3L, "c")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    Iceberg.createRef(spark, path, "v1-audit", s1, "tag")
+    assert(Iceberg.refs(path) == Map("v1-audit" -> (s1, "tag")))
+    // the tag resolves as a read anchor
+    assert(spark.read.format("iceberg").option("tag", "v1-audit").load(path)
+      .count() == 1L)
+    intercept[IllegalArgumentException](
+      spark.read.format("iceberg").option("tag", "nope").load(path).count())
+    // refs survive later commits
+    Seq((4L, "d")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    assert(Iceberg.refs(path).contains("v1-audit"))
+    // expiry keeps the PINNED snapshot even outside the keep-last
+    // window (no data reclaims here — an append-only history's files
+    // are all still live in the current snapshot)
+    Iceberg.expireSnapshots(spark, path, keepLast = 1)
+    assert(Iceberg.snapshots(path).size == 2, "kept = the pinned one + the newest")
+    assert(Iceberg.snapshots(path).map(_._1).contains(s1),
+      "a tagged snapshot must never expire")
+    assert(spark.read.format("iceberg").option("tag", "v1-audit").load(path)
+      .count() == 1L, "the tag must stay readable after expiry")
+    assert(Iceberg.read(spark, path).count() == 4L)
+    // duplicate / unknown-snapshot / main refusals
+    intercept[IllegalArgumentException](Iceberg.createRef(spark, path, "v1-audit", s1))
+    intercept[IllegalArgumentException](Iceberg.createRef(spark, path, "x", 42L))
+    intercept[IllegalArgumentException](Iceberg.createRef(spark, path, "main", s1))
+    // drop unpins; the next expiry may reclaim it
+    Iceberg.dropRef(spark, path, "v1-audit")
+    assert(Iceberg.refs(path).isEmpty)
+    Iceberg.expireSnapshots(spark, path, keepLast = 1)
+    assert(!Iceberg.snapshots(path).map(_._1).contains(s1))
+  }
+
   test("rollback repoints current-snapshot-id; appends sequence after it") {
     import spark.implicits._
     val path = freshDir("ice_rollback")
