@@ -462,11 +462,14 @@ object DeltaLake {
       }
     }
 
-    // 1) newest checkpoint at-or-below the target — classic single
-    // file, multi-part (%010d.%010d), or V2 (uuid-named top file, json
-    // or parquet, with add/remove batches in _sidecars parquet files)
-    val cp = cpVs.filter(_ <= target).lastOption
-    cp.foreach { c =>
+    // 1) newest USABLE checkpoint at-or-below the target — classic
+    // single file, multi-part (%010d.%010d), or V2 (uuid-named top
+    // file, json or parquet, with add/remove batches in _sidecars).
+    // An UNUSABLE version (a crashed foreign writer's incomplete
+    // multi-part set) is SKIPPED — the table is still reconstructible
+    // from an older checkpoint plus the intact JSON log, and failing
+    // on it would brick a healthy table.
+    def resolveCheckpoint(c: Long): Option[(Seq[String], Option[String])] = {
       val prefix = f"$c%020d.checkpoint"
       val names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(prefix))
@@ -478,37 +481,51 @@ object DeltaLake {
       // any one serves; take the lexicographic last deterministically
       val v2Top = others.filter(n => n.endsWith(".parquet") || n.endsWith(".json"))
         .sorted.lastOption
-      val sidecars = scala.collection.mutable.ArrayBuffer.empty[HPath]
-      val parquetFiles: Seq[String] =
-        if (classic.nonEmpty)
-          classic.toSeq.map(n => new HPath(logDir(root), n).toString)
-        else if (multipart.nonEmpty) {
-          val totals = multipart.map(_.stripSuffix(".parquet").split('.').last.toInt).distinct
-          require(totals.size == 1 && multipart.size == totals.head,
-            s"DeltaLake: $path multi-part checkpoint v$c is incomplete " +
-              s"(${multipart.size} of ${totals.mkString("/")} parts)")
-          multipart.map(n => new HPath(logDir(root), n).toString)
-        } else v2Top match {
-          case Some(n) if n.endsWith(".parquet") =>
-            Seq(new HPath(logDir(root), n).toString)
-          case Some(n) => // v2 JSON top file: action lines, parsed below
-            val in = fs.open(new HPath(logDir(root), n))
-            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-              replayJsonNode(Json.readTree(line), sidecars)
-            }
-            Nil
-          case None => throw new IllegalStateException(
-            s"DeltaLake: $path checkpoint v$c listed but no readable file found")
+      if (classic.nonEmpty)
+        Some((classic.toSeq.map(n => new HPath(logDir(root), n).toString), None))
+      else {
+        // any COMPLETE multi-part group (grouped by its declared part
+        // total) serves; an incomplete group is a crashed writer's
+        val complete = multipart
+          .groupBy(_.stripSuffix(".parquet").split('.').last.toInt)
+          .collectFirst { case (total, parts) if parts.size == total => parts.sorted }
+        complete match {
+          case Some(parts) =>
+            Some((parts.map(n => new HPath(logDir(root), n).toString), None))
+          case None => v2Top match {
+            case Some(n) if n.endsWith(".parquet") =>
+              Some((Seq(new HPath(logDir(root), n).toString), None))
+            case Some(n) => Some((Nil, Some(n)))
+            case None => None
+          }
         }
+      }
+    }
+    val resolved = cpVs.filter(_ <= target).sorted.reverse.iterator
+      .map(c => c -> resolveCheckpoint(c))
+      .collectFirst { case (c, Some(r)) => (c, r) }
+    val cp = resolved.map(_._1)
+    resolved.foreach { case (c, (parquetFiles, v2JsonName)) =>
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      v2JsonName.foreach { n => // v2 JSON top file: action lines
+        val in = fs.open(new HPath(logDir(root), n))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          replayJsonNode(Json.readTree(line), sidecars)
+        }
+      }
       if (parquetFiles.nonEmpty) {
-        val rows = spark.read.parquet(parquetFiles: _*)
+        // mergeSchema: multi-part/v2 files may each carry only a
+        // subset of the action columns — inferring from one part would
+        // silently drop the others' actions
+        val rows = spark.read.option("mergeSchema", "true").parquet(parquetFiles: _*)
         val cols = rows.columns.toSet
         rows.collect().foreach(r => replayRow(r, cols, sidecars))
       }
       if (sidecars.nonEmpty) {
-        val srows = spark.read.parquet(sidecars.map(_.toString).toSeq: _*)
+        val srows = spark.read.option("mergeSchema", "true")
+          .parquet(sidecars.map(_.toString).toSeq: _*)
         val scols = srows.columns.toSet
         val none = scala.collection.mutable.ArrayBuffer.empty[HPath]
         srows.collect().foreach(r => replayRow(r, scols, none))
@@ -1339,6 +1356,20 @@ object DeltaLake {
           val e = expr(f.metadata.getString("delta.generationExpression"))
             .cast(stripType(f.dataType))
           s"GENERATED ${f.name}" -> not(col(f.name) <=> e)
+        } ++
+        // legacy column INVARIANTS (writer version 2): field metadata
+        // delta.invariants = {"expression":{"expression":"<sql>"}} —
+        // declared as a supported writer feature, so it MUST enforce
+        schema.fields.filter(f => f.metadata.contains("delta.invariants") &&
+          rows.columns.contains(f.name)).map { f =>
+          val n = Json.readTree(f.metadata.getString("delta.invariants"))
+          val sql = Option(n.get("expression")).map { en =>
+            if (en.isObject && en.hasNonNull("expression")) en.get("expression").asText
+            else en.asText
+          }.getOrElse(throw new IllegalArgumentException(
+            s"DeltaLake.$op: unparseable delta.invariants on ${f.name}: " +
+              f.metadata.getString("delta.invariants")))
+          s"INVARIANT ${f.name}: $sql" -> not(coalesce(expr(sql), lit(true)))
         }
     if (checks.isEmpty) return
     val viol = rows.filter(checks.map(_._2).reduce(_ || _)).take(1)
@@ -1979,8 +2010,21 @@ object DeltaLake {
     require(tgt.mapMode == cur.mapMode,
       "DeltaLake.restore: restoring across a column-mapping mode change would mix " +
         "naming schemes")
-    tgt.files.foreach(f => require(fs.exists(new HPath(root, f.path)),
-      s"DeltaLake.restore: data file ${f.path} of version $versionAsOf was vacuumed"))
+    tgt.files.foreach { f =>
+      require(fs.exists(new HPath(root, f.path)),
+        s"DeltaLake.restore: data file ${f.path} of version $versionAsOf was vacuumed")
+      // the restored snapshot's DELETION VECTORS must still resolve too
+      // — a dangling descriptor would only surface at read time
+      f.dv.foreach { d =>
+        val blob = d.storageType match {
+          case "p" => Some(new HPath(d.pathOrInlineDv))
+          case "u" => Some(DeltaDv.uuidPath(root, d.pathOrInlineDv))
+          case _ => None // "i" inline travels in the log itself
+        }
+        blob.foreach(b => require(fs.exists(b),
+          s"DeltaLake.restore: deletion vector $b of version $versionAsOf was vacuumed"))
+      }
+    }
     val curByPath = cur.files.map(f => f.path -> f).toMap
     val tgtByPath = tgt.files.map(f => f.path -> f).toMap
     // a same-path file whose dv/stats state changed is remove+add —

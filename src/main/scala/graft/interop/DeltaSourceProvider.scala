@@ -37,10 +37,15 @@ final class DeltaSourceProvider extends RelationProvider
     require(outputMode == OutputMode.Append(),
       s"delta sink: only Append output mode is supported ($outputMode given); " +
         "use foreachBatch + DeltaLake.upsertByKey for update semantics")
+    // NO shared default: two queries silently skipping each other's
+    // batch ids under one appId would be silent data loss. The
+    // checkpoint location (unique per query by construction) is the
+    // natural identity; the full path avoids hash collisions.
     val appId = opt(parameters, "txnAppId")
-      .orElse(opt(parameters, "checkpointLocation")
-        .map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
-      .getOrElse("delta-sink")
+      .orElse(opt(parameters, "checkpointLocation").map("ckpt:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "delta sink: set option(\"txnAppId\", ...) — or pass checkpointLocation " +
+          "as a writer option — so exactly-once batch ids are scoped per query"))
     new org.apache.spark.sql.graft.DeltaSink(path, appId, partitionColumns)
   }
 

@@ -1875,6 +1875,13 @@ object Iceberg {
     require(!partFieldsFromMeta(meta).exists(_.source == from),
       s"Iceberg.renameColumn: $from is a partition source column — renaming it " +
         "would orphan the partition spec")
+    // a NAME-MAPPED table (converted/imported files without parquet
+    // field ids) resolves columns by name — renaming the schema would
+    // silently read the old-named files as NULL
+    require(!Option(meta.get("properties"))
+      .exists(_.hasNonNull("schema.name-mapping.default")),
+      s"Iceberg.renameColumn: $path resolves columns by NAME MAPPING " +
+        "(converted files carry no field ids) — a rename cannot follow them")
     val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
     val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -1934,21 +1941,32 @@ object Iceberg {
       (listPath +: manifests) ++ data
     }.map(p => new java.net.URI(p).getPath).toSet
     val metaDirPath = metaDir(root).toUri.getPath.stripSuffix("/")
+    // subtrees that are NOT Iceberg's to reclaim: its own metadata, and
+    // any co-located foreign metadata layer (a UniForm-style converted
+    // table shares the root with a Delta log whose files no Iceberg
+    // manifest will ever reference)
+    val foreignDirs = Set("_delta_log", "_change_data")
     var removed = 0
-    def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { st =>
+    def walk(dir: HPath, inDotDir: Boolean): Unit = fs.listStatus(dir).foreach { st =>
       val p = st.getPath
-      if (p.toUri.getPath.stripSuffix("/") != metaDirPath) {
+      val name = p.getName
+      val skip = p.toUri.getPath.stripSuffix("/") == metaDirPath ||
+        foreignDirs.contains(name)
+      if (!skip) {
         if (st.isDirectory) {
-          walk(p)
+          walk(p, inDotDir || name.startsWith("."))
           if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
         } else {
           val abs = p.toUri.getPath
-          if (!referenced.contains(abs) && st.getModificationTime < olderThanMs &&
-            fs.delete(p, false)) removed += 1
+          // data-file extensions only — except inside dot-dirs (crashed
+          // staging trees), which are reclaimed whole incl. crc markers
+          val reclaimable = inDotDir || abs.endsWith(".parquet") || abs.endsWith(".avro")
+          if (reclaimable && !referenced.contains(abs) &&
+            st.getModificationTime < olderThanMs && fs.delete(p, false)) removed += 1
         }
       }
     }
-    walk(root)
+    walk(root, inDotDir = false)
     removed
   }
 
@@ -1971,7 +1989,11 @@ object Iceberg {
       val ids = scala.collection.mutable.Set.empty[Long]
       r.properties().forEach(e => ids += e.getValue.get("snapshot-id").asLong)
       ids.toSet
-    }.getOrElse(Set.empty)
+    }.getOrElse(Set.empty) ++
+      // the CURRENT snapshot is always pinned — after a rollback it can
+      // sit outside the newest-by-sequence window, and expiring it
+      // would leave current-snapshot-id dangling
+      Option(meta.get("current-snapshot-id")).filterNot(_.isNull).map(_.asLong).toSet
     val (expired0, kept0) = snaps.splitAt(snaps.size - keepLast)
     val (rescued, expired) = expired0.partition(sn => pinned.contains(sn.get("snapshot-id").asLong))
     val kept = (rescued ++ kept0).sortBy(_.get("sequence-number").asLong)

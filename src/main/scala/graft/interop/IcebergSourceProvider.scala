@@ -30,10 +30,12 @@ final class IcebergSourceProvider extends RelationProvider
     val path = pathOf(parameters)
     require(outputMode == OutputMode.Append(),
       s"iceberg sink: only Append output mode is supported ($outputMode given)")
+    // no shared default appId — see the delta sink's reasoning
     val appId = opt(parameters, "appId")
-      .orElse(opt(parameters, "checkpointLocation")
-        .map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
-      .getOrElse("iceberg-sink")
+      .orElse(opt(parameters, "checkpointLocation").map("ckpt:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "iceberg sink: set option(\"appId\", ...) — or pass checkpointLocation " +
+          "as a writer option — so exactly-once epochs are scoped per query"))
     new org.apache.spark.sql.graft.IcebergSink(path, appId, partitionColumns)
   }
 

@@ -43,6 +43,13 @@ class DeltaStreamSource(
     mapMode: Option[String] = None,
 ) extends Source {
 
+  // same gate as the batch path: with the conf off, an id-mode scan
+  // would silently fall back to (stale) physical-name matching
+  if (mapMode.contains("id"))
+    require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+      s"delta source: $path uses delta.columnMapping.mode=id — set " +
+        "spark.sql.parquet.fieldId.read.enabled=true (at session build) to tail it")
+
   private val physFields: Seq[StructField] =
     if (mapMode.isEmpty) schema.fields.toSeq
     else DeltaLake.physicalFields(rawSchema, mapMode, path)

@@ -55,6 +55,17 @@ class ConvertSpec extends AnyFunSuite with SparkFixture {
       .write.format("iceberg").mode("append").save(path)
     assert(Iceberg.read(spark, path).count() == 4L)
     assert(Iceberg.read(spark, path).filter(col("status") === "O").count() == 2L)
+    // Iceberg MAINTENANCE on the converted table must not destroy the
+    // co-located Delta layer: orphan cleanup sees _delta_log files in
+    // no manifest, but they are not Iceberg's to reclaim
+    Iceberg.removeOrphanFiles(spark, path, System.currentTimeMillis() + 1000L)
+    assert(DeltaLake.read(spark, path).count() == 3L,
+      "orphan cleanup must never eat the co-located Delta log")
+    // renameColumn refuses on a name-mapped table: the converted files
+    // carry no field ids, so a rename could only misread as NULLs
+    val eRn = intercept[IllegalArgumentException](
+      Iceberg.renameColumn(spark, path, "v", "v2"))
+    assert(eRn.getMessage.contains("NAME MAPPING"))
     // deletion-vector debt refuses (the files over-serve deleted rows)
     val p2 = freshDir("conv_d2i_dv")
     DeltaLake.write(spark.range(0, 50).selectExpr("id AS k", "id % 3 AS v"), p2)

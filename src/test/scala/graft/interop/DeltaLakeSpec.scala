@@ -514,14 +514,25 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).count() == 41L)
     assert(DeltaLake.read(spark, path).filter(col("grp") === 2L).count() == 10L,
       "partition pruning must survive the multi-part replay")
-    // an INCOMPLETE multi-part set refuses instead of serving half a table
+    // an INCOMPLETE multi-part set (crashed foreign writer) is SKIPPED,
+    // not fatal: here the JSON below it is vacuumed, so the skip
+    // surfaces as the log-gap error — never half a table
     java.nio.file.Files.move(
       log.resolve(f"${1L}%020d.checkpoint.0000000002.0000000002.parquet"),
       log.resolve("hidden.tmp"))
     val eMulti = intercept[IllegalArgumentException](DeltaLake.snapshot(spark, path))
-    assert(eMulti.getMessage.contains("incomplete"))
+    assert(eMulti.getMessage.contains("gap"))
     java.nio.file.Files.move(log.resolve("hidden.tmp"),
       log.resolve(f"${1L}%020d.checkpoint.0000000002.0000000002.parquet"))
+    // ...and when the JSON log IS intact, an incomplete set at a NEWER
+    // version falls back to the older complete checkpoint + JSON
+    DeltaLake.write(Seq((101L, 9L)).toDF("k", "grp"), path, mode = SaveMode.Append)
+    // content is irrelevant — the incomplete set must never be read
+    java.nio.file.Files.copy(
+      log.resolve(f"${1L}%020d.checkpoint.0000000001.0000000002.parquet"),
+      log.resolve(f"${2L}%020d.checkpoint.0000000001.0000000099.parquet"))
+    assert(DeltaLake.read(spark, path).count() == 42L,
+      "a crashed partial checkpoint must not brick a reconstructible table")
 
     // ---- V2: uuid-named JSON top file + add batches in _sidecars
     val p2 = freshDir("delta_cp_v2")
@@ -651,6 +662,53 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"$old%020d.json"))
     assert(DeltaLake.snapshot(spark, tbl).txns(appId) == replayedBatch + 1,
       "txn watermarks must fold into checkpoints")
+  }
+
+  test("legacy delta.invariants field metadata enforces on write") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val path = freshDir("delta_invariants")
+    DeltaLake.write(Seq((1L, Some(10L))).toDF("k", "amount"), path)
+    // forge the invariant a legacy (writer v2) foreign table carries
+    val snap = DeltaLake.snapshot(spark, path)
+    val withInv = StructType(snap.rawSchema.fields.map {
+      case f if f.name == "amount" => f.copy(metadata = new MetadataBuilder()
+        .putString("delta.invariants",
+          """{"expression":{"expression":"amount < 100"}}""").build())
+      case f => f
+    })
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "inv"); md.put("schemaString", withInv.json)
+    md.putObject("format").put("provider", "parquet")
+    md.putArray("partitionColumns"); md.putObject("configuration")
+    java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      (om.writeValueAsString(meta) + "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((2L, Some(500L))).toDF("k", "amount"), path,
+        mode = SaveMode.Append))
+    assert(e.getMessage.contains("INVARIANT"))
+    DeltaLake.write(Seq((2L, Some(50L))).toDF("k", "amount"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).count() == 2L)
+  }
+
+  test("restore refuses when the target's deletion vectors were vacuumed") {
+    import spark.implicits._
+    val path = freshDir("delta_restore_dv")
+    DeltaLake.write(spark.range(0, 40).selectExpr("id AS k", "id % 3 AS v"), path) // v0
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)                      // v1: DV d1
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 2L)                      // v2: superseding d2
+    // v1's bin is no longer referenced by the CURRENT snapshot — model
+    // a vacuum reclaiming it
+    val v1dv = DeltaLake.snapshot(spark, path, Some(1L)).files.flatMap(_.dv)
+      .map(_.pathOrInlineDv).distinct
+    v1dv.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(p)))
+    val e = intercept[IllegalArgumentException](DeltaLake.restore(spark, path, 1L))
+    assert(e.getMessage.contains("deletion vector"))
+    // restoring to v0 (no DVs) still works
+    DeltaLake.restore(spark, path, 0L)
+    assert(DeltaLake.read(spark, path).count() == 40L)
   }
 
   test("the files inspection table lists the live snapshot's files") {

@@ -758,6 +758,21 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(!Iceberg.snapshots(path).map(_._1).contains(s1))
   }
 
+  test("expireSnapshots never expires the current snapshot after a rollback") {
+    import spark.implicits._
+    val path = freshDir("ice_expire_rb")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    Seq((2L, "b")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    val target = Iceberg.snapshotIdAtSeq(path, 1L).get
+    Iceberg.rollback(spark, path, target)
+    // the rolled-back-to snapshot is NOT the newest by sequence — the
+    // keep-last window alone would expire it and dangle the pointer
+    Iceberg.expireSnapshots(spark, path, keepLast = 1)
+    assert(Iceberg.snapshots(path).map(_._1).contains(target),
+      "the current snapshot must never expire")
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("rollback repoints current-snapshot-id; appends sequence after it") {
     import spark.implicits._
     val path = freshDir("ice_rollback")
