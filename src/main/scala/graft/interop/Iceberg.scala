@@ -923,7 +923,13 @@ object Iceberg {
     * not a column). */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): Long = {
+    toBranch.foreach { b =>
+      require(mode == SaveMode.Append,
+        s"Iceberg.write: branch writes are appends (got $mode)")
+      require(b != "main", "Iceberg.write: 'main' is the current branch — write directly")
+    }
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"Iceberg.write: mode must be Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -1028,10 +1034,20 @@ object Iceberg {
       fs, root, moved, snapshotId, partFieldTriples, fieldIds, df.schema)
 
     // ---- manifest list: prior manifests (append) + the new one
+    // the append BASE: the branch head when writing to a branch (a
+    // new branch forks from the current snapshot), else current
+    val baseId: Option[Long] = prior.flatMap { case (_, m) =>
+      val branchHead = toBranch.flatMap(b =>
+        Option(m.get("refs")).filter(_.isObject).flatMap(r => Option(r.get(b)))
+          .map(_.get("snapshot-id").asLong))
+      branchHead.orElse(
+        if (m.hasNonNull("current-snapshot-id")) Some(m.get("current-snapshot-id").asLong)
+        else None)
+    }
     val priorManifests: Seq[GenericRecord] = prior match {
-      case Some((_, m)) if mode == SaveMode.Append && m.hasNonNull("current-snapshot-id") =>
-        val curId = m.get("current-snapshot-id").asLong
-        val sn = iterator(m.get("snapshots")).find(_.get("snapshot-id").asLong == curId).get
+      case Some((_, m)) if mode == SaveMode.Append && baseId.nonEmpty =>
+        val sn = iterator(m.get("snapshots"))
+          .find(_.get("snapshot-id").asLong == baseId.get).get
         readAvro(fs, new HPath(sn.get("manifest-list").asText))
       case _ => Nil
     }
@@ -1124,7 +1140,21 @@ object Iceberg {
       Option(m.get("refs")).filter(_.isObject).foreach(r =>
         meta.set[JsonNode]("refs", r.deepCopy()): Unit)
     }
-    meta.put("current-snapshot-id", snapshotId)
+    toBranch match {
+      case None => meta.put("current-snapshot-id", snapshotId): Unit
+      case Some(b) =>
+        // a BRANCH write leaves main untouched and repoints (or
+        // creates) the branch ref — the write-audit-publish pattern's
+        // staging step
+        meta.put("current-snapshot-id",
+          prior.map(_._2.get("current-snapshot-id").asLong).getOrElse(snapshotId)): Unit
+        val refsNode =
+          if (meta.hasNonNull("refs") && meta.get("refs").isObject)
+            meta.get("refs").asInstanceOf[ObjectNode]
+          else meta.putObject("refs")
+        val e = refsNode.putObject(b)
+        e.put("snapshot-id", snapshotId); e.put("type", "branch")
+    }
     val snaps = meta.putArray("snapshots")
     // carry prior snapshots (time travel), then the new one
     prior.foreach { case (_, m) =>
@@ -1132,6 +1162,7 @@ object Iceberg {
     }
     val snapNode = snaps.addObject()
     snapNode.put("snapshot-id", snapshotId)
+    baseId.foreach(snapNode.put("parent-snapshot-id", _))
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
     val summary = snapNode.putObject("summary")
@@ -1146,8 +1177,10 @@ object Iceberg {
     prior.foreach { case (_, m) =>
       iterator(m.get("snapshot-log")).foreach(e => slog.add(e))
     }
-    val se = slog.addObject()
-    se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
+    if (toBranch.isEmpty) { // snapshot-log tracks the MAIN lineage only
+      val se = slog.addObject()
+      se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId): Unit
+    }
     meta.putArray("metadata-log")
 
     val out = try fs.create(metaFile(root, newMetaV), false) catch {
@@ -1723,7 +1756,14 @@ object Iceberg {
     val (_, meta) = readMetadata(fs, root)
     val schema = schemaFromMeta(meta)
     val partFields = partFieldsFromMeta(meta)
+    // the tail follows the MAIN lineage only — branch (WAP staging)
+    // snapshots advance the shared sequence counter but must not leak
+    // into main's stream until fastForward publishes them (which adds
+    // them to the snapshot-log, the main-lineage record)
+    val mainIds: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
     val snaps = iterator(meta.get("snapshots")).toSeq
+      .filter(s => mainIds.contains(s.get("snapshot-id").asLong))
       .filter(s => s.get("sequence-number").asLong > fromSeq &&
         s.get("sequence-number").asLong <= toSeq)
       .sortBy(_.get("sequence-number").asLong)
@@ -1839,6 +1879,47 @@ object Iceberg {
     commitMetadata(fs, root, metaV + 1, m, path)
   }
 
+  /** FAST-FORWARD main to a branch head — the PUBLISH step of
+    * write-audit-publish: `current-snapshot-id` repoints at the
+    * branch's snapshot (pure metadata) and the snapshot joins the
+    * snapshot-log, making it visible to readers AND to streaming
+    * tails of main (which follow the snapshot-log lineage). The
+    * branch ref stays for further staging. */
+  def fastForward(spark: SparkSession, path: String, branch: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val head = refs(path).get(branch) match {
+      case Some((id, "branch")) => id
+      case Some((_, t)) => throw new IllegalArgumentException(
+        s"Iceberg.fastForward: ref $branch is a $t, not a branch")
+      case None => throw new IllegalArgumentException(
+        s"Iceberg.fastForward: no branch $branch on $path")
+    }
+    val now = System.currentTimeMillis()
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    m.put("current-snapshot-id", head)
+    m.put("last-updated-ms", now)
+    // the WHOLE branch lineage joins the snapshot-log (walked up the
+    // parent chain to the first already-published snapshot), oldest
+    // first — a checkpointed tail of main must deliver EVERY staged
+    // commit, not just the head, or intermediate batches vanish
+    val slog = m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+    val logged: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
+    val parentOf: Map[Long, Option[Long]] = iterator(meta.get("snapshots")).map(sn =>
+      sn.get("snapshot-id").asLong ->
+        Option(sn.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong)).toMap
+    val chain = Iterator.iterate(Option(head))(_.flatMap(parentOf.getOrElse(_, None)))
+      .takeWhile(id => id.exists(!logged.contains(_)))
+      .flatten.toSeq.reverse
+    chain.foreach { id =>
+      val e = slog.addObject()
+      e.put("timestamp-ms", now); e.put("snapshot-id", id): Unit
+    }
+    commitMetadata(fs, root, metaV + 1, m, path)
+    head
+  }
+
   /** The highest committed streaming epoch for `appId`, scanned from
     * the RETAINED snapshots' summary properties — the exactly-once
     * watermark the streaming sink consults before committing a batch
@@ -1904,10 +1985,31 @@ object Iceberg {
   def snapshotIdAtSeq(path: String, seq: Long): Option[Long] = {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
+    // main lineage only — a streaming bootstrap must not pin a branch
+    // (WAP staging) snapshot
+    val mainIds: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
     iterator(meta.get("snapshots")).toSeq
+      .filter(sn => mainIds.contains(sn.get("snapshot-id").asLong))
       .filter(_.get("sequence-number").asLong <= seq)
       .sortBy(_.get("sequence-number").asLong)
       .lastOption.map(_.get("snapshot-id").asLong)
+  }
+
+  /** The MAIN head's sequence number (0 for an empty table) — what a
+    * streaming tail uses as its offset. Distinct from
+    * [[currentSequence]]: branch (WAP staging) writes advance the
+    * table's shared sequence counter WITHOUT being on main, and an
+    * offset that jumped past them would silently skip their rows when
+    * fastForward later publishes them. */
+  def currentMainSequence(path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    if (metaVersions(fs, root).isEmpty) return 0L
+    val (_, meta) = readMetadata(fs, root)
+    if (!meta.hasNonNull("current-snapshot-id")) return 0L
+    val cur = meta.get("current-snapshot-id").asLong
+    iterator(meta.get("snapshots")).find(_.get("snapshot-id").asLong == cur)
+      .map(_.get("sequence-number").asLong).getOrElse(0L)
   }
 
   /** Current highest sequence number (0 for an empty table). */

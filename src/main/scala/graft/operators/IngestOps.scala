@@ -2406,6 +2406,62 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S48: WRITE-AUDIT-PUBLISH on Iceberg — the staging workflow the
+    * refs system exists for: odd-key orders stage onto a BRANCH
+    * (main's readers keep seeing only the even keys — require'd
+    * in-entry), the "audit" verifies the staged state on the branch
+    * read, and [[graft.interop.Iceberg.fastForward]] publishes the
+    * branch head as ONE pure-metadata repoint. At 100 TB the staging
+    * isolation costs nothing: branch commits are ordinary appends, and
+    * publish moves zero bytes. Oracle: the published table must
+    * aggregate exactly like `orders`. */
+  val s48IcebergWap = QueryDef(
+    "s48_iceberg_wap",
+    (s, d) => {
+      val path = tmp("s48_wap", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      I.write(orders.filter(col("o_orderkey") % 2 === 0), path)
+      val mainBefore = I.read(s, path).count()
+      // STAGE: odd keys onto the branch — main is isolated
+      I.write(orders.filter(col("o_orderkey") % 2 === 1), path,
+        mode = SaveMode.Append, toBranch = Some("audit"))
+      require(I.read(s, path).count() == mainBefore,
+        "s48: staged rows must be invisible on main")
+      // AUDIT: the branch serves base + staged
+      val branchCount = s.read.format("iceberg").option("branch", "audit")
+        .load(path).count()
+      require(branchCount == orders.count(), "s48: branch must serve the full staged state")
+      // PUBLISH: one metadata repoint, zero data movement
+      def nonMetaFiles(): Long = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.count(p => !p.toString.contains("/metadata/"))
+        } finally st.close()
+      }
+      val before = nonMetaFiles()
+      I.fastForward(s, path, "audit")
+      require(I.read(s, path).count() == branchCount, "s48: publish must land on main")
+      require(nonMetaFiles() == before,
+        "s48: publish must be metadata-only — zero data files written")
+      I.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2415,5 +2471,5 @@ object IngestOps extends QueryModule {
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
-    s45InteropRestore, s46ColumnMapping, s47InteropConvert)
+    s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap)
 }

@@ -28,7 +28,10 @@ class IcebergStreamSource(
 ) extends Source {
 
   override def getOffset: Option[OffsetV1] = {
-    val seq = Iceberg.currentSequence(path)
+    // the MAIN head's sequence — the global counter also advances on
+    // branch (WAP) writes, and jumping past an unpublished staged
+    // commit would skip its rows at fastForward time
+    val seq = Iceberg.currentMainSequence(path)
     if (seq == 0L) None else Some(LongOffset(seq))
   }
 

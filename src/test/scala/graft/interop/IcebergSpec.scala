@@ -758,6 +758,46 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(!Iceberg.snapshots(path).map(_._1).contains(s1))
   }
 
+  test("branch writes + fastForward implement write-audit-publish") {
+    import spark.implicits._
+    val path = freshDir("ice_wap")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("iceberg").save(path)
+    // STAGE: write to a branch — main is untouched
+    Iceberg.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append,
+      toBranch = Some("wap"))
+    assert(Iceberg.read(spark, path).count() == 2L, "main must not see staged rows")
+    assert(spark.read.format("iceberg").option("branch", "wap").load(path)
+      .count() == 3L, "the branch sees main's base plus the staged rows")
+    assert(Iceberg.refs(path)("wap")._2 == "branch")
+    // AUDIT: a streaming tail of main must not deliver the staged commit
+    val cp = freshDir("ice_wap_cp"); val sinkDir = freshDir("ice_wap_sink")
+    def drain(): Long = {
+      val q = spark.readStream.format("iceberg").load(path)
+        .writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sinkDir).count()
+    }
+    assert(drain() == 2L, "the tail must follow main's lineage only")
+    // a second staged batch stacks on the branch head
+    Iceberg.write(Seq((4L, "d")).toDF("k", "v"), path, mode = SaveMode.Append,
+      toBranch = Some("wap"))
+    assert(spark.read.format("iceberg").option("branch", "wap").load(path).count() == 4L)
+    assert(Iceberg.read(spark, path).count() == 2L)
+    // PUBLISH: fastForward repoints main at the branch head
+    Iceberg.fastForward(spark, path, "wap")
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // ...and the resumed tail delivers EVERY published commit,
+    // including the intermediate staged batch
+    assert(drain() == 4L, "publish must flow to the checkpointed tail in full")
+    // refusals: overwrite to a branch; fast-forward of a tag
+    intercept[IllegalArgumentException](Iceberg.write(Seq((9L, "z")).toDF("k", "v"),
+      path, mode = SaveMode.Overwrite, toBranch = Some("wap")))
+    Iceberg.createRef(spark, path, "t1", Iceberg.snapshots(path).head._1, "tag")
+    intercept[IllegalArgumentException](Iceberg.fastForward(spark, path, "t1"))
+  }
+
   test("expireSnapshots never expires the current snapshot after a rollback") {
     import spark.implicits._
     val path = freshDir("ice_expire_rb")
