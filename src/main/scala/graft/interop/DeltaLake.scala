@@ -488,7 +488,11 @@ object DeltaLake {
         // total) serves; an incomplete group is a crashed writer's
         val complete = multipart
           .groupBy(_.stripSuffix(".parquet").split('.').last.toInt)
-          .collectFirst { case (total, parts) if parts.size == total => parts.sorted }
+          .collectFirst { case (total, parts) if parts.size == total &&
+            // the indices must be exactly 1..total — a stray
+            // out-of-range part must not mask a missing one
+            parts.map(_.stripSuffix(".parquet").split('.').dropRight(1).last.toInt)
+              .sorted == (1 to total) => parts.sorted }
         complete match {
           case Some(parts) =>
             Some((parts.map(n => new HPath(logDir(root), n).toString), None))
@@ -1286,6 +1290,42 @@ object DeltaLake {
     v
   }
 
+  /** Every table-relative data-file path the log has EVER recorded
+    * (adds and removes, JSON commits and all checkpoint shapes) — a
+    * superset of what any retained snapshot references. What a
+    * co-located foreign layer's orphan cleanup must treat as Delta's
+    * own ([[graft.interop.Iceberg.removeOrphanFiles]]). */
+  private[interop] def allLoggedPaths(spark: SparkSession, path: String): Set[String] = {
+    val (fs, root) = Writers.fsFor(path)
+    val out = scala.collection.mutable.Set.empty[String]
+    val (jsonVs, cpVs) = listLog(fs, root)
+    jsonVs.foreach { v =>
+      val in = fs.open(jsonFile(root, v))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val n = Json.readTree(line)
+        Option(n.get("add")).foreach(a => out += decodePath(a.get("path").asText))
+        Option(n.get("remove")).foreach(r => out += decodePath(r.get("path").asText))
+      }
+    }
+    cpVs.foreach { c =>
+      val names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(f"$c%020d.checkpoint") && n.endsWith(".parquet"))
+      if (names.nonEmpty) {
+        val rows = spark.read.option("mergeSchema", "true")
+          .parquet(names.map(n => new HPath(logDir(root), n).toString): _*)
+        val cols = rows.columns.toSet
+        rows.collect().foreach { r =>
+          if (cols("add") && r.getAs[Row]("add") != null)
+            out += decodePath(r.getAs[Row]("add").getAs[String]("path"))
+          if (cols("remove") && r.getAs[Row]("remove") != null)
+            out += decodePath(r.getAs[Row]("remove").getAs[String]("path"))
+        }
+      }
+    }
+    out.toSet
+  }
+
   /** Publish DELTA METADATA over an EXISTING file set without touching
     * a byte of data — the conversion seam [[Convert]] uses. One v0
     * commit: protocol 1/2, metaData, one `add` per file (paths
@@ -1369,7 +1409,9 @@ object DeltaLake {
           }.getOrElse(throw new IllegalArgumentException(
             s"DeltaLake.$op: unparseable delta.invariants on ${f.name}: " +
               f.metadata.getString("delta.invariants")))
-          s"INVARIANT ${f.name}: $sql" -> not(coalesce(expr(sql), lit(true)))
+          // unlike CHECK, the reference writer treats a NULL invariant
+          // result as a violation — coalesce to false, not true
+          s"INVARIANT ${f.name}: $sql" -> not(coalesce(expr(sql), lit(false)))
         }
     if (checks.isEmpty) return
     val viol = rows.filter(checks.map(_._2).reduce(_ || _)).take(1)

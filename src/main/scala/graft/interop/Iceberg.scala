@@ -929,6 +929,13 @@ object Iceberg {
       require(mode == SaveMode.Append,
         s"Iceberg.write: branch writes are appends (got $mode)")
       require(b != "main", "Iceberg.write: 'main' is the current branch — write directly")
+      require(isIcebergTable(path),
+        s"Iceberg.write: $path does not exist — a branch must fork from an " +
+          "existing table (create it on main first)")
+      refs(path).get(b).foreach { case (_, t) =>
+        require(t == "branch",
+          s"Iceberg.write: ref $b is a $t — writing would clobber the pinned anchor")
+      }
     }
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"Iceberg.write: mode must be Overwrite or Append, got $mode")
@@ -1895,6 +1902,19 @@ object Iceberg {
       case None => throw new IllegalArgumentException(
         s"Iceberg.fastForward: no branch $branch on $path")
     }
+    // a FAST-forward only: main's current head must be an ancestor of
+    // the branch head, or the repoint would silently discard main's
+    // newer commits (the spec tool refuses exactly this)
+    val parentOf0: Map[Long, Option[Long]] = iterator(meta.get("snapshots")).map(sn =>
+      sn.get("snapshot-id").asLong ->
+        Option(sn.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong)).toMap
+    Option(meta.get("current-snapshot-id")).filterNot(_.isNull).map(_.asLong).foreach { cur =>
+      val ancestors = Iterator.iterate(Option(head))(_.flatMap(parentOf0.getOrElse(_, None)))
+        .takeWhile(_.nonEmpty).flatten.take(10000).toSet
+      require(ancestors.contains(cur),
+        s"Iceberg.fastForward: main's head $cur is not an ancestor of branch " +
+          s"$branch's head $head — not a fast-forward (merge or rewrite the branch)")
+    }
     val now = System.currentTimeMillis()
     val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     m.put("current-snapshot-id", head)
@@ -2006,10 +2026,16 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     if (metaVersions(fs, root).isEmpty) return 0L
     val (_, meta) = readMetadata(fs, root)
-    if (!meta.hasNonNull("current-snapshot-id")) return 0L
-    val cur = meta.get("current-snapshot-id").asLong
-    iterator(meta.get("snapshots")).find(_.get("snapshot-id").asLong == cur)
-      .map(_.get("sequence-number").asLong).getOrElse(0L)
+    // the MAX sequence across snapshot-log (main-lineage) snapshots —
+    // NOT the current head's sequence: a rollback repoints the head
+    // backwards but keeps the log, so this stays MONOTONIC (a
+    // regressing offset would re-deliver rolled-back rows), while
+    // branch (WAP) sequences stay excluded until fastForward logs them
+    val mainIds: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
+    iterator(meta.get("snapshots")).toSeq
+      .filter(sn => mainIds.contains(sn.get("snapshot-id").asLong))
+      .map(_.get("sequence-number").asLong).maxOption.getOrElse(0L)
   }
 
   /** Current highest sequence number (0 for an empty table). */
@@ -2033,7 +2059,7 @@ object Iceberg {
   def removeOrphanFiles(spark: SparkSession, path: String, olderThanMs: Long): Int = {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
-    val referenced: Set[String] = iterator(meta.get("snapshots")).toSeq.flatMap { sn =>
+    val referenced0: Set[String] = iterator(meta.get("snapshots")).toSeq.flatMap { sn =>
       val listPath = sn.get("manifest-list").asText
       val manifests = readAvro(fs, new HPath(listPath)).map(_.get("manifest_path").toString)
       // every entry's path counts, deleted-status included — those
@@ -2042,6 +2068,13 @@ object Iceberg {
         .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
       (listPath +: manifests) ++ data
     }.map(p => new java.net.URI(p).getPath).toSet
+    // a co-located Delta layer (converted table) references files of
+    // its OWN under the shared root — every path its log has ever
+    // logged stays protected here; Delta's vacuum owns their lifecycle
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val referenced: Set[String] =
+      if (!fs.exists(new HPath(root, "_delta_log"))) referenced0
+      else referenced0 ++ DeltaLake.allLoggedPaths(spark, path).map(rootPrefix + _)
     val metaDirPath = metaDir(root).toUri.getPath.stripSuffix("/")
     // subtrees that are NOT Iceberg's to reclaim: its own metadata, and
     // any co-located foreign metadata layer (a UniForm-style converted

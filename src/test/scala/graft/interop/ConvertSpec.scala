@@ -56,11 +56,14 @@ class ConvertSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 4L)
     assert(Iceberg.read(spark, path).filter(col("status") === "O").count() == 2L)
     // Iceberg MAINTENANCE on the converted table must not destroy the
-    // co-located Delta layer: orphan cleanup sees _delta_log files in
-    // no manifest, but they are not Iceberg's to reclaim
+    // co-located Delta layer: neither its log files NOR data files
+    // only the Delta log references (a Delta-side append after the
+    // conversion, invisible to every Iceberg manifest)
+    DeltaLake.write(Seq((7L, "g", "F")).toDF("k", "v", "status"), path,
+      mode = SaveMode.Append)
     Iceberg.removeOrphanFiles(spark, path, System.currentTimeMillis() + 1000L)
-    assert(DeltaLake.read(spark, path).count() == 3L,
-      "orphan cleanup must never eat the co-located Delta log")
+    assert(DeltaLake.read(spark, path).count() == 4L,
+      "orphan cleanup must never eat the co-located Delta layer's files")
     // renameColumn refuses on a name-mapped table: the converted files
     // carry no field ids, so a rename could only misread as NULLs
     val eRn = intercept[IllegalArgumentException](

@@ -533,6 +533,13 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       log.resolve(f"${2L}%020d.checkpoint.0000000001.0000000099.parquet"))
     assert(DeltaLake.read(spark, path).count() == 42L,
       "a crashed partial checkpoint must not brick a reconstructible table")
+    // a stray OUT-OF-RANGE part (3 of 2) must not make a missing-part
+    // set look complete: indices must be exactly 1..total
+    java.nio.file.Files.copy(
+      log.resolve(f"${1L}%020d.checkpoint.0000000001.0000000002.parquet"),
+      log.resolve(f"${2L}%020d.checkpoint.0000000003.0000000099.parquet"))
+    assert(DeltaLake.read(spark, path).count() == 42L,
+      "part indices outside 1..total must not count toward completeness")
 
     // ---- V2: uuid-named JSON top file + add batches in _sidecars
     val p2 = freshDir("delta_cp_v2")
@@ -691,6 +698,12 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("INVARIANT"))
     DeltaLake.write(Seq((2L, Some(50L))).toDF("k", "amount"), path, mode = SaveMode.Append)
     assert(DeltaLake.read(spark, path).count() == 2L)
+    // unlike CHECK, a NULL invariant result is a VIOLATION (the
+    // reference writer's legacy semantics)
+    val eNull = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((3L, Option.empty[Long])).toDF("k", "amount"), path,
+        mode = SaveMode.Append))
+    assert(eNull.getMessage.contains("INVARIANT"))
   }
 
   test("restore refuses when the target's deletion vectors were vacuumed") {

@@ -798,6 +798,53 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Iceberg.fastForward(spark, path, "t1"))
   }
 
+  test("fastForward refuses when main advanced past the fork; branch forks are guarded") {
+    import spark.implicits._
+    val path = freshDir("ice_ff_guard")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    Iceberg.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Append,
+      toBranch = Some("wap"))
+    // main advances INDEPENDENTLY after the fork
+    Seq((3L, "c")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    val e = intercept[IllegalArgumentException](Iceberg.fastForward(spark, path, "wap"))
+    assert(e.getMessage.contains("not a fast-forward"))
+    assert(Iceberg.read(spark, path).count() == 2L, "main must keep its own commits")
+    // a branch write must not clobber a TAG of the same name
+    Iceberg.createRef(spark, path, "pin", Iceberg.snapshots(path).head._1, "tag")
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.write(Seq((9L, "z")).toDF("k", "v"), path, mode = SaveMode.Append,
+        toBranch = Some("pin")))
+    assert(e2.getMessage.contains("clobber"))
+    // a branch write on a NONEXISTENT table refuses (nothing to fork)
+    val e3 = intercept[IllegalArgumentException](
+      Iceberg.write(Seq((1L, "a")).toDF("k", "v"), freshDir("ice_ff_empty"),
+        mode = SaveMode.Append, toBranch = Some("wap")))
+    assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("streaming offsets stay monotonic across a rollback: no re-delivery") {
+    import spark.implicits._
+    val path = freshDir("ice_rb_tail")
+    val cp = freshDir("ice_rb_tail_cp"); val sink = freshDir("ice_rb_tail_sink")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)          // seq 1
+    Seq((2L, "b")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    def drain(): Long = {
+      val q = spark.readStream.format("iceberg").load(path)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sink).count()
+    }
+    assert(drain() == 2L)
+    Iceberg.rollback(spark, path, Iceberg.snapshotIdAtSeq(path, 1L).get)
+    // the offset must NOT regress: draining after the rollback
+    // re-delivers nothing
+    assert(drain() == 2L, "a rolled-back table must not re-deliver old rows")
+    // the next append delivers ONLY itself
+    Seq((4L, "d")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    assert(drain() == 3L, "exactly the new append flows after a rollback")
+  }
+
   test("expireSnapshots never expires the current snapshot after a rollback") {
     import spark.implicits._
     val path = freshDir("ice_expire_rb")
