@@ -77,6 +77,31 @@ object Convert {
     Iceberg.publishConverted(spark, path, snap.schema, snap.partitionColumns, files)
   }
 
+  /** Re-SYNC a stale Iceberg layer from the Delta state — the
+    * conversion is one-shot, so Delta-side writes leave the Iceberg
+    * metadata at the conversion-time snapshot; this DROPS the Iceberg
+    * metadata (its snapshot history with it — Delta is the source of
+    * truth here) and publishes it afresh. O(files) metadata, no data
+    * movement. */
+  def resyncIceberg(spark: SparkSession, path: String): Long = {
+    require(DeltaLake.isDeltaTable(path),
+      s"Convert.resyncIceberg: $path has no Delta log to sync from")
+    val (fs, root) = Writers.fsFor(path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "metadata"), true): Unit
+    deltaToIceberg(spark, path)
+  }
+
+  /** Re-SYNC a stale Delta layer from the Iceberg state (drops the
+    * Delta log and its history — Iceberg is the source of truth
+    * here). */
+  def resyncDelta(spark: SparkSession, path: String): Long = {
+    require(Iceberg.isIcebergTable(path),
+      s"Convert.resyncDelta: $path has no Iceberg metadata to sync from")
+    val (fs, root) = Writers.fsFor(path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_delta_log"), true): Unit
+    icebergToDelta(spark, path)
+  }
+
   /** Publish Delta metadata over an Iceberg table's current snapshot.
     * Returns the Delta version (0). */
   def icebergToDelta(spark: SparkSession, path: String): Long = {

@@ -1781,9 +1781,16 @@ object DeltaLake {
     * unmatched updates append. Untouched files stay live by reference:
     * O(touched files + updates), never O(table). */
   def upsertByKey(spark: SparkSession, path: String,
-      updates: DataFrame, key: String): Long = {
+      updates: DataFrame, key: String,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val snap = snapshot(spark, path)
+    // idempotent replay guard — a foreachBatch MERGE replayed after a
+    // crash between the commit and the checkpoint advance skips here,
+    // the same `txn` contract as the streaming sink
+    txn.foreach { case (appId, ver) =>
+      if (snap.txns.get(appId).exists(_ >= ver)) return snap.version
+    }
     require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
     require(cleanJson(snap.schema) == cleanJson(updates.schema),
       "DeltaLake.upsertByKey: update schema differs from the table schema")
@@ -1819,7 +1826,7 @@ object DeltaLake {
         Some(pre.unionByName(post).unionByName(ins))
       }
     commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE",
-      cdcRows = cdc)
+      cdcRows = cdc, txn = txn)
   }
 
   private def relOf(path: String, raw: String, op: String): String = {
@@ -1836,7 +1843,8 @@ object DeltaLake {
     * e.g. a delete that empties every touched file). */
   private def commitRewrite(spark: SparkSession, path: String, snap: Snapshot,
       removedRel: Seq[String], newData: DataFrame, operation: String,
-      dataChange: Boolean = true, cdcRows: Option[DataFrame] = None): Long = {
+      dataChange: Boolean = true, cdcRows: Option[DataFrame] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     // maintenance rewrites (dataChange=false, e.g. OPTIMIZE) are legal
@@ -1866,6 +1874,12 @@ object DeltaLake {
     }
     adds.foreach(a => lines += addLine(a, dataChange))
     cdcRows.foreach(rows => lines ++= stageCdc(spark, root, snap, rows, now))
+    txn.foreach { case (appId, ver) =>
+      val o = Json.createObjectNode()
+      val t = o.putObject("txn")
+      t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
+      lines += Json.writeValueAsString(o)
+    }
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)

@@ -557,6 +557,21 @@ object Iceberg {
       "sequence_number")
   }
 
+  /** The `partitions` metadata table: per-partition file count, row
+    * count, and bytes of the current snapshot — the ops surface for
+    * spotting skewed or fragmented partitions before they hurt. */
+  def partitions(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, path)
+    s.files.groupBy(f => f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (part, fs2) =>
+        (part, fs2.size.toLong, fs2.map(_.recordCount).sum, fs2.map(_.sizeInBytes).sum)
+      }
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {

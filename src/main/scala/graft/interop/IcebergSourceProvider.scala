@@ -85,6 +85,8 @@ final class IcebergSourceProvider extends RelationProvider
       return inspection(Iceberg.history(sqlContext.sparkSession, path))
     if (opt(parameters, "files").exists(_.toBoolean))
       return inspection(Iceberg.files(sqlContext.sparkSession, path))
+    if (opt(parameters, "partitions").exists(_.toBoolean))
+      return inspection(Iceberg.partitions(sqlContext.sparkSession, path))
     val snapshotId = opt(parameters, "snapshotId").map(_.toLong)
       .orElse(opt(parameters, "tag").orElse(opt(parameters, "branch")).map { n =>
         Iceberg.refs(path).getOrElse(n, throw new IllegalArgumentException(

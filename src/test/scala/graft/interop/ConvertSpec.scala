@@ -77,6 +77,32 @@ class ConvertSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("resync rebuilds a stale layer from the current native state") {
+    import spark.implicits._
+    val path = freshDir("conv_resync")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Convert.deltaToIceberg(spark, path)
+    // delta-side writes leave the Iceberg layer stale
+    DeltaLake.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).count() == 2L, "stale by design until resync")
+    val before = dataFiles(path)
+    Convert.resyncIceberg(spark, path)
+    assert(dataFiles(path) == before, "resync must be metadata-only")
+    assert(Iceberg.read(spark, path).count() == 3L)
+    assert(DeltaLake.read(spark, path).count() == 3L)
+  }
+
+  test("the partitions inspection table summarizes the current layout") {
+    import spark.implicits._
+    val path = freshDir("ice_partitions")
+    Seq((1L, "F"), (2L, "F"), (3L, "O")).toDF("k", "status")
+      .repartition(2).write.format("iceberg").partitionBy("status").save(path)
+    val parts = spark.read.format("iceberg").option("partitions", "true").load(path)
+      .orderBy("partition").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("status=F", "status=O"))
+    assert(parts.map(_.getLong(2)).sum == 3L, "record counts must sum to the table")
+  }
+
   test("icebergToDelta publishes a v0 log over the same files; both stacks read") {
     import spark.implicits._
     val path = freshDir("conv_i2d")

@@ -724,6 +724,29 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).count() == 40L)
   }
 
+  test("upsertByKey with a txn id is idempotent under batch replay") {
+    import spark.implicits._
+    val path = freshDir("delta_merge_txn")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val v1 = DeltaLake.upsertByKey(spark, path,
+      Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "k", txn = Some("job" -> 7L))
+    assert(DeltaLake.read(spark, path).count() == 3L)
+    // the REPLAY of the same batch id (crash between commit and
+    // checkpoint advance) is a no-op — not a double merge
+    assert(DeltaLake.upsertByKey(spark, path,
+      Seq((2L, "WRONG"), (9L, "dup")).toDF("k", "v"), "k", txn = Some("job" -> 7L)) == v1)
+    assert(DeltaLake.read(spark, path).count() == 3L)
+    assert(DeltaLake.read(spark, path).filter(col("v") === "B2").count() == 1L)
+    // the next batch id lands
+    DeltaLake.upsertByKey(spark, path, Seq((4L, "d")).toDF("k", "v"), "k",
+      txn = Some("job" -> 8L))
+    assert(DeltaLake.read(spark, path).count() == 4L)
+    // independent app ids do not interfere
+    DeltaLake.upsertByKey(spark, path, Seq((5L, "e")).toDF("k", "v"), "k",
+      txn = Some("other" -> 0L))
+    assert(DeltaLake.read(spark, path).count() == 5L)
+  }
+
   test("the files inspection table lists the live snapshot's files") {
     import spark.implicits._
     val path = freshDir("delta_files_table")
