@@ -522,10 +522,16 @@ object Iceberg {
       .map(s => (s.get("snapshot-id").asLong, s.get("timestamp-ms").asLong)).toSeq
   }
 
-  /** The newest snapshot committed at or before `tsMs` — Iceberg's
-    * `as-of-timestamp` resolution over the snapshot log. */
+  /** The newest MAIN-lineage snapshot at or before `tsMs` — Iceberg's
+    * `as-of-timestamp` resolution, which the spec defines over the
+    * snapshot-log (so a branch's staged snapshots are never picked by
+    * timestamp travel on main). */
   def snapshotAsOf(path: String, tsMs: Long): Long = {
-    val cands = snapshots(path).filter(_._2 <= tsMs)
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val cands = iterator(meta.get("snapshot-log")).toSeq
+      .map(e => (e.get("snapshot-id").asLong, e.get("timestamp-ms").asLong))
+      .filter(_._2 <= tsMs)
     require(cands.nonEmpty, s"Iceberg: no snapshot of $path at or before $tsMs")
     cands.maxBy(_._2)._1
   }

@@ -784,6 +784,11 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       toBranch = Some("wap"))
     assert(spark.read.format("iceberg").option("branch", "wap").load(path).count() == 4L)
     assert(Iceberg.read(spark, path).count() == 2L)
+    // timestamp travel resolves over the MAIN lineage — never a
+    // staged snapshot, even though the staged ones are newer
+    val asOf = Iceberg.snapshotAsOf(path, System.currentTimeMillis() + 60000L)
+    assert(Iceberg.read(spark, path, Some(asOf)).count() == 2L,
+      "as-of-timestamp must not resolve a staged branch snapshot")
     // PUBLISH: fastForward repoints main at the branch head
     Iceberg.fastForward(spark, path, "wap")
     assert(Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
