@@ -86,6 +86,12 @@ object Convert {
   def resyncIceberg(spark: SparkSession, path: String): Long = {
     require(DeltaLake.isDeltaTable(path),
       s"Convert.resyncIceberg: $path has no Delta log to sync from")
+    // validate the conversion preconditions BEFORE dropping the stale
+    // layer — a refusal must leave the (stale but working) layer alone
+    val snap = DeltaLake.snapshot(spark, path)
+    require(!snap.hasDeletionVectors && snap.mapMode.isEmpty,
+      s"Convert.resyncIceberg: $path is not convertible in its current state " +
+        "(deletion vectors / column mapping) — the stale Iceberg layer is untouched")
     val (fs, root) = Writers.fsFor(path)
     fs.delete(new org.apache.hadoop.fs.Path(root, "metadata"), true): Unit
     deltaToIceberg(spark, path)
@@ -97,6 +103,11 @@ object Convert {
   def resyncDelta(spark: SparkSession, path: String): Long = {
     require(Iceberg.isIcebergTable(path),
       s"Convert.resyncDelta: $path has no Iceberg metadata to sync from")
+    // same precondition-first ordering as resyncIceberg
+    val s = Iceberg.snapshot(spark, path)
+    require(!s.hasDeleteDebt && s.partFields.forall(_.isIdentity),
+      s"Convert.resyncDelta: $path is not convertible in its current state " +
+        "(delete debt / transform layout) — the stale Delta layer is untouched")
     val (fs, root) = Writers.fsFor(path)
     fs.delete(new org.apache.hadoop.fs.Path(root, "_delta_log"), true): Unit
     icebergToDelta(spark, path)
