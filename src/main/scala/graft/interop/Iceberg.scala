@@ -464,7 +464,16 @@ object Iceberg {
     val v = vs.max
     val in = fs.open(metaFile(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    (v, Json.readTree(text))
+    val meta = Json.readTree(text)
+    // this from-spec reader implements the v2 metadata shape (schemas
+    // list, sequence numbers, manifest lists). A v1 table's different
+    // field layout (top-level schema, inline manifests) would misread
+    // or crash mid-replay — refuse at the door instead
+    val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(0)
+    require(fv == 2,
+      s"Iceberg: $root declares format-version $fv — this from-spec reader " +
+        "implements version 2 (v1's metadata layout is not supported)")
+    (v, meta)
   }
 
 

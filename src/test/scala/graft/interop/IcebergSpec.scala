@@ -75,6 +75,19 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path, snapshotId = Some(s2)).count() == 3L)
   }
 
+  test("a format-version 1 table refuses at the door instead of misreading") {
+    import spark.implicits._
+    val path = freshDir("ice_v1_gate")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    val mf = Paths.get(path, "metadata", "v00001.metadata.json")
+    Files.deleteIfExists(Paths.get(path, "metadata", ".v00001.metadata.json.crc"))
+    val doctored = new String(Files.readAllBytes(mf), "UTF-8")
+      .replace("\"format-version\" : 2", "\"format-version\" : 1")
+    Files.write(mf, doctored.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, path).count())
+    assert(e.getMessage.contains("format-version 1"))
+  }
+
   test("unsupported partition transforms and foreign snapshots fail loudly") {
     import spark.implicits._
     val path = freshDir("ice_gate")
