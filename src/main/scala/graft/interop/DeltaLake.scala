@@ -615,6 +615,28 @@ object DeltaLake {
     }.toDF("path", "partition", "size", "modification_time", "stats", "dv_cardinality")
   }
 
+  /** The `partitions` inspection table: per-partition file count, row
+    * count (from recorded stats; -1 when a foreign writer omitted
+    * them), and bytes of the live snapshot. */
+  def partitions(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, path)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    s.files.groupBy(f => f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (part, fs2) =>
+        val rows = fs2.map(_.stats.flatMap { st =>
+          val n = om.readTree(st)
+          if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
+        })
+        (part, fs2.size.toLong,
+          if (rows.forall(_.nonEmpty)) rows.flatten.sum else -1L,
+          fs2.map(_.size).sum)
+      }
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
   /** DESCRIBE HISTORY surface: one row per retained commit. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

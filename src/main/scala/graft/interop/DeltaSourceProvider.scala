@@ -124,6 +124,8 @@ final class DeltaSourceProvider extends RelationProvider
       return inspection(DeltaLake.history(sqlContext.sparkSession, path))
     if (opt(parameters, "files").exists(_.toBoolean))
       return inspection(DeltaLake.files(sqlContext.sparkSession, path))
+    if (opt(parameters, "partitions").exists(_.toBoolean))
+      return inspection(DeltaLake.partitions(sqlContext.sparkSession, path))
     if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
       val outer = sqlContext
       val feed = DeltaLake.changeFeed(outer.sparkSession, path,

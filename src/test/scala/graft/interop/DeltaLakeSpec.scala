@@ -758,6 +758,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)
     val after = spark.read.format("delta").option("files", "true").load(path)
     assert(after.filter(col("dv_cardinality") > 0L).count() == 1L)
+    // the partitions summary aggregates the same manifest walk
+    val parts = spark.read.format("delta").option("partitions", "true").load(path)
+      .orderBy("partition").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("p=10", "p=20"))
+    assert(parts.map(_.getLong(2)).sum == 2L)
   }
 
   test("deletion vectors: MoR delete, superseding union, checkpoint fold, vacuum, stream gate") {
