@@ -1153,16 +1153,25 @@ object DeltaLake {
       }.getOrElse(Array.empty[Long])
       rel -> (old ++ ps)
     }
-    val blobs = merged.map { case (_, ps) => DeltaDv.serialize(ps) }
+    val blobs: Seq[(String, Array[Long], Array[Byte])] =
+      merged.map { case (rel, ps) => (rel, ps, DeltaDv.serialize(ps)) }
+    // SMALL vectors inline into the log as z85 (storageType "i") — the
+    // spec's inline shape: a point-delete on a huge table then costs
+    // zero extra files. Large vectors share ONE framed .bin file.
+    val InlineMax = 512
+    val large = blobs.filter(_._3.length > InlineMax)
     val binRel = s"deletion_vector_${java.util.UUID.randomUUID()}.bin"
     val binAbs = rootPrefix + binRel
-    val framing = DeltaDv.writeFile(fs, new HPath(root, binRel), blobs)
+    val framing: Map[String, (Int, Int)] =
+      if (large.isEmpty) Map.empty
+      else large.map(_._1).zip(
+        DeltaDv.writeFile(fs, new HPath(root, binRel), large.map(_._3))).toMap
 
     val now = System.currentTimeMillis()
     val v = snap.version + 1
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += protocolLine(withDeletionVectors(snap.protocol))
-    merged.zip(framing).foreach { case ((rel, ps), (offset, size)) =>
+    blobs.foreach { case (rel, ps, blob) =>
       val cardinality = ps.distinct.length.toLong
       val f = snap.files.find(_.path == rel).get
       val rm = Json.createObjectNode()
@@ -1180,10 +1189,22 @@ object DeltaLake {
       a.put("dataChange", true)
       f.stats.foreach(a.put("stats", _))
       val dvn = a.putObject("deletionVector")
-      dvn.put("storageType", "p")
-      dvn.put("pathOrInlineDv", binAbs)
-      dvn.put("offset", offset)
-      dvn.put("sizeInBytes", size)
+      framing.get(rel) match {
+        case Some((offset, size)) =>
+          dvn.put("storageType", "p")
+          dvn.put("pathOrInlineDv", binAbs)
+          dvn.put("offset", offset)
+          dvn.put("sizeInBytes", size)
+        case None =>
+          // z85 encodes 4-byte groups; the serialized vector is
+          // self-delimiting, so zero-padding to alignment is inert
+          val padded =
+            if (blob.length % 4 == 0) blob
+            else blob ++ Array.fill(4 - blob.length % 4)(0.toByte)
+          dvn.put("storageType", "i")
+          dvn.put("pathOrInlineDv", DeltaDv.z85Encode(padded))
+          dvn.put("sizeInBytes", padded.length)
+      }
       dvn.put("cardinality", cardinality)
       lines += Json.writeValueAsString(ad)
     }

@@ -709,9 +709,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
   test("restore refuses when the target's deletion vectors were vacuumed") {
     import spark.implicits._
     val path = freshDir("delta_restore_dv")
-    DeltaLake.write(spark.range(0, 40).selectExpr("id AS k", "id % 3 AS v"), path) // v0
-    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)                      // v1: DV d1
-    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 2L)                      // v2: superseding d2
+    // deletes large enough to force PATH-stored vectors (small ones
+    // inline into the log and can never dangle)
+    DeltaLake.write(spark.range(0, 12000).selectExpr("id AS k", "id % 3 AS v"), path) // v0
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") % 2 === 0L)                     // v1: DV d1
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") % 3 === 0L)                     // v2: superseding d2
     // v1's bin is no longer referenced by the CURRENT snapshot — model
     // a vacuum reclaiming it
     val v1dv = DeltaLake.snapshot(spark, path, Some(1L)).files.flatMap(_.dv)
@@ -721,7 +723,7 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("deletion vector"))
     // restoring to v0 (no DVs) still works
     DeltaLake.restore(spark, path, 0L)
-    assert(DeltaLake.read(spark, path).count() == 40L)
+    assert(DeltaLake.read(spark, path).count() == 12000L)
   }
 
   test("upsertByKey with a txn id is idempotent under batch replay") {
@@ -777,7 +779,12 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       "a DV delete must rewrite ZERO data files")
     assert(after.hasDeletionVectors &&
       after.files.flatMap(_.dv).map(_.cardinality).sum == 20L)
-    assert(after.files.flatMap(_.dv).forall(_.storageType == "p"))
+    // small vectors INLINE into the log (storageType "i", no .bin
+    // litter for point deletes); only large ones go to a shared file
+    assert(after.files.flatMap(_.dv).forall(d =>
+      d.storageType == "i" || d.storageType == "p"))
+    assert(after.files.flatMap(_.dv).exists(_.storageType == "i"),
+      "a 5-position vector must inline, not mint a bin file")
     val got = DeltaLake.read(spark, path)
     assert(got.count() == 180L && got.filter(col("k") % 10 === 0L).count() == 0L)
     assert(!got.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
@@ -809,10 +816,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     DeltaLake.checkpoint(spark, path)
     assert(DeltaLake.snapshot(spark, path).hasDeletionVectors)
     assert(DeltaLake.read(spark, path).count() == 163L)
-    // vacuum keeps every LIVE deletion-vector file (both bins still
-    // carry some file's current vector) and the data stays intact
+    // vacuum keeps every LIVE path-stored deletion-vector file
+    // (inline "i" vectors travel in the log and have no file to keep)
     val liveBins = DeltaLake.snapshot(spark, path).files.flatMap(_.dv)
-      .map(_.pathOrInlineDv).toSet
+      .filter(_.storageType == "p").map(_.pathOrInlineDv).toSet
     DeltaLake.vacuum(spark, path)
     liveBins.foreach(p => assert(java.nio.file.Files.exists(Paths.get(p)),
       s"live DV $p must survive vacuum"))
