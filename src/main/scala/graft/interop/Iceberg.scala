@@ -470,9 +470,9 @@ object Iceberg {
     // field layout (top-level schema, inline manifests) would misread
     // or crash mid-replay — refuse at the door instead
     val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(0)
-    require(fv == 2,
+    require(fv == 1 || fv == 2,
       s"Iceberg: $root declares format-version $fv — this from-spec reader " +
-        "implements version 2 (v1's metadata layout is not supported)")
+        "implements versions 1 (read-only) and 2")
     (v, meta)
   }
 
@@ -484,11 +484,27 @@ object Iceberg {
   private def cleanJson(sc: StructType): String = Versioned.nullabilityErased(
     StructType(sc.fields.map(_.copy(metadata = Metadata.empty)))).json
 
+
+  /** Field access tolerant of OLDER record schemas: absent field →
+    * None (GenericRecord.get throws on unknown names). */
+  private def avroOpt(r: GenericRecord, field: String): Option[AnyRef] =
+    if (r.getSchema.getField(field) == null) None else Option(r.get(field))
+
+  /** The current schema NODE — v2's schemas/current-schema-id, or
+    * v1's top-level `schema` (also used when a v1 writer omitted the
+    * v2-style list). */
+  private def currentSchemaNode(meta: JsonNode): JsonNode =
+    if (meta.hasNonNull("schemas") && meta.hasNonNull("current-schema-id")) {
+      val curId = meta.get("current-schema-id").asInt
+      iterator(meta.get("schemas"))
+        .find(s => s.get("schema-id").asInt == curId)
+        .getOrElse(throw new IllegalStateException(
+          "Iceberg: current-schema-id not in schemas"))
+    } else Option(meta.get("schema")).getOrElse(
+      throw new IllegalStateException("Iceberg: metadata carries no schema"))
+
   private def schemaFromMeta(meta: JsonNode): StructType = {
-    val curId = meta.get("current-schema-id").asInt
-    val schemaNode = iterator(meta.get("schemas"))
-      .find(s => s.get("schema-id").asInt == curId)
-      .getOrElse(throw new IllegalStateException("Iceberg: current-schema-id not in schemas"))
+    val schemaNode = currentSchemaNode(meta)
     StructType(iterator(schemaNode.get("fields")).map { f =>
       StructField(f.get("name").asText, sparkType(f.get("type").asText),
         nullable = !f.get("required").asBoolean)
@@ -496,16 +512,22 @@ object Iceberg {
   }
 
   private def partFieldsFromMeta(meta: JsonNode): Seq[PartField] = {
-    val specId = meta.get("default-spec-id").asInt
-    val spec = iterator(meta.get("partition-specs"))
-      .find(s => s.get("spec-id").asInt == specId)
-      .getOrElse(throw new IllegalStateException("Iceberg: default-spec-id not in partition-specs"))
-    val curSchemaId = meta.get("current-schema-id").asInt
+    // v2: partition-specs + default-spec-id; v1: top-level partition-spec
+    val specFields: JsonNode =
+      if (meta.hasNonNull("partition-specs") && meta.hasNonNull("default-spec-id")) {
+        val specId = meta.get("default-spec-id").asInt
+        iterator(meta.get("partition-specs"))
+          .find(s => s.get("spec-id").asInt == specId)
+          .getOrElse(throw new IllegalStateException(
+            "Iceberg: default-spec-id not in partition-specs"))
+          .get("fields")
+      } else Option(meta.get("partition-spec")).getOrElse(
+        Json.createArrayNode())
     val idToName: Map[Int, String] = {
-      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curSchemaId).get
+      val sn = currentSchemaNode(meta)
       iterator(sn.get("fields")).map(f => f.get("id").asInt -> f.get("name").asText).toMap
     }
-    iterator(spec.get("fields")).map { f =>
+    iterator(specFields).map { f =>
       val tSpec = f.get("transform").asText
       val t = parseTransformSpec(tSpec).getOrElse(throw new IllegalArgumentException(
         s"Iceberg: partition transform '$tSpec' is not implemented by this reader " +
@@ -551,7 +573,8 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
     iterator(meta.get("snapshots")).toSeq.map { s =>
-      (s.get("snapshot-id").asLong, s.get("sequence-number").asLong,
+      (s.get("snapshot-id").asLong,
+        Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
         new java.sql.Timestamp(s.get("timestamp-ms").asLong),
         s.get("summary").get("operation").asText)
     }.toDF("snapshot_id", "sequence_number", "timestamp", "operation")
@@ -606,11 +629,9 @@ object Iceberg {
       .find(_.get("snapshot-id").asLong == wantId)
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg: snapshot $wantId of $path does not exist"))
-    val listPath = new HPath(snapNode.get("manifest-list").asText)
     // field-id -> column, for decoding the bounds maps
     val idToField: Map[Int, StructField] = {
-      val curId = meta.get("current-schema-id").asInt
-      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      val sn = currentSchemaNode(meta)
       iterator(sn.get("fields")).map(f =>
         f.get("id").asInt -> StructField(f.get("name").asText,
           sparkType(f.get("type").asText))).toMap
@@ -640,12 +661,21 @@ object Iceberg {
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
     val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDeleteRef]
-    readAvro(fs, listPath).foreach { mf =>
-      val mContent = mf.get("content").asInstanceOf[Int]
-      val mSeq = mf.get("sequence_number").asInstanceOf[Long]
+    // v2: a manifest LIST file; v1 may instead inline `manifests`
+    // (paths only — all data manifests, sequence 0)
+    val manifestRefs: Seq[(HPath, Int, Long)] =
+      if (snapNode.hasNonNull("manifest-list"))
+        readAvro(fs, new HPath(snapNode.get("manifest-list").asText)).map { mf =>
+          // v1 manifest-list records lack content/sequence fields
+          val c = avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+          val sq = avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+          (new HPath(mf.get("manifest_path").toString), c, sq)
+        }
+      else iterator(snapNode.get("manifests")).map(n =>
+        (new HPath(n.asText), 0, 0L)).toSeq
+    manifestRefs.foreach { case (mPath, mContent, mSeq) =>
       require(mContent == 0 || mContent == 1,
         s"Iceberg: $path snapshot $wantId references a manifest of unknown content $mContent")
-      val mPath = new HPath(mf.get("manifest_path").toString)
       readAvro(fs, mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 0 existing, 1 added, 2 deleted
@@ -654,7 +684,7 @@ object Iceberg {
             s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
           // the spec's sequence-number inheritance: null on the entry →
           // the manifest-list record's sequence number
-          val seq = Option(e.get("sequence_number"))
+          val seq = avroOpt(e, "sequence_number")
             .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           if (mContent == 0) {
             val part = df.get("partition").asInstanceOf[GenericRecord]
@@ -667,7 +697,7 @@ object Iceberg {
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long],
               bounds = decodeBounds(df), seq = seq)
-          } else df.get("content").asInstanceOf[Int] match {
+          } else avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
             case 1 =>
               deletes += DeleteFileRef(df.get("file_path").toString, seq,
                 df.get("record_count").asInstanceOf[Long])
@@ -696,7 +726,8 @@ object Iceberg {
     // file would fail the strict id lookup
     val nameMapped = Option(meta.get("properties"))
       .exists(p => p.hasNonNull("schema.name-mapping.default"))
-    Snapshot(wantId, snapNode.get("sequence-number").asLong,
+    Snapshot(wantId,
+      Option(snapNode.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
       snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
       partFields, eqDeletes.toSeq,
       fieldIds = if (nameMapped) Map.empty
@@ -975,6 +1006,11 @@ object Iceberg {
     val priorVs = metaVersions(fs, root)
     val prior: Option[(Long, JsonNode)] =
       if (priorVs.isEmpty) None else Some(readMetadata(fs, root))
+    prior.foreach { case (_, m) =>
+      require(Option(m.get("format-version")).exists(_.asInt == 2),
+        s"Iceberg.write: $path is a format-version 1 table — READ-ONLY here " +
+          "(its layout predates sequence numbers); migrate to v2 to write")
+    }
     def parseRequested(): Seq[PartField] = partitionBy.zipWithIndex.map { case (s0, i) =>
       val (src, t) = parsePartSpec(s0)
       require(df.schema.fieldNames.contains(src),
@@ -1769,6 +1805,9 @@ object Iceberg {
     * ConcurrentModificationException, same as every commit path. */
   private def commitMetadata(fs: FileSystem, root: HPath, v: Long,
       meta: JsonNode, path: String): Unit = {
+    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+      "Iceberg: v1 tables are READ-ONLY here — their metadata layout predates " +
+        "sequence numbers; migrate to v2 before mutating")
     val out = try fs.create(metaFile(root, v), false) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
@@ -1998,6 +2037,8 @@ object Iceberg {
   def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.renameColumn: $path is a format-version 1 table — read-only here")
     val curId = meta.get("current-schema-id").asInt
     val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
     val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
@@ -2072,7 +2113,8 @@ object Iceberg {
   def currentSequence(path: String): Long = {
     val (fs, root) = Writers.fsFor(path)
     if (metaVersions(fs, root).isEmpty) 0L
-    else readMetadata(fs, root)._2.get("last-sequence-number").asLong
+    else Option(readMetadata(fs, root)._2.get("last-sequence-number"))
+      .filterNot(_.isNull).map(_.asLong).getOrElse(0L)
   }
 
   /** REMOVE ORPHAN FILES — the spec's maintenance op for files NO

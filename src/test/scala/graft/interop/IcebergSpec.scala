@@ -75,17 +75,87 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path, snapshotId = Some(s2)).count() == 3L)
   }
 
-  test("a format-version 1 table refuses at the door instead of misreading") {
+  test("a hand-forged format-version 1 table READS; every mutation refuses") {
     import spark.implicits._
-    val path = freshDir("ice_v1_gate")
-    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
-    val mf = Paths.get(path, "metadata", "v00001.metadata.json")
-    Files.deleteIfExists(Paths.get(path, "metadata", ".v00001.metadata.json.crc"))
-    val doctored = new String(Files.readAllBytes(mf), "UTF-8")
-      .replace("\"format-version\" : 2", "\"format-version\" : 1")
-    Files.write(mf, doctored.getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException](Iceberg.read(spark, path).count())
-    assert(e.getMessage.contains("format-version 1"))
+    val path = freshDir("ice_v1")
+    // data file, exactly as a v1 writer lays it out — WITH parquet
+    // field ids (the spec has required them since v1)
+    val v1Schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build())))
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")),
+      v1Schema).coalesce(1).write.parquet(s"$path/data")
+    val dataFile = java.nio.file.Files.list(Paths.get(path, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    // a V1 manifest: no content / sequence_number fields anywhere
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("file_path", dataFile)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema()))
+    dfr.put("record_count", 2L)
+    dfr.put("file_size_in_bytes", java.nio.file.Files.size(Paths.get(dataFile)))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1); entry.put("snapshot_id", 77L); entry.put("data_file", dfr)
+    java.nio.file.Files.createDirectories(Paths.get(path, "metadata"))
+    val manifestPath = s"$path/metadata/v1-manifest.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](entrySchema))
+    w.create(entrySchema, new java.io.File(manifestPath))
+    w.append(entry); w.close()
+    // V1 metadata: top-level schema, partition-spec, inline manifests
+    val metaJson = s"""{
+      |"format-version": 1, "table-uuid": "v1t", "location": "$path",
+      |"last-updated-ms": 1, "last-column-id": 2,
+      |"schema": {"type": "struct", "fields": [
+      |  {"id": 1, "name": "k", "required": false, "type": "long"},
+      |  {"id": 2, "name": "v", "required": false, "type": "string"}]},
+      |"partition-spec": [],
+      |"properties": {},
+      |"current-snapshot-id": 77,
+      |"snapshots": [{"snapshot-id": 77, "timestamp-ms": 1000,
+      |  "summary": {"operation": "append"},
+      |  "manifests": ["$manifestPath"]}],
+      |"snapshot-log": [{"timestamp-ms": 1000, "snapshot-id": 77}]
+      |}""".stripMargin
+    java.nio.file.Files.write(Paths.get(path, "metadata", "v00001.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    java.nio.file.Files.write(Paths.get(path, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+    // READS work: the v1 shapes (top-level schema, inline manifests,
+    // absent sequence/content fields) all resolve
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(spark.read.format("iceberg").load(path).count() == 2L)
+    assert(Iceberg.snapshotAsOf(path, 5000L) == 77L)
+    assert(Iceberg.files(spark, path).count() == 1L)
+    // every MUTATION refuses loudly — v1 is read-only here
+    val eW = intercept[IllegalArgumentException](
+      Iceberg.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append))
+    assert(eW.getMessage.contains("format-version 1"))
+    val eR = intercept[IllegalArgumentException](
+      Iceberg.renameColumn(spark, path, "v", "w"))
+    assert(eR.getMessage.contains("format-version 1"))
+    val eT = intercept[IllegalArgumentException](
+      Iceberg.rollback(spark, path, 77L))
+    assert(eT.getMessage.contains("READ-ONLY"))
   }
 
   test("unsupported partition transforms and foreign snapshots fail loudly") {
