@@ -38,6 +38,15 @@ object Convert {
   /** Publish Iceberg metadata over a Delta table's live snapshot.
     * Returns the Iceberg snapshot id. */
   def deltaToIceberg(spark: SparkSession, path: String): Long = {
+    val (schema, partCols, files) = prepareDeltaToIceberg(spark, path)
+    Iceberg.publishConverted(spark, path, schema, partCols, files)
+  }
+
+  /** The READ-ONLY half of [[deltaToIceberg]]: every precondition and
+    * per-file require fires here, before anything is written or (in
+    * [[resyncIceberg]]) dropped. */
+  private def prepareDeltaToIceberg(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.types.StructType, Seq[String], Seq[Iceberg.DataFileRef]) = {
     val snap = DeltaLake.snapshot(spark, path)
     require(!snap.hasDeletionVectors,
       s"Convert.deltaToIceberg: $path carries deletion vectors — compact first " +
@@ -74,7 +83,7 @@ object Convert {
       Iceberg.DataFileRef(rootPrefix + f.path, f.partitionValues,
         fromStats.getOrElse(f.path, counted(f.path)), f.size, seq = 1L)
     }
-    Iceberg.publishConverted(spark, path, snap.schema, snap.partitionColumns, files)
+    (snap.schema, snap.partitionColumns, files)
   }
 
   /** Re-SYNC a stale Iceberg layer from the Delta state — the
@@ -86,15 +95,13 @@ object Convert {
   def resyncIceberg(spark: SparkSession, path: String): Long = {
     require(DeltaLake.isDeltaTable(path),
       s"Convert.resyncIceberg: $path has no Delta log to sync from")
-    // validate the conversion preconditions BEFORE dropping the stale
-    // layer — a refusal must leave the (stale but working) layer alone
-    val snap = DeltaLake.snapshot(spark, path)
-    require(!snap.hasDeletionVectors && snap.mapMode.isEmpty,
-      s"Convert.resyncIceberg: $path is not convertible in its current state " +
-        "(deletion vectors / column mapping) — the stale Iceberg layer is untouched")
+    // run the WHOLE read-only conversion FIRST — any refusal (DVs,
+    // mapping, unparseable stats, foreign paths) must leave the stale
+    // but working layer untouched
+    val (schema, partCols, files) = prepareDeltaToIceberg(spark, path)
     val (fs, root) = Writers.fsFor(path)
     fs.delete(new org.apache.hadoop.fs.Path(root, "metadata"), true): Unit
-    deltaToIceberg(spark, path)
+    Iceberg.publishConverted(spark, path, schema, partCols, files)
   }
 
   /** Re-SYNC a stale Delta layer from the Iceberg state (drops the
@@ -103,19 +110,26 @@ object Convert {
   def resyncDelta(spark: SparkSession, path: String): Long = {
     require(Iceberg.isIcebergTable(path),
       s"Convert.resyncDelta: $path has no Iceberg metadata to sync from")
-    // same precondition-first ordering as resyncIceberg
-    val s = Iceberg.snapshot(spark, path)
-    require(!s.hasDeleteDebt && s.partFields.forall(_.isIdentity),
-      s"Convert.resyncDelta: $path is not convertible in its current state " +
-        "(delete debt / transform layout) — the stale Delta layer is untouched")
+    // same prepare-first ordering as resyncIceberg: every require
+    // (delete debt, transforms, root containment) fires before the
+    // stale layer is dropped
+    val (schema, partCols, adds) = prepareIcebergToDelta(spark, path)
     val (fs, root) = Writers.fsFor(path)
     fs.delete(new org.apache.hadoop.fs.Path(root, "_delta_log"), true): Unit
-    icebergToDelta(spark, path)
+    DeltaLake.publishConverted(spark, path, schema, partCols, adds)
   }
 
   /** Publish Delta metadata over an Iceberg table's current snapshot.
     * Returns the Delta version (0). */
   def icebergToDelta(spark: SparkSession, path: String): Long = {
+    val (schema, partCols, adds) = prepareIcebergToDelta(spark, path)
+    DeltaLake.publishConverted(spark, path, schema, partCols, adds)
+  }
+
+  /** The read-only half of [[icebergToDelta]] — see
+    * [[prepareDeltaToIceberg]]. */
+  private def prepareIcebergToDelta(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.types.StructType, Seq[String], Seq[DeltaLake.AddFile]) = {
     val s = Iceberg.snapshot(spark, path)
     require(!s.hasDeleteDebt,
       s"Convert.icebergToDelta: $path carries outstanding delete files — compact first")
@@ -134,6 +148,6 @@ object Convert {
       DeltaLake.AddFile(abs.stripPrefix(rootPrefix), f.partitionValues,
         f.sizeInBytes, now, Some(stats))
     }
-    DeltaLake.publishConverted(spark, path, s.schema, s.partitionColumns, adds)
+    (s.schema, s.partitionColumns, adds)
   }
 }

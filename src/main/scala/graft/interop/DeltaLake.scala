@@ -1203,7 +1203,10 @@ object DeltaLake {
             else blob ++ Array.fill(4 - blob.length % 4)(0.toByte)
           dvn.put("storageType", "i")
           dvn.put("pathOrInlineDv", DeltaDv.z85Encode(padded))
-          dvn.put("sizeInBytes", padded.length)
+          // spec: sizeInBytes is the TRUE serialized size — foreign
+          // readers truncate the decoded z85 bytes to it, which is
+          // exactly how the alignment padding is meant to be shed
+          dvn.put("sizeInBytes", blob.length)
       }
       dvn.put("cardinality", cardinality)
       lines += Json.writeValueAsString(ad)

@@ -527,14 +527,17 @@ object Iceberg {
       val sn = currentSchemaNode(meta)
       iterator(sn.get("fields")).map(f => f.get("id").asInt -> f.get("name").asText).toMap
     }
-    iterator(specFields).map { f =>
+    iterator(specFields).zipWithIndex.map { case (f, i) =>
       val tSpec = f.get("transform").asText
       val t = parseTransformSpec(tSpec).getOrElse(throw new IllegalArgumentException(
         s"Iceberg: partition transform '$tSpec' is not implemented by this reader " +
           "(identity, bucket[N], truncate[W], year, month, day, hour are)"))
       val srcId = f.get("source-id").asInt
       PartField(f.get("name").asText,
-        idToName.getOrElse(srcId, f.get("name").asText), t, f.get("field-id").asInt)
+        idToName.getOrElse(srcId, f.get("name").asText), t,
+        // v1 spec entries may omit field-id; the spec's rule is
+        // sequential assignment from 1000
+        Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt).getOrElse(1000 + i))
     }.toSeq
   }
 
@@ -560,8 +563,14 @@ object Iceberg {
   def snapshotAsOf(path: String, tsMs: Long): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
-    val cands = iterator(meta.get("snapshot-log")).toSeq
-      .map(e => (e.get("snapshot-id").asLong, e.get("timestamp-ms").asLong))
+    // snapshot-log when present (so branch snapshots never resolve);
+    // the spec makes the log OPTIONAL, so a foreign table without one
+    // falls back to the snapshots list
+    val logEntries = iterator(meta.get("snapshot-log")).toSeq
+    val cands = (if (logEntries.nonEmpty)
+      logEntries.map(e => (e.get("snapshot-id").asLong, e.get("timestamp-ms").asLong))
+    else iterator(meta.get("snapshots")).toSeq
+      .map(sn => (sn.get("snapshot-id").asLong, sn.get("timestamp-ms").asLong)))
       .filter(_._2 <= tsMs)
     require(cands.nonEmpty, s"Iceberg: no snapshot of $path at or before $tsMs")
     cands.maxBy(_._2)._1
@@ -576,7 +585,8 @@ object Iceberg {
       (s.get("snapshot-id").asLong,
         Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
         new java.sql.Timestamp(s.get("timestamp-ms").asLong),
-        s.get("summary").get("operation").asText)
+        Option(s.get("summary")).filterNot(_.isNull)
+          .flatMap(su => Option(su.get("operation")).map(_.asText)).getOrElse("unknown"))
     }.toDF("snapshot_id", "sequence_number", "timestamp", "operation")
   }
 
@@ -1838,11 +1848,12 @@ object Iceberg {
     // them to the snapshot-log, the main-lineage record)
     val mainIds: Set[Long] =
       iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
+    def seqOf(sn: JsonNode): Long =
+      Option(sn.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
     val snaps = iterator(meta.get("snapshots")).toSeq
       .filter(s => mainIds.contains(s.get("snapshot-id").asLong))
-      .filter(s => s.get("sequence-number").asLong > fromSeq &&
-        s.get("sequence-number").asLong <= toSeq)
-      .sortBy(_.get("sequence-number").asLong)
+      .filter(s => seqOf(s) > fromSeq && seqOf(s) <= toSeq)
+      .sortBy(seqOf)
     var nonAppend = false
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     // `replace` snapshots (compaction / delete-debt folds) leave the
@@ -2106,7 +2117,9 @@ object Iceberg {
       iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
     iterator(meta.get("snapshots")).toSeq
       .filter(sn => mainIds.contains(sn.get("snapshot-id").asLong))
-      .map(_.get("sequence-number").asLong).maxOption.getOrElse(0L)
+      .map(sn => Option(sn.get("sequence-number")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(0L))
+      .maxOption.getOrElse(0L)
   }
 
   /** Current highest sequence number (0 for an empty table). */
@@ -2131,6 +2144,9 @@ object Iceberg {
   def removeOrphanFiles(spark: SparkSession, path: String, olderThanMs: Long): Int = {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
+    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+      s"Iceberg.removeOrphanFiles: $path is a format-version 1 table — READ-ONLY here " +
+        "(and its inline-manifest snapshots would not resolve)")
     val referenced0: Set[String] = iterator(meta.get("snapshots")).toSeq.flatMap { sn =>
       val listPath = sn.get("manifest-list").asText
       val manifests = readAvro(fs, new HPath(listPath)).map(_.get("manifest_path").toString)
@@ -2188,6 +2204,10 @@ object Iceberg {
     require(keepLast >= 1, "Iceberg.expireSnapshots: keepLast must be >= 1")
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
+    // this path writes metadata via its own create, not commitMetadata
+    // — it needs the v1 read-only gate itself
+    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+      s"Iceberg.expireSnapshots: $path is a format-version 1 table — READ-ONLY here")
     val snaps = iterator(meta.get("snapshots")).toSeq.sortBy(_.get("sequence-number").asLong)
     if (snaps.size <= keepLast) return 0
     // a snapshot a named ref pins NEVER expires (the spec's retention

@@ -131,9 +131,7 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       |"properties": {},
       |"current-snapshot-id": 77,
       |"snapshots": [{"snapshot-id": 77, "timestamp-ms": 1000,
-      |  "summary": {"operation": "append"},
-      |  "manifests": ["$manifestPath"]}],
-      |"snapshot-log": [{"timestamp-ms": 1000, "snapshot-id": 77}]
+      |  "manifests": ["$manifestPath"]}]
       |}""".stripMargin
     java.nio.file.Files.write(Paths.get(path, "metadata", "v00001.metadata.json"),
       metaJson.getBytes("UTF-8"))
@@ -144,8 +142,11 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
       .toSeq == Seq((1L, "a"), (2L, "b")))
     assert(spark.read.format("iceberg").load(path).count() == 2L)
+    // no snapshot-log and no summary in this forge — timestamp travel
+    // falls back to the snapshots list, history reads "unknown"
     assert(Iceberg.snapshotAsOf(path, 5000L) == 77L)
     assert(Iceberg.files(spark, path).count() == 1L)
+    assert(Iceberg.history(spark, path).collect().head.getString(3) == "unknown")
     // every MUTATION refuses loudly — v1 is read-only here
     val eW = intercept[IllegalArgumentException](
       Iceberg.write(Seq((3L, "c")).toDF("k", "v"), path, mode = SaveMode.Append))
@@ -156,6 +157,9 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     val eT = intercept[IllegalArgumentException](
       Iceberg.rollback(spark, path, 77L))
     assert(eT.getMessage.contains("READ-ONLY"))
+    intercept[IllegalArgumentException](Iceberg.expireSnapshots(spark, path, 1))
+    intercept[IllegalArgumentException](
+      Iceberg.removeOrphanFiles(spark, path, Long.MaxValue))
   }
 
   test("unsupported partition transforms and foreign snapshots fail loudly") {
