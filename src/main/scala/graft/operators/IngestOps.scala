@@ -2462,6 +2462,53 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S49: the INSPECTION tables graded as data — `partitions` on both
+    * formats must report per-partition row counts that EXACTLY match
+    * the data (Delta's from its per-file stats JSON, Iceberg's from
+    * its manifest record counts), so the ops surface a 100 TB
+    * operator trusts for skew/fragmentation triage is itself under
+    * the oracle, not just smoke-tested. Metadata-only: planning the
+    * answer reads ZERO data files (require'd via inputFiles on the
+    * inspection frames being file-free). */
+  val s49InteropInspection = QueryDef(
+    "s49_interop_inspection",
+    (s, d) => {
+      val dPath = tmp("s49_delta", d); val iPath = tmp("s49_ice", d)
+      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      D.write(orders, dPath, partitionBy = Seq("o_orderstatus"))
+      I.write(orders, iPath, partitionBy = Seq("o_orderstatus"))
+      def statusOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        substring_index(c, "=", -1)
+      val dParts = s.read.format("delta").option("partitions", "true").load(dPath)
+        .select(statusOf(col("partition")).as("o_orderstatus"),
+          col("record_count"), lit("delta").as("src"))
+      val iParts = s.read.format("iceberg").option("partitions", "true").load(iPath)
+        .select(statusOf(col("partition")).as("o_orderstatus"),
+          col("record_count"), lit("iceberg").as("src"))
+      require(dParts.inputFiles.isEmpty && iParts.inputFiles.isEmpty,
+        "s49: the inspection tables must answer from metadata, zero data files")
+      val out = dParts.unionByName(iParts)
+        .groupBy("src", "o_orderstatus")
+        .agg(sum(col("record_count")).as("n_orders"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s49: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders
+      FROM (
+        SELECT 'delta' AS src, o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'iceberg' AS src, o_orderstatus FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2471,5 +2518,6 @@ object IngestOps extends QueryModule {
     s31ConnectorCdf, s32History, s33SqlDml, s34IncrementalClustering, s35BloomPointLookup,
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
-    s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap)
+    s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
+    s49InteropInspection)
 }
