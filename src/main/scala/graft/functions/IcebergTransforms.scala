@@ -109,7 +109,12 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val obj = IcebergTransforms.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the object's static forwarders (on the mirror class) — the same
+    // pattern as NfcNormalize. `IcebergTransforms.MODULE$` is NOT valid
+    // Janino: the MODULE$ field lives on the `IcebergTransforms$` class,
+    // and referencing it through the mirror class fails compilation and
+    // silently demotes every bucket transform to interpreted eval.
+    val obj = "graft.functions.IcebergTransforms"
     child.dataType match {
       case _: StringType =>
         defineCodeGen(ctx, ev, c => s"$obj.bucketUTF8($c, $n)")

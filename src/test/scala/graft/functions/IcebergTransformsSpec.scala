@@ -38,4 +38,49 @@ class IcebergTransformsSpec extends AnyFunSuite {
     assert(b == ((-653330422 & Int.MaxValue) % 16) && b >= 0 && b < 16)
     assert(IcebergTransforms.bucketLong(34L, 16) == (2017239379 % 16))
   }
+
+  // ---- codegen lock --------------------------------------------------
+  // Round-8 verdict: doGenCode emitted `IcebergTransforms.MODULE$`, which
+  // Janino cannot compile (MODULE$ lives on the IcebergTransforms$ class,
+  // not the mirror), so every bucket transform silently ran interpreted.
+  // These tests compile the generated code DIRECTLY — no fallback path
+  // exists through GenerateUnsafeProjection.generate, so a codegen bug is
+  // a test failure, not a log warning.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  test("codegen lock: generated projection compiles and matches interpreted eval (long)") {
+    val expr = IcebergBucket(BoundReference(0, LongType, nullable = true), 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+    val row = proj(InternalRow(34L))
+    assert(row.getInt(0) == expr.eval(InternalRow(34L)).asInstanceOf[Int])
+    assert(row.getInt(0) == (2017239379 % 16))
+  }
+
+  test("codegen lock: string input") {
+    val expr = IcebergBucket(BoundReference(0, StringType, nullable = true), 32)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val in = InternalRow(UTF8String.fromString("iceberg"))
+    assert(proj(in).getInt(0) == ((1210000089 & Int.MaxValue) % 32))
+    assert(proj(in).getInt(0) == expr.eval(in).asInstanceOf[Int])
+  }
+
+  test("codegen lock: int widens to long before hashing") {
+    val expr = IcebergBucket(BoundReference(0, IntegerType, nullable = true), 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    assert(proj(InternalRow(34)).getInt(0) == (2017239379 % 16))
+  }
+
+  test("codegen lock: null propagates, timestamp micros path") {
+    val expr = IcebergBucket(BoundReference(0, TimestampType, nullable = true), 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    assert(proj(InternalRow(null)).isNullAt(0))
+    val micros = java.time.LocalDateTime.parse("2017-11-16T22:31:08")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(proj(InternalRow(micros)).getInt(0) == ((-2047944441 & Int.MaxValue) % 16))
+  }
 }
