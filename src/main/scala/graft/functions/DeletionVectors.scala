@@ -33,7 +33,15 @@ final class DvMap private (
     val hit =
       if (c != null && c._1.equals(file)) c._2
       else {
-        val p = file.toString
+        // the probe is Spark's URL-encoded `_metadata.file_path`; the
+        // map keys are raw on-disk rel paths — decode before the marker
+        // strip or a path Spark encodes (space in a partition value)
+        // never matches and its deletes silently unapply. Once per
+        // distinct file, not per row (the cache below).
+        val raw = file.toString
+        val p =
+          try new java.net.URI(raw).getPath
+          catch { case _: java.net.URISyntaxException => raw }
         val i = p.indexOf(marker)
         val key = if (i >= 0) p.substring(i + marker.length) else p
         val r = runs.getOrElse(key, DvMap.Empty)

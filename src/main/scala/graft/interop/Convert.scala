@@ -141,7 +141,7 @@ object Convert {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val now = System.currentTimeMillis()
     val adds = s.files.map { f =>
-      val abs = new java.net.URI(f.path).getPath
+      val abs = Hive.fsPathNoDecode(f.path)
       require(abs.startsWith(rootPrefix),
         s"Convert.icebergToDelta: data file $abs lies outside the table root")
       val stats = s"""{"numRecords":${f.recordCount}}"""

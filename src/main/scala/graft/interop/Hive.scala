@@ -21,6 +21,20 @@ private[interop] object Hive {
     b.toString
   }
 
+  /** A manifest-origin file location (`file_path` in an Iceberg avro
+    * manifest, a manifest-list / metadata path) → the on-disk
+    * filesystem path, WITHOUT any percent-decoding. Manifest strings
+    * are raw location bytes: a Hive-escaped partition dir puts literal
+    * `%3A` (and raw spaces) in the path, so `java.net.URI` would either
+    * reject the string (space → URISyntaxException) or corrupt it
+    * (decode the literal escape). Hadoop `Path` strips a scheme and
+    * authority while round-tripping every byte. Spark METADATA strings
+    * (`_metadata.file_path`, `input_file_name()`) are the opposite —
+    * genuine URL-encoded URIs that MUST go through `java.net.URI` — so
+    * pick by provenance, not by convenience. */
+  def fsPathNoDecode(raw: String): String =
+    new org.apache.hadoop.fs.Path(raw).toUri.getPath
+
   def unescapePathName(s: String): String = {
     val b = new StringBuilder
     var i = 0

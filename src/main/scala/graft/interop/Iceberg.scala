@@ -848,13 +848,15 @@ object Iceberg {
       s: Snapshot): graft.functions.DvMap = {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val dataSeq: Map[String, Long] =
-      s.files.map(f => new java.net.URI(f.path).getPath -> f.seq).toMap
+      s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
     val raw = s.deletes.groupBy(_.seq).toSeq.flatMap { case (dSeq, dfs) =>
       spark.read.parquet(dfs.map(d => new HPath(d.path).toString): _*)
         .select("file_path", "pos")
         .collect()
         .flatMap { r =>
-          val target = new java.net.URI(r.getString(0)).getPath
+          // delete-file targets are manifest-convention raw locations
+          // (byte-equal to the data manifest's file_path, per the spec)
+          val target = Hive.fsPathNoDecode(r.getString(0))
           // a file absent from the snapshot (already rewritten away) or
           // newer than the delete (re-added path) is not covered
           dataSeq.get(target).filter(_ <= dSeq)
@@ -888,7 +890,7 @@ object Iceberg {
     val (_, root) = Writers.fsFor(path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val entries = s.files.map { f =>
-      val abs = new java.net.URI(f.path).getPath
+      val abs = Hive.fsPathNoDecode(f.path)
       require(abs.startsWith(rootPrefix), s"Iceberg: foreign data file ${f.path}")
       // ALL partition fields land in the dir string: identity fields
       // feed the partition schema's typed injection, transform fields
@@ -1327,13 +1329,20 @@ object Iceberg {
     val s = snapshot(spark, path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val q = rootPrefix.replace("'", "''")
-    // manifest file_path entries are scheme-less absolute paths; the
-    // scan's `_metadata.file_path` is a full URI — cut from the table
-    // root so the recorded paths match the manifests byte-for-byte
+    // manifest file_path entries are scheme-less RAW paths; the scan's
+    // `_metadata.file_path` is a URL-ENCODED URI — decode it (with a
+    // literal-'+' guard: url_decode is form-decoding, and a '+' in a
+    // URI path is a literal plus, not a space), then cut from the table
+    // root so the recorded targets match the manifests byte-for-byte.
+    // Recording the encoded form would silently unapply the delete on
+    // any path Spark encodes (a space in a timestamp partition dir).
     val matches = matchesWithMeta
       .select(
-        expr(s"substring($FileMetaCol, instr($FileMetaCol, '$q'))").as("file_path"),
+        expr(s"url_decode(replace($FileMetaCol, '+', '%2B'))").as("__raw"),
         col(PosMetaCol).as("pos"))
+      .select(
+        expr(s"substring(__raw, instr(__raw, '$q'))").as("file_path"),
+        col("pos"))
     // ---- stage the delete file with the spec's reserved field ids
     val delSchema = StructType(Seq(
       StructField("file_path", StringType, nullable = false,
@@ -1622,7 +1631,7 @@ object Iceberg {
       else loadDeleteMap(spark, root, s).files
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val eqCovered: Set[String] = s.files.filter(_.seq < maxEqSeq)
-      .map(f => new java.net.URI(f.path).getPath.stripPrefix(rootPrefix)).toSet
+      .map(f => Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix)).toSet
     val coveredRel = (posCovered ++ eqCovered).toSeq
     if (coveredRel.isEmpty)
       // debt files that no longer apply to anything: a metadata-only
@@ -1662,7 +1671,7 @@ object Iceberg {
       else loadDeleteMap(spark, root, s).files.map(rootPrefix + _)
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val debtFiles = s.files.filter(f =>
-      posCovered.contains(new java.net.URI(f.path).getPath) || f.seq < maxEqSeq)
+      posCovered.contains(Hive.fsPathNoDecode(f.path)) || f.seq < maxEqSeq)
     val selected = (smallByPart ++ debtFiles).distinctBy(_.path)
     if (selected.isEmpty) {
       // delete files that apply to nothing: metadata-only cleanup
@@ -1674,7 +1683,7 @@ object Iceberg {
     val rows = snapshotFrame(spark, path, s.copy(files = selected), withMeta = false)
     val nOut = math.max(1L,
       (selected.map(_.sizeInBytes).sum + targetBytes - 1) / targetBytes).toInt
-    val selectedAbs = selected.map(f => new java.net.URI(f.path).getPath).toSet
+    val selectedAbs = selected.map(f => Hive.fsPathNoDecode(f.path)).toSet
     // every file any delete applies to is in the selection (debtFiles ⊆
     // selected), so after the rewrite no delete manifest applies to
     // anything — safe to drop them whenever debt existed
@@ -1724,8 +1733,8 @@ object Iceberg {
       else {
         val live = readAvro(fs, new HPath(mf.get("manifest_path").toString))
           .filter(_.get("status").asInstanceOf[Int] != 2)
-        val touched = live.exists(e => removedAbs.contains(
-          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+        val touched = live.exists(e => removedAbs.contains(Hive.fsPathNoDecode(
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)))
         if (!touched) carry()
         else {
           val entrySchema = manifestEntrySchema(partFieldTriples)
@@ -1735,7 +1744,8 @@ object Iceberg {
             val dfr = e.get("data_file").asInstanceOf[GenericRecord]
             val eSeq = Option(e.get("sequence_number"))
               .map(_.asInstanceOf[Long]).getOrElse(mSeq)
-            val removed = removedAbs.contains(dfr.get("file_path").toString)
+            val removed = removedAbs.contains(
+              Hive.fsPathNoDecode(dfr.get("file_path").toString))
             val rc = dfr.get("record_count").asInstanceOf[Long]
             if (removed) { dropped += 1; droppedRows += rc }
             else { kept += 1; keptRows += rc }
@@ -2155,7 +2165,7 @@ object Iceberg {
       val data = manifests.flatMap(m => readAvro(fs, new HPath(m))
         .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
       (listPath +: manifests) ++ data
-    }.map(p => new java.net.URI(p).getPath).toSet
+    }.map(Hive.fsPathNoDecode).toSet
     // a co-located Delta layer (converted table) references files of
     // its OWN under the shared root — every path its log has ever
     // logged stays protected here; Delta's vacuum owns their lifecycle
@@ -2279,9 +2289,13 @@ object Iceberg {
     case _: DateType =>
       Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
     case _: TimestampType | _: TimestampNTZType =>
+      // Full microsecond precision: toEpochMilli*1000 would truncate to
+      // millis, so a sub-ms identity partition value would round-trip
+      // differently between the staging dir and the manifest and drift
+      // planning-time equality compares by up to 999 µs.
+      val ldt = java.time.LocalDateTime.parse(s.replace(" ", "T"))
       java.lang.Long.valueOf(
-        java.time.LocalDateTime.parse(s.replace(" ", "T"))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
     case _ => s
   }
 

@@ -1009,4 +1009,53 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(tail.nonEmpty && tail.intersect(served).isEmpty,
       "tail batch must not re-deliver bootstrap files")
   }
+
+  test("timestamp identity partition values keep microsecond precision in the manifest") {
+    import spark.implicits._
+    val path = freshDir("ice_ts_micros")
+    // sub-millisecond timestamps: toEpochMilli*1000 would truncate both
+    // to ...123000, colliding the partitions and drifting equality prunes
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-15 10:30:00.123456")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-15 10:30:00.123999")
+    Iceberg.write(Seq((1L, ts1), (2L, ts2)).toDF("k", "ts"), path, partitionBy = Seq("ts"))
+    // the manifest's avro partition value round-trips to the exact micros
+    val manifestVals = Iceberg.snapshot(spark, path).files
+      .flatMap(_.partitionValues.get("ts")).flatten.toSet
+    assert(manifestVals == Set("2024-01-15 10:30:00.123456", "2024-01-15 10:30:00.123999"),
+      s"staging-dir strings must survive the manifest round trip, got $manifestVals")
+    val got = Iceberg.read(spark, path).as[(Long, java.sql.Timestamp)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(ts1, ts2))
+    // equality on the sub-ms value prunes to exactly one of two files and
+    // returns its row — the compare the round-8 advice flagged as drifting
+    val f = Iceberg.read(spark, path).filter(col("ts") === lit(ts1))
+    assert(f.as[(Long, java.sql.Timestamp)].collect().toSeq == Seq((1L, ts1)))
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept == 1 && total == 2, s"sub-ms equality must prune exactly ($kept/$total)")
+  }
+
+  test("position deletes apply on partition dirs containing spaces, byte-equal to the manifest") {
+    import spark.implicits._
+    val path = freshDir("ice_ts_delete")
+    // identity timestamp partitions render with a raw space; Spark's
+    // `_metadata.file_path` URL-encodes it, so recording the encoded
+    // form in the delete file would silently unapply the delete
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-15 10:30:00.123456")
+    val ts2 = java.sql.Timestamp.valueOf("2024-02-20 08:15:00.5")
+    Iceberg.write(Seq((1L, "a", ts1), (2L, "b", ts1), (3L, "c", ts2))
+      .toDF("k", "v", "ts"), path, partitionBy = Seq("ts"))
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 2L)
+    val got = Iceberg.read(spark, path).as[(Long, String, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L), s"MoR delete must drop k=2, got ${got.toSeq}")
+    // spec conformance: the delete file's file_path targets are
+    // byte-equal to the data manifest's file_path entries (a foreign
+    // reader compares them as strings)
+    val s = Iceberg.snapshot(spark, path)
+    assert(s.deletes.nonEmpty, "expected outstanding position-delete debt")
+    val manifestPaths = s.files.map(_.path).toSet
+    val targets = spark.read.parquet(s.deletes.map(_.path): _*)
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    assert(targets.subsetOf(manifestPaths),
+      s"delete targets must match manifest paths byte-for-byte:\n $targets\n vs $manifestPaths")
+  }
 }
