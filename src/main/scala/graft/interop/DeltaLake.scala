@@ -1354,21 +1354,49 @@ object DeltaLake {
         Option(n.get("remove")).foreach(r => out += decodePath(r.get("path").asText))
       }
     }
+    // Checkpoints: scan EVERY checkpoint artifact present — classic,
+    // every multi-part piece (complete group or not), V2 tops in both
+    // parquet and JSON shape, and the _sidecars files V2 tops
+    // reference. This is orphan PROTECTION: once the folded JSON tail
+    // is vacuumed, a V2 checkpoint's sidecars are the only record of
+    // live adds, and missing them would let a co-located Iceberg
+    // layer's removeOrphanFiles reclaim referenced Delta data files.
+    val sidecarDir = new HPath(logDir(root), "_sidecars")
+    val sidecars = scala.collection.mutable.LinkedHashSet.empty[HPath]
+    def addSidecar(sp: String): Unit =
+      sidecars += (if (sp.contains("/")) new HPath(sp) else new HPath(sidecarDir, sp)): Unit
+    def scanParquet(paths: Seq[String]): Unit = if (paths.nonEmpty) {
+      val rows = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val cols = rows.columns.toSet
+      rows.collect().foreach { r =>
+        if (cols("add") && r.getAs[Row]("add") != null)
+          out += decodePath(r.getAs[Row]("add").getAs[String]("path"))
+        if (cols("remove") && r.getAs[Row]("remove") != null)
+          out += decodePath(r.getAs[Row]("remove").getAs[String]("path"))
+        if (cols("sidecar") && r.getAs[Row]("sidecar") != null)
+          addSidecar(decodePath(r.getAs[Row]("sidecar").getAs[String]("path")))
+      }
+    }
     cpVs.foreach { c =>
       val names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith(f"$c%020d.checkpoint") && n.endsWith(".parquet"))
-      if (names.nonEmpty) {
-        val rows = spark.read.option("mergeSchema", "true")
-          .parquet(names.map(n => new HPath(logDir(root), n).toString): _*)
-        val cols = rows.columns.toSet
-        rows.collect().foreach { r =>
-          if (cols("add") && r.getAs[Row]("add") != null)
-            out += decodePath(r.getAs[Row]("add").getAs[String]("path"))
-          if (cols("remove") && r.getAs[Row]("remove") != null)
-            out += decodePath(r.getAs[Row]("remove").getAs[String]("path"))
+        .filter(_.startsWith(f"$c%020d.checkpoint"))
+      scanParquet(names.filter(_.endsWith(".parquet"))
+        .map(n => new HPath(logDir(root), n).toString))
+      names.filter(_.endsWith(".json")).foreach { n => // V2 JSON top
+        val in = fs.open(new HPath(logDir(root), n))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node = Json.readTree(line)
+          Option(node.get("add")).filterNot(_.isNull)
+            .foreach(a => out += decodePath(a.get("path").asText))
+          Option(node.get("remove")).filterNot(_.isNull)
+            .foreach(r => out += decodePath(r.get("path").asText))
+          Option(node.get("sidecar")).filterNot(_.isNull)
+            .foreach(sc => addSidecar(decodePath(sc.get("path").asText)))
         }
       }
     }
+    scanParquet(sidecars.toSeq.map(_.toString))
     out.toSet
   }
 

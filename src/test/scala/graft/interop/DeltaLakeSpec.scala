@@ -619,6 +619,19 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Files.deleteIfExists(log3.resolve(f".$v%020d.json.crc"))
     }
     assert(DeltaLake.read(spark, p3).count() == 21L)
+
+    // ---- orphan PROTECTION must see sidecar-only adds: once the JSON
+    // tail is vacuumed, the V2 sidecars are the only record of the live
+    // files — a co-located Iceberg layer's removeOrphanFiles consults
+    // allLoggedPaths and would otherwise reclaim referenced Delta data
+    val liveV2 = DeltaLake.snapshot(spark, p2).files.map(_.path).toSet
+    val loggedV2 = DeltaLake.allLoggedPaths(spark, p2)
+    assert(liveV2.nonEmpty && liveV2.subsetOf(loggedV2),
+      s"sidecar adds missing from allLoggedPaths: ${liveV2 -- loggedV2}")
+    val liveV2pq = DeltaLake.snapshot(spark, p3).files.map(_.path).toSet
+    val loggedV2pq = DeltaLake.allLoggedPaths(spark, p3)
+    assert(liveV2pq.nonEmpty && liveV2pq.subsetOf(loggedV2pq),
+      s"parquet-top sidecar adds missing: ${liveV2pq -- loggedV2pq}")
   }
 
   test("streaming sink: txn actions make batch replays exactly-once") {
