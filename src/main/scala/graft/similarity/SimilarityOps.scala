@@ -433,16 +433,17 @@ object SimilarityOps extends QueryModule {
 
   /** L3f: PRODUCT-QUANTIZATION ANN (the memory-bound tier of the FAISS
     * playbook, beside l3d's IVF compute tier) — each 64-d vector
-    * compresses to M=8 sub-codes from a K=16-centroid codebook (32×
-    * smaller than the float vectors), queries scan the CODES via an
-    * asymmetric-distance lookup table and only a top-R shortlist is
-    * re-ranked against true vectors. At 100 TB the ADC scan touches
-    * 8 bytes/vector instead of 256 — the difference between an
-    * in-memory index and an IO-bound one.
+    * compresses to M=8 sub-codes from a K=64-centroid codebook (6-bit
+    * codes, 6 bytes/vector — a 42× compression of the 256-byte float
+    * embedding), queries scan the CODES via an asymmetric-distance
+    * lookup table and only a top-150 shortlist is re-ranked against
+    * true vectors. At 100 TB the ADC scan touches 6 bytes/vector
+    * instead of 256 — the difference between an in-memory index and an
+    * IO-bound one.
     *
     * Spark-first, zero UDFs: encoding is posexplode(subvectors) ⋈
     * broadcast(centroids) → per-(vector, subspace) argmin via
-    * row_number; the query LUT is 10×8×16 rows (broadcast); the ADC
+    * row_number; the query LUT is 10×8×64 rows (broadcast); the ADC
     * scan is explode(codes) ⋈ broadcast(LUT) → sum — joins and
     * window functions end to end, fully codegen'd and distributed.
     *
