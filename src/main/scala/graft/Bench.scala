@@ -37,6 +37,8 @@ object Bench {
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", graft.ingest.Scratch.warehouse.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, shuffle service, parquet footer caches,

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", graft.ingest.Scratch.warehouse.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

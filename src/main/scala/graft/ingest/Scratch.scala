@@ -26,4 +26,12 @@ object Scratch {
     cleanupHook
     procRoot.resolve(area).resolve(s"${name}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}")
   }
+
+  /** The process's V2-catalog warehouse root — session-constant (the
+    * `spark.sql.catalog.graft.warehouse` conf is set once at build),
+    * cleaned with the rest of the scratch tree. */
+  def warehouse: Path = {
+    cleanupHook
+    procRoot.resolve("warehouse")
+  }
 }

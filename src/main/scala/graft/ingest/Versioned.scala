@@ -2484,6 +2484,24 @@ object Versioned {
       schema = newSchema, meta = Map(ColIdsKey -> renderColIds(ids - name)))
   }
 
+  /** ADD a nullable column without touching a single data file: a
+    * metadata-only derived commit — the schema gains the field under a
+    * FRESH stable column id, so the id-aligned read path serves every
+    * pre-addition file with the column as NULL (no file carries the
+    * id). Non-nullable additions are refused: every existing row would
+    * violate the constraint it claims. Time travel below the addition
+    * presents the schema each snapshot committed. */
+  def addColumn(path: String, name: String, dataType: DataType): Long = {
+    val (fs, root, base, _, schema, ids) = evolutionBase(path, "addColumn")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"Versioned.addColumn: column '$name' already exists")
+    val newSchema = StructType(schema.fields :+ StructField(name, dataType, nullable = true))
+    val newIds = ids + (name -> ((0 +: ids.values.toSeq).max + 1))
+    val v = claimExact(fs, root, base) // derived: lost-update guard
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = newSchema, meta = Map(ColIdsKey -> renderColIds(newIds)))
+  }
+
   /** RESTORE: roll the table back to retained `version` by publishing
     * that snapshot's manifest as a NEW commit — history is never
     * rewritten, the bad commits stay inspectable, and not one data

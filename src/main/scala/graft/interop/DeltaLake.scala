@@ -1657,6 +1657,38 @@ object DeltaLake {
     v
   }
 
+  /** ADD a nullable column: one metaData commit, zero data files
+    * touched — existing files simply lack the column and read as NULL
+    * (the protocol's additive-evolution rule, the same shape
+    * `mergeSchema` appends produce). On a COLUMN-MAPPED table the new
+    * field is minted a fresh id + physical name and
+    * `delta.columnMapping.maxColumnId` advances (the spec's id-reuse
+    * guard). Non-nullable additions are refused — every existing row
+    * would violate the constraint. */
+  def addColumn(spark: SparkSession, path: String, name: String, dataType: DataType): Long = {
+    val snap = snapshot(spark, path)
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"DeltaLake.addColumn: column $name already exists")
+    val newField = StructField(name, dataType, nullable = true)
+    val (fields, conf) =
+      if (snap.mapMode.isEmpty) (snap.rawSchema.fields :+ newField, snap.configuration)
+      else {
+        val maxId = snap.configuration.get(MaxIdKey).map(_.toLong).getOrElse(0L)
+        val (minted, newMax) = mintField(newField, maxId)
+        (snap.rawSchema.fields :+ minted, snap.configuration + (MaxIdKey -> newMax.toString))
+      }
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ADD COLUMN")
+    commitLines(fs, root, v, Seq(
+      metaDataLine(StructType(fields), snap.partitionColumns, now, conf),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
   /** Stage `rows` (table columns + `_change_type`) as cdc parquet
     * under `_change_data/`, partitioned like the table, and return the
     * spec's `cdc` action lines (`dataChange=false` per the protocol). */

@@ -2090,6 +2090,39 @@ object Iceberg {
     metaV + 1
   }
 
+  /** ADD an optional column: a new schema version whose field gets a
+    * FRESH id above `last-column-id` (the spec's id-reuse guard), zero
+    * data files touched — files without the id serve it as NULL under
+    * field-id resolution. Required additions are refused (every
+    * existing row would violate them). */
+  def addColumn(spark: SparkSession, path: String, name: String, dataType: DataType): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.addColumn: $path is a format-version 1 table — read-only here")
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
+    require(!names.exists(_.equalsIgnoreCase(name)),
+      s"Iceberg.addColumn: column $name already exists")
+    val renderedType = icebergType(dataType) // throws on unsupported types
+    val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+    val newFieldId = meta.get("last-column-id").asInt + 1
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", maxSchemaId + 1)
+    val nf = newSchema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      .addObject()
+    nf.put("id", newFieldId); nf.put("name", name)
+    nf.put("required", false); nf.put("type", renderedType)
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-column-id", newFieldId)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
   /** The id of the newest snapshot with sequence number <= `seq` —
     * what a streaming bootstrap pins its first batch to (serving the
     * LIVE snapshot instead would double-deliver any commit that lands

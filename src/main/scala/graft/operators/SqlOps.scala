@@ -89,5 +89,101 @@ object SqlOps extends QueryModule {
     Some(sub4Sql),
   )
 
-  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral)
+  /** S50: the DataSourceV2 TableCatalog surface (r8 verdict #1) — SQL
+    * over NAMES instead of paths, through
+    * [[org.apache.spark.sql.graft.GraftCatalog]] (registered by the
+    * session builders as `spark.sql.catalog.graft` + `.warehouse`).
+    * The entry drives the full catalog lifecycle and `require`s each
+    * V2-only capability the path connectors could not offer:
+    *
+    *  - `CREATE NAMESPACE` / `CREATE TABLE ... USING delta PARTITIONED
+    *    BY (grp)` (an empty, layout-declared table);
+    *  - `INSERT INTO` by name, twice — and the partition layout
+    *    SURVIVES them (planning-time pruning require'd via the shared
+    *    FileIndex introspection — the V2 relation swaps to the SAME
+    *    pruning DSv1 relation during resolution);
+    *  - SQL TIME TRAVEL syntax: `VERSION AS OF 1` sees exactly the
+    *    first insert, `TIMESTAMP AS OF <future>` the current snapshot;
+    *  - `MERGE INTO` / `DELETE FROM` on the catalog NAME (the DSv1 DML
+    *    rules fire after the swap; the DELETE lands merge-on-read);
+    *  - `ALTER TABLE ADD COLUMN` / `RENAME COLUMN` through the V2
+    *    alterTable path (graft: both metadata-only);
+    *  - `SHOW TABLES` / `DESCRIBE EXTENDED` over the namespace.
+    *
+    * The FINAL state of the Delta table is the oracled result — the
+    * whole SQL lifecycle must land exactly the rows the oracle derives
+    * from `customer` in one expression. */
+  val s50CatalogSql = QueryDef(
+    "s50_catalog_sql",
+    (s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ns = "cat_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+      s.sql(s"CREATE NAMESPACE graft.$ns")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          (col("c_custkey") % 4).as("grp"))
+        .createOrReplaceTempView("s50_cust")
+      s.sql(s"""CREATE TABLE graft.$ns.cust (c_custkey BIGINT, segment STRING, grp BIGINT)
+                USING delta PARTITIONED BY (grp)""")
+      s.sql(s"INSERT INTO graft.$ns.cust SELECT * FROM s50_cust WHERE c_custkey % 2 = 0")
+      s.sql(s"INSERT INTO graft.$ns.cust SELECT * FROM s50_cust WHERE c_custkey % 2 = 1")
+      val evens = s.sql("SELECT count(*) FROM s50_cust WHERE c_custkey % 2 = 0").head().getLong(0)
+      val total = s.sql("SELECT count(*) FROM s50_cust").head().getLong(0)
+      // SQL time travel — the V2-catalog capability the r8 verdict ranked first
+      require(s.sql(s"SELECT count(*) FROM graft.$ns.cust VERSION AS OF 1")
+        .head().getLong(0) == evens,
+        "s50: VERSION AS OF 1 must pin the first insert's snapshot")
+      require(s.sql(s"SELECT count(*) FROM graft.$ns.cust TIMESTAMP AS OF '2030-01-01 00:00:00'")
+        .head().getLong(0) == total,
+        "s50: TIMESTAMP AS OF a future instant must serve the current snapshot")
+      // the swapped relation is the pruning FileIndex one: a partition
+      // filter over the NAME must plan a strict file subset
+      val tableDir = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.catalog.graft.warehouse"), ns, "cust").toString
+      require(s.sql(s"SELECT count(*) FROM graft.$ns.cust WHERE grp = 2").head().getLong(0) ==
+        s.sql("SELECT count(*) FROM s50_cust WHERE grp = 2").head().getLong(0),
+        "s50: partition-filtered count must match")
+      val (kept, tot) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(tableDir)
+        .getOrElse(throw new IllegalStateException(
+          "s50: the catalog read must plan through the pruning FileIndex"))
+      require(kept < tot,
+        s"s50: a partition filter over the catalog name must prune at planning ($kept/$tot)")
+      // DML on the catalog name: matched-update MERGE, then a
+      // merge-on-read DELETE
+      s.sql(s"""MERGE INTO graft.$ns.cust t
+                USING (SELECT c_custkey, concat('M_', segment) AS segment, grp
+                       FROM s50_cust WHERE c_custkey % 10 = 0) s
+                ON t.c_custkey = s.c_custkey
+                WHEN MATCHED THEN UPDATE SET *""")
+      s.sql(s"DELETE FROM graft.$ns.cust WHERE c_custkey % 7 = 3")
+      // ALTER through the V2 catalog path on a second (graft-format) table
+      s.sql(s"CREATE TABLE graft.$ns.g (k BIGINT, v STRING) USING graft")
+      s.sql(s"INSERT INTO graft.$ns.g VALUES (1, 'a'), (2, 'b')")
+      s.sql(s"ALTER TABLE graft.$ns.g RENAME COLUMN v TO label")
+      s.sql(s"ALTER TABLE graft.$ns.g ADD COLUMN note DOUBLE")
+      require(s.table(s"graft.$ns.g").columns.toSeq == Seq("k", "label", "note"),
+        "s50: ALTER RENAME + ADD COLUMN must land through the V2 alterTable path")
+      require(s.sql(s"SELECT count(*) FROM graft.$ns.g WHERE note IS NULL").head().getLong(0) == 2L,
+        "s50: pre-addition rows must read the added column as NULL")
+      // catalog introspection
+      require(s.sql(s"SHOW TABLES IN graft.$ns").collect().map(_.getString(1)).sorted.toSeq ==
+        Seq("cust", "g"), "s50: SHOW TABLES must list both catalog tables")
+      require(s.sql(s"DESCRIBE EXTENDED graft.$ns.cust").collect()
+        .exists(r => String.valueOf(r.get(1)).contains("delta")),
+        "s50: DESCRIBE EXTENDED must report the provider")
+      s.sql(s"SELECT c_custkey, segment, grp FROM graft.$ns.cust ORDER BY c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 10 = 0 THEN 'M_' || c_mktsegment
+             ELSE c_mktsegment END AS segment,
+        c_custkey % 4 AS grp
+      FROM customer
+      WHERE c_custkey % 7 <> 3
+      ORDER BY c_custkey
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, s50CatalogSql)
 }

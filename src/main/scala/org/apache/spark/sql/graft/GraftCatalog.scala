@@ -1,0 +1,612 @@
+/* Shim-packaged like the other connector pieces: the catalog itself
+ * uses only the public DataSourceV2 catalog API, but its resolution
+ * rule swaps `DataSourceV2Relation` for the battle-tested DSv1
+ * `LogicalRelation`s (HadoopFsRelation + pruning FileIndex) and plans
+ * `LeafRunnableCommand`s — Spark-internal surfaces, the exact seam
+ * Delta's DeltaAnalysis rides for its own catalog tables. */
+package org.apache.spark.sql.graft
+
+import graft.ingest.{Versioned, Writers}
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, ResolvedIdentifier, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.NamespaceChange
+import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{BooleanType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A metastore-free [[TableCatalog]] over a warehouse DIRECTORY: each
+  * namespace is a directory, each table a graft-versioned / Delta /
+  * Iceberg table directory under it, and the format is detected from
+  * the table's own on-disk signature (`_delta_log/`, `metadata/
+  * *.metadata.json`, the graft version protocol) — the catalog stores
+  * NOTHING of its own, so any table written by the path APIs is
+  * instantly addressable by name, and vice versa.
+  *
+  * Registration (one conf pair, any deployment):
+  * {{{
+  *   spark.sql.catalog.graft           org.apache.spark.sql.graft.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse /data/warehouse
+  * }}}
+  *
+  * What SQL gains over the path connectors:
+  *  - `CREATE TABLE graft.db.t (k BIGINT, ...) USING delta PARTITIONED
+  *    BY (grp)` (providers: graft | delta | iceberg; Iceberg also takes
+  *    transform partitions `bucket(16, k)`, `days(ts)`, ...);
+  *  - name-based reads with TIME TRAVEL syntax — `SELECT ... FROM
+  *    graft.db.t VERSION AS OF 3` / `TIMESTAMP AS OF '...'` (mapped to
+  *    the format's version / snapshot-id / timestamp resolution);
+  *  - `INSERT INTO` / `INSERT OVERWRITE`, `UPDATE` / `DELETE` / `MERGE`
+  *    (the DSv1 DML rules fire after [[GraftCatalogRule]] swaps the
+  *    relation), CTAS, `ALTER TABLE ADD/RENAME/DROP COLUMN`,
+  *    `SHOW TABLES`, `DESCRIBE EXTENDED`, `DROP TABLE`.
+  *
+  * Planning scale is unchanged from the path connectors: reads resolve
+  * to the SAME pruning FileIndex relations (partition pruning +
+  * manifest-stats file skipping at planning time), because analysis
+  * swaps the V2 relation for the DSv1 one before a single physical
+  * node is chosen. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse to the warehouse directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fsRoot: (org.apache.hadoop.fs.FileSystem, HPath) = {
+    val root = new HPath(warehouse)
+    (root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def dirOf(parts: Seq[String]): HPath =
+    parts.foldLeft(fsRoot._2)((p, s) => new HPath(p, s))
+
+  private def tableDir(ident: Identifier): HPath =
+    dirOf(ident.namespace.toSeq :+ ident.name)
+
+  /** The table's format from its own on-disk signature — a `_delta_log`
+    * dir (Delta), a `metadata` dir holding `.metadata.json` files
+    * (Iceberg), a committed graft version. None = not a table. */
+  private def formatOf(dir: HPath): Option[String] = {
+    val (fs, _) = fsRoot
+    if (!fs.exists(dir)) None
+    else if (fs.exists(new HPath(dir, "_delta_log"))) Some("delta")
+    else if (fs.exists(new HPath(dir, "metadata")) &&
+      fs.listStatus(new HPath(dir, "metadata"))
+        .exists(_.getPath.getName.endsWith(".metadata.json"))) Some("iceberg")
+    else if (Versioned.currentVersion(dir.toString).nonEmpty) Some("graft")
+    else None
+  }
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, root) = fsRoot
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => formatOf(p).isEmpty)
+      .map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir) || formatOf(dir).nonEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => formatOf(p).isEmpty)
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir) || formatOf(dir).nonEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    Collections.singletonMap("location", dir.toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val (fs, _) = fsRoot
+    fs.mkdirs(dirOf(namespace.toSeq)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: namespaces carry no mutable metadata (they are directories)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) false
+    else {
+      if (!cascade) require(fs.listStatus(dir).isEmpty,
+        s"GraftCatalog: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(dir, true)
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace.toSeq)
+    fs.exists(dir) && formatOf(dir).isEmpty
+  }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => formatOf(p).nonEmpty)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = formatOf(tableDir(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
+    GraftTable(fmt, dir.toString, fullName(ident), Map.empty)
+  }
+
+  /** `VERSION AS OF <v>` — graft/Delta version, Iceberg snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
+    require(version.matches("-?\\d+"),
+      s"GraftCatalog: VERSION AS OF expects a numeric ${if (fmt == "iceberg") "snapshot id" else "version"}, got '$version'")
+    val key = if (fmt == "iceberg") "snapshotId" else "versionAsOf"
+    GraftTable(fmt, dir.toString, fullName(ident), Map(key -> version))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch, per the V2 contract)
+    * — resolved HERE to the snapshot current at that instant, so the
+    * loaded table is pinned exactly like the version form. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val travel = fmt match {
+      case "delta" => Map("versionAsOf" ->
+        graft.interop.DeltaLake.versionAsOf(dir.toString, ms).toString)
+      case "iceberg" => Map("snapshotId" ->
+        graft.interop.Iceberg.snapshotAsOf(dir.toString, ms).toString)
+      case _ => Map("versionAsOf" ->
+        Versioned.versionAsOf(dir.toString, ms).getOrElse(throw new IllegalArgumentException(
+          s"GraftCatalog: no version of ${fullName(ident)} committed at or before the timestamp")).toString)
+    }
+    GraftTable(fmt, dir.toString, fullName(ident), travel)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (formatOf(dir).nonEmpty) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val fmt = props.get(TableCatalog.PROP_PROVIDER).map(_.toLowerCase) match {
+      case None | Some("graft") | Some("graft-versioned") => "graft"
+      case Some("delta") => "delta"
+      case Some("iceberg") => "iceberg"
+      case Some(other) => throw new IllegalArgumentException(
+        s"GraftCatalog: unsupported provider '$other' (USING graft | delta | iceberg)")
+    }
+    props.get(TableCatalog.PROP_LOCATION).foreach(_ => throw new IllegalArgumentException(
+      "GraftCatalog: LOCATION is not supported — tables live under the warehouse directory"))
+    val partSpecs = partitions.toSeq.map(t => GraftCatalog.transformSpec(t, fmt))
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      // partitioned creates write through partitionBy, which requires
+      // the partition columns LAST in the frame — reorder, the reader
+      // reports partition columns trailing anyway (Hive layout)
+      GraftCatalog.partitionsLast(schema, partitions))
+    fmt match {
+      case "graft" =>
+        // an EMPTY partitioned commit writes no Hive dirs, so the
+        // layout cannot be derived from the manifest until the first
+        // insert — record the DECLARED columns in the commit meta and
+        // the first insert lays the table out from them
+        val meta =
+          if (partSpecs.isEmpty) Map.empty[String, String]
+          else Map(GraftCatalog.PartColsMetaKey -> partSpecs.mkString(","))
+        Versioned.commit(empty, dir.toString, meta = meta)
+      case "delta" =>
+        graft.interop.DeltaLake.write(empty, dir.toString, partitionBy = partSpecs)
+      case "iceberg" =>
+        graft.interop.Iceberg.write(empty, dir.toString, partitionBy = partSpecs)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
+    val path = dir.toString
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "GraftCatalog ALTER ADD COLUMN: nested additions are not supported")
+        require(add.isNullable,
+          "GraftCatalog ALTER ADD COLUMN: only nullable additions are supported " +
+            "(every existing row would violate NOT NULL)")
+        require(add.position() == null,
+          "GraftCatalog ALTER ADD COLUMN: FIRST/AFTER positions are not supported " +
+            "(columns append at the end)")
+        fmt match {
+          case "graft" => Versioned.addColumn(path, add.fieldNames.head, add.dataType)
+          case "delta" => graft.interop.DeltaLake.addColumn(spark, path, add.fieldNames.head, add.dataType)
+          case _ => graft.interop.Iceberg.addColumn(spark, path, add.fieldNames.head, add.dataType)
+        }
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "GraftCatalog ALTER RENAME COLUMN: nested renames are not supported")
+        fmt match {
+          case "graft" => Versioned.renameColumn(path, ren.fieldNames.head, ren.newName)
+          case "delta" => graft.interop.DeltaLake.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+          case _ => graft.interop.Iceberg.renameColumn(spark, path, ren.fieldNames.head, ren.newName)
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "GraftCatalog ALTER DROP COLUMN: nested drops are not supported")
+        fmt match {
+          case "graft" => Versioned.dropColumn(path, del.fieldNames.head)
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: ALTER DROP COLUMN is not implemented for $other tables " +
+              "(it needs the format's delete-column evolution rules)")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
+          "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN (graft)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val (fs, _) = fsRoot
+    val dir = tableDir(ident)
+    if (formatOf(dir).isEmpty) false else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    val (fs, _) = fsRoot
+    // `ALTER TABLE graft.db.t RENAME TO graft.db.t2` arrives with the
+    // catalog name still leading the new identifier's namespace —
+    // strip it, or the table lands under a literal `graft/` directory
+    val newIdent =
+      if (newIdentRaw.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdentRaw.namespace.drop(1), newIdentRaw.name)
+      else newIdentRaw
+    if (formatOf(tableDir(oldIdent)).isEmpty) throw new NoSuchTableException(oldIdent)
+    if (formatOf(tableDir(newIdent)).nonEmpty) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"GraftCatalog: rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+}
+
+object GraftCatalog {
+
+  /** Commit-meta key recording a graft table's DECLARED partition
+    * columns while the table is still empty (no Hive dirs to derive
+    * the layout from). */
+  private[graft] val PartColsMetaKey = "graft.catalog.partitionColumns"
+
+  /** A V2 partition transform → the partitionBy spec string the
+    * format's writer takes. Identity everywhere; Iceberg additionally
+    * takes its spec transforms (`bucket(16, k)`, `days(ts)`, ...). */
+  private[graft] def transformSpec(t: Transform, fmt: String): String = t match {
+    case id: IdentityTransform => id.references.head.fieldNames.mkString(".")
+    case other if fmt == "iceberg" =>
+      val args = other.arguments.map {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_] => lit.value.toString
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+          ref.fieldNames.mkString(".")
+        case a => a.toString
+      }
+      other.name match {
+        case "bucket" => s"bucket(${args.mkString(", ")})"
+        case "truncate" => s"truncate(${args.mkString(", ")})"
+        case "years" | "year" => s"years(${args.head})"
+        case "months" | "month" => s"months(${args.head})"
+        case "days" | "day" => s"days(${args.head})"
+        case "hours" | "hour" => s"hours(${args.head})"
+        case n => throw new IllegalArgumentException(
+          s"GraftCatalog: unsupported Iceberg partition transform $n")
+      }
+    case other => throw new IllegalArgumentException(
+      s"GraftCatalog: $fmt tables take identity partition columns only, got $other")
+  }
+
+  /** Identity partition columns moved LAST (Hive layout order) — what
+    * partitionBy-writing and the readers both report. */
+  private[graft] def partitionsLast(schema: StructType, partitions: Array[Transform]): StructType = {
+    val identity = partitions.collect {
+      case id: IdentityTransform => id.references.head.fieldNames.mkString(".")
+    }.toSeq
+    if (identity.isEmpty) schema
+    else StructType(
+      schema.fields.filterNot(f => identity.contains(f.name)) ++
+        identity.map(c => schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"GraftCatalog: partition column $c is not in the table schema"))))
+  }
+}
+
+/** One loaded catalog table: format + path + optional time-travel pin.
+  * Carries NO read/write capabilities on purpose — every reference is
+  * swapped to the DSv1 relation by [[GraftCatalogRule]] during
+  * resolution, so a reference that somehow escapes the rule fails
+  * loudly in CheckAnalysis instead of mis-planning. */
+case class GraftTable(format: String, path: String, fullName: String,
+    travel: Map[String, String]) extends Table {
+
+  /** The DSv1 relation this table resolves to — the SAME pruning
+    * FileIndex relations the path connectors serve (time-travel pins
+    * included via the provider's own options). */
+  lazy val relation: org.apache.spark.sql.sources.BaseRelation = {
+    val sqlc = SparkSession.active.asInstanceOf[ClassicSession].sqlContext
+    val params = Map("path" -> path) ++ travel
+    format match {
+      case "delta" => new graft.interop.DeltaSourceProvider().createRelation(sqlc, params)
+      case "iceberg" => new graft.interop.IcebergSourceProvider().createRelation(sqlc, params)
+      case _ =>
+        try new VersionedSourceProvider().createRelation(sqlc, params)
+        catch {
+          // the strict file-list relation refuses snapshots spanning a
+          // schema evolution (renames/adds over unrewritten files); the
+          // catalog serves them through the id-aligning library read —
+          // the same TableScan fallback shape as merge-on-read debt
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("spans a schema evolution") =>
+            val v = travel.get("versionAsOf").map(_.toLong)
+              .orElse(Versioned.currentVersion(path))
+              .getOrElse(throw e)
+            new GraftVersionedMoRRelation(sqlc, path, v)
+        }
+    }
+  }
+
+  /** Declared partitioning, straight from the format's metadata. */
+  lazy val partitionSpecs: Seq[String] = format match {
+    case "delta" =>
+      graft.interop.DeltaLake.snapshot(SparkSession.active, path).partitionColumns
+    case "iceberg" =>
+      graft.interop.Iceberg.snapshot(SparkSession.active, path).partFields.map { f =>
+        f.transform match {
+          case graft.interop.Iceberg.TIdentity => f.source
+          case graft.interop.Iceberg.TBucket(n) => s"bucket($n, ${f.source})"
+          case graft.interop.Iceberg.TTruncate(w) => s"truncate($w, ${f.source})"
+          case graft.interop.Iceberg.TYear => s"years(${f.source})"
+          case graft.interop.Iceberg.TMonth => s"months(${f.source})"
+          case graft.interop.Iceberg.TDay => s"days(${f.source})"
+          case graft.interop.Iceberg.THour => s"hours(${f.source})"
+        }
+      }
+    case _ =>
+      val derived = Versioned.currentVersion(path).toSeq.flatMap { v =>
+        Versioned.manifest(path, v).find(_.partDir.nonEmpty).toSeq
+          .flatMap(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+      }
+      if (derived.nonEmpty) derived
+      else Versioned.versions(path).headOption.toSeq.flatMap { v0 =>
+        Versioned.commitMeta(path, v0).get(GraftCatalog.PartColsMetaKey).toSeq
+          .flatMap(_.split(",").toSeq.filter(_.nonEmpty))
+      }
+  }
+
+  override def name(): String = fullName
+  override def schema(): StructType = relation.schema
+
+  override def partitioning(): Array[Transform] = {
+    val bucketRe = """bucket\((\d+),\s*(\S+)\)""".r
+    val truncRe = """truncate\((\d+),\s*(\S+)\)""".r
+    val unaryRe = """(years|months|days|hours)\((\S+)\)""".r
+    partitionSpecs.map {
+      case bucketRe(n, c) => Expressions.bucket(n.toInt, c)
+      case truncRe(w, c) => Expressions.apply("truncate", Expressions.literal(w.toInt),
+        Expressions.column(c))
+      case unaryRe("years", c) => Expressions.years(c)
+      case unaryRe("months", c) => Expressions.months(c)
+      case unaryRe("days", c) => Expressions.days(c)
+      case unaryRe("hours", c) => Expressions.hours(c)
+      case ident => Expressions.identity(ident)
+    }.toArray
+  }
+
+  override def properties(): java.util.Map[String, String] =
+    (Map(TableCatalog.PROP_PROVIDER -> format, TableCatalog.PROP_LOCATION -> path)
+      ++ travel).asJava
+
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    Collections.emptySet()
+}
+
+/** The catalog's one resolution rule (injected by
+  * [[GraftSparkExtensions]] BEFORE the DML rules): V2 plans over
+  * [[GraftTable]]s become the DSv1 shapes the rest of the engine
+  * already serves —
+  *
+  *  - a bare `DataSourceV2Relation` becomes the
+  *    `LogicalRelation(HadoopFsRelation)` with the pruning FileIndex
+  *    (same attribute ids, so enclosing resolved plans are untouched);
+  *  - `AppendData` / full-predicate `OverwriteByExpression` (INSERT
+  *    INTO / INSERT OVERWRITE) become [[GraftCatalogWriteCommand]]
+  *    over the format's log-commit writers;
+  *  - `CreateTableAsSelect` becomes [[GraftCatalogCtasCommand]]
+  *    (create through the catalog, then one append).
+  *
+  * The write nodes are matched FIRST and hold their table as a non-child
+  * field, so the blanket relation swap below them can never corrupt a
+  * typed `NamedRelation` slot. */
+class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val afterCommands = plan.transformDown {
+      case AppendData(r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+          query, _, isByName, _, _) if r.table.isInstanceOf[GraftTable] && query.resolved =>
+        val t = r.table.asInstanceOf[GraftTable]
+        GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
+          query, overwrite = false, byName = isByName)
+      case OverwriteByExpression(
+          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+          deleteExpr, query, _, isByName, _, _)
+          if r.table.isInstanceOf[GraftTable] && query.resolved =>
+        require(isFullOverwrite(deleteExpr),
+          "GraftCatalog: INSERT OVERWRITE with a static PARTITION clause is not supported — " +
+            "overwrite the whole table or MERGE by key")
+        val t = r.table.asInstanceOf[GraftTable]
+        GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
+          query, overwrite = true, byName = isByName)
+      case OverwritePartitionsDynamic(
+          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation, _, _, _, _)
+          if r.table.isInstanceOf[GraftTable] =>
+        throw new UnsupportedOperationException(
+          "GraftCatalog: dynamic partition overwrite is not supported — use a full " +
+            "INSERT OVERWRITE, or MERGE by key for partition-scoped upserts")
+      case CreateTableAsSelect(ResolvedIdentifier(cat: GraftCatalog, ident),
+          parts, query, spec: TableSpec, _, ignoreIfExists, _) if query.resolved =>
+        GraftCatalogCtasCommand(cat, ident, parts, query,
+          spec.provider, ignoreIfExists)
+    }
+    afterCommands.transformUp {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] =>
+        LogicalRelation(r.table.asInstanceOf[GraftTable].relation, r.output, None,
+          isStreaming = false, stream = None)
+    }
+  }
+
+  private def isFullOverwrite(e: Expression): Boolean = e match {
+    case Literal(true, BooleanType) => true
+    case _ => false
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE a catalog table, through the
+  * format's log-commit writers. Alignment follows SQL's insert
+  * contract: positional (with casts to the declared column types), or
+  * by-name for the by-name V2 writes. Partition layout: appends
+  * inherit the table's layout from its own metadata (each writer's
+  * rule); overwrites re-declare the CURRENT spec, so an INSERT
+  * OVERWRITE never silently drops the table's partitioning. */
+case class GraftCatalogWriteCommand(
+    format: String,
+    path: String,
+    partSpecs: Seq[String],
+    tableSchema: StructType,
+    source: LogicalPlan,
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val classic = spark.asInstanceOf[ClassicSession]
+    val src = Dataset.ofRows(classic, source)
+    val aligned =
+      if (byName) {
+        val missing = tableSchema.fields.map(_.name)
+          .filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"GraftCatalog INSERT by name: missing columns ${missing.mkString(", ")}")
+        src.select(tableSchema.fields.toIndexedSeq.map(f =>
+          col(src.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
+      } else {
+        require(src.columns.length == tableSchema.fields.length,
+          s"GraftCatalog INSERT: ${src.columns.length} columns provided, table has " +
+            s"${tableSchema.fields.length}")
+        src.select(src.columns.toIndexedSeq.zip(tableSchema.fields.toIndexedSeq).map {
+          case (c, f) => col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    format match {
+      case "graft" =>
+        val layout = Versioned.currentVersion(path).toSeq.flatMap { v =>
+          Versioned.manifest(path, v).find(_.partDir.nonEmpty).toSeq
+            .flatMap(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+        }
+        val cols = if (layout.nonEmpty) layout else partSpecs
+        (overwrite, cols.nonEmpty) match {
+          case (true, true) => Versioned.commitPartitioned(aligned, path, cols: _*)
+          case (true, false) => Versioned.commit(aligned, path)
+          case (false, true) if layout.nonEmpty =>
+            Versioned.appendCommitPartitioned(aligned, path)
+          case (false, true) =>
+            // declared-partitioned but still EMPTY: the first insert
+            // lays the table out (manifest has no dirs to derive from)
+            Versioned.commitPartitioned(aligned, path, cols: _*)
+          case (false, false) => Versioned.appendCommit(aligned, path)
+        }
+      case "delta" =>
+        graft.interop.DeltaLake.write(aligned, path,
+          partitionBy = if (overwrite) partSpecs else Nil,
+          mode = if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+                 else org.apache.spark.sql.SaveMode.Append)
+      case _ =>
+        graft.interop.Iceberg.write(aligned, path,
+          partitionBy = if (overwrite) partSpecs else Nil,
+          mode = if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+                 else org.apache.spark.sql.SaveMode.Append)
+    }
+    Seq.empty
+  }
+}
+
+/** CTAS: create the (empty) table through the catalog with the query's
+  * schema, then run one append through [[GraftCatalogWriteCommand]]'s
+  * alignment-free path — the schema IS the query's. */
+case class GraftCatalogCtasCommand(
+    catalog: GraftCatalog,
+    ident: Identifier,
+    partitions: Seq[Transform],
+    source: LogicalPlan,
+    provider: Option[String],
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new TableAlreadyExistsException(ident)
+    }
+    val classic = spark.asInstanceOf[ClassicSession]
+    val df = Dataset.ofRows(classic, source)
+    val props = new java.util.HashMap[String, String]()
+    provider.foreach(p => props.put(TableCatalog.PROP_PROVIDER, p))
+    val created = catalog.createTable(ident, df.schema, partitions.toArray, props)
+      .asInstanceOf[GraftTable]
+    GraftCatalogWriteCommand(created.format, created.path, created.partitionSpecs,
+      GraftCatalog.partitionsLast(df.schema, partitions.toArray),
+      source, overwrite = false, byName = true).run(spark)
+  }
+}

@@ -33,8 +33,13 @@ object ColumnBridge {
   * MERGE INTO. INSERT INTO needs no extension — it lands through
   * [[GraftVersionedRelation]]'s `InsertableRelation` seam. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // catalog swap FIRST: once a GraftTable's V2 relation is the DSv1
+    // LogicalRelation, the MERGE/DML rule below serves catalog tables
+    // through the same matches as path tables
+    ext.injectResolutionRule(session => new GraftCatalogRule(session))
     ext.injectResolutionRule(session => new GraftMergeIntoRule(session))
+  }
 }
 
 /** Resolution rule: `MERGE INTO <graft-versioned table> t USING src s

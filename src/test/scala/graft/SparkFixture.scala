@@ -23,5 +23,9 @@ object SparkFixture {
     .config("spark.sql.parquet.fieldId.write.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkExtensions")
+    .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse",
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_test", "warehouse").toString)
     .getOrCreate()
 }

@@ -1052,6 +1052,28 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(folded.columns.toSeq == Seq("k", "label") && folded.count() == 4)
   }
 
+  test("addColumn is metadata-only: pre-addition files read the new column as NULL") {
+    import spark.implicits._
+    val path = freshDir("versioned_addcol")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)      // v1
+    val before = Versioned.manifest(path, 1L)
+    val va = Versioned.addColumn(path, "score", org.apache.spark.sql.types.DoubleType) // v2
+    assert(va == 2L)
+    assert(Versioned.manifest(path, 2L) == before, "addColumn touched the manifest's files")
+    val cur = Versioned.read(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "v", "score"))
+    assert(cur.filter(org.apache.spark.sql.functions.col("score").isNull).count() == 2L)
+    // time travel below the addition presents the pre-addition schema
+    assert(Versioned.readAt(spark, path, 1L).columns.toSeq == Seq("k", "v"))
+    // appends after the addition carry the column; old files stay NULL
+    Versioned.appendCommit(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path)
+    val got = Versioned.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    intercept[IllegalArgumentException](
+      Versioned.addColumn(path, "V", org.apache.spark.sql.types.LongType)) // case-clash refused
+  }
+
   test("dropColumn is metadata-only; CDF across a rename flags schema_change; guards hold") {
     import spark.implicits._
     val path = freshDir("versioned_drop")

@@ -294,6 +294,37 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).count() == 4L)
   }
 
+  test("addColumn: one metaData commit; old files read NULL; mapped tables mint a fresh id") {
+    import spark.implicits._
+    val path = freshDir("delta_addcol")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    DeltaLake.addColumn(spark, path, "score", org.apache.spark.sql.types.DoubleType)
+    val cur = DeltaLake.read(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "v", "score"))
+    assert(cur.filter(col("score").isNull).count() == 2L)
+    DeltaLake.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+      mode = SaveMode.Append)
+    val got = DeltaLake.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // mapped table: the added field gets a fresh id + physical name and
+    // maxColumnId advances
+    val mp = freshDir("delta_addcol_mapped")
+    DeltaLake.write(Seq((1L, "x")).toDF("k", "v"), mp)
+    DeltaLake.upgradeColumnMapping(spark, mp)
+    val maxBefore = DeltaLake.snapshot(spark, mp)
+      .configuration("delta.columnMapping.maxColumnId").toLong
+    DeltaLake.addColumn(spark, mp, "w", org.apache.spark.sql.types.LongType)
+    val snapM = DeltaLake.snapshot(spark, mp)
+    assert(snapM.configuration("delta.columnMapping.maxColumnId").toLong == maxBefore + 1)
+    val wf = snapM.rawSchema.fields.find(_.name == "w").get
+    assert(wf.metadata.contains("delta.columnMapping.physicalName") &&
+      wf.metadata.getLong("delta.columnMapping.id") == maxBefore + 1)
+    assert(DeltaLake.read(spark, mp).columns.toSeq == Seq("k", "v", "w"))
+    intercept[IllegalArgumentException](
+      DeltaLake.addColumn(spark, path, "K", org.apache.spark.sql.types.LongType))
+  }
+
   test("upgradeColumnMapping + renameColumn: a rename is one metadata line, zero data files") {
     import spark.implicits._
     val path = freshDir("delta_cm_upgrade")

@@ -1,0 +1,154 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end SQL over the V2 [[org.apache.spark.sql.graft.GraftCatalog]]:
+  * CREATE / INSERT / SELECT with time-travel syntax / DML / ALTER /
+  * SHOW / DESCRIBE / CTAS / DROP, for all three formats. The catalog is
+  * registered by SparkFixture (`spark.sql.catalog.graft` +
+  * `.warehouse`), exactly the two conf lines a deployment adds. */
+class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
+
+  private def wipe(ns: String): Unit = {
+    Writers.deleteTree(Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", ns))
+    (): Unit
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("graft format: create, insert, time travel, DML, alter, drop") {
+    wipe("db1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db1")
+    spark.sql("CREATE TABLE graft.db1.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.db1.t VALUES (1, 'a'), (2, 'b')") // graft v2
+    spark.sql("INSERT INTO graft.db1.t VALUES (3, 'c')")           // graft v3
+    assert(rows("SELECT k, v FROM graft.db1.t ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // SQL time travel: VERSION AS OF pins the commit
+    assert(rows("SELECT count(*) AS n FROM graft.db1.t VERSION AS OF 2") == Seq(Seq(2L)))
+    assert(rows("SELECT count(*) AS n FROM graft.db1.t VERSION AS OF 3") == Seq(Seq(3L)))
+    // DML through the same SQL surface as path tables
+    spark.sql("UPDATE graft.db1.t SET v = 'B' WHERE k = 2")
+    spark.sql("DELETE FROM graft.db1.t WHERE k = 1")
+    assert(rows("SELECT k, v FROM graft.db1.t ORDER BY k") ==
+      Seq(Seq(2L, "B"), Seq(3L, "c")))
+    // MERGE
+    spark.sql("""MERGE INTO graft.db1.t t USING (SELECT 3L AS k, 'C' AS v
+                 UNION ALL SELECT 9L, 'z') s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows("SELECT k, v FROM graft.db1.t ORDER BY k") ==
+      Seq(Seq(2L, "B"), Seq(3L, "C"), Seq(9L, "z")))
+    // ALTER through the V2 catalog path
+    spark.sql("ALTER TABLE graft.db1.t ADD COLUMN score DOUBLE")
+    assert(rows("SELECT k, score FROM graft.db1.t WHERE k = 2") == Seq(Seq(2L, null)))
+    spark.sql("ALTER TABLE graft.db1.t RENAME COLUMN v TO label")
+    assert(spark.table("graft.db1.t").columns.toSeq == Seq("k", "label", "score"))
+    spark.sql("ALTER TABLE graft.db1.t DROP COLUMN score")
+    assert(spark.table("graft.db1.t").columns.toSeq == Seq("k", "label"))
+    // SHOW / DESCRIBE
+    assert(rows("SHOW TABLES IN graft.db1").map(_(1)) == Seq("t"))
+    val desc = rows("DESCRIBE EXTENDED graft.db1.t").map(_.map(String.valueOf))
+    assert(desc.exists(r => r.head == "k" && r(1) == "bigint"))
+    assert(desc.exists(r => r.contains("graft")), s"provider row missing in $desc")
+    // DROP
+    spark.sql("DROP TABLE graft.db1.t")
+    assert(rows("SHOW TABLES IN graft.db1").isEmpty)
+  }
+
+  test("delta format: partitioned create, insert inherits layout, overwrite keeps it, time travel") {
+    wipe("db2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
+    spark.sql("""CREATE TABLE graft.db2.d (k BIGINT, v STRING, grp BIGINT)
+                 USING delta PARTITIONED BY (grp)""")
+    spark.sql("INSERT INTO graft.db2.d VALUES (1, 'a', 0), (2, 'b', 1)") // delta v1
+    spark.sql("INSERT INTO graft.db2.d VALUES (3, 'c', 0)")              // delta v2
+    assert(rows("SELECT k FROM graft.db2.d ORDER BY k") == Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // the layout survived the catalog inserts: partition dirs on disk
+    val tdir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "db2", "d")
+    assert(java.nio.file.Files.list(tdir).toArray.map(_.toString)
+      .exists(_.endsWith("grp=0")), "delta catalog insert lost the partition layout")
+    assert(DeltaLake.snapshot(spark, tdir.toString).partitionColumns == Seq("grp"))
+    // time travel by version and timestamp
+    assert(rows("SELECT count(*) AS n FROM graft.db2.d VERSION AS OF 1") == Seq(Seq(2L)))
+    val nowTs = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .plusMinutes(5).toString.replace("T", " ")
+    assert(rows(s"SELECT count(*) AS n FROM graft.db2.d TIMESTAMP AS OF '$nowTs'") ==
+      Seq(Seq(3L)))
+    // INSERT OVERWRITE keeps the declared layout
+    spark.sql("INSERT OVERWRITE graft.db2.d VALUES (7, 'x', 5)")
+    assert(rows("SELECT k, grp FROM graft.db2.d") == Seq(Seq(7L, 5L)))
+    assert(DeltaLake.snapshot(spark, tdir.toString).partitionColumns == Seq("grp"))
+    // DML on the catalog name
+    spark.sql("DELETE FROM graft.db2.d WHERE k = 7")
+    assert(rows("SELECT count(*) AS n FROM graft.db2.d") == Seq(Seq(0L)))
+    spark.sql("ALTER TABLE graft.db2.d ADD COLUMN note STRING")
+    assert(spark.table("graft.db2.d").columns.toSeq == Seq("k", "v", "note", "grp") ||
+      spark.table("graft.db2.d").columns.toSeq == Seq("k", "v", "grp", "note"))
+  }
+
+  test("iceberg format: transform partitions via SQL, snapshot time travel, MERGE") {
+    wipe("db3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    spark.sql("""CREATE TABLE graft.db3.i (k BIGINT, v STRING)
+                 USING iceberg PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO graft.db3.i VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(rows("SELECT k FROM graft.db3.i ORDER BY k") == Seq(Seq(1L), Seq(2L), Seq(3L)))
+    val tdir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "db3", "i").toString
+    val s1 = Iceberg.snapshot(spark, tdir)
+    assert(s1.partFields.map(_.transform.spec) == Seq("bucket[4]"),
+      "CREATE ... PARTITIONED BY (bucket(4, k)) must land in the partition spec")
+    // snapshot-id time travel through SQL
+    spark.sql("INSERT INTO graft.db3.i VALUES (4, 'd')")
+    assert(rows(s"SELECT count(*) AS n FROM graft.db3.i VERSION AS OF ${s1.snapshotId}") ==
+      Seq(Seq(3L)))
+    assert(rows("SELECT count(*) AS n FROM graft.db3.i") == Seq(Seq(4L)))
+    // MERGE through the catalog name lands the interop command
+    spark.sql("""MERGE INTO graft.db3.i t USING (SELECT 4L AS k, 'D' AS v) s
+                 ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
+    assert(rows("SELECT v FROM graft.db3.i WHERE k = 4") == Seq(Seq("D")))
+    spark.sql("ALTER TABLE graft.db3.i RENAME COLUMN v TO label")
+    assert(spark.table("graft.db3.i").columns.toSeq == Seq("k", "label"))
+  }
+
+  test("CTAS creates and fills in one statement; renameTable moves the directory") {
+    wipe("db4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("""CREATE TABLE graft.db4.c USING delta AS
+                 SELECT id AS k, CAST(id % 3 AS STRING) AS v FROM range(10)""")
+    assert(rows("SELECT count(*) AS n FROM graft.db4.c") == Seq(Seq(10L)))
+    spark.sql("ALTER TABLE graft.db4.c RENAME TO graft.db4.c2")
+    assert(rows("SELECT count(*) AS n FROM graft.db4.c2") == Seq(Seq(10L)))
+    assert(rows("SHOW TABLES IN graft.db4").map(_(1)) == Seq("c2"))
+    // path-written tables are instantly addressable by name (no
+    // registration step — the catalog reads the on-disk signature)
+    import spark.implicits._
+    val pdir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "db4", "side").toString
+    Iceberg.write(Seq((1L, "x")).toDF("k", "v"), pdir)
+    assert(rows("SELECT v FROM graft.db4.side WHERE k = 1") == Seq(Seq("x")))
+    assert(rows("SHOW TABLES IN graft.db4").map(_(1).toString).sorted == Seq("c2", "side"))
+  }
+
+  test("reads through the catalog keep FileIndex pruning") {
+    wipe("db5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    spark.sql("""CREATE TABLE graft.db5.p (k BIGINT, grp BIGINT)
+                 USING graft PARTITIONED BY (grp)""")
+    spark.sql("INSERT INTO graft.db5.p SELECT id, id % 4 FROM range(100)")
+    val tdir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "db5", "p").toString
+    assert(rows("SELECT count(*) AS n FROM graft.db5.p WHERE grp = 2") == Seq(Seq(25L)))
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(tdir).get
+    assert(kept < total,
+      s"partition filter through the catalog name must prune at planning ($kept/$total)")
+  }
+}

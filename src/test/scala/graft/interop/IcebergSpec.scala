@@ -1033,6 +1033,30 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(kept == 1 && total == 2, s"sub-ms equality must prune exactly ($kept/$total)")
   }
 
+  test("addColumn: new schema version with a fresh field id; old files read NULL") {
+    import spark.implicits._
+    val path = freshDir("ice_addcol")
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Iceberg.addColumn(spark, path, "score", org.apache.spark.sql.types.DoubleType)
+    val cur = Iceberg.read(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "v", "score"))
+    assert(cur.filter(col("score").isNull).count() == 2L)
+    // the new field got a FRESH id above the prior last-column-id
+    val latestMeta = java.nio.file.Files.list(Paths.get(path, "metadata")).toArray
+      .map(_.toString).filter(_.endsWith(".metadata.json")).sorted.last
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(Paths.get(latestMeta)))
+    assert(meta.get("last-column-id").asInt == 3)
+    // appends after the addition carry real values; old files stay NULL
+    Iceberg.write(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), path,
+      mode = SaveMode.Append)
+    val got = Iceberg.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    intercept[IllegalArgumentException](
+      Iceberg.addColumn(spark, path, "K", org.apache.spark.sql.types.LongType))
+  }
+
   test("position deletes apply on partition dirs containing spaces, byte-equal to the manifest") {
     import spark.implicits._
     val path = freshDir("ice_ts_delete")
