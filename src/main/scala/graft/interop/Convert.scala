@@ -29,10 +29,13 @@ import org.apache.spark.sql.SparkSession
   *    column-mapped table's physical naming contradicts the name
   *    mapping).
   *
-  * The conversion is ONE-SHOT: writes through one stack afterwards
-  * leave the other stack's metadata at the conversion-time snapshot
-  * (re-run the conversion after dropping the stale layer to re-sync;
-  * continuous dual-commit is out of scope here). */
+  * The initial conversion is one-shot; afterwards the table stays
+  * dual-readable two ways: [[syncIceberg]]/[[syncDelta]] mirror each
+  * source-of-truth commit as ONE incremental target commit (file diff
+  * + additive schema growth, history preserved on both sides — the
+  * UniForm production shape), while [[resyncIceberg]]/[[resyncDelta]]
+  * remain the blunt drop-and-republish for a layer too stale to
+  * diff. */
 object Convert {
 
   /** Publish Iceberg metadata over a Delta table's live snapshot.
@@ -84,6 +87,87 @@ object Convert {
         fromStats.getOrElse(f.path, counted(f.path)), f.size, seq = 1L)
     }
     (snap.schema, snap.partitionColumns, files)
+  }
+
+  /** CONTINUOUS sync, Delta → Iceberg (the UniForm production shape):
+    * after [[deltaToIceberg]], call this after each Delta commit (or
+    * batch of commits) and the Iceberg layer gains ONE matching
+    * snapshot — the FILE DIFF between the two live sets as
+    * adds/deletes, plus an additive schema version when Delta's schema
+    * grew (the name mapping extends with the new fields). History is
+    * PRESERVED on both sides — nothing is dropped, O(diff) metadata,
+    * zero data files written. Returns the new Iceberg snapshot id, or
+    * None when the layers are already in sync (idempotent). Delta is
+    * the table of record between syncs; Iceberg-side writes since the
+    * last sync would be clobbered — exactly UniForm's contract. */
+  def syncIceberg(spark: SparkSession, path: String): Option[Long] = {
+    require(DeltaLake.isDeltaTable(path),
+      s"Convert.syncIceberg: $path has no Delta log to sync from")
+    require(Iceberg.isIcebergTable(path),
+      s"Convert.syncIceberg: $path has no Iceberg layer — run deltaToIceberg first")
+    val (schema, _, deltaFiles) = prepareDeltaToIceberg(spark, path)
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val ice = Iceberg.snapshot(spark, path)
+    val iceRel: Set[String] =
+      ice.files.map(f => Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix)).toSet
+    val deltaRel: Set[String] = deltaFiles.map(f =>
+      Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix)).toSet
+    val added = deltaFiles.filterNot(f =>
+      iceRel.contains(Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix)))
+    val removedAbs: Set[String] = (iceRel -- deltaRel).map(rootPrefix + _)
+    val newFields = additiveDiff("syncIceberg", ice.schema, schema)
+    if (added.isEmpty && removedAbs.isEmpty && newFields.isEmpty) None
+    else Some(Iceberg.appendConvertedSnapshot(spark, path, added, removedAbs, newFields))
+  }
+
+  /** CONTINUOUS sync, Iceberg → Delta — the mirror of [[syncIceberg]]:
+    * ONE Delta commit carrying the file diff as remove/add actions
+    * (plus a metaData re-emission for additive schema growth).
+    * Returns the new Delta version, or None when already in sync. */
+  def syncDelta(spark: SparkSession, path: String): Option[Long] = {
+    require(Iceberg.isIcebergTable(path),
+      s"Convert.syncDelta: $path has no Iceberg metadata to sync from")
+    require(DeltaLake.isDeltaTable(path),
+      s"Convert.syncDelta: $path has no Delta layer — run icebergToDelta first")
+    val (schema, partCols, iceAdds) = prepareIcebergToDelta(spark, path)
+    val delta = DeltaLake.snapshot(spark, path)
+    require(delta.partitionColumns == partCols,
+      s"Convert.syncDelta: partition layouts diverged (${delta.partitionColumns} vs $partCols)")
+    val deltaRel: Set[String] = delta.files.map(_.path).toSet
+    val iceRel: Set[String] = iceAdds.map(_.path).toSet
+    val added = iceAdds.filterNot(a => deltaRel.contains(a.path))
+    val removedRel = deltaRel -- iceRel
+    val newFields = additiveDiff("syncDelta", delta.schema, schema)
+    if (added.isEmpty && removedRel.isEmpty && newFields.isEmpty) None
+    else Some(DeltaLake.appendConvertedCommit(spark, path, added, removedRel,
+      if (newFields.isEmpty) None else Some(schema)))
+  }
+
+  /** The target schema's NEW trailing fields, with every other change
+    * refused: a sync can only mirror additive evolution — a rename,
+    * drop, or type change on the source has no safe file-level
+    * translation for the stale layer. */
+  private def additiveDiff(op: String,
+      have: org.apache.spark.sql.types.StructType,
+      want: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    def erased(dt: org.apache.spark.sql.types.DataType): String =
+      graft.ingest.Versioned.nullabilityErased(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", dt)))).json
+    val missing = have.fields.filter(h => !want.fields.exists(_.name == h.name))
+    require(missing.isEmpty,
+      s"Convert.$op: source dropped columns ${missing.map(_.name).mkString(", ")} — " +
+        "only additive schema changes sync")
+    val changed = have.fields.flatMap { h =>
+      want.fields.find(_.name == h.name)
+        .filter(w => erased(w.dataType) != erased(h.dataType))
+        .map(w => s"${h.name}: ${h.dataType.sql} -> ${w.dataType.sql}")
+    }
+    require(changed.isEmpty,
+      s"Convert.$op: source changed column types (${changed.mkString("; ")}) — " +
+        "only additive schema changes sync")
+    want.fields.filter(w => !have.fields.exists(_.name == w.name)).toSeq
   }
 
   /** Re-SYNC a stale Iceberg layer from the Delta state — the

@@ -2121,6 +2121,37 @@ object DeltaLake {
     Json.writeValueAsString(o)
   }
 
+  /** ONE incremental SYNC commit from a foreign source-of-truth layer
+    * (the continuous half of [[Convert]]): removes + adds for the file
+    * diff, plus a metaData re-emission when the source schema grew.
+    * Pure metadata — the files already exist under the shared root. */
+  private[interop] def appendConvertedCommit(spark: SparkSession, path: String,
+      adds: Seq[AddFile], removedRel: Set[String],
+      newSchema: Option[StructType]): Long = {
+    val snap = snapshot(spark, path)
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    newSchema.foreach { sc =>
+      lines += metaDataLine(sc, snap.partitionColumns, now, snap.configuration)
+    }
+    removedRel.toSeq.sorted.foreach { rel =>
+      val o = Json.createObjectNode()
+      val rm = o.putObject("remove")
+      rm.put("path", new java.net.URI(null, null, rel, null).toASCIIString)
+      rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      lines += Json.writeValueAsString(o)
+    }
+    adds.foreach(a => lines += addLine(a))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "SYNC")
+    lines += Json.writeValueAsString(ci)
+    commitLines(fs, root, v, lines.toSeq)
+    v
+  }
+
   private def addLine(a: AddFile, dataChange: Boolean = true): String = {
     val o = Json.createObjectNode()
     val ad = o.putObject("add")

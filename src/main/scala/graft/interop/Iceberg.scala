@@ -1699,7 +1699,10 @@ object Iceberg {
     * re-stamp them. Publishes the next metadata version atomically. */
   private def commitRewriteSnapshot(spark: SparkSession, path: String,
       removedAbs: Set[String], newData: Option[DataFrame], operation: String,
-      dropDeleteManifests: Boolean): Long = {
+      dropDeleteManifests: Boolean,
+      // already-on-disk refs to record WITHOUT staging (the converted-
+      // table sync path: the other format's writer landed the files)
+      preStaged: Seq[DataFileRef] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
@@ -1716,7 +1719,7 @@ object Iceberg {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val seq = meta.get("last-sequence-number").asLong + 1
     val added = newData.map(df =>
-      stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(Nil)
+      stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(preStaged)
 
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
@@ -1818,6 +1821,63 @@ object Iceberg {
     se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
     commitMetadata(fs, root, metaV + 1, newMeta, path)
     snapshotId
+  }
+
+  /** ONE incremental SYNC snapshot from a foreign source-of-truth
+    * layer (the continuous half of [[Convert]]): records `added` refs
+    * (files the other format's writer already landed — nothing is
+    * staged), drops `removedAbs` from the carried manifests, and —
+    * when the source schema GREW — first lands one metadata commit
+    * adding the new fields with fresh ids AND extending
+    * `schema.name-mapping.default` (a converted table resolves by
+    * name; a field missing from the mapping would read NULL even
+    * where present). Additive evolution only — anything else refuses. */
+  private[interop] def appendConvertedSnapshot(spark: SparkSession, path: String,
+      added: Seq[DataFileRef], removedAbs: Set[String],
+      newFields: Seq[StructField]): Long = {
+    if (newFields.nonEmpty) {
+      val (fs, root) = Writers.fsFor(path)
+      val (metaV, meta) = readMetadata(fs, root)
+      val curId = meta.get("current-schema-id").asInt
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+      val m = meta.deepCopy[ObjectNode]
+      val newSchema = sn.deepCopy[ObjectNode]
+      newSchema.put("schema-id", maxSchemaId + 1)
+      var nextId = meta.get("last-column-id").asInt
+      val minted = newFields.map { f =>
+        nextId += 1
+        val nf = newSchema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+          .addObject()
+        nf.put("id", nextId); nf.put("name", f.name)
+        nf.put("required", false); nf.put("type", icebergType(f.dataType))
+        f.name -> nextId
+      }
+      m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+      m.put("current-schema-id", maxSchemaId + 1)
+      m.put("last-column-id", nextId)
+      m.put("last-updated-ms", System.currentTimeMillis())
+      val props = m.withObject("properties")
+      Option(props.get("schema.name-mapping.default")).filterNot(_.isNull).foreach { mp =>
+        val arr = Json.readTree(mp.asText).deepCopy[com.fasterxml.jackson.databind.node.ArrayNode]
+        minted.foreach { case (name, id) =>
+          val e = arr.addObject()
+          e.put("field-id", id)
+          e.putArray("names").add(name): Unit
+        }
+        props.put("schema.name-mapping.default", Json.writeValueAsString(arr)): Unit
+      }
+      commitMetadata(fs, root, metaV + 1, m, path)
+    }
+    if (added.isEmpty && removedAbs.isEmpty) {
+      // schema-only sync: the metadata commit above is the whole story
+      val (fs2, root2) = Writers.fsFor(path)
+      readMetadata(fs2, root2)._2.get("current-snapshot-id").asLong
+    } else {
+      val op = if (removedAbs.isEmpty) "append" else "overwrite"
+      commitRewriteSnapshot(spark, path, removedAbs, None, op,
+        dropDeleteManifests = false, preStaged = added)
+    }
   }
 
   /** Atomic create of the next metadata.json version — THE commit —

@@ -2406,6 +2406,91 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S51: CONTINUOUS dual-format sync (r9 — the UniForm production
+    * shape the one-shot s47 conversion lacked): after
+    * [[graft.interop.Convert.deltaToIceberg]], each Delta commit is
+    * mirrored by [[graft.interop.Convert.syncIceberg]] as ONE matching
+    * Iceberg snapshot (the FILE DIFF as adds/deletes) — history
+    * PRESERVED on both sides, nothing dropped, zero data files written
+    * (all require'd in-entry: the conversion-time snapshot still
+    * time-travels after two syncs; the sync is idempotent). The mirror
+    * direction ([[graft.interop.Convert.syncDelta]]) keeps a Delta
+    * layer current over an Iceberg table of record. At 100 TB each
+    * sync costs O(diff) metadata versus resync's O(files) republish —
+    * and the stale layer's history is no longer the price. Oracle:
+    * the d2i view reflects the append+delete lifecycle, the i2d view
+    * the append — both against `orders`. */
+  val s51ContinuousSync = QueryDef(
+    "s51_continuous_sync",
+    (s, d) => {
+      val dPath = tmp("s51_d2i", d); val iPath = tmp("s51_i2d", d)
+      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
+      val C = graft.interop.Convert
+      def dataFiles(p: String): Set[String] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString)
+            .filter(f => f.endsWith(".parquet") && !f.contains("_delta_log") &&
+              !f.contains("/metadata/")).toSet
+        } finally st.close()
+      }
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      // ---- Delta table of record, Iceberg mirror
+      D.write(orders.filter(col("o_orderkey") % 2 === 0), dPath)
+      C.deltaToIceberg(s, dPath)
+      val s1 = I.snapshot(s, dPath).snapshotId
+      D.write(orders.filter(col("o_orderkey") % 2 === 1), dPath, mode = SaveMode.Append)
+      val before1 = dataFiles(dPath)
+      require(C.syncIceberg(s, dPath).nonEmpty, "s51: the append must need a sync")
+      require(dataFiles(dPath) == before1, "s51: sync must write ZERO data files")
+      require(I.read(s, dPath).count() == orders.count(),
+        "s51: after the sync the Iceberg mirror must serve the appended rows")
+      D.deleteWhere(s, dPath, col("o_orderkey") % 17 === 3) // copy-on-write
+      require(C.syncIceberg(s, dPath).nonEmpty, "s51: the delete must need a sync")
+      require(I.read(s, dPath).count() == D.read(s, dPath).count(),
+        "s51: the mirror must track the delete")
+      // history preserved: conversion snapshot + two sync snapshots,
+      // and the FIRST one still time-travels to the pre-append state
+      val snapIds = I.snapshots(dPath).map(_._1)
+      require(snapIds.head == s1 && snapIds.size == 3,
+        s"s51: sync must append snapshots, never rewrite history (got ${snapIds.size})")
+      require(I.read(s, dPath, snapshotId = Some(s1)).count() ==
+        orders.filter(col("o_orderkey") % 2 === 0).count(),
+        "s51: the conversion-time snapshot must still time-travel")
+      require(C.syncIceberg(s, dPath).isEmpty, "s51: an in-sync table must no-op")
+      // ---- Iceberg table of record, Delta mirror
+      I.write(orders.filter(col("o_orderkey") % 2 === 0), iPath)
+      C.icebergToDelta(s, iPath)
+      I.write(orders.filter(col("o_orderkey") % 2 === 1), iPath, mode = SaveMode.Append)
+      require(C.syncDelta(s, iPath).nonEmpty, "s51: the mirror direction must sync")
+      require(D.snapshot(s, iPath).version == 1L,
+        "s51: the Delta mirror must advance by exactly ONE commit per sync")
+      val out = I.read(s, dPath).withColumn("src", lit("d2i"))
+        .unionByName(D.read(s, iPath).withColumn("src", lit("i2d")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s51: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'd2i' AS src, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 17 <> 3
+        UNION ALL
+        SELECT 'i2d' AS src, o_orderstatus, o_totalprice FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   /** S48: WRITE-AUDIT-PUBLISH on Iceberg — the staging workflow the
     * refs system exists for: odd-key orders stage onto a BRANCH
     * (main's readers keep seeing only the even keys — require'd
@@ -2519,5 +2604,5 @@ object IngestOps extends QueryModule {
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
-    s49InteropInspection)
+    s49InteropInspection, s51ContinuousSync)
 }

@@ -135,4 +135,74 @@ class ConvertSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[IllegalArgumentException](Convert.icebergToDelta(spark, p2))
     assert(e.getMessage.contains("transform"))
   }
+
+  test("continuous sync Delta->Iceberg: each commit mirrors, history preserved, zero data files") {
+    import spark.implicits._
+    val path = freshDir("conv_sync_d2i")
+    DeltaLake.write((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), path)
+    Convert.deltaToIceberg(spark, path)
+    val s1 = Iceberg.snapshot(spark, path).snapshotId
+    def bothEqual(): Unit = {
+      val d = DeltaLake.read(spark, path).collect().map(_.toSeq).toSet
+      val i = Iceberg.read(spark, path).collect().map(_.toSeq).toSet
+      assert(d == i, s"layers diverged:\n delta=$d\n iceberg=$i")
+    }
+    // commit 1: append
+    DeltaLake.write(Seq((21L, "v21")).toDF("k", "v"), path, mode = SaveMode.Append)
+    val before1 = dataFiles(path)
+    assert(Convert.syncIceberg(spark, path).nonEmpty)
+    assert(dataFiles(path) == before1, "sync must write zero data files")
+    bothEqual()
+    // commit 2: copy-on-write delete (files added AND removed)
+    DeltaLake.deleteWhere(spark, path, col("k") % 5 === 0)
+    assert(Convert.syncIceberg(spark, path).nonEmpty)
+    bothEqual()
+    assert(Iceberg.read(spark, path).count() == 17L)
+    // commit 3: additive schema change + data
+    DeltaLake.addColumn(spark, path, "score", org.apache.spark.sql.types.DoubleType)
+    DeltaLake.write(Seq((100L, "x", 0.5)).toDF("k", "v", "score"), path,
+      mode = SaveMode.Append)
+    assert(Convert.syncIceberg(spark, path).nonEmpty)
+    assert(Iceberg.read(spark, path).columns.toSeq == Seq("k", "v", "score"),
+      "the Iceberg schema must gain the added column")
+    bothEqual()
+    // HISTORY preserved on both sides: the conversion-time snapshot is
+    // still in the log and still time-travels
+    val snapIds = Iceberg.snapshots(path).map(_._1)
+    assert(snapIds.head == s1 && snapIds.size >= 4,
+      s"sync must append snapshots, not rewrite history (got $snapIds)")
+    assert(Iceberg.read(spark, path, snapshotId = Some(s1)).count() == 20L,
+      "the pre-sync snapshot must still time-travel")
+    // idempotent: nothing to sync -> no new snapshot
+    assert(Convert.syncIceberg(spark, path).isEmpty)
+    // non-additive source changes refuse loudly
+    DeltaLake.write(Seq((1L, "y")).toDF("k", "v"), path) // overwrite drops score
+    val eDrop = intercept[IllegalArgumentException](Convert.syncIceberg(spark, path))
+    assert(eDrop.getMessage.contains("additive"))
+  }
+
+  test("continuous sync Iceberg->Delta: mirror direction; delete debt refuses until compacted") {
+    import spark.implicits._
+    val path = freshDir("conv_sync_i2d")
+    Iceberg.write((1L to 10L).map(k => (k, k % 3)).toDF("k", "grp"), path)
+    Convert.icebergToDelta(spark, path)
+    Iceberg.write(Seq((11L, 2L)).toDF("k", "grp"), path, mode = SaveMode.Append)
+    assert(Convert.syncDelta(spark, path).nonEmpty)
+    assert(DeltaLake.read(spark, path).count() == 11L)
+    assert(DeltaLake.read(spark, path).collect().map(_.toSeq).toSet ==
+      Iceberg.read(spark, path).collect().map(_.toSeq).toSet)
+    // Delta history preserved: version advanced by exactly one commit
+    assert(DeltaLake.snapshot(spark, path).version == 1L)
+    // outstanding Iceberg position deletes refuse the sync loudly...
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 4L)
+    val eDebt = intercept[IllegalArgumentException](Convert.syncDelta(spark, path))
+    assert(eDebt.getMessage.contains("delete"))
+    // ...and folding the debt makes the sync land the net state
+    Iceberg.compact(spark, path)
+    assert(Convert.syncDelta(spark, path).nonEmpty)
+    assert(DeltaLake.read(spark, path).count() == 10L)
+    assert(DeltaLake.read(spark, path).collect().map(_.toSeq).toSet ==
+      Iceberg.read(spark, path).collect().map(_.toSeq).toSet)
+    assert(Convert.syncDelta(spark, path).isEmpty)
+  }
 }
