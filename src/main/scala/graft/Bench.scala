@@ -157,7 +157,21 @@ object Bench {
     val qs2 = slowest.map { case (k, _, w, _) => s""""$k":${sec(w)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","value_first_run":${sec(totalFirst)},"n_queries":${results.size + failed.size},"runs_per_query":$runsPerQuery,"failed":$failedJson,"failed_sec":${sec(failedSec)},"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"queries_worst":$qs2,"sf":"$sfDir"}"""
+    // PER-ENTRY BUDGET (r8 verdict #7): registry s/query has crept three
+    // rounds straight as lifecycle entries accumulated, so entries over
+    // SPARK_GRAFT_BUDGET_SEC (default 3 s at sf0.1) are named loudly —
+    // each must be justified in BASELINE.md or trimmed, never drift in
+    // silently. stderr carries the full list with timings; the JSON line
+    // carries the count plus up to 8 names (size-capped — the slowest-16
+    // map above already itemizes their timings).
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC")
+      .flatMap(b => scala.util.Try(b.toDouble).toOption).getOrElse(3.0)
+    val overBudget = results.filter(_._2 > budgetSec).sortBy(-_._2)
+    overBudget.foreach { case (n, best, worst, _) =>
+      System.err.println(f"[bench] OVER BUDGET ($budgetSec%.1f s): $n best=$best%.2f s worst=$worst%.2f s")
+    }
+    val obJson = overBudget.take(8).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","value_first_run":${sec(totalFirst)},"n_queries":${results.size + failed.size},"runs_per_query":$runsPerQuery,"failed":$failedJson,"failed_sec":${sec(failedSec)},"over_budget_n":${overBudget.size},"over_budget":$obJson,"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"queries_worst":$qs2,"sf":"$sfDir"}"""
     spark.stop()
     // Printed last, post-stop: no Spark thread can interleave with it.
     println(line)
