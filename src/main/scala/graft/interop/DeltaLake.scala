@@ -1046,17 +1046,27 @@ object DeltaLake {
     // unpartitioned (the layout may change mid-overwrite); the feed
     // reads the partition columns as ordinary file columns there.
     prior.filter(p => p.cdfEnabled && mode == SaveMode.Overwrite).foreach { p =>
-      import org.apache.spark.sql.functions.lit
-      // a mapped overwrite that CHANGES the schema would stage cdc
-      // images mixing prior physical names with unmapped new columns —
-      // a shape the feed reader cannot resolve; refuse loudly
-      require(p.mapMode.isEmpty || !schemaChanged,
-        s"DeltaLake.write: $path is column-mapped and CDF-enabled — a " +
-          "schema-changing overwrite cannot record readable change images")
-      val images = read(spark, path).withColumn("_change_type", lit("delete"))
-        .unionByName(df.withColumn("_change_type", lit("insert")),
-          allowMissingColumns = true)
-      lines ++= stageCdc(spark, root, p.copy(partitionColumns = Nil), images, now)
+      import org.apache.spark.sql.functions.{col, lit}
+      // the images are staged under the POST-commit metaData (rawTable/
+      // newConf), so a schema-changing overwrite of a MAPPED table
+      // writes its cdc files with the new physical names: retained
+      // columns keep their minted names (pre-change cdc files stay
+      // readable under the latest mapping), new columns use their fresh
+      // ones, and prior-only columns are PROJECTED onto the new shape —
+      // cast where the name survives with a new type, dropped otherwise
+      // (the feed is read with the table's current schema, so a dropped
+      // column's images would be unreachable anyway)
+      val priorCols = p.schema.fieldNames.toSet
+      val del = read(spark, path).select(tableSchema.fields.toIndexedSeq.map { f =>
+        val t = stripType(f.dataType)
+        if (priorCols.contains(f.name)) col(f.name).cast(t).as(f.name)
+        else lit(null).cast(t).as(f.name)
+      }: _*).withColumn("_change_type", lit("delete"))
+      val images = del.unionByName(df.withColumn("_change_type", lit("insert")),
+        allowMissingColumns = true)
+      val post = p.copy(rawSchema = rawTable, configuration = newConf,
+        partitionColumns = Nil)
+      lines ++= stageCdc(spark, root, post, images, now)
     }
     // the application-transaction watermark (spec `txn` action) — a
     // streaming sink stamps (appId, batchId) so a checkpoint replay of

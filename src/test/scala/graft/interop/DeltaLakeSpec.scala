@@ -356,6 +356,50 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).count() == 40L)
   }
 
+  test("mapped CDF table: schema-changing overwrite records readable change images") {
+    import spark.implicits._
+    val path = freshDir("delta_cm_cdf_ow")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      columnMapping = Some("name"))
+    DeltaLake.enableChangeDataFeed(spark, path)
+    val vApp = DeltaLake.write(Seq((3L, "c")).toDF("k", "v"), path,
+      mode = SaveMode.Append)
+    // a cdc file staged under the PRE-change mapping…
+    val vDel = DeltaLake.deleteWhere(spark, path, col("k") === 1L)
+    // …then a logical rename (physical names unchanged)…
+    DeltaLake.renameColumn(spark, path, "v", "label")
+    val preOw = DeltaLake.snapshot(spark, path)
+    // …then the previously-refused shape: a schema-CHANGING overwrite
+    // on a mapped + CDF table (keeps k+label, adds score)
+    val vOw = DeltaLake.write(
+      Seq((10L, "x", 1.5), (11L, "y", 2.5)).toDF("k", "label", "score"), path)
+    val snap = DeltaLake.snapshot(spark, path)
+    // retained columns KEEP their physical names; score is freshly minted
+    assert(snap.columnMapping("k") == preOw.columnMapping("k"))
+    assert(snap.columnMapping("label") == preOw.columnMapping("label"))
+    assert(snap.columnMapping.keySet == Set("k", "label", "score"))
+    val feed = DeltaLake.changeFeed(spark, path, vApp)
+    // the append's derived insert resolves through the rename: its data
+    // file speaks the old physical names, which the rename never touched
+    assert(feed.filter(col("_commit_version") === vApp)
+      .select("k", "label").as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // the pre-change cdc file reads under the LATEST mapping: retained
+    // physical names resolve, the new column serves null
+    val delRow = feed.filter(col("_commit_version") === vDel).collect()
+    assert(delRow.map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    assert(delRow.forall(_.isNullAt(delRow.head.fieldIndex("score"))))
+    // the overwrite records delete images of every surviving prior row
+    // (score null) plus inserts of the new shape
+    val owDel = feed.filter(col("_commit_version") === vOw &&
+      col("_change_type") === "delete")
+    assert(owDel.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(owDel.filter(col("score").isNotNull).count() == 0L)
+    assert(feed.filter(col("_commit_version") === vOw && col("_change_type") === "insert")
+      .select("k", "label", "score").as[(Long, String, Double)].collect()
+      .sortBy(_._1).toSeq == Seq((10L, "x", 1.5), (11L, "y", 2.5)))
+    assert(DeltaLake.read(spark, path).columns.toSeq == Seq("k", "label", "score"))
+  }
+
   test("nested struct columns map recursively in both directions") {
     import spark.implicits._
     val path = freshDir("delta_cm_nested")
