@@ -620,6 +620,42 @@ object Iceberg {
       .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
   }
 
+  /** The `snapshots` metadata table: one row per snapshot in the table
+    * metadata with parentage, the summary's operation, and the manifest
+    * list — the ops surface Iceberg exposes as `tbl.snapshots`.
+    * Answered from the metadata JSON alone: planning reads zero data
+    * files. */
+  def snapshotsTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    iterator(meta.get("snapshots")).toSeq.map { s =>
+      (new java.sql.Timestamp(s.get("timestamp-ms").asLong),
+        s.get("snapshot-id").asLong,
+        Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong),
+        Option(s.get("summary")).filterNot(_.isNull)
+          .flatMap(su => Option(su.get("operation")).map(_.asText)).getOrElse("unknown"),
+        Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText).getOrElse(""))
+    }.toDF("committed_at", "snapshot_id", "parent_id", "operation", "manifest_list")
+  }
+
+  /** The `refs` metadata table: one row per named ref plus the implicit
+    * `main` branch (suppressed when the metadata carries an explicit
+    * `main` entry, as spec-tool-written tables do) — the surface for
+    * auditing what pins what before [[expireSnapshots]]. Types render
+    * uppercase (`BRANCH`/`TAG`) for parity with Iceberg's own table. */
+  def refsTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val named = refs(path).toSeq.map { case (n, (id, t)) => (n, t.toUpperCase, id) }
+    val main =
+      if (meta.hasNonNull("current-snapshot-id") && !named.exists(_._1 == "main"))
+        Seq(("main", "BRANCH", meta.get("current-snapshot-id").asLong))
+      else Nil
+    (main ++ named.sortBy(_._1)).toDF("name", "type", "snapshot_id")
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {

@@ -83,6 +83,10 @@ final class IcebergSourceProvider extends RelationProvider
     }
     if (opt(parameters, "history").exists(_.toBoolean))
       return inspection(Iceberg.history(sqlContext.sparkSession, path))
+    if (opt(parameters, "snapshots").exists(_.toBoolean))
+      return inspection(Iceberg.snapshotsTable(sqlContext.sparkSession, path))
+    if (opt(parameters, "refs").exists(_.toBoolean))
+      return inspection(Iceberg.refsTable(sqlContext.sparkSession, path))
     if (opt(parameters, "files").exists(_.toBoolean))
       return inspection(Iceberg.files(sqlContext.sparkSession, path))
     if (opt(parameters, "partitions").exists(_.toBoolean))

@@ -2550,11 +2550,14 @@ object IngestOps extends QueryModule {
   /** S49: the INSPECTION tables graded as data — `partitions` on both
     * formats must report per-partition row counts that EXACTLY match
     * the data (Delta's from its per-file stats JSON, Iceberg's from
-    * its manifest record counts), so the ops surface a 100 TB
-    * operator trusts for skew/fragmentation triage is itself under
-    * the oracle, not just smoke-tested. Metadata-only: planning the
-    * answer reads ZERO data files (require'd via inputFiles on the
-    * inspection frames being file-free). */
+    * its manifest record counts), `snapshots` must census the commit
+    * history by operation with correct parent lineage (require'd), and
+    * `refs` must list exactly the implicit main branch plus the named
+    * tag/branch the entry creates — so the ops surface a 100 TB
+    * operator trusts for skew/fragmentation/retention triage is itself
+    * under the oracle, not just smoke-tested. Metadata-only: planning
+    * any of the four inspection frames reads ZERO data files (require'd
+    * via inputFiles being file-free). */
   val s49InteropInspection = QueryDef(
     "s49_interop_inspection",
     (s, d) => {
@@ -2564,33 +2567,63 @@ object IngestOps extends QueryModule {
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       D.write(orders, dPath, partitionBy = Seq("o_orderstatus"))
-      I.write(orders, iPath, partitionBy = Seq("o_orderstatus"))
+      // iceberg lands in TWO commits (overwrite + append) so the
+      // snapshots table has a lineage to grade; partition counts still
+      // total the full table
+      I.write(orders.filter(col("o_orderkey") % 2 === 0), iPath,
+        partitionBy = Seq("o_orderstatus"))
+      I.write(orders.filter(col("o_orderkey") % 2 === 1), iPath,
+        mode = SaveMode.Append)
+      val snapIds = I.snapshots(iPath).map(_._1)
+      I.createRef(s, iPath, "audit_tag", snapIds.head, refType = "tag")
+      I.createRef(s, iPath, "staging", snapIds.last, refType = "branch")
       def statusOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         substring_index(c, "=", -1)
       val dParts = s.read.format("delta").option("partitions", "true").load(dPath)
-        .select(statusOf(col("partition")).as("o_orderstatus"),
-          col("record_count"), lit("delta").as("src"))
+        .select(statusOf(col("partition")).as("k"),
+          col("record_count"), lit("delta_partitions").as("src"))
       val iParts = s.read.format("iceberg").option("partitions", "true").load(iPath)
-        .select(statusOf(col("partition")).as("o_orderstatus"),
-          col("record_count"), lit("iceberg").as("src"))
-      require(dParts.inputFiles.isEmpty && iParts.inputFiles.isEmpty,
+        .select(statusOf(col("partition")).as("k"),
+          col("record_count"), lit("iceberg_partitions").as("src"))
+      val iSnaps = s.read.format("iceberg").option("snapshots", "true").load(iPath)
+      val iRefs = s.read.format("iceberg").option("refs", "true").load(iPath)
+      require(dParts.inputFiles.isEmpty && iParts.inputFiles.isEmpty &&
+        iSnaps.inputFiles.isEmpty && iRefs.inputFiles.isEmpty,
         "s49: the inspection tables must answer from metadata, zero data files")
-      val out = dParts.unionByName(iParts)
-        .groupBy("src", "o_orderstatus")
-        .agg(sum(col("record_count")).as("n_orders"))
-        .orderBy("src", "o_orderstatus")
+      // lineage: the append's parent must be the overwrite snapshot
+      val lineage = iSnaps.select("snapshot_id", "parent_id", "operation").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getString(2))).toSeq
+      require(lineage.collectFirst { case (_, p, "append") => p }
+        .contains(Some(snapIds.head)),
+        "s49: snapshots table must chain the append to its parent")
+      val snapRows = iSnaps
+        .select(col("operation").as("k"), lit(1L).as("record_count"),
+          lit("iceberg_snapshots").as("src"))
+      val refRows = iRefs
+        .select(concat_ws(":", col("name"), col("type")).as("k"),
+          lit(1L).as("record_count"), lit("iceberg_refs").as("src"))
+      val out = dParts.unionByName(iParts).unionByName(snapRows).unionByName(refRows)
+        .groupBy("src", "k")
+        .agg(sum(col("record_count")).as("n"))
+        .orderBy("src", "k")
       require(out.count() > 0, "s49: empty result")
       out
     },
     Some("""
-      SELECT src, o_orderstatus, count(*) AS n_orders
+      SELECT src, k, count(*) AS n
       FROM (
-        SELECT 'delta' AS src, o_orderstatus FROM orders
+        SELECT 'delta_partitions' AS src, o_orderstatus AS k FROM orders
         UNION ALL
-        SELECT 'iceberg' AS src, o_orderstatus FROM orders
+        SELECT 'iceberg_partitions' AS src, o_orderstatus AS k FROM orders
+        UNION ALL
+        SELECT * FROM (VALUES
+          ('iceberg_snapshots', 'overwrite'), ('iceberg_snapshots', 'append'),
+          ('iceberg_refs', 'main:BRANCH'), ('iceberg_refs', 'audit_tag:TAG'),
+          ('iceberg_refs', 'staging:BRANCH')) AS t(src, k)
       )
-      GROUP BY src, o_orderstatus
-      ORDER BY src, o_orderstatus
+      GROUP BY src, k
+      ORDER BY src, k
     """.stripMargin.trim),
   )
 

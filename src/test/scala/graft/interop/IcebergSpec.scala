@@ -845,6 +845,31 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(!Iceberg.snapshots(path).map(_._1).contains(s1))
   }
 
+  test("snapshots + refs inspection tables answer from metadata alone") {
+    import spark.implicits._
+    val path = freshDir("ice_inspect_meta")
+    Seq((1L, "a")).toDF("k", "v").write.format("iceberg").save(path)
+    Seq((2L, "b")).toDF("k", "v").write.format("iceberg").mode("append").save(path)
+    val ids = Iceberg.snapshots(path).map(_._1)
+    Iceberg.createRef(spark, path, "pin", ids.head, "tag")
+    Iceberg.createRef(spark, path, "stage", ids.last, "branch")
+    val snaps = spark.read.format("iceberg").option("snapshots", "true").load(path)
+    val refs = spark.read.format("iceberg").option("refs", "true").load(path)
+    assert(snaps.inputFiles.isEmpty && refs.inputFiles.isEmpty,
+      "inspection tables must plan zero data files")
+    assert(snaps.columns.toSeq == Seq("committed_at", "snapshot_id", "parent_id",
+      "operation", "manifest_list"))
+    val byId = snaps.collect().map(r => r.getLong(1) ->
+      ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getString(3))).toMap
+    assert(byId(ids.head) == (None, "overwrite"))
+    assert(byId(ids.last) == (Some(ids.head), "append"), "parent lineage must chain")
+    assert(snaps.collect().forall(_.getString(4).contains("snap-")),
+      "each row must carry its manifest list")
+    val refRows = refs.as[(String, String, Long)].collect().toSet
+    assert(refRows == Set(("main", "BRANCH", ids.last),
+      ("pin", "TAG", ids.head), ("stage", "BRANCH", ids.last)))
+  }
+
   test("branch writes + fastForward implement write-audit-publish") {
     import spark.implicits._
     val path = freshDir("ice_wap")
