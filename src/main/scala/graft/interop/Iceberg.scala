@@ -67,7 +67,12 @@ object Iceberg {
       path: String, partitionValues: Map[String, Option[String]],
       recordCount: Long, sizeInBytes: Long,
       bounds: Map[String, (Any, Any)] = Map.empty,
-      seq: Long = 0L)
+      seq: Long = 0L,
+      // v3 row lineage: the first _row_id of this file's inherited
+      // range (entry-explicit, else manifest first_row_id + running
+      // sum) — None for pre-lineage files and for rewritten files,
+      // whose rows carry MATERIALIZED _row_id columns instead
+      firstRowId: Option[Long] = None)
 
   /** A v2 POSITION DELETE file (`content=1`): rows of
     * `(file_path, pos)` naming deleted row positions. Applies to data
@@ -81,6 +86,16 @@ object Iceberg {
     * affected), matched with null-safe equality. */
   final case class EqDeleteRef(path: String, seq: Long, columns: Seq[String])
 
+  /** A v3 DELETION VECTOR (`content=1`, `file_format=PUFFIN`): one
+    * bitmap of deleted row positions for exactly `referencedDataFile`,
+    * stored as a `deletion-vector-v1` blob at (`contentOffset`,
+    * `contentSize`) inside the Puffin file at `path` — the manifest
+    * fields the v3 spec adds (ids 143/144/145). Applies under the same
+    * sequence rule as a position delete file (data seq <= `seq`).
+    * `cardinality` is the entry's record_count (set-bit count). */
+  final case class DvDeleteRef(path: String, seq: Long, referencedDataFile: String,
+      contentOffset: Long, contentSize: Long, cardinality: Long = -1L)
+
   final case class Snapshot(
       snapshotId: Long, sequenceNumber: Long, timestampMs: Long,
       schema: StructType, partitionColumns: Seq[String], files: Seq[DataFileRef],
@@ -90,8 +105,9 @@ object Iceberg {
       // schema stamps as parquet.field.id so columns resolve by FOOTER
       // IDS, not names — the spec's rule, and what makes a renamed
       // column keep reading its pre-rename files
-      fieldIds: Map[String, Int] = Map.empty) {
-    def hasDeleteDebt: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
+      fieldIds: Map[String, Int] = Map.empty,
+      dvDeletes: Seq[DvDeleteRef] = Nil) {
+    def hasDeleteDebt: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty || dvDeletes.nonEmpty
   }
 
   // ------------------------------------------------ partition transforms
@@ -331,7 +347,10 @@ object Iceberg {
   }
 
   /** The spec's `manifest_file` record (a manifest-list entry), field
-    * ids from the v2 spec table. */
+    * ids from the v2 spec table; `first_row_id` (520) is the v3
+    * row-lineage assignment — null on carried pre-v3 manifests (their
+    * rows have null lineage) and stamped explicitly on every data
+    * manifest a v3 commit adds. */
   private lazy val manifestFileSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse("""{
       "type": "record", "name": "manifest_file", "fields": [
@@ -347,7 +366,8 @@ object Iceberg {
         {"name": "deleted_files_count", "type": "int", "field-id": 506},
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
-        {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 520}
       ]
     }""")
 
@@ -388,7 +408,11 @@ object Iceberg {
             ${boundsMap("lower_bounds", 125, 126, 127)},
             ${boundsMap("upper_bounds", 128, 129, 130)},
             {"name": "equality_ids", "field-id": 135, "default": null,
-              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
+              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]},
+            {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 142},
+            {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145}
           ]
         }}
       ]
@@ -466,13 +490,16 @@ object Iceberg {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val meta = Json.readTree(text)
     // this from-spec reader implements the v2 metadata shape (schemas
-    // list, sequence numbers, manifest lists). A v1 table's different
-    // field layout (top-level schema, inline manifests) would misread
-    // or crash mid-replay — refuse at the door instead
+    // list, sequence numbers, manifest lists) plus v1's different
+    // field layout (top-level schema, inline manifests, read-only) and
+    // v3's additions (puffin deletion vectors, row-lineage fields;
+    // features beyond that — default values, new types — refuse at
+    // their own gates). An unknown future version would misread or
+    // crash mid-replay — refuse at the door instead
     val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(0)
-    require(fv == 1 || fv == 2,
+    require(fv == 1 || fv == 2 || fv == 3,
       s"Iceberg: $root declares format-version $fv — this from-spec reader " +
-        "implements versions 1 (read-only) and 2")
+        "implements versions 1 (read-only), 2, and 3")
     (v, meta)
   }
 
@@ -506,6 +533,14 @@ object Iceberg {
   private def schemaFromMeta(meta: JsonNode): StructType = {
     val schemaNode = currentSchemaNode(meta)
     StructType(iterator(schemaNode.get("fields")).map { f =>
+      // v3 DEFAULT VALUES: a field with a non-null initial-default
+      // reads that value (not null) from files written before the
+      // field existed — semantics this reader does not implement;
+      // serving null instead would be silently wrong, so refuse
+      require(!f.hasNonNull("initial-default"),
+        s"Iceberg: field '${f.get("name").asText}' carries initial-default — " +
+          "v3 default values are not implemented here (pre-addition files " +
+          "would misread as null)")
       StructField(f.get("name").asText, sparkType(f.get("type").asText),
         nullable = !f.get("required").asBoolean)
     }.toSeq)
@@ -603,6 +638,28 @@ object Iceberg {
       (f.path, part, f.recordCount, f.sizeInBytes, f.seq)
     }.toDF("file_path", "partition", "record_count", "file_size_in_bytes",
       "sequence_number")
+  }
+
+  /** The `delete_files` metadata table: one row per outstanding
+    * merge-on-read delete artifact in the current snapshot — position
+    * and equality delete parquet plus v3 deletion vectors (with the
+    * data file each DV covers) — the MoR-debt triage surface (how much
+    * debt, of which kind, since which sequence) that tells an operator
+    * when [[rewriteDeletes]] is due. Answered from the manifests
+    * alone: planning reads zero data files. */
+  def deleteFilesTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, path)
+    val rows =
+      s.deletes.map(d => (d.path, "position", "PARQUET", d.recordCount, d.seq,
+        Option.empty[String])) ++
+      s.eqDeletes.map(d => (d.path, "equality", "PARQUET", -1L, d.seq,
+        Option(d.columns.mkString(",")))) ++
+      s.dvDeletes.map(d => (d.path, "deletion-vector", "PUFFIN", d.cardinality,
+        d.seq, Option(d.referencedDataFile)))
+    rows.sortBy(r => (r._2, r._1))
+      .toDF("file_path", "kind", "file_format", "record_count",
+        "sequence_number", "target")
   }
 
   /** The `partitions` metadata table: per-partition file count, row
@@ -707,26 +764,34 @@ object Iceberg {
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
     val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDeleteRef]
+    val dvDeletes = scala.collection.mutable.ArrayBuffer.empty[DvDeleteRef]
     // v2: a manifest LIST file; v1 may instead inline `manifests`
     // (paths only — all data manifests, sequence 0)
-    val manifestRefs: Seq[(HPath, Int, Long)] =
+    val manifestRefs: Seq[(HPath, Int, Long, Option[Long])] =
       if (snapNode.hasNonNull("manifest-list"))
         readAvro(fs, new HPath(snapNode.get("manifest-list").asText)).map { mf =>
           // v1 manifest-list records lack content/sequence fields
           val c = avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val sq = avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
-          (new HPath(mf.get("manifest_path").toString), c, sq)
+          val fr = avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long])
+          (new HPath(mf.get("manifest_path").toString), c, sq, fr)
         }
       else iterator(snapNode.get("manifests")).map(n =>
-        (new HPath(n.asText), 0, 0L)).toSeq
-    manifestRefs.foreach { case (mPath, mContent, mSeq) =>
+        (new HPath(n.asText), 0, 0L, Option.empty[Long])).toSeq
+    manifestRefs.foreach { case (mPath, mContent, mSeq, mFirstRow) =>
       require(mContent == 0 || mContent == 1,
         s"Iceberg: $path snapshot $wantId references a manifest of unknown content $mContent")
+      // v3 row-lineage inheritance: files without an explicit
+      // first_row_id consume the manifest's id range in entry order
+      var lineageAssigned = 0L
       readAvro(fs, mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 0 existing, 1 added, 2 deleted
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(df.get("file_format").toString.equalsIgnoreCase("PARQUET"),
+          val fmt = df.get("file_format").toString.toUpperCase
+          // data files and v2 delete files must be parquet; a v3
+          // deletion vector is a PUFFIN delete entry (handled below)
+          require(fmt == "PARQUET" || (mContent == 1 && fmt == "PUFFIN"),
             s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
           // the spec's sequence-number inheritance: null on the entry →
           // the manifest-list record's sequence number
@@ -739,11 +804,30 @@ object Iceberg {
                 if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
                 .map(renderTransformValue(schema, f, _))
             }.toMap
+            val fileFirst = avroOpt(df, "first_row_id").map(_.asInstanceOf[Long])
+              .orElse(mFirstRow.map { base =>
+                val v = base + lineageAssigned
+                lineageAssigned += df.get("record_count").asInstanceOf[Long]
+                v
+              })
             files += DataFileRef(df.get("file_path").toString, pv,
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long],
-              bounds = decodeBounds(df), seq = seq)
+              bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst)
           } else avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
+            case 1 if fmt == "PUFFIN" =>
+              // v3 deletion vector: the entry names the covered data
+              // file and the blob's location inside the puffin file
+              // (spec fields 143/144/145) — all three are required
+              val ref = avroOpt(df, "referenced_data_file").map(_.toString)
+              val off = avroOpt(df, "content_offset").map(_.asInstanceOf[Long])
+              val sz = avroOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])
+              require(ref.nonEmpty && off.nonEmpty && sz.nonEmpty,
+                s"Iceberg: $path snapshot $wantId has a puffin delete entry " +
+                  "without referenced_data_file/content_offset/content_size_in_bytes")
+              dvDeletes += DvDeleteRef(df.get("file_path").toString, seq,
+                ref.get, off.get, sz.get,
+                cardinality = df.get("record_count").asInstanceOf[Long])
             case 1 =>
               deletes += DeleteFileRef(df.get("file_path").toString, seq,
                 df.get("record_count").asInstanceOf[Long])
@@ -777,7 +861,8 @@ object Iceberg {
       snapNode.get("timestamp-ms").asLong, schema, partCols, files.toSeq, deletes.toSeq,
       partFields, eqDeletes.toSeq,
       fieldIds = if (nameMapped) Map.empty
-        else idToField.map { case (id, f) => f.name -> id })
+        else idToField.map { case (id, f) => f.name -> id },
+      dvDeletes = dvDeletes.toSeq)
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -805,6 +890,17 @@ object Iceberg {
 
   private val FileMetaCol = "__iceberg_file"
   private val PosMetaCol = "__iceberg_pos"
+
+  /** v3 ROW LINEAGE metadata columns (spec reserved names and field
+    * ids): served by [[readWithRowLineage]] via the inheritance rule,
+    * and MATERIALIZED as ordinary columns in every file a v3 rewrite
+    * stages — which is what lets compaction and copy-on-write preserve
+    * row identity (rewrite manifests carry no first_row_id, so
+    * inheritance never re-stamps rewritten rows). */
+  val RowIdCol = "_row_id"
+  val LastUpdCol = "_last_updated_sequence_number"
+  private val RowIdFieldId = 2147483540
+  private val LastUpdFieldId = 2147483539
 
   /** Read an Iceberg table through the shared pruning FileIndex —
     * identity partition values prune at planning time; `snapshotId`
@@ -855,14 +951,14 @@ object Iceberg {
     def stripIds(df: DataFrame): DataFrame =
       df.select(df.columns.toIndexedSeq.map(c => col(c).as(c, Metadata.empty)): _*)
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
-    if (s.deletes.isEmpty && !withMeta) return stripIds(base)
+    if (s.deletes.isEmpty && s.dvDeletes.isEmpty && !withMeta) return stripIds(base)
     // `_metadata` is a hidden column of the scan relation — attach it
     // directly on the scan frame (it does not survive later projections)
     val withM = stripIds(base.select(col("*"),
       col("_metadata.file_path").as(FileMetaCol),
       col("_metadata.row_index").as(PosMetaCol)))
     val kept =
-      if (s.deletes.isEmpty) withM
+      if (s.deletes.isEmpty && s.dvDeletes.isEmpty) withM
       else {
         val (_, root) = Writers.fsFor(path)
         val dv = loadDeleteMap(spark, root, s)
@@ -874,12 +970,12 @@ object Iceberg {
     if (withMeta) kept else kept.drop(FileMetaCol, PosMetaCol)
   }
 
-  /** Load a snapshot's position-delete files into one merged
-    * [[graft.functions.DvMap]], honoring the spec's applicability rule:
-    * a delete row is dropped unless the data file it names has data
-    * sequence number <= the delete file's. The collect is O(delete
-    * debt) driver metadata — the same bound Delta's in-memory DVs and
-    * the native format's run lists carry. */
+  /** Load a snapshot's position-delete files AND v3 deletion vectors
+    * into one merged [[graft.functions.DvMap]], honoring the spec's
+    * applicability rule: a delete is dropped unless the data file it
+    * names has data sequence number <= the delete's. The collect is
+    * O(delete debt) driver metadata — the same bound Delta's in-memory
+    * DVs and the native format's run lists carry. */
   private def loadDeleteMap(spark: SparkSession, root: HPath,
       s: Snapshot): graft.functions.DvMap = {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
@@ -899,7 +995,78 @@ object Iceberg {
             .map(_ => (target.stripPrefix(rootPrefix), r.getLong(1), 1L))
         }
     }
-    graft.functions.DvMap(rootPrefix, raw)
+    // v3 deletion vectors: each blob is one file's bitmap, read
+    // driver-side off the manifest-recorded (offset, size) — no
+    // footer scan, no data files touched
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRaw = s.dvDeletes.flatMap { d =>
+      val target = Hive.fsPathNoDecode(d.referencedDataFile)
+      dataSeq.get(target).filter(_ <= d.seq).toSeq.flatMap { _ =>
+        Puffin.readDvBlob(fs, new HPath(d.path), d.contentOffset, d.contentSize)
+          .map(pos => (target.stripPrefix(rootPrefix), pos, 1L))
+      }
+    }
+    graft.functions.DvMap(rootPrefix, raw ++ dvRaw)
+  }
+
+  /** Read with the v3 ROW-LINEAGE metadata columns served: the table's
+    * columns plus `_row_id` and `_last_updated_sequence_number`. Each
+    * file's rows resolve per the spec's two-layer rule: a MATERIALIZED
+    * column value (written by lineage-preserving rewrites, resolved by
+    * reserved field id) wins; otherwise the id INHERITS as the file's
+    * assigned range start plus the row's position, and last-updated
+    * falls back to the file's data sequence number. Rows written
+    * before [[upgradeToV3]] have no lineage — both columns null. On a
+    * v2 table every row reads null. The per-file range map is a
+    * broadcast (O(files) driver metadata, like the DV filter). */
+  def readWithRowLineage(spark: SparkSession, path: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, path, snapshotId)
+    lineageFrame(spark, path, s, withMeta = false)
+  }
+
+  /** [[readWithRowLineage]]'s body — also the SOURCE every v3 rewrite
+    * reads through, so rewritten files materialize the ids their rows
+    * already carry. */
+  private def lineageFrame(spark: SparkSession, path: String, s: Snapshot,
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, when}
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    // scan with the reserved columns appended: files a rewrite
+    // materialized serve values, every other file reads null (absent
+    // column under field-id or by-name resolution)
+    val ext = s.copy(
+      schema = StructType(s.schema.fields ++ Seq(
+        StructField(RowIdCol, LongType), StructField(LastUpdCol, LongType))),
+      fieldIds = if (s.fieldIds.isEmpty) Map.empty
+        else s.fieldIds ++ Map(RowIdCol -> RowIdFieldId, LastUpdCol -> LastUpdFieldId))
+    val base = snapshotFrame(spark, path, ext, withMeta = true)
+    import spark.implicits._
+    val info = s.files.map(f => (Hive.fsPathNoDecode(f.path), f.firstRowId, f.seq))
+      .toDF("__lin_path", "__lin_first", "__lin_seq")
+    val q = rootPrefix.replace("'", "''")
+    val keyed = base.withColumn("__lin_raw",
+      expr(s"url_decode(replace($FileMetaCol, '+', '%2B'))"))
+      .withColumn("__lin_key", expr(s"substring(__lin_raw, instr(__lin_raw, '$q'))"))
+    val joined = keyed.join(broadcast(info),
+      keyed("__lin_key") === info("__lin_path"), "left")
+    val rowId = coalesce(col(RowIdCol), col("__lin_first") + col(PosMetaCol))
+    val lastUpd = when(rowId.isNull, lit(null).cast(LongType))
+      .otherwise(coalesce(col(LastUpdCol), col("__lin_seq")))
+    val out = joined
+      .withColumn("__lin_rid", rowId).withColumn("__lin_lup", lastUpd)
+      .drop(RowIdCol, LastUpdCol, "__lin_raw", "__lin_key", "__lin_path",
+        "__lin_first", "__lin_seq")
+      .withColumnRenamed("__lin_rid", RowIdCol)
+      .withColumnRenamed("__lin_lup", LastUpdCol)
+    if (withMeta) out else out.drop(FileMetaCol, PosMetaCol)
+  }
+
+  /** The current format-version of the table's metadata. */
+  private def formatVersion(path: String): Int = {
+    val (fs, root) = Writers.fsFor(path)
+    readMetadata(fs, root)._2.get("format-version").asInt
   }
 
   /** The relation behind [[read]] — also what the `format("iceberg")`
@@ -1055,7 +1222,7 @@ object Iceberg {
     val prior: Option[(Long, JsonNode)] =
       if (priorVs.isEmpty) None else Some(readMetadata(fs, root))
     prior.foreach { case (_, m) =>
-      require(Option(m.get("format-version")).exists(_.asInt == 2),
+      require(Option(m.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
         s"Iceberg.write: $path is a format-version 1 table — READ-ONLY here " +
           "(its layout predates sequence numbers); migrate to v2 to write")
     }
@@ -1145,6 +1312,15 @@ object Iceberg {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val lastSeq = prior.map(_._2.get("last-sequence-number").asLong).getOrElse(0L)
     val seq = lastSeq + 1
+    // v3 ROW LINEAGE: this commit's rows get ids [next-row-id,
+    // next-row-id + added). The new data manifest records the range
+    // start explicitly (manifest_file.first_row_id) — carried
+    // manifests keep their own assignment (null for pre-upgrade ones:
+    // their rows have null lineage, the spec's upgraded-table shape)
+    val fv = prior.map(_._2.get("format-version").asInt).getOrElse(2)
+    val nextRowId: Long = prior
+      .flatMap(p => Option(p._2.get("next-row-id")).filterNot(_.isNull).map(_.asLong))
+      .getOrElse(0L)
     val newMetaV = prior.map(_._1 + 1).getOrElse(1L)
     val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
       (f.name, transformResultType(f.transform, df.schema(f.source).dataType), f.fieldId)
@@ -1186,6 +1362,7 @@ object Iceberg {
     newManifest.put("added_rows_count", moved.map(_.recordCount).sum)
     newManifest.put("existing_rows_count", 0L)
     newManifest.put("deleted_rows_count", 0L)
+    if (fv == 3) newManifest.put("first_row_id", nextRowId)
     // re-emit prior manifest records under the shared schema
     val carried = priorManifests.map { r =>
       val c = new GenericData.Record(manifestFileSchema)
@@ -1197,7 +1374,8 @@ object Iceberg {
 
     // ---- new metadata.json (atomic create = the commit)
     val meta = Json.createObjectNode()
-    meta.put("format-version", 2)
+    meta.put("format-version", fv) // carried — a write never downgrades a v3 table
+    if (fv == 3) meta.put("next-row-id", nextRowId + moved.map(_.recordCount).sum)
     meta.put("table-uuid", prior.map(_._2.get("table-uuid").asText)
       .getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", root.toUri.getPath)
@@ -1286,6 +1464,7 @@ object Iceberg {
     baseId.foreach(snapNode.put("parent-snapshot-id", _))
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
+    if (fv == 3) snapNode.put("first-row-id", nextRowId)
     val summary = snapNode.putObject("summary")
     summary.put("operation", if (mode == SaveMode.Append) "append" else "overwrite")
     // caller-supplied summary properties — e.g. a streaming sink's
@@ -1379,6 +1558,10 @@ object Iceberg {
       .select(
         expr(s"substring(__raw, instr(__raw, '$q'))").as("file_path"),
         col("pos"))
+    // a v3 table records position deletes as puffin DELETION VECTORS
+    // (the spec forbids new position-delete files in v3)
+    if (meta.get("format-version").asInt == 3)
+      return commitDvDeletes(spark, fs, root, metaV, meta, s, matches)
     // ---- stage the delete file with the spec's reserved field ids
     val delSchema = StructType(Seq(
       StructField("file_path", StringType, nullable = false,
@@ -1405,7 +1588,55 @@ object Iceberg {
     fs.mkdirs(dest.getParent)
     require(fs.rename(from, dest), s"Iceberg.deleteMergeOnRead: rename $from -> $dest failed")
     fs.delete(tmp, true): Unit
-    commitDeleteFile(fs, root, metaV, meta, s, dest, n, fileContent = 1, equalityIds = Nil)
+    commitDeleteFile(fs, root, metaV, meta, s, Seq(DeleteEntrySpec(
+      dest.toUri.getPath, n, fs.getFileStatus(dest).getLen, "PARQUET", fileContent = 1)))
+  }
+
+  /** The v3 POSITION-DELETE commit: the matched `(file_path, pos)`
+    * pairs become one PUFFIN file holding one `deletion-vector-v1`
+    * blob per affected data file, published as a DELETE manifest whose
+    * entries carry the spec's referenced_data_file / content_offset /
+    * content_size_in_bytes locators. The v3 invariant of at most one
+    * DV per data file: an affected file's existing DV (when still
+    * applicable under the sequence rule) MERGES into the new bitmap
+    * and its old manifest entry is dropped from the carried list.
+    * Pre-upgrade parquet position-delete files are left in place —
+    * they still apply on read, and rewriting them would be O(debt)
+    * churn a delete of unrelated rows should not pay. The collect is
+    * O(matched rows) driver metadata — the same bound the read side's
+    * [[loadDeleteMap]] and Delta's in-memory DVs carry. */
+  private def commitDvDeletes(spark: SparkSession, fs: FileSystem, root: HPath,
+      metaV: Long, meta: JsonNode, s: Snapshot,
+      matches: org.apache.spark.sql.DataFrame): Long = {
+    val newPos: Map[String, Array[Long]] = matches.collect()
+      .map(r => (Hive.fsPathNoDecode(r.getString(0)), r.getLong(1)))
+      .groupBy(_._1).map { case (f, a) => f -> a.map(_._2) }
+    if (newPos.isEmpty) return s.snapshotId
+    val dataSeq: Map[String, Long] =
+      s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
+    // merge each affected file's still-applicable existing DV; an
+    // inapplicable one (file re-added above the DV's sequence) is
+    // dropped WITHOUT merging — its positions named a dead incarnation
+    val merged: Seq[(String, Array[Long])] = newPos.toSeq.sortBy(_._1).map {
+      case (raw, pos) =>
+        val prior = s.dvDeletes
+          .filter(d => Hive.fsPathNoDecode(d.referencedDataFile) == raw &&
+            dataSeq.get(raw).exists(_ <= d.seq))
+          .flatMap(d => Puffin.readDvBlob(fs, new HPath(d.path),
+            d.contentOffset, d.contentSize))
+        raw -> (pos ++ prior).distinct.sorted
+    }
+    val dvDest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-deletes.puffin")
+    fs.mkdirs(dvDest.getParent)
+    val blobs = Puffin.writeDvFile(fs, dvDest, merged)
+    val fileLen = fs.getFileStatus(dvDest).getLen
+    val entries = blobs.map { case (ref, off, len, card) =>
+      DeleteEntrySpec(dvDest.toUri.getPath, card, fileLen, "PUFFIN", fileContent = 1,
+        referencedDataFile = Some(ref), contentOffset = Some(off),
+        contentSize = Some(len))
+    }
+    commitDeleteFile(fs, root, metaV, meta, s, entries,
+      replaceDvFor = merged.map(_._1).toSet)
   }
 
   /** EQUALITY DELETE (`content=2`) — the Flink-style streaming
@@ -1451,18 +1682,36 @@ object Iceberg {
     require(fs.rename(stagedFiles.head._2, dest),
       s"Iceberg.deleteEquality: rename ${stagedFiles.head._2} -> $dest failed")
     fs.delete(tmp, true): Unit
-    commitDeleteFile(fs, root, metaV, meta, s, dest, n, fileContent = 2,
-      equalityIds = keys.columns.toSeq.map(fieldIds))
+    commitDeleteFile(fs, root, metaV, meta, s, Seq(DeleteEntrySpec(
+      dest.toUri.getPath, n, fs.getFileStatus(dest).getLen, "PARQUET", fileContent = 2,
+      equalityIds = keys.columns.toSeq.map(fieldIds))))
   }
 
+  /** One delete file (or v3 deletion-vector blob) to publish —
+    * `fileContent` 1 = position deletes / DVs, 2 = equality deletes.
+    * A DV sets `fileFormat=PUFFIN` plus the three v3 locator fields. */
+  private final case class DeleteEntrySpec(
+      filePath: String, recordCount: Long, sizeInBytes: Long,
+      fileFormat: String, fileContent: Int, equalityIds: Seq[Int] = Nil,
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None, contentSize: Option[Long] = None)
+
   /** The shared delete-file commit: one DELETE manifest (`content=1`)
-    * naming the staged delete parquet (`fileContent` 1 = position
-    * deletes, 2 = equality deletes with `equalityIds`), the current
-    * manifests carried untouched, one new snapshot (operation
-    * `delete`), the next metadata version created atomically. */
+    * naming the staged delete files, the current manifests carried,
+    * one new snapshot (operation `delete`), the next metadata version
+    * created atomically. `replaceDvFor` implements the v3 invariant of
+    * at most ONE deletion vector per data file: carried delete
+    * manifests holding a puffin entry for any of those (raw,
+    * manifest-convention) data-file paths are REWRITTEN without them —
+    * survivors re-emitted as EXISTING with their explicit sequence
+    * numbers — because the new merged DV supersedes them. On a v3
+    * table the new snapshot records `first-row-id` (unchanged
+    * `next-row-id`: a delete adds no rows). */
   private def commitDeleteFile(fs: FileSystem, root: HPath, metaV: Long, meta: JsonNode,
-      s: Snapshot, dest: HPath, n: Long, fileContent: Int, equalityIds: Seq[Int]): Long = {
+      s: Snapshot, entries: Seq[DeleteEntrySpec],
+      replaceDvFor: Set[String] = Set.empty): Long = {
     val path = root.toString
+    val fv = meta.get("format-version").asInt
     val seq = meta.get("last-sequence-number").asLong + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val partFieldTriples: Seq[(String, DataType, Int)] = s.partFields.map { f =>
@@ -1471,37 +1720,51 @@ object Iceberg {
     val entrySchema = manifestEntrySchema(partFieldTriples)
     val r2Schema = entrySchema.getField("data_file").schema()
     val r102Schema = r2Schema.getField("partition").schema()
-    val dfr = new GenericData.Record(r2Schema)
-    dfr.put("content", fileContent)
-    dfr.put("file_path", dest.toUri.getPath)
-    dfr.put("file_format", "PARQUET")
-    dfr.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
-    dfr.put("record_count", n)
-    dfr.put("file_size_in_bytes", fs.getFileStatus(dest).getLen)
-    dfr.put("lower_bounds", null)
-    dfr.put("upper_bounds", null)
-    if (equalityIds.nonEmpty) {
-      val arrSchema = r2Schema.getField("equality_ids").schema().getTypes.get(1)
-      val arr = new java.util.ArrayList[Integer]()
-      equalityIds.foreach(id => arr.add(Integer.valueOf(id)): Unit)
-      dfr.put("equality_ids", new GenericData.Array[Integer](arrSchema, arr))
-    } else dfr.put("equality_ids", null)
-    val e = new GenericData.Record(entrySchema)
-    e.put("status", 1) // ADDED
-    e.put("snapshot_id", snapshotId)
-    e.put("sequence_number", null) // inherited from the manifest list
-    e.put("file_sequence_number", null)
-    e.put("data_file", dfr)
+    def mkEqIds(ids: Seq[Int]): AnyRef =
+      if (ids.isEmpty) null
+      else {
+        val arrSchema = r2Schema.getField("equality_ids").schema().getTypes.get(1)
+        val arr = new java.util.ArrayList[Integer]()
+        ids.foreach(id => arr.add(Integer.valueOf(id)): Unit)
+        new GenericData.Array[Integer](arrSchema, arr)
+      }
+    val added = entries.map { spec =>
+      val dfr = new GenericData.Record(r2Schema)
+      dfr.put("content", spec.fileContent)
+      dfr.put("file_path", spec.filePath)
+      dfr.put("file_format", spec.fileFormat)
+      dfr.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
+      dfr.put("record_count", spec.recordCount)
+      dfr.put("file_size_in_bytes", spec.sizeInBytes)
+      dfr.put("lower_bounds", null)
+      dfr.put("upper_bounds", null)
+      dfr.put("equality_ids", mkEqIds(spec.equalityIds))
+      spec.referencedDataFile.foreach(v => dfr.put("referenced_data_file", v))
+      spec.contentOffset.foreach(v => dfr.put("content_offset", v))
+      spec.contentSize.foreach(v => dfr.put("content_size_in_bytes", v))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", null) // inherited from the manifest list
+      e.put("file_sequence_number", null)
+      e.put("data_file", dfr)
+      e
+    }
+    val n = entries.map(_.recordCount).sum
     val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-d0.avro")
-    val manifestLen = writeAvro(fs, manifestPath, entrySchema, Seq(e))
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, added)
 
-    // ---- manifest list: every current manifest carried + the delete one
+    // ---- manifest list: every current manifest carried (delete
+    // manifests minus any replaced DV entries) + the new delete one
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == s.snapshotId).get
-    val carried = readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText)).map { r =>
+    val carried = readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText)).flatMap { r =>
       val c = new GenericData.Record(manifestFileSchema)
       manifestFileSchema.getFields.forEach(f => c.put(f.name(), r.get(f.name())))
-      c
+      val isDeleteManifest = Option(r.get("content")).exists(_.asInstanceOf[Int] == 1)
+      if (replaceDvFor.isEmpty || !isDeleteManifest) Some(c)
+      else rewriteDeleteManifestWithoutDvs(fs, c, entrySchema, r2Schema, r102Schema,
+        mkEqIds, replaceDvFor)
     }
     val delManifest = new GenericData.Record(manifestFileSchema)
     delManifest.put("manifest_path", manifestPath.toUri.getPath)
@@ -1511,7 +1774,7 @@ object Iceberg {
     delManifest.put("sequence_number", seq)
     delManifest.put("min_sequence_number", seq)
     delManifest.put("added_snapshot_id", snapshotId)
-    delManifest.put("added_files_count", 1)
+    delManifest.put("added_files_count", entries.size)
     delManifest.put("existing_files_count", 0)
     delManifest.put("deleted_files_count", 0)
     delManifest.put("added_rows_count", n)
@@ -1529,8 +1792,13 @@ object Iceberg {
     val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .addObject()
     snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("parent-snapshot-id", s.snapshotId)
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
+    // v3 row lineage: a delete adds no rows — first-row-id records the
+    // (unchanged) next-row-id, which the deepCopy above carries
+    if (fv == 3) snapNode.put("first-row-id",
+      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L))
     snapNode.putObject("summary").put("operation", "delete")
     snapNode.put("manifest-list", listPath.toUri.getPath)
     snapNode.put("schema-id", meta.get("current-schema-id").asInt)
@@ -1539,6 +1807,79 @@ object Iceberg {
     se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
     commitMetadata(fs, root, metaV + 1, newMeta, path)
     snapshotId
+  }
+
+  /** Rewrite one carried DELETE manifest without the puffin DV
+    * entries naming a replaced data file (the v3 one-DV-per-file
+    * invariant: a merged successor DV is being committed). Returns
+    * the updated manifest-list record — unchanged when nothing in it
+    * is replaced, None when every live entry was a replaced DV (the
+    * manifest disappears from the new list). Survivors re-emit as
+    * EXISTING with their EXPLICIT sequence numbers (they must not
+    * inherit the new commit's). */
+  private def rewriteDeleteManifestWithoutDvs(fs: FileSystem,
+      listRec: GenericData.Record, entrySchema: org.apache.avro.Schema,
+      r2Schema: org.apache.avro.Schema, r102Schema: org.apache.avro.Schema,
+      mkEqIds: Seq[Int] => AnyRef,
+      replaced: Set[String]): Option[GenericData.Record] = {
+    val mPath = new HPath(listRec.get("manifest_path").toString)
+    val listSeq = Option(listRec.get("sequence_number"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val all = readAvro(fs, mPath)
+    def isReplacedDv(e: GenericRecord): Boolean = {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      e.get("status").asInstanceOf[Int] != 2 &&
+        df.get("file_format").toString.equalsIgnoreCase("PUFFIN") &&
+        avroOpt(df, "referenced_data_file").exists(r =>
+          replaced.contains(Hive.fsPathNoDecode(r.toString)))
+    }
+    val (dropped, keptEntries) = all.partition(isReplacedDv)
+    if (dropped.isEmpty) return Some(listRec)
+    val survivors = keptEntries.filter(_.get("status").asInstanceOf[Int] != 2).map { old =>
+      val effSeq = avroOpt(old, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(listSeq)
+      val odf = old.get("data_file").asInstanceOf[GenericRecord]
+      val ndf = new GenericData.Record(r2Schema)
+      ndf.put("content", avroOpt(odf, "content").map(_.asInstanceOf[Int]).getOrElse(1))
+      ndf.put("file_path", odf.get("file_path").toString)
+      ndf.put("file_format", odf.get("file_format").toString)
+      ndf.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
+      ndf.put("record_count", odf.get("record_count"))
+      ndf.put("file_size_in_bytes", odf.get("file_size_in_bytes"))
+      ndf.put("lower_bounds", null)
+      ndf.put("upper_bounds", null)
+      val eqIds: Seq[Int] = avroOpt(odf, "equality_ids") match {
+        case Some(l: java.util.List[_]) => l.toArray.toSeq.map(_.asInstanceOf[Int])
+        case _ => Nil
+      }
+      ndf.put("equality_ids", mkEqIds(eqIds))
+      avroOpt(odf, "referenced_data_file").foreach(v => ndf.put("referenced_data_file", v.toString))
+      avroOpt(odf, "content_offset").foreach(v => ndf.put("content_offset", v))
+      avroOpt(odf, "content_size_in_bytes").foreach(v => ndf.put("content_size_in_bytes", v))
+      val e2 = new GenericData.Record(entrySchema)
+      e2.put("status", 0) // EXISTING
+      e2.put("snapshot_id", avroOpt(old, "snapshot_id").orNull)
+      e2.put("sequence_number", effSeq)
+      e2.put("file_sequence_number",
+        avroOpt(old, "file_sequence_number").map(_.asInstanceOf[Long]).getOrElse(effSeq))
+      e2.put("data_file", ndf)
+      e2
+    }
+    if (survivors.isEmpty) return None
+    val newPath = new HPath(mPath.getParent, s"${java.util.UUID.randomUUID()}-d0.avro")
+    val newLen = writeAvro(fs, newPath, entrySchema, survivors)
+    val c = new GenericData.Record(manifestFileSchema)
+    manifestFileSchema.getFields.forEach(f => c.put(f.name(), listRec.get(f.name())))
+    c.put("manifest_path", newPath.toUri.getPath)
+    c.put("manifest_length", newLen)
+    c.put("added_files_count", 0)
+    c.put("existing_files_count", survivors.size)
+    c.put("deleted_files_count", 0)
+    c.put("added_rows_count", 0L)
+    c.put("existing_rows_count", survivors.map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum)
+    c.put("deleted_rows_count", 0L)
+    Some(c)
   }
 
   /** COPY-ON-WRITE DELETE (`DELETE FROM t WHERE cond`, rewrite shape):
@@ -1558,8 +1899,12 @@ object Iceberg {
     // discovery keys on the snapshotFrame's file METADATA COLUMN, not
     // input_file_name(): the latter is undefined past the anti-joins
     // equality-delete debt inserts into the plan (a shuffled join
-    // evaluates it off-scan as ""), which would silently no-op the DELETE
-    val full = snapshotFrame(spark, path, s, withMeta = true)
+    // evaluates it off-scan as ""), which would silently no-op the DELETE.
+    // On v3 the source is the LINEAGE frame, so the surviving rows'
+    // _row_id rides into the replacement files.
+    val full =
+      if (formatVersion(path) == 3) lineageFrame(spark, path, s, withMeta = true)
+      else snapshotFrame(spark, path, s, withMeta = true)
     val touchedRaw = full
       .groupBy(col(FileMetaCol).as("__f"))
       .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"))
@@ -1588,6 +1933,12 @@ object Iceberg {
     require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
     require(cleanJson(s.schema) == cleanJson(updates.schema),
       "Iceberg.upsertByKey: update schema differs from the table schema")
+    // a MERGE's unmatched updates INSERT new rows, which on v3 need
+    // fresh row ids assigned inside rewrite manifests (whose id ranges
+    // never inherit) — not implemented; compose append + deleteMatched
+    require(formatVersion(path) != 3,
+      s"Iceberg.upsertByKey: $path is format-version 3 — MERGE with inserts " +
+        "cannot yet assign fresh row ids; use write(Append) + deleteMatched")
     Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
     // metadata-column discovery — see deleteWhere for why not input_file_name
     val full = snapshotFrame(spark, path, s, withMeta = true)
@@ -1619,8 +1970,11 @@ object Iceberg {
     val missing = set.keys.filterNot(s.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"Iceberg.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    val fv3 = formatVersion(path) == 3
     // metadata-column discovery — see deleteWhere for why not input_file_name
-    val full = snapshotFrame(spark, path, s, withMeta = true)
+    val full =
+      if (fv3) lineageFrame(spark, path, s, withMeta = true)
+      else snapshotFrame(spark, path, s, withMeta = true)
     val touchedRaw = cond match {
       case Some(p) => full
         .groupBy(col(FileMetaCol).as("__f"))
@@ -1632,6 +1986,22 @@ object Iceberg {
     if (touchedRaw.isEmpty) return s.snapshotId
     val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
     val types = s.schema.map(f => f.name -> f.dataType).toMap
+    // v3: an updated row KEEPS its _row_id and records this commit's
+    // sequence number as _last_updated_sequence_number; untouched rows
+    // in the rewritten files carry both through unchanged
+    val lineageOut: Seq[org.apache.spark.sql.Column] =
+      if (!fv3) Nil
+      else {
+        val (fs2, root2) = Writers.fsFor(path)
+        val newSeq = readMetadata(fs2, root2)._2.get("last-sequence-number").asLong + 1
+        val bumped = cond
+          .map(p => when(p, org.apache.spark.sql.functions.lit(newSeq))
+            .otherwise(col(LastUpdCol)))
+          .getOrElse(org.apache.spark.sql.functions.lit(newSeq))
+        Seq(col(RowIdCol),
+          when(col(RowIdCol).isNull, org.apache.spark.sql.functions.lit(null))
+            .otherwise(bumped).cast("long").as(LastUpdCol))
+      }
     val rewritten = full
       .filter(col(FileMetaCol).isin(touchedRaw: _*))
       .select(s.schema.fieldNames.toIndexedSeq.map { c =>
@@ -1641,7 +2011,7 @@ object Iceberg {
             cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
           case None => col(c)
         }
-      }: _*)
+      } ++ lineageOut: _*)
     commitRewriteSnapshot(spark, path, touchedAbs, Some(rewritten), "overwrite",
       dropDeleteManifests = false)
   }
@@ -1663,7 +2033,7 @@ object Iceberg {
     // by sequence number, not by match; after streaming retractions
     // this approaches a full compaction, which a debt fold is)
     val posCovered: Set[String] =
-      if (s.deletes.isEmpty) Set.empty
+      if (s.deletes.isEmpty && s.dvDeletes.isEmpty) Set.empty
       else loadDeleteMap(spark, root, s).files
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val eqCovered: Set[String] = s.files.filter(_.seq < maxEqSeq)
@@ -1675,7 +2045,9 @@ object Iceberg {
       return commitRewriteSnapshot(spark, path, Set.empty, None, "replace",
         dropDeleteManifests = true)
     val q = rootPrefix.replace("'", "''")
-    val full = snapshotFrame(spark, path, s, withMeta = true)
+    val full =
+      if (formatVersion(path) == 3) lineageFrame(spark, path, s, withMeta = true)
+      else snapshotFrame(spark, path, s, withMeta = true)
     val survivors = full
       .filter(expr(
         s"substring($FileMetaCol, instr($FileMetaCol, '$q') + ${rootPrefix.length})")
@@ -1703,7 +2075,7 @@ object Iceberg {
     val smallByPart = s.files.filter(_.sizeInBytes < targetBytes / 2)
       .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
     val posCovered: Set[String] =
-      if (s.deletes.isEmpty) Set.empty
+      if (s.deletes.isEmpty && s.dvDeletes.isEmpty) Set.empty
       else loadDeleteMap(spark, root, s).files.map(rootPrefix + _)
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val debtFiles = s.files.filter(f =>
@@ -1716,7 +2088,10 @@ object Iceberg {
           dropDeleteManifests = true)
       return s.snapshotId
     }
-    val rows = snapshotFrame(spark, path, s.copy(files = selected), withMeta = false)
+    val rows =
+      if (formatVersion(path) == 3)
+        lineageFrame(spark, path, s.copy(files = selected), withMeta = false)
+      else snapshotFrame(spark, path, s.copy(files = selected), withMeta = false)
     val nOut = math.max(1L,
       (selected.map(_.sizeInBytes).sum + targetBytes - 1) / targetBytes).toInt
     val selectedAbs = selected.map(f => Hive.fsPathNoDecode(f.path)).toSet
@@ -1727,12 +2102,33 @@ object Iceberg {
       "replace", dropDeleteManifests = s.hasDeleteDebt)
   }
 
+  /** Re-emit a GenericRecord under a (possibly wider) target schema by
+    * FIELD NAME — Avro's GenericDatumWriter resolves fields by
+    * position, so re-using a record written under an older, narrower
+    * schema (a pre-v3 manifest entry) against the current one would
+    * read past its value array. Absent fields land their defaults
+    * (null); nested records/arrays pass through (their sub-schemas are
+    * stable across this library's versions). */
+  private def recopy(rec: GenericRecord, schema: org.apache.avro.Schema): GenericData.Record = {
+    val out = new GenericData.Record(schema)
+    schema.getFields.forEach { f =>
+      if (rec.getSchema.getField(f.name()) != null) out.put(f.name(), rec.get(f.name()))
+    }
+    out
+  }
+
   /** The shared copy-on-write commit: stage `newData` (when present),
     * carry every untouched manifest by reference, and REWRITE only the
     * manifests naming a removed file — removed entries re-marked
     * DELETED (status 2), kept ones EXISTING (status 0), both with
     * EXPLICIT sequence numbers so the list-record inheritance cannot
-    * re-stamp them. Publishes the next metadata version atomically. */
+    * re-stamp them (on v3, likewise explicit first_row_id so the
+    * rewrite cannot shift the surviving files' inherited id ranges).
+    * Publishes the next metadata version atomically. On v3 the staged
+    * replacement files must carry MATERIALIZED `_row_id` /
+    * `_last_updated_sequence_number` columns (the callers build them
+    * from [[lineageFrame]]); their manifest records carry no
+    * first_row_id, so inheritance never re-stamps a rewritten row. */
   private def commitRewriteSnapshot(spark: SparkSession, path: String,
       removedAbs: Set[String], newData: Option[DataFrame], operation: String,
       dropDeleteManifests: Boolean,
@@ -1742,6 +2138,21 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
+    val fv = meta.get("format-version").asInt
+    if (fv == 3) {
+      // a v3 rewrite must preserve row lineage: the replacement files
+      // carry the ids as MATERIALIZED columns (the callers read through
+      // lineageFrame). The converted-table sync path stages nothing
+      // itself and cannot guarantee that — converted tables are v2.
+      require(preStaged.isEmpty,
+        s"Iceberg.$operation: pre-staged (sync) commits are not supported on a " +
+          "format-version 3 table")
+      newData.foreach { df =>
+        require(df.columns.contains(RowIdCol) && df.columns.contains(LastUpdCol),
+          s"Iceberg.$operation: a v3 rewrite frame must carry the materialized " +
+            s"$RowIdCol/$LastUpdCol columns")
+      }
+    }
     val schema = schemaFromMeta(meta)
     val partFields = partFieldsFromMeta(meta)
     val fieldIds: Map[String, Int] = {
@@ -1754,8 +2165,14 @@ object Iceberg {
     }
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val seq = meta.get("last-sequence-number").asLong + 1
-    val added = newData.map(df =>
-      stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(preStaged)
+    val stageIds = fieldIds ++ (if (fv == 3)
+      Map(RowIdCol -> RowIdFieldId, LastUpdCol -> LastUpdFieldId) else Map.empty)
+    val added0 = newData.map(df =>
+      stageWithTransforms(spark, df, fs, root, partFields, stageIds)).getOrElse(preStaged)
+    // the lineage columns are bookkeeping, not table data — keep their
+    // min/max out of the manifests (their reserved ids are not in the
+    // table schema any reader resolves stats against)
+    val added = added0.map(f => f.copy(bounds = f.bounds - RowIdCol - LastUpdCol))
 
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
@@ -1777,8 +2194,15 @@ object Iceberg {
         if (!touched) carry()
         else {
           val entrySchema = manifestEntrySchema(partFieldTriples)
+          val r2 = entrySchema.getField("data_file").schema()
+          val mFirstRow = avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long])
           var kept = 0; var dropped = 0
           var keptRows = 0L; var droppedRows = 0L
+          // v3: the rewrite makes every entry EXISTING/DELETED, so the
+          // list-level id range can no longer assign — stamp each
+          // surviving entry's inherited first_row_id EXPLICITLY, in the
+          // original entry order, before the order is disturbed
+          var lineageAssigned = 0L
           val rewritten = live.map { e =>
             val dfr = e.get("data_file").asInstanceOf[GenericRecord]
             val eSeq = Option(e.get("sequence_number"))
@@ -1788,13 +2212,20 @@ object Iceberg {
             val rc = dfr.get("record_count").asInstanceOf[Long]
             if (removed) { dropped += 1; droppedRows += rc }
             else { kept += 1; keptRows += rc }
+            // re-emit under the CURRENT entry schema by name — the old
+            // record may predate this schema's newer optional fields
+            val ndf = recopy(dfr, r2)
+            if (avroOpt(dfr, "first_row_id").isEmpty) mFirstRow.foreach { base =>
+              ndf.put("first_row_id", base + lineageAssigned)
+              lineageAssigned += rc
+            }
             val ne = new GenericData.Record(entrySchema)
             ne.put("status", if (removed) 2 else 0)
             ne.put("snapshot_id", if (removed) snapshotId else e.get("snapshot_id"))
             ne.put("sequence_number", eSeq)
             ne.put("file_sequence_number",
               Option(e.get("file_sequence_number")).getOrElse(eSeq))
-            ne.put("data_file", dfr)
+            ne.put("data_file", ndf)
             ne
           }
           val newPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -1847,8 +2278,14 @@ object Iceberg {
     val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .addObject()
     snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
+    // v3 row lineage: a rewrite assigns no NEW ids (rewritten rows keep
+    // theirs via the materialized columns) — first-row-id records the
+    // next-row-id the deepCopy carries unchanged
+    if (fv == 3) snapNode.put("first-row-id",
+      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L))
     snapNode.putObject("summary").put("operation", operation)
     snapNode.put("manifest-list", listPath.toUri.getPath)
     snapNode.put("schema-id", meta.get("current-schema-id").asInt)
@@ -1921,7 +2358,7 @@ object Iceberg {
     * ConcurrentModificationException, same as every commit path. */
   private def commitMetadata(fs: FileSystem, root: HPath, v: Long,
       meta: JsonNode, path: String): Unit = {
-    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+    require(Option(meta.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
       "Iceberg: v1 tables are READ-ONLY here — their metadata layout predates " +
         "sequence numbers; migrate to v2 before mutating")
     val out = try fs.create(metaFile(root, v), false) catch {
@@ -2017,6 +2454,32 @@ object Iceberg {
     e.put("timestamp-ms", now); e.put("snapshot-id", snapshotId)
     commitMetadata(fs, root, metaV + 1, m, path)
     snapshotId
+  }
+
+  /** Upgrade a v2 table to FORMAT-VERSION 3 in place (a metadata-only
+    * commit, the spec's version-upgrade path). After the upgrade:
+    * position deletes commit as puffin DELETION VECTORS
+    * ([[commitDvDeletes]]); appends/overwrites stamp the row-lineage
+    * fields (`next-row-id`, snapshot `first-row-id`, manifest
+    * `first_row_id`); compaction and copy-on-write delete/update
+    * PRESERVE row identity by materializing `_row_id` /
+    * `_last_updated_sequence_number` into the replacement files
+    * ([[lineageFrame]]); [[upsertByKey]] (which inserts fresh rows
+    * mid-rewrite) refuses. Row-id assignment starts at 0: pre-upgrade
+    * files keep null lineage (the spec's upgraded-table shape — their
+    * manifests carry no `first_row_id`), so no id can collide. */
+  def upgradeToV3(spark: SparkSession, path: String): Unit = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val fv = meta.get("format-version").asInt
+    if (fv == 3) return // idempotent
+    require(fv == 2,
+      s"Iceberg.upgradeToV3: $path is format-version $fv — only v2 upgrades")
+    val m = meta.deepCopy[ObjectNode]()
+    m.put("format-version", 3)
+    m.put("next-row-id", 0L)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
   }
 
   /** Named REFS (the spec's `refs` map): tag or branch name →
@@ -2283,7 +2746,7 @@ object Iceberg {
   def removeOrphanFiles(spark: SparkSession, path: String, olderThanMs: Long): Int = {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
-    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+    require(Option(meta.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
       s"Iceberg.removeOrphanFiles: $path is a format-version 1 table — READ-ONLY here " +
         "(and its inline-manifest snapshots would not resolve)")
     val referenced0: Set[String] = iterator(meta.get("snapshots")).toSeq.flatMap { sn =>
@@ -2322,7 +2785,8 @@ object Iceberg {
           val abs = p.toUri.getPath
           // data-file extensions only — except inside dot-dirs (crashed
           // staging trees), which are reclaimed whole incl. crc markers
-          val reclaimable = inDotDir || abs.endsWith(".parquet") || abs.endsWith(".avro")
+          val reclaimable = inDotDir || abs.endsWith(".parquet") ||
+            abs.endsWith(".avro") || abs.endsWith(".puffin")
           if (reclaimable && !referenced.contains(abs) &&
             st.getModificationTime < olderThanMs && fs.delete(p, false)) removed += 1
         }
@@ -2345,7 +2809,7 @@ object Iceberg {
     val (metaV, meta) = readMetadata(fs, root)
     // this path writes metadata via its own create, not commitMetadata
     // — it needs the v1 read-only gate itself
-    require(Option(meta.get("format-version")).exists(_.asInt == 2),
+    require(Option(meta.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
       s"Iceberg.expireSnapshots: $path is a format-version 1 table — READ-ONLY here")
     val snaps = iterator(meta.get("snapshots")).toSeq.sortBy(_.get("sequence-number").asLong)
     if (snaps.size <= keepLast) return 0

@@ -89,6 +89,8 @@ final class IcebergSourceProvider extends RelationProvider
       return inspection(Iceberg.refsTable(sqlContext.sparkSession, path))
     if (opt(parameters, "files").exists(_.toBoolean))
       return inspection(Iceberg.files(sqlContext.sparkSession, path))
+    if (opt(parameters, "delete_files").exists(_.toBoolean))
+      return inspection(Iceberg.deleteFilesTable(sqlContext.sparkSession, path))
     if (opt(parameters, "partitions").exists(_.toBoolean))
       return inspection(Iceberg.partitions(sqlContext.sparkSession, path))
     val snapshotId = opt(parameters, "snapshotId").map(_.toLong)

@@ -2627,6 +2627,83 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S52: Iceberg FORMAT-VERSION 3 end to end — create as v2, upgrade
+    * in place, append on v3 (row-lineage bookkeeping require'd:
+    * `next-row-id` advances by exactly the appended row count), then
+    * merge-on-read deletes that land as PUFFIN deletion vectors (the
+    * v3 spec's replacement for position-delete parquet — framed
+    * big-endian length + D1D33964 magic + portable RoaringBitmapArray
+    * + CRC, one blob per covered data file). The second delete hits
+    * files the first already covered, so the one-DV-per-file invariant
+    * (merge + supersede) is exercised, not just asserted. ZERO data
+    * files rewritten; reads apply the bitmaps as a broadcast row-index
+    * filter (no join — require'd on the plan). At 100 TB this is the
+    * delete shape that keeps a trillion-row table's delete commits
+    * O(debt) instead of O(table). Oracle: the surviving rows straight
+    * off `orders`. */
+  val s52IcebergV3 = QueryDef(
+    "s52_iceberg_v3",
+    (s, d) => {
+      val path = tmp("s52_ice_v3", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      I.write(orders.filter(col("o_orderkey") % 2 === 0), path)
+      I.upgradeToV3(s, path)
+      I.write(orders.filter(col("o_orderkey") % 2 === 1), path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val appended = orders.filter(col("o_orderkey") % 2 === 1).count()
+      val metaFile = new java.io.File(path, "metadata").listFiles()
+        .map(_.getPath).filter(_.endsWith(".metadata.json")).max
+      val metaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(metaFile))
+      require(metaNode.get("format-version").asInt == 3 &&
+        metaNode.get("next-row-id").asLong == appended,
+        "s52: the v3 append must advance next-row-id by exactly the appended rows")
+      val before = I.snapshot(s, path)
+      I.deleteMergeOnRead(s, path,
+        col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
+      I.deleteMergeOnRead(s, path,
+        col("o_orderstatus") === "F" && col("o_custkey") % 3 === 1)
+      val after = I.snapshot(s, path)
+      require(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+        "s52: merge-on-read deletes must rewrite ZERO data files")
+      require(after.deletes.isEmpty && after.dvDeletes.nonEmpty,
+        "s52: v3 deletes must land as deletion vectors, not position-delete parquet")
+      require(after.dvDeletes.forall(_.path.endsWith(".puffin")),
+        "s52: deletion vectors must live in puffin files")
+      require(after.dvDeletes.map(_.referencedDataFile).distinct.size ==
+        after.dvDeletes.size,
+        "s52: at most one deletion vector per data file (merge + supersede)")
+      // the delete_files triage table censuses the debt from the
+      // manifests alone (zero data files planned)
+      val delTable = s.read.format("iceberg").option("delete_files", "true").load(path)
+      require(delTable.inputFiles.isEmpty,
+        "s52: delete_files must answer from metadata, zero data files")
+      require(delTable.count() == after.dvDeletes.size &&
+        delTable.filter(col("kind") === "deletion-vector").count() ==
+          after.dvDeletes.size,
+        "s52: delete_files must census exactly the outstanding DVs")
+      val read = I.read(s, path)
+      require(!read.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+        "s52: deletion vectors must apply as a row-index filter, not a join")
+      val out = read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+      require(out.count() > 0, "s52: empty result")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 IN (0, 1))
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2637,5 +2714,5 @@ object IngestOps extends QueryModule {
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
-    s49InteropInspection, s51ContinuousSync)
+    s49InteropInspection, s51ContinuousSync, s52IcebergV3)
 }

@@ -61,10 +61,11 @@ class IcebergStreamSource(
         // (copy-on-write delete / compaction) clears the debt.
         if (snap.hasDeleteDebt)
           throw new IllegalStateException(
-            s"iceberg source: $path carries ${snap.deletes.size} position-delete and " +
-              s"${snap.eqDeletes.size} equality-delete file(s) — a streaming bootstrap over " +
-              "merge-on-read delete debt would re-serve deleted rows. Rewrite the table " +
-              "(copy-on-write delete or compaction) before tailing it.")
+            s"iceberg source: $path carries ${snap.deletes.size} position-delete, " +
+              s"${snap.eqDeletes.size} equality-delete file(s) and ${snap.dvDeletes.size} " +
+              "deletion vector(s) — a streaming bootstrap over merge-on-read delete debt " +
+              "would re-serve deleted rows. Rewrite the table (copy-on-write delete or " +
+              "compaction) before tailing it.")
         snap.files
       case Some(s0) =>
         val (adds, nonAppend) = Iceberg.changesBetween(spark, path, seqOf(s0), to)

@@ -1107,4 +1107,289 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(targets.subsetOf(manifestPaths),
       s"delete targets must match manifest paths byte-for-byte:\n $targets\n vs $manifestPaths")
   }
+
+  private def latestMeta(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val dir = Paths.get(path, "metadata")
+    val v = Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".metadata.json")).max
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(Paths.get(v)), "UTF-8"))
+  }
+
+  test("v3 lifecycle: upgrade, row-lineage appends, puffin DV deletes that merge") {
+    import spark.implicits._
+    val path = freshDir("ice_v3")
+    // one data file, so the second delete MERGES into the first's DV
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.upgradeToV3(spark, path) // idempotent
+    val m1 = latestMeta(path)
+    assert(m1.get("format-version").asInt == 3)
+    assert(m1.get("next-row-id").asLong == 0L)
+    // append on v3: rows 3..5 get ids [0, 3); the new manifest records
+    // the range start explicitly, the snapshot stamps first-row-id
+    Iceberg.write(Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v"), path,
+      mode = SaveMode.Append)
+    val m2 = latestMeta(path)
+    assert(m2.get("next-row-id").asLong == 3L)
+    val appendSnap = {
+      val arr = m2.get("snapshots")
+      arr.get(arr.size() - 1)
+    }
+    assert(appendSnap.get("first-row-id").asLong == 0L)
+    val listRecs = {
+      val in = new java.io.FileInputStream(appendSnap.get("manifest-list").asText)
+      val r = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      while (r.hasNext) out += r.next()
+      r.close()
+      out.toSeq
+    }
+    // the pre-upgrade manifest keeps null lineage; the new one is stamped
+    assert(listRecs.map(r => Option(r.get("first_row_id")).map(_.asInstanceOf[Long]))
+      .toSet == Set(None, Some(0L)))
+    // merge-on-read delete on v3 writes a puffin DELETION VECTOR, not
+    // a parquet position-delete file
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 1L)
+    val s1 = Iceberg.snapshot(spark, path)
+    assert(s1.deletes.isEmpty && s1.dvDeletes.size == 1)
+    assert(s1.dvDeletes.head.path.endsWith(".puffin"))
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted
+      .toSeq == Seq(2L, 3L, 4L, 5L))
+    // a second delete hitting the SAME file merges into one DV and
+    // drops the superseded entry (the v3 one-DV-per-file invariant)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 2L)
+    val s2 = Iceberg.snapshot(spark, path)
+    assert(s2.dvDeletes.map(_.referencedDataFile).distinct.size == s2.dvDeletes.size,
+      s"at most one DV per data file, got ${s2.dvDeletes}")
+    val affected = s2.dvDeletes.filter(d =>
+      s1.dvDeletes.head.referencedDataFile == d.referencedDataFile)
+    assert(affected.size == 1 && affected.head.path != s1.dvDeletes.head.path,
+      "the merged DV must supersede the old entry")
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted
+      .toSeq == Seq(3L, 4L, 5L))
+    // deleteMatched rides the same DV path
+    Iceberg.deleteMatched(spark, path, Seq(Tuple1(3L)).toDF("k"), "k")
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted
+      .toSeq == Seq(4L, 5L))
+    // time travel: pre-delete snapshots still read whole
+    val snapIds = Iceberg.snapshots(path).map(_._1)
+    assert(Iceberg.read(spark, path, snapshotId = Some(snapIds(1))).count() == 5L)
+    // delete commits keep next-row-id unchanged and stamp first-row-id
+    val m3 = latestMeta(path)
+    assert(m3.get("next-row-id").asLong == 3L)
+    val delSnap = { val arr = m3.get("snapshots"); arr.get(arr.size() - 1) }
+    assert(delSnap.get("first-row-id").asLong == 3L)
+    // MERGE with inserts cannot yet assign fresh row ids on v3
+    val eUp = intercept[IllegalArgumentException](
+      Iceberg.upsertByKey(spark, path, Seq((9L, "z")).toDF("k", "v"), "k"))
+    assert(eUp.getMessage.contains("format-version 3"))
+    // metadata-only ops stay available
+    Iceberg.renameColumn(spark, path, "v", "label")
+    assert(Iceberg.read(spark, path).columns.toSeq == Seq("k", "label"))
+    val ids2 = Iceberg.snapshots(path).map(_._1)
+    Iceberg.createRef(spark, path, "pin", ids2.last, "tag")
+    assert(Iceberg.refs(path).contains("pin"))
+    // equality deletes remain parquet on v3 (the spec keeps them)
+    Iceberg.deleteEquality(spark, path, Seq(Tuple1(4L)).toDF("k"))
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1)
+      .toSeq == Seq(5L))
+    // the delete_files triage table censuses the debt by kind, from
+    // metadata alone
+    val delTable = spark.read.format("iceberg").option("delete_files", "true").load(path)
+    assert(delTable.inputFiles.isEmpty)
+    val byKind = delTable.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(byKind("equality") == 1L && byKind("deletion-vector") >= 1L)
+    assert(delTable.filter(col("kind") === "deletion-vector")
+      .select("target").as[String].collect().forall(_.endsWith(".parquet")))
+    assert(delTable.filter(col("kind") === "deletion-vector")
+      .select("record_count").as[Long].collect().forall(_ > 0L),
+      "DV rows must carry their cardinality")
+  }
+
+  test("v3 overwrite restarts the live set and advances row lineage") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_ow")
+    Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.write(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), path,
+      mode = SaveMode.Append)
+    Iceberg.write(Seq((9L, "z")).toDF("k", "v"), path, mode = SaveMode.Overwrite)
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    val m = latestMeta(path)
+    assert(m.get("format-version").asInt == 3, "a write must never downgrade v3")
+    // appended 2 rows then overwrote with 1: ids 0,1 then 2
+    assert(m.get("next-row-id").asLong == 3L)
+    val owSnap = { val arr = m.get("snapshots"); arr.get(arr.size() - 1) }
+    assert(owSnap.get("first-row-id").asLong == 2L)
+    // cleanup ops run on v3: expire history, reclaim orphans
+    assert(Iceberg.expireSnapshots(spark, path, 1) >= 1)
+    assert(Iceberg.read(spark, path).count() == 1L)
+    Iceberg.removeOrphanFiles(spark, path, Long.MaxValue)
+    assert(Iceberg.read(spark, path).count() == 1L)
+  }
+
+  test("v3 puffin DVs expire with their snapshots") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_expire")
+    Iceberg.write((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") <= 3L)
+    val dv1 = Iceberg.snapshot(spark, path).dvDeletes.head.path
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 4L) // merged DV replaces dv1
+    assert(Iceberg.read(spark, path).count() == 6L)
+    assert(Iceberg.expireSnapshots(spark, path, 1) >= 0)
+    // the superseded puffin file is only referenced by expired
+    // snapshots — after expiry it is reclaimable as an orphan would be
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration()).getRaw
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dv1)) ||
+      Iceberg.removeOrphanFiles(spark, path, Long.MaxValue) >= 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dv1)),
+      "the replaced DV file must be reclaimed with its history")
+    assert(Iceberg.read(spark, path).count() == 6L)
+  }
+
+  test("v3 row lineage: reads inherit; compaction and copy-on-write preserve ids") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_lineage")
+    // pre-upgrade rows have NO lineage — null forever
+    Iceberg.write(Seq((1L, "pre")).toDF("k", "v").coalesce(1), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.write((2L to 4L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Append)
+    Iceberg.write(Seq((5L, "v5")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Append)
+    def lineage(): Map[Long, (Option[Long], Option[Long])] =
+      Iceberg.readWithRowLineage(spark, path)
+        .select("k", Iceberg.RowIdCol, Iceberg.LastUpdCol)
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val lin1 = lineage()
+    assert(lin1(1L) == ((None, None)), "pre-upgrade rows read null lineage")
+    // inheritance: the 3-row append starts at 0, the next at 3; the
+    // inherited last-updated is each file's data sequence number
+    assert(Seq(2L, 3L, 4L).map(k => lin1(k)._1) == Seq(Some(0L), Some(1L), Some(2L)))
+    assert(lin1(5L) == ((Some(3L), Some(3L))))
+    assert(Seq(2L, 3L, 4L).map(k => lin1(k)._2).forall(_ == Some(2L)))
+    // COW update: k=3 keeps id 1 and bumps last-updated to the new
+    // commit's sequence; its file-mates carry both through unchanged
+    Iceberg.updateWhere(spark, path, Map("v" -> lit("v3x")), Some(col("k") === 3L))
+    val lin2 = lineage()
+    assert(lin2(3L)._1 == Some(1L), "an updated row keeps its _row_id")
+    assert(lin2(3L)._2.exists(_ > 2L), "an updated row bumps _last_updated")
+    assert(lin2(2L) == lin1(2L) && lin2(4L) == lin1(4L) && lin2(5L) == lin1(5L))
+    assert(lin2(1L) == ((None, None)))
+    // the rewritten file physically materializes the lineage columns
+    val rewrittenFiles = Iceberg.snapshot(spark, path).files.map(_.path)
+    assert(rewrittenFiles.exists { p =>
+      val cols = spark.read.parquet(p).columns.toSet
+      cols.contains(Iceberg.RowIdCol) && cols.contains(Iceberg.LastUpdCol)
+    }, "a v3 rewrite must materialize the lineage columns in its files")
+    // compaction: many files -> one, every id and last-updated stable
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)
+    assert(Iceberg.snapshot(spark, path).files.size == 1)
+    assert(lineage() == lin2, "compaction must not disturb row lineage")
+    // COW delete: survivors keep their identity
+    Iceberg.deleteWhere(spark, path, col("k") === 2L)
+    val lin4 = lineage()
+    assert(lin4.keySet == Set(1L, 3L, 4L, 5L))
+    assert(Seq(1L, 3L, 4L, 5L).forall(k => lin4(k) == lin2(k)))
+    // and the table read itself stays clean (no lineage cols leak)
+    assert(Iceberg.read(spark, path).columns.toSeq == Seq("k", "v"))
+    // v3 MoR deletes compose with lineage reads: DV-applied rows vanish
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 4L)
+    val lin5 = lineage()
+    assert(lin5.keySet == Set(1L, 3L, 5L) && lin5(3L) == lin2(3L))
+  }
+
+  test("rewrites survive manifests written under the narrower pre-v3 entry schema") {
+    import spark.implicits._
+    val path = freshDir("ice_narrow_manifest")
+    Iceberg.write(Seq((1L, "a")).toDF("k", "v").coalesce(1), path)
+    Iceberg.write(Seq((2L, "b")).toDF("k", "v").coalesce(1), path, mode = SaveMode.Append)
+    // rewrite every manifest with the entry schema THIS LIBRARY WROTE
+    // BEFORE the v3 fields existed (9-field data_file record) — what a
+    // pre-upgrade table on disk actually carries. Avro writes records
+    // by POSITION, so a rewrite that re-used these records against the
+    // wider current schema would read past their value arrays.
+    val narrow = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val metaDir = Paths.get(path, "metadata")
+    val manifests = Files.list(metaDir).toArray.map(_.toString)
+      .filter(p => p.endsWith(".avro") && !p.contains("snap-"))
+    assert(manifests.nonEmpty)
+    manifests.foreach { m =>
+      val in = new java.io.FileInputStream(m)
+      val r = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val olds = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      while (r.hasNext) olds += r.next()
+      r.close()
+      val r2 = narrow.getField("data_file").schema()
+      val rows = olds.map { e =>
+        val odf = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val ndf = new org.apache.avro.generic.GenericData.Record(r2)
+        Seq("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+          .foreach(f => ndf.put(f, odf.get(f)))
+        ndf.put("partition", new org.apache.avro.generic.GenericData.Record(
+          r2.getField("partition").schema()))
+        val ne = new org.apache.avro.generic.GenericData.Record(narrow)
+        Seq("status", "snapshot_id", "sequence_number", "file_sequence_number")
+          .foreach(f => ne.put(f, e.get(f)))
+        ne.put("data_file", ndf)
+        ne
+      }
+      Files.deleteIfExists(metaDir.resolve(
+        "." + Paths.get(m).getFileName.toString + ".crc"))
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](narrow))
+      w.create(narrow, new java.io.File(m))
+      rows.foreach(w.append)
+      w.close()
+    }
+    // a copy-on-write delete rewrites the touched manifest: the narrow
+    // records must re-emit safely under the current wider schema
+    Iceberg.deleteWhere(spark, path, col("k") === 1L)
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // and compaction carries the other manifest through the same path
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("v3 read gates: initial-default refuses; v4 refuses") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_gate")
+    Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path)
+    Iceberg.upgradeToV3(spark, path)
+    val dir = Paths.get(path, "metadata")
+    val mf = Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".metadata.json")).max
+    val name = Paths.get(mf).getFileName.toString
+    Files.deleteIfExists(dir.resolve("." + name + ".crc"))
+    val text = new String(Files.readAllBytes(Paths.get(mf)), "UTF-8")
+    // a field carrying a v3 default value must refuse, not misread null
+    Files.write(Paths.get(mf), text.replace("\"name\" : \"v\",",
+      "\"name\" : \"v\", \"initial-default\" : \"filled\",").getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](Iceberg.read(spark, path))
+    assert(e1.getMessage.contains("initial-default"))
+    // an unknown future format version refuses at the door
+    Files.write(Paths.get(mf), text.replace("\"format-version\" : 3",
+      "\"format-version\" : 4").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](Iceberg.read(spark, path))
+    assert(e2.getMessage.contains("format-version 4"))
+  }
 }
