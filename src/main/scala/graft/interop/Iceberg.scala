@@ -1933,27 +1933,56 @@ object Iceberg {
     require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
     require(cleanJson(s.schema) == cleanJson(updates.schema),
       "Iceberg.upsertByKey: update schema differs from the table schema")
-    // a MERGE's unmatched updates INSERT new rows, which on v3 need
-    // fresh row ids assigned inside rewrite manifests (whose id ranges
-    // never inherit) — not implemented; compose append + deleteMatched
-    require(formatVersion(path) != 3,
-      s"Iceberg.upsertByKey: $path is format-version 3 — MERGE with inserts " +
-        "cannot yet assign fresh row ids; use write(Append) + deleteMatched")
     Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
+    val fv3 = formatVersion(path) == 3
     // metadata-column discovery — see deleteWhere for why not input_file_name
-    val full = snapshotFrame(spark, path, s, withMeta = true)
+    val full =
+      if (fv3) lineageFrame(spark, path, s, withMeta = true)
+      else snapshotFrame(spark, path, s, withMeta = true)
     val touchedRaw = full
       .join(updates.select(col(key)), Seq(key), "left_semi")
       .select(col(FileMetaCol)).distinct().collect().map(_.getString(0)).toSeq
     val touchedAbs = touchedRaw.map(r => new java.net.URI(r).getPath).toSet
+    val dataCols = s.schema.fieldNames.toIndexedSeq.map(col)
+    if (!fv3) {
+      val survivors = full
+        .filter(col(FileMetaCol).isin(touchedRaw: _*))
+        .join(updates.select(col(key)), Seq(key), "left_anti")
+        .select(dataCols: _*)
+      val newData = survivors.unionByName(updates.select(dataCols: _*))
+      return commitRewriteSnapshot(spark, path, touchedAbs, Some(newData), "overwrite",
+        dropDeleteManifests = false)
+    }
+    // v3 row lineage through a MERGE: a matched update is the SAME
+    // logical row — it keeps the old row's _row_id and records this
+    // commit's sequence as _last_updated (null lineage stays null).
+    // When several table rows share the key, the single image cannot
+    // inherit one identity — it lands as a FRESH row instead, like
+    // every unmatched insert (fresh rows stage as their own manifest
+    // whose id range advances next-row-id).
+    import org.apache.spark.sql.functions.{count => fCount, lit, min => fMin, when => fWhen}
+    val (fs2, root2) = Writers.fsFor(path)
+    val newSeq = readMetadata(fs2, root2)._2.get("last-sequence-number").asLong + 1
+    val keyInfo = full
+      .join(updates.select(col(key)), Seq(key), "left_semi")
+      .groupBy(col(key))
+      .agg(fCount(lit(1)).as("__up_cnt"), fMin(col(RowIdCol)).as("__up_oldId"))
+    val annotated = updates.join(keyInfo, Seq(key), "left")
+    val matchedSingle = annotated.filter(col("__up_cnt") === 1L)
+      .select(dataCols ++ Seq(
+        col("__up_oldId").as(RowIdCol),
+        fWhen(col("__up_oldId").isNull, lit(null))
+          .otherwise(lit(newSeq)).cast("long").as(LastUpdCol)): _*)
+    val freshRows = annotated
+      .filter(col("__up_cnt").isNull || col("__up_cnt") =!= 1L)
+      .select(dataCols: _*)
     val survivors = full
       .filter(col(FileMetaCol).isin(touchedRaw: _*))
       .join(updates.select(col(key)), Seq(key), "left_anti")
-      .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val newData = survivors.unionByName(
-      updates.select(s.schema.fieldNames.toIndexedSeq.map(col): _*))
-    commitRewriteSnapshot(spark, path, touchedAbs, Some(newData), "overwrite",
-      dropDeleteManifests = false)
+      .select(dataCols ++ Seq(col(RowIdCol), col(LastUpdCol)): _*)
+    commitRewriteSnapshot(spark, path, touchedAbs,
+      Some(survivors.unionByName(matchedSingle)), "overwrite",
+      dropDeleteManifests = false, freshData = Some(freshRows))
   }
 
   /** COPY-ON-WRITE predicate UPDATE — `UPDATE t SET c = expr [WHERE
@@ -2134,7 +2163,13 @@ object Iceberg {
       dropDeleteManifests: Boolean,
       // already-on-disk refs to record WITHOUT staging (the converted-
       // table sync path: the other format's writer landed the files)
-      preStaged: Seq[DataFileRef] = Nil): Long = {
+      preStaged: Seq[DataFileRef] = Nil,
+      // rows that are NEW to the table (a MERGE's inserts): staged as
+      // their own manifest so that, on v3, its list record assigns a
+      // fresh id range (first_row_id = next-row-id, which advances by
+      // the insert count) — rewritten rows never inherit, fresh rows
+      // always do
+      freshData: Option[DataFrame] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
@@ -2173,6 +2208,13 @@ object Iceberg {
     // min/max out of the manifests (their reserved ids are not in the
     // table schema any reader resolves stats against)
     val added = added0.map(f => f.copy(bounds = f.bounds - RowIdCol - LastUpdCol))
+    // fresh (inserted) rows stage separately: no materialized lineage,
+    // ids assigned by inheritance from their own manifest's range
+    val fresh = freshData.map(df =>
+      stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(Nil)
+    val freshRows = fresh.map(_.recordCount).sum
+    val nextRowId: Long =
+      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
 
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
@@ -2267,6 +2309,26 @@ object Iceberg {
       rec.put("deleted_rows_count", 0L)
       outManifests += rec
     }
+    if (fresh.nonEmpty) {
+      val (mp, ml) = writeAddedManifest(
+        fs, root, fresh, snapshotId, partFieldTriples, fieldIds, schema)
+      val rec = new GenericData.Record(manifestFileSchema)
+      rec.put("manifest_path", mp.toUri.getPath)
+      rec.put("manifest_length", ml)
+      rec.put("partition_spec_id", 0)
+      rec.put("content", 0)
+      rec.put("sequence_number", seq)
+      rec.put("min_sequence_number", seq)
+      rec.put("added_snapshot_id", snapshotId)
+      rec.put("added_files_count", fresh.size)
+      rec.put("existing_files_count", 0)
+      rec.put("deleted_files_count", 0)
+      rec.put("added_rows_count", freshRows)
+      rec.put("existing_rows_count", 0L)
+      rec.put("deleted_rows_count", 0L)
+      if (fv == 3) rec.put("first_row_id", nextRowId) // the fresh id range
+      outManifests += rec
+    }
     val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
     writeAvro(fs, listPath, manifestFileSchema, outManifests.toSeq)
 
@@ -2281,11 +2343,12 @@ object Iceberg {
     snapNode.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
-    // v3 row lineage: a rewrite assigns no NEW ids (rewritten rows keep
-    // theirs via the materialized columns) — first-row-id records the
-    // next-row-id the deepCopy carries unchanged
-    if (fv == 3) snapNode.put("first-row-id",
-      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L))
+    // v3 row lineage: rewritten rows keep their ids via the
+    // materialized columns; only FRESH (inserted) rows consume new ids
+    if (fv == 3) {
+      snapNode.put("first-row-id", nextRowId)
+      newMeta.put("next-row-id", nextRowId + freshRows)
+    }
     snapNode.putObject("summary").put("operation", operation)
     snapNode.put("manifest-list", listPath.toUri.getPath)
     snapNode.put("schema-id", meta.get("current-schema-id").asInt)
@@ -2464,10 +2527,11 @@ object Iceberg {
     * `first_row_id`); compaction and copy-on-write delete/update
     * PRESERVE row identity by materializing `_row_id` /
     * `_last_updated_sequence_number` into the replacement files
-    * ([[lineageFrame]]); [[upsertByKey]] (which inserts fresh rows
-    * mid-rewrite) refuses. Row-id assignment starts at 0: pre-upgrade
-    * files keep null lineage (the spec's upgraded-table shape — their
-    * manifests carry no `first_row_id`), so no id can collide. */
+    * ([[lineageFrame]]); MERGE ([[upsertByKey]]) keeps matched rows'
+    * ids and mints fresh ones for inserts from `next-row-id`. Row-id
+    * assignment starts at 0: pre-upgrade files keep null lineage (the
+    * spec's upgraded-table shape — their manifests carry no
+    * `first_row_id`), so no id can collide. */
   def upgradeToV3(spark: SparkSession, path: String): Unit = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)

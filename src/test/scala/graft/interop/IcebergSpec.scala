@@ -1181,10 +1181,6 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(m3.get("next-row-id").asLong == 3L)
     val delSnap = { val arr = m3.get("snapshots"); arr.get(arr.size() - 1) }
     assert(delSnap.get("first-row-id").asLong == 3L)
-    // MERGE with inserts cannot yet assign fresh row ids on v3
-    val eUp = intercept[IllegalArgumentException](
-      Iceberg.upsertByKey(spark, path, Seq((9L, "z")).toDF("k", "v"), "k"))
-    assert(eUp.getMessage.contains("format-version 3"))
     // metadata-only ops stay available
     Iceberg.renameColumn(spark, path, "v", "label")
     assert(Iceberg.read(spark, path).columns.toSeq == Seq("k", "label"))
@@ -1206,6 +1202,11 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(delTable.filter(col("kind") === "deletion-vector")
       .select("record_count").as[Long].collect().forall(_ > 0L),
       "DV rows must carry their cardinality")
+    // MERGE works on v3 (identity contract locked in the lineage test)
+    Iceberg.upsertByKey(spark, path,
+      Seq((5L, "upd"), (6L, "new")).toDF("k", "label"), "k")
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((5L, "upd"), (6L, "new")))
   }
 
   test("v3 overwrite restarts the live set and advances row lineage") {
@@ -1302,6 +1303,26 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     Iceberg.deleteMergeOnRead(spark, path, col("k") === 4L)
     val lin5 = lineage()
     assert(lin5.keySet == Set(1L, 3L, 5L) && lin5(3L) == lin2(3L))
+    // MERGE: a matched update is the same logical row — it keeps its
+    // _row_id with a bumped last-updated; an insert mints a fresh id
+    // from next-row-id (its own manifest's range)
+    val beforeNext = latestMeta(path).get("next-row-id").asLong
+    Iceberg.upsertByKey(spark, path,
+      Seq((3L, "merged"), (9L, "brand-new")).toDF("k", "v"), "k")
+    val lin6 = lineage()
+    assert(lin6.keySet == Set(1L, 3L, 5L, 9L))
+    assert(lin6(3L)._1 == lin2(3L)._1, "a merged update keeps its _row_id")
+    assert(lin6(3L)._2.exists(u => lin2(3L)._2.exists(_ < u)),
+      "a merged update bumps _last_updated")
+    assert(lin6(9L)._1 == Some(beforeNext), "an insert consumes the fresh range")
+    assert(latestMeta(path).get("next-row-id").asLong == beforeNext + 1,
+      "next-row-id advances by exactly the inserted rows")
+    assert(lin6(1L) == ((None, None)) && lin6(5L) == lin2(5L))
+    // a matched pre-upgrade row (null lineage) stays null through MERGE
+    Iceberg.upsertByKey(spark, path, Seq((1L, "pre2")).toDF("k", "v"), "k")
+    val lin7 = lineage()
+    assert(lin7(1L) == ((None, None)))
+    assert(latestMeta(path).get("next-row-id").asLong == beforeNext + 1)
   }
 
   test("rewrites survive manifests written under the narrower pre-v3 entry schema") {
