@@ -59,11 +59,12 @@ object DeltaLake {
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
     "timestampNtz", "v2Checkpoint")
   /** Writer features this from-spec writer honors. A table demanding
-    * anything else (rowTracking, icebergCompat, v2Checkpoint, ...)
-    * refuses WRITES loudly — ignoring an unimplemented writer feature
-    * corrupts the table's invariants even when every read works. */
+    * anything else (icebergCompat, inCommitTimestamp, ...) refuses
+    * WRITES loudly — ignoring an unimplemented writer feature corrupts
+    * the table's invariants even when every read works. */
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
+    "rowTracking", "domainMetadata",
     "generatedColumns", "v2Checkpoint")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
@@ -83,7 +84,14 @@ object DeltaLake {
   final case class AddFile(
       path: String, partitionValues: Map[String, Option[String]],
       size: Long, modificationTime: Long, stats: Option[String],
-      dv: Option[DvDescriptor] = None)
+      dv: Option[DvDescriptor] = None,
+      // ROW TRACKING (protocol `rowTracking` writer feature): the
+      // default row id of the file's first row (fresh rows read
+      // baseRowId + position unless a materialized column overrides)
+      // and the commit version stamped as their default
+      // _row_commit_version
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** A reconstructed snapshot: the schema and partition columns of the
     * latest `metaData` at-or-below `version`, and the active file set.
@@ -106,7 +114,11 @@ object DeltaLake {
       // latest `txn` action per appId — the protocol's application
       // transaction watermark, what a streaming sink dedups batch
       // replays against
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      // latest `domainMetadata` configuration per domain (removed
+      // domains dropped) — the protocol's keyed metadata channel; row
+      // tracking stores its id high-water mark here
+      domains: Map[String, String] = Map.empty) {
     def physicalName(c: String): String = columnMapping.getOrElse(c, c)
     def hasDeletionVectors: Boolean = files.exists(_.dv.nonEmpty)
     def cdfEnabled: Boolean =
@@ -114,7 +126,21 @@ object DeltaLake {
     def mapMode: Option[String] =
       configuration.get("delta.columnMapping.mode").filter(m => m.nonEmpty && m != "none")
     def isIdMode: Boolean = mapMode.contains("id")
+    def rowTrackingEnabled: Boolean =
+      configuration.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true"))
+    /** The highest assigned row id (-1 before any assignment), from
+      * the `delta.rowTracking` domain's configuration JSON. */
+    def rowIdHighWaterMark: Long =
+      domains.get(RowTrackingDomain).flatMap { c =>
+        Option(Json.readTree(c).get("rowIdHighWaterMark"))
+          .filterNot(_.isNull).map(_.asLong)
+      }.getOrElse(-1L)
   }
+
+  /** Row tracking's reserved domain + table-property keys. */
+  private val RowTrackingDomain = "delta.rowTracking"
+  private val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  private val MatRcvKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
   // ------------------------------------------------- column mapping
 
@@ -357,9 +383,11 @@ object DeltaLake {
       mapMode = mode.filter(m => m.nonEmpty && m != "none")
     }
 
+    var domains: Map[String, String] = Map.empty
     def applyAdd(p: String, pv: Map[String, Option[String]], size: Long, mod: Long,
-        stats: Option[String], dv: Option[DvDescriptor]): Unit =
-      files(p) = AddFile(p, pv, size, mod, stats, dv)
+        stats: Option[String], dv: Option[DvDescriptor],
+        baseRowId: Option[Long] = None, defaultRcv: Option[Long] = None): Unit =
+      files(p) = AddFile(p, pv, size, mod, stats, dv, baseRowId, defaultRcv)
 
     // row-shaped action replay, shared by classic/multi-part/v2
     // checkpoint files and their sidecars; `sidecars` collects v2
@@ -400,14 +428,24 @@ object DeltaLake {
               if (d.isNullAt(d.fieldIndex("offset"))) None else Some(d.getAs[Int]("offset")),
               d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
           } else None
+        def optLong(field: String): Option[Long] =
+          if (a.schema.fieldNames.contains(field) && !a.isNullAt(a.fieldIndex(field)))
+            Some(a.getAs[Long](field))
+          else None
         applyAdd(decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
-          a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv)
+          a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv,
+          optLong("baseRowId"), optLong("defaultRowCommitVersion"))
       }
       if (cols("remove") && r.getAs[Row]("remove") != null)
         files.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path"))): Unit
       if (cols("txn") && r.getAs[Row]("txn") != null) {
         val t = r.getAs[Row]("txn")
         txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
+      }
+      if (cols("domainMetadata") && r.getAs[Row]("domainMetadata") != null) {
+        val d = r.getAs[Row]("domainMetadata")
+        if (d.getAs[Boolean]("removed")) domains -= d.getAs[String]("domain")
+        else domains += d.getAs[String]("domain") -> d.getAs[String]("configuration")
       }
       if (cols("sidecar") && r.getAs[Row]("sidecar") != null) {
         // spec: sidecar files always live under _delta_log/_sidecars;
@@ -451,11 +489,18 @@ object DeltaLake {
         }
         applyAdd(decodePath(a.get("path").asText), pv, a.get("size").asLong,
           Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-          Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv)
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv,
+          Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong))
       }
       Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
       Option(n.get("txn")).filterNot(_.isNull).foreach(t =>
         txns += t.get("appId").asText -> t.get("version").asLong)
+      Option(n.get("domainMetadata")).filterNot(_.isNull).foreach { d =>
+        if (Option(d.get("removed")).exists(_.asBoolean)) domains -= d.get("domain").asText
+        else domains += d.get("domain").asText ->
+          Option(d.get("configuration")).filterNot(_.isNull).map(_.asText).getOrElse("")
+      }
       Option(n.get("sidecar")).filterNot(_.isNull).foreach { sc =>
         val sp = decodePath(sc.get("path").asText)
         sidecars += (if (sp.contains("/")) new HPath(sp) else new HPath(sidecarDir, sp))
@@ -568,7 +613,7 @@ object DeltaLake {
     val logical = StructType(raw.fields.map(f =>
       f.copy(dataType = stripType(f.dataType), metadata = Metadata.empty)))
     Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf,
-      rawSchema = raw, protocol = protocolV, txns = txns)
+      rawSchema = raw, protocol = protocolV, txns = txns, domains = domains)
   }
 
   /** (version, commit timestamp ms, operation) per JSON log entry —
@@ -1020,8 +1065,15 @@ object DeltaLake {
     val physPartCols = partCols.map(physName)
     val dataCols = stageDf.schema.fields.filterNot(f => physPartCols.contains(f.name)).toSeq
     val now = System.currentTimeMillis()
-    val adds = stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
+    val adds0 = stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
       .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
+    // row tracking: every committed add carries its id range default
+    val (adds, rowIdLine): (Seq[AddFile], Option[String]) = prior match {
+      case Some(p) if p.rowTrackingEnabled =>
+        val (stamped, wm) = assignRowIds(fs, root, p, adds0, v, "write")
+        (stamped, Some(wm))
+      case _ => (adds0, None)
+    }
 
     // assemble and atomically create the commit
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1077,6 +1129,7 @@ object DeltaLake {
       t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
       lines += Json.writeValueAsString(o)
     }
+    rowIdLine.foreach(lines += _)
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now)
@@ -1219,6 +1272,10 @@ object DeltaLake {
           dvn.put("sizeInBytes", blob.length)
       }
       dvn.put("cardinality", cardinality)
+      // a DV re-add is the SAME file — its row-tracking defaults ride
+      // (dropping them would reissue every surviving row's id)
+      f.baseRowId.foreach(a.put("baseRowId", _): Unit)
+      f.defaultRowCommitVersion.foreach(a.put("defaultRowCommitVersion", _): Unit)
       lines += Json.writeValueAsString(ad)
     }
     if (snap.cdfEnabled) {
@@ -1249,6 +1306,31 @@ object DeltaLake {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, sum, when}
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
+    // a row-tracked COW delete sources the tracking frame: discovery
+    // keys on the scan's file metadata column (input_file_name is
+    // undefined past the frame's broadcast join) and survivors carry
+    // their materialized ids into the replacement files
+    if (snap.rowTrackingEnabled) {
+      val (ridPhys, rcvPhys) = matNames(snap, "deleteWhere")
+      val fullT = trackedFrame(spark, path, snap, withMeta = true)
+      val touchedRaw = fullT
+        .groupBy(col(FileMetaCol).as("__f"))
+        .agg(sum(when(predicate, 1L).otherwise(0L)).as("__hits"))
+        .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0)).toSeq
+      if (touchedRaw.isEmpty) return snap.version
+      val touchedRel = touchedRaw.map(relOf(path, _, "deleteWhere")).toSet
+      val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+      val touchedRows = fullT.filter(col(FileMetaCol).isin(touchedRaw: _*))
+      val survivors = touchedRows.filter(predicate.isNull || !predicate)
+        .drop(FileMetaCol)
+      val cdc =
+        if (!snap.cdfEnabled) None
+        else Some(touchedRows.filter(predicate)
+          .drop(FileMetaCol, ridPhys, rcvPhys)
+          .withColumn("_change_type", lit("delete")))
+      return commitRewrite(spark, path, snap, keepByFile.map(_.path), survivors,
+        "DELETE", cdcRows = cdc)
+    }
     val full = read(spark, path)
     // pass 1: which files hold matches (partition cols resolvable —
     // the predicate may reference them — via the pruning relation)
@@ -1290,25 +1372,174 @@ object DeltaLake {
     Json.writeValueAsString(o)
   }
 
+  /** A legacy writer version's implied feature set — what an upgrade
+    * to the table-features protocol must CARRY (clobbering it with
+    * just the new feature would tell foreign writers to stop honoring
+    * features the table still uses). */
+  private def legacyWriterFeatures(minWriter: Int): Seq[String] =
+    (if (minWriter >= 2) Seq("appendOnly", "invariants") else Nil) ++
+      (if (minWriter >= 3) Seq("checkConstraints") else Nil) ++
+      (if (minWriter >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+      (if (minWriter >= 5) Seq("columnMapping") else Nil)
+
+  /** The protocol after additionally requiring `feats` as WRITER
+    * features (table-features protocol, minWriter 7; the reader
+    * version is untouched — none of these gate reads). */
+  private def withWriterFeatures(prior: Protocol, feats: Seq[String]): Protocol =
+    if (prior.minReader >= 3 || prior.minWriter >= 7)
+      prior.copy(minWriter = 7,
+        writerFeatures = (prior.writerFeatures ++ feats).distinct)
+    else Protocol(prior.minReader, 7,
+      if (prior.minReader >= 2) Seq("columnMapping") else Nil,
+      (legacyWriterFeatures(prior.minWriter) ++ feats).distinct)
+
   /** The protocol after additionally requiring deletion-vector
-    * support: an upgrade to the table-features protocol that CARRIES
-    * the prior protocol's capabilities (legacy version numbers
-    * translate to their implied feature sets — clobbering them with a
-    * bare [deletionVectors] would tell foreign readers to stop
-    * honoring features the table still uses). */
+    * support (a READER feature — the reader version bumps to 3). A
+    * table already on the features protocol — by EITHER version (a
+    * row-tracked table sits at minReader 1 / minWriter 7) — keeps its
+    * feature list; only true legacy versions translate. */
   private def withDeletionVectors(prior: Protocol): Protocol =
-    if (prior.minReader >= 3)
-      Protocol(3, 7, (prior.readerFeatures :+ "deletionVectors").distinct,
+    if (prior.minReader >= 3 || prior.minWriter >= 7) {
+      val rf =
+        if (prior.minReader >= 3) prior.readerFeatures
+        else if (prior.minReader >= 2) Seq("columnMapping")
+        else Nil
+      Protocol(3, 7, (rf :+ "deletionVectors").distinct,
         (prior.writerFeatures :+ "deletionVectors").distinct)
-    else {
+    } else {
       val legacyReader = if (prior.minReader >= 2) Seq("columnMapping") else Nil
-      val legacyWriter =
-        (if (prior.minWriter >= 2) Seq("appendOnly", "invariants") else Nil) ++
-          (if (prior.minWriter >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
-          (if (prior.minWriter >= 5) Seq("columnMapping") else Nil)
       Protocol(3, 7, (legacyReader :+ "deletionVectors").distinct,
-        (legacyWriter :+ "deletionVectors").distinct)
+        (legacyWriterFeatures(prior.minWriter) :+ "deletionVectors").distinct)
     }
+
+  // --------------------------------------------------------- row tracking
+
+  /** In `id`-mapped tables the scan resolves columns by parquet field
+    * id; the protocol gives the materialized row-tracking columns no
+    * ids, so this library stamps stable PRIVATE ones (far above any
+    * minted column id) when staging and scanning them. */
+  private val MatRowIdFieldId = 2147483400L
+  private val MatRcvFieldId = 2147483399L
+
+  /** Turn ROW TRACKING on (the protocol's `rowTracking` +
+    * `domainMetadata` writer features): upgrade the protocol, mint the
+    * materialized column names into the table configuration, BACKFILL
+    * the live files — each re-added `dataChange=false` with its
+    * assigned `baseRowId` range and this commit's version as its rows'
+    * default commit version — and record the id high-water mark in the
+    * `delta.rowTracking` domain. O(files) metadata, zero data bytes
+    * moved. Every later write assigns fresh ranges;
+    * [[readWithRowTracking]] serves `_row_id` / `_row_commit_version`. */
+  def enableRowTracking(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    if (snap.rowTrackingEnabled) return snap.version
+    gateWriter(snap, path, "enableRowTracking", mutates = false)
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val conf = snap.configuration +
+      ("delta.enableRowTracking" -> "true",
+        MatRowIdKey -> s"_row-id-col-$suffix",
+        MatRcvKey -> s"_row-commit-version-col-$suffix")
+    val (stamped, wmLine) = assignRowIds(fs, root, snap, snap.files, v, "enableRowTracking")
+    val lines = Seq(
+      protocolLine(withWriterFeatures(snap.protocol, Seq("rowTracking", "domainMetadata"))),
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now, conf)) ++
+      stamped.map(addLine(_, dataChange = false)) ++
+      Seq(wmLine, {
+        val ci = Json.createObjectNode()
+        val info = ci.putObject("commitInfo")
+        info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+        Json.writeValueAsString(ci)
+      })
+    commitLines(fs, root, v, lines)
+    v
+  }
+
+  /** Read with the ROW TRACKING columns served: the table's columns
+    * plus `_row_id` and `_row_commit_version`, resolved per the
+    * protocol's two layers — a MATERIALIZED column value (under the
+    * minted physical names the configuration records, written by
+    * id-preserving rewrites) wins; otherwise the add action's
+    * `baseRowId` + row position and `defaultRowCommitVersion`. Files
+    * without assignment (a foreign suspended table) read null. The
+    * per-file defaults are a broadcast — O(files) driver metadata,
+    * like the DV filter. */
+  def readWithRowTracking(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, path, versionAsOf)
+    val out = trackedFrame(spark, path, s, withMeta = false)
+    val (ridPhys, rcvPhys) = matNames(s, "readWithRowTracking")
+    out.withColumnRenamed(ridPhys, "_row_id")
+      .withColumnRenamed(rcvPhys, "_row_commit_version")
+  }
+
+  /** The materialized row-tracking column names the configuration
+    * records. */
+  private def matNames(s: Snapshot, op: String): (String, String) = (
+    s.configuration.getOrElse(MatRowIdKey, throw new IllegalArgumentException(
+      s"DeltaLake.$op: table records no $MatRowIdKey")),
+    s.configuration.getOrElse(MatRcvKey, throw new IllegalArgumentException(
+      s"DeltaLake.$op: table records no $MatRcvKey")))
+
+  /** [[readWithRowTracking]]'s body — and the SOURCE every
+    * id-preserving rewrite reads through: the resolved row-tracking
+    * values ride under their MATERIALIZED PHYSICAL NAMES (id-mode
+    * metadata attached), ready to stage into replacement files.
+    * `withMeta` keeps [[FileMetaCol]] for rewrite discovery. */
+  private def trackedFrame(spark: SparkSession, path: String, s: Snapshot,
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr}
+    val classic = spark.asInstanceOf[ClassicSession]
+    require(s.rowTrackingEnabled,
+      s"DeltaLake.readWithRowTracking: $path does not have delta.enableRowTracking=true")
+    val (ridPhys, rcvPhys) = matNames(s, "readWithRowTracking")
+    def matMeta(name: String, fid: Long): Metadata = {
+      val mb = new MetadataBuilder().putString(PhysNameKey, name)
+      if (s.isIdMode) mb.putLong(FieldIdKey, fid)
+      mb.build()
+    }
+    val extraRaw = Seq(
+      StructField(ridPhys, LongType, nullable = true, matMeta(ridPhys, MatRowIdFieldId)),
+      StructField(rcvPhys, LongType, nullable = true, matMeta(rcvPhys, MatRcvFieldId)))
+    val ext = s.copy(
+      schema = StructType(s.schema.fields ++ extraRaw.map(_.copy(metadata = Metadata.empty))),
+      rawSchema = StructType(s.rawSchema.fields ++ extraRaw))
+    val base = withRowMeta(classic.baseRelationToDataFrame(
+      relationForSnapshot(spark, path, ext)))
+    val undeleted =
+      if (!s.hasDeletionVectors) base
+      else dropCovered(base, loadDvMap(spark, path, s))
+    import spark.implicits._
+    val info = s.files.map(f => (f.path, f.baseRowId, f.defaultRowCommitVersion))
+      .toDF("__rt_path", "__rt_base", "__rt_rcv")
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val q = rootPrefix.replace("'", "''")
+    val keyed = undeleted.withColumn("__rt_raw",
+      expr(s"url_decode(replace($FileMetaCol, '+', '%2B'))"))
+      .withColumn("__rt_key",
+        expr(s"substring(__rt_raw, instr(__rt_raw, '$q') + ${rootPrefix.length})"))
+    val joined = keyed.join(broadcast(info),
+      keyed("__rt_key") === info("__rt_path"), "left")
+    // the id-mode metadata rides the final columns (explicit aliases —
+    // withColumn would strip it) so a rewrite's staging stamps the same
+    // private parquet field ids the scan reads
+    val computed = joined
+      .withColumn("__rt_rid2",
+        coalesce(col(ridPhys), col("__rt_base") + col(PosMetaCol)))
+      .withColumn("__rt_rcv2", coalesce(col(rcvPhys), col("__rt_rcv")))
+      .drop(ridPhys, rcvPhys, "__rt_raw", "__rt_key", "__rt_path", "__rt_base",
+        "__rt_rcv", PosMetaCol)
+    val out = computed.select(
+      computed.columns.toIndexedSeq
+        .filterNot(c => c == "__rt_rid2" || c == "__rt_rcv2").map(col) ++ Seq(
+        col("__rt_rid2").as(ridPhys, matMeta(ridPhys, MatRowIdFieldId)),
+        col("__rt_rcv2").as(rcvPhys, matMeta(rcvPhys, MatRcvFieldId))): _*)
+    val cleaned = if (withMeta) out else out.drop(FileMetaCol)
+    fromPhysicalDf(cleaned, s)
+  }
 
   // ------------------------------------------------------ change data feed
 
@@ -1328,9 +1559,8 @@ object DeltaLake {
     // bump to the CDF writer version. The re-emitted metaData carries
     // the RAW schema (field metadata such as physicalName intact).
     val newProtocol =
-      if (snap.protocol.minReader >= 3)
-        snap.protocol.copy(minWriter = 7,
-          writerFeatures = (snap.protocol.writerFeatures :+ "changeDataFeed").distinct)
+      if (snap.protocol.minReader >= 3 || snap.protocol.minWriter >= 7)
+        withWriterFeatures(snap.protocol, Seq("changeDataFeed"))
       else snap.protocol.copy(minWriter = math.max(snap.protocol.minWriter, 4))
     val lines = Seq(
       protocolLine(newProtocol),
@@ -1826,6 +2056,14 @@ object DeltaLake {
     val selected = (smallByPart ++ dvFiles).distinctBy(_.path)
     if (selected.isEmpty) return snap.version
     val sub = snap.copy(files = selected)
+    val nOut = math.max(1L,
+      (selected.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+    // a row-tracked compaction reads through the tracking frame so the
+    // replacement files MATERIALIZE every surviving row's id
+    if (snap.rowTrackingEnabled)
+      return commitRewrite(spark, path, snap, selected.map(_.path),
+        trackedFrame(spark, path, sub, withMeta = false).coalesce(nOut),
+        "OPTIMIZE", dataChange = false)
     val classic = spark.asInstanceOf[ClassicSession]
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
     // back to LOGICAL names — commitRewrite's staging re-physicalizes
@@ -1833,8 +2071,6 @@ object DeltaLake {
       if (!sub.hasDeletionVectors) base
       else dropCovered(withRowMeta(base), loadDvMap(spark, path, sub))
         .drop(FileMetaCol, PosMetaCol), sub)
-    val nOut = math.max(1L,
-      (selected.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
     commitRewrite(spark, path, snap, selected.map(_.path), rows.coalesce(nOut),
       "OPTIMIZE", dataChange = false)
   }
@@ -1853,6 +2089,62 @@ object DeltaLake {
     val missing = set.keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"DeltaLake.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    val types0 = snap.schema.map(f => f.name -> f.dataType).toMap
+    // a row-tracked UPDATE keeps every row's id and stamps the new
+    // commit's version as the CHANGED rows' _row_commit_version
+    if (snap.rowTrackingEnabled) {
+      val (ridPhys, rcvPhys) = matNames(snap, "updateWhere")
+      val newV = snap.version + 1
+      val fullT = trackedFrame(spark, path, snap, withMeta = true)
+      val touchedRaw = (cond match {
+        case Some(p) => fullT
+          .groupBy(col(FileMetaCol).as("__f"))
+          .agg(sum(when(p, 1L).otherwise(0L)).as("__hits"))
+          .collect().filter(_.getAs[Long]("__hits") > 0L).map(_.getString(0))
+        case None => fullT.select(col(FileMetaCol))
+          .distinct().collect().map(_.getString(0))
+      }).toSeq
+      if (touchedRaw.isEmpty) return snap.version
+      val touchedRel = touchedRaw.map(relOf(path, _, "updateWhere")).toSet
+      val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+      val touchedRows = fullT.filter(col(FileMetaCol).isin(touchedRaw: _*))
+        .drop(FileMetaCol)
+      def appliedT(src: DataFrame): DataFrame = src.select(
+        snap.schema.fieldNames.toIndexedSeq.map { c =>
+          set.get(c) match {
+            case Some(value) =>
+              val cast = value.cast(types0(c))
+              cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
+            case None => col(c)
+          }
+        } ++ Seq(col(ridPhys), {
+          val bumped = cond
+            .map(p => when(p, lit(newV)).otherwise(col(rcvPhys)))
+            .getOrElse(lit(newV))
+          when(col(ridPhys).isNull, lit(null)).otherwise(bumped)
+            .cast("long").as(rcvPhys)
+        }): _*)
+      val cdc =
+        if (!snap.cdfEnabled) None
+        else {
+          val matched = cond.map(touchedRows.filter).getOrElse(touchedRows)
+            .drop(ridPhys, rcvPhys)
+          def plainApplied(src: DataFrame): DataFrame = src.select(
+            snap.schema.fieldNames.toIndexedSeq.map { c =>
+              set.get(c) match {
+                case Some(value) =>
+                  val cast = value.cast(types0(c))
+                  cond.map(p => when(p, cast).otherwise(col(c))).getOrElse(cast).as(c)
+                case None => col(c)
+              }
+            }: _*)
+          Some(matched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(plainApplied(matched)
+              .withColumn("_change_type", lit("update_postimage"))))
+        }
+      return commitRewrite(spark, path, snap, keepByFile.map(_.path),
+        appliedT(touchedRows), "UPDATE", cdcRows = cdc)
+    }
     val full = read(spark, path)
     val touchedRaw = cond match {
       case Some(p) => full
@@ -1911,6 +2203,53 @@ object DeltaLake {
     require(cleanJson(snap.schema) == cleanJson(updates.schema),
       "DeltaLake.upsertByKey: update schema differs from the table schema")
     Writers.requireUniqueKeys("DeltaLake.upsertByKey", updates, key)
+    // a row-tracked MERGE: matched updates are the SAME logical rows —
+    // single-match images inherit the old row's id with this commit's
+    // version stamped; multi-match images and true inserts read a null
+    // materialized id, which resolves to a fresh one from the new
+    // file's baseRowId range
+    if (snap.rowTrackingEnabled) {
+      import org.apache.spark.sql.functions.{count => fCount, lit, min => fMin, when => fWhen}
+      val (ridPhys, rcvPhys) = matNames(snap, "upsertByKey")
+      val newV = snap.version + 1
+      val fullT = trackedFrame(spark, path, snap, withMeta = true)
+      val touchedRaw = fullT
+        .join(updates.select(col(key)), Seq(key), "left_semi")
+        .select(col(FileMetaCol)).distinct().collect().map(_.getString(0)).toSeq
+      val touchedRel = touchedRaw.map(relOf(path, _, "upsertByKey")).toSet
+      val keepByFile = snap.files.filter(f => touchedRel.contains(f.path))
+      val dataCols = snap.schema.fieldNames.toIndexedSeq.map(col)
+      val survivors = fullT.filter(col(FileMetaCol).isin(touchedRaw: _*))
+        .join(updates.select(col(key)), Seq(key), "left_anti")
+        .select(dataCols ++ Seq(col(ridPhys), col(rcvPhys)): _*)
+      val keyInfo = fullT
+        .join(updates.select(col(key)), Seq(key), "left_semi")
+        .groupBy(col(key))
+        .agg(fCount(lit(1)).as("__m_cnt"), fMin(col(ridPhys)).as("__m_rid"))
+      val aligned = updates.join(keyInfo, Seq(key), "left")
+        .select(dataCols ++ Seq(
+          fWhen(col("__m_cnt") === 1L, col("__m_rid"))
+            .otherwise(lit(null)).cast("long").as(ridPhys),
+          fWhen(col("__m_cnt") === 1L && col("__m_rid").isNotNull, lit(newV))
+            .otherwise(lit(null)).cast("long").as(rcvPhys)): _*)
+      val cdc =
+        if (!snap.cdfEnabled) None
+        else {
+          val fullPlain = read(spark, path)
+          val alignedPlain = updates.select(dataCols: _*)
+          val targetKeys = fullPlain.select(col(key)).distinct()
+          val pre = fullPlain.join(updates.select(col(key)), Seq(key), "left_semi")
+            .select(dataCols: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = alignedPlain.join(targetKeys, Seq(key), "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = alignedPlain.join(targetKeys, Seq(key), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          Some(pre.unionByName(post).unionByName(ins))
+        }
+      return commitRewrite(spark, path, snap, keepByFile.map(_.path),
+        survivors.unionByName(aligned), "MERGE", cdcRows = cdc, txn = txn)
+    }
     val full = read(spark, path)
     // pass 1: the files holding a matched key (semi-join, shuffles on
     // the key — broadcastable when the update set is small, AQE's call)
@@ -1966,6 +2305,20 @@ object DeltaLake {
     // maintenance rewrites (dataChange=false, e.g. OPTIMIZE) are legal
     // on append-only tables — the row set is unchanged
     gateWriter(snap, path, operation, mutates = dataChange)
+    // a rewrite on a row-tracked table preserves each surviving row's
+    // id by MATERIALIZING it into the replacement files — the callers
+    // read through [[trackedFrame]], so the physical lineage columns
+    // must be on the frame (refuse rather than silently reissue
+    // identities); the new adds still take a fresh baseRowId range,
+    // which is what any row with a NULL materialized id (a MERGE
+    // insert) resolves against
+    val tracked = snap.rowTrackingEnabled
+    if (tracked) {
+      val (ridPhys, rcvPhys) = matNames(snap, operation)
+      require(newData.columns.contains(ridPhys) && newData.columns.contains(rcvPhys),
+        s"DeltaLake.$operation: an id-preserving rewrite frame must carry " +
+          s"$ridPhys/$rcvPhys (read the source through the row-tracking frame)")
+    }
     // UPDATE/MERGE-derived rows must satisfy the table's constraints
     // like any other write (survivors trivially pass; one job, only on
     // constrained tables; maintenance rewrites carry already-validated
@@ -1977,10 +2330,16 @@ object DeltaLake {
     val physPartCols = snap.partitionColumns.map(snap.physicalName)
     val dataCols = stageDf.schema.fields
       .filterNot(f => physPartCols.contains(f.name)).toSeq
-    val adds = stageFiles(spark, root, stageDf, physPartCols,
+    val adds0 = stageFiles(spark, root, stageDf, physPartCols,
       Some(dataCols), operation, Nil, "part")
       .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
     val v = snap.version + 1
+    val (adds, rowIdLine): (Seq[AddFile], Option[String]) =
+      if (!tracked) (adds0, None)
+      else {
+        val (stamped, wm) = assignRowIds(fs, root, snap, adds0, v, operation)
+        (stamped, Some(wm))
+      }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     removedRel.foreach { p =>
       val o = Json.createObjectNode()
@@ -1996,6 +2355,7 @@ object DeltaLake {
       t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
       lines += Json.writeValueAsString(o)
     }
+    rowIdLine.foreach(lines += _)
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
@@ -2139,6 +2499,12 @@ object DeltaLake {
       adds: Seq[AddFile], removedRel: Set[String],
       newSchema: Option[StructType]): Long = {
     val snap = snapshot(spark, path)
+    // the mirrored files come from the other format's writer, which
+    // assigned no row ids — a sync commit on a row-tracked table would
+    // leave unassigned adds below the watermark
+    require(!snap.rowTrackingEnabled,
+      s"DeltaLake sync: $path has delta.enableRowTracking=true — dual-format " +
+        "sync does not assign row ids; disable row tracking or sync manually")
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     val v = snap.version + 1
@@ -2183,7 +2549,58 @@ object DeltaLake {
       dvn.put("sizeInBytes", d.sizeInBytes)
       dvn.put("cardinality", d.cardinality): Unit
     }
+    a.baseRowId.foreach(ad.put("baseRowId", _): Unit)
+    a.defaultRowCommitVersion.foreach(ad.put("defaultRowCommitVersion", _): Unit)
     Json.writeValueAsString(o)
+  }
+
+  /** A `domainMetadata` action line (the protocol's keyed metadata
+    * channel — latest configuration per domain wins on replay). */
+  private def domainLine(domain: String, configuration: String,
+      removed: Boolean = false): String = {
+    val o = Json.createObjectNode()
+    val d = o.putObject("domainMetadata")
+    d.put("domain", domain)
+    d.put("configuration", configuration)
+    d.put("removed", removed)
+    Json.writeValueAsString(o)
+  }
+
+  /** The row-tracking high-water-mark domain line. */
+  private def rowIdWatermarkLine(hwm: Long): String = {
+    val c = Json.createObjectNode()
+    c.put("rowIdHighWaterMark", hwm)
+    domainLine(RowTrackingDomain, Json.writeValueAsString(c))
+  }
+
+  /** numRecords from an add's stats JSON — what row-id range
+    * assignment sizes each file's slice with. */
+  private def numRecordsOf(stats: Option[String]): Option[Long] =
+    stats.flatMap(s => Option(Json.readTree(s).get("numRecords"))
+      .filterNot(_.isNull).map(_.asLong))
+
+  /** Assign row-tracking defaults to freshly staged adds: each file
+    * takes `numRecords` ids starting above the running high-water
+    * mark, and stamps the committing version as its rows' default
+    * commit version. Returns the stamped adds and the watermark line
+    * to commit with them. A file without numRecords in its stats (an
+    * empty union part, a foreign add) sizes its slice from the parquet
+    * FOOTER — an unassigned file would silently serve colliding ids. */
+  private def assignRowIds(fs: FileSystem, root: HPath, snap: Snapshot,
+      adds: Seq[AddFile], version: Long, op: String): (Seq[AddFile], String) = {
+    var hwm = snap.rowIdHighWaterMark
+    val stamped = adds.map { a =>
+      val n = numRecordsOf(a.stats).getOrElse {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(root, a.path), fs.getConf))
+        try rdr.getRecordCount finally rdr.close()
+      }
+      val base = hwm + 1
+      hwm += n
+      a.copy(baseRowId = Some(base), defaultRowCommitVersion = Some(version))
+    }
+    (stamped, rowIdWatermarkLine(hwm))
   }
 
   /** RESTORE to `versionAsOf` — Delta's `RESTORE TABLE t TO VERSION
@@ -2337,11 +2754,17 @@ object DeltaLake {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))),
   ))
 
   /** Fold the current snapshot into `%020d.checkpoint.parquet` and
@@ -2361,18 +2784,23 @@ object DeltaLake {
     val protocolRow = Row(p.minReader, p.minWriter,
       if (p.minReader >= 3 || p.minWriter >= 7) p.readerFeatures else null,
       if (p.minReader >= 3 || p.minWriter >= 7) p.writerFeatures else null)
-    rows.add(Row(protocolRow, null, null, null, null))
+    rows.add(Row(protocolRow, null, null, null, null, null))
     rows.add(Row(null,
       Row(java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
         // configuration MUST fold too — dropping it would silently
         // disable the change data feed (and any property)
         s.rawSchema.json, s.partitionColumns, s.configuration,
         System.currentTimeMillis()),
-      null, null, null))
+      null, null, null, null))
     // the latest txn watermark per appId MUST fold (spec) — vacuuming
     // the JSON tail must not reopen a streaming sink's replay window
     s.txns.toSeq.sortBy(_._1).foreach { case (appId, ver) =>
-      rows.add(Row(null, null, Row(appId, ver), null, null))
+      rows.add(Row(null, null, Row(appId, ver), null, null, null))
+    }
+    // the latest domainMetadata per domain MUST fold too — losing the
+    // row-tracking watermark would reissue already-assigned row ids
+    s.domains.toSeq.sortBy(_._1).foreach { case (domain, conf) =>
+      rows.add(Row(null, null, null, null, null, Row(domain, conf, false)))
     }
     s.files.foreach { f =>
       val dvRow = f.dv.map(d =>
@@ -2382,8 +2810,10 @@ object DeltaLake {
         // spec: checkpoint add.path is URI-encoded, same as the JSON log
         Row(new java.net.URI(null, null, f.path, null).toASCIIString,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, f.modificationTime, true, f.stats.orNull, dvRow),
-        null))
+          f.size, f.modificationTime, true, f.stats.orNull, dvRow,
+          f.baseRowId.map(Long.box).orNull,
+          f.defaultRowCommitVersion.map(Long.box).orNull),
+        null, null))
     }
     // a table on the v2Checkpoint feature gets a V2-SHAPED checkpoint
     // (uuid-named file + the spec's mandatory checkpointMetadata
@@ -2399,7 +2829,7 @@ object DeltaLake {
             StructType(Seq(StructField("version", LongType)))))
         val rows2 = new java.util.ArrayList[Row]()
         rows.forEach(r => rows2.add(Row.fromSeq(r.toSeq :+ null)): Unit)
-        rows2.add(Row(null, null, null, null, null, Row(s.version)))
+        rows2.add(Row(null, null, null, null, null, null, Row(s.version)))
         (spark.createDataFrame(rows2, v2Schema), new HPath(logDir(root),
           f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
       }

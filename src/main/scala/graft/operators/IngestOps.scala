@@ -2704,6 +2704,62 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S53: Delta ROW TRACKING end to end — enable backfills every live
+    * file with an assigned baseRowId range (require'd: the high-water
+    * mark lands at exactly rows-1), appends take fresh ranges, a
+    * merge-on-read (deletion-vector) delete keeps survivors'
+    * identities, and COMPACTION preserves them by MATERIALIZING
+    * `_row_id`/`_row_commit_version` into the replacement files
+    * (require'd: a distributed anti-join finds ZERO rows whose id
+    * changed across the rewrite, and ids stay unique). The per-file
+    * defaults are O(files) driver metadata served as a broadcast — at
+    * 100 TB this is the row-identity mechanism CDC and incremental
+    * maintenance hang off without any table-wide key. Oracle: the
+    * surviving rows straight off `orders`. */
+  val s53DeltaRowTracking = QueryDef(
+    "s53_delta_row_tracking",
+    (s, d) => {
+      val path = tmp("s53_delta_rt", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders.filter(col("o_orderkey") % 2 === 0), path)
+      D.enableRowTracking(s, path)
+      D.write(orders.filter(col("o_orderkey") % 2 === 1), path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val total = orders.count()
+      require(D.snapshot(s, path).rowIdHighWaterMark == total - 1,
+        "s53: backfill + append must assign exactly one id per row")
+      D.deleteMergeOnRead(s, path,
+        col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
+      val pre = D.readWithRowTracking(s, path)
+        .select(col("o_orderkey").as("k"), col("_row_id").as("pre_id"))
+      require(pre.filter(col("pre_id").isNull).count() == 0L &&
+        pre.select("pre_id").distinct().count() == pre.count(),
+        "s53: every surviving row serves a unique non-null _row_id")
+      D.compact(s, path)
+      val post = D.readWithRowTracking(s, path)
+        .select(col("o_orderkey").as("k"), col("_row_id").as("post_id"))
+      require(pre.join(post, Seq("k"))
+        .filter(col("pre_id") =!= col("post_id")).count() == 0L,
+        "s53: compaction must preserve every row's identity")
+      val out = D.read(s, path).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+      require(out.count() > 0, "s53: empty result")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 = 0)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2714,5 +2770,5 @@ object IngestOps extends QueryModule {
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
-    s49InteropInspection, s51ContinuousSync, s52IcebergV3)
+    s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking)
 }

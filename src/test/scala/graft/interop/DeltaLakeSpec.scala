@@ -549,12 +549,12 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), p2)
     java.nio.file.Files.write(Paths.get(p2, "_delta_log", f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"readerFeatures":[],"writerFeatures":["rowTracking"]}}""" + "\n")
+        """"readerFeatures":[],"writerFeatures":["icebergCompatV2"]}}""" + "\n")
         .getBytes("UTF-8"))
     assert(DeltaLake.read(spark, p2).count() == 1L)
     val e2 = intercept[IllegalArgumentException](
       DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), p2, mode = SaveMode.Append))
-    assert(e2.getMessage.contains("rowTracking"))
+    assert(e2.getMessage.contains("icebergCompatV2"))
   }
 
   test("multi-part and V2 checkpoints read after the JSON tail is vacuumed") {
@@ -1494,5 +1494,103 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(StatsTime.canonicalize("2024-01-15T03:30:00-05:00", utc, ceil = false) ==
       "2024-01-15 08:30:00")
     assert(StatsTime.canonicalize("not a timestamp", utc, ceil = false) == "not a timestamp")
+  }
+
+  test("row tracking: enable backfills, writes assign ranges, DV deletes preserve ids") {
+    import spark.implicits._
+    val path = freshDir("delta_rowtrack")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    DeltaLake.enableRowTracking(spark, path)
+    DeltaLake.enableRowTracking(spark, path) // idempotent
+    val s1 = DeltaLake.snapshot(spark, path)
+    assert(s1.rowTrackingEnabled && s1.rowIdHighWaterMark == 1L)
+    assert(s1.protocol.minWriter == 7 &&
+      Set("rowTracking", "domainMetadata").subsetOf(s1.protocol.writerFeatures.toSet))
+    assert(s1.files.forall(f =>
+      f.baseRowId.nonEmpty && f.defaultRowCommitVersion.contains(1L)))
+    def lineage(): Map[Long, (Option[Long], Option[Long])] =
+      DeltaLake.readWithRowTracking(spark, path)
+        .select("k", "_row_id", "_row_commit_version")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val lin1 = lineage()
+    assert(lin1(1L)._1 == Some(0L) && lin1(2L)._1 == Some(1L),
+      "the backfill assigns ids by position")
+    assert(lin1.values.forall(_._2 == Some(1L)))
+    // each append takes the next id range and advances the watermark
+    DeltaLake.write(Seq((3L, "c")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Append)
+    val lin2 = lineage()
+    assert(lin2(3L) == ((Some(2L), Some(2L))))
+    assert(DeltaLake.snapshot(spark, path).rowIdHighWaterMark == 2L)
+    // a merge-on-read (deletion-vector) delete keeps survivors' ids
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)
+    val lin3 = lineage()
+    assert(lin3.keySet == Set(2L, 3L))
+    assert(lin3(2L) == lin2(2L) && lin3(3L) == lin2(3L))
+    // the checkpoint folds the watermark, the domain, and the per-file
+    // defaults: a vacuumed JSON tail must not reissue ids
+    DeltaLake.checkpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .foreach(p => java.nio.file.Files.delete(Paths.get(p)))
+    val s4 = DeltaLake.snapshot(spark, path)
+    assert(s4.rowIdHighWaterMark == 2L, "the watermark must survive the fold")
+    assert(s4.files.forall(_.baseRowId.nonEmpty))
+    assert(lineage() == lin3, "lineage must survive a checkpoint-only replay")
+    // id-preserving rewrites: compaction MATERIALIZES every surviving
+    // row's id into the replacement file (folding the DV along the way)
+    DeltaLake.compact(spark, path, targetBytes = 1L << 20)
+    val lin6 = lineage()
+    assert(lin6 == lin3, "compaction must not disturb row identity")
+    val compacted = DeltaLake.snapshot(spark, path)
+    assert(compacted.files.size == 1 && compacted.files.forall(_.dv.isEmpty))
+    val matCols = spark.read.parquet(path + "/" + compacted.files.head.path).columns
+    assert(matCols.exists(_.startsWith("_row-id-col-")) &&
+      matCols.exists(_.startsWith("_row-commit-version-col-")),
+      s"the rewritten file must materialize the tracking columns, got ${matCols.toSeq}")
+    // COW UPDATE: the changed row keeps its id and bumps its commit
+    // version; its file-mates carry both through unchanged
+    DeltaLake.updateWhere(spark, path, Map("v" -> lit("x")), Some(col("k") === 2L))
+    val lin7 = lineage()
+    assert(lin7(2L)._1 == lin3(2L)._1, "an updated row keeps its _row_id")
+    assert(lin7(2L)._2.exists(v2 => lin3(2L)._2.exists(_ < v2)))
+    assert(lin7(3L) == lin3(3L))
+    // COW DELETE: survivors keep their identity
+    DeltaLake.deleteWhere(spark, path, col("k") === 2L)
+    val lin8 = lineage()
+    assert(lin8.keySet == Set(3L) && lin8(3L) == lin3(3L))
+    // MERGE: the matched image inherits its row's id; the insert mints
+    // a fresh one from the new file's range
+    DeltaLake.upsertByKey(spark, path, Seq((3L, "upd"), (7L, "new")).toDF("k", "v"), "k")
+    val lin9 = lineage()
+    assert(lin9(3L)._1 == lin3(3L)._1, "a merged update keeps its _row_id")
+    assert(lin9(3L)._2.exists(v9 => lin3(3L)._2.exists(_ < v9)))
+    assert(lin9(7L)._1.nonEmpty && lin9(7L)._1 != lin9(3L)._1)
+    // overwrite: replaced rows die, fresh rows mint past the watermark
+    val hwmBefore = DeltaLake.snapshot(spark, path).rowIdHighWaterMark
+    DeltaLake.write(Seq((9L, "z")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Overwrite)
+    val lin5 = lineage()
+    assert(lin5.keySet == Set(9L) && lin5(9L)._1 == Some(hwmBefore + 1))
+    // plain reads stay clean — no tracking columns leak
+    assert(DeltaLake.read(spark, path).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("row tracking composes with column mapping") {
+    import spark.implicits._
+    val path = freshDir("delta_rowtrack_cm")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path,
+      columnMapping = Some("name"))
+    DeltaLake.enableRowTracking(spark, path)
+    DeltaLake.renameColumn(spark, path, "v", "label")
+    DeltaLake.write(Seq((3L, "c")).toDF("k", "label").coalesce(1), path,
+      mode = SaveMode.Append)
+    val lin = DeltaLake.readWithRowTracking(spark, path)
+      .select("k", "label", "_row_id").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(lin.map(_._3).toSeq == Seq(Some(0L), Some(1L), Some(2L)))
+    assert(lin.map(_._2).toSeq == Seq("a", "b", "c"))
   }
 }
