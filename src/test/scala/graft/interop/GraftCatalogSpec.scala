@@ -57,6 +57,11 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     val desc = rows("DESCRIBE EXTENDED graft.db1.t").map(_.map(String.valueOf))
     assert(desc.exists(r => r.head == "k" && r(1) == "bigint"))
     assert(desc.exists(r => r.contains("graft")), s"provider row missing in $desc")
+    // SHOW CREATE TABLE renders a replayable definition off the V2 surface
+    val ddl = rows("SHOW CREATE TABLE graft.db1.t").head.head.toString
+    assert(ddl.contains("CREATE TABLE graft.db1.t") && ddl.contains("USING graft"),
+      s"unexpected DDL: $ddl")
+    assert(ddl.contains("k BIGINT") && ddl.contains("label STRING"), s"unexpected DDL: $ddl")
     // DROP
     spark.sql("DROP TABLE graft.db1.t")
     assert(rows("SHOW TABLES IN graft.db1").isEmpty)
@@ -92,6 +97,10 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("ALTER TABLE graft.db2.d ADD COLUMN note STRING")
     assert(spark.table("graft.db2.d").columns.toSeq == Seq("k", "v", "note", "grp") ||
       spark.table("graft.db2.d").columns.toSeq == Seq("k", "v", "grp", "note"))
+    // SHOW CREATE TABLE carries the provider AND the partitioning
+    val ddl = rows("SHOW CREATE TABLE graft.db2.d").head.head.toString
+    assert(ddl.contains("USING delta") && ddl.contains("PARTITIONED BY (grp)"),
+      s"unexpected DDL: $ddl")
   }
 
   test("iceberg format: transform partitions via SQL, snapshot time travel, MERGE") {
