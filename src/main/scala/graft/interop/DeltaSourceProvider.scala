@@ -141,6 +141,19 @@ final class DeltaSourceProvider extends RelationProvider
       .orElse(opt(parameters, "timestampAsOf").map { ts =>
         DeltaLake.versionAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)
       })
+    // row tracking as a read option: the table's columns plus
+    // _row_id / _row_commit_version
+    if (opt(parameters, "rowTracking").exists(_.toBoolean)) {
+      val tracked = DeltaLake.readWithRowTracking(
+        sqlContext.sparkSession, path, versionAsOf)
+      val outer = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = outer
+        override val schema = tracked.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          tracked.rdd
+      }
+    }
     DeltaLake.relationFor(sqlContext.sparkSession, path, versionAsOf)
   }
 

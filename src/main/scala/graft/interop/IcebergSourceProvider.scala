@@ -101,6 +101,11 @@ final class IcebergSourceProvider extends RelationProvider
       .orElse(opt(parameters, "asOfTimestamp").map { ts =>
         Iceberg.snapshotAsOf(path, java.sql.Timestamp.valueOf(ts).getTime)
       })
+    // v3 row lineage as a read option: the table's columns plus
+    // _row_id / _last_updated_sequence_number
+    if (opt(parameters, "rowLineage").exists(_.toBoolean))
+      return inspection(
+        Iceberg.readWithRowLineage(sqlContext.sparkSession, path, snapshotId))
     Iceberg.relationFor(sqlContext.sparkSession, path, snapshotId)
   }
 

@@ -1576,6 +1576,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(lin5.keySet == Set(9L) && lin5(9L)._1 == Some(hwmBefore + 1))
     // plain reads stay clean — no tracking columns leak
     assert(DeltaLake.read(spark, path).columns.toSeq == Seq("k", "v"))
+    // the format("delta") surface serves the same tracked read
+    val viaOpt = spark.read.format("delta").option("rowTracking", "true").load(path)
+    assert(viaOpt.columns.takeRight(2).toSeq == Seq("_row_id", "_row_commit_version"))
+    assert(viaOpt.count() == 1L)
   }
 
   test("row tracking composes with column mapping") {

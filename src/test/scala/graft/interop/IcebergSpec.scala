@@ -1323,6 +1323,11 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     val lin7 = lineage()
     assert(lin7(1L) == ((None, None)))
     assert(latestMeta(path).get("next-row-id").asLong == beforeNext + 1)
+    // the format("iceberg") surface serves the same lineage read
+    val viaOpt = spark.read.format("iceberg").option("rowLineage", "true").load(path)
+    assert(viaOpt.columns.takeRight(2).toSeq ==
+      Seq("_row_id", "_last_updated_sequence_number"))
+    assert(viaOpt.count() == 4L)
   }
 
   test("rewrites survive manifests written under the narrower pre-v3 entry schema") {
