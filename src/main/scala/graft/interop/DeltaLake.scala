@@ -57,14 +57,14 @@ object DeltaLake {
     * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
-    "timestampNtz", "v2Checkpoint")
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   /** Writer features this from-spec writer honors. A table demanding
     * anything else (icebergCompat, inCommitTimestamp, ...) refuses
     * WRITES loudly — ignoring an unimplemented writer feature corrupts
     * the table's invariants even when every read works. */
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
-    "rowTracking", "domainMetadata",
+    "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
     "generatedColumns", "v2Checkpoint")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
@@ -630,7 +630,11 @@ object DeltaLake {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val ci = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
         .map(Json.readTree).flatMap(n => Option(n.get("commitInfo"))).toSeq.headOption
-      val ts = ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong))
+      // an inCommitTimestamp (monotone, rewrite/copy-proof) wins over
+      // the recorded wall clock, which wins over the file mtime
+      val ts = ci.flatMap(c =>
+          Option(c.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong))
+        .orElse(ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong)))
         .getOrElse(fs.getFileStatus(f).getModificationTime)
       val op = ci.flatMap(c => Option(c.get("operation")).map(_.asText)).getOrElse("UNKNOWN")
       (v, ts, op)
@@ -1136,7 +1140,7 @@ object DeltaLake {
     info.put("operation", if (mode == SaveMode.Append) "WRITE" else "CREATE OR REPLACE TABLE AS SELECT")
     lines += Json.writeValueAsString(ci)
 
-    commitLines(fs, root, v, lines.toSeq)
+    commitLines(fs, root, v, lines.toSeq, newConf)
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
@@ -1288,7 +1292,7 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "DELETE")
     lines += Json.writeValueAsString(ci)
-    commitLines(fs, root, v, lines.toSeq)
+    commitLines(fs, root, v, lines.toSeq, snap.configuration)
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
@@ -1453,7 +1457,7 @@ object DeltaLake {
         info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
         Json.writeValueAsString(ci)
       })
-    commitLines(fs, root, v, lines)
+    commitLines(fs, root, v, lines, conf)
     v
   }
 
@@ -1541,6 +1545,37 @@ object DeltaLake {
     fromPhysicalDf(cleaned, s)
   }
 
+  /** Turn IN-COMMIT TIMESTAMPS on (that writer feature's spec): from
+    * this commit forward every commit's commitInfo carries a MONOTONE
+    * `inCommitTimestamp` as the first action of its file, and
+    * timestamp time travel resolves against those instead of
+    * file-modification times (which rewrites, copies, and restores
+    * can silently disturb). The enablement provenance properties
+    * record where the ICT range begins. */
+  def enableInCommitTimestamps(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    if (ictEnabled(snap.configuration)) return snap.version
+    gateWriter(snap, path, "enableInCommitTimestamps", mutates = false)
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val conf = snap.configuration +
+      ("delta.enableInCommitTimestamps" -> "true",
+        "delta.inCommitTimestampEnablementVersion" -> v.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+    val lines = Seq(
+      protocolLine(withWriterFeatures(snap.protocol, Seq("inCommitTimestamp"))),
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now, conf),
+      {
+        val ci = Json.createObjectNode()
+        val info = ci.putObject("commitInfo")
+        info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+        Json.writeValueAsString(ci)
+      })
+    commitLines(fs, root, v, lines, conf)
+    v
+  }
+
   // ------------------------------------------------------ change data feed
 
   /** Turn the CHANGE DATA FEED on: re-emits metaData with
@@ -1572,7 +1607,7 @@ object DeltaLake {
         info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
         Json.writeValueAsString(ci)
       })
-    commitLines(fs, root, v, lines)
+    commitLines(fs, root, v, lines, snap.configuration)
     v
   }
 
@@ -1761,7 +1796,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "ADD CONSTRAINT")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       protocolLine(newProtocol),
       metaDataLine(snap.rawSchema, snap.partitionColumns, now,
         snap.configuration + (s"delta.constraints.$name" -> sqlExpr)),
@@ -1798,7 +1833,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "ADD COLUMNS")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       protocolLine(newProtocol),
       metaDataLine(StructType(snap.rawSchema.fields :+ field),
         snap.partitionColumns, now, snap.configuration),
@@ -1817,7 +1852,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "DROP CONSTRAINT")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       metaDataLine(snap.rawSchema, snap.partitionColumns, now,
         snap.configuration - s"delta.constraints.$name"),
       Json.writeValueAsString(ci)))
@@ -1857,7 +1892,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       protocolLine(newProtocol),
       metaDataLine(StructType(fields), snap.partitionColumns, now,
         snap.configuration +
@@ -1891,7 +1926,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "RENAME COLUMN")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       metaDataLine(StructType(fields), parts, now, snap.configuration),
       Json.writeValueAsString(ci)))
     v
@@ -1923,7 +1958,7 @@ object DeltaLake {
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "ADD COLUMN")
-    commitLines(fs, root, v, Seq(
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       metaDataLine(StructType(fields), snap.partitionColumns, now, conf),
       Json.writeValueAsString(ci)))
     v
@@ -2360,7 +2395,7 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", operation)
     lines += Json.writeValueAsString(ci)
-    commitLines(fs, root, v, lines.toSeq)
+    commitLines(fs, root, v, lines.toSeq, snap.configuration)
     // the log folds on the SAME cadence as write() — a DML-heavy table
     // (only rewrite commits) must not grow an unbounded json chain
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
@@ -2412,13 +2447,61 @@ object DeltaLake {
   /** Atomically create version `v`'s commit file from `lines` — the ONE
     * arbitration point every commit path shares (create-if-absent; the
     * loser of a race surfaces as ConcurrentModificationException). */
-  private def commitLines(fs: FileSystem, root: HPath, v: Long, lines: Seq[String]): Unit = {
+  private def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
+  /** The previous commit's in-commit timestamp — None before
+    * enablement, and when the folded JSON tail was already vacuumed
+    * (clock order then suffices; the spec's monotonicity clause only
+    * binds while the predecessor is observable). */
+  private def lastIct(fs: FileSystem, root: HPath, v: Long): Option[Long] = {
+    if (v == 0) return None
+    val pf = jsonFile(root, v - 1)
+    if (!fs.exists(pf)) return None
+    val in = fs.open(pf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(Json.readTree)
+      .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+      .flatMap(c => Option(c.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong))
+      .toSeq.headOption
+  }
+
+  /** Atomic create of the commit JSON. When the table's configuration
+    * (post-commit — the caller passes the governing map) enables
+    * IN-COMMIT TIMESTAMPS, the commitInfo action is stamped with a
+    * MONOTONE `inCommitTimestamp` (max of its wall clock and the
+    * previous commit's ICT + 1) and moved to the FRONT of the file,
+    * both per that writer feature's spec. */
+  private def commitLines(fs: FileSystem, root: HPath, v: Long, lines: Seq[String],
+      conf: Map[String, String] = Map.empty): Unit = {
+    val finalLines =
+      if (!ictEnabled(conf)) lines
+      else {
+        val (ciLines, rest) = lines.partition { l =>
+          val n = Json.readTree(l)
+          n.hasNonNull("commitInfo")
+        }
+        val ciNode = ciLines.headOption.map(Json.readTree(_).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode])
+          .getOrElse {
+            val o = Json.createObjectNode()
+            o.putObject("commitInfo").put("operation", "UNKNOWN")
+            o
+          }
+        val ci = ciNode.get("commitInfo")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val base = Option(ci.get("timestamp")).filterNot(_.isNull).map(_.asLong)
+          .getOrElse(System.currentTimeMillis())
+        val ict = math.max(base, lastIct(fs, root, v).map(_ + 1L).getOrElse(Long.MinValue))
+        ci.put("inCommitTimestamp", ict)
+        Json.writeValueAsString(ciNode) +: rest
+      }
     val out = try fs.create(jsonFile(root, v), false) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"DeltaLake: version $v of $root was committed concurrently", e)
     }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write((finalLines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
   }
 
 
@@ -2524,7 +2607,7 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "SYNC")
     lines += Json.writeValueAsString(ci)
-    commitLines(fs, root, v, lines.toSeq)
+    commitLines(fs, root, v, lines.toSeq, snap.configuration)
     v
   }
 
@@ -2677,7 +2760,7 @@ object DeltaLake {
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "RESTORE")
     lines += Json.writeValueAsString(ci)
-    commitLines(fs, root, v, lines.toSeq)
+    commitLines(fs, root, v, lines.toSeq, cur.configuration)
     if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
     v
   }
@@ -2693,6 +2776,10 @@ object DeltaLake {
   def vacuum(spark: SparkSession, path: String): Int = {
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
+    // the vacuumProtocolCheck feature's whole contract: vacuum must
+    // verify it understands the table's protocol before reclaiming —
+    // a file layout governed by an unknown feature must not be swept
+    gateWriter(snap, path, "vacuum", mutates = false)
     val live: Set[String] = snap.files.map(_.path).toSet
     // deletion-vector files referenced by a live descriptor must
     // survive; superseded ones are reclaimable like dead data files

@@ -2760,6 +2760,67 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S54: Delta IN-COMMIT TIMESTAMPS graded — after enablement every
+    * commit leads with a commitInfo carrying a strictly-monotone
+    * inCommitTimestamp (require'd off the raw log), and timestampAsOf
+    * travel resolves against the STAMPS: the entry scrambles every log
+    * file's modification time into the future and still pins the
+    * mid-lifecycle commit by its stamp (require'd). That is the
+    * property that keeps timestamp travel meaningful at 100 TB, where
+    * log files get copied, restored, and storage-migrated with no
+    * mtime fidelity. Oracle: the rows of the pinned commit. */
+  val s54DeltaIct = QueryDef(
+    "s54_delta_ict",
+    (s, d) => {
+      val path = tmp("s54_delta_ict", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders.filter(col("o_orderkey") % 3 === 0), path)
+      D.enableInCommitTimestamps(s, path)
+      D.write(orders.filter(col("o_orderkey") % 3 === 1), path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      D.write(orders.filter(col("o_orderkey") % 3 === 2), path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def ictOf(v: Long): Long = {
+        val f = java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json")
+        val first = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          .split('\n').head
+        val ci = mapper.readTree(first).get("commitInfo")
+        require(ci != null && ci.hasNonNull("inCommitTimestamp"),
+          s"s54: commit $v must LEAD with a stamped commitInfo")
+        ci.get("inCommitTimestamp").asLong
+      }
+      val icts = (1L to 3L).map(ictOf)
+      require(icts == icts.sorted && icts.distinct.size == 3,
+        s"s54: stamps must be strictly monotone, got $icts")
+      // mtimes lie; the stamps must not care
+      java.nio.file.Files.list(java.nio.file.Paths.get(path, "_delta_log")).toArray
+        .map(_.toString).filter(_.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(f),
+            java.nio.file.attribute.FileTime.fromMillis(icts.last + 3600000L))
+        }
+      require(D.versionAsOf(path, icts(1)) == 2L,
+        "s54: timestamp travel must resolve against the in-commit stamps")
+      val out = D.read(s, path, versionAsOf = Some(2L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+      require(out.count() > 0, "s54: empty result")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2770,5 +2831,6 @@ object IngestOps extends QueryModule {
     s36TxnPair, s37DeltaInterop, s38IcebergInterop, s39IcebergMorDelete, s40IcebergBucket,
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
-    s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking)
+    s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
+    s54DeltaIct)
 }

@@ -1582,6 +1582,45 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(viaOpt.count() == 1L)
   }
 
+  test("in-commit timestamps: monotone first-action stamps drive timestamp travel") {
+    import spark.implicits._
+    val path = freshDir("delta_ict")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)                    // v0
+    DeltaLake.enableInCommitTimestamps(spark, path)                         // v1
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), path,
+      mode = SaveMode.Append)                                               // v2
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 1L)               // v3
+    def ictOf(v: Long): Option[Long] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        Paths.get(path, "_delta_log", f"$v%020d.json")), "UTF-8")
+      val first = text.split('\n').head
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(first)
+      // the spec: commitInfo with the stamp must be the FIRST action
+      Option(n.get("commitInfo")).filterNot(_.isNull)
+        .flatMap(c => Option(c.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong))
+    }
+    assert(ictOf(0L).isEmpty, "pre-enablement commits carry no stamp")
+    val Seq(i1, i2, i3) = Seq(1L, 2L, 3L).map(v => ictOf(v).getOrElse(
+      fail(s"commit $v must lead with a stamped commitInfo")))
+    assert(i1 < i2 && i2 < i3, s"stamps must be strictly monotone: $i1 $i2 $i3")
+    // provenance + protocol
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.configuration("delta.inCommitTimestampEnablementVersion") == "1")
+    assert(snap.protocol.writerFeatures.contains("inCommitTimestamp"))
+    // timestamp travel resolves against the stamps, immune to file
+    // mtimes — push every log file's mtime far into the future
+    java.nio.file.Files.list(Paths.get(path, "_delta_log")).toArray
+      .map(_.toString).filter(_.endsWith(".json")).foreach { f =>
+        java.nio.file.Files.setLastModifiedTime(Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(i3 + 3600_000L))
+      }
+    assert(DeltaLake.versionAsOf(path, i2) == 2L)
+    assert(DeltaLake.versionAsOf(path, i3 - 1) == 2L)
+    assert(DeltaLake.versionAsOf(path, i3) == 3L)
+    assert(DeltaLake.read(spark, path,
+      versionAsOf = Some(DeltaLake.versionAsOf(path, i2))).count() == 2L)
+  }
+
   test("row tracking composes with column mapping") {
     import spark.implicits._
     val path = freshDir("delta_rowtrack_cm")
