@@ -979,6 +979,17 @@ object Iceberg {
   private def loadDeleteMap(spark: SparkSession, root: HPath,
       s: Snapshot): graft.functions.DvMap = {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    graft.functions.DvMap(rootPrefix,
+      deletePositions(spark, root, s).toSeq.map { case (f, p) => (f, p, 1L) })
+  }
+
+  /** Every (table-relative path, position) the snapshot's position
+    * deletes AND deletion vectors cover, applicability-filtered —
+    * O(delete debt) driver metadata. The set form is what the
+    * changelog diffs two states with. */
+  private def deletePositions(spark: SparkSession, root: HPath,
+      s: Snapshot): Set[(String, Long)] = {
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val dataSeq: Map[String, Long] =
       s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
     val raw = s.deletes.groupBy(_.seq).toSeq.flatMap { case (dSeq, dfs) =>
@@ -992,7 +1003,7 @@ object Iceberg {
           // a file absent from the snapshot (already rewritten away) or
           // newer than the delete (re-added path) is not covered
           dataSeq.get(target).filter(_ <= dSeq)
-            .map(_ => (target.stripPrefix(rootPrefix), r.getLong(1), 1L))
+            .map(_ => (target.stripPrefix(rootPrefix), r.getLong(1)))
         }
     }
     // v3 deletion vectors: each blob is one file's bitmap, read
@@ -1003,10 +1014,10 @@ object Iceberg {
       val target = Hive.fsPathNoDecode(d.referencedDataFile)
       dataSeq.get(target).filter(_ <= d.seq).toSeq.flatMap { _ =>
         Puffin.readDvBlob(fs, new HPath(d.path), d.contentOffset, d.contentSize)
-          .map(pos => (target.stripPrefix(rootPrefix), pos, 1L))
+          .map(pos => (target.stripPrefix(rootPrefix), pos))
       }
     }
-    graft.functions.DvMap(rootPrefix, raw ++ dvRaw)
+    (raw ++ dvRaw).toSet
   }
 
   /** Read with the v3 ROW-LINEAGE metadata columns served: the table's
@@ -2503,6 +2514,122 @@ object Iceberg {
     * tail keeps its exactly-once offsets: the rollback itself adds no
     * snapshot (nothing new to deliver) and the next append's adds are
     * computed against the rolled-back base. Returns `snapshotId`. */
+  /** CHANGELOG over the MAIN lineage between two sequence numbers —
+    * the mirror of Delta's change data feed, computed from the
+    * snapshot metadata alone (this library's shape of Iceberg's
+    * `create_changelog_view`). Per window commit:
+    *
+    *  - added data files' rows → `insert` images;
+    *  - removed files' rows AS VISIBLE AT THE PARENT (its deletes
+    *    applied) → `delete` images;
+    *  - newly-added position deletes / deletion vectors → `delete`
+    *    images of exactly the NEWLY covered rows (the position sets of
+    *    parent and child are DIFFED, so a v3 merged-successor DV never
+    *    re-reports previously deleted rows);
+    *  - newly-added equality deletes → `delete` images of the matching
+    *    parent rows under the sequence rule;
+    *  - `replace` snapshots (compaction, delete folds) are row-neutral
+    *    and emit nothing.
+    *
+    * Copy-on-write rewrites report the touched files' rows as
+    * delete+insert pairs (the storage-level truth — net them by
+    * row identity via [[readWithRowLineage]] when the table is v3).
+    * Rows read with the CURRENT schema (field-id resolution keeps
+    * pre-rename files readable, like the scan). Output: the table
+    * columns + `_change_type`, `_sequence_number`, `_snapshot_id`.
+    * Cost: O(window) snapshot materializations of driver metadata plus
+    * one scan per changed file set. */
+  def changeLog(spark: SparkSession, path: String,
+      fromSeq: Long, toSeq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val mainIds: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
+    def seqOf(sn: JsonNode): Long =
+      Option(sn.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    val mainSnaps = iterator(meta.get("snapshots")).toSeq
+      .filter(sn => mainIds.contains(sn.get("snapshot-id").asLong))
+      .sortBy(seqOf)
+    val to = toSeq.getOrElse(mainSnaps.map(seqOf).maxOption.getOrElse(0L))
+    val schema = schemaFromMeta(meta)
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_sequence_number", LongType),
+      StructField("_snapshot_id", LongType)))
+    def empty: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val window = mainSnaps.filter(sn => seqOf(sn) > fromSeq && seqOf(sn) <= to)
+    if (window.isEmpty) return empty
+    def stamp(df: DataFrame, ct: String, sq: Long, id: Long): DataFrame =
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_sequence_number", lit(sq))
+        .withColumn("_snapshot_id", lit(id))
+    var prev: Option[Snapshot] = mainSnaps
+      .filter(sn => seqOf(sn) <= fromSeq).lastOption
+      .map(sn => snapshot(spark, path, Some(sn.get("snapshot-id").asLong)))
+    var prevPos: Option[Set[(String, Long)]] = None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    window.foreach { sn =>
+      val id = sn.get("snapshot-id").asLong
+      val sq = seqOf(sn)
+      val op = Option(sn.get("summary")).filterNot(_.isNull)
+        .flatMap(su => Option(su.get("operation")).map(_.asText)).getOrElse("unknown")
+      val cur = snapshot(spark, path, Some(id))
+      val curPos = deletePositions(spark, root, cur)
+      if (op != "replace") { // replace is row-neutral by contract
+        val prevFiles = prev.map(_.files).getOrElse(Nil)
+        val prevPaths = prevFiles.map(_.path).toSet
+        val curPaths = cur.files.map(_.path).toSet
+        val added = cur.files.filterNot(f => prevPaths.contains(f.path))
+        val removed = prevFiles.filterNot(f => curPaths.contains(f.path))
+        if (added.nonEmpty)
+          frames += stamp(snapshotFrame(spark, path,
+            cur.copy(files = added, deletes = Nil, eqDeletes = Nil, dvDeletes = Nil),
+            withMeta = false), "insert", sq, id)
+        prev.foreach { p =>
+          if (removed.nonEmpty)
+            frames += stamp(snapshotFrame(spark, path, p.copy(files = removed),
+              withMeta = false), "delete", sq, id)
+          // positions newly covered this commit (set diff — a merged
+          // successor DV carries its predecessor's positions)
+          val basePos = prevPos.getOrElse(deletePositions(spark, root, p))
+          val newPos = curPos -- basePos
+          if (newPos.nonEmpty) {
+            val dv = graft.functions.DvMap(rootPrefix,
+              newPos.toSeq.map { case (f, pos) => (f, pos, 1L) })
+            val src = snapshotFrame(spark, path,
+              p.copy(files = p.files.filter(f => curPaths.contains(f.path))),
+              withMeta = true)
+            frames += stamp(src.filter(
+              org.apache.spark.sql.graft.ColumnBridge.column(
+                graft.functions.DvContains(
+                  org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+                  org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)),
+                  dv))).drop(FileMetaCol, PosMetaCol), "delete", sq, id)
+          }
+          // equality deletes added this commit: matching parent rows
+          cur.eqDeletes.filterNot(d => p.eqDeletes.exists(_.path == d.path))
+            .foreach { dref =>
+              val del = spark.read.parquet(new HPath(dref.path).toString)
+                .select(dref.columns.map(c => col(c).as(s"__cl_$c")): _*).distinct()
+              val src = snapshotFrame(spark, path,
+                p.copy(files = p.files.filter(f =>
+                  f.seq < dref.seq && curPaths.contains(f.path))),
+                withMeta = false)
+              val cond = dref.columns.map(c => src(c) <=> del(s"__cl_$c")).reduce(_ && _)
+              frames += stamp(src.join(del, cond, "left_semi"), "delete", sq, id)
+            }
+        }
+      }
+      prev = Some(cur)
+      prevPos = Some(curPos)
+    }
+    if (frames.isEmpty) empty else frames.reduce(_.unionByName(_))
+  }
+
   def rollback(spark: SparkSession, path: String, snapshotId: Long): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)

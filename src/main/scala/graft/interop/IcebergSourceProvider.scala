@@ -83,6 +83,13 @@ final class IcebergSourceProvider extends RelationProvider
     }
     if (opt(parameters, "history").exists(_.toBoolean))
       return inspection(Iceberg.history(sqlContext.sparkSession, path))
+    // the changelog read: fromSeq (exclusive) .. toSeq (inclusive,
+    // default current) — the mirror of delta's readChangeFeed
+    if (opt(parameters, "changelog").exists(_.toBoolean)) {
+      val from = opt(parameters, "fromSeq").map(_.toLong).getOrElse(0L)
+      val toS = opt(parameters, "toSeq").map(_.toLong)
+      return inspection(Iceberg.changeLog(sqlContext.sparkSession, path, from, toS))
+    }
     if (opt(parameters, "snapshots").exists(_.toBoolean))
       return inspection(Iceberg.snapshotsTable(sqlContext.sparkSession, path))
     if (opt(parameters, "refs").exists(_.toBoolean))

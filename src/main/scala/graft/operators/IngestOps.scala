@@ -2821,6 +2821,55 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S55: the Iceberg CHANGELOG graded — the change-data-feed mirror
+    * on the other format, computed from snapshot metadata alone:
+    * appends report `insert` images; merge-on-read position deletes
+    * report exactly the NEWLY covered rows (the parent/child position
+    * sets are diffed); equality deletes report the matching
+    * parent-visible rows under the sequence rule; and compaction
+    * (`replace`) is row-neutral — require'd to contribute ZERO images.
+    * At 100 TB this is the incremental-consumer surface (downstream
+    * sync, index maintenance) served without a CDC column in the data.
+    * Oracle: the image classes as literal unions off `orders` (the
+    * s44 delta-CDF shape). */
+  val s55IcebergChangelog = QueryDef(
+    "s55_iceberg_changelog",
+    (s, d) => {
+      val path = tmp("s55_ice_cl", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      I.write(orders, path)                                          // seq1
+      I.deleteMergeOnRead(s, path, col("o_orderkey") % 10 === 5)     // seq2
+      I.deleteEquality(s, path,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey")).distinct())                     // seq3
+      I.compact(s, path)                                             // seq4: replace
+      val cl = I.changeLog(s, path, 0L)
+      require(cl.filter(col("_sequence_number") >= 4L).count() == 0L,
+        "s55: compaction must be changelog-neutral")
+      val out = cl.groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("_change_type")
+      require(out.count() == 2, "s55: insert and delete classes expected")
+      out
+    },
+    Some("""
+      SELECT _change_type, count(*) AS n_rows,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'insert' AS _change_type, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'delete', o_totalprice FROM orders WHERE o_orderkey % 10 = 5
+        UNION ALL
+        SELECT 'delete', o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+      )
+      GROUP BY _change_type
+      ORDER BY _change_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2832,5 +2881,5 @@ object IngestOps extends QueryModule {
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
-    s54DeltaIct)
+    s54DeltaIct, s55IcebergChangelog)
 }

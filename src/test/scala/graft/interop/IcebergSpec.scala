@@ -1169,6 +1169,11 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       "the merged DV must supersede the old entry")
     assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted
       .toSeq == Seq(3L, 4L, 5L))
+    // the changelog diffs position SETS, so the merged successor DV
+    // reports only the newly deleted row — never its predecessor's
+    assert(Iceberg.changeLog(spark, path, 3L, Some(4L))
+      .select("k").as[Long].collect().toSeq == Seq(2L),
+      "a merged DV must not re-report already-deleted rows")
     // deleteMatched rides the same DV path
     Iceberg.deleteMatched(spark, path, Seq(Tuple1(3L)).toDF("k"), "k")
     assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted
@@ -1394,6 +1399,44 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     // and compaction carries the other manifest through the same path
     Iceberg.compact(spark, path, targetBytes = 1L << 20)
     assert(Iceberg.read(spark, path).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("changeLog mirrors the change feed: inserts, MoR + eq deletes, replace-neutral") {
+    import spark.implicits._
+    val path = freshDir("ice_changelog")
+    Iceberg.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), path)
+    Iceberg.write(Seq((4L, "d")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Append)                                      // seq2
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 2L)        // seq3
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 1L)        // seq4
+    Iceberg.deleteEquality(spark, path, Seq(Tuple1(4L)).toDF("k")) // seq5
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)           // seq6: replace
+    def images(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("k", "_change_type", "_sequence_number")
+        .as[(Long, String, Long)].collect().toSet
+    val all = images(Iceberg.changeLog(spark, path, 0L))
+    assert(all == Set(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L),
+      (4L, "insert", 2L),
+      (2L, "delete", 3L),
+      (1L, "delete", 4L),
+      (4L, "delete", 5L)), s"got $all")
+    // window scoping: (2, 4] sees only the two MoR deletes
+    assert(images(Iceberg.changeLog(spark, path, 2L, Some(4L))) ==
+      Set((2L, "delete", 3L), (1L, "delete", 4L)))
+    // a COW overwrite reports the touched rows as delete + insert
+    Iceberg.write(Seq((9L, "z")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Overwrite)                                   // seq7
+    assert(images(Iceberg.changeLog(spark, path, 6L)) ==
+      Set((3L, "delete", 7L), (9L, "insert", 7L)))
+    // the format surface serves the same read
+    val viaOpt = spark.read.format("iceberg")
+      .option("changelog", "true").option("fromSeq", "6").load(path)
+    assert(images(viaOpt) == Set((3L, "delete", 7L), (9L, "insert", 7L)))
+    // an empty window is an empty frame with the full schema
+    val none = Iceberg.changeLog(spark, path, 7L)
+    assert(none.isEmpty && none.columns.toSeq ==
+      Seq("k", "v", "_change_type", "_sequence_number", "_snapshot_id"))
   }
 
   test("v3 read gates: initial-default refuses; v4 refuses") {
