@@ -48,17 +48,40 @@ final class IcebergSourceProvider extends RelationProvider
   /** Streaming read: `spark.readStream.format("iceberg").load(tbl)` —
     * tails the snapshot log (sequence numbers as offsets). Option:
     * `ignoreChanges` (re-emit overwrite snapshots instead of failing). */
+  private def wantsChangelog(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("changelog") => v.toBoolean
+    }.getOrElse(false)
+
+  private def changelogSchema(base: StructType): StructType =
+    org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_sequence_number",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_snapshot_id",
+        org.apache.spark.sql.types.LongType)))
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("iceberg", schema.getOrElse(
-      Iceberg.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+    ("iceberg", schema.getOrElse {
+      val base = Iceberg.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+      if (wantsChangelog(parameters)) changelogSchema(base) else base
+    })
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val snap = Iceberg.snapshot(sqlContext.sparkSession, path)
+    if (wantsChangelog(parameters))
+      return new org.apache.spark.sql.graft.IcebergChangelogSource(
+        sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
+        schema.getOrElse(changelogSchema(snap.schema)),
+        parameters.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("fromSeq") => v.toLong
+        })
     new org.apache.spark.sql.graft.IcebergStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
       schema.getOrElse(snap.schema), snap.partitionColumns,

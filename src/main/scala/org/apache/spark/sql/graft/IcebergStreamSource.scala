@@ -110,6 +110,50 @@ class IcebergStreamSource(
   override def stop(): Unit = ()
 }
 
+/** Streaming CHANGELOG source —
+  * `spark.readStream.format("iceberg").option("changelog", "true")`:
+  * offsets are sequence numbers, and each micro-batch is
+  * [[graft.interop.Iceberg.changeLog]] over exactly the newly
+  * committed window — insert/delete images with
+  * `_change_type`/`_sequence_number`/`_snapshot_id`, the mirror of the
+  * delta streaming CDF consumer. `fromSeq` windows the first batch;
+  * a fresh unwindowed stream serves new commits only. Compactions are
+  * row-neutral and contribute nothing, so a maintenance commit never
+  * disturbs a downstream incremental view. */
+class IcebergChangelogSource(
+    spark: ClassicSession,
+    path: String,
+    override val schema: StructType,
+    fromSeq: Option[Long],
+) extends Source {
+
+  override def getOffset: Option[OffsetV1] = {
+    val seq = Iceberg.currentMainSequence(path)
+    if (seq == 0L) None else Some(LongOffset(seq))
+  }
+
+  private def seqOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = seqOf(end)
+    // changeLog's lower bound is EXCLUSIVE, like the offset contract
+    val from = start.map(seqOf)
+      .orElse(fromSeq)
+      .getOrElse(to) // fresh unwindowed stream: new commits only
+    val batch =
+      if (from >= to)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else Iceberg.changeLog(spark, path, from, Some(to))
+    spark.internalCreateDataFrame(batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
 /** Streaming SINK over an Iceberg table —
   * `df.writeStream.format("iceberg").start(tbl)`: each micro-batch
   * commits as ONE snapshot whose summary carries the

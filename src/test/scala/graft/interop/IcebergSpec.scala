@@ -1439,6 +1439,43 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
       Seq("k", "v", "_change_type", "_sequence_number", "_snapshot_id"))
   }
 
+  test("streaming changelog source delivers per-commit images exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("ice_cl_stream")
+    val path = s"$base/tbl"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path) // seq1
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("iceberg")
+        .option("changelog", "true").option("fromSeq", "0").load(path)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def images(): Set[(Long, String, Long)] =
+      spark.read.parquet(sink).select("k", "_change_type", "_sequence_number")
+        .as[(Long, String, Long)].collect().toSet
+    drainOnce() // fromSeq=0 windows the whole history: the create's inserts
+    assert(images() == Set((1L, "insert", 1L), (2L, "insert", 1L)))
+    // new commits stream incrementally: an append and a MoR delete
+    Iceberg.write(Seq((3L, "c")).toDF("k", "v").coalesce(1), path,
+      mode = SaveMode.Append)                                // seq2
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 1L)  // seq3
+    drainOnce()
+    assert(images() == Set(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (1L, "delete", 3L)))
+    // a compaction is row-neutral: the resumed stream delivers nothing
+    Iceberg.compact(spark, path, targetBytes = 1L << 20)     // seq4: replace
+    drainOnce()
+    assert(images().forall(_._3 <= 3L),
+      "a maintenance commit must not disturb the changelog consumer")
+    // replay safety: an immediate re-drain re-delivers nothing
+    drainOnce()
+    assert(images().size == 4)
+  }
+
   test("v3 read gates: initial-default refuses; v4 refuses") {
     import spark.implicits._
     val path = freshDir("ice_v3_gate")
