@@ -12,8 +12,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   - FooterPayload: UTF-8 JSON `{"blobs": [...], "properties": {...}}`
   *   - FooterPayloadSize: 4-byte little-endian byte length of the payload
   *   - Flags: 4 reserved bytes; bit 0 of byte 0 set means the payload is
-  *     LZ4-compressed (this from-spec module refuses compressed footers
-  *     loudly rather than misread them)
+  *     LZ4 FRAME compressed — read transparently via the lz4-java Spark
+  *     ships (this module always writes uncompressed, which is legal)
   *
   * Each blob-metadata object carries `type`, `fields`, `snapshot-id`,
   * `sequence-number`, `offset`, `length`, optional `compression-codec`
@@ -102,7 +102,8 @@ object Puffin {
   }
 
   /** Parse a Puffin footer: all blob metadata plus the file properties.
-    * Refuses compressed footer payloads and malformed magic loudly. */
+    * LZ4-frame-compressed payloads decompress transparently; malformed
+    * magic refuses loudly. */
   def readFooter(fs: FileSystem, src: HPath): (Seq[BlobMeta], Map[String, String]) = {
     val len = fs.getFileStatus(src).getLen
     require(len >= 2L * Magic.length + 12,
@@ -119,8 +120,6 @@ object Puffin {
       val bb = java.nio.ByteBuffer.wrap(tail).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val payloadSize = bb.getInt()
       val flags = bb.getInt()
-      require((flags & 1) == 0,
-        s"Puffin: $src has an LZ4-compressed footer — not implemented here")
       require(payloadSize >= 2 && len >= 12L + payloadSize + 2 * Magic.length,
         s"Puffin: $src footer payload size $payloadSize is inconsistent")
       val payload = new Array[Byte](payloadSize)
@@ -129,7 +128,22 @@ object Puffin {
       in.readFully(len - 12 - payloadSize - 4, preMagic)
       require(preMagic.sameElements(Magic),
         s"Puffin: $src footer does not begin with PFA1")
-      val node = Json.readTree(new String(payload, "UTF-8"))
+      // flag bit 0: the payload is LZ4 FRAME compressed (spec) —
+      // decompressed with the lz4-java Spark already ships
+      val payloadBytes =
+        if ((flags & 1) == 0) payload
+        else {
+          val lz4 = new net.jpountz.lz4.LZ4FrameInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = lz4.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = lz4.read(buf) }
+            out.toByteArray
+          } finally lz4.close()
+        }
+      val node = Json.readTree(new String(payloadBytes, "UTF-8"))
       val blobs = Option(node.get("blobs")).toSeq.flatMap { arr =>
         (0 until arr.size()).map { i =>
           val b = arr.get(i)

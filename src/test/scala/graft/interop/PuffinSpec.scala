@@ -68,6 +68,32 @@ class PuffinSpec extends AnyFunSuite {
     assert(crc.getValue.toInt == want)
   }
 
+  test("an LZ4-frame-compressed footer reads transparently") {
+    val fs = localFs
+    val dest = tmpFile("dv_lz4.puffin")
+    val refs = Puffin.writeDvFile(fs, dest, Seq("/f.parquet" -> Array(1L, 5L)))
+    val p = java.nio.file.Paths.get(dest.toUri.getPath)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val size = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+    val payloadStart = bytes.length - 12 - size
+    val payload = bytes.slice(payloadStart, payloadStart + size)
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new net.jpountz.lz4.LZ4FrameOutputStream(baos)
+    z.write(payload); z.close()
+    val comp = baos.toByteArray
+    val tailBB = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tailBB.putInt(comp.length).putInt(1) // flags: compressed footer
+    val rebuilt = bytes.slice(0, payloadStart) ++ comp ++ tailBB.array() ++
+      "PFA1".getBytes("UTF-8")
+    java.nio.file.Files.write(p, rebuilt)
+    val (blobs, props) = Puffin.readFooter(fs, dest)
+    assert(props.get("created-by").contains("graft"))
+    assert(blobs.map(b => (b.blobType, b.offset, b.length)) ==
+      refs.map(r => ("deletion-vector-v1", r._2, r._3)))
+    assert(Puffin.readDvBlob(fs, dest, refs.head._2, refs.head._3).toSeq == Seq(1L, 5L))
+  }
+
   test("corruption and unsupported shapes refuse loudly") {
     val fs = localFs
     val dest = tmpFile("bad.puffin")
@@ -81,12 +107,12 @@ class PuffinSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       Puffin.readDvBlob(fs, dest, refs.head._2, refs.head._3))
     assert(e1.getMessage.contains("checksum") || e1.getMessage.contains("magic"))
-    // set the footer compression flag -> footer read refuses
+    // the compression flag over a NON-lz4 payload fails loudly (frame
+    // magic mismatch), never misparses
     val flagged = bytes.clone()
     flagged(flagged.length - 8) = (flagged(flagged.length - 8) | 1).toByte
     java.nio.file.Files.write(p, flagged)
-    val e2 = intercept[IllegalArgumentException](Puffin.readFooter(fs, dest))
-    assert(e2.getMessage.contains("LZ4"))
+    intercept[Exception](Puffin.readFooter(fs, dest))
     // truncate the trailing magic -> not a puffin file
     java.nio.file.Files.write(p, bytes.dropRight(2))
     intercept[IllegalArgumentException](Puffin.readFooter(fs, dest))
