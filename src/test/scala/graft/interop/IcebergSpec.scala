@@ -1476,6 +1476,23 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     assert(images().size == 4)
   }
 
+  test("SQL DELETE on a v3 table lands as a puffin deletion vector") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_sql")
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    Iceberg.upgradeToV3(spark, path)
+    spark.sql("DROP TABLE IF EXISTS ice_v3_sql_t")
+    spark.sql(s"CREATE TABLE ice_v3_sql_t USING iceberg OPTIONS (path '$path')")
+    spark.sql("DELETE FROM ice_v3_sql_t WHERE k = 1")
+    val s = Iceberg.snapshot(spark, path)
+    assert(s.deletes.isEmpty && s.dvDeletes.size == 1 &&
+      s.dvDeletes.head.path.endsWith(".puffin"),
+      "SQL DELETE must ride the v3 deletion-vector path")
+    spark.sql("REFRESH TABLE ice_v3_sql_t")
+    assert(spark.sql("SELECT k FROM ice_v3_sql_t").as[Long].collect().toSeq == Seq(2L))
+    spark.sql("DROP TABLE ice_v3_sql_t")
+  }
+
   test("v3 read gates: initial-default refuses; v4 refuses") {
     import spark.implicits._
     val path = freshDir("ice_v3_gate")
