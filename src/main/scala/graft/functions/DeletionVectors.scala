@@ -6,6 +6,123 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** What a deletion-vector row filter probes: `(file, row position)` →
+  * covered? Two implementations — [[DvMap]] carries fully-materialized
+  * run lists (right when the position data already lives in driver
+  * metadata, e.g. the native format's manifest-recorded runs), and
+  * [[DvDescriptorMap]] carries only per-file blob DESCRIPTORS, loading
+  * and decoding each file's bitmap lazily ON THE EXECUTOR that first
+  * scans it — the driver never materializes a position. */
+trait DvFilter extends Serializable {
+  def contains(file: UTF8String, pos: Long): Boolean
+}
+
+private[functions] object DvFilter {
+  val Empty: (Array[Long], Array[Long]) = (Array.emptyLongArray, Array.emptyLongArray)
+
+  /** Strip a probing `_metadata.file_path` URI down to the map key:
+    * URL-decode, then cut everything through the table-root marker. */
+  def stripKey(file: UTF8String, marker: String): String = {
+    val raw = file.toString
+    val p =
+      try new java.net.URI(raw).getPath
+      catch { case _: java.net.URISyntaxException => raw }
+    val i = p.indexOf(marker)
+    if (i >= 0) p.substring(i + marker.length) else p
+  }
+
+  /** Last run with start <= pos over merged disjoint runs. */
+  def covered(runs: (Array[Long], Array[Long]), pos: Long): Boolean = {
+    val starts = runs._1
+    if (starts.length == 0) false
+    else {
+      var lo = 0
+      var hi = starts.length - 1
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= pos) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans >= 0 && pos < runs._2(ans)
+    }
+  }
+
+  /** Sorted (not necessarily distinct) positions → merged runs. */
+  def positionsToRuns(sorted: Array[Long]): (Array[Long], Array[Long]) = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < sorted.length) {
+      val p = sorted(i)
+      if (ends.nonEmpty && p <= ends.last) {
+        if (p + 1 > ends.last) ends(ends.length - 1) = p + 1
+      } else { starts += p; ends += p + 1 }
+      i += 1
+    }
+    (starts.toArray, ends.toArray)
+  }
+}
+
+/** One file's deletion bitmap, decodable on demand. Implementations
+  * (inline bytes, a framed `.bin` region, a puffin blob) live with the
+  * format codecs; they must be executor-serializable and must not
+  * touch a SparkSession. */
+trait DvPositionSource extends Serializable {
+  /** Decode this source's deleted row positions — called lazily on the
+    * first executor (or driver, in local mode) that probes the file. */
+  def positions(): Array[Long]
+}
+
+/** Descriptor-only deletion-vector filter: the serialized plan ships
+  * per-file [[DvPositionSource]] descriptors — O(files-with-deletes)
+  * driver/plan metadata no matter how many rows are deleted — and each
+  * executor decodes only the bitmaps of the files it actually scans,
+  * caching per JVM. The probe path after the first touch of a file is
+  * identical to [[DvMap]]'s: thread-local file cache + binary search
+  * over merged runs, inside whole-stage codegen. */
+final class DvDescriptorMap(
+    marker: String,
+    sources: Map[String, Seq[DvPositionSource]]) extends DvFilter {
+
+  @transient private lazy val loaded =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Long])]
+  @transient private lazy val cache =
+    new ThreadLocal[(UTF8String, (Array[Long], Array[Long]))]
+
+  private def runsFor(key: String): (Array[Long], Array[Long]) =
+    sources.get(key) match {
+      case None => DvFilter.Empty
+      case Some(ss) => loaded.computeIfAbsent(key, _ => {
+        val pos = ss.iterator.flatMap(_.positions().iterator).toArray
+        java.util.Arrays.sort(pos)
+        DvFilter.positionsToRuns(pos)
+      })
+    }
+
+  def contains(file: UTF8String, pos: Long): Boolean = {
+    val c = cache.get()
+    val hit =
+      if (c != null && c._1.equals(file)) c._2
+      else {
+        val r = runsFor(DvFilter.stripKey(file, marker))
+        cache.set((file.clone(), r))
+        r
+      }
+    DvFilter.covered(hit, pos)
+  }
+
+  /** Files carrying descriptors (what a CDF before-image read scans). */
+  def files: Set[String] = sources.keySet
+
+  /** How many per-file descriptors the plan ships — the driver-side
+    * size bound (test seam: O(files), never O(positions)). */
+  def descriptorCount: Int = sources.size
+
+  /** How many files' bitmaps THIS JVM has decoded so far — 0 until an
+    * action actually scans a covered file (test seam for laziness). */
+  def loadedCount: Int = loaded.size
+}
+
 /** POSITIONAL DELETION VECTOR lookup — the read half of the
   * merge-on-read delete story (Delta deletion vectors / Iceberg v3
   * position deletes, re-expressed as a Catalyst filter): instead of one
@@ -23,7 +140,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction; a file absent from the map deletes nothing. */
 final class DvMap private (
     marker: String,
-    runs: Map[String, (Array[Long], Array[Long])]) extends Serializable {
+    runs: Map[String, (Array[Long], Array[Long])]) extends DvFilter {
 
   @transient private lazy val cache =
     new ThreadLocal[(UTF8String, (Array[Long], Array[Long]))]
@@ -99,7 +216,7 @@ object DvMap {
   * DVs carry). Codegen-friendly: the generated code is one virtual
   * call on the referenced map, so the surrounding filter stays inside
   * WholeStageCodegen. */
-case class DvContains(left: Expression, right: Expression, dv: DvMap)
+case class DvContains(left: Expression, right: Expression, dv: DvFilter)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -116,7 +233,7 @@ case class DvContains(left: Expression, right: Expression, dv: DvMap)
     dv.contains(f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftDv", dv, classOf[DvMap].getName)
+    val ref = ctx.addReferenceObj("graftDv", dv, classOf[DvFilter].getName)
     defineCodeGen(ctx, ev, (f, p) => s"$ref.contains($f, $p)")
   }
 

@@ -83,8 +83,11 @@ object Convert {
           .toMap
       }
     val files = snap.files.map { f =>
+      // a 0-row data file (legal in the protocol — e.g. an empty task
+      // output of a copy-on-write rewrite) has no stats AND yields no
+      // input_file_name group in the distributed count: record count 0
       Iceberg.DataFileRef(rootPrefix + f.path, f.partitionValues,
-        fromStats.getOrElse(f.path, counted(f.path)), f.size, seq = 1L)
+        fromStats.getOrElse(f.path, counted.getOrElse(f.path, 0L)), f.size, seq = 1L)
     }
     (snap.schema, snap.partitionColumns, files)
   }

@@ -813,7 +813,7 @@ object DeltaLake {
 
   /** Drop the rows `dv` covers — one broadcast row-index filter, no
     * join. Expects the [[withRowMeta]] columns. */
-  private def dropCovered(df: DataFrame, dv: graft.functions.DvMap): DataFrame = {
+  private def dropCovered(df: DataFrame, dv: graft.functions.DvFilter): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     df.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.DvContains(
@@ -836,34 +836,39 @@ object DeltaLake {
     fromPhysicalDf(undeleted, s)
   }
 
-  /** Load every outstanding deletion vector of `s` into one merged
-    * [[graft.functions.DvMap]] — O(delete debt) driver metadata, the
-    * same bound Delta's own in-memory DVs carry. All three descriptor
-    * storage shapes resolve: "i" inline z85, "p" absolute path, "u"
-    * uuid-named file under the table root. */
-  private def loadDvMap(spark: SparkSession, path: String,
-      s: Snapshot): graft.functions.DvMap = {
-    val (fs, root) = Writers.fsFor(path)
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    val raw: Seq[(String, Long, Long)] = s.files.flatMap { f =>
-      f.dv.toSeq.flatMap { d =>
-        val bytes = d.storageType match {
-          case "i" => DeltaDv.z85Decode(d.pathOrInlineDv)
-          case "p" => DeltaDv.readBlob(fs, new HPath(d.pathOrInlineDv),
-            d.offset.getOrElse(1), d.sizeInBytes)
-          case "u" => DeltaDv.readBlob(fs, DeltaDv.uuidPath(root, d.pathOrInlineDv),
-            d.offset.getOrElse(1), d.sizeInBytes)
-          case other => throw new IllegalArgumentException(
-            s"DeltaLake: $path: unknown deletionVector storageType '$other'")
-        }
-        val positions = DeltaDv.deserialize(bytes)
-        require(positions.length.toLong == d.cardinality,
-          s"DeltaLake: $path: deletion vector of ${f.path} decodes ${positions.length} " +
-            s"positions but declares cardinality ${d.cardinality}")
-        positions.toSeq.map(p => (f.path, p, 1L))
-      }
+  /** One file's DV descriptor → the lazy executor-side loader behind
+    * it. All three storage shapes resolve: "i" inline z85 (the bytes
+    * already live in the log line — only the bitmap decode defers),
+    * "p" absolute path, "u" uuid-named file under the table root. */
+  private def dvSourceFor(path: String, root: HPath, d: DvDescriptor,
+      conf: org.apache.spark.util.SerializableConfiguration): graft.functions.DvPositionSource =
+    d.storageType match {
+      case "i" => DvSources.Inline(DeltaDv.z85Decode(d.pathOrInlineDv), d.cardinality)
+      case "p" => DvSources.DeltaBlob(d.pathOrInlineDv,
+        d.offset.getOrElse(1), d.sizeInBytes, d.cardinality, conf)
+      case "u" => DvSources.DeltaBlob(DeltaDv.uuidPath(root, d.pathOrInlineDv).toString,
+        d.offset.getOrElse(1), d.sizeInBytes, d.cardinality, conf)
+      case other => throw new IllegalArgumentException(
+        s"DeltaLake: $path: unknown deletionVector storageType '$other'")
     }
-    graft.functions.DvMap(rootPrefix, raw)
+
+  /** Build the DESCRIPTOR-ONLY deletion-vector filter for `s` —
+    * O(files-with-DVs) driver/plan metadata no matter how many rows
+    * are deleted. Each scanning executor loads and decodes only its
+    * own files' bitmaps ([[DvSources]]); the driver never materializes
+    * a position. */
+  private def loadDvMap(spark: SparkSession, path: String,
+      s: Snapshot): graft.functions.DvFilter = {
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val sources: Map[String, Seq[graft.functions.DvPositionSource]] =
+      s.files.flatMap { f =>
+        f.dv.map(d => f.path -> Seq(dvSourceFor(path, root, d, conf)))
+      }.toMap
+    DvIntrospect.lastReadDescriptors = sources.size
+    new graft.functions.DvDescriptorMap(rootPrefix, sources)
   }
 
   /** The [[org.apache.spark.sql.sources.BaseRelation]] behind [[read]]
@@ -1155,8 +1160,9 @@ object DeltaLake {
     * existing vector gets a SUPERSEDING vector holding the union of
     * old and new positions, per the protocol. Discovery reads the
     * current materialized snapshot, so already-deleted rows are never
-    * re-recorded; the bitmap build is O(delete debt) driver memory —
-    * the same bound Delta's own DV writer carries. Returns the
+    * re-recorded; bitmaps are built and written ON EXECUTORS and only
+    * per-file descriptors return to the driver — a delete of billions
+    * of rows collects O(touched files) driver metadata. Returns the
     * committed version, or the current one when nothing matched. */
   def deleteMergeOnRead(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column): Long = {
@@ -1192,6 +1198,12 @@ object DeltaLake {
       else dropCovered(base, loadDvMap(spark, path, snap)), snap)
   }
 
+  /** One committed deletion vector, as the build task reports it back:
+    * everything the `add` action's descriptor needs, O(1) per touched
+    * file. `offset < 0` marks an inline ("i") vector. */
+  private[interop] final case class DvBuildRes(rel: String, storageType: String,
+      pathOrInlineDv: String, offset: Int, sizeInBytes: Int, cardinality: Long)
+
   private def commitDeletionVectors(spark: SparkSession, path: String,
       snap: Snapshot, matchesWithMeta: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -1203,43 +1215,75 @@ object DeltaLake {
       .select(expr(
         s"substring($FileMetaCol, instr($FileMetaCol, '$q') + ${rootPrefix.length})")
         .as("__rel"), col(PosMetaCol).as("__pos"))
-      .collect()
-    if (matches.isEmpty) return snap.version
-    val byFile: Map[String, Array[Long]] = matches
-      .groupBy(_.getString(0)).map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
-    // union with each touched file's existing vector (superseding DV)
-    val merged: Seq[(String, Array[Long])] = byFile.toSeq.sortBy(_._1).map { case (rel, ps) =>
-      val old: Array[Long] = snap.files.find(_.path == rel).flatMap(_.dv).map { d =>
-        DeltaDv.deserialize(d.storageType match {
-          case "i" => DeltaDv.z85Decode(d.pathOrInlineDv)
-          case "p" => DeltaDv.readBlob(fs, new HPath(d.pathOrInlineDv),
-            d.offset.getOrElse(1), d.sizeInBytes)
-          case "u" => DeltaDv.readBlob(fs, DeltaDv.uuidPath(root, d.pathOrInlineDv),
-            d.offset.getOrElse(1), d.sizeInBytes)
-        })
-      }.getOrElse(Array.empty[Long])
-      rel -> (old ++ ps)
-    }
-    val blobs: Seq[(String, Array[Long], Array[Byte])] =
-      merged.map { case (rel, ps) => (rel, ps, DeltaDv.serialize(ps)) }
-    // SMALL vectors inline into the log as z85 (storageType "i") — the
-    // spec's inline shape: a point-delete on a huge table then costs
-    // zero extra files. Large vectors share ONE framed .bin file.
+    // ---- build the per-file bitmaps ON EXECUTORS: the matched rows
+    // shuffle by file, each task streams its files' sorted positions
+    // into RoaringBitmapArrays, merges any existing vector (superseding
+    // DV — the prior blob is loaded task-side off its descriptor),
+    // writes large blobs into ONE framed .bin file per task, and
+    // reports back descriptors only. The driver collect is O(touched
+    // files) — a 100-TB DELETE never materializes a position on the
+    // driver. SMALL vectors inline into the log as z85 (storageType
+    // "i"), the spec's inline shape: a point-delete on a huge table
+    // costs zero extra files.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val priorSrc: Map[String, graft.functions.DvPositionSource] =
+      snap.files.flatMap(f => f.dv.map(d => f.path -> dvSourceFor(path, root, d, conf))).toMap
+    val rootStr = root.toString
     val InlineMax = 512
-    val large = blobs.filter(_._3.length > InlineMax)
-    val binRel = s"deletion_vector_${java.util.UUID.randomUUID()}.bin"
-    val binAbs = rootPrefix + binRel
-    val framing: Map[String, (Int, Int)] =
-      if (large.isEmpty) Map.empty
-      else large.map(_._1).zip(
-        DeltaDv.writeFile(fs, new HPath(root, binRel), large.map(_._3))).toMap
+    import spark.implicits._
+    val results: Array[DvBuildRes] = matches.as[(String, Long)]
+      .repartition(col("__rel"))
+      .sortWithinPartitions(col("__rel"), col("__pos"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[DvBuildRes]
+        val large = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long)]
+        var curRel: String = null
+        val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def finish(): Unit = if (curRel != null) {
+          val merged = priorSrc.get(curRel) match {
+            case Some(src) => pos.toArray ++ src.positions()
+            case None => pos.toArray
+          }
+          val distinctSorted = merged.distinct.sorted
+          val blob = DeltaDv.serialize(distinctSorted)
+          val card = distinctSorted.length.toLong
+          if (blob.length > InlineMax) large += ((curRel, blob, card))
+          else {
+            // z85 encodes 4-byte groups; the serialized vector is
+            // self-delimiting, so zero-padding to alignment is inert
+            val padded =
+              if (blob.length % 4 == 0) blob
+              else blob ++ Array.fill(4 - blob.length % 4)(0.toByte)
+            out += DvBuildRes(curRel, "i", DeltaDv.z85Encode(padded), -1, blob.length, card)
+          }
+          pos.clear()
+        }
+        it.foreach { case (rel, p) =>
+          if (rel != curRel) { finish(); curRel = rel }
+          pos += p
+        }
+        finish()
+        if (large.nonEmpty) {
+          val binPath = new HPath(rootStr,
+            s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
+          val framing = DeltaDv.writeFile(
+            binPath.getFileSystem(conf.value), binPath, large.map(_._2).toSeq)
+          large.zip(framing).foreach { case ((rel, _, card), (off, size)) =>
+            out += DvBuildRes(rel, "p", binPath.toUri.getPath, off, size, card)
+          }
+        }
+        out.iterator
+      }.collect()
+    DvIntrospect.lastCommitDriverRows = results.length
+    if (results.isEmpty) return snap.version
 
     val now = System.currentTimeMillis()
     val v = snap.version + 1
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += protocolLine(withDeletionVectors(snap.protocol))
-    blobs.foreach { case (rel, ps, blob) =>
-      val cardinality = ps.distinct.length.toLong
+    results.sortBy(_.rel).foreach { res =>
+      val rel = res.rel
       val f = snap.files.find(_.path == rel).get
       val rm = Json.createObjectNode()
       val r = rm.putObject("remove")
@@ -1256,26 +1300,14 @@ object DeltaLake {
       a.put("dataChange", true)
       f.stats.foreach(a.put("stats", _))
       val dvn = a.putObject("deletionVector")
-      framing.get(rel) match {
-        case Some((offset, size)) =>
-          dvn.put("storageType", "p")
-          dvn.put("pathOrInlineDv", binAbs)
-          dvn.put("offset", offset)
-          dvn.put("sizeInBytes", size)
-        case None =>
-          // z85 encodes 4-byte groups; the serialized vector is
-          // self-delimiting, so zero-padding to alignment is inert
-          val padded =
-            if (blob.length % 4 == 0) blob
-            else blob ++ Array.fill(4 - blob.length % 4)(0.toByte)
-          dvn.put("storageType", "i")
-          dvn.put("pathOrInlineDv", DeltaDv.z85Encode(padded))
-          // spec: sizeInBytes is the TRUE serialized size — foreign
-          // readers truncate the decoded z85 bytes to it, which is
-          // exactly how the alignment padding is meant to be shed
-          dvn.put("sizeInBytes", blob.length)
-      }
-      dvn.put("cardinality", cardinality)
+      dvn.put("storageType", res.storageType)
+      dvn.put("pathOrInlineDv", res.pathOrInlineDv)
+      if (res.offset >= 0) dvn.put("offset", res.offset): Unit
+      // spec: sizeInBytes is the TRUE serialized size — foreign readers
+      // of an inline vector truncate the decoded z85 bytes to it, which
+      // is exactly how the task's alignment padding is meant to be shed
+      dvn.put("sizeInBytes", res.sizeInBytes)
+      dvn.put("cardinality", res.cardinality)
       // a DV re-add is the SAME file — its row-tracking defaults ride
       // (dropping them would reissue every surviving row's id)
       f.baseRowId.foreach(a.put("baseRowId", _): Unit)
@@ -2582,19 +2614,28 @@ object DeltaLake {
       adds: Seq[AddFile], removedRel: Set[String],
       newSchema: Option[StructType]): Long = {
     val snap = snapshot(spark, path)
-    // the mirrored files come from the other format's writer, which
-    // assigned no row ids — a sync commit on a row-tracked table would
-    // leave unassigned adds below the watermark
-    require(!snap.rowTrackingEnabled,
-      s"DeltaLake sync: $path has delta.enableRowTracking=true — dual-format " +
-        "sync does not assign row ids; disable row tracking or sync manually")
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     val v = snap.version + 1
+    // a ROW-TRACKED mirror layer (r10): the mirrored files come from
+    // the other format's writer, which has no ids to preserve — they
+    // take FRESH baseRowId ranges off the watermark (numRecords from
+    // the synced stats; parquet-footer fallback), exactly like a
+    // native write's adds, and the commit ratchets the domain
+    // watermark. Identity is NOT continuous across a source-side
+    // rewrite (the source of truth has no row ids to carry) — the
+    // mirror's contract is row-set equality, not id stability.
+    val (stampedAdds, rowIdWm) =
+      if (!snap.rowTrackingEnabled) (adds, None)
+      else {
+        val (stamped, wline) = assignRowIds(fs, root, snap, adds, v, "sync")
+        (stamped, Some(wline))
+      }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     newSchema.foreach { sc =>
       lines += metaDataLine(sc, snap.partitionColumns, now, snap.configuration)
     }
+    rowIdWm.foreach(lines += _)
     removedRel.toSeq.sorted.foreach { rel =>
       val o = Json.createObjectNode()
       val rm = o.putObject("remove")
@@ -2602,7 +2643,7 @@ object DeltaLake {
       rm.put("deletionTimestamp", now); rm.put("dataChange", true)
       lines += Json.writeValueAsString(o)
     }
-    adds.foreach(a => lines += addLine(a))
+    stampedAdds.foreach(a => lines += addLine(a))
     val ci = Json.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now); info.put("operation", "SYNC")

@@ -1,0 +1,101 @@
+package graft.interop
+
+import graft.functions.DvPositionSource
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Executor-side deletion-vector blob loaders — the [[DvPositionSource]]
+  * implementations behind [[graft.functions.DvDescriptorMap]]. Each is a
+  * small Serializable descriptor (a path + byte range, never positions);
+  * `positions()` runs on whichever executor first scans the covered file,
+  * opening the filesystem from a [[SerializableConfiguration]] so the
+  * load works identically on a driver-less task. None touch a
+  * SparkSession. */
+private[graft] object DvSources {
+
+  private def fsFor(abs: String, conf: SerializableConfiguration): (FileSystem, HPath) = {
+    val p = new HPath(abs)
+    (p.getFileSystem(conf.value), p)
+  }
+
+  /** A Delta `storageType=i` inline vector: the z85-decoded bytes ride
+    * in the descriptor itself (they came out of the log line — already
+    * driver metadata), only the bitmap DECODE is deferred. */
+  final case class Inline(bytes: Array[Byte], cardinality: Long) extends DvPositionSource {
+    override def positions(): Array[Long] = {
+      val out = DeltaDv.deserialize(bytes)
+      require(out.length.toLong == cardinality,
+        s"DvSources: inline deletion vector decodes ${out.length} " +
+          s"positions but declares cardinality $cardinality")
+      out
+    }
+  }
+
+  /** A Delta framed `.bin` region (`storageType` p/u, path resolved to
+    * absolute driver-side). Verifies the descriptor's cardinality —
+    * the same integrity require the old driver-side loader enforced. */
+  final case class DeltaBlob(abs: String, offset: Int, sizeInBytes: Int,
+      cardinality: Long, conf: SerializableConfiguration) extends DvPositionSource {
+    override def positions(): Array[Long] = {
+      val (fs, p) = fsFor(abs, conf)
+      val out = DeltaDv.deserialize(DeltaDv.readBlob(fs, p, offset, sizeInBytes))
+      require(out.length.toLong == cardinality,
+        s"DvSources: deletion vector at $abs@$offset decodes ${out.length} " +
+          s"positions but declares cardinality $cardinality")
+      out
+    }
+  }
+
+  /** An Iceberg v3 `deletion-vector-v1` puffin blob, located by the
+    * manifest entry's content_offset / content_size_in_bytes. */
+  final case class PuffinBlob(abs: String, offset: Long, length: Long,
+      conf: SerializableConfiguration) extends DvPositionSource {
+    override def positions(): Array[Long] = {
+      val (fs, p) = fsFor(abs, conf)
+      Puffin.readDvBlob(fs, p, offset, length)
+    }
+  }
+
+  /** One data file's positions out of an Iceberg v2 position-delete
+    * PARQUET file: reads the delete file with the parquet-mr Group
+    * reader (no SparkSession on a task) and keeps the rows whose
+    * `file_path` names `targetRaw` (manifest-convention raw path,
+    * normalized like the read planner normalizes data paths). A delete
+    * file is spec-sorted by file_path, so the row-group stats bound the
+    * scan; the decoded result is cached per executor by the enclosing
+    * [[graft.functions.DvDescriptorMap]]. */
+  final case class ParquetPosDeletes(deleteFileAbs: String, targetRaw: String,
+      conf: SerializableConfiguration) extends DvPositionSource {
+    override def positions(): Array[Long] = {
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new HPath(deleteFileAbs))
+        .withConf(conf.value)
+        .build()
+      try {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var g = reader.read()
+        while (g != null) {
+          if (Hive.fsPathNoDecode(g.getString("file_path", 0)) == targetRaw)
+            acc += g.getLong("pos", 0)
+          g = reader.read()
+        }
+        acc.toArray
+      } finally reader.close()
+    }
+  }
+}
+
+/** Test seam for the deletion-vector scale contract: the MoR-delete
+  * COMMIT paths collect O(touched files) descriptor rows to the driver
+  * (never the matched positions), and the READ paths ship
+  * descriptor-only filters. Each commit records how many rows its one
+  * driver collect returned; specs assert it equals the touched-file
+  * count for deletes of arbitrarily many rows. */
+object DvIntrospect {
+  /** Rows the last MoR-delete commit's driver collect returned —
+    * descriptor rows, one per touched data file. */
+  @volatile var lastCommitDriverRows: Int = -1
+  /** Per-file descriptors in the last read-side DV filter built. */
+  @volatile var lastReadDescriptors: Int = -1
+}

@@ -530,19 +530,40 @@ object Iceberg {
     } else Option(meta.get("schema")).getOrElse(
       throw new IllegalStateException("Iceberg: metadata carries no schema"))
 
+  /** Iceberg v3 `initial-default` single-value JSON → the Spark SQL
+    * literal string the EXISTS_DEFAULT read contract parses. Types
+    * beyond these primitives refuse loudly (serving null instead of
+    * the default would be silently wrong). */
+  private def defaultSql(t: DataType, v: JsonNode): String = t match {
+    case BooleanType | IntegerType | LongType | DoubleType => v.asText
+    case FloatType => s"CAST(${v.asText} AS FLOAT)"
+    case d: DecimalType => s"CAST(${v.asText} AS DECIMAL(${d.precision},${d.scale}))"
+    case StringType => "'" + v.asText.replace("'", "''") + "'"
+    case DateType => s"DATE '${v.asText}'"
+    case TimestampNTZType => s"TIMESTAMP_NTZ '${v.asText}'"
+    case TimestampType => s"TIMESTAMP '${v.asText}'"
+    case other => throw new IllegalArgumentException(
+      s"Iceberg: initial-default on type $other is not supported by this reader")
+  }
+
   private def schemaFromMeta(meta: JsonNode): StructType = {
     val schemaNode = currentSchemaNode(meta)
     StructType(iterator(schemaNode.get("fields")).map { f =>
-      // v3 DEFAULT VALUES: a field with a non-null initial-default
-      // reads that value (not null) from files written before the
-      // field existed — semantics this reader does not implement;
-      // serving null instead would be silently wrong, so refuse
-      require(!f.hasNonNull("initial-default"),
-        s"Iceberg: field '${f.get("name").asText}' carries initial-default — " +
-          "v3 default values are not implemented here (pre-addition files " +
-          "would misread as null)")
-      StructField(f.get("name").asText, sparkType(f.get("type").asText),
+      val tpe = sparkType(f.get("type").asText)
+      val base = StructField(f.get("name").asText, tpe,
         nullable = !f.get("required").asBoolean)
+      // v3 DEFAULT VALUES (r10): a field carrying initial-default
+      // reads that value — not null — from files written before the
+      // field existed. Spark's file sources implement exactly this
+      // per-file rule natively via the EXISTS_DEFAULT field-metadata
+      // contract (a column ABSENT from a file serves the parsed
+      // literal, vectorized; a file that has the column serves its
+      // stored values, genuine nulls included), so the default rides
+      // the scan schema instead of a plan-level rewrite.
+      if (!f.hasNonNull("initial-default")) base
+      else base.copy(metadata = new MetadataBuilder()
+        .putString("EXISTS_DEFAULT", defaultSql(tpe, f.get("initial-default")))
+        .build())
     }.toSeq)
   }
 
@@ -970,17 +991,68 @@ object Iceberg {
     if (withMeta) kept else kept.drop(FileMetaCol, PosMetaCol)
   }
 
-  /** Load a snapshot's position-delete files AND v3 deletion vectors
-    * into one merged [[graft.functions.DvMap]], honoring the spec's
-    * applicability rule: a delete is dropped unless the data file it
-    * names has data sequence number <= the delete's. The collect is
-    * O(delete debt) driver metadata — the same bound Delta's in-memory
-    * DVs and the native format's run lists carry. */
+  /** Build the DESCRIPTOR-ONLY delete filter for a snapshot's position
+    * deletes AND v3 deletion vectors, honoring the spec's applicability
+    * rule: a delete is dropped unless the data file it names has data
+    * sequence number <= the delete's. The driver ships per-file
+    * descriptors — O(files × delete files) worst case, never positions;
+    * each scanning executor decodes only its own files' bitmaps (a DV
+    * blob by its manifest locator, a position-delete parquet through
+    * the task-side Group reader — [[DvSources]]). */
   private def loadDeleteMap(spark: SparkSession, root: HPath,
-      s: Snapshot): graft.functions.DvMap = {
+      s: Snapshot): graft.functions.DvDescriptorMap = {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    graft.functions.DvMap(rootPrefix,
-      deletePositions(spark, root, s).toSeq.map { case (f, p) => (f, p, 1L) })
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dataSeq: Seq[(String, Long)] =
+      s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq)
+    val sources = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[graft.functions.DvPositionSource]]
+    def add(rawTarget: String, src: graft.functions.DvPositionSource): Unit = {
+      sources.getOrElseUpdate(rawTarget.stripPrefix(rootPrefix),
+        scala.collection.mutable.ArrayBuffer.empty) += src
+      (): Unit
+    }
+    // v2 position-delete parquets: every data file the sequence rule
+    // admits gets a descriptor over the delete parquet (the task-side
+    // read filters to its own file's rows; spec-sorted delete files
+    // keep that probe row-group-bounded)
+    for (d <- s.deletes; (raw, fseq) <- dataSeq if fseq <= d.seq)
+      add(raw, DvSources.ParquetPosDeletes(new HPath(d.path).toString, raw, conf))
+    // v3 DVs: one blob per data file, located by the manifest entry
+    val dataSeqMap = dataSeq.toMap
+    for (d <- s.dvDeletes) {
+      val target = Hive.fsPathNoDecode(d.referencedDataFile)
+      if (dataSeqMap.get(target).exists(_ <= d.seq))
+        add(target, DvSources.PuffinBlob(new HPath(d.path).toString,
+          d.contentOffset, d.contentSize, conf))
+    }
+    DvIntrospect.lastReadDescriptors = sources.valuesIterator.map(_.size).sum
+    new graft.functions.DvDescriptorMap(rootPrefix,
+      sources.map { case (k, v) => k -> v.toSeq }.toMap)
+  }
+
+  /** Rel paths of exactly the data files the snapshot's position
+    * deletes / DVs NAME (sequence-filtered) — what a debt fold or
+    * compaction must rewrite. The delete parquets are read
+    * DISTRIBUTED (`distinct` over their `file_path` column); the
+    * collect is O(named files) driver metadata, never positions. */
+  private def coveredByPositionDebt(spark: SparkSession, root: HPath,
+      s: Snapshot): Set[String] = {
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val dataSeq: Map[String, Long] =
+      s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
+    val fromParquet = s.deletes.groupBy(_.seq).toSeq.flatMap { case (dSeq, dfs) =>
+      spark.read.parquet(dfs.map(d => new HPath(d.path).toString): _*)
+        .select("file_path").distinct().collect()
+        .map(r => Hive.fsPathNoDecode(r.getString(0)))
+        .flatMap(t => dataSeq.get(t).filter(_ <= dSeq).map(_ => t.stripPrefix(rootPrefix)))
+    }
+    val fromDvs = s.dvDeletes.flatMap { d =>
+      val target = Hive.fsPathNoDecode(d.referencedDataFile)
+      dataSeq.get(target).filter(_ <= d.seq).map(_ => target.stripPrefix(rootPrefix))
+    }
+    (fromParquet ++ fromDvs).toSet
   }
 
   /** Every (table-relative path, position) the snapshot's position
@@ -1143,8 +1215,11 @@ object Iceberg {
     // naming never misreads
     val scanSchema = StructType(s.schema.fields.map { f =>
       s.fieldIds.get(f.name) match {
+        // withMetadata: the field may already carry the EXISTS_DEFAULT
+        // read contract (v3 initial-default) — it must reach the scan
         case Some(id) => f.copy(metadata =
-          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", id.toLong).build())
         case None => f
       }
     })
@@ -1613,42 +1688,82 @@ object Iceberg {
     * and its old manifest entry is dropped from the carried list.
     * Pre-upgrade parquet position-delete files are left in place —
     * they still apply on read, and rewriting them would be O(debt)
-    * churn a delete of unrelated rows should not pay. The collect is
-    * O(matched rows) driver metadata — the same bound the read side's
-    * [[loadDeleteMap]] and Delta's in-memory DVs carry. */
+    * churn a delete of unrelated rows should not pay. The bitmaps are
+    * built ON EXECUTORS: matched rows shuffle by file, each task
+    * streams its files' positions into RoaringBitmapArrays (merging
+    * any still-applicable prior DV off its broadcast descriptor),
+    * writes ONE puffin file per task, and reports back manifest
+    * locators only — the driver collect is O(touched files), never
+    * O(matched rows). */
   private def commitDvDeletes(spark: SparkSession, fs: FileSystem, root: HPath,
       metaV: Long, meta: JsonNode, s: Snapshot,
       matches: org.apache.spark.sql.DataFrame): Long = {
-    val newPos: Map[String, Array[Long]] = matches.collect()
-      .map(r => (Hive.fsPathNoDecode(r.getString(0)), r.getLong(1)))
-      .groupBy(_._1).map { case (f, a) => f -> a.map(_._2) }
-    if (newPos.isEmpty) return s.snapshotId
-    val dataSeq: Map[String, Long] =
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dataSeqMap: Map[String, Long] =
       s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
-    // merge each affected file's still-applicable existing DV; an
-    // inapplicable one (file re-added above the DV's sequence) is
-    // dropped WITHOUT merging — its positions named a dead incarnation
-    val merged: Seq[(String, Array[Long])] = newPos.toSeq.sortBy(_._1).map {
-      case (raw, pos) =>
-        val prior = s.dvDeletes
-          .filter(d => Hive.fsPathNoDecode(d.referencedDataFile) == raw &&
-            dataSeq.get(raw).exists(_ <= d.seq))
-          .flatMap(d => Puffin.readDvBlob(fs, new HPath(d.path),
-            d.contentOffset, d.contentSize))
-        raw -> (pos ++ prior).distinct.sorted
-    }
-    val dvDest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-deletes.puffin")
-    fs.mkdirs(dvDest.getParent)
-    val blobs = Puffin.writeDvFile(fs, dvDest, merged)
-    val fileLen = fs.getFileStatus(dvDest).getLen
-    val entries = blobs.map { case (ref, off, len, card) =>
-      DeleteEntrySpec(dvDest.toUri.getPath, card, fileLen, "PUFFIN", fileContent = 1,
-        referencedDataFile = Some(ref), contentOffset = Some(off),
-        contentSize = Some(len))
+    // each affected file's still-applicable existing DV merges into the
+    // new bitmap (the v3 one-DV-per-file invariant); an inapplicable
+    // one (file re-added above the DV's sequence) is dropped WITHOUT
+    // merging — its positions named a dead incarnation
+    val priorSrc: Map[String, Seq[graft.functions.DvPositionSource]] =
+      s.dvDeletes.groupBy(d => Hive.fsPathNoDecode(d.referencedDataFile))
+        .flatMap { case (raw, ds) =>
+          val applicable = ds.filter(d => dataSeqMap.get(raw).exists(_ <= d.seq))
+          if (applicable.isEmpty) None
+          else Some(raw -> applicable.map(d =>
+            DvSources.PuffinBlob(new HPath(d.path).toString, d.contentOffset,
+              d.contentSize, conf): graft.functions.DvPositionSource))
+        }
+    val rootStr = root.toString
+    val results: Array[DvCommitRes] = matches.as[(String, Long)]
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .mapPartitions { it =>
+        val perFile = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Long])]
+        var curRaw: String = null
+        var curKey: String = null
+        val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def finish(): Unit = if (curKey != null) {
+          val prior = priorSrc.getOrElse(curKey, Nil).iterator
+            .flatMap(_.positions().iterator).toArray
+          perFile += ((curKey, pos.toArray ++ prior))
+          pos.clear()
+        }
+        it.foreach { case (fp, p) =>
+          if (fp != curRaw) { finish(); curRaw = fp; curKey = Hive.fsPathNoDecode(fp) }
+          pos += p
+        }
+        finish()
+        if (perFile.isEmpty) Iterator.empty
+        else {
+          val dest = new HPath(rootStr,
+            s"data/${java.util.UUID.randomUUID()}-deletes.puffin")
+          val fs2 = dest.getFileSystem(conf.value)
+          fs2.mkdirs(dest.getParent)
+          val blobs = Puffin.writeDvFile(fs2, dest, perFile.toSeq)
+          val fileLen = fs2.getFileStatus(dest).getLen
+          blobs.iterator.map { case (ref, off, len, card) =>
+            DvCommitRes(ref, dest.toUri.getPath, off, len, card, fileLen) }
+        }
+      }.collect()
+    DvIntrospect.lastCommitDriverRows = results.length
+    if (results.isEmpty) return s.snapshotId
+    val entries = results.sortBy(_.ref).toSeq.map { r =>
+      DeleteEntrySpec(r.puffinPath, r.cardinality, r.fileLen, "PUFFIN", fileContent = 1,
+        referencedDataFile = Some(r.ref), contentOffset = Some(r.offset),
+        contentSize = Some(r.length))
     }
     commitDeleteFile(fs, root, metaV, meta, s, entries,
-      replaceDvFor = merged.map(_._1).toSet)
+      replaceDvFor = results.map(_.ref).toSet)
   }
+
+  /** One committed deletion-vector blob, as the build task reports it:
+    * exactly the manifest locator fields — O(1) per touched file. */
+  private[interop] final case class DvCommitRes(ref: String, puffinPath: String,
+      offset: Long, length: Long, cardinality: Long, fileLen: Long)
 
   /** EQUALITY DELETE (`content=2`) — the Flink-style streaming
     * retraction shape: `keys`' rows (over any subset of table columns)
@@ -2074,7 +2189,7 @@ object Iceberg {
     // this approaches a full compaction, which a debt fold is)
     val posCovered: Set[String] =
       if (s.deletes.isEmpty && s.dvDeletes.isEmpty) Set.empty
-      else loadDeleteMap(spark, root, s).files
+      else coveredByPositionDebt(spark, root, s)
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val eqCovered: Set[String] = s.files.filter(_.seq < maxEqSeq)
       .map(f => Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix)).toSet
@@ -2116,7 +2231,7 @@ object Iceberg {
       .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
     val posCovered: Set[String] =
       if (s.deletes.isEmpty && s.dvDeletes.isEmpty) Set.empty
-      else loadDeleteMap(spark, root, s).files.map(rootPrefix + _)
+      else coveredByPositionDebt(spark, root, s).map(rootPrefix + _)
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val debtFiles = s.files.filter(f =>
       posCovered.contains(Hive.fsPathNoDecode(f.path)) || f.seq < maxEqSeq)
@@ -2188,11 +2303,11 @@ object Iceberg {
     if (fv == 3) {
       // a v3 rewrite must preserve row lineage: the replacement files
       // carry the ids as MATERIALIZED columns (the callers read through
-      // lineageFrame). The converted-table sync path stages nothing
-      // itself and cannot guarantee that — converted tables are v2.
-      require(preStaged.isEmpty,
-        s"Iceberg.$operation: pre-staged (sync) commits are not supported on a " +
-          "format-version 3 table")
+      // lineageFrame). The converted-table SYNC path (preStaged) is the
+      // one exception (r10): its files come from the OTHER format's
+      // writer, which has no ids to preserve — they take a FRESH
+      // inherited id range (manifest first_row_id, below) exactly like
+      // a native append's rows, the spec's add semantics.
       newData.foreach { df =>
         require(df.columns.contains(RowIdCol) && df.columns.contains(LastUpdCol),
           s"Iceberg.$operation: a v3 rewrite frame must carry the materialized " +
@@ -2226,6 +2341,12 @@ object Iceberg {
     val freshRows = fresh.map(_.recordCount).sum
     val nextRowId: Long =
       Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    // v3 sync commits (preStaged, no newData): the mirrored files mint
+    // a fresh inherited id range, like any append's rows
+    val syncAddedRows: Long =
+      if (fv == 3 && newData.isEmpty && preStaged.nonEmpty)
+        preStaged.map(_.recordCount).sum
+      else 0L
 
     val curSnapNode = iterator(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
@@ -2318,6 +2439,8 @@ object Iceberg {
       rec.put("added_rows_count", added.map(_.recordCount).sum)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
+      // the sync path's fresh id range (see syncAddedRows above)
+      if (syncAddedRows > 0) rec.put("first_row_id", nextRowId)
       outManifests += rec
     }
     if (fresh.nonEmpty) {
@@ -2337,7 +2460,8 @@ object Iceberg {
       rec.put("added_rows_count", freshRows)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
-      if (fv == 3) rec.put("first_row_id", nextRowId) // the fresh id range
+      // the fresh id range (after any sync adds' range)
+      if (fv == 3) rec.put("first_row_id", nextRowId + syncAddedRows)
       outManifests += rec
     }
     val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
@@ -2355,10 +2479,11 @@ object Iceberg {
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
     // v3 row lineage: rewritten rows keep their ids via the
-    // materialized columns; only FRESH (inserted) rows consume new ids
+    // materialized columns; FRESH (inserted) rows and a sync commit's
+    // mirrored rows consume new ids
     if (fv == 3) {
       snapNode.put("first-row-id", nextRowId)
-      newMeta.put("next-row-id", nextRowId + freshRows)
+      newMeta.put("next-row-id", nextRowId + syncAddedRows + freshRows)
     }
     snapNode.putObject("summary").put("operation", operation)
     snapNode.put("manifest-list", listPath.toUri.getPath)
@@ -2537,8 +2662,20 @@ object Iceberg {
     * Rows read with the CURRENT schema (field-id resolution keeps
     * pre-rename files readable, like the scan). Output: the table
     * columns + `_change_type`, `_sequence_number`, `_snapshot_id`.
-    * Cost: O(window) snapshot materializations of driver metadata plus
-    * one scan per changed file set. */
+    *
+    * Cost contract (r10): O(window) snapshot materializations of
+    * driver metadata plus one scan per changed file set; per-commit
+    * delete-position sets are carried INCREMENTALLY (each commit's set
+    * is computed once, bounded by that commit's outstanding debt) —
+    * the intended window is a CDC replay (days of commits), not full
+    * history at unbounded debt. The PLAN stays flat at any window
+    * length: every [[ChangeLogChunk]] commits, the accumulated frames
+    * materialize into one scratch parquet and re-enter the union as a
+    * single scan leaf, so a 10k-commit replay plans
+    * O(10k / chunk) leaves instead of a 30k-leaf union tree
+    * (ChangeLogFlatPlanSpec locks this at 50 commits). */
+  private[interop] val ChangeLogChunk = 16
+
   def changeLog(spark: SparkSession, path: String,
       fromSeq: Long, toSeq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -2572,6 +2709,21 @@ object Iceberg {
       .map(sn => snapshot(spark, path, Some(sn.get("snapshot-id").asLong)))
     var prevPos: Option[Set[(String, Long)]] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // chunk spill state (see the ChangeLogChunk contract above):
+    // sealed leaves are already-materialized chunks — ONE scan node
+    // each, never re-spilled
+    val sealedLeaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var commitsInChunk = 0
+    def sealChunk(): Unit = if (frames.nonEmpty) {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_changelog/${java.util.UUID.randomUUID()}").getPath
+      frames.reduce(_.unionByName(_))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      sealedLeaves += spark.read.schema(outSchema).parquet(dir)
+      frames.clear()
+      commitsInChunk = 0
+    }
     window.foreach { sn =>
       val id = sn.get("snapshot-id").asLong
       val sq = seqOf(sn)
@@ -2626,8 +2778,11 @@ object Iceberg {
       }
       prev = Some(cur)
       prevPos = Some(curPos)
+      commitsInChunk += 1
+      if (commitsInChunk >= ChangeLogChunk) sealChunk()
     }
-    if (frames.isEmpty) empty else frames.reduce(_.unionByName(_))
+    val leaves = sealedLeaves.toSeq ++ frames.toSeq
+    if (leaves.isEmpty) empty else leaves.reduce(_.unionByName(_))
   }
 
   def rollback(spark: SparkSession, path: String, snapshotId: Long): Long = {
@@ -2845,11 +3000,21 @@ object Iceberg {
     * data files touched — files without the id serve it as NULL under
     * field-id resolution. Required additions are refused (every
     * existing row would violate them). */
-  def addColumn(spark: SparkSession, path: String, name: String, dataType: DataType): Long = {
+  def addColumn(spark: SparkSession, path: String, name: String, dataType: DataType,
+      // v3 DEFAULT VALUES: rows in files written BEFORE this column
+      // existed read this value instead of null (the spec's
+      // initial-default, served through the scan's EXISTS_DEFAULT
+      // contract — see schemaFromMeta). The string is the value
+      // itself; it is typed into the metadata JSON per the spec's
+      // single-value serialization.
+      initialDefault: Option[String] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-schema-id"),
       s"Iceberg.addColumn: $path is a format-version 1 table — read-only here")
+    require(initialDefault.isEmpty || meta.get("format-version").asInt == 3,
+      s"Iceberg.addColumn: initial-default requires format-version 3 " +
+        s"(table is v${meta.get("format-version").asInt})")
     val curId = meta.get("current-schema-id").asInt
     val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
     val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
@@ -2865,6 +3030,16 @@ object Iceberg {
       .addObject()
     nf.put("id", newFieldId); nf.put("name", name)
     nf.put("required", false); nf.put("type", renderedType)
+    initialDefault.foreach { v =>
+      dataType match {
+        case IntegerType => nf.put("initial-default", v.toInt): Unit
+        case LongType => nf.put("initial-default", v.toLong): Unit
+        case DoubleType => nf.put("initial-default", v.toDouble): Unit
+        case FloatType => nf.put("initial-default", v.toFloat): Unit
+        case BooleanType => nf.put("initial-default", v.toBoolean): Unit
+        case _ => nf.put("initial-default", v): Unit
+      }
+    }
     m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
     m.put("current-schema-id", maxSchemaId + 1)
     m.put("last-column-id", newFieldId)

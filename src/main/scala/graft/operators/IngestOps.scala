@@ -2030,10 +2030,14 @@ object IngestOps extends QueryModule {
     * (the protocol's format, z85/roaring vectors locked in DeltaDvSpec)
     * and re-adds each touched file with a `deletionVector` descriptor:
     * ZERO data files rewritten, table upgraded to the table-features
-    * protocol (3/7). Reads apply the vectors as a broadcast row-index
-    * filter — no join. The Delta twin of s39's Iceberg position
-    * deletes and s20's native vectors. Oracle: the surviving rows
-    * straight off `orders`. */
+    * protocol (3/7). The bitmaps are built and written ON EXECUTORS
+    * (r10): the commit collects one descriptor per touched file, never
+    * positions — require'd in-entry, so a 100-TB GDPR delete stays
+    * O(files) on the driver. Reads apply the vectors as a broadcast
+    * row-index filter — no join, blobs decoded task-side off their
+    * descriptors. The Delta twin of s39's Iceberg position deletes
+    * and s20's native vectors. Oracle: the surviving rows straight
+    * off `orders`. */
   val s41DeltaMorDelete = QueryDef(
     "s41_delta_mor_delete",
     (s, d) => {
@@ -2050,6 +2054,13 @@ object IngestOps extends QueryModule {
         "s41: a deletion-vector delete must rewrite ZERO data files")
       require(after.hasDeletionVectors && after.files.flatMap(_.dv).map(_.cardinality).sum > 0,
         "s41: deletion vectors must be recorded")
+      // the 100-TB bound (r10): bitmaps are built and written ON
+      // EXECUTORS — the commit's one driver collect returns exactly
+      // one descriptor row per touched file, never the matched
+      // positions (which at sf0.1 are ~1000x the file count)
+      require(graft.interop.DvIntrospect.lastCommitDriverRows ==
+        after.files.count(_.dv.nonEmpty),
+        "s41: the DV commit must collect O(touched files) descriptors, not positions")
       val read = D.read(s, path)
       require(!read.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
         "s41: deletion vectors must apply as a row-index filter, not a join")
@@ -2636,10 +2647,17 @@ object IngestOps extends QueryModule {
     * + CRC, one blob per covered data file). The second delete hits
     * files the first already covered, so the one-DV-per-file invariant
     * (merge + supersede) is exercised, not just asserted. ZERO data
-    * files rewritten; reads apply the bitmaps as a broadcast row-index
-    * filter (no join — require'd on the plan). At 100 TB this is the
-    * delete shape that keeps a trillion-row table's delete commits
-    * O(debt) instead of O(table). Oracle: the surviving rows straight
+    * files rewritten; the bitmaps are built and written into puffin
+    * files ON EXECUTORS (r10 — the commit collects one manifest
+    * locator per touched file, require'd in-entry); reads apply them
+    * as a broadcast row-index filter (no join — require'd on the
+    * plan) with blobs decoded task-side off their locators. At 100 TB
+    * this is the delete shape that keeps a trillion-row table's
+    * delete commits O(debt) instead of O(table) — and off the driver.
+    * Finally a column lands with the spec's `initial-default` (r10):
+    * every pre-addition row serves the default — not null — through
+    * the scan's per-file EXISTS_DEFAULT contract, graded by the
+    * oracle's constant column. Oracle: the surviving rows straight
     * off `orders`. */
   val s52IcebergV3 = QueryDef(
     "s52_iceberg_v3",
@@ -2666,6 +2684,13 @@ object IngestOps extends QueryModule {
         col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
       I.deleteMergeOnRead(s, path,
         col("o_orderstatus") === "F" && col("o_custkey") % 3 === 1)
+      // the 100-TB bound (r10): DV bitmaps are built and written into
+      // puffin files ON EXECUTORS — this commit's one driver collect
+      // returned exactly one manifest locator per touched file, never
+      // the matched positions
+      require(graft.interop.DvIntrospect.lastCommitDriverRows > 0 &&
+        graft.interop.DvIntrospect.lastCommitDriverRows <= before.files.size,
+        "s52: the DV commit must collect O(touched files) locators, not positions")
       val after = I.snapshot(s, path)
       require(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
         "s52: merge-on-read deletes must rewrite ZERO data files")
@@ -2685,18 +2710,27 @@ object IngestOps extends QueryModule {
         delTable.filter(col("kind") === "deletion-vector").count() ==
           after.dvDeletes.size,
         "s52: delete_files must census exactly the outstanding DVs")
+      // v3 DEFAULT VALUES (r10): a column added with initial-default
+      // serves the default — not null — for every row in files written
+      // before it existed (the spec's rule, implemented through the
+      // scan's per-file EXISTS_DEFAULT contract). Every surviving row
+      // predates the addition, so the oracle grades the constant.
+      I.addColumn(s, path, "o_flag", org.apache.spark.sql.types.StringType,
+        initialDefault = Some("X"))
       val read = I.read(s, path)
       require(!read.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
         "s52: deletion vectors must apply as a row-index filter, not a join")
       val out = read.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"),
+          max(col("o_flag")).as("flag"))
         .orderBy("o_orderstatus")
       require(out.count() > 0, "s52: empty result")
       out
     },
     Some("""
       SELECT o_orderstatus, count(*) AS n_orders,
-        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total,
+        'X' AS flag
       FROM orders
       WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 IN (0, 1))
       GROUP BY o_orderstatus
@@ -2870,6 +2904,74 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S57: dual-format SYNC on ROW-IDENTITY tables (r9 verdict #2 —
+    * the two refusals SURVEY §8 carried): a v3 Iceberg mirror layer
+    * and a row-tracked Delta mirror layer now accept sync commits.
+    * Mirrored files have no ids to preserve (the source of truth
+    * assigned none), so they take FRESH ranges exactly like a native
+    * append's rows — Iceberg: an inherited `first_row_id` range on the
+    * sync manifest advancing `next-row-id`; Delta: `baseRowId` ranges
+    * off the ratcheted watermark domain. Require'd in-entry: each
+    * sync lands (non-empty), every mirrored row serves a UNIQUE
+    * non-null row id on the mirror's identity surface, and the id
+    * count equals the row count — all distributed checks, no
+    * collects. Oracle: both mirrors read back as exactly `orders`. */
+  val s57SyncRowIdentity = QueryDef(
+    "s57_sync_row_identity",
+    (s, d) => {
+      val dPath = tmp("s57_d2i_v3", d); val iPath = tmp("s57_i2d_rt", d)
+      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
+      val C = graft.interop.Convert
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val oddCount = orders.filter(col("o_orderkey") % 2 === 1).count()
+      // ---- Delta of record, format-version 3 Iceberg mirror
+      D.write(orders.filter(col("o_orderkey") % 2 === 0), dPath)
+      C.deltaToIceberg(s, dPath)
+      I.upgradeToV3(s, dPath)
+      D.write(orders.filter(col("o_orderkey") % 2 === 1), dPath,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      require(C.syncIceberg(s, dPath).nonEmpty, "s57: the v3 mirror must sync")
+      val lin = I.readWithRowLineage(s, dPath).filter(col("_row_id").isNotNull)
+      require(lin.count() == oddCount,
+        "s57: every mirrored row must take a fresh inherited row id")
+      require(lin.select("_row_id").distinct().count() == oddCount,
+        "s57: mirrored row ids must be unique")
+      // ---- Iceberg of record, row-tracked Delta mirror
+      I.write(orders.filter(col("o_orderkey") % 2 === 0), iPath)
+      C.icebergToDelta(s, iPath)
+      D.enableRowTracking(s, iPath)
+      I.write(orders.filter(col("o_orderkey") % 2 === 1), iPath,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      require(C.syncDelta(s, iPath).nonEmpty, "s57: the row-tracked mirror must sync")
+      val trk = D.readWithRowTracking(s, iPath)
+      require(trk.filter(col("_row_id").isNull).count() == 0L,
+        "s57: every row (mirrored included) must serve a row id")
+      require(trk.select("_row_id").distinct().count() == orders.count(),
+        "s57: row ids must be unique across backfilled and mirrored files")
+      val out = I.read(s, dPath).withColumn("src", lit("d2i_v3"))
+        .unionByName(D.read(s, iPath).withColumn("src", lit("i2d_rt")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("src", "o_orderstatus")
+      require(out.count() > 0, "s57: empty result")
+      out
+    },
+    Some("""
+      SELECT src, o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (
+        SELECT 'd2i_v3' AS src, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'i2d_rt' AS src, o_orderstatus, o_totalprice FROM orders
+      )
+      GROUP BY src, o_orderstatus
+      ORDER BY src, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2881,5 +2983,5 @@ object IngestOps extends QueryModule {
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
-    s54DeltaIct, s55IcebergChangelog)
+    s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity)
 }

@@ -185,5 +185,67 @@ object SqlOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, s50CatalogSql)
+  /** S56: the SQL changes-window over CATALOG NAMES (r9 verdict #6) —
+    * `table_changes('ns.tbl', from [, to [, key]])`, Delta's TVF shape
+    * registered through the public `injectTableFunction` seam
+    * ([[org.apache.spark.sql.graft.GraftTableChanges]]). A SQL-only
+    * user gets CDC with no path strings: the name resolves through the
+    * `graft` catalog (format auto-detected), the window serves through
+    * the format's existing CDF/changelog relation — Delta versions
+    * here; Iceberg sequence numbers and graft versions are spec'd in
+    * GraftCatalogSpec. The graded window is inserts (a pure append's
+    * derived images) + deletes (a deletion-vector DELETE's images),
+    * both reconstructed by the oracle from `orders`. */
+  val s56TableChanges = QueryDef(
+    "s56_sql_table_changes",
+    (s, d) => {
+      import org.apache.spark.sql.functions.col
+      val D = graft.interop.DeltaLake
+      val ns = "cdc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+      s.sql(s"CREATE NAMESPACE graft.$ns")
+      // path-written table under the warehouse -> instantly
+      // name-addressable (the catalog's format auto-detection)
+      val path = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.catalog.graft.warehouse"), ns, "chg").toString
+      graft.ingest.Writers.deleteTree(path)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      D.write(orders.filter(col("o_orderkey") % 2 === 0), path) // v0
+      D.enableChangeDataFeed(s, path) // v1: metadata only
+      D.write(orders.filter(col("o_orderkey") % 2 === 1), path,
+        mode = org.apache.spark.sql.SaveMode.Append) // v2: derived insert images
+      D.deleteMergeOnRead(s, path, col("o_orderstatus") === "F") // v3: DV delete images
+      val out = s.sql(s"""
+        SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        FROM table_changes('graft.$ns.chg', 2, 3)
+        GROUP BY _change_type, o_orderstatus
+        ORDER BY _change_type, o_orderstatus""")
+      require(out.count() > 0, "s56: empty feed")
+      // an omitted end bounds at the current version
+      require(s.sql(s"SELECT count(*) FROM table_changes('graft.$ns.chg', 2)")
+        .head().getLong(0) ==
+        s.sql(s"SELECT count(*) FROM table_changes('graft.$ns.chg', 2, 3)")
+          .head().getLong(0),
+        "s56: the end version must default to the current version")
+      out
+    },
+    Some("""
+      SELECT _change_type, o_orderstatus, count(*) AS n_rows,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+      FROM (
+        SELECT 'insert' AS _change_type, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT 'delete', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+      )
+      GROUP BY _change_type, o_orderstatus
+      ORDER BY _change_type, o_orderstatus
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, s50CatalogSql,
+    s56TableChanges)
 }

@@ -508,6 +508,71 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Literal(true, BooleanType) => true
     case _ => false
   }
+
+}
+
+/** `SELECT ... FROM table_changes('ns.tbl', start [, end [, key]])` —
+  * the SQL changes-window over catalog NAMES (Delta's TVF shape,
+  * registered by [[GraftSparkExtensions]] through the public
+  * `injectTableFunction` seam), so a SQL-only user gets CDC without
+  * path strings. The window is INCLUSIVE start..end in the format's
+  * own commit numbering (Delta/graft: versions; Iceberg: sequence
+  * numbers — translated to the changelog's exclusive-from). `key` is
+  * required for graft-format tables only (their rewrite-commit feed
+  * is a keyed snapshot diff). */
+object GraftTableChanges {
+
+  /** Resolve the `table_changes` TVF: look the name up in the `graft`
+    * catalog (format auto-detected there), then serve the window
+    * through the format's existing batch CDF/changelog relation. */
+  def apply(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"table_changes: $msg")
+    def litOf(e: Expression): Any = e match {
+      case Literal(v, _) => v
+      case _ => bad("arguments must be literals")
+    }
+    if (args.size < 2 || args.size > 4)
+      bad("expected table_changes('namespace.table', startVersion [, endVersion [, keyColumn]])")
+    val ident = String.valueOf(litOf(args(0)))
+    def asLong(a: Any): Long = a match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    val start = asLong(litOf(args(1)))
+    val end: Option[Long] = if (args.size >= 3) Some(asLong(litOf(args(2)))) else None
+    val key: Option[String] = if (args.size == 4) Some(String.valueOf(litOf(args(3)))) else None
+    val parts0 = ident.split('.').toSeq.filter(_.nonEmpty)
+    val parts = if (parts0.headOption.contains("graft")) parts0.tail else parts0
+    if (parts.size != 2) bad(s"'$ident' must name [graft.]namespace.table")
+    val cat =
+      try spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+      catch { case _: Exception => bad("the 'graft' catalog is not registered " +
+        "(set spark.sql.catalog.graft + .warehouse)") }
+    val t = cat.loadTable(Identifier.of(Array(parts.head), parts(1)))
+      .asInstanceOf[GraftTable]
+    val classic = spark.asInstanceOf[ClassicSession]
+    val df = t.format match {
+      case "delta" =>
+        val opts = Map("readChangeFeed" -> "true", "startingVersion" -> start.toString) ++
+          end.map("endingVersion" -> _.toString)
+        classic.read.format("delta").options(opts).load(t.path)
+      case "iceberg" =>
+        val opts = Map("changelog" -> "true", "fromSeq" -> (start - 1).toString) ++
+          end.map("toSeq" -> _.toString)
+        classic.read.format("iceberg").options(opts).load(t.path)
+      case _ =>
+        val k = key.getOrElse(bad(
+          s"'$ident' is a graft-format table — pass the key column as the 4th " +
+            "argument: table_changes(name, start, end, keyColumn)"))
+        val opts = Map("readChangeFeed" -> "true", "keyColumn" -> k,
+          "startingVersion" -> start.toString) ++
+          end.map("endingVersion" -> _.toString)
+        classic.read.format("graft-versioned").options(opts).load(t.path)
+    }
+    df.queryExecution.analyzed
+  }
 }
 
 /** INSERT INTO / INSERT OVERWRITE a catalog table, through the

@@ -39,6 +39,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // through the same matches as path tables
     ext.injectResolutionRule(session => new GraftCatalogRule(session))
     ext.injectResolutionRule(session => new GraftMergeIntoRule(session))
+    // the SQL changes-window TVF over catalog names (Delta's
+    // `table_changes` shape) — registered through the public
+    // injectTableFunction seam; resolution happens in GraftTableChanges
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftTableChanges.getClass.getName, "table_changes"),
+      (args: Seq[Expression]) => GraftTableChanges(args)))
   }
 }
 

@@ -205,4 +205,60 @@ class ConvertSpec extends AnyFunSuite with SparkFixture {
       Iceberg.read(spark, path).collect().map(_.toSeq).toSet)
     assert(Convert.syncDelta(spark, path).isEmpty)
   }
+
+  test("sync onto a v3 Iceberg mirror: mirrored rows take fresh inherited row ids") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("conv_sync_v3")
+    DeltaLake.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    Convert.deltaToIceberg(spark, path)
+    // the mirror layer upgrades to v3 (row lineage on the Iceberg side)
+    Iceberg.upgradeToV3(spark, path)
+    // a Delta append syncs as ONE v3 snapshot whose rows get ids
+    DeltaLake.write(Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1), path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Convert.syncIceberg(spark, path).nonEmpty)
+    assert(Iceberg.read(spark, path).count() == 4L)
+    // the mirrored rows serve FRESH inherited row ids (0-based range
+    // starting at the upgrade-time next-row-id = 0, advanced by 2)
+    val lineage = Iceberg.readWithRowLineage(spark, path)
+      .select(col("k"), col("_row_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(lineage(3L).nonEmpty && lineage(4L).nonEmpty,
+      "mirrored rows must carry inherited row ids")
+    assert(Set(lineage(3L).get, lineage(4L).get).size == 2)
+    // pre-upgrade files keep null lineage (the spec's upgraded shape)
+    assert(lineage(1L).isEmpty && lineage(2L).isEmpty)
+    // a Delta COW delete syncs as a v3 overwrite; row set tracks
+    DeltaLake.deleteWhere(spark, path, col("k") === 3L)
+    assert(Convert.syncIceberg(spark, path).nonEmpty)
+    assert(Iceberg.read(spark, path).as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    assert(Convert.syncIceberg(spark, path).isEmpty, "in-sync must no-op")
+  }
+
+  test("sync onto a row-tracked Delta mirror: mirrored adds take fresh baseRowId ranges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("conv_sync_rt")
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    Convert.icebergToDelta(spark, path)
+    DeltaLake.enableRowTracking(spark, path)
+    val hwm0 = DeltaLake.snapshot(spark, path).rowIdHighWaterMark
+    assert(hwm0 == 1L, "backfill assigns one id per existing row")
+    // an Iceberg append syncs as ONE Delta commit with assigned ids
+    Iceberg.write(Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1), path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Convert.syncDelta(spark, path).nonEmpty)
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.rowIdHighWaterMark == 3L,
+      "the sync commit must ratchet the watermark by the mirrored rows")
+    assert(snap.files.forall(_.baseRowId.nonEmpty),
+      "every live file (mirrored included) must carry a baseRowId range")
+    val tracked = DeltaLake.readWithRowTracking(spark, path)
+      .select(col("k"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(tracked.size == 4 && tracked.values.toSet.size == 4,
+      "every row serves a unique row id after the sync")
+    assert(Convert.syncDelta(spark, path).isEmpty, "in-sync must no-op")
+  }
 }

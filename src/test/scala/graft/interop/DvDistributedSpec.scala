@@ -1,0 +1,158 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deletion-vector SCALE contract (round-10 verdict item): MoR
+  * delete commits build per-file bitmaps ON EXECUTORS and collect only
+  * O(touched files) descriptor rows to the driver — never the matched
+  * positions — and reads ship descriptor-only filters whose blobs are
+  * decoded task-side. Asserted through the [[DvIntrospect]] seam, which
+  * records the size of the ONE driver collect each commit performs and
+  * the descriptor count of each read filter built. */
+class DvDistributedSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  test("Delta: a many-row DV delete collects O(touched files), not O(rows)") {
+    val path = freshDir("dvd_delta_scale")
+    DeltaLake.write(
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")),
+      path)
+    assert(DeltaLake.snapshot(spark, path).files.size == 4)
+    // ~2000 matched rows spread over exactly 2 of the 4 files
+    DvIntrospect.lastCommitDriverRows = -1
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") < 2000L)
+    val s = DeltaLake.snapshot(spark, path)
+    val dvFiles = s.files.filter(_.dv.nonEmpty)
+    // range boundaries are sampled, so the match may touch 2 or 3 of
+    // the 4 files — the contract is driver rows == touched files,
+    // orders of magnitude below the 2000 matched positions
+    assert(dvFiles.size >= 2 && dvFiles.size < 4)
+    assert(DvIntrospect.lastCommitDriverRows == dvFiles.size,
+      s"the commit's driver collect must return one descriptor per touched file " +
+        s"(${dvFiles.size}), not the 2000 matched positions — got " +
+        s"${DvIntrospect.lastCommitDriverRows}")
+    assert(dvFiles.map(_.dv.get.cardinality).sum == 2000L)
+    assert(DeltaLake.read(spark, path).count() == 2000L)
+    // a many-hundred-position vector cannot inline: it must be a
+    // task-written framed .bin blob ("p"), never positions shipped
+    // through the driver (a boundary file with a handful may inline)
+    val bigDvs = dvFiles.map(_.dv.get).filter(_.cardinality > 100)
+    assert(bigDvs.nonEmpty && bigDvs.forall(_.storageType == "p"))
+    bigDvs.foreach { d =>
+      assert(new java.io.File(d.pathOrInlineDv).isFile,
+        s"task-side DV blob ${d.pathOrInlineDv} missing")
+    }
+  }
+
+  test("Delta: a point delete still inlines; a superseding merge stays file-bounded") {
+    val path = freshDir("dvd_delta_merge")
+    DeltaLake.write(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      path)
+    // point delete -> storageType "i" (inline z85 in the log line)
+    DvIntrospect.lastCommitDriverRows = -1
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") === 3L)
+    val s1 = DeltaLake.snapshot(spark, path)
+    val dv1 = s1.files.flatMap(_.dv)
+    assert(dv1.size == 1 && dv1.head.storageType == "i" && dv1.head.cardinality == 1L)
+    assert(DvIntrospect.lastCommitDriverRows == 1)
+    // a second, larger delete on the SAME file merges the prior vector
+    // task-side (superseding DV) — the driver still sees one descriptor
+    DvIntrospect.lastCommitDriverRows = -1
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") < 400L)
+    assert(DvIntrospect.lastCommitDriverRows == 1)
+    val s2 = DeltaLake.snapshot(spark, path)
+    val dv2 = s2.files.flatMap(_.dv)
+    assert(dv2.size == 1, "one superseding vector per file")
+    assert(dv2.head.cardinality == 400L, "merged vector = union of old and new positions")
+    assert(DeltaLake.read(spark, path).count() == 600L)
+    assert(DeltaLake.read(spark, path).filter(col("k") === 3L).count() == 0L)
+  }
+
+  test("Delta: the read filter ships descriptors, not positions") {
+    val path = freshDir("dvd_delta_read")
+    DeltaLake.write(
+      spark.range(0, 3000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(3, col("k")),
+      path)
+    DeltaLake.deleteMergeOnRead(spark, path, col("k") % 3L === 0L)
+    DvIntrospect.lastReadDescriptors = -1
+    val df = DeltaLake.read(spark, path)
+    // building the frame resolved the snapshot's DV filter: one
+    // descriptor per DV-carrying file, positions untouched driver-side
+    assert(DvIntrospect.lastReadDescriptors == 3,
+      s"expected 3 per-file descriptors, got ${DvIntrospect.lastReadDescriptors}")
+    assert(df.count() == 2000L)
+    assert(df.filter(col("k") % 3L === 0L).count() == 0L)
+  }
+
+  test("Iceberg v3: a many-row DV delete collects O(touched files), not O(rows)") {
+    val path = freshDir("dvd_ice_scale")
+    Iceberg.write(
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 5).as("v"))
+        .repartitionByRange(4, col("k")),
+      path)
+    Iceberg.upgradeToV3(spark, path)
+    DvIntrospect.lastCommitDriverRows = -1
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 2000L)
+    val s = Iceberg.snapshot(spark, path)
+    // range boundaries are sampled, so the match may touch 2 or 3 of
+    // the 4 files — the contract is driver rows == touched files,
+    // orders of magnitude below the 2000 matched positions
+    assert(s.dvDeletes.size >= 2 && s.dvDeletes.size < 4)
+    assert(DvIntrospect.lastCommitDriverRows == s.dvDeletes.size,
+      s"the commit's driver collect must return one locator per touched file " +
+        s"(${s.dvDeletes.size}) — got ${DvIntrospect.lastCommitDriverRows}")
+    assert(s.dvDeletes.map(_.cardinality).sum == 2000L)
+    assert(Iceberg.read(spark, path).count() == 2000L)
+    // the puffin files were written by the build tasks
+    s.dvDeletes.foreach(d =>
+      assert(new java.io.File(new org.apache.hadoop.fs.Path(d.path).toUri.getPath).isFile))
+  }
+
+  test("Iceberg v3: superseding DV merge is task-side; one DV per file holds") {
+    val path = freshDir("dvd_ice_merge")
+    Iceberg.write(
+      spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(2, col("k")),
+      path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 5L)
+    DvIntrospect.lastCommitDriverRows = -1
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 300L)
+    assert(DvIntrospect.lastCommitDriverRows == 1)
+    val s = Iceberg.snapshot(spark, path)
+    assert(s.dvDeletes.size == 1, "one merged DV per data file (v3 invariant)")
+    assert(s.dvDeletes.head.cardinality == 300L)
+    assert(Iceberg.read(spark, path).count() == 700L)
+  }
+
+  test("Iceberg v2: position-delete reads ship descriptors; blobs decode task-side") {
+    val path = freshDir("dvd_ice_v2read")
+    Iceberg.write(
+      spark.range(0, 3000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(3, col("k")),
+      path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") % 2L === 1L)
+    DvIntrospect.lastReadDescriptors = -1
+    val df = Iceberg.read(spark, path)
+    // one position-delete parquet, admissible for all 3 data files ->
+    // 3 descriptors; the parquet's positions never materialize on the
+    // driver (each scan task Group-reads its own file's rows)
+    assert(DvIntrospect.lastReadDescriptors == 3,
+      s"expected 3 descriptors, got ${DvIntrospect.lastReadDescriptors}")
+    assert(df.count() == 1500L)
+    assert(df.filter(col("k") % 2L === 1L).count() == 0L)
+  }
+}

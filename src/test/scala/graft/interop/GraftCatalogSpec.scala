@@ -160,4 +160,47 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(kept < total,
       s"partition filter through the catalog name must prune at planning ($kept/$total)")
   }
+
+  test("table_changes TVF: graft format serves the keyed feed over a version window") {
+    wipe("dbc1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbc1")
+    spark.sql("CREATE TABLE graft.dbc1.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.dbc1.t VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("INSERT INTO graft.dbc1.t VALUES (3, 'c')")           // v3
+    spark.sql("DELETE FROM graft.dbc1.t WHERE k = 1")               // v4
+    // graft feeds are keyed diffs: the key column is the 4th argument
+    // (this format's feed columns are change_type/commit_version)
+    val feed = rows("""SELECT change_type, k FROM
+      table_changes('graft.dbc1.t', 3, 4, 'k') ORDER BY change_type, k""")
+    assert(feed == Seq(Seq("delete", 1L), Seq("insert", 3L)))
+    // without the key, a graft table refuses with guidance
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('graft.dbc1.t', 3)").collect())
+    assert(e.getMessage.contains("key"))
+  }
+
+  test("table_changes TVF: iceberg serves the changelog with inclusive versions") {
+    wipe("dbc2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbc2")
+    spark.sql("CREATE TABLE graft.dbc2.t (k BIGINT, v STRING) USING iceberg")
+    // the empty CREATE takes sequence 1; the inserts land at 2/3/4
+    spark.sql("INSERT INTO graft.dbc2.t VALUES (1, 'a')") // seq 2
+    spark.sql("INSERT INTO graft.dbc2.t VALUES (2, 'b')") // seq 3
+    spark.sql("INSERT INTO graft.dbc2.t VALUES (3, 'c')") // seq 4
+    // the TVF window is INCLUSIVE start..end in sequence numbers
+    assert(rows("""SELECT _change_type, k FROM
+        table_changes('graft.dbc2.t', 3, 4) ORDER BY k""") ==
+      Seq(Seq("insert", 2L), Seq("insert", 3L)))
+    assert(rows("SELECT count(*) AS n FROM table_changes('graft.dbc2.t', 1)") ==
+      Seq(Seq(3L)))
+  }
+
+  test("table_changes TVF: argument validation refuses loudly") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('no_dot_name', 1)").collect())
+    assert(e1.getMessage.contains("namespace.table"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('a.b')").collect())
+    assert(e2.getMessage.contains("table_changes"))
+  }
 }

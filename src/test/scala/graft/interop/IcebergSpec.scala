@@ -1493,7 +1493,71 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE ice_v3_sql_t")
   }
 
-  test("v3 read gates: initial-default refuses; v4 refuses") {
+  test("v3 initial-default: pre-addition files serve the default, later files their values") {
+    import spark.implicits._
+    val path = freshDir("ice_v3_default")
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    // v2 tables must not carry defaults (spec: v3 feature)
+    val eV2 = intercept[IllegalArgumentException](
+      Iceberg.addColumn(spark, path, "tag", org.apache.spark.sql.types.StringType,
+        initialDefault = Some("legacy")))
+    assert(eV2.getMessage.contains("format-version 3"))
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.addColumn(spark, path, "tag", org.apache.spark.sql.types.StringType,
+      initialDefault = Some("legacy"))
+    // the pre-addition file's rows serve the default, NOT null
+    val r1 = Iceberg.read(spark, path).as[(Long, String, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(r1 == Seq((1L, "a", Some("legacy")), (2L, "b", Some("legacy"))))
+    // a file written WITH the column serves its stored values —
+    // including a genuine null, which the default must NOT overwrite
+    Iceberg.write(Seq((3L, "c", "fresh"), (4L, "d", null)).toDF("k", "v", "tag"),
+      path, mode = org.apache.spark.sql.SaveMode.Append)
+    val got = Iceberg.read(spark, path).as[(Long, String, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", Some("legacy")), (2L, "b", Some("legacy")),
+      (3L, "c", Some("fresh")), (4L, "d", None)))
+    // predicates on the defaulted column see the default too
+    assert(Iceberg.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("tag") === "legacy").count() == 2L)
+    // a numeric default types into the JSON per the single-value rule
+    Iceberg.addColumn(spark, path, "score", org.apache.spark.sql.types.LongType,
+      initialDefault = Some("42"))
+    assert(Iceberg.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("score") === 42L).count() == 4L)
+  }
+
+  test("a superseded DV puffin file reclaims exactly when unreferenced") {
+    val path = freshDir("ice_v3_puffin_gc")
+    Iceberg.write(spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 10L)
+    val p1 = Iceberg.snapshot(spark, path).dvDeletes.head.path
+    // the second delete MERGES the file's vector: a new puffin blob
+    // supersedes p1, whose entry leaves the carried manifests
+    Iceberg.deleteMergeOnRead(spark, path, col("k") >= 10L && col("k") < 20L)
+    val s2 = Iceberg.snapshot(spark, path)
+    assert(s2.dvDeletes.size == 1 && s2.dvDeletes.head.path != p1)
+    val p2 = s2.dvDeletes.head.path
+    def exists(p: String) =
+      new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath).isFile
+    assert(exists(p1) && exists(p2))
+    // orphan cleanup must NOT reclaim p1: the first delete's snapshot
+    // is retained history and still references it
+    Iceberg.removeOrphanFiles(spark, path, System.currentTimeMillis() + 10000)
+    assert(exists(p1), "a history-referenced puffin file must survive orphan cleanup")
+    assert(exists(p2))
+    assert(Iceberg.read(spark, path).count() == 80L)
+    // expiring that history makes p1 unreferenced -> reclaimed; the
+    // live superseding blob survives and reads stay correct
+    assert(Iceberg.expireSnapshots(spark, path, 1) >= 1)
+    assert(!exists(p1), "a superseded, unreferenced puffin file must be reclaimed")
+    assert(exists(p2))
+    assert(Iceberg.read(spark, path).count() == 80L)
+  }
+
+  test("v3 read gates: unknown future format version refuses at the door") {
     import spark.implicits._
     val path = freshDir("ice_v3_gate")
     Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path)
@@ -1504,12 +1568,6 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     val name = Paths.get(mf).getFileName.toString
     Files.deleteIfExists(dir.resolve("." + name + ".crc"))
     val text = new String(Files.readAllBytes(Paths.get(mf)), "UTF-8")
-    // a field carrying a v3 default value must refuse, not misread null
-    Files.write(Paths.get(mf), text.replace("\"name\" : \"v\",",
-      "\"name\" : \"v\", \"initial-default\" : \"filled\",").getBytes("UTF-8"))
-    val e1 = intercept[IllegalArgumentException](Iceberg.read(spark, path))
-    assert(e1.getMessage.contains("initial-default"))
-    // an unknown future format version refuses at the door
     Files.write(Paths.get(mf), text.replace("\"format-version\" : 3",
       "\"format-version\" : 4").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](Iceberg.read(spark, path))
