@@ -359,4 +359,24 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
       assert(Versioned.currentVersion(path) == before)
     } finally s.sql("DROP TABLE IF EXISTS graft_dml_tbl")
   }
+
+  test("DSv1 CTAS lands as ONE manifest-protocol commit and serves the rows") {
+    // the CreatableRelationProvider seam (CREATE TABLE ... USING
+    // `graft-versioned` OPTIONS(path ...) AS SELECT) — carried the s33
+    // entry's CTAS leg until r10's bench trim moved the claim here
+    val s = spark
+    import s.implicits._
+    val path = tmp("ctas")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("bs_ctas_src")
+    s.sql("DROP TABLE IF EXISTS graft_bs_ctas")
+    try {
+      s.sql(s"CREATE TABLE graft_bs_ctas USING `graft-versioned` OPTIONS (path '$path') " +
+        "AS SELECT k, v FROM bs_ctas_src WHERE k < 3")
+      assert(Versioned.currentVersion(path).contains(1L),
+        "CTAS must land as ONE manifest-protocol commit")
+      assert(s.sql("SELECT count(*) FROM graft_bs_ctas").head().getLong(0) == 2L)
+      assert(s.sql("SELECT v FROM graft_bs_ctas WHERE k = 2").head().getString(0) == "b")
+    } finally s.sql("DROP TABLE IF EXISTS graft_bs_ctas")
+  }
 }
