@@ -1799,28 +1799,9 @@ object Versioned {
     * predicate never selects NULL, so skipping stays sound. */
   def commitZOrdered(
       df: DataFrame, path: String, zCols: Seq[String], nFiles: Int): Long = {
-    import org.apache.spark.sql.functions.{col, lit, when}
-    require(zCols.size >= 2 && zCols.size <= 4,
-      s"commitZOrdered: 2-4 z-order columns (one column wants commitClustered), got ${zCols.size}")
+    import org.apache.spark.sql.functions.col
     require(nFiles >= 1, s"commitZOrdered: nFiles must be >= 1, got $nFiles")
-    val numeric = df.schema.filter(f =>
-      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name).toSet
-    require(zCols.forall(numeric.contains),
-      s"commitZOrdered: z-order columns must be numeric, got ${zCols.filterNot(numeric).mkString(", ")}")
-    val nb = 16 // quantile buckets per dimension: 4 bits x up to 4 dims = <=16-bit z
-    val bits = 4
-    val k = zCols.size
-    val zExpr = zCols.zipWithIndex.map { case (c, j) =>
-      val bounds = df.stat.approxQuantile(c, (1 until nb).map(_.toDouble / nb).toArray, 0.001)
-      val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(nb - 1)) {
-        case (acc, (b, i)) => when(col(c).cast("double") <= b, lit(i)).otherwise(acc)
-      }
-      (0 until bits).map(bit =>
-        org.apache.spark.sql.functions.shiftleft(
-          org.apache.spark.sql.functions.shiftright(bucket, bit).bitwiseAND(lit(1)),
-          bit * k + j))
-        .reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
+    val zExpr = graft.functions.ZOrder.zvalue(df, zCols)
     val (fs, root) = Writers.fsFor(path)
     val prev = currentVersion(path)
     val v = claimNext(fs, root, path)

@@ -65,7 +65,7 @@ object DeltaLake {
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
-    "generatedColumns", "v2Checkpoint")
+    "generatedColumns", "v2Checkpoint", "clusteringTable")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -91,7 +91,11 @@ object DeltaLake {
       // and the commit version stamped as their default
       // _row_commit_version
       baseRowId: Option[Long] = None,
-      defaultRowCommitVersion: Option[Long] = None)
+      defaultRowCommitVersion: Option[Long] = None,
+      // CLUSTERED TABLE (protocol `clusteringTable` writer feature):
+      // the clustering implementation that produced this file's
+      // layout, stamped by OPTIMIZE on a clustered table
+      clusteringProvider: Option[String] = None)
 
   /** A reconstructed snapshot: the schema and partition columns of the
     * latest `metaData` at-or-below `version`, and the active file set.
@@ -139,6 +143,133 @@ object DeltaLake {
 
   /** Row tracking's reserved domain + table-property keys. */
   private val RowTrackingDomain = "delta.rowTracking"
+
+  // ------------------------------------------------ clustered tables
+
+  /** The clustered-table domain (protocol `clusteringTable` writer
+    * feature): its configuration records the clustering columns as a
+    * JSON array of PHYSICAL-name paths. */
+  private val ClusteringDomain = "delta.clustering"
+
+  /** Turn the table into a CLUSTERED TABLE on `cols` (the protocol's
+    * `clusteringTable` + `domainMetadata` writer features): upgrade
+    * the protocol and record the columns — as physical-name paths —
+    * in the `delta.clustering` domain. Metadata-only (no data bytes
+    * move); the layout lands on the next [[optimizeCluster]]. Refuses
+    * partitioned tables (the protocol makes clustering and Hive
+    * partitioning mutually exclusive) and, for multi-column
+    * clustering, non-numeric columns (this writer's OPTIMIZE lays
+    * files out along a numeric Z-CURVE — [[graft.functions.ZOrder]];
+    * a single clustering column may be any orderable type, laid out
+    * by range sort). */
+  def enableClustering(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "enableClustering", mutates = false)
+    require(cols.nonEmpty && cols.size <= 4,
+      s"DeltaLake.enableClustering: 1-4 clustering columns, got ${cols.size}")
+    val missing = cols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"DeltaLake.enableClustering: non-columns [${missing.mkString(", ")}]")
+    require(snap.partitionColumns.isEmpty,
+      s"DeltaLake.enableClustering: $path is Hive-partitioned on " +
+        s"[${snap.partitionColumns.mkString(", ")}] — a clustered table is unpartitioned")
+    if (cols.size >= 2) {
+      val nonNumeric = cols.filterNot(c => snap.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      require(nonNumeric.isEmpty,
+        s"DeltaLake.enableClustering: multi-column clustering lays out a numeric " +
+          s"z-curve — [${nonNumeric.mkString(", ")}] are not numeric (cluster on one " +
+          "orderable column, or cast)")
+    }
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val conf = Json.createObjectNode()
+    val arr = conf.putArray("clusteringColumns")
+    cols.foreach(c => arr.addArray().add(snap.physicalName(c)): Unit)
+    val lines = Seq(
+      protocolLine(withWriterFeatures(snap.protocol,
+        Seq("clusteringTable", "domainMetadata"))),
+      domainLine(ClusteringDomain, Json.writeValueAsString(conf)), {
+        val ci = Json.createObjectNode()
+        val info = ci.putObject("commitInfo")
+        info.put("timestamp", now); info.put("operation", "CLUSTER BY")
+        Json.writeValueAsString(ci)
+      })
+    commitLines(fs, root, v, lines, snap.configuration)
+    v
+  }
+
+  /** The table's clustering columns (LOGICAL names), from the
+    * `delta.clustering` domain — empty when the table is not
+    * clustered. */
+  def clusteringColumns(spark: SparkSession, path: String): Seq[String] = {
+    val snap = snapshot(spark, path)
+    clusteringColsOf(snap)
+  }
+
+  private def clusteringColsOf(snap: Snapshot): Seq[String] = {
+    val logicalOf = snap.columnMapping.map(_.swap)
+    snap.domains.get(ClusteringDomain).toSeq.flatMap { c =>
+      iterJson(Json.readTree(c).get("clusteringColumns")).map { pathNode =>
+        val segs = iterJson(pathNode).map(_.asText)
+        require(segs.size == 1,
+          s"DeltaLake: nested clustering column [${segs.mkString(".")}] is not supported")
+        logicalOf.getOrElse(segs.head, segs.head)
+      }
+    }
+  }
+
+  private def iterJson(n: JsonNode): Seq[JsonNode] =
+    if (n == null || n.isNull) Nil
+    else n.elements().asScala.toSeq
+
+  /** OPTIMIZE on a CLUSTERED TABLE: rewrite the live file set laid
+    * out along the clustering columns — a range sort for one column,
+    * the [[graft.functions.ZOrder]] quantile z-curve for 2-4 — into
+    * `nFiles` files (0 = size the count from the live bytes at
+    * `targetBytes`), each add stamped `clusteringProvider=liquid` and
+    * committed `dataChange=false` (maintenance: a streaming tail
+    * skips it, the row set is untouched). Per-file min/max stats land
+    * with the adds, so the pruning FileIndex skips on EVERY
+    * clustering column immediately. Row-tracked tables rewrite
+    * through the tracking frame — every surviving row keeps its id.
+    *
+    * One shuffle (the range exchange), one distributed stats pass —
+    * the same O(data) a plain OPTIMIZE pays, with the curve's
+    * multi-dimensional skipping bought in the same rewrite. */
+  def optimizeCluster(spark: SparkSession, path: String, nFiles: Int = 0,
+      targetBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, path)
+    val cols = clusteringColsOf(snap)
+    require(cols.nonEmpty,
+      s"DeltaLake.optimizeCluster: $path is not a clustered table (enableClustering first)")
+    if (snap.files.isEmpty) return snap.version
+    val rows: DataFrame =
+      if (snap.rowTrackingEnabled) trackedFrame(spark, path, snap, withMeta = false)
+      else {
+        val classic = spark.asInstanceOf[ClassicSession]
+        val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, snap))
+        fromPhysicalDf(
+          if (!snap.hasDeletionVectors) base
+          else dropCovered(withRowMeta(base), loadDvMap(spark, path, snap))
+            .drop(FileMetaCol, PosMetaCol), snap)
+      }
+    val n =
+      if (nFiles > 0) nFiles
+      else math.max(1L,
+        (snap.files.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+    val ordered =
+      if (cols.size == 1)
+        rows.repartitionByRange(n, col(cols.head)).sortWithinPartitions(cols.head)
+      else rows.withColumn("__graft_z", graft.functions.ZOrder.zvalue(rows, cols))
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+    commitRewrite(spark, path, snap, snap.files.map(_.path), ordered,
+      "OPTIMIZE", dataChange = false, clusteringProvider = Some("liquid"))
+  }
   private val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
   private val MatRcvKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
@@ -386,8 +517,10 @@ object DeltaLake {
     var domains: Map[String, String] = Map.empty
     def applyAdd(p: String, pv: Map[String, Option[String]], size: Long, mod: Long,
         stats: Option[String], dv: Option[DvDescriptor],
-        baseRowId: Option[Long] = None, defaultRcv: Option[Long] = None): Unit =
-      files(p) = AddFile(p, pv, size, mod, stats, dv, baseRowId, defaultRcv)
+        baseRowId: Option[Long] = None, defaultRcv: Option[Long] = None,
+        clusteringProvider: Option[String] = None): Unit =
+      files(p) = AddFile(p, pv, size, mod, stats, dv, baseRowId, defaultRcv,
+        clusteringProvider)
 
     // row-shaped action replay, shared by classic/multi-part/v2
     // checkpoint files and their sidecars; `sidecars` collects v2
@@ -432,9 +565,14 @@ object DeltaLake {
           if (a.schema.fieldNames.contains(field) && !a.isNullAt(a.fieldIndex(field)))
             Some(a.getAs[Long](field))
           else None
+        def optStr(field: String): Option[String] =
+          if (a.schema.fieldNames.contains(field) && !a.isNullAt(a.fieldIndex(field)))
+            Some(a.getAs[String](field))
+          else None
         applyAdd(decodePath(a.getAs[String]("path")), pv, a.getAs[Long]("size"),
           a.getAs[Long]("modificationTime"), Option(a.getAs[String]("stats")), dv,
-          optLong("baseRowId"), optLong("defaultRowCommitVersion"))
+          optLong("baseRowId"), optLong("defaultRowCommitVersion"),
+          optStr("clusteringProvider"))
       }
       if (cols("remove") && r.getAs[Row]("remove") != null)
         files.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path"))): Unit
@@ -491,7 +629,8 @@ object DeltaLake {
           Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
           Option(a.get("stats")).filterNot(_.isNull).map(_.asText), dv,
           Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
-          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong))
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong),
+          Option(a.get("clusteringProvider")).filterNot(_.isNull).map(_.asText))
       }
       Option(n.get("remove")).foreach(rm => files.remove(decodePath(rm.get("path").asText)): Unit)
       Option(n.get("txn")).filterNot(_.isNull).foreach(t =>
@@ -2366,7 +2505,8 @@ object DeltaLake {
   private def commitRewrite(spark: SparkSession, path: String, snap: Snapshot,
       removedRel: Seq[String], newData: DataFrame, operation: String,
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      clusteringProvider: Option[String] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     // maintenance rewrites (dataChange=false, e.g. OPTIMIZE) are legal
@@ -2399,7 +2539,9 @@ object DeltaLake {
       .filterNot(f => physPartCols.contains(f.name)).toSeq
     val adds0 = stageFiles(spark, root, stageDf, physPartCols,
       Some(dataCols), operation, Nil, "part")
-      .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
+      .map { case (relOut, pv, size, st) =>
+        AddFile(relOut, pv, size, now, st, clusteringProvider = clusteringProvider)
+      }
     val v = snap.version + 1
     val (adds, rowIdLine): (Seq[AddFile], Option[String]) =
       if (!tracked) (adds0, None)
@@ -2675,6 +2817,7 @@ object DeltaLake {
     }
     a.baseRowId.foreach(ad.put("baseRowId", _): Unit)
     a.defaultRowCommitVersion.foreach(ad.put("defaultRowCommitVersion", _): Unit)
+    a.clusteringProvider.foreach(ad.put("clusteringProvider", _): Unit)
     Json.writeValueAsString(o)
   }
 
@@ -2884,7 +3027,8 @@ object DeltaLake {
         StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType)))),
       StructField("baseRowId", LongType),
-      StructField("defaultRowCommitVersion", LongType)))),
+      StructField("defaultRowCommitVersion", LongType),
+      StructField("clusteringProvider", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -2940,7 +3084,8 @@ object DeltaLake {
           f.partitionValues.map { case (k, v) => k -> v.orNull },
           f.size, f.modificationTime, true, f.stats.orNull, dvRow,
           f.baseRowId.map(Long.box).orNull,
-          f.defaultRowCommitVersion.map(Long.box).orNull),
+          f.defaultRowCommitVersion.map(Long.box).orNull,
+          f.clusteringProvider.orNull),
         null, null))
     }
     // a table on the v2Checkpoint feature gets a V2-SHAPED checkpoint

@@ -2961,6 +2961,67 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S58: Delta CLUSTERED TABLE graded — the protocol's
+    * `clusteringTable` writer feature end to end: enablement records
+    * the clustering columns in the `delta.clustering` domain
+    * (round-trip require'd), OPTIMIZE rewrites the live set along the
+    * [[graft.functions.ZOrder]] curve with `clusteringProvider`
+    * stamped on every add (require'd), and the layout's per-file
+    * stats prune a range predicate on BOTH clustering columns at
+    * planning (require'd via the FileIndex's planned-file counter —
+    * file identity is not SQL-observable). The s25 drill re-run on
+    * the interop format: one data copy serves per-customer AND
+    * per-order access. Oracle: the two pruned aggregates. */
+  val s58DeltaClustering = QueryDef(
+    "s58_delta_clustering",
+    (s, d) => {
+      val path = tmp("s58_delta_cluster", d)
+      Writers.deleteTree(path)
+      val D = graft.interop.DeltaLake
+      val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      D.write(src.repartition(16), path)
+      D.enableClustering(s, path, Seq("o_custkey", "o_orderkey"))
+      D.optimizeCluster(s, path, nFiles = 16)
+      require(D.clusteringColumns(s, path) == Seq("o_custkey", "o_orderkey"),
+        "s58: the clustering domain must round-trip the columns")
+      val snap = D.snapshot(s, path)
+      require(snap.files.size == 16 &&
+        snap.files.forall(_.clusteringProvider.contains("liquid")),
+        "s58: every OPTIMIZE add must carry the provider stamp")
+      val bounds = src.agg(max(col("o_custkey")), max(col("o_orderkey"))).collect().head
+      val (hiC, hiO) = (bounds.getLong(0) / 5, bounds.getLong(1) / 5)
+      def pruned(c: String, hi: Long): org.apache.spark.sql.DataFrame = {
+        val f = D.read(s, path).filter(col(c).between(1L, hi))
+        f.count() // plan once: the FileIndex records kept/total
+        val (kept, total) =
+          org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+        require(kept < total,
+          s"s58: the z-layout must prune a range on $c at planning ($kept/$total)")
+        f
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .withColumn("dim", lit(tag))
+      agg(pruned("o_custkey", hiC), "custkey")
+        .unionByName(agg(pruned("o_orderkey", hiO), "orderkey"))
+        .select("dim", "n_orders", "sum_total")
+        .orderBy("dim")
+    },
+    Some("""
+      WITH b AS (
+        SELECT max(o_custkey) // 5 AS hc, max(o_orderkey) // 5 AS ho FROM orders
+      )
+      SELECT 'custkey' AS dim, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders, b WHERE o_custkey BETWEEN 1 AND hc
+      UNION ALL
+      SELECT 'orderkey', count(*),
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      FROM orders, b WHERE o_orderkey BETWEEN 1 AND ho
+      ORDER BY dim
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -2972,5 +3033,5 @@ object IngestOps extends QueryModule {
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
-    s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity)
+    s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering)
 }

@@ -1,0 +1,121 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta CLUSTERED TABLES (the protocol's `clusteringTable` writer
+  * feature + `delta.clustering` domain): enablement is metadata-only,
+  * OPTIMIZE lays the z-curve and stamps `clusteringProvider`, and the
+  * layout's per-file stats prune on every clustering column. */
+class DeltaClusteringSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def grid(n: Int) = {
+    import spark.implicits._
+    // shuffled 2-D grid: neither dimension is accidentally sorted
+    scala.util.Random.shuffle((1 to n).flatMap(a => (1 to n).map(b => (a.toLong, b.toLong))))
+      .toDF("a", "b").repartition(8)
+  }
+
+  test("enable + OPTIMIZE: domain round-trips, provider stamped, both dimensions prune") {
+    val path = freshDir("delta_cluster")
+    DeltaLake.write(grid(40), path)
+    val v = DeltaLake.enableClustering(spark, path, Seq("a", "b"))
+    assert(DeltaLake.clusteringColumns(spark, path) == Seq("a", "b"))
+    val snapEnabled = DeltaLake.snapshot(spark, path)
+    assert(snapEnabled.protocol.writerFeatures.contains("clusteringTable"))
+    // metadata-only: the enable commit moved zero data bytes
+    val enableLog = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(!enableLog.contains("\"add\"") && !enableLog.contains("\"remove\""))
+
+    DeltaLake.optimizeCluster(spark, path, nFiles = 16)
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.files.size == 16)
+    assert(snap.files.forall(_.clusteringProvider.contains("liquid")))
+    // the OPTIMIZE commit is maintenance: dataChange=false on every action
+    val optLog = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"${v + 1}%020d.json")), "UTF-8")
+    optLog.split('\n').filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+      Seq("add", "remove").foreach(k => Option(n.get(k)).foreach(a =>
+        assert(!a.get("dataChange").asBoolean, s"$k must be dataChange=false")))
+    }
+    // content unchanged
+    assert(DeltaLake.read(spark, path).count() == 1600L)
+    // BOTH dimensions prune through the stats-fed FileIndex
+    Seq("a", "b").foreach { c =>
+      val f = DeltaLake.read(spark, path).filter(col(c) <= 8L)
+      assert(f.count() == 8L * 40)
+      val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+      assert(kept < total, s"range on $c must prune files at planning ($kept/$total)")
+    }
+  }
+
+  test("refusals: partitioned table, non-numeric multi-column, OPTIMIZE before enable") {
+    import spark.implicits._
+    val part = freshDir("delta_cluster_part")
+    DeltaLake.write(Seq((1L, "x", "F"), (2L, "y", "O")).toDF("k", "v", "s"),
+      part, partitionBy = Seq("s"))
+    assertThrows[IllegalArgumentException](
+      DeltaLake.enableClustering(spark, part, Seq("k")))
+
+    val flat = freshDir("delta_cluster_str")
+    DeltaLake.write(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), flat)
+    assertThrows[IllegalArgumentException](
+      DeltaLake.enableClustering(spark, flat, Seq("k", "v")))
+    // a single clustering column may be any orderable type
+    DeltaLake.enableClustering(spark, flat, Seq("v"))
+    assert(DeltaLake.clusteringColumns(spark, flat) == Seq("v"))
+
+    val plain = freshDir("delta_cluster_plain")
+    DeltaLake.write(Seq((1L, "x")).toDF("k", "v"), plain)
+    assertThrows[IllegalArgumentException](
+      DeltaLake.optimizeCluster(spark, plain))
+  }
+
+  test("checkpoint folding preserves the clustering domain and the provider stamp") {
+    val path = freshDir("delta_cluster_cp")
+    DeltaLake.write(grid(20), path)
+    DeltaLake.enableClustering(spark, path, Seq("a", "b"))
+    DeltaLake.optimizeCluster(spark, path, nFiles = 4)
+    DeltaLake.checkpoint(spark, path)
+    // force replay THROUGH the checkpoint: drop the folded JSON tail
+    val log = Paths.get(path, "_delta_log")
+    java.nio.file.Files.list(log).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).foreach(f =>
+        java.nio.file.Files.delete(Paths.get(f)))
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.clusteringProvider.contains("liquid")),
+      "clusteringProvider must survive checkpoint folding")
+    assert(DeltaLake.clusteringColumns(spark, path) == Seq("a", "b"),
+      "the clustering domain must survive checkpoint folding")
+    assert(DeltaLake.read(spark, path).count() == 400L)
+  }
+
+  test("a row-tracked clustered table keeps every row's identity across OPTIMIZE") {
+    val path = freshDir("delta_cluster_rt")
+    DeltaLake.write(grid(20), path)
+    DeltaLake.enableRowTracking(spark, path)
+    DeltaLake.enableClustering(spark, path, Seq("a", "b"))
+    val pre = DeltaLake.readWithRowTracking(spark, path)
+      .select(col("a") * 1000 + col("b") as "k", col("_row_id").as("pre_id"))
+    DeltaLake.optimizeCluster(spark, path, nFiles = 4)
+    val post = DeltaLake.readWithRowTracking(spark, path)
+      .select(col("a") * 1000 + col("b") as "k", col("_row_id").as("post_id"))
+    assert(pre.join(post, Seq("k"))
+      .filter(col("pre_id") =!= col("post_id")).count() == 0L,
+      "OPTIMIZE on a row-tracked clustered table must preserve row ids")
+  }
+}
