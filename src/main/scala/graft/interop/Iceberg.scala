@@ -72,7 +72,10 @@ object Iceberg {
       // range (entry-explicit, else manifest first_row_id + running
       // sum) — None for pre-lineage files and for rewritten files,
       // whose rows carry MATERIALIZED _row_id columns instead
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      // the SORT ORDER (metadata `sort-orders` id, manifest field 140)
+      // this file's rows are laid out by — None = unsorted/unknown
+      sortOrderId: Option[Int] = None)
 
   /** A v2 POSITION DELETE file (`content=1`): rows of
     * `(file_path, pos)` naming deleted row positions. Applies to data
@@ -409,6 +412,7 @@ object Iceberg {
             ${boundsMap("upper_bounds", 128, 129, 130)},
             {"name": "equality_ids", "field-id": 135, "default": null,
               "type": ["null", {"type": "array", "items": "int", "element-id": 136}]},
+            {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140},
             {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 142},
             {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
             {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
@@ -656,9 +660,9 @@ object Iceberg {
     s.files.map { f =>
       val part = f.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/")
-      (f.path, part, f.recordCount, f.sizeInBytes, f.seq)
+      (f.path, part, f.recordCount, f.sizeInBytes, f.seq, f.sortOrderId)
     }.toDF("file_path", "partition", "record_count", "file_size_in_bytes",
-      "sequence_number")
+      "sequence_number", "sort_order_id")
   }
 
   /** The `delete_files` metadata table: one row per outstanding
@@ -834,7 +838,8 @@ object Iceberg {
             files += DataFileRef(df.get("file_path").toString, pv,
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long],
-              bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst)
+              bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst,
+              sortOrderId = avroOpt(df, "sort_order_id").map(_.asInstanceOf[Int]))
           } else avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
             case 1 if fmt == "PUFFIN" =>
               // v3 deletion vector: the entry names the covered data
@@ -1391,7 +1396,30 @@ object Iceberg {
         (df.schema, df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
     }
 
-    val moved = stageWithTransforms(spark, df, fs, root, partFields, fieldIds)
+    // the table's declared SORT ORDER ([[setSortOrder]]): a write
+    // honors it WITHIN each staged file — one in-task sort, NO extra
+    // shuffle (an implicit range exchange on every append would be a
+    // scale landmine); cross-file clustering is [[rewriteSorted]]'s
+    // maintenance job. New entries stamp the order id (field 140).
+    val sortSpec: Seq[(String, Boolean)] =
+      prior.map { case (_, m) => sortFieldsOf(m) }.getOrElse(Nil)
+        .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+    val dfOrdered =
+      if (sortSpec.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.sortWithinPartitions(sortSpec.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc }: _*)
+      }
+    val moved0 = stageWithTransforms(spark, dfOrdered, fs, root, partFields, fieldIds)
+    val moved =
+      if (sortSpec.isEmpty) moved0
+      else {
+        val oid = prior.flatMap { case (_, m) =>
+          Option(m.get("default-sort-order-id")).filterNot(_.isNull).map(_.asInt)
+        }.filter(_ != 0)
+        moved0.map(_.copy(sortOrderId = oid))
+      }
 
     // ---- metadata: ids, sequence numbers, snapshot
     val now = System.currentTimeMillis()
@@ -1510,10 +1538,23 @@ object Iceberg {
       pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
     }
     meta.put("last-partition-id", partFields.lastOption.map(_.fieldId).getOrElse(999))
-    meta.put("default-sort-order-id", 0)
-    val orders = meta.putArray("sort-orders")
-    val order0 = orders.addObject()
-    order0.put("order-id", 0); order0.putArray("fields")
+    // SORT ORDERS carry forward ([[setSortOrder]] — a write must not
+    // strip the table's declared order); a fresh table starts with
+    // order 0, the spec's unsorted order
+    prior.flatMap { case (_, m) =>
+      Option(m.get("sort-orders")).filter(n => n.isArray && n.size > 0)
+    } match {
+      case Some(po) =>
+        meta.set[JsonNode]("sort-orders", po.deepCopy[JsonNode]())
+        meta.put("default-sort-order-id", prior.flatMap { case (_, m) =>
+          Option(m.get("default-sort-order-id")).filterNot(_.isNull).map(_.asInt)
+        }.getOrElse(0)): Unit
+      case None =>
+        meta.put("default-sort-order-id", 0)
+        val orders = meta.putArray("sort-orders")
+        val order0 = orders.addObject()
+        order0.put("order-id", 0); order0.putArray("fields"): Unit
+    }
     // table PROPERTIES carry forward (a converted table's
     // name-mapping marker, user-set properties) — dropping them on
     // every commit would silently strip behavior
@@ -2257,6 +2298,149 @@ object Iceberg {
       "replace", dropDeleteManifests = s.hasDeleteDebt)
   }
 
+  // ------------------------------------------------------ sort orders
+
+  /** The default sort order's fields as (current-schema column name,
+    * ascending) pairs — empty for order 0, the spec's unsorted order.
+    * Refuses non-identity sort transforms loudly (this writer lays
+    * out identity orders only; honoring a bucket/truncate order
+    * silently un-sorted would stamp a false `sort_order_id`). */
+  private def sortFieldsOf(m: JsonNode): Seq[(String, Boolean)] = {
+    val orderId = Option(m.get("default-sort-order-id")).filterNot(_.isNull)
+      .map(_.asInt).getOrElse(0)
+    if (orderId == 0) return Nil
+    val order = iterator(m.get("sort-orders"))
+      .find(_.get("order-id").asInt == orderId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg: default-sort-order-id $orderId is not in sort-orders"))
+    val curId = m.get("current-schema-id").asInt
+    val sn = iterator(m.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val nameOf = iterator(sn.get("fields"))
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    iterator(order.get("fields")).map { f =>
+      val t = f.get("transform").asText
+      require(t == "identity",
+        s"Iceberg: sort-order transform $t is not implemented (identity only)")
+      val src = f.get("source-id").asInt
+      val name = nameOf.getOrElse(src, throw new IllegalArgumentException(
+        s"Iceberg: sort-order source-id $src is not in the current schema"))
+      (name, Option(f.get("direction")).filterNot(_.isNull)
+        .map(_.asText).getOrElse("asc") == "asc")
+    }.toSeq
+  }
+
+  /** The table's DEFAULT SORT ORDER as (column, ascending) pairs —
+    * empty means unsorted (order 0). */
+  def sortOrder(path: String): Seq[(String, Boolean)] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, m) = readMetadata(fs, root)
+    sortFieldsOf(m)
+  }
+
+  /** Declare the table's SORT ORDER (spec `sort-orders` +
+    * `default-sort-order-id`) — a METADATA-ONLY commit, like the
+    * spec's ReplaceSortOrder: a fresh order id (ids are never reused)
+    * with one identity field per entry, ascending unless the entry
+    * reads "name desc". Null order is the spec default pairing
+    * (nulls-first asc / nulls-last desc — exactly Spark's). Writes
+    * after this sort rows WITHIN each staged file and stamp the order
+    * id; [[rewriteSorted]] lays the whole table out. */
+  def setSortOrder(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "Iceberg.setSortOrder: empty sort order (use clearSortOrder)")
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.setSortOrder: $path is a format-version 1 table — read-only here")
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val idOf = iterator(sn.get("fields"))
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val parsed: Seq[(Int, Boolean)] = cols.map { c0 =>
+      val (name, asc) = c0.trim.split("\\s+").toSeq match {
+        case Seq(n) => (n, true)
+        case Seq(n, d) if d.equalsIgnoreCase("asc") => (n, true)
+        case Seq(n, d) if d.equalsIgnoreCase("desc") => (n, false)
+        case _ => throw new IllegalArgumentException(
+          s"Iceberg.setSortOrder: cannot parse '$c0' (want 'name', 'name asc' or 'name desc')")
+      }
+      (idOf.getOrElse(name, throw new IllegalArgumentException(
+        s"Iceberg.setSortOrder: $name is not a column of $path")), asc)
+    }
+    val m = meta.deepCopy[ObjectNode]
+    val orders =
+      if (m.hasNonNull("sort-orders") && m.get("sort-orders").isArray)
+        m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("sort-orders")
+      else {
+        val o = m.putArray("sort-orders")
+        val o0 = o.addObject()
+        o0.put("order-id", 0); o0.putArray("fields")
+        o
+      }
+    val newId = iterator(orders).map(_.get("order-id").asInt).maxOption.getOrElse(0) + 1
+    val node = orders.addObject()
+    node.put("order-id", newId)
+    val fieldsArr = node.putArray("fields")
+    parsed.foreach { case (srcId, asc) =>
+      val f = fieldsArr.addObject()
+      f.put("transform", "identity"); f.put("source-id", srcId)
+      f.put("direction", if (asc) "asc" else "desc")
+      f.put("null-order", if (asc) "nulls-first" else "nulls-last"): Unit
+    }
+    m.put("default-sort-order-id", newId)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
+  /** Back to the unsorted order (default-sort-order-id 0) —
+    * metadata-only; declared orders stay in `sort-orders` (ids are
+    * never reused or dropped). */
+  def clearSortOrder(spark: SparkSession, path: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val m = meta.deepCopy[ObjectNode]
+    m.put("default-sort-order-id", 0)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
+  /** Rewrite the ENTIRE live file set laid out by the table's sort
+    * order into `nFiles` files (0 = size from the live bytes at
+    * `targetBytes`) — the spec's rewrite_data_files with a sort
+    * strategy: ONE range exchange on the sort columns, files with
+    * DISJOINT ranges on the leading column, every manifest entry
+    * stamped with the order id, and — like [[compact]] — any
+    * outstanding merge-on-read delete debt folds into the rewrite.
+    * After this, a range predicate on the leading sort column prunes
+    * at planning through the manifests' tightened bounds. */
+  def rewriteSorted(spark: SparkSession, path: String, nFiles: Int = 0,
+      targetBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, path)
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val spec = sortFieldsOf(meta)
+    require(spec.nonEmpty,
+      s"Iceberg.rewriteSorted: $path has no sort order (setSortOrder first)")
+    val orderId = meta.get("default-sort-order-id").asInt
+    if (s.files.isEmpty) return s.snapshotId
+    val rows =
+      if (formatVersion(path) == 3) lineageFrame(spark, path, s, withMeta = false)
+      else snapshotFrame(spark, path, s, withMeta = false)
+    val n =
+      if (nFiles > 0) nFiles
+      else math.max(1L,
+        (s.files.map(_.sizeInBytes).sum + targetBytes - 1) / targetBytes).toInt
+    val sortCols = spec.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val ordered = rows
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val allAbs = s.files.map(f => Hive.fsPathNoDecode(f.path)).toSet
+    commitRewriteSnapshot(spark, path, allAbs, Some(ordered), "replace",
+      dropDeleteManifests = s.hasDeleteDebt, stampSortOrder = Some(orderId))
+  }
+
   /** Re-emit a GenericRecord under a (possibly wider) target schema by
     * FIELD NAME — Avro's GenericDatumWriter resolves fields by
     * position, so re-using a record written under an older, narrower
@@ -2295,7 +2479,10 @@ object Iceberg {
       // fresh id range (first_row_id = next-row-id, which advances by
       // the insert count) — rewritten rows never inherit, fresh rows
       // always do
-      freshData: Option[DataFrame] = None): Long = {
+      freshData: Option[DataFrame] = None,
+      // the sort order the REWRITTEN files' rows are laid out by
+      // ([[rewriteSorted]]) — stamped as the entries' sort_order_id
+      stampSortOrder: Option[Int] = None): Long = {
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
     require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
@@ -2333,7 +2520,8 @@ object Iceberg {
     // the lineage columns are bookkeeping, not table data — keep their
     // min/max out of the manifests (their reserved ids are not in the
     // table schema any reader resolves stats against)
-    val added = added0.map(f => f.copy(bounds = f.bounds - RowIdCol - LastUpdCol))
+    val added = added0.map(f => f.copy(bounds = f.bounds - RowIdCol - LastUpdCol,
+      sortOrderId = stampSortOrder.orElse(f.sortOrderId)))
     // fresh (inserted) rows stage separately: no materialized lineage,
     // ids assigned by inheritance from their own manifest's range
     val fresh = freshData.map(df =>
@@ -3295,6 +3483,7 @@ object Iceberg {
       }
       dfr.put("lower_bounds", boundsArray("lower_bounds", _._1))
       dfr.put("upper_bounds", boundsArray("upper_bounds", _._2))
+      dfr.put("sort_order_id", f.sortOrderId.map(Int.box).orNull)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

@@ -3022,6 +3022,61 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S59: Iceberg SORT ORDERS graded — the spec's `sort-orders` /
+    * `default-sort-order-id` / manifest `sort_order_id` (field 140)
+    * surface, the Delta-clustering mirror (s58) under Iceberg's OWN
+    * semantics: a declared order is LEXICOGRAPHIC, honored by writers
+    * within each file and laid out table-wide by rewrite_data_files.
+    * The entry declares (custkey, orderkey), proves the declaration
+    * round-trips and that an append stamps ONLY its own files
+    * (require'd from the files inspection table), then rewriteSorted
+    * lays out disjoint leading-column ranges — a custkey range
+    * predicate prunes at planning (require'd; orderkey deliberately
+    * carries no gate: a lexicographic second column does not promise
+    * pruning, and claiming it would be false). Oracle: the pruned
+    * aggregate. */
+  val s59IcebergSortOrder = QueryDef(
+    "s59_iceberg_sort_order",
+    (s, d) => {
+      val path = tmp("s59_ice_sort", d)
+      Writers.deleteTree(path)
+      val I = graft.interop.Iceberg
+      val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      I.write(src.filter(col("o_orderkey") % 2 === 0).repartition(8), path)
+      I.setSortOrder(s, path, Seq("o_custkey", "o_orderkey"))
+      I.write(src.filter(col("o_orderkey") % 2 === 1).repartition(8), path,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      require(I.sortOrder(path) == Seq(("o_custkey", true), ("o_orderkey", true)),
+        "s59: the declared sort order must round-trip through the metadata")
+      val fstats = I.files(s, path)
+        .agg(sum(when(col("sort_order_id") === 1, 1L).otherwise(0L)).as("stamped"),
+          count(lit(1)).as("nf")).collect().head
+      require(fstats.getLong(0) > 0 && fstats.getLong(0) < fstats.getLong(1),
+        s"s59: the append must stamp its own files and ONLY its own files " +
+          s"(${fstats.getLong(0)} of ${fstats.getLong(1)})")
+      I.rewriteSorted(s, path, nFiles = 16)
+      val fr = I.files(s, path)
+        .agg(sum(when(col("sort_order_id") === 1, 1L).otherwise(0L)).as("stamped"),
+          count(lit(1)).as("nf")).collect().head
+      require(fr.getLong(1) == 16L && fr.getLong(0) == 16L,
+        s"s59: the sorted rewrite must stamp every entry (${fr.getLong(0)}/${fr.getLong(1)})")
+      val hiC = src.agg(max(col("o_custkey"))).collect().head.getLong(0) / 5
+      val f = I.read(s, path).filter(col("o_custkey").between(1L, hiC))
+      f.count() // plan once: the FileIndex records kept/total
+      val (kept, total) =
+        org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+      require(kept < total,
+        s"s59: the leading sort column must prune at planning ($kept/$total)")
+      f.agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+    },
+    Some("""
+      WITH b AS (SELECT max(o_custkey) // 5 AS hc FROM orders)
+      SELECT count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders, b WHERE o_custkey BETWEEN 1 AND hc
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3033,5 +3088,6 @@ object IngestOps extends QueryModule {
     s41DeltaMorDelete, s42InteropSqlDml, s43InteropCompaction, s44DeltaCdf,
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
-    s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering)
+    s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
+    s59IcebergSortOrder)
 }

@@ -32,6 +32,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "s11_dq_report" -> (1, "all DQ rule counters collapse to one 1-row aggregate, then stack to long format"),
     "s25_zorder_skipping" -> (2, "two 1-row global aggregates (one per pruned z dimension), unioned"),
     "s58_delta_clustering" -> (2, "two 1-row global aggregates (one per pruned clustering dimension), unioned"),
+    "s59_iceberg_sort_order" -> (1, "global aggregate over the pruned slice: 1-row final"),
     "l4q_bigram_lm" -> (1, "vocabulary size: 1-row global countDistinct, broadcast into the score join"),
     "l3e_negative_sampling" -> (1, "corpus count: 1-row global aggregate, broadcast into the assignment"),
     "s36_txn_pair" -> (1, "watermark summary: 1-row global aggregate, broadcast into the view"),
