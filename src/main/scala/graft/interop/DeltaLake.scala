@@ -65,7 +65,7 @@ object DeltaLake {
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
-    "generatedColumns", "v2Checkpoint", "clusteringTable")
+    "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -1089,16 +1089,31 @@ object DeltaLake {
     // GENERATED COLUMNS the frame omits are computed here (the
     // protocol's generated-columns writer contract); columns the frame
     // DOES carry are validated against their expression in
-    // enforceConstraints instead
+    // enforceConstraints instead. COLUMN DEFAULTS (the protocol's
+    // allowColumnDefaults writer feature, `CURRENT_DEFAULT` field
+    // metadata — [[setColumnDefault]]) fill the same way: an omitted
+    // defaulted column takes its default expression, a carried one
+    // keeps the frame's values untouched. After any fill the frame
+    // reorders to the table's column order (withColumn appends at the
+    // end, and a mid-schema defaulted column must land back in place
+    // for the append schema check).
     val df = prior match {
       case Some(p) =>
-        p.rawSchema.fields
-          .filter(f => f.metadata.contains("delta.generationExpression") &&
-            !dfIn.columns.contains(f.name))
+        val filled = p.rawSchema.fields
+          .filter(f => !dfIn.columns.contains(f.name) &&
+            (f.metadata.contains("delta.generationExpression") ||
+              f.metadata.contains("CURRENT_DEFAULT")))
           .foldLeft(dfIn)((acc, f) => acc.withColumn(f.name,
             org.apache.spark.sql.functions.expr(
-              f.metadata.getString("delta.generationExpression"))
+              if (f.metadata.contains("delta.generationExpression"))
+                f.metadata.getString("delta.generationExpression")
+              else f.metadata.getString("CURRENT_DEFAULT"))
               .cast(stripType(f.dataType))))
+        val tableNames = p.schema.fieldNames.toSeq
+        if ((filled ne dfIn) && filled.columns.length == tableNames.length &&
+            filled.columns.toSet == tableNames.toSet)
+          filled.select(tableNames.map(org.apache.spark.sql.functions.col): _*)
+        else filled
       case None => dfIn
     }
     // append inherits the table's partitioning when the caller names
@@ -2008,6 +2023,74 @@ object DeltaLake {
       protocolLine(newProtocol),
       metaDataLine(StructType(snap.rawSchema.fields :+ field),
         snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** SET a column's DEFAULT (`ALTER COLUMN ... SET DEFAULT expr`) —
+    * the protocol's `allowColumnDefaults` writer feature: the field's
+    * metadata carries the SQL expression under `CURRENT_DEFAULT`, the
+    * protocol ratchets to the feature, and every subsequent write
+    * through this library FILLS the column when the frame omits it
+    * ([[write]]). Delta has no existence defaults: rows already
+    * written keep what they have (NULL included) — which is exactly
+    * why the protocol forbids ADD COLUMN with a default, and so does
+    * [[addColumn]]. Generated columns can't also carry a default (the
+    * two fill rules would race); the expression must be foldable — a
+    * non-constant default would make writes non-deterministic. */
+  def setColumnDefault(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "setColumnDefault", mutates = false)
+    require(snap.schema.fieldNames.contains(name),
+      s"DeltaLake.setColumnDefault: $name is not a column of $path")
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    require(!field.metadata.contains("delta.generationExpression"),
+      s"DeltaLake.setColumnDefault: $name is a generated column — it is " +
+        "always computed, a default would never apply")
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    require(parsed.foldable,
+      s"DeltaLake.setColumnDefault: '$sqlExpr' is not a constant expression — " +
+        "the protocol requires literal (foldable) defaults")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val newField = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata).putString("CURRENT_DEFAULT", sqlExpr).build())
+    val newSchema = StructType(snap.rawSchema.fields.updated(idx, newField))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER COLUMN")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      protocolLine(withWriterFeatures(snap.protocol, Seq("allowColumnDefaults"))),
+      metaDataLine(newSchema, snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** DROP a column's DEFAULT — metadata only; the feature stays on the
+    * protocol (features are never removed), the column simply stops
+    * filling. */
+  def clearColumnDefault(spark: SparkSession, path: String, name: String): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "clearColumnDefault", mutates = false)
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    require(field.metadata.contains("CURRENT_DEFAULT"),
+      s"DeltaLake.clearColumnDefault: $name has no default")
+    val mb = new MetadataBuilder().withMetadata(field.metadata)
+    mb.remove("CURRENT_DEFAULT")
+    val newSchema = StructType(snap.rawSchema.fields.updated(idx,
+      field.copy(metadata = mb.build())))
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER COLUMN")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      metaDataLine(newSchema, snap.partitionColumns, now, snap.configuration),
       Json.writeValueAsString(ci)))
     v
   }

@@ -1288,7 +1288,7 @@ object Iceberg {
     * column at planning time; unlike identity fields, their source
     * columns stay IN the data files (the transform value is metadata,
     * not a column). */
-  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+  def write(dfIn: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite, mergeSchema: Boolean = false,
       summaryProps: Map[String, String] = Map.empty,
       toBranch: Option[String] = None): Long = {
@@ -1306,7 +1306,7 @@ object Iceberg {
     }
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"Iceberg.write: mode must be Overwrite or Append, got $mode")
-    val spark = df.sparkSession
+    val spark = dfIn.sparkSession
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(metaDir(root))
     val priorVs = metaVersions(fs, root)
@@ -1316,6 +1316,34 @@ object Iceberg {
       require(Option(m.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
         s"Iceberg.write: $path is a format-version 1 table — READ-ONLY here " +
           "(its layout predates sequence numbers); migrate to v2 to write")
+    }
+    // WRITE DEFAULTS (v3 `write-default` — [[setWriteDefault]] /
+    // add-with-default): a column the frame omits fills with its
+    // declared default — a typed constant folded at planning, added
+    // BEFORE the append schema check so a defaulted write is
+    // schema-identical — then the frame reorders to the table's
+    // column order (withColumn appends at the end)
+    val df: DataFrame = prior match {
+      case Some((_, m)) if m.hasNonNull("current-schema-id") =>
+        val cur = currentSchemaNode(m)
+        val fills = iterator(cur.get("fields"))
+          .filter(f => f.hasNonNull("write-default") &&
+            !dfIn.columns.contains(f.get("name").asText)).toSeq
+        if (fills.isEmpty) dfIn
+        else {
+          import org.apache.spark.sql.functions.{col, expr}
+          val filled = fills.foldLeft(dfIn) { (acc, f) =>
+            val tpe = sparkType(f.get("type").asText)
+            acc.withColumn(f.get("name").asText,
+              expr(defaultSql(tpe, f.get("write-default"))).cast(tpe))
+          }
+          val tableNames = iterator(cur.get("fields")).map(_.get("name").asText).toSeq
+          if (filled.columns.length == tableNames.length &&
+              filled.columns.toSet == tableNames.toSet)
+            filled.select(tableNames.map(col): _*)
+          else filled
+        }
+      case _ => dfIn
     }
     def parseRequested(): Seq[PartField] = partitionBy.zipWithIndex.map { case (s0, i) =>
       val (src, t) = parsePartSpec(s0)
@@ -1518,6 +1546,14 @@ object Iceberg {
     val schemas = meta.putArray("schemas")
     priorSchemaNodes.foreach(schemas.add)
     if (!schemaUnchanged) {
+      // v3 DEFAULTS survive evolution: a changed schema re-emits its
+      // fields from the Spark StructType, and dropping a carried
+      // field's initial-default/write-default here would silently flip
+      // pre-column rows back to null on the next read
+      val priorFieldNodes: Map[Int, JsonNode] = prior.map { case (_, m) =>
+        iterator(currentSchemaNode(m).get("fields"))
+          .map(f => f.get("id").asInt -> f).toMap
+      }.getOrElse(Map.empty)
       val schemaNode = schemas.addObject()
       schemaNode.put("type", "struct"); schemaNode.put("schema-id", curSchemaId)
       val fieldsArr = schemaNode.putArray("fields")
@@ -1525,6 +1561,11 @@ object Iceberg {
         val fn = fieldsArr.addObject()
         fn.put("id", fieldIds(f.name)); fn.put("name", f.name)
         fn.put("required", !f.nullable); fn.put("type", icebergType(f.dataType))
+        priorFieldNodes.get(fieldIds(f.name)).foreach { pf =>
+          Seq("initial-default", "write-default").foreach { k =>
+            if (pf.hasNonNull(k)) fn.set[JsonNode](k, pf.get(k).deepCopy[JsonNode]()): Unit
+          }
+        }
       }
     }
     meta.put("default-spec-id", 0)
@@ -3219,14 +3260,14 @@ object Iceberg {
     nf.put("id", newFieldId); nf.put("name", name)
     nf.put("required", false); nf.put("type", renderedType)
     initialDefault.foreach { v =>
-      dataType match {
-        case IntegerType => nf.put("initial-default", v.toInt): Unit
-        case LongType => nf.put("initial-default", v.toLong): Unit
-        case DoubleType => nf.put("initial-default", v.toDouble): Unit
-        case FloatType => nf.put("initial-default", v.toFloat): Unit
-        case BooleanType => nf.put("initial-default", v.toBoolean): Unit
-        case _ => nf.put("initial-default", v): Unit
-      }
+      // the spec's add-with-default contract: a column added with a
+      // default carries it as BOTH the existence default (rows in
+      // files predating the column) and the write default (writers
+      // that omit the column). ALTER later changes only the write
+      // default ([[setWriteDefault]]); initial-default is immutable
+      // for the column's lifetime.
+      putTypedDefault(nf, "initial-default", dataType, v)
+      putTypedDefault(nf, "write-default", dataType, v)
     }
     m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
     m.put("current-schema-id", maxSchemaId + 1)
@@ -3234,6 +3275,76 @@ object Iceberg {
     m.put("last-updated-ms", System.currentTimeMillis())
     commitMetadata(fs, root, metaV + 1, m, path)
     metaV + 1
+  }
+
+  /** The spec's single-value JSON serialization for a default: typed
+    * for the primitives, a string for everything else (dates,
+    * timestamps, decimals ride as their ISO/plain renderings). */
+  private def putTypedDefault(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      key: String, dt: DataType, v: String): Unit = dt match {
+    case IntegerType => node.put(key, v.toInt): Unit
+    case LongType => node.put(key, v.toLong): Unit
+    case DoubleType => node.put(key, v.toDouble): Unit
+    case FloatType => node.put(key, v.toFloat): Unit
+    case BooleanType => node.put(key, v.toBoolean): Unit
+    case _ => node.put(key, v): Unit
+  }
+
+  /** SET (`value = Some(v)`) or CLEAR (`None`) a column's WRITE
+    * DEFAULT — the v3 spec's `write-default`: the value [[write]]
+    * fills when a frame omits the column. A new schema version joins
+    * `schemas` (defaults are schema attributes, and schema ids are
+    * never mutated in place); the column's `initial-default` — what
+    * rows written before the column existed read — stays untouched,
+    * exactly the spec's ALTER COLUMN SET DEFAULT semantics. The value
+    * string is typed into the metadata per the spec's single-value
+    * serialization and validated against the reader's literal parser
+    * BEFORE the commit (an unservable default must refuse loudly, not
+    * poison every subsequent write). */
+  def setWriteDefault(spark: SparkSession, path: String, name: String,
+      value: Option[String]): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.setWriteDefault: $path is a format-version 1 table — read-only here")
+    require(meta.get("format-version").asInt == 3,
+      s"Iceberg.setWriteDefault: default values require format-version 3 " +
+        s"(table is v${meta.get("format-version").asInt}; upgradeFormatVersion first)")
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", maxSchemaId + 1)
+    val fieldNode = iterator(newSchema.get("fields"))
+      .find(_.get("name").asText == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg.setWriteDefault: $name is not a column of $path"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    value match {
+      case Some(v) =>
+        val tpe = sparkType(fieldNode.get("type").asText)
+        putTypedDefault(fieldNode, "write-default", tpe, v)
+        defaultSql(tpe, fieldNode.get("write-default")) // loud pre-commit type gate
+      case None => fieldNode.remove("write-default")
+    }
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
+  /** The current schema's write defaults as (column → SQL literal) —
+    * what [[write]] fills for omitted columns; empty when none. */
+  def writeDefaults(path: String): Map[String, String] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, m) = readMetadata(fs, root)
+    iterator(currentSchemaNode(m).get("fields"))
+      .filter(_.hasNonNull("write-default"))
+      .map(f => f.get("name").asText ->
+        defaultSql(sparkType(f.get("type").asText), f.get("write-default")))
+      .toMap
   }
 
   /** The id of the newest snapshot with sequence number <= `seq` —

@@ -3077,6 +3077,75 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S60: COLUMN DEFAULTS graded — the symmetric pair: Delta's
+    * `allowColumnDefaults` writer feature (`CURRENT_DEFAULT` field
+    * metadata; writers fill omitted columns, existing rows keep what
+    * they have — Delta has NO existence defaults, which is why its
+    * protocol forbids ADD COLUMN WITH DEFAULT) and Iceberg v3's
+    * default values (`initial-default` serves rows in files predating
+    * the column — metadata-only, zero rewrites, require'd — and
+    * `write-default` fills writers that omit the column; ALTER changes
+    * only the write default, the initial default is immutable). Three
+    * disjoint slices per format exercise explicit values, the declared
+    * default at append time, and a re-declared default; the oracle
+    * reproduces each slice's expected fill as a CASE. */
+  val s60ColumnDefaults = QueryDef(
+    "s60_column_defaults",
+    (s, d) => {
+      import org.apache.spark.sql.SaveMode
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val src = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      // delta: explicit 'direct' on even keys, then defaults fill the
+      // odd-key appends — 'web' first, 'mobile' after the re-declare
+      val dp = tmp("s60_delta", d); Writers.deleteTree(dp)
+      D.write(src.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("channel", lit("direct")), dp)
+      D.setColumnDefault(s, dp, "channel", "'web'")
+      require(D.snapshot(s, dp).protocol.writerFeatures.contains("allowColumnDefaults"),
+        "s60: the protocol must ratchet to allowColumnDefaults")
+      D.write(src.filter(col("o_orderkey") % 4 === 1), dp, mode = SaveMode.Append)
+      D.setColumnDefault(s, dp, "channel", "'mobile'")
+      D.write(src.filter(col("o_orderkey") % 4 === 3), dp, mode = SaveMode.Append)
+      // iceberg: even-key rows PREDATE the column and read the initial
+      // default; the first append fills the write default it was born
+      // with, the second fills the altered one
+      val ip = tmp("s60_ice", d); Writers.deleteTree(ip)
+      I.write(src.filter(col("o_orderkey") % 2 === 0), ip)
+      I.upgradeToV3(s, ip)
+      val preFiles = I.files(s, ip).count()
+      I.addColumn(s, ip, "channel", org.apache.spark.sql.types.StringType,
+        initialDefault = Some("legacy"))
+      require(I.files(s, ip).count() == preFiles,
+        "s60: add-with-default must be metadata-only (zero files rewritten)")
+      require(I.writeDefaults(ip) == Map("channel" -> "'legacy'"),
+        "s60: the declared write default must round-trip")
+      I.write(src.filter(col("o_orderkey") % 4 === 1), ip, mode = SaveMode.Append)
+      I.setWriteDefault(s, ip, "channel", Some("web"))
+      I.write(src.filter(col("o_orderkey") % 4 === 3), ip, mode = SaveMode.Append)
+      D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .groupBy("fmt", "channel")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("fmt", "channel")
+    },
+    Some("""
+      WITH legs AS (
+        SELECT 'delta' AS fmt,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'direct'
+               WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'mobile' END AS channel,
+          o_totalprice FROM orders
+        UNION ALL
+        SELECT 'iceberg' AS fmt,
+          CASE WHEN o_orderkey % 4 = 3 THEN 'web' ELSE 'legacy' END AS channel,
+          o_totalprice FROM orders)
+      SELECT fmt, channel, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM legs GROUP BY fmt, channel ORDER BY fmt, channel
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3089,5 +3158,5 @@ object IngestOps extends QueryModule {
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
-    s59IcebergSortOrder)
+    s59IcebergSortOrder, s60ColumnDefaults)
 }

@@ -280,9 +280,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"GraftCatalog: ALTER DROP COLUMN is not implemented for $other tables " +
               "(it needs the format's delete-column evolution rules)")
         }
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames.length == 1,
+          "GraftCatalog ALTER SET DEFAULT: nested columns are not supported")
+        val colName = upd.fieldNames.head
+        val sql = Option(upd.newDefaultValue()).map(_.trim).getOrElse("")
+        fmt match {
+          case "delta" =>
+            if (sql.isEmpty) graft.interop.DeltaLake.clearColumnDefault(spark, path, colName)
+            else graft.interop.DeltaLake.setColumnDefault(spark, path, colName, sql)
+          case "iceberg" =>
+            if (sql.isEmpty) graft.interop.Iceberg.setWriteDefault(spark, path, colName, None)
+            else {
+              // Iceberg metadata stores TYPED single values, not SQL
+              // text — fold the literal here (one constant, driver-side
+              // by definition) and hand over its rendering
+              val e = spark.sessionState.sqlParser.parseExpression(sql)
+              require(e.foldable,
+                s"GraftCatalog ALTER SET DEFAULT: '$sql' is not a constant expression")
+              val v = e.eval(null)
+              require(v != null,
+                "GraftCatalog ALTER SET DEFAULT: DEFAULT NULL is the same as no " +
+                  "default — use DROP DEFAULT")
+              graft.interop.Iceberg.setWriteDefault(spark, path, colName, Some(v.toString))
+            }
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: ALTER COLUMN SET DEFAULT is not implemented for $other " +
+              "tables (the graft-native format has no column-defaults contract yet)")
+        }
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
-          "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN (graft)")
+          "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN " +
+          "(graft), ALTER COLUMN SET/DROP DEFAULT (delta, iceberg)")
     }
     loadTable(ident)
   }

@@ -1,0 +1,170 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COLUMN DEFAULTS, the symmetric pair: Delta's `allowColumnDefaults`
+  * writer feature (`CURRENT_DEFAULT` field metadata — writers fill
+  * omitted columns, rows already written keep what they have) and
+  * Iceberg v3's `write-default` / `initial-default` (write fills new
+  * rows; initial serves rows predating the column and is immutable).
+  */
+class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  private def frame(n: Int, withTag: Boolean) = {
+    import spark.implicits._
+    val base = (1 to n).map(i => (i.toLong, s"r$i"))
+    if (withTag) base.map { case (k, s) => (k, s, "explicit") }.toDF("k", "s", "tag")
+    else base.toDF("k", "s")
+  }
+
+  // ------------------------------------------------------------ delta
+
+  test("delta: setColumnDefault ratchets the feature and fills omitted columns in order") {
+    val path = freshDir("dflt_delta")
+    // `tag` sits MID-SCHEMA — the fill must land it back in place
+    DeltaLake.write(frame(4, withTag = true).select("k", "tag", "s"), path)
+    DeltaLake.setColumnDefault(spark, path, "tag", "'web'")
+    val snap = DeltaLake.snapshot(spark, path)
+    assert(snap.protocol.writerFeatures.contains("allowColumnDefaults"))
+    DeltaLake.write(frame(4, withTag = false)
+      .withColumn("k", col("k") + 100).select("k", "s"), path, mode = SaveMode.Append)
+    val rows = DeltaLake.read(spark, path)
+    assert(rows.columns.toSeq == Seq("k", "tag", "s"), "column order preserved")
+    assert(rows.filter(col("k") > 100 && col("tag") === "web").count() == 4L)
+    assert(rows.filter(col("tag") === "explicit").count() == 4L,
+      "carried rows keep their explicit values")
+    // a frame that CARRIES the column is untouched by the default
+    DeltaLake.write(frame(1, withTag = true)
+      .withColumn("k", col("k") + 200).select("k", "tag", "s"), path,
+      mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).filter(col("k") > 200)
+      .select("tag").collect().head.getString(0) == "explicit")
+  }
+
+  test("delta: clearColumnDefault stops filling; refusals are loud") {
+    val path = freshDir("dflt_delta_clear")
+    DeltaLake.write(frame(2, withTag = true), path)
+    DeltaLake.setColumnDefault(spark, path, "tag", "'x'")
+    DeltaLake.clearColumnDefault(spark, path, "tag")
+    // no default anymore: an append omitting the column is the
+    // long-standing schema-mismatch refusal again
+    assertThrows[IllegalArgumentException](
+      DeltaLake.write(frame(1, withTag = false), path, mode = SaveMode.Append))
+    assertThrows[IllegalArgumentException](
+      DeltaLake.clearColumnDefault(spark, path, "tag")) // nothing to clear
+    assertThrows[IllegalArgumentException](
+      DeltaLake.setColumnDefault(spark, path, "nope", "'x'"))
+    assertThrows[IllegalArgumentException](
+      DeltaLake.setColumnDefault(spark, path, "tag", "k + 1")) // not constant
+    DeltaLake.addGeneratedColumn(spark, path, "k2", org.apache.spark.sql.types.LongType, "k * 2")
+    assertThrows[IllegalArgumentException](
+      DeltaLake.setColumnDefault(spark, path, "k2", "5")) // generated
+  }
+
+  // ---------------------------------------------------------- iceberg
+
+  test("iceberg: add-with-default fills appends via write-default; initial immutable") {
+    val path = freshDir("dflt_ice")
+    Iceberg.write(frame(3, withTag = false), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.addColumn(spark, path, "tag", StringType, initialDefault = Some("legacy"))
+    // pre-column rows read the initial default
+    assert(Iceberg.read(spark, path).filter(col("tag") === "legacy").count() == 3L)
+    assert(Iceberg.writeDefaults(path) == Map("tag" -> "'legacy'"))
+    // an append omitting the column materializes the WRITE default
+    Iceberg.write(frame(2, withTag = false)
+      .withColumn("k", col("k") + 100).select("k", "s"), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).filter(col("tag") === "legacy").count() == 5L)
+    // ALTER the write default: new rows flip, old rows and the
+    // initial default do not
+    Iceberg.setWriteDefault(spark, path, "tag", Some("fresh"))
+    Iceberg.write(frame(2, withTag = false)
+      .withColumn("k", col("k") + 200).select("k", "s"), path, mode = SaveMode.Append)
+    val byTag = Iceberg.read(spark, path).groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag == Map("legacy" -> 5L, "fresh" -> 2L))
+    // CLEAR: an append omitting the column refuses again
+    Iceberg.setWriteDefault(spark, path, "tag", None)
+    assertThrows[IllegalArgumentException](
+      Iceberg.write(frame(1, withTag = false), path, mode = SaveMode.Append))
+  }
+
+  test("iceberg: schema evolution re-emit carries defaults forward") {
+    val path = freshDir("dflt_ice_evolve")
+    Iceberg.write(frame(3, withTag = false), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.addColumn(spark, path, "tag", StringType, initialDefault = Some("legacy"))
+    // a mergeSchema append ADDS a new column — the re-emitted schema
+    // node must carry tag's initial-default/write-default, or the 3
+    // pre-column rows silently flip to null
+    Iceberg.write(frame(2, withTag = false)
+      .withColumn("k", col("k") + 50).withColumn("extra", col("k") * 2)
+      .select("k", "s", "extra"), path, mode = SaveMode.Append, mergeSchema = true)
+    val rows = Iceberg.read(spark, path)
+    assert(rows.filter(col("tag") === "legacy").count() == 5L,
+      "defaults must survive a schema re-emit")
+    assert(Iceberg.writeDefaults(path) == Map("tag" -> "'legacy'"))
+  }
+
+  test("iceberg: refusals — v2 table, unknown column, unservable type") {
+    val path = freshDir("dflt_ice_refuse")
+    Iceberg.write(frame(2, withTag = false), path)
+    assertThrows[IllegalArgumentException](
+      Iceberg.setWriteDefault(spark, path, "s", Some("x"))) // v2
+    assertThrows[IllegalArgumentException](
+      Iceberg.addColumn(spark, path, "c", IntegerType,
+        initialDefault = Some("5"))) // add-with-default is v3-only too
+    Iceberg.upgradeToV3(spark, path)
+    assertThrows[IllegalArgumentException](
+      Iceberg.setWriteDefault(spark, path, "nope", Some("x")))
+  }
+
+  // ------------------------------------------------------------- SQL
+
+  test("SQL: ALTER COLUMN SET/DROP DEFAULT through the graft catalog") {
+    import spark.implicits._
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "dbdflt")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbdflt")
+    // delta leg
+    DeltaLake.write(Seq((1L, "a", "explicit")).toDF("k", "s", "tag"),
+      whd.resolve("td").toString)
+    spark.sql("ALTER TABLE graft.dbdflt.td ALTER COLUMN tag SET DEFAULT 'sqld'")
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "s"), whd.resolve("td").toString,
+      mode = SaveMode.Append)
+    assert(spark.sql("SELECT tag FROM graft.dbdflt.td WHERE k = 2").collect()
+      .head.getString(0) == "sqld")
+    spark.sql("ALTER TABLE graft.dbdflt.td ALTER COLUMN tag DROP DEFAULT")
+    assertThrows[IllegalArgumentException](
+      DeltaLake.write(Seq((3L, "c")).toDF("k", "s"), whd.resolve("td").toString,
+        mode = SaveMode.Append))
+    // iceberg leg (typed: the SQL literal folds to a bare value)
+    val ti = whd.resolve("ti").toString
+    Iceberg.write(Seq((1L, 0)).toDF("k", "n"), ti)
+    Iceberg.upgradeToV3(spark, ti)
+    spark.sql("ALTER TABLE graft.dbdflt.ti ALTER COLUMN n SET DEFAULT 7")
+    Iceberg.write(Seq(Tuple1(2L)).toDF("k"), ti, mode = SaveMode.Append)
+    assert(spark.sql("SELECT n FROM graft.dbdflt.ti WHERE k = 2").collect()
+      .head.getInt(0) == 7)
+    // graft-native refuses loudly
+    graft.ingest.Versioned.commit(Seq((1L, "a")).toDF("k", "s"),
+      whd.resolve("tg").toString)
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dbdflt.tg ALTER COLUMN s SET DEFAULT 'x'"))
+    assert(err.getMessage.contains("not implemented for graft") ||
+      err.getMessage.toLowerCase.contains("default"))
+  }
+}
