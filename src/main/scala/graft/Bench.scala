@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // an explicit first arg beats the env var (a thin-client `set
+    // envVars` does not reach the forked runMain JVM; args always do)
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // parallelismFirst=false lets AQE coalesce micro-shuffles to the
     // advisory size: measured at sf0.1, local[32] drops 76.4s -> 62.7s
@@ -67,7 +70,9 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=a,b,c (dev aid) restricts to the named queries —
     // resolved here so the warm/calibration steps can be gated on it too.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = args.drop(1).find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
+      .orElse(sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
     // IVF index build is fit-once-offline infrastructure (a real deployment
     // constructs the index before serving queries); prewarm the cached
     // quantizer so l3d_ivf_ann times steady-state assignment+probe cost

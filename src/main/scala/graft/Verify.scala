@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [only=a,b,c]  — the optional third arg
+    // restricts the dump like SPARK_GRAFT_ONLY does, but reliably from
+    // `sbt --client` (a thin-client `set envVars` does not reach the
+    // forked runMain JVM; positional args always do)
+    val (sfDir, outDir) = (args(0), args(1))
+    val onlyArg = args.drop(2).find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +28,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c (dev aid, same contract as Bench): restrict
     // the dump to the named queries while iterating on one entry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = onlyArg.orElse(sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

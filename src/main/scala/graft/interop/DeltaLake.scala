@@ -2478,19 +2478,53 @@ object DeltaLake {
     * unmatched updates append. Untouched files stay live by reference:
     * O(touched files + updates), never O(table). */
   def upsertByKey(spark: SparkSession, path: String,
-      updates: DataFrame, key: String,
-      txn: Option[(String, Long)] = None): Long = {
+      updatesIn: DataFrame, key: String,
+      txn: Option[(String, Long)] = None,
+      // MERGE SCHEMA EVOLUTION: update columns the table lacks evolve
+      // the schema first (one metadata-only [[addColumn]] commit per
+      // new column — same end state as engines' single-commit
+      // autoMerge; a reader between the commits sees the column as
+      // NULL, which is also what every pre-merge row reads after)
+      mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val snap = snapshot(spark, path)
+    val snap0 = snapshot(spark, path)
     // idempotent replay guard — a foreachBatch MERGE replayed after a
     // crash between the commit and the checkpoint advance skips here,
-    // the same `txn` contract as the streaming sink
+    // the same `txn` contract as the streaming sink. (A crash BETWEEN
+    // an evolution commit and the merge commit replays cleanly too:
+    // the columns already exist, so the evolution pass is a no-op and
+    // the merge re-runs under this guard.)
     txn.foreach { case (appId, ver) =>
-      if (snap.txns.get(appId).exists(_ >= ver)) return snap.version
+      if (snap0.txns.get(appId).exists(_ >= ver)) return snap0.version
     }
-    require(snap.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
+    require(snap0.schema.fieldNames.contains(key), s"DeltaLake.upsertByKey: no column $key")
+    val snap =
+      if (!mergeSchema) snap0
+      else {
+        val conflicts = updatesIn.schema.fields.flatMap { f =>
+          snap0.schema.fields.find(_.name == f.name)
+            .filter(pf => cleanJson(StructType(Seq(pf))) != cleanJson(StructType(Seq(f))))
+            .map(pf => s"${f.name}: table ${pf.dataType.sql} vs update ${f.dataType.sql}")
+        }
+        require(conflicts.isEmpty,
+          s"DeltaLake.upsertByKey: mergeSchema type conflicts — ${conflicts.mkString("; ")}")
+        val newFields = updatesIn.schema.fields
+          .filterNot(f => snap0.schema.fieldNames.contains(f.name)).toSeq
+        if (newFields.isEmpty) snap0
+        else {
+          newFields.foreach(f => addColumn(spark, path, f.name, stripType(f.dataType)))
+          snapshot(spark, path)
+        }
+      }
+    // evolved updates reorder to the table's column order (new columns
+    // joined at the end by addColumn; the update frame may interleave)
+    val updates =
+      if (!mergeSchema) updatesIn
+      else updatesIn.select(snap.schema.fieldNames
+        .filter(updatesIn.columns.contains).toIndexedSeq.map(col): _*)
     require(cleanJson(snap.schema) == cleanJson(updates.schema),
-      "DeltaLake.upsertByKey: update schema differs from the table schema")
+      "DeltaLake.upsertByKey: update schema differs from the table schema " +
+        "(pass mergeSchema=true for additive evolution)")
     Writers.requireUniqueKeys("DeltaLake.upsertByKey", updates, key)
     // a row-tracked MERGE: matched updates are the SAME logical rows —
     // single-match images inherit the old row's id with this commit's

@@ -2135,12 +2135,41 @@ object Iceberg {
     * rows are replaced by the update images, unmatched updates append.
     * O(touched files + updates). */
   def upsertByKey(spark: SparkSession, path: String,
-      updates: DataFrame, key: String): Long = {
+      updatesIn: DataFrame, key: String,
+      // MERGE SCHEMA EVOLUTION: update columns the table lacks evolve
+      // the schema first (one metadata-only [[addColumn]] commit per
+      // new column, fresh field ids — same end state as engines'
+      // single-commit autoMerge; a reader between the commits sees the
+      // column as NULL, which is also what every pre-merge row reads
+      // after, by field-id resolution)
+      mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
+    if (mergeSchema) {
+      val tblSchema = snapshot(spark, path).schema
+      require(tblSchema.fieldNames.contains(key),
+        s"Iceberg.upsertByKey: no column $key (the merge key cannot be evolved in)")
+      val conflicts = updatesIn.schema.fields.flatMap { f =>
+        tblSchema.fields.find(_.name == f.name)
+          .filter(pf => cleanJson(StructType(Seq(pf))) != cleanJson(StructType(Seq(f))))
+          .map(pf => s"${f.name}: table ${pf.dataType.sql} vs update ${f.dataType.sql}")
+      }
+      require(conflicts.isEmpty,
+        s"Iceberg.upsertByKey: mergeSchema type conflicts — ${conflicts.mkString("; ")}")
+      updatesIn.schema.fields
+        .filterNot(f => tblSchema.fieldNames.contains(f.name))
+        .foreach(f => addColumn(spark, path, f.name, f.dataType))
+    }
     val s = snapshot(spark, path)
+    // evolved updates reorder to the table's column order (new columns
+    // joined at the end by addColumn; the update frame may interleave)
+    val updates =
+      if (!mergeSchema) updatesIn
+      else updatesIn.select(s.schema.fieldNames
+        .filter(updatesIn.columns.contains).toIndexedSeq.map(col): _*)
     require(s.schema.fieldNames.contains(key), s"Iceberg.upsertByKey: no column $key")
     require(cleanJson(s.schema) == cleanJson(updates.schema),
-      "Iceberg.upsertByKey: update schema differs from the table schema")
+      "Iceberg.upsertByKey: update schema differs from the table schema " +
+        "(pass mergeSchema=true for additive evolution)")
     Writers.requireUniqueKeys("Iceberg.upsertByKey", updates, key)
     val fv3 = formatVersion(path) == 3
     // metadata-column discovery — see deleteWhere for why not input_file_name

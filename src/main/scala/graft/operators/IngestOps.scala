@@ -3146,6 +3146,75 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S61: MERGE SCHEMA EVOLUTION graded — `upsertByKey(...,
+    * mergeSchema = true)` on both formats: update columns the table
+    * lacks evolve the schema (metadata-only add-column commits, fresh
+    * stable ids on the Iceberg side), pre-merge rows read NULL for
+    * them, matched rows update in place, inserts land with the new
+    * column populated. The update frame deliberately interleaves the
+    * new column mid-frame (the reorder contract). Without the flag
+    * the same merge refuses (require'd); the base is written
+    * key-range-partitioned and the matched slice is the lowest tenth,
+    * so unmatched files provably survive the rewrite (require'd on
+    * both formats' file sets — O(touched files), not O(table)). The
+    * Iceberg leg runs on v3 (the lineage-preserving path). */
+  val s61MergeEvolution = QueryDef(
+    "s61_merge_evolution",
+    (s, d) => {
+      import org.apache.spark.sql.SaveMode
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val src = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val hi = src.agg(max(col("o_orderkey"))).collect().head.getLong(0) / 10
+      val base = src.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+      val ups = src.filter((col("o_orderkey") % 2 === 0 && col("o_orderkey") <= hi)
+          || col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), lit("merged").as("src_tag"), col("o_totalprice"))
+      val dp = tmp("s61_delta", d); Writers.deleteTree(dp)
+      D.write(base, dp)
+      require(scala.util.Try(D.upsertByKey(s, dp, ups, "o_orderkey")).isFailure,
+        "s61: an evolving MERGE must refuse without mergeSchema")
+      val preD = D.snapshot(s, dp).files.map(_.path).toSet
+      D.upsertByKey(s, dp, ups, "o_orderkey", mergeSchema = true)
+      val postD = D.snapshot(s, dp)
+      require(postD.schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice", "src_tag"),
+        "s61: the delta schema must evolve with the new column at the end")
+      require(postD.files.map(_.path).toSet.intersect(preD).nonEmpty,
+        "s61: only matched files rewrite — key-ranged files outside the slice survive")
+      val ip = tmp("s61_ice", d); Writers.deleteTree(ip)
+      I.write(base, ip)
+      I.upgradeToV3(s, ip)
+      require(scala.util.Try(I.upsertByKey(s, ip, ups, "o_orderkey")).isFailure,
+        "s61: an evolving MERGE must refuse without mergeSchema")
+      val preI = I.files(s, ip).collect().map(_.getString(0)).toSet
+      I.upsertByKey(s, ip, ups, "o_orderkey", mergeSchema = true)
+      require(I.files(s, ip).collect().map(_.getString(0)).toSet
+        .intersect(preI).nonEmpty,
+        "s61: only matched files rewrite — key-ranged files outside the slice survive")
+      D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .groupBy(col("fmt"), coalesce(col("src_tag"), lit("none")).as("src_tag"))
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("fmt", "src_tag")
+    },
+    Some("""
+      WITH b AS (SELECT max(o_orderkey) // 10 AS hi FROM orders),
+      merged AS (
+        SELECT o_totalprice,
+          CASE WHEN o_orderkey % 2 = 0 AND o_orderkey > hi THEN 'none'
+               ELSE 'merged' END AS src_tag
+        FROM orders, b
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1)
+      SELECT fmt, src_tag, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (SELECT 'delta' AS fmt, * FROM merged
+            UNION ALL SELECT 'iceberg' AS fmt, * FROM merged)
+      GROUP BY fmt, src_tag ORDER BY fmt, src_tag
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3158,5 +3227,5 @@ object IngestOps extends QueryModule {
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
-    s59IcebergSortOrder, s60ColumnDefaults)
+    s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution)
 }
