@@ -2218,6 +2218,56 @@ object DeltaLake {
     v
   }
 
+  /** DROP a column — metadata only, COLUMN-MAPPED tables only (the
+    * protocol's own rule: without mapping, parquet-by-name resolution
+    * would resurrect the dropped data the moment the name is re-added;
+    * with mapping the files keep their physical column, the logical
+    * schema stops binding it, and a later re-ADD mints a FRESH
+    * physical identity that reads NULL everywhere).
+    * `delta.columnMapping.maxColumnId` never decreases, so mapping ids
+    * are never reused either. Refused for: the last column, partition
+    * and clustering columns, and columns referenced by a generation
+    * expression or CHECK constraint (dropping would orphan them). */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "dropColumn", mutates = false)
+    require(snap.mapMode.nonEmpty,
+      s"DeltaLake.dropColumn: $path is not column-mapped — without mapping, " +
+        "re-adding the name would resurrect the dropped data by parquet-by-name " +
+        "resolution (upgradeColumnMapping first; the protocol requires it too)")
+    require(snap.schema.fieldNames.contains(name), s"DeltaLake.dropColumn: no column $name")
+    require(snap.schema.fieldNames.length > 1,
+      s"DeltaLake.dropColumn: $name is the last column")
+    require(!snap.partitionColumns.contains(name),
+      s"DeltaLake.dropColumn: $name is a partition column")
+    require(!clusteringColsOf(snap).contains(name),
+      s"DeltaLake.dropColumn: $name is a clustering column")
+    val genRefs = snap.rawSchema.fields.filter(f =>
+      f.metadata.contains("delta.generationExpression") &&
+        f.metadata.getString("delta.generationExpression").contains(name)).map(_.name)
+    require(genRefs.isEmpty,
+      s"DeltaLake.dropColumn: generation expression of [${genRefs.mkString(", ")}] " +
+        s"references $name")
+    val conRefs = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") && v.contains(name) =>
+        k.stripPrefix("delta.constraints.")
+    }
+    require(conRefs.isEmpty,
+      s"DeltaLake.dropColumn: CHECK constraint(s) [${conRefs.mkString(", ")}] " +
+        s"reference $name")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val fields = snap.rawSchema.fields.filterNot(_.name == name)
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "DROP COLUMNS")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      metaDataLine(StructType(fields), snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
   /** Stage `rows` (table columns + `_change_type`) as cdc parquet
     * under `_change_data/`, partitioned like the table, and return the
     * spec's `cdc` action lines (`dataChange=false` per the protocol). */

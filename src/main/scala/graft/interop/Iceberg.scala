@@ -3253,6 +3253,50 @@ object Iceberg {
     metaV + 1
   }
 
+  /** DROP a column — metadata only: a new schema version without the
+    * field, ZERO data files touched (they keep the physical column;
+    * the schema simply stops binding its id). `last-column-id` is
+    * monotonic and ids are never reused, so a later re-ADD of the
+    * same NAME mints a FRESH id that reads NULL from every old file —
+    * dropped data can never resurrect under field-id resolution.
+    * Refused for: the last column, a partition source column of the
+    * default spec, a default-sort-order source, and while EQUALITY
+    * DELETE debt references the column (applying those retractions
+    * needs the field; compact first). */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.dropColumn: $path is a format-version 1 table — read-only here")
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
+    require(names.contains(name), s"Iceberg.dropColumn: no column $name")
+    require(names.length > 1, s"Iceberg.dropColumn: $name is the last column")
+    require(!partFieldsFromMeta(meta).exists(_.source == name),
+      s"Iceberg.dropColumn: $name is a partition source column")
+    require(!sortFieldsOf(meta).exists(_._1 == name),
+      s"Iceberg.dropColumn: $name is a default-sort-order source " +
+        "(clearSortOrder or setSortOrder first)")
+    val eqRefs = snapshot(spark, path).eqDeletes.filter(_.columns.contains(name))
+    require(eqRefs.isEmpty,
+      s"Iceberg.dropColumn: ${eqRefs.size} outstanding equality-delete file(s) " +
+        s"reference $name — compact the table first to fold the debt")
+    val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", maxSchemaId + 1)
+    val fieldsArr = newSchema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    val keep = iterator(sn.get("fields")).filterNot(_.get("name").asText == name).toSeq
+    fieldsArr.removeAll()
+    keep.foreach(f => fieldsArr.add(f.deepCopy[JsonNode]()): Unit)
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
   /** ADD an optional column: a new schema version whose field gets a
     * FRESH id above `last-column-id` (the spec's id-reuse guard), zero
     * data files touched — files without the id serve it as NULL under

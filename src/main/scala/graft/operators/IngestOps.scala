@@ -3215,6 +3215,52 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S62: DROP COLUMN graded — metadata-only on both formats with the
+    * id-reuse guard as the headline claim: after dropping o_custkey
+    * and RE-ADDING the same name, every row reads NULL (fresh physical
+    * identity under Delta column mapping / fresh field id under
+    * Iceberg field-id resolution — dropped data can never resurrect).
+    * Zero files touched by the drop (require'd on both file sets);
+    * the oracled result proves the surviving columns intact and the
+    * re-added name all-NULL. */
+  val s62DropColumn = QueryDef(
+    "s62_drop_column",
+    (s, d) => {
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val dp = tmp("s62_delta", d); Writers.deleteTree(dp)
+      D.write(src, dp, columnMapping = Some("name"))
+      val preD = D.snapshot(s, dp).files.map(_.path).toSet
+      D.dropColumn(s, dp, "o_custkey")
+      require(D.snapshot(s, dp).files.map(_.path).toSet == preD,
+        "s62: the delta drop must be metadata-only (zero files touched)")
+      D.addColumn(s, dp, "o_custkey", org.apache.spark.sql.types.LongType)
+      val ip = tmp("s62_ice", d); Writers.deleteTree(ip)
+      I.write(src, ip)
+      val preI = I.files(s, ip).collect().map(_.getString(0)).toSet
+      I.dropColumn(s, ip, "o_custkey")
+      require(I.files(s, ip).collect().map(_.getString(0)).toSet == preI,
+        "s62: the iceberg drop must be metadata-only (zero files touched)")
+      I.addColumn(s, ip, "o_custkey", org.apache.spark.sql.types.LongType)
+      D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_custkey")).as("n_custkey_resurrected"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("fmt")
+    },
+    Some("""
+      SELECT fmt, count(*) AS n_orders,
+        CAST(0 AS BIGINT) AS n_custkey_resurrected,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM (SELECT 'delta' AS fmt, o_totalprice FROM orders
+            UNION ALL SELECT 'iceberg' AS fmt, o_totalprice FROM orders)
+      GROUP BY fmt ORDER BY fmt
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3227,5 +3273,5 @@ object IngestOps extends QueryModule {
     s45InteropRestore, s46ColumnMapping, s47InteropConvert, s48IcebergWap,
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
-    s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution)
+    s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn)
 }

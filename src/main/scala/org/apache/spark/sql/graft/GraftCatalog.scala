@@ -276,9 +276,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "GraftCatalog ALTER DROP COLUMN: nested drops are not supported")
         fmt match {
           case "graft" => Versioned.dropColumn(path, del.fieldNames.head)
-          case other => throw new UnsupportedOperationException(
-            s"GraftCatalog: ALTER DROP COLUMN is not implemented for $other tables " +
-              "(it needs the format's delete-column evolution rules)")
+          case "delta" => graft.interop.DeltaLake.dropColumn(spark, path, del.fieldNames.head)
+          case _ => graft.interop.Iceberg.dropColumn(spark, path, del.fieldNames.head)
         }
       case upd: TableChange.UpdateColumnDefaultValue =>
         require(upd.fieldNames.length == 1,
@@ -310,8 +309,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
-          "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN " +
-          "(graft), ALTER COLUMN SET/DROP DEFAULT (delta, iceberg)")
+          "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
+          "ALTER COLUMN SET/DROP DEFAULT (delta, iceberg)")
     }
     loadTable(ident)
   }
