@@ -174,14 +174,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(fmt, dir.toString, fullName(ident), Map.empty)
   }
 
-  /** `VERSION AS OF <v>` — graft/Delta version, Iceberg snapshot id. */
+  /** `VERSION AS OF <v>` — graft/Delta version, Iceberg snapshot id;
+    * an Iceberg table also takes a NAMED REF (`VERSION AS OF 'tag'`),
+    * pinning the tag's or branch's snapshot like Iceberg's own Spark
+    * integration does. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
-    require(version.matches("-?\\d+"),
-      s"GraftCatalog: VERSION AS OF expects a numeric ${if (fmt == "iceberg") "snapshot id" else "version"}, got '$version'")
-    val key = if (fmt == "iceberg") "snapshotId" else "versionAsOf"
-    GraftTable(fmt, dir.toString, fullName(ident), Map(key -> version))
+    if (version.matches("-?\\d+")) {
+      val key = if (fmt == "iceberg") "snapshotId" else "versionAsOf"
+      GraftTable(fmt, dir.toString, fullName(ident), Map(key -> version))
+    } else fmt match {
+      case "iceberg" =>
+        val (sid, _) = graft.interop.Iceberg.refs(dir.toString).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"GraftCatalog: VERSION AS OF '$version' — ${fullName(ident)} has no " +
+              "such ref (expected a snapshot id, tag, or branch name)"))
+        GraftTable(fmt, dir.toString, fullName(ident), Map("snapshotId" -> sid.toString))
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog: VERSION AS OF expects a numeric version for $other tables, got '$version'")
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` (micros since epoch, per the V2 contract)

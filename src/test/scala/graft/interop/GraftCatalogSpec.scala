@@ -120,6 +120,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(rows(s"SELECT count(*) AS n FROM graft.db3.i VERSION AS OF ${s1.snapshotId}") ==
       Seq(Seq(3L)))
     assert(rows("SELECT count(*) AS n FROM graft.db3.i") == Seq(Seq(4L)))
+    // a NAMED REF pins the same snapshot: VERSION AS OF 'tag'
+    Iceberg.createRef(spark, tdir, "v1", s1.snapshotId)
+    assert(rows("SELECT count(*) AS n FROM graft.db3.i VERSION AS OF 'v1'") ==
+      Seq(Seq(3L)))
+    val noRef = intercept[Exception](
+      spark.sql("SELECT * FROM graft.db3.i VERSION AS OF 'nope'").collect())
+    assert(noRef.getMessage.contains("no such ref"))
     // MERGE through the catalog name lands the interop command
     spark.sql("""MERGE INTO graft.db3.i t USING (SELECT 4L AS k, 'D' AS v) s
                  ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
