@@ -749,8 +749,16 @@ object DeltaLake {
         f.name -> physicalField(f, mapMode.contains("id"), path).name
       }.toMap
     // logical schema without the mapping bookkeeping in field metadata
-    val logical = StructType(raw.fields.map(f =>
-      f.copy(dataType = stripType(f.dataType), metadata = Metadata.empty)))
+    // — but CURRENT_DEFAULT stays: it is Spark's own schema-metadata
+    // contract for column defaults, and the analyzer fills column-list
+    // INSERT omissions from exactly this key on the served schema
+    val logical = StructType(raw.fields.map { f =>
+      val md =
+        if (!f.metadata.contains("CURRENT_DEFAULT")) Metadata.empty
+        else new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", f.metadata.getString("CURRENT_DEFAULT")).build()
+      f.copy(dataType = stripType(f.dataType), metadata = md)
+    })
     Snapshot(target, logical, partCols, files.values.toSeq, mapping, tableConf,
       rawSchema = raw, protocol = protocolV, txns = txns, domains = domains)
   }
@@ -2068,6 +2076,13 @@ object DeltaLake {
       Json.writeValueAsString(ci)))
     v
   }
+
+  /** The table's declared column defaults as (column → SQL
+    * expression) — what [[write]] fills for omitted columns. */
+  def columnDefaults(spark: SparkSession, path: String): Map[String, String] =
+    snapshot(spark, path).rawSchema.fields
+      .filter(_.metadata.contains("CURRENT_DEFAULT"))
+      .map(f => f.name -> f.metadata.getString("CURRENT_DEFAULT")).toMap
 
   /** DROP a column's DEFAULT — metadata only; the feature stays on the
     * protocol (features are never removed), the column simply stops

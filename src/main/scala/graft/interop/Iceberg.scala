@@ -564,10 +564,19 @@ object Iceberg {
       // literal, vectorized; a file that has the column serves its
       // stored values, genuine nulls included), so the default rides
       // the scan schema instead of a plan-level rewrite.
-      if (!f.hasNonNull("initial-default")) base
-      else base.copy(metadata = new MetadataBuilder()
-        .putString("EXISTS_DEFAULT", defaultSql(tpe, f.get("initial-default")))
-        .build())
+      if (!f.hasNonNull("initial-default") && !f.hasNonNull("write-default")) base
+      else {
+        val mb = new MetadataBuilder()
+        // initial-default → the scan's per-file existence contract
+        if (f.hasNonNull("initial-default"))
+          mb.putString("EXISTS_DEFAULT", defaultSql(tpe, f.get("initial-default")))
+        // write-default → CURRENT_DEFAULT, the analyzer's INSERT-fill
+        // contract: `INSERT INTO t (k) ...` through the catalog fills
+        // the omitted column exactly like this library's writer does
+        if (f.hasNonNull("write-default"))
+          mb.putString("CURRENT_DEFAULT", defaultSql(tpe, f.get("write-default")))
+        base.copy(metadata = mb.build())
+      }
     }.toSeq)
   }
 

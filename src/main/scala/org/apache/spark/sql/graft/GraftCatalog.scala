@@ -26,7 +26,7 @@ import org.apache.spark.sql.connector.catalog.NamespaceChange
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{BooleanType, StructType}
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A metastore-free [[TableCatalog]] over a warehouse DIRECTORY: each
@@ -64,6 +64,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** Declares column-DEFAULT support so the analyzer accepts
+    * `CREATE TABLE (c T DEFAULT expr)` and fills INSERT column-list
+    * omissions from the table schema's CURRENT_DEFAULT metadata —
+    * [[createTable]] records the defaults per format (graft-native
+    * refuses loudly). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -231,12 +241,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "GraftCatalog: LOCATION is not supported — tables live under the warehouse directory"))
     val partSpecs = partitions.toSeq.map(t => GraftCatalog.transformSpec(t, fmt))
     val spark = SparkSession.active
+    // CREATE TABLE (c T DEFAULT expr): the analyzer delivers defaults
+    // as CURRENT_DEFAULT/EXISTS_DEFAULT field metadata (the declared
+    // SUPPORT_COLUMN_DEFAULT_VALUE contract). Each format records them
+    // its own way AFTER the create — strip the analyzer keys from the
+    // persisted schema so they can't masquerade as format metadata.
+    val defaulted: Seq[(String, String)] = schema.fields.toSeq
+      .filter(_.metadata.contains("CURRENT_DEFAULT"))
+      .map(f => f.name -> f.metadata.getString("CURRENT_DEFAULT"))
+    if (defaulted.nonEmpty) require(fmt != "graft",
+      "GraftCatalog: column DEFAULT is not implemented for graft-native tables " +
+        "(USING delta or iceberg)")
+    val persistSchema = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("CURRENT_DEFAULT"); mb.remove("EXISTS_DEFAULT")
+        f.copy(metadata = mb.build())
+      }
+    })
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       // partitioned creates write through partitionBy, which requires
       // the partition columns LAST in the frame — reorder, the reader
       // reports partition columns trailing anyway (Hive layout)
-      GraftCatalog.partitionsLast(schema, partitions))
+      GraftCatalog.partitionsLast(persistSchema, partitions))
     fmt match {
       case "graft" =>
         // an EMPTY partitioned commit writes no Hive dirs, so the
@@ -251,6 +280,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         graft.interop.DeltaLake.write(empty, dir.toString, partitionBy = partSpecs)
       case "iceberg" =>
         graft.interop.Iceberg.write(empty, dir.toString, partitionBy = partSpecs)
+    }
+    // declared defaults land as each format's own contract: Delta's
+    // CURRENT_DEFAULT metadata + allowColumnDefaults feature, Iceberg's
+    // v3 write-default (the create upgrades in place first — defaults
+    // are a v3 schema attribute)
+    if (defaulted.nonEmpty) fmt match {
+      case "delta" => defaulted.foreach { case (n, sql) =>
+        graft.interop.DeltaLake.setColumnDefault(spark, dir.toString, n, sql)
+      }
+      case _ =>
+        graft.interop.Iceberg.upgradeToV3(spark, dir.toString)
+        defaulted.foreach { case (n, sql) =>
+          graft.interop.Iceberg.setWriteDefault(spark, dir.toString, n,
+            Some(GraftCatalog.foldedDefault(spark, sql)))
+        }
     }
     loadTable(ident)
   }
@@ -302,19 +346,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             else graft.interop.DeltaLake.setColumnDefault(spark, path, colName, sql)
           case "iceberg" =>
             if (sql.isEmpty) graft.interop.Iceberg.setWriteDefault(spark, path, colName, None)
-            else {
-              // Iceberg metadata stores TYPED single values, not SQL
-              // text — fold the literal here (one constant, driver-side
-              // by definition) and hand over its rendering
-              val e = spark.sessionState.sqlParser.parseExpression(sql)
-              require(e.foldable,
-                s"GraftCatalog ALTER SET DEFAULT: '$sql' is not a constant expression")
-              val v = e.eval(null)
-              require(v != null,
-                "GraftCatalog ALTER SET DEFAULT: DEFAULT NULL is the same as no " +
-                  "default — use DROP DEFAULT")
-              graft.interop.Iceberg.setWriteDefault(spark, path, colName, Some(v.toString))
-            }
+            else graft.interop.Iceberg.setWriteDefault(spark, path, colName,
+              Some(GraftCatalog.foldedDefault(spark, sql)))
           case other => throw new UnsupportedOperationException(
             s"GraftCatalog: ALTER COLUMN SET DEFAULT is not implemented for $other " +
               "tables (the graft-native format has no column-defaults contract yet)")
@@ -353,6 +386,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** Fold a SQL DEFAULT expression to the bare single value Iceberg's
+    * TYPED metadata stores (one constant — driver-side by definition;
+    * non-constants refuse loudly). */
+  private[graft] def foldedDefault(spark: SparkSession, sql: String): String = {
+    val e = spark.sessionState.sqlParser.parseExpression(sql)
+    require(e.foldable, s"GraftCatalog: DEFAULT '$sql' is not a constant expression")
+    val v = e.eval(null)
+    require(v != null,
+      "GraftCatalog: DEFAULT NULL is the same as no default — omit it (or DROP DEFAULT)")
+    v.toString
+  }
 
   /** Commit-meta key recording a graft table's DECLARED partition
     * columns while the table is still empty (no Hive dirs to derive
@@ -639,11 +684,21 @@ case class GraftCatalogWriteCommand(
     val src = Dataset.ofRows(classic, source)
     val aligned =
       if (byName) {
-        val missing = tableSchema.fields.map(_.name)
-          .filterNot(c => src.columns.exists(_.equalsIgnoreCase(c)))
+        // a column-list INSERT may omit DEFAULTED columns — the format
+        // writers fill them (CURRENT_DEFAULT / write-default), so they
+        // are excluded from both the missing-columns refusal and the
+        // alignment select
+        val defaults: Set[String] = format match {
+          case "delta" => graft.interop.DeltaLake.columnDefaults(spark, path).keySet
+          case "iceberg" => graft.interop.Iceberg.writeDefaults(path).keySet
+          case _ => Set.empty
+        }
+        val present = (f: StructField) => src.columns.exists(_.equalsIgnoreCase(f.name))
+        val missing = tableSchema.fields.filterNot(present).map(_.name)
+          .filterNot(defaults.contains)
         require(missing.isEmpty,
           s"GraftCatalog INSERT by name: missing columns ${missing.mkString(", ")}")
-        src.select(tableSchema.fields.toIndexedSeq.map(f =>
+        src.select(tableSchema.fields.toIndexedSeq.filter(present).map(f =>
           col(src.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
       } else {
         require(src.columns.length == tableSchema.fields.length,

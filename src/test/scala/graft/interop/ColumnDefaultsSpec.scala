@@ -133,6 +133,37 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
 
   // ------------------------------------------------------------- SQL
 
+  test("SQL: CREATE TABLE with DEFAULT lands per-format; INSERT column lists fill") {
+    import spark.implicits._
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "dbcd")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbcd")
+    // delta: CREATE records CURRENT_DEFAULT + the feature; both the
+    // analyzer (SQL column-list INSERT) and this library's writer fill
+    spark.sql("CREATE TABLE graft.dbcd.td (k BIGINT, tag STRING DEFAULT 'fresh') USING delta")
+    val td = whd.resolve("td").toString
+    assert(DeltaLake.snapshot(spark, td).protocol.writerFeatures
+      .contains("allowColumnDefaults"))
+    spark.sql("INSERT INTO graft.dbcd.td (k) VALUES (1)")
+    DeltaLake.write(Seq(Tuple1(2L)).toDF("k"), td, mode = SaveMode.Append)
+    assert(spark.sql("SELECT tag FROM graft.dbcd.td ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("fresh", "fresh"))
+    // iceberg: the create upgrades to v3 and records write-default
+    spark.sql("CREATE TABLE graft.dbcd.ti (k BIGINT, tag STRING DEFAULT 'fresh') USING iceberg")
+    val ti = whd.resolve("ti").toString
+    assert(Iceberg.writeDefaults(ti) == Map("tag" -> "'fresh'"))
+    spark.sql("INSERT INTO graft.dbcd.ti (k) VALUES (1)")
+    Iceberg.write(Seq(Tuple1(2L)).toDF("k"), ti, mode = SaveMode.Append)
+    assert(spark.sql("SELECT tag FROM graft.dbcd.ti ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("fresh", "fresh"))
+    // graft-native refuses loudly; nothing half-creates
+    val err = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.dbcd.tg (k BIGINT, tag STRING DEFAULT 'x') USING graft"))
+    assert(err.getMessage.contains("not implemented for graft-native"))
+    assert(!spark.catalog.tableExists("graft.dbcd.tg"))
+  }
+
   test("SQL: ALTER COLUMN SET/DROP DEFAULT through the graft catalog") {
     import spark.implicits._
     val whd = Paths.get(System.getProperty("java.io.tmpdir"),
