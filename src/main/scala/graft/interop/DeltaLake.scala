@@ -2077,6 +2077,39 @@ object DeltaLake {
     v
   }
 
+  /** SET/UNSET free-form table properties (`ALTER TABLE ... SET
+    * TBLPROPERTIES`) — one metaData commit updating `configuration`.
+    * `delta.`-prefixed keys refuse loudly: those are PROTOCOL-BEHAVIOR
+    * switches owned by their dedicated APIs (enableChangeDataFeed,
+    * enableRowTracking, upgradeColumnMapping, addCheckConstraint,
+    * setColumnDefault, enableClustering, ...) — flipping one as a raw
+    * property would skip the feature ratchet and corrupt the table's
+    * invariants. */
+  def setTableProperties(spark: SparkSession, path: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "setTableProperties", mutates = false)
+    val behavioral = (set.keys ++ unset).filter(_.toLowerCase.startsWith("delta."))
+    require(behavioral.isEmpty,
+      s"DeltaLake.setTableProperties: [${behavioral.mkString(", ")}] are protocol " +
+        "behavior keys — use the dedicated API for each (raw property writes skip " +
+        "the feature ratchet)")
+    val missing = unset.filterNot(snap.configuration.contains)
+    require(missing.isEmpty,
+      s"DeltaLake.setTableProperties: UNSET of absent keys [${missing.mkString(", ")}]")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val conf = snap.configuration ++ set -- unset
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+    commitLines(fs, root, v, conf = conf, lines = Seq(
+      metaDataLine(snap.rawSchema, snap.partitionColumns, now, conf),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
   /** The table's declared column defaults as (column → SQL
     * expression) — what [[write]] fills for omitted columns. */
   def columnDefaults(spark: SparkSession, path: String): Map[String, String] =

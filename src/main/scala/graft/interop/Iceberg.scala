@@ -3417,6 +3417,43 @@ object Iceberg {
     metaV + 1
   }
 
+  /** The table's properties (spec `properties` map) — empty when the
+    * metadata carries none. */
+  def tableProperties(path: String): Map[String, String] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, m) = readMetadata(fs, root)
+    Option(m.get("properties")).filter(_.isObject).map { p =>
+      val b = Map.newBuilder[String, String]
+      p.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** SET/UNSET table properties (`ALTER TABLE ... SET TBLPROPERTIES`)
+    * — a metadata-only commit updating the spec's `properties` map,
+    * which every write carries forward. The writer-managed
+    * `schema.name-mapping.default` refuses (it tracks schema evolution
+    * and a raw overwrite would desync converted-file resolution). */
+  def setTableProperties(spark: SparkSession, path: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val reserved = (set.keys ++ unset).filter(_ == "schema.name-mapping.default")
+    require(reserved.isEmpty,
+      "Iceberg.setTableProperties: schema.name-mapping.default is writer-managed " +
+        "(it evolves with the schema) — not settable as a raw property")
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val props = m.withObject("properties")
+    val missing = unset.filterNot(k => props.hasNonNull(k))
+    require(missing.isEmpty,
+      s"Iceberg.setTableProperties: UNSET of absent keys [${missing.mkString(", ")}]")
+    set.foreach { case (k, v) => props.put(k, v): Unit }
+    unset.foreach(k => props.remove(k))
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
   /** The current schema's write defaults as (column → SQL literal) —
     * what [[write]] fills for omitted columns; empty when none. */
   def writeDefaults(path: String): Map[String, String] = {

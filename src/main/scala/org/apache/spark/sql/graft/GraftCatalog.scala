@@ -352,10 +352,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"GraftCatalog: ALTER COLUMN SET DEFAULT is not implemented for $other " +
               "tables (the graft-native format has no column-defaults contract yet)")
         }
+      case sp: TableChange.SetProperty =>
+        fmt match {
+          case "delta" =>
+            graft.interop.DeltaLake.setTableProperties(spark, path,
+              Map(sp.property -> sp.value))
+          case "iceberg" =>
+            graft.interop.Iceberg.setTableProperties(spark, path,
+              Map(sp.property -> sp.value))
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: SET TBLPROPERTIES is not implemented for $other tables")
+        }
+      case rp: TableChange.RemoveProperty =>
+        fmt match {
+          case "delta" =>
+            graft.interop.DeltaLake.setTableProperties(spark, path,
+              Map.empty, unset = Seq(rp.property))
+          case "iceberg" =>
+            graft.interop.Iceberg.setTableProperties(spark, path,
+              Map.empty, unset = Seq(rp.property))
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: UNSET TBLPROPERTIES is not implemented for $other tables")
+        }
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
           "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
-          "ALTER COLUMN SET/DROP DEFAULT (delta, iceberg)")
+          "ALTER COLUMN SET/DROP DEFAULT, SET/UNSET TBLPROPERTIES (delta, iceberg)")
     }
     loadTable(ident)
   }
@@ -526,8 +548,19 @@ case class GraftTable(format: String, path: String, fullName: String,
     }.toArray
   }
 
+  /** The format's own table properties (Delta `configuration`,
+    * Iceberg `properties`) under the provider/location pair — what
+    * SHOW TBLPROPERTIES and DESCRIBE EXTENDED render. */
+  private lazy val formatProperties: Map[String, String] = format match {
+    case "delta" =>
+      graft.interop.DeltaLake.snapshot(SparkSession.active, path).configuration
+    case "iceberg" => graft.interop.Iceberg.tableProperties(path)
+    case _ => Map.empty
+  }
+
   override def properties(): java.util.Map[String, String] =
-    (Map(TableCatalog.PROP_PROVIDER -> format, TableCatalog.PROP_LOCATION -> path)
+    (formatProperties
+      ++ Map(TableCatalog.PROP_PROVIDER -> format, TableCatalog.PROP_LOCATION -> path)
       ++ travel).asJava
 
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =

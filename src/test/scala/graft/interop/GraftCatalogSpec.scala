@@ -101,6 +101,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     val ddl = rows("SHOW CREATE TABLE graft.db2.d").head.head.toString
     assert(ddl.contains("USING delta") && ddl.contains("PARTITIONED BY (grp)"),
       s"unexpected DDL: $ddl")
+    // TBLPROPERTIES: free-form keys round-trip; delta.* behavior keys
+    // refuse (they are owned by their feature-ratcheting APIs)
+    spark.sql("ALTER TABLE graft.db2.d SET TBLPROPERTIES ('owner.team' = 'ingest')")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.db2.d").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("owner.team").contains("ingest"))
+    val behavioral = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db2.d SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')"))
+    assert(behavioral.getMessage.contains("behavior keys"))
   }
 
   test("iceberg format: transform partitions via SQL, snapshot time travel, MERGE") {
@@ -127,6 +136,18 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
     val noRef = intercept[Exception](
       spark.sql("SELECT * FROM graft.db3.i VERSION AS OF 'nope'").collect())
     assert(noRef.getMessage.contains("no such ref"))
+    // SET/UNSET TBLPROPERTIES round-trip through SHOW TBLPROPERTIES,
+    // and survive a write (the metadata carries properties forward)
+    spark.sql("ALTER TABLE graft.db3.i SET TBLPROPERTIES ('owner.team' = 'ingest')")
+    spark.sql("INSERT INTO graft.db3.i VALUES (9, 'z')")
+    def props() = spark.sql("SHOW TBLPROPERTIES graft.db3.i").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("owner.team").contains("ingest"))
+    spark.sql("ALTER TABLE graft.db3.i UNSET TBLPROPERTIES ('owner.team')")
+    assert(!props().contains("owner.team"))
+    val reserved = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db3.i SET TBLPROPERTIES ('schema.name-mapping.default' = '[]')"))
+    assert(reserved.getMessage.contains("writer-managed"))
     // MERGE through the catalog name lands the interop command
     spark.sql("""MERGE INTO graft.db3.i t USING (SELECT 4L AS k, 'D' AS v) s
                  ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
