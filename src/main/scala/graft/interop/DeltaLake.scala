@@ -2435,11 +2435,25 @@ object DeltaLake {
     * re-delivers a tail. Returns the committed version, or the current
     * one when there is nothing to do. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      // OPTIMIZE ... WHERE at 100-TB scale: restrict the rewrite to
+      // partitions whose values (LOGICAL column names) equal every
+      // filter entry — files elsewhere are untouched, their deletion
+      // vectors included
+      partitionFilter: Map[String, String] = Map.empty): Long = {
     val snap = snapshot(spark, path)
-    val smallByPart = snap.files.filter(_.size < targetBytes / 2)
+    if (partitionFilter.nonEmpty) {
+      val bad = partitionFilter.keys.filterNot(snap.partitionColumns.contains)
+      require(bad.isEmpty,
+        s"DeltaLake.compact: [${bad.mkString(", ")}] are not partition columns " +
+          s"of $path (have: ${snap.partitionColumns.mkString(", ")})")
+    }
+    val inScope = (f: AddFile) => partitionFilter.forall { case (k, v) =>
+      f.partitionValues.get(snap.physicalName(k)).exists(_.contains(v))
+    }
+    val smallByPart = snap.files.filter(inScope).filter(_.size < targetBytes / 2)
       .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
-    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    val dvFiles = snap.files.filter(inScope).filter(_.dv.nonEmpty)
     val selected = (smallByPart ++ dvFiles).distinctBy(_.path)
     if (selected.isEmpty) return snap.version
     val sub = snap.copy(files = selected)

@@ -2343,22 +2343,43 @@ object Iceberg {
     * too. Returns the committed snapshot id, or the current one when
     * there is nothing to do. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      // OPTIMIZE ... WHERE at 100-TB scale: restrict the rewrite to
+      // partitions whose spec partition values (by partition FIELD
+      // name, transformed values as strings) equal every filter entry.
+      // Out-of-scope delete debt stays APPLIED: carried delete
+      // manifests keep matching the untouched files (rewritten files
+      // take fresh paths and higher sequence numbers, so neither
+      // position nor equality deletes can re-hit compacted rows).
+      partitionFilter: Map[String, String] = Map.empty): Long = {
     val s = snapshot(spark, path)
+    if (partitionFilter.nonEmpty) {
+      val partNames = s.partFields.map(_.name).toSet
+      val bad = partitionFilter.keys.filterNot(partNames.contains)
+      require(bad.isEmpty,
+        s"Iceberg.compact: [${bad.mkString(", ")}] are not partition fields " +
+          s"of $path (have: ${partNames.mkString(", ")})")
+    }
+    val inScope = (f: DataFileRef) => partitionFilter.forall { case (k, v) =>
+      f.partitionValues.get(k).exists(_.contains(v))
+    }
     val (_, root) = Writers.fsFor(path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    val smallByPart = s.files.filter(_.sizeInBytes < targetBytes / 2)
+    val smallByPart = s.files.filter(inScope).filter(_.sizeInBytes < targetBytes / 2)
       .groupBy(_.partitionValues).values.filter(_.size > 1).flatten.toSeq
     val posCovered: Set[String] =
       if (s.deletes.isEmpty && s.dvDeletes.isEmpty) Set.empty
       else coveredByPositionDebt(spark, root, s).map(rootPrefix + _)
     val maxEqSeq = s.eqDeletes.map(_.seq).maxOption.getOrElse(Long.MinValue)
-    val debtFiles = s.files.filter(f =>
+    val debtFilesAll = s.files.filter(f =>
       posCovered.contains(Hive.fsPathNoDecode(f.path)) || f.seq < maxEqSeq)
+    val debtFiles = debtFilesAll.filter(inScope)
     val selected = (smallByPart ++ debtFiles).distinctBy(_.path)
     if (selected.isEmpty) {
       // delete files that apply to nothing: metadata-only cleanup
-      if (s.hasDeleteDebt)
+      // (whole-table calls only — a scoped call must not reason about
+      // debt outside its slice)
+      if (s.hasDeleteDebt && partitionFilter.isEmpty && debtFilesAll.isEmpty)
         return commitRewriteSnapshot(spark, path, Set.empty, None, "replace",
           dropDeleteManifests = true)
       return s.snapshotId
@@ -2370,11 +2391,13 @@ object Iceberg {
     val nOut = math.max(1L,
       (selected.map(_.sizeInBytes).sum + targetBytes - 1) / targetBytes).toInt
     val selectedAbs = selected.map(f => Hive.fsPathNoDecode(f.path)).toSet
-    // every file any delete applies to is in the selection (debtFiles ⊆
-    // selected), so after the rewrite no delete manifest applies to
-    // anything — safe to drop them whenever debt existed
+    // delete manifests drop only when EVERY file any delete applies to
+    // is in the selection — always true for whole-table calls
+    // (debtFilesAll ⊆ selected), and checked exactly for scoped ones
     commitRewriteSnapshot(spark, path, selectedAbs, Some(rows.coalesce(nOut)),
-      "replace", dropDeleteManifests = s.hasDeleteDebt)
+      "replace", dropDeleteManifests =
+        s.hasDeleteDebt && debtFilesAll.forall(f => selectedAbs.contains(
+          Hive.fsPathNoDecode(f.path))))
   }
 
   // ------------------------------------------------------ sort orders
