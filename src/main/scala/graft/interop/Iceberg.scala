@@ -696,6 +696,42 @@ object Iceberg {
         "sequence_number", "target")
   }
 
+  /** The `manifests` metadata table: one row per manifest of the
+    * CURRENT snapshot's manifest list — content kind, length, sequence
+    * numbers, and the added/existing/deleted counts planning reads.
+    * Metadata-only (one avro list file), the audit surface for
+    * manifest sprawl before it slows planning. */
+  def manifestsTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
+    val curId = meta.get("current-snapshot-id").asLong
+    val snapNode = iterator(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == curId).get
+    val rows: Seq[(String, String, Long, Long, Long, Long, Long, Long)] =
+      if (snapNode.hasNonNull("manifest-list"))
+        readAvro(fs, new HPath(snapNode.get("manifest-list").asText)).map { mf =>
+          val kind = avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
+            case 0 => "data"
+            case _ => "deletes"
+          }
+          (mf.get("manifest_path").toString, kind,
+            avroOpt(mf, "manifest_length").map(_.asInstanceOf[Long]).getOrElse(-1L),
+            avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+            avroOpt(mf, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+            avroOpt(mf, "added_files_count").map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+            avroOpt(mf, "existing_files_count").map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
+            avroOpt(mf, "deleted_files_count").map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+        }
+      else iterator(snapNode.get("manifests")).map(n =>
+        (n.asText, "data", -1L, 0L, 0L, 0L, 0L, 0L)).toSeq
+    rows.sortBy(r => (r._2, r._4, r._1))
+      .toDF("path", "content", "length", "sequence_number",
+        "min_sequence_number", "added_files_count", "existing_files_count",
+        "deleted_files_count")
+  }
+
   /** The `partitions` metadata table: per-partition file count, row
     * count, and bytes of the current snapshot — the ops surface for
     * spotting skewed or fragmented partitions before they hurt. */

@@ -113,6 +113,8 @@ final class IcebergSourceProvider extends RelationProvider
       val toS = opt(parameters, "toSeq").map(_.toLong)
       return inspection(Iceberg.changeLog(sqlContext.sparkSession, path, from, toS))
     }
+    if (opt(parameters, "manifests").exists(_.toBoolean))
+      return inspection(Iceberg.manifestsTable(sqlContext.sparkSession, path))
     if (opt(parameters, "snapshots").exists(_.toBoolean))
       return inspection(Iceberg.snapshotsTable(sqlContext.sparkSession, path))
     if (opt(parameters, "refs").exists(_.toBoolean))

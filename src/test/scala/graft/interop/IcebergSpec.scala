@@ -868,6 +868,15 @@ class IcebergSpec extends AnyFunSuite with SparkFixture {
     val refRows = refs.as[(String, String, Long)].collect().toSet
     assert(refRows == Set(("main", "BRANCH", ids.last),
       ("pin", "TAG", ids.head), ("stage", "BRANCH", ids.last)))
+    // the manifests table: one row per current-snapshot manifest,
+    // counts straight from the list file, zero data files planned
+    val mans = spark.read.format("iceberg").option("manifests", "true").load(path)
+    assert(mans.inputFiles.isEmpty)
+    val mRows = mans.collect()
+    assert(mRows.length == 2 && mRows.forall(_.getString(1) == "data"))
+    assert(mRows.map(r => r.getLong(5)).toSeq.sorted == Seq(1L, 1L),
+      "each append's manifest added exactly one file")
+    assert(mRows.forall(r => r.getString(0).endsWith(".avro") && r.getLong(2) > 0L))
   }
 
   test("branch writes + fastForward implement write-audit-publish") {
