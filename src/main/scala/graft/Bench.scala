@@ -92,15 +92,15 @@ object Bench {
     // "regression". cal_cpu is pure deterministic compute (no IO);
     // cal_scan is one full parquet scan of the biggest table (IO+decode).
     // Probes report -1 on failure (e.g. a missing table) rather than
-    // aborting the run; full-registry runs need them, ONLY-filtered dev
-    // runs skip them (single-query timings aren't cross-window
-    // normalized anyway).
+    // aborting the run. They run in ONLY-filtered mode too (r10 verdict:
+    // the probes are the one tool for adjudicating this host's window
+    // drift, and a targeted outlier A/B is exactly when they're needed).
     def timed(work: => Unit): Double =
       try {
         val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => System.err.println(s"[bench] probe failed: ${e.getMessage}"); -1.0 }
-    val calCpu = if (only.isEmpty) timed(spark.range(500000000L).selectExpr("sum(id * 3 + 7)").collect()) else -1.0
-    val calScan = if (only.isEmpty) timed(spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("count(*)").collect()) else -1.0
+    val calCpu = timed(spark.range(500000000L).selectExpr("sum(id * 3 + 7)").collect())
+    val calScan = timed(spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("count(*)").collect())
     var failed = List.empty[String]
     var failedSec = 0.0
     // SPARK_GRAFT_RUNS (default 2): each query executes N times and the

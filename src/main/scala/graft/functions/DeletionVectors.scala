@@ -71,6 +71,15 @@ trait DvPositionSource extends Serializable {
   /** Decode this source's deleted row positions — called lazily on the
     * first executor (or driver, in local mode) that probes the file. */
   def positions(): Array[Long]
+
+  /** STABLE identity of the bytes this descriptor decodes — the
+    * JVM-global decode-cache key (and the driver's descriptor-set
+    * comparator). Must be equal across serialization round-trips and
+    * must not lean on default `toString` (a captured Hadoop conf's
+    * identity hash differs per deserialized task and would defeat the
+    * cache). Blobs are immutable once committed, so equal keys imply
+    * equal positions. */
+  def cacheKey: String
 }
 
 /** Descriptor-only deletion-vector filter: the serialized plan ships
@@ -85,18 +94,23 @@ final class DvDescriptorMap(
     sources: Map[String, Seq[DvPositionSource]]) extends DvFilter {
 
   @transient private lazy val loaded =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Long])]
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]
   @transient private lazy val cache =
     new ThreadLocal[(UTF8String, (Array[Long], Array[Long]))]
 
   private def runsFor(key: String): (Array[Long], Array[Long]) =
     sources.get(key) match {
       case None => DvFilter.Empty
-      case Some(ss) => loaded.computeIfAbsent(key, _ => {
-        val pos = ss.iterator.flatMap(_.positions().iterator).toArray
-        java.util.Arrays.sort(pos)
-        DvFilter.positionsToRuns(pos)
-      })
+      case Some(ss) =>
+        loaded.add(key)
+        // decode through the JVM-GLOBAL cache: filter instances are
+        // per deserialized task, so an instance-local map would
+        // re-decode every blob once per task (O(tasks × blobs) IO)
+        DvDescriptorMap.getOrDecode(ss.map(_.cacheKey).sorted.mkString("|"), () => {
+          val pos = ss.iterator.flatMap(_.positions().iterator).toArray
+          java.util.Arrays.sort(pos)
+          DvFilter.positionsToRuns(pos)
+        })
     }
 
   def contains(file: UTF8String, pos: Long): Boolean = {
@@ -118,9 +132,58 @@ final class DvDescriptorMap(
     * size bound (test seam: O(files), never O(positions)). */
   def descriptorCount: Int = sources.size
 
-  /** How many files' bitmaps THIS JVM has decoded so far — 0 until an
-    * action actually scans a covered file (test seam for laziness). */
+  /** How many files' bitmaps THIS INSTANCE has resolved so far — 0
+    * until an action actually scans a covered file (test seam for
+    * laziness; the decoded runs themselves live in the JVM-global
+    * cache). */
   def loadedCount: Int = loaded.size
+}
+
+object DvDescriptorMap {
+  /** JVM-global decoded-runs cache, keyed by the per-file descriptor
+    * identity ([[DvPositionSource.cacheKey]]) — shared across tasks,
+    * scans, and filter instances. Soft values: a long-lived executor
+    * sheds cold bitmaps under memory pressure instead of OOMing. */
+  private val global = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[(Array[Long], Array[Long])]]
+
+  private[functions] def getOrDecode(key: String,
+      decode: () => (Array[Long], Array[Long])): (Array[Long], Array[Long]) = {
+    val ref = global.get(key)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val v = decode()
+      global.put(key, new java.lang.ref.SoftReference(v))
+      v
+    }
+  }
+
+  /** Test seam: entries currently cached in this JVM. */
+  def cachedEntries: Int = global.size
+}
+
+/** A [[DvFilter]] shipped by TORRENT BROADCAST instead of riding the
+  * serialized plan: the task binary carries only the broadcast handle,
+  * and the descriptor map moves once per executor — a table with ~1M
+  * DV files would otherwise ship a multi-MB map inside every task. The
+  * inner filter resolves lazily on first probe and is cached. */
+final class BroadcastDvFilter(
+    bc: org.apache.spark.broadcast.Broadcast[DvFilter]) extends DvFilter {
+  @transient private lazy val inner: DvFilter = bc.value
+  def contains(file: UTF8String, pos: Long): Boolean = inner.contains(file, pos)
+}
+
+/** CDC position diff as a FILTER: `(file, pos)` is newly covered when
+  * the CHILD state's deletes cover it and the PARENT state's do not —
+  * exactly the per-commit delete image a changelog emits for a
+  * merge-on-read delete. Composed from two descriptor-only filters, so
+  * the diff itself is computed task-side, per file, off lazily decoded
+  * bitmaps (a per-file bitmap diff keyed by the probing scan — the
+  * driver ships descriptors, never positions). */
+final class DvDiff(child: DvFilter, parent: DvFilter) extends DvFilter {
+  def contains(file: UTF8String, pos: Long): Boolean =
+    child.contains(file, pos) && !parent.contains(file, pos)
 }
 
 /** POSITIONAL DELETION VECTOR lookup — the read half of the

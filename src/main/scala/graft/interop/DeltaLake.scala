@@ -57,7 +57,7 @@ object DeltaLake {
     * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
-    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck", "typeWidening")
   /** Writer features this from-spec writer honors. A table demanding
     * anything else (icebergCompat, inCommitTimestamp, ...) refuses
     * WRITES loudly — ignoring an unimplemented writer feature corrupts
@@ -65,7 +65,8 @@ object DeltaLake {
   private val SupportedWriterFeatures = Set("appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
-    "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults")
+    "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults",
+    "typeWidening")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -1015,7 +1016,11 @@ object DeltaLake {
         f.dv.map(d => f.path -> Seq(dvSourceFor(path, root, d, conf)))
       }.toMap
     DvIntrospect.lastReadDescriptors = sources.size
-    new graft.functions.DvDescriptorMap(rootPrefix, sources)
+    // the map moves by broadcast, once per executor — the task binary
+    // carries only the handle (a 1M-DV-file table would otherwise
+    // ship a multi-MB map inside every serialized task)
+    new graft.functions.BroadcastDvFilter(spark.sparkContext.broadcast(
+      new graft.functions.DvDescriptorMap(rootPrefix, sources)))
   }
 
   /** The [[org.apache.spark.sql.sources.BaseRelation]] behind [[read]]
@@ -1389,8 +1394,13 @@ object DeltaLake {
     // costs zero extra files.
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val priorSrc: Map[String, graft.functions.DvPositionSource] =
-      snap.files.flatMap(f => f.dv.map(d => f.path -> dvSourceFor(path, root, d, conf))).toMap
+    // prior descriptors ride a BROADCAST, not the task closure — a
+    // table with ~1M DV files would otherwise ship the map inside
+    // every serialized task binary
+    val priorSrc: org.apache.spark.broadcast.Broadcast[
+        Map[String, graft.functions.DvPositionSource]] =
+      spark.sparkContext.broadcast(snap.files.flatMap(f =>
+        f.dv.map(d => f.path -> dvSourceFor(path, root, d, conf))).toMap)
     val rootStr = root.toString
     val InlineMax = 512
     import spark.implicits._
@@ -1403,7 +1413,7 @@ object DeltaLake {
         var curRel: String = null
         val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
         def finish(): Unit = if (curRel != null) {
-          val merged = priorSrc.get(curRel) match {
+          val merged = priorSrc.value.get(curRel) match {
             case Some(src) => pos.toArray ++ src.positions()
             case None => pos.toArray
           }
@@ -1427,6 +1437,10 @@ object DeltaLake {
         }
         finish()
         if (large.nonEmpty) {
+          // UUID-fresh per attempt: a retried/speculative task leaves
+          // its predecessor's blob ORPHANED (never logged — only the
+          // winning attempt's descriptors commit), and [[vacuum]]
+          // reclaims any .bin no live descriptor references
           val binPath = new HPath(rootStr,
             s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
           val framing = DeltaDv.writeFile(
@@ -1591,24 +1605,28 @@ object DeltaLake {
       if (prior.minReader >= 2) Seq("columnMapping") else Nil,
       (legacyWriterFeatures(prior.minWriter) ++ feats).distinct)
 
-  /** The protocol after additionally requiring deletion-vector
-    * support (a READER feature — the reader version bumps to 3). A
+  /** The protocol after additionally requiring a READER+WRITER table
+    * feature (the reader version bumps to 3, the writer to 7). A
     * table already on the features protocol — by EITHER version (a
     * row-tracked table sits at minReader 1 / minWriter 7) — keeps its
     * feature list; only true legacy versions translate. */
-  private def withDeletionVectors(prior: Protocol): Protocol =
+  private def withReaderWriterFeature(prior: Protocol, feat: String): Protocol =
     if (prior.minReader >= 3 || prior.minWriter >= 7) {
       val rf =
         if (prior.minReader >= 3) prior.readerFeatures
         else if (prior.minReader >= 2) Seq("columnMapping")
         else Nil
-      Protocol(3, 7, (rf :+ "deletionVectors").distinct,
-        (prior.writerFeatures :+ "deletionVectors").distinct)
+      Protocol(3, 7, (rf :+ feat).distinct,
+        (prior.writerFeatures :+ feat).distinct)
     } else {
       val legacyReader = if (prior.minReader >= 2) Seq("columnMapping") else Nil
-      Protocol(3, 7, (legacyReader :+ "deletionVectors").distinct,
-        (legacyWriterFeatures(prior.minWriter) :+ "deletionVectors").distinct)
+      Protocol(3, 7, (legacyReader :+ feat).distinct,
+        (legacyWriterFeatures(prior.minWriter) :+ feat).distinct)
     }
+
+  /** The protocol after additionally requiring deletion-vector support. */
+  private def withDeletionVectors(prior: Protocol): Protocol =
+    withReaderWriterFeature(prior, "deletionVectors")
 
   // --------------------------------------------------------- row tracking
 
@@ -2072,6 +2090,75 @@ object DeltaLake {
     info.put("timestamp", now); info.put("operation", "ALTER COLUMN")
     commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       protocolLine(withWriterFeatures(snap.protocol, Seq("allowColumnDefaults"))),
+      metaDataLine(newSchema, snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** The type promotions the `typeWidening` table feature admits and
+    * Spark 4's parquet readers serve losslessly off NARROW physical
+    * files: the integer family upward, float→double, and decimal
+    * PRECISION widening at the same scale. Everything else — any
+    * narrowing, cross-family moves, scale changes — refuses loudly
+    * (a promotion the reader can't upcast would misread every
+    * pre-widen file). */
+  private[graft] def wideningOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision
+    case _ => false
+  }
+
+  /** TYPE WIDENING (`ALTER COLUMN ... TYPE`, the protocol's
+    * `typeWidening` reader+writer feature): promote a column's type in
+    * metadata ONLY — zero data files rewritten. Files written before
+    * the change keep the narrow physical type and upcast at scan time
+    * (Spark's parquet readers serve int32 as long, float as double,
+    * and re-scaled decimals natively); files written after carry the
+    * wide type. The change history lands as the spec's
+    * `delta.typeChanges` field-metadata array (fromType / toType /
+    * tableVersion), and the protocol ratchets to the features shape
+    * (reader 3 / writer 7) because a pre-feature reader would misread
+    * the narrow files. Partition columns refuse — their values parse
+    * from directory strings, and widening silently changes file
+    * assignment semantics. */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+      to: DataType): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "widenColumnType", mutates = false)
+    require(snap.schema.fieldNames.contains(name),
+      s"DeltaLake.widenColumnType: $name is not a column of $path")
+    require(!snap.partitionColumns.contains(name),
+      s"DeltaLake.widenColumnType: $name is a partition column — widening it " +
+        "would reinterpret every directory value")
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    require(wideningOk(field.dataType, to),
+      s"DeltaLake.widenColumnType: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a widening promotion (allowed: the integer " +
+        "family upward, float->double, decimal precision widen at the same scale)")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val hist = if (field.metadata.contains("delta.typeChanges"))
+      field.metadata.getMetadataArray("delta.typeChanges").toSeq else Nil
+    val entry = new MetadataBuilder()
+      .putString("fromType", field.dataType.typeName)
+      .putString("toType", to.typeName)
+      .putLong("tableVersion", v)
+      .build()
+    val newField = field.copy(dataType = to, metadata = new MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putMetadataArray("delta.typeChanges", (hist :+ entry).toArray).build())
+    val newSchema = StructType(snap.rawSchema.fields.updated(idx, newField))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER COLUMN")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      protocolLine(withReaderWriterFeature(snap.protocol, "typeWidening")),
       metaDataLine(newSchema, snap.partitionColumns, now, snap.configuration),
       Json.writeValueAsString(ci)))
     v

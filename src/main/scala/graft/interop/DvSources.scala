@@ -22,6 +22,8 @@ private[graft] object DvSources {
     * in the descriptor itself (they came out of the log line — already
     * driver metadata), only the bitmap DECODE is deferred. */
   final case class Inline(bytes: Array[Byte], cardinality: Long) extends DvPositionSource {
+    override def cacheKey: String =
+      s"inline:${java.util.Arrays.hashCode(bytes)}:${bytes.length}#$cardinality"
     override def positions(): Array[Long] = {
       val out = DeltaDv.deserialize(bytes)
       require(out.length.toLong == cardinality,
@@ -36,6 +38,7 @@ private[graft] object DvSources {
     * the same integrity require the old driver-side loader enforced. */
   final case class DeltaBlob(abs: String, offset: Int, sizeInBytes: Int,
       cardinality: Long, conf: SerializableConfiguration) extends DvPositionSource {
+    override def cacheKey: String = s"delta:$abs@$offset+$sizeInBytes"
     override def positions(): Array[Long] = {
       val (fs, p) = fsFor(abs, conf)
       val out = DeltaDv.deserialize(DeltaDv.readBlob(fs, p, offset, sizeInBytes))
@@ -50,6 +53,7 @@ private[graft] object DvSources {
     * manifest entry's content_offset / content_size_in_bytes. */
   final case class PuffinBlob(abs: String, offset: Long, length: Long,
       conf: SerializableConfiguration) extends DvPositionSource {
+    override def cacheKey: String = s"puffin:$abs@$offset+$length"
     override def positions(): Array[Long] = {
       val (fs, p) = fsFor(abs, conf)
       Puffin.readDvBlob(fs, p, offset, length)
@@ -66,6 +70,7 @@ private[graft] object DvSources {
     * [[graft.functions.DvDescriptorMap]]. */
   final case class ParquetPosDeletes(deleteFileAbs: String, targetRaw: String,
       conf: SerializableConfiguration) extends DvPositionSource {
+    override def cacheKey: String = s"pqdel:$deleteFileAbs#$targetRaw"
     override def positions(): Array[Long] = {
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
@@ -98,4 +103,9 @@ object DvIntrospect {
   @volatile var lastCommitDriverRows: Int = -1
   /** Per-file descriptors in the last read-side DV filter built. */
   @volatile var lastReadDescriptors: Int = -1
+  /** Descriptors the last changelog commit-step diff shipped (child +
+    * parent sides over the touched files) — the changelog's own
+    * driver-size bound: O(files), never the positions a commit
+    * deleted. */
+  @volatile var lastChangelogDiffDescriptors: Int = -1
 }

@@ -470,8 +470,14 @@ object Iceberg {
     dt match {
       case _: IntegerType if b.remaining == 4 => Some(b.getInt)
       case _: LongType if b.remaining == 8 => Some(b.getLong)
+      // TYPE PROMOTION ([[widenColumnType]]): manifests written before
+      // an int->long / float->double promotion carry 4-byte bounds
+      // under a now-wide field — upcast instead of dropping them, so
+      // pre-widen files keep pruning
+      case _: LongType if b.remaining == 4 => Some(b.getInt.toLong)
       case _: FloatType if b.remaining == 4 => Some(b.getFloat)
       case _: DoubleType if b.remaining == 8 => Some(b.getDouble)
+      case _: DoubleType if b.remaining == 4 => Some(b.getFloat.toDouble)
       case _: StringType =>
         val arr = new Array[Byte](b.remaining); b.get(arr); Some(new String(arr, "UTF-8"))
       case _: DateType if b.remaining == 4 =>
@@ -1050,7 +1056,23 @@ object Iceberg {
     * blob by its manifest locator, a position-delete parquet through
     * the task-side Group reader — [[DvSources]]). */
   private def loadDeleteMap(spark: SparkSession, root: HPath,
-      s: Snapshot): graft.functions.DvDescriptorMap = {
+      s: Snapshot): graft.functions.DvFilter = {
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val sources = deleteSources(spark, root, s)
+    DvIntrospect.lastReadDescriptors = sources.valuesIterator.map(_.size).sum
+    // broadcast, not task-closure: the descriptor map moves once per
+    // executor and the task binary carries only the handle
+    new graft.functions.BroadcastDvFilter(spark.sparkContext.broadcast(
+      new graft.functions.DvDescriptorMap(rootPrefix, sources)))
+  }
+
+  /** The per-data-file delete DESCRIPTORS of a snapshot (rel path →
+    * position sources), applicability-filtered — the O(files ×
+    * delete-files) driver metadata behind both the read filter and the
+    * changelog's per-commit diff. Positions are never materialized
+    * here; each descriptor decodes task-side. */
+  private def deleteSources(spark: SparkSession, root: HPath,
+      s: Snapshot): Map[String, Seq[graft.functions.DvPositionSource]] = {
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -1077,9 +1099,7 @@ object Iceberg {
         add(target, DvSources.PuffinBlob(new HPath(d.path).toString,
           d.contentOffset, d.contentSize, conf))
     }
-    DvIntrospect.lastReadDescriptors = sources.valuesIterator.map(_.size).sum
-    new graft.functions.DvDescriptorMap(rootPrefix,
-      sources.map { case (k, v) => k -> v.toSeq }.toMap)
+    sources.map { case (k, v) => k -> v.toSeq }.toMap
   }
 
   /** Rel paths of exactly the data files the snapshot's position
@@ -1103,43 +1123,6 @@ object Iceberg {
       dataSeq.get(target).filter(_ <= d.seq).map(_ => target.stripPrefix(rootPrefix))
     }
     (fromParquet ++ fromDvs).toSet
-  }
-
-  /** Every (table-relative path, position) the snapshot's position
-    * deletes AND deletion vectors cover, applicability-filtered —
-    * O(delete debt) driver metadata. The set form is what the
-    * changelog diffs two states with. */
-  private def deletePositions(spark: SparkSession, root: HPath,
-      s: Snapshot): Set[(String, Long)] = {
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    val dataSeq: Map[String, Long] =
-      s.files.map(f => Hive.fsPathNoDecode(f.path) -> f.seq).toMap
-    val raw = s.deletes.groupBy(_.seq).toSeq.flatMap { case (dSeq, dfs) =>
-      spark.read.parquet(dfs.map(d => new HPath(d.path).toString): _*)
-        .select("file_path", "pos")
-        .collect()
-        .flatMap { r =>
-          // delete-file targets are manifest-convention raw locations
-          // (byte-equal to the data manifest's file_path, per the spec)
-          val target = Hive.fsPathNoDecode(r.getString(0))
-          // a file absent from the snapshot (already rewritten away) or
-          // newer than the delete (re-added path) is not covered
-          dataSeq.get(target).filter(_ <= dSeq)
-            .map(_ => (target.stripPrefix(rootPrefix), r.getLong(1)))
-        }
-    }
-    // v3 deletion vectors: each blob is one file's bitmap, read
-    // driver-side off the manifest-recorded (offset, size) — no
-    // footer scan, no data files touched
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dvRaw = s.dvDeletes.flatMap { d =>
-      val target = Hive.fsPathNoDecode(d.referencedDataFile)
-      dataSeq.get(target).filter(_ <= d.seq).toSeq.flatMap { _ =>
-        Puffin.readDvBlob(fs, new HPath(d.path), d.contentOffset, d.contentSize)
-          .map(pos => (target.stripPrefix(rootPrefix), pos))
-      }
-    }
-    (raw ++ dvRaw).toSet
   }
 
   /** Read with the v3 ROW-LINEAGE metadata columns served: the table's
@@ -1632,9 +1615,21 @@ object Iceberg {
     } match {
       case Some(po) =>
         meta.set[JsonNode]("sort-orders", po.deepCopy[JsonNode]())
-        meta.put("default-sort-order-id", prior.flatMap { case (_, m) =>
+        val priorOid = prior.flatMap { case (_, m) =>
           Option(m.get("default-sort-order-id")).filterNot(_.isNull).map(_.asInt)
-        }.getOrElse(0)): Unit
+        }.getOrElse(0)
+        // an Overwrite that REPLACES the schema can drop the default
+        // order's source column: keep the declared orders (order ids
+        // are forever) but reset the default to 0 — carrying a
+        // dangling default forward would make the NEXT write throw in
+        // sortFieldsOf, leaving the table unwritable until
+        // clearSortOrder
+        val newIds = fieldIds.values.toSet
+        val servable = priorOid == 0 || iterator(po)
+          .find(_.get("order-id").asInt == priorOid)
+          .exists(o => iterator(o.get("fields")).forall(f =>
+            newIds.contains(f.get("source-id").asInt)))
+        meta.put("default-sort-order-id", if (servable) priorOid else 0): Unit
       case None =>
         meta.put("default-sort-order-id", 0)
         val orders = meta.putArray("sort-orders")
@@ -1835,15 +1830,19 @@ object Iceberg {
     // new bitmap (the v3 one-DV-per-file invariant); an inapplicable
     // one (file re-added above the DV's sequence) is dropped WITHOUT
     // merging — its positions named a dead incarnation
-    val priorSrc: Map[String, Seq[graft.functions.DvPositionSource]] =
-      s.dvDeletes.groupBy(d => Hive.fsPathNoDecode(d.referencedDataFile))
-        .flatMap { case (raw, ds) =>
-          val applicable = ds.filter(d => dataSeqMap.get(raw).exists(_ <= d.seq))
-          if (applicable.isEmpty) None
-          else Some(raw -> applicable.map(d =>
-            DvSources.PuffinBlob(new HPath(d.path).toString, d.contentOffset,
-              d.contentSize, conf): graft.functions.DvPositionSource))
-        }
+    // broadcast, not task-closure: O(files-with-DVs) descriptors move
+    // once per executor instead of inside every task binary
+    val priorSrc: org.apache.spark.broadcast.Broadcast[
+        Map[String, Seq[graft.functions.DvPositionSource]]] =
+      spark.sparkContext.broadcast(
+        s.dvDeletes.groupBy(d => Hive.fsPathNoDecode(d.referencedDataFile))
+          .flatMap { case (raw, ds) =>
+            val applicable = ds.filter(d => dataSeqMap.get(raw).exists(_ <= d.seq))
+            if (applicable.isEmpty) None
+            else Some(raw -> applicable.map(d =>
+              DvSources.PuffinBlob(new HPath(d.path).toString, d.contentOffset,
+                d.contentSize, conf): graft.functions.DvPositionSource))
+          })
     val rootStr = root.toString
     val results: Array[DvCommitRes] = matches.as[(String, Long)]
       .repartition(col("file_path"))
@@ -1854,7 +1853,7 @@ object Iceberg {
         var curKey: String = null
         val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
         def finish(): Unit = if (curKey != null) {
-          val prior = priorSrc.getOrElse(curKey, Nil).iterator
+          val prior = priorSrc.value.getOrElse(curKey, Nil).iterator
             .flatMap(_.positions().iterator).toArray
           perFile += ((curKey, pos.toArray ++ prior))
           pos.clear()
@@ -1866,6 +1865,10 @@ object Iceberg {
         finish()
         if (perFile.isEmpty) Iterator.empty
         else {
+          // UUID-fresh per attempt: a retried/speculative task leaves
+          // its predecessor's puffin ORPHANED (no manifest ever names
+          // it — only the winning attempt's locators commit), and
+          // [[removeOrphanFiles]] age-reclaims unreferenced .puffin
           val dest = new HPath(rootStr,
             s"data/${java.util.UUID.randomUUID()}-deletes.puffin")
           val fs2 = dest.getFileSystem(conf.value)
@@ -3002,6 +3005,22 @@ object Iceberg {
     * (ChangeLogFlatPlanSpec locks this at 50 commits). */
   private[interop] val ChangeLogChunk = 16
 
+  /** Where [[changeLog]] seals chunk spills — under the table root so
+    * every executor (and the read-back) resolves the same filesystem. */
+  private[interop] val ChangelogSpillDir = "_changelog_tmp"
+
+  private val changelogSpills = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[(org.apache.hadoop.fs.FileSystem, HPath)])
+  private lazy val changelogSpillHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => changelogSpills.forEach { case (f, p) =>
+      try { f.delete(p, true); () } catch { case _: Throwable => () }
+    })): Unit
+  private def registerChangelogSpill(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Unit = {
+    changelogSpillHook
+    changelogSpills.add((fs, dir)): Unit
+  }
+
   def changeLog(spark: SparkSession, path: String,
       fromSeq: Long, toSeq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -3033,7 +3052,7 @@ object Iceberg {
     var prev: Option[Snapshot] = mainSnaps
       .filter(sn => seqOf(sn) <= fromSeq).lastOption
       .map(sn => snapshot(spark, path, Some(sn.get("snapshot-id").asLong)))
-    var prevPos: Option[Set[(String, Long)]] = None
+    var prevSrc: Option[Map[String, Seq[graft.functions.DvPositionSource]]] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // chunk spill state (see the ChangeLogChunk contract above):
     // sealed leaves are already-materialized chunks — ONE scan node
@@ -3041,12 +3060,18 @@ object Iceberg {
     val sealedLeaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var commitsInChunk = 0
     def sealChunk(): Unit = if (frames.nonEmpty) {
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_changelog/${java.util.UUID.randomUUID()}").getPath
+      // spill under the TABLE ROOT, not java.io.tmpdir: on a real
+      // cluster executors share the table's filesystem, not the
+      // driver's local /tmp — a local-path spill lands task files on
+      // each executor's own disk and the read-back union silently
+      // loses rows. Dirs are removed on JVM exit; a crashed run's
+      // leftovers are age-reclaimed by [[removeOrphanFiles]].
+      val dir = new HPath(root,
+        s"$ChangelogSpillDir/${java.util.UUID.randomUUID()}")
       frames.reduce(_.unionByName(_))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-      sealedLeaves += spark.read.schema(outSchema).parquet(dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.toString)
+      registerChangelogSpill(fs, dir)
+      sealedLeaves += spark.read.schema(outSchema).parquet(dir.toString)
       frames.clear()
       commitsInChunk = 0
     }
@@ -3056,7 +3081,7 @@ object Iceberg {
       val op = Option(sn.get("summary")).filterNot(_.isNull)
         .flatMap(su => Option(su.get("operation")).map(_.asText)).getOrElse("unknown")
       val cur = snapshot(spark, path, Some(id))
-      val curPos = deletePositions(spark, root, cur)
+      val curSrc = deleteSources(spark, root, cur)
       if (op != "replace") { // replace is row-neutral by contract
         val prevFiles = prev.map(_.files).getOrElse(Nil)
         val prevPaths = prevFiles.map(_.path).toSet
@@ -3071,16 +3096,33 @@ object Iceberg {
           if (removed.nonEmpty)
             frames += stamp(snapshotFrame(spark, path, p.copy(files = removed),
               withMeta = false), "delete", sq, id)
-          // positions newly covered this commit (set diff — a merged
-          // successor DV carries its predecessor's positions)
-          val basePos = prevPos.getOrElse(deletePositions(spark, root, p))
-          val newPos = curPos -- basePos
-          if (newPos.nonEmpty) {
-            val dv = graft.functions.DvMap(rootPrefix,
-              newPos.toSeq.map { case (f, pos) => (f, pos, 1L) })
+          // positions newly covered this commit — a per-file bitmap
+          // DIFF computed TASK-side (child covers && parent doesn't;
+          // a merged successor DV carries its predecessor's
+          // positions, so the diff is exactly the commit's deletes).
+          // Driver work is descriptor comparison only: delete
+          // parquets and DV blobs are immutable once committed, so an
+          // unchanged per-file descriptor set means no new coverage —
+          // O(files) driver metadata, never O(positions).
+          val baseSrc = prevSrc.getOrElse(deleteSources(spark, root, p))
+          def ids(m: Map[String, Seq[graft.functions.DvPositionSource]],
+              f: String): Set[String] = m.getOrElse(f, Nil).map(_.cacheKey).toSet
+          val touched = curSrc.keySet.filter(f => ids(curSrc, f) != ids(baseSrc, f))
+          val scanFiles = p.files.filter { f =>
+            curPaths.contains(f.path) &&
+              touched.contains(Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix))
+          }
+          DvIntrospect.lastChangelogDiffDescriptors = touched.iterator.map(f =>
+            curSrc.getOrElse(f, Nil).size + baseSrc.getOrElse(f, Nil).size).sum
+          if (scanFiles.nonEmpty) {
+            val dv = new graft.functions.BroadcastDvFilter(
+              spark.sparkContext.broadcast(new graft.functions.DvDiff(
+                new graft.functions.DvDescriptorMap(rootPrefix,
+                  curSrc.filter { case (k, _) => touched.contains(k) }),
+                new graft.functions.DvDescriptorMap(rootPrefix,
+                  baseSrc.filter { case (k, _) => touched.contains(k) }))))
             val src = snapshotFrame(spark, path,
-              p.copy(files = p.files.filter(f => curPaths.contains(f.path))),
-              withMeta = true)
+              p.copy(files = scanFiles), withMeta = true)
             frames += stamp(src.filter(
               org.apache.spark.sql.graft.ColumnBridge.column(
                 graft.functions.DvContains(
@@ -3103,7 +3145,7 @@ object Iceberg {
         }
       }
       prev = Some(cur)
-      prevPos = Some(curPos)
+      prevSrc = Some(curSrc)
       commitsInChunk += 1
       if (commitsInChunk >= ChangeLogChunk) sealChunk()
     }
@@ -3476,6 +3518,62 @@ object Iceberg {
     metaV + 1
   }
 
+  /** TYPE PROMOTION (`ALTER COLUMN ... TYPE`, the spec's schema
+    * evolution rules): widen a column's type in a NEW schema version —
+    * zero data files rewritten. The spec admits exactly int→long,
+    * float→double, and decimal precision widening at the SAME scale;
+    * anything else refuses loudly (old files resolve by field id and
+    * must upcast losslessly at scan time). Old manifests' narrow
+    * bounds keep pruning through [[decodeBound]]'s width upcast;
+    * declared defaults survive untouched (their single-value JSON
+    * reads identically under the wider type). Identity partition
+    * columns refuse — a promoted partition field would reinterpret
+    * the spec's partition-value serialization. */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+      to: DataType): Long = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-schema-id"),
+      s"Iceberg.widenColumnType: $path is a format-version 1 table — read-only here")
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val maxSchemaId = iterator(meta.get("schemas")).map(_.get("schema-id").asInt).max
+    val m = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = sn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newSchema.put("schema-id", maxSchemaId + 1)
+    val fieldNode = iterator(newSchema.get("fields"))
+      .find(_.get("name").asText == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg.widenColumnType: $name is not a column of $path"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val from = sparkType(fieldNode.get("type").asText)
+    val ok = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+    require(ok,
+      s"Iceberg.widenColumnType: ${from.simpleString} -> ${to.simpleString} is " +
+        "not a spec type promotion (allowed: int->long, float->double, " +
+        "decimal precision widen at the same scale)")
+    val fieldId = fieldNode.get("id").asInt
+    val partitionSourceIds = iterator(
+      Option(m.get("partition-specs")).getOrElse(Json.createArrayNode()))
+      .flatMap(spec => iterator(spec.get("fields")).map(_.get("source-id").asInt))
+      .toSet
+    require(!partitionSourceIds.contains(fieldId),
+      s"Iceberg.widenColumnType: $name sources a partition field — widening it " +
+        "would reinterpret the committed partition values")
+    fieldNode.put("type", icebergType(to))
+    m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    m.put("current-schema-id", maxSchemaId + 1)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    metaV + 1
+  }
+
   /** The table's properties (spec `properties` map) — empty when the
     * metadata carries none. */
   def tableProperties(path: String): Map[String, String] = {
@@ -3622,7 +3720,9 @@ object Iceberg {
         foreignDirs.contains(name)
       if (!skip) {
         if (st.isDirectory) {
-          walk(p, inDotDir || name.startsWith("."))
+          // changelog chunk spills are scratch, reclaimed whole
+          // (age-gated) — a crashed run's leftovers end here
+          walk(p, inDotDir || name.startsWith(".") || name == ChangelogSpillDir)
           if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
         } else {
           val abs = p.toUri.getPath

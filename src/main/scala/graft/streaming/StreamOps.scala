@@ -568,13 +568,14 @@ object StreamOps extends QueryModule {
     * the producer uses: the feed's FINAL apply-commit carries the
     * source version it materialized in its atomic `_meta`, so a
     * replayed loop (crash between apply and checkpoint) skips
-    * already-applied feeds — `require`d by running the loop twice (a
-    * crash BETWEEN the pair's commits replays the whole feed, which
-    * re-deletes the same keys — redundant but idempotent — and then
-    * lands the after-images once). Final `require`: the view's content
-    * EQUALS the source's current snapshot (both-ways exceptAll), which
-    * is the whole point of a change feed. Oracle: the final state
-    * reconstructed from `events`. */
+    * already-applied feeds — spec-locked in VersionedSpec "two-table
+    * CDF pair: a crash between the delete and append commits recovers
+    * non-divergent", which drives the same consume loop through a
+    * mid-pair crash, recovery, AND a replay no-op (the r11 trim: the
+    * entry's second full consume() pass moved there, claim kept).
+    * The content claim rides the ORACLE: the view's final state must
+    * hash-match the state DuckDB derives from `events`, which is the
+    * whole point of a change feed. */
   val streamCdfConsumer = QueryDef(
     "stream_t11_cdf_consumer",
     (s, d) => {
@@ -650,10 +651,6 @@ object StreamOps extends QueryModule {
           }
         }
       consume()
-      val applied = V.versions(dst).size
-      consume() // replayed loop: every feed already applied → no commits
-      require(V.versions(dst).size == applied,
-        "stream_t11: consumer re-applied an already-applied feed — exactly-once broken")
       // (the two-way exceptAll view==source require was trimmed r10 —
       // the ORACLE carries the content claim: the view's final state
       // must hash-match the state DuckDB derives from `events`, which

@@ -363,6 +363,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case other => throw new UnsupportedOperationException(
             s"GraftCatalog: SET TBLPROPERTIES is not implemented for $other tables")
         }
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "GraftCatalog ALTER COLUMN TYPE: nested columns are not supported")
+        fmt match {
+          case "delta" =>
+            graft.interop.DeltaLake.widenColumnType(spark, path,
+              ut.fieldNames.head, ut.newDataType())
+          case "iceberg" =>
+            graft.interop.Iceberg.widenColumnType(spark, path,
+              ut.fieldNames.head, ut.newDataType())
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: ALTER COLUMN TYPE is not implemented for $other " +
+              "tables (the graft-native format has no type-promotion contract yet)")
+        }
       case rp: TableChange.RemoveProperty =>
         fmt match {
           case "delta" =>
@@ -377,7 +391,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
           "supported: ADD COLUMN (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
-          "ALTER COLUMN SET/DROP DEFAULT, SET/UNSET TBLPROPERTIES (delta, iceberg)")
+          "ALTER COLUMN SET/DROP DEFAULT, ALTER COLUMN TYPE (widening), " +
+          "SET/UNSET TBLPROPERTIES (delta, iceberg)")
     }
     loadTable(ident)
   }
@@ -411,14 +426,36 @@ object GraftCatalog {
 
   /** Fold a SQL DEFAULT expression to the bare single value Iceberg's
     * TYPED metadata stores (one constant — driver-side by definition;
-    * non-constants refuse loudly). */
+    * non-constants refuse loudly). The rendering is the spec's
+    * single-value serialization, NOT Spark's internal representation:
+    * `eval` yields days-since-epoch for DATE and epoch-micros for
+    * TIMESTAMP, and storing those raw would commit `write-default:
+    * "19723"` — an invalid literal that poisons every subsequent
+    * default-filling write. Dates render ISO `YYYY-MM-DD`, timestamps
+    * ISO-8601 (`timestamptz` with an explicit UTC offset, NTZ
+    * without), matching what the Iceberg reader's literal parser
+    * (`DATE '...'` / `TIMESTAMP '...'`) accepts back. */
   private[graft] def foldedDefault(spark: SparkSession, sql: String): String = {
     val e = spark.sessionState.sqlParser.parseExpression(sql)
     require(e.foldable, s"GraftCatalog: DEFAULT '$sql' is not a constant expression")
     val v = e.eval(null)
     require(v != null,
       "GraftCatalog: DEFAULT NULL is the same as no default — omit it (or DROP DEFAULT)")
-    v.toString
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    def ntz(micros: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC
+      ).format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    e.dataType match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case TimestampType => ntz(v.asInstanceOf[Long]) + "+00:00"
+      case TimestampNTZType => ntz(v.asInstanceOf[Long])
+      case _ => v.toString
+    }
   }
 
   /** Commit-meta key recording a graft table's DECLARED partition

@@ -164,6 +164,43 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
     assert(!spark.catalog.tableExists("graft.dbcd.tg"))
   }
 
+  test("SQL: DATE/TIMESTAMP defaults fold to spec serializations, not internal ints") {
+    import spark.implicits._
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "dbcdt")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbcdt")
+    // eval() yields days-since-epoch / epoch-micros; the committed
+    // write-default must be the ISO rendering or every later
+    // default-filling write parses DATE '19723' and dies
+    spark.sql("""CREATE TABLE graft.dbcdt.ti (
+      k BIGINT,
+      d DATE DEFAULT DATE '2024-01-01',
+      ts TIMESTAMP DEFAULT TIMESTAMP '2024-01-01 12:30:00',
+      tn TIMESTAMP_NTZ DEFAULT TIMESTAMP_NTZ '2024-06-01 07:00:00'
+    ) USING iceberg""")
+    val ti = whd.resolve("ti").toString
+    val defs = Iceberg.writeDefaults(ti)
+    assert(defs("d") == "DATE '2024-01-01'", s"got ${defs("d")}")
+    assert(defs("tn") == "TIMESTAMP_NTZ '2024-06-01T07:00:00.000000'", s"got ${defs("tn")}")
+    assert(defs("ts").startsWith("TIMESTAMP '") && defs("ts").contains("+00:00"),
+      s"timestamptz must serialize with an explicit UTC offset, got ${defs("ts")}")
+    // the defaults actually FILL — both the analyzer path and the
+    // library writer path parse the committed serialization back
+    spark.sql("INSERT INTO graft.dbcdt.ti (k) VALUES (1)")
+    Iceberg.write(Seq(Tuple1(2L)).toDF("k"), ti, mode = SaveMode.Append)
+    val ok = spark.sql("""SELECT count(*) FROM graft.dbcdt.ti
+      WHERE d = DATE '2024-01-01'
+        AND ts = TIMESTAMP '2024-01-01 12:30:00'
+        AND tn = TIMESTAMP_NTZ '2024-06-01 07:00:00'""").collect().head.getLong(0)
+    assert(ok == 2L, "both default-filled rows read the literal values back")
+    // ALTER ... SET DEFAULT rides the same folding
+    spark.sql("ALTER TABLE graft.dbcdt.ti ALTER COLUMN d SET DEFAULT DATE '2025-02-03'")
+    Iceberg.write(Seq(Tuple1(3L)).toDF("k"), ti, mode = SaveMode.Append)
+    assert(spark.sql("SELECT d FROM graft.dbcdt.ti WHERE k = 3").collect()
+      .head.getDate(0).toString == "2025-02-03")
+  }
+
   test("SQL: ALTER COLUMN SET/DROP DEFAULT through the graft catalog") {
     import spark.implicits._
     val whd = Paths.get(System.getProperty("java.io.tmpdir"),

@@ -138,6 +138,70 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.read(spark, path).count() == 700L)
   }
 
+  test("Iceberg: a changelog step over a many-row MoR delete diffs task-side") {
+    val path = freshDir("dvd_ice_changelog")
+    Iceberg.write(
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 5).as("v"))
+        .repartitionByRange(4, col("k")),
+      path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 2000L)
+    val touched = Iceberg.snapshot(spark, path).dvDeletes.size
+    DvIntrospect.lastChangelogDiffDescriptors = -1
+    val cl = Iceberg.changeLog(spark, path, fromSeq = 0L)
+    val dels = cl.filter(col("_change_type") === "delete")
+    // the delete image is exact: the 2000 newly covered rows
+    assert(dels.count() == 2000L)
+    assert(dels.agg(org.apache.spark.sql.functions.max(col("k"))).collect()
+      .head.getLong(0) == 1999L)
+    // and the step shipped per-file DESCRIPTORS (child + parent sides
+    // over the touched files), never the 2000 positions — the diff is
+    // a task-side bitmap XOR keyed by the probing scan
+    val shipped = DvIntrospect.lastChangelogDiffDescriptors
+    assert(shipped >= touched && shipped <= 2 * touched + 2,
+      s"changelog step must ship O(files) descriptors (touched=$touched), " +
+        s"got $shipped")
+    // a second MoR delete: the next step's image is ONLY the newly
+    // covered rows (merged successor DVs carry predecessors' positions)
+    val seqBefore = Iceberg.snapshot(spark, path).sequenceNumber
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 2500L)
+    val step2 = Iceberg.changeLog(spark, path, fromSeq = seqBefore)
+      .filter(col("_change_type") === "delete")
+    assert(step2.count() == 500L)
+    assert(step2.agg(org.apache.spark.sql.functions.min(col("k"))).collect()
+      .head.getLong(0) == 2000L)
+  }
+
+  test("orphaned DV blobs (retried-task leftovers) are vacuum-reclaimed; live ones survive") {
+    // Delta: an unreferenced .bin (what a failed attempt leaves) goes;
+    // the committed DV blob stays
+    val dPath = freshDir("dvd_delta_orphan")
+    DeltaLake.write(
+      spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(2, col("k")),
+      dPath)
+    DeltaLake.deleteMergeOnRead(spark, dPath, col("k") < 400L)
+    val orphanBin = Paths.get(dPath, "deletion_vector_orphan-attempt.bin")
+    java.nio.file.Files.write(orphanBin, Array[Byte](1, 2, 3))
+    assert(DeltaLake.vacuum(spark, dPath) >= 1)
+    assert(!orphanBin.toFile.exists, "unreferenced blob reclaimed")
+    assert(DeltaLake.read(spark, dPath).count() == 600L, "live DV still applies")
+    // Iceberg: an unreferenced .puffin age-reclaims; the committed one stays
+    val iPath = freshDir("dvd_ice_orphan")
+    Iceberg.write(
+      spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(2, col("k")),
+      iPath)
+    Iceberg.upgradeToV3(spark, iPath)
+    Iceberg.deleteMergeOnRead(spark, iPath, col("k") < 400L)
+    val orphanPuffin = Paths.get(iPath, "data", "orphan-attempt-deletes.puffin")
+    java.nio.file.Files.write(orphanPuffin, Array[Byte](4, 5, 6))
+    assert(Iceberg.removeOrphanFiles(spark, iPath,
+      olderThanMs = System.currentTimeMillis() + 60000) >= 1)
+    assert(!orphanPuffin.toFile.exists, "unreferenced puffin reclaimed")
+    assert(Iceberg.read(spark, iPath).count() == 600L, "live DV still applies")
+  }
+
   test("Iceberg v2: position-delete reads ship descriptors; blobs decode task-side") {
     val path = freshDir("dvd_ice_v2read")
     Iceberg.write(

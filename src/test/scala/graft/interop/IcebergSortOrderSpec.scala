@@ -84,6 +84,33 @@ class IcebergSortOrderSpec extends AnyFunSuite with SparkFixture {
     assert(Iceberg.sortOrder(path).isEmpty)
   }
 
+  test("a schema-replacing Overwrite resets a dangling default order, not the table") {
+    import spark.implicits._
+    val path = freshDir("ice_sort_dangle")
+    Iceberg.write(grid(4), path)
+    Iceberg.setSortOrder(spark, path, Seq("b desc"))
+    // Overwrite WITHOUT the sort source column: the declared orders
+    // stay (ids are forever) but the default resets to 0 — carrying
+    // it forward dangling would make this very write's successor
+    // throw in sortFieldsOf and leave the table unwritable
+    Iceberg.write(Seq((1L, "x"), (2L, "y")).toDF("a", "s"), path,
+      mode = SaveMode.Overwrite)
+    assert(Iceberg.sortOrder(path).isEmpty, "default order back to 0 (unsorted)")
+    // the table keeps working: append, then re-declare a servable order
+    Iceberg.write(Seq((3L, "z")).toDF("a", "s"), path, mode = SaveMode.Append)
+    assert(Iceberg.read(spark, path).count() == 3L)
+    Iceberg.setSortOrder(spark, path, Seq("a"))
+    Iceberg.write(Seq((4L, "w")).toDF("a", "s"), path, mode = SaveMode.Append)
+    assert(Iceberg.sortOrder(path) == Seq(("a", true)))
+    // an Overwrite that KEEPS the source column carries the default
+    val path2 = freshDir("ice_sort_keep")
+    Iceberg.write(grid(3), path2)
+    Iceberg.setSortOrder(spark, path2, Seq("a"))
+    Iceberg.write(grid(2), path2, mode = SaveMode.Overwrite)
+    assert(Iceberg.sortOrder(path2) == Seq(("a", true)),
+      "a same-schema overwrite must not strip the declared default order")
+  }
+
   test("rewriteSorted lays out disjoint ranges: the leading column prunes at planning") {
     val path = freshDir("ice_sort_rewrite")
     Iceberg.write(grid(40), path)
