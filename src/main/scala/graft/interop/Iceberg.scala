@@ -2582,6 +2582,155 @@ object Iceberg {
       dropDeleteManifests = s.hasDeleteDebt, stampSortOrder = Some(orderId))
   }
 
+  /** REWRITE MANIFESTS — the spec's manifest-maintenance operation:
+    * bin-pack SMALL data manifests into ~target-size ones as a pure
+    * METADATA `replace` commit. Data files untouched (require'd by the
+    * graded entry); delete manifests and already-large data manifests
+    * carry by reference; every merged entry re-emits EXISTING
+    * (status 0) with EXPLICIT sequence numbers — and, on v3, explicit
+    * `first_row_id` materialized in the source manifest's entry order
+    * — so list-record inheritance cannot re-stamp anything. After
+    * thousands of small appends planning cost is O(manifests); this
+    * folds it back to O(data/target-size), the nightly companion to
+    * [[compact]]. The commit's operation is `replace` (row-neutral),
+    * so changelogs and streaming tails skip it exactly like a
+    * compaction. Target size: explicit arg, else the spec's
+    * `commit.manifest.target-size-bytes` table property, else the
+    * spec default 8 MiB. Returns (data manifests before, after);
+    * no-op (NO commit) when nothing can merge. */
+  def rewriteManifests(spark: SparkSession, path: String,
+      targetSizeBytes: Option[Long] = None): (Int, Int) = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-snapshot-id"),
+      s"Iceberg.rewriteManifests: $path has no current snapshot")
+    val target = targetSizeBytes
+      .orElse(tableProperties(path).get("commit.manifest.target-size-bytes").map(_.toLong))
+      .getOrElse(8L * 1024 * 1024)
+    require(target > 0, "Iceberg.rewriteManifests: target size must be positive")
+    val curSnapNode = iterator(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
+    val listRecords = readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText))
+    val (dataMfs, deleteMfs) = listRecords.partition(
+      mf => avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+    val (small, big) = dataMfs.partition(
+      _.get("manifest_length").asInstanceOf[Long] < target)
+    // greedy bin-pack in min_sequence_number order (keeps each merged
+    // manifest's sequence span tight, which keeps min_sequence_number
+    // — the planner's delete-applicability fast-out — meaningful)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[GenericRecord]]
+    var cur = Vector.empty[GenericRecord]
+    var curBytes = 0L
+    small.sortBy(mf => avroOpt(mf, "min_sequence_number")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)).foreach { mf =>
+      val len = mf.get("manifest_length").asInstanceOf[Long]
+      if (cur.nonEmpty && curBytes + len > target) { bins += cur; cur = Vector.empty; curBytes = 0L }
+      cur :+= mf; curBytes += len
+    }
+    if (cur.nonEmpty) bins += cur
+    if (!bins.exists(_.size >= 2)) return (dataMfs.size, dataMfs.size)
+    val schema = schemaFromMeta(meta)
+    val partFields = partFieldsFromMeta(meta)
+    val fieldIds: Map[String, Int] = {
+      val curId = meta.get("current-schema-id").asInt
+      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    }
+    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
+      (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
+    }
+    val entrySchema = manifestEntrySchema(partFieldTriples)
+    val r2 = entrySchema.getField("data_file").schema()
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val outManifests = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    def carry(mf: GenericRecord): Unit = {
+      val c = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.forEach(f2 => c.put(f2.name(), mf.get(f2.name())))
+      outManifests += c
+    }
+    (big ++ deleteMfs).foreach(carry)
+    bins.foreach {
+      case bin if bin.size == 1 => carry(bin.head)
+      case bin =>
+        var kept = 0; var keptRows = 0L
+        val merged = bin.flatMap { mf =>
+          val mSeq = avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+          val mFirstRow = avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long])
+          var lineageAssigned = 0L
+          // status-2 (deleted) entries drop: they exist so incremental
+          // consumers see removals, and a replace commit is exactly
+          // where the spec allows aging them out
+          readAvro(fs, new HPath(mf.get("manifest_path").toString))
+            .filter(_.get("status").asInstanceOf[Int] != 2).map { e =>
+              val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+              val eSeq = Option(e.get("sequence_number"))
+                .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+              val rc = dfr.get("record_count").asInstanceOf[Long]
+              kept += 1; keptRows += rc
+              val ndf = recopy(dfr, r2)
+              // v3: the merged list record cannot assign id ranges, so
+              // materialize each inherited first_row_id explicitly, in
+              // the SOURCE manifest's entry order
+              if (avroOpt(dfr, "first_row_id").isEmpty) mFirstRow.foreach { base =>
+                ndf.put("first_row_id", base + lineageAssigned)
+                lineageAssigned += rc
+              }
+              val ne = new GenericData.Record(entrySchema)
+              ne.put("status", 0) // EXISTING
+              ne.put("snapshot_id", e.get("snapshot_id"))
+              ne.put("sequence_number", eSeq)
+              ne.put("file_sequence_number",
+                Option(e.get("file_sequence_number")).getOrElse(eSeq))
+              ne.put("data_file", ndf)
+              ne
+            }
+        }
+        val newPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
+        val len = writeAvro(fs, newPath, entrySchema, merged)
+        val rec = new GenericData.Record(manifestFileSchema)
+        rec.put("manifest_path", newPath.toUri.getPath)
+        rec.put("manifest_length", len)
+        rec.put("partition_spec_id", 0)
+        rec.put("content", 0)
+        rec.put("sequence_number", seq)
+        rec.put("min_sequence_number", bin.map(mf =>
+          avroOpt(mf, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)).min)
+        rec.put("added_snapshot_id", snapshotId)
+        rec.put("added_files_count", 0)
+        rec.put("existing_files_count", kept)
+        rec.put("deleted_files_count", 0)
+        rec.put("added_rows_count", 0L)
+        rec.put("existing_rows_count", keptRows)
+        rec.put("deleted_rows_count", 0L)
+        outManifests += rec
+    }
+    val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
+    writeAvro(fs, listPath, manifestFileSchema, outManifests.toSeq)
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("current-snapshot-id", snapshotId)
+    val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("sequence-number", seq)
+    // row lineage: every merged entry carries an explicit first_row_id
+    // (or had none to begin with) — next-row-id is untouched
+    snapNode.putObject("summary").put("operation", "replace")
+    snapNode.put("manifest-list", listPath.toUri.getPath)
+    snapNode.put("schema-id", meta.get("current-schema-id").asInt)
+    val se = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
+    commitMetadata(fs, root, metaV + 1, newMeta, path)
+    (dataMfs.size, outManifests.count(mf =>
+      avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0))
+  }
+
   /** Re-emit a GenericRecord under a (possibly wider) target schema by
     * FIELD NAME — Avro's GenericDatumWriter resolves fields by
     * position, so re-using a record written under an older, narrower

@@ -60,7 +60,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest-stats file skipping at planning time), because analysis
   * swaps the V2 relation for the DSv1 one before a single physical
   * node is chosen. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // SQL maintenance procedures — `CALL graft.system.compact('ns.t')`
+  // and friends ([[GraftProcedures]])
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -1,0 +1,167 @@
+/* Shim-packaged with the catalog: procedures use only the public DSv2
+ * procedure API, but they construct InternalRow results and resolve
+ * catalog internals alongside GraftCatalog. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL MAINTENANCE surface (r10 verdict "missing #3"): the graft
+  * catalog serves Spark 4's DSv2 STORED PROCEDURES, so a SQL-only
+  * operator runs the whole nightly loop with `CALL`:
+  *
+  * {{{
+  *   CALL graft.system.compact('ns.tbl')                      -- all formats
+  *   CALL graft.system.compact('ns.tbl', where => 'p=2024')   -- OPTIMIZE ... WHERE
+  *   CALL graft.system.vacuum('ns.tbl', older_than_hours => 168)
+  *   CALL graft.system.expire_snapshots('ns.tbl', keep_last => 5)
+  *   CALL graft.system.rewrite_manifests('ns.tbl')            -- iceberg
+  * }}}
+  *
+  * Each procedure dispatches to the format's existing Scala
+  * maintenance API and returns ONE summary row (a [[LocalScan]] — the
+  * work already ran driver-coordinated; only the summary is a row).
+  * Format/feature mismatches refuse loudly, never no-op silently. */
+object GraftProcedures {
+
+  private val SystemNs = Array("system")
+
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SystemNs))
+      names.map(Identifier.of(SystemNs, _)).toArray
+    else Array.empty
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(SystemNs) && names.contains(ident.name),
+      s"GraftCatalog: unknown procedure ${ident.namespace.mkString(".")}.${ident.name} — " +
+        s"available: ${names.map("system." + _).mkString(", ")}")
+    new GraftProcedure(cat, ident.name)
+  }
+
+  /** Resolve 'ns.tbl' (an optional leading 'graft.' is tolerated)
+    * through the catalog to (format, path). */
+  private[graft] def resolve(cat: GraftCatalog, table: String): (String, String) = {
+    val parts0 = table.split('.').toSeq.filter(_.nonEmpty)
+    val parts = if (parts0.headOption.contains("graft")) parts0.tail else parts0
+    require(parts.size == 2,
+      s"GraftCatalog procedures: '$table' must name [graft.]namespace.table")
+    val t = cat.loadTable(Identifier.of(Array(parts.head), parts(1)))
+      .asInstanceOf[GraftTable]
+    (t.format, t.path)
+  }
+
+  /** 'col=value, col2=value2' → the partition-equality map the
+    * format compaction APIs take for OPTIMIZE ... WHERE. */
+  private[graft] def whereMap(where: String): Map[String, String] =
+    where.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"GraftCatalog procedures: WHERE entry '$kv' is not col=value " +
+        "(partition equality filters only)")
+      kv.take(i).trim -> kv.drop(i + 1).trim
+    }.toMap
+}
+
+/** One graft maintenance procedure: binding validates nothing beyond
+  * the fixed signature (arguments are literals by the CALL contract);
+  * `call` runs the maintenance synchronously and returns the summary
+  * scan. */
+private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance procedure $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  private def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt)
+
+  override def parameters(): Array[ProcedureParameter] = procName match {
+    case "compact" => Array(
+      p("table", StringType).build(),
+      p("target_bytes", LongType).defaultValue((128L << 20).toString).build(),
+      p("where", StringType).defaultValue("''").build())
+    case "vacuum" => Array(
+      p("table", StringType).build(),
+      // iceberg orphan reclaim is age-gated; graft expiry is count-gated
+      p("older_than_hours", LongType).defaultValue("168").build(),
+      p("keep_last", LongType).defaultValue("2").build())
+    case "expire_snapshots" => Array(
+      p("table", StringType).build(),
+      p("keep_last", LongType).defaultValue("2").build())
+    case _ => Array( // rewrite_manifests
+      p("table", StringType).build(),
+      p("target_bytes", LongType).defaultValue((8L << 20).toString).build())
+  }
+
+  private val outSchema: StructType = procName match {
+    case "rewrite_manifests" => StructType(Nil)
+      .add("manifests_before", LongType).add("manifests_after", LongType)
+    case "vacuum" => StructType(Nil).add("removed", LongType)
+    case "expire_snapshots" => StructType(Nil).add("removed_files", LongType)
+    case _ => StructType(Nil).add("result_version", LongType)
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = input.getUTF8String(0).toString
+    val (fmt, path) = GraftProcedures.resolve(cat, table)
+    val row: Array[Long] = procName match {
+      case "compact" =>
+        val target = input.getLong(1)
+        val where = GraftProcedures.whereMap(input.getUTF8String(2).toString)
+        fmt match {
+          case "delta" =>
+            Array(graft.interop.DeltaLake.compact(spark, path, target, where))
+          case "iceberg" =>
+            Array(graft.interop.Iceberg.compact(spark, path, target, where))
+          case _ =>
+            require(where.isEmpty, "GraftCatalog compact: graft-native tables have " +
+              "no partition-scoped compaction — omit `where`")
+            Array(graft.ingest.Versioned.compactFiles(spark, path))
+        }
+      case "vacuum" =>
+        val olderMs = System.currentTimeMillis() - input.getLong(1) * 3600L * 1000L
+        fmt match {
+          case "delta" => Array(graft.interop.DeltaLake.vacuum(spark, path).toLong)
+          case "iceberg" =>
+            Array(graft.interop.Iceberg.removeOrphanFiles(spark, path, olderMs).toLong)
+          case _ =>
+            Array(graft.ingest.Versioned.vacuum(path, input.getLong(2).toInt).toLong)
+        }
+      case "expire_snapshots" =>
+        val keep = input.getLong(1).toInt
+        fmt match {
+          case "iceberg" =>
+            Array(graft.interop.Iceberg.expireSnapshots(spark, path, keep).toLong)
+          case "graft" => Array(graft.ingest.Versioned.vacuum(path, keep).toLong)
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog expire_snapshots: not implemented for $other tables " +
+              "(Delta history retention is its checkpoint/log-expiry contract; " +
+              "use vacuum for data-file reclaim)")
+        }
+      case _ => // rewrite_manifests
+        require(fmt == "iceberg",
+          s"GraftCatalog rewrite_manifests: $fmt tables have no manifest layer " +
+            "(iceberg only)")
+        val (b, a) = graft.interop.Iceberg.rewriteManifests(
+          spark, path, Some(input.getLong(1)))
+        Array(b.toLong, a.toLong)
+    }
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = outSchema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(row.map(v => v.asInstanceOf[Any])))
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}

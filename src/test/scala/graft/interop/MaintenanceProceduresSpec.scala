@@ -1,0 +1,110 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.{Versioned, Writers}
+import java.nio.file.Paths
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL MAINTENANCE (r10 verdict "missing #3"): the nightly loop runs
+  * from pure SQL through Spark 4 DSv2 stored procedures on the graft
+  * catalog — `CALL graft.system.compact/vacuum/expire_snapshots/
+  * rewrite_manifests(...)` — dispatching to the formats' existing
+  * maintenance APIs, with loud refusals where a format lacks the op. */
+class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
+
+  private def wh(db: String) =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "warehouse", db)
+
+  test("CALL compact bin-packs small files on all three formats; WHERE scopes partitions") {
+    import spark.implicits._
+    val whd = wh("dbmp"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmp")
+    def manySmall(path: String, fmt: String): Unit = (0 until 5).foreach { i =>
+      val df = Seq((i.toLong, s"r$i")).toDF("k", "v")
+      fmt match {
+        case "delta" => DeltaLake.write(df, path,
+          mode = if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+        case "iceberg" => Iceberg.write(df, path,
+          mode = if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+        case _ => if (i == 0) Versioned.commit(df, path)
+                  else { Versioned.appendCommit(df, path); () }
+      }
+    }
+    manySmall(whd.resolve("td").toString, "delta")
+    manySmall(whd.resolve("ti").toString, "iceberg")
+    manySmall(whd.resolve("tg").toString, "graft")
+    for (t <- Seq("td", "ti", "tg")) {
+      val res = spark.sql(s"CALL graft.system.compact('dbmp.$t')").collect()
+      assert(res.length == 1, s"one summary row for $t")
+      assert(spark.table(s"graft.dbmp.$t").count() == 5L, s"content intact for $t")
+    }
+    assert(DeltaLake.snapshot(spark, whd.resolve("td").toString).files.size == 1)
+    assert(Iceberg.snapshot(spark, whd.resolve("ti").toString).files.size == 1)
+    // partition-scoped: only the named partition's files rewrite
+    val pd = whd.resolve("tp").toString
+    DeltaLake.write((0 until 40).map(i => (i.toLong, (i % 2).toString)).toDF("k", "p")
+      .repartition(4), pd, partitionBy = Seq("p"))
+    val pre = DeltaLake.snapshot(spark, pd).files
+      .filter(_.partitionValues.get("p").contains("1")).map(_.path).toSet
+    spark.sql("CALL graft.system.compact('dbmp.tp', `where` => 'p=0')")
+    val post = DeltaLake.snapshot(spark, pd).files
+      .filter(_.partitionValues.get("p").contains("1")).map(_.path).toSet
+    assert(post == pre, "files outside the WHERE partition are untouched")
+    // graft-native has no partition-scoped compaction: loud refusal
+    val err = intercept[Exception](
+      spark.sql("CALL graft.system.compact('dbmp.tg', `where` => 'p=0')").collect())
+    assert(err.getMessage.contains("partition-scoped"))
+  }
+
+  test("CALL vacuum / expire_snapshots / rewrite_manifests dispatch per format; refusals loud") {
+    import spark.implicits._
+    val whd = wh("dbmv"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmv")
+    // iceberg: orphan + manifests + snapshot expiry
+    val ip = whd.resolve("ti").toString
+    (0 until 4).foreach(i => Iceberg.write(Seq((i.toLong, i.toString)).toDF("k", "v"), ip,
+      mode = if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    java.nio.file.Files.write(Paths.get(ip, "data", "orphan.parquet"), Array[Byte](1))
+    val removed = spark.sql(
+      "CALL graft.system.vacuum('dbmv.ti', older_than_hours => -1)").collect().head.getLong(0)
+    assert(removed >= 1 && !Paths.get(ip, "data", "orphan.parquet").toFile.exists)
+    val rw = spark.sql("CALL graft.system.rewrite_manifests('dbmv.ti')").collect().head
+    assert(rw.getLong(0) == 4L && rw.getLong(1) == 1L,
+      s"manifests 4 -> 1, got ${rw.getLong(0)} -> ${rw.getLong(1)}")
+    spark.sql("CALL graft.system.expire_snapshots('dbmv.ti', keep_last => 1)").collect()
+    assert(Iceberg.snapshots(ip).size == 1)
+    assert(spark.table("graft.dbmv.ti").count() == 4L)
+    // delta: vacuum reclaims an unreferenced file
+    val dp = whd.resolve("td").toString
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), dp)
+    java.nio.file.Files.write(Paths.get(dp, "orphan.parquet"), Array[Byte](1))
+    assert(spark.sql("CALL graft.system.vacuum('dbmv.td')").collect()
+      .head.getLong(0) >= 1L)
+    // delta has no expire_snapshots: loud refusal, not a silent no-op
+    val err = intercept[Exception](
+      spark.sql("CALL graft.system.expire_snapshots('dbmv.td')").collect())
+    assert(err.getMessage.contains("not implemented for delta"))
+    val err2 = intercept[Exception](
+      spark.sql("CALL graft.system.rewrite_manifests('dbmv.td')").collect())
+    assert(err2.getMessage.contains("iceberg only"))
+    // graft-native: expire_snapshots == version vacuum. Full-snapshot
+    // commits (not appends) so expired versions' dirs are actually
+    // unreferenced — an append chain carries old files by reference
+    // and vacuum rightly spares their dirs.
+    val gp = whd.resolve("tg").toString
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), gp)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), gp)
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), gp)
+    spark.sql("CALL graft.system.expire_snapshots('dbmv.tg', keep_last => 1)").collect()
+    assert(Versioned.versions(gp) == Seq(3L))
+    assert(spark.table("graft.dbmv.tg").count() == 3L)
+    // unknown procedure refuses with the available list
+    val err3 = intercept[Exception](
+      spark.sql("CALL graft.system.nope('dbmv.tg')").collect())
+    assert(err3.getMessage.contains("system.compact") ||
+      err3.getMessage.contains("FAILED_TO_LOAD_ROUTINE"),
+      s"unknown procedure must refuse loudly, got: ${err3.getMessage.take(120)}")
+  }
+}
