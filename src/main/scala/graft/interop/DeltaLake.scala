@@ -57,7 +57,8 @@ object DeltaLake {
     * table-features tables): deletion vectors ([[DeltaDv]]), name-mode
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
-    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck", "typeWidening")
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck", "typeWidening",
+    "variantType")
   /** Writer features this from-spec writer honors. A table demanding
     * anything else (icebergCompat, inCommitTimestamp, ...) refuses
     * WRITES loudly — ignoring an unimplemented writer feature corrupts
@@ -66,7 +67,7 @@ object DeltaLake {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
     "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults",
-    "typeWidening")
+    "typeWidening", "variantType")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -1253,11 +1254,21 @@ object DeltaLake {
 
     // assemble and atomically create the commit
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (prior.isEmpty)
-      lines += (if (mapModeW.isEmpty)
+    // VARIANT columns ride the `variantType` reader+writer feature —
+    // without it a pre-feature reader would hit an unknown type in
+    // schemaString and (correctly) refuse; declaring it makes the
+    // refusal a protocol decision, the spec's contract
+    val needsVariant = rawTable.fields.exists(f => graft.interop.Iceberg.hasVariantType(f.dataType))
+    if (prior.isEmpty) {
+      val legacy = if (mapModeW.isEmpty) Protocol(1, 2) else Protocol(2, 5)
+      if (needsVariant) lines += protocolLine(withReaderWriterFeature(legacy, "variantType"))
+      else lines += (if (mapModeW.isEmpty)
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       else // legacy versions that imply columnMapping support
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    } else if (needsVariant &&
+        !prior.get.protocol.readerFeatures.contains("variantType"))
+      lines += protocolLine(withReaderWriterFeature(prior.get.protocol, "variantType"))
     if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged)
       lines += metaDataLine(rawTable, partCols, now, newConf)
     if (mode == SaveMode.Overwrite)

@@ -290,6 +290,9 @@ object Iceberg {
     case _: TimestampType => "timestamptz"
     case _: TimestampNTZType => "timestamp"
     case _: BinaryType => "binary"
+    // v3 VARIANT — semi-structured values with the spec's binary
+    // encoding; [[write]] gates it to format-version 3
+    case _: VariantType => "variant"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
       s"Iceberg: unsupported column type $other (nested types not implemented)")
@@ -307,6 +310,7 @@ object Iceberg {
     case "timestamptz" => TimestampType
     case "timestamp" => TimestampNTZType
     case "binary" => BinaryType
+    case "variant" => VariantType
     case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case other => throw new IllegalArgumentException(s"Iceberg: unsupported type $other")
   }
@@ -421,6 +425,14 @@ object Iceberg {
         }}
       ]
     }""")
+  }
+
+  private[interop] def hasVariantType(dt: DataType): Boolean = dt match {
+    case _: VariantType => true
+    case s: StructType => s.fields.exists(f => hasVariantType(f.dataType))
+    case a: ArrayType => hasVariantType(a.elementType)
+    case m: MapType => hasVariantType(m.keyType) || hasVariantType(m.valueType)
+    case _ => false
   }
 
   private def boundable(dt: DataType): Boolean = dt match {
@@ -1180,7 +1192,7 @@ object Iceberg {
   }
 
   /** The current format-version of the table's metadata. */
-  private def formatVersion(path: String): Int = {
+  def formatVersion(path: String): Int = {
     val (fs, root) = Writers.fsFor(path)
     readMetadata(fs, root)._2.get("format-version").asInt
   }
@@ -1487,7 +1499,16 @@ object Iceberg {
     // start explicitly (manifest_file.first_row_id) — carried
     // manifests keep their own assignment (null for pre-upgrade ones:
     // their rows have null lineage, the spec's upgraded-table shape)
-    val fv = prior.map(_._2.get("format-version").asInt).getOrElse(2)
+    // v3 VARIANT gate: a fresh table with a variant column MINTS v3
+    // (the spec version that defines the type); an existing v2 table
+    // must upgrade first — committing "variant" into v2 metadata would
+    // hand a spec-compliant v2 reader a type it is allowed to reject
+    val variantCols = df.schema.fields.filter(f => hasVariantType(f.dataType))
+    val fv = prior.map(_._2.get("format-version").asInt)
+      .getOrElse(if (variantCols.nonEmpty) 3 else 2)
+    require(variantCols.isEmpty || fv == 3,
+      s"Iceberg.write: variant columns [${variantCols.map(_.name).mkString(", ")}] " +
+        s"require format-version 3 (table is v$fv; upgradeFormatVersion first)")
     val nextRowId: Long = prior
       .flatMap(p => Option(p._2.get("next-row-id")).filterNot(_.isNull).map(_.asLong))
       .getOrElse(0L)
@@ -3576,6 +3597,9 @@ object Iceberg {
     require(initialDefault.isEmpty || meta.get("format-version").asInt == 3,
       s"Iceberg.addColumn: initial-default requires format-version 3 " +
         s"(table is v${meta.get("format-version").asInt})")
+    require(!hasVariantType(dataType) || meta.get("format-version").asInt == 3,
+      s"Iceberg.addColumn: variant requires format-version 3 " +
+        s"(table is v${meta.get("format-version").asInt}; upgradeFormatVersion first)")
     val curId = meta.get("current-schema-id").asInt
     val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
     val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq

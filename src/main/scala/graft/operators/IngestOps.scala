@@ -3330,6 +3330,64 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S65: VARIANT graded (r10 verdict "missing #4") — `events.props`
+    * reshaped as Spark 4's VariantType (enriched to a NESTED document
+    * so the extraction is typed path navigation, not a flat cast) and
+    * round-tripped through BOTH formats: Delta ratchets the
+    * `variantType` reader+writer feature (require'd), Iceberg mints a
+    * v3 table (require'd — `variant` is a v3 type). The graded output
+    * is `variant_get` typed extraction (string, long, nested long)
+    * aggregated per format, oracled against DuckDB's JSON extraction
+    * over the raw `props` strings — the parity claim the verdict asks
+    * for. Format gates (v2 refusal, protocol lists, SQL DDL/INSERT)
+    * are spec-locked in VariantSpec. */
+  val s65Variant = QueryDef(
+    "s65_variant",
+    (s, d) => {
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val src = Tables.events(s, d).select(
+        col("event_id"),
+        expr("""parse_json(to_json(named_struct(
+          'k', CAST(get_json_object(props, '$.k') AS BIGINT),
+          'type', event_type,
+          'nested', named_struct('uid', user_id))))""").as("props"))
+      val dp = tmp("s65_delta", d); Writers.deleteTree(dp)
+      D.write(src, dp)
+      require(D.snapshot(s, dp).protocol.readerFeatures.contains("variantType") &&
+        D.snapshot(s, dp).protocol.writerFeatures.contains("variantType"),
+        "s65: the delta write must ratchet the variantType feature")
+      val ip = tmp("s65_ice", d); Writers.deleteTree(ip)
+      I.write(src, ip)
+      require(I.formatVersion(ip) == 3,
+        "s65: a variant column must mint an Iceberg v3 table")
+      val both = D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+      require(both.schema("props").dataType == org.apache.spark.sql.types.VariantType,
+        "s65: both formats must serve the column AS VariantType")
+      both.select(col("fmt"),
+          expr("variant_get(props, '$.type', 'string')").as("event_type"),
+          expr("variant_get(props, '$.k', 'long')").as("k"),
+          expr("variant_get(props, '$.nested.uid', 'long')").as("uid"))
+        .groupBy("fmt", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("uid")).as("max_uid"))
+        .orderBy("fmt", "event_type")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          user_id AS uid
+        FROM events),
+      legs AS (SELECT 'delta' AS fmt, * FROM src
+               UNION ALL SELECT 'iceberg' AS fmt, * FROM src)
+      SELECT fmt, event_type, count(*) AS n_events,
+        CAST(sum(k) AS BIGINT) AS sum_k, max(uid) AS max_uid
+      FROM legs GROUP BY fmt, event_type ORDER BY fmt, event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3343,5 +3401,5 @@ object IngestOps extends QueryModule {
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
-    s63TypeWidening)
+    s63TypeWidening, s65Variant)
 }
