@@ -3308,8 +3308,14 @@ object DeltaLake {
         val name = st.getPath.getName
         // _change_data holds the change feed's row images — per-commit
         // history, never referenced by the live snapshot, reclaimed
-        // only with its log window
-        if (name == LogDirName || name == "_change_data" || name.startsWith(".")) Nil
+        // only with its log window. _changelog_tmp is the co-located
+        // Iceberg layer's changelog chunk scratch (a converted table
+        // shares the root) — its lifecycle belongs to the Iceberg
+        // side's JVM-exit cleanup + age-gated removeOrphanFiles, and
+        // an ageless Delta vacuum must not yank an in-flight read's
+        // spill
+        if (name == LogDirName || name == "_change_data" ||
+          name == "_changelog_tmp" || name.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
         else if (name.endsWith(".parquet") || name.endsWith(".bin"))
           Seq(if (rel.isEmpty) name else s"$rel/$name")

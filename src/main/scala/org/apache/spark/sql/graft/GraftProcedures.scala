@@ -127,6 +127,8 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
           case _ =>
             require(where.isEmpty, "GraftCatalog compact: graft-native tables have " +
               "no partition-scoped compaction — omit `where`")
+            // compactFiles folds any outstanding merge-on-read delete
+            // debt as part of the rewrite — one call is the whole loop
             Array(graft.ingest.Versioned.compactFiles(spark, path))
         }
       case "vacuum" =>

@@ -122,10 +122,10 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     // hand-raise the protocol as a foreign writer with reader features would
     val log = Paths.get(path, "_delta_log", f"${1L}%020d.json")
     java.nio.file.Files.write(log,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"]}}"""
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("collations"))
   }
 
   test("column-mapped (name mode) foreign tables read, write, and stream") {
@@ -969,11 +969,11 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.read(spark, path).filter(col("k") === 5L).count() == 0L)
     // an unknown reader feature still refuses loudly
     val lines3 = Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""")
+      """"readerFeatures":["collations"],"writerFeatures":["collations"]}}""")
     java.nio.file.Files.write(Paths.get(path, "_delta_log", f"${3L}%020d.json"),
       (lines3.mkString("\n") + "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DeltaLake.read(spark, path).count())
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("collations"))
   }
 
   test("change data feed: cdc actions per mutation, derived inserts, loud pre-enablement gate") {

@@ -183,8 +183,16 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     DeltaLake.deleteMergeOnRead(spark, dPath, col("k") < 400L)
     val orphanBin = Paths.get(dPath, "deletion_vector_orphan-attempt.bin")
     java.nio.file.Files.write(orphanBin, Array[Byte](1, 2, 3))
+    // a co-located Iceberg layer's changelog spill (converted tables
+    // share the root) is NOT Delta vacuum's to reclaim — the Iceberg
+    // side owns its lifecycle (JVM-exit cleanup + age-gated orphan
+    // sweep), and an ageless vacuum could yank an in-flight read
+    val spill = Paths.get(dPath, "_changelog_tmp", "run1", "part-0.parquet")
+    java.nio.file.Files.createDirectories(spill.getParent)
+    java.nio.file.Files.write(spill, Array[Byte](9))
     assert(DeltaLake.vacuum(spark, dPath) >= 1)
     assert(!orphanBin.toFile.exists, "unreferenced blob reclaimed")
+    assert(spill.toFile.exists, "the Iceberg changelog spill dir is spared")
     assert(DeltaLake.read(spark, dPath).count() == 600L, "live DV still applies")
     // Iceberg: an unreferenced .puffin age-reclaims; the committed one stays
     val iPath = freshDir("dvd_ice_orphan")
