@@ -1034,8 +1034,14 @@ object Versioned {
         case _                         => Some(f.name)
       }
       srcName.filter(df.columns.contains) match {
-        case Some(n) => col(n).as(f.name)
-        case None    => lit(null).cast(f.dataType).as(f.name)
+        case Some(n) =>
+          // a widened column ([[widenColumn]]) reads pre-widen files at
+          // their narrow physical type — upcast to the target schema's
+          // type so every era serves the SAME declared type (types can
+          // only differ by a committed widening; rename preserves them)
+          val c0 = col(n)
+          (if (df.schema(n).dataType == f.dataType) c0 else c0.cast(f.dataType)).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
     } ++ passthrough.map(col): _*)
   }
@@ -2481,6 +2487,60 @@ object Versioned {
     val v = claimExact(fs, root, base) // derived: lost-update guard
     publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
       schema = newSchema, meta = Map(ColIdsKey -> renderColIds(newIds)))
+  }
+
+  /** WIDEN a column's type without touching a single data file: a
+    * metadata-only derived commit, the graft-native mirror of Delta's
+    * `typeWidening` / Iceberg's type promotion. Pre-widen files keep
+    * their narrow physical types; the id-aligned read path CASTS them
+    * up at scan time (Spark's parquet readers serve int32 as long,
+    * float as double, re-scaled decimals natively), and manifest
+    * min/max stats keep pruning because [[statsOverlap]] compares
+    * NUMERICALLY (BigDecimal), not by physical width. Allowed: the
+    * integer family upward, float→double, decimal precision widen at
+    * the same scale — anything else refuses (a promotion the reader
+    * can't upcast would misread every old file). Partition columns
+    * refuse (their values parse from directory strings). A column with
+    * BLOOM sidecars refuses when the widening crosses the xxhash64
+    * domain (byte/short/int hash alike; long hashes differently — a
+    * probe at the widened type would MISS membership recorded at the
+    * narrow type and wrongly skip files): compact to re-bloom first. */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: DataType): Long = {
+    import org.apache.spark.sql.types.{
+      ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    val (fs, root, base, entries, schema, ids) = evolutionBase(path, "widenColumn")
+    require(schema.fieldNames.contains(name),
+      s"Versioned.widenColumn: no column '$name' in (${schema.fieldNames.mkString(", ")})")
+    val idx = schema.fieldIndex(name)
+    val from = schema.fields(idx).dataType
+    val ok = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+    require(ok,
+      s"Versioned.widenColumn: ${from.simpleString} -> ${to.simpleString} is not " +
+        "a widening promotion (allowed: the integer family upward, float->double, " +
+        "decimal precision widen at the same scale)")
+    require(!layoutPartCols(entries).contains(name),
+      s"Versioned.widenColumn: '$name' is a partition column — its values parse " +
+        "from the directory layout; repartition the table to widen it")
+    val crossesHashDomain = to == LongType && from != LongType
+    require(!crossesHashDomain ||
+      loadBloomIndex(spark, fs, root, entries.filter(_.kind == KindData), name).isEmpty,
+      s"Versioned.widenColumn: '$name' carries bloom point-lookup sidecars hashed at " +
+        s"${from.simpleString} — widening to ${to.simpleString} changes the xxhash64 " +
+        "domain and equality probes would wrongly skip files; compactFiles (re-bloom) first")
+    val newSchema = StructType(schema.fields.updated(idx,
+      schema.fields(idx).copy(dataType = to)))
+    val v = claimExact(fs, root, base) // derived: lost-update guard
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = newSchema, meta = Map(ColIdsKey -> renderColIds(ids)))
   }
 
   /** RESTORE: roll the table back to retained `version` by publishing

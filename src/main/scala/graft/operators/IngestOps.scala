@@ -3253,10 +3253,12 @@ object IngestOps extends QueryModule {
   )
 
   /** S63: TYPE WIDENING graded (r10 verdict "missing #1") — `ALTER
-    * COLUMN ... TYPE` on both formats: Delta's `typeWidening`
-    * reader+writer table feature and Iceberg's spec type-promotion
-    * rules (int→long, float→double, decimal precision widen at the
-    * same scale). The widen commits are require'd METADATA-ONLY (zero
+    * COLUMN ... TYPE` on all THREE formats: Delta's `typeWidening`
+    * reader+writer table feature, Iceberg's spec type-promotion
+    * rules, and the graft-native mirror (Versioned.widenColumn —
+    * metadata-only derived commits, id-aligned reads upcasting
+    * pre-widen eras); int→long, float→double, decimal precision widen
+    * at the same scale everywhere. The widen commits are require'd METADATA-ONLY (zero
     * files rewritten on both file sets); pre-widen files keep their
     * narrow physical types and upcast at scan time, and the post-widen
     * append carries keys past the int range — only a genuinely widened
@@ -3301,8 +3303,19 @@ object IngestOps extends QueryModule {
       lifecycle(ip, (df, m) => { I.write(df, ip, mode = m); () },
         (c, t) => { I.widenColumnType(s, ip, c, t); () },
         () => I.files(s, ip).collect().map(_.getString(0)).toSet)
+      // the graft-native third leg: the same widening contract through
+      // Versioned.widenColumn (metadata-only derived commits; the
+      // id-aligned read upcasts pre-widen eras)
+      val V = graft.ingest.Versioned
+      val gp = tmp("s63_graft", d)
+      lifecycle(gp,
+        (df, m) => { if (m == SaveMode.Overwrite) V.commit(df, gp)
+                     else V.appendCommit(df, gp); () },
+        (c, t) => { V.widenColumn(s, gp, c, t); () },
+        () => V.manifest(gp, V.currentVersion(gp).get).map(_.relPath).toSet)
       D.read(s, dp).withColumn("fmt", lit("delta"))
         .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .unionByName(V.read(s, gp).withColumn("fmt", lit("graft")))
         .groupBy(col("fmt"), (col("k") > 2147483647L).as("wide_era"))
         .agg(count(lit(1)).as("n_rows"), max(col("k")).as("max_k"),
           min(col("p")).as("min_p"), max(col("p")).as("max_p"),
@@ -3322,7 +3335,8 @@ object IngestOps extends QueryModule {
         FROM orders WHERE o_orderkey % 10 = 0),
       u AS (SELECT * FROM base UNION ALL SELECT * FROM wide),
       legs AS (SELECT 'delta' AS fmt, * FROM u
-               UNION ALL SELECT 'iceberg' AS fmt, * FROM u)
+               UNION ALL SELECT 'iceberg' AS fmt, * FROM u
+               UNION ALL SELECT 'graft' AS fmt, * FROM u)
       SELECT fmt, k > 2147483647 AS wide_era, count(*) AS n_rows,
         max(k) AS max_k, min(p) AS min_p, max(p) AS max_p,
         sum(CAST(round(t * 100) AS BIGINT)) / 100.0 AS sum_t

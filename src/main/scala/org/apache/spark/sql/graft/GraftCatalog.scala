@@ -382,9 +382,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "iceberg" =>
             graft.interop.Iceberg.widenColumnType(spark, path,
               ut.fieldNames.head, ut.newDataType())
-          case other => throw new UnsupportedOperationException(
-            s"GraftCatalog: ALTER COLUMN TYPE is not implemented for $other " +
-              "tables (the graft-native format has no type-promotion contract yet)")
+          case _ =>
+            graft.ingest.Versioned.widenColumn(spark, path,
+              ut.fieldNames.head, ut.newDataType())
         }
       case rp: TableChange.RemoveProperty =>
         fmt match {

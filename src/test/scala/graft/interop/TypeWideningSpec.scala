@@ -163,10 +163,70 @@ class TypeWideningSpec extends AnyFunSuite with SparkFixture {
       spark.sql("ALTER TABLE graft.dbtw.ti ALTER COLUMN k TYPE DECIMAL(11,0)"))
     assert(err.getMessage.toLowerCase.contains("promotion") ||
       err.getMessage.toLowerCase.contains("widen"))
-    graft.ingest.Versioned.commit(Seq((1, "a")).toDF("k", "s"),
+    // graft-native widens through the same SQL surface (the symmetric
+    // third format): metadata-only, old files upcast at scan time
+    graft.ingest.Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "s"),
       whd.resolve("tg").toString)
-    val err2 = intercept[Exception](
-      spark.sql("ALTER TABLE graft.dbtw.tg ALTER COLUMN k TYPE BIGINT"))
-    assert(err2.getMessage.contains("not implemented for graft"))
+    spark.sql("ALTER TABLE graft.dbtw.tg ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("graft.dbtw.tg").schema("k").dataType == LongType)
+    assert(spark.sql("SELECT sum(k) FROM graft.dbtw.tg").collect().head.getLong(0) == 3L)
+  }
+
+  // ------------------------------------------------------------ graft
+
+  test("graft-native: widening is metadata-only; eras union at the wide type") {
+    import spark.implicits._
+    val V = graft.ingest.Versioned
+    val path = freshDir("tw_graft")
+    V.commit(narrow(50), path)
+    val preVersion = V.currentVersion(path).get
+    V.widenColumn(spark, path, "k", LongType)
+    V.widenColumn(spark, path, "f", DoubleType)
+    V.widenColumn(spark, path, "d", DecimalType(20, 2))
+    // three metadata-only derived commits, zero data files added
+    assert(V.currentVersion(path).contains(preVersion + 3))
+    assert(V.history(spark, path).filter(col("version") > preVersion)
+      .collect().forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L),
+      "widen commits move zero files")
+    val rows = V.read(spark, path)
+    assert(rows.schema("k").dataType == LongType &&
+      rows.schema("f").dataType == DoubleType &&
+      rows.schema("d").dataType == DecimalType(20, 2),
+      "pre-widen files must serve the WIDENED types, not their physical ones")
+    assert(rows.filter(col("k") === 42L).count() == 1L)
+    // a post-widen append holds long-range values; both eras union
+    V.appendCommit(Seq((5000000000L, 1e40, "1.50", "y")).toDF("k", "f", "d", "s")
+      .select(col("k"), col("f"), col("d").cast(DecimalType(20, 2)), col("s")), path)
+    val all = V.read(spark, path)
+    assert(all.count() == 51L && all.filter(col("k") === 5000000000L).count() == 1L)
+    // stats keep pruning across the era boundary (numeric compare)
+    assert(V.readSkipping(spark, path, "k", 5000000000L, 6000000000L).count() == 1L)
+    // time travel below the widening presents the NARROW committed schema
+    assert(V.readAt(spark, path, preVersion).schema("k").dataType == IntegerType)
+    // refusals: narrowing, cross-family, partition columns
+    assertThrows[IllegalArgumentException](V.widenColumn(spark, path, "k", IntegerType))
+    assertThrows[IllegalArgumentException](V.widenColumn(spark, path, "s", LongType))
+    val pp = freshDir("tw_graft_part")
+    V.commitPartitioned(narrow(10).withColumn("p", (col("k") % 2).cast("string")), pp, "p")
+    assertThrows[IllegalArgumentException](V.widenColumn(spark, pp, "p", LongType))
+  }
+
+  test("graft-native: a bloom-indexed column refuses the hash-domain crossing") {
+    import spark.implicits._
+    val V = graft.ingest.Versioned
+    val path = freshDir("tw_graft_bloom")
+    V.commit(spark.range(0, 2000).select(col("id").cast(IntegerType).as("k"),
+      col("id").as("v")).repartition(4, col("k")), path, bloomCols = Seq("k"))
+    // int -> long crosses the xxhash64 domain: a long probe would MISS
+    // int-recorded membership and readSkippingEq would wrongly skip
+    val e = intercept[IllegalArgumentException](V.widenColumn(spark, path, "k", LongType))
+    assert(e.getMessage.contains("bloom"))
+    // after a compaction rewrite (which re-blooms nothing), the widen
+    // lands — a single-owner all-data snapshot is compactFiles' no-op,
+    // so force the rewrite with a file target
+    V.compactFiles(spark, path, numFiles = Some(1))
+    V.widenColumn(spark, path, "k", LongType)
+    assert(V.read(spark, path).schema("k").dataType == LongType)
+    assert(V.read(spark, path).count() == 2000L)
   }
 }
