@@ -1420,11 +1420,12 @@ object Versioned {
   }
 
   def appendCommit(
-      df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
+      df0: DataFrame, path: String, meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
+    val df = fillDefaults(df0, fs, root, base)
     // lost-update guard narrowed for the pure-add shape: a rival that
     // published under us (same schema mapping) is rebased over, so
     // concurrent same-schema feeds land without serializing
@@ -1509,13 +1510,14 @@ object Versioned {
     }
 
   def appendCommitOnce(
-      df: DataFrame, path: String, batchId: String,
+      df0: DataFrame, path: String, batchId: String,
       statsCols: Seq[String] = Nil): Long = {
     require(!batchId.contains(",") && !batchId.contains(":") && !batchId.contains("\n"),
       s"Versioned.appendCommitOnce: batch id may not contain ',', ':' or newline: '$batchId'")
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
+    val df = fillDefaults(df0, fs, root, base)
     val idx = batchIndexAt(fs, root, base)
     idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
@@ -2541,6 +2543,93 @@ object Versioned {
     val v = claimExact(fs, root, base) // derived: lost-update guard
     publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
       schema = newSchema, meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  /** The analyzer's own column-default field-metadata key — the same
+    * contract Delta rides, so the served schema makes SQL column-list
+    * INSERT omissions fill through Spark's resolver too. */
+  private val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** The table's declared column defaults (column → default SQL) —
+    * what [[appendCommit]]/[[appendCommitOnce]] fill omitted columns
+    * with. Empty for tables without defaults. */
+  def columnDefaults(path: String): Map[String, String] = {
+    val (fs, root) = Writers.fsFor(path)
+    currentVersion(path).flatMap(v => metaSchema(fs, root, v)).map(_.fields.toSeq
+      .filter(_.metadata.contains(CurrentDefaultKey))
+      .map(f => f.name -> f.metadata.getString(CurrentDefaultKey)).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Declare a column DEFAULT (metadata-only derived commit): appends
+    * that omit the column fill it with the folded constant — the
+    * graft-native mirror of Delta's `allowColumnDefaults` /
+    * Iceberg's v3 `write-default`. Rows already written keep what they
+    * have (this is a WRITE default, not an existence default).
+    * Non-constant expressions and partition columns refuse. */
+  def setColumnDefault(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Long = {
+    val (fs, root, base, entries, schema, ids) = evolutionBase(path, "setColumnDefault")
+    require(schema.fieldNames.contains(name),
+      s"Versioned.setColumnDefault: no column '$name' in (${schema.fieldNames.mkString(", ")})")
+    require(!layoutPartCols(entries).contains(name),
+      s"Versioned.setColumnDefault: '$name' is a partition column — its values come " +
+        "from the directory layout, a write default would never apply")
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    require(parsed.foldable,
+      s"Versioned.setColumnDefault: '$sqlExpr' is not a constant expression")
+    val idx = schema.fieldIndex(name)
+    val f = schema.fields(idx)
+    val nf = f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(CurrentDefaultKey, sqlExpr).build())
+    val v = claimExact(fs, root, base) // derived: lost-update guard
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = StructType(schema.fields.updated(idx, nf)),
+      meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  /** DROP a column's default: appends omitting the column refuse again. */
+  def clearColumnDefault(spark: SparkSession, path: String, name: String): Long = {
+    val (fs, root, base, _, schema, ids) = evolutionBase(path, "clearColumnDefault")
+    require(schema.fieldNames.contains(name),
+      s"Versioned.clearColumnDefault: no column '$name' in (${schema.fieldNames.mkString(", ")})")
+    val idx = schema.fieldIndex(name)
+    val f = schema.fields(idx)
+    require(f.metadata.contains(CurrentDefaultKey),
+      s"Versioned.clearColumnDefault: '$name' has no default to clear")
+    val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+    mb.remove(CurrentDefaultKey)
+    val v = claimExact(fs, root, base)
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = StructType(schema.fields.updated(idx, f.copy(metadata = mb.build()))),
+      meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  /** Conform an append frame to the table's defaults contract: fill
+    * omitted CURRENT_DEFAULT columns with their folded constants and
+    * re-attach the table fields' metadata (the append publishes its
+    * frame's schema, and losing the metadata would silently DROP the
+    * declared defaults). A frame that evolves the schema (new columns)
+    * or omits a default-less column passes through untouched — the
+    * existing evolution/refusal behavior owns those shapes. */
+  private def fillDefaults(df: DataFrame, fs: FileSystem, root: HPath,
+      base: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (base == 0L) return df
+    val tableOpt = metaSchema(fs, root, base)
+    if (tableOpt.isEmpty) return df
+    val table = tableOpt.get
+    if (!table.fields.exists(_.metadata.contains(CurrentDefaultKey))) return df
+    def has(c: String) = df.columns.exists(_.equalsIgnoreCase(c))
+    val missing = table.fields.filterNot(f => has(f.name))
+    val extra = df.columns.filterNot(c => table.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (extra.nonEmpty || missing.exists(!_.metadata.contains(CurrentDefaultKey))) return df
+    val filled = missing.foldLeft(df)((acc, f) => acc.withColumn(f.name,
+      expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType)))
+    filled.select(table.fields.toIndexedSeq.map { f =>
+      val src = filled.columns.find(_.equalsIgnoreCase(f.name)).get
+      col(src).as(f.name, f.metadata)
+    }: _*)
   }
 
   /** RESTORE: roll the table back to retained `version` by publishing

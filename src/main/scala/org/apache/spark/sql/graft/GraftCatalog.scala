@@ -77,8 +77,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Declares column-DEFAULT support so the analyzer accepts
     * `CREATE TABLE (c T DEFAULT expr)` and fills INSERT column-list
     * omissions from the table schema's CURRENT_DEFAULT metadata —
-    * [[createTable]] records the defaults per format (graft-native
-    * refuses loudly). */
+    * [[createTable]] records the defaults per format (Delta
+    * CURRENT_DEFAULT, Iceberg v3 write-default, graft-native
+    * schema-metadata defaults). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
@@ -258,9 +259,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val defaulted: Seq[(String, String)] = schema.fields.toSeq
       .filter(_.metadata.contains("CURRENT_DEFAULT"))
       .map(f => f.name -> f.metadata.getString("CURRENT_DEFAULT"))
-    if (defaulted.nonEmpty) require(fmt != "graft",
-      "GraftCatalog: column DEFAULT is not implemented for graft-native tables " +
-        "(USING delta or iceberg)")
+
     val persistSchema = StructType(schema.fields.map { f =>
       if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
       else {
@@ -297,6 +296,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (defaulted.nonEmpty) fmt match {
       case "delta" => defaulted.foreach { case (n, sql) =>
         graft.interop.DeltaLake.setColumnDefault(spark, dir.toString, n, sql)
+      }
+      case "graft" => defaulted.foreach { case (n, sql) =>
+        Versioned.setColumnDefault(spark, dir.toString, n, sql)
       }
       case _ =>
         graft.interop.Iceberg.upgradeToV3(spark, dir.toString)
@@ -357,9 +359,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (sql.isEmpty) graft.interop.Iceberg.setWriteDefault(spark, path, colName, None)
             else graft.interop.Iceberg.setWriteDefault(spark, path, colName,
               Some(GraftCatalog.foldedDefault(spark, sql)))
-          case other => throw new UnsupportedOperationException(
-            s"GraftCatalog: ALTER COLUMN SET DEFAULT is not implemented for $other " +
-              "tables (the graft-native format has no column-defaults contract yet)")
+          case _ =>
+            if (sql.isEmpty) Versioned.clearColumnDefault(spark, path, colName)
+            else Versioned.setColumnDefault(spark, path, colName, sql)
         }
       case sp: TableChange.SetProperty =>
         fmt match {
@@ -770,7 +772,7 @@ case class GraftCatalogWriteCommand(
         val defaults: Set[String] = format match {
           case "delta" => graft.interop.DeltaLake.columnDefaults(spark, path).keySet
           case "iceberg" => graft.interop.Iceberg.writeDefaults(path).keySet
-          case _ => Set.empty
+          case _ => Versioned.columnDefaults(path).keySet
         }
         val present = (f: StructField) => src.columns.exists(_.equalsIgnoreCase(f.name))
         val missing = tableSchema.fields.filterNot(present).map(_.name)

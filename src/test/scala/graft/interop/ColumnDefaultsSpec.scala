@@ -157,11 +157,49 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
     Iceberg.write(Seq(Tuple1(2L)).toDF("k"), ti, mode = SaveMode.Append)
     assert(spark.sql("SELECT tag FROM graft.dbcd.ti ORDER BY k").collect()
       .map(_.getString(0)).toSeq == Seq("fresh", "fresh"))
-    // graft-native refuses loudly; nothing half-creates
-    val err = intercept[Exception](spark.sql(
-      "CREATE TABLE graft.dbcd.tg (k BIGINT, tag STRING DEFAULT 'x') USING graft"))
-    assert(err.getMessage.contains("not implemented for graft-native"))
-    assert(!spark.catalog.tableExists("graft.dbcd.tg"))
+    // graft-native: the schema-metadata defaults contract — CREATE
+    // records, the analyzer AND the library writer both fill
+    spark.sql("CREATE TABLE graft.dbcd.tg (k BIGINT, tag STRING DEFAULT 'x') USING graft")
+    val tg = whd.resolve("tg").toString
+    assert(graft.ingest.Versioned.columnDefaults(tg) == Map("tag" -> "'x'"))
+    spark.sql("INSERT INTO graft.dbcd.tg (k) VALUES (1)")
+    graft.ingest.Versioned.appendCommit(Seq(Tuple1(2L)).toDF("k"), tg)
+    assert(spark.sql("SELECT tag FROM graft.dbcd.tg ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("x", "x"))
+  }
+
+  test("graft-native: setColumnDefault fills appends; clear restores the refusal") {
+    import spark.implicits._
+    val V = graft.ingest.Versioned
+    val path = freshDir("dflt_graft")
+    V.commit(Seq((1L, "r1", "explicit")).toDF("k", "s", "tag"), path)
+    V.setColumnDefault(spark, path, "tag", "'web'")
+    // an append omitting the column fills; carried rows keep theirs
+    V.appendCommit(Seq((2L, "r2")).toDF("k", "s"), path)
+    val rows = V.read(spark, path)
+    assert(rows.columns.toSeq == Seq("k", "s", "tag"), "column order preserved")
+    assert(rows.filter(col("k") === 2L).head().getString(2) == "web")
+    assert(rows.filter(col("k") === 1L).head().getString(2) == "explicit")
+    // a frame that CARRIES the column is untouched — and the commit
+    // must not strip the declared default from the published schema
+    V.appendCommit(Seq((3L, "r3", "explicit")).toDF("k", "s", "tag"), path)
+    assert(V.columnDefaults(path) == Map("tag" -> "'web'"),
+      "an all-columns append must not strip the default metadata")
+    V.appendCommitOnce(Seq((4L, "r4")).toDF("k", "s"), path, "b9")
+    assert(V.read(spark, path).filter(col("tag") === "web").count() == 2L)
+    // clear: omitting the column is a schema-evolution append again
+    // (publishes the narrower frame schema — the pre-defaults shape)
+    V.clearColumnDefault(spark, path, "tag")
+    assert(V.columnDefaults(path).isEmpty)
+    // refusals: unknown column, non-constant, partition column
+    assertThrows[IllegalArgumentException](
+      V.setColumnDefault(spark, path, "nope", "'x'"))
+    assertThrows[IllegalArgumentException](
+      V.setColumnDefault(spark, path, "tag", "k + 1"))
+    val pp = freshDir("dflt_graft_part")
+    V.commitPartitioned(Seq((1L, "P1")).toDF("k", "p"), pp, "p")
+    assertThrows[IllegalArgumentException](
+      V.setColumnDefault(spark, pp, "p", "'P9'"))
   }
 
   test("SQL: DATE/TIMESTAMP defaults fold to spec serializations, not internal ints") {
@@ -227,12 +265,14 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
     Iceberg.write(Seq(Tuple1(2L)).toDF("k"), ti, mode = SaveMode.Append)
     assert(spark.sql("SELECT n FROM graft.dbdflt.ti WHERE k = 2").collect()
       .head.getInt(0) == 7)
-    // graft-native refuses loudly
-    graft.ingest.Versioned.commit(Seq((1L, "a")).toDF("k", "s"),
-      whd.resolve("tg").toString)
-    val err = intercept[Exception](
-      spark.sql("ALTER TABLE graft.dbdflt.tg ALTER COLUMN s SET DEFAULT 'x'"))
-    assert(err.getMessage.contains("not implemented for graft") ||
-      err.getMessage.toLowerCase.contains("default"))
+    // graft-native leg through the same SQL surface
+    val tg = whd.resolve("tg").toString
+    graft.ingest.Versioned.commit(Seq((1L, "a")).toDF("k", "s"), tg)
+    spark.sql("ALTER TABLE graft.dbdflt.tg ALTER COLUMN s SET DEFAULT 'sqlg'")
+    graft.ingest.Versioned.appendCommit(Seq(Tuple1(2L)).toDF("k"), tg)
+    assert(spark.sql("SELECT s FROM graft.dbdflt.tg WHERE k = 2").collect()
+      .head.getString(0) == "sqlg")
+    spark.sql("ALTER TABLE graft.dbdflt.tg ALTER COLUMN s DROP DEFAULT")
+    assert(graft.ingest.Versioned.columnDefaults(tg).isEmpty)
   }
 }
