@@ -1244,10 +1244,18 @@ object DeltaLake {
     val now = System.currentTimeMillis()
     val adds0 = stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
       .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
-    // row tracking: every committed add carries its id range default
-    val (adds, rowIdLine): (Seq[AddFile], Option[String]) = prior match {
+
+    // ---- one commit ATTEMPT against version `vTry`. The staged files
+    // are fixed; everything version-derived (row-id ranges, the commit
+    // lines) re-derives in here so the optimistic-concurrency rebase
+    // can re-run it against a newer head.
+    def commitAttempt(vTry: Long, priorForIds: Option[Snapshot]): Long = {
+    // row tracking: every committed add carries its id range default —
+    // assigned from the snapshot this attempt is based ON, so a rebase
+    // re-stamps past the rival's advanced high-watermark
+    val (adds, rowIdLine): (Seq[AddFile], Option[String]) = priorForIds match {
       case Some(p) if p.rowTrackingEnabled =>
-        val (stamped, wm) = assignRowIds(fs, root, p, adds0, v, "write")
+        val (stamped, wm) = assignRowIds(fs, root, p, adds0, vTry, "write")
         (stamped, Some(wm))
       case _ => (adds0, None)
     }
@@ -1323,9 +1331,51 @@ object DeltaLake {
     info.put("operation", if (mode == SaveMode.Append) "WRITE" else "CREATE OR REPLACE TABLE AS SELECT")
     lines += Json.writeValueAsString(ci)
 
-    commitLines(fs, root, v, lines.toSeq, newConf)
-    if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
-    v
+    commitLines(fs, root, vTry, lines.toSeq, newConf)
+    vTry
+    } // commitAttempt
+
+    // OPTIMISTIC-CONCURRENCY RETRY: the first attempt runs at the
+    // version this write validated. An APPEND that loses the
+    // create-if-absent race REBASES when every rival commit is itself
+    // a blind append (only add/commitInfo/txn/domainMetadata actions —
+    // disjoint adds commute, the protocol's logical conflict rule);
+    // a rival remove/metaData/protocol/cdc keeps throwing, as does any
+    // lost race on our own overwrite (its read set is not rebasable).
+    val committed = try commitAttempt(v, prior) catch {
+      case e0: java.util.ConcurrentModificationException
+          if mode == SaveMode.Append && prior.nonEmpty =>
+        def rebase(): Long = {
+          var lastErr = e0
+          var base = v
+          var attempts = 0
+          while (attempts < 4) {
+            attempts += 1
+            val (jsonVs2, cpVs2) = listLog(fs, root)
+            val head = ((jsonVs2 ++ cpVs2) :+ base).max
+            rivalConflict(fs, root, base, head).foreach { reason =>
+              throw new java.util.ConcurrentModificationException(
+                s"DeltaLake.write: append to $path lost to a concurrent commit " +
+                  s"that is not a blind append ($reason) — not rebasing", lastErr)
+            }
+            try {
+              val got = commitAttempt(head + 1, Some(snapshot(spark, path)))
+              CommitIntrospect.deltaRebases.incrementAndGet()
+              return got
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                lastErr = e; base = head + 1
+              // a THIRD writer mid-commit while we replayed the log:
+              // its file parses next loop, after its bytes land
+              case _: com.fasterxml.jackson.core.JacksonException => ()
+            }
+          }
+          throw lastErr
+        }
+        rebase()
+    }
+    if (committed > 0 && committed % CheckpointEvery == 0) checkpoint(spark, path)
+    committed
   }
 
   /** MERGE-ON-READ DELETE — Delta's DELETION VECTOR path: the matching
@@ -2968,6 +3018,54 @@ object DeltaLake {
       .toSeq.headOption
   }
 
+  /** Gate for the append REBASE: every rival commit in [from, to] must
+    * be a readable JSON commit whose actions all commute with a blind
+    * append — add/commitInfo/txn/domainMetadata only (the row-id
+    * high-watermark rides domainMetadata and is re-derived on rebase).
+    * A remove, metaData, protocol, or cdc action means the rival
+    * changed the row set, the schema, or the contract — the protocol's
+    * logical conflict rules say such a race must surface, not rebase.
+    * Returns the first disqualifying reason; None when rebasing is
+    * safe. */
+  private[interop] def rivalConflict(fs: FileSystem, root: HPath,
+      from: Long, to: Long): Option[String] = {
+    val allowed = Set("add", "commitInfo", "txn", "domainMetadata")
+    (from to to).foreach { rv =>
+      val pf = jsonFile(root, rv)
+      if (!fs.exists(pf)) return Some(s"rival version $rv has no readable JSON commit")
+      // commitLines claims the file atomically then writes the bytes —
+      // a just-claimed rival can read EMPTY or TRUNCATED for the
+      // milliseconds its write is in flight; wait that window out
+      // (bounded) before judging its actions
+      var attempt = 0
+      var parsed = false
+      while (!parsed) {
+        val in = fs.open(pf)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        try {
+          val actions = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+            .flatMap { l =>
+              val it = Json.readTree(l).fieldNames()
+              val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+              while (it.hasNext) keys += it.next()
+              keys
+            }.toSeq
+          if (text.trim.isEmpty) throw new IllegalStateException("empty commit")
+          parsed = true
+          actions.find(k => !allowed.contains(k)).foreach(k =>
+            return Some(s"rival version $rv carries a '$k' action"))
+        } catch {
+          case e @ (_: com.fasterxml.jackson.core.JacksonException | _: IllegalStateException) =>
+            attempt += 1
+            if (attempt >= 40)
+              return Some(s"rival version $rv stayed unreadable: ${e.getMessage}")
+            Thread.sleep(50)
+        }
+      }
+    }
+    None
+  }
+
   /** Atomic create of the commit JSON. When the table's configuration
     * (post-commit — the caller passes the governing map) enables
     * IN-COMMIT TIMESTAMPS, the commitInfo action is stamped with a
@@ -2997,7 +3095,7 @@ object DeltaLake {
         ci.put("inCommitTimestamp", ict)
         Json.writeValueAsString(ciNode) +: rest
       }
-    val out = try fs.create(jsonFile(root, v), false) catch {
+    val out = try CommitFiles.createExclusive(fs, jsonFile(root, v)) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"DeltaLake: version $v of $root was committed concurrently", e)
@@ -3284,7 +3382,14 @@ object DeltaLake {
     * metadata remains inspectable. Returns the number of files
     * deleted. `checkpoint` first + deleting the folded JSON commits is
     * the full retention story ([[checkpoint]]'s scaladoc). */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  /** Reclaim files the live snapshot no longer references. `olderThanMs`
+    * is the RETENTION CUTOFF (absolute epoch millis): only unreferenced
+    * files last modified BEFORE it are removed — Delta's vacuum
+    * contract, protecting time travel and in-flight readers of recent
+    * versions. The default keeps the ageless behavior (reclaim every
+    * dead file) for maintenance callers that have already decided. */
+  def vacuum(spark: SparkSession, path: String,
+      olderThanMs: Long = Long.MaxValue): Int = {
     val (fs, root) = Writers.fsFor(path)
     val snap = snapshot(spark, path)
     // the vacuumProtocolCheck feature's whole contract: vacuum must
@@ -3322,6 +3427,8 @@ object DeltaLake {
         else Nil
       }
     val doomed = walk(root, "").filterNot(live.contains).filterNot(liveDvs.contains)
+      .filter(relP => olderThanMs == Long.MaxValue ||
+        fs.getFileStatus(new HPath(root, relP)).getModificationTime < olderThanMs)
     doomed.foreach(relP => fs.delete(new HPath(root, relP), false))
     doomed.size
   }

@@ -22,8 +22,15 @@ private[graft] object DvSources {
     * in the descriptor itself (they came out of the log line — already
     * driver metadata), only the bitmap DECODE is deferred. */
   final case class Inline(bytes: Array[Byte], cardinality: Long) extends DvPositionSource {
-    override def cacheKey: String =
-      s"inline:${java.util.Arrays.hashCode(bytes)}:${bytes.length}#$cardinality"
+    // content-addressed with a COLLISION-RESISTANT digest: this key
+    // feeds the JVM-GLOBAL decode cache (and the changelog's
+    // descriptor-set comparator) across every table sharing the
+    // executor — a 32-bit hash collision between two distinct inline
+    // vectors would silently serve the wrong deleted positions
+    override val cacheKey: String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      s"inline:${java.util.Base64.getEncoder.encodeToString(d)}#$cardinality"
+    }
     override def positions(): Array[Long] = {
       val out = DeltaDv.deserialize(bytes)
       require(out.length.toLong == cardinality,

@@ -75,7 +75,11 @@ object Iceberg {
       firstRowId: Option[Long] = None,
       // the SORT ORDER (metadata `sort-orders` id, manifest field 140)
       // this file's rows are laid out by — None = unsorted/unknown
-      sortOrderId: Option[Int] = None)
+      sortOrderId: Option[Int] = None,
+      // the PARTITION SPEC this file's manifest was written under
+      // (manifest-list field 502) — an evolved table's pre-evolution
+      // files key and prune by THEIR OWN spec, not the default
+      specId: Int = 0)
 
   /** A v2 POSITION DELETE file (`content=1`): rows of
     * `(file_path, pos)` naming deleted row positions. Applies to data
@@ -109,8 +113,17 @@ object Iceberg {
       // IDS, not names — the spec's rule, and what makes a renamed
       // column keep reading its pre-rename files
       fieldIds: Map[String, Int] = Map.empty,
-      dvDeletes: Seq[DvDeleteRef] = Nil) {
+      dvDeletes: Seq[DvDeleteRef] = Nil,
+      // EVERY partition spec in the metadata (spec-id → fields) plus
+      // the default's id — `partFields` above stays the DEFAULT spec's
+      // fields (what writes stage under); per-file resolution goes
+      // through `specs(file.specId)`
+      specs: Map[Int, Seq[PartField]] = Map.empty,
+      defaultSpecId: Int = 0) {
     def hasDeleteDebt: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty || dvDeletes.nonEmpty
+    /** A file's spec fields — its own spec when known, else the default. */
+    def specFieldsOf(f: DataFileRef): Seq[PartField] =
+      specs.getOrElse(f.specId, partFields)
   }
 
   // ------------------------------------------------ partition transforms
@@ -152,6 +165,28 @@ object Iceberg {
     })
     case c => (c, TIdentity)
   }
+
+  /** Writer-side `partitionBy` elements → PartFields with this
+    * library's deterministic derived names (same source + transform
+    * always names the same field, which is what lets spec evolution
+    * reuse field ids). Field ids are provisional 1000+i — the caller
+    * reassigns them against the table's id history. */
+  private def requestedPartFields(partitionBy: Seq[String],
+      has: String => Boolean, ctx: String): Seq[PartField] =
+    partitionBy.zipWithIndex.map { case (s0, i) =>
+      val (src, t) = parsePartSpec(s0)
+      require(has(src), s"$ctx: partition source column '$src' is not in the frame")
+      val name = t match {
+        case TIdentity => src
+        case TBucket(_) => s"${src}_bucket"
+        case TTruncate(_) => s"${src}_trunc"
+        case TYear => s"${src}_year"
+        case TMonth => s"${src}_month"
+        case TDay => s"${src}_day"
+        case THour => s"${src}_hour"
+      }
+      PartField(name, src, t, 1000 + i)
+    }
 
   private val bucketSpecRe = """bucket\[(\d+)\]""".r
   private val truncSpecRe = """truncate\[(\d+)\]""".r
@@ -196,7 +231,14 @@ object Iceberg {
       case TYear => (year(col(c)) - 1970).cast(IntegerType)
       case TMonth => ((year(col(c)) - 1970) * 12 + month(col(c)) - 1).cast(IntegerType)
       case TDay => datediff(col(c).cast(DateType), to_date(lit("1970-01-01"))).cast(IntegerType)
-      case THour => floor(col(c).cast(LongType) / 3600L).cast(IntegerType)
+      case THour =>
+        // NTZ cannot cast to long directly; route through TimestampType
+        // (identity under this library's pinned-UTC sessions)
+        val secs = dt match {
+          case _: TimestampNTZType => col(c).cast(TimestampType).cast(LongType)
+          case _ => col(c).cast(LongType)
+        }
+        floor(secs / 3600L).cast(IntegerType)
     }
   }
 
@@ -505,24 +547,44 @@ object Iceberg {
   // ------------------------------------------------------------- reader
 
   private def readMetadata(fs: FileSystem, root: HPath): (Long, JsonNode) = {
-    val vs = metaVersions(fs, root)
-    require(vs.nonEmpty, s"Iceberg: ${root} is not an Iceberg table (no metadata/*.metadata.json)")
-    val v = vs.max
-    val in = fs.open(metaFile(root, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val meta = Json.readTree(text)
-    // this from-spec reader implements the v2 metadata shape (schemas
-    // list, sequence numbers, manifest lists) plus v1's different
-    // field layout (top-level schema, inline manifests, read-only) and
-    // v3's additions (puffin deletion vectors, row-lineage fields;
-    // features beyond that — default values, new types — refuse at
-    // their own gates). An unknown future version would misread or
-    // crash mid-replay — refuse at the door instead
-    val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(0)
-    require(fv == 1 || fv == 2 || fv == 3,
-      s"Iceberg: $root declares format-version $fv — this from-spec reader " +
-        "implements versions 1 (read-only), 2, and 3")
-    (v, meta)
+    // the commit protocol claims the next metadata version with an
+    // atomic create-if-absent, then writes the bytes — so a reader can
+    // observe the newest file EMPTY or TRUNCATED for the milliseconds
+    // a rival commit is in flight. Wait that window out (bounded)
+    // instead of misreading an in-flight commit as a corrupt table.
+    var attempt = 0
+    while (true) {
+      val vs = metaVersions(fs, root)
+      require(vs.nonEmpty, s"Iceberg: ${root} is not an Iceberg table (no metadata/*.metadata.json)")
+      val v = vs.max
+      val in = fs.open(metaFile(root, v))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val metaOpt: Option[JsonNode] =
+        try Option(Json.readTree(text)).filter(_.hasNonNull("format-version"))
+        catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+      metaOpt match {
+        case Some(meta) =>
+          // this from-spec reader implements the v2 metadata shape (schemas
+          // list, sequence numbers, manifest lists) plus v1's different
+          // field layout (top-level schema, inline manifests, read-only) and
+          // v3's additions (puffin deletion vectors, row-lineage fields;
+          // features beyond that — default values, new types — refuse at
+          // their own gates). An unknown future version would misread or
+          // crash mid-replay — refuse at the door instead
+          val fv = meta.get("format-version").asInt
+          require(fv == 1 || fv == 2 || fv == 3,
+            s"Iceberg: $root declares format-version $fv — this from-spec reader " +
+              "implements versions 1 (read-only), 2, and 3")
+          return (v, meta)
+        case None =>
+          attempt += 1
+          if (attempt >= 40) throw new IllegalStateException(
+            s"Iceberg: newest metadata v$v of $root stayed unreadable after " +
+              "the in-flight-commit wait window — the file is genuinely truncated")
+          Thread.sleep(50)
+      }
+    }
+    sys.error("unreachable")
   }
 
 
@@ -598,34 +660,77 @@ object Iceberg {
     }.toSeq)
   }
 
+  /** The DEFAULT partition spec's fields — writes stage under these. */
   private def partFieldsFromMeta(meta: JsonNode): Seq[PartField] = {
-    // v2: partition-specs + default-spec-id; v1: top-level partition-spec
-    val specFields: JsonNode =
-      if (meta.hasNonNull("partition-specs") && meta.hasNonNull("default-spec-id")) {
-        val specId = meta.get("default-spec-id").asInt
-        iterator(meta.get("partition-specs"))
-          .find(s => s.get("spec-id").asInt == specId)
-          .getOrElse(throw new IllegalStateException(
-            "Iceberg: default-spec-id not in partition-specs"))
-          .get("fields")
-      } else Option(meta.get("partition-spec")).getOrElse(
-        Json.createArrayNode())
+    val (defaultId, specs) = specsFromMeta(meta)
+    specs.getOrElse(defaultId, Nil)
+  }
+
+  /** EVERY partition spec in the metadata, resolved against the
+    * current schema (source-id → column name), plus the default's id.
+    * The spec's `partition-specs` list exists precisely for LAYOUT
+    * EVOLUTION (a table written daily that moved to hourly keeps its
+    * old spec so pre-evolution manifests stay interpretable) — the
+    * manifest-list records key into this map via field 502. v1 tables
+    * without the list expose their top-level `partition-spec` as
+    * spec 0. */
+  private def specsFromMeta(meta: JsonNode): (Int, Map[Int, Seq[PartField]]) = {
     val idToName: Map[Int, String] = {
       val sn = currentSchemaNode(meta)
       iterator(sn.get("fields")).map(f => f.get("id").asInt -> f.get("name").asText).toMap
     }
-    iterator(specFields).zipWithIndex.map { case (f, i) =>
-      val tSpec = f.get("transform").asText
-      val t = parseTransformSpec(tSpec).getOrElse(throw new IllegalArgumentException(
-        s"Iceberg: partition transform '$tSpec' is not implemented by this reader " +
-          "(identity, bucket[N], truncate[W], year, month, day, hour are)"))
-      val srcId = f.get("source-id").asInt
-      PartField(f.get("name").asText,
-        idToName.getOrElse(srcId, f.get("name").asText), t,
-        // v1 spec entries may omit field-id; the spec's rule is
-        // sequential assignment from 1000
-        Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt).getOrElse(1000 + i))
-    }.toSeq
+    def parseFields(specFields: JsonNode): Seq[PartField] =
+      iterator(specFields).zipWithIndex.map { case (f, i) =>
+        val tSpec = f.get("transform").asText
+        val t = parseTransformSpec(tSpec).getOrElse(throw new IllegalArgumentException(
+          s"Iceberg: partition transform '$tSpec' is not implemented by this reader " +
+            "(identity, bucket[N], truncate[W], year, month, day, hour are)"))
+        val srcId = f.get("source-id").asInt
+        PartField(f.get("name").asText,
+          idToName.getOrElse(srcId, f.get("name").asText), t,
+          // v1 spec entries may omit field-id; the spec's rule is
+          // sequential assignment from 1000
+          Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt).getOrElse(1000 + i))
+      }.toSeq
+    if (meta.hasNonNull("partition-specs") && meta.hasNonNull("default-spec-id")) {
+      val defaultId = meta.get("default-spec-id").asInt
+      val specs = iterator(meta.get("partition-specs")).map { s =>
+        s.get("spec-id").asInt -> parseFields(s.get("fields"))
+      }.toMap
+      require(specs.contains(defaultId),
+        "Iceberg: default-spec-id not in partition-specs")
+      (defaultId, specs)
+    } else
+      (0, Map(0 -> parseFields(Option(meta.get("partition-spec"))
+        .getOrElse(Json.createArrayNode()))))
+  }
+
+  /** The dir-injection architecture's one constraint on spec evolution:
+    * IDENTITY partition sources are dropped from data files at write
+    * and re-served from the manifest partition values, table-wide —
+    * so every spec a live manifest references must agree on the
+    * identity field set (transform fields may differ freely; that is
+    * the daily→hourly case evolution exists for). A foreign table
+    * whose specs disagree refuses loudly here instead of serving
+    * nulls for the columns old files recorded differently. */
+  private def requireCompatibleIdentity(path: String,
+      specs: Map[Int, Seq[PartField]], defaultId: Int, usedIds: Set[Int]): Unit = {
+    val defIdent = specs.getOrElse(defaultId, Nil)
+      .filter(_.isIdentity).map(f => (f.name, f.source)).toSet
+    usedIds.foreach { id =>
+      val fields = specs.getOrElse(id, throw new IllegalArgumentException(
+        s"Iceberg: $path has a manifest under partition spec $id, which is " +
+          "not in the metadata's partition-specs list"))
+      val ident = fields.filter(_.isIdentity).map(f => (f.name, f.source)).toSet
+      require(ident == defIdent,
+        s"Iceberg: $path partition spec $id's identity fields " +
+          s"${ident.mkString("{", ", ", "}")} differ from the default spec " +
+          s"$defaultId's ${defIdent.mkString("{", ", ", "}")} — this reader " +
+          "serves identity values from manifest metadata (data files do not " +
+          "store them), so specs referenced by live manifests must share one " +
+          "identity set; evolve transform fields only, or rewrite the old " +
+          "files under the current spec first")
+    }
   }
 
   private def iterator(n: JsonNode): Iterator[JsonNode] =
@@ -807,7 +912,8 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
     val schema = schemaFromMeta(meta)
-    val partFields = partFieldsFromMeta(meta)
+    val (defaultSpecId, allSpecs) = specsFromMeta(meta)
+    val partFields = allSpecs.getOrElse(defaultSpecId, Nil)
     // identity fields surface as read-back columns (dir-injected); the
     // transform fields are layout/pruning metadata only
     val partCols = partFields.filter(_.isIdentity).map(_.name)
@@ -855,20 +961,27 @@ object Iceberg {
     val dvDeletes = scala.collection.mutable.ArrayBuffer.empty[DvDeleteRef]
     // v2: a manifest LIST file; v1 may instead inline `manifests`
     // (paths only — all data manifests, sequence 0)
-    val manifestRefs: Seq[(HPath, Int, Long, Option[Long])] =
+    val manifestRefs: Seq[(HPath, Int, Long, Option[Long], Int)] =
       if (snapNode.hasNonNull("manifest-list"))
         readAvro(fs, new HPath(snapNode.get("manifest-list").asText)).map { mf =>
           // v1 manifest-list records lack content/sequence fields
           val c = avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val sq = avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
           val fr = avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long])
-          (new HPath(mf.get("manifest_path").toString), c, sq, fr)
+          val sid = avroOpt(mf, "partition_spec_id").map(_.asInstanceOf[Int])
+            .getOrElse(defaultSpecId)
+          (new HPath(mf.get("manifest_path").toString), c, sq, fr, sid)
         }
       else iterator(snapNode.get("manifests")).map(n =>
-        (new HPath(n.asText), 0, 0L, Option.empty[Long])).toSeq
-    manifestRefs.foreach { case (mPath, mContent, mSeq, mFirstRow) =>
+        (new HPath(n.asText), 0, 0L, Option.empty[Long], defaultSpecId)).toSeq
+    // spec-evolution gate: every referenced spec must resolve, and all
+    // data-manifest specs must agree on the identity field set
+    requireCompatibleIdentity(path, allSpecs, defaultSpecId,
+      manifestRefs.filter(_._2 == 0).map(_._5).toSet)
+    manifestRefs.foreach { case (mPath, mContent, mSeq, mFirstRow, mSpecId) =>
       require(mContent == 0 || mContent == 1,
         s"Iceberg: $path snapshot $wantId references a manifest of unknown content $mContent")
+      val mFields = allSpecs.getOrElse(mSpecId, partFields)
       // v3 row-lineage inheritance: files without an explicit
       // first_row_id consume the manifest's id range in entry order
       var lineageAssigned = 0L
@@ -887,7 +1000,9 @@ object Iceberg {
             .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           if (mContent == 0) {
             val part = df.get("partition").asInstanceOf[GenericRecord]
-            val pv: Map[String, Option[String]] = partFields.map { f =>
+            // decode under the MANIFEST'S OWN spec — an evolved
+            // table's pre-evolution files key by their old fields
+            val pv: Map[String, Option[String]] = mFields.map { f =>
               f.name -> Option(
                 if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
                 .map(renderTransformValue(schema, f, _))
@@ -902,7 +1017,8 @@ object Iceberg {
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long],
               bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst,
-              sortOrderId = avroOpt(df, "sort_order_id").map(_.asInstanceOf[Int]))
+              sortOrderId = avroOpt(df, "sort_order_id").map(_.asInstanceOf[Int]),
+              specId = mSpecId)
           } else avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
             case 1 if fmt == "PUFFIN" =>
               // v3 deletion vector: the entry names the covered data
@@ -951,7 +1067,8 @@ object Iceberg {
       partFields, eqDeletes.toSeq,
       fieldIds = if (nameMapped) Map.empty
         else idToField.map { case (id, f) => f.name -> id },
-      dvDeletes = dvDeletes.toSeq)
+      dvDeletes = dvDeletes.toSeq,
+      specs = allSpecs, defaultSpecId = defaultSpecId)
   }
 
   /** An Avro-typed identity partition value → the canonical string the
@@ -1074,8 +1191,24 @@ object Iceberg {
     DvIntrospect.lastReadDescriptors = sources.valuesIterator.map(_.size).sum
     // broadcast, not task-closure: the descriptor map moves once per
     // executor and the task binary carries only the handle
-    new graft.functions.BroadcastDvFilter(spark.sparkContext.broadcast(
-      new graft.functions.DvDescriptorMap(rootPrefix, sources)))
+    new graft.functions.BroadcastDvFilter(trackBroadcast(spark.sparkContext.broadcast(
+      new graft.functions.DvDescriptorMap(rootPrefix, sources))))
+  }
+
+  /** [[changeLog]]'s broadcast LIFECYCLE hook: while a changelog walk
+    * is materializing (thread-local — nested reads on other threads
+    * are untouched), every DV-descriptor broadcast it creates is
+    * collected here and unpersisted as soon as its chunk seals into a
+    * parquet leaf (the plan node that referenced it is gone). Without
+    * this, a long replay window (hundreds of MoR commits) accumulates
+    * one leaked broadcast per commit for the session's lifetime. */
+  private val changelogBroadcasts =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.broadcast.Broadcast[_]]]
+  private def trackBroadcast[T](
+      b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    Option(changelogBroadcasts.get()).foreach(_ += b)
+    b
   }
 
   /** The per-data-file delete DESCRIPTORS of a snapshot (rel path →
@@ -1223,10 +1356,11 @@ object Iceberg {
     val entries = s.files.map { f =>
       val abs = Hive.fsPathNoDecode(f.path)
       require(abs.startsWith(rootPrefix), s"Iceberg: foreign data file ${f.path}")
-      // ALL partition fields land in the dir string: identity fields
-      // feed the partition schema's typed injection, transform fields
-      // are what transformKeep prunes on
-      val partDir = s.partFields.map { pf =>
+      // ALL of the FILE'S OWN spec fields land in the dir string:
+      // identity fields feed the partition schema's typed injection
+      // (identical across specs — gated in [[snapshot]]), transform
+      // fields are what transformKeep prunes on, per spec
+      val partDir = s.specFieldsOf(f).map { pf =>
         val v = f.partitionValues.getOrElse(pf.name, None)
         pf.name + "=" + v.map(Hive.escapePathName).getOrElse(Hive.DefaultPartition)
       }.mkString("/")
@@ -1268,9 +1402,12 @@ object Iceberg {
         case None => f
       }
     })
+    // rel path → the file's spec, for per-spec transform pruning
+    val specOf: Map[String, Int] = s.files.map(f =>
+      Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix) -> f.specId).toMap
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
       classic, path, s.snapshotId, entries, scanSchema, s.partitionColumns,
-      transformKeep = transformKeepFn(s))
+      transformKeep = transformKeepFn(s, specOf))
     val dataSchema =
       StructType(scanSchema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
     new org.apache.spark.sql.graft.GraftIcebergRelation(
@@ -1281,34 +1418,49 @@ object Iceberg {
     * equality data filter on a transform's source column maps through
     * the transform (the same spec functions the writer used) to the
     * expected partition value, and files recording a different value
-    * are dropped before the scan. Only removes what the exact
-    * predicate could not keep; any unmappable shape keeps the file. */
-  private def transformKeepFn(s: Snapshot): Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Versioned.ManifestEntry => Boolean = {
+    * are dropped before the scan. Each file maps through ITS OWN
+    * spec's transforms — on an evolved table a `ts = X` predicate
+    * prunes pre-evolution files by their day value and post-evolution
+    * files by their hour value. Only removes what the exact predicate
+    * could not keep; any unmappable shape keeps the file. */
+  private def transformKeepFn(s: Snapshot, specOf: Map[String, Int]):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Versioned.ManifestEntry => Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference, EqualTo, Literal}
-    val tFields = s.partFields.filterNot(_.isIdentity)
-    if (tFields.isEmpty) (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => _ => true
+    val liveSpecs: Map[Int, Seq[PartField]] =
+      (if (s.specs.nonEmpty) s.specs else Map(s.defaultSpecId -> s.partFields))
+        .map { case (id, fs2) => id -> fs2.filterNot(_.isIdentity) }
+    if (liveSpecs.values.forall(_.isEmpty))
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => _ => true
     else { filters =>
       val eqs: Map[String, Any] = filters.collect {
         case EqualTo(a: AttributeReference, l: Literal) if l.value != null => a.name -> l.value
         case EqualTo(l: Literal, a: AttributeReference) if l.value != null => a.name -> l.value
       }.toMap
-      val wanted: Seq[(String, String)] = tFields.flatMap { f =>
-        eqs.get(f.source).flatMap(v =>
-          expectedTransformValue(f.transform, s.schema(f.source).dataType, v))
-          .map(f.name -> _)
+      // per-spec expected partition values for the query's equalities
+      val wantedBySpec: Map[Int, Seq[(String, String)]] = liveSpecs.map {
+        case (id, tFields) => id -> tFields.flatMap { f =>
+          eqs.get(f.source).flatMap(v =>
+            expectedTransformValue(f.transform, s.schema(f.source).dataType, v))
+            .map(f.name -> _)
+        }
       }
-      if (wanted.isEmpty) (_: Versioned.ManifestEntry) => true
+      if (wantedBySpec.values.forall(_.isEmpty)) (_: Versioned.ManifestEntry) => true
       else { e =>
-        val kv: Map[String, String] = e.partDir.split("/").iterator
-          .filter(_.contains('=')).map { seg =>
-            val i = seg.indexOf('=')
-            seg.take(i) -> Hive.unescapePathName(seg.drop(i + 1))
-          }.toMap
-        // a NULL partition value can never equal a literal; a missing
-        // field (foreign layout quirk) conservatively keeps the file
-        wanted.forall { case (n, v) => kv.get(n).forall(rec =>
-          rec != Hive.DefaultPartition && rec == v) }
+        val wanted = wantedBySpec.getOrElse(
+          specOf.getOrElse(e.relPath, s.defaultSpecId), Nil)
+        if (wanted.isEmpty) true
+        else {
+          val kv: Map[String, String] = e.partDir.split("/").iterator
+            .filter(_.contains('=')).map { seg =>
+              val i = seg.indexOf('=')
+              seg.take(i) -> Hive.unescapePathName(seg.drop(i + 1))
+            }.toMap
+          // a NULL partition value can never equal a literal; a missing
+          // field (foreign layout quirk) conservatively keeps the file
+          wanted.forall { case (n, v) => kv.get(n).forall(rec =>
+            rec != Hive.DefaultPartition && rec == v) }
+        }
       }
     }
   }
@@ -1385,21 +1537,8 @@ object Iceberg {
         }
       case _ => dfIn
     }
-    def parseRequested(): Seq[PartField] = partitionBy.zipWithIndex.map { case (s0, i) =>
-      val (src, t) = parsePartSpec(s0)
-      require(df.schema.fieldNames.contains(src),
-        s"Iceberg.write: partition source column '$src' is not in the frame")
-      val name = t match {
-        case TIdentity => src
-        case TBucket(_) => s"${src}_bucket"
-        case TTruncate(_) => s"${src}_trunc"
-        case TYear => s"${src}_year"
-        case TMonth => s"${src}_month"
-        case TDay => s"${src}_day"
-        case THour => s"${src}_hour"
-      }
-      PartField(name, src, t, 1000 + i)
-    }
+    def parseRequested(): Seq[PartField] =
+      requestedPartFields(partitionBy, df.schema.fieldNames.contains, "Iceberg.write")
     prior.foreach { case (_, m) =>
       if (mode == SaveMode.Append) {
         val tableFields = partFieldsFromMeta(m)
@@ -1414,10 +1553,6 @@ object Iceberg {
             "Iceberg.write: append schema differs from the table schema " +
               "(pass mergeSchema=true for additive evolution)")
       }
-    }
-    val partFields: Seq[PartField] = prior match {
-      case Some((_, m)) if mode == SaveMode.Append => partFieldsFromMeta(m)
-      case _ => parseRequested()
     }
     // mergeSchema append: the table schema becomes the UNION. New
     // columns get FRESH field ids above last-column-id (the spec's
@@ -1464,6 +1599,51 @@ object Iceberg {
         (df.schema, df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
     }
 
+    // ---- partition SPEC selection. Specs are IMMUTABLE once minted
+    // (old manifests key into them by id — the spec's evolution rule):
+    // an append stays on the table's default spec; an overwrite whose
+    // `partitionBy` matches an existing spec (name, transform,
+    // source-id, in order) reuses it, anything else mints the next
+    // spec-id; a fresh table starts at 0. Partition FIELD ids are
+    // likewise forever: a minted spec's field reuses the id of any
+    // existing field with the same (source-id, transform), new combos
+    // take last-partition-id + 1.
+    val (specId: Int, partFields: Seq[PartField], mintNewSpec: Boolean) = prior match {
+      case Some((_, m)) if mode == SaveMode.Append =>
+        val (did, specs) = specsFromMeta(m)
+        (did, specs.getOrElse(did, Nil), false)
+      case Some((_, m)) =>
+        val requested = parseRequested()
+        val want: Seq[(String, String, Int)] =
+          requested.map(f => (f.name, f.transform.spec, fieldIds(f.source)))
+        val existing: Seq[(Int, Seq[(String, String, Int, Int)])] =
+          iterator(m.get("partition-specs")).toSeq.map { sn =>
+            sn.get("spec-id").asInt -> iterator(sn.get("fields")).toSeq.map(f =>
+              (f.get("name").asText, f.get("transform").asText,
+                f.get("source-id").asInt,
+                Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt).getOrElse(0)))
+          }
+        existing.find(_._2.map(t => (t._1, t._2, t._3)) == want) match {
+          case Some((id, fields)) =>
+            (id, requested.zip(fields).map { case (r, (_, _, _, fid)) =>
+              r.copy(fieldId = fid) }, false)
+          case None =>
+            val byCombo: Map[(Int, String), Int] = existing.flatMap(_._2)
+              .map(t => (t._3, t._2) -> t._4).toMap
+            var lastPid = math.max(
+              Option(m.get("last-partition-id")).filterNot(_.isNull).map(_.asInt).getOrElse(999),
+              existing.flatMap(_._2).map(_._4).maxOption.getOrElse(999))
+            val fields = requested.map { r =>
+              byCombo.get((fieldIds(r.source), r.transform.spec)) match {
+                case Some(fid) => r.copy(fieldId = fid)
+                case None => lastPid += 1; r.copy(fieldId = lastPid)
+              }
+            }
+            (existing.map(_._1).maxOption.getOrElse(-1) + 1, fields, true)
+        }
+      case None => (0, parseRequested(), true)
+    }
+
     // the table's declared SORT ORDER ([[setSortOrder]]): a write
     // honors it WITHIN each staged file — one in-task sort, NO extra
     // shuffle (an implicit range exchange on every append would be a
@@ -1490,41 +1670,49 @@ object Iceberg {
       }
 
     // ---- metadata: ids, sequence numbers, snapshot
-    val now = System.currentTimeMillis()
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    val lastSeq = prior.map(_._2.get("last-sequence-number").asLong).getOrElse(0L)
+    // v3 VARIANT gate: a fresh table with a variant column MINTS v3
+    // (the spec version that defines the type); an existing v2 table
+    // must upgrade first — committing "variant" into v2 metadata would
+    // hand a spec-compliant v2 reader a type it is allowed to reject
+    val variantCols = df.schema.fields.filter(f => hasVariantType(f.dataType))
+    val fv0 = prior.map(_._2.get("format-version").asInt)
+      .getOrElse(if (variantCols.nonEmpty) 3 else 2)
+    require(variantCols.isEmpty || fv0 == 3,
+      s"Iceberg.write: variant columns [${variantCols.map(_.name).mkString(", ")}] " +
+        s"require format-version 3 (table is v$fv0; upgradeFormatVersion first)")
+    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
+      (f.name, transformResultType(f.transform, df.schema(f.source).dataType), f.fieldId)
+    }
+
+    // ---- one new manifest with the added files — written ONCE; a
+    // lost-race rebase (below) re-publishes the same manifest under a
+    // recomputed sequence number (entries inherit from the list record)
+    val (manifestPath, manifestLen) = writeAddedManifest(
+      fs, root, moved, snapshotId, partFieldTriples, fieldIds, df.schema)
+
+    // ---- one commit ATTEMPT against one observed head `pa`.
+    // Everything sequence-/version-derived lives in here so the
+    // optimistic-concurrency rebase can re-run it on a newer head.
+    def attemptCommit(pa: Option[(Long, JsonNode)]): Long = {
+    val now = System.currentTimeMillis()
+    val lastSeq = pa.map(_._2.get("last-sequence-number").asLong).getOrElse(0L)
     val seq = lastSeq + 1
     // v3 ROW LINEAGE: this commit's rows get ids [next-row-id,
     // next-row-id + added). The new data manifest records the range
     // start explicitly (manifest_file.first_row_id) — carried
     // manifests keep their own assignment (null for pre-upgrade ones:
     // their rows have null lineage, the spec's upgraded-table shape)
-    // v3 VARIANT gate: a fresh table with a variant column MINTS v3
-    // (the spec version that defines the type); an existing v2 table
-    // must upgrade first — committing "variant" into v2 metadata would
-    // hand a spec-compliant v2 reader a type it is allowed to reject
-    val variantCols = df.schema.fields.filter(f => hasVariantType(f.dataType))
-    val fv = prior.map(_._2.get("format-version").asInt)
-      .getOrElse(if (variantCols.nonEmpty) 3 else 2)
-    require(variantCols.isEmpty || fv == 3,
-      s"Iceberg.write: variant columns [${variantCols.map(_.name).mkString(", ")}] " +
-        s"require format-version 3 (table is v$fv; upgradeFormatVersion first)")
-    val nextRowId: Long = prior
+    val fv = pa.map(_._2.get("format-version").asInt).getOrElse(fv0)
+    val nextRowId: Long = pa
       .flatMap(p => Option(p._2.get("next-row-id")).filterNot(_.isNull).map(_.asLong))
       .getOrElse(0L)
-    val newMetaV = prior.map(_._1 + 1).getOrElse(1L)
-    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
-      (f.name, transformResultType(f.transform, df.schema(f.source).dataType), f.fieldId)
-    }
-
-    // ---- one new manifest with the added files
-    val (manifestPath, manifestLen) = writeAddedManifest(
-      fs, root, moved, snapshotId, partFieldTriples, fieldIds, df.schema)
+    val newMetaV = pa.map(_._1 + 1).getOrElse(1L)
 
     // ---- manifest list: prior manifests (append) + the new one
     // the append BASE: the branch head when writing to a branch (a
     // new branch forks from the current snapshot), else current
-    val baseId: Option[Long] = prior.flatMap { case (_, m) =>
+    val baseId: Option[Long] = pa.flatMap { case (_, m) =>
       val branchHead = toBranch.flatMap(b =>
         Option(m.get("refs")).filter(_.isObject).flatMap(r => Option(r.get(b)))
           .map(_.get("snapshot-id").asLong))
@@ -1532,7 +1720,7 @@ object Iceberg {
         if (m.hasNonNull("current-snapshot-id")) Some(m.get("current-snapshot-id").asLong)
         else None)
     }
-    val priorManifests: Seq[GenericRecord] = prior match {
+    val priorManifests: Seq[GenericRecord] = pa match {
       case Some((_, m)) if mode == SaveMode.Append && baseId.nonEmpty =>
         val sn = iterator(m.get("snapshots"))
           .find(_.get("snapshot-id").asLong == baseId.get).get
@@ -1542,7 +1730,7 @@ object Iceberg {
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath.toUri.getPath)
     newManifest.put("manifest_length", manifestLen)
-    newManifest.put("partition_spec_id", 0)
+    newManifest.put("partition_spec_id", specId)
     newManifest.put("content", 0) // data
     newManifest.put("sequence_number", seq)
     newManifest.put("min_sequence_number", seq)
@@ -1567,7 +1755,7 @@ object Iceberg {
     val meta = Json.createObjectNode()
     meta.put("format-version", fv) // carried — a write never downgrades a v3 table
     if (fv == 3) meta.put("next-row-id", nextRowId + moved.map(_.recordCount).sum)
-    meta.put("table-uuid", prior.map(_._2.get("table-uuid").asText)
+    meta.put("table-uuid", pa.map(_._2.get("table-uuid").asText)
       .getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", root.toUri.getPath)
     meta.put("last-sequence-number", seq)
@@ -1576,16 +1764,16 @@ object Iceberg {
     // overwrite that drops columns must not lower it, or a later
     // evolution would mint an id an old schema in the history still binds
     meta.put("last-column-id", math.max(fieldIds.values.max,
-      prior.map(_._2.get("last-column-id").asInt).getOrElse(0)))
+      pa.map(_._2.get("last-column-id").asInt).getOrElse(0)))
     // schema history: an UNCHANGED append carries the prior `schemas`
     // list + current-schema-id verbatim; a changed table schema (first
     // write, overwrite, mergeSchema evolution) joins the list under a
     // bumped schema-id — the spec's add-column evolution
-    val priorSchemaNodes: Seq[JsonNode] = prior.toSeq.flatMap { case (_, m) =>
+    val priorSchemaNodes: Seq[JsonNode] = pa.toSeq.flatMap { case (_, m) =>
       iterator(m.get("schemas")).toSeq
     }
-    val priorCurId: Option[Int] = prior.map(_._2.get("current-schema-id").asInt)
-    val schemaUnchanged = prior.exists { case (_, m) =>
+    val priorCurId: Option[Int] = pa.map(_._2.get("current-schema-id").asInt)
+    val schemaUnchanged = pa.exists { case (_, m) =>
       cleanJson(schemaFromMeta(m)) == cleanJson(tableSchema)
     }
     val curSchemaId: Int =
@@ -1599,7 +1787,7 @@ object Iceberg {
       // fields from the Spark StructType, and dropping a carried
       // field's initial-default/write-default here would silently flip
       // pre-column rows back to null on the next read
-      val priorFieldNodes: Map[Int, JsonNode] = prior.map { case (_, m) =>
+      val priorFieldNodes: Map[Int, JsonNode] = pa.map { case (_, m) =>
         iterator(currentSchemaNode(m).get("fields"))
           .map(f => f.get("id").asInt -> f).toMap
       }.getOrElse(Map.empty)
@@ -1617,26 +1805,40 @@ object Iceberg {
         }
       }
     }
-    meta.put("default-spec-id", 0)
+    meta.put("default-spec-id", specId)
     val specs = meta.putArray("partition-specs")
-    val spec0 = specs.addObject()
-    spec0.put("spec-id", 0)
-    val specFields = spec0.putArray("fields")
-    partFields.foreach { f =>
-      val pf = specFields.addObject()
-      pf.put("name", f.name); pf.put("transform", f.transform.spec)
-      pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
+    // every PRIOR spec carries verbatim (immutable — committed
+    // manifests key into them by id), then the minted one when new
+    pa.foreach { case (_, m) =>
+      if (m.hasNonNull("partition-specs"))
+        iterator(m.get("partition-specs")).foreach(sn =>
+          specs.add(sn.deepCopy[JsonNode]()): Unit)
     }
-    meta.put("last-partition-id", partFields.lastOption.map(_.fieldId).getOrElse(999))
+    if (mintNewSpec) {
+      val specN = specs.addObject()
+      specN.put("spec-id", specId)
+      val specFields = specN.putArray("fields")
+      partFields.foreach { f =>
+        val pf = specFields.addObject()
+        pf.put("name", f.name); pf.put("transform", f.transform.spec)
+        pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
+      }
+    }
+    // monotonic, like last-column-id: partition field ids are never
+    // reused even if an overwrite retired the spec that held the max
+    meta.put("last-partition-id", math.max(
+      partFields.map(_.fieldId).maxOption.getOrElse(999),
+      pa.flatMap(p => Option(p._2.get("last-partition-id"))
+        .filterNot(_.isNull).map(_.asInt)).getOrElse(999)))
     // SORT ORDERS carry forward ([[setSortOrder]] — a write must not
     // strip the table's declared order); a fresh table starts with
     // order 0, the spec's unsorted order
-    prior.flatMap { case (_, m) =>
+    pa.flatMap { case (_, m) =>
       Option(m.get("sort-orders")).filter(n => n.isArray && n.size > 0)
     } match {
       case Some(po) =>
         meta.set[JsonNode]("sort-orders", po.deepCopy[JsonNode]())
-        val priorOid = prior.flatMap { case (_, m) =>
+        val priorOid = pa.flatMap { case (_, m) =>
           Option(m.get("default-sort-order-id")).filterNot(_.isNull).map(_.asInt)
         }.getOrElse(0)
         // an Overwrite that REPLACES the schema can drop the default
@@ -1661,7 +1863,7 @@ object Iceberg {
     // name-mapping marker, user-set properties) — dropping them on
     // every commit would silently strip behavior
     val propsNode = meta.putObject("properties")
-    prior.foreach { case (_, m) =>
+    pa.foreach { case (_, m) =>
       Option(m.get("properties")).filter(_.isObject).foreach(
         _.properties().forEach(e => propsNode.set[JsonNode](e.getKey, e.getValue): Unit))
       // named refs survive commits too — a write must not unpin tags
@@ -1675,7 +1877,7 @@ object Iceberg {
         // creates) the branch ref — the write-audit-publish pattern's
         // staging step
         meta.put("current-snapshot-id",
-          prior.map(_._2.get("current-snapshot-id").asLong).getOrElse(snapshotId)): Unit
+          pa.map(_._2.get("current-snapshot-id").asLong).getOrElse(snapshotId)): Unit
         val refsNode =
           if (meta.hasNonNull("refs") && meta.get("refs").isObject)
             meta.get("refs").asInstanceOf[ObjectNode]
@@ -1685,7 +1887,7 @@ object Iceberg {
     }
     val snaps = meta.putArray("snapshots")
     // carry prior snapshots (time travel), then the new one
-    prior.foreach { case (_, m) =>
+    pa.foreach { case (_, m) =>
       iterator(m.get("snapshots")).foreach(sn => snaps.add(sn))
     }
     val snapNode = snaps.addObject()
@@ -1703,7 +1905,7 @@ object Iceberg {
     snapNode.put("manifest-list", listPath.toUri.getPath)
     snapNode.put("schema-id", curSchemaId)
     val slog = meta.putArray("snapshot-log")
-    prior.foreach { case (_, m) =>
+    pa.foreach { case (_, m) =>
       iterator(m.get("snapshot-log")).foreach(e => slog.add(e))
     }
     if (toBranch.isEmpty) { // snapshot-log tracks the MAIN lineage only
@@ -1712,7 +1914,7 @@ object Iceberg {
     }
     meta.putArray("metadata-log")
 
-    val out = try fs.create(metaFile(root, newMetaV), false) catch {
+    val out = try CommitFiles.createExclusive(fs, metaFile(root, newMetaV)) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"Iceberg: metadata version $newMetaV of $path was committed concurrently", e)
@@ -1723,6 +1925,70 @@ object Iceberg {
     val hint = fs.create(new HPath(metaDir(root), "version-hint.text"), true)
     try hint.write(newMetaV.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
+    } // attemptCommit
+
+    // OPTIMISTIC-CONCURRENCY RETRY (the spec's commit arbitration): the
+    // first attempt runs against the head this write validated. An
+    // APPEND that loses the create-if-absent race REBASES when every
+    // rival commit was itself a blind append and nothing structural
+    // moved (disjoint adds commute — the protocols' logical conflict
+    // rule); a rival overwrite/delete/replace, schema change, or spec
+    // change keeps throwing, as does any lost race on our own
+    // overwrite or branch write (their read sets are not rebasable).
+    try attemptCommit(prior) catch {
+      case e0: java.util.ConcurrentModificationException
+          if mode == SaveMode.Append && toBranch.isEmpty && prior.nonEmpty =>
+        val pm = prior.get._2
+        val knownIds: Set[Long] =
+          iterator(pm.get("snapshots")).map(_.get("snapshot-id").asLong).toSet
+        var lastErr = e0
+        var attempts = 0
+        while (attempts < 4) {
+          attempts += 1
+          val (mv2, m2) = readMetadata(fs, root)
+          appendRebaseConflict(pm, m2).foreach { reason =>
+            throw new java.util.ConcurrentModificationException(
+              s"Iceberg.write: append to $path lost to a concurrent commit that " +
+                s"is not a blind append ($reason) — not rebasing", lastErr)
+          }
+          try {
+            val got = attemptCommit(Some((mv2, m2)))
+            CommitIntrospect.icebergRebases.incrementAndGet()
+            return got
+          } catch { case e: java.util.ConcurrentModificationException => lastErr = e }
+        }
+        throw lastErr
+    }
+  }
+
+  /** The append-rebase gate: given the metadata a losing append
+    * validated against (`pm`) and the head that beat it (`m2`), decide
+    * whether the rival work commutes with a blind append. Disjoint
+    * appends commute; a changed schema, spec, or format version, or
+    * any rival snapshot that is not an `append`, is a genuine logical
+    * conflict the caller must surface (the spec's commit-arbitration
+    * rules). Package-visible so the race specs can prove the gate's
+    * decisions deterministically. */
+  private[interop] def appendRebaseConflict(pm: JsonNode, m2: JsonNode): Option[String] = {
+    if (m2.get("format-version").asInt != pm.get("format-version").asInt)
+      return Some("format-version changed")
+    if (m2.get("current-schema-id").asInt != pm.get("current-schema-id").asInt ||
+        m2.get("schemas") != pm.get("schemas"))
+      return Some("the table schema changed")
+    if (m2.get("default-spec-id").asInt != pm.get("default-spec-id").asInt ||
+        m2.get("partition-specs") != pm.get("partition-specs"))
+      return Some("the partition spec changed")
+    val knownIds: Set[Long] =
+      iterator(pm.get("snapshots")).map(_.get("snapshot-id").asLong).toSet
+    iterator(m2.get("snapshots"))
+      .filterNot(sn => knownIds.contains(sn.get("snapshot-id").asLong))
+      .foreach { sn =>
+        val op = Option(sn.get("summary")).filterNot(_.isNull)
+          .flatMap(su => Option(su.get("operation")).map(_.asText))
+          .getOrElse("unknown")
+        if (op != "append") return Some(s"rival snapshot operation '$op'")
+      }
+    None
   }
 
   /** Merge-on-read `DELETE FROM t WHERE cond` — the v2 spec's POSITION
@@ -2046,7 +2312,7 @@ object Iceberg {
     val delManifest = new GenericData.Record(manifestFileSchema)
     delManifest.put("manifest_path", manifestPath.toUri.getPath)
     delManifest.put("manifest_length", manifestLen)
-    delManifest.put("partition_spec_id", 0)
+    delManifest.put("partition_spec_id", s.defaultSpecId)
     delManifest.put("content", 1) // deletes
     delManifest.put("sequence_number", seq)
     delManifest.put("min_sequence_number", seq)
@@ -2638,30 +2904,38 @@ object Iceberg {
       _.get("manifest_length").asInstanceOf[Long] < target)
     // greedy bin-pack in min_sequence_number order (keeps each merged
     // manifest's sequence span tight, which keeps min_sequence_number
-    // — the planner's delete-applicability fast-out — meaningful)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[GenericRecord]]
-    var cur = Vector.empty[GenericRecord]
-    var curBytes = 0L
-    small.sortBy(mf => avroOpt(mf, "min_sequence_number")
-      .map(_.asInstanceOf[Long]).getOrElse(0L)).foreach { mf =>
-      val len = mf.get("manifest_length").asInstanceOf[Long]
-      if (cur.nonEmpty && curBytes + len > target) { bins += cur; cur = Vector.empty; curBytes = 0L }
-      cur :+= mf; curBytes += len
-    }
-    if (cur.nonEmpty) bins += cur
-    if (!bins.exists(_.size >= 2)) return (dataMfs.size, dataMfs.size)
+    // — the planner's delete-applicability fast-out — meaningful),
+    // GROUPED BY PARTITION SPEC: a merged manifest has exactly one
+    // spec id (its entries' partition records share one layout), so an
+    // evolved table's old-spec and new-spec manifests bin-pack
+    // separately, each re-emitted under its own spec
     val schema = schemaFromMeta(meta)
-    val partFields = partFieldsFromMeta(meta)
-    val fieldIds: Map[String, Int] = {
-      val curId = meta.get("current-schema-id").asInt
-      val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
-      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val (defaultSpecId, allSpecs) = specsFromMeta(meta)
+    def specIdOf(mf: GenericRecord): Int =
+      avroOpt(mf, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[GenericRecord])]
+    small.groupBy(specIdOf).toSeq.sortBy(_._1).foreach { case (sid, group) =>
+      var cur = Vector.empty[GenericRecord]
+      var curBytes = 0L
+      group.sortBy(mf => avroOpt(mf, "min_sequence_number")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)).foreach { mf =>
+        val len = mf.get("manifest_length").asInstanceOf[Long]
+        if (cur.nonEmpty && curBytes + len > target) {
+          bins += ((sid, cur)); cur = Vector.empty; curBytes = 0L
+        }
+        cur :+= mf; curBytes += len
+      }
+      if (cur.nonEmpty) bins += ((sid, cur))
     }
-    val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
-      (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
-    }
-    val entrySchema = manifestEntrySchema(partFieldTriples)
-    val r2 = entrySchema.getField("data_file").schema()
+    if (!bins.exists(_._2.size >= 2)) return (dataMfs.size, dataMfs.size)
+    val entrySchemaOf: Map[Int, org.apache.avro.Schema] =
+      bins.map(_._1).distinct.map { sid =>
+        val fields = allSpecs.getOrElse(sid, throw new IllegalArgumentException(
+          s"Iceberg.rewriteManifests: $path has a manifest under partition " +
+            s"spec $sid, which is not in the metadata's partition-specs list"))
+        sid -> manifestEntrySchema(fields.map(f =>
+          (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)))
+      }.toMap
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val seq = meta.get("last-sequence-number").asLong + 1
     val outManifests = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
@@ -2672,8 +2946,10 @@ object Iceberg {
     }
     (big ++ deleteMfs).foreach(carry)
     bins.foreach {
-      case bin if bin.size == 1 => carry(bin.head)
-      case bin =>
+      case (_, bin) if bin.size == 1 => carry(bin.head)
+      case (binSpecId, bin) =>
+        val entrySchema = entrySchemaOf(binSpecId)
+        val r2 = entrySchema.getField("data_file").schema()
         var kept = 0; var keptRows = 0L
         val merged = bin.flatMap { mf =>
           val mSeq = avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -2712,7 +2988,7 @@ object Iceberg {
         val rec = new GenericData.Record(manifestFileSchema)
         rec.put("manifest_path", newPath.toUri.getPath)
         rec.put("manifest_length", len)
-        rec.put("partition_spec_id", 0)
+        rec.put("partition_spec_id", binSpecId)
         rec.put("content", 0)
         rec.put("sequence_number", seq)
         rec.put("min_sequence_number", bin.map(mf =>
@@ -2813,15 +3089,24 @@ object Iceberg {
       }
     }
     val schema = schemaFromMeta(meta)
-    val partFields = partFieldsFromMeta(meta)
+    val (defaultSpecId, allSpecs) = specsFromMeta(meta)
+    val partFields = allSpecs.getOrElse(defaultSpecId, Nil)
     val fieldIds: Map[String, Int] = {
       val curId = meta.get("current-schema-id").asInt
       val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
       iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
     }
+    // staged replacement files land under the DEFAULT spec; a touched
+    // OLD-spec manifest re-emits its survivors under ITS OWN spec (the
+    // partition sub-record layouts differ — mixing them would
+    // serialize old records against the wrong Avro schema)
     val partFieldTriples: Seq[(String, DataType, Int)] = partFields.map { f =>
       (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
     }
+    def triplesOf(sid: Int): Seq[(String, DataType, Int)] =
+      allSpecs.getOrElse(sid, partFields).map { f =>
+        (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
+      }
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val seq = meta.get("last-sequence-number").asLong + 1
     val stageIds = fieldIds ++ (if (fv == 3)
@@ -2866,7 +3151,9 @@ object Iceberg {
           e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)))
         if (!touched) carry()
         else {
-          val entrySchema = manifestEntrySchema(partFieldTriples)
+          val mfSpecId = avroOpt(mf, "partition_spec_id")
+            .map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
+          val entrySchema = manifestEntrySchema(triplesOf(mfSpecId))
           val r2 = entrySchema.getField("data_file").schema()
           val mFirstRow = avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long])
           var kept = 0; var dropped = 0
@@ -2906,7 +3193,7 @@ object Iceberg {
           val rec = new GenericData.Record(manifestFileSchema)
           rec.put("manifest_path", newPath.toUri.getPath)
           rec.put("manifest_length", len)
-          rec.put("partition_spec_id", 0)
+          rec.put("partition_spec_id", mfSpecId)
           rec.put("content", 0)
           rec.put("sequence_number", mSeq)
           rec.put("min_sequence_number", mf.get("min_sequence_number"))
@@ -2927,7 +3214,7 @@ object Iceberg {
       val rec = new GenericData.Record(manifestFileSchema)
       rec.put("manifest_path", mp.toUri.getPath)
       rec.put("manifest_length", ml)
-      rec.put("partition_spec_id", 0)
+      rec.put("partition_spec_id", defaultSpecId)
       rec.put("content", 0)
       rec.put("sequence_number", seq)
       rec.put("min_sequence_number", seq)
@@ -2948,7 +3235,7 @@ object Iceberg {
       val rec = new GenericData.Record(manifestFileSchema)
       rec.put("manifest_path", mp.toUri.getPath)
       rec.put("manifest_length", ml)
-      rec.put("partition_spec_id", 0)
+      rec.put("partition_spec_id", defaultSpecId)
       rec.put("content", 0)
       rec.put("sequence_number", seq)
       rec.put("min_sequence_number", seq)
@@ -3059,7 +3346,7 @@ object Iceberg {
     require(Option(meta.get("format-version")).exists(f => f.asInt == 2 || f.asInt == 3),
       "Iceberg: v1 tables are READ-ONLY here — their metadata layout predates " +
         "sequence numbers; migrate to v2 before mutating")
-    val out = try fs.create(metaFile(root, v), false) catch {
+    val out = try CommitFiles.createExclusive(fs, metaFile(root, v)) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"Iceberg: metadata version $v of $path was committed concurrently", e)
@@ -3082,7 +3369,7 @@ object Iceberg {
     val (fs, root) = Writers.fsFor(path)
     val (_, meta) = readMetadata(fs, root)
     val schema = schemaFromMeta(meta)
-    val partFields = partFieldsFromMeta(meta)
+    val (defaultSpecId, allSpecs) = specsFromMeta(meta)
     // the tail follows the MAIN lineage only — branch (WAP staging)
     // snapshots advance the shared sequence counter but must not leak
     // into main's stream until fastForward publishes them (which adds
@@ -3110,11 +3397,15 @@ object Iceberg {
         // so the tail gates on it anyway)
         .filter(_.get("content").asInstanceOf[Int] == 0)
         .foreach { mf =>
+          // decode partition values under the MANIFEST'S OWN spec — a
+          // tail crossing a spec evolution sees each file's true keys
+          val mFields = allSpecs.getOrElse(avroOpt(mf, "partition_spec_id")
+            .map(_.asInstanceOf[Int]).getOrElse(defaultSpecId), Nil)
           readAvro(fs, new HPath(mf.get("manifest_path").toString)).foreach { e =>
             if (e.get("status").asInstanceOf[Int] == 1) { // ADDED
               val df = e.get("data_file").asInstanceOf[GenericRecord]
               val part = df.get("partition").asInstanceOf[GenericRecord]
-              val pv: Map[String, Option[String]] = partFields.map { f =>
+              val pv: Map[String, Option[String]] = mFields.map { f =>
                 f.name -> Option(
                   if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
                   .map(renderTransformValue(schema, f, _))
@@ -3229,6 +3520,14 @@ object Iceberg {
     // each, never re-spilled
     val sealedLeaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var commitsInChunk = 0
+    // collect every DV broadcast the walk creates (per-commit DvDiffs
+    // below, plus loadDeleteMap's inside the snapshot frames); sealing
+    // a chunk materializes the frames that referenced them, so the
+    // sealed ones unpersist right there — only the unsealed tail's
+    // broadcasts outlive this call (the returned plan still holds them)
+    val tracked = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
+    changelogBroadcasts.set(tracked)
     def sealChunk(): Unit = if (frames.nonEmpty) {
       // spill under the TABLE ROOT, not java.io.tmpdir: on a real
       // cluster executors share the table's filesystem, not the
@@ -3244,7 +3543,13 @@ object Iceberg {
       sealedLeaves += spark.read.schema(outSchema).parquet(dir.toString)
       frames.clear()
       commitsInChunk = 0
+      // the sealed frames' broadcasts are unreferenced now — release
+      // their executor and driver blocks (async; unpersist, not
+      // destroy, so a pathological re-execution could still re-fetch)
+      tracked.foreach(_.unpersist(false))
+      tracked.clear()
     }
+    try {
     window.foreach { sn =>
       val id = sn.get("snapshot-id").asLong
       val sq = seqOf(sn)
@@ -3286,11 +3591,11 @@ object Iceberg {
             curSrc.getOrElse(f, Nil).size + baseSrc.getOrElse(f, Nil).size).sum
           if (scanFiles.nonEmpty) {
             val dv = new graft.functions.BroadcastDvFilter(
-              spark.sparkContext.broadcast(new graft.functions.DvDiff(
+              trackBroadcast(spark.sparkContext.broadcast(new graft.functions.DvDiff(
                 new graft.functions.DvDescriptorMap(rootPrefix,
                   curSrc.filter { case (k, _) => touched.contains(k) }),
                 new graft.functions.DvDescriptorMap(rootPrefix,
-                  baseSrc.filter { case (k, _) => touched.contains(k) }))))
+                  baseSrc.filter { case (k, _) => touched.contains(k) })))))
             val src = snapshotFrame(spark, path,
               p.copy(files = scanFiles), withMeta = true)
             frames += stamp(src.filter(
@@ -3321,6 +3626,7 @@ object Iceberg {
     }
     val leaves = sealedLeaves.toSeq ++ frames.toSeq
     if (leaves.isEmpty) empty else leaves.reduce(_.unionByName(_))
+    } finally changelogBroadcasts.remove()
   }
 
   def rollback(spark: SparkSession, path: String, snapshotId: Long): Long = {
@@ -3508,7 +3814,9 @@ object Iceberg {
     val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
     require(names.contains(from), s"Iceberg.renameColumn: no column $from")
     require(!names.contains(to), s"Iceberg.renameColumn: column $to already exists")
-    require(!partFieldsFromMeta(meta).exists(_.source == from),
+    // checks EVERY spec, not just the default: an evolved table's old
+    // manifests still resolve their spec's source-ids by name here
+    require(!specsFromMeta(meta)._2.values.flatten.exists(_.source == from),
       s"Iceberg.renameColumn: $from is a partition source column — renaming it " +
         "would orphan the partition spec")
     // a NAME-MAPPED table (converted/imported files without parquet
@@ -3533,6 +3841,102 @@ object Iceberg {
     metaV + 1
   }
 
+  /** REPLACE the table's partition SPEC — the spec's layout-evolution
+    * path (`ALTER TABLE ... REPLACE PARTITION FIELD`; daily → hourly
+    * is the canonical at-scale move): a METADATA-ONLY commit that
+    * appends a new spec to `partition-specs` under the next spec-id
+    * and repoints `default-spec-id`. ZERO data files move at any
+    * scale; committed manifests keep their own spec id (manifest-list
+    * field 502), so pre-evolution files keep reading AND pruning under
+    * their old layout while new writes stage under the new one —
+    * [[snapshot]]/[[transformKeepFn]] resolve per manifest.
+    *
+    * Idempotent by structure: a `partitionBy` matching an EXISTING
+    * spec (name, transform, source-id, in order) repoints to it
+    * without minting — and is a pure no-op (no commit) when that spec
+    * is already the default. Partition field ids never recycle: a new
+    * spec's field reuses the id of any existing (source, transform)
+    * combo, new combos take last-partition-id + 1.
+    *
+    * Constraint of this library's dir-injection read architecture
+    * (identity sources are dropped from data files at write and
+    * re-served from manifest metadata, table-wide): while the table
+    * holds live data files, the new spec must keep the SAME identity
+    * field set as the current default — transform fields evolve
+    * freely. An empty table may change anything. Returns the
+    * (possibly pre-existing) now-default spec id. */
+  def replaceSpec(spark: SparkSession, path: String, partitionBy: Seq[String]): Int = {
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val schema = schemaFromMeta(meta)
+    val curId = meta.get("current-schema-id").asInt
+    val sn = iterator(meta.get("schemas")).find(_.get("schema-id").asInt == curId).get
+    val fieldIds: Map[String, Int] =
+      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val requested = requestedPartFields(partitionBy,
+      schema.fieldNames.contains, "Iceberg.replaceSpec")
+    val (defaultId, specs) = specsFromMeta(meta)
+    val hasLiveFiles = meta.hasNonNull("current-snapshot-id") &&
+      snapshot(spark, path).files.nonEmpty
+    if (hasLiveFiles) {
+      val curIdent = specs.getOrElse(defaultId, Nil)
+        .filter(_.isIdentity).map(f => (f.name, f.source)).toSet
+      val newIdent = requested.filter(_.isIdentity).map(f => (f.name, f.source)).toSet
+      require(curIdent == newIdent,
+        s"Iceberg.replaceSpec: the new spec's identity fields " +
+          s"${newIdent.mkString("{", ", ", "}")} differ from the default spec's " +
+          s"${curIdent.mkString("{", ", ", "}")} while the table holds live data " +
+          "files — identity values are served from manifest metadata (data files " +
+          "do not store them), so existing files cannot change identity layout; " +
+          "evolve transform fields only, or rewrite the data first")
+    }
+    val want: Seq[(String, String, Int)] =
+      requested.map(f => (f.name, f.transform.spec, fieldIds(f.source)))
+    val existing: Seq[(Int, Seq[(String, String, Int, Int)])] =
+      iterator(meta.get("partition-specs")).toSeq.map { s0 =>
+        s0.get("spec-id").asInt -> iterator(s0.get("fields")).toSeq.map(f =>
+          (f.get("name").asText, f.get("transform").asText,
+            f.get("source-id").asInt,
+            Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt).getOrElse(0)))
+      }
+    val m = meta.deepCopy[ObjectNode]()
+    existing.find(_._2.map(t => (t._1, t._2, t._3)) == want) match {
+      case Some((id, _)) =>
+        if (id == defaultId) return id // already the layout — nothing to commit
+        m.put("default-spec-id", id)
+        m.put("last-updated-ms", System.currentTimeMillis())
+        commitMetadata(fs, root, metaV + 1, m, path)
+        id
+      case None =>
+        val byCombo: Map[(Int, String), Int] = existing.flatMap(_._2)
+          .map(t => (t._3, t._2) -> t._4).toMap
+        var lastPid = math.max(
+          Option(meta.get("last-partition-id")).filterNot(_.isNull).map(_.asInt).getOrElse(999),
+          existing.flatMap(_._2).map(_._4).maxOption.getOrElse(999))
+        val fields = requested.map { r =>
+          byCombo.get((fieldIds(r.source), r.transform.spec)) match {
+            case Some(fid) => r.copy(fieldId = fid)
+            case None => lastPid += 1; r.copy(fieldId = lastPid)
+          }
+        }
+        val newId = existing.map(_._1).maxOption.getOrElse(-1) + 1
+        val specN = m.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "partition-specs").addObject()
+        specN.put("spec-id", newId)
+        val specFields = specN.putArray("fields")
+        fields.foreach { f =>
+          val pf = specFields.addObject()
+          pf.put("name", f.name); pf.put("transform", f.transform.spec)
+          pf.put("source-id", fieldIds(f.source)); pf.put("field-id", f.fieldId)
+        }
+        m.put("default-spec-id", newId)
+        m.put("last-partition-id", lastPid)
+        m.put("last-updated-ms", System.currentTimeMillis())
+        commitMetadata(fs, root, metaV + 1, m, path)
+        newId
+    }
+  }
+
   /** DROP a column — metadata only: a new schema version without the
     * field, ZERO data files touched (they keep the physical column;
     * the schema simply stops binding its id). `last-column-id` is
@@ -3553,7 +3957,7 @@ object Iceberg {
     val names = iterator(sn.get("fields")).map(_.get("name").asText).toSeq
     require(names.contains(name), s"Iceberg.dropColumn: no column $name")
     require(names.length > 1, s"Iceberg.dropColumn: $name is the last column")
-    require(!partFieldsFromMeta(meta).exists(_.source == name),
+    require(!specsFromMeta(meta)._2.values.flatten.exists(_.source == name),
       s"Iceberg.dropColumn: $name is a partition source column")
     require(!sortFieldsOf(meta).exists(_._1 == name),
       s"Iceberg.dropColumn: $name is a default-sort-order source " +
@@ -3977,7 +4381,7 @@ object Iceberg {
     iterator(meta.get("snapshot-log"))
       .filter(e => keptIds.contains(e.get("snapshot-id").asLong)).foreach(logArr.add)
     val v = metaV + 1
-    val out = try fs.create(metaFile(root, v), false) catch {
+    val out = try CommitFiles.createExclusive(fs, metaFile(root, v)) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"Iceberg: metadata version $v of $path was committed concurrently", e)
@@ -4153,7 +4557,7 @@ object Iceberg {
     val se = slog.addObject()
     se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
     meta.putArray("metadata-log")
-    val out = try fs.create(metaFile(root, 1L), false) catch {
+    val out = try CommitFiles.createExclusive(fs, metaFile(root, 1L)) catch {
       case e: java.io.IOException =>
         throw new java.util.ConcurrentModificationException(
           s"Iceberg: metadata version 1 of $path was committed concurrently", e)

@@ -3420,6 +3420,142 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S66: ICEBERG PARTITION-SPEC EVOLUTION graded (r11 verdict next
+    * #1) — the canonical coarse→fine layout move as pure metadata:
+    * orders' pre-1996 era writes partitioned `years(o_orderdate)`,
+    * [[graft.interop.Iceberg.replaceSpec]] repoints the default spec
+    * to `months(o_orderdate)` (require'd ZERO files moved — the
+    * spec's `partition-specs` list exists precisely so old manifests
+    * stay interpretable), and the later era appends under the new
+    * spec. The graded read serves BOTH eras, and two point-date
+    * probes — one per era — are require'd to plan exactly ONE file
+    * each: the pre-evolution probe prunes through the OLD spec's
+    * year transform, the post-evolution probe through the new month
+    * transform (manifest-list field 502 resolution, per file).
+    * Oracled as the monthly rollup of the full union. Multi-spec
+    * mechanics (idempotent repoint, field-id reuse, per-spec
+    * rewriteManifests/copy-on-write, identity gates, unknown-spec
+    * refusal) are spec-locked in PartitionEvolutionSpec. */
+  val s66PartitionEvolution = QueryDef(
+    "s66_partition_evolution",
+    (s, d) => {
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      // the corpus' orders span 1995-01..2001-08 at every SF
+      val cut = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      val ip = tmp("s66_ice", d); Writers.deleteTree(ip)
+      I.write(orders.filter(col("o_orderdate") < cut).coalesce(1), ip,
+        partitionBy = Seq("years(o_orderdate)"))
+      val pre = I.snapshot(s, ip).files.map(_.path).toSet
+      val specId = I.replaceSpec(s, ip, Seq("months(o_orderdate)"))
+      require(specId == 1 && I.snapshot(s, ip).files.map(_.path).toSet == pre,
+        "s66: replaceSpec must mint spec 1 and move zero data files")
+      I.write(orders.filter(col("o_orderdate") >= cut).coalesce(1), ip,
+        mode = SaveMode.Append)
+      val snap = I.snapshot(s, ip)
+      require(snap.files.map(_.specId).toSet == Set(0, 1),
+        "s66: both eras' files must carry their own spec id")
+      def planned(dateS: String): (Int, Int) = {
+        I.read(s, ip)
+          .filter(col("o_orderdate") === lit(dateS).cast(TimestampNTZType)).count()
+        org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(ip).get
+      }
+      val (k1, t1) = planned("1996-06-15 00:00:00")
+      require(k1 == 1 && t1 == snap.files.size,
+        s"s66: the era-1 probe must prune to its single yearly file ($k1/$t1)")
+      val (k2, _) = planned("1999-06-15 00:00:00")
+      require(k2 == 1,
+        s"s66: the era-2 probe must prune to its single monthly file ($k2)")
+      I.read(s, ip)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("ym")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        count(*) AS n_orders, max(o_orderkey) AS max_key,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders GROUP BY ym ORDER BY ym
+    """.stripMargin.trim),
+  )
+
+  /** S67: OPTIMISTIC-CONCURRENCY RETRY graded (r11 verdict next #2) —
+    * both interop writers now mirror the graft-native `retryDerived`
+    * contract: an append that loses the create-if-absent commit race
+    * re-reads the head, verifies every rival commit was itself a
+    * blind append (the protocols' logical conflict rule — disjoint
+    * adds commute; rewrites, schema or spec changes keep throwing),
+    * and REBASES without a manual retry. This entry drives ONE REAL
+    * CONTENDED COMMIT per format: two appends race from concurrent
+    * futures and the entry `require`s a rebase was actually taken
+    * ([[graft.interop.CommitIntrospect]] counters — re-raced up to 5
+    * rounds in the unlikely event the scheduler serialized them).
+    * The graded output is the union both writers must serve AFTER the
+    * race: base + both contenders' batches, no lost update, oracled
+    * per format. Gate decisions (which rivals rebase, which refuse)
+    * are spec-locked deterministically in InteropConcurrencySpec. */
+  val s67ConcurrentAppends = QueryDef(
+    "s67_concurrent_appends",
+    (s, d) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 12 === 0)
+      val b1 = orders.filter(col("o_orderkey") % 12 === 4)
+      val b2 = orders.filter(col("o_orderkey") % 12 === 8)
+      def contend(path: String, writeBase: () => Unit,
+          append: org.apache.spark.sql.DataFrame => Unit,
+          rebases: java.util.concurrent.atomic.AtomicLong): Unit = {
+        var round = 0
+        var done = false
+        while (!done && round < 5) {
+          round += 1
+          Writers.deleteTree(path)
+          writeBase()
+          val before = rebases.get()
+          Await.result(
+            Future.sequence(Seq(Future(append(b1)), Future(append(b2)))),
+            180.seconds)
+          done = rebases.get() > before
+        }
+        require(done,
+          s"s67: no contended commit observed at $path after $round rounds")
+      }
+      val dp = tmp("s67_delta", d)
+      contend(dp, () => { D.write(base, dp); () },
+        df => { D.write(df, dp, mode = SaveMode.Append); () },
+        graft.interop.CommitIntrospect.deltaRebases)
+      require(D.snapshot(s, dp).version == 2L,
+        "s67: both delta contenders must land as consecutive commits")
+      val ip = tmp("s67_ice", d)
+      contend(ip, () => { I.write(base, ip); () },
+        df => { I.write(df, ip, mode = SaveMode.Append); () },
+        graft.interop.CommitIntrospect.icebergRebases)
+      require(I.snapshots(ip).size == 3,
+        "s67: both iceberg contenders must land as snapshots")
+      D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("fmt")
+    },
+    Some("""
+      WITH src AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+      legs AS (SELECT 'delta' AS fmt, * FROM src
+               UNION ALL SELECT 'iceberg' AS fmt, * FROM src)
+      SELECT fmt, count(*) AS n_orders, max(o_orderkey) AS max_key,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM legs GROUP BY fmt ORDER BY fmt
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3433,5 +3569,5 @@ object IngestOps extends QueryModule {
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
-    s63TypeWidening, s65Variant)
+    s63TypeWidening, s65Variant, s66PartitionEvolution, s67ConcurrentAppends)
 }

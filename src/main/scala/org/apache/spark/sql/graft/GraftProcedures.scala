@@ -132,9 +132,18 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
             Array(graft.ingest.Versioned.compactFiles(spark, path))
         }
       case "vacuum" =>
-        val olderMs = System.currentTimeMillis() - input.getLong(1) * 3600L * 1000L
+        // older_than_hours => -1 is the explicit NO-RETENTION sentinel
+        // (reclaim everything dead, the "I know what I'm doing" mode);
+        // any other value is a real retention gate on BOTH age-gated
+        // formats — a requested 7-day window must never silently
+        // become an immediate reclaim that breaks time travel
+        val hours = input.getLong(1)
+        val olderMs =
+          if (hours < 0) Long.MaxValue
+          else System.currentTimeMillis() - hours * 3600L * 1000L
         fmt match {
-          case "delta" => Array(graft.interop.DeltaLake.vacuum(spark, path).toLong)
+          case "delta" =>
+            Array(graft.interop.DeltaLake.vacuum(spark, path, olderMs).toLong)
           case "iceberg" =>
             Array(graft.interop.Iceberg.removeOrphanFiles(spark, path, olderMs).toLong)
           case _ =>

@@ -76,12 +76,20 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
     spark.sql("CALL graft.system.expire_snapshots('dbmv.ti', keep_last => 1)").collect()
     assert(Iceberg.snapshots(ip).size == 1)
     assert(spark.table("graft.dbmv.ti").count() == 4L)
-    // delta: vacuum reclaims an unreferenced file
+    // delta: the DEFAULT 7-day retention PROTECTS a freshly-dead file
+    // (an explicitly requested window must never silently become an
+    // immediate reclaim that breaks time travel)...
     val dp = whd.resolve("td").toString
     DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), dp)
     java.nio.file.Files.write(Paths.get(dp, "orphan.parquet"), Array[Byte](1))
     assert(spark.sql("CALL graft.system.vacuum('dbmv.td')").collect()
-      .head.getLong(0) >= 1L)
+      .head.getLong(0) == 0L,
+      "default retention must spare a seconds-old unreferenced file")
+    assert(Paths.get(dp, "orphan.parquet").toFile.exists)
+    // ...and the explicit no-retention sentinel reclaims it
+    assert(spark.sql("CALL graft.system.vacuum('dbmv.td', older_than_hours => -1)")
+      .collect().head.getLong(0) >= 1L)
+    assert(!Paths.get(dp, "orphan.parquet").toFile.exists)
     // delta has no expire_snapshots: loud refusal, not a silent no-op
     val err = intercept[Exception](
       spark.sql("CALL graft.system.expire_snapshots('dbmv.td')").collect())
