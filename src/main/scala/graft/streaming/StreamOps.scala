@@ -543,11 +543,13 @@ object StreamOps extends QueryModule {
     * applying `changes(v-1, v)` per committed version instead of
     * re-reading the table (the standard table-format →
     * materialized-view loop). The source is built by the stream_t10
-    * producer shape (event stream → appendCommitOnce) plus two
-    * batch mutations (a keyed UPDATE and a DELETE), so the consumer
-    * exercises all three feed paths: the append windows arrive via the
-    * manifest fast path (only new files read), the rewrite windows via
-    * the keyed diff.
+    * producer shape (event stream → appendCommitOnce) plus a keyed
+    * DELETE, so the consumer exercises the append feed path (manifest
+    * fast path — only new files read) and the rewrite-window path (the
+    * keyed diff). The UPDATE feed path — the delete+append PAIR apply
+    * with its crash/replay story — runs through the SAME consume loop
+    * in VersionedSpec "two-table CDF pair" (r12 trim: the upsert leg
+    * and its feed apply were this entry's two largest costs).
     *
     * THE APPLY WRITES O(feed), NOT O(view) (r6 verdict #2): inserts and
     * update after-images land via `appendCommit` (with event_id file
@@ -599,10 +601,18 @@ object StreamOps extends QueryModule {
           .start()
         q.awaitTermination()
       }
-      // …then OLTP-ish maintenance: a keyed UPDATE and a DELETE
-      V.upsert(s, src,
-        V.read(s, src).filter(col("event_id") % 97 === 0)
-          .withColumn("event_type", lit("edited")), "event_id")
+      // …then OLTP-ish maintenance: a keyed DELETE (the rewrite-window
+      // feed path). The UPDATE leg was trimmed here r12 — its
+      // delete+append PAIR apply, mid-pair crash recovery, and replay
+      // no-op are spec-locked in VersionedSpec "two-table CDF pair: a
+      // crash between the delete and append commits recovers
+      // non-divergent", which drives THIS consume loop through an
+      // upsert mutation (the r12 profile showed the entry's 8 s was
+      // ~10 genuine table operations at 0.5-1.1 s each, not scheduler
+      // stall; the upsert + its feed apply were the largest pair).
+      // The consume chain sizes shuffles to the drained volume (one
+      // events file), like the producer above.
+      ScaleOps.withShuffleWidth(s, 4) {
       V.delete(s, src,
         V.read(s, src).filter(col("event_id") % 101 === 0).select("event_id"), "event_id")
       // consumer: materialize the view by applying each version's feed.
@@ -651,6 +661,7 @@ object StreamOps extends QueryModule {
           }
         }
       consume()
+      } // withShuffleWidth
       // (the two-way exceptAll view==source require was trimmed r10 —
       // the ORACLE carries the content claim: the view's final state
       // must hash-match the state DuckDB derives from `events`, which
@@ -662,15 +673,10 @@ object StreamOps extends QueryModule {
         .orderBy("event_type")
     },
     Some("""
-      WITH state AS (
-        SELECT CASE WHEN event_id % 97 = 0 THEN 'edited' ELSE event_type END AS event_type,
-          value
-        FROM events
-        WHERE event_id % 101 <> 0
-      )
       SELECT event_type, count(*) AS n_events,
         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
-      FROM state
+      FROM events
+      WHERE event_id % 101 <> 0
       GROUP BY event_type
       ORDER BY event_type
     """.stripMargin.trim),
