@@ -58,7 +58,7 @@ object DeltaLake {
     * column mapping, and TIMESTAMP_NTZ columns (native Spark types). */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping",
     "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck", "typeWidening",
-    "variantType")
+    "variantType", "variantShredding")
   /** Writer features this from-spec writer honors. A table demanding
     * anything else (icebergCompat, inCommitTimestamp, ...) refuses
     * WRITES loudly — ignoring an unimplemented writer feature corrupts
@@ -67,7 +67,7 @@ object DeltaLake {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
     "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults",
-    "typeWidening", "variantType")
+    "typeWidening", "variantType", "variantShredding")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -1267,9 +1267,29 @@ object DeltaLake {
     // schemaString and (correctly) refuse; declaring it makes the
     // refusal a protocol decision, the spec's contract
     val needsVariant = rawTable.fields.exists(f => graft.interop.Iceberg.hasVariantType(f.dataType))
+    // SHREDDED variant staging (the session's parquet writer conf):
+    // shredded files are only readable under the variantShredding
+    // protocol feature — an existing table must ratchet it EXPLICITLY
+    // ([[enableVariantShredding]]) before shredded bytes land, or a
+    // pre-feature reader would silently serve nulls from the value
+    // column; a fresh table ratchets it at creation
+    val shreddingOn = needsVariant && spark.conf
+      .getOption("spark.sql.variant.writeShredding.enabled")
+      .exists(_.equalsIgnoreCase("true"))
+    prior.foreach { p =>
+      require(!shreddingOn || p.protocol.readerFeatures.contains("variantShredding"),
+        s"DeltaLake.write: the session enables variant SHREDDING but $path does " +
+          "not carry the variantShredding protocol feature — run " +
+          "enableVariantShredding first (shredded files would read as null on " +
+          "pre-feature readers)")
+    }
     if (prior.isEmpty) {
       val legacy = if (mapModeW.isEmpty) Protocol(1, 2) else Protocol(2, 5)
-      if (needsVariant) lines += protocolLine(withReaderWriterFeature(legacy, "variantType"))
+      if (needsVariant) {
+        val withV = withReaderWriterFeature(legacy, "variantType")
+        lines += protocolLine(
+          if (shreddingOn) withReaderWriterFeature(withV, "variantShredding") else withV)
+      }
       else lines += (if (mapModeW.isEmpty)
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       else // legacy versions that imply columnMapping support
@@ -1707,6 +1727,36 @@ object DeltaLake {
     * `delta.rowTracking` domain. O(files) metadata, zero data bytes
     * moved. Every later write assigns fresh ranges;
     * [[readWithRowTracking]] serves `_row_id` / `_row_commit_version`. */
+  /** Ratchet the `variantShredding` reader+writer feature — the
+    * protocol contract for tables whose parquet files store variants
+    * in the SHREDDED layout (typed_value columns, the parquet
+    * variant-shredding spec): a pre-feature reader would decode only
+    * the `value` binary and silently read nulls where typed_value
+    * holds the data, so shredded files may only land once every reader
+    * is required to understand them. Requires `variantType` (shredding
+    * is a representation of the variant type, not a type of its own).
+    * Idempotent. */
+  def enableVariantShredding(spark: SparkSession, path: String): Long = {
+    val snap = snapshot(spark, path)
+    if (snap.protocol.readerFeatures.contains("variantShredding")) return snap.version
+    require(snap.protocol.readerFeatures.contains("variantType"),
+      s"DeltaLake.enableVariantShredding: $path does not carry the variantType " +
+        "feature — shredding is a layout of variant columns; add one first")
+    gateWriter(snap, path, "enableVariantShredding", mutates = false)
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val lines = Seq(
+      protocolLine(withReaderWriterFeature(snap.protocol, "variantShredding")), {
+        val ci = Json.createObjectNode()
+        val info = ci.putObject("commitInfo")
+        info.put("timestamp", now); info.put("operation", "SET TBLPROPERTIES")
+        Json.writeValueAsString(ci)
+      })
+    commitLines(fs, root, v, lines, snap.configuration)
+    v
+  }
+
   def enableRowTracking(spark: SparkSession, path: String): Long = {
     val snap = snapshot(spark, path)
     if (snap.rowTrackingEnabled) return snap.version

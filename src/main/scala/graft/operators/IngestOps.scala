@@ -3482,6 +3482,132 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S65b: VARIANT SHREDDING graded (r11 verdict next #4) — the
+    * parquet variant-shredding layout on both formats: one era of each
+    * table is written UNSHREDDED (opaque metadata+value binaries), one
+    * SHREDDED (the spec's `typed_value` column groups, inferred
+    * schema), and the graded read serves BOTH eras identically through
+    * `variant_get` — oracled against DuckDB's JSON extraction over the
+    * raw strings, the same parity bar as s65. In-entry requires:
+    *
+    *  - LAYOUT: every era-2 data file's parquet footer carries the
+    *    shredded `typed_value` group, no era-1 file does (both
+    *    formats — the files genuinely differ on disk);
+    *  - PROTOCOL: the Delta table ratchets the `variantShredding`
+    *    reader+writer feature BEFORE shredded bytes land
+    *    ([[graft.interop.DeltaLake.enableVariantShredding]] — a
+    *    pre-feature reader would silently serve nulls from the value
+    *    column); Iceberg needs no new feature (shredding is part of
+    *    the v3 variant contract, and the table is require'd v3);
+    *  - PUSHDOWN: a predicate on a shredded path plans as a NARROWED
+    *    struct scan with the filter pushed to parquet (`ReadSchema`
+    *    reads only the typed_value column, never the variant binary;
+    *    `PushedFilters` carries the path) — the stats-prune mechanism
+    *    the shredded layout exists for, on BOTH formats' relations.
+    *
+    * File-level manifest skipping on shredded paths is deliberately
+    * NOT claimed: neither the Iceberg v3 manifest bounds encoding
+    * (bounds keys are schema field ids; variant leaves have none) nor
+    * Delta's stats schema defines variant-path statistics — the
+    * spec-expressible skip is the parquet one require'd above. Gates
+    * (shredded write without the feature, shredding-disabled readers,
+    * fresh-table double ratchet) are spec-locked in
+    * VariantShreddingSpec. */
+  val s65bVariantShredding = QueryDef(
+    "s65b_variant_shredding",
+    (s, d) => {
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      def src(cond: org.apache.spark.sql.Column) = Tables.events(s, d).filter(cond)
+        .select(col("event_id"),
+          expr("""parse_json(to_json(named_struct(
+            'k', CAST(get_json_object(props, '$.k') AS BIGINT),
+            'type', event_type,
+            'nested', named_struct('uid', user_id))))""").as("props"))
+      val era1 = src(col("event_id") % 2 === 0)
+      val era2 = src(col("event_id") % 2 === 1)
+      // Spark 4.1 shreds by DEFAULT — the unshredded era is the
+      // explicit opt-out (a legacy/foreign pre-shredding writer);
+      // the wrapper always restores the session defaults (true)
+      def shredding[T](on: Boolean)(body: => T): T = {
+        s.conf.set("spark.sql.variant.writeShredding.enabled", on.toString)
+        s.conf.set("spark.sql.variant.inferShreddingSchema", on.toString)
+        try body finally {
+          s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+          s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+        }
+      }
+      def isShredded(path: String): Boolean = {
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path), s.sparkContext.hadoopConfiguration))
+        try footer.getFileMetaData.getSchema.toString.contains("typed_value")
+        finally footer.close()
+      }
+      def requireEras(fmt: String, eraOf: Map[String, Int]): Unit = {
+        require(eraOf.nonEmpty && eraOf.values.toSet == Set(1, 2),
+          s"s65b: the $fmt table must hold files of both eras")
+        eraOf.foreach { case (f, era) =>
+          require(isShredded(f) == (era == 2),
+            s"s65b: $fmt era-$era file $f has the wrong layout on disk")
+        }
+      }
+      val dp = tmp("s65b_delta", d); Writers.deleteTree(dp)
+      shredding(on = false) { D.write(era1, dp) }
+      val dEra1 = D.snapshot(s, dp).files.map(_.path).toSet
+      D.enableVariantShredding(s, dp)
+      shredding(on = true) { D.write(era2, dp, mode = SaveMode.Append) }
+      val dSnap = D.snapshot(s, dp)
+      require(dSnap.protocol.readerFeatures.contains("variantShredding") &&
+        dSnap.protocol.writerFeatures.contains("variantShredding"),
+        "s65b: shredded delta files require the variantShredding feature")
+      val rootD = new org.apache.hadoop.fs.Path(dp).toUri.getPath
+      requireEras("delta", dSnap.files.map(f =>
+        s"$rootD/${f.path}" -> (if (dEra1.contains(f.path)) 1 else 2)).toMap)
+      val ip = tmp("s65b_ice", d); Writers.deleteTree(ip)
+      shredding(on = false) { I.write(era1, ip) }
+      val iEra1 = I.snapshot(s, ip).files.map(_.path).toSet
+      shredding(on = true) { I.write(era2, ip, mode = SaveMode.Append) }
+      require(I.formatVersion(ip) == 3, "s65b: the variant table must be v3")
+      requireEras("iceberg", I.snapshot(s, ip).files.map(f =>
+        f.path -> (if (iEra1.contains(f.path)) 1 else 2)).toMap)
+      // pushdown: a shredded-path predicate narrows the scan to the
+      // typed_value column and pushes the filter into parquet
+      Seq(D.read(s, dp), I.read(s, ip)).foreach { frame =>
+        val probe = frame.filter(expr("variant_get(props, '$.k', 'long') = 3"))
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("props:struct<") &&
+          plan.contains("PushedFilters") && plan.contains("EqualTo(props."),
+          s"s65b: the shredded-path predicate must plan as a pushed struct " +
+            s"scan; got\n$plan")
+      }
+      val both = D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+      require(both.schema("props").dataType == org.apache.spark.sql.types.VariantType,
+        "s65b: both formats must serve the column AS VariantType")
+      both.select(col("fmt"),
+          expr("variant_get(props, '$.type', 'string')").as("event_type"),
+          expr("variant_get(props, '$.k', 'long')").as("k"),
+          expr("variant_get(props, '$.nested.uid', 'long')").as("uid"))
+        .groupBy("fmt", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("uid")).as("max_uid"))
+        .orderBy("fmt", "event_type")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          user_id AS uid
+        FROM events),
+      legs AS (SELECT 'delta' AS fmt, * FROM src
+               UNION ALL SELECT 'iceberg' AS fmt, * FROM src)
+      SELECT fmt, event_type, count(*) AS n_events,
+        CAST(sum(k) AS BIGINT) AS sum_k, max(uid) AS max_uid
+      FROM legs GROUP BY fmt, event_type ORDER BY fmt, event_type
+    """.stripMargin.trim),
+  )
+
   /** S67: OPTIMISTIC-CONCURRENCY RETRY graded (r11 verdict next #2) —
     * both interop writers now mirror the graft-native `retryDerived`
     * contract: an append that loses the create-if-absent commit race
@@ -3569,5 +3695,6 @@ object IngestOps extends QueryModule {
     s49InteropInspection, s51ContinuousSync, s52IcebergV3, s53DeltaRowTracking,
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
-    s63TypeWidening, s65Variant, s66PartitionEvolution, s67ConcurrentAppends)
+    s63TypeWidening, s65Variant, s65bVariantShredding, s66PartitionEvolution,
+    s67ConcurrentAppends)
 }
