@@ -1869,6 +1869,13 @@ object Iceberg {
       // named refs survive commits too — a write must not unpin tags
       Option(m.get("refs")).filter(_.isObject).foreach(r =>
         meta.set[JsonNode]("refs", r.deepCopy()): Unit)
+      // the spec's statistics lists carry too — entries are keyed by
+      // snapshot id, and a write must not strip an ANALYZE's
+      // published ndv from the snapshots that still have it
+      Seq("statistics", "partition-statistics").foreach { k =>
+        Option(m.get(k)).filter(n => n.isArray && n.size > 0)
+          .foreach(n => meta.set[JsonNode](k, n.deepCopy[JsonNode]()): Unit)
+      }
     }
     toBranch match {
       case None => meta.put("current-snapshot-id", snapshotId): Unit
@@ -4380,6 +4387,18 @@ object Iceberg {
     val logArr = newMeta.putArray("snapshot-log")
     iterator(meta.get("snapshot-log"))
       .filter(e => keptIds.contains(e.get("snapshot-id").asLong)).foreach(logArr.add)
+    // statistics entries of expired snapshots age out with them (the
+    // spec keys the list by snapshot id); their Puffin files reclaim
+    Seq("statistics", "partition-statistics").foreach { k =>
+      if (newMeta.hasNonNull(k)) {
+        val keptStats = iterator(meta.get(k)).toSeq
+          .partition(e => keptIds.contains(e.get("snapshot-id").asLong))
+        keptStats._2.foreach(e => Option(e.get("statistics-path")).foreach(p =>
+          fs.delete(new HPath(p.asText), false): Unit))
+        val sArr = newMeta.putArray(k)
+        keptStats._1.foreach(e => sArr.add(e.deepCopy[JsonNode]()): Unit)
+      }
+    }
     val v = metaV + 1
     val out = try CommitFiles.createExclusive(fs, metaFile(root, v)) catch {
       case e: java.io.IOException =>
@@ -4461,6 +4480,202 @@ object Iceberg {
     val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
     (manifestPath, manifestLen)
+  }
+
+  // ------------------------------------------- table statistics (Puffin)
+
+  /** ANALYZE — the spec's `statistics` table-metadata field: compute
+    * per-column NDV with apache-datasketches THETA sketches (ONE
+    * distributed pass; per-partition compact sketches UNION on the way
+    * back — O(partitions × sketch) driver bytes, never values), land
+    * them as `apache-datasketches-theta-v1` blobs in one Puffin file
+    * under `metadata/`, and commit a `statistics` entry for the
+    * CURRENT snapshot (replacing any previous entry for it; other
+    * snapshots' entries carry). Each blob's metadata records the `ndv`
+    * property — what planners read without touching the sketch
+    * ([[readTableStatistics]]); the serialized sketch is what makes
+    * the stats MERGEABLE for foreign engines. Columns of
+    * non-primitive type are skipped (the Puffin spec defines the
+    * theta domain over primitive single values). Returns
+    * column → ndv estimate. */
+  def analyzeTable(spark: SparkSession, path: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, path)
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    val cols: Seq[String] = s.schema.fields.filter(f => f.dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: StringType |
+          _: FloatType | _: DoubleType | _: BooleanType | _: DateType |
+          _: TimestampType | _: TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }).map(_.name).toSeq
+    require(cols.nonEmpty,
+      s"Iceberg.analyzeTable: $path has no sketchable primitive columns")
+    val nCols = cols.size
+    val sketches: Array[Array[Byte]] =
+      if (s.files.isEmpty)
+        Array.fill(nCols)(org.apache.datasketches.theta.UpdateSketch.builder()
+          .build().compact().toByteArray)
+      else read(spark, path).select(cols.map(col): _*).rdd.mapPartitions { it =>
+        val sks = Array.fill(nCols)(
+          org.apache.datasketches.theta.UpdateSketch.builder().build())
+        it.foreach { r =>
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i)) r.get(i) match {
+              case v: java.lang.Long => sks(i).update(v.longValue())
+              case v: java.lang.Integer => sks(i).update(v.longValue())
+              case v: java.lang.Short => sks(i).update(v.longValue())
+              case v: java.lang.Byte => sks(i).update(v.longValue())
+              case v: String => sks(i).update(v)
+              case v: java.lang.Double => sks(i).update(v.doubleValue())
+              case v: java.lang.Float => sks(i).update(v.doubleValue())
+              case v: java.lang.Boolean => sks(i).update(if (v) 1L else 0L)
+              case v: java.sql.Date => sks(i).update(v.toLocalDate.toEpochDay)
+              case v: java.sql.Timestamp => sks(i).update(v.getTime)
+              case v: java.time.LocalDateTime =>
+                sks(i).update(v.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                  v.getNano / 1000L)
+              case v: java.math.BigDecimal => sks(i).update(v.toPlainString)
+              case v => sks(i).update(String.valueOf(v))
+            }
+            i += 1
+          }
+        }
+        Iterator.single(sks.map(_.compact().toByteArray))
+      }.reduce { (a, b) =>
+        a.zip(b).map { case (x, y) =>
+          val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+          u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(x)))
+          u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(y)))
+          u.getResult.toByteArray
+        }
+      }
+    val ndvs: Seq[(String, Long)] = cols.zip(sketches).map { case (c, bytes) =>
+      c -> math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate)
+    }
+    val fieldIds: Map[String, Int] = {
+      val sn = currentSchemaNode(meta)
+      iterator(sn.get("fields")).map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    }
+    val blobs = cols.zip(sketches).zip(ndvs).map { case ((c, bytes), (_, ndv)) =>
+      Puffin.StatBlob("apache-datasketches-theta-v1", Seq(fieldIds(c)),
+        s.snapshotId, s.sequenceNumber, bytes, Map("ndv" -> ndv.toString))
+    }
+    val dest = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-stats.puffin")
+    val (fileSize, footerPayload) = Puffin.writeStatsFile(fs, dest, blobs)
+    val m = meta.deepCopy[ObjectNode]()
+    val prevStats = Option(m.get("statistics")).filter(_.isArray)
+      .map(iterator(_).toSeq).getOrElse(Nil)
+      .filter(_.get("snapshot-id").asLong != s.snapshotId)
+      .map(_.deepCopy[JsonNode]())
+    val arr = m.putArray("statistics")
+    prevStats.foreach(e => arr.add(e): Unit)
+    val entry = arr.addObject()
+    entry.put("snapshot-id", s.snapshotId)
+    entry.put("statistics-path", dest.toUri.getPath)
+    entry.put("file-size-in-bytes", fileSize)
+    // footer = Magic + payload + payloadSize(4) + flags(4) + Magic
+    entry.put("file-footer-size-in-bytes", footerPayload + 16)
+    val bm = entry.putArray("blob-metadata")
+    blobs.foreach { b =>
+      val n = bm.addObject()
+      n.put("type", b.blobType)
+      n.put("snapshot-id", b.snapshotId)
+      n.put("sequence-number", b.sequenceNumber)
+      val fa = n.putArray("fields")
+      b.fields.foreach(f => fa.add(f): Unit)
+      val pr = n.putObject("properties")
+      b.properties.foreach { case (k, v) => pr.put(k, v): Unit }
+    }
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    ndvs.toMap
+  }
+
+  /** Per-column NDV from the CURRENT snapshot's `statistics` entry —
+    * the planner-facing read: blob-metadata `ndv` properties resolve
+    * without touching the sketch file (this is how FOREIGN engines'
+    * published stats serve too — the table metadata alone suffices);
+    * a blob missing the property falls back to deserializing its
+    * theta sketch from the Puffin file. Refuses loudly when the
+    * current snapshot has no statistics (an un-ANALYZEd table must
+    * not silently cost as stats-free). */
+  def readTableStatistics(spark: SparkSession, path: String): Map[String, Long] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
+    val curId = meta.get("current-snapshot-id").asLong
+    val entry = iterator(meta.get("statistics"))
+      .find(_.get("snapshot-id").asLong == curId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg.readTableStatistics: no statistics entry for the current " +
+          s"snapshot of $path — run analyzeTable (or a foreign engine's ANALYZE) first"))
+    val idToName: Map[Int, String] = {
+      val sn = currentSchemaNode(meta)
+      iterator(sn.get("fields")).map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    }
+    lazy val footerBlobs = Puffin.readFooter(fs,
+      new HPath(entry.get("statistics-path").asText))._1
+    iterator(entry.get("blob-metadata"))
+      .filter(_.get("type").asText == "apache-datasketches-theta-v1")
+      .flatMap { b =>
+        val fids = Option(b.get("fields")).filter(_.isArray)
+          .map(a => (0 until a.size()).map(a.get(_).asInt)).getOrElse(Seq.empty)
+        if (fids.size != 1) None
+        else idToName.get(fids.head).map { name =>
+          val ndv = Option(b.get("properties")).filter(_.isObject)
+            .flatMap(p => Option(p.get("ndv")).map(_.asText.toLong))
+            .getOrElse {
+              val blob = footerBlobs.find(fb =>
+                fb.blobType == "apache-datasketches-theta-v1" && fb.fields == fids)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"Iceberg.readTableStatistics: the statistics file carries no " +
+                    s"theta blob for field ${fids.head}"))
+              math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+                org.apache.datasketches.memory.Memory.wrap(Puffin.readBlobBytes(fs,
+                  new HPath(entry.get("statistics-path").asText),
+                  blob.offset, blob.length))).getEstimate)
+            }
+          name -> ndv
+        }
+      }.toMap
+  }
+
+  /** Read WITH the published statistics attached to the plan: the
+    * relation carries CatalogStatistics (size, row count, per-column
+    * distinct counts from [[readTableStatistics]]), so Spark's CBO
+    * costs this table exactly like an ANALYZEd catalog table — join
+    * reorder and broadcast decisions see the ndv at planning.
+    * Falls back to a plain [[read]] (no stats) when the snapshot has
+    * outstanding merge-on-read debt (its relation is a TableScan the
+    * stats cannot ride). */
+  def readWithStats(spark: SparkSession, path: String): DataFrame = {
+    val s = snapshot(spark, path)
+    if (s.hasDeleteDebt) return read(spark, path)
+    val ndv = readTableStatistics(spark, path)
+    val classic = spark.asInstanceOf[ClassicSession]
+    val (_, root) = Writers.fsFor(path)
+    val rel = relationForSnapshot(spark, path, s)
+    val colStats = ndv.map { case (c, n) =>
+      c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+        distinctCount = Some(BigInt(n)))
+    }
+    val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(root.getName),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(root.toUri)),
+      schema = s.schema,
+      provider = Some("iceberg"),
+      stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(s.files.map(_.sizeInBytes).sum),
+        rowCount = Some(BigInt(s.files.map(_.recordCount).sum)),
+        colStats = colStats)))
+    org.apache.spark.sql.graft.ColumnBridge.relationWithStats(classic, rel, ct)
   }
 
   /** Publish ICEBERG METADATA over an EXISTING file set without

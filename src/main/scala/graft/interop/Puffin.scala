@@ -46,7 +46,8 @@ object Puffin {
   final case class BlobMeta(
       blobType: String, offset: Long, length: Long,
       snapshotId: Long, sequenceNumber: Long,
-      compressionCodec: Option[String], properties: Map[String, String])
+      compressionCodec: Option[String], properties: Map[String, String],
+      fields: Seq[Int] = Nil)
 
   /** Write a Puffin file holding one deletion-vector blob per entry of
     * `dvs` (referenced data-file path → sorted deleted row positions).
@@ -101,6 +102,68 @@ object Puffin {
     } finally out.close()
   }
 
+  /** One blob to land in a stats file: the spec's blob-metadata fields
+    * plus the payload bytes (already serialized — e.g. a compact theta
+    * sketch). */
+  final case class StatBlob(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long, bytes: Array[Byte],
+      properties: Map[String, String])
+
+  /** Write a GENERIC Puffin file (the `statistics` container ANALYZE
+    * publishes — same framing as the DV writer above, but arbitrary
+    * blob types, spec field-ids lists, and raw payloads). Returns
+    * (file size, footer payload size) — the `file-size-in-bytes` /
+    * `file-footer-size-in-bytes` the table metadata's statistics
+    * entry records. */
+  def writeStatsFile(fs: FileSystem, dest: HPath,
+      blobs: Seq[StatBlob]): (Long, Long) = {
+    require(blobs.nonEmpty, "Puffin.writeStatsFile: no blobs to write")
+    val out = fs.create(dest, true)
+    val footerPayloadSize = try {
+      out.write(Magic)
+      var offset = Magic.length.toLong
+      val blobsJson = Json.createArrayNode()
+      blobs.foreach { b =>
+        out.write(b.bytes)
+        val m = blobsJson.addObject()
+        m.put("type", b.blobType)
+        val fieldsArr = m.putArray("fields")
+        b.fields.foreach(f => fieldsArr.add(f): Unit)
+        m.put("snapshot-id", b.snapshotId)
+        m.put("sequence-number", b.sequenceNumber)
+        m.put("offset", offset)
+        m.put("length", b.bytes.length.toLong)
+        val props = m.putObject("properties")
+        b.properties.foreach { case (k, v) => props.put(k, v): Unit }
+        offset += b.bytes.length
+      }
+      val payloadNode = Json.createObjectNode()
+      payloadNode.set[com.fasterxml.jackson.databind.JsonNode]("blobs", blobsJson)
+      payloadNode.putObject("properties").put("created-by", "graft")
+      val payload = Json.writeValueAsString(payloadNode).getBytes("UTF-8")
+      out.write(Magic)
+      out.write(payload)
+      val tail = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: uncompressed footer
+      out.write(tail.array())
+      out.write(Magic)
+      payload.length.toLong
+    } finally out.close()
+    (fs.getFileStatus(dest).getLen, footerPayloadSize)
+  }
+
+  /** Raw blob bytes at (`offset`, `length`) — what a stats reader hands
+    * the sketch library when the ndv property is absent. */
+  def readBlobBytes(fs: FileSystem, src: HPath, offset: Long, length: Long): Array[Byte] = {
+    val in = fs.open(src)
+    try {
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(offset, buf)
+      buf
+    } finally in.close()
+  }
+
   /** Parse a Puffin footer: all blob metadata plus the file properties.
     * LZ4-frame-compressed payloads decompress transparently; malformed
     * magic refuses loudly. */
@@ -152,6 +215,9 @@ object Puffin {
             p.properties().forEach(e => m += e.getKey -> e.getValue.asText())
             m.toMap
           }.getOrElse(Map.empty[String, String])
+          val fids = Option(b.get("fields")).filter(_.isArray).map { arr2 =>
+            (0 until arr2.size()).map(j => arr2.get(j).asInt)
+          }.getOrElse(Seq.empty)
           BlobMeta(
             b.get("type").asText,
             b.get("offset").asLong,
@@ -159,7 +225,7 @@ object Puffin {
             Option(b.get("snapshot-id")).map(_.asLong).getOrElse(-1L),
             Option(b.get("sequence-number")).map(_.asLong).getOrElse(-1L),
             Option(b.get("compression-codec")).filterNot(_.isNull).map(_.asText),
-            props)
+            props, fids)
         }
       }
       val fileProps = Option(node.get("properties")).filter(_.isObject).map { p =>

@@ -3682,6 +3682,76 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S68: ICEBERG PUFFIN TABLE STATISTICS graded (r11 verdict next
+    * #5) — the s16 stats/CBO story on the open format: ANALYZE
+    * ([[graft.interop.Iceberg.analyzeTable]]) sketches every primitive
+    * column with apache-datasketches THETA in ONE distributed pass
+    * (per-partition compact sketches union on the way back — never
+    * values driver-side), lands them as `apache-datasketches-theta-v1`
+    * blobs in a Puffin file, and publishes the spec's `statistics`
+    * table-metadata entry whose blob-metadata carries the `ndv`
+    * property planners read without opening the sketch. In-entry
+    * requires: the round-trip ndv is within 5% of the exact count on
+    * the high-cardinality key (theta is exact below its nominal
+    * entries and ~1.6% RSE above), the dim's ndv is exact, and —
+    * the planning claim — under CBO the stats-attached read's
+    * optimized plan carries the row count AND the published
+    * per-column distinctCount in its attribute statistics
+    * ([[graft.interop.Iceberg.readWithStats]]). The graded output is
+    * the s16-shape join aggregate over the two analyzed Iceberg
+    * tables, oracled. Foreign-published stats (ndv served from
+    * blob-metadata alone), the sketch-deserialization fallback, the
+    * per-snapshot entry lifecycle, and the un-analyzed refusal are
+    * spec-locked in PuffinStatsSpec. */
+  val s68PuffinStats = QueryDef(
+    "s68_puffin_stats",
+    (s, d) => {
+      val I = graft.interop.Iceberg
+      val cp = tmp("s68_cust", d); Writers.deleteTree(cp)
+      I.write(Tables.customer(s, d).select("c_custkey", "c_mktsegment"), cp)
+      val op = tmp("s68_orders", d); Writers.deleteTree(op)
+      I.write(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"), op)
+      val custNdv = I.analyzeTable(s, cp)
+      val ordNdv = I.analyzeTable(s, op)
+      require(custNdv("c_mktsegment") == 5L,
+        s"s68: the dim ndv must be exact at its cardinality: $custNdv")
+      val exactKeys = Tables.orders(s, d).select("o_orderkey").distinct().count()
+      require(math.abs(ordNdv("o_orderkey") - exactKeys) <= exactKeys / 20,
+        s"s68: theta ndv ${ordNdv("o_orderkey")} strayed >5% from exact $exactKeys")
+      require(I.readTableStatistics(s, cp) == custNdv &&
+        I.readTableStatistics(s, op) == ordNdv,
+        "s68: the published statistics must read back exactly")
+      // the planning claim: CBO sees the published ndv + row count
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val st = I.readWithStats(s, cp).queryExecution.optimizedPlan.stats
+        require(st.rowCount.exists(_ > 0),
+          s"s68: the stats-attached read must expose its row count: $st")
+        val seen = st.attributeStats.collectFirst {
+          case (a, cs) if a.name == "c_custkey" => cs.distinctCount
+        }.flatten
+        require(seen.contains(BigInt(custNdv("c_custkey"))),
+          s"s68: planning must see the published ndv (got $seen, want " +
+            s"${custNdv("c_custkey")})")
+      } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      I.readWithStats(s, cp)
+        .join(I.readWithStats(s, op), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3696,5 +3766,5 @@ object IngestOps extends QueryModule {
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
     s63TypeWidening, s65Variant, s65bVariantShredding, s66PartitionEvolution,
-    s67ConcurrentAppends)
+    s67ConcurrentAppends, s68PuffinStats)
 }

@@ -24,6 +24,16 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** A relation served WITH catalog statistics attached (row count,
+    * size, per-column NDV) — what lets CBO cost a path table like an
+    * ANALYZEd catalog table. `Dataset.ofRows` and `LogicalRelation`
+    * are `private[sql]`/internal, hence this shim. */
+  def relationWithStats(spark: org.apache.spark.sql.classic.SparkSession,
+      relation: org.apache.spark.sql.sources.BaseRelation,
+      table: org.apache.spark.sql.catalyst.catalog.CatalogTable): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation, table))
 }
 
 /** `spark.sql.extensions` entry point (set at session build by
