@@ -23,6 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.vacuum('ns.tbl', older_than_hours => 168)
   *   CALL graft.system.expire_snapshots('ns.tbl', keep_last => 5)
   *   CALL graft.system.rewrite_manifests('ns.tbl')            -- iceberg
+  *   CALL graft.system.analyze_table('ns.tbl')                -- iceberg (r12)
+  *   CALL graft.system.replace_partition_spec('ns.tbl', partition_by => 'months(ts)')
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -34,7 +36,8 @@ object GraftProcedures {
   private val SystemNs = Array("system")
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests")
+    Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
+      "analyze_table", "replace_partition_spec")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -98,6 +101,13 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "expire_snapshots" => Array(
       p("table", StringType).build(),
       p("keep_last", LongType).defaultValue("2").build())
+    case "analyze_table" => Array(
+      p("table", StringType).build())
+    case "replace_partition_spec" => Array(
+      p("table", StringType).build(),
+      // comma-separated writer-side transforms, e.g.
+      // 'months(ts), bucket(8, id)' — same grammar as partitionBy
+      p("partition_by", StringType).build())
     case _ => Array( // rewrite_manifests
       p("table", StringType).build(),
       p("target_bytes", LongType).defaultValue((8L << 20).toString).build())
@@ -108,6 +118,9 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       .add("manifests_before", LongType).add("manifests_after", LongType)
     case "vacuum" => StructType(Nil).add("removed", LongType)
     case "expire_snapshots" => StructType(Nil).add("removed_files", LongType)
+    case "analyze_table" => StructType(Nil)
+      .add("column", StringType).add("ndv", LongType)
+    case "replace_partition_spec" => StructType(Nil).add("spec_id", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -115,6 +128,32 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     val spark = SparkSession.active
     val table = input.getUTF8String(0).toString
     val (fmt, path) = GraftProcedures.resolve(cat, table)
+    // the two r12 procedures return their own row shapes (per-column
+    // ndv rows / the new spec id); everything else is one Long row
+    if (procName == "analyze_table") {
+      require(fmt == "iceberg",
+        s"GraftCatalog analyze_table: $fmt tables have no statistics-file " +
+          "layer — iceberg only (Delta has no statistics files in its " +
+          "protocol; graft-native/managed tables ANALYZE through the Spark " +
+          "catalog, the s16 path)")
+      val ndv = graft.interop.Iceberg.analyzeTable(spark, path).toSeq.sortBy(_._1)
+      return resultScan(ndv.map { case (c, n) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(c), n))
+      }.toArray[InternalRow])
+    }
+    if (procName == "replace_partition_spec") {
+      require(fmt == "iceberg",
+        s"GraftCatalog replace_partition_spec: $fmt tables have no " +
+          "partition-spec layer — iceberg only (Delta partitioning is fixed " +
+          "at the metaData action; graft-native layouts rewrite)")
+      val specs = input.getUTF8String(1).toString
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      require(specs.nonEmpty,
+        "GraftCatalog replace_partition_spec: partition_by names no fields")
+      val id = graft.interop.Iceberg.replaceSpec(spark, path, specs)
+      return resultScan(Array[InternalRow](
+        new GenericInternalRow(Array[Any](id.toLong))))
+    }
     val row: Array[Long] = procName match {
       case "compact" =>
         val target = input.getLong(1)
@@ -168,10 +207,13 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
           spark, path, Some(input.getLong(1)))
         Array(b.toLong, a.toLong)
     }
+    resultScan(Array(new GenericInternalRow(row.map(v => v.asInstanceOf[Any]))))
+  }
+
+  private def resultScan(out: Array[InternalRow]): java.util.Iterator[Scan] = {
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = outSchema
-      override def rows(): Array[InternalRow] =
-        Array(new GenericInternalRow(row.map(v => v.asInstanceOf[Any])))
+      override def rows(): Array[InternalRow] = out
     }
     java.util.Collections.singletonList(scan).iterator()
   }

@@ -115,4 +115,37 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
       err3.getMessage.contains("FAILED_TO_LOAD_ROUTINE"),
       s"unknown procedure must refuse loudly, got: ${err3.getMessage.take(120)}")
   }
+
+  test("CALL analyze_table / replace_partition_spec: iceberg dispatch, loud refusals elsewhere") {
+    import spark.implicits._
+    val whd = wh("dbms"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbms")
+    val ip = whd.resolve("ti").toString
+    Iceberg.write((1 to 40).map(i => (i.toLong, s"g${i % 4}",
+      java.time.LocalDateTime.of(2024, 1 + i % 3, 1, 0, 0))).toDF("k", "grp", "ts"), ip,
+      partitionBy = Seq("years(ts)"))
+    // analyze: one row per sketchable column, ndv exact at this scale
+    val ndv = spark.sql("CALL graft.system.analyze_table('dbms.ti')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ndv == Map("k" -> 40L, "grp" -> 4L, "ts" -> 3L), ndv.toString)
+    assert(Iceberg.readTableStatistics(spark, ip) == ndv)
+    // spec evolution from SQL: coarse -> fine, pure metadata
+    val pre = Iceberg.snapshot(spark, ip).files.map(_.path).toSet
+    val sid = spark.sql(
+      "CALL graft.system.replace_partition_spec('dbms.ti', partition_by => 'months(ts)')")
+      .collect().head.getLong(0)
+    assert(sid == 1L)
+    assert(Iceberg.snapshot(spark, ip).files.map(_.path).toSet == pre,
+      "replace_partition_spec must move zero data files")
+    // non-iceberg formats refuse loudly (no silent no-op)
+    val dp = whd.resolve("td").toString
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), dp)
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft.system.analyze_table('dbms.td')").collect())
+    assert(e1.getMessage.contains("iceberg only"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft.system.replace_partition_spec('dbms.td', partition_by => 'k')")
+        .collect())
+    assert(e2.getMessage.contains("iceberg only"), e2.getMessage)
+  }
 }
