@@ -4645,6 +4645,122 @@ object Iceberg {
       }.toMap
   }
 
+  /** PARTITION STATISTICS — the spec's second statistics field: one
+    * PARQUET file per analyzed snapshot holding a row per (spec,
+    * partition) with the spec-named columns (`partition` struct over
+    * the UNION of every spec's fields, `spec_id`,
+    * `data_record_count`, `data_file_count`,
+    * `total_data_file_size_in_bytes`), registered under the
+    * `partition-statistics` table-metadata list. Computed from the
+    * manifests alone (driver metadata, O(partitions)); an evolved
+    * table reports each file under ITS OWN spec's fields, absent
+    * fields null — the spec's unified-struct rule. Returns the number
+    * of partition rows written. */
+  def writePartitionStats(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.Row
+    val s = snapshot(spark, path)
+    val (fs, root) = Writers.fsFor(path)
+    val (metaV, meta) = readMetadata(fs, root)
+    // the union partition struct: every spec's fields, one column per
+    // distinct partition field id, in field-id order (the spec's rule)
+    val allFields: Seq[(PartField, DataType)] =
+      (if (s.specs.nonEmpty) s.specs else Map(s.defaultSpecId -> s.partFields))
+        .values.flatten.toSeq
+        .map(f => f.fieldId -> f).toMap.toSeq.sortBy(_._1).map(_._2)
+        .map(f => f -> transformResultType(f.transform, s.schema(f.source).dataType))
+    val partStruct = StructType(allFields.map { case (f, dt) =>
+      StructField(f.name, dt, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", f.fieldId.toLong).build())
+    })
+    def fid(n: String, id: Int, dt: DataType, nullable: Boolean = false) =
+      StructField(n, dt, nullable,
+        new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    // an UNPARTITIONED table's stats drop the partition struct: its
+    // spec shape would be an empty group, which parquet cannot encode
+    // (one all-of-table row remains, keyed by spec_id alone)
+    val schema = StructType(
+      (if (allFields.isEmpty) Nil else Seq(fid("partition", 1, partStruct))) ++ Seq(
+      fid("spec_id", 2, IntegerType),
+      fid("data_record_count", 3, LongType),
+      fid("data_file_count", 4, IntegerType),
+      fid("total_data_file_size_in_bytes", 5, LongType)))
+    def typedPv(f: DataFileRef, pf: PartField, dt: DataType): Any =
+      f.partitionValues.getOrElse(pf.name, None).map { v =>
+        dt match {
+          case _: IntegerType => v.toInt
+          case _: LongType => v.toLong
+          case _: DoubleType => v.toDouble
+          case _: FloatType => v.toFloat
+          case _: BooleanType => v.toBoolean
+          case _: DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(v))
+          case _: TimestampNTZType =>
+            java.time.LocalDateTime.parse(v.replace(" ", "T"))
+          case _: TimestampType =>
+            java.sql.Timestamp.valueOf(v.replace("T", " "))
+          case _ => v
+        }
+      }.orNull
+    val rows: Seq[Row] = s.files
+      .groupBy(f => (f.specId, f.partitionValues)).toSeq
+      .sortBy(_._1.toString)
+      .map { case ((specId, _), fs2) =>
+        val pfsOf = s.specs.getOrElse(specId, s.partFields)
+        val counts = Seq[Any](specId, fs2.map(_.recordCount).sum, fs2.size,
+          fs2.map(_.sizeInBytes).sum)
+        if (allFields.isEmpty) Row.fromSeq(counts)
+        else Row.fromSeq(Row.fromSeq(allFields.map { case (pf, dt) =>
+          if (pfsOf.exists(_.fieldId == pf.fieldId)) typedPv(fs2.head, pf, dt) else null
+        }) +: counts)
+      }
+    val tmp = new HPath(root, s".staged-pstats-${java.util.UUID.randomUUID().toString.take(8)}")
+    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    finally prevConf match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val staged = Staging.walk(fs, tmp)
+    require(staged.nonEmpty, "Iceberg.writePartitionStats: nothing staged")
+    val dest = new HPath(metaDir(root),
+      s"partition-stats-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(staged.head._2, dest),
+      s"Iceberg.writePartitionStats: rename to $dest failed")
+    fs.delete(tmp, true)
+    val m = meta.deepCopy[ObjectNode]()
+    val prev = Option(m.get("partition-statistics")).filter(_.isArray)
+      .map(iterator(_).toSeq).getOrElse(Nil)
+      .filter(_.get("snapshot-id").asLong != s.snapshotId)
+      .map(_.deepCopy[JsonNode]())
+    val arr = m.putArray("partition-statistics")
+    prev.foreach(e => arr.add(e): Unit)
+    val entry = arr.addObject()
+    entry.put("snapshot-id", s.snapshotId)
+    entry.put("statistics-path", dest.toUri.getPath)
+    entry.put("file-size-in-bytes", fs.getFileStatus(dest).getLen)
+    m.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadata(fs, root, metaV + 1, m, path)
+    rows.size.toLong
+  }
+
+  /** The CURRENT snapshot's registered partition-statistics file as a
+    * DataFrame (spec column names). Refuses loudly when none is
+    * registered — a stale or missing stats file must not read as an
+    * empty table. */
+  def readPartitionStatistics(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    require(meta.hasNonNull("current-snapshot-id"), s"Iceberg: $path has no current snapshot")
+    val curId = meta.get("current-snapshot-id").asLong
+    val entry = iterator(meta.get("partition-statistics"))
+      .find(_.get("snapshot-id").asLong == curId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg.readPartitionStatistics: no partition-statistics entry for " +
+          s"the current snapshot of $path — run writePartitionStats first"))
+    spark.read.parquet(new HPath(entry.get("statistics-path").asText).toString)
+  }
+
   /** Read WITH the published statistics attached to the plan: the
     * relation carries CatalogStatistics (size, row count, per-column
     * distinct counts from [[readTableStatistics]]), so Spark's CBO

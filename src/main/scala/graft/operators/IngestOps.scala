@@ -3721,6 +3721,16 @@ object IngestOps extends QueryModule {
       require(I.readTableStatistics(s, cp) == custNdv &&
         I.readTableStatistics(s, op) == ordNdv,
         "s68: the published statistics must read back exactly")
+      // the spec's SECOND stats field: per-partition counts land as a
+      // registered parquet and reconcile with the manifests
+      I.writePartitionStats(s, op)
+      val pstat = I.readPartitionStatistics(s, op)
+        .agg(sum(col("data_record_count")), sum(col("data_file_count")))
+        .collect().head
+      val snap = I.snapshot(s, op)
+      require(pstat.getLong(0) == snap.files.map(_.recordCount).sum &&
+        pstat.getLong(1) == snap.files.size,
+        s"s68: partition statistics must reconcile with the manifests ($pstat)")
       // the planning claim: CBO sees the published ndv + row count
       val prevCbo = s.conf.get("spark.sql.cbo.enabled")
       s.conf.set("spark.sql.cbo.enabled", "true")

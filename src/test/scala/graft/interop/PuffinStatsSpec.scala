@@ -88,6 +88,46 @@ class PuffinStatsSpec extends AnyFunSuite with SparkFixture {
     assert(got.size == 3, s"the property-less blob must decode from its sketch: $got")
   }
 
+  test("partition statistics: spec-shaped parquet, per-spec rows on an evolved table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("puffin_pstats")
+    def rows(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, java.time.LocalDateTime.of(2024, 1 + (i % 2), 1 + (i % 3), 0, 0)))
+      .toDF("k", "ts")
+    Iceberg.write(rows(1, 60), path, partitionBy = Seq("months(ts)"))
+    Iceberg.replaceSpec(spark, path, Seq("days(ts)"))
+    Iceberg.write(rows(61, 90), path, mode = SaveMode.Append)
+    // un-registered reads refuse (never an empty frame)
+    val e = intercept[IllegalArgumentException](
+      Iceberg.readPartitionStatistics(spark, path))
+    assert(e.getMessage.contains("writePartitionStats"), e.getMessage)
+    val n = Iceberg.writePartitionStats(spark, path)
+    val stats = Iceberg.readPartitionStatistics(spark, path)
+    assert(stats.count() == n)
+    // the spec's column names, and the union partition struct carries
+    // BOTH specs' fields (old rows keyed by month, new by day)
+    assert(stats.columns.toSet == Set("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes"))
+    val bySpec = stats.groupBy("spec_id")
+      .agg(org.apache.spark.sql.functions.sum("data_record_count").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySpec == Map(0 -> 60L, 1 -> 30L), bySpec.toString)
+    assert(stats.filter(col("spec_id") === 0)
+      .filter(col("partition.ts_month").isNotNull).count() ==
+      stats.filter(col("spec_id") === 0).count(),
+      "old-spec rows must key by their month field")
+    assert(stats.filter(col("spec_id") === 1)
+      .filter(col("partition.ts_day").isNotNull).count() ==
+      stats.filter(col("spec_id") === 1).count(),
+      "new-spec rows must key by their day field")
+    // totals reconcile with the manifests
+    val s = Iceberg.snapshot(spark, path)
+    val total = stats.agg(org.apache.spark.sql.functions.sum("data_record_count"))
+      .collect().head.getLong(0)
+    assert(total == s.files.map(_.recordCount).sum)
+  }
+
   test("an un-analyzed table refuses loudly; CBO sees the ndv on the plan") {
     val path = freshDir("puffin_stats_cbo")
     Iceberg.write(df(1, 300), path)
