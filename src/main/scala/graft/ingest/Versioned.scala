@@ -2215,6 +2215,60 @@ object Versioned {
       adds = fresh, removes = touched.map(e => (e.partDir, e.relPath)), schema = merged.schema)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`: every partition the frame
+    * TOUCHES is replaced whole, every other partition is carried by
+    * reference untouched — ONE atomic delta commit (O(touched)
+    * metadata), the same claim-disjoint rebase as
+    * [[upsertPartitioned]] (partition-disjoint writers land
+    * concurrently; overlapping ones conflict loudly). The difference
+    * from upsert: touched partitions' prior rows are NOT merged —
+    * replacement is the contract. */
+  def replacePartitions(
+      spark: SparkSession, path: String, updates: DataFrame,
+      partCols: String*): Long = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.nonEmpty, "Versioned.replacePartitions: at least one partition column")
+    val (fs, root) = Writers.fsFor(path)
+    val cur = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned.replacePartitions: no committed version under $path"))
+    val entries = readManifest(fs, root, cur)
+    require(entries.forall(_.kind == KindData),
+      s"Versioned.replacePartitions: $path has outstanding merge-on-read deletes — " +
+        "run compactDeletes first (a partition carried by reference would otherwise " +
+        "detach from the delete files that apply to it)")
+    require(layoutPartCols(entries) == partCols.toSeq,
+      s"Versioned.replacePartitions: $path is laid out on " +
+        s"(${layoutPartCols(entries).mkString(", ")}), not (${partCols.mkString(", ")}) — " +
+        "partition columns must match the committed layout in order")
+    val tuples = updates.select(partCols.map(col): _*).distinct().collect()
+    // the SQL dynamic-overwrite contract: an empty source replaces
+    // NOTHING (no partitions touched, no commit)
+    if (tuples.isEmpty) return cur
+    require(tuples.forall(r => partCols.indices.forall(i => !r.isNullAt(i))),
+      s"Versioned.replacePartitions: updates carry a NULL partition value — must be non-null")
+    val touchedDirs = tuples.map { r =>
+      partCols.indices.map { i =>
+        s"${partCols(i)}=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(r.get(i).toString)
+      }.mkString("/")
+    }.toSet
+    val touched = entries.filter(e => touchedDirs.contains(e.partDir))
+    val (v, derivedBase) = claimDisjoint(fs, root, path, cur, touchedDirs)
+    updates.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(dataDir(root, v).toString)
+    val fresh = localEntries(fs, root, v, partitioned = true)
+    val freshDirs = fresh.map(_.partDir).toSet
+    require(freshDirs.subsetOf(touchedDirs),
+      s"Versioned.replacePartitions: partition-value rendering diverged from Spark's " +
+        s"path encoding — wrote ${freshDirs.diff(touchedDirs).mkString(", ")}, " +
+        s"predicted ${touchedDirs.mkString(", ")}. Not committing.")
+    publishDelta(fs, root, v, derivedBase,
+      adds = fresh, removes = touched.map(e => (e.partDir, e.relPath)),
+      schema = updates.schema)
+  }
+
   /** MERGE-ON-READ delete — the zero-rewrite alternative to the
     * copy-on-write [[delete]]: the commit writes ONLY a POSITIONAL
     * DELETION VECTOR under `v/deletes` — `(rel_path, pos, len)` runs of

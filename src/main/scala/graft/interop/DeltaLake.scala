@@ -2674,6 +2674,72 @@ object DeltaLake {
       "OPTIMIZE", dataChange = false)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`: every partition the frame
+    * TOUCHES is replaced whole (removes for its files + the staged
+    * adds, ONE commit), every other partition is untouched — O(touched)
+    * work at any table size. CDF-enabled tables stage the images
+    * (delete images of the replaced rows, insert images of the new
+    * ones); row-tracked tables mint FRESH ids for the replacement rows
+    * (delete+insert semantics). An empty source replaces nothing (the
+    * SQL contract — no commit). Touched partitions resolve by the
+    * frame's partition VALUES; value rendering is guarded to the
+    * types whose canonical string equals Spark's dir rendering, so a
+    * predicted partition can never silently miss its files. */
+  def replacePartitions(spark: SparkSession, path: String,
+      dfIn: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, path)
+    require(snap.partitionColumns.nonEmpty,
+      s"DeltaLake.replacePartitions: $path is unpartitioned — dynamic overwrite " +
+        "needs a partition layout (use a full INSERT OVERWRITE)")
+    require(cleanJson(snap.schema) == cleanJson(dfIn.schema),
+      "DeltaLake.replacePartitions: the frame schema differs from the table schema")
+    val df = dfIn.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val partCols = snap.partitionColumns
+    partCols.foreach { c =>
+      snap.schema(c).dataType match {
+        case _: StringType | _: IntegerType | _: LongType | _: ShortType |
+            _: ByteType | _: BooleanType | _: DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"DeltaLake.replacePartitions: partition column $c is $other — dynamic " +
+            "overwrite matches partitions by canonical string value, which this " +
+            "type does not render stably; use a full overwrite")
+      }
+    }
+    val tuples = df.select(partCols.map(col): _*).distinct().collect()
+    if (tuples.isEmpty) return snap.version // empty source replaces nothing
+    require(tuples.forall(r => partCols.indices.forall(i => !r.isNullAt(i))),
+      "DeltaLake.replacePartitions: the frame carries a NULL partition value")
+    val touched: Set[Seq[String]] =
+      tuples.map(r => partCols.indices.map(i => r.get(i).toString): Seq[String]).toSet
+    val removed = snap.files.filter { f =>
+      touched.contains(partCols.map(c =>
+        f.partitionValues.get(snap.physicalName(c)).flatten.orNull))
+    }
+    // CDF: the commit is a mutation the feed must be able to read —
+    // delete images of every replaced row, insert images of the new
+    // ones (the same contract as a full overwrite, scoped)
+    val cdc: Option[DataFrame] =
+      if (!snap.cdfEnabled || removed.isEmpty) {
+        if (snap.cdfEnabled)
+          Some(df.withColumn("_change_type", lit("insert")))
+        else None
+      } else {
+        val sub = snap.copy(files = removed)
+        val classic = spark.asInstanceOf[ClassicSession]
+        val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
+        val old = fromPhysicalDf(
+          if (!sub.hasDeletionVectors) base
+          else dropCovered(withRowMeta(base), loadDvMap(spark, path, sub))
+            .drop(FileMetaCol, PosMetaCol), sub)
+        Some(old.withColumn("_change_type", lit("delete"))
+          .unionByName(df.withColumn("_change_type", lit("insert"))))
+      }
+    commitRewrite(spark, path, snap, removed.map(_.path), df,
+      "WRITE", dataChange = true, cdcRows = cdc, freshIdentities = true)
+  }
+
   /** COPY-ON-WRITE predicate UPDATE — `UPDATE t SET c = expr [WHERE
     * cond]`: only the files holding a matching row are rewritten, each
     * surviving row passed through `when(cond, value).otherwise(col)`
@@ -2933,7 +2999,12 @@ object DeltaLake {
       removedRel: Seq[String], newData: DataFrame, operation: String,
       dataChange: Boolean = true, cdcRows: Option[DataFrame] = None,
       txn: Option[(String, Long)] = None,
-      clusteringProvider: Option[String] = None): Long = {
+      clusteringProvider: Option[String] = None,
+      // true = the new rows are REPLACEMENTS, not survivors (dynamic
+      // partition overwrite): on a row-tracked table they take FRESH
+      // baseRowId ranges instead of materialized ids — delete+insert
+      // semantics, so no lineage columns are required on the frame
+      freshIdentities: Boolean = false): Long = {
     val (fs, root) = Writers.fsFor(path)
     val now = System.currentTimeMillis()
     // maintenance rewrites (dataChange=false, e.g. OPTIMIZE) are legal
@@ -2947,7 +3018,7 @@ object DeltaLake {
     // which is what any row with a NULL materialized id (a MERGE
     // insert) resolves against
     val tracked = snap.rowTrackingEnabled
-    if (tracked) {
+    if (tracked && !freshIdentities) {
       val (ridPhys, rcvPhys) = matNames(snap, operation)
       require(newData.columns.contains(ridPhys) && newData.columns.contains(rcvPhys),
         s"DeltaLake.$operation: an id-preserving rewrite frame must carry " +

@@ -3288,6 +3288,52 @@ object Iceberg {
     snapshotId
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`: every partition the frame
+    * TOUCHES is replaced whole in ONE `overwrite` snapshot (touched
+    * manifests rewrite their entries DELETED, untouched manifests
+    * carry by reference, the staged files land as a fresh manifest —
+    * O(touched) work at any table size; on v3, replacement rows take
+    * FRESH row-id ranges, the delete+insert semantics). Restricted to
+    * IDENTITY-partitioned layouts (a transform layout's touched set is
+    * a derived value this matcher does not predict — use a full
+    * overwrite) over types whose canonical string rendering is stable.
+    * An empty source replaces nothing (the SQL contract). */
+  def replacePartitions(spark: SparkSession, path: String, dfIn: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, path)
+    val liveSpecs = (if (s.specs.nonEmpty) s.specs else Map(s.defaultSpecId -> s.partFields))
+    require(s.partFields.nonEmpty && liveSpecs.values.forall(_.forall(_.isIdentity)),
+      s"Iceberg.replacePartitions: $path is not identity-partitioned — dynamic " +
+        "overwrite matches partitions by value; transform layouts (and " +
+        "unpartitioned tables) take a full INSERT OVERWRITE")
+    require(cleanJson(s.schema) == cleanJson(dfIn.schema),
+      "Iceberg.replacePartitions: the frame schema differs from the table schema")
+    val df = dfIn.select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val partCols = s.partitionColumns
+    partCols.foreach { c =>
+      s.schema(c).dataType match {
+        case _: StringType | _: IntegerType | _: LongType | _: ShortType |
+            _: ByteType | _: BooleanType | _: DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"Iceberg.replacePartitions: partition column $c is $other — dynamic " +
+            "overwrite matches partitions by canonical string value, which this " +
+            "type does not render stably; use a full overwrite")
+      }
+    }
+    val tuples = df.select(partCols.map(col): _*).distinct().collect()
+    if (tuples.isEmpty) return s.snapshotId // empty source replaces nothing
+    require(tuples.forall(r => partCols.indices.forall(i => !r.isNullAt(i))),
+      "Iceberg.replacePartitions: the frame carries a NULL partition value")
+    val touched: Set[Seq[String]] =
+      tuples.map(r => partCols.indices.map(i => r.get(i).toString): Seq[String]).toSet
+    val removedAbs = s.files.filter { f =>
+      touched.contains(partCols.map(c => f.partitionValues.get(c).flatten.orNull))
+    }.map(f => Hive.fsPathNoDecode(f.path)).toSet
+    commitRewriteSnapshot(spark, path, removedAbs, newData = None,
+      operation = "overwrite", dropDeleteManifests = false, freshData = Some(df))
+  }
+
   /** ONE incremental SYNC snapshot from a foreign source-of-truth
     * layer (the continuous half of [[Convert]]): records `added` refs
     * (files the other format's writer already landed — nothing is

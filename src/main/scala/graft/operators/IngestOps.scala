@@ -3762,6 +3762,88 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S69: DYNAMIC PARTITION OVERWRITE graded — the catalog's LAST
+    * standing DML gate (r11's "use a full overwrite" refusal), closed
+    * on all THREE formats: `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    * source touches as ONE atomic commit (`replacePartitions` — Delta
+    * removes+adds, Iceberg one `overwrite` snapshot with untouched
+    * manifests carried by reference, graft-native a claim-disjoint
+    * delta commit). The entry overwrites the 'F' partition of an
+    * orders table with doubled prices per format and `require`s the
+    * untouched partitions' files are carried by IDENTITY — the
+    * O(touched) claim that makes this the right verb at 100 TB (a
+    * full overwrite would rewrite every partition for a one-partition
+    * refresh). Oracled as the per-status rollup of the expected state.
+    * The SQL route, CDF images, fresh row ids, empty-source no-op,
+    * and the transform/unpartitioned/unstable-type refusals are
+    * spec-locked in DynamicOverwriteSpec. */
+  val s69DynamicOverwrite = QueryDef(
+    "s69_dynamic_overwrite",
+    (s, d) => {
+      val D = graft.interop.DeltaLake
+      val I = graft.interop.Iceberg
+      val V = graft.ingest.Versioned
+      // a half-slice: the claim is partition MECHANICS (identity
+      // carry, one-commit replace), not volume — 6 table writes
+      // across 3 formats price the entry otherwise
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val repl = orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      def requireUntouched(fmt: String, pre: Set[String], post: Set[String]): Unit =
+        require(pre == post,
+          s"s69: $fmt must carry untouched partitions' files by identity " +
+            s"(pre ${pre.size}, post ${post.size})")
+      val dp = tmp("s69_delta", d); Writers.deleteTree(dp)
+      D.write(orders, dp, partitionBy = Seq("o_orderstatus"))
+      def dUntouched = D.snapshot(s, dp).files
+        .filterNot(_.partitionValues.get("o_orderstatus").flatten.contains("F"))
+        .map(_.path).toSet
+      val preD = dUntouched
+      D.replacePartitions(s, dp, repl)
+      requireUntouched("delta", preD, dUntouched)
+      val ip = tmp("s69_ice", d); Writers.deleteTree(ip)
+      I.write(orders, ip, partitionBy = Seq("o_orderstatus"))
+      def iUntouched = I.snapshot(s, ip).files
+        .filterNot(_.partitionValues.get("o_orderstatus").flatten.contains("F"))
+        .map(_.path).toSet
+      val preI = iUntouched
+      I.replacePartitions(s, ip, repl)
+      requireUntouched("iceberg", preI, iUntouched)
+      val gp = tmp("s69_graft", d); Writers.deleteTree(gp)
+      V.commitPartitioned(orders, gp, "o_orderstatus")
+      def gUntouched = V.manifest(gp, V.currentVersion(gp).get)
+        .filterNot(_.partDir.contains("o_orderstatus=F")).map(_.relPath).toSet
+      val preG = gUntouched
+      V.replacePartitions(s, gp, repl, "o_orderstatus")
+      requireUntouched("graft", preG, gUntouched)
+      D.read(s, dp).withColumn("fmt", lit("delta"))
+        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+        .unionByName(V.read(s, gp).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("fmt", lit("graft")))
+        .groupBy("fmt", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("fmt", "o_orderstatus")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+      legs AS (SELECT 'delta' AS fmt, * FROM src
+               UNION ALL SELECT 'graft' AS fmt, * FROM src
+               UNION ALL SELECT 'iceberg' AS fmt, * FROM src)
+      SELECT fmt, o_orderstatus, count(*) AS n_orders,
+        max(o_orderkey) AS max_key,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM legs GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3776,5 +3858,5 @@ object IngestOps extends QueryModule {
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
     s63TypeWidening, s65Variant, s65bVariantShredding, s66PartitionEvolution,
-    s67ConcurrentAppends, s68PuffinStats)
+    s67ConcurrentAppends, s68PuffinStats, s69DynamicOverwrite)
 }

@@ -652,11 +652,15 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
           query, overwrite = true, byName = isByName)
       case OverwritePartitionsDynamic(
-          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation, _, _, _, _)
-          if r.table.isInstanceOf[GraftTable] =>
-        throw new UnsupportedOperationException(
-          "GraftCatalog: dynamic partition overwrite is not supported — use a full " +
-            "INSERT OVERWRITE, or MERGE by key for partition-scoped upserts")
+          r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+          query, _, isByName, _)
+          if r.table.isInstanceOf[GraftTable] && query.resolved =>
+        // r12 (the r11 memory's "one remaining catalog gate"): replace
+        // ONLY the partitions the source touches — each format's
+        // replacePartitions, one atomic commit
+        val t = r.table.asInstanceOf[GraftTable]
+        GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
+          query, overwrite = true, byName = isByName, dynamic = true)
       case CreateTableAsSelect(ResolvedIdentifier(cat: GraftCatalog, ident),
           parts, query, spec: TableSpec, _, ignoreIfExists, _) if query.resolved =>
         GraftCatalogCtasCommand(cat, ident, parts, query,
@@ -755,7 +759,12 @@ case class GraftCatalogWriteCommand(
     tableSchema: StructType,
     source: LogicalPlan,
     overwrite: Boolean,
-    byName: Boolean) extends LeafRunnableCommand {
+    byName: Boolean,
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: replace
+    // ONLY the partitions the source touches (each format's
+    // replacePartitions — one atomic commit, untouched partitions
+    // carried by reference)
+    dynamic: Boolean = false) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -789,6 +798,22 @@ case class GraftCatalogWriteCommand(
           case (c, f) => col(c).cast(f.dataType).as(f.name)
         }: _*)
       }
+    if (dynamic) {
+      format match {
+        case "graft" =>
+          val layout = Versioned.currentVersion(path).toSeq.flatMap { v =>
+            Versioned.manifest(path, v).find(_.partDir.nonEmpty).toSeq
+              .flatMap(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '=')))
+          }
+          require(layout.nonEmpty,
+            "GraftCatalog: dynamic partition overwrite needs a partitioned " +
+              "layout — this graft table has none (use INSERT OVERWRITE)")
+          Versioned.replacePartitions(spark, path, aligned, layout: _*)
+        case "delta" => graft.interop.DeltaLake.replacePartitions(spark, path, aligned)
+        case _ => graft.interop.Iceberg.replacePartitions(spark, path, aligned)
+      }
+      return Seq.empty
+    }
     format match {
       case "graft" =>
         val layout = Versioned.currentVersion(path).toSeq.flatMap { v =>
