@@ -3504,11 +3504,18 @@ object DeltaLake {
     * deleted. `checkpoint` first + deleting the folded JSON commits is
     * the full retention story ([[checkpoint]]'s scaladoc). */
   /** Reclaim files the live snapshot no longer references. `olderThanMs`
-    * is the RETENTION CUTOFF (absolute epoch millis): only unreferenced
-    * files last modified BEFORE it are removed — Delta's vacuum
+    * is the RETENTION CUTOFF (absolute epoch millis): only files that
+    * became UNREFERENCED before it are removed — Delta's vacuum
     * contract, protecting time travel and in-flight readers of recent
-    * versions. The default keeps the ageless behavior (reclaim every
-    * dead file) for maintenance callers that have already decided. */
+    * versions. "Became unreferenced" is the remove action's
+    * `deletionTimestamp` from the log, NOT the file's mtime: a file
+    * written 30 days ago and rewritten out one minute ago (OPTIMIZE,
+    * overwrite) must survive a 7-day window. Files with no tombstone
+    * in the surviving log (orphans from crashed writers, or removes
+    * folded past a reclaimed JSON tail) fall back to mtime — the only
+    * signal left. The default keeps the ageless behavior (reclaim
+    * every dead file) for maintenance callers that have already
+    * decided. */
   def vacuum(spark: SparkSession, path: String,
       olderThanMs: Long = Long.MaxValue): Int = {
     val (fs, root) = Writers.fsFor(path)
@@ -3547,9 +3554,33 @@ object DeltaLake {
           Seq(if (rel.isEmpty) name else s"$rel/$name")
         else Nil
       }
+    // tombstone scan: path -> latest remove deletionTimestamp across
+    // the surviving JSON log (a re-added-then-re-removed file keeps
+    // the newest removal). Only needed when a cutoff is in force.
+    val removedAt: Map[String, Long] =
+      if (olderThanMs == Long.MaxValue) Map.empty
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        val (jsonVs, _) = listLog(fs, root)
+        jsonVs.sorted.foreach { v =>
+          val in = fs.open(jsonFile(root, v))
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+            .filter(_.contains("\"remove\"")).foreach { line =>
+              Option(Json.readTree(line).get("remove")).filterNot(_.isNull).foreach { rm =>
+                val p = decodePath(rm.get("path").asText)
+                Option(rm.get("deletionTimestamp")).filterNot(_.isNull).map(_.asLong)
+                  .foreach(ts => m(p) = math.max(m.getOrElse(p, Long.MinValue), ts))
+              }
+            }
+        }
+        m.toMap
+      }
     val doomed = walk(root, "").filterNot(live.contains).filterNot(liveDvs.contains)
       .filter(relP => olderThanMs == Long.MaxValue ||
-        fs.getFileStatus(new HPath(root, relP)).getModificationTime < olderThanMs)
+        removedAt.getOrElse(relP,
+          fs.getFileStatus(new HPath(root, relP)).getModificationTime) < olderThanMs)
     doomed.foreach(relP => fs.delete(new HPath(root, relP), false))
     doomed.size
   }

@@ -560,9 +560,20 @@ object Iceberg {
       val in = fs.open(metaFile(root, v))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val metaOpt: Option[JsonNode] =
-        try Option(Json.readTree(text)).filter(_.hasNonNull("format-version"))
+        try Option(Json.readTree(text))
         catch { case _: com.fasterxml.jackson.core.JacksonException => None }
-      metaOpt match {
+      // a parsed JSON OBJECT lacking format-version is NOT a torn
+      // write — a torn write is empty (readTree gives a MissingNode)
+      // or fails to parse. It's a foreign/corrupt metadata file;
+      // refuse immediately with the format diagnosis instead of
+      // burning the 2 s in-flight window on a misleading message
+      metaOpt.filter(m => m.isObject && !m.hasNonNull("format-version")).foreach { _ =>
+        throw new IllegalStateException(
+          s"Iceberg: newest metadata v$v of $root parses as JSON but declares no " +
+            "format-version — not an Iceberg table-metadata file this from-spec " +
+            "reader recognizes (versions 1-3)")
+      }
+      metaOpt.filter(_.hasNonNull("format-version")) match {
         case Some(meta) =>
           // this from-spec reader implements the v2 metadata shape (schemas
           // list, sequence numbers, manifest lists) plus v1's different
@@ -1946,8 +1957,6 @@ object Iceberg {
       case e0: java.util.ConcurrentModificationException
           if mode == SaveMode.Append && toBranch.isEmpty && prior.nonEmpty =>
         val pm = prior.get._2
-        val knownIds: Set[Long] =
-          iterator(pm.get("snapshots")).map(_.get("snapshot-id").asLong).toSet
         var lastErr = e0
         var attempts = 0
         while (attempts < 4) {

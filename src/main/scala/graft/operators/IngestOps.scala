@@ -3528,13 +3528,17 @@ object IngestOps extends QueryModule {
       val era2 = src(col("event_id") % 2 === 1)
       // Spark 4.1 shreds by DEFAULT — the unshredded era is the
       // explicit opt-out (a legacy/foreign pre-shredding writer);
-      // the wrapper always restores the session defaults (true)
+      // the wrapper restores whatever the SESSION had before (set or
+      // unset), not a hardcoded "true" — a caller that disabled
+      // shredding must not find it silently re-enabled
       def shredding[T](on: Boolean)(body: => T): T = {
-        s.conf.set("spark.sql.variant.writeShredding.enabled", on.toString)
-        s.conf.set("spark.sql.variant.inferShreddingSchema", on.toString)
-        try body finally {
-          s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
-          s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+        val keys = Seq("spark.sql.variant.writeShredding.enabled",
+          "spark.sql.variant.inferShreddingSchema")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        keys.foreach(k => s.conf.set(k, on.toString))
+        try body finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
         }
       }
       def isShredded(path: String): Boolean = {

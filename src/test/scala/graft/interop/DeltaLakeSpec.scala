@@ -101,6 +101,32 @@ class DeltaLakeSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("gap"))
   }
 
+  test("vacuum retention tracks the remove-action deletionTimestamp, not file mtime") {
+    import spark.implicits._
+    val path = freshDir("delta_vac_ts")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path)
+    val dead = Paths.get(path).toFile.listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    // overwrite: the v0 file becomes unreferenced NOW (its remove
+    // action's deletionTimestamp is fresh) — but backdate its mtime 30
+    // days, the OPTIMIZE/rewrite shape the retention contract protects
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Overwrite)
+    val monthAgo = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    dead.foreach(n => assert(Paths.get(path, n).toFile.setLastModified(monthAgo)))
+    // an orphan (no tombstone in the log) with the same old mtime
+    // must still fall back to mtime and be reclaimed
+    java.nio.file.Files.write(Paths.get(path, "orphan.parquet"), Array[Byte](1))
+    assert(Paths.get(path, "orphan.parquet").toFile.setLastModified(monthAgo))
+    val sevenDays = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    assert(DeltaLake.vacuum(spark, path, olderThanMs = sevenDays) == 1,
+      "only the untracked orphan is past retention; the freshly-removed file is not")
+    dead.foreach(n => assert(Paths.get(path, n).toFile.exists,
+      s"$n was removed one commit ago — a 7-day window must spare it despite old mtime"))
+    assert(!Paths.get(path, "orphan.parquet").toFile.exists)
+    // ageless vacuum still reclaims the dead file
+    assert(DeltaLake.vacuum(spark, path) == dead.size)
+  }
+
   test("special and null partition values round-trip through the hive escaping") {
     import spark.implicits._
     val path = freshDir("delta_esc")

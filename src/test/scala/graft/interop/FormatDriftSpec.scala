@@ -40,6 +40,21 @@ class FormatDriftSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("format-version 4"), e2.getMessage)
   }
 
+  test("Iceberg: valid JSON with NO format-version refuses immediately, not as a torn commit") {
+    import spark.implicits._
+    val path = freshDir("drift_ice_nofv")
+    Iceberg.write(Seq((1L, "a")).toDF("k", "v"), path)
+    val metaPath = Paths.get(path, "metadata", "v00001.metadata.json")
+    // a foreign/corrupt metadata file: parses as JSON, declares no
+    // format-version — NOT an in-flight torn write (those don't parse)
+    rewrite(metaPath, _ => """{"some": "other", "json": 1}""")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException](Iceberg.read(spark, path).count())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(e.getMessage.contains("no format-version"), e.getMessage)
+    assert(elapsedMs < 1500, s"must refuse at the door, not spin the 2 s torn-commit window ($elapsedMs ms)")
+  }
+
   test("Delta: a log ratcheting an UNKNOWN readerFeature refuses loudly at the door") {
     import spark.implicits._
     val path = freshDir("drift_delta_feat")

@@ -30,11 +30,13 @@ class VariantShreddingSpec extends AnyFunSuite with SparkFixture {
     * every mixed-era test is the explicit opt-out, standing in for a
     * legacy or foreign pre-shredding writer. */
   private def shredding[T](on: Boolean)(body: => T): T = {
-    spark.conf.set("spark.sql.variant.writeShredding.enabled", on.toString)
-    spark.conf.set("spark.sql.variant.inferShreddingSchema", on.toString)
-    try body finally {
-      spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
-      spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    val keys = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, on.toString))
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
   private def withShredding[T](body: => T): T = shredding(on = true)(body)
