@@ -8,6 +8,11 @@ package graft.interop
 object CommitIntrospect {
   val deltaRebases = new java.util.concurrent.atomic.AtomicLong(0L)
   val icebergRebases = new java.util.concurrent.atomic.AtomicLong(0L)
+  // OCC level 2: lost-race rebases of MAINTENANCE rewrites (the
+  // compaction-vs-ingest race) — a dataChange=false / `replace`
+  // rewrite whose file-identity read set no rival touched
+  val deltaRewriteRebases = new java.util.concurrent.atomic.AtomicLong(0L)
+  val icebergRewriteRebases = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The one commit-arbitration primitive both interop writers share. */

@@ -1357,11 +1357,13 @@ object DeltaLake {
 
     // OPTIMISTIC-CONCURRENCY RETRY: the first attempt runs at the
     // version this write validated. An APPEND that loses the
-    // create-if-absent race REBASES when every rival commit is itself
-    // a blind append (only add/commitInfo/txn/domainMetadata actions —
-    // disjoint adds commute, the protocol's logical conflict rule);
-    // a rival remove/metaData/protocol/cdc keeps throwing, as does any
-    // lost race on our own overwrite (its read set is not rebasable).
+    // create-if-absent race REBASES when every rival commit commutes
+    // with a blind append under the protocol's conflict matrix: a
+    // blind append READS NOTHING, so rival adds, deletes, and
+    // compactions (remove+add with an empty intersection against our
+    // empty read set) all commute; a rival metaData/protocol change
+    // keeps throwing, as does any lost race on our own overwrite (its
+    // read set is the whole table — not rebasable).
     val committed = try commitAttempt(v, prior) catch {
       case e0: java.util.ConcurrentModificationException
           if mode == SaveMode.Append && prior.nonEmpty =>
@@ -1376,7 +1378,8 @@ object DeltaLake {
             rivalConflict(fs, root, base, head).foreach { reason =>
               throw new java.util.ConcurrentModificationException(
                 s"DeltaLake.write: append to $path lost to a concurrent commit " +
-                  s"that is not a blind append ($reason) — not rebasing", lastErr)
+                  s"that does not commute with a blind append ($reason) — not rebasing",
+                lastErr)
             }
             try {
               val got = commitAttempt(head + 1, Some(snapshot(spark, path)))
@@ -3040,38 +3043,86 @@ object DeltaLake {
       .map { case (relOut, pv, size, st) =>
         AddFile(relOut, pv, size, now, st, clusteringProvider = clusteringProvider)
       }
-    val v = snap.version + 1
-    val (adds, rowIdLine): (Seq[AddFile], Option[String]) =
-      if (!tracked) (adds0, None)
-      else {
-        val (stamped, wm) = assignRowIds(fs, root, snap, adds0, v, operation)
-        (stamped, Some(wm))
+    // cdc images stage ONCE — the files are on disk either way; only
+    // the commit lines referencing them are rebuilt per attempt
+    val cdcLines: Seq[String] =
+      cdcRows.map(rows => stageCdc(spark, root, snap, rows, now)).getOrElse(Nil)
+    def attemptAt(v: Long, snapAt: Snapshot): Long = {
+      val (adds, rowIdLine): (Seq[AddFile], Option[String]) =
+        if (!tracked) (adds0, None)
+        else {
+          // the row-id watermark is re-derived against the snapshot the
+          // attempt commits on — a rival's rebased appends may have
+          // advanced it since staging
+          val (stamped, wm) = assignRowIds(fs, root, snapAt, adds0, v, operation)
+          (stamped, Some(wm))
+        }
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      removedRel.foreach { p =>
+        val o = Json.createObjectNode()
+        val rm = o.putObject("remove")
+        rm.put("path", p); rm.put("deletionTimestamp", now); rm.put("dataChange", dataChange)
+        lines += Json.writeValueAsString(o)
       }
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    removedRel.foreach { p =>
-      val o = Json.createObjectNode()
-      val rm = o.putObject("remove")
-      rm.put("path", p); rm.put("deletionTimestamp", now); rm.put("dataChange", dataChange)
-      lines += Json.writeValueAsString(o)
+      adds.foreach(a => lines += addLine(a, dataChange))
+      lines ++= cdcLines
+      txn.foreach { case (appId, ver) =>
+        val o = Json.createObjectNode()
+        val t = o.putObject("txn")
+        t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
+        lines += Json.writeValueAsString(o)
+      }
+      rowIdLine.foreach(lines += _)
+      val ci = Json.createObjectNode()
+      val info = ci.putObject("commitInfo")
+      info.put("timestamp", now); info.put("operation", operation)
+      lines += Json.writeValueAsString(ci)
+      commitLines(fs, root, v, lines.toSeq, snapAt.configuration)
+      v
     }
-    adds.foreach(a => lines += addLine(a, dataChange))
-    cdcRows.foreach(rows => lines ++= stageCdc(spark, root, snap, rows, now))
-    txn.foreach { case (appId, ver) =>
-      val o = Json.createObjectNode()
-      val t = o.putObject("txn")
-      t.put("appId", appId); t.put("version", ver); t.put("lastUpdated", now)
-      lines += Json.writeValueAsString(o)
+    // OPTIMISTIC-CONCURRENCY RETRY for MAINTENANCE rewrites (OCC level
+    // 2 — the compaction-vs-ingest race): a dataChange=false rewrite's
+    // read set is EXACTLY its source files by identity (no predicate
+    // over rows it didn't rewrite), so a lost commit race rebases when
+    // every rival commit left that read set untouched — rival blind
+    // appends and disjoint removes commute (the protocol's conflict
+    // matrix); a rival that removed/rewrote one of OUR source files,
+    // or changed metaData/protocol, keeps throwing. dataChange=true
+    // rewrites (DELETE/UPDATE/MERGE/dynamic overwrite) read the table
+    // through a PREDICATE — a rival append may add matching rows their
+    // result never saw — so their lost races surface unconditionally.
+    val committed = try attemptAt(snap.version + 1, snap) catch {
+      case e0: java.util.ConcurrentModificationException if !dataChange =>
+        val readSet = removedRel.toSet
+        var lastErr = e0
+        var base = snap.version + 1
+        var attempts = 0
+        var got = -1L
+        while (got < 0 && attempts < 4) {
+          attempts += 1
+          val (jsonVs2, cpVs2) = listLog(fs, root)
+          val head = ((jsonVs2 ++ cpVs2) :+ base).max
+          rivalConflict(fs, root, base, head, readSet).foreach { reason =>
+            throw new java.util.ConcurrentModificationException(
+              s"DeltaLake.$operation: rewrite of $path lost to a concurrent commit " +
+                s"that does not commute with it ($reason) — not rebasing", lastErr)
+          }
+          try {
+            got = attemptAt(head + 1, snapshot(spark, path))
+            CommitIntrospect.deltaRewriteRebases.incrementAndGet()
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              lastErr = e; base = head + 1
+            case _: com.fasterxml.jackson.core.JacksonException => ()
+          }
+        }
+        if (got < 0) throw lastErr
+        got
     }
-    rowIdLine.foreach(lines += _)
-    val ci = Json.createObjectNode()
-    val info = ci.putObject("commitInfo")
-    info.put("timestamp", now); info.put("operation", operation)
-    lines += Json.writeValueAsString(ci)
-    commitLines(fs, root, v, lines.toSeq, snap.configuration)
     // the log folds on the SAME cadence as write() — a DML-heavy table
     // (only rewrite commits) must not grow an unbounded json chain
-    if (v > 0 && v % CheckpointEvery == 0) checkpoint(spark, path)
-    v
+    if (committed > 0 && committed % CheckpointEvery == 0) checkpoint(spark, path)
+    committed
   }
 
   /** Stage `df` through Spark's parquet writer and move every staged
@@ -3139,18 +3190,31 @@ object DeltaLake {
       .toSeq.headOption
   }
 
-  /** Gate for the append REBASE: every rival commit in [from, to] must
-    * be a readable JSON commit whose actions all commute with a blind
-    * append — add/commitInfo/txn/domainMetadata only (the row-id
-    * high-watermark rides domainMetadata and is re-derived on rebase).
-    * A remove, metaData, protocol, or cdc action means the rival
-    * changed the row set, the schema, or the contract — the protocol's
-    * logical conflict rules say such a race must surface, not rebase.
+  /** Gate for the lost-race REBASE — the protocol's logical conflict
+    * matrix restricted to what this writer can prove commutes. Every
+    * rival commit in [from, to] must be a readable JSON commit whose
+    * actions all commute with the losing transaction:
+    *
+    *  - `add`/`commitInfo`/`txn`/`domainMetadata` always commute (the
+    *    row-id high-watermark rides domainMetadata and is re-derived
+    *    on rebase);
+    *  - `remove` commutes iff its path is DISJOINT from `readSet` —
+    *    the files the losing transaction read (a blind append reads
+    *    nothing, so rival compactions/deletes commute with it; a
+    *    compaction's read set is exactly its source files, so a rival
+    *    that rewrote one of them is a genuine conflict). A rival
+    *    DV-style delete removes-and-re-adds its target file, so it
+    *    surfaces through the same path check;
+    *  - `cdc` rides rival data changes whose row images belong to the
+    *    rival's own version — no table-state interaction, commutes;
+    *  - `metaData`/`protocol` (schema, config, contract) and any
+    *    unknown action refuse.
+    *
     * Returns the first disqualifying reason; None when rebasing is
     * safe. */
   private[interop] def rivalConflict(fs: FileSystem, root: HPath,
-      from: Long, to: Long): Option[String] = {
-    val allowed = Set("add", "commitInfo", "txn", "domainMetadata")
+      from: Long, to: Long, readSet: Set[String] = Set.empty): Option[String] = {
+    val allowed = Set("add", "remove", "cdc", "commitInfo", "txn", "domainMetadata")
     (from to to).foreach { rv =>
       val pf = jsonFile(root, rv)
       if (!fs.exists(pf)) return Some(s"rival version $rv has no readable JSON commit")
@@ -3164,17 +3228,24 @@ object DeltaLake {
         val in = fs.open(pf)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         try {
-          val actions = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-            .flatMap { l =>
-              val it = Json.readTree(l).fieldNames()
-              val keys = scala.collection.mutable.ArrayBuffer.empty[String]
-              while (it.hasNext) keys += it.next()
-              keys
-            }.toSeq
+          val nodes = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+            .map(Json.readTree).toSeq
           if (text.trim.isEmpty) throw new IllegalStateException("empty commit")
           parsed = true
-          actions.find(k => !allowed.contains(k)).foreach(k =>
-            return Some(s"rival version $rv carries a '$k' action"))
+          nodes.foreach { n =>
+            val it = n.fieldNames()
+            while (it.hasNext) {
+              val k = it.next()
+              if (!allowed.contains(k))
+                return Some(s"rival version $rv carries a '$k' action")
+              if (k == "remove" && readSet.nonEmpty) {
+                val p = decodePath(n.get("remove").get("path").asText)
+                if (readSet.contains(p))
+                  return Some(s"rival version $rv removed $p, a file in this " +
+                    "transaction's read set")
+              }
+            }
+          }
         } catch {
           case e @ (_: com.fasterxml.jackson.core.JacksonException | _: IllegalStateException) =>
             attempt += 1

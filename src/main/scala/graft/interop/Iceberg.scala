@@ -1986,24 +1986,126 @@ object Iceberg {
     * rules). Package-visible so the race specs can prove the gate's
     * decisions deterministically. */
   private[interop] def appendRebaseConflict(pm: JsonNode, m2: JsonNode): Option[String] = {
+    structuralRivalConflict(pm, m2).foreach(r => return Some(r))
+    rivalOps(pm, m2).foreach { op =>
+      // a blind append reads NO table state, so every known row-set
+      // operation commutes with it — rival appends trivially, rival
+      // compactions (`replace`) and merge-on-read deletes/overwrites
+      // because their file/row work cannot touch files this append is
+      // about to create (the reference FastAppend validates nothing).
+      // Only an operation this writer does not recognize refuses: its
+      // invariants are unknowable.
+      if (!KnownRowSetOps.contains(op)) return Some(s"rival snapshot operation '$op'")
+    }
+    None
+  }
+
+  private val KnownRowSetOps = Set("append", "replace", "delete", "overwrite")
+
+  /** The table-structure half of every rebase gate: a changed format
+    * version, schema, or partition spec is a genuine conflict for ANY
+    * losing transaction (its staged files were laid out under the old
+    * contract). */
+  private def structuralRivalConflict(pm: JsonNode, m2: JsonNode): Option[String] = {
     if (m2.get("format-version").asInt != pm.get("format-version").asInt)
-      return Some("format-version changed")
-    if (m2.get("current-schema-id").asInt != pm.get("current-schema-id").asInt ||
+      Some("format-version changed")
+    else if (m2.get("current-schema-id").asInt != pm.get("current-schema-id").asInt ||
         m2.get("schemas") != pm.get("schemas"))
-      return Some("the table schema changed")
-    if (m2.get("default-spec-id").asInt != pm.get("default-spec-id").asInt ||
+      Some("the table schema changed")
+    else if (m2.get("default-spec-id").asInt != pm.get("default-spec-id").asInt ||
         m2.get("partition-specs") != pm.get("partition-specs"))
-      return Some("the partition spec changed")
+      Some("the partition spec changed")
+    else None
+  }
+
+  /** Summary operations of the snapshots in `m2` that `pm` has not
+    * seen — the rival commits a lost race must arbitrate against. */
+  private def rivalOps(pm: JsonNode, m2: JsonNode): Seq[String] = {
     val knownIds: Set[Long] =
       iterator(pm.get("snapshots")).map(_.get("snapshot-id").asLong).toSet
     iterator(m2.get("snapshots"))
       .filterNot(sn => knownIds.contains(sn.get("snapshot-id").asLong))
-      .foreach { sn =>
-        val op = Option(sn.get("summary")).filterNot(_.isNull)
+      .map { sn =>
+        Option(sn.get("summary")).filterNot(_.isNull)
           .flatMap(su => Option(su.get("operation")).map(_.asText))
           .getOrElse("unknown")
-        if (op != "append") return Some(s"rival snapshot operation '$op'")
+      }.toSeq
+  }
+
+  /** The rewrite-rebase gate (OCC level 2 — the compaction-vs-ingest
+    * race, the spec's validate-no-conflicting-files shape): a lost
+    * `replace` rewrite rebases iff (1) the table structure is
+    * unchanged, (2) every rival operation is a known row-set op, (3)
+    * every file in the rewrite's SCOPE is still live at the head (no
+    * rival removed or rewrote a source file), and (4) no rival DELETE
+    * file targets a scope file (rewriting it would resurrect the
+    * deleted rows). All checks are metadata-bounded: manifest lists,
+    * manifests, and — only when a rival landed an un-attributed
+    * position-delete file — that one small delete parquet's
+    * `file_path` column. */
+  private[interop] def rewriteRebaseConflict(spark: SparkSession, fs: FileSystem,
+      pm: JsonNode, m2: JsonNode, scopeAbs: Set[String]): Option[String] = {
+    structuralRivalConflict(pm, m2).foreach(r => return Some(r))
+    rivalOps(pm, m2).foreach { op =>
+      if (!KnownRowSetOps.contains(op)) return Some(s"rival snapshot operation '$op'")
+    }
+    val knownIds: Set[Long] =
+      iterator(pm.get("snapshots")).map(_.get("snapshot-id").asLong).toSet
+    val rivalIds: Set[Long] = iterator(m2.get("snapshots"))
+      .map(_.get("snapshot-id").asLong).toSet -- knownIds
+    if (rivalIds.isEmpty) return None
+    val curId = m2.get("current-snapshot-id").asLong
+    val curSnap = iterator(m2.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == curId)
+      .getOrElse(return Some("the head metadata has no current snapshot"))
+    if (!curSnap.hasNonNull("manifest-list"))
+      return Some("the head snapshot carries no manifest list")
+    val live = scala.collection.mutable.HashSet.empty[String]
+    readAvro(fs, new HPath(curSnap.get("manifest-list").asText)).foreach { mf =>
+      val content = avroOpt(mf, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+      val mPath = new HPath(mf.get("manifest_path").toString)
+      if (content == 0) {
+        readAvro(fs, mPath).filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
+          live += Hive.fsPathNoDecode(
+            e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+        }
+      } else {
+        // a delete entry a RIVAL added may target a scope file; ones
+        // this rewrite already validated against are in its read set
+        readAvro(fs, mPath)
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .filter(e => Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+            .exists(rivalIds.contains))
+          .foreach { e =>
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            val eqIds = avroOpt(dfr, "equality_ids") match {
+              case Some(l: java.util.List[_]) => l.toArray.toSeq
+              case _ => Nil
+            }
+            if (eqIds.nonEmpty)
+              return Some("a rival committed an equality delete — its target " +
+                "files are not checkable against this rewrite's scope")
+            avroOpt(dfr, "referenced_data_file") match {
+              case Some(ref) =>
+                if (scopeAbs.contains(Hive.fsPathNoDecode(ref.toString)))
+                  return Some("a rival delete targets a file in this rewrite's scope")
+              case None =>
+                // a multi-file position delete: its targets live in the
+                // (small) delete parquet itself
+                val delPath = Hive.fsPathNoDecode(dfr.get("file_path").toString)
+                val targets = spark.read.parquet(delPath)
+                  .select("file_path").distinct().collect()
+                  .map(r => Hive.fsPathNoDecode(r.getString(0)))
+                if (targets.exists(scopeAbs.contains))
+                  return Some("a rival delete targets a file in this rewrite's scope")
+            }
+          }
       }
+    }
+    val missing = scopeAbs.filterNot(live.contains)
+    if (missing.nonEmpty)
+      return Some(s"a rival commit removed or rewrote ${missing.size} file(s) in " +
+        "this rewrite's scope")
     None
   }
 
@@ -3123,8 +3225,6 @@ object Iceberg {
       allSpecs.getOrElse(sid, partFields).map { f =>
         (f.name, transformResultType(f.transform, schema(f.source).dataType), f.fieldId)
       }
-    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    val seq = meta.get("last-sequence-number").asLong + 1
     val stageIds = fieldIds ++ (if (fv == 3)
       Map(RowIdCol -> RowIdFieldId, LastUpdCol -> LastUpdFieldId) else Map.empty)
     val added0 = newData.map(df =>
@@ -3139,8 +3239,6 @@ object Iceberg {
     val fresh = freshData.map(df =>
       stageWithTransforms(spark, df, fs, root, partFields, fieldIds)).getOrElse(Nil)
     val freshRows = fresh.map(_.recordCount).sum
-    val nextRowId: Long =
-      Option(meta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
     // v3 sync commits (preStaged, no newData): the mirrored files mint
     // a fresh inherited id range, like any append's rows
     val syncAddedRows: Long =
@@ -3148,8 +3246,17 @@ object Iceberg {
         preStaged.map(_.recordCount).sum
       else 0L
 
-    val curSnapNode = iterator(meta.get("snapshots"))
-      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
+    // everything ABOVE staged once; everything BELOW (manifest carry,
+    // list, metadata) rebuilds per commit attempt against the head
+    // metadata it commits on — the OCC rebase re-does only metadata
+    // work, never the data staging
+    def attempt(headV: Long, headMeta: JsonNode): Long = {
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val seq = headMeta.get("last-sequence-number").asLong + 1
+    val nextRowId: Long =
+      Option(headMeta.get("next-row-id")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    val curSnapNode = iterator(headMeta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == headMeta.get("current-snapshot-id").asLong).get
     val outManifests = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
     readAvro(fs, new HPath(curSnapNode.get("manifest-list").asText)).foreach { mf =>
       val mContent = mf.get("content").asInstanceOf[Int]
@@ -3270,14 +3377,14 @@ object Iceberg {
     writeAvro(fs, listPath, manifestFileSchema, outManifests.toSeq)
 
     val now = System.currentTimeMillis()
-    val newMeta = meta.deepCopy[ObjectNode]()
+    val newMeta = headMeta.deepCopy[ObjectNode]()
     newMeta.put("last-sequence-number", seq)
     newMeta.put("last-updated-ms", now)
     newMeta.put("current-snapshot-id", snapshotId)
     val snapNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .addObject()
     snapNode.put("snapshot-id", snapshotId)
-    snapNode.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
+    snapNode.put("parent-snapshot-id", headMeta.get("current-snapshot-id").asLong)
     snapNode.put("timestamp-ms", now)
     snapNode.put("sequence-number", seq)
     // v3 row lineage: rewritten rows keep their ids via the
@@ -3289,12 +3396,41 @@ object Iceberg {
     }
     snapNode.putObject("summary").put("operation", operation)
     snapNode.put("manifest-list", listPath.toUri.getPath)
-    snapNode.put("schema-id", meta.get("current-schema-id").asInt)
+    snapNode.put("schema-id", headMeta.get("current-schema-id").asInt)
     val se = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
       .addObject()
     se.put("timestamp-ms", now); se.put("snapshot-id", snapshotId)
-    commitMetadata(fs, root, metaV + 1, newMeta, path)
+    commitMetadata(fs, root, headV + 1, newMeta, path)
     snapshotId
+    } // attempt
+
+    // OPTIMISTIC-CONCURRENCY RETRY for MAINTENANCE rewrites (OCC level
+    // 2 — the compaction-vs-ingest race): a `replace` rewrite preserves
+    // the row set and reads exactly its scope files by identity, so a
+    // lost commit race rebases when [[rewriteRebaseConflict]] proves
+    // every rival commit left the scope untouched. Row-set-CHANGING
+    // rewrites (delete/overwrite — predicate reads a rival append may
+    // invalidate) surface their lost races unconditionally.
+    try attempt(metaV, meta) catch {
+      case e0: java.util.ConcurrentModificationException if operation == "replace" =>
+        var lastErr = e0
+        var attempts = 0
+        while (attempts < 4) {
+          attempts += 1
+          val (mv2, m2) = readMetadata(fs, root)
+          rewriteRebaseConflict(spark, fs, meta, m2, removedAbs).foreach { reason =>
+            throw new java.util.ConcurrentModificationException(
+              s"Iceberg.$operation: rewrite of $path lost to a concurrent commit " +
+                s"that does not commute with it ($reason) — not rebasing", lastErr)
+          }
+          try {
+            val got = attempt(mv2, m2)
+            CommitIntrospect.icebergRewriteRebases.incrementAndGet()
+            return got
+          } catch { case e: java.util.ConcurrentModificationException => lastErr = e }
+        }
+        throw lastErr
+    }
   }
 
   /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under

@@ -3612,21 +3612,31 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** S67: OPTIMISTIC-CONCURRENCY RETRY graded (r11 verdict next #2) —
-    * both interop writers now mirror the graft-native `retryDerived`
-    * contract: an append that loses the create-if-absent commit race
-    * re-reads the head, verifies every rival commit was itself a
-    * blind append (the protocols' logical conflict rule — disjoint
-    * adds commute; rewrites, schema or spec changes keep throwing),
-    * and REBASES without a manual retry. This entry drives ONE REAL
-    * CONTENDED COMMIT per format: two appends race from concurrent
-    * futures and the entry `require`s a rebase was actually taken
-    * ([[graft.interop.CommitIntrospect]] counters — re-raced up to 5
-    * rounds in the unlikely event the scheduler serialized them).
-    * The graded output is the union both writers must serve AFTER the
-    * race: base + both contenders' batches, no lost update, oracled
-    * per format. Gate decisions (which rivals rebase, which refuse)
-    * are spec-locked deterministically in InteropConcurrencySpec. */
+  /** S67: OPTIMISTIC-CONCURRENCY RETRY graded (r11 verdict next #2;
+    * OCC level 2 r12 next #1) — both interop writers mirror the
+    * graft-native `retryDerived` contract at two levels. Level 1: an
+    * append that loses the create-if-absent commit race re-reads the
+    * head, verifies every rival commit commutes with a blind append
+    * (which reads NO table state, so rival adds, compactions, and
+    * disjoint deletes all commute; schema/spec/protocol changes keep
+    * throwing), and REBASES without a manual retry. Level 2 — the
+    * compaction-vs-ingest race, the most common real contention: a
+    * lost MAINTENANCE rewrite (Delta dataChange=false / Iceberg
+    * `replace`) rebases too, after proving no rival touched its scope
+    * files ([[graft.interop.DeltaLake.rivalConflict]] read-set check /
+    * [[graft.interop.Iceberg.rewriteRebaseConflict]]); data-changing
+    * rewrites still surface their losses. This entry drives TWO REAL
+    * CONTENDED COMMITS per format: (1) two appends race, (2) a
+    * compaction races a blind append — each `require`s a rebase was
+    * actually taken ([[graft.interop.CommitIntrospect]] counters —
+    * re-raced up to 5 rounds in the unlikely event the scheduler
+    * serialized them; the compaction race's retry batches carry rows
+    * the graded aggregate filters out, so the oracle is
+    * round-count-independent). The graded output is the union both
+    * writers must serve AFTER the races: base + both contenders'
+    * batches, no lost update, oracled per format. Gate decisions
+    * (which rivals rebase, which refuse) are spec-locked
+    * deterministically in InteropConcurrencySpec. */
   val s67ConcurrentAppends = QueryDef(
     "s67_concurrent_appends",
     (s, d) => {
@@ -3657,20 +3667,49 @@ object IngestOps extends QueryModule {
         require(done,
           s"s67: no contended commit observed at $path after $round rounds")
       }
+      // level 2: a compaction races a blind append — BOTH must land,
+      // whoever loses rebases (either counter may move depending on
+      // who won the slot). Retry batches are %12==2 rows, which the
+      // graded aggregate filters out — the oracle never sees them.
+      val bX = orders.filter(col("o_orderkey") % 12 === 2).limit(50)
+      def contendCompact(path: String, append: () => Unit, compact: () => Unit,
+          counters: Seq[java.util.concurrent.atomic.AtomicLong]): Unit = {
+        var round = 0
+        var done = false
+        while (!done && round < 5) {
+          round += 1
+          val before = counters.map(_.get()).sum
+          Await.result(Future.sequence(Seq(Future(append()), Future(compact()))),
+            180.seconds)
+          done = counters.map(_.get()).sum > before
+        }
+        require(done,
+          s"s67: no contended compaction race observed at $path after $round rounds")
+      }
+      val CI = graft.interop.CommitIntrospect
       val dp = tmp("s67_delta", d)
       contend(dp, () => { D.write(base, dp); () },
         df => { D.write(df, dp, mode = SaveMode.Append); () },
-        graft.interop.CommitIntrospect.deltaRebases)
+        CI.deltaRebases)
       require(D.snapshot(s, dp).version == 2L,
         "s67: both delta contenders must land as consecutive commits")
+      contendCompact(dp,
+        () => { D.write(bX, dp, mode = SaveMode.Append); () },
+        () => { D.compact(s, dp); () },
+        Seq(CI.deltaRebases, CI.deltaRewriteRebases))
       val ip = tmp("s67_ice", d)
       contend(ip, () => { I.write(base, ip); () },
         df => { I.write(df, ip, mode = SaveMode.Append); () },
-        graft.interop.CommitIntrospect.icebergRebases)
+        CI.icebergRebases)
       require(I.snapshots(ip).size == 3,
         "s67: both iceberg contenders must land as snapshots")
-      D.read(s, dp).withColumn("fmt", lit("delta"))
-        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
+      contendCompact(ip,
+        () => { I.write(bX, ip, mode = SaveMode.Append); () },
+        () => { I.compact(s, ip); () },
+        Seq(CI.icebergRebases, CI.icebergRewriteRebases))
+      D.read(s, dp).filter(col("o_orderkey") % 4 === 0).withColumn("fmt", lit("delta"))
+        .unionByName(
+          I.read(s, ip).filter(col("o_orderkey") % 4 === 0).withColumn("fmt", lit("iceberg")))
         .groupBy("fmt")
         .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))

@@ -117,13 +117,158 @@ class InteropConcurrencySpec extends AnyFunSuite with SparkFixture {
       "an append rival must be rebasable")
     val mAfterAppend = meta()
     Iceberg.deleteMergeOnRead(spark, path, org.apache.spark.sql.functions.col("k") === 1L)
-    val afterDelete = Iceberg.appendRebaseConflict(mAfterAppend, meta())
-    assert(afterDelete.exists(_.contains("delete")),
-      s"a rival delete must refuse the rebase: $afterDelete")
+    // OCC level 2: a blind append reads NO table state — a rival
+    // merge-on-read delete commutes with it (the r12 gate that refused
+    // here closed; FastAppend semantics)
+    assert(Iceberg.appendRebaseConflict(mAfterAppend, meta()).isEmpty,
+      "a rival delete commutes with a blind append")
     val mAfterDelete = meta()
     Iceberg.replaceSpec(spark, path, Seq("bucket(4, k)"))
     val afterSpec = Iceberg.appendRebaseConflict(mAfterDelete, meta())
     assert(afterSpec.exists(_.contains("spec")),
       s"a rival spec change must refuse the rebase: $afterSpec")
+  }
+
+  // ---------------------------------------------------------------
+  // OCC level 2: disjoint rewrite/delete rivals commute; overlapping
+  // ones refuse (r12 verdict next #1). Gate decisions deterministic;
+  // the real races follow.
+  // ---------------------------------------------------------------
+
+  test("Delta gate: rival remove commutes iff disjoint from the read set") {
+    import spark.implicits._
+    val path = freshDir("conc_delta_gate2")
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), path) // v0
+    DeltaLake.write(Seq((2L, "b")).toDF("k", "v"), path, mode = SaveMode.Append) // v1
+    val beforeCompact = DeltaLake.snapshot(spark, path).files.map(_.path).toSet
+    assert(DeltaLake.compact(spark, path) == 2L) // v2: remove both + packed add
+    val (fs, root) = Writers.fsFor(path)
+    // a transaction that READ one of the compacted files cannot rebase
+    val overlapping = DeltaLake.rivalConflict(fs, root, 2, 2, beforeCompact.take(1))
+    assert(overlapping.exists(_.contains("read set")),
+      s"a rival that removed a read-set file must refuse: $overlapping")
+    // one with a disjoint read set (or none at all) commutes
+    assert(DeltaLake.rivalConflict(fs, root, 2, 2, Set("some-other-file.parquet")).isEmpty,
+      "a disjoint rival remove must commute")
+    assert(DeltaLake.rivalConflict(fs, root, 2, 2).isEmpty,
+      "a blind append (empty read set) must rebase past a compaction")
+  }
+
+  test("Iceberg gate: rewrite rebases past disjoint rivals, refuses overlapping ones") {
+    import spark.implicits._
+    val path = freshDir("conc_ice_gate2")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(): com.fasterxml.jackson.databind.JsonNode = {
+      val dir = Paths.get(path, "metadata")
+      val vs = java.nio.file.Files.list(dir).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (vs.hasNext) { val p = vs.next(); if (p.toString.endsWith(".metadata.json")) buf += p }
+      om.readTree(new String(java.nio.file.Files.readAllBytes(
+        buf.maxBy(_.getFileName.toString)), "UTF-8"))
+    }
+    val (fs, _) = Writers.fsFor(path)
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    Iceberg.write(Seq((3L, "c")).toDF("k", "v").coalesce(1), path, mode = SaveMode.Append)
+    val files = Iceberg.snapshot(spark, path).files
+      .map(f => graft.interop.Hive.fsPathNoDecode(f.path))
+    assert(files.size == 2)
+    // the upcoming rival delete targets k=1 — find its file directly
+    val k1File = files.find(p =>
+      spark.read.parquet(p).filter(org.apache.spark.sql.functions.col("k") === 1L)
+        .count() > 0).get
+    val otherFile = files.find(_ != k1File).get
+    val base = meta()
+    // rival APPEND: any scope still rebases
+    Iceberg.write(Seq((4L, "d")).toDF("k", "v"), path, mode = SaveMode.Append)
+    assert(Iceberg.rewriteRebaseConflict(spark, fs, base, meta(), files.toSet).isEmpty,
+      "a rewrite must rebase past a rival blind append")
+    // a rival merge-on-read DELETE into the scope refuses (rewriting
+    // the target file would resurrect the deleted row); a disjoint
+    // scope commutes
+    val base2 = meta()
+    Iceberg.deleteMergeOnRead(spark, path, org.apache.spark.sql.functions.col("k") === 1L)
+    val overlap = Iceberg.rewriteRebaseConflict(spark, fs, base2, meta(), Set(k1File))
+    assert(overlap.exists(_.contains("scope")),
+      s"a rival delete into the rewrite's scope must refuse: $overlap")
+    assert(Iceberg.rewriteRebaseConflict(spark, fs, base2, meta(), Set(otherFile)).isEmpty,
+      "a rival delete disjoint from the rewrite's scope must commute")
+    // rival COMPACTION that rewrote the scope file: refuses
+    val base3 = meta()
+    Iceberg.compact(spark, path)
+    val gone = Iceberg.rewriteRebaseConflict(spark, fs, base3, meta(), Set(otherFile))
+    assert(gone.exists(_.contains("scope")),
+      s"a rival compaction of a scope file must refuse: $gone")
+  }
+
+  test("Delta: compaction racing a blind append — BOTH land, whoever loses rebases") {
+    import spark.implicits._
+    val path = freshDir("conc_delta_cmp")
+    DeltaLake.write(Seq((0L, "base")).toDF("k", "v"), path)
+    DeltaLake.write(Seq((1L, "w1")).toDF("k", "v"), path, mode = SaveMode.Append)
+    val results = Await.result(Future.sequence(Seq(
+      Future(try Right(DeltaLake.compact(spark, path))
+        catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+      Future(try Right(DeltaLake.write(Seq((2L, "w2")).toDF("k", "v"), path,
+          mode = SaveMode.Append))
+        catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+    )), 120.seconds)
+    assert(results.forall(_.isRight),
+      s"compaction and append must BOTH land, rebasing on a lost race: $results")
+    assert(DeltaLake.read(spark, path).count() == 3, "no row lost, none duplicated")
+    assert(DeltaLake.snapshot(spark, path).version == 3L,
+      "both the compaction and the append must have committed")
+  }
+
+  test("Iceberg: compaction racing a blind append — BOTH land, whoever loses rebases") {
+    import spark.implicits._
+    val path = freshDir("conc_ice_cmp")
+    Iceberg.write(Seq((0L, "base")).toDF("k", "v"), path)
+    Iceberg.write(Seq((1L, "w1")).toDF("k", "v"), path, mode = SaveMode.Append)
+    val results = Await.result(Future.sequence(Seq(
+      Future(try Right(Iceberg.compact(spark, path))
+        catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+      Future(try Right(Iceberg.write(Seq((2L, "w2")).toDF("k", "v"), path,
+          mode = SaveMode.Append))
+        catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+    )), 120.seconds)
+    assert(results.forall(_.isRight),
+      s"compaction and append must BOTH land, rebasing on a lost race: $results")
+    assert(Iceberg.read(spark, path).count() == 3, "no row lost, none duplicated")
+    assert(Iceberg.snapshots(path).size == 4,
+      "both the compaction and the append must have published snapshots")
+  }
+
+  test("Delta: a DATA-CHANGING rewrite NEVER rebases — its lost race surfaces") {
+    import spark.implicits._
+    val path = freshDir("conc_delta_dml")
+    // the invariant under contention: deltaRewriteRebases must not
+    // move for a predicate delete (dataChange=true — a rival append
+    // may add rows the predicate read never saw), whether the race is
+    // lost (CME surfaces) or the scheduler serialized the round
+    var surfaced: Option[String] = None
+    var round = 0
+    while (surfaced.isEmpty && round < 6) {
+      round += 1
+      Writers.deleteTree(path)
+      DeltaLake.write((0L to 9L).map(i => (i, s"r$i")).toDF("k", "v"), path)
+      val before = CommitIntrospect.deltaRewriteRebases.get()
+      val results = Await.result(Future.sequence(Seq(
+        Future(try Right(DeltaLake.deleteWhere(spark, path,
+            org.apache.spark.sql.functions.col("k") < 5L))
+          catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+        Future(try Right(DeltaLake.write(Seq((100L, "rival")).toDF("k", "v"), path,
+            mode = SaveMode.Append))
+          catch { case e: java.util.ConcurrentModificationException => Left(e.getMessage) }),
+      )), 120.seconds)
+      assert(CommitIntrospect.deltaRewriteRebases.get() == before,
+        "a data-changing rewrite must never take the maintenance rebase path")
+      results.head.left.foreach(m => surfaced = Some(m))
+      assert(results(1).isRight, s"the blind append must always land: $results")
+      if (results.head.isRight)
+        // no collision this round — the serial outcome must be exact
+        assert(DeltaLake.read(spark, path).count() == 6)
+    }
+    // when a collision DID happen, the loss surfaced as a loud CME
+    surfaced.foreach(m => assert(m.nonEmpty))
   }
 }
