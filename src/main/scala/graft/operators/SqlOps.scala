@@ -253,11 +253,15 @@ object SqlOps extends QueryModule {
     * fragment an Iceberg table into 8 one-file manifests, then `CALL
     * graft.system.rewrite_manifests` bin-packs them 8 → 1 as a pure
     * METADATA replace (require'd: the data-file set is untouched),
-    * `CALL graft.system.compact` folds the small data files, and
-    * `CALL expire_snapshots` + `CALL vacuum` reclaim the history —
-    * require'd down to ONE live snapshot. The oracled output proves
-    * the loop preserved every row. Per-format dispatch, refusals, and
-    * the WHERE-scoped compact are spec-locked in
+    * `CALL graft.system.compact` folds the small data files, `CALL
+    * rollback_to_snapshot` time-machines to the pre-compact snapshot
+    * and back (require'd: BOTH hops restore their exact file sets,
+    * zero data moved — the r12 verdict's SQL RESTORE surface), and
+    * `CALL expire_snapshots` reclaims the history — require'd down to
+    * ONE live snapshot. The oracled output proves the loop preserved
+    * every row. Per-format dispatch, refusals, the WHERE-scoped
+    * compact, and the `CALL vacuum` this entry used to drive (swapped
+    * for the rollback hops, r13) are spec-locked in
     * MaintenanceProceduresSpec; the manifest-merge internals
     * (lineage, MoR deletes, no-op) in RewriteManifestsSpec. */
   val s64SqlMaintenance = QueryDef(
@@ -285,11 +289,24 @@ object SqlOps extends QueryModule {
         s"s64: manifests must bin-pack 8 -> 1, got ${rw.getLong(0)} -> ${rw.getLong(1)}")
       require(I.files(s, path).collect().map(_.getString(0)).toSet == preFiles,
         "s64: rewrite_manifests must be pure metadata — zero data files moved")
+      val preCompactId = I.snapshot(s, path).snapshotId
       s.sql(s"CALL graft.system.compact('$ns.cust')").collect()
-      require(I.snapshot(s, path).files.size < preFiles.size,
+      val folded = I.snapshot(s, path)
+      require(folded.files.size < preFiles.size,
         "s64: compaction must fold the 8 small files")
+      // SQL RESTORE (r12 verdict "missing #3"): hop back to the
+      // pre-compact snapshot and forward again — both directions are
+      // set-current metadata commits, and both exact file sets return
+      s.sql(s"CALL graft.system.rollback_to_snapshot('$ns.cust', version => $preCompactId)")
+        .collect()
+      require(I.files(s, path).collect().map(_.getString(0)).toSet == preFiles,
+        "s64: rollback must restore the pre-compact file set by reference")
+      s.sql(
+        s"CALL graft.system.rollback_to_snapshot('$ns.cust', version => ${folded.snapshotId})")
+        .collect()
+      require(I.snapshot(s, path).files.map(_.path).toSet == folded.files.map(_.path).toSet,
+        "s64: rolling forward must restore the compacted file set")
       s.sql(s"CALL graft.system.expire_snapshots('$ns.cust', keep_last => 1)").collect()
-      s.sql(s"CALL graft.system.vacuum('$ns.cust', older_than_hours => -1)").collect()
       require(I.snapshots(path).size == 1,
         "s64: after expiry exactly one live snapshot remains")
       s.table(s"graft.$ns.cust")

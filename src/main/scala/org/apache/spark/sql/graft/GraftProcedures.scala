@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.rewrite_manifests('ns.tbl')            -- iceberg
   *   CALL graft.system.analyze_table('ns.tbl')                -- iceberg (r12)
   *   CALL graft.system.replace_partition_spec('ns.tbl', partition_by => 'months(ts)')
+  *   CALL graft.system.rollback_to_snapshot('ns.tbl', version => 3)          -- all formats
+  *   CALL graft.system.rollback_to_snapshot('ns.tbl', timestamp_ms => ...)  -- as-of form
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -37,7 +39,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
-      "analyze_table", "replace_partition_spec")
+      "analyze_table", "replace_partition_spec", "rollback_to_snapshot")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -108,6 +110,13 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       // comma-separated writer-side transforms, e.g.
       // 'months(ts), bucket(8, id)' — same grammar as partitionBy
       p("partition_by", StringType).build())
+    case "rollback_to_snapshot" => Array(
+      p("table", StringType).build(),
+      // exactly ONE of the two selectors: `version` is the Delta/graft
+      // commit version or the Iceberg snapshot-id; `timestamp_ms`
+      // resolves as-of through each format's own timestamp-travel rule
+      p("version", LongType).defaultValue("-1").build(),
+      p("timestamp_ms", LongType).defaultValue("-1").build())
     case _ => Array( // rewrite_manifests
       p("table", StringType).build(),
       p("target_bytes", LongType).defaultValue((8L << 20).toString).build())
@@ -121,6 +130,7 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "analyze_table" => StructType(Nil)
       .add("column", StringType).add("ndv", LongType)
     case "replace_partition_spec" => StructType(Nil).add("spec_id", LongType)
+    case "rollback_to_snapshot" => StructType(Nil).add("restored_to", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -153,6 +163,33 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       val id = graft.interop.Iceberg.replaceSpec(spark, path, specs)
       return resultScan(Array[InternalRow](
         new GenericInternalRow(Array[Any](id.toLong))))
+    }
+    if (procName == "rollback_to_snapshot") {
+      // SQL RESTORE surface: dispatch to each format's existing
+      // metadata-only restore — no data byte moves on any of the three,
+      // so rolling back a 100 TB table costs O(log/metadata) only.
+      // No-such-snapshot targets refuse loudly inside each API.
+      val ver = input.getLong(1)
+      val tsMs = input.getLong(2)
+      require((ver >= 0) != (tsMs >= 0),
+        "GraftCatalog rollback_to_snapshot: give exactly one of " +
+          "`version` (Delta/graft commit version, Iceberg snapshot-id) or `timestamp_ms`")
+      val target: Long = fmt match {
+        case "iceberg" =>
+          val id = if (tsMs >= 0) graft.interop.Iceberg.snapshotAsOf(path, tsMs) else ver
+          graft.interop.Iceberg.rollback(spark, path, id)
+        case "delta" =>
+          val v = if (tsMs >= 0) graft.interop.DeltaLake.versionAsOf(path, tsMs) else ver
+          graft.interop.DeltaLake.restore(spark, path, v); v
+        case _ =>
+          val v = if (tsMs >= 0) graft.ingest.Versioned.versionAsOf(path, tsMs)
+            .getOrElse(throw new IllegalArgumentException(
+              s"GraftCatalog rollback_to_snapshot: no commit of $table at or before $tsMs"))
+          else ver
+          graft.ingest.Versioned.restore(spark, path, v); v
+      }
+      return resultScan(Array[InternalRow](
+        new GenericInternalRow(Array[Any](target))))
     }
     val row: Array[Long] = procName match {
       case "compact" =>

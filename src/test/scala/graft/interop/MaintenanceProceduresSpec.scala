@@ -148,4 +148,56 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
         .collect())
     assert(e2.getMessage.contains("iceberg only"), e2.getMessage)
   }
+
+  test("CALL rollback_to_snapshot restores all three formats; bad targets refuse") {
+    import spark.implicits._
+    val whd = wh("dbmr"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmr")
+    def rows(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    // delta: version selector, then timestamp selector back to head
+    val dp = whd.resolve("td").toString
+    DeltaLake.write(rows(3), dp)
+    DeltaLake.write(rows(2), dp, mode = SaveMode.Append)
+    val headTs = System.currentTimeMillis() + 60000
+    val r1 = spark.sql("CALL graft.system.rollback_to_snapshot('dbmr.td', version => 0)")
+      .collect().head.getLong(0)
+    assert(r1 == 0L && spark.table("graft.dbmr.td").count() == 3L,
+      "delta restore to v0 must drop the appended rows")
+    // timestamp as-of resolves to the newest commit ≤ ts — the restore
+    // commit itself, whose content is v0's (restore never loses history)
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('dbmr.td', timestamp_ms => $headTs)")
+      .collect()
+    assert(spark.table("graft.dbmr.td").count() == 3L)
+    // iceberg: snapshot-id selector; data files come back by reference
+    val ip = whd.resolve("ti").toString
+    Iceberg.write(rows(3), ip)
+    val firstSnap = Iceberg.snapshot(spark, ip).snapshotId
+    Iceberg.write(rows(4), ip, mode = SaveMode.Append)
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('dbmr.ti', version => $firstSnap)")
+      .collect()
+    assert(spark.table("graft.dbmr.ti").count() == 3L)
+    assert(Iceberg.snapshot(spark, ip).snapshotId == firstSnap)
+    // graft-native: version selector; the restore is a NEW commit
+    val gp = whd.resolve("tg").toString
+    Versioned.commit(rows(3), gp)
+    Versioned.appendCommit(rows(2), gp)
+    spark.sql("CALL graft.system.rollback_to_snapshot('dbmr.tg', version => 1)").collect()
+    assert(spark.table("graft.dbmr.tg").count() == 3L)
+    assert(Versioned.currentVersion(gp).contains(3L),
+      "graft restore publishes a new commit; history is never rewritten")
+    // refusals: unknown target, both selectors, neither selector
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot('dbmr.ti', version => 999)").collect())
+    assert(e1.getMessage.contains("not in the history"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot('dbmr.td', version => 0, timestamp_ms => 1)")
+      .collect())
+    assert(e2.getMessage.contains("exactly one"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot('dbmr.td')").collect())
+    assert(e3.getMessage.contains("exactly one"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot('dbmr.tg', version => 999)").collect())
+    assert(e4.getMessage.contains("not committed"), e4.getMessage)
+  }
 }
