@@ -608,7 +608,11 @@ object Versioned {
       schema: StructType): (Long, Long) = {
     def mapping(v: Long): (Option[String], Map[String, Int]) = {
       val m = readMeta(fs, root, v)
-      (m.get(SchemaKey).map(j => asNullable(DataType.fromJson(j)).json),
+      // identity watermark metadata is ERASED from the compare: a
+      // rival append's ratchet is the same logical schema, and the
+      // caller re-runs its identity fill against the derived base
+      (m.get(SchemaKey).map(j => idHwmErased(
+          asNullable(DataType.fromJson(j)).asInstanceOf[StructType]).json),
         m.get(ColIdsKey).map(parseColIds).getOrElse(Map.empty))
     }
     // base==0: the rival CREATED the table; the id compare is vacuous
@@ -628,7 +632,8 @@ object Versioned {
             val got = mapping(head)
             val ok = want match {
               case Some(w) => got == w
-              case None    => got._1.contains(asNullable(schema).json)
+              case None    => got._1.contains(idHwmErased(
+                asNullable(schema).asInstanceOf[StructType]).json)
             }
             if (!ok)
               throw new java.util.ConcurrentModificationException(
@@ -1425,11 +1430,19 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
-    val df = fillDefaults(df0, fs, root, base)
+    val (df1, idGenerated) = fillIdentity(fillDefaults(df0, fs, root, base), fs, root, base)
     // lost-update guard narrowed for the pure-add shape: a rival that
     // published under us (same schema mapping) is rebased over, so
     // concurrent same-schema feeds land without serializing
-    val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
+    val (v, derivedBase) = claimAppend(fs, root, path, base, df1.schema)
+    // identity re-stamp: the claim derived a NEWER base, so a rival
+    // may have advanced the watermark the fill generated from — re-run
+    // the fill against the derived base. The claim precedes the data
+    // write, so nothing is re-staged (cheaper than the post-staging
+    // re-stamp Delta's OCC needs).
+    val df = if (idGenerated && derivedBase != base)
+      fillIdentity(fillDefaults(df0, fs, root, derivedBase), fs, root, derivedBase)._1
+    else df1
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     // O(delta) commit: only the fresh files are recorded; the base
     // manifest is never even read unless this commit folds a checkpoint.
@@ -2657,6 +2670,130 @@ object Versioned {
     publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
       schema = StructType(schema.fields.updated(idx, f.copy(metadata = mb.build()))),
       meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  // ------------------------------------------------- identity columns
+  // the graft-native mirror of Delta's `identityColumns` writer
+  // feature: the declaration and high watermark live as field metadata
+  // in the published schema, appends that omit the column GENERATE
+  // contiguous values from the watermark ([[graft.core.IdentityGen]]),
+  // and the watermark rides the same commit
+  private val IdStartKey = "graft.identity.start"
+  private val IdStepKey = "graft.identity.step"
+  private val IdHwmKey = "graft.identity.highWaterMark"
+  private val IdAllowKey = "graft.identity.allowExplicitInsert"
+
+  /** Schema with identity high-watermark metadata ERASED — the
+    * claim-rebase schema compare must treat a rival's watermark
+    * ratchet as the SAME schema (the regeneration handles the ids). */
+  private def idHwmErased(s: StructType): StructType = StructType(s.fields.map { f =>
+    if (!f.metadata.contains(IdHwmKey)) f
+    else {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+      mb.remove(IdHwmKey)
+      f.copy(metadata = mb.build())
+    }
+  })
+
+  /** The table's identity declarations: column → (start, step,
+    * allowExplicitInsert, high watermark). */
+  def identityColumns(path: String): Map[String, (Long, Long, Boolean, Option[Long])] = {
+    val (fs, root) = Writers.fsFor(path)
+    currentVersion(path).flatMap(v => metaSchema(fs, root, v)).map(_.fields.toSeq
+      .filter(_.metadata.contains(IdStartKey))
+      .map(f => f.name -> (f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey),
+        f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey),
+        if (f.metadata.contains(IdHwmKey)) Some(f.metadata.getLong(IdHwmKey)) else None))
+      .toMap).getOrElse(Map.empty)
+  }
+
+  /** Declare `name` as an IDENTITY column (GENERATED ALWAYS when
+    * `allowExplicitInsert` is false, BY DEFAULT when true) — a
+    * metadata-only derived commit, empty-table-only like Delta's
+    * create-time rule. The column must be BIGINT, not a partition
+    * column, and not defaulted. */
+  def declareIdentity(spark: SparkSession, path: String, name: String,
+      start: Long = 1L, step: Long = 1L, allowExplicitInsert: Boolean = false): Long = {
+    require(step != 0L, "Versioned.declareIdentity: step must be nonzero")
+    val (fs, root, base, entries, schema, ids) = evolutionBase(path, "declareIdentity")
+    // row-emptiness, not file-emptiness: an empty CREATE commits a
+    // zero-row file whose presence must not block the declaration
+    require(entries.forall(_.kind != KindData) || read(spark, path).isEmpty,
+      s"Versioned.declareIdentity: $path already holds data — identity columns " +
+        "are declared at creation (empty-table-only)")
+    require(schema.fieldNames.contains(name),
+      s"Versioned.declareIdentity: no column '$name' in (${schema.fieldNames.mkString(", ")})")
+    val idx = schema.fieldIndex(name)
+    val f = schema.fields(idx)
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"Versioned.declareIdentity: identity columns must be BIGINT, $name is ${f.dataType.sql}")
+    require(!f.metadata.contains(CurrentDefaultKey),
+      s"Versioned.declareIdentity: $name already has a default — the fill rules would race")
+    require(!layoutPartCols(entries).contains(name),
+      s"Versioned.declareIdentity: $name is a partition column")
+    val nf = f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(IdStartKey, start).putLong(IdStepKey, step)
+      .putBoolean(IdAllowKey, allowExplicitInsert).build())
+    val v = claimExact(fs, root, base)
+    publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
+      schema = StructType(schema.fields.updated(idx, nf)),
+      meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  /** Conform an append frame to the table's identity contract against
+    * the schema AT `base`: generate omitted identity columns from the
+    * watermark, refuse explicit values under ALWAYS, ratchet the
+    * watermark past explicit BY-DEFAULT values (one max/min agg), and
+    * re-attach field metadata with the NEW watermark so the published
+    * schema carries it. Returns the conformed frame and whether any
+    * column was GENERATED (the append re-runs the fill when its claim
+    * derives a newer base — a rival may have advanced the watermark). */
+  private def fillIdentity(df: DataFrame, fs: FileSystem, root: HPath,
+      base: Long): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    if (base == 0L) return (df, false)
+    val tableOpt = metaSchema(fs, root, base)
+    if (tableOpt.isEmpty) return (df, false)
+    val table = tableOpt.get
+    val idFs = table.fields.toSeq.filter(_.metadata.contains(IdStartKey))
+    if (idFs.isEmpty) return (df, false)
+    def has(c: String) = df.columns.exists(_.equalsIgnoreCase(c))
+    var frame = df
+    var generated = false
+    var newMeta = Map.empty[String, org.apache.spark.sql.types.Metadata]
+    idFs.foreach { f =>
+      val (start, step) = (f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey))
+      val allow = f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey)
+      val cur =
+        if (f.metadata.contains(IdHwmKey))
+          graft.core.IdentityGen.ratchet(start, step, start - step,
+            f.metadata.getLong(IdHwmKey))
+        else start - step
+      def withHwm(h: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(IdHwmKey, h).build()
+      if (has(f.name)) {
+        require(allow,
+          s"Versioned.appendCommit: ${f.name} is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values refuse (declare allowExplicitInsert to allow them)")
+        val agg = if (step > 0) fmax(col(f.name)) else fmin(col(f.name))
+        val seen = Option(df.agg(agg).head().get(0)).map(_.asInstanceOf[Long])
+        seen.map(s => graft.core.IdentityGen.ratchet(start, step, cur, s))
+          .filter(_ != cur).foreach(h => newMeta += f.name -> withHwm(h))
+      } else {
+        val (g, last) = graft.core.IdentityGen.assign(frame, f.name, cur, step)
+        frame = g; generated = true
+        if (last != cur) newMeta += f.name -> withHwm(last)
+      }
+    }
+    val extra = frame.columns.filterNot(c => table.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val missing = table.fields.filterNot(f => frame.columns.exists(_.equalsIgnoreCase(f.name)))
+    require(extra.isEmpty && missing.isEmpty,
+      s"Versioned.appendCommit: an identity table's append must match its columns " +
+        s"exactly (extra: ${extra.mkString(",")}; missing: ${missing.map(_.name).mkString(",")})")
+    (frame.select(table.fields.toIndexedSeq.map { f =>
+      val src = frame.columns.find(_.equalsIgnoreCase(f.name)).get
+      col(src).as(f.name, newMeta.getOrElse(f.name, f.metadata))
+    }: _*), generated)
   }
 
   /** Conform an append frame to the table's defaults contract: fill

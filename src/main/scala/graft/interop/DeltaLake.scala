@@ -67,7 +67,7 @@ object DeltaLake {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "rowTracking", "domainMetadata", "inCommitTimestamp", "vacuumProtocolCheck",
     "generatedColumns", "v2Checkpoint", "clusteringTable", "allowColumnDefaults",
-    "typeWidening", "variantType", "variantShredding")
+    "typeWidening", "variantType", "variantShredding", "identityColumns")
   private val HiveDefaultPartition = Hive.DefaultPartition
   /** Fold the JSON log into a parquet checkpoint every N commits. */
   private val CheckpointEvery = 10
@@ -1111,7 +1111,7 @@ object DeltaLake {
     // reorders to the table's column order (withColumn appends at the
     // end, and a mid-schema defaulted column must land back in place
     // for the append schema check).
-    val df = prior match {
+    val dfFilled = prior match {
       case Some(p) =>
         val filled = p.rawSchema.fields
           .filter(f => !dfIn.columns.contains(f.name) &&
@@ -1130,6 +1130,53 @@ object DeltaLake {
         else filled
       case None => dfIn
     }
+    // IDENTITY columns (the protocol's `identityColumns` writer
+    // feature): a frame CARRYING a GENERATED ALWAYS column refuses; an
+    // OMITTED identity column generates contiguous values from the
+    // high watermark ([[graft.core.IdentityGen]] — two distributed
+    // passes, O(partitions) driver bytes). Generation is re-runnable:
+    // identity values live IN the data files, so an OCC rebase that
+    // finds the rival advanced the watermark cannot fix the collision
+    // with metadata alone — it REGENERATES from the head's watermark
+    // and re-stages, the same re-stamp discipline row tracking applies
+    // to its id ranges (there at the add-action layer).
+    val idFields: Seq[StructField] =
+      prior.map(_.rawSchema.fields.toSeq.filter(_.metadata.contains(IdStartKey)))
+        .getOrElse(Nil)
+    idFields.filter(f => dfFilled.columns.contains(f.name)).foreach { f =>
+      require(identitySpec(f).exists(_.allowExplicitInsert),
+        s"DeltaLake.write: ${f.name} is GENERATED ALWAYS AS IDENTITY — explicit " +
+          "values refuse (declare BY DEFAULT AS IDENTITY to allow them)")
+    }
+    val idGenFields: Seq[StructField] =
+      idFields.filterNot(f => dfFilled.columns.contains(f.name))
+    // the watermark each generation attempt started from / reached —
+    // commitAttempt publishes the reached values in its metaData action
+    var idBases = Map.empty[String, Long]
+    var idHwms = Map.empty[String, Long]
+    def generateIdentity(p: Snapshot): DataFrame = {
+      idBases = Map.empty; idHwms = Map.empty
+      val out = idGenFields.foldLeft(dfFilled) { (acc, f) =>
+        val spec = identitySpec(f).get
+        val pf = p.rawSchema.fields.find(_.name == f.name).getOrElse(f)
+        // ratchet-normalize: a foreign writer may have left an
+        // off-grid watermark; generation resumes from the grid
+        val base = identityHwm(pf)
+          .map(h => graft.core.IdentityGen.ratchet(spec.start, spec.step,
+            spec.start - spec.step, h))
+          .getOrElse(spec.start - spec.step)
+        val (g, last) = graft.core.IdentityGen.assign(acc, f.name, base, spec.step)
+        idBases += f.name -> base
+        if (last != base) idHwms += f.name -> last
+        g
+      }
+      val tableNames = prior.get.schema.fieldNames.toSeq
+      if (out.columns.length == tableNames.length && out.columns.toSet == tableNames.toSet)
+        out.select(tableNames.map(org.apache.spark.sql.functions.col): _*)
+      else out
+    }
+    var df: DataFrame =
+      if (idGenFields.isEmpty) dfFilled else generateIdentity(prior.get)
     // append inherits the table's partitioning when the caller names
     // none (the familiar Delta behavior); naming a DIFFERENT layout is
     // the loud error
@@ -1238,12 +1285,18 @@ object DeltaLake {
     def physName(c: String): String =
       if (mapModeW.isEmpty) c
       else physicalField(rawTable(rawTable.fieldIndex(c)), mapModeW.contains("id"), "write").name
-    val stageDf = toPhysicalDf(df, rawTable, mapModeW)
     val physPartCols = partCols.map(physName)
-    val dataCols = stageDf.schema.fields.filterNot(f => physPartCols.contains(f.name)).toSeq
     val now = System.currentTimeMillis()
-    val adds0 = stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
-      .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
+    // staging is re-runnable for the identity re-stamp: a rebase that
+    // regenerated ids stages the fresh frame and abandons the first
+    // attempt's files (unreferenced — vacuum reclaims them)
+    def stage(frame: DataFrame): Seq[AddFile] = {
+      val stageDf = toPhysicalDf(frame, rawTable, mapModeW)
+      val dataCols = stageDf.schema.fields.filterNot(f => physPartCols.contains(f.name)).toSeq
+      stageFiles(spark, root, stageDf, physPartCols, Some(dataCols), "write", Nil, "part")
+        .map { case (relOut, pv, size, st) => AddFile(relOut, pv, size, now, st) }
+    }
+    var adds0 = stage(df)
 
     // ---- one commit ATTEMPT against version `vTry`. The staged files
     // are fixed; everything version-derived (row-id ranges, the commit
@@ -1297,8 +1350,37 @@ object DeltaLake {
     } else if (needsVariant &&
         !prior.get.protocol.readerFeatures.contains("variantType"))
       lines += protocolLine(withReaderWriterFeature(prior.get.protocol, "variantType"))
-    if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged)
-      lines += metaDataLine(rawTable, partCols, now, newConf)
+    // identity watermark ratchet, re-derived PER ATTEMPT: generated
+    // columns publish the watermark their assignment reached; a
+    // BY-DEFAULT column the frame carried ratchets past the staged
+    // files' recorded max (min for negative step) — free, the stats
+    // were already computed — so later generated values stay unique
+    val idExplicit: Map[String, Long] = idFields
+      .filter(f => df.columns.contains(f.name)).flatMap { f =>
+        val spec = identitySpec(f).get
+        val pf = priorForIds.flatMap(p => p.rawSchema.fields.find(_.name == f.name))
+          .getOrElse(f)
+        val cur = identityHwm(pf).getOrElse(spec.start - spec.step)
+        val phys = physName(f.name)
+        val seenPerFile = adds.flatMap(_.stats).flatMap { st =>
+          val side = if (spec.step > 0) "maxValues" else "minValues"
+          val v = Json.readTree(st).path(side).path(phys)
+          if (v.isNumber) Some(v.asLong) else None
+        }
+        val seen = if (seenPerFile.isEmpty) None
+          else Some(if (spec.step > 0) seenPerFile.max else seenPerFile.min)
+        seen.map(s => f.name ->
+            graft.core.IdentityGen.ratchet(spec.start, spec.step, cur, s))
+          .filter(_._2 != cur)
+      }.toMap
+    val idMeta = idHwms ++ idExplicit
+    val rawTableCommit =
+      if (idMeta.isEmpty) rawTable
+      else StructType(rawTable.fields.map(f => idMeta.get(f.name).map(h =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(IdHwmKey, h).build())).getOrElse(f)))
+    if (prior.isEmpty || mode == SaveMode.Overwrite || schemaChanged || idMeta.nonEmpty)
+      lines += metaDataLine(rawTableCommit, partCols, now, newConf)
     if (mode == SaveMode.Overwrite)
       prior.toSeq.flatMap(_.files).foreach { f =>
         val o = Json.createObjectNode()
@@ -1364,6 +1446,42 @@ object DeltaLake {
     // empty read set) all commute; a rival metaData/protocol change
     // keeps throwing, as does any lost race on our own overwrite (its
     // read set is the whole table — not rebasable).
+    // a rival metaData that matches the table's metadata MODULO the
+    // identity high-watermark values is the ratchet identity appends
+    // emit — it commutes (the re-stamp regenerates past it); any other
+    // metadata change keeps refusing the rebase
+    def eraseIdHwm(s: StructType): StructType = StructType(s.fields.map { f =>
+      if (!f.metadata.contains(IdHwmKey)) f
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata); mb.remove(IdHwmKey)
+        f.copy(metadata = mb.build())
+      }
+    })
+    val idMetaCommutes: com.fasterxml.jackson.databind.JsonNode => Boolean = m =>
+      idFields.nonEmpty && prior.exists { p =>
+        try {
+          val rs = DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType]
+          val rp = {
+            val b = Seq.newBuilder[String]
+            val it = m.path("partitionColumns").elements()
+            while (it.hasNext) b += it.next().asText
+            b.result()
+          }
+          val rc = {
+            val b = Map.newBuilder[String, String]
+            val it = m.path("configuration").fields()
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+            b.result()
+          }
+          // nullability-insensitive: a generated identity column rides
+          // the frame's nullability, which must not read as a schema
+          // change (the append gate itself is nullability-erased too)
+          Versioned.nullabilityErased(eraseIdHwm(rs)) ==
+            Versioned.nullabilityErased(eraseIdHwm(p.rawSchema)) &&
+            rp == p.partitionColumns && rc == p.configuration
+        } catch { case _: Exception => false }
+      }
+
     val committed = try commitAttempt(v, prior) catch {
       case e0: java.util.ConcurrentModificationException
           if mode == SaveMode.Append && prior.nonEmpty =>
@@ -1375,14 +1493,32 @@ object DeltaLake {
             attempts += 1
             val (jsonVs2, cpVs2) = listLog(fs, root)
             val head = ((jsonVs2 ++ cpVs2) :+ base).max
-            rivalConflict(fs, root, base, head).foreach { reason =>
+            rivalConflict(fs, root, base, head,
+                metaCommutes = idMetaCommutes).foreach { reason =>
               throw new java.util.ConcurrentModificationException(
                 s"DeltaLake.write: append to $path lost to a concurrent commit " +
                   s"that does not commute with a blind append ($reason) — not rebasing",
                 lastErr)
             }
             try {
-              val got = commitAttempt(head + 1, Some(snapshot(spark, path)))
+              val freshSnap = snapshot(spark, path)
+              // identity re-stamp: the rival advanced a generated
+              // column's watermark past the base this staging assigned
+              // from — the staged ids collide, and they live IN the
+              // files, so regenerate from the head's watermark and
+              // re-stage before committing
+              if (idGenFields.nonEmpty) {
+                val moved = idGenFields.exists { f =>
+                  val spec = identitySpec(f).get
+                  val pf = freshSnap.rawSchema.fields.find(_.name == f.name).getOrElse(f)
+                  identityHwm(pf)
+                    .map(h => graft.core.IdentityGen.ratchet(spec.start, spec.step,
+                      spec.start - spec.step, h))
+                    .getOrElse(spec.start - spec.step) != idBases(f.name)
+                }
+                if (moved) { df = generateIdentity(freshSnap); adds0 = stage(df) }
+              }
+              val got = commitAttempt(head + 1, Some(freshSnap))
               CommitIntrospect.deltaRebases.incrementAndGet()
               return got
             } catch {
@@ -1676,7 +1812,8 @@ object DeltaLake {
     (if (minWriter >= 2) Seq("appendOnly", "invariants") else Nil) ++
       (if (minWriter >= 3) Seq("checkConstraints") else Nil) ++
       (if (minWriter >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
-      (if (minWriter >= 5) Seq("columnMapping") else Nil)
+      (if (minWriter >= 5) Seq("columnMapping") else Nil) ++
+      (if (minWriter >= 6) Seq("identityColumns") else Nil)
 
   /** The protocol after additionally requiring `feats` as WRITER
     * features (table-features protocol, minWriter 7; the reader
@@ -2205,6 +2342,125 @@ object DeltaLake {
     commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
       protocolLine(withWriterFeatures(snap.protocol, Seq("allowColumnDefaults"))),
       metaDataLine(newSchema, snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  // ------------------------------------------------- identity columns
+
+  /** One identity declaration: `GENERATED ALWAYS AS IDENTITY` when
+    * `allowExplicitInsert` is false, `GENERATED BY DEFAULT` when true. */
+  final case class IdentitySpec(start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false)
+
+  // the protocol's identity field-metadata keys (Delta spec, Identity
+  // Columns section): start/step/allowExplicitInsert are the
+  // declaration, highWaterMark is the last value handed out — absent
+  // until the first generation, ratcheted by every generating commit
+  private val IdStartKey = "delta.identity.start"
+  private val IdStepKey = "delta.identity.step"
+  private val IdHwmKey = "delta.identity.highWaterMark"
+  private val IdAllowKey = "delta.identity.allowExplicitInsert"
+
+  private[interop] def identitySpec(f: StructField): Option[IdentitySpec] =
+    if (!f.metadata.contains(IdStartKey)) None
+    else Some(IdentitySpec(f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey),
+      f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey)))
+
+  private def identityHwm(f: StructField): Option[Long] =
+    if (f.metadata.contains(IdHwmKey)) Some(f.metadata.getLong(IdHwmKey)) else None
+
+  /** The table's identity declarations: column → (spec, high watermark). */
+  def identityColumns(spark: SparkSession, path: String)
+      : Map[String, (IdentitySpec, Option[Long])] =
+    snapshot(spark, path).rawSchema.fields.flatMap(f =>
+      identitySpec(f).map(s => f.name -> (s, identityHwm(f)))).toMap
+
+  /** Declare `name` as an IDENTITY column — `GENERATED {ALWAYS | BY
+    * DEFAULT} AS IDENTITY (START WITH s INCREMENT BY k)`, the
+    * protocol's `identityColumns` writer feature. Delta admits the
+    * declaration only at CREATE TABLE; this writer enforces that as
+    * empty-table-only (the catalog's CREATE commits the empty shape
+    * first, then lands declarations here — same flow as column
+    * defaults). The column must be BIGINT and cannot also be
+    * generated, defaulted, or a partition column. Every subsequent
+    * [[write]] GENERATES the column when the frame omits it (gap-free
+    * contiguous values via [[graft.core.IdentityGen]]) and ratchets
+    * `delta.identity.highWaterMark` in the same commit; a frame that
+    * CARRIES the column refuses under ALWAYS and passes through under
+    * BY DEFAULT (with the watermark ratcheted past the staged max, so
+    * later generated values stay unique). */
+  def declareIdentity(spark: SparkSession, path: String, name: String,
+      spec: IdentitySpec = IdentitySpec()): Long = {
+    require(spec.step != 0L, "DeltaLake.declareIdentity: step must be nonzero")
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "declareIdentity", mutates = false)
+    // row-emptiness, not file-emptiness: an empty CREATE commits a
+    // zero-row file whose presence must not block the declaration
+    require(snap.files.isEmpty || read(spark, path).isEmpty,
+      s"DeltaLake.declareIdentity: $path already holds data — Delta identity " +
+        "columns are declared at CREATE TABLE (empty-table-only here)")
+    require(snap.schema.fieldNames.contains(name),
+      s"DeltaLake.declareIdentity: $name is not a column of $path")
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    require(stripType(field.dataType) == LongType,
+      s"DeltaLake.declareIdentity: identity columns must be BIGINT, $name is " +
+        field.dataType.sql)
+    require(!field.metadata.contains("delta.generationExpression") &&
+      !field.metadata.contains("CURRENT_DEFAULT"),
+      s"DeltaLake.declareIdentity: $name already has a generation expression or " +
+        "default — the fill rules would race")
+    require(!snap.partitionColumns.contains(name),
+      s"DeltaLake.declareIdentity: $name is a partition column")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val newField = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putLong(IdStartKey, spec.start).putLong(IdStepKey, spec.step)
+      .putBoolean(IdAllowKey, spec.allowExplicitInsert).build())
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER TABLE")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      protocolLine(withWriterFeatures(snap.protocol, Seq("identityColumns"))),
+      metaDataLine(StructType(snap.rawSchema.fields.updated(idx, newField)),
+        snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
+  /** `ALTER TABLE ... SYNC IDENTITY`: recompute the high watermark
+    * from the DATA (one distributed max/min over the column) — the
+    * repair after BY-DEFAULT explicit inserts or a foreign writer left
+    * the watermark behind the stored values. Metadata-only commit;
+    * returns the new version (the current one when nothing moved). */
+  def syncIdentity(spark: SparkSession, path: String, name: String): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "syncIdentity", mutates = false)
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    val spec = identitySpec(field).getOrElse(throw new IllegalArgumentException(
+      s"DeltaLake.syncIdentity: $name is not an identity column of $path"))
+    val agg = if (spec.step > 0) fmax(col(name)) else fmin(col(name))
+    val seen = Option(read(spark, path).agg(agg).head().get(0)).map(_.asInstanceOf[Long])
+    val cur = identityHwm(field)
+    val newHwm = seen.map(s => graft.core.IdentityGen.ratchet(
+      spec.start, spec.step, cur.getOrElse(spec.start - spec.step), s))
+    if (newHwm == cur || newHwm.isEmpty) return snap.version
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val newField = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata).putLong(IdHwmKey, newHwm.get).build())
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER TABLE")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      metaDataLine(StructType(snap.rawSchema.fields.updated(idx, newField)),
+        snap.partitionColumns, now, snap.configuration),
       Json.writeValueAsString(ci)))
     v
   }
@@ -3213,7 +3469,9 @@ object DeltaLake {
     * Returns the first disqualifying reason; None when rebasing is
     * safe. */
   private[interop] def rivalConflict(fs: FileSystem, root: HPath,
-      from: Long, to: Long, readSet: Set[String] = Set.empty): Option[String] = {
+      from: Long, to: Long, readSet: Set[String] = Set.empty,
+      metaCommutes: com.fasterxml.jackson.databind.JsonNode => Boolean = _ => false)
+      : Option[String] = {
     val allowed = Set("add", "remove", "cdc", "commitInfo", "txn", "domainMetadata")
     (from to to).foreach { rv =>
       val pf = jsonFile(root, rv)
@@ -3236,7 +3494,12 @@ object DeltaLake {
             val it = n.fieldNames()
             while (it.hasNext) {
               val k = it.next()
-              if (!allowed.contains(k))
+              // an identity append's watermark ratchet is a metaData
+              // action too — the caller's predicate admits the ones
+              // that differ ONLY by identity high watermarks (the
+              // rebase re-stamps); any other metaData still refuses
+              if (k == "metaData" && metaCommutes(n.get("metaData"))) ()
+              else if (!allowed.contains(k))
                 return Some(s"rival version $rv carries a '$k' action")
               if (k == "remove" && readSet.nonEmpty) {
                 val p = decodePath(n.get("remove").get("path").asText)

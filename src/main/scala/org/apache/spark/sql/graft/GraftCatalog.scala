@@ -79,11 +79,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * omissions from the table schema's CURRENT_DEFAULT metadata —
     * [[createTable]] records the defaults per format (Delta
     * CURRENT_DEFAULT, Iceberg v3 write-default, graft-native
-    * schema-metadata defaults). */
+    * schema-metadata defaults) — and IDENTITY-column support
+    * (`c BIGINT GENERATED ALWAYS AS IDENTITY`), which [[createTable]]
+    * records as Delta's `identityColumns` feature or the graft-native
+    * mirror (Iceberg's spec has no identity concept — loud refusal). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -235,6 +240,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(fmt, dir.toString, fullName(ident), travel)
   }
 
+  /** The v2-Column create: Spark's analyzer delivers IDENTITY
+    * declarations only on this variant (the StructType conversion in
+    * `CatalogV2Util.v2ColumnsToStructField` drops
+    * `identityColumnSpec`), so re-encode each spec as the
+    * `identity.*` field-metadata keys `IdentityColumn` defines and
+    * delegate to the schema-based create below. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(columns)
+    val withIdentity = StructType(base.fields.zip(columns).map { case (f, c) =>
+      Option(c.identityColumnSpec()) match {
+        case None => f
+        case Some(spec) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putLong("identity.start", spec.getStart)
+            .putLong("identity.step", spec.getStep)
+            .putBoolean("identity.allowExplicitInsert", spec.isAllowExplicitInsert)
+            .build())
+      }
+    })
+    createTable(ident, withIdentity, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = tableDir(ident)
@@ -260,11 +290,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter(_.metadata.contains("CURRENT_DEFAULT"))
       .map(f => f.name -> f.metadata.getString("CURRENT_DEFAULT"))
 
+    // CREATE TABLE (c BIGINT GENERATED ALWAYS AS IDENTITY ...): the
+    // analyzer delivers the declaration as identity.* field metadata
+    // (the SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS contract) —
+    // recorded per format after the create, like defaults
+    val identityCols: Seq[(String, Long, Long, Boolean)] = schema.fields.toSeq
+      .filter(_.metadata.contains("identity.start"))
+      .map(f => (f.name, f.metadata.getLong("identity.start"),
+        f.metadata.getLong("identity.step"),
+        f.metadata.contains("identity.allowExplicitInsert") &&
+          f.metadata.getBoolean("identity.allowExplicitInsert")))
+    // refuse BEFORE anything lands on disk — Iceberg's table spec has
+    // no identity/sequence concept to record the declaration in
+    if (identityCols.nonEmpty && fmt == "iceberg")
+      throw new UnsupportedOperationException(
+        "GraftCatalog: IDENTITY columns are not expressible in the iceberg table " +
+          "spec (no identity/sequence concept) — USING delta or graft")
+
     val persistSchema = StructType(schema.fields.map { f =>
-      if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
+      val analyzerKeys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT",
+        "identity.start", "identity.step", "identity.allowExplicitInsert")
+      if (!analyzerKeys.exists(f.metadata.contains)) f
       else {
         val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
-        mb.remove("CURRENT_DEFAULT"); mb.remove("EXISTS_DEFAULT")
+        analyzerKeys.foreach(mb.remove)
         f.copy(metadata = mb.build())
       }
     })
@@ -306,6 +355,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           graft.interop.Iceberg.setWriteDefault(spark, dir.toString, n,
             Some(GraftCatalog.foldedDefault(spark, sql)))
         }
+    }
+    if (identityCols.nonEmpty) fmt match {
+      case "delta" => identityCols.foreach { case (n, start, step, allow) =>
+        graft.interop.DeltaLake.declareIdentity(spark, dir.toString, n,
+          graft.interop.DeltaLake.IdentitySpec(start, step, allow))
+      }
+      case _ => identityCols.foreach { case (n, start, step, allow) =>
+        Versioned.declareIdentity(spark, dir.toString, n, start, step, allow)
+      }
     }
     loadTable(ident)
   }

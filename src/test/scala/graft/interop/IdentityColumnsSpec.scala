@@ -1,0 +1,199 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.{Versioned, Writers}
+import java.nio.file.Paths
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IDENTITY columns (r12 verdict "missing #2"): Delta's
+  * `identityColumns` writer feature — GENERATED {ALWAYS | BY DEFAULT}
+  * AS IDENTITY with a per-column high watermark in the metaData
+  * action, ratcheted by every generating commit and RE-STAMPED on the
+  * OCC rebase path (a rival that advanced the watermark regenerates
+  * the staged ids) — plus the graft-native mirror and the SQL CREATE
+  * TABLE surface through GraftCatalog. Iceberg's table spec has no
+  * identity concept; the catalog refuses it loudly. */
+class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  import scala.concurrent.{Await, Future}
+  import scala.concurrent.duration._
+  import scala.concurrent.ExecutionContext.Implicits.global
+
+  test("Delta: ALWAYS generates contiguous deterministic ids; explicit insert refuses") {
+    import spark.implicits._
+    val path = freshDir("id_delta")
+    // creation flow: empty shape first, then the declaration
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path) // still empty: redeclarable
+    DeltaLake.declareIdentity(spark, path, "id",
+      DeltaLake.IdentitySpec(start = 10L, step = 5L))
+    val snap0 = DeltaLake.snapshot(spark, path)
+    assert(snap0.protocol.writerFeatures.contains("identityColumns"),
+      "the declaration must ratchet the identityColumns writer feature")
+    // ordered insert -> ids are start, start+step, ... in sort order
+    DeltaLake.write(Seq(("c", 3L), ("a", 1L), ("b", 2L)).toDF("v", "k")
+      .orderBy("k").select(col("v")), path, mode = SaveMode.Append)
+    val got = DeltaLake.read(spark, path).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, "a"), (15L, "b"), (20L, "c")), got.toSeq.toString)
+    assert(DeltaLake.identityColumns(spark, path)("id")._2.contains(20L),
+      "the commit must ratchet the high watermark to the last generated value")
+    // the next append resumes past the watermark
+    DeltaLake.write(Seq("d").toDF("v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).filter(col("v") === "d")
+      .select("id").as[Long].head() == 25L)
+    // GENERATED ALWAYS refuses explicit values
+    val e = intercept[IllegalArgumentException](
+      DeltaLake.write(Seq((99L, "x")).toDF("id", "v"), path, mode = SaveMode.Append))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // overwrite keeps the watermark (truncate does not reset identity)
+    DeltaLake.write(Seq("z").toDF("v"), path, mode = SaveMode.Overwrite)
+    assert(DeltaLake.read(spark, path).select("id").as[Long].head() == 30L,
+      "an overwrite must keep generating past the previous watermark")
+  }
+
+  test("Delta: BY DEFAULT passes explicit values and ratchets the watermark past them") {
+    import spark.implicits._
+    val path = freshDir("id_delta_bd")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    DeltaLake.declareIdentity(spark, path, "id",
+      DeltaLake.IdentitySpec(start = 1L, step = 1L, allowExplicitInsert = true))
+    DeltaLake.write(Seq((100L, "x"), (42L, "y")).toDF("id", "v"), path,
+      mode = SaveMode.Append)
+    assert(DeltaLake.identityColumns(spark, path)("id")._2.contains(100L),
+      "explicit BY-DEFAULT values must ratchet the watermark (from the staged stats)")
+    // generated values resume PAST the explicit max — no collision
+    DeltaLake.write(Seq("g1", "g2").toDF("v"), path, mode = SaveMode.Append)
+    val ids = DeltaLake.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(42L, 100L, 101L, 102L), ids.toSeq.toString)
+    // syncIdentity is a no-op when the watermark already covers the data
+    val vBefore = DeltaLake.snapshot(spark, path).version
+    assert(DeltaLake.syncIdentity(spark, path, "id") == vBefore)
+  }
+
+  test("Delta: contended generating appends rebase with RE-STAMPED ids — no duplicates") {
+    import spark.implicits._
+    val path = freshDir("id_delta_conc")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    DeltaLake.declareIdentity(spark, path, "id")
+    val before = CommitIntrospect.deltaRebases.get()
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future(
+        try Right(DeltaLake.write(
+          Seq(s"w${i}a", s"w${i}b").toDF("v"), path, mode = SaveMode.Append))
+        catch { case e: Exception => Left(e.getMessage) })
+    }), 180.seconds)
+    assert(results.forall(_.isRight), s"a contending identity append failed: $results")
+    assert(CommitIntrospect.deltaRebases.get() > before,
+      "at least one append must have lost the race and rebased")
+    val ids = DeltaLake.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.length == 8 && ids.distinct.length == 8,
+      s"contended generation produced duplicate ids: ${ids.toSeq}")
+    assert(ids.toSeq == (1L to 8L),
+      s"contiguous re-stamped generation must cover 1..8, got ${ids.toSeq}")
+    assert(DeltaLake.identityColumns(spark, path)("id")._2.contains(8L))
+  }
+
+  test("Delta: declaration refusals — non-empty table, non-BIGINT, generated overlap") {
+    import spark.implicits._
+    val path = freshDir("id_delta_ref")
+    DeltaLake.write(Seq((1L, "a")).toDF("id", "v"), path)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLake.declareIdentity(spark, path, "id"))
+    assert(e1.getMessage.contains("already holds data"), e1.getMessage)
+    val path2 = freshDir("id_delta_ref2")
+    DeltaLake.write(Seq.empty[(Int, String)].toDF("id", "v"), path2)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.declareIdentity(spark, path2, "id"))
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLake.syncIdentity(spark, path2, "v"))
+    assert(e3.getMessage.contains("not an identity column"), e3.getMessage)
+  }
+
+  test("graft-native: generation, ALWAYS refusal, and contended appends stay unique") {
+    import spark.implicits._
+    val path = freshDir("id_graft")
+    Versioned.commit(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    Versioned.declareIdentity(spark, path, "id", start = 1L, step = 1L)
+    Versioned.appendCommit(Seq("a", "b").toDF("v"), path)
+    assert(Versioned.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    assert(Versioned.identityColumns(path)("id")._4.contains(2L))
+    val e = intercept[IllegalArgumentException](
+      Versioned.appendCommit(Seq((9L, "x")).toDF("id", "v"), path))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // contended generating appends: the claim-rebase re-runs the fill
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future(
+        try Right(Versioned.appendCommit(Seq(s"c$i").toDF("v"), path))
+        catch { case ex: Exception => Left(ex.getMessage) })
+    }), 180.seconds)
+    assert(results.forall(_.isRight), s"a contending graft identity append failed: $results")
+    val ids = Versioned.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.length == 6 && ids.distinct.length == 6,
+      s"graft contended generation produced duplicates: ${ids.toSeq}")
+    assert(ids.toSeq == (1L to 6L), ids.toSeq.toString)
+    assert(Versioned.identityColumns(path)("id")._4.contains(6L))
+  }
+
+  test("negative step descends from start; BY-DEFAULT min ratchet is direction-aware") {
+    import spark.implicits._
+    val path = freshDir("id_delta_neg")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    DeltaLake.declareIdentity(spark, path, "id",
+      DeltaLake.IdentitySpec(start = 0L, step = -10L, allowExplicitInsert = true))
+    DeltaLake.write(Seq("a", "b").toDF("v"), path, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+      == Seq(-10L, 0L))
+    DeltaLake.write(Seq((-95L, "x")).toDF("id", "v"), path, mode = SaveMode.Append)
+    DeltaLake.write(Seq("c").toDF("v"), path, mode = SaveMode.Append)
+    val ids = DeltaLake.read(spark, path).select("id").as[Long].collect().sorted
+    // the explicit -95 ratchets to grid point -100; the next generated is -110
+    assert(ids.toSeq == Seq(-110L, -95L, -10L, 0L), ids.toSeq.toString)
+  }
+
+  test("SQL surface: CREATE TABLE ... GENERATED ALWAYS AS IDENTITY on delta and graft") {
+    import spark.implicits._
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test",
+      "warehouse", "dbid")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbid")
+    spark.sql("""CREATE TABLE graft.dbid.td (
+      id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+      v STRING) USING delta""")
+    val dp = whd.resolve("td").toString
+    assert(DeltaLake.identityColumns(spark, dp) ==
+      Map("id" -> (DeltaLake.IdentitySpec(100L, 10L, allowExplicitInsert = false), None)))
+    // API append generates; SQL INSERT of explicit values refuses (ALWAYS)
+    DeltaLake.write(Seq("a", "b").toDF("v"), dp, mode = SaveMode.Append)
+    assert(spark.table("graft.dbid.td").select("id").as[Long].collect().sorted.toSeq
+      == Seq(100L, 110L))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.dbid.td VALUES (999, 'x')"))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // BY DEFAULT declaration parses and allows explicit SQL inserts
+    spark.sql("""CREATE TABLE graft.dbid.tbd (
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING) USING delta""")
+    spark.sql("INSERT INTO graft.dbid.tbd VALUES (7, 'x')")
+    assert(spark.table("graft.dbid.tbd").select("id").as[Long].head() == 7L)
+    // graft-native leg
+    spark.sql("""CREATE TABLE graft.dbid.tg (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING graft""")
+    val gp = whd.resolve("tg").toString
+    Versioned.appendCommit(Seq("g").toDF("v"), gp)
+    assert(spark.table("graft.dbid.tg").select("id").as[Long].head() == 1L)
+    // iceberg: no identity concept in the spec — loud refusal, nothing created
+    val ei = intercept[Exception](spark.sql("""CREATE TABLE graft.dbid.ti (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING iceberg"""))
+    assert(ei.getMessage.contains("no identity"), ei.getMessage)
+  }
+}
