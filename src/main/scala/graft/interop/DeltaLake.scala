@@ -2465,6 +2465,107 @@ object DeltaLake {
     v
   }
 
+  // ------------------------------------------------ table statistics
+
+  /** Where the ANALYZE artifact lives: Delta's protocol has no
+    * statistics-FILE layer (no Puffin equivalent), but it DOES define
+    * `domainMetadata` as the sanctioned keyed extension channel —
+    * foreign readers ignore unknown domains, checkpoints fold the
+    * latest configuration per domain, and vacuum never touches it.
+    * The artifact's documented shape:
+    * `{"asOfVersion": v, "rowCount": n, "ndv": {"col": ndv, ...}}`. */
+  private[interop] val StatsDomain = "graft.statistics"
+
+  /** ANALYZE — the Delta symmetry of [[Iceberg.analyzeTable]] (r12
+    * verdict next #6): sketch every primitive column's NDV in ONE
+    * distributed theta-sketch pass ([[graft.core.ThetaNdv]] — values
+    * never reach the driver; the same pass counts rows exactly) and
+    * publish the result as the [[StatsDomain]] domainMetadata action.
+    * Re-analyzing replaces the domain (latest wins on replay, the
+    * protocol's rule). Returns column → ndv. */
+  def analyzeTable(spark: SparkSession, path: String): Map[String, Long] = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "analyzeTable", mutates = false)
+    val cols = graft.core.ThetaNdv.sketchable(snap.schema)
+    require(cols.nonEmpty,
+      s"DeltaLake.analyzeTable: $path has no sketchable primitive columns")
+    val (sketches, rowCount) =
+      if (snap.files.isEmpty)
+        (Array.fill(cols.size)(graft.core.ThetaNdv.emptySketch()), 0L)
+      else graft.core.ThetaNdv.columnSketches(read(spark, path), cols)
+    val ndv = cols.zip(sketches)
+      .map { case (c, b) => c -> graft.core.ThetaNdv.estimate(b) }.toMap
+    val artifact = Json.createObjectNode()
+    artifact.put("asOfVersion", snap.version)
+    artifact.put("rowCount", rowCount)
+    val nd = artifact.putObject("ndv")
+    ndv.toSeq.sortBy(_._1).foreach { case (c, n) => nd.put(c, n): Unit }
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ANALYZE TABLE")
+    val protoLines =
+      if (snap.protocol.minWriter >= 7 &&
+        snap.protocol.writerFeatures.contains("domainMetadata")) Nil
+      else Seq(protocolLine(withWriterFeatures(snap.protocol, Seq("domainMetadata"))))
+    commitLines(fs, root, snap.version + 1, conf = snap.configuration,
+      lines = protoLines ++ Seq(
+        domainLine(StatsDomain, Json.writeValueAsString(artifact)),
+        Json.writeValueAsString(ci)))
+    ndv
+  }
+
+  /** The published NDV statistics (empty when never analyzed) —
+    * foreign-published `graft.statistics` domains serve identically. */
+  def readTableStatistics(spark: SparkSession, path: String): Map[String, Long] = {
+    snapshot(spark, path).domains.get(StatsDomain).map { c =>
+      val it = Json.readTree(c).path("ndv").fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong }
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** The table served WITH planner statistics attached — the Delta
+    * parity of [[Iceberg.readWithStats]]: row count from the adds'
+    * recorded numRecords (the artifact's count when a foreign writer
+    * omitted stats), size from the live files, per-column NDV from the
+    * published [[StatsDomain]] artifact. CBO costs joins over this
+    * frame like an ANALYZEd catalog table. Tables with outstanding
+    * deletion vectors or column mapping fall back to the plain read
+    * (their stats would overcount / their relation speaks physical
+    * names). */
+  def readWithStats(spark: SparkSession, path: String): DataFrame = {
+    val s = snapshot(spark, path)
+    if (s.hasDeletionVectors || s.mapMode.nonEmpty) return read(spark, path)
+    val ndv = readTableStatistics(spark, path)
+    val perFile = s.files.map(f => numRecordsOf(f.stats))
+    val rowCount: Option[BigInt] =
+      if (perFile.forall(_.nonEmpty)) Some(BigInt(perFile.flatten.sum))
+      else s.domains.get(StatsDomain)
+        .map(c => BigInt(Json.readTree(c).path("rowCount").asLong))
+    val colStats = ndv.map { case (c, n) =>
+      c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+        distinctCount = Some(BigInt(n)))
+    }
+    val (_, root) = Writers.fsFor(path)
+    val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(root.getName),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(root.toUri)),
+      schema = s.schema,
+      provider = Some("delta"),
+      stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(s.files.map(_.size).sum),
+        rowCount = rowCount,
+        colStats = colStats)))
+    org.apache.spark.sql.graft.ColumnBridge.relationWithStats(
+      spark.asInstanceOf[ClassicSession],
+      relationForSnapshot(spark, path, s), ct)
+  }
+
   /** The type promotions the `typeWidening` table feature admits and
     * Spark 4's parquet readers serve losslessly off NARROW physical
     * files: the integer family upward, float→double, and decimal

@@ -4690,63 +4690,20 @@ object Iceberg {
     * theta domain over primitive single values). Returns
     * column → ndv estimate. */
   def analyzeTable(spark: SparkSession, path: String): Map[String, Long] = {
-    import org.apache.spark.sql.functions.col
     val s = snapshot(spark, path)
     val (fs, root) = Writers.fsFor(path)
     val (metaV, meta) = readMetadata(fs, root)
-    val cols: Seq[String] = s.schema.fields.filter(f => f.dataType match {
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: StringType |
-          _: FloatType | _: DoubleType | _: BooleanType | _: DateType |
-          _: TimestampType | _: TimestampNTZType | _: DecimalType => true
-      case _ => false
-    }).map(_.name).toSeq
+    // the sketch pass itself is the shared ANALYZE primitive
+    // ([[graft.core.ThetaNdv]] — Delta's graft.statistics domain runs
+    // the same one); only the Puffin/metadata publication is Iceberg's
+    val cols = graft.core.ThetaNdv.sketchable(s.schema)
     require(cols.nonEmpty,
       s"Iceberg.analyzeTable: $path has no sketchable primitive columns")
-    val nCols = cols.size
     val sketches: Array[Array[Byte]] =
-      if (s.files.isEmpty)
-        Array.fill(nCols)(org.apache.datasketches.theta.UpdateSketch.builder()
-          .build().compact().toByteArray)
-      else read(spark, path).select(cols.map(col): _*).rdd.mapPartitions { it =>
-        val sks = Array.fill(nCols)(
-          org.apache.datasketches.theta.UpdateSketch.builder().build())
-        it.foreach { r =>
-          var i = 0
-          while (i < nCols) {
-            if (!r.isNullAt(i)) r.get(i) match {
-              case v: java.lang.Long => sks(i).update(v.longValue())
-              case v: java.lang.Integer => sks(i).update(v.longValue())
-              case v: java.lang.Short => sks(i).update(v.longValue())
-              case v: java.lang.Byte => sks(i).update(v.longValue())
-              case v: String => sks(i).update(v)
-              case v: java.lang.Double => sks(i).update(v.doubleValue())
-              case v: java.lang.Float => sks(i).update(v.doubleValue())
-              case v: java.lang.Boolean => sks(i).update(if (v) 1L else 0L)
-              case v: java.sql.Date => sks(i).update(v.toLocalDate.toEpochDay)
-              case v: java.sql.Timestamp => sks(i).update(v.getTime)
-              case v: java.time.LocalDateTime =>
-                sks(i).update(v.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-                  v.getNano / 1000L)
-              case v: java.math.BigDecimal => sks(i).update(v.toPlainString)
-              case v => sks(i).update(String.valueOf(v))
-            }
-            i += 1
-          }
-        }
-        Iterator.single(sks.map(_.compact().toByteArray))
-      }.reduce { (a, b) =>
-        a.zip(b).map { case (x, y) =>
-          val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
-          u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
-            org.apache.datasketches.memory.Memory.wrap(x)))
-          u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
-            org.apache.datasketches.memory.Memory.wrap(y)))
-          u.getResult.toByteArray
-        }
-      }
+      if (s.files.isEmpty) Array.fill(cols.size)(graft.core.ThetaNdv.emptySketch())
+      else graft.core.ThetaNdv.columnSketches(read(spark, path), cols)._1
     val ndvs: Seq[(String, Long)] = cols.zip(sketches).map { case (c, bytes) =>
-      c -> math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
-        org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate)
+      c -> graft.core.ThetaNdv.estimate(bytes)
     }
     val fieldIds: Map[String, Int] = {
       val sn = currentSchemaNode(meta)

@@ -141,12 +141,13 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     // the two r12 procedures return their own row shapes (per-column
     // ndv rows / the new spec id); everything else is one Long row
     if (procName == "analyze_table") {
-      require(fmt == "iceberg",
-        s"GraftCatalog analyze_table: $fmt tables have no statistics-file " +
-          "layer — iceberg only (Delta has no statistics files in its " +
-          "protocol; graft-native/managed tables ANALYZE through the Spark " +
-          "catalog, the s16 path)")
-      val ndv = graft.interop.Iceberg.analyzeTable(spark, path).toSeq.sortBy(_._1)
+      require(fmt == "iceberg" || fmt == "delta",
+        s"GraftCatalog analyze_table: $fmt tables have no statistics layer " +
+          "(graft-native/managed tables ANALYZE through the Spark catalog, " +
+          "the s16 path) — iceberg (Puffin files) or delta " +
+          "(graft.statistics domainMetadata) only")
+      val ndv = (if (fmt == "iceberg") graft.interop.Iceberg.analyzeTable(spark, path)
+        else graft.interop.DeltaLake.analyzeTable(spark, path)).toSeq.sortBy(_._1)
       return resultScan(ndv.map { case (c, n) =>
         new GenericInternalRow(Array[Any](UTF8String.fromString(c), n))
       }.toArray[InternalRow])

@@ -137,12 +137,18 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
     assert(sid == 1L)
     assert(Iceberg.snapshot(spark, ip).files.map(_.path).toSet == pre,
       "replace_partition_spec must move zero data files")
-    // non-iceberg formats refuse loudly (no silent no-op)
+    // delta ANALYZE dispatches to the graft.statistics domain (r13);
+    // graft-native still refuses (the Spark catalog's ANALYZE path)
     val dp = whd.resolve("td").toString
-    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), dp)
+    DeltaLake.write(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v"), dp)
+    val dndv = spark.sql("CALL graft.system.analyze_table('dbms.td')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dndv == Map("k" -> 3L, "v" -> 2L), dndv.toString)
+    val gp2 = whd.resolve("tg2").toString
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), gp2)
     val e1 = intercept[Exception](
-      spark.sql("CALL graft.system.analyze_table('dbms.td')").collect())
-    assert(e1.getMessage.contains("iceberg only"), e1.getMessage)
+      spark.sql("CALL graft.system.analyze_table('dbms.tg2')").collect())
+    assert(e1.getMessage.contains("no statistics layer"), e1.getMessage)
     val e2 = intercept[Exception](
       spark.sql("CALL graft.system.replace_partition_spec('dbms.td', partition_by => 'k')")
         .collect())
