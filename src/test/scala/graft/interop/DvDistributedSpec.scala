@@ -54,6 +54,29 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("row tracking backfill at scale: one id per row, unique, watermark exact") {
+    // the s53 backfill-exactness proof (moved here r13): a multi-file
+    // distributed base backfills one baseRowId range per file, the
+    // append takes the next range, the watermark lands at rows-1, and
+    // every row serves a unique non-null id — checked distributed
+    val path = freshDir("dvd_rowtrack_scale")
+    DeltaLake.write(
+      spark.range(0, 6000).filter(col("id") % 2 === 0)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")), path)
+    DeltaLake.enableRowTracking(spark, path)
+    DeltaLake.write(
+      spark.range(0, 6000).filter(col("id") % 2 === 1)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(3, col("k")), path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaLake.snapshot(spark, path).rowIdHighWaterMark == 5999L,
+      "backfill + append must assign exactly one id per row")
+    val ids = DeltaLake.readWithRowTracking(spark, path).select(col("_row_id"))
+    assert(ids.filter(col("_row_id").isNull).count() == 0L)
+    assert(ids.distinct().count() == 6000L, "ids must be unique across all files")
+  }
+
   test("Delta: a point delete still inlines; a superseding merge stays file-bounded") {
     val path = freshDir("dvd_delta_merge")
     DeltaLake.write(

@@ -121,6 +121,30 @@ class MergeEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(real.distinct.size == real.size)
   }
 
+  test("iceberg: evolving merge rewrites only matched files (v3 lineage path)") {
+    // the s61 claim, iceberg side (the timed entry keeps the delta
+    // leg): a key-ranged base whose low slice alone matches the merge
+    // keeps its unmatched files by identity through the evolution
+    val path = freshDir("mev_ice_files")
+    import spark.implicits._
+    Iceberg.write(
+      spark.range(0, 400).select(col("id").as("k"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("v"), col("id")).as("s"))
+        .repartitionByRange(4, col("k")), path)
+    Iceberg.upgradeToV3(spark, path)
+    val pre = Iceberg.files(spark, path).collect().map(_.getString(0)).toSet
+    assert(pre.size == 4)
+    Iceberg.upsertByKey(spark, path,
+      Seq((1L, "m", "upd"), (2L, "m", "upd2")).toDF("k", "tag", "s"),
+      "k", mergeSchema = true)
+    val post = Iceberg.files(spark, path).collect().map(_.getString(0)).toSet
+    assert(post.intersect(pre).size >= 3,
+      s"only the matched file may rewrite — ${post.intersect(pre).size} of 4 survived")
+    assert(Iceberg.read(spark, path).filter(col("tag").isNotNull).count() == 2L)
+    assert(Iceberg.read(spark, path).count() == 400L)
+  }
+
   test("the merge key cannot be evolved in; no-new-columns degenerates cleanly") {
     val path = freshDir("mev_key")
     Iceberg.write(base, path)
