@@ -2304,6 +2304,54 @@ object DeltaLake {
     v
   }
 
+  /** Declare an EXISTING column GENERATED (`c T GENERATED ALWAYS AS
+    * (expr)` at CREATE TABLE — the catalog's create lands the empty
+    * shape first, then the declaration here, same flow as defaults and
+    * identity): the field's metadata takes
+    * `delta.generationExpression`, the protocol ratchets to
+    * `generatedColumns`, and every subsequent [[write]] COMPUTES the
+    * column when the frame omits it and VALIDATES it when present
+    * ([[enforceConstraints]]). Empty-table-only — rows already written
+    * could violate the expression silently ([[addGeneratedColumn]] is
+    * the add-NEW-column form, whose pre-existing rows read NULL by
+    * evolution instead). */
+  def setGenerationExpression(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Long = {
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "setGenerationExpression", mutates = false)
+    require(snap.files.isEmpty || read(spark, path).isEmpty,
+      s"DeltaLake.setGenerationExpression: $path already holds data — declare " +
+        "generated columns at CREATE TABLE (use addGeneratedColumn to evolve a " +
+        "NEW column in)")
+    require(snap.schema.fieldNames.contains(name),
+      s"DeltaLake.setGenerationExpression: $name is not a column of $path")
+    val idx = snap.rawSchema.fieldIndex(name)
+    val field = snap.rawSchema.fields(idx)
+    require(!field.metadata.contains("CURRENT_DEFAULT") &&
+      !field.metadata.contains(IdStartKey),
+      s"DeltaLake.setGenerationExpression: $name already has a default or identity " +
+        "declaration — the fill rules would race")
+    val (fs, root) = Writers.fsFor(path)
+    val now = System.currentTimeMillis()
+    val v = snap.version + 1
+    val newField = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putString("delta.generationExpression", sqlExpr).build())
+    val newProtocol =
+      if (snap.protocol.minReader >= 3 || snap.protocol.minWriter >= 7)
+        withWriterFeatures(snap.protocol, Seq("generatedColumns"))
+      else snap.protocol.copy(minWriter = math.max(snap.protocol.minWriter, 4))
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "ALTER TABLE")
+    commitLines(fs, root, v, conf = snap.configuration, lines = Seq(
+      protocolLine(newProtocol),
+      metaDataLine(StructType(snap.rawSchema.fields.updated(idx, newField)),
+        snap.partitionColumns, now, snap.configuration),
+      Json.writeValueAsString(ci)))
+    v
+  }
+
   /** SET a column's DEFAULT (`ALTER COLUMN ... SET DEFAULT expr`) —
     * the protocol's `allowColumnDefaults` writer feature: the field's
     * metadata carries the SQL expression under `CURRENT_DEFAULT`, the

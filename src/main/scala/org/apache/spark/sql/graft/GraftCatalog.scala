@@ -88,7 +88,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -252,15 +256,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val base = org.apache.spark.sql.connector.catalog.CatalogV2Util
       .v2ColumnsToStructType(columns)
     val withIdentity = StructType(base.fields.zip(columns).map { case (f, c) =>
-      Option(c.identityColumnSpec()) match {
-        case None => f
-        case Some(spec) => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
-            .putLong("identity.start", spec.getStart)
-            .putLong("identity.step", spec.getStep)
-            .putBoolean("identity.allowExplicitInsert", spec.isAllowExplicitInsert)
-            .build())
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+      var changed = false
+      Option(c.identityColumnSpec()).foreach { spec =>
+        changed = true
+        mb.putLong("identity.start", spec.getStart)
+          .putLong("identity.step", spec.getStep)
+          .putBoolean("identity.allowExplicitInsert", spec.isAllowExplicitInsert)
       }
+      // GENERATED ALWAYS AS (expr) rides the same dropped-by-conversion
+      // path — re-encode it under the analyzer's own metadata key
+      Option(c.generationExpression()).foreach { e =>
+        changed = true
+        mb.putString("GENERATION_EXPRESSION", e)
+      }
+      if (changed) f.copy(metadata = mb.build()) else f
     })
     createTable(ident, withIdentity, partitions, properties)
   }
@@ -306,10 +316,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         "GraftCatalog: IDENTITY columns are not expressible in the iceberg table " +
           "spec (no identity/sequence concept) — USING delta or graft")
+    // CREATE TABLE (c T GENERATED ALWAYS AS (expr)): the Delta
+    // generatedColumns writer feature — the other formats have no
+    // generation-expression concept to record (refuse pre-create)
+    val generatedCols: Seq[(String, String)] = schema.fields.toSeq
+      .filter(_.metadata.contains("GENERATION_EXPRESSION"))
+      .map(f => f.name -> f.metadata.getString("GENERATION_EXPRESSION"))
+    if (generatedCols.nonEmpty && fmt != "delta")
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: GENERATED columns are Delta's generatedColumns writer " +
+          s"feature — not expressible in the $fmt table spec; USING delta")
 
     val persistSchema = StructType(schema.fields.map { f =>
       val analyzerKeys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT",
-        "identity.start", "identity.step", "identity.allowExplicitInsert")
+        "identity.start", "identity.step", "identity.allowExplicitInsert",
+        "GENERATION_EXPRESSION")
       if (!analyzerKeys.exists(f.metadata.contains)) f
       else {
         val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
@@ -365,6 +386,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Versioned.declareIdentity(spark, dir.toString, n, start, step, allow)
       }
     }
+    generatedCols.foreach { case (n, e) =>
+      graft.interop.DeltaLake.setGenerationExpression(spark, dir.toString, n, e)
+    }
     loadTable(ident)
   }
 
@@ -374,6 +398,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = dir.toString
     val spark = SparkSession.active
     changes.foreach {
+      // ALTER TABLE ADD CONSTRAINT name CHECK (expr): Delta's
+      // checkConstraints writer feature — the API validates the whole
+      // existing table first, then every write enforces. The other
+      // formats' specs have no constraint layer (Iceberg tracks no
+      // constraints; graft-native doesn't either) — loud refusal.
+      // Unique/PK/FK are informational in every open format — refused
+      // rather than silently recorded unenforced.
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(fmt == "delta",
+              s"GraftCatalog ADD CONSTRAINT: the $fmt table spec has no " +
+                "constraint layer — CHECK constraints are Delta's " +
+                "checkConstraints writer feature (USING delta)")
+            graft.interop.DeltaLake.addCheckConstraint(spark, path,
+              c.name(), c.predicateSql()): Unit
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog ADD CONSTRAINT: only CHECK constraints are " +
+              s"enforceable on write — refusing to record '${other.toDDL}' " +
+              "unenforced")
+        }
+      case drop: TableChange.DropConstraint =>
+        require(fmt == "delta",
+          s"GraftCatalog DROP CONSTRAINT: the $fmt table spec has no constraint layer")
+        val have = graft.interop.DeltaLake.snapshot(spark, path)
+          .configuration.contains(s"delta.constraints.${drop.name()}")
+        if (have) graft.interop.DeltaLake.dropCheckConstraint(spark, path, drop.name()): Unit
+        else require(drop.ifExists(),
+          s"GraftCatalog DROP CONSTRAINT: no constraint ${drop.name()} " +
+            "(add IF EXISTS to tolerate)")
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "GraftCatalog ALTER ADD COLUMN: nested additions are not supported")
@@ -574,12 +628,17 @@ object GraftCatalog {
 }
 
 /** One loaded catalog table: format + path + optional time-travel pin.
-  * Carries NO read/write capabilities on purpose — every reference is
+  * Carries no WRITE capability on purpose — every DML reference is
   * swapped to the DSv1 relation by [[GraftCatalogRule]] during
-  * resolution, so a reference that somehow escapes the rule fails
-  * loudly in CheckAnalysis instead of mis-planning. */
+  * resolution, so a write that somehow escapes the rule fails
+  * loudly in CheckAnalysis instead of mis-planning. BATCH_READ is
+  * served through a [[org.apache.spark.sql.connector.read.V1Scan]]
+  * over the same DSv1 relation — only analyzer-driven scans that must
+  * stay V2 use it (the constraint-validation scan under `ALTER TABLE
+  * ADD CONSTRAINT`, whose plan the rule deliberately leaves alone). */
 case class GraftTable(format: String, path: String, fullName: String,
-    travel: Map[String, String]) extends Table {
+    travel: Map[String, String]) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   /** The DSv1 relation this table resolves to — the SAME pruning
     * FileIndex relations the path connectors serve (time-travel pins
@@ -670,7 +729,45 @@ case class GraftTable(format: String, path: String, fullName: String,
       ++ travel).asJava
 
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    Collections.emptySet()
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  /** The V2 read path: a V1Scan over the SAME DSv1 relation every
+    * ordinary query already reads (execution lands back on it; no
+    * second read stack to keep correct). No pushdown — the only V2
+    * consumer is the analyzer's constraint-validation scan. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = GraftTable.this.schema()
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              ctx: org.apache.spark.sql.SQLContext): T =
+            (new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+              override def schema: StructType = GraftTable.this.schema()
+              override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+                ctx.sparkSession.asInstanceOf[ClassicSession]
+                  .baseRelationToDataFrame(relation).rdd
+            }).asInstanceOf[T]
+        }
+    }
+
+  /** Delta's `delta.constraints.*` served through the DSv2 constraint
+    * surface (DESCRIBE, the analyzer's constraint resolution) — each
+    * is an enforced CHECK: this library's writer validates the table
+    * at ADD and every write thereafter. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (format != "delta") Array.empty
+    else formatProperties.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("delta.constraints."))
+          .predicateSql(v).build()
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Constraint]
+    }.toArray
 }
 
 /** The catalog's one resolution rule (injected by
@@ -724,7 +821,19 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftCatalogCtasCommand(cat, ident, parts, query,
           spec.provider, ignoreIfExists)
     }
-    afterCommands.transformUp {
+    // constraint DDL (ALTER TABLE ADD/DROP CONSTRAINT) must keep its
+    // table child in V2 form: the analyzer's constraint rules resolve
+    // the identifier off the DataSourceV2Relation and route the change
+    // to THIS catalog's alterTable; a premature DSv1 swap derails the
+    // statement onto the session-catalog path (catalogTable.get NPE)
+    val constraintDdl = afterCommands.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.AddConstraint => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.DropConstraint => true
+      case _ => false
+    }
+    if (constraintDdl) afterCommands
+    else afterCommands.transformUp {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] =>
         LogicalRelation(r.table.asInstanceOf[GraftTable].relation, r.output, None,
