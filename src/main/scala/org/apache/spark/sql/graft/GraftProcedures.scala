@@ -27,6 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.replace_partition_spec('ns.tbl', partition_by => 'months(ts)')
   *   CALL graft.system.rollback_to_snapshot('ns.tbl', version => 3)          -- all formats
   *   CALL graft.system.rollback_to_snapshot('ns.tbl', timestamp_ms => ...)  -- as-of form
+  *   CALL graft.system.sync_identity('ns.tbl', column => 'id')    -- delta (r13)
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -39,7 +40,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
-      "analyze_table", "replace_partition_spec", "rollback_to_snapshot")
+      "analyze_table", "replace_partition_spec", "rollback_to_snapshot",
+      "sync_identity")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -110,6 +112,9 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       // comma-separated writer-side transforms, e.g.
       // 'months(ts), bucket(8, id)' — same grammar as partitionBy
       p("partition_by", StringType).build())
+    case "sync_identity" => Array(
+      p("table", StringType).build(),
+      p("column", StringType).build())
     case "rollback_to_snapshot" => Array(
       p("table", StringType).build(),
       // exactly ONE of the two selectors: `version` is the Delta/graft
@@ -131,6 +136,7 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       .add("column", StringType).add("ndv", LongType)
     case "replace_partition_spec" => StructType(Nil).add("spec_id", LongType)
     case "rollback_to_snapshot" => StructType(Nil).add("restored_to", LongType)
+    case "sync_identity" => StructType(Nil).add("result_version", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -164,6 +170,19 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       val id = graft.interop.Iceberg.replaceSpec(spark, path, specs)
       return resultScan(Array[InternalRow](
         new GenericInternalRow(Array[Any](id.toLong))))
+    }
+    if (procName == "sync_identity") {
+      // ALTER TABLE ... SYNC IDENTITY's procedure form: re-derive the
+      // high watermark from the data (after BY-DEFAULT explicit
+      // inserts or a foreign writer). Delta's identityColumns feature
+      // only — graft-native identity ratchets its watermark on every
+      // path already; iceberg has no identity concept.
+      require(fmt == "delta",
+        s"GraftCatalog sync_identity: $fmt tables have no identity watermark " +
+          "to sync (Delta identityColumns only)")
+      val v = graft.interop.DeltaLake.syncIdentity(spark, path,
+        input.getUTF8String(1).toString)
+      return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](v))))
     }
     if (procName == "rollback_to_snapshot") {
       // SQL RESTORE surface: dispatch to each format's existing

@@ -196,4 +196,36 @@ class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
       id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING iceberg"""))
     assert(ei.getMessage.contains("no identity"), ei.getMessage)
   }
+
+  test("CALL sync_identity repairs a watermark a non-write DML path left behind") {
+    import spark.implicits._
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test",
+      "warehouse", "dbids")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbids")
+    spark.sql("""CREATE TABLE graft.dbids.t (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING delta""")
+    val dp = whd.resolve("t").toString
+    DeltaLake.write(Seq("a", "b", "c").toDF("v"), dp, mode = SaveMode.Append)
+    assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(3L))
+    // MERGE bypasses write()'s generation/ratchet — the documented gap
+    // SYNC IDENTITY repairs (Databricks' contract is the same)
+    DeltaLake.upsertByKey(spark, dp, Seq((10L, "merged")).toDF("id", "v"), "id")
+    assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(3L),
+      "the merge path does not ratchet — that is what sync repairs")
+    spark.sql("CALL graft.system.sync_identity('dbids.t', column => 'id')").collect()
+    assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(10L))
+    DeltaLake.write(Seq("d").toDF("v"), dp, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, dp).filter(col("v") === "d")
+      .select("id").as[Long].head() == 11L,
+      "generation must resume past the synced watermark")
+    // refusals: non-identity column; non-delta format
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.sync_identity('dbids.t', column => 'v')").collect())
+    assert(e1.getMessage.contains("not an identity column"), e1.getMessage)
+    spark.sql("CREATE TABLE graft.dbids.ti (k BIGINT) USING iceberg")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.sync_identity('dbids.ti', column => 'k')").collect())
+    assert(e2.getMessage.contains("identityColumns"), e2.getMessage)
+  }
 }
