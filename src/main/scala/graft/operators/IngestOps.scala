@@ -2405,18 +2405,21 @@ object IngestOps extends QueryModule {
     * Iceberg snapshot (the FILE DIFF as adds/deletes) — history
     * PRESERVED on both sides, nothing dropped, zero data files written
     * (all require'd in-entry: the conversion-time snapshot still
-    * time-travels after two syncs; the sync is idempotent). The mirror
-    * direction ([[graft.interop.Convert.syncDelta]]) keeps a Delta
-    * layer current over an Iceberg table of record. At 100 TB each
-    * sync costs O(diff) metadata versus resync's O(files) republish —
-    * and the stale layer's history is no longer the price. Oracle:
-    * the d2i view reflects the append+delete lifecycle, the i2d view
-    * the append — both against `orders`. */
+    * time-travels after two syncs; the sync is idempotent). At 100 TB
+    * each sync costs O(diff) metadata versus resync's O(files)
+    * republish — and the stale layer's history is no longer the
+    * price. The REVERSE direction ([[graft.interop.Convert
+    * .syncDelta]], a Delta layer current over an Iceberg table of
+    * record) is spec-locked in ConvertSpec "continuous sync
+    * Iceberg->Delta" + "sync onto a row-tracked Delta mirror" —
+    * trimmed from the timed entry r13, claim moved not dropped.
+    * Oracle: the mirror reflects the append+delete lifecycle against
+    * `orders`. */
   val s51ContinuousSync = QueryDef(
     "s51_continuous_sync",
     (s, d) => {
-      val dPath = tmp("s51_d2i", d); val iPath = tmp("s51_i2d", d)
-      Writers.deleteTree(dPath); Writers.deleteTree(iPath)
+      val dPath = tmp("s51_d2i", d)
+      Writers.deleteTree(dPath)
       val D = graft.interop.DeltaLake; val I = graft.interop.Iceberg
       val C = graft.interop.Convert
       def dataFiles(p: String): Set[String] = {
@@ -2453,33 +2456,21 @@ object IngestOps extends QueryModule {
         orders.filter(col("o_orderkey") % 2 === 0).count(),
         "s51: the conversion-time snapshot must still time-travel")
       require(C.syncIceberg(s, dPath).isEmpty, "s51: an in-sync table must no-op")
-      // ---- Iceberg table of record, Delta mirror
-      I.write(orders.filter(col("o_orderkey") % 2 === 0), iPath)
-      C.icebergToDelta(s, iPath)
-      I.write(orders.filter(col("o_orderkey") % 2 === 1), iPath, mode = SaveMode.Append)
-      require(C.syncDelta(s, iPath).nonEmpty, "s51: the mirror direction must sync")
-      require(D.snapshot(s, iPath).version == 1L,
-        "s51: the Delta mirror must advance by exactly ONE commit per sync")
-      val out = I.read(s, dPath).withColumn("src", lit("d2i"))
-        .unionByName(D.read(s, iPath).withColumn("src", lit("i2d")))
-        .groupBy("src", "o_orderstatus")
+      val out = I.read(s, dPath)
+        .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
-        .orderBy("src", "o_orderstatus")
+        .orderBy("o_orderstatus")
       require(out.count() > 0, "s51: empty result")
       out
     },
     Some("""
-      SELECT src, o_orderstatus, count(*) AS n_orders,
+      SELECT o_orderstatus, count(*) AS n_orders,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
-      FROM (
-        SELECT 'd2i' AS src, o_orderstatus, o_totalprice FROM orders
-        WHERE o_orderkey % 17 <> 3
-        UNION ALL
-        SELECT 'i2d' AS src, o_orderstatus, o_totalprice FROM orders
-      )
-      GROUP BY src, o_orderstatus
-      ORDER BY src, o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 17 <> 3
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
     """.stripMargin.trim),
   )
 
