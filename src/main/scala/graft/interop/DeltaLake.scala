@@ -1446,41 +1446,8 @@ object DeltaLake {
     // empty read set) all commute; a rival metaData/protocol change
     // keeps throwing, as does any lost race on our own overwrite (its
     // read set is the whole table — not rebasable).
-    // a rival metaData that matches the table's metadata MODULO the
-    // identity high-watermark values is the ratchet identity appends
-    // emit — it commutes (the re-stamp regenerates past it); any other
-    // metadata change keeps refusing the rebase
-    def eraseIdHwm(s: StructType): StructType = StructType(s.fields.map { f =>
-      if (!f.metadata.contains(IdHwmKey)) f
-      else {
-        val mb = new MetadataBuilder().withMetadata(f.metadata); mb.remove(IdHwmKey)
-        f.copy(metadata = mb.build())
-      }
-    })
-    val idMetaCommutes: com.fasterxml.jackson.databind.JsonNode => Boolean = m =>
-      idFields.nonEmpty && prior.exists { p =>
-        try {
-          val rs = DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType]
-          val rp = {
-            val b = Seq.newBuilder[String]
-            val it = m.path("partitionColumns").elements()
-            while (it.hasNext) b += it.next().asText
-            b.result()
-          }
-          val rc = {
-            val b = Map.newBuilder[String, String]
-            val it = m.path("configuration").fields()
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
-            b.result()
-          }
-          // nullability-insensitive: a generated identity column rides
-          // the frame's nullability, which must not read as a schema
-          // change (the append gate itself is nullability-erased too)
-          Versioned.nullabilityErased(eraseIdHwm(rs)) ==
-            Versioned.nullabilityErased(eraseIdHwm(p.rawSchema)) &&
-            rp == p.partitionColumns && rc == p.configuration
-        } catch { case _: Exception => false }
-      }
+    val idMetaCommutes: com.fasterxml.jackson.databind.JsonNode => Boolean =
+      m => idFields.nonEmpty && prior.exists(p => identityRatchetOnly(p, m))
 
     val committed = try commitAttempt(v, prior) catch {
       case e0: java.util.ConcurrentModificationException
@@ -3507,7 +3474,10 @@ object DeltaLake {
           attempts += 1
           val (jsonVs2, cpVs2) = listLog(fs, root)
           val head = ((jsonVs2 ++ cpVs2) :+ base).max
-          rivalConflict(fs, root, base, head, readSet).foreach { reason =>
+          // an identity append's watermark-only metaData commutes: this
+          // rewrite re-emits no metaData, so the rival's stays current
+          rivalConflict(fs, root, base, head, readSet,
+              metaCommutes = m => identityRatchetOnly(snap, m)).foreach { reason =>
             throw new java.util.ConcurrentModificationException(
               s"DeltaLake.$operation: rewrite of $path lost to a concurrent commit " +
                 s"that does not commute with it ($reason) — not rebasing", lastErr)
@@ -3617,6 +3587,44 @@ object DeltaLake {
     *
     * Returns the first disqualifying reason; None when rebasing is
     * safe. */
+  /** True iff a rival `metaData` action matches `base`'s table
+    * metadata MODULO identity high-watermark values — the ratchet
+    * identity appends emit. Such a rival commutes with a blind append
+    * (whose rebase RE-STAMPS its generated ids past the new watermark)
+    * and with a dataChange=false rewrite (which re-emits no metaData,
+    * so the rival's stays current); any other metadata change still
+    * refuses the rebase. Nullability-insensitive: a generated identity
+    * column rides the frame's nullability, which must not read as a
+    * schema change (the append gate itself is nullability-erased). */
+  private def identityRatchetOnly(base: Snapshot,
+      m: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    def eraseIdHwm(s: StructType): StructType = StructType(s.fields.map { f =>
+      if (!f.metadata.contains(IdHwmKey)) f
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata); mb.remove(IdHwmKey)
+        f.copy(metadata = mb.build())
+      }
+    })
+    try {
+      val rs = DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType]
+      val rp = {
+        val b = Seq.newBuilder[String]
+        val it = m.path("partitionColumns").elements()
+        while (it.hasNext) b += it.next().asText
+        b.result()
+      }
+      val rc = {
+        val b = Map.newBuilder[String, String]
+        val it = m.path("configuration").fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }
+      Versioned.nullabilityErased(eraseIdHwm(rs)) ==
+        Versioned.nullabilityErased(eraseIdHwm(base.rawSchema)) &&
+        rp == base.partitionColumns && rc == base.configuration
+    } catch { case _: Exception => false }
+  }
+
   private[interop] def rivalConflict(fs: FileSystem, root: HPath,
       from: Long, to: Long, readSet: Set[String] = Set.empty,
       metaCommutes: com.fasterxml.jackson.databind.JsonNode => Boolean = _ => false)

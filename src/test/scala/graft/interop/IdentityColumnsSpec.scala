@@ -102,6 +102,37 @@ class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
     assert(DeltaLake.identityColumns(spark, path)("id")._2.contains(8L))
   }
 
+  test("compaction racing a generating append commutes with the watermark ratchet") {
+    import spark.implicits._
+    val path = freshDir("id_delta_compact_race")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    DeltaLake.declareIdentity(spark, path, "id")
+    DeltaLake.write(Seq("seed1", "seed2").toDF("v").repartition(2), path,
+      mode = SaveMode.Append)
+    // a generating append emits a watermark-ratchet metaData action; a
+    // dataChange=false compaction that loses the commit race to it must
+    // REBASE (the rewrite re-emits no metaData, so the rival's stays
+    // current) — before r13 the rival metaData refused the rebase.
+    // The race is real (futures), so contention is probabilistic; the
+    // assertion is that NO round ever surfaces a refusal and the table
+    // stays consistent.
+    var n = 2L
+    (1 to 5).foreach { i =>
+      val compacting = Future(
+        try Right(DeltaLake.compact(spark, path, targetBytes = 1L << 20))
+        catch { case e: Exception => Left(e.getMessage) })
+      DeltaLake.write(Seq(s"w${i}a", s"w${i}b").toDF("v").repartition(2), path,
+        mode = SaveMode.Append)
+      n += 2
+      val res = Await.result(compacting, 120.seconds)
+      assert(res.isRight,
+        s"compaction must commute with the identity watermark ratchet: $res")
+    }
+    val ids = DeltaLake.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.length == n && ids.distinct.length == n.toInt, ids.toSeq.toString)
+    assert(DeltaLake.identityColumns(spark, path)("id")._2.contains(n))
+  }
+
   test("Delta: declaration refusals — non-empty table, non-BIGINT, generated overlap") {
     import spark.implicits._
     val path = freshDir("id_delta_ref")
