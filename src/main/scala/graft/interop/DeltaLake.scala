@@ -3129,6 +3129,14 @@ object DeltaLake {
     val missing = set.keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"DeltaLake.updateWhere: SET names non-columns (${missing.mkString(", ")})")
+    // GENERATED ALWAYS identity values cannot be updated; BY DEFAULT
+    // sets are legal but bypass the watermark — syncIdentity repairs
+    set.keys.foreach { c =>
+      snap.rawSchema.fields.find(_.name == c).flatMap(identitySpec).foreach(sp =>
+        require(sp.allowExplicitInsert,
+          s"DeltaLake.updateWhere: $c is GENERATED ALWAYS AS IDENTITY — its " +
+            "values cannot be updated"))
+    }
     val types0 = snap.schema.map(f => f.name -> f.dataType).toMap
     // a row-tracked UPDATE keeps every row's id and stamps the new
     // commit's version as the CHANGED rows' _row_commit_version
@@ -3277,6 +3285,64 @@ object DeltaLake {
       "DeltaLake.upsertByKey: update schema differs from the table schema " +
         "(pass mergeSchema=true for additive evolution)")
     Writers.requireUniqueKeys("DeltaLake.upsertByKey", updates, key)
+    // IDENTITY columns under MERGE (r13): the update frame necessarily
+    // CARRIES them (the schema gate above). GENERATED ALWAYS forbids
+    // explicit values — so a merge may neither INSERT rows (their ids
+    // would be user-chosen) nor CHANGE a matched row's id; both checks
+    // ride ONE aggregate over the joined update set. BY DEFAULT passes
+    // through, and the watermark ratchets past the update frame's
+    // extreme AFTER the merge commit (O(updates), never O(table)) so
+    // later generated values stay unique — the same repair
+    // [[syncIdentity]] offers after the fact.
+    val idMergeFields = snap.rawSchema.fields.toSeq
+      .filter(_.metadata.contains(IdStartKey))
+    idMergeFields.filter(f => !identitySpec(f).get.allowExplicitInsert).foreach { f =>
+      import org.apache.spark.sql.functions.{count => fCount, lit, sum => fSum, when => fWhen}
+      val cur = read(spark, path).select(col(key),
+        col(f.name).as("__graft_cur_id"))
+      val probe = updates.select(col(key), col(f.name)).join(cur, Seq(key), "left")
+        .agg(
+          fSum(fWhen(col("__graft_cur_id").isNull, 1L).otherwise(0L)).as("ins"),
+          fSum(fWhen(col("__graft_cur_id").isNotNull &&
+            !(col(f.name) <=> col("__graft_cur_id")), 1L).otherwise(0L)).as("chg"),
+          fCount(lit(1)).as("n"))
+        .head()
+      require(probe.getAs[Long]("n") == 0L || probe.getAs[Long]("ins") == 0L,
+        s"DeltaLake.upsertByKey: ${f.name} is GENERATED ALWAYS AS IDENTITY — a " +
+          "merge INSERT would land explicit values (append through write() to " +
+          "generate, or declare BY DEFAULT)")
+      require(probe.getAs[Long]("chg") == 0L,
+        s"DeltaLake.upsertByKey: ${f.name} is GENERATED ALWAYS AS IDENTITY — a " +
+          "matched update must not change a row's identity value")
+    }
+    def ratchetByDefaultIdentity(): Unit =
+      idMergeFields.filter(f => identitySpec(f).get.allowExplicitInsert).foreach { f =>
+        import org.apache.spark.sql.functions.{max => fMax, min => fMin}
+        val spec = identitySpec(f).get
+        val agg = if (spec.step > 0) fMax(col(f.name)) else fMin(col(f.name))
+        Option(updates.agg(agg).head().get(0)).map(_.asInstanceOf[Long]).foreach { seen =>
+          val cur = identityHwm(f).getOrElse(spec.start - spec.step)
+          val h = graft.core.IdentityGen.ratchet(spec.start, spec.step, cur, seen)
+          if (h != cur) {
+            val snapNow = snapshot(spark, path)
+            val idx = snapNow.rawSchema.fieldIndex(f.name)
+            val nf = snapNow.rawSchema.fields(idx).copy(
+              metadata = new MetadataBuilder()
+                .withMetadata(snapNow.rawSchema.fields(idx).metadata)
+                .putLong(IdHwmKey, h).build())
+            val (fs2, root2) = Writers.fsFor(path)
+            val now2 = System.currentTimeMillis()
+            val ci2 = Json.createObjectNode()
+            val info2 = ci2.putObject("commitInfo")
+            info2.put("timestamp", now2); info2.put("operation", "ALTER TABLE")
+            commitLines(fs2, root2, snapNow.version + 1,
+              conf = snapNow.configuration, lines = Seq(
+                metaDataLine(StructType(snapNow.rawSchema.fields.updated(idx, nf)),
+                  snapNow.partitionColumns, now2, snapNow.configuration),
+                Json.writeValueAsString(ci2)))
+          }
+        }
+      }
     // a row-tracked MERGE: matched updates are the SAME logical rows —
     // single-match images inherit the old row's id with this commit's
     // version stamped; multi-match images and true inserts read a null
@@ -3321,8 +3387,10 @@ object DeltaLake {
             .withColumn("_change_type", lit("insert"))
           Some(pre.unionByName(post).unionByName(ins))
         }
-      return commitRewrite(spark, path, snap, keepByFile.map(_.path),
+      val gotTracked = commitRewrite(spark, path, snap, keepByFile.map(_.path),
         survivors.unionByName(aligned), "MERGE", cdcRows = cdc, txn = txn)
+      ratchetByDefaultIdentity()
+      return gotTracked
     }
     val full = read(spark, path)
     // pass 1: the files holding a matched key (semi-join, shuffles on
@@ -3354,8 +3422,10 @@ object DeltaLake {
           .withColumn("_change_type", lit("insert"))
         Some(pre.unionByName(post).unionByName(ins))
       }
-    commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE",
+    val got = commitRewrite(spark, path, snap, keepByFile.map(_.path), newData, "MERGE",
       cdcRows = cdc, txn = txn)
+    ratchetByDefaultIdentity()
+    got
   }
 
   private def relOf(path: String, raw: String, op: String): String = {

@@ -228,22 +228,63 @@ class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
     assert(ei.getMessage.contains("no identity"), ei.getMessage)
   }
 
-  test("CALL sync_identity repairs a watermark a non-write DML path left behind") {
+  test("MERGE and UPDATE respect identity: ALWAYS refuses, BY DEFAULT ratchets") {
+    import spark.implicits._
+    // ALWAYS: a merge INSERT would land explicit values — refused; a
+    // matched update must not change a row's id; updateWhere cannot
+    // SET the column at all
+    val ap = freshDir("id_merge_always")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), ap)
+    DeltaLake.declareIdentity(spark, ap, "id")
+    DeltaLake.write(Seq("a", "b", "c").toDF("v"), ap, mode = SaveMode.Append)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLake.upsertByKey(spark, ap, Seq((10L, "new")).toDF("id", "v"), "id"))
+    assert(e1.getMessage.contains("merge INSERT"), e1.getMessage)
+    // matched-only merge keyed BY the identity column is legal
+    DeltaLake.upsertByKey(spark, ap, Seq((2L, "b2")).toDF("id", "v"), "id")
+    assert(DeltaLake.read(spark, ap).filter(col("id") === 2L)
+      .select("v").as[String].head() == "b2")
+    // a non-key merge that would CHANGE a matched row's id refuses
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.upsertByKey(spark, ap, Seq((99L, "b2")).toDF("id", "v"), "v"))
+    assert(e2.getMessage.contains("must not change"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLake.updateWhere(spark, ap,
+        Map("id" -> org.apache.spark.sql.functions.lit(50L)), Some(col("v") === "a")))
+    assert(e3.getMessage.contains("cannot be updated"), e3.getMessage)
+    // BY DEFAULT: a merge insert of an explicit id passes AND ratchets
+    // the watermark (O(updates)) so later generation cannot collide
+    val bp = freshDir("id_merge_bydefault")
+    DeltaLake.write(Seq.empty[(Long, String)].toDF("id", "v"), bp)
+    DeltaLake.declareIdentity(spark, bp, "id",
+      DeltaLake.IdentitySpec(allowExplicitInsert = true))
+    DeltaLake.write(Seq("a", "b").toDF("v"), bp, mode = SaveMode.Append)
+    DeltaLake.upsertByKey(spark, bp, Seq((10L, "merged")).toDF("id", "v"), "id")
+    assert(DeltaLake.identityColumns(spark, bp)("id")._2.contains(10L),
+      "a BY-DEFAULT merge must ratchet the watermark past its explicit ids")
+    DeltaLake.write(Seq("c").toDF("v"), bp, mode = SaveMode.Append)
+    assert(DeltaLake.read(spark, bp).filter(col("v") === "c")
+      .select("id").as[Long].head() == 11L)
+  }
+
+  test("CALL sync_identity repairs a watermark a BY-DEFAULT SET left behind") {
     import spark.implicits._
     val whd = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test",
       "warehouse", "dbids")
     Writers.deleteTree(whd)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbids")
     spark.sql("""CREATE TABLE graft.dbids.t (
-      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING delta""")
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING) USING delta""")
     val dp = whd.resolve("t").toString
     DeltaLake.write(Seq("a", "b", "c").toDF("v"), dp, mode = SaveMode.Append)
     assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(3L))
-    // MERGE bypasses write()'s generation/ratchet — the documented gap
-    // SYNC IDENTITY repairs (Databricks' contract is the same)
-    DeltaLake.upsertByKey(spark, dp, Seq((10L, "merged")).toDF("id", "v"), "id")
+    // a BY-DEFAULT UPDATE ... SET id = 10 is legal but bypasses the
+    // watermark — the gap SYNC IDENTITY repairs (same contract as the
+    // reference implementation's ALTER TABLE ... SYNC IDENTITY)
+    DeltaLake.updateWhere(spark, dp,
+      Map("id" -> org.apache.spark.sql.functions.lit(10L)), Some(col("v") === "c"))
     assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(3L),
-      "the merge path does not ratchet — that is what sync repairs")
+      "updateWhere does not ratchet — that is what sync repairs")
     spark.sql("CALL graft.system.sync_identity('dbids.t', column => 'id')").collect()
     assert(DeltaLake.identityColumns(spark, dp)("id")._2.contains(10L))
     DeltaLake.write(Seq("d").toDF("v"), dp, mode = SaveMode.Append)
