@@ -3045,9 +3045,7 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  /** S60: COLUMN DEFAULTS graded — the symmetric TRIO (r11 added the
-    * graft-native leg: Versioned schema-metadata CURRENT_DEFAULT,
-    * appends fill omitted columns): Delta's
+  /** S60: COLUMN DEFAULTS graded — Delta's
     * `allowColumnDefaults` writer feature (`CURRENT_DEFAULT` field
     * metadata; writers fill omitted columns, existing rows keep what
     * they have — Delta has NO existence defaults, which is why its
@@ -3058,7 +3056,12 @@ object IngestOps extends QueryModule {
     * only the write default, the initial default is immutable). Three
     * disjoint slices per format exercise explicit values, the declared
     * default at append time, and a re-declared default; the oracle
-    * reproduces each slice's expected fill as a CASE. */
+    * reproduces each slice's expected fill as a CASE. The GRAFT-NATIVE
+    * mirror leg (Versioned schema-metadata CURRENT_DEFAULT, the same
+    * declare/fill/re-declare lifecycle) is spec-locked in
+    * ColumnDefaultsSpec "graft-native: setColumnDefault fills appends;
+    * clear restores the refusal" — trimmed from the timed entry r13,
+    * claim moved not dropped. */
   val s60ColumnDefaults = QueryDef(
     "s60_column_defaults",
     (s, d) => {
@@ -3093,19 +3096,8 @@ object IngestOps extends QueryModule {
       I.write(src.filter(col("o_orderkey") % 4 === 1), ip, mode = SaveMode.Append)
       I.setWriteDefault(s, ip, "channel", Some("web"))
       I.write(src.filter(col("o_orderkey") % 4 === 3), ip, mode = SaveMode.Append)
-      // graft-native: the same declare/fill/re-declare lifecycle through
-      // the schema-metadata defaults contract (r11 — the third leg)
-      val V = graft.ingest.Versioned
-      val gp = tmp("s60_graft", d); Writers.deleteTree(gp)
-      V.commit(src.filter(col("o_orderkey") % 2 === 0)
-        .withColumn("channel", lit("direct")), gp)
-      V.setColumnDefault(s, gp, "channel", "'web'")
-      V.appendCommit(src.filter(col("o_orderkey") % 4 === 1), gp)
-      V.setColumnDefault(s, gp, "channel", "'mobile'")
-      V.appendCommit(src.filter(col("o_orderkey") % 4 === 3), gp)
       D.read(s, dp).withColumn("fmt", lit("delta"))
         .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
-        .unionByName(V.read(s, gp).withColumn("fmt", lit("graft")))
         .groupBy("fmt", "channel")
         .agg(count(lit(1)).as("n_orders"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
@@ -3121,11 +3113,7 @@ object IngestOps extends QueryModule {
         SELECT 'iceberg' AS fmt,
           CASE WHEN o_orderkey % 4 = 3 THEN 'web' ELSE 'legacy' END AS channel,
           o_totalprice FROM orders
-        UNION ALL
-        SELECT 'graft' AS fmt,
-          CASE WHEN o_orderkey % 2 = 0 THEN 'direct'
-               WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'mobile' END AS channel,
-          o_totalprice FROM orders)
+        )
       SELECT fmt, channel, count(*) AS n_orders,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
       FROM legs GROUP BY fmt, channel ORDER BY fmt, channel
