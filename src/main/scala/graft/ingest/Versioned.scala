@@ -2137,10 +2137,13 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.upsert: no committed version under $path"))
-    val merged = readAt(spark, path, base)
+    gateIdentityUpsert(spark, path, base, updates, key, "upsert")
+    val merged = withTableMetadata(readAt(spark, path, base)
       .join(updates, Seq(key), "left_anti")
-      .unionByName(updates)
-    rewriteFrom(fs, root, base, merged)
+      .unionByName(updates), fs, root, base)
+    val v = rewriteFrom(fs, root, base, merged)
+    ratchetIdentityAfter(spark, path, updates)
+    v
   }
 
   /** Copy-on-write partitioned MERGE — the shape that scales: only the
@@ -2176,6 +2179,7 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     val cur = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.upsertPartitioned: no committed version under $path"))
+    gateIdentityUpsert(spark, path, cur, updates, key, "upsertPartitioned")
     val entries = readManifest(fs, root, cur)
     require(entries.forall(_.kind == KindData),
       s"Versioned.upsertPartitioned: $path has outstanding merge-on-read deletes — " +
@@ -2195,12 +2199,13 @@ object Versioned {
       }.mkString("/")
     }.toSet
     val touched = entries.filter(e => touchedDirs.contains(e.partDir))
-    val merged =
+    val merged = withTableMetadata(
       if (touched.isEmpty) updates // all-new partitions: nothing to merge against
       else
         readEntries(spark, fs, root, touched, targetOf(fs, root, cur))
           .join(updates, Seq(key), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates),
+      fs, root, cur)
     // lost-update guard with DISJOINTNESS: a rival that only changed
     // OTHER partitions did not invalidate this merge's read set (the
     // touched partitions' files), so the commit rebases onto the
@@ -2224,8 +2229,10 @@ object Versioned {
     // the same `untouched ++ fresh` sequence a full manifest held. The
     // delta's base is whatever claimDisjoint rebased onto — the removes
     // are still valid there (disjoint rivals never touched them).
-    publishDelta(fs, root, v, derivedBase,
+    val got = publishDelta(fs, root, v, derivedBase,
       adds = fresh, removes = touched.map(e => (e.partDir, e.relPath)), schema = merged.schema)
+    ratchetIdentityAfter(spark, path, updates)
+    got
   }
 
   /** DYNAMIC PARTITION OVERWRITE — `INSERT OVERWRITE` under
@@ -2738,6 +2745,93 @@ object Versioned {
     publishDelta(fs, root, v, base, adds = Nil, removes = Nil,
       schema = StructType(schema.fields.updated(idx, nf)),
       meta = Map(ColIdsKey -> renderColIds(ids)))
+  }
+
+  /** Re-attach the TABLE's declared field metadata (identity
+    * declarations, CURRENT_DEFAULT, ...) to a frame about to be
+    * PUBLISHED as the new schema — a merge's joined/unioned frame can
+    * silently lose attribute metadata, and publishing it would DROP
+    * the table's declarations (the r13 identity work surfaced this:
+    * an upsert on a declared table erased the declaration). No-op when
+    * the column sets diverge (schema-changing rewrites publish their
+    * own shape). */
+  private def withTableMetadata(df: DataFrame, fs: FileSystem, root: HPath,
+      base: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    metaSchema(fs, root, base) match {
+      case Some(t) if t.fields.exists(_.metadata != org.apache.spark.sql.types.Metadata.empty) &&
+          t.fieldNames.map(_.toLowerCase).toSet == df.columns.map(_.toLowerCase).toSet =>
+        df.select(t.fields.toIndexedSeq.map { f =>
+          val src = df.columns.find(_.equalsIgnoreCase(f.name)).get
+          col(src).as(f.name, f.metadata)
+        }: _*)
+      case _ => df
+    }
+  }
+
+  /** MERGE gates for identity columns — the graft-native mirror of the
+    * Delta rules: a GENERATED ALWAYS column forbids merge INSERTs
+    * (their ids would be user-chosen) and matched updates that CHANGE
+    * a row's id; both checks ride one aggregate over the joined update
+    * set, skipped entirely on non-identity tables. */
+  private def gateIdentityUpsert(spark: SparkSession, path: String, base: Long,
+      updates: DataFrame, key: String, op: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count => fCount, lit, sum => fSum, when => fWhen}
+    val (fs, root) = Writers.fsFor(path)
+    val table = metaSchema(fs, root, base).getOrElse(return)
+    val idFs = table.fields.toSeq.filter(f => f.metadata.contains(IdStartKey) &&
+      !(f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey)))
+    idFs.filter(f => updates.columns.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
+      val cur = readAt(spark, path, base)
+        .select(col(key), col(f.name).as("__graft_cur_id"))
+      val probe = updates.select(col(key), col(f.name)).join(cur, Seq(key), "left")
+        .agg(
+          fSum(fWhen(col("__graft_cur_id").isNull, 1L).otherwise(0L)).as("ins"),
+          fSum(fWhen(col("__graft_cur_id").isNotNull &&
+            !(col(f.name) <=> col("__graft_cur_id")), 1L).otherwise(0L)).as("chg"),
+          fCount(lit(1)).as("n"))
+        .head()
+      require(probe.getAs[Long]("n") == 0L || probe.getAs[Long]("ins") == 0L,
+        s"Versioned.$op: ${f.name} is GENERATED ALWAYS AS IDENTITY — a merge " +
+          "INSERT would land explicit values (append through appendCommit to " +
+          "generate, or declare allowExplicitInsert)")
+      require(probe.getAs[Long]("chg") == 0L,
+        s"Versioned.$op: ${f.name} is GENERATED ALWAYS AS IDENTITY — a matched " +
+          "update must not change a row's identity value")
+    }
+  }
+
+  /** Ratchet BY-DEFAULT identity watermarks past an update frame's
+    * extreme after a merge landed — O(updates), never O(table); a
+    * metadata-only derived commit, only when something moved. */
+  private def ratchetIdentityAfter(spark: SparkSession, path: String,
+      updates: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, max => fMax, min => fMin}
+    val (fs0, root0) = Writers.fsFor(path)
+    val curV = currentVersion(path).getOrElse(return)
+    val table = metaSchema(fs0, root0, curV).getOrElse(return)
+    val idFs = table.fields.toSeq.filter(f => f.metadata.contains(IdStartKey) &&
+      f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey) &&
+      updates.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (idFs.isEmpty) return
+    val moved = idFs.flatMap { f =>
+      val (start, step) = (f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey))
+      val cur =
+        if (f.metadata.contains(IdHwmKey)) f.metadata.getLong(IdHwmKey)
+        else start - step
+      val agg = if (step > 0) fMax(col(f.name)) else fMin(col(f.name))
+      Option(updates.agg(agg).head().get(0)).map(_.asInstanceOf[Long])
+        .map(s2 => graft.core.IdentityGen.ratchet(start, step, cur, s2))
+        .filter(_ != cur).map(f.name -> _)
+    }.toMap
+    if (moved.isEmpty) return
+    val (fs, root, base2, _, schema, ids) = evolutionBase(path, "identityRatchet")
+    val newSchema = StructType(schema.fields.map(f => moved.get(f.name).map(h =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(IdHwmKey, h).build())).getOrElse(f)))
+    val v = claimExact(fs, root, base2)
+    publishDelta(fs, root, v, base2, adds = Nil, removes = Nil,
+      schema = newSchema, meta = Map(ColIdsKey -> renderColIds(ids))): Unit
   }
 
   /** Conform an append frame to the table's identity contract against

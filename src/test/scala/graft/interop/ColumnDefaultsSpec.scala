@@ -187,6 +187,15 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
       "an all-columns append must not strip the default metadata")
     V.appendCommitOnce(Seq((4L, "r4")).toDF("k", "s"), path, "b9")
     assert(V.read(spark, path).filter(col("tag") === "web").count() == 2L)
+    // a MERGE must not strip the declaration either (r13 regression:
+    // the upsert published its joined frame's schema, whose attribute
+    // metadata the union had dropped — the default silently vanished)
+    V.upsert(spark, path, Seq((2L, "r2u", "upd")).toDF("k", "s", "tag"), "k")
+    assert(V.columnDefaults(path) == Map("tag" -> "'web'"),
+      "a merge must republish the declared default metadata")
+    V.appendCommit(Seq((5L, "r5")).toDF("k", "s"), path)
+    assert(V.read(spark, path).filter(col("k") === 5L).head().getString(2) == "web",
+      "the default must still fill after a merge")
     // clear: omitting the column is a schema-evolution append again
     // (publishes the narrower frame schema — the pre-defaults shape)
     V.clearColumnDefault(spark, path, "tag")

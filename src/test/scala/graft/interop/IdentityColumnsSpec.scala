@@ -174,6 +174,30 @@ class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
       s"graft contended generation produced duplicates: ${ids.toSeq}")
     assert(ids.toSeq == (1L to 6L), ids.toSeq.toString)
     assert(Versioned.identityColumns(path)("id")._4.contains(6L))
+    // MERGE gates mirror Delta's: ALWAYS refuses inserts and id changes
+    val em1 = intercept[IllegalArgumentException](
+      Versioned.upsert(spark, path, Seq((99L, "new")).toDF("id", "v"), "id"))
+    assert(em1.getMessage.contains("merge INSERT"), em1.getMessage)
+    val em2 = intercept[IllegalArgumentException](
+      Versioned.upsert(spark, path, Seq((77L, "a")).toDF("id", "v"), "v"))
+    assert(em2.getMessage.contains("must not change"), em2.getMessage)
+    Versioned.upsert(spark, path, Seq((2L, "b-upd")).toDF("id", "v"), "id") // matched: fine
+    assert(Versioned.read(spark, path).filter(col("id") === 2L)
+      .select("v").as[String].head() == "b-upd")
+  }
+
+  test("graft-native BY DEFAULT: merge explicit ids ratchet the watermark") {
+    import spark.implicits._
+    val path = freshDir("id_graft_bd")
+    Versioned.commit(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    Versioned.declareIdentity(spark, path, "id", allowExplicitInsert = true)
+    Versioned.appendCommit(Seq("a", "b").toDF("v"), path)
+    Versioned.upsert(spark, path, Seq((10L, "merged")).toDF("id", "v"), "id")
+    assert(Versioned.identityColumns(path)("id")._4.contains(10L),
+      "a BY-DEFAULT merge must ratchet the graft watermark past its explicit ids")
+    Versioned.appendCommit(Seq("c").toDF("v"), path)
+    assert(Versioned.read(spark, path).filter(col("v") === "c")
+      .select("id").as[Long].head() == 11L)
   }
 
   test("negative step descends from start; BY-DEFAULT min ratchet is direction-aware") {
