@@ -907,8 +907,14 @@ object Versioned {
     * that keeps zero rows is legal: it publishes an empty manifest whose
     * schema (in `_meta`) keeps the table readable as an empty frame. */
   private def rewriteFrom(
-      fs: FileSystem, root: HPath, base: Long, df: DataFrame,
+      fs: FileSystem, root: HPath, base: Long, dfIn: DataFrame,
       statsCols: Seq[String] = Nil): Long = {
+    // every rewrite republises the schema — re-attach the table's
+    // declared field metadata (defaults, identity) first: a rewrite
+    // frame derived from files that PREDATE a declaration (or from a
+    // union, which drops attribute metadata) would otherwise silently
+    // erase it (r13 — caught by the identity merge test)
+    val df = withTableMetadata(dfIn, fs, root, base)
     val partCols = layoutPartCols(readManifest(fs, root, base))
     val v = claimExact(fs, root, base)
     val writer = df.write.mode(SaveMode.Overwrite)
@@ -2138,10 +2144,10 @@ object Versioned {
     val base = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"Versioned.upsert: no committed version under $path"))
     gateIdentityUpsert(spark, path, base, updates, key, "upsert")
-    val merged = withTableMetadata(readAt(spark, path, base)
+    val merged = readAt(spark, path, base)
       .join(updates, Seq(key), "left_anti")
-      .unionByName(updates), fs, root, base)
-    val v = rewriteFrom(fs, root, base, merged)
+      .unionByName(updates)
+    val v = rewriteFrom(fs, root, base, merged) // re-attaches declared metadata
     ratchetIdentityAfter(spark, path, updates)
     v
   }

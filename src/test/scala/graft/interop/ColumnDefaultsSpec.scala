@@ -196,6 +196,11 @@ class ColumnDefaultsSpec extends AnyFunSuite with SparkFixture {
     V.appendCommit(Seq((5L, "r5")).toDF("k", "s"), path)
     assert(V.read(spark, path).filter(col("k") === 5L).head().getString(2) == "web",
       "the default must still fill after a merge")
+    // maintenance rewrites must keep it too — the compacted frame is
+    // derived from data files that may PREDATE the declaration
+    V.compactFiles(spark, path)
+    assert(V.columnDefaults(path) == Map("tag" -> "'web'"),
+      "compaction must republish the declared default metadata")
     // clear: omitting the column is a schema-evolution append again
     // (publishes the narrower frame schema — the pre-defaults shape)
     V.clearColumnDefault(spark, path, "tag")
