@@ -912,6 +912,39 @@ object GraftTableChanges {
   }
 }
 
+/** `SELECT * FROM table_history('ns.tbl')` — the SQL DESCRIBE-HISTORY
+  * surface over catalog names (r13; the same TVF seam as
+  * [[GraftTableChanges]]): one row per commit/snapshot through each
+  * format's existing history API. Pure metadata — no data file is
+  * opened at any scale. */
+object GraftTableHistory {
+  def apply(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"table_history: $msg")
+    if (args.size != 1) bad("expected table_history('namespace.table')")
+    val ident = args.head match {
+      case Literal(v, _) => String.valueOf(v)
+      case _ => bad("the table name must be a literal")
+    }
+    val parts0 = ident.split('.').toSeq.filter(_.nonEmpty)
+    val parts = if (parts0.headOption.contains("graft")) parts0.tail else parts0
+    if (parts.size != 2) bad(s"'$ident' must name [graft.]namespace.table")
+    val cat =
+      try spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+      catch { case _: Exception => bad("the 'graft' catalog is not registered " +
+        "(set spark.sql.catalog.graft + .warehouse)") }
+    val t = cat.loadTable(Identifier.of(Array(parts.head), parts(1)))
+      .asInstanceOf[GraftTable]
+    val df = t.format match {
+      case "delta" => graft.interop.DeltaLake.history(spark, t.path)
+      case "iceberg" => graft.interop.Iceberg.history(spark, t.path)
+      case _ => Versioned.history(spark, t.path)
+    }
+    df.queryExecution.analyzed
+  }
+}
+
 /** INSERT INTO / INSERT OVERWRITE a catalog table, through the
   * format's log-commit writers. Alignment follows SQL's insert
   * contract: positional (with casts to the declared column types), or

@@ -57,6 +57,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         GraftTableChanges.getClass.getName, "table_changes"),
       (args: Seq[Expression]) => GraftTableChanges(args)))
+    // DESCRIBE HISTORY as a TVF over catalog names (r13) — one
+    // metadata row per commit/snapshot, per format
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_history"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftTableHistory.getClass.getName, "table_history"),
+      (args: Seq[Expression]) => GraftTableHistory(args)))
   }
 }
 

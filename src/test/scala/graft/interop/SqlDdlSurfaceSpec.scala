@@ -89,4 +89,30 @@ class SqlDdlSurfaceSpec extends AnyFunSuite with SparkFixture {
     assert(e5.getMessage.toLowerCase.contains("unique") ||
       e5.getMessage.contains("enforceable"), e5.getMessage)
   }
+
+  test("table_history TVF: one metadata row per commit, all three formats") {
+    import spark.implicits._
+    val whd = wh("dbhist"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbhist")
+    def rows(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val dp = whd.resolve("td").toString
+    DeltaLake.write(rows(2), dp)
+    DeltaLake.write(rows(1), dp, mode = SaveMode.Append)
+    val dh = spark.sql(
+      "SELECT * FROM table_history('dbhist.td') ORDER BY version").collect()
+    assert(dh.length == 2, s"two delta commits, got ${dh.length}")
+    val ip = whd.resolve("ti").toString
+    Iceberg.write(rows(2), ip)
+    Iceberg.write(rows(1), ip, mode = SaveMode.Append)
+    assert(spark.sql("SELECT count(*) FROM table_history('graft.dbhist.ti')")
+      .head().getLong(0) == 2L, "two iceberg snapshots")
+    val gp = whd.resolve("tg").toString
+    graft.ingest.Versioned.commit(rows(2), gp)
+    graft.ingest.Versioned.appendCommit(rows(1), gp)
+    assert(spark.sql("SELECT count(*) FROM table_history('dbhist.tg')")
+      .head().getLong(0) == 2L, "two graft versions")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_history('nope')").collect())
+    assert(e.getMessage.contains("namespace.table"), e.getMessage)
+  }
 }
