@@ -28,6 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.rollback_to_snapshot('ns.tbl', version => 3)          -- all formats
   *   CALL graft.system.rollback_to_snapshot('ns.tbl', timestamp_ms => ...)  -- as-of form
   *   CALL graft.system.sync_identity('ns.tbl', column => 'id')    -- delta (r13)
+  *   CALL graft.system.create_ref('ns.tbl', name => 'audit', type => 'tag')  -- iceberg
+  *   CALL graft.system.fast_forward('ns.tbl', branch => 'staging')  -- WAP publish
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -41,7 +43,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
       "analyze_table", "replace_partition_spec", "rollback_to_snapshot",
-      "sync_identity")
+      "sync_identity", "create_ref", "drop_ref", "fast_forward")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -115,6 +117,19 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "sync_identity" => Array(
       p("table", StringType).build(),
       p("column", StringType).build())
+    case "create_ref" => Array(
+      p("table", StringType).build(),
+      p("name", StringType).build(),
+      // 'tag' pins an audit/rollback anchor; 'branch' stages WAP writes
+      p("type", StringType).defaultValue("'tag'").build(),
+      // -1 = the CURRENT snapshot
+      p("snapshot_id", LongType).defaultValue("-1").build())
+    case "drop_ref" => Array(
+      p("table", StringType).build(),
+      p("name", StringType).build())
+    case "fast_forward" => Array(
+      p("table", StringType).build(),
+      p("branch", StringType).build())
     case "rollback_to_snapshot" => Array(
       p("table", StringType).build(),
       // exactly ONE of the two selectors: `version` is the Delta/graft
@@ -137,6 +152,8 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "replace_partition_spec" => StructType(Nil).add("spec_id", LongType)
     case "rollback_to_snapshot" => StructType(Nil).add("restored_to", LongType)
     case "sync_identity" => StructType(Nil).add("result_version", LongType)
+    case "create_ref" | "fast_forward" => StructType(Nil).add("snapshot_id", LongType)
+    case "drop_ref" => StructType(Nil).add("dropped", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -183,6 +200,30 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       val v = graft.interop.DeltaLake.syncIdentity(spark, path,
         input.getUTF8String(1).toString)
       return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](v))))
+    }
+    if (procName == "create_ref" || procName == "drop_ref" || procName == "fast_forward") {
+      // Iceberg's refs layer (spec `refs` map): tags pin snapshots
+      // against expiry, branches stage write-audit-publish flows,
+      // fast_forward is the PUBLISH step. The other formats have no
+      // named-ref concept in their protocols — loud refusal.
+      require(fmt == "iceberg",
+        s"GraftCatalog $procName: $fmt tables have no named-ref layer " +
+          "(Iceberg refs only — Delta/graft history addresses by version)")
+      val I = graft.interop.Iceberg
+      val out: Long = procName match {
+        case "create_ref" =>
+          val name = input.getUTF8String(1).toString
+          val refType = input.getUTF8String(2).toString
+          val sid0 = input.getLong(3)
+          val sid = if (sid0 >= 0) sid0 else I.snapshot(spark, path).snapshotId
+          I.createRef(spark, path, name, sid, refType)
+          sid
+        case "drop_ref" =>
+          I.dropRef(spark, path, input.getUTF8String(1).toString); 1L
+        case _ =>
+          I.fastForward(spark, path, input.getUTF8String(1).toString)
+      }
+      return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](out))))
     }
     if (procName == "rollback_to_snapshot") {
       // SQL RESTORE surface: dispatch to each format's existing

@@ -155,6 +155,42 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("iceberg only"), e2.getMessage)
   }
 
+  test("CALL create_ref / drop_ref / fast_forward: the refs layer from SQL") {
+    import spark.implicits._
+    val whd = wh("dbref"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbref")
+    val ip = whd.resolve("ti").toString
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), ip)
+    // tag the current snapshot (snapshot_id defaulted), then pin-check
+    val pinned = spark.sql(
+      "CALL graft.system.create_ref('dbref.ti', name => 'audit')").collect().head.getLong(0)
+    assert(Iceberg.refs(ip)("audit") == ((pinned, "tag")))
+    // stage onto a branch, publish via fast_forward — the WAP loop
+    spark.sql("CALL graft.system.create_ref('dbref.ti', name => 'stage', type => 'branch')")
+      .collect()
+    Iceberg.write(Seq((3L, "c")).toDF("k", "v"), ip,
+      mode = SaveMode.Append, toBranch = Some("stage"))
+    assert(spark.table("graft.dbref.ti").count() == 2L,
+      "main's readers must not see the staged branch write")
+    spark.sql("CALL graft.system.fast_forward('dbref.ti', branch => 'stage')").collect()
+    assert(spark.table("graft.dbref.ti").count() == 3L,
+      "fast_forward publishes the branch head to main")
+    spark.sql("CALL graft.system.drop_ref('dbref.ti', name => 'stage')").collect()
+    assert(!Iceberg.refs(ip).contains("stage") && Iceberg.refs(ip).contains("audit"))
+    // refusals: duplicate ref, unknown ref, non-iceberg format
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.create_ref('dbref.ti', name => 'audit')").collect())
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.drop_ref('dbref.ti', name => 'nope')").collect())
+    assert(e2.getMessage.contains("no ref"), e2.getMessage)
+    val dp = whd.resolve("td").toString
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), dp)
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.create_ref('dbref.td', name => 't')").collect())
+    assert(e3.getMessage.contains("no named-ref layer"), e3.getMessage)
+  }
+
   test("CALL rollback_to_snapshot restores all three formats; bad targets refuse") {
     import spark.implicits._
     val whd = wh("dbmr"); Writers.deleteTree(whd)
