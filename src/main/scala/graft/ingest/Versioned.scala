@@ -935,10 +935,15 @@ object Versioned {
   /** Commit `df` as the next (unpartitioned) version; returns it.
     * `meta` rides in the commit's atomic `_meta` (e.g. a consumer's
     * applied-watermark — see stream_t11's CDF materialization loop). */
-  def commit(df: DataFrame, path: String, meta: Map[String, String] = Map.empty,
+  def commit(df0: DataFrame, path: String, meta: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Nil): Long = {
     val (fs, root) = Writers.fsFor(path)
     val prev = currentVersion(path)
+    // a full-snapshot REPLACE on an identity table mirrors Delta's
+    // overwrite: an omitted identity column generates past the
+    // watermark (truncate never resets identity), an ALWAYS-carried
+    // one refuses, and the declaration rides the republished schema
+    val df = prev.map(b => fillIdentity(df0, fs, root, b)._1).getOrElse(df0)
     val v = claimNext(fs, root, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, v).toString)
     val entries = localEntries(fs, root, v, partitioned = false)
@@ -1419,15 +1424,20 @@ object Versioned {
     require(statsCols.forall(c => !layout.contains(c)),
       s"Versioned.appendCommitPartitioned: statsCols must be data columns, not partition " +
         s"columns (${layout.mkString(", ")})")
-    val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
-    df.write.mode(SaveMode.Overwrite).partitionBy(layout: _*)
+    val (df1, idGenerated) = fillIdentity(fillDefaults(df, fs, root, base), fs, root, base)
+    val (v, derivedBase) = claimAppend(fs, root, path, base, df1.schema)
+    // identity re-stamp on a derived base — same rule as appendCommit
+    val dfW = if (idGenerated && derivedBase != base)
+      fillIdentity(fillDefaults(df, fs, root, derivedBase), fs, root, derivedBase)._1
+    else df1
+    dfW.write.mode(SaveMode.Overwrite).partitionBy(layout: _*)
       .parquet(dataDir(root, v).toString)
     val local = localEntries(fs, root, v, partitioned = true)
     val adds =
       if (statsCols.isEmpty) local
-      else withFileStats(df.sparkSession, root, local, statsCols)
+      else withFileStats(dfW.sparkSession, root, local, statsCols)
     publishDelta(fs, root, v, derivedBase,
-      adds = adds, removes = Nil, schema = df.schema, meta = meta)
+      adds = adds, removes = Nil, schema = dfW.schema, meta = meta)
   }
 
   def appendCommit(
@@ -1536,12 +1546,16 @@ object Versioned {
     val (fs, root) = Writers.fsFor(path)
     fs.mkdirs(root)
     val base = currentVersion(path).getOrElse(0L)
-    val df = fillDefaults(df0, fs, root, base)
+    val (df1, idGenerated) = fillIdentity(fillDefaults(df0, fs, root, base), fs, root, base)
     val idx = batchIndexAt(fs, root, base)
     idx.get(batchId) match {
       case Some(v) => v // replay: already committed, skip
       case None =>
-        val (v, derivedBase) = claimAppend(fs, root, path, base, df.schema)
+        val (v, derivedBase) = claimAppend(fs, root, path, base, df1.schema)
+        // identity re-stamp on a derived base — same rule as appendCommit
+        val df = if (idGenerated && derivedBase != base)
+          fillIdentity(fillDefaults(df0, fs, root, derivedBase), fs, root, derivedBase)._1
+        else df1
         // a rebase means rivals landed between the index read and the
         // claim — re-read the index AT THE DERIVED BASE before writing:
         // one of them may have been THIS batch replayed concurrently,

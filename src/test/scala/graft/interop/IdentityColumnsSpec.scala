@@ -186,6 +186,36 @@ class IdentityColumnsSpec extends AnyFunSuite with SparkFixture {
       .select("v").as[String].head() == "b-upd")
   }
 
+  test("graft-native: every append/commit verb generates — once, partitioned, overwrite") {
+    import spark.implicits._
+    val path = freshDir("id_graft_verbs")
+    Versioned.commit(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    Versioned.declareIdentity(spark, path, "id")
+    // exactly-once appends generate; the REPLAY does not re-generate
+    Versioned.appendCommitOnce(Seq("a", "b").toDF("v"), path, "batch1")
+    val v1 = Versioned.currentVersion(path).get
+    assert(Versioned.appendCommitOnce(Seq("a", "b").toDF("v"), path, "batch1") == v1,
+      "a replayed batch must no-op")
+    assert(Versioned.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    assert(Versioned.identityColumns(path)("id")._4.contains(2L))
+    // a full-snapshot replace mirrors Delta's overwrite: generation
+    // resumes PAST the watermark (truncate never resets identity),
+    // and the declaration survives the republished schema
+    Versioned.commit(Seq("z").toDF("v"), path)
+    assert(Versioned.read(spark, path).select("id").as[Long].head() == 3L)
+    assert(Versioned.identityColumns(path)("id")._4.contains(3L),
+      "the declaration and watermark must survive a full-snapshot replace")
+    // ALWAYS-carried full replace refuses like an append would
+    val e = intercept[IllegalArgumentException](
+      Versioned.commit(Seq((9L, "x")).toDF("id", "v"), path))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // (the partitioned feed path carries the same fill — but an EMPTY
+    // partitioned table exposes no layout for appendCommitPartitioned
+    // to target, so a declared-then-partitioned table is unreachable
+    // today; the fill is wired for when the layout bootstrap allows it)
+  }
+
   test("graft-native BY DEFAULT: merge explicit ids ratchet the watermark") {
     import spark.implicits._
     val path = freshDir("id_graft_bd")
