@@ -1724,7 +1724,10 @@ object Versioned {
   def loadBloomIndex(
       spark: SparkSession, fs: FileSystem, root: HPath,
       entries: Seq[ManifestEntry], column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    val owners = entries.map(e => e.relPath.takeWhile(_ != '/')).distinct
+    // ABSOLUTE entries (a Delta shallow clone's foreign-root
+    // references) have no owning version dir and no bloom sidecars
+    val owners = entries.map(e => e.relPath.takeWhile(_ != '/'))
+      .filter(_.nonEmpty).distinct
     val dirs = owners.map(o => new HPath(new HPath(root, o), "bloom"))
       .filter(fs.exists(_)).map(_.toString)
     if (dirs.isEmpty) Map.empty

@@ -2480,6 +2480,66 @@ object DeltaLake {
     v
   }
 
+  // ----------------------------------------------------- shallow clone
+
+  /** SHALLOW CLONE — Delta's zero-copy table copy: ONE v0 commit at
+    * `targetPath` whose add actions reference the SOURCE snapshot's
+    * files by ABSOLUTE path (the spec admits absolute add paths; the
+    * reader resolves them verbatim). Cloning a 100 TB table costs
+    * O(files) log lines and zero data bytes — the dev/test/experiment
+    * snapshot pattern. The clone carries the source's full table
+    * definition: protocol, schema (declarations included), partition
+    * columns, configuration, and every domainMetadata (so a cloned
+    * row-tracked table keeps its id watermark and a cloned clustered
+    * table its clustering domain). `u`-storage deletion vectors are
+    * re-addressed as `p` (absolute) descriptors — a `u` descriptor
+    * resolves against the TABLE root, which changes under a clone.
+    * After the clone the two tables diverge independently: writes on
+    * either side never touch the other's log, the clone's compaction
+    * rewrites referenced files into its OWN root, and vacuum on the
+    * clone never deletes outside its root (it walks only the target
+    * directory). The documented Delta caveat applies: vacuuming the
+    * SOURCE can reclaim files a clone still references — pin a tag or
+    * retention window on sources of long-lived clones. */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = {
+    val src = snapshot(spark, sourcePath)
+    // the clone republishes the source's protocol — refuse features
+    // this writer doesn't understand, same as any write would
+    gateWriter(src, sourcePath, "shallowClone", mutates = false)
+    val (fs, root) = Writers.fsFor(targetPath)
+    val (_, sroot) = Writers.fsFor(sourcePath)
+    val srcPrefix = sroot.toUri.getPath.stripSuffix("/")
+    require(srcPrefix != root.toUri.getPath.stripSuffix("/"),
+      "DeltaLake.shallowClone: source and target are the same table")
+    require(!fs.exists(logDir(root)),
+      s"DeltaLake.shallowClone: $targetPath already has a Delta log")
+    fs.mkdirs(logDir(root))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += protocolLine(src.protocol)
+    lines += metaDataLine(src.rawSchema, src.partitionColumns, now, src.configuration)
+    src.domains.toSeq.sortBy(_._1).foreach { case (dom, conf) =>
+      lines += domainLine(dom, conf)
+    }
+    src.files.foreach { f =>
+      lines += addLine(f.copy(
+        // a clone of a clone keeps already-absolute references
+        path = if (f.path.startsWith("/")) f.path else s"$srcPrefix/${f.path}",
+        dv = f.dv.map {
+          case d if d.storageType == "u" => d.copy(storageType = "p",
+            pathOrInlineDv = DeltaDv.uuidPath(sroot, d.pathOrInlineDv).toUri.getPath)
+          case d => d
+        }))
+    }
+    val ci = Json.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now); info.put("operation", "CLONE")
+    info.put("source", sourcePath)
+    lines += Json.writeValueAsString(ci)
+    commitLines(fs, root, 0L, lines.toSeq, src.configuration)
+    0L
+  }
+
   // ------------------------------------------------ table statistics
 
   /** Where the ANALYZE artifact lives: Delta's protocol has no
@@ -3432,8 +3492,12 @@ object DeltaLake {
     val (_, root) = Writers.fsFor(path)
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
     val abs = new java.net.URI(raw).getPath
-    require(abs.startsWith(rootPrefix), s"DeltaLake.$op: foreign file $abs")
-    abs.stripPrefix(rootPrefix)
+    if (abs.startsWith(rootPrefix)) abs.stripPrefix(rootPrefix)
+    // a SHALLOW CLONE's foreign-root reference: its add action records
+    // the absolute path, so the absolute path IS the snapshot key —
+    // rewrites remove it by that key and stage replacements under this
+    // table's own root
+    else abs
   }
 
   /** The shared rewrite tail: stage `newData` in the table's layout,

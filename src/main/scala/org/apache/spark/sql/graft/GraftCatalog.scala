@@ -113,6 +113,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableDir(ident: Identifier): HPath =
     dirOf(ident.namespace.toSeq :+ ident.name)
 
+  /** The directory a (possibly not-yet-existing) table name maps to —
+    * what CALL clone's target resolution needs. */
+  private[graft] def tableDirFor(ident: Identifier): HPath = tableDir(ident)
+
   /** The table's format from its own on-disk signature — a `_delta_log`
     * dir (Delta), a `metadata` dir holding `.metadata.json` files
     * (Iceberg), a committed graft version. None = not a table. */

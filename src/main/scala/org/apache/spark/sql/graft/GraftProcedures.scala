@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.sync_identity('ns.tbl', column => 'id')    -- delta (r13)
   *   CALL graft.system.create_ref('ns.tbl', name => 'audit', type => 'tag')  -- iceberg
   *   CALL graft.system.fast_forward('ns.tbl', branch => 'staging')  -- WAP publish
+  *   CALL graft.system.clone('ns.tbl', target => 'ns.tbl_dev')  -- delta zero-copy
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -43,7 +44,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
       "analyze_table", "replace_partition_spec", "rollback_to_snapshot",
-      "sync_identity", "create_ref", "drop_ref", "fast_forward")
+      "sync_identity", "create_ref", "drop_ref", "fast_forward", "clone")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -130,6 +131,9 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "fast_forward" => Array(
       p("table", StringType).build(),
       p("branch", StringType).build())
+    case "clone" => Array(
+      p("table", StringType).build(),
+      p("target", StringType).build())
     case "rollback_to_snapshot" => Array(
       p("table", StringType).build(),
       // exactly ONE of the two selectors: `version` is the Delta/graft
@@ -154,6 +158,7 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "sync_identity" => StructType(Nil).add("result_version", LongType)
     case "create_ref" | "fast_forward" => StructType(Nil).add("snapshot_id", LongType)
     case "drop_ref" => StructType(Nil).add("dropped", LongType)
+    case "clone" => StructType(Nil).add("version", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -199,6 +204,24 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
           "to sync (Delta identityColumns only)")
       val v = graft.interop.DeltaLake.syncIdentity(spark, path,
         input.getUTF8String(1).toString)
+      return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](v))))
+    }
+    if (procName == "clone") {
+      // SHALLOW CLONE to a new catalog name: one metadata commit whose
+      // adds reference the source's files absolutely — zero data bytes
+      // at any scale. Delta's signature zero-copy verb; the other
+      // formats' metadata layers don't admit foreign-root file
+      // references in this library.
+      require(fmt == "delta",
+        s"GraftCatalog clone: SHALLOW CLONE is Delta's zero-copy verb — $fmt " +
+          "tables are not cloneable here")
+      val tgtName = input.getUTF8String(1).toString
+      val tparts0 = tgtName.split('.').toSeq.filter(_.nonEmpty)
+      val tparts = if (tparts0.headOption.contains("graft")) tparts0.tail else tparts0
+      require(tparts.size == 2,
+        s"GraftCatalog clone: target '$tgtName' must name [graft.]namespace.table")
+      val tdir = cat.tableDirFor(Identifier.of(Array(tparts.head), tparts(1)))
+      val v = graft.interop.DeltaLake.shallowClone(spark, path, tdir.toString)
       return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](v))))
     }
     if (procName == "create_ref" || procName == "drop_ref" || procName == "fast_forward") {
