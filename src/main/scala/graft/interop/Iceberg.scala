@@ -416,9 +416,129 @@ object Iceberg {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
-        {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 520}
+        {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 520},
+        {"name": "partitions", "default": null, "field-id": 507, "type": ["null",
+          {"type": "array", "element-id": 508, "items": {
+            "type": "record", "name": "r508", "fields": [
+              {"name": "contains_null", "type": "boolean", "field-id": 509},
+              {"name": "contains_nan", "type": ["null", "boolean"], "default": null, "field-id": 518},
+              {"name": "lower_bound", "type": ["null", "bytes"], "default": null, "field-id": 510},
+              {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
+            ]}}]}
       ]
     }""")
+
+  /** Field-507 PARTITION SUMMARIES for a new data manifest — one
+    * `field_summary` (r508) per partition-spec field, in SPEC ORDER:
+    * contains_null, contains_nan (tracked for float/double fields,
+    * null = unknown otherwise), and single-value-serialized
+    * lower/upper bounds over the manifest's LIVE entries (status 2
+    * drops — a summary only has to cover rows a scan could return;
+    * including aged-out files would just widen it). This is what lets
+    * planning prune a WHOLE manifest from the manifest list alone —
+    * without it every manifest Avro must be fetched before per-file
+    * bounds can prune, O(manifests) metadata IO at planning
+    * ([[IcebergManifestListIndex]] is the read half). Returns null
+    * (spec: optional field) for an unpartitioned spec. */
+  private def partitionSummariesOfEntries(
+      entries: Seq[GenericRecord], fieldNames: Seq[String]): AnyRef = {
+    if (fieldNames.isEmpty) return null
+    val arrSchema = manifestFileSchema.getField("partitions").schema().getTypes.get(1)
+    val itemSchema = arrSchema.getElementType
+    val out = new java.util.ArrayList[GenericRecord](fieldNames.size)
+    fieldNames.foreach { fn =>
+      var containsNull = false
+      var sawNan = false
+      var sawFloating = false
+      var lo: Any = null
+      var hi: Any = null
+      entries.foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
+          val part = e.get("data_file").asInstanceOf[GenericRecord]
+            .get("partition").asInstanceOf[GenericRecord]
+          val v = if (part.getSchema.getField(fn) == null) null else part.get(fn)
+          v match {
+            case null => containsNull = true
+            case f: java.lang.Float if f.isNaN => sawFloating = true; sawNan = true
+            case d: java.lang.Double if d.isNaN => sawFloating = true; sawNan = true
+            case v2 =>
+              sawFloating ||= v2.isInstanceOf[java.lang.Float] || v2.isInstanceOf[java.lang.Double]
+              if (lo == null || rawPartCompare(v2, lo) < 0) lo = v2
+              if (hi == null || rawPartCompare(v2, hi) > 0) hi = v2
+          }
+        }
+      }
+      val rec = new GenericData.Record(itemSchema)
+      rec.put("contains_null", containsNull)
+      rec.put("contains_nan", if (sawFloating || sawNan) Boolean.box(sawNan) else null)
+      rec.put("lower_bound", encodeRawPartBound(lo))
+      rec.put("upper_bound", encodeRawPartBound(hi))
+      out.add(rec): Unit
+    }
+    new GenericData.Array(arrSchema, out)
+  }
+
+  /** Ordering over the manifest partition record's RAW Avro domain
+    * (int days for dates, long micros for timestamps — so numeric
+    * compare is always exact). Strings compare BYTE-WISE over UTF-8
+    * (code-point order — the spec's single-value serialization sorts
+    * this way, and the summary read path compares the same way, so a
+    * probe never lands on the wrong side of a bound). */
+  private def rawPartCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: CharSequence, y: CharSequence) =>
+      java.util.Arrays.compareUnsigned(
+        x.toString.getBytes("UTF-8"), y.toString.getBytes("UTF-8"))
+    case other => throw new IllegalArgumentException(
+      s"Iceberg: cannot order partition summary values $other")
+  }
+
+  /** Single-value serialization (spec Appendix D) of a raw Avro
+    * partition value — little-endian numerics, UTF-8 strings, one
+    * 0x00/0x01 byte for booleans. Null in, null out. */
+  private def encodeRawPartBound(v: Any): java.nio.ByteBuffer = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val b = v match {
+      case null => return null
+      case x: java.lang.Integer => le(4).putInt(x)
+      case x: java.lang.Long => le(8).putLong(x)
+      case x: java.lang.Float => le(4).putFloat(x)
+      case x: java.lang.Double => le(8).putDouble(x)
+      case x: java.lang.Boolean =>
+        return ByteBuffer.wrap(Array[Byte](if (x) 1 else 0))
+      case x: CharSequence => return ByteBuffer.wrap(x.toString.getBytes("UTF-8"))
+      case other => throw new IllegalArgumentException(
+        s"Iceberg: cannot serialize partition summary bound $other")
+    }
+    b.flip(); b
+  }
+
+  /** Decode a field-507 bound back into the raw Avro partition domain
+    * of `dt` (a transform's RESULT type). Width-widening mirrors
+    * [[decodeBound]]'s type-promotion rule; None = a type/width this
+    * module cannot prune on (never wrongly skipped). */
+  private def decodeRawPartBound(dt: DataType, raw: java.nio.ByteBuffer): Option[Any] = {
+    import java.nio.ByteOrder
+    val b = raw.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case _: IntegerType | _: DateType if b.remaining == 4 => Some(b.getInt)
+      case _: LongType | _: TimestampType | _: TimestampNTZType if b.remaining == 8 =>
+        Some(b.getLong)
+      case _: LongType if b.remaining == 4 => Some(b.getInt.toLong)
+      case _: FloatType if b.remaining == 4 => Some(b.getFloat)
+      case _: DoubleType if b.remaining == 8 => Some(b.getDouble)
+      case _: DoubleType if b.remaining == 4 => Some(b.getFloat.toDouble)
+      case _: BooleanType if b.remaining == 1 => Some(b.get() != 0)
+      case _: StringType =>
+        val arr = new Array[Byte](b.remaining); b.get(arr); Some(new String(arr, "UTF-8"))
+      case _ => None
+    }
+  }
 
   /** The spec's `manifest_entry` record with its nested `data_file`
     * (r2) and per-table `partition` (r102) records, including the
@@ -917,6 +1037,90 @@ object Iceberg {
     (main ++ named.sortBy(_._1)).toDF("name", "type", "snapshot_id")
   }
 
+  /** The data-file bounds decoder for one table's current schema:
+    * manifest `lower_bounds`/`upper_bounds` maps (field-id keyed)
+    * → column-name keyed [lo, hi] in the planning stats domain. */
+  private def boundsDecoderFor(spark: SparkSession,
+      meta: JsonNode): GenericRecord => Map[String, (Any, Any)] = {
+    // field-id -> column, for decoding the bounds maps
+    val idToField: Map[Int, StructField] = {
+      val sn = currentSchemaNode(meta)
+      iterator(sn.get("fields")).map(f =>
+        f.get("id").asInt -> StructField(f.get("name").asText,
+          sparkType(f.get("type").asText))).toMap
+    }
+    def boundBuffers(dfr: GenericRecord, field: String): Map[Int, java.nio.ByteBuffer] =
+      if (dfr.getSchema.getField(field) == null) Map.empty
+      else dfr.get(field) match {
+        case l: java.util.List[_] =>
+          l.toArray.collect { case kv: GenericRecord =>
+            kv.get("key").asInstanceOf[Int] -> kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          }.toMap
+        case _ => Map.empty
+      }
+    val boundZone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    dfr => {
+      val lows = boundBuffers(dfr, "lower_bounds")
+      val highs = boundBuffers(dfr, "upper_bounds")
+      (lows.keySet intersect highs.keySet).toSeq.flatMap { fid =>
+        idToField.get(fid).flatMap { f =>
+          for {
+            lo <- decodeBound(f.dataType, lows(fid), boundZone, ceil = false)
+            hi <- decodeBound(f.dataType, highs(fid), boundZone, ceil = true)
+          } yield f.name -> (lo, hi)
+        }
+      }.toMap
+    }
+  }
+
+  /** Decode one DATA manifest's live entries into [[DataFileRef]]s —
+    * the per-manifest planning fetch (counted by
+    * [[IcebergIntrospect]]), shared by the eager [[snapshot]] walk and
+    * the manifest-pruning lazy index, so the two paths can never
+    * drift. */
+  private def decodeDataManifest(fs: FileSystem, tablePath: String, mPath: HPath,
+      mSeq: Long, mFirstRow: Option[Long], mSpecId: Int, mFields: Seq[PartField],
+      schema: StructType,
+      decodeBounds: GenericRecord => Map[String, (Any, Any)]): Seq[DataFileRef] = {
+    IcebergIntrospect.countOpen(tablePath)
+    // v3 row-lineage inheritance: files without an explicit
+    // first_row_id consume the manifest's id range in entry order
+    var lineageAssigned = 0L
+    readAvro(fs, mPath).flatMap { e =>
+      val status = e.get("status").asInstanceOf[Int]
+      if (status == 2) None // 0 existing, 1 added, 2 deleted
+      else {
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("file_format").toString.toUpperCase == "PARQUET",
+          s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
+        // the spec's sequence-number inheritance: null on the entry →
+        // the manifest-list record's sequence number
+        val seq = avroOpt(e, "sequence_number")
+          .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        // decode under the MANIFEST'S OWN spec — an evolved
+        // table's pre-evolution files key by their old fields
+        val pv: Map[String, Option[String]] = mFields.map { f =>
+          f.name -> Option(
+            if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
+            .map(renderTransformValue(schema, f, _))
+        }.toMap
+        val fileFirst = avroOpt(df, "first_row_id").map(_.asInstanceOf[Long])
+          .orElse(mFirstRow.map { base =>
+            val v = base + lineageAssigned
+            lineageAssigned += df.get("record_count").asInstanceOf[Long]
+            v
+          })
+        Some(DataFileRef(df.get("file_path").toString, pv,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst,
+          sortOrderId = avroOpt(df, "sort_order_id").map(_.asInstanceOf[Int]),
+          specId = mSpecId))
+      }
+    }
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {
@@ -937,34 +1141,14 @@ object Iceberg {
       .find(_.get("snapshot-id").asLong == wantId)
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg: snapshot $wantId of $path does not exist"))
-    // field-id -> column, for decoding the bounds maps
+    val decodeBounds = boundsDecoderFor(spark, meta)
+    // field-id -> column: equality-delete column resolution and the
+    // scan schema's parquet.field.id stamping
     val idToField: Map[Int, StructField] = {
       val sn = currentSchemaNode(meta)
       iterator(sn.get("fields")).map(f =>
         f.get("id").asInt -> StructField(f.get("name").asText,
           sparkType(f.get("type").asText))).toMap
-    }
-    def boundBuffers(dfr: GenericRecord, field: String): Map[Int, java.nio.ByteBuffer] =
-      if (dfr.getSchema.getField(field) == null) Map.empty
-      else dfr.get(field) match {
-        case l: java.util.List[_] =>
-          l.toArray.collect { case kv: GenericRecord =>
-            kv.get("key").asInstanceOf[Int] -> kv.get("value").asInstanceOf[java.nio.ByteBuffer]
-          }.toMap
-        case _ => Map.empty
-      }
-    val boundZone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-    def decodeBounds(dfr: GenericRecord): Map[String, (Any, Any)] = {
-      val lows = boundBuffers(dfr, "lower_bounds")
-      val highs = boundBuffers(dfr, "upper_bounds")
-      (lows.keySet intersect highs.keySet).toSeq.flatMap { fid =>
-        idToField.get(fid).flatMap { f =>
-          for {
-            lo <- decodeBound(f.dataType, lows(fid), boundZone, ceil = false)
-            hi <- decodeBound(f.dataType, highs(fid), boundZone, ceil = true)
-          } yield f.name -> (lo, hi)
-        }
-      }.toMap
     }
     val files = scala.collection.mutable.ArrayBuffer.empty[DataFileRef]
     val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
@@ -993,44 +1177,24 @@ object Iceberg {
       require(mContent == 0 || mContent == 1,
         s"Iceberg: $path snapshot $wantId references a manifest of unknown content $mContent")
       val mFields = allSpecs.getOrElse(mSpecId, partFields)
-      // v3 row-lineage inheritance: files without an explicit
-      // first_row_id consume the manifest's id range in entry order
-      var lineageAssigned = 0L
+      if (mContent == 0) {
+        files ++= decodeDataManifest(fs, path, mPath, mSeq, mFirstRow, mSpecId,
+          mFields, schema, decodeBounds)
+      } else
       readAvro(fs, mPath).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 0 existing, 1 added, 2 deleted
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString.toUpperCase
-          // data files and v2 delete files must be parquet; a v3
-          // deletion vector is a PUFFIN delete entry (handled below)
-          require(fmt == "PARQUET" || (mContent == 1 && fmt == "PUFFIN"),
+          // v2 delete files must be parquet; a v3 deletion vector is a
+          // PUFFIN delete entry (handled below)
+          require(fmt == "PARQUET" || fmt == "PUFFIN",
             s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
           // the spec's sequence-number inheritance: null on the entry →
           // the manifest-list record's sequence number
           val seq = avroOpt(e, "sequence_number")
             .map(_.asInstanceOf[Long]).getOrElse(mSeq)
-          if (mContent == 0) {
-            val part = df.get("partition").asInstanceOf[GenericRecord]
-            // decode under the MANIFEST'S OWN spec — an evolved
-            // table's pre-evolution files key by their old fields
-            val pv: Map[String, Option[String]] = mFields.map { f =>
-              f.name -> Option(
-                if (part.getSchema.getField(f.name) == null) null else part.get(f.name))
-                .map(renderTransformValue(schema, f, _))
-            }.toMap
-            val fileFirst = avroOpt(df, "first_row_id").map(_.asInstanceOf[Long])
-              .orElse(mFirstRow.map { base =>
-                val v = base + lineageAssigned
-                lineageAssigned += df.get("record_count").asInstanceOf[Long]
-                v
-              })
-            files += DataFileRef(df.get("file_path").toString, pv,
-              df.get("record_count").asInstanceOf[Long],
-              df.get("file_size_in_bytes").asInstanceOf[Long],
-              bounds = decodeBounds(df), seq = seq, firstRowId = fileFirst,
-              sortOrderId = avroOpt(df, "sort_order_id").map(_.asInstanceOf[Int]),
-              specId = mSpecId)
-          } else avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
+          avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
             case 1 if fmt == "PUFFIN" =>
               // v3 deletion vector: the entry names the covered data
               // file and the blob's location inside the puffin file
@@ -1125,9 +1289,25 @@ object Iceberg {
     * with the deletes applied as ONE broadcast row-index filter
     * ([[graft.functions.DvMap]] — no join node, the same merge-on-read
     * shape as the native format's deletion vectors). */
-  def read(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame = {
-    val s = snapshot(spark, path, snapshotId)
-    snapshotFrame(spark, path, s, withMeta = false)
+  def read(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame =
+    lazyRelationFor(spark, path, snapshotId) match {
+      // clean snapshot: plan through the manifest-list-pruning index —
+      // a partition/stats filter skips whole MANIFESTS (field 507)
+      // before any manifest Avro is fetched
+      case Some(rel) =>
+        stripFieldIds(spark.asInstanceOf[ClassicSession].baseRelationToDataFrame(rel))
+      case None =>
+        val s = snapshot(spark, path, snapshotId)
+        snapshotFrame(spark, path, s, withMeta = false)
+    }
+
+  /** The scan schema's parquet.field.id metadata is resolution
+    * plumbing — strip it from the USER-facing frame, or a
+    * read-then-append pipeline would fail the writer's schema-equality
+    * requires on bookkeeping the user never wrote. */
+  private def stripFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.toIndexedSeq.map(c => col(c).as(c, Metadata.empty)): _*)
   }
 
   /** The snapshot as a DataFrame; `withMeta = true` keeps the scan's
@@ -1161,12 +1341,7 @@ object Iceberg {
       withMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val classic = spark.asInstanceOf[ClassicSession]
-    // the scan schema's parquet.field.id metadata is resolution
-    // plumbing — strip it from the USER-facing frame, or a
-    // read-then-append pipeline would fail the writer's schema-equality
-    // requires on bookkeeping the user never wrote
-    def stripIds(df: DataFrame): DataFrame =
-      df.select(df.columns.toIndexedSeq.map(c => col(c).as(c, Metadata.empty)): _*)
+    def stripIds(df: DataFrame): DataFrame = stripFieldIds(df)
     val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, s))
     if (s.deletes.isEmpty && s.dvDeletes.isEmpty && !withMeta) return stripIds(base)
     // `_metadata` is a hidden column of the scan relation — attach it
@@ -1350,20 +1525,40 @@ object Iceberg {
     * cost of FileIndex planning granularity (same trade as the native
     * connector's MoR relation). */
   private[graft] def relationFor(spark: SparkSession, path: String,
-      snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
-    val s = snapshot(spark, path, snapshotId)
-    if (s.hasDeleteDebt) {
-      val classic = spark.asInstanceOf[ClassicSession]
-      new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
-        classic.sqlContext, path, snapshotId)
-    } else relationForSnapshot(spark, path, s)
-  }
+      snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation =
+    lazyRelationFor(spark, path, snapshotId).getOrElse {
+      val s = snapshot(spark, path, snapshotId)
+      if (s.hasDeleteDebt) {
+        val classic = spark.asInstanceOf[ClassicSession]
+        new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
+          classic.sqlContext, path, snapshotId)
+      } else relationForSnapshot(spark, path, s)
+    }
 
-  private def relationForSnapshot(spark: SparkSession, path: String,
-      s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
-    val classic = spark.asInstanceOf[ClassicSession]
-    val (_, root) = Writers.fsFor(path)
-    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+  /** The scan schema: each column stamps its Iceberg field id as
+    * `parquet.field.id`, so the parquet reader resolves columns BY
+    * FOOTER ID (the spec's resolution rule, active with the session's
+    * fieldId.read conf) — a renamed column keeps reading its
+    * pre-rename files, and a foreign writer's different physical
+    * naming never misreads. */
+  private def scanSchemaOf(schema: StructType, fieldIds: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      fieldIds.get(f.name) match {
+        // withMetadata: the field may already carry the EXISTS_DEFAULT
+        // read contract (v3 initial-default) — it must reach the scan
+        case Some(id) => f.copy(metadata =
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => f
+      }
+    })
+
+  /** The per-file pruning [[org.apache.spark.sql.graft.VersionedFileIndex]]
+    * over a snapshot's (possibly manifest-pruned) file set — the inner
+    * layer both the eager relation and the manifest-list-pruning lazy
+    * index plan through. */
+  private def pruningIndexFor(classic: ClassicSession, path: String, rootPrefix: String,
+      s: Snapshot, scanSchema: StructType): org.apache.spark.sql.graft.VersionedFileIndex = {
     val entries = s.files.map { f =>
       val abs = Hive.fsPathNoDecode(f.path)
       require(abs.startsWith(rootPrefix), s"Iceberg: foreign data file ${f.path}")
@@ -1397,32 +1592,337 @@ object Iceberg {
       Versioned.ManifestEntry(relPath = abs.stripPrefix(rootPrefix), partDir = partDir,
         stats = stats)
     }
-    // the scan schema stamps each column's Iceberg field id as
-    // parquet.field.id, so the parquet reader resolves columns BY
-    // FOOTER ID (the spec's resolution rule, active with the session's
-    // fieldId.read conf) — a renamed column keeps reading its
-    // pre-rename files, and a foreign writer's different physical
-    // naming never misreads
-    val scanSchema = StructType(s.schema.fields.map { f =>
-      s.fieldIds.get(f.name) match {
-        // withMetadata: the field may already carry the EXISTS_DEFAULT
-        // read contract (v3 initial-default) — it must reach the scan
-        case Some(id) => f.copy(metadata =
-          new MetadataBuilder().withMetadata(f.metadata)
-            .putLong("parquet.field.id", id.toLong).build())
-        case None => f
-      }
-    })
     // rel path → the file's spec, for per-spec transform pruning
     val specOf: Map[String, Int] = s.files.map(f =>
       Hive.fsPathNoDecode(f.path).stripPrefix(rootPrefix) -> f.specId).toMap
-    val index = new org.apache.spark.sql.graft.VersionedFileIndex(
+    new org.apache.spark.sql.graft.VersionedFileIndex(
       classic, path, s.snapshotId, entries, scanSchema, s.partitionColumns,
       transformKeep = transformKeepFn(s, specOf))
+  }
+
+  private def relationForSnapshot(spark: SparkSession, path: String,
+      s: Snapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val classic = spark.asInstanceOf[ClassicSession]
+    val (_, root) = Writers.fsFor(path)
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    val scanSchema = scanSchemaOf(s.schema, s.fieldIds)
+    val index = pruningIndexFor(classic, path, rootPrefix, s, scanSchema)
     val dataSchema =
       StructType(scanSchema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
     new org.apache.spark.sql.graft.GraftIcebergRelation(
       classic, path, index, index.partitionSchema, dataSchema, s.partitionColumns)
+  }
+
+  // ------------------------- manifest-list-pruned planning (field 507)
+
+  /** One manifest-list record's planning view: where the manifest is,
+    * its inherited sequence / row-id range / spec, how many LIVE files
+    * it carries (added + existing counts — fields 504/505), and the
+    * field-507 partition summaries (None on pre-507 lists). */
+  private[interop] final case class IcebergManifestRef(path: HPath, seq: Long,
+      firstRowId: Option[Long], specId: Int, liveFiles: Int, liveRows: Long,
+      summaries: Option[IndexedSeq[IcebergFieldSummary]])
+
+  private[interop] final case class IcebergFieldSummary(containsNull: Boolean,
+      lower: Option[java.nio.ByteBuffer], upper: Option[java.nio.ByteBuffer])
+
+  private def manifestPruningEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.iceberg.manifestListPruning").forall(_.toBoolean)
+
+  /** The LAZY planning relation: metadata JSON + ONE manifest-list
+    * Avro are the only reads needed to produce a plannable relation —
+    * every manifest fetch is deferred into [[IcebergManifestListIndex]]
+    * where the planner's filters can veto it via the field-507
+    * summaries first. At 100 TB this is the difference between
+    * O(manifests) and O(matching manifests) planning-metadata IO on
+    * every partition-filtered query.
+    *
+    * Returns None — caller falls back to the eager [[snapshot]] walk —
+    * whenever laziness cannot be semantically transparent: v1 inline
+    * manifests, an empty/missing snapshot, any delete manifest with
+    * live entries (merge-on-read debt needs the full file/delete
+    * inventory up front), or the kill-switch conf
+    * `spark.graft.iceberg.manifestListPruning=false` (the A/B seam the
+    * equivalence spec compares through). */
+  private[interop] def lazyRelationFor(spark: SparkSession, path: String,
+      snapshotId: Option[Long]): Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
+    if (!manifestPruningEnabled(spark)) return None
+    val (fs, root) = Writers.fsFor(path)
+    if (metaVersions(fs, root).isEmpty) return None // not a table: eager path's require reports
+    val (_, meta) = readMetadata(fs, root)
+    val wantId = snapshotId.orElse(
+      if (meta.hasNonNull("current-snapshot-id")) Some(meta.get("current-snapshot-id").asLong)
+      else None).getOrElse(return None)
+    val snapNode = iterator(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == wantId).getOrElse(return None)
+    if (!snapNode.hasNonNull("manifest-list")) return None
+    val listRecs = readAvro(fs, new HPath(snapNode.get("manifest-list").asText))
+    def liveCount(r: GenericRecord): Int =
+      avroOpt(r, "added_files_count").map(_.asInstanceOf[Number].intValue).getOrElse(0) +
+        avroOpt(r, "existing_files_count").map(_.asInstanceOf[Number].intValue).getOrElse(0)
+    // any live delete entry → merge-on-read semantics → eager path decides
+    if (listRecs.exists(r =>
+        avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 1 && liveCount(r) > 0))
+      return None
+    val (defaultSpecId, allSpecs) = specsFromMeta(meta)
+    val dataRefs = listRecs
+      .filter(r => avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+      .map { mf =>
+        val summaries =
+          if (mf.getSchema.getField("partitions") == null) None
+          else mf.get("partitions") match {
+            case l: java.util.List[_] if !l.isEmpty =>
+              Some(l.toArray.toIndexedSeq.map { r =>
+                val fr = r.asInstanceOf[GenericRecord]
+                IcebergFieldSummary(
+                  fr.get("contains_null").asInstanceOf[Boolean],
+                  Option(fr.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]),
+                  Option(fr.get("upper_bound").asInstanceOf[java.nio.ByteBuffer]))
+              })
+            case _ => None
+          }
+        IcebergManifestRef(new HPath(mf.get("manifest_path").toString),
+          avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+          avroOpt(mf, "first_row_id").map(_.asInstanceOf[Long]),
+          avroOpt(mf, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(defaultSpecId),
+          liveCount(mf),
+          avroOpt(mf, "added_rows_count").map(_.asInstanceOf[Number].longValue).getOrElse(0L) +
+            avroOpt(mf, "existing_rows_count").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+          summaries)
+      }
+    if (dataRefs.isEmpty) return None
+    // same spec-evolution gate as the eager walk
+    requireCompatibleIdentity(path, allSpecs, defaultSpecId, dataRefs.map(_.specId).toSet)
+    val schema = schemaFromMeta(meta)
+    val partFields = allSpecs.getOrElse(defaultSpecId, Nil)
+    val partCols = partFields.filter(_.isIdentity).map(_.name)
+    val nameMapped = Option(meta.get("properties"))
+      .exists(p => p.hasNonNull("schema.name-mapping.default"))
+    val fieldIds: Map[String, Int] =
+      if (nameMapped) Map.empty
+      else {
+        val sn = currentSchemaNode(meta)
+        iterator(sn.get("fields")).map(f =>
+          f.get("name").asText -> f.get("id").asInt).toMap
+      }
+    val decodeBounds = boundsDecoderFor(spark, meta)
+    val seqNum = Option(snapNode.get("sequence-number"))
+      .filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    val tsMs = snapNode.get("timestamp-ms").asLong
+    val classic = spark.asInstanceOf[ClassicSession]
+    val scanSchema = scanSchemaOf(schema, fieldIds)
+    val index = new IcebergManifestListIndex(classic, path, root, dataRefs,
+      allSpecs, schema, scanSchema, partCols,
+      load = m => decodeDataManifest(fs, path, m.path, m.seq, m.firstRowId, m.specId,
+        allSpecs.getOrElse(m.specId, partFields), schema, decodeBounds),
+      mkSnapshot = files => Snapshot(wantId, seqNum, tsMs, schema, partCols, files,
+        Nil, partFields, Nil, fieldIds, Nil, allSpecs, defaultSpecId))
+    val dataSchema =
+      StructType(scanSchema.fields.filterNot(f => partCols.contains(f.name)))
+    Some(new org.apache.spark.sql.graft.GraftIcebergRelation(
+      classic, path, index, index.partitionSchema, dataSchema, partCols))
+  }
+
+  /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] over
+    * the MANIFEST LIST, not the file set: construction reads nothing.
+    * When the planner calls [[listFiles]] with the split filters, the
+    * field-507 summaries veto whole manifests FIRST (per the
+    * manifest's own spec — identity fields by bound overlap, transform
+    * fields by mapping equality probes through the spec transform);
+    * only surviving manifests are fetched and handed to the shared
+    * per-file pruning [[org.apache.spark.sql.graft.VersionedFileIndex]]
+    * (partition-dir + column-stats + bloom pruning, unchanged).
+    * Summary pruning only ever REMOVES manifests the exact predicate
+    * could not keep: a missing summary, an unmappable literal, or any
+    * non-conjunctive shape keeps the manifest. */
+  private[interop] final class IcebergManifestListIndex(
+      classic: ClassicSession,
+      tablePath: String,
+      root: HPath,
+      manifests: Seq[IcebergManifestRef],
+      allSpecs: Map[Int, Seq[PartField]],
+      schema: StructType,
+      scanSchema: StructType,
+      partCols: Seq[String],
+      load: IcebergManifestRef => Seq[DataFileRef],
+      mkSnapshot: Seq[DataFileRef] => Snapshot)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal}
+
+    private val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    private val totalLiveFiles = manifests.map(_.liveFiles).sum
+    private val totalLiveRows = manifests.map(_.liveRows).sum
+    private val loaded =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileRef]]()
+    private def filesOf(m: IcebergManifestRef): Seq[DataFileRef] =
+      loaded.computeIfAbsent(m.path.toString, _ => load(m))
+    private val inner = new java.util.concurrent.ConcurrentHashMap[
+      Set[String], org.apache.spark.sql.graft.VersionedFileIndex]()
+    private def innerFor(kept: Seq[IcebergManifestRef]):
+        org.apache.spark.sql.graft.VersionedFileIndex =
+      inner.computeIfAbsent(kept.map(_.path.toString).toSet, _ =>
+        pruningIndexFor(classic, tablePath, rootPrefix,
+          mkSnapshot(kept.flatMap(filesOf)), scanSchema))
+
+    override val partitionSchema: StructType =
+      StructType(partCols.map(c => scanSchema(scanSchema.fieldIndex(c))))
+    override def rootPaths: Seq[HPath] = Seq(root)
+    override def refresh(): Unit = ()
+    override def inputFiles: Array[String] = innerFor(manifests).inputFiles
+    /** Planning ESTIMATE from the manifest-list row counts alone
+      * (`Σ rows × in-memory row width`) — deliberately on the wide
+      * side, so an unfetched table never wrongly broadcasts; AQE
+      * re-sizes joins from actual runtime bytes. Once every manifest
+      * is fetched anyway, the exact file-size sum serves. */
+    override def sizeInBytes: Long =
+      if (loaded.size >= manifests.size) innerFor(manifests).sizeInBytes
+      else totalLiveRows * math.max(8, scanSchema.defaultSize)
+
+    override def listFiles(partitionFilters: Seq[Expression], dataFilters: Seq[Expression]):
+        Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+      val cons = constraintsOf(partitionFilters ++ dataFilters)
+      val kept =
+        if (cons.isEmpty) manifests
+        else manifests.filter(m => manifestMayMatch(m, cons))
+      val dirs = innerFor(kept).listFiles(partitionFilters, dataFilters)
+      // re-record against the FULL table so file-level introspection
+      // denominators stay comparable with the eager path, then record
+      // the manifest-level planning this index exists for
+      org.apache.spark.sql.graft.VersionedFileIndex.recordPlanned(
+        tablePath, dirs.map(_.files.length).sum, totalLiveFiles)
+      IcebergIntrospect.recordManifestPlanning(tablePath, loaded.size, manifests.size)
+      dirs
+    }
+
+    /** Conjunctive, literal-valued constraints per SOURCE column:
+      * equalities (each independently sufficient to veto), IN sets
+      * (veto only if every member misses), one [lo, hi] window, and
+      * null-rejection. Anything else simply does not prune. */
+    private final case class ColCons(eqs: Seq[Literal] = Nil, ins: Seq[Seq[Literal]] = Nil,
+        lo: Option[Literal] = None, hi: Option[Literal] = None, notNull: Boolean = false)
+
+    private def constraintsOf(filters: Seq[Expression]): Map[String, ColCons] = {
+      val acc = scala.collection.mutable.Map.empty[String, ColCons]
+      def upd(c: String)(f: ColCons => ColCons): Unit = {
+        acc(c) = f(acc.getOrElse(c, ColCons())); (): Unit
+      }
+      def walk(e: Expression): Unit = e match {
+        case And(l, r) => walk(l); walk(r)
+        case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(eqs = c.eqs :+ l))
+        case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+          upd(a.name)(c => c.copy(eqs = c.eqs :+ l))
+        case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(eqs = c.eqs :+ l))
+        case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+            case lit: Literal => lit.value != null
+            case _ => false } =>
+          upd(a.name)(c => c.copy(ins = c.ins :+ vs.map(_.asInstanceOf[Literal])))
+        case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(lo = c.lo.orElse(Some(l))))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(lo = c.lo.orElse(Some(l))))
+        case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(hi = c.hi.orElse(Some(l))))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+          upd(a.name)(c => c.copy(hi = c.hi.orElse(Some(l))))
+        case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+          upd(a.name)(c => c.copy(hi = c.hi.orElse(Some(l))))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+          upd(a.name)(c => c.copy(hi = c.hi.orElse(Some(l))))
+        case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+          upd(a.name)(c => c.copy(lo = c.lo.orElse(Some(l))))
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+          upd(a.name)(c => c.copy(lo = c.lo.orElse(Some(l))))
+        case IsNotNull(a: AttributeReference) =>
+          upd(a.name)(c => c.copy(notNull = true))
+        case _ => ()
+      }
+      filters.foreach(walk)
+      acc.toMap
+    }
+
+    /** Catalyst literal internal value → the raw Avro partition domain
+      * ([[rawPartCompare]]'s): the two domains coincide (int epoch
+      * days, long micros), so the mapping is mostly identity. NaN and
+      * unmappable types return None — never pruned on. */
+    private def rawOfLiteral(l: Literal): Option[Any] = (l.dataType, l.value) match {
+      case (_, null) => None
+      case (_: IntegerType | _: DateType, v: java.lang.Integer) => Some(v)
+      case (_: LongType | _: TimestampType | _: TimestampNTZType, v: java.lang.Long) => Some(v)
+      case (_: FloatType, v: java.lang.Float) => if (v.isNaN) None else Some(v)
+      case (_: DoubleType, v: java.lang.Double) => if (v.isNaN) None else Some(v)
+      case (_: BooleanType, v: java.lang.Boolean) => Some(v)
+      case (_: StringType, v) => Some(v.toString)
+      case _ => None
+    }
+
+    /** Raw-domain comparison across width promotion (int bounds under
+      * a widened long column): numerics through exact BigDecimal,
+      * strings byte-wise UTF-8 (the order the bounds were written
+      * in), None = incomparable, never pruned on. */
+    private def rawCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+      case (x: Number, y: Number) => Some(
+        new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+      case (x: CharSequence, y: CharSequence) => Some(java.util.Arrays.compareUnsigned(
+        x.toString.getBytes("UTF-8"), y.toString.getBytes("UTF-8")))
+      case _ => None
+    }
+
+    /** A transform's rendered expected value, parsed into the raw
+      * domain of its RESULT type. */
+    private def rawOfRendered(dt: DataType, s: String): Option[Any] = dt match {
+      case _: IntegerType => s.toIntOption.map(Int.box)
+      case _: LongType => s.toLongOption.map(Long.box)
+      case _: StringType => Some(s)
+      case _ => None
+    }
+
+    private def manifestMayMatch(m: IcebergManifestRef, cons: Map[String, ColCons]): Boolean = {
+      val summaries = m.summaries.getOrElse(return true)
+      val fields = allSpecs.getOrElse(m.specId, return true)
+      !fields.zip(summaries).exists { case (f, s) => fieldContradicts(f, s, cons) }
+    }
+
+    /** True only when the summary PROVES no live entry of the manifest
+      * can satisfy the column's constraints. */
+    private def fieldContradicts(f: PartField, s: IcebergFieldSummary,
+        cons: Map[String, ColCons]): Boolean = {
+      val c = cons.getOrElse(f.source, return false)
+      val srcType = schema.find(_.name == f.source).map(_.dataType).getOrElse(return false)
+      val resType = transformResultType(f.transform, srcType)
+      // all partition values null ⇒ (every spec transform is
+      // null-preserving) every row's SOURCE is null ⇒ no comparison
+      // predicate on the source can hold
+      if (s.lower.isEmpty && s.upper.isEmpty)
+        return c.notNull || c.eqs.nonEmpty || c.ins.nonEmpty || c.lo.nonEmpty || c.hi.nonEmpty
+      val lo = s.lower.flatMap(decodeRawPartBound(resType, _)).getOrElse(return false)
+      val hi = s.upper.flatMap(decodeRawPartBound(resType, _)).getOrElse(return false)
+      def outsideRaw(v: Any): Boolean =
+        rawCompare(v, lo).exists(_ < 0) || rawCompare(v, hi).exists(_ > 0)
+      f.transform match {
+        case TIdentity =>
+          def outside(l: Literal): Boolean = rawOfLiteral(l).exists(outsideRaw)
+          c.eqs.exists(outside) ||
+            c.ins.exists(vs => vs.nonEmpty && vs.forall(l => rawOfLiteral(l).exists(outsideRaw))) ||
+            c.lo.exists(l => rawOfLiteral(l).exists(v => rawCompare(v, hi).exists(_ > 0))) ||
+            c.hi.exists(l => rawOfLiteral(l).exists(v => rawCompare(v, lo).exists(_ < 0)))
+        case t =>
+          // non-identity: equality probes map through the spec
+          // transform to the expected partition value (range probes
+          // are not mapped — bucket is not order-preserving)
+          def wantOutside(l: Literal): Boolean =
+            expectedTransformValue(t, srcType, l.value)
+              .flatMap(rawOfRendered(resType, _)).exists(outsideRaw)
+          c.eqs.exists(wantOutside) ||
+            c.ins.exists(vs => vs.nonEmpty && vs.forall(l =>
+              expectedTransformValue(t, srcType, l.value)
+                .flatMap(rawOfRendered(resType, _)).exists(outsideRaw)))
+      }
+    }
   }
 
   /** Planning-time pruning for NON-IDENTITY partition fields: an
@@ -1699,7 +2199,7 @@ object Iceberg {
     // ---- one new manifest with the added files — written ONCE; a
     // lost-race rebase (below) re-publishes the same manifest under a
     // recomputed sequence number (entries inherit from the list record)
-    val (manifestPath, manifestLen) = writeAddedManifest(
+    val (manifestPath, manifestLen, partSummaries) = writeAddedManifest(
       fs, root, moved, snapshotId, partFieldTriples, fieldIds, df.schema)
 
     // ---- one commit ATTEMPT against one observed head `pa`.
@@ -1752,6 +2252,7 @@ object Iceberg {
     newManifest.put("added_rows_count", moved.map(_.recordCount).sum)
     newManifest.put("existing_rows_count", 0L)
     newManifest.put("deleted_rows_count", 0L)
+    newManifest.put("partitions", partSummaries)
     if (fv == 3) newManifest.put("first_row_id", nextRowId)
     // re-emit prior manifest records under the shared schema
     val carried = priorManifests.map { r =>
@@ -3118,6 +3619,8 @@ object Iceberg {
         rec.put("added_rows_count", 0L)
         rec.put("existing_rows_count", keptRows)
         rec.put("deleted_rows_count", 0L)
+        rec.put("partitions", partitionSummariesOfEntries(merged,
+          allSpecs.getOrElse(binSpecId, Nil).map(_.name)))
         outManifests += rec
     }
     val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
@@ -3327,12 +3830,14 @@ object Iceberg {
           rec.put("added_rows_count", 0L)
           rec.put("existing_rows_count", keptRows)
           rec.put("deleted_rows_count", droppedRows)
+          rec.put("partitions", partitionSummariesOfEntries(rewritten,
+            allSpecs.getOrElse(mfSpecId, Nil).map(_.name)))
           outManifests += rec
         }
       }
     }
     if (added.nonEmpty) {
-      val (mp, ml) = writeAddedManifest(
+      val (mp, ml, summ) = writeAddedManifest(
         fs, root, added, snapshotId, partFieldTriples, fieldIds, schema)
       val rec = new GenericData.Record(manifestFileSchema)
       rec.put("manifest_path", mp.toUri.getPath)
@@ -3348,12 +3853,13 @@ object Iceberg {
       rec.put("added_rows_count", added.map(_.recordCount).sum)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
+      rec.put("partitions", summ)
       // the sync path's fresh id range (see syncAddedRows above)
       if (syncAddedRows > 0) rec.put("first_row_id", nextRowId)
       outManifests += rec
     }
     if (fresh.nonEmpty) {
-      val (mp, ml) = writeAddedManifest(
+      val (mp, ml, summ) = writeAddedManifest(
         fs, root, fresh, snapshotId, partFieldTriples, fieldIds, schema)
       val rec = new GenericData.Record(manifestFileSchema)
       rec.put("manifest_path", mp.toUri.getPath)
@@ -3369,6 +3875,7 @@ object Iceberg {
       rec.put("added_rows_count", freshRows)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
+      rec.put("partitions", summ)
       // the fresh id range (after any sync adds' range)
       if (fv == 3) rec.put("first_row_id", nextRowId + syncAddedRows)
       outManifests += rec
@@ -4627,7 +5134,7 @@ object Iceberg {
     * [[write]] and the copy-on-write rewrite paths. */
   private def writeAddedManifest(fs: FileSystem, root: HPath, files: Seq[DataFileRef],
       snapshotId: Long, partFieldTriples: Seq[(String, DataType, Int)],
-      fieldIds: Map[String, Int], schema: StructType): (HPath, Long) = {
+      fieldIds: Map[String, Int], schema: StructType): (HPath, Long, AnyRef) = {
     val entrySchema = manifestEntrySchema(partFieldTriples)
     val r2Schema = entrySchema.getField("data_file").schema()
     val r102Schema = r2Schema.getField("partition").schema()
@@ -4670,7 +5177,8 @@ object Iceberg {
     }
     val manifestPath = new HPath(metaDir(root), s"${java.util.UUID.randomUUID()}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
-    (manifestPath, manifestLen)
+    (manifestPath, manifestLen,
+      partitionSummariesOfEntries(entries, partFieldTriples.map(_._1)))
   }
 
   // ------------------------------------------- table statistics (Puffin)
@@ -4964,7 +5472,7 @@ object Iceberg {
     val now = System.currentTimeMillis()
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val partFieldTriples = partFields.map(f => (f.name, schema(f.source).dataType, f.fieldId))
-    val (manifestPath, manifestLen) = writeAddedManifest(
+    val (manifestPath, manifestLen, partSummaries) = writeAddedManifest(
       fs, root, files, snapshotId, partFieldTriples, fieldIds, schema)
     val newManifest = new GenericData.Record(manifestFileSchema)
     newManifest.put("manifest_path", manifestPath.toUri.getPath)
@@ -4980,6 +5488,7 @@ object Iceberg {
     newManifest.put("added_rows_count", files.map(_.recordCount).sum)
     newManifest.put("existing_rows_count", 0L)
     newManifest.put("deleted_rows_count", 0L)
+    newManifest.put("partitions", partSummaries)
     val listPath = new HPath(metaDir(root), s"snap-$snapshotId-manifest-list.avro")
     writeAvro(fs, listPath, manifestFileSchema, Seq(newManifest))
     val meta = Json.createObjectNode()
@@ -5133,4 +5642,35 @@ object Iceberg {
     moved
   }
 
+}
+
+/** Planning-metadata observability for the Iceberg reader — the hook
+  * the manifest-list-pruning claim is `require`d through (same spirit
+  * as [[org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned]]
+  * and [[DvIntrospect]]):
+  *
+  *  - [[manifestOpens]]: cumulative count of manifest-Avro FETCHES for
+  *    a table (every [[Iceberg.snapshot]] walk and every lazy-index
+  *    load increments it once per manifest file actually read);
+  *  - [[lastManifestPlanning]]: (manifests fetched, data manifests in
+  *    the list) recorded by the last manifest-list-pruned plan over
+  *    the table — the field-507 claim is `fetched < total` on a
+  *    partition-pruned read. */
+object IcebergIntrospect {
+  private val opens = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val planning = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[interop] def countOpen(table: String): Unit = {
+    opens.computeIfAbsent(table, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet(): Unit
+  }
+  def manifestOpens(table: String): Long =
+    Option(opens.get(table)).map(_.get()).getOrElse(0L)
+  def resetManifestOpens(table: String): Unit = { opens.remove(table): Unit }
+
+  private[interop] def recordManifestPlanning(table: String, fetched: Int, total: Int): Unit = {
+    planning.put(table, (fetched, total)): Unit
+  }
+  def lastManifestPlanning(table: String): Option[(Int, Int)] =
+    Option(planning.get(table))
 }

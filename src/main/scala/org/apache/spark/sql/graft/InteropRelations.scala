@@ -63,7 +63,7 @@ final class GraftDeltaRelation(
 final class GraftIcebergRelation(
     spark: ClassicSession,
     val tablePath: String,
-    index: VersionedFileIndex,
+    index: org.apache.spark.sql.execution.datasources.FileIndex,
     partitionSchemaV: StructType,
     dataSchemaV: StructType,
     partCols: Seq[String])

@@ -370,7 +370,11 @@ object VersionedFileIndex {
     * connector specs and registry entries `require` pruning through
     * (same introspection spirit as [[StreamIntrospect]]). */
   private val planned = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
-  private def recordPlanned(path: String, kept: Int, total: Int): Unit =
-    planned.put(path, (kept, total))
+  // public: the Iceberg manifest-list index re-records (kept, total)
+  // against the FULL table after delegating to a manifest-pruned inner
+  // index, so introspection denominators stay stable under pruning
+  def recordPlanned(path: String, kept: Int, total: Int): Unit = {
+    planned.put(path, (kept, total)): Unit
+  }
   def lastPlanned(path: String): Option[(Int, Int)] = Option(planned.get(path))
 }

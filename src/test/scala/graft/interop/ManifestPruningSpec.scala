@@ -1,0 +1,180 @@
+package graft.interop
+
+import graft.SparkFixture
+import graft.ingest.Writers
+import java.nio.file.Paths
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg MANIFEST-LIST PARTITION SUMMARIES (spec field 507) and the
+  * manifest-pruning lazy planner: a partition/stats filter must veto
+  * whole manifests from the manifest-list record alone — BEFORE any
+  * manifest Avro is fetched — turning planning-metadata IO from
+  * O(manifests) into O(matching manifests). The claims:
+  *
+  *  - identity equality/range probes fetch only overlapping manifests
+  *    ([[IcebergIntrospect.lastManifestPlanning]] is the counter);
+  *  - transform (bucket) probes map through the spec transform first;
+  *  - a MULTI-SPEC table prunes each manifest under its own spec;
+  *  - [[Iceberg.rewriteManifests]] recomputes summaries for merged
+  *    manifests;
+  *  - results are bit-identical to the eager walk (the
+  *    `spark.graft.iceberg.manifestListPruning=false` kill-switch is
+  *    the A/B seam), including all-null partitions. */
+class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", name)
+    Writers.deleteTree(p)
+    p.toString
+  }
+
+  private def df(rows: (Int, Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("p", "k", "v")
+  }
+
+  private def collectBoth(path: String, q: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
+    def run(): Seq[String] =
+      q(Iceberg.read(spark, path)).collect().map(_.mkString("|")).toSeq.sorted
+    val lazyRows = run()
+    spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+    val eagerRows = try run()
+    finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+    (lazyRows, eagerRows)
+  }
+
+  test("identity partition: equality fetches one manifest of three") {
+    val path = freshDir("ice_mfprune_ident")
+    Iceberg.write(df((1, 10L, "a"), (2, 11L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((4, 12L, "c"), (5, 13L, "d")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(df((8, 14L, "e"), (9, 15L, "f")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+    val (lz, eg) = collectBoth(path, _.filter(col("p") === 8))
+    assert(lz == eg && lz == Seq("14|e|8"))
+    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    assert(total == 3, s"expected 3 data manifests, saw $total")
+    assert(fetched == 1, s"field-507 pruning must fetch ONLY the matching manifest, fetched $fetched")
+    // the file-level introspection stays on full-table denominators
+    val (kept, fTotal) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(fTotal == 6 && kept <= 1, s"file planning saw ($kept, $fTotal)")
+  }
+
+  test("identity partition: range probe prunes low manifests; manifest opens counted") {
+    val path = freshDir("ice_mfprune_range")
+    Iceberg.write(df((1, 1L, "a"), (2, 2L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((5, 3L, "c")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(df((8, 4L, "d"), (9, 5L, "e")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    IcebergIntrospect.resetManifestOpens(path)
+    val (lz, eg) = collectBoth(path, _.filter(col("p") >= 7).select(col("v")))
+    assert(lz == eg && lz == Seq("d", "e"))
+    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    assert(total == 3 && fetched == 1, s"range probe planned ($fetched, $total)")
+    // the cumulative open counter proves fetches, not bookkeeping:
+    // the pruned plan opened exactly 1; the eager A/B run opened all 3
+    assert(IcebergIntrospect.manifestOpens(path) == 4L,
+      s"opens = ${IcebergIntrospect.manifestOpens(path)} (want 1 lazy + 3 eager)")
+  }
+
+  test("all-null partition values: contains_null manifest pruned for equality, kept for scan") {
+    val path = freshDir("ice_mfprune_null")
+    import spark.implicits._
+    val withNull = Seq((Option.empty[Int], 20L, "n1"), (Option.empty[Int], 21L, "n2"))
+      .toDF("p", "k", "v")
+    Iceberg.write(df((3, 22L, "x")), path, partitionBy = Seq("p"))
+    Iceberg.write(withNull, path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // equality can never match the all-null manifest -> 1 of 2
+    val (lz, eg) = collectBoth(path, _.filter(col("p") === 3).select(col("v")))
+    assert(lz == eg && lz == Seq("x"))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 2)))
+    // a full scan still reads the null rows
+    val (lzAll, egAll) = collectBoth(path, identity)
+    assert(lzAll == egAll && lzAll.size == 3)
+  }
+
+  test("bucket transform: equality maps through murmur3 and prunes disjoint-bucket manifests") {
+    val path = freshDir("ice_mfprune_bucket")
+    import graft.functions.IcebergTransforms
+    // pick keys landing in bucket 0 vs bucket 3 (of 4)
+    val lowKeys = (1L to 400L).filter(k => IcebergTransforms.bucketLong(k, 4) == 0).take(3)
+    val hiKeys = (1L to 400L).filter(k => IcebergTransforms.bucketLong(k, 4) == 3).take(3)
+    Iceberg.write(df(lowKeys.map(k => (1, k, s"low$k")): _*), path,
+      partitionBy = Seq("bucket(4, k)"))
+    Iceberg.write(df(hiKeys.map(k => (2, k, s"hi$k")): _*), path,
+      partitionBy = Seq("bucket(4, k)"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val probe = hiKeys.head
+    val (lz, eg) = collectBoth(path, _.filter(col("k") === probe).select(col("v")))
+    assert(lz == eg && lz == Seq(s"hi$probe"))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 2)),
+      s"bucket probe planned ${IcebergIntrospect.lastManifestPlanning(path)}")
+  }
+
+  test("multi-spec table: each manifest prunes under its own spec") {
+    val path = freshDir("ice_mfprune_evo")
+    import spark.implicits._
+    def tdf(rows: (Long, String, String)*): DataFrame =
+      rows.map { case (k, t, v) =>
+        (k, java.time.LocalDateTime.parse(t.replace(' ', 'T')), v)
+      }.toDF("k", "ts", "v")
+    // era 1: days(ts), two commits on different days
+    Iceberg.write(tdf((1L, "2024-01-01 03:00:00", "a")), path, partitionBy = Seq("days(ts)"))
+    Iceberg.write(tdf((2L, "2024-02-01 09:00:00", "b")), path,
+      partitionBy = Seq("days(ts)"), mode = org.apache.spark.sql.SaveMode.Append)
+    // era 2: hours(ts)
+    assert(Iceberg.replaceSpec(spark, path, Seq("hours(ts)")) == 1)
+    Iceberg.write(tdf((3L, "2024-03-01 12:30:00", "c")), path,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val want = java.sql.Timestamp.valueOf("2024-02-01 09:00:00")
+    val (lz, eg) = collectBoth(path,
+      _.filter(col("ts") === want).select(col("v")))
+    assert(lz == eg && lz == Seq("b"))
+    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    assert(total == 3 && fetched == 1,
+      s"multi-spec probe planned ($fetched, $total): day manifests must prune by day " +
+        "value, the hour manifest by hour value")
+  }
+
+  test("rewriteManifests recomputes field-507 summaries for merged manifests") {
+    val path = freshDir("ice_mfprune_rewrite")
+    Iceberg.write(df((1, 0L, "v0"), (2, 1L, "w0")), path, partitionBy = Seq("p"))
+    for (i <- 1 until 4) {
+      val base = i * 10
+      Iceberg.write(df((base + 1, base.toLong, s"v$i"), (base + 2, base + 1L, s"w$i")), path,
+        partitionBy = Seq("p"), mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    val (before, after) = Iceberg.rewriteManifests(spark, path)
+    assert(before == 4 && after == 1, s"bin-pack $before -> $after")
+    // two more small commits so there is something left to prune
+    Iceberg.write(df((51, 100L, "t1")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(df((61, 101L, "t2")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // probe inside the MERGED manifest's range: the two tail manifests prune
+    val (lz, eg) = collectBoth(path, _.filter(col("p") === 12).select(col("v")))
+    assert(lz == eg && lz == Seq("w1"))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)),
+      s"merged-manifest probe planned ${IcebergIntrospect.lastManifestPlanning(path)}")
+    // probe in a tail manifest: the merged one prunes
+    val (lz2, eg2) = collectBoth(path, _.filter(col("p") === 61).select(col("v")))
+    assert(lz2 == eg2 && lz2 == Seq("t2"))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)))
+  }
+
+  test("kill-switch and unfiltered scans stay fully correct") {
+    val path = freshDir("ice_mfprune_full")
+    Iceberg.write(df((1, 1L, "a")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((2, 2L, "b")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val (lz, eg) = collectBoth(path, identity)
+    assert(lz == eg && lz.size == 2)
+    // no filter -> nothing pruned, all manifests fetched
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((2, 2)))
+  }
+}
