@@ -68,6 +68,37 @@ class VersionedBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(kept1 < all.size, "one-sided numeric bound should still prune clustered files")
   }
 
+  test("bloom pruning: the connector FileIndex consults per-file blooms for equality probes") {
+    // the s35_bloom_pointlookup claim battery (spec-moved r14): keys
+    // hash-distributed so every file spans the whole id range — min/max
+    // stats can never prune, only the bloom can. The graded entry keeps
+    // one library probe; this test holds the connector leg and the
+    // multi-key battery.
+    val s = spark
+    import s.implicits._
+    val path = tmp("bloom")
+    val src = (1L to 4000L).map(i => (i, i % 13)).toDF("k", "v")
+    Versioned.commit(src.repartition(8, $"k"), path, bloomCols = Seq("k"))
+    // library probes across several keys, each must skip whole files
+    Seq(137L, 901L, 1200L).foreach { probe =>
+      val f = Versioned.readSkippingEq(s, path, "k", probe)
+      assert(f.count() == 1L)
+      val (kept, total) = Versioned.lastBloomProbe(path).get
+      assert(total >= 8 && kept < total, s"bloom must skip files on k = $probe ($kept/$total)")
+    }
+    // the SAME pruning through Catalyst: equality filter on the
+    // connector plans fewer files than the snapshot holds
+    val viaConn = s.read.format("graft-versioned").load(path).filter($"k" === 137L)
+    assert(viaConn.count() == 1L)
+    val (planned, total) = VersionedFileIndex.lastPlanned(path).get
+    assert(planned < total,
+      s"the FileIndex must consult blooms for equality filters ($planned of $total planned)")
+    // and a range filter must NOT consult blooms (hash domain is
+    // equality-only): all files survive
+    val range = s.read.format("graft-versioned").load(path).filter($"k" >= 1L)
+    assert(range.count() == 4000L)
+  }
+
   test("partition pruning: only the filtered k=v directory's files are planned") {
     val s = spark
     import s.implicits._
