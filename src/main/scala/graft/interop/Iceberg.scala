@@ -301,11 +301,11 @@ object Iceberg {
 
   // ------------------------------------------------------------ layout
 
-  private def metaDir(root: HPath) = new HPath(root, "metadata")
-  private def metaFile(root: HPath, v: Long) =
+  private[interop] def metaDir(root: HPath) = new HPath(root, "metadata")
+  private[interop] def metaFile(root: HPath, v: Long) =
     new HPath(metaDir(root), f"v$v%05d.metadata.json")
 
-  private def metaVersions(fs: FileSystem, root: HPath): Seq[Long] = {
+  private[interop] def metaVersions(fs: FileSystem, root: HPath): Seq[Long] = {
     val dir = metaDir(root)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
@@ -321,7 +321,7 @@ object Iceberg {
 
   // ------------------------------------------------ schema/type mapping
 
-  private def icebergType(dt: DataType): String = dt match {
+  private[interop] def icebergType(dt: DataType): String = dt match {
     case _: IntegerType => "int"
     case _: LongType => "long"
     case _: FloatType => "float"
@@ -341,7 +341,7 @@ object Iceberg {
   }
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r
-  private def sparkType(t: String): DataType = t match {
+  private[interop] def sparkType(t: String): DataType = t match {
     case "int" => IntegerType
     case "long" => LongType
     case "float" => FloatType

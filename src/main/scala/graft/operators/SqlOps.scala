@@ -318,6 +318,71 @@ object SqlOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S71: ICEBERG VIEWS through the catalog (r13 verdict "missing #2")
+    * — the Iceberg VIEW SPEC (view metadata v1) as a first-class
+    * GraftCatalog citizen: `CREATE VIEW` lands versioned view metadata
+    * (view-uuid, versions list, SQL representation with the definer's
+    * default-catalog/namespace), `SELECT` expands the CURRENT version's
+    * SQL at analysis (late-binding — new table rows flow through
+    * without touching the view), and `CREATE OR REPLACE` APPENDS a
+    * view-version under the same uuid. In-entry requires: the v1
+    * SELECT matches a direct query; REPLACE bumps current-version-id
+    * 1→2 while version 1's SQL text survives verbatim in the metadata
+    * (the spec's time-travel-stable lineage) under an unchanged
+    * view-uuid; `SHOW VIEWS` lists it; late-binding proven by an
+    * INSERT AFTER the replace flowing into the view's aggregate. DDL
+    * error paths (duplicate create, self-reference, ALTER/UNSET
+    * properties, RENAME, drop-vs-table gates) are spec-locked in
+    * IcebergViewSpec. Oracle: the view's own SQL over `orders`. */
+  val s71IcebergView = QueryDef(
+    "s71_iceberg_view",
+    (s, d) => {
+      val ns = "vw_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+      s.sql(s"CREATE NAMESPACE graft.$ns")
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey", "o_orderpriority",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .createOrReplaceTempView("s71_orders")
+      s.sql(s"""CREATE TABLE graft.$ns.ord (o_orderkey BIGINT, o_orderpriority STRING,
+                cents BIGINT) USING iceberg""")
+      s.sql(s"INSERT INTO graft.$ns.ord SELECT * FROM s71_orders WHERE o_orderkey % 3 != 0")
+      // v1: a filtered passthrough view
+      s.sql(s"""CREATE VIEW graft.$ns.pri AS
+                SELECT o_orderkey, o_orderpriority, cents FROM graft.$ns.ord
+                WHERE o_orderpriority LIKE '1-%'""")
+      require(s.sql(s"SELECT count(*) FROM graft.$ns.pri").head().getLong(0) ==
+        s.sql(s"SELECT count(*) FROM graft.$ns.ord WHERE o_orderpriority LIKE '1-%'")
+          .head().getLong(0),
+        "s71: the v1 view must serve its filter")
+      val metaV1 = graft.interop.IcebergView.load(java.nio.file.Paths.get(
+        s.conf.get("spark.sql.catalog.graft.warehouse"), ns, "pri").toString)
+      // v2: REPLACE with the aggregate shape — a new view-version, not a rewrite
+      s.sql(s"""CREATE OR REPLACE VIEW graft.$ns.pri AS
+                SELECT o_orderpriority, count(*) AS n_orders, sum(cents) AS sum_cents
+                FROM graft.$ns.ord GROUP BY o_orderpriority""")
+      val meta = graft.interop.IcebergView.load(java.nio.file.Paths.get(
+        s.conf.get("spark.sql.catalog.graft.warehouse"), ns, "pri").toString)
+      require(meta.uuid == metaV1.uuid && meta.currentVersionId == 2 &&
+        meta.versions.size == 2 &&
+        meta.versions.find(_.versionId == 1).exists(_.sql == metaV1.current.sql),
+        "s71: REPLACE must append a view-version under the same uuid with v1's SQL intact")
+      require(s.sql(s"SHOW VIEWS IN graft.$ns").collect().exists(_.getString(1) == "pri"),
+        "s71: SHOW VIEWS must list the view")
+      // LATE BINDING: rows landing after the replace flow through the view
+      s.sql(s"INSERT INTO graft.$ns.ord SELECT * FROM s71_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"""SELECT o_orderpriority, n_orders, sum_cents / 100.0 AS sum_total
+                FROM graft.$ns.pri ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, s50CatalogSql,
-    s56TableChanges, s64SqlMaintenance)
+    s56TableChanges, s64SqlMaintenance, s71IcebergView)
 }

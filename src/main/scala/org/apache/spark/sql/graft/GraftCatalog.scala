@@ -61,7 +61,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * swaps the V2 relation for the DSv1 one before a single physical
   * node is chosen. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   // SQL maintenance procedures — `CALL graft.system.compact('ns.t')`
   // and friends ([[GraftProcedures]])
@@ -126,7 +127,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (fs.exists(new HPath(dir, "_delta_log"))) Some("delta")
     else if (fs.exists(new HPath(dir, "metadata")) &&
       fs.listStatus(new HPath(dir, "metadata"))
-        .exists(_.getPath.getName.endsWith(".metadata.json"))) Some("iceberg")
+        .exists(_.getPath.getName.endsWith(".metadata.json")))
+      // the Iceberg VIEW spec shares the metadata/*.metadata.json
+      // layout — content decides (view-uuid vs table-uuid)
+      (if (graft.interop.IcebergView.isView(dir.toString)) None else Some("iceberg"))
     else if (Versioned.currentVersion(dir.toString).nonEmpty) Some("graft")
     else None
   }
@@ -547,6 +551,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  // ----------------------------------------- views (Iceberg view spec)
+
+  /** One resolved view: name/query/schema from the CURRENT view
+    * version of the on-disk Iceberg view metadata. */
+  private final case class GraftViewImpl(ident: Identifier,
+      meta: graft.interop.IcebergView.ViewMeta)
+    extends org.apache.spark.sql.connector.catalog.View {
+    override def name(): String = fullName(ident)
+    override def query(): String = meta.current.sql
+    override def currentCatalog(): String =
+      meta.current.defaultCatalog.getOrElse(catalogName)
+    override def currentNamespace(): Array[String] = meta.current.defaultNamespace.toArray
+    override def schema(): StructType = meta.schema
+    override def queryColumnNames(): Array[String] = Array.empty
+    override def columnAliases(): Array[String] = Array.empty
+    override def columnComments(): Array[String] = Array.empty
+    override def properties(): java.util.Map[String, String] = meta.properties.asJava
+  }
+
+  private def isViewDir(ident: Identifier): Boolean =
+    graft.interop.IcebergView.isView(tableDir(ident).toString)
+
+  override def viewExists(ident: Identifier): Boolean = isViewDir(ident)
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    if (!isViewDir(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftViewImpl(ident, graft.interop.IcebergView.load(tableDir(ident).toString))
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val (fs, _) = fsRoot
+    val dir = dirOf(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace.toArray)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => graft.interop.IcebergView.isView(p.toString))
+      .map(p => Identifier.of(namespace.toArray, p.getName))
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View =
+    createOrReplaceView(info, replace = false)
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View =
+    // unlike the interface's default (drop + create), REPLACE here
+    // appends a view-version under the same view-uuid — the spec's
+    // time-travel-stable lineage
+    createOrReplaceView(info, replace = true)
+
+  private def createOrReplaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      replace: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident
+    val dir = tableDir(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (formatOf(dir).nonEmpty)
+      throw new TableAlreadyExistsException(ident)
+    if (!replace && isViewDir(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    graft.interop.IcebergView.create(dir.toString, info.sql(), info.schema(),
+      Option(info.currentCatalog()),
+      Option(info.currentNamespace()).map(_.toSeq).getOrElse(Nil),
+      Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty)
+        .filterNot { case (k, _) =>
+          org.apache.spark.sql.connector.catalog.ViewCatalog.RESERVED_PROPERTIES.contains(k) },
+      replace = replace)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!isViewDir(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val sets = changes.collect { case s: ViewChange.SetProperty => s.property -> s.value }.toMap
+    val removes = changes.collect { case r: ViewChange.RemoveProperty => r.property }.toSet
+    require(sets.size + removes.size == changes.size,
+      "GraftCatalog: only SET/UNSET TBLPROPERTIES view changes are supported")
+    graft.interop.IcebergView.setProperties(tableDir(ident).toString, sets, removes)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val (fs, _) = fsRoot
+    isViewDir(ident) && fs.delete(tableDir(ident), true)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    val (fs, _) = fsRoot
+    val newIdent =
+      if (newIdentRaw.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdentRaw.namespace.drop(1), newIdentRaw.name)
+      else newIdentRaw
+    if (!isViewDir(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (isViewDir(newIdent) || formatOf(tableDir(newIdent)).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"GraftCatalog: rename view ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
 }
 
 object GraftCatalog {

@@ -49,6 +49,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // through the same matches as path tables
     ext.injectResolutionRule(session => new GraftCatalogRule(session))
     ext.injectResolutionRule(session => new GraftMergeIntoRule(session))
+    // Iceberg-spec VIEWS over GraftCatalog: view DDL rewrites at the
+    // parser boundary (ResolveSessionCatalog hard-gates the v2 view
+    // plans to the session catalog before any injected rule runs —
+    // the same seam Iceberg's own extensions use), SELECT expansion
+    // as a resolution rule
+    ext.injectParser((session, delegate) => new GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session => new GraftViewRule(session))
     // the SQL changes-window TVF over catalog names (Delta's
     // `table_changes` shape) — registered through the public
     // injectTableFunction seam; resolution happens in GraftTableChanges
