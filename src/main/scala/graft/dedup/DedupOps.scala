@@ -620,6 +620,127 @@ object DedupOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L2i: SUBSTRING-LEVEL EXACT DEDUP at arbitrary boundaries (r13
+    * verdict "missing #3" — the Lee-et-al suffix-array shape, done
+    * Spark-first): flag every token a document shares with ANOTHER
+    * document as part of a run of ≥ K=20 contiguous tokens, wherever
+    * in each document the run sits. The key identity that replaces the
+    * suffix array: two documents share a ≥K-token run IFF they share
+    * at least one exact K-gram, and a token is inside a shared run IFF
+    * it is inside a shared K-gram window. So the pipeline is
+    *   (1) slide a stride-1 K-gram window over every document
+    *       (xxhash64 of the window — the l2h precedent),
+    *   (2) CENSUS: window-hash → distinct-doc count ≥ 2 = shared
+    *       (one shuffle keyed by hash, never all-pairs — at 100 TB
+    *       this is the same census shape as l2h/l1),
+    *   (3) semi-join shared hashes back, then per-document
+    *       gaps-and-islands over window positions (windows ≤ K apart
+    *       merge) → covered-token runs, coverage, longest run.
+    * Arbitrary-boundary proof is built in: boilerplate is injected at
+    * the HEAD of every 3rd doc and the TAIL of every 5th, so the same
+    * run sits at different offsets in different documents and no fixed
+    * segmentation (l2h's shape) could align it. Oracle: the identical
+    * census + islands in DuckDB over the raw window strings —
+    * brute-force exact ground truth, the l2g pattern. */
+  val l2iSubstringDedup = QueryDef(
+    "l2i_substring_dedup",
+    (s, d) => {
+      val K = 20
+      val head30 = "this content is provided by the network syndication service and may not " +
+        "be reproduced rebroadcast rewritten or redistributed in any form without prior " +
+        "express written permission of the publisher"
+      val tail26 = "for questions about licensing or reuse of this material please contact " +
+        "the editorial desk through the usual channels listed on the corporate information " +
+        "page online today"
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(head30), lit(" "), col("text")))
+            .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" "), lit(tail26)))
+            .otherwise(col("text")).as("text"))
+      val toks = docs.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+      val wins = toks.filter(col("n_tokens") >= K)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), (size(col("toks")) - K).cast("int")),
+          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(K)), " "))))
+          .as(Seq("pos", "wh")))
+      val shared = wins.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("wh")
+      val sw = wins.join(shared, Seq("wh"), "left_semi")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = sw
+        .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > K, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + K).cast("long").as("run_len"))
+      val perDoc = runs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("dup_tokens"),
+        max(col("run_len")).as("max_run"))
+      toks.select("doc_id", "n_tokens")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN concat('this content is provided by the network syndication service and may not be reproduced rebroadcast rewritten or redistributed in any form without prior express written permission of the publisher', ' ', text)
+               WHEN doc_id % 5 = 0 THEN concat(text, ' ', 'for questions about licensing or reuse of this material please contact the editorial desk through the usual channels listed on the corporate information page online today')
+               ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL
+      ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM docs
+      ), wins AS (
+        SELECT doc_id,
+          unnest(generate_series(0, len(t) - 20)) AS pos,
+          unnest(list_transform(generate_series(0, len(t) - 20),
+                 i -> array_to_string(t[(i+1):(i+20)], ' '))) AS w
+        FROM toks WHERE n_tokens >= 20
+      ), shared AS (
+        SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+      ), sw AS (
+        SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM shared)
+      ), brks AS (
+        SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                 OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+               THEN 1 ELSE 0 END AS brk
+        FROM sw
+      ), isl AS (
+        SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM brks
+      ), runs AS (
+        SELECT doc_id, island,
+          CAST(max(pos) - min(pos) + 20 AS BIGINT) AS run_len
+        FROM isl GROUP BY doc_id, island
+      ), per AS (
+        SELECT doc_id, count(*) AS n_runs,
+          CAST(sum(run_len) AS BIGINT) AS dup_tokens,
+          max(run_len) AS max_run
+        FROM runs GROUP BY doc_id
+      )
+      SELECT t.doc_id, t.n_tokens,
+        coalesce(p.n_runs, 0) AS n_runs,
+        coalesce(p.dup_tokens, 0) AS dup_tokens,
+        coalesce(p.max_run, 0) AS max_run
+      FROM toks t LEFT JOIN per p USING (doc_id)
+      ORDER BY t.doc_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard,
-    l2fClusters, l2gIncremental, l2hSegmentDedup)
+    l2fClusters, l2gIncremental, l2hSegmentDedup, l2iSubstringDedup)
 }

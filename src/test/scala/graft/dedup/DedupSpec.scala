@@ -15,6 +15,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.count(_.getLong(1) == 2) == 167)
   }
 
+  test("l2i: shared runs detected at ARBITRARY offsets; disjoint docs untouched") {
+    val out = DedupOps.l2iSubstringDedup.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every %3 doc carries the 30-token HEAD boilerplate, every
+    // non-%3 %5 doc the 26-token TAIL one — same runs, different
+    // offsets per doc; both families must be flagged with coverage of
+    // at least the boilerplate length
+    val headDocs = out.keys.filter(_ % 3 == 0)
+    val tailDocs = out.keys.filter(id => id % 5 == 0 && id % 3 != 0)
+    assert(headDocs.nonEmpty && tailDocs.nonEmpty)
+    headDocs.foreach { id =>
+      val (_, nRuns, dupToks, maxRun) = out(id)
+      assert(nRuns >= 1 && dupToks >= 30 && maxRun >= 30,
+        s"head-injected doc $id: ($nRuns runs, $dupToks dup tokens, max $maxRun)")
+    }
+    tailDocs.foreach { id =>
+      val (n, nRuns, dupToks, maxRun) = out(id)
+      assert(nRuns >= 1 && dupToks >= 26 && maxRun >= 26,
+        s"tail-injected doc $id: ($nRuns runs, $dupToks dup tokens, max $maxRun)")
+      assert(dupToks <= n, s"coverage can never exceed the doc ($dupToks > $n)")
+    }
+    // coverage is a token count bounded by the doc, and a doc with no
+    // shared 20-gram reports clean zeros
+    out.foreach { case (id, (n, nRuns, dupToks, maxRun)) =>
+      assert(dupToks <= n && maxRun <= n, s"doc $id over-covered")
+      if (nRuns == 0) assert(dupToks == 0 && maxRun == 0, s"doc $id inconsistent zeros")
+    }
+    assert(out.exists { case (id, (_, nRuns, _, _)) => id % 3 != 0 && id % 5 != 0 && nRuns == 0 },
+      "some untouched doc should have no shared run — otherwise the negative case is vacuous")
+  }
+
   test("minhash signatures collide for identical texts (candidate pair found)") {
     // Run the LSH pipeline on the corpus: the constructed duplicate in
     // l1 is absent here, so candidates reflect genuine shingle overlap;
