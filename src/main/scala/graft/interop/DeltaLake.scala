@@ -848,6 +848,23 @@ object DeltaLake {
     * re-emit — Delta's source contract). The JSON commit file must
     * still exist: a version folded into a checkpoint and vacuumed
     * cannot be replayed as a tail batch, and fails loudly here. */
+  /** The schema a commit DECLARED via its `metaData` action, if any —
+    * what a streaming tail consults to detect mid-stream evolution
+    * (one small JSON read; only versions that actually carry a
+    * metaData action return Some). */
+  def schemaChangeIn(path: String, v: Long): Option[StructType] = {
+    val (fs, root) = Writers.fsFor(path)
+    val f = jsonFile(root, v)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      Option(Json.readTree(line).get("metaData")).filterNot(_.isNull)
+        .flatMap(m => Option(m.get("schemaString")).filterNot(_.isNull))
+        .map(s => DataType.fromJson(s.asText).asInstanceOf[StructType])
+    }.nextOption()
+  }
+
   def changesIn(path: String, v: Long): (Seq[AddFile], Boolean) = {
     val (fs, root) = Writers.fsFor(path)
     val f = jsonFile(root, v)

@@ -73,11 +73,20 @@ final class DeltaSourceProvider extends RelationProvider
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
 
+  /** The tail's serving schema: the newest schema-tracking entry when
+    * `schemaTrackingLocation` is set and has recorded one (the
+    * restart-after-evolution path), else the current snapshot's. */
+  private def tailSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType =
+    opt(parameters, "schemaTrackingLocation")
+      .flatMap(org.apache.spark.sql.graft.DeltaSchemaTracking.read(_).map(_._1))
+      .getOrElse(DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("delta", schema.getOrElse {
-      val table = DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+      val table = tailSchema(sqlContext, parameters)
       if (wantsCdf(parameters)) cdfSchema(table) else table
     })
 
@@ -101,12 +110,24 @@ final class DeltaSourceProvider extends RelationProvider
       s"delta source: $path carries deletion vectors — a streaming bootstrap over " +
         "merge-on-read delete debt would re-serve deleted rows. Rewrite the table " +
         "(copy-on-write delete / compaction) before tailing it.")
+    val tracking = opt(parameters, "schemaTrackingLocation")
+    require(tracking.isEmpty || snap.mapMode.isEmpty,
+      s"delta source: schemaTrackingLocation over a column-mapped table " +
+        s"(delta.columnMapping.mode=${snap.mapMode.getOrElse("")}) is not supported")
+    val pinned = schema.getOrElse(
+      tracking.flatMap(org.apache.spark.sql.graft.DeltaSchemaTracking.read(_).map(_._1))
+        .getOrElse(snap.schema))
+    // first start under tracking: record the serving schema, so the
+    // stream's lineage is on disk before any evolution can land
+    tracking.foreach(dir => org.apache.spark.sql.graft.DeltaSchemaTracking.record(
+      dir, pinned, DeltaLake.versions(path).lastOption.getOrElse(0L)))
     new org.apache.spark.sql.graft.DeltaStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
-      schema.getOrElse(snap.schema), snap.partitionColumns,
+      pinned, snap.partitionColumns,
       ignoreChanges = opt(parameters, "ignoreChanges").exists(_.toBoolean),
       startingVersion = opt(parameters, "startingVersion").map(_.toLong),
-      rawSchema = snap.rawSchema, mapMode = snap.mapMode)
+      rawSchema = snap.rawSchema, mapMode = snap.mapMode,
+      schemaTracking = tracking)
   }
 
   override def createRelation(

@@ -14,6 +14,71 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Sourc
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.{StructField, StructType}
 
+/** The source's SCHEMA-TRACKING log (Delta's documented
+  * `schemaTrackingLocation` behavior): a tiny JSON journal under
+  * `<dir>/_schema_log/` recording each schema the stream has served
+  * and the log version it took effect at. A mid-stream evolution
+  * fails the running query ONCE (recording the evolved schema first);
+  * the restarted query reads the newest entry and resumes serving the
+  * evolved schema — pre-evolution files null-fill the added columns
+  * at scan, so the replayed window needs no rewrite. */
+object DeltaSchemaTracking {
+  private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def logDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_schema_log")
+
+  def read(dir: String): Option[(StructType, Long)] = {
+    val d = logDir(dir)
+    val fs = d.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return None
+    val entries = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+    entries.maxOption.map { v =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(d, s"$v.json"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val node = Json.readTree(text)
+      (org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText)
+        .asInstanceOf[StructType],
+        node.get("deltaVersion").asLong)
+    }
+  }
+
+  /** Append a schema entry (no-op when the newest entry already equals
+    * it — detection can fire once per in-flight batch attempt). */
+  def record(dir: String, schema: StructType, deltaVersion: Long): Unit = {
+    if (read(dir).exists { case (s, _) => canonical(s) == canonical(schema) }) return
+    val d = logDir(dir)
+    val fs = d.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    val next = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+      .maxOption.map(_ + 1).getOrElse(0L)
+    val node = Json.createObjectNode()
+    node.put("schema", schema.json)
+    node.put("deltaVersion", deltaVersion)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, s"$next.json"), true)
+    try out.write(Json.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Name+type shape, metadata/nullability-blind — what evolution
+    * detection compares. */
+  def canonical(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+
+  /** Old → new is ADDITIVE when every old column survives with its
+    * type — the only evolution the tail auto-resumes through (dropped/
+    * renamed/retyped columns would silently mis-serve history). */
+  def isAdditive(oldS: StructType, newS: StructType): Boolean = {
+    val newCols = canonical(newS).toMap
+    canonical(oldS).forall { case (n, t) => newCols.get(n).contains(t) }
+  }
+}
+
 /** Streaming SOURCE over a Delta table's transaction log —
   * `spark.readStream.format("delta").load(tbl)` with this library's
   * from-spec log implementation: offsets are log versions; a fresh
@@ -41,6 +106,10 @@ class DeltaStreamSource(
     // so each batch scans physical and renames to the pinned logical
     rawSchema: StructType = StructType(Nil),
     mapMode: Option[String] = None,
+    // Delta's schemaTrackingLocation: when set, a mid-stream additive
+    // evolution records the new schema there and fails the query once;
+    // the restart resumes under the evolved schema
+    schemaTracking: Option[String] = None,
 ) extends Source {
 
   // same gate as the batch path: with the conf off, an id-mode scan
@@ -66,6 +135,41 @@ class DeltaStreamSource(
   }
 
   private def addsOf(v: Long): Seq[DeltaLake.AddFile] = {
+    // mid-stream SCHEMA EVOLUTION gate: a version declaring a schema
+    // that differs from the pinned one cannot be served under the
+    // pinned shape. With a schemaTrackingLocation, record the evolved
+    // schema and fail ONCE — the restarted stream resumes under it
+    // (this very check passes then, since pinned == declared); without
+    // tracking, refuse with the option spelled out (Delta's documented
+    // default).
+    DeltaLake.schemaChangeIn(path, v)
+      .filter(ns => DeltaSchemaTracking.canonical(ns) != DeltaSchemaTracking.canonical(schema))
+      // a version declaring an OLDER subset of the pinned schema is the
+      // RESUME case (post-restart replay across the evolution point):
+      // the pinned schema serves those files, added columns null-fill
+      .filterNot(ns => DeltaSchemaTracking.isAdditive(ns, schema))
+      .foreach { ns =>
+        schemaTracking match {
+          case Some(dir) =>
+            require(DeltaSchemaTracking.isAdditive(schema, ns),
+              s"delta source: version $v of $path evolves the schema NON-additively " +
+                s"(${DeltaSchemaTracking.canonical(schema)} -> ${DeltaSchemaTracking.canonical(ns)}) " +
+                "— a tail cannot re-serve history under dropped/renamed/retyped columns; " +
+                "restart the stream fresh from the current snapshot")
+            DeltaSchemaTracking.record(dir, ns, v)
+            throw new IllegalStateException(
+              s"delta source: schema of $path changed at version $v (additive). The evolved " +
+                "schema has been recorded in the schema-tracking location — RESTART the " +
+                "stream to continue; it will resume from the checkpoint serving the new schema.")
+          case None =>
+            throw new IllegalStateException(
+              s"delta source: schema of $path changed at version $v — a running tail is " +
+                "pinned to the schema at stream start. Set " +
+                "option(\"schemaTrackingLocation\", <dir>) to let the stream record " +
+                "evolutions and resume through restarts, or restart fresh from the " +
+                "current snapshot.")
+        }
+      }
     val (adds, hasRemoves) = DeltaLake.changesIn(path, v)
     if (hasRemoves && !ignoreChanges)
       throw new IllegalStateException(

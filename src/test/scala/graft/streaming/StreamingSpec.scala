@@ -49,6 +49,92 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids.toSeq == (0L until 150L), "delta restart lost or duplicated rows")
   }
 
+  test("delta tail: schema tracking survives mid-stream additive evolution across a restart") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "delta_schematrack")
+    graft.ingest.Writers.deleteTree(base)
+    val tbl = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    val track = base.resolve("track").toString
+    val sink = base.resolve("sink").toString
+    graft.interop.DeltaLake.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    def drain(): Unit = {
+      val q = s.readStream.format("delta")
+        .option("schemaTrackingLocation", track).load(tbl)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap under (k, v); tracking entry 0 recorded
+    assert(org.apache.spark.sql.graft.DeltaSchemaTracking.read(track)
+      .exists(_._1.fieldNames.toSeq == Seq("k", "v")))
+    // mid-stream ADDITIVE evolution + new rows in one commit
+    graft.interop.DeltaLake.write(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "v", "extra"), tbl,
+      mode = SaveMode.Append, mergeSchema = true)
+    // the running-stream contract: this drain fails ONCE, recording the schema
+    val e = intercept[Exception](drain())
+    assert(e.getMessage.contains("RESTART the stream"),
+      s"expected the record-and-restart failure, got: ${e.getMessage}")
+    assert(org.apache.spark.sql.graft.DeltaSchemaTracking.read(track)
+      .exists(_._1.fieldNames.toSeq == Seq("k", "v", "extra")),
+      "the evolved schema must be recorded before the query fails")
+    // RESTART: resumes from the checkpoint serving the evolved schema
+    drain()
+    val out = s.read.option("mergeSchema", "true").parquet(sink)
+    assert(out.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    val rows = out.select("k", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L), (4L, "d", 40L)),
+      s"pre-evolution rows null-fill, evolved rows carry the column; got $rows")
+    // a THIRD append under the evolved schema flows without incident
+    graft.interop.DeltaLake.write(
+      Seq((5L, "e", 50L)).toDF("k", "v", "extra"), tbl,
+      mode = SaveMode.Append)
+    drain()
+    assert(s.read.option("mergeSchema", "true").parquet(sink).count() == 5)
+  }
+
+  test("delta tail: a RUNNING query without tracking refuses the schema change, naming the option") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "delta_noschtrack")
+    graft.ingest.Writers.deleteTree(base)
+    val tbl = base.resolve("tbl").toString
+    graft.interop.DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), tbl)
+    // a source pinned while the table was (k, v) — the running-query state
+    val pinned = graft.interop.DeltaLake.snapshot(s, tbl).schema
+    val src = new org.apache.spark.sql.graft.DeltaStreamSource(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], tbl, pinned,
+      Nil, ignoreChanges = false, startingVersion = None)
+    // evolution lands under the running query
+    graft.interop.DeltaLake.write(Seq((2L, "b", 1L)).toDF("k", "v", "extra"), tbl,
+      mode = SaveMode.Append, mergeSchema = true)
+    val e = intercept[Exception](src.getBatch(Some(LongOffset(0L)), LongOffset(1L)))
+    assert(e.getMessage.contains("schemaTrackingLocation"),
+      s"the refusal must name the unblock option, got: ${e.getMessage}")
+    // a RESTARTED (re-pinned) query serves the evolved schema — Delta's
+    // restart-fresh contract, proven through the source directly
+    val src2 = new org.apache.spark.sql.graft.DeltaStreamSource(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], tbl,
+      graft.interop.DeltaLake.snapshot(s, tbl).schema,
+      Nil, ignoreChanges = false, startingVersion = None)
+    assert(src2.getBatch(Some(LongOffset(0L)), LongOffset(1L)).columns.toSeq ==
+      Seq("k", "v", "extra"))
+  }
+
   test("t4: events behind the checkpointed watermark are dropped, not aggregated") {
     import org.apache.spark.sql.functions.{col, expr}
     val splitUs = 1705276800000000L // the entry's 2024-01-15T00:00Z split
