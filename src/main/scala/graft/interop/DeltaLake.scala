@@ -272,6 +272,98 @@ object DeltaLake {
     commitRewrite(spark, path, snap, snap.files.map(_.path), ordered,
       "OPTIMIZE", dataChange = false, clusteringProvider = Some("liquid"))
   }
+
+  /** INCREMENTAL CLUSTERING MAINTENANCE (the graft-native
+    * [[graft.ingest.Versioned.maintainClusteredIfNeeded]] policy on
+    * the Delta clustering domain, r13 verdict #6): where
+    * [[optimizeCluster]] rewrites the WHOLE live set, this re-clusters
+    * ONLY the straggler files — appended unclustered batches, files
+    * without stats, and (single-column layouts) any file whose
+    * recorded [min, max] overlaps the disjoint curve — into fresh
+    * `clusteringProvider=liquid` files, carrying every clean file BY
+    * REFERENCE (zero bytes copied, file identity preserved). An
+    * append-heavy loop calling this keeps the curve's pruning forever
+    * at O(stragglers) per fold; within budget it costs one snapshot
+    * resolution and touches nothing. Straggler detection: one
+    * clustering column → interval scheduling over per-file bounds
+    * (greedy earliest-upper-bound keeps the largest disjoint subset);
+    * multi-column z-curves → the `clusteringProvider` stamp (per-file
+    * z-extent is not derivable from per-column stats, so files the
+    * curve already laid out are trusted clean — Delta's own ZCube
+    * model). Row-tracked tables rewrite through the tracking frame:
+    * every straggler row keeps its id. Commits `dataChange=false`
+    * (maintenance — tails skip it). Returns the maintenance commit's
+    * version, None when within budget. */
+  def maintainClusteredIfNeeded(spark: SparkSession, path: String,
+      maxStragglers: Int = 4, targetBytes: Long = 128L << 20): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(maxStragglers >= 0,
+      s"DeltaLake.maintainClusteredIfNeeded: maxStragglers >= 0, got $maxStragglers")
+    val snap = snapshot(spark, path)
+    gateWriter(snap, path, "maintainClusteredIfNeeded", mutates = true)
+    val cols = clusteringColsOf(snap)
+    require(cols.nonEmpty,
+      s"DeltaLake.maintainClusteredIfNeeded: $path is not a clustered table " +
+        "(enableClustering first)")
+    val messy = clusterStragglerFiles(snap, cols)
+    if (snap.files.isEmpty || messy.size <= maxStragglers) return None
+    val sub = snap.copy(files = messy)
+    val nOut = math.max(1L,
+      (messy.map(_.size).sum + targetBytes - 1) / targetBytes).toInt
+    val rows: DataFrame =
+      if (snap.rowTrackingEnabled) trackedFrame(spark, path, sub, withMeta = false)
+      else {
+        val classic = spark.asInstanceOf[ClassicSession]
+        val base = classic.baseRelationToDataFrame(relationForSnapshot(spark, path, sub))
+        fromPhysicalDf(
+          if (!sub.hasDeletionVectors) base
+          else dropCovered(withRowMeta(base), loadDvMap(spark, path, sub))
+            .drop(FileMetaCol, PosMetaCol), sub)
+      }
+    val ordered =
+      if (cols.size == 1)
+        rows.repartitionByRange(nOut, col(cols.head)).sortWithinPartitions(cols.head)
+      else rows.withColumn("__graft_z", graft.functions.ZOrder.zvalue(rows, cols))
+        .repartitionByRange(nOut, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+    Some(commitRewrite(spark, path, snap, messy.map(_.path), ordered,
+      "OPTIMIZE", dataChange = false, clusteringProvider = Some("liquid")))
+  }
+
+  /** The stragglers of a clustered Delta layout (see
+    * [[maintainClusteredIfNeeded]]). Single column: the complement of
+    * the largest pairwise-disjoint subset of recorded [min, max]
+    * intervals, plus stats-less files. Multi-column: every file not
+    * stamped by a clustering rewrite. */
+  private def clusterStragglerFiles(snap: Snapshot, cols: Seq[String]): Seq[AddFile] = {
+    if (cols.size >= 2)
+      return snap.files.filterNot(_.clusteringProvider.contains("liquid"))
+    val c = snap.physicalName(cols.head)
+    def boundsOf(f: AddFile): Option[(Any, Any)] = f.stats.flatMap { s =>
+      val n = try Json.readTree(s) catch { case _: Exception => return None }
+      for {
+        mn <- Option(n.get("minValues")).flatMap(m => Option(m.get(c))).filterNot(_.isNull)
+        mx <- Option(n.get("maxValues")).flatMap(m => Option(m.get(c))).filterNot(_.isNull)
+        if !mn.isContainerNode && !mx.isContainerNode
+      } yield
+        if (mn.isNumber) (mn.decimalValue: Any, mx.decimalValue: Any)
+        else (mn.asText: Any, mx.asText: Any)
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    val (stated, statless) = snap.files.map(f => f -> boundsOf(f)).partition(_._2.isDefined)
+    val sorted = stated.map { case (f, b) => (f, b.get) }
+      .sortWith((x, y) => cmp(x._2._2, y._2._2) < 0)
+    val clean = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastHi: Option[Any] = None
+    for ((f, (lo, hi)) <- sorted)
+      if (lastHi.forall(h => cmp(lo, h) > 0)) { clean += f.path; lastHi = Some(hi) }
+    statless.map(_._1) ++ sorted.map(_._1).filterNot(f => clean.contains(f.path))
+  }
   private val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
   private val MatRcvKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
 

@@ -62,6 +62,81 @@ class DeltaClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental maintenance: clean files carry by reference, only stragglers rewrite") {
+    import spark.implicits._
+    val path = freshDir("delta_cluster_incr")
+    // single-column clustered layout: 4 range-disjoint files
+    DeltaLake.write((1L to 4000L).map(k => (k, s"r$k")).toDF("k", "v"), path)
+    DeltaLake.enableClustering(spark, path, Seq("k"))
+    DeltaLake.optimizeCluster(spark, path, nFiles = 4)
+    val cleanPaths = DeltaLake.snapshot(spark, path).files.map(_.path).toSet
+    assert(cleanPaths.size == 4)
+    // within budget: nothing to do, nothing touched
+    assert(DeltaLake.maintainClusteredIfNeeded(spark, path, maxStragglers = 4).isEmpty)
+    assert(DeltaLake.snapshot(spark, path).files.map(_.path).toSet == cleanPaths)
+    // an append loop lands 6 unclustered full-range batches
+    (0 until 6).foreach { i =>
+      DeltaLake.write((1L to 4000L by 97L).map(k => (k + i, s"s$k")).toDF("k", "v")
+        .coalesce(1), path, mode = SaveMode.Append)
+    }
+    val withDebt = DeltaLake.snapshot(spark, path)
+    assert(withDebt.files.size == 10)
+    val v = DeltaLake.maintainClusteredIfNeeded(spark, path, maxStragglers = 4)
+    assert(v.nonEmpty, "6 full-range stragglers must trip a 4-file budget")
+    val after = DeltaLake.snapshot(spark, path)
+    // FILE IDENTITY: all 4 clean files carried by reference
+    assert(cleanPaths.subsetOf(after.files.map(_.path).toSet),
+      "clean range-disjoint files must carry by reference")
+    assert(after.files.map(_.path).toSet.intersect(
+      withDebt.files.map(_.path).toSet -- cleanPaths).isEmpty,
+      "every straggler must be replaced")
+    assert(after.files.forall(_.clusteringProvider.contains("liquid")))
+    // content exact: base rows + the 6 appended batches
+    assert(DeltaLake.read(spark, path).count() ==
+      4000L + 6L * (1L to 4000L by 97L).size)
+    // maintenance commit is dataChange=false
+    val log = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"${v.get}%020d.json")), "UTF-8")
+    log.split('\n').filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+      Seq("add", "remove").foreach(k => Option(n.get(k)).foreach(a =>
+        assert(!a.get("dataChange").asBoolean, s"$k must be dataChange=false")))
+    }
+    // back within budget: the next call is a no-op
+    assert(DeltaLake.maintainClusteredIfNeeded(spark, path, maxStragglers = 4).isEmpty)
+  }
+
+  test("incremental maintenance: row-tracked stragglers keep their ids; z-curve uses the stamp") {
+    import spark.implicits._
+    val path = freshDir("delta_cluster_incr_rt")
+    DeltaLake.write(grid(20), path)
+    DeltaLake.enableRowTracking(spark, path)
+    DeltaLake.enableClustering(spark, path, Seq("a", "b"))
+    DeltaLake.optimizeCluster(spark, path, nFiles = 4)
+    val idsBefore = DeltaLake.readWithRowTracking(spark, path)
+      .select(col("a"), col("b"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cleanPaths = DeltaLake.snapshot(spark, path).files.map(_.path).toSet
+    // unclustered appends (z-curve layouts flag by the missing stamp)
+    (0 until 6).foreach { i =>
+      DeltaLake.write(Seq((100L + i, 100L + i)).toDF("a", "b"), path,
+        mode = SaveMode.Append)
+    }
+    val v = DeltaLake.maintainClusteredIfNeeded(spark, path, maxStragglers = 4)
+    assert(v.nonEmpty)
+    val after = DeltaLake.snapshot(spark, path)
+    assert(cleanPaths.subsetOf(after.files.map(_.path).toSet),
+      "stamped z-curve files must carry by reference")
+    assert(after.files.forall(_.clusteringProvider.contains("liquid")))
+    // ROW IDENTITY: every pre-maintenance row keeps its id
+    val idsAfter = DeltaLake.readWithRowTracking(spark, path)
+      .select(col("a"), col("b"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    idsBefore.foreach { case (k, id) =>
+      assert(idsAfter(k) == id, s"row $k lost its id across incremental maintenance")
+    }
+    assert(idsAfter.size == idsBefore.size + 6)
+  }
+
   test("refusals: partitioned table, non-numeric multi-column, OPTIMIZE before enable") {
     import spark.implicits._
     val part = freshDir("delta_cluster_part")
