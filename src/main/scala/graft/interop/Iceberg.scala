@@ -1711,12 +1711,18 @@ object Iceberg {
     val tsMs = snapNode.get("timestamp-ms").asLong
     val classic = spark.asInstanceOf[ClassicSession]
     val scanSchema = scanSchemaOf(schema, fieldIds)
+    // the spec-standard summary metric, when the committing writer
+    // recorded it — the EXACT planning size with zero manifest opens
+    val exactBytes: Option[Long] = Option(snapNode.get("summary")).filterNot(_.isNull)
+      .flatMap(s => Option(s.get("total-files-size")).filterNot(_.isNull))
+      .flatMap(_.asText.toLongOption)
     val index = new IcebergManifestListIndex(classic, path, root, dataRefs,
       allSpecs, schema, scanSchema, partCols,
       load = m => decodeDataManifest(fs, path, m.path, m.seq, m.firstRowId, m.specId,
         allSpecs.getOrElse(m.specId, partFields), schema, decodeBounds),
       mkSnapshot = files => Snapshot(wantId, seqNum, tsMs, schema, partCols, files,
-        Nil, partFields, Nil, fieldIds, Nil, allSpecs, defaultSpecId))
+        Nil, partFields, Nil, fieldIds, Nil, allSpecs, defaultSpecId),
+      exactBytes = exactBytes)
     val dataSchema =
       StructType(scanSchema.fields.filterNot(f => partCols.contains(f.name)))
     Some(new org.apache.spark.sql.graft.GraftIcebergRelation(
@@ -1745,7 +1751,8 @@ object Iceberg {
       scanSchema: StructType,
       partCols: Seq[String],
       load: IcebergManifestRef => Seq[DataFileRef],
-      mkSnapshot: Seq[DataFileRef] => Snapshot)
+      mkSnapshot: Seq[DataFileRef] => Snapshot,
+      exactBytes: Option[Long] = None)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
@@ -1771,14 +1778,17 @@ object Iceberg {
     override def rootPaths: Seq[HPath] = Seq(root)
     override def refresh(): Unit = ()
     override def inputFiles: Array[String] = innerFor(manifests).inputFiles
-    /** Planning ESTIMATE from the manifest-list row counts alone
-      * (`Σ rows × in-memory row width`) — deliberately on the wide
-      * side, so an unfetched table never wrongly broadcasts; AQE
-      * re-sizes joins from actual runtime bytes. Once every manifest
-      * is fetched anyway, the exact file-size sum serves. */
-    override def sizeInBytes: Long =
+    /** Planning size: the snapshot summary's `total-files-size` when
+      * the writer recorded it (exact, zero reads); else an ESTIMATE
+      * from the manifest-list row counts (`Σ rows × in-memory row
+      * width`) — deliberately on the wide side, so an unfetched table
+      * never wrongly broadcasts; AQE re-sizes joins from actual
+      * runtime bytes. Once every manifest is fetched anyway, the
+      * exact file-size sum serves. */
+    override def sizeInBytes: Long = exactBytes.getOrElse {
       if (loaded.size >= manifests.size) innerFor(manifests).sizeInBytes
       else totalLiveRows * math.max(8, scanSchema.defaultSize)
+    }
 
     override def listFiles(partitionFilters: Seq[Expression], dataFilters: Seq[Expression]):
         Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
@@ -2417,6 +2427,37 @@ object Iceberg {
     if (fv == 3) snapNode.put("first-row-id", nextRowId)
     val summary = snapNode.putObject("summary")
     summary.put("operation", if (mode == SaveMode.Append) "append" else "overwrite")
+    // spec-standard metrics: added-* for this commit; total-* carried
+    // forward on append when the parent recorded them (an overwrite
+    // restarts the totals at its own adds). Readers use
+    // total-files-size as the EXACT planning size without opening a
+    // single manifest ([[IcebergManifestListIndex.sizeInBytes]]);
+    // other verbs simply omit totals and planning falls back to a
+    // row-count estimate — absence is never wrong, only coarser.
+    val addedBytes = moved.map(_.sizeInBytes).sum
+    val addedRecs = moved.map(_.recordCount).sum
+    summary.put("added-data-files", moved.size.toString)
+    summary.put("added-records", addedRecs.toString)
+    summary.put("added-files-size", addedBytes.toString)
+    val parentSummary: Option[JsonNode] = baseId.flatMap(bid => pa.flatMap { case (_, m) =>
+      iterator(m.get("snapshots")).find(_.get("snapshot-id").asLong == bid)
+        .flatMap(sn => Option(sn.get("summary")).filterNot(_.isNull))
+    })
+    def parentTotal(key: String): Option[Long] =
+      parentSummary.flatMap(s => Option(s.get(key)).filterNot(_.isNull))
+        .flatMap(v => v.asText.toLongOption)
+    val totals: Option[(Long, Long, Long)] =
+      if (mode != SaveMode.Append) Some((moved.size.toLong, addedRecs, addedBytes))
+      else for {
+        tf <- parentTotal("total-data-files")
+        tr <- parentTotal("total-records")
+        tb <- parentTotal("total-files-size")
+      } yield (tf + moved.size, tr + addedRecs, tb + addedBytes)
+    totals.foreach { case (tf, tr, tb) =>
+      summary.put("total-data-files", tf.toString)
+      summary.put("total-records", tr.toString)
+      summary.put("total-files-size", tb.toString): Unit
+    }
     // caller-supplied summary properties — e.g. a streaming sink's
     // (query-id, epoch) exactly-once watermark, the mechanism the
     // spec's real streaming integrations use

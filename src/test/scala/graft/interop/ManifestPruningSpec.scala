@@ -167,6 +167,45 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)))
   }
 
+  test("snapshot summary totals accumulate on append and restart on overwrite") {
+    val path = freshDir("ice_summary_totals")
+    Iceberg.write(df((1, 1L, "a"), (2, 2L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((3, 3L, "c")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    def summary(): Map[String, String] = {
+      val dir = java.nio.file.Paths.get(path, "metadata")
+      val latest = java.nio.file.Files.list(dir).iterator()
+      var vs = List.empty[java.nio.file.Path]
+      while (latest.hasNext) { val p = latest.next()
+        if (p.toString.endsWith(".metadata.json")) vs ::= p }
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(
+          vs.maxBy(_.getFileName.toString)), "UTF-8"))
+      val cur = meta.get("current-snapshot-id").asLong
+      var out = Map.empty[String, String]
+      val it = meta.get("snapshots").elements()
+      while (it.hasNext) { val sn = it.next()
+        if (sn.get("snapshot-id").asLong == cur) {
+          val props = sn.get("summary").properties().iterator()
+          while (props.hasNext) { val e = props.next()
+            out += e.getKey -> e.getValue.asText }
+        }
+      }
+      out
+    }
+    val s1 = summary()
+    assert(s1("total-records") == "3" && s1("total-data-files").toInt >= 2 &&
+      s1("added-records") == "1",
+      s"append must carry forward totals, got $s1")
+    assert(s1("total-files-size").toLong > 0)
+    // overwrite restarts the totals at its own adds
+    Iceberg.write(df((9, 9L, "z")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val s2 = summary()
+    assert(s2("total-records") == "1" && s2("added-records") == "1",
+      s"overwrite must restart totals, got $s2")
+  }
+
   test("kill-switch and unfiltered scans stay fully correct") {
     val path = freshDir("ice_mfprune_full")
     Iceberg.write(df((1, 1L, "a")), path, partitionBy = Seq("p"))
