@@ -44,7 +44,8 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
       "analyze_table", "replace_partition_spec", "rollback_to_snapshot",
-      "sync_identity", "create_ref", "drop_ref", "fast_forward", "clone")
+      "sync_identity", "create_ref", "drop_ref", "fast_forward", "clone",
+      "maintain_clustered")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -141,6 +142,13 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       // resolves as-of through each format's own timestamp-travel rule
       p("version", LongType).defaultValue("-1").build(),
       p("timestamp_ms", LongType).defaultValue("-1").build())
+    case "maintain_clustered" => Array(
+      p("table", StringType).build(),
+      p("max_stragglers", LongType).defaultValue("4").build(),
+      p("target_bytes", LongType).defaultValue((128L << 20).toString).build(),
+      // graft-native tables name their clustering column here; Delta
+      // clustered tables declare theirs via CLUSTER BY (refused if set)
+      p("cluster_col", StringType).defaultValue("''").build())
     case _ => Array( // rewrite_manifests
       p("table", StringType).build(),
       p("target_bytes", LongType).defaultValue((8L << 20).toString).build())
@@ -319,6 +327,27 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
             s"GraftCatalog expire_snapshots: not implemented for $other tables " +
               "(Delta history retention is its checkpoint/log-expiry contract; " +
               "use vacuum for data-file reclaim)")
+        }
+      case "maintain_clustered" =>
+        // incremental clustering maintenance: only straggler files
+        // rewrite; -1 = within budget, nothing touched
+        val maxStragglers = input.getLong(1).toInt
+        val colArg = input.getUTF8String(3).toString
+        fmt match {
+          case "delta" =>
+            require(colArg.isEmpty,
+              "GraftCatalog maintain_clustered: a Delta clustered table declares its " +
+                "columns via enableClustering — omit cluster_col")
+            Array(graft.interop.DeltaLake.maintainClusteredIfNeeded(
+              spark, path, maxStragglers, input.getLong(2)).getOrElse(-1L))
+          case "graft" =>
+            require(colArg.nonEmpty,
+              "GraftCatalog maintain_clustered: pass cluster_col for a graft-native table")
+            Array(graft.ingest.Versioned.maintainClusteredIfNeeded(
+              spark, path, colArg, maxStragglers).getOrElse(-1L))
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog maintain_clustered: not implemented for $other tables " +
+              "(Iceberg layout maintenance is rewriteSorted/rewrite_manifests)")
         }
       case _ => // rewrite_manifests
         require(fmt == "iceberg",

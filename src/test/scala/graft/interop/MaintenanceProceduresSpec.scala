@@ -191,6 +191,43 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("no named-ref layer"), e3.getMessage)
   }
 
+  test("CALL maintain_clustered: delta incremental fold from SQL; graft needs cluster_col") {
+    import spark.implicits._
+    val whd = wh("dbmc"); Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmc")
+    val dp = whd.resolve("td").toString
+    DeltaLake.write((1L to 2000L).map(k => (k, s"r$k")).toDF("k", "v"), dp)
+    DeltaLake.enableClustering(spark, dp, Seq("k"))
+    DeltaLake.optimizeCluster(spark, dp, nFiles = 4)
+    val clean = DeltaLake.snapshot(spark, dp).files.map(_.path).toSet
+    // within budget: -1, untouched
+    assert(spark.sql("CALL graft.system.maintain_clustered('dbmc.td')")
+      .head().getLong(0) == -1L)
+    (0 until 6).foreach { i =>
+      DeltaLake.write((1L to 2000L by 53L).map(k => (k + i, s"s$k")).toDF("k", "v")
+        .coalesce(1), dp, mode = SaveMode.Append)
+    }
+    val v = spark.sql("CALL graft.system.maintain_clustered('dbmc.td')").head().getLong(0)
+    assert(v > 0, s"6 stragglers must trip the default budget, got $v")
+    assert(clean.subsetOf(DeltaLake.snapshot(spark, dp).files.map(_.path).toSet),
+      "clean files must carry by reference through the SQL surface")
+    // graft-native needs the column named; delta refuses it
+    val gp = whd.resolve("tg").toString
+    Versioned.commitClustered((1L to 2000L).map(k => (k, k * 2)).toDF("k", "v"), gp,
+      clusterCol = "k", nFiles = 4)
+    (0 until 6).foreach { i =>
+      Versioned.appendCommit((1L to 2000L by 53L).map(k => (k + i, k)).toDF("k", "v")
+        .coalesce(1), gp)
+    }
+    assert(spark.sql(
+      "CALL graft.system.maintain_clustered('dbmc.tg', cluster_col => 'k')")
+      .head().getLong(0) > 0)
+    intercept[Exception](spark.sql(
+      "CALL graft.system.maintain_clustered('dbmc.tg')").collect())
+    intercept[Exception](spark.sql(
+      "CALL graft.system.maintain_clustered('dbmc.td', cluster_col => 'k')").collect())
+  }
+
   test("CALL rollback_to_snapshot restores all three formats; bad targets refuse") {
     import spark.implicits._
     val whd = wh("dbmr"); Writers.deleteTree(whd)
