@@ -96,6 +96,10 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface) extends 
       viewChild(child).map { case (cat, ident) =>
         GraftRenameViewCommand(cat, ident, newName)
       }.getOrElse(rt)
+    case dr @ DescribeRelation(child, _, isExtended, output) =>
+      viewChild(child).map { case (cat, ident) =>
+        GraftDescribeViewCommand(cat, ident, isExtended, output)
+      }.getOrElse(dr)
     case other => other
   }
 
@@ -249,5 +253,31 @@ final case class GraftRenameViewCommand(cat: GraftCatalog, ident: Identifier,
   override def run(session: SparkSession): Seq[Row] = {
     cat.renameView(ident, Identifier.of(newName.init.toArray, newName.last))
     Nil
+  }
+}
+
+/** `DESCRIBE [EXTENDED] <view>` — the schema rows, and under EXTENDED
+  * the view-catalog metadata section (type, SQL text, the definer's
+  * default catalog/namespace, properties). */
+final case class GraftDescribeViewCommand(cat: GraftCatalog, ident: Identifier,
+    isExtended: Boolean,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val view = cat.loadView(ident)
+    val cols = view.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Type", "VIEW", ""),
+      Row("View Text", view.query(), ""),
+      Row("View Catalog", view.currentCatalog(), ""),
+      Row("View Namespace", view.currentNamespace().mkString("."), "")) ++
+      (if (view.properties().isEmpty) Nil
+       else Seq(Row("View Properties",
+         view.properties().asScala.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"$k=$v" }.mkString(", "), "")))
   }
 }

@@ -127,6 +127,21 @@ class IcebergViewSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("references itself"))
   }
 
+  test("DESCRIBE and DESCRIBE EXTENDED serve the view's schema and metadata") {
+    setup("vdb8")
+    spark.sql("CREATE VIEW graft.vdb8.dv AS SELECT k, grp FROM graft.vdb8.t")
+    val plain = spark.sql("DESCRIBE graft.vdb8.dv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(plain == Seq(("k", "bigint"), ("grp", "string")))
+    val ext = spark.sql("DESCRIBE EXTENDED graft.vdb8.dv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Type") == "VIEW")
+    assert(ext("View Text").contains("SELECT k, grp"))
+    // default-namespace records the DEFINER's current namespace (what
+    // unqualified inner names resolve against), not the view's own
+    assert(ext.contains("View Namespace") && ext.contains("View Catalog"))
+  }
+
   test("views compose: a view over a view resolves through both") {
     setup("vdb7")
     spark.sql("CREATE VIEW graft.vdb7.base AS SELECT k, v FROM graft.vdb7.t WHERE v >= 20")
