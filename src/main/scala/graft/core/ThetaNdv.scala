@@ -72,6 +72,46 @@ object ThetaNdv {
     }
   }
 
+  /** Per-GROUP compact sketches of `valueCol` in ONE distributed pass:
+    * each partition keeps one update sketch per group it sees, emits
+    * (group, compact bytes), and partial sketches UNION on the way
+    * back — O(partitions × groups × sketch) shuffle, never values.
+    * This is the mergeable-rollup primitive: the returned per-group
+    * sketches union again (day → week → total) without re-touching a
+    * row, which is what makes distinct-count rollups O(sketches) at
+    * 100 TB instead of one full scan per window. */
+  def groupedSketches(df: DataFrame, groupCol: String,
+      valueCol: String): Map[String, Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(groupCol).cast("string"), col(valueCol)).rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[
+        String, org.apache.datasketches.theta.UpdateSketch]
+      it.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val sk = m.getOrElseUpdate(r.getString(0),
+            org.apache.datasketches.theta.UpdateSketch.builder().build())
+          r.get(1) match {
+            case v: java.lang.Long => sk.update(v.longValue())
+            case v: java.lang.Integer => sk.update(v.longValue())
+            case v: String => sk.update(v)
+            case v => sk.update(String.valueOf(v))
+          }
+        }
+      }
+      m.iterator.map { case (g, sk) => (g, sk.compact().toByteArray) }
+    }.reduceByKey(union).collect().toMap
+  }
+
+  /** Union two compact sketches — the merge the rollup rides. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(a)))
+    u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(b)))
+    u.getResult.toByteArray
+  }
+
   def emptySketch(): Array[Byte] =
     org.apache.datasketches.theta.UpdateSketch.builder().build().compact().toByteArray
 

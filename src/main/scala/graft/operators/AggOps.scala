@@ -354,9 +354,71 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A11: MERGEABLE-SKETCH ROLLUP — the distinct-count rollup pattern a
+    * 100 TB event store runs nightly: per-day THETA sketches of
+    * `user_id` in ONE distributed pass ([[graft.core.ThetaNdv
+    * .groupedSketches]] — partial sketches union partition-side,
+    * O(days × sketch) driver bytes, never values), then week and
+    * global distincts derived by UNIONING the daily sketches without
+    * re-touching a single row. That re-aggregability is the whole
+    * point: exact `count(DISTINCT)` cannot roll up (distinct is not
+    * summable across windows — every new window is a full re-scan),
+    * sketches make every coarser window O(sketches). In-entry gates
+    * (the a4 accuracy pattern): per-week sketch-union estimates and
+    * the global union estimate must sit within 2% of the exact counts
+    * computed alongside — at these cardinalities (well under the
+    * sketch's 4096-entry exact region) the union is provably exact,
+    * so the gate catches structural regressions, not luck. Oracle: the
+    * EXACT weekly aggregate straight off `events`. */
+  val a11SketchRollup = QueryDef(
+    "a11_sketch_rollup",
+    (s, d) => {
+      val T = graft.core.ThetaNdv
+      // Tables.events surfaces ts as an epoch-NANOS long (G2); the
+      // session is pinned UTC, so the date derivation matches DuckDB's
+      val ev = Tables.events(s, d)
+        .select(expr("to_date(timestamp_micros(ts div 1000))").as("day"), col("user_id"))
+        .filter(col("user_id").isNotNull)
+      val daily: Map[String, Array[Byte]] = T.groupedSketches(ev, "day", "user_id")
+      def weekOf(day: String): Long =
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("2024-01-01"), java.time.LocalDate.parse(day)) / 7
+      // day → week → global: pure sketch unions, zero data re-reads
+      val weekly: Map[Long, Array[Byte]] =
+        daily.groupBy { case (day, _) => weekOf(day) }
+          .map { case (w, sks) => w -> sks.values.reduce(T.union) }
+      val globalEst = T.estimate(weekly.values.reduce(T.union))
+      val exact = ev
+        .groupBy(floor(datediff(col("day"), lit("2024-01-01")) / 7).cast("long").as("week"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("week")
+      val exactRows = exact.collect()
+      exactRows.foreach { r =>
+        val (w, n) = (r.getLong(0), r.getLong(2))
+        val est = T.estimate(weekly(w))
+        require(math.abs(est - n) <= math.max(1L, n / 50),
+          s"a11: week $w sketch-union estimate $est vs exact $n (>2% off)")
+      }
+      val globalExact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+      require(math.abs(globalEst - globalExact) <= math.max(1L, globalExact / 50),
+        s"a11: global sketch-union estimate $globalEst vs exact $globalExact (>2% off)")
+      val rows = exactRows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), exact.schema)
+    },
+    Some("""
+      SELECT CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
-    a10Moments,
+    a10Moments, a11SketchRollup,
   )
 }

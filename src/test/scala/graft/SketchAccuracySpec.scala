@@ -30,6 +30,28 @@ class SketchAccuracySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a11: grouped theta sketches union exactly below the sketch's exact region") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val T = graft.core.ThetaNdv
+    val ev = graft.core.Tables.events(spark, sf())
+      .select(expr("to_date(timestamp_micros(ts div 1000))").as("day"), col("user_id"))
+      .filter(col("user_id").isNotNull)
+    val daily = T.groupedSketches(ev, "day", "user_id")
+    assert(daily.nonEmpty)
+    // per-day estimates are EXACT below 4096 distinct (theta keeps all hashes)
+    val exactDaily = ev.groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    exactDaily.foreach { case (day, n) =>
+      assert(T.estimate(daily(day)) == n, s"day $day sketch must be exact at this cardinality")
+    }
+    // union order must not matter (mergeability): forward == reversed == exact global
+    val global = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val fwd = T.estimate(daily.values.reduce(T.union))
+    val rev = T.estimate(daily.values.toSeq.reverse.reduce(T.union))
+    assert(fwd == global && rev == global,
+      s"sketch union must be order-independent and exact here ($fwd/$rev vs $global)")
+  }
+
   test("a6_approx_percentiles: sketch p50 lands within the exact p40..p60 band") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("a6_approx_percentiles")(spark, sf())
