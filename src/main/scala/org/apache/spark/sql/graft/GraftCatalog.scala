@@ -297,7 +297,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     props.get(TableCatalog.PROP_LOCATION).foreach(_ => throw new IllegalArgumentException(
       "GraftCatalog: LOCATION is not supported — tables live under the warehouse directory"))
-    val partSpecs = partitions.toSeq.map(t => GraftCatalog.transformSpec(t, fmt))
+    // CREATE TABLE ... CLUSTER BY (c, ...): the parser delivers the
+    // clause as a ClusterByTransform among the partition transforms —
+    // recorded post-create as Delta's clustering domain (the layout
+    // lands on the first OPTIMIZE / maintain_clustered)
+    val clusterCols: Seq[String] = partitions.toSeq.collect {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }.flatten
+    if (clusterCols.nonEmpty && fmt != "delta")
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: CLUSTER BY is the Delta clusteringTable feature — not " +
+          s"expressible in the $fmt table spec (USING delta, or declare a sort " +
+          "order / clustered write through the library APIs)")
+    val partTransforms = partitions.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val partSpecs = partTransforms.toSeq.map(t => GraftCatalog.transformSpec(t, fmt))
     val spark = SparkSession.active
     // CREATE TABLE (c T DEFAULT expr): the analyzer delivers defaults
     // as CURRENT_DEFAULT/EXISTS_DEFAULT field metadata (the declared
@@ -397,6 +412,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     generatedCols.foreach { case (n, e) =>
       graft.interop.DeltaLake.setGenerationExpression(spark, dir.toString, n, e)
     }
+    if (clusterCols.nonEmpty)
+      graft.interop.DeltaLake.enableClustering(spark, dir.toString, clusterCols): Unit
     loadTable(ident)
   }
 

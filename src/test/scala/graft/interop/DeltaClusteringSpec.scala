@@ -137,6 +137,26 @@ class DeltaClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(idsAfter.size == idsBefore.size + 6)
   }
 
+  test("CREATE TABLE ... CLUSTER BY records the clustering domain from SQL") {
+    val whd = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "warehouse", "dbcb")
+    Writers.deleteTree(whd)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbcb")
+    spark.sql("CREATE TABLE graft.dbcb.cl (k BIGINT, v STRING) USING delta CLUSTER BY (k)")
+    val path = whd.resolve("cl").toString
+    assert(DeltaLake.clusteringColumns(spark, path) == Seq("k"))
+    spark.sql("INSERT INTO graft.dbcb.cl SELECT id, concat('r', id) FROM range(1, 2001)")
+    DeltaLake.optimizeCluster(spark, path, nFiles = 4)
+    assert(DeltaLake.snapshot(spark, path).files.forall(
+      _.clusteringProvider.contains("liquid")))
+    // the SQL maintenance loop closes over the declared columns
+    assert(spark.sql("CALL graft.system.maintain_clustered('dbcb.cl')")
+      .head().getLong(0) == -1L)
+    // non-Delta formats refuse the clause pre-create
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.dbcb.bad (k BIGINT) USING iceberg CLUSTER BY (k)"))
+    assert(e.getMessage.contains("CLUSTER BY"))
+  }
+
   test("refusals: partitioned table, non-numeric multi-column, OPTIMIZE before enable") {
     import spark.implicits._
     val part = freshDir("delta_cluster_part")
