@@ -430,6 +430,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // constraints; graft-native doesn't either) — loud refusal.
       // Unique/PK/FK are informational in every open format — refused
       // rather than silently recorded unenforced.
+      // ALTER TABLE t CLUSTER BY (c, ...): (re)declare the Delta
+      // clustering domain — metadata-only, the layout lands on the
+      // next OPTIMIZE / maintain_clustered. CLUSTER BY NONE arrives
+      // as an empty column list and is refused (the protocol keeps a
+      // clustered table clustered; drop and recreate to unwind).
+      case cb: TableChange.ClusterBy =>
+        require(fmt == "delta",
+          s"GraftCatalog CLUSTER BY: the $fmt table spec has no clustering " +
+            "domain — Delta only")
+        val cols = cb.clusteringColumns().toSeq.map(_.fieldNames.mkString("."))
+        require(cols.nonEmpty,
+          "GraftCatalog: CLUSTER BY NONE is not supported — the clusteringTable " +
+            "feature is not removable; recreate the table to unwind it")
+        graft.interop.DeltaLake.enableClustering(spark, path, cols): Unit
       case add: TableChange.AddConstraint =>
         add.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -151,6 +151,10 @@ class DeltaClusteringSpec extends AnyFunSuite with SparkFixture {
     // the SQL maintenance loop closes over the declared columns
     assert(spark.sql("CALL graft.system.maintain_clustered('dbcb.cl')")
       .head().getLong(0) == -1L)
+    // ALTER TABLE ... CLUSTER BY re-declares the domain; NONE refuses
+    spark.sql("ALTER TABLE graft.dbcb.cl CLUSTER BY (v)")
+    assert(DeltaLake.clusteringColumns(spark, path) == Seq("v"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.dbcb.cl CLUSTER BY NONE"))
     // non-Delta formats refuse the clause pre-create
     val e = intercept[Exception](spark.sql(
       "CREATE TABLE graft.dbcb.bad (k BIGINT) USING iceberg CLUSTER BY (k)"))
