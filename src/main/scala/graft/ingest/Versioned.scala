@@ -201,7 +201,14 @@ object Versioned {
     * opening a single file. Stats travel WITH the entry: a file carried
     * by reference through later commits keeps its statistics. */
   final case class ManifestEntry(
-      relPath: String, partDir: String, kind: String = KindData, stats: Option[String] = None)
+      relPath: String, partDir: String, kind: String = KindData, stats: Option[String] = None,
+      // IN-MEMORY ONLY (never serialized into the native manifest):
+      // the file's exact byte length when the SOURCE metadata already
+      // records it (Delta `add.size`, Iceberg `file_size_in_bytes`) —
+      // lets the planning FileIndex mint FileStatuses without one
+      // getFileStatus RPC per file, which at 100 TB is the difference
+      // between O(log bytes) and O(files) driver round-trips per plan
+      size: Option[Long] = None)
 
   /** The version directory that physically holds a manifest entry. */
   private def entryVersion(e: ManifestEntry): Long =

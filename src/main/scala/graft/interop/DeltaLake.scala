@@ -1175,7 +1175,10 @@ object DeltaLake {
         c + "=" + v.map(escapePathName).getOrElse(HiveDefaultPartition)
       }.mkString("/")
       Versioned.ManifestEntry(relPath = f.path, partDir = partDir,
-        stats = f.stats.flatMap(translateStats(_, zone)))
+        stats = f.stats.flatMap(translateStats(_, zone)),
+        // `add.size` is the exact byte length per the protocol — the
+        // FileIndex plans without a getFileStatus RPC per file
+        size = Some(f.size))
     }
     val index = new org.apache.spark.sql.graft.VersionedFileIndex(
       classic, path, s.version, entries, scanSchema, scanPartCols)

@@ -1590,7 +1590,10 @@ object Iceberg {
         Some(Json.writeValueAsString(o))
       }
       Versioned.ManifestEntry(relPath = abs.stripPrefix(rootPrefix), partDir = partDir,
-        stats = stats)
+        stats = stats,
+        // `file_size_in_bytes` is exact per the spec — planning needs
+        // no getFileStatus RPC per file
+        size = Some(f.sizeInBytes))
     }
     // rel path → the file's spec, for per-spec transform pruning
     val specOf: Map[String, Int] = s.files.map(f =>
