@@ -275,17 +275,36 @@ object Versioned {
     if (j < 0) // legacy 2-field line (pre-kind format): partDir \t relPath
       ManifestEntry(relPath = line.substring(i + 1), partDir = line.substring(0, i))
     else {
-      val k = line.indexOf('\t', j + 1) // optional 4th field: stats JSON
-      ManifestEntry(
+      val k = line.indexOf('\t', j + 1)
+      if (k < 0) ManifestEntry(
         kind = line.substring(0, i),
         partDir = line.substring(i + 1, j),
-        relPath = if (k < 0) line.substring(j + 1) else line.substring(j + 1, k),
-        stats = if (k < 0) None else Some(line.substring(k + 1)))
+        relPath = line.substring(j + 1))
+      else {
+        // 4th field: SIZE (digits) in the current format; a legacy
+        // line's 4th field was the stats JSON (starts with '{' — the
+        // compact rendering escapes control chars, so no literal tab
+        // ever splits it). 5th field, when present: stats JSON.
+        val rest = line.substring(k + 1)
+        val base = ManifestEntry(
+          kind = line.substring(0, i),
+          partDir = line.substring(i + 1, j),
+          relPath = line.substring(j + 1, k))
+        if (rest.startsWith("{")) base.copy(stats = Some(rest))
+        else {
+          val m = rest.indexOf('\t')
+          val szStr = if (m < 0) rest else rest.substring(0, m)
+          base.copy(
+            stats = if (m < 0) None else Some(rest.substring(m + 1)),
+            size = szStr.toLongOption.filter(_ >= 0))
+        }
+      }
     }
   }
 
   private def renderEntryLine(e: ManifestEntry): String =
-    s"${e.kind}\t${e.partDir}\t${e.relPath}" + e.stats.map("\t" + _).getOrElse("")
+    s"${e.kind}\t${e.partDir}\t${e.relPath}\t${e.size.getOrElse(-1L)}" +
+      e.stats.map("\t" + _).getOrElse("")
 
   /** A parsed `_delta` file: the committed version it derives from,
     * entries it adds, and (partDir, relPath) pairs it removes from the
@@ -406,7 +425,7 @@ object Versioned {
               s"Versioned: expected col=value partition dirs between $dir and $p, got '$frag'")
             frag
           }
-        acc += ManifestEntry(rel, partDir, kind)
+        acc += ManifestEntry(rel, partDir, kind, size = Some(st.getLen))
       }
     }
     acc.toSeq.sortBy(_.relPath)
