@@ -205,10 +205,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = formatOf(tableDir(ident)).nonEmpty
 
+  /** Iceberg-style METADATA TABLE suffixes: `ns.tbl.files` etc. — the
+    * familiar inspection surface, resolved by routing the suffix into
+    * the provider's inspection option (each format serves the subset
+    * its metadata layer defines). */
+  private val metadataTableNames: Map[String, Set[String]] = Map(
+    "iceberg" -> Set("history", "files", "snapshots", "manifests", "refs",
+      "partitions", "delete_files"),
+    "delta" -> Set("history", "files", "partitions"),
+    "graft" -> Set("history"))
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    val fmt = formatOf(dir).getOrElse(throw new NoSuchTableException(ident))
-    GraftTable(fmt, dir.toString, fullName(ident), Map.empty)
+    formatOf(dir) match {
+      case Some(fmt) => GraftTable(fmt, dir.toString, fullName(ident), Map.empty)
+      case None if ident.namespace.nonEmpty =>
+        // `SELECT * FROM graft.ns.tbl.files` arrives as
+        // Identifier(ns = [ns, tbl], name = files)
+        val metaName = ident.name.toLowerCase
+        val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+        val pdir = tableDir(parent)
+        formatOf(pdir)
+          .filter(fmt => metadataTableNames.getOrElse(fmt, Set.empty).contains(metaName))
+          .map(fmt => GraftTable(fmt, pdir.toString, fullName(ident),
+            Map(metaName -> "true")))
+          .getOrElse(throw new NoSuchTableException(ident))
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF <v>` — graft/Delta version, Iceberg snapshot id;
@@ -839,7 +862,14 @@ case class GraftTable(format: String, path: String, fullName: String,
   override def name(): String = fullName
   override def schema(): StructType = relation.schema
 
+  /** True for metadata-table resolutions (`ns.tbl.files` — the travel
+    * map carries the inspection option): the inspection relation has
+    * no partitioning/constraints of its own to report. */
+  private[graft] def isInspection: Boolean = travel.keys.exists(k =>
+    !Set("versionasof", "snapshotid").contains(k.toLowerCase))
+
   override def partitioning(): Array[Transform] = {
+    if (isInspection) return Array.empty
     val bucketRe = """bucket\((\d+),\s*(\S+)\)""".r
     val truncRe = """truncate\((\d+),\s*(\S+)\)""".r
     val unaryRe = """(years|months|days|hours)\((\S+)\)""".r
@@ -902,7 +932,7 @@ case class GraftTable(format: String, path: String, fullName: String,
     * is an enforced CHECK: this library's writer validates the table
     * at ADD and every write thereafter. */
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    if (format != "delta") Array.empty
+    if (format != "delta" || isInspection) Array.empty
     else formatProperties.toSeq.sortBy(_._1).collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
@@ -936,12 +966,16 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case AppendData(r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
           query, _, isByName, _, _) if r.table.isInstanceOf[GraftTable] && query.resolved =>
         val t = r.table.asInstanceOf[GraftTable]
+        require(!t.isInspection,
+          s"GraftCatalog: ${t.name()} is a read-only metadata table")
         GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
           query, overwrite = false, byName = isByName)
       case OverwriteByExpression(
           r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
           deleteExpr, query, _, isByName, _, _)
           if r.table.isInstanceOf[GraftTable] && query.resolved =>
+        require(!r.table.asInstanceOf[GraftTable].isInspection,
+          "GraftCatalog: metadata tables are read-only")
         require(isFullOverwrite(deleteExpr),
           "GraftCatalog: INSERT OVERWRITE with a static PARTITION clause is not supported — " +
             "overwrite the whole table or MERGE by key")
@@ -956,6 +990,8 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // ONLY the partitions the source touches — each format's
         // replacePartitions, one atomic commit
         val t = r.table.asInstanceOf[GraftTable]
+        require(!t.isInspection,
+          s"GraftCatalog: ${t.name()} is a read-only metadata table")
         GraftCatalogWriteCommand(t.format, t.path, t.partitionSpecs, t.schema(),
           query, overwrite = true, byName = isByName, dynamic = true)
       case CreateTableAsSelect(ResolvedIdentifier(cat: GraftCatalog, ident),

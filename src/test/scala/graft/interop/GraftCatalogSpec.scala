@@ -21,6 +21,36 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
   private def rows(sql: String): Seq[Seq[Any]] =
     spark.sql(sql).collect().toSeq.map(_.toSeq)
 
+  test("metadata tables: ns.tbl.files / .history / .snapshots resolve per format, read-only") {
+    wipe("dbmt")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmt")
+    spark.sql("CREATE TABLE graft.dbmt.ti (k BIGINT, v STRING) USING iceberg")
+    spark.sql("INSERT INTO graft.dbmt.ti VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.dbmt.ti VALUES (3, 'c')")
+    // iceberg's full inspection suffix family
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.ti.files").head().getLong(0) >= 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.ti.snapshots").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.ti.manifests").head().getLong(0) >= 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.ti.history").head().getLong(0) == 3L)
+    assert(spark.table("graft.dbmt.ti.refs").columns.contains("snapshot_id"))
+    // delta + graft get their subsets
+    spark.sql("CREATE TABLE graft.dbmt.td (k BIGINT) USING delta")
+    spark.sql("INSERT INTO graft.dbmt.td VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.td.history").head().getLong(0) >= 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.td.files").head().getLong(0) >= 1L)
+    spark.sql("CREATE TABLE graft.dbmt.tg (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.dbmt.tg VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM graft.dbmt.tg.history").head().getLong(0) >= 1L)
+    // unknown suffixes stay NOT FOUND; metadata tables refuse writes
+    intercept[Exception](spark.sql("SELECT * FROM graft.dbmt.ti.nonsense").collect())
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.dbmt.ti.files VALUES ('x', 1)"))
+    assert(e.getMessage.toLowerCase.contains("read-only")
+      || e.getMessage.toLowerCase.contains("too many data columns")
+      || e.getMessage.toLowerCase.contains("not enough data columns"),
+      s"metadata table must not accept inserts: ${e.getMessage}")
+  }
+
   test("graft format: create, insert, time travel, DML, alter, drop") {
     wipe("db1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db1")
