@@ -79,7 +79,7 @@ final class DeltaSourceProvider extends RelationProvider
   private def tailSchema(sqlContext: SQLContext,
       parameters: Map[String, String]): StructType =
     opt(parameters, "schemaTrackingLocation")
-      .flatMap(org.apache.spark.sql.graft.DeltaSchemaTracking.read(_).map(_._1))
+      .flatMap(org.apache.spark.sql.graft.StreamSchemaTracking.read(_).map(_._1))
       .getOrElse(DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
 
   override def sourceSchema(
@@ -115,11 +115,11 @@ final class DeltaSourceProvider extends RelationProvider
       s"delta source: schemaTrackingLocation over a column-mapped table " +
         s"(delta.columnMapping.mode=${snap.mapMode.getOrElse("")}) is not supported")
     val pinned = schema.getOrElse(
-      tracking.flatMap(org.apache.spark.sql.graft.DeltaSchemaTracking.read(_).map(_._1))
+      tracking.flatMap(org.apache.spark.sql.graft.StreamSchemaTracking.read(_).map(_._1))
         .getOrElse(snap.schema))
     // first start under tracking: record the serving schema, so the
     // stream's lineage is on disk before any evolution can land
-    tracking.foreach(dir => org.apache.spark.sql.graft.DeltaSchemaTracking.record(
+    tracking.foreach(dir => org.apache.spark.sql.graft.StreamSchemaTracking.record(
       dir, pinned, DeltaLake.versions(path).lastOption.getOrElse(0L)))
     new org.apache.spark.sql.graft.DeltaStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,

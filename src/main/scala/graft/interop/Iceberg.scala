@@ -761,8 +761,17 @@ object Iceberg {
       s"Iceberg: initial-default on type $other is not supported by this reader")
   }
 
-  private def schemaFromMeta(meta: JsonNode): StructType = {
-    val schemaNode = currentSchemaNode(meta)
+  private def schemaFromMeta(meta: JsonNode): StructType =
+    schemaOfNode(currentSchemaNode(meta))
+
+  /** A `schemas`-list entry by id — what a streaming tail resolves a
+    * window's declared schema-id against. */
+  private[interop] def schemaById(meta: JsonNode, id: Int): Option[StructType] =
+    if (!meta.hasNonNull("schemas")) None
+    else iterator(meta.get("schemas")).find(_.get("schema-id").asInt == id)
+      .map(schemaOfNode)
+
+  private def schemaOfNode(schemaNode: JsonNode): StructType = {
     StructType(iterator(schemaNode.get("fields")).map { f =>
       val tpe = sparkType(f.get("type").asText)
       val base = StructField(f.get("name").asText, tpe,
@@ -4113,6 +4122,25 @@ object Iceberg {
     * Served off the CURRENT metadata: each snapshot's manifest list
     * still references the manifests it added (they are never deleted
     * here), keyed by their recorded sequence numbers. */
+  /** The schema declared by the NEWEST main-lineage snapshot with
+    * sequence in (fromSeq, toSeq], when resolvable — what a streaming
+    * tail consults to detect mid-stream evolution (metadata JSON only,
+    * zero manifest reads). */
+  def schemaChangeBetween(path: String, fromSeq: Long, toSeq: Long): Option[StructType] = {
+    val (fs, root) = Writers.fsFor(path)
+    val (_, meta) = readMetadata(fs, root)
+    val mainIds: Set[Long] =
+      iterator(meta.get("snapshot-log")).map(_.get("snapshot-id").asLong).toSet
+    def seqOf(sn: JsonNode): Long =
+      Option(sn.get("sequence-number")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    iterator(meta.get("snapshots")).toSeq
+      .filter(s => mainIds.contains(s.get("snapshot-id").asLong))
+      .filter(s => seqOf(s) > fromSeq && seqOf(s) <= toSeq)
+      .sortBy(seqOf).lastOption
+      .flatMap(s => Option(s.get("schema-id")).filterNot(_.isNull).map(_.asInt))
+      .flatMap(schemaById(meta, _))
+  }
+
   def changesBetween(spark: SparkSession, path: String,
       fromSeq: Long, toSeq: Long): (Seq[DataFileRef], Boolean) = {
     val (fs, root) = Writers.fsFor(path)

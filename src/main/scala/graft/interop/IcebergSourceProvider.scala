@@ -62,11 +62,21 @@ final class IcebergSourceProvider extends RelationProvider
       org.apache.spark.sql.types.StructField("_snapshot_id",
         org.apache.spark.sql.types.LongType)))
 
+  /** The tail's serving schema: the newest schema-tracking entry when
+    * `schemaTrackingLocation` is set and has recorded one (the
+    * restart-after-evolution path), else the current snapshot's. */
+  private def tailSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("schemaTrackingLocation") => v
+    }.flatMap(org.apache.spark.sql.graft.StreamSchemaTracking.read(_).map(_._1))
+      .getOrElse(Iceberg.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("iceberg", schema.getOrElse {
-      val base = Iceberg.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+      val base = tailSchema(sqlContext, parameters)
       if (wantsChangelog(parameters)) changelogSchema(base) else base
     })
 
@@ -82,12 +92,23 @@ final class IcebergSourceProvider extends RelationProvider
         parameters.collectFirst {
           case (k, v) if k.equalsIgnoreCase("fromSeq") => v.toLong
         })
+    val tracking = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("schemaTrackingLocation") => v
+    }
+    val pinned = schema.getOrElse(
+      tracking.flatMap(org.apache.spark.sql.graft.StreamSchemaTracking.read(_).map(_._1))
+        .getOrElse(snap.schema))
+    // first start under tracking: put the serving schema on disk
+    // before any evolution can land
+    tracking.foreach(dir => org.apache.spark.sql.graft.StreamSchemaTracking.record(
+      dir, pinned, snap.sequenceNumber))
     new org.apache.spark.sql.graft.IcebergStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], path,
-      schema.getOrElse(snap.schema), snap.partitionColumns,
+      pinned, snap.partitionColumns,
       ignoreChanges = parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v.toBoolean
-      }.getOrElse(false))
+      }.getOrElse(false),
+      schemaTracking = tracking)
   }
 
   private def opt(parameters: Map[String, String], name: String): Option[String] =

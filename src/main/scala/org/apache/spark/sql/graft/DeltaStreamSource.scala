@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * the restarted query reads the newest entry and resumes serving the
   * evolved schema — pre-evolution files null-fill the added columns
   * at scan, so the replayed window needs no rewrite. */
-object DeltaSchemaTracking {
+object StreamSchemaTracking {
   private lazy val Json = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def logDir(dir: String) =
@@ -143,20 +143,20 @@ class DeltaStreamSource(
     // tracking, refuse with the option spelled out (Delta's documented
     // default).
     DeltaLake.schemaChangeIn(path, v)
-      .filter(ns => DeltaSchemaTracking.canonical(ns) != DeltaSchemaTracking.canonical(schema))
+      .filter(ns => StreamSchemaTracking.canonical(ns) != StreamSchemaTracking.canonical(schema))
       // a version declaring an OLDER subset of the pinned schema is the
       // RESUME case (post-restart replay across the evolution point):
       // the pinned schema serves those files, added columns null-fill
-      .filterNot(ns => DeltaSchemaTracking.isAdditive(ns, schema))
+      .filterNot(ns => StreamSchemaTracking.isAdditive(ns, schema))
       .foreach { ns =>
         schemaTracking match {
           case Some(dir) =>
-            require(DeltaSchemaTracking.isAdditive(schema, ns),
+            require(StreamSchemaTracking.isAdditive(schema, ns),
               s"delta source: version $v of $path evolves the schema NON-additively " +
-                s"(${DeltaSchemaTracking.canonical(schema)} -> ${DeltaSchemaTracking.canonical(ns)}) " +
+                s"(${StreamSchemaTracking.canonical(schema)} -> ${StreamSchemaTracking.canonical(ns)}) " +
                 "— a tail cannot re-serve history under dropped/renamed/retyped columns; " +
                 "restart the stream fresh from the current snapshot")
-            DeltaSchemaTracking.record(dir, ns, v)
+            StreamSchemaTracking.record(dir, ns, v)
             throw new IllegalStateException(
               s"delta source: schema of $path changed at version $v (additive). The evolved " +
                 "schema has been recorded in the schema-tracking location — RESTART the " +

@@ -25,6 +25,10 @@ class IcebergStreamSource(
     override val schema: StructType,
     partCols: Seq[String],
     ignoreChanges: Boolean,
+    // same contract as the Delta tail ([[StreamSchemaTracking]]): a
+    // mid-stream additive evolution records the new schema and fails
+    // the query once; the restart resumes under the evolved schema
+    schemaTracking: Option[String] = None,
 ) extends Source {
 
   override def getOffset: Option[OffsetV1] = {
@@ -68,6 +72,36 @@ class IcebergStreamSource(
               "compaction) before tailing it.")
         snap.files
       case Some(s0) =>
+        // mid-stream SCHEMA EVOLUTION gate — the Delta tail's contract
+        // on the Iceberg snapshot log (older-subset declarations are
+        // the post-restart replay case and serve under the pinned
+        // schema, absent columns null-filling)
+        Iceberg.schemaChangeBetween(path, seqOf(s0), to)
+          .filter(ns => StreamSchemaTracking.canonical(ns) !=
+            StreamSchemaTracking.canonical(schema))
+          .filterNot(ns => StreamSchemaTracking.isAdditive(ns, schema))
+          .foreach { ns =>
+            schemaTracking match {
+              case Some(dir) =>
+                require(StreamSchemaTracking.isAdditive(schema, ns),
+                  s"iceberg source: sequence window (${seqOf(s0)}, $to] of $path evolves " +
+                    "the schema NON-additively — a tail cannot re-serve history under " +
+                    "dropped/renamed/retyped columns; restart fresh from the current snapshot")
+                StreamSchemaTracking.record(dir, ns, to)
+                throw new IllegalStateException(
+                  s"iceberg source: schema of $path changed in sequence window " +
+                    s"(${seqOf(s0)}, $to] (additive). The evolved schema has been recorded " +
+                    "in the schema-tracking location — RESTART the stream to continue; it " +
+                    "will resume from the checkpoint serving the new schema.")
+              case None =>
+                throw new IllegalStateException(
+                  s"iceberg source: schema of $path changed in sequence window " +
+                    s"(${seqOf(s0)}, $to] — a running tail is pinned to the schema at " +
+                    "stream start. Set option(\"schemaTrackingLocation\", <dir>) to let " +
+                    "the stream record evolutions and resume through restarts, or " +
+                    "restart fresh from the current snapshot.")
+            }
+          }
         val (adds, nonAppend) = Iceberg.changesBetween(spark, path, seqOf(s0), to)
         if (nonAppend && !ignoreChanges)
           throw new IllegalStateException(

@@ -74,7 +74,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.awaitTermination()
     }
     drain() // bootstrap under (k, v); tracking entry 0 recorded
-    assert(org.apache.spark.sql.graft.DeltaSchemaTracking.read(track)
+    assert(org.apache.spark.sql.graft.StreamSchemaTracking.read(track)
       .exists(_._1.fieldNames.toSeq == Seq("k", "v")))
     // mid-stream ADDITIVE evolution + new rows in one commit
     graft.interop.DeltaLake.write(
@@ -84,7 +84,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception](drain())
     assert(e.getMessage.contains("RESTART the stream"),
       s"expected the record-and-restart failure, got: ${e.getMessage}")
-    assert(org.apache.spark.sql.graft.DeltaSchemaTracking.read(track)
+    assert(org.apache.spark.sql.graft.StreamSchemaTracking.read(track)
       .exists(_._1.fieldNames.toSeq == Seq("k", "v", "extra")),
       "the evolved schema must be recorded before the query fails")
     // RESTART: resumes from the checkpoint serving the evolved schema
@@ -133,6 +133,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Nil, ignoreChanges = false, startingVersion = None)
     assert(src2.getBatch(Some(LongOffset(0L)), LongOffset(1L)).columns.toSeq ==
       Seq("k", "v", "extra"))
+  }
+
+  test("iceberg tail: schema tracking survives mid-stream additive evolution across a restart") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "ice_schematrack")
+    graft.ingest.Writers.deleteTree(base)
+    val tbl = base.resolve("tbl").toString
+    val ckpt = base.resolve("ckpt").toString
+    val track = base.resolve("track").toString
+    val sink = base.resolve("sink").toString
+    graft.interop.Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    def drain(): Unit = {
+      val q = s.readStream.format("iceberg")
+        .option("schemaTrackingLocation", track).load(tbl)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    graft.interop.Iceberg.write(Seq((3L, "c", 30L)).toDF("k", "v", "extra"), tbl,
+      mode = SaveMode.Append, mergeSchema = true)
+    val e = intercept[Exception](drain())
+    assert(e.getMessage.contains("RESTART the stream"),
+      s"expected record-and-restart, got: ${e.getMessage}")
+    drain() // restart resumes serving the evolved schema
+    val out = s.read.option("mergeSchema", "true").parquet(sink)
+    assert(out.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    val rows = out.select("k", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)), s"got $rows")
   }
 
   test("t4: events behind the checkpointed watermark are dropped, not aggregated") {
