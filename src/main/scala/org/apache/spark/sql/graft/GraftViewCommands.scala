@@ -100,6 +100,15 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface) extends 
       viewChild(child).map { case (cat, ident) =>
         GraftDescribeViewCommand(cat, ident, isExtended, output)
       }.getOrElse(dr)
+    case av @ AlterViewAs(child, originalText, query) =>
+      viewChild(child).map { case (cat, ident) =>
+        // replace the SQL, keep the properties — a new view-version
+        // under the same uuid, like CREATE OR REPLACE
+        GraftCreateViewCommand(cat, ident, Nil, originalText, query,
+          comment = None,
+          props = cat.loadView(ident).properties().asScala.toMap,
+          allowExisting = false, replace = true)
+      }.getOrElse(av)
     case other => other
   }
 
@@ -149,11 +158,27 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface) extends 
   * relation the definer left unqualified, exactly as they saw it. CTE
   * names defined inside the view SQL are left alone. */
 class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case u @ UnresolvedRelation(parts, _, false) =>
-      GraftViewResolution.viewTarget(session, parts).map { case (cat, ident) =>
-        expand(cat, ident)
-      }.getOrElse(u)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML targets first (top-down, before the bottom-up expansion can
+    // swallow the target relation): writing into a view is an error a
+    // user should read as such, not an analyzer puzzle
+    plan.foreachUp {
+      case i: InsertIntoStatement => i.table match {
+        case UnresolvedRelation(parts, _, _)
+            if GraftViewResolution.viewTarget(session, parts).nonEmpty =>
+          throw new UnsupportedOperationException(
+            s"GraftCatalog: ${parts.mkString(".")} is a VIEW — inserts go to its " +
+              "underlying tables")
+        case _ => ()
+      }
+      case _ => ()
+    }
+    plan.resolveOperators {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        GraftViewResolution.viewTarget(session, parts).map { case (cat, ident) =>
+          expand(cat, ident)
+        }.getOrElse(u)
+    }
   }
 
   private def expand(cat: GraftCatalog, ident: Identifier): LogicalPlan = {

@@ -142,6 +142,21 @@ class IcebergViewSpec extends AnyFunSuite with SparkFixture {
     assert(ext.contains("View Namespace") && ext.contains("View Catalog"))
   }
 
+  test("ALTER VIEW AS replaces the SQL keeping properties; INSERT INTO a view refuses") {
+    setup("vdb9")
+    spark.sql("CREATE VIEW graft.vdb9.av AS SELECT k FROM graft.vdb9.t")
+    spark.sql("ALTER VIEW graft.vdb9.av SET TBLPROPERTIES ('team'='etl')")
+    spark.sql("ALTER VIEW graft.vdb9.av AS SELECT k, v FROM graft.vdb9.t WHERE grp = 'b'")
+    val m = IcebergView.load(viewDir("vdb9", "av"))
+    assert(m.currentVersionId == 2 && m.properties == Map("team" -> "etl"),
+      s"ALTER AS must bump the version and keep properties, got v${m.currentVersionId} ${m.properties}")
+    assert(spark.sql("SELECT k, v FROM graft.vdb9.av ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.vdb9.av VALUES (9, 90)"))
+    assert(e.getMessage.contains("is a VIEW"), s"got: ${e.getMessage}")
+  }
+
   test("views compose: a view over a view resolves through both") {
     setup("vdb7")
     spark.sql("CREATE VIEW graft.vdb7.base AS SELECT k, v FROM graft.vdb7.t WHERE v >= 20")
