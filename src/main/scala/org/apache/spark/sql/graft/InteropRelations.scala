@@ -16,6 +16,50 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.types.StructType
 
+/** The merge-on-read fallback relations' SCAN seam: Catalyst hands
+  * [[org.apache.spark.sql.sources.PrunedFilteredScan]] the pushed
+  * column set and source filters; translating them onto the LIBRARY
+  * read frame (whose own pruning FileIndex plans the nested scan)
+  * restores partition/stats FILE PRUNING and column pruning while
+  * delete debt is outstanding — previously a `TableScan` read every
+  * column of every file between a MoR delete and the next compaction,
+  * which at 100 TB made delete debt a full-scan tax on every query.
+  * Untranslatable filters are simply not pushed (Spark re-applies
+  * every filter above the scan regardless — pruning here is an
+  * optimization, never a correctness gate). */
+object MoRScan {
+  import org.apache.spark.sql.{Column, functions => F}
+  import org.apache.spark.sql.sources
+
+  private def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case sources.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case sources.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case sources.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case sources.In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(F.col(a).isNull)
+    case sources.IsNotNull(a) => Some(F.col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case sources.And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case sources.Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  def prunedRdd(df: DataFrame, requiredColumns: Array[String],
+      filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
+    val pruned =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans need a row per input row, no columns
+        filtered.select()
+      else filtered.select(requiredColumns.toIndexedSeq.map(F.col): _*)
+    pruned.rdd
+  }
+}
+
 /** ParquetFileFormat whose write half refuses — the backstop for raw
   * file writes into a log-committed table (see file header). */
 final class LogCommitOnlyParquetFormat(formatName: String)
@@ -99,7 +143,19 @@ final class GraftIcebergMoRRelation(
     snapshotId: Option[Long])
   extends org.apache.spark.sql.sources.BaseRelation
   with org.apache.spark.sql.sources.TableScan
+  with org.apache.spark.sql.sources.PrunedFilteredScan
   with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    MoRScan.prunedRdd(
+      graft.interop.Iceberg.read(outer.sparkSession, tablePath, snapshotId),
+      requiredColumns, filters)
+
+  // every filter re-applies above the scan — pushing is pruning only
+  override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = filters
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
   // the metadata schema VERBATIM (nullability included): a catalog
@@ -131,7 +187,18 @@ final class GraftDeltaMappedRelation(
     versionAsOf: Option[Long])
   extends org.apache.spark.sql.sources.BaseRelation
   with org.apache.spark.sql.sources.TableScan
+  with org.apache.spark.sql.sources.PrunedFilteredScan
   with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    MoRScan.prunedRdd(
+      graft.interop.DeltaLake.read(outer.sparkSession, tablePath, versionAsOf),
+      requiredColumns, filters)
+
+  override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = filters
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
   // log schema VERBATIM — same catalog-consistency contract as the

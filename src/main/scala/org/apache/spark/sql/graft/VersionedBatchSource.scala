@@ -324,7 +324,18 @@ trait GraftTableRelation extends org.apache.spark.sql.sources.InsertableRelation
 final class GraftVersionedMoRRelation(
     outer: org.apache.spark.sql.SQLContext, override val tablePath: String, version: Long)
   extends org.apache.spark.sql.sources.BaseRelation
-  with org.apache.spark.sql.sources.TableScan with GraftTableRelation {
+  with org.apache.spark.sql.sources.TableScan
+  with org.apache.spark.sql.sources.PrunedFilteredScan with GraftTableRelation {
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    MoRScan.prunedRdd(Versioned.readAt(outer.sparkSession, tablePath, version),
+      requiredColumns, filters)
+
+  // every filter re-applies above the scan — pushing is pruning only
+  override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = filters
 
   override def sqlContext: org.apache.spark.sql.SQLContext = outer
   override val schema: StructType = Versioned.nullabilityErased(

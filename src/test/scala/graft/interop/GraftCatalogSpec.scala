@@ -51,6 +51,28 @@ class GraftCatalogSpec extends AnyFunSuite with SparkFixture {
       s"metadata table must not accept inserts: ${e.getMessage}")
   }
 
+  test("MoR fallback reads prune: pushed filters reach the inner FileIndex and columns prune") {
+    wipe("dbmor")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbmor")
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "warehouse", "dbmor", "t").toString
+    import spark.implicits._
+    // a partitioned iceberg table, 4 partitions, then MoR delete debt
+    graft.interop.Iceberg.write(
+      (1L to 4000L).map(k => (k, s"r$k", (k % 4).toString)).toDF("k", "v", "p"),
+      path, partitionBy = Seq("p"))
+    graft.interop.Iceberg.deleteMergeOnRead(spark, path,
+      org.apache.spark.sql.functions.col("k") % 100 === 0)
+    // the catalog read now serves through the MoR fallback relation
+    val n = spark.sql("SELECT count(*) FROM graft.dbmor.t WHERE p = '2'").head().getLong(0)
+    assert(n == 1000L - (1L to 4000L).count(k => k % 4 == 2 && k % 100 == 0))
+    // the pushed partition filter must have pruned files in the INNER
+    // pruning FileIndex (the library read the fallback scans through)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total,
+      s"MoR fallback must push the partition filter into the inner FileIndex ($kept/$total)")
+  }
+
   test("graft format: create, insert, time travel, DML, alter, drop") {
     wipe("db1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db1")
