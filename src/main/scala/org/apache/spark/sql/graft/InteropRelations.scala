@@ -129,14 +129,13 @@ final class GraftIcebergRelation(
 }
 
 /** Fallback Iceberg batch relation for snapshots carrying POSITION
-  * DELETE debt: a `TableScan` over [[graft.interop.Iceberg.read]],
-  * which applies the delete files as a broadcast row-index filter.
-  * SQL stays fully functional between a merge-on-read DELETE and the
-  * next rewrite — the trade is planning granularity (no FileIndex
-  * pruning while debt is outstanding), the same contract as the native
-  * connector's [[GraftVersionedMoRRelation]]. Still insertable: an
-  * append lands a new snapshot whose files no outstanding delete
-  * names. */
+  * DELETE debt: a [[MoRScan]] pruned-filtered scan over
+  * [[graft.interop.Iceberg.read]], which applies the delete files as a
+  * broadcast row-index filter. SQL stays fully functional between a
+  * merge-on-read DELETE and the next rewrite, and (r14) pushed
+  * partition/stats filters prune files in the INNER FileIndex with
+  * column pruning on top. Still insertable: an append lands a new
+  * snapshot whose files no outstanding delete names. */
 final class GraftIcebergMoRRelation(
     outer: org.apache.spark.sql.SQLContext,
     val tablePath: String,

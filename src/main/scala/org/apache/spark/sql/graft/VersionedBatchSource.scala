@@ -315,12 +315,12 @@ trait GraftTableRelation extends org.apache.spark.sql.sources.InsertableRelation
 }
 
 /** Fallback batch relation for snapshots carrying MERGE-ON-READ debt
-  * (deletion vectors / legacy keyed delete files): a `TableScan` over
-  * the library read path, which applies the vectors. SQL stays fully
-  * functional between a `DELETE FROM` and the next compaction — the
-  * trade is planning granularity (no FileIndex pruning while debt is
-  * outstanding; `compactDeletes`/`maintainIfNeeded` restore the
-  * pruning relation). */
+  * (deletion vectors / legacy keyed delete files): a pruned-filtered
+  * scan ([[MoRScan]]) over the library read path, which applies the
+  * vectors. SQL stays fully functional between a `DELETE FROM` and the
+  * next compaction, pushed filters and column pruning included;
+  * `compactDeletes`/`maintainIfNeeded` restore the plain pruning
+  * relation. */
 final class GraftVersionedMoRRelation(
     outer: org.apache.spark.sql.SQLContext, override val tablePath: String, version: Long)
   extends org.apache.spark.sql.sources.BaseRelation
