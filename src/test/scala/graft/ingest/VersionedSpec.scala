@@ -20,6 +20,30 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     try body finally sys.props.remove("graft.versioned.inflightWaitMs")
   }
 
+  test("legacy 4-field manifest lines (stats as 4th field, no size) still read and prune") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("v_legacy_manifest")
+    Versioned.commitClustered((1L to 1000L).map(i => (i, s"r$i")).toDF("k", "v"),
+      path, clusterCol = "k", nFiles = 4)
+    // rewrite the on-disk manifest to the PRE-r14 line format: drop the
+    // size field so stats JSON is the 4th field again
+    val mf = Paths.get(path, "v00001", "_manifest")
+    val legacy = new String(Files.readAllBytes(mf), "UTF-8").split("\n").map { line =>
+      val parts = line.split("\t")
+      // kind \t partDir \t relPath \t size [\t stats] -> kind \t partDir \t relPath [\t stats]
+      (parts.take(3) ++ parts.drop(4)).mkString("\t")
+    }.mkString("\n")
+    Files.write(mf, legacy.getBytes("UTF-8"))
+    Files.deleteIfExists(mf.resolveSibling("._manifest.crc"))
+    // reads (sizes fall back to getFileStatus) and stats-pruning both work
+    assert(Versioned.read(spark, path).count() == 1000L)
+    val eq = spark.read.format("graft-versioned").load(path).filter(col("k") === 42L)
+    assert(eq.count() == 1L)
+    val (kept, total) = org.apache.spark.sql.graft.VersionedFileIndex.lastPlanned(path).get
+    assert(kept < total, s"legacy stats field must still prune ($kept/$total)")
+  }
+
   test("commit/read round trip; versions increment; upsert merges by key") {
     import spark.implicits._
     val path = freshDir("versioned_rt")

@@ -206,6 +206,60 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
       s"overwrite must restart totals, got $s2")
   }
 
+  test("adversarial sweep: lazy == eager under a predicate battery over mixed types") {
+    import org.apache.spark.sql.Column
+    val path = freshDir("ice_mfprune_sweep")
+    import spark.implicits._
+    // identity int partition + identity date partition + a bucket(4)
+    // transform on a long key; several commits with overlapping,
+    // disjoint, negative, and NULL partition values
+    def batch(rows: Seq[(Option[Int], String, Long, String)]) =
+      rows.map { case (p, d, k, v) =>
+        (p, java.sql.Date.valueOf(d), k, v)
+      }.toDF("p", "d", "k", "v")
+    Iceberg.write(batch(Seq((Some(1), "2024-01-01", 10L, "a"), (Some(2), "2024-01-02", 11L, "b"))),
+      path, partitionBy = Seq("p", "d", "bucket(4, k)"))
+    val appends = Seq(
+      Seq((Some(-5), "2023-12-30", 12L, "c"), (Some(0), "2024-01-01", 13L, "d")),
+      Seq((Some(7), "2024-02-10", 14L, "e"), (Some(9), "2024-02-11", 15L, "f")),
+      Seq((None, "2024-03-01", 16L, "g"), (None, "2024-03-02", 17L, "h")),
+      Seq((Some(2), "2024-01-02", 18L, "i"), (Some(7), "2024-02-10", 19L, "j")))
+    appends.foreach(rows => Iceberg.write(batch(rows), path,
+      partitionBy = Seq("p", "d", "bucket(4, k)"),
+      mode = org.apache.spark.sql.SaveMode.Append))
+    import org.apache.spark.sql.functions.{col, lit}
+    val preds: Seq[(String, Column)] = Seq(
+      "p = 2" -> (col("p") === 2),
+      "p = -5" -> (col("p") === -5),
+      "p = 100" -> (col("p") === 100),
+      "p >= 7" -> (col("p") >= 7),
+      "p < 0" -> (col("p") < 0),
+      "p <= -5" -> (col("p") <= -5),
+      "p IN (0, 9, 42)" -> col("p").isin(0, 9, 42),
+      "p IS NULL" -> col("p").isNull,
+      "p IS NOT NULL" -> col("p").isNotNull,
+      "p = 2 AND d = 2024-01-02" -> (col("p") === 2 && col("d") === lit("2024-01-02").cast("date")),
+      "d = 2024-03-01" -> (col("d") === lit("2024-03-01").cast("date")),
+      "d >= 2024-02-01" -> (col("d") >= lit("2024-02-01").cast("date")),
+      "d < 2024-01-01" -> (col("d") < lit("2024-01-01").cast("date")),
+      "k = 14" -> (col("k") === 14L),
+      "k = 999" -> (col("k") === 999L),
+      "k IN (10, 16)" -> col("k").isin(10L, 16L),
+      "p = 7 OR p = 1" -> (col("p") === 7 || col("p") === 1), // OR: never pruned, still exact
+      "v = 'g'" -> (col("v") === "g"),
+      "p > 0 AND p < 3 AND k >= 10" -> (col("p") > 0 && col("p") < 3 && col("k") >= 10L))
+    preds.foreach { case (label, pred) =>
+      def run(): Seq[String] =
+        Iceberg.read(spark, path).filter(pred).collect().map(_.mkString("|")).toSeq.sorted
+      val lazyRows = run()
+      spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+      val eagerRows = try run()
+      finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+      assert(lazyRows == eagerRows,
+        s"[$label] lazy (${lazyRows.size} rows) != eager (${eagerRows.size} rows)")
+    }
+  }
+
   test("kill-switch and unfiltered scans stay fully correct") {
     val path = freshDir("ice_mfprune_full")
     Iceberg.write(df((1, 1L, "a")), path, partitionBy = Seq("p"))
