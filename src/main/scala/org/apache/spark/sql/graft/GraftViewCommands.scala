@@ -36,13 +36,18 @@ private[graft] object GraftViewResolution {
         case g: GraftCatalog => Some(g)
         case _ => None
       } catch { case _: Exception => None }
-    if (parts.length >= 2) graftCat(parts.head).map(g =>
-      g -> Identifier.of(parts.tail.init.toArray, parts.last))
-    else cm.currentCatalog match {
-      case g: GraftCatalog if parts.nonEmpty =>
-        Some(g -> Identifier.of(cm.currentNamespace, parts.last))
+    def current: Option[GraftCatalog] = cm.currentCatalog match {
+      case g: GraftCatalog => Some(g)
       case _ => None
     }
+    if (parts.length >= 2)
+      graftCat(parts.head).map(g =>
+        g -> Identifier.of(parts.tail.init.toArray, parts.last))
+        // `USE graft; ... db.v`: a namespace-qualified name under a
+        // current graft catalog
+        .orElse(current.map(g => g -> Identifier.of(parts.init.toArray, parts.last)))
+    else current.filter(_ => parts.nonEmpty)
+      .map(g => g -> Identifier.of(cm.currentNamespace, parts.last))
   }
 
   def viewTarget(session: SparkSession, parts: Seq[String]): Option[(GraftCatalog, Identifier)] =

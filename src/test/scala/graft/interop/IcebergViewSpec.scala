@@ -157,6 +157,23 @@ class IcebergViewSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("is a VIEW"), s"got: ${e.getMessage}")
   }
 
+  test("USE graft: namespace-qualified and bare view names resolve under the current catalog") {
+    setup("vdb10")
+    spark.sql("CREATE VIEW graft.vdb10.uv AS SELECT k FROM graft.vdb10.t WHERE v > 25")
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name, cm.currentNamespace)
+    try {
+      spark.sql("USE graft.vdb10")
+      assert(spark.sql("SELECT k FROM vdb10.uv ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L), "2-part name under current graft catalog")
+      assert(spark.sql("SELECT k FROM uv ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L), "bare name under current namespace")
+    } finally {
+      spark.sql(s"USE ${(prevCat +: prevNs.toSeq).mkString(".")}")
+      (): Unit
+    }
+  }
+
   test("views compose: a view over a view resolves through both") {
     setup("vdb7")
     spark.sql("CREATE VIEW graft.vdb7.base AS SELECT k, v FROM graft.vdb7.t WHERE v >= 20")
