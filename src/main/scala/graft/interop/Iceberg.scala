@@ -1636,6 +1636,7 @@ object Iceberg {
       summaries: Option[IndexedSeq[IcebergFieldSummary]])
 
   private[interop] final case class IcebergFieldSummary(containsNull: Boolean,
+      containsNan: Option[Boolean],
       lower: Option[java.nio.ByteBuffer], upper: Option[java.nio.ByteBuffer])
 
   private def manifestPruningEnabled(spark: SparkSession): Boolean =
@@ -1688,6 +1689,8 @@ object Iceberg {
                 val fr = r.asInstanceOf[GenericRecord]
                 IcebergFieldSummary(
                   fr.get("contains_null").asInstanceOf[Boolean],
+                  if (fr.getSchema.getField("contains_nan") == null) None
+                  else Option(fr.get("contains_nan")).map(_.asInstanceOf[Boolean]),
                   Option(fr.get("lower_bound").asInstanceOf[java.nio.ByteBuffer]),
                   Option(fr.get("upper_bound").asInstanceOf[java.nio.ByteBuffer]))
               })
@@ -1918,9 +1921,16 @@ object Iceberg {
       val resType = transformResultType(f.transform, srcType)
       // all partition values null ⇒ (every spec transform is
       // null-preserving) every row's SOURCE is null ⇒ no comparison
-      // predicate on the source can hold
-      if (s.lower.isEmpty && s.upper.isEmpty)
+      // predicate on the source can hold. EXCEPT floating fields: NaN
+      // values carry no bounds either (excluded at write), so an
+      // absent-bounds float summary may hide NaN rows — which DO
+      // satisfy IS NOT NULL — unless contains_nan says false.
+      if (s.lower.isEmpty && s.upper.isEmpty) {
+        val floating = resType.isInstanceOf[FloatType] || resType.isInstanceOf[DoubleType]
+        val maybeNan = floating && !s.containsNan.contains(false)
+        if (maybeNan) return false
         return c.notNull || c.eqs.nonEmpty || c.ins.nonEmpty || c.lo.nonEmpty || c.hi.nonEmpty
+      }
       val lo = s.lower.flatMap(decodeRawPartBound(resType, _)).getOrElse(return false)
       val hi = s.upper.flatMap(decodeRawPartBound(resType, _)).getOrElse(return false)
       def outsideRaw(v: Any): Boolean =
