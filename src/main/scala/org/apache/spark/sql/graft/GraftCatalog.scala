@@ -310,6 +310,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (formatOf(dir).nonEmpty) throw new TableAlreadyExistsException(ident)
+    // a VIEW holds the directory too (formatOf deliberately reports
+    // None for it) — creating a table into it would corrupt the view
+    if (graft.interop.IcebergView.isView(dir.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val props = properties.asScala
     val fmt = props.get(TableCatalog.PROP_PROVIDER).map(_.toLowerCase) match {
       case None | Some("graft") | Some("graft-versioned") => "graft"
@@ -598,7 +602,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(newIdentRaw.namespace.drop(1), newIdentRaw.name)
       else newIdentRaw
     if (formatOf(tableDir(oldIdent)).isEmpty) throw new NoSuchTableException(oldIdent)
-    if (formatOf(tableDir(newIdent)).nonEmpty) throw new TableAlreadyExistsException(newIdent)
+    if (formatOf(tableDir(newIdent)).nonEmpty ||
+        graft.interop.IcebergView.isView(tableDir(newIdent).toString))
+      throw new TableAlreadyExistsException(newIdent)
     require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
       s"GraftCatalog: rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
   }

@@ -99,6 +99,16 @@ class IcebergViewSpec extends AnyFunSuite with SparkFixture {
     // a view name cannot shadow a table
     intercept[Exception](
       spark.sql("CREATE VIEW graft.vdb4.t AS SELECT k FROM graft.vdb4.t"))
+    // ... and a TABLE cannot land on a view's directory (create or CTAS
+    // would corrupt the view metadata)
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.vdb4.sv (x BIGINT) USING iceberg"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.vdb4.sv USING delta AS SELECT 1L AS x"))
+    // DROP TABLE does not drop views
+    intercept[Exception](spark.sql("DROP TABLE graft.vdb4.sv"))
+    assert(spark.sql("SHOW VIEWS IN graft.vdb4").collect().map(_.getString(1)).toSeq
+      == Seq("sv"))
   }
 
   test("ALTER VIEW SET/UNSET TBLPROPERTIES; RENAME; DROP") {
