@@ -105,6 +105,10 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface) extends 
       viewChild(child).map { case (cat, ident) =>
         GraftDescribeViewCommand(cat, ident, isExtended, output)
       }.getOrElse(dr)
+    case sct @ ShowCreateTable(child, _, output) =>
+      viewChild(child).map { case (cat, ident) =>
+        GraftShowCreateViewCommand(cat, ident, output)
+      }.getOrElse(sct)
     case av @ AlterViewAs(child, originalText, query) =>
       viewChild(child).map { case (cat, ident) =>
         // replace the SQL, keep the properties — a new view-version
@@ -283,6 +287,24 @@ final case class GraftRenameViewCommand(cat: GraftCatalog, ident: Identifier,
   override def run(session: SparkSession): Seq[Row] = {
     cat.renameView(ident, Identifier.of(newName.init.toArray, newName.last))
     Nil
+  }
+}
+
+/** `SHOW CREATE TABLE <view>` — re-renders the CURRENT view version as
+  * its CREATE VIEW statement (column list from the recorded schema,
+  * properties as TBLPROPERTIES). */
+final case class GraftShowCreateViewCommand(cat: GraftCatalog, ident: Identifier,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val view = cat.loadView(ident)
+    val cols = view.schema().fields.map(f => s"`${f.name}`").mkString(", ")
+    val props = view.properties().asScala.toSeq.sortBy(_._1)
+    val propsClause =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE VIEW ${view.name()} ($cols)$propsClause\nAS ${view.query()}"))
   }
 }
 

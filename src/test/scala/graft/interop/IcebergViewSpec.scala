@@ -184,6 +184,15 @@ class IcebergViewSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SHOW CREATE TABLE over a view renders the CREATE VIEW statement") {
+    setup("vdb11")
+    spark.sql("CREATE VIEW graft.vdb11.sc AS SELECT k, v FROM graft.vdb11.t")
+    spark.sql("ALTER VIEW graft.vdb11.sc SET TBLPROPERTIES ('team'='etl')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.vdb11.sc").head().getString(0)
+    assert(ddl.startsWith("CREATE VIEW graft.vdb11.sc (`k`, `v`)"), ddl)
+    assert(ddl.contains("'team' = 'etl'") && ddl.contains("AS SELECT k, v"), ddl)
+  }
+
   test("views compose: a view over a view resolves through both") {
     setup("vdb7")
     spark.sql("CREATE VIEW graft.vdb7.base AS SELECT k, v FROM graft.vdb7.t WHERE v >= 20")
