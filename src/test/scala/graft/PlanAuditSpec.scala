@@ -12,6 +12,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     df.queryExecution.executedPlan.toString
   }
 
+  test("iceberg lazy read: pushdown, column pruning, and codegen survive the manifest-list index") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_test", "plan_ice_lazy").toString
+    graft.ingest.Writers.deleteTree(path)
+    graft.interop.Iceberg.write(
+      graft.core.Tables.orders(spark, sf())
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      path, partitionBy = Seq("o_orderstatus"))
+    val q = graft.interop.Iceberg.read(spark, path)
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") > 100L)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val p = q.queryExecution.executedPlan.toString
+    // the plan is a real FileSourceScan: parquet pushdown below the
+    // (manifest-pruned) index, narrow ReadSchema, codegen above
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_custkey"),
+      s"data filter must push to parquet:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_totalprice"),
+      s"unreferenced columns must prune from the scan:\n$p")
+    assert(p.contains("*(1)"), s"scan must feed whole-stage codegen (the *(n) spans):\n$p")
+    assert(p.contains("IcebergManifestListIndex"),
+      "the read must plan through the manifest-list-pruning index")
+    // and the manifest level actually pruned for the partition filter
+    q.collect()
+    val (fetched, total) =
+      graft.interop.IcebergIntrospect.lastManifestPlanning(path).get
+    assert(fetched <= total && total >= 1)
+  }
+
   test("a1: shipdate filter pushes down to the parquet scan") {
     val p = plan("a1_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
