@@ -371,7 +371,11 @@ object SqlOps extends QueryModule {
         "s71: SHOW VIEWS must list the view")
       // LATE BINDING: rows landing after the replace flow through the view
       s.sql(s"INSERT INTO graft.$ns.ord SELECT * FROM s71_orders WHERE o_orderkey % 3 = 0")
-      s.sql(s"""SELECT o_orderpriority, n_orders, sum_cents / 100.0 AS sum_total
+      // CAST before the division: `bigint / 100.0` is DECIMAL in Spark
+      // (the literal parses as DECIMAL(4,1)) but DOUBLE in DuckDB — the
+      // Casts.scala output contract is DOUBLE, never DECIMAL
+      s.sql(s"""SELECT o_orderpriority, n_orders,
+                       CAST(sum_cents AS DOUBLE) / 100.0 AS sum_total
                 FROM graft.$ns.pri ORDER BY o_orderpriority""")
     },
     Some("""
