@@ -260,6 +260,39 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("timestamp identity partitions: micros-domain bounds prune and stay exact") {
+    val path = freshDir("ice_mfprune_ts")
+    import spark.implicits._
+    def batch(rows: (String, Long)*) = rows.map { case (t, k) =>
+      (java.sql.Timestamp.valueOf(t), k)
+    }.toDF("ts", "k")
+    Iceberg.write(batch(("2024-01-01 00:00:00", 1L), ("2024-01-01 06:30:00", 2L)),
+      path, partitionBy = Seq("ts"))
+    Iceberg.write(batch(("2024-02-15 12:00:00", 3L), ("2024-02-15 23:59:59", 4L)),
+      path, partitionBy = Seq("ts"), mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(batch(("2024-03-31 08:00:00", 5L)),
+      path, partitionBy = Seq("ts"), mode = org.apache.spark.sql.SaveMode.Append)
+    import org.apache.spark.sql.functions.{col, lit}
+    def both(label: String, pred: org.apache.spark.sql.Column, expect: Seq[Long]): Unit = {
+      def run(): Seq[Long] =
+        Iceberg.read(spark, path).filter(pred).select("k")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      val lz = run()
+      spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+      val eg = try run()
+      finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+      assert(lz == eg && lz == expect, s"[$label] lazy=$lz eager=$eg want=$expect")
+    }
+    both("eq", col("ts") === lit("2024-02-15 12:00:00").cast("timestamp"), Seq(3L))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)),
+      "a timestamp equality must fetch only its manifest")
+    both("range", col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-03-01 00:00:00").cast("timestamp"), Seq(3L, 4L))
+    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)))
+    both("miss", col("ts") === lit("2025-01-01 00:00:00").cast("timestamp"), Nil)
+    both("all", col("ts").isNotNull, Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("kill-switch and unfiltered scans stay fully correct") {
     val path = freshDir("ice_mfprune_full")
     Iceberg.write(df((1, 1L, "a")), path, partitionBy = Seq("p"))
