@@ -82,36 +82,60 @@ trait DvPositionSource extends Serializable {
   def cacheKey: String
 }
 
+/** A delete source that applies to ANY probed file: the lazy
+  * merge-on-read planner's shape for delete files that name their
+  * targets INTERNALLY (an Iceberg v2 position-delete parquet's
+  * `file_path` column). The driver ships ONE wildcard per delete file
+  * instead of one keyed descriptor per (delete file × data file) pair —
+  * which would need the full data-file inventory, defeating lazy
+  * manifest planning — and each scanning executor instantiates the
+  * per-target source on first probe of a file (the instantiated
+  * source's own cacheKey keeps decode work per (delete, file), shared
+  * with the eager path's identical descriptors). */
+trait WildcardDvSource extends Serializable {
+  /** The concrete per-target source for one probed data file, given
+    * its raw absolute path (the manifest-convention decoded form). */
+  def sourceFor(rawTargetPath: String): DvPositionSource
+}
+
 /** Descriptor-only deletion-vector filter: the serialized plan ships
   * per-file [[DvPositionSource]] descriptors — O(files-with-deletes)
   * driver/plan metadata no matter how many rows are deleted — and each
   * executor decodes only the bitmaps of the files it actually scans,
   * caching per JVM. The probe path after the first touch of a file is
   * identical to [[DvMap]]'s: thread-local file cache + binary search
-  * over merged runs, inside whole-stage codegen. */
+  * over merged runs, inside whole-stage codegen. `wildcards` apply to
+  * every probed file (see [[WildcardDvSource]]). */
 final class DvDescriptorMap(
     marker: String,
-    sources: Map[String, Seq[DvPositionSource]]) extends DvFilter {
+    sources: Map[String, Seq[DvPositionSource]],
+    wildcards: Seq[WildcardDvSource] = Nil) extends DvFilter {
 
   @transient private lazy val loaded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]
   @transient private lazy val cache =
     new ThreadLocal[(UTF8String, (Array[Long], Array[Long]))]
 
-  private def runsFor(key: String): (Array[Long], Array[Long]) =
-    sources.get(key) match {
-      case None => DvFilter.Empty
-      case Some(ss) =>
-        loaded.add(key)
-        // decode through the JVM-GLOBAL cache: filter instances are
-        // per deserialized task, so an instance-local map would
-        // re-decode every blob once per task (O(tasks × blobs) IO)
-        DvDescriptorMap.getOrDecode(ss.map(_.cacheKey).sorted.mkString("|"), () => {
-          val pos = ss.iterator.flatMap(_.positions().iterator).toArray
-          java.util.Arrays.sort(pos)
-          DvFilter.positionsToRuns(pos)
-        })
+  private def runsFor(key: String): (Array[Long], Array[Long]) = {
+    val keyed = sources.getOrElse(key, Nil)
+    // wildcards target by the raw absolute path (marker is the table
+    // root prefix the probe key was stripped through)
+    val ss =
+      if (wildcards.isEmpty) keyed
+      else keyed ++ wildcards.map(_.sourceFor(marker + key))
+    if (ss.isEmpty) DvFilter.Empty
+    else {
+      loaded.add(key)
+      // decode through the JVM-GLOBAL cache: filter instances are
+      // per deserialized task, so an instance-local map would
+      // re-decode every blob once per task (O(tasks × blobs) IO)
+      DvDescriptorMap.getOrDecode(ss.map(_.cacheKey).sorted.mkString("|"), () => {
+        val pos = ss.iterator.flatMap(_.positions().iterator).toArray
+        java.util.Arrays.sort(pos)
+        DvFilter.positionsToRuns(pos)
+      })
     }
+  }
 
   def contains(file: UTF8String, pos: Long): Boolean = {
     val c = cache.get()
@@ -131,6 +155,9 @@ final class DvDescriptorMap(
   /** How many per-file descriptors the plan ships — the driver-side
     * size bound (test seam: O(files), never O(positions)). */
   def descriptorCount: Int = sources.size
+
+  /** Wildcard delete sources shipped (test seam: O(delete files)). */
+  def wildcardCount: Int = wildcards.size
 
   /** How many files' bitmaps THIS INSTANCE has resolved so far — 0
     * until an action actually scans a covered file (test seam for

@@ -96,6 +96,19 @@ private[graft] object DvSources {
       } finally reader.close()
     }
   }
+
+  /** The WILDCARD form of [[ParquetPosDeletes]] — the lazy
+    * merge-on-read planner ships one of these per v2 position-delete
+    * parquet (it cannot enumerate targets without the data-file
+    * inventory; the targets live INSIDE the delete file); each probed
+    * data file instantiates the keyed source on demand, whose cacheKey
+    * is identical to the eager path's descriptor for the same
+    * (delete file, target) pair — decode work is shared. */
+  final case class WildcardPosDeletes(deleteFileAbs: String,
+      conf: SerializableConfiguration) extends graft.functions.WildcardDvSource {
+    override def sourceFor(rawTargetPath: String): DvPositionSource =
+      ParquetPosDeletes(deleteFileAbs, rawTargetPath, conf)
+  }
 }
 
 /** Test seam for the deletion-vector scale contract: the MoR-delete

@@ -1130,6 +1130,70 @@ object Iceberg {
     }
   }
 
+  /** Decode one DELETE manifest (`content=1`): v2 position-delete
+    * parquets, v2 equality deletes (columns resolved through
+    * `idToField`), and v3 puffin deletion vectors — shared by the
+    * eager [[snapshot]] walk and the lazy planner (which loads delete
+    * manifests eagerly; they are few, and merge-on-read needs the full
+    * DELETE inventory even when the data side plans lazily). */
+  private def decodeDeleteManifest(fs: FileSystem, path: String, wantId: Long,
+      mPath: HPath, mSeq: Long, idToField: Map[Int, StructField])
+      : (Seq[DeleteFileRef], Seq[EqDeleteRef], Seq[DvDeleteRef]) = {
+    IcebergIntrospect.countOpen(path)
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[DeleteFileRef]
+    val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[EqDeleteRef]
+    val dvDeletes = scala.collection.mutable.ArrayBuffer.empty[DvDeleteRef]
+    readAvro(fs, mPath).foreach { e =>
+      val status = e.get("status").asInstanceOf[Int]
+      if (status != 2) { // 0 existing, 1 added, 2 deleted
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val fmt = df.get("file_format").toString.toUpperCase
+        // v2 delete files must be parquet; a v3 deletion vector is a
+        // PUFFIN delete entry (handled below)
+        require(fmt == "PARQUET" || fmt == "PUFFIN",
+          s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
+        // the spec's sequence-number inheritance: null on the entry →
+        // the manifest-list record's sequence number
+        val seq = avroOpt(e, "sequence_number")
+          .map(_.asInstanceOf[Long]).getOrElse(mSeq)
+        avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
+          case 1 if fmt == "PUFFIN" =>
+            // v3 deletion vector: the entry names the covered data
+            // file and the blob's location inside the puffin file
+            // (spec fields 143/144/145) — all three are required
+            val ref = avroOpt(df, "referenced_data_file").map(_.toString)
+            val off = avroOpt(df, "content_offset").map(_.asInstanceOf[Long])
+            val sz = avroOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])
+            require(ref.nonEmpty && off.nonEmpty && sz.nonEmpty,
+              s"Iceberg: $path snapshot $wantId has a puffin delete entry " +
+                "without referenced_data_file/content_offset/content_size_in_bytes")
+            dvDeletes += DvDeleteRef(df.get("file_path").toString, seq,
+              ref.get, off.get, sz.get,
+              cardinality = df.get("record_count").asInstanceOf[Long])
+          case 1 =>
+            deletes += DeleteFileRef(df.get("file_path").toString, seq,
+              df.get("record_count").asInstanceOf[Long])
+          case 2 =>
+            val ids: Seq[Int] =
+              (if (df.getSchema.getField("equality_ids") == null) null
+              else df.get("equality_ids")) match {
+                case l: java.util.List[_] => l.toArray.toSeq.map(_.asInstanceOf[Int])
+                case _ => Nil
+              }
+            require(ids.nonEmpty,
+              s"Iceberg: $path snapshot $wantId has an equality delete file without equality_ids")
+            val cols = ids.map(id => idToField.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"Iceberg: equality_ids references unknown field id $id")).name)
+            eqDeletes += EqDeleteRef(df.get("file_path").toString, seq, cols)
+          case other => throw new IllegalArgumentException(
+            s"Iceberg: $path snapshot $wantId references a delete file of unknown content $other")
+        }
+      }
+    }
+    (deletes.toSeq, eqDeletes.toSeq, dvDeletes.toSeq)
+  }
+
   /** Reconstruct the file set of one snapshot (default: current). */
   def snapshot(spark: SparkSession, path: String,
       snapshotId: Option[Long] = None): Snapshot = {
@@ -1189,56 +1253,16 @@ object Iceberg {
       if (mContent == 0) {
         files ++= decodeDataManifest(fs, path, mPath, mSeq, mFirstRow, mSpecId,
           mFields, schema, decodeBounds)
-      } else
-      readAvro(fs, mPath).foreach { e =>
-        val status = e.get("status").asInstanceOf[Int]
-        if (status != 2) { // 0 existing, 1 added, 2 deleted
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = df.get("file_format").toString.toUpperCase
-          // v2 delete files must be parquet; a v3 deletion vector is a
-          // PUFFIN delete entry (handled below)
-          require(fmt == "PARQUET" || fmt == "PUFFIN",
-            s"Iceberg: only parquet data files are implemented (${df.get("file_format")})")
-          // the spec's sequence-number inheritance: null on the entry →
-          // the manifest-list record's sequence number
-          val seq = avroOpt(e, "sequence_number")
-            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
-          avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) match {
-            case 1 if fmt == "PUFFIN" =>
-              // v3 deletion vector: the entry names the covered data
-              // file and the blob's location inside the puffin file
-              // (spec fields 143/144/145) — all three are required
-              val ref = avroOpt(df, "referenced_data_file").map(_.toString)
-              val off = avroOpt(df, "content_offset").map(_.asInstanceOf[Long])
-              val sz = avroOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])
-              require(ref.nonEmpty && off.nonEmpty && sz.nonEmpty,
-                s"Iceberg: $path snapshot $wantId has a puffin delete entry " +
-                  "without referenced_data_file/content_offset/content_size_in_bytes")
-              dvDeletes += DvDeleteRef(df.get("file_path").toString, seq,
-                ref.get, off.get, sz.get,
-                cardinality = df.get("record_count").asInstanceOf[Long])
-            case 1 =>
-              deletes += DeleteFileRef(df.get("file_path").toString, seq,
-                df.get("record_count").asInstanceOf[Long])
-            case 2 =>
-              val ids: Seq[Int] =
-                (if (df.getSchema.getField("equality_ids") == null) null
-                else df.get("equality_ids")) match {
-                  case l: java.util.List[_] => l.toArray.toSeq.map(_.asInstanceOf[Int])
-                  case _ => Nil
-                }
-              require(ids.nonEmpty,
-                s"Iceberg: $path snapshot $wantId has an equality delete file without equality_ids")
-              val cols = ids.map(id => idToField.getOrElse(id,
-                throw new IllegalArgumentException(
-                  s"Iceberg: equality_ids references unknown field id $id")).name)
-              eqDeletes += EqDeleteRef(df.get("file_path").toString, seq, cols)
-            case other => throw new IllegalArgumentException(
-              s"Iceberg: $path snapshot $wantId references a delete file of unknown content $other")
-          }
-        }
+      } else {
+        val (d, eq, dv) = decodeDeleteManifest(fs, path, wantId, mPath, mSeq, idToField)
+        deletes ++= d; eqDeletes ++= eq; dvDeletes ++= dv
       }
     }
+    // introspection SYMMETRY with the lazy planner: the eager walk
+    // fetches every data manifest, so planning records (total, total) —
+    // pruning claims measure against a visible denominator on both paths
+    val nDataManifests = manifestRefs.count(_._2 == 0)
+    IcebergIntrospect.recordManifestPlanning(path, nDataManifests, nDataManifests)
     // a table with a NAME MAPPING (the spec's mechanism for imported /
     // converted data files that carry no parquet field ids) resolves
     // columns BY NAME: suppress the id stamping, or every converted
@@ -1299,12 +1323,26 @@ object Iceberg {
     * ([[graft.functions.DvMap]] — no join node, the same merge-on-read
     * shape as the native format's deletion vectors). */
   def read(spark: SparkSession, path: String, snapshotId: Option[Long] = None): DataFrame =
-    lazyRelationFor(spark, path, snapshotId) match {
+    lazyPlanFor(spark, path, snapshotId) match {
       // clean snapshot: plan through the manifest-list-pruning index —
       // a partition/stats filter skips whole MANIFESTS (field 507)
       // before any manifest Avro is fetched
-      case Some(rel) =>
+      case Some(LazyIcebergPlan(rel, None)) =>
         stripFieldIds(spark.asInstanceOf[ClassicSession].baseRelationToDataFrame(rel))
+      // merge-on-read snapshot, lazily planned: the same pruned scan
+      // with the delete filter applied as the broadcast row-index
+      // probe — identical shape to the eager [[snapshotFrameNoEq]]
+      case Some(LazyIcebergPlan(rel, Some(dv))) =>
+        import org.apache.spark.sql.functions.{col, not}
+        val base = spark.asInstanceOf[ClassicSession].baseRelationToDataFrame(rel)
+        val withM = stripFieldIds(base.select(col("*"),
+          col("_metadata.file_path").as(FileMetaCol),
+          col("_metadata.row_index").as(PosMetaCol)))
+        withM.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.DvContains(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
+          .drop(FileMetaCol, PosMetaCol)
       case None =>
         val s = snapshot(spark, path, snapshotId)
         snapshotFrame(spark, path, s, withMeta = false)
@@ -1535,14 +1573,31 @@ object Iceberg {
     * connector's MoR relation). */
   private[graft] def relationFor(spark: SparkSession, path: String,
       snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation =
-    lazyRelationFor(spark, path, snapshotId).getOrElse {
-      val s = snapshot(spark, path, snapshotId)
-      if (s.hasDeleteDebt) {
-        val classic = spark.asInstanceOf[ClassicSession]
+    lazyPlanFor(spark, path, snapshotId) match {
+      case Some(LazyIcebergPlan(rel, None)) => rel
+      case Some(LazyIcebergPlan(_, Some(_))) =>
+        // merge-on-read: the SQL seam stays the pruned-filtered
+        // TableScan wrapper — its buildScan calls [[read]], which
+        // re-enters the LAZY plan, so delete debt no longer forces the
+        // eager manifest walk at planning
         new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
-          classic.sqlContext, path, snapshotId)
-      } else relationForSnapshot(spark, path, s)
+          spark.asInstanceOf[ClassicSession].sqlContext, path, snapshotId)
+      case None =>
+        val s = snapshot(spark, path, snapshotId)
+        if (s.hasDeleteDebt) {
+          val classic = spark.asInstanceOf[ClassicSession]
+          new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
+            classic.sqlContext, path, snapshotId)
+        } else relationForSnapshot(spark, path, s)
     }
+
+  /** The table's CURRENT schema from metadata alone — no manifest
+    * walk. What the merge-on-read SQL relation reports (nullability
+    * verbatim, same as [[snapshot]]'s schema field). */
+  def tableSchema(path: String): StructType = {
+    val (fs, root) = Writers.fsFor(path)
+    schemaFromMeta(readMetadata(fs, root)._2)
+  }
 
   /** The scan schema: each column stamps its Iceberg field id as
     * `parquet.field.id`, so the parquet reader resolves columns BY
@@ -1642,23 +1697,50 @@ object Iceberg {
   private def manifestPruningEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.iceberg.manifestListPruning").forall(_.toBoolean)
 
+  /** A lazily-planned snapshot: the relation (data manifests deferred
+    * behind [[IcebergManifestListIndex]]'s field-507 pruning) plus, on
+    * a merge-on-read snapshot, the DESCRIPTOR-ONLY delete filter built
+    * from the eagerly-loaded delete manifests — the read applies it as
+    * the broadcast row-index filter, same shape as the eager path. */
+  private[interop] final case class LazyIcebergPlan(
+      relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      morFilter: Option[graft.functions.DvFilter])
+
   /** The LAZY planning relation: metadata JSON + ONE manifest-list
-    * Avro are the only reads needed to produce a plannable relation —
-    * every manifest fetch is deferred into [[IcebergManifestListIndex]]
+    * Avro (plus the few DELETE manifests, on a merge-on-read snapshot)
+    * are the only reads needed to produce a plannable relation — every
+    * DATA manifest fetch is deferred into [[IcebergManifestListIndex]]
     * where the planner's filters can veto it via the field-507
     * summaries first. At 100 TB this is the difference between
     * O(manifests) and O(matching manifests) planning-metadata IO on
-    * every partition-filtered query.
+    * every partition-filtered query — and steady DV/position-delete
+    * debt (the common state of a busy table) keeps the win: delete
+    * manifests load eagerly (they are few and the read NEEDS the full
+    * delete inventory), data manifests stay pruned.
+    *
+    * The merge-on-read filter pairs WITHOUT the per-data-file sequence
+    * admissibility probe the eager [[deleteSources]] runs (that probe
+    * needs the data-file inventory — the thing laziness defers). This
+    * is exact for PATH-NAMED deletes: a v3 DV names exactly one
+    * `referenced_data_file` and a v2 position-delete parquet names its
+    * targets by path in its `file_path` column; the spec requires
+    * data-file paths to be unique within a table (never re-used), so a
+    * LIVE file named by a delete necessarily predates it (sequence
+    * admissible), a named file no longer live is never scanned (the
+    * keyed/wildcard source never probes), and a file added after the
+    * delete has a path the delete cannot name. The
+    * `manifestListPruning=false` A/B seam compares the two paths
+    * bit-for-bit in ManifestPruningSpec, interleaved appends included.
     *
     * Returns None — caller falls back to the eager [[snapshot]] walk —
     * whenever laziness cannot be semantically transparent: v1 inline
-    * manifests, an empty/missing snapshot, any delete manifest with
-    * live entries (merge-on-read debt needs the full file/delete
-    * inventory up front), or the kill-switch conf
+    * manifests, an empty/missing snapshot, EQUALITY-delete debt (the
+    * version-sequenced anti-join needs per-file sequence groups, i.e.
+    * the full data inventory), or the kill-switch conf
     * `spark.graft.iceberg.manifestListPruning=false` (the A/B seam the
     * equivalence spec compares through). */
-  private[interop] def lazyRelationFor(spark: SparkSession, path: String,
-      snapshotId: Option[Long]): Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
+  private[interop] def lazyPlanFor(spark: SparkSession, path: String,
+      snapshotId: Option[Long]): Option[LazyIcebergPlan] = {
     if (!manifestPruningEnabled(spark)) return None
     val (fs, root) = Writers.fsFor(path)
     if (metaVersions(fs, root).isEmpty) return None // not a table: eager path's require reports
@@ -1673,10 +1755,10 @@ object Iceberg {
     def liveCount(r: GenericRecord): Int =
       avroOpt(r, "added_files_count").map(_.asInstanceOf[Number].intValue).getOrElse(0) +
         avroOpt(r, "existing_files_count").map(_.asInstanceOf[Number].intValue).getOrElse(0)
-    // any live delete entry → merge-on-read semantics → eager path decides
-    if (listRecs.exists(r =>
-        avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 1 && liveCount(r) > 0))
-      return None
+    // live delete manifests: loaded EAGERLY below (merge-on-read needs
+    // the full delete inventory; data manifests alone stay lazy)
+    val deleteManifestRecs = listRecs.filter(r =>
+      avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 1 && liveCount(r) > 0)
     val (defaultSpecId, allSpecs) = specsFromMeta(meta)
     val dataRefs = listRecs
       .filter(r => avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0)
@@ -1740,8 +1822,51 @@ object Iceberg {
       exactBytes = exactBytes)
     val dataSchema =
       StructType(scanSchema.fields.filterNot(f => partCols.contains(f.name)))
-    Some(new org.apache.spark.sql.graft.GraftIcebergRelation(
-      classic, path, index, index.partitionSchema, dataSchema, partCols))
+    // merge-on-read debt: decode the (few) delete manifests NOW and
+    // build the descriptor-only filter the read will apply — DVs keyed
+    // by their referenced data file, v2 position-delete parquets as
+    // wildcards (their targets live inside the parquet; see scaladoc
+    // for why path-named deletes need no per-file sequence probe)
+    val morFilter: Option[graft.functions.DvFilter] =
+      if (deleteManifestRecs.isEmpty) None
+      else {
+        val idToField: Map[Int, StructField] = {
+          val sn = currentSchemaNode(meta)
+          iterator(sn.get("fields")).map(f =>
+            f.get("id").asInt -> StructField(f.get("name").asText,
+              sparkType(f.get("type").asText))).toMap
+        }
+        val decoded = deleteManifestRecs.map { mf =>
+          decodeDeleteManifest(fs, path, wantId,
+            new HPath(mf.get("manifest_path").toString),
+            avroOpt(mf, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+            idToField)
+        }
+        val posDeletes = decoded.flatMap(_._1)
+        val eqDeletes = decoded.flatMap(_._2)
+        val dvDeletes = decoded.flatMap(_._3)
+        // equality deletes apply version-sequenced over per-file
+        // sequence GROUPS — that needs the data inventory: eager path
+        if (eqDeletes.nonEmpty) return None
+        val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val keyed: Map[String, Seq[graft.functions.DvPositionSource]] =
+          dvDeletes.groupBy(d =>
+            Hive.fsPathNoDecode(d.referencedDataFile).stripPrefix(rootPrefix))
+            .map { case (rel, ds) => rel -> ds.map(d =>
+              DvSources.PuffinBlob(new HPath(d.path).toString,
+                d.contentOffset, d.contentSize, conf): graft.functions.DvPositionSource) }
+        val wildcards: Seq[graft.functions.WildcardDvSource] =
+          posDeletes.map(d => DvSources.WildcardPosDeletes(new HPath(d.path).toString, conf))
+        DvIntrospect.lastReadDescriptors =
+          keyed.valuesIterator.map(_.size).sum + wildcards.size
+        Some(new graft.functions.BroadcastDvFilter(trackBroadcast(
+          spark.sparkContext.broadcast(
+            new graft.functions.DvDescriptorMap(rootPrefix, keyed, wildcards)))))
+      }
+    Some(LazyIcebergPlan(new org.apache.spark.sql.graft.GraftIcebergRelation(
+      classic, path, index, index.partitionSchema, dataSchema, partCols), morFilter))
   }
 
   /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] over

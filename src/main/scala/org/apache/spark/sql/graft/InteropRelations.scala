@@ -160,9 +160,10 @@ final class GraftIcebergMoRRelation(
   // the metadata schema VERBATIM (nullability included): a catalog
   // table stores the clean relation's schema at CREATE, and a later
   // fallback resolution must report the same one or FindDataSourceTable
-  // refuses the "mismatched user-specified schema"
-  override val schema: StructType =
-    graft.interop.Iceberg.snapshot(outer.sparkSession, tablePath, snapshotId).schema
+  // refuses the "mismatched user-specified schema". Metadata-only —
+  // constructing the fallback relation must not force the eager
+  // manifest walk the lazy MoR planner exists to avoid.
+  override val schema: StructType = graft.interop.Iceberg.tableSchema(tablePath)
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     graft.interop.Iceberg.read(outer.sparkSession, tablePath, snapshotId).rdd

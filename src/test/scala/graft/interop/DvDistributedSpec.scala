@@ -242,12 +242,22 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     Iceberg.deleteMergeOnRead(spark, path, col("k") % 2L === 1L)
     DvIntrospect.lastReadDescriptors = -1
     val df = Iceberg.read(spark, path)
-    // one position-delete parquet, admissible for all 3 data files ->
-    // 3 descriptors; the parquet's positions never materialize on the
-    // driver (each scan task Group-reads its own file's rows)
-    assert(DvIntrospect.lastReadDescriptors == 3,
-      s"expected 3 descriptors, got ${DvIntrospect.lastReadDescriptors}")
+    // the LAZY merge-on-read planner ships ONE WILDCARD per delete
+    // parquet — O(delete files), not O(files × delete files); each scan
+    // task instantiates its own file's keyed source and Group-reads its
+    // rows (positions never materialize on the driver)
+    assert(DvIntrospect.lastReadDescriptors == 1,
+      s"expected 1 wildcard descriptor, got ${DvIntrospect.lastReadDescriptors}")
     assert(df.count() == 1500L)
     assert(df.filter(col("k") % 2L === 1L).count() == 0L)
+    // the eager walk pairs per admissible data file: 3 keyed descriptors
+    DvIntrospect.lastReadDescriptors = -1
+    spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+    try {
+      val eager = Iceberg.read(spark, path)
+      assert(eager.count() == 1500L)
+      assert(DvIntrospect.lastReadDescriptors == 3,
+        s"eager path expected 3 descriptors, got ${DvIntrospect.lastReadDescriptors}")
+    } finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
   }
 }

@@ -35,13 +35,22 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     rows.toDF("p", "k", "v")
   }
 
+  /** The LAZY run's planning record, captured before the eager A/B run
+    * overwrites it (the eager walk records (total, total) for
+    * introspection symmetry); the eager run's record lands in
+    * [[lastEagerPlanning]]. */
+  private var lastLazyPlanning: Option[(Int, Int)] = None
+  private var lastEagerPlanning: Option[(Int, Int)] = None
+
   private def collectBoth(path: String, q: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
     def run(): Seq[String] =
       q(Iceberg.read(spark, path)).collect().map(_.mkString("|")).toSeq.sorted
     val lazyRows = run()
+    lastLazyPlanning = IcebergIntrospect.lastManifestPlanning(path)
     spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
     val eagerRows = try run()
     finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+    lastEagerPlanning = IcebergIntrospect.lastManifestPlanning(path)
     (lazyRows, eagerRows)
   }
 
@@ -55,7 +64,7 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
 
     val (lz, eg) = collectBoth(path, _.filter(col("p") === 8))
     assert(lz == eg && lz == Seq("14|e|8"))
-    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    val (fetched, total) = lastLazyPlanning.get
     assert(total == 3, s"expected 3 data manifests, saw $total")
     assert(fetched == 1, s"field-507 pruning must fetch ONLY the matching manifest, fetched $fetched")
     // the file-level introspection stays on full-table denominators
@@ -73,7 +82,7 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     IcebergIntrospect.resetManifestOpens(path)
     val (lz, eg) = collectBoth(path, _.filter(col("p") >= 7).select(col("v")))
     assert(lz == eg && lz == Seq("d", "e"))
-    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    val (fetched, total) = lastLazyPlanning.get
     assert(total == 3 && fetched == 1, s"range probe planned ($fetched, $total)")
     // the cumulative open counter proves fetches, not bookkeeping:
     // the pruned plan opened exactly 1; the eager A/B run opened all 3
@@ -92,7 +101,7 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     // equality can never match the all-null manifest -> 1 of 2
     val (lz, eg) = collectBoth(path, _.filter(col("p") === 3).select(col("v")))
     assert(lz == eg && lz == Seq("x"))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 2)))
+    assert(lastLazyPlanning.get == ((1, 2)))
     // a full scan still reads the null rows
     val (lzAll, egAll) = collectBoth(path, identity)
     assert(lzAll == egAll && lzAll.size == 3)
@@ -112,8 +121,8 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     val probe = hiKeys.head
     val (lz, eg) = collectBoth(path, _.filter(col("k") === probe).select(col("v")))
     assert(lz == eg && lz == Seq(s"hi$probe"))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 2)),
-      s"bucket probe planned ${IcebergIntrospect.lastManifestPlanning(path)}")
+    assert(lastLazyPlanning.get == ((1, 2)),
+      s"bucket probe planned $lastLazyPlanning")
   }
 
   test("multi-spec table: each manifest prunes under its own spec") {
@@ -135,7 +144,7 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     val (lz, eg) = collectBoth(path,
       _.filter(col("ts") === want).select(col("v")))
     assert(lz == eg && lz == Seq("b"))
-    val (fetched, total) = IcebergIntrospect.lastManifestPlanning(path).get
+    val (fetched, total) = lastLazyPlanning.get
     assert(total == 3 && fetched == 1,
       s"multi-spec probe planned ($fetched, $total): day manifests must prune by day " +
         "value, the hour manifest by hour value")
@@ -159,12 +168,12 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     // probe inside the MERGED manifest's range: the two tail manifests prune
     val (lz, eg) = collectBoth(path, _.filter(col("p") === 12).select(col("v")))
     assert(lz == eg && lz == Seq("w1"))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)),
-      s"merged-manifest probe planned ${IcebergIntrospect.lastManifestPlanning(path)}")
+    assert(lastLazyPlanning.get == ((1, 3)),
+      s"merged-manifest probe planned $lastLazyPlanning")
     // probe in a tail manifest: the merged one prunes
     val (lz2, eg2) = collectBoth(path, _.filter(col("p") === 61).select(col("v")))
     assert(lz2 == eg2 && lz2 == Seq("t2"))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)))
+    assert(lastLazyPlanning.get == ((1, 3)))
   }
 
   test("snapshot summary totals accumulate on append and restart on overwrite") {
@@ -278,17 +287,18 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
         Iceberg.read(spark, path).filter(pred).select("k")
           .collect().map(_.getLong(0)).toSeq.sorted
       val lz = run()
+      lastLazyPlanning = IcebergIntrospect.lastManifestPlanning(path)
       spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
       val eg = try run()
       finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
       assert(lz == eg && lz == expect, s"[$label] lazy=$lz eager=$eg want=$expect")
     }
     both("eq", col("ts") === lit("2024-02-15 12:00:00").cast("timestamp"), Seq(3L))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)),
+    assert(lastLazyPlanning.get == ((1, 3)),
       "a timestamp equality must fetch only its manifest")
     both("range", col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
       col("ts") < lit("2024-03-01 00:00:00").cast("timestamp"), Seq(3L, 4L))
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((1, 3)))
+    assert(lastLazyPlanning.get == ((1, 3)))
     both("miss", col("ts") === lit("2025-01-01 00:00:00").cast("timestamp"), Nil)
     both("all", col("ts").isNotNull, Seq(1L, 2L, 3L, 4L, 5L))
   }
@@ -301,6 +311,88 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     val (lz, eg) = collectBoth(path, identity)
     assert(lz == eg && lz.size == 2)
     // no filter -> nothing pruned, all manifests fetched
-    assert(IcebergIntrospect.lastManifestPlanning(path).get == ((2, 2)))
+    assert(lastLazyPlanning.get == ((2, 2)))
+  }
+
+  test("merge-on-read DV debt (v3): data manifests stay lazily pruned, deletes stay exact") {
+    val path = freshDir("ice_mfprune_mor_dv")
+    Iceberg.write(df((1, 10L, "a"), (1, 11L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.write(df((4, 12L, "c"), (4, 13L, "d")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(df((8, 14L, "e"), (8, 15L, "f")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // a deletion vector on partition 4's file, then MORE data appended
+    // AFTER the delete — the interleaved busy-table shape the sequence
+    // rule exists for (the appended file's path postdates the DV)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 12L)
+    assert(Iceberg.snapshot(spark, path).dvDeletes.nonEmpty,
+      "v3 merge-on-read delete must land as a puffin deletion vector")
+    Iceberg.write(df((9, 16L, "g")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // filtered probe: ONLY the matching data manifest is fetched even
+    // though delete debt is outstanding (delete manifests load eagerly)
+    val (lz, eg) = collectBoth(path, _.filter(col("p") === 8).select(col("v")))
+    assert(lz == eg && lz == Seq("e", "f"))
+    val (fetched, total) = lastLazyPlanning.get
+    assert(total == 4 && fetched == 1,
+      s"DV-debted probe planned ($fetched, $total): delete debt must not force the eager walk")
+    // the eager A/B run records symmetric introspection: (total, total)
+    assert(lastEagerPlanning.get == ((4, 4)),
+      s"eager walk must record (total, total), saw $lastEagerPlanning")
+    // full scan: deleted row gone, late append present, on BOTH paths
+    val (lzAll, egAll) = collectBoth(path, identity)
+    assert(lzAll == egAll && lzAll.size == 6 && !lzAll.exists(_.startsWith("12|")),
+      s"full MoR scan rows: $lzAll")
+  }
+
+  test("merge-on-read v2 position-delete debt: wildcard pairing under interleaved appends") {
+    val path = freshDir("ice_mfprune_mor_v2")
+    Iceberg.write(df((1, 10L, "a"), (1, 11L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((4, 12L, "c"), (4, 13L, "d")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.write(df((8, 14L, "e"), (8, 15L, "f")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // one delete spanning TWO partitions' files (one wildcard, many
+    // targets), then an append, then a SECOND delete (two wildcards)
+    Iceberg.deleteMergeOnRead(spark, path, col("k").isin(10L, 14L))
+    assert(Iceberg.snapshot(spark, path).deletes.nonEmpty,
+      "v2 merge-on-read delete must land as a position-delete parquet")
+    Iceberg.write(df((9, 16L, "g"), (9, 17L, "h")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") === 16L)
+    // filtered probe on the partition holding a deleted row: exact and
+    // lazily planned (1 data manifest of 4)
+    val (lz, eg) = collectBoth(path, _.filter(col("p") === 8).select(col("v")))
+    assert(lz == eg && lz == Seq("f"), s"deleted row must not surface: $lz")
+    val (fetched, total) = lastLazyPlanning.get
+    assert(total == 4 && fetched == 1, s"pos-delete-debted probe planned ($fetched, $total)")
+    // probe on the post-delete append: its row deleted by the SECOND
+    // delete only, first delete's parquet never misapplies to it
+    val (lz9, eg9) = collectBoth(path, _.filter(col("p") === 9).select(col("v")))
+    assert(lz9 == eg9 && lz9 == Seq("h"))
+    // full scan bit-equality
+    val (lzAll, egAll) = collectBoth(path, identity)
+    assert(lzAll == egAll && lzAll.size == 5, s"full scan rows: $lzAll")
+  }
+
+  test("equality-delete debt: lazy planner declines, reads stay exact through the eager walk") {
+    import spark.implicits._
+    val path = freshDir("ice_mfprune_mor_eq")
+    Iceberg.write(df((1, 10L, "a"), (2, 11L, "b")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((4, 12L, "c")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.deleteEquality(spark, path, Seq(11L).toDF("k"))
+    // a row with the deleted key appended AFTER the delete: the
+    // version-sequenced semantics only the eager walk implements
+    Iceberg.write(df((5, 11L, "z")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val (lz, eg) = collectBoth(path, identity)
+    assert(lz == eg && lz.size == 3 && lz.exists(_.startsWith("11|z")),
+      s"re-inserted key must survive: $lz")
+    // the lazy planner declined (equality debt): even the pruning-ON
+    // run walked eagerly and recorded (total, total)
+    assert(lastLazyPlanning.get._1 == lastLazyPlanning.get._2,
+      s"equality debt must fall back to the eager walk, planned $lastLazyPlanning")
   }
 }
