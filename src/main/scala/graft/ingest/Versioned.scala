@@ -2,6 +2,7 @@ package graft.ingest
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Snapshot-versioned parquet table — the transactional-table semantics
@@ -1098,6 +1099,44 @@ object Versioned {
       col("_metadata.row_index").as(PosMetaCol))
   }
 
+  /** One schema-pinned group of entries read through the pruning
+    * [[org.apache.spark.sql.graft.VersionedFileIndex]] instead of a
+    * bare path-list parquet scan: pushed partition/stats/bloom filters
+    * skip WHOLE FILES at planning — the same manifest-level skipping
+    * the connector's clean relation gets — which matters most on
+    * merge-on-read reads (the one library path that previously only
+    * had parquet row-group pushdown under a pushed predicate). Column
+    * order is restored to the declared schema (a HadoopFsRelation
+    * surfaces partition columns last); the meta columns attach on the
+    * scan frame itself, in the same projection. Returns None — caller
+    * keeps the plain scan — when the layout cannot be index-served:
+    * a partition column missing from the recorded schema, a mixed
+    * partitioned/unpartitioned entry set, or the kill-switch conf
+    * `spark.graft.versioned.morFilePruning=false` (the A/B seam the
+    * equivalence spec compares through). */
+  private def indexedRead(spark: SparkSession, root: HPath, ver: Long,
+      entries: Seq[ManifestEntry], sc: StructType, withMeta: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.conf.getOption("spark.graft.versioned.morFilePruning").forall(_.toBoolean))
+      return None
+    val partCols: Seq[String] = entries.find(_.partDir.nonEmpty)
+      .map(_.partDir.split("/").toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil)
+    if (partCols.exists(c => !sc.fieldNames.contains(c))) return None
+    if (partCols.nonEmpty && entries.exists(_.partDir.isEmpty)) return None
+    val classic = spark.asInstanceOf[ClassicSession]
+    val tablePath = root.toUri.getPath
+    val index = new org.apache.spark.sql.graft.VersionedFileIndex(
+      classic, tablePath, ver, entries, sc, partCols)
+    val dataSchema = StructType(sc.fields.filterNot(f => partCols.contains(f.name)))
+    val rel = new org.apache.spark.sql.graft.GraftVersionedRelation(
+      classic, tablePath, index, index.partitionSchema, dataSchema)
+    val base = classic.baseRelationToDataFrame(rel)
+    val cols = sc.fields.toSeq.map(f => col(f.name)) ++
+      (if (withMeta) Seq(col("_metadata.file_path").as(FileMetaCol),
+        col("_metadata.row_index").as(PosMetaCol)) else Nil)
+    Some(base.select(cols: _*))
+  }
+
   private def readEntries(
       spark: SparkSession, fs: FileSystem, root: HPath, entries: Seq[ManifestEntry],
       target: Option[Target] = None, withMeta: Boolean = false): DataFrame = {
@@ -1114,7 +1153,11 @@ object Versioned {
       // unrenamed files must take the aligning path below)
       if (schemas.forall(_.isDefined) && schemas.flatMap(_.map(_.json)).distinct.size == 1 &&
           target.forall(t => asNullable(t.schema).json == schemas.head.get.json)) {
-        val fast = spark.read.schema(schemas.head.get)
+        val sc = schemas.head.get
+        val viaIndex = indexedRead(spark, root,
+          parseVersion(groups.last._1).getOrElse(-1L), entries, sc, withMeta)
+        if (viaIndex.isDefined) return viaIndex.get
+        val fast = spark.read.schema(sc)
           .parquet(entries.map(e => new HPath(root, e.relPath).toString): _*)
         return if (withMeta) attachMeta(fast) else fast
       }
@@ -1132,10 +1175,16 @@ object Versioned {
         // next merge's unionByName. Legacy (pre-schema-meta) versions
         // fall back to inference.
         val raw0 = metaSchema(fs, root, wVer) match {
-          case Some(sc) => rd.schema(sc).parquet(files: _*)
-          case None     => rd.parquet(files: _*)
+          case Some(sc) =>
+            indexedRead(spark, root, wVer, es, sc, withMeta).getOrElse {
+              val r = rd.schema(sc).parquet(files: _*)
+              if (withMeta) attachMeta(r) else r
+            }
+          case None =>
+            val r = rd.parquet(files: _*)
+            if (withMeta) attachMeta(r) else r
         }
-        val raw = if (withMeta) attachMeta(raw0) else raw0
+        val raw = raw0
         target match {
           case Some(t) =>
             alignToTarget(raw, colIdsOf(fs, root, wVer), t,

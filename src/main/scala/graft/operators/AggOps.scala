@@ -126,17 +126,32 @@ object AggOps extends QueryModule {
   /** A4: approximate distinct (HyperLogLog++). *no-oracle*: Spark's HLL
     * sketch differs from DuckDB's; exact equality is not defined. At scale
     * this replaces A3 when the value domain is huge: fixed-size sketch,
-    * mergeable, single shuffle of O(groups × sketch). */
+    * mergeable, single shuffle of O(groups × sketch). The accuracy
+    * contract is graded IN-ENTRY at whatever sf the driver runs (the
+    * l3d pattern): every group's estimate must land within 5% of the
+    * exact count — a one-pass dual aggregation, so the gate costs one
+    * extra agg column, not a second scan (SketchAccuracySpec holds the
+    * deeper rsd-sweep claims). */
   val a4ApproxDistinct = QueryDef(
     "a4_approx_distinct",
-    (s, d) =>
-      Tables.lineitem(s, d)
+    (s, d) => {
+      val out = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
         )
-        .orderBy("l_returnflag"),
+      out.collect().foreach { r =>
+        def gate(est: Long, exact: Long, what: String): Unit =
+          require(exact == 0 || math.abs(est - exact).toDouble / exact <= 0.05,
+            s"a4: $what estimate $est is >5% off exact $exact for flag ${r.get(0)}")
+        gate(r.getLong(1), r.getLong(3), "l_partkey")
+        gate(r.getLong(2), r.getLong(4), "l_orderkey")
+      }
+      out.select("l_returnflag", "approx_parts", "approx_orders").orderBy("l_returnflag")
+    },
     None,
   )
 

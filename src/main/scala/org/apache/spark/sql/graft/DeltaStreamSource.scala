@@ -37,17 +37,46 @@ object StreamSchemaTracking {
       .filter(_.endsWith(".json"))
       .flatMap(n => n.stripSuffix(".json").toLongOption)
     entries.maxOption.map { v =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(d, s"$v.json"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val node = Json.readTree(text)
-      (org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText)
-        .asInstanceOf[StructType],
-        node.get("deltaVersion").asLong)
+      // the writer claims the entry file EXCLUSIVELY first, then writes
+      // the payload ([[record]]) — a reader landing inside that window
+      // sees an empty/partial file. Wait the in-flight append out (the
+      // same torn-read rule the commit files follow); a claim that
+      // never fills is a crashed writer — fail loudly, never serve a
+      // torn schema.
+      var attempt = 0
+      var parsed: Option[(StructType, Long)] = None
+      while (parsed.isEmpty) {
+        val in = fs.open(new org.apache.hadoop.fs.Path(d, s"$v.json"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        parsed =
+          try {
+            val node = Json.readTree(text)
+            if (node == null || !node.hasNonNull("schema") || !node.hasNonNull("deltaVersion"))
+              None
+            else Some((org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText)
+              .asInstanceOf[StructType], node.get("deltaVersion").asLong))
+          } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+        if (parsed.isEmpty) {
+          attempt += 1
+          if (attempt > 100) throw new IllegalStateException(
+            s"schemaTrackingLocation: _schema_log entry $v under $dir never filled — " +
+              "a schema-recording writer crashed mid-append; remove the torn entry to recover")
+          Thread.sleep(20L)
+        }
+      }
+      parsed.get
     }
   }
 
   /** Append a schema entry (no-op when the newest entry already equals
-    * it — detection can fire once per in-flight batch attempt). */
+    * it — detection can fire once per in-flight batch attempt). The
+    * journal slot is claimed with the same EXCLUSIVE-create arbitration
+    * the commit files use ([[graft.interop.CommitFiles.createExclusive]]):
+    * a rival writer racing for the same `last+1` index loses the kernel
+    * O_EXCL claim instead of silently clobbering the winner's entry —
+    * if the winner recorded the SAME schema the loser no-ops (both
+    * attempts of one evolution), a DIFFERENT schema fails loudly (two
+    * checkpoints genuinely disagree about the table's shape). */
   def record(dir: String, schema: StructType, deltaVersion: Long): Unit = {
     if (read(dir).exists { case (s, _) => canonical(s) == canonical(schema) }) return
     val d = logDir(dir)
@@ -61,7 +90,18 @@ object StreamSchemaTracking {
     val node = Json.createObjectNode()
     node.put("schema", schema.json)
     node.put("deltaVersion", deltaVersion)
-    val out = fs.create(new org.apache.hadoop.fs.Path(d, s"$next.json"), true)
+    val out = try graft.interop.CommitFiles.createExclusive(
+      fs, new org.apache.hadoop.fs.Path(d, s"$next.json"))
+    catch {
+      case e: java.io.IOException =>
+        // lost the slot: a rival recorded first — same schema is the
+        // benign double-fire, anything else is a real conflict
+        if (read(dir).exists { case (s, _) => canonical(s) == canonical(schema) }) return
+        throw new java.util.ConcurrentModificationException(
+          s"schemaTrackingLocation: lost the _schema_log claim for entry $next under $dir " +
+            "to a writer recording a DIFFERENT schema — two streams share this tracking " +
+            "location; give each checkpoint its own", e)
+    }
     try out.write(Json.writeValueAsString(node).getBytes("UTF-8")) finally out.close()
   }
 

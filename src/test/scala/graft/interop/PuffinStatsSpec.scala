@@ -126,6 +126,27 @@ class PuffinStatsSpec extends AnyFunSuite with SparkFixture {
     val total = stats.agg(org.apache.spark.sql.functions.sum("data_record_count"))
       .collect().head.getLong(0)
     assert(total == s.files.map(_.recordCount).sum)
+    // the spec's TABLE-METADATA registration: the freshest metadata.json
+    // carries a `partition-statistics` entry for the current snapshot
+    // pointing at the written file — what a FOREIGN planner resolves
+    val metaDir = java.nio.file.Paths.get(path, "metadata")
+    import scala.jdk.CollectionConverters._
+    val latest = java.nio.file.Files.list(metaDir).iterator().asScala
+      .filter(_.toString.endsWith(".metadata.json"))
+      .maxBy(_.getFileName.toString)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(latest), "UTF-8"))
+    val entries = meta.get("partition-statistics")
+    assert(entries != null && entries.isArray && entries.size() == 1,
+      s"metadata must register exactly one partition-statistics entry: $entries")
+    val entry = entries.get(0)
+    assert(entry.get("snapshot-id").asLong == s.snapshotId)
+    val statsPath = entry.get("statistics-path").asText
+    assert(statsPath.contains("partition-stats-") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)),
+      s"statistics-path must name the written parquet: $statsPath")
+    assert(entry.get("file-size-in-bytes").asLong ==
+      java.nio.file.Files.size(java.nio.file.Paths.get(statsPath)))
   }
 
   test("an un-analyzed table refuses loudly; CBO sees the ndv on the plan") {

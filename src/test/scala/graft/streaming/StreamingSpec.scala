@@ -196,4 +196,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("_schema_log journal: rival writers lose the O_EXCL claim loudly, never clobber") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.graft.StreamSchemaTracking
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test",
+      "schema_log_race").toString
+    graft.ingest.Writers.deleteTree(Paths.get(dir))
+    val n = 8
+    val schemas = (0 until n).map(i =>
+      StructType(Seq(StructField("k", LongType), StructField(s"c$i", LongType))))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        // a real rival writer is a stream's microbatch thread, which
+        // carries its session; bare test threads must attach it
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        start.await()
+        try StreamSchemaTracking.record(dir, schemas(i), i.toLong)
+        catch {
+          case _: java.util.ConcurrentModificationException => losers.incrementAndGet(): Unit
+          case t: Throwable => unexpected.add(t): Unit
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(unexpected.isEmpty, s"writer threads crashed: ${unexpected.peek()}")
+    // no lost update, whatever the interleaving: every journal entry is
+    // an intact record from a thread that reported SUCCESS, and wins +
+    // loud losses account for every writer (the pre-claim overwrite
+    // journal silently dropped losers' entries instead)
+    val d = new org.apache.hadoop.fs.Path(dir, "_schema_log")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".json")).toSeq
+    val recorded = entries.map { p =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      assert(node.hasNonNull("schema") && node.hasNonNull("deltaVersion"),
+        s"torn or clobbered journal entry ${p.getName}: $text")
+      org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText)
+        .asInstanceOf[StructType]
+    }
+    assert(recorded.map(StreamSchemaTracking.canonical).distinct.size == recorded.size,
+      "two writers landed the same schema twice")
+    assert(recorded.size + losers.get == n,
+      s"${recorded.size} entries + ${losers.get} loud losers must account for all $n writers")
+    assert(losers.get > 0 || recorded.size == n,
+      "either every writer won a distinct slot or some lost loudly — silence is clobbering")
+    // the benign double-fire: re-recording the NEWEST schema no-ops
+    val (newest, _) = StreamSchemaTracking.read(dir).get
+    StreamSchemaTracking.record(dir, newest, 99L)
+    assert(fs.listStatus(d).count(_.getPath.getName.endsWith(".json")) == recorded.size)
+  }
 }
