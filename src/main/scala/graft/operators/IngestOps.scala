@@ -3897,6 +3897,66 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S72 (r15): MERGE-ON-READ PLANNING stays PRUNED — the round-15
+    * lazy-MoR claim graded by the driver: three single-status appends
+    * (one data manifest each), a v3 DELETION VECTOR delete, then a
+    * status-filtered aggregate — the lazy planner must load the delete
+    * manifests eagerly but fetch ONLY the matching DATA manifest
+    * (field-507 summaries veto the rest BEFORE any manifest Avro is
+    * read), require'd via
+    * [[graft.interop.IcebergIntrospect.lastManifestPlanning]], with
+    * the DV applied join-free. At 100 TB this is the difference
+    * between a busy table (steady delete debt + appends) planning in
+    * O(matching metadata) and paying an eager full-manifest walk on
+    * every query. Bit-equality of the lazy and eager paths is
+    * spec-locked (ManifestPruningSpec MoR cases); the NATIVE format's
+    * twin claim — DV debt never defeats per-file stats pruning — is
+    * spec-moved to MorFilePruningSpec (clustered 6-file table, range
+    * probe plans O(overlapping), A/B bit-equal), keeping this entry a
+    * single lifecycle. Oracle: the surviving rows from `orders`. */
+  val s72MorPrunedPlanning = QueryDef(
+    "s72_mor_pruned_planning",
+    (s, d) => {
+      val I = graft.interop.Iceberg
+      val ip = tmp("s72_ice_mor", d); Writers.deleteTree(ip)
+      // a 1/3 key slice: the planning claim is about METADATA shape
+      // (manifest counts), not data volume — the slice keeps the
+      // lifecycle under the bench budget at every sf
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      def leg(status: String) = orders.filter(col("o_orderstatus") === status)
+      I.write(leg("F"), ip, partitionBy = Seq("o_orderstatus"))
+      I.upgradeToV3(s, ip)
+      I.write(leg("O"), ip, partitionBy = Seq("o_orderstatus"), mode = SaveMode.Append)
+      I.write(leg("P"), ip, partitionBy = Seq("o_orderstatus"), mode = SaveMode.Append)
+      I.deleteMergeOnRead(s, ip,
+        col("o_orderkey") % 10 === 0 && col("o_orderstatus") === "O")
+      require(I.snapshot(s, ip).dvDeletes.nonEmpty,
+        "s72: the v3 delete must land as a puffin deletion vector")
+      val iceRead = I.read(s, ip).filter(col("o_orderstatus") === "O")
+      require(!iceRead.queryExecution.executedPlan.toString.toLowerCase.contains("join"),
+        "s72: the DV must apply as a row-index filter, not a join")
+      val out = iceRead.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), unscale(sum(cents("o_totalprice")), 2).as("sum_val"))
+        .select(col("o_orderstatus").as("grp"), col("n_rows"), col("sum_val"))
+        .orderBy("grp")
+      require(out.count() > 0, "s72: empty result")
+      val (fetched, total) = graft.interop.IcebergIntrospect.lastManifestPlanning(ip).get
+      require(total == 3 && fetched == 1,
+        s"s72: DV debt must not defeat manifest-list pruning — planned ($fetched, $total)")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus AS grp, count(*) AS n_rows,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_val
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+      GROUP BY o_orderstatus
+      ORDER BY grp
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3911,5 +3971,6 @@ object IngestOps extends QueryModule {
     s54DeltaIct, s55IcebergChangelog, s57SyncRowIdentity, s58DeltaClustering,
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
     s63TypeWidening, s65Variant, s65bVariantShredding, s66PartitionEvolution,
-    s67ConcurrentAppends, s68PuffinStats, s69DynamicOverwrite, s70IdentityColumns)
+    s67ConcurrentAppends, s68PuffinStats, s69DynamicOverwrite, s70IdentityColumns,
+    s72MorPrunedPlanning)
 }
