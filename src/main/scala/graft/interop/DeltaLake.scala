@@ -2725,11 +2725,15 @@ object DeltaLake {
     * names). */
   def readWithStats(spark: SparkSession, path: String): DataFrame = {
     val s = snapshot(spark, path)
-    if (s.hasDeletionVectors || s.mapMode.nonEmpty) return read(spark, path)
     val ndv = readTableStatistics(spark, path)
     val perFile = s.files.map(f => numRecordsOf(f.stats))
+    // deletion-vector debt: the per-file cardinality is exact (the
+    // protocol records it) — serve the NET row count, so delete debt
+    // never silently degrades join planning to the pre-delete total
+    val dvDeleted = s.files.flatMap(_.dv).map(_.cardinality).sum
     val rowCount: Option[BigInt] =
-      if (perFile.forall(_.nonEmpty)) Some(BigInt(perFile.flatten.sum))
+      if (perFile.forall(_.nonEmpty))
+        Some(BigInt(math.max(0L, perFile.flatten.sum - dvDeleted)))
       else s.domains.get(StatsDomain)
         .map(c => BigInt(Json.readTree(c).path("rowCount").asLong))
     val colStats = ndv.map { case (c, n) =>
@@ -2748,9 +2752,17 @@ object DeltaLake {
         sizeInBytes = BigInt(s.files.map(_.size).sum),
         rowCount = rowCount,
         colStats = colStats)))
+    // DV-debted and column-mapped snapshots serve the SAME statistics
+    // over their fallback relation (CatalogStatistics ride any
+    // LogicalRelation) — its schema is the logical one, matching the
+    // analyze output's column names
+    val rel: org.apache.spark.sql.sources.BaseRelation =
+      if (s.hasDeletionVectors || s.mapMode.nonEmpty)
+        new org.apache.spark.sql.graft.GraftDeltaMappedRelation(
+          spark.asInstanceOf[ClassicSession].sqlContext, path, None)
+      else relationForSnapshot(spark, path, s)
     org.apache.spark.sql.graft.ColumnBridge.relationWithStats(
-      spark.asInstanceOf[ClassicSession],
-      relationForSnapshot(spark, path, s), ct)
+      spark.asInstanceOf[ClassicSession], rel, ct)
   }
 
   /** The type promotions the `typeWidening` table feature admits and

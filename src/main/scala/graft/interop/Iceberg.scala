@@ -91,7 +91,8 @@ object Iceberg {
     * Applies to data files whose data sequence number is STRICTLY less
     * than `seq` (the spec's rule — a file added with the delete is not
     * affected), matched with null-safe equality. */
-  final case class EqDeleteRef(path: String, seq: Long, columns: Seq[String])
+  final case class EqDeleteRef(path: String, seq: Long, columns: Seq[String],
+      recordCount: Long = 0L)
 
   /** A v3 DELETION VECTOR (`content=1`, `file_format=PUFFIN`): one
     * bitmap of deleted row positions for exactly `referencedDataFile`,
@@ -1185,7 +1186,8 @@ object Iceberg {
             val cols = ids.map(id => idToField.getOrElse(id,
               throw new IllegalArgumentException(
                 s"Iceberg: equality_ids references unknown field id $id")).name)
-            eqDeletes += EqDeleteRef(df.get("file_path").toString, seq, cols)
+            eqDeletes += EqDeleteRef(df.get("file_path").toString, seq, cols,
+              recordCount = df.get("record_count").asInstanceOf[Long])
           case other => throw new IllegalArgumentException(
             s"Iceberg: $path snapshot $wantId references a delete file of unknown content $other")
         }
@@ -5629,20 +5631,33 @@ object Iceberg {
     * distinct counts from [[readTableStatistics]]), so Spark's CBO
     * costs this table exactly like an ANALYZEd catalog table — join
     * reorder and broadcast decisions see the ndv at planning.
-    * Falls back to a plain [[read]] (no stats) when the snapshot has
-    * outstanding merge-on-read debt (its relation is a TableScan the
-    * stats cannot ride). */
+    *
+    * A snapshot with outstanding merge-on-read debt serves the SAME
+    * statistics over its fallback relation (CatalogStatistics ride any
+    * LogicalRelation, not just file scans), with the row count NET of
+    * the delete debt: DV cardinalities and position-delete record
+    * counts are exact per the spec; equality-delete key counts are an
+    * upper bound on removed rows (a re-inserted key survives), so the
+    * net count is CBO-grade — an estimate that errs small, never the
+    * raw pre-delete total. Previously MoR fell back to a stats-less
+    * read, making delete debt silently degrade join planning. */
   def readWithStats(spark: SparkSession, path: String): DataFrame = {
     val s = snapshot(spark, path)
-    if (s.hasDeleteDebt) return read(spark, path)
     val ndv = readTableStatistics(spark, path)
     val classic = spark.asInstanceOf[ClassicSession]
     val (_, root) = Writers.fsFor(path)
-    val rel = relationForSnapshot(spark, path, s)
+    val rel: org.apache.spark.sql.sources.BaseRelation =
+      if (s.hasDeleteDebt)
+        new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
+          classic.sqlContext, path, None)
+      else relationForSnapshot(spark, path, s)
     val colStats = ndv.map { case (c, n) =>
       c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
         distinctCount = Some(BigInt(n)))
     }
+    val deleted = s.dvDeletes.map(_.cardinality).filter(_ >= 0L).sum +
+      s.deletes.map(_.recordCount).sum + s.eqDeletes.map(_.recordCount).sum
+    val netRows = math.max(0L, s.files.map(_.recordCount).sum - deleted)
     val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(root.getName),
       tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
@@ -5652,7 +5667,7 @@ object Iceberg {
       provider = Some("iceberg"),
       stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
         sizeInBytes = BigInt(s.files.map(_.sizeInBytes).sum),
-        rowCount = Some(BigInt(s.files.map(_.recordCount).sum)),
+        rowCount = Some(BigInt(netRows)),
         colStats = colStats)))
     org.apache.spark.sql.graft.ColumnBridge.relationWithStats(classic, rel, ct)
   }

@@ -140,20 +140,39 @@ object AggOps extends QueryModule {
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
         )
-      out.collect().foreach { r =>
-        def gate(est: Long, exact: Long, what: String): Unit =
-          require(exact == 0 || math.abs(est - exact).toDouble / exact <= 0.05,
-            s"a4: $what estimate $est is >5% off exact $exact for flag ${r.get(0)}")
-        gate(r.getLong(1), r.getLong(3), "l_partkey")
-        gate(r.getLong(2), r.getLong(4), "l_orderkey")
-      }
-      out.select("l_returnflag", "approx_parts", "approx_orders").orderBy("l_returnflag")
+        .orderBy("l_returnflag")
+      // the gate runs as its OWN exact pass (a3's cheap two-distinct
+      // shape) — mixing countDistinct into the HLL agg above would
+      // force the expand-based multi-distinct plan on the hot path
+      // (measured 40x slower at sf0.1) — and ONCE per corpus dir (the
+      // estimates are deterministic for a fixed input, so re-gating
+      // every execution only re-proves the same arithmetic)
+      a4Gated.computeIfAbsent(d, _ => {
+        val exact = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+          )
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        out.collect().foreach { r =>
+          val (eParts, eOrders) = exact(r.getString(0))
+          def gate(est: Long, ex: Long, what: String): Unit =
+            require(ex == 0 || math.abs(est - ex).toDouble / ex <= 0.05,
+              s"a4: $what estimate $est is >5% off exact $ex for flag ${r.getString(0)}")
+          gate(r.getLong(1), eParts, "l_partkey")
+          gate(r.getLong(2), eOrders, "l_orderkey")
+        }
+        java.lang.Boolean.TRUE
+      })
+      out
     },
     None,
   )
+
+  /** Corpus dirs whose a4 accuracy gate already ran this session. */
+  private val a4Gated = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** A5: ROLLUP over two keys. NULL super-aggregate rows force explicit
     * NULLS FIRST on both sides (Spark defaults nulls-first, DuckDB

@@ -70,12 +70,22 @@ class DeltaStatsSpec extends AnyFunSuite with SparkFixture {
     // the stats-served frame answers queries identically to the plain read
     assert(DeltaLake.readWithStats(spark, path).filter(col("seg") === "s3").count() ==
       DeltaLake.read(spark, path).filter(col("seg") === "s3").count())
-    // outstanding deletion vectors fall back to the plain read (the
-    // recorded counts would overcount the live rows)
+    // outstanding deletion vectors serve the NET row count over the
+    // fallback relation (DV cardinality is exact per the protocol) —
+    // delete debt must never degrade planning to stats-less or serve
+    // the stale pre-delete total
     DeltaLake.deleteMergeOnRead(spark, path, col("k") <= 10L)
-    val st2 = DeltaLake.readWithStats(spark, path).queryExecution.optimizedPlan.stats
-    assert(st2.rowCount.isEmpty || !st2.rowCount.contains(BigInt(50)),
-      s"a DV-bearing table must not serve the stale pre-delete count: $st2")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st2 = DeltaLake.readWithStats(spark, path).queryExecution.optimizedPlan.stats
+      assert(st2.rowCount.contains(BigInt(40)),
+        s"a DV-bearing table must serve the net live-row count: $st2")
+      val seenK2 = st2.attributeStats.collectFirst {
+        case (a, cs) if a.name == "k" => cs.distinctCount
+      }.flatten
+      assert(seenK2.contains(BigInt(50)),
+        s"the published ndv must still reach MoR planning: $seenK2")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
     assert(DeltaLake.readWithStats(spark, path).count() == 40L)
   }
 

@@ -149,6 +149,32 @@ class PuffinStatsSpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Files.size(java.nio.file.Paths.get(statsPath)))
   }
 
+  test("merge-on-read debt serves NET row-count statistics over the fallback relation") {
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("puffin_stats_mor")
+    Iceberg.write(df(1, 200), path)
+    Iceberg.upgradeToV3(spark, path)
+    Iceberg.deleteMergeOnRead(spark, path, col("k") <= 50L)
+    assert(Iceberg.snapshot(spark, path).dvDeletes.nonEmpty)
+    // analyze the DEBTED snapshot (statistics entries pin a snapshot id)
+    Iceberg.analyzeTable(spark, path)
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val frame = Iceberg.readWithStats(spark, path)
+      val st = frame.queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(150)),
+        s"DV debt must serve the net live-row count, not the pre-delete total: $st")
+      val seen = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "k" => cs.distinctCount
+      }.flatten
+      assert(seen.nonEmpty, s"the published ndv must still reach MoR planning: $st")
+      // and the frame itself applies the deletes (fallback relation)
+      assert(frame.count() == 150L)
+      assert(frame.filter(col("k") <= 50L).count() == 0L)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("an un-analyzed table refuses loudly; CBO sees the ndv on the plan") {
     val path = freshDir("puffin_stats_cbo")
     Iceberg.write(df(1, 300), path)
