@@ -842,8 +842,132 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4s: CHUNKING WITH OVERLAP — the RAG/embedding-prep split that is
+    * l4j's packing inverse: every document explodes into fixed-size
+    * token windows (64 tokens, stride 48 → 16-token overlap), each
+    * chunk identified by (doc_id, chunk_idx) with its token count and
+    * content digest. Pure tokenize→sequence→explode→slice off builtin
+    * higher-order functions: per-row work, NO shuffle until the final
+    * order — at 100 TB chunking is embarrassingly parallel and this
+    * plan keeps it that way (the digest lets the downstream embedding
+    * stage dedup identical chunks before paying GPU time). Stride
+    * starts run to the end of the document, so trailing chunks may be
+    * short — the convention that never drops a token. */
+  val l4sChunkOverlap = QueryDef(
+    "l4s_chunk_overlap",
+    (s, d) => {
+      val C = 64
+      val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("start"))
+        .select(col("doc_id"),
+          expr(s"start div $S").as("chunk_idx"),
+          slice(col("toks"), col("start") + 1, lit(C)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      chunks AS (
+        SELECT d.doc_id, t.i // 48 AS chunk_idx,
+          d.toks[t.i + 1 : t.i + 64] AS chunk
+        FROM docs d, LATERAL (SELECT unnest(range(0, len(d.toks), 48)) AS i) t
+      )
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_toks,
+        md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """.stripMargin.trim),
+  )
+
+  /** L4t: DETERMINISTIC GLOBAL SHUFFLE into shards — the training-data
+    * ordering step: every epoch's document order must be pseudo-random
+    * yet exactly reproducible across reruns and resumable mid-epoch.
+    * The shuffle key is `md5(salt || doc_id)`; its first hex char is
+    * the SHARD (16-way, uniform under md5), and the position within a
+    * shard is a rank over the key — a shuffle keyed on shard plus a
+    * per-shard sort, which is exactly how a 100 TB corpus lands as N
+    * shard files with stable internal order (no global single-
+    * partition sort anywhere: the only `Window.partitionBy` is the
+    * shard). Changing the salt re-deals the whole corpus. */
+  val l4tGlobalShuffle = QueryDef(
+    "l4t_global_shuffle",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws("|", lit("epoch1"), col("doc_id"))).as("skey"))
+        .withColumn("shard", substring(col("skey"), 1, 1))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id")) - 1)
+            .cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos"),
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, md5('epoch1' || '|' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+      )
+      SELECT substr(skey, 1, 1) AS shard,
+        CAST(row_number() OVER (PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id) - 1
+          AS BIGINT) AS pos,
+        doc_id
+      FROM keyed
+      ORDER BY shard, pos
+    """.stripMargin.trim),
+  )
+
+  /** L4u: LANGUAGE REBALANCING — deterministic down-sampling to a
+    * uniform language mix (the multilingual-pretraining mixing step:
+    * the natural corpus is English-heavy; the target mix is not).
+    * Each language's acceptance threshold is INTEGER arithmetic —
+    * `min(65536·min_docs ÷ n_docs, 65535)` on a 16-bit scale — and a
+    * document is kept iff the first 4 hex chars of `md5(text)` sort
+    * below the threshold rendered in hex: content-hash sampling, so
+    * the SAME documents survive on any cluster at any parallelism,
+    * and (unlike rand()) reruns are bit-stable. All FP-free: an
+    * engine-boundary one-ULP drift in a double rate would flip
+    * acceptance of individual documents. Output: per-language before/
+    * after counts + threshold — the achieved mix is near-uniform with
+    * content-hash variance. */
+  val l4uLangRebalance = QueryDef(
+    "l4u_lang_rebalance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"), col("text"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val minN = counts.agg(min(col("n_before")).as("min_n"))
+      val thr = counts.crossJoin(broadcast(minN))
+        .withColumn("thr", least(expr("(65536 * min_n) div n_before"), lit(65535L)))
+        .withColumn("thr_hex", lower(lpad(hex(col("thr")), 4, "0")))
+      docs.join(broadcast(thr.select("lang", "thr", "thr_hex")), Seq("lang"))
+        .filter(substring(md5(col("text")), 1, 4) < col("thr_hex"))
+        .groupBy("lang", "thr")
+        .agg(count(lit(1)).as("n_kept"))
+        .join(broadcast(thr.select("lang", "n_before")), Seq("lang"))
+        .select(col("lang"), col("n_before"), col("n_kept"), col("thr"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+      thr AS (
+        SELECT lang, n_before,
+          least(65536 * (SELECT min(n_before) FROM counts) // n_before, 65535) AS thr
+        FROM counts
+      )
+      SELECT d.lang, t.n_before, count(*) AS n_kept, t.thr
+      FROM documents d JOIN thr t USING (lang)
+      WHERE substr(md5(d.text), 1, 4) < lower(lpad(to_hex(t.thr), 4, '0'))
+      GROUP BY d.lang, t.n_before, t.thr
+      ORDER BY d.lang
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
     l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit, l4oUnicodeNfc,
-    l4pUrlCanonical, l4qBigramLm, l4rNgramCensus)
+    l4pUrlCanonical, l4qBigramLm, l4rNgramCensus, l4sChunkOverlap, l4tGlobalShuffle,
+    l4uLangRebalance)
 }
