@@ -127,6 +127,142 @@ object SqlOps extends QueryModule {
     Some(sub5Sql),
   )
 
+  /** SQL1: SQL-DEFINED FUNCTIONS (Spark 4's `CREATE FUNCTION ...
+    * RETURN`) — a scalar UDF (the R3 money rule packaged as a reusable
+    * definition) and a parameterized TABLE function (a quantity
+    * histogram over `lineitem`), both pure SQL: they inline into the
+    * plan at resolution, so there is NO black-box eval — codegen,
+    * pushdown, and partial aggregation all still apply, unlike a JVM
+    * UDF. The oracle is the same query with the definitions inlined by
+    * hand (DuckDB macros would work too; inlining proves the
+    * equivalence the optimizer relies on). */
+  val sql1SqlUdf = QueryDef(
+    "sql1_sql_udf",
+    (s, d) => {
+      withViews(s, d)(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev_cents(p DOUBLE, disc DOUBLE)
+           RETURNS BIGINT RETURN CAST(round(p * (1 - disc) * 100) AS BIGINT)""")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_hist(cap BIGINT)
+           RETURNS TABLE (qty BIGINT, n BIGINT) RETURN
+             SELECT CAST(l_quantity AS BIGINT), count(*)
+             FROM lineitem WHERE l_quantity <= cap GROUP BY 1""")
+      s.sql("""
+        SELECT f.l_returnflag, h.qty, h.n,
+          sum(graft_rev_cents(f.l_extendedprice, f.l_discount)) AS rev_cents
+        FROM lineitem f
+        JOIN graft_qty_hist(5) h ON CAST(f.l_quantity AS BIGINT) = h.qty
+        GROUP BY f.l_returnflag, h.qty, h.n
+        ORDER BY f.l_returnflag, h.qty
+      """)
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS n
+        FROM lineitem WHERE l_quantity <= 5 GROUP BY 1
+      )
+      SELECT f.l_returnflag, h.qty, h.n,
+        CAST(sum(CAST(round(f.l_extendedprice * (1 - f.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem f
+      JOIN h ON CAST(f.l_quantity AS BIGINT) = h.qty
+      GROUP BY f.l_returnflag, h.qty, h.n
+      ORDER BY f.l_returnflag, h.qty
+    """.stripMargin.trim),
+  )
+
+  private val sql2PipeSpark = """
+      FROM lineitem
+      |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+      |> AGGREGATE count(*) AS n_items, sum(rev_cents) AS rev
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n_items > 1000
+      |> ORDER BY l_returnflag, l_linestatus
+    """.trim  // NO stripMargin: it would eat the '|' of every '|>'
+
+  /** SQL2: PIPE SYNTAX (Spark 4's `|>` operators) — the linear query
+    * form scan→filter→extend→aggregate→having→order. Each pipe stage
+    * maps onto exactly the relational operator the classic form hides
+    * in clause order; Catalyst plans both identically (same optimized
+    * plan, same pushdown). The oracle is the equivalent classic SQL —
+    * grading that the syntax is sugar, not semantics. */
+  val sql2PipeSyntax = QueryDef(
+    "sql2_pipe_syntax",
+    (s, d) => withViews(s, d)(sql2PipeSpark),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      HAVING count(*) > 1000
+      ORDER BY l_returnflag, l_linestatus
+    """.stripMargin.trim),
+  )
+
+  /** SQL3: COLLATED comparison (Spark 4 string collations) — a
+    * case-insensitive predicate via `COLLATE UTF8_LCASE` against a
+    * deterministically case-mangled column (even keys upper-cased).
+    * The collation changes COMPARISON semantics, not stored bytes —
+    * grouping stays on the raw column so output values are
+    * deterministic. Oracle: the same predicate spelled with lower()
+    * (UTF8_LCASE is exactly lowercase-fold comparison). */
+  val sql3Collation = QueryDef(
+    "sql3_collation",
+    (s, d) => withViews(s, d)("""
+      WITH mangled AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment) ELSE c_mktsegment END AS seg
+        FROM customer
+      )
+      SELECT seg, count(*) AS n
+      FROM mangled
+      WHERE seg COLLATE UTF8_LCASE = 'machinery'
+      GROUP BY seg
+      ORDER BY seg
+    """.stripMargin.trim),
+    Some("""
+      WITH mangled AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment) ELSE c_mktsegment END AS seg
+        FROM customer
+      )
+      SELECT seg, count(*) AS n
+      FROM mangled
+      WHERE lower(seg) = 'machinery'
+      GROUP BY seg
+      ORDER BY seg
+    """.stripMargin.trim),
+  )
+
+  /** SQL4: SESSION VARIABLES (Spark 4 `DECLARE` / `SET VAR`) — the
+    * parameterized-script pattern: a threshold computed by one query
+    * (integer arithmetic, FP-free) feeds the next statement without
+    * string interpolation. Variables fold to literals at resolution,
+    * so the parameterized scan still pushes the predicate down.
+    * Oracle: the threshold inlined as a scalar subquery. */
+  val sql4SessionVars = QueryDef(
+    "sql4_session_vars",
+    (s, d) => {
+      withViews(s, d)("DECLARE OR REPLACE graft_key_floor BIGINT")
+      s.sql("SET VAR graft_key_floor = (SELECT max(o_orderkey) FROM orders) - (SELECT max(o_orderkey) FROM orders) DIV 10")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders, max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey > graft_key_floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders, max(o_orderkey) AS max_key
+      FROM orders
+      WHERE o_orderkey > (SELECT max(o_orderkey) - max(o_orderkey) // 10 FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   /** S50: the DataSourceV2 TableCatalog surface (r8 verdict #1) — SQL
     * over NAMES instead of paths, through
     * [[org.apache.spark.sql.graft.GraftCatalog]] (registered by the
@@ -425,6 +561,7 @@ object SqlOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, sub5Recursive, s50CatalogSql,
+  def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, sub5Recursive,
+    sql1SqlUdf, sql2PipeSyntax, sql3Collation, sql4SessionVars, s50CatalogSql,
     s56TableChanges, s64SqlMaintenance, s71IcebergView)
 }
