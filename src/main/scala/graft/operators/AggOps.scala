@@ -174,6 +174,42 @@ object AggOps extends QueryModule {
   /** Corpus dirs whose a4 accuracy gate already ran this session. */
   private val a4Gated = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** A12 (r15): ORDERED-SET / OCCURRENCE aggregates — Spark 4's
+    * `listagg ... WITHIN GROUP` (deterministic because DISTINCT +
+    * explicit order), `mode()` (the tag domain is constructed with a
+    * strict majority winner, so ties never make the answer
+    * engine-dependent), and `percentile_disc` (returns an EXACT element
+    * of the group — no interpolation arithmetic to drift; at q=0.5 the
+    * index rule ceil(N/2) agrees with DuckDB's floor((N-1)/2)+1 for
+    * every N). All three are single-pass hash aggregates — same
+    * shuffle shape as A1 at any scale. */
+  val a12OrderedAgg = QueryDef(
+    "a12_ordered_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("tag", expr(
+          "CASE WHEN o_orderkey % 4 = 0 THEN 'heavy' ELSE concat('p', o_orderkey % 7) END"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("listagg(DISTINCT o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+            .as("priorities"),
+          expr("mode(tag)").as("top_tag"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("median_price"),
+        )
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        mode(CASE WHEN o_orderkey % 4 = 0 THEN 'heavy'
+                  ELSE 'p' || CAST(o_orderkey % 7 AS VARCHAR) END) AS top_tag,
+        quantile_disc(o_totalprice, 0.5) AS median_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   /** A5: ROLLUP over two keys. NULL super-aggregate rows force explicit
     * NULLS FIRST on both sides (Spark defaults nulls-first, DuckDB
     * nulls-last — SURVEY R1). */
@@ -453,6 +489,6 @@ object AggOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
-    a10Moments, a11SketchRollup,
+    a10Moments, a11SketchRollup, a12OrderedAgg,
   )
 }
