@@ -741,6 +741,79 @@ object DedupOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L2j (r15): HAMMING-RADIUS near-dup pairs with a PIGEONHOLE-EXACT
+    * banding plan — the rare LSH whose recall is 1.0 by construction,
+    * so the DuckDB brute-force all-pairs scan is a true oracle, not a
+    * ground-truth grader. 60-bit SimHash fingerprints are derived from
+    * `md5(word)` nibbles (the one hash both engines share bit-for-bit;
+    * Spark's murmur3 `hash()` is why l2b is rows-only), and candidate
+    * pairs come from 4 bands of 15 bits: two signatures within Hamming
+    * distance 3 differ in at most 3 bands, so AT LEAST ONE band matches
+    * exactly — the band-equality self-join finds EVERY qualifying pair
+    * while never comparing signatures across different buckets. At
+    * 100 TB the plan is: one tokenize+aggregate pass (60 integer sums
+    * per doc), one shuffle on (band, value), exact `bit_count(xor)`
+    * only inside buckets — the corpus×corpus product never exists. */
+  val l2jHammingRadius = QueryDef(
+    "l2j_hamming_radius",
+    (s, d) => {
+      val Bits = 60
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("h", md5(col("word")))
+      val bitCols = (0 until Bits).map { b =>
+        val nib = expr(s"instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1")
+        sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+      }
+      val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sigCol = (0 until Bits)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sig = sums.select(col("doc_id"), sigCol.as("sig"))
+      val bandStructs = (0 until 4)
+        .map(i => s"struct($i AS band, (sig div ${1L << (15 * i)}) % 32768 AS bv)")
+        .mkString("array(", ", ", ")")
+      val bands = sig
+        .select(col("doc_id"), col("sig"), explode(expr(bandStructs)).as("b"))
+        .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .distinct()
+      cand
+        .withColumn("dist", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("dist") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val sumCols = (0 until 60).map { b =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n          ")
+      val sigExpr = (0 until 60)
+        .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+      ),
+      sums AS (
+        SELECT doc_id,
+          $sumCols
+        FROM tok GROUP BY doc_id
+      ),
+      sig AS (SELECT doc_id, $sigExpr AS sig FROM sums)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY doc_a, doc_b
+      """.trim
+    },
+  )
+
   def defs: Seq[QueryDef] = Seq(l1Exact, l1Sha, l2MinHash, l2bSimHash, l2cNgramJaccard,
-    l2fClusters, l2gIncremental, l2hSegmentDedup, l2iSubstringDedup)
+    l2fClusters, l2gIncremental, l2hSegmentDedup, l2iSubstringDedup, l2jHammingRadius)
 }

@@ -293,19 +293,45 @@ object AggOps extends QueryModule {
   /** A6b: sketch-based percentiles — the 100 TB path. percentile() sorts
     * per group; percentile_approx streams a fixed-size t-digest-style
     * sketch that merges across partitions. *no-oracle* (sketch internals
-    * differ per engine); a6 carries the exact-match score. */
+    * differ per engine); a6 carries the exact-match score, and the
+    * accuracy contract self-grades IN-ENTRY at any sf (the a4/l3d
+    * pattern, once per corpus dir): each group's approximate p50/p95
+    * must land within 2% relative of the exact percentile. */
   val a6Approx = QueryDef(
     "a6_approx_percentiles",
-    (s, d) =>
-      Tables.lineitem(s, d)
+    (s, d) => {
+      val out = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
         )
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+      a6Gated.computeIfAbsent(d, _ => {
+        val exact = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          )
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        out.collect().foreach { r =>
+          val (e50, e95) = exact(r.getString(0))
+          def gate(est: Double, ex: Double, what: String): Unit =
+            require(ex == 0d || math.abs(est - ex) / math.abs(ex) <= 0.02,
+              s"a6b: $what approx $est is >2% off exact $ex for flag ${r.getString(0)}")
+          gate(r.getDouble(1), e50, "p50(l_quantity)")
+          gate(r.getDouble(2), e95, "p95(l_extendedprice)")
+        }
+        java.lang.Boolean.TRUE
+      })
+      out
+    },
     None,
   )
+
+  /** Corpus dirs whose a6b accuracy gate already ran this session. */
+  private val a6Gated = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** A7: aggregate over a computed expression, keyed by supplier. */
   val a7AggExpr = QueryDef(
