@@ -36,6 +36,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "l4q_bigram_lm" -> (1, "vocabulary size: 1-row global countDistinct, broadcast into the score join"),
     "l3e_negative_sampling" -> (1, "corpus count: 1-row global aggregate, broadcast into the assignment"),
     "s36_txn_pair" -> (1, "watermark summary: 1-row global aggregate, broadcast into the view"),
+    "l4u_lang_rebalance" -> (2,
+      "min over the per-language counts (1-row global agg over n_langs rows) feeds the " +
+        "threshold join twice — both exchanges carry O(languages) rows, never documents"),
   )
 
   test("no registry entry plans a cartesian product or an unjustified single-task collapse") {
