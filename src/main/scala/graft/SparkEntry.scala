@@ -27,6 +27,7 @@ object SparkEntry {
     graft.dedup.DedupOps,
     graft.similarity.SimilarityOps,
     graft.multimodal.MultimodalOps,
+    graft.graph.GraphOps,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,113 @@
+package graft.graph
+
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics battery (beyond SURVEY §2 — the iterative-join
+  * workload class): distributed PageRank over a graph DERIVED from the
+  * relational corpus, exact-oracled.
+  *
+  * Scale design: the graph lives as an EDGE TABLE (the only
+  * representation that shards at 100 TB); every iteration is one
+  * shuffle join (edges ⋈ ranks on src) plus one aggregation (sum of
+  * contributions by dst) — the classic Pregel-as-joins shape, no
+  * driver-side adjacency anywhere. Ranks are integer FIXED-POINT (1e9
+  * scale, the l4q technique): integer sums are order-independent, so
+  * the result is bit-identical at any partitioning and the DuckDB
+  * oracle (the same five iterations unrolled as CTEs) hash-matches —
+  * a floating-point PageRank could never be oracled this way.
+  */
+object GraphOps extends QueryModule {
+
+  /** G1: five PageRank iterations over the bipartite trade graph
+    * (customer ↔ supplier, one edge pair per distinct trading
+    * relationship in `orders ⋈ lineitem`). Edges run BOTH directions,
+    * so no node dangles and the total rank mass is conserved up to
+    * integer-division truncation — identically in both engines. The
+    * damping update is `r' = (15·(1e9 div N) + 85·Σ(r_in div outdeg))
+    * div 100`, all BIGINT. Output: the top 25 suppliers by final rank
+    * (rank-then-key ordered, tie-free). */
+  val g1PageRank = QueryDef(
+    "g1_pagerank",
+    (s, d) => {
+      val E9 = 1000000000L
+      val SupplierBase = 1000000000L // disjoint node-id spaces
+      // a 1/4 order slice: the iterative-join SEMANTICS and the
+      // per-iteration plan shape are what this entry grades — the graph
+      // need not be the full trade network to prove them, and the slice
+      // keeps five iterations under the bench budget at every sf
+      val rel = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 4 === 0)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + SupplierBase).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(rel.select(col("supp").as("src"), col("cust").as("dst")))
+        .cache()
+      val nodes = edges.select(col("src").as("node")).distinct().cache()
+      val n = nodes.count()
+      val base = E9 / n
+      // outdeg rides the cached edge table: one join per iteration
+      val edgesDeg = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .cache()
+      var ranks = nodes.select(col("node"), lit(base).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edgesDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("r div outdeg")).as("c"))
+        ranks = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            expr(s"(15 * $base + 85 * coalesce(c, 0L)) div 100").as("r"))
+      }
+      val out = ranks
+        .filter(col("node") >= SupplierBase)
+        .select((col("node") - SupplierBase).as("s_suppkey"), col("r").as("rank_e9"))
+        .orderBy(col("rank_e9").desc, col("s_suppkey").asc)
+        .limit(25)
+      out
+    },
+    Some {
+      val E9 = "1000000000"
+      def step(i: Int): String =
+        s"""r$i AS (
+          SELECT n.node, (15 * ($E9 // (SELECT n FROM nn)) + 85 * coalesce(s.c, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(sum(p.r // d.outdeg) AS BIGINT) AS c
+            FROM edges e
+            JOIN r${i - 1} p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.dst = n.node
+        )"""
+      s"""
+      WITH rel AS (
+        SELECT DISTINCT o_custkey AS cust, 1000000000 + l_suppkey AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 4 = 0
+      ),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM rel
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM rel
+      ),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, $E9 // (SELECT n FROM nn) AS r FROM nodes),
+      ${(1 to 5).map(step).mkString(",\n      ")}
+      SELECT node - 1000000000 AS s_suppkey, CAST(r AS BIGINT) AS rank_e9
+      FROM r5
+      WHERE node >= 1000000000
+      ORDER BY rank_e9 DESC, s_suppkey ASC
+      LIMIT 25
+      """.trim
+    },
+  )
+
+  def defs: Seq[QueryDef] = Seq(g1PageRank)
+}
