@@ -298,5 +298,117 @@ object MultimodalOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(l5Pipeline, l5bFrameSample, l5cImageDecode)
+  /** Real RIFF/WAVE (PCM s16le mono) encode + decode — pure JVM byte
+    * layout, no codec library: WAV is a container format, and parsing
+    * it IS the audio-ingest work (magic validation, chunk walk, format
+    * fields, little-endian samples). Samples are an integer sawtooth
+    * derived from (docId, index) so a closed-form SQL oracle can
+    * reproduce every decoded statistic exactly — FP-free. */
+  object Wav {
+    def sampleAt(docId: Long, i: Long): Int =
+      ((docId * 31L + i * 37L) % 65536L).toInt - 32768
+
+    /** A complete WAV file: RIFF header, fmt chunk (PCM, mono, 8 kHz,
+      * 16-bit), data chunk of `n` samples. */
+    def render(docId: Long, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) { bb.putShort(sampleAt(docId, i.toLong).toShort); i += 1 }
+      bb.array()
+    }
+
+    /** Chunk-walking decode: validates the container magics, reads the
+      * fmt fields, and returns (sampleRate, nSamples, sumSquares,
+      * peak). Refuses loudly on anything that is not PCM s16 mono —
+      * silently mis-parsing audio would poison every feature
+      * downstream. */
+    def decode(bytes: Array[Byte]): (Int, Long, Long, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(n: Int): String = { val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII") }
+      require(ascii(4) == "RIFF", "Wav: not a RIFF container")
+      bb.getInt()
+      require(ascii(4) == "WAVE", "Wav: not a WAVE form")
+      var rate = -1
+      var out: Option[(Int, Long, Long, Int)] = None
+      while (out.isEmpty && bb.remaining() >= 8) {
+        val id = ascii(4); val sz = bb.getInt()
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort(); val ch = bb.getShort()
+            rate = bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"Wav: only PCM s16 mono is implemented (fmt=$fmt ch=$ch bits=$bits)")
+            bb.position(bb.position() + (sz - 16))
+          case "data" =>
+            require(rate > 0, "Wav: data chunk before fmt")
+            val n = sz / 2
+            var sumSq = 0L; var peak = 0; var i = 0
+            while (i < n) {
+              val v = bb.getShort().toInt
+              sumSq += v.toLong * v; if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            out = Some((rate, n.toLong, sumSq, peak))
+          case _ => bb.position(bb.position() + sz)
+        }
+      }
+      out.getOrElse(throw new IllegalArgumentException("Wav: no data chunk"))
+    }
+  }
+
+  /** L5d: AUDIO ingest — the second real media modality (PNG images
+    * being l5c): per-document PCM WAV payloads are built and then
+    * DECODED by an actual container parse (magic validation, chunk
+    * walk, little-endian sample read — [[Wav]]); the decoded sample
+    * count, energy (sum of squares), and peak must equal the
+    * closed-form integer arithmetic DuckDB computes from doc_id alone —
+    * a "decoder" that didn't parse the real byte layout cannot pass.
+    * Fixed 200-clip slice bounds decode cost at any sf; at 100 TB the
+    * payload bytes never shuffle — only the extracted features do. */
+  val l5dAudioPcm = QueryDef(
+    "l5d_audio_pcm",
+    (s, d) => {
+      val render = udf((id: Long) => Wav.render(id, (64 + id % 64).toInt))
+      val decode = udf((b: Array[Byte]) => Wav.decode(b))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          decode(col("payload")).as("f"))
+        .select(col("doc_id"), col("byte_len"),
+          col("f._1").as("sample_rate"), col("f._2").as("n_samples"),
+          col("f._3").as("sum_sq"), col("f._4").as("peak"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id < 200
+      ), samples AS (
+        SELECT c.doc_id, c.n,
+          (c.doc_id * 31 + g.i * 37) % 65536 - 32768 AS v
+        FROM clips c
+        JOIN (SELECT unnest(generate_series(0, 127)) AS i) g ON g.i < c.n
+      )
+      SELECT doc_id,
+        CAST(44 + 2 * max(n) AS BIGINT) AS byte_len,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        CAST(max(abs(v)) AS INT) AS peak
+      FROM samples
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(l5Pipeline, l5bFrameSample, l5cImageDecode, l5dAudioPcm)
 }
