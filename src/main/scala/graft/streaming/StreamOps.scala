@@ -238,6 +238,105 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  case class UserLast(user_id: Long, ts_ms: Long)
+  case class FlushOut(user_id: Long, n_events: Long)
+
+  /** Spark 4 transformWithState processor with EVENT-TIME TIMERS: every
+    * batch re-arms a per-user inactivity timer at (latest event + gap);
+    * when the WATERMARK passes it, [[handleExpiredTimer]] — the ONLY
+    * emission point — flushes the user's running count and clears all
+    * state. This is the arbitrary-state tier no window function can
+    * express: output is driven by the ABSENCE of data (a timeout), not
+    * by any arriving row. */
+  class InactivityFlushProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserLast, FlushOut] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+    @transient private var timerState: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders.scalaLong
+      countState = getHandle.getValueState[Long]("count", enc, TTLConfig.NONE)
+      lastState = getHandle.getValueState[Long]("last", enc, TTLConfig.NONE)
+      timerState = getHandle.getValueState[Long]("timer", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserLast],
+        timerValues: TimerValues): Iterator[FlushOut] = {
+      var n = if (countState.exists()) countState.get() else 0L
+      var last = if (lastState.exists()) lastState.get() else Long.MinValue
+      rows.foreach { r => n += 1; if (r.ts_ms > last) last = r.ts_ms }
+      countState.update(n)
+      lastState.update(last)
+      // RE-ARM: drop the previously registered timer, set the new one
+      if (timerState.exists()) getHandle.deleteTimer(timerState.get())
+      val expiry = last + gapMs
+      getHandle.registerTimer(expiry)
+      timerState.update(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FlushOut] = {
+      val out = FlushOut(key, countState.get())
+      countState.clear(); lastState.clear(); timerState.clear()
+      Iterator(out)
+    }
+  }
+
+  /** Streaming T22 (r15): EVENT-TIME TIMERS — the transformWithState
+    * capability tier beyond t6b's value state: rows are emitted ONLY by
+    * timer expiry (inactivity flush), never from input handling, so the
+    * entry proves the full timer lifecycle — register, re-arm on new
+    * data, fire on watermark passage (including the no-data microbatch
+    * that runs after the last file batch so a static drain still fires
+    * them). Deterministic twin: a user flushes iff their latest event
+    * plus the 30-minute gap falls strictly below the final watermark
+    * (global max event time minus the 1-minute delay), which the oracle
+    * states in exact millisecond integer arithmetic. Users active near
+    * the corpus end stay un-flushed — open state, exactly what a
+    * production restart would pick up. */
+  val streamEventTimers = QueryDef(
+    "stream_t22_event_timers",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val previous = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val flushed = eventStream(s, d)
+          .withWatermark("ts2", "1 minute")
+          .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+          .as[UserLast]
+          .groupByKey(_.user_id)
+          .transformWithState(new InactivityFlushProcessor(1800000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        drain(s, flushed.toDF(), "graft_stream_t22", OutputMode.Update())
+          .select(col("user_id"), col("n_events"))
+          .orderBy("user_id")
+      } finally {
+        previous match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id, count(*) AS n_events,
+          max(epoch_us(ts) // 1000) AS last_ms
+        FROM events GROUP BY user_id
+      ), wm AS (SELECT max(epoch_us(ts) // 1000) - 60000 AS w FROM events)
+      SELECT user_id, n_events
+      FROM per, wm
+      WHERE last_ms + 1800000 < w
+      ORDER BY user_id
+    """.stripMargin.trim),
+  )
+
   /** Streaming T7: the production landing pattern for S9 — a watermarked
     * daily aggregate written to a PARQUET file sink with a real
     * checkpoint, then the SAME query restarted from that checkpoint.
@@ -1339,5 +1438,5 @@ object StreamOps extends QueryModule {
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
     streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop,
-    streamDeltaTail, streamIcebergTail, streamDeltaSink, streamIcebergSink)
+    streamDeltaTail, streamIcebergTail, streamDeltaSink, streamIcebergSink, streamEventTimers)
 }
