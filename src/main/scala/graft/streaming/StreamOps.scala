@@ -1010,9 +1010,12 @@ object StreamOps extends QueryModule {
     * backlog, and after a maintenance commit the second run emits ONLY
     * that version's feed — `require`d by sink counts between runs (the
     * idle-restart run was trimmed r10; VersionedStreamSourceSpec locks
-    * that claim). Oracle reconstructs every change row from `events`
-    * (the delete images must show the UPDATED value, proving feeds
-    * sequence correctly across version boundaries). */
+    * that claim, and — r15 — the bounded-backlog `maxVersionsPerBatch`
+    * drain is spec-locked there too: "maxVersionsPerBatch drains a
+    * backlog in bounded, checkpointable steps", so the timed entry
+    * drains run 1 in one microbatch). Oracle reconstructs every change
+    * row from `events` (the delete images must show the UPDATED value,
+    * proving feeds sequence correctly across version boundaries). */
   val streamCdfSource = QueryDef(
     "stream_t15_cdf_source",
     (s, d) => {
@@ -1031,7 +1034,6 @@ object StreamOps extends QueryModule {
           .option("path", tbl)
           .option("readChangeFeed", "true")
           .option("keyColumn", "event_id")
-          .option("maxVersionsPerBatch", "1") // backlog in bounded batches
           .load()
           .select("commit_version", "change_type", "event_id", "event_type")
           .writeStream.format("parquet")
