@@ -197,6 +197,67 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("t22 timers: re-arm across batches deletes the stale timer; flush fires once per user") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, expr}
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "t22_rearm")
+    graft.ingest.Writers.deleteTree(base)
+    val src = base.resolve("src").toString
+    def at(min: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // batch 1: user 1 at T0 and T0+5; user 2 at T0
+    Seq((1L, at(0)), (1L, at(5)), (2L, at(0)))
+      .toDF("user_id", "ets").coalesce(1).write.parquet(src + "/f1")
+    // batch 2: user 1 again at T0+10 (re-arm!); user 3 at T0+120 drives
+    // the watermark far past users 1 and 2, but not past its own timer
+    Seq((1L, at(10)), (3L, at(120)))
+      .toDF("user_id", "ets").coalesce(1).write.parquet(src + "/f2")
+    // file order = batch order under maxFilesPerTrigger: age f1 below f2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def onlyParquet(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.setTimes(onlyParquet(src + "/f1"), System.currentTimeMillis() - 60000, -1)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val previous = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val flushed = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ets", org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ets", "1 minute")
+        .select(col("user_id"), expr("unix_millis(ets)").as("ts_ms"))
+        .as[StreamOps.UserLast]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.InactivityFlushProcessor(30L * 60000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      spark.streams.active.filter(_.name == "t22_rearm").foreach(_.stop())
+      val q = flushed.toDF().writeStream.format("memory").queryName("t22_rearm")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.table("t22_rearm")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+      // re-arm proof: user 1 flushes ONCE with the cross-batch count 3 —
+      // a stale (undeleted) batch-1 timer would fire a SECOND emission;
+      // user 2 flushes with 1; user 3's timer is past the watermark
+      assert(rows == Seq(1L -> 3L, 2L -> 1L),
+        s"expected exactly one flush per inactive user, got $rows")
+    } finally {
+      previous match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("_schema_log journal: rival writers lose the O_EXCL claim loudly, never clobber") {
     import java.nio.file.Paths
     import org.apache.spark.sql.graft.StreamSchemaTracking
