@@ -1335,20 +1335,55 @@ object Iceberg {
       // with the delete filter applied as the broadcast row-index
       // probe — identical shape to the eager [[snapshotFrameNoEq]]
       case Some(LazyIcebergPlan(rel, Some(dv))) =>
-        import org.apache.spark.sql.functions.{col, not}
-        val base = spark.asInstanceOf[ClassicSession].baseRelationToDataFrame(rel)
+        morFiltered(spark, rel, Some(dv))
+      // equality-delete debt, lazily planned: each sequence group is a
+      // pruned scan (bounds-classified manifests stay unfetched until
+      // the planner's filters ask) anti-joined against exactly the
+      // deletes that version-apply to it — the same semantics as the
+      // eager [[snapshotFrame]] grouping, without the eager walk
+      case Some(p: LazyIcebergEqPlan) =>
+        import org.apache.spark.sql.functions.col
+        p.groups.map { g =>
+          val legs = g.lazyRel.map(r => morFiltered(spark, r, p.morFilter)).toSeq ++
+            (if (g.eagerFiles.isEmpty) Nil
+             else Seq(morFiltered(spark,
+               relationForSnapshot(spark, path, p.mkSnapshot(g.eagerFiles)),
+               p.morFilter)))
+          val base = legs.reduce(_.unionByName(_))
+          g.deletes.foldLeft(base) { (acc, d) =>
+            val del = spark.read.parquet(new HPath(d.path).toString)
+              .select(d.columns.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+            val cond = d.columns.map(c => acc(c) <=> del(s"__eq_$c")).reduce(_ && _)
+            acc.join(del, cond, "left_anti")
+          }
+        }.reduce(_.unionByName(_))
+      case None =>
+        val s = snapshot(spark, path, snapshotId)
+        snapshotFrame(spark, path, s, withMeta = false)
+    }
+
+  /** The lazily-planned MoR scan shape: the relation's frame with the
+    * broadcast delete filter applied as the row-index probe (no join
+    * node — identical to the eager [[snapshotFrameNoEq]]). `dv = None`
+    * is the clean passthrough. */
+  private def morFiltered(spark: SparkSession,
+      rel: org.apache.spark.sql.sources.BaseRelation,
+      dv: Option[graft.functions.DvFilter]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val base = spark.asInstanceOf[ClassicSession].baseRelationToDataFrame(rel)
+    dv match {
+      case None => stripFieldIds(base)
+      case Some(filter) =>
         val withM = stripFieldIds(base.select(col("*"),
           col("_metadata.file_path").as(FileMetaCol),
           col("_metadata.row_index").as(PosMetaCol)))
         withM.filter(not(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.DvContains(
             org.apache.spark.sql.graft.ColumnBridge.expression(col(FileMetaCol)),
-            org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), dv))))
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(PosMetaCol)), filter))))
           .drop(FileMetaCol, PosMetaCol)
-      case None =>
-        val s = snapshot(spark, path, snapshotId)
-        snapshotFrame(spark, path, s, withMeta = false)
     }
+  }
 
   /** The scan schema's parquet.field.id metadata is resolution
     * plumbing — strip it from the USER-facing frame, or a
@@ -1577,11 +1612,11 @@ object Iceberg {
       snapshotId: Option[Long]): org.apache.spark.sql.sources.BaseRelation =
     lazyPlanFor(spark, path, snapshotId) match {
       case Some(LazyIcebergPlan(rel, None)) => rel
-      case Some(LazyIcebergPlan(_, Some(_))) =>
-        // merge-on-read: the SQL seam stays the pruned-filtered
-        // TableScan wrapper — its buildScan calls [[read]], which
-        // re-enters the LAZY plan, so delete debt no longer forces the
-        // eager manifest walk at planning
+      case Some(_) =>
+        // merge-on-read (position/DV OR equality debt): the SQL seam
+        // stays the pruned-filtered TableScan wrapper — its buildScan
+        // calls [[read]], which re-enters the LAZY plan, so delete
+        // debt no longer forces the eager manifest walk at planning
         new org.apache.spark.sql.graft.GraftIcebergMoRRelation(
           spark.asInstanceOf[ClassicSession].sqlContext, path, snapshotId)
       case None =>
@@ -1690,7 +1725,15 @@ object Iceberg {
     * field-507 partition summaries (None on pre-507 lists). */
   private[interop] final case class IcebergManifestRef(path: HPath, seq: Long,
       firstRowId: Option[Long], specId: Int, liveFiles: Int, liveRows: Long,
-      summaries: Option[IndexedSeq[IcebergFieldSummary]])
+      summaries: Option[IndexedSeq[IcebergFieldSummary]],
+      // manifest-list field 516: the minimum data sequence number of
+      // the manifest's live entries — with `seq` (field 515, the
+      // inherited maximum) it bounds every entry's data sequence in
+      // [minSeq, seq], which is what classifies a manifest as entirely
+      // before/after an equality delete WITHOUT fetching it. Defaults
+      // to 0 when the list predates the field — a conservative bound
+      // that only ever forces a fetch, never skips one wrongly.
+      minSeq: Long = 0L)
 
   private[interop] final case class IcebergFieldSummary(containsNull: Boolean,
       containsNan: Option[Boolean],
@@ -1704,9 +1747,51 @@ object Iceberg {
     * a merge-on-read snapshot, the DESCRIPTOR-ONLY delete filter built
     * from the eagerly-loaded delete manifests — the read applies it as
     * the broadcast row-index filter, same shape as the eager path. */
+  private[interop] sealed trait IcebergLazyPlan
+
   private[interop] final case class LazyIcebergPlan(
       relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-      morFilter: Option[graft.functions.DvFilter])
+      morFilter: Option[graft.functions.DvFilter]) extends IcebergLazyPlan
+
+  /** One version-sequenced equality-delete group: every data file in
+    * it shares the same subset of applicable equality deletes
+    * (`deletes` — those with a strictly greater data sequence number).
+    * `lazyRel` serves the manifests whose [minSeq, seq] bounds placed
+    * them WHOLLY in this group (still manifest-list-pruned, unfetched
+    * until the planner's filters ask); `eagerFiles` are the per-file
+    * assignments from straddling manifests that had to be fetched at
+    * plan time. */
+  private[interop] final case class LazyEqGroup(
+      lazyRel: Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation],
+      eagerFiles: Seq[DataFileRef],
+      deletes: Seq[EqDeleteRef])
+
+  /** A lazily-planned EQUALITY-delete snapshot: the union of
+    * [[LazyEqGroup]]s (each anti-joined against its applicable
+    * deletes), with position/DV debt applied as the same broadcast
+    * descriptor filter as the plain MoR plan. `mkSnapshot` rebuilds
+    * the eager-leg relations in [[read]]. */
+  private[interop] final case class LazyIcebergEqPlan(
+      groups: Seq[LazyEqGroup],
+      morFilter: Option[graft.functions.DvFilter],
+      mkSnapshot: Seq[DataFileRef] => Snapshot) extends IcebergLazyPlan
+
+  /** Shared planning-introspection scope for the per-group manifest
+    * indexes of ONE [[LazyIcebergEqPlan]]: each group index reports its
+    * own fetched count here, and the recorded figure is the TABLE-wide
+    * (straddlers prefetched + Σ lazily fetched, total data manifests) —
+    * so [[IcebergIntrospect.lastManifestPlanning]] stays comparable
+    * with the single-index paths. */
+  private[interop] final class EqPlanningScope(val total: Int, val preFetched: Int) {
+    private val perIndex =
+      new java.util.concurrent.ConcurrentHashMap[AnyRef, Integer]()
+    def record(idx: AnyRef, loadedCount: Int): (Int, Int) = {
+      perIndex.put(idx, loadedCount)
+      var sum = preFetched
+      perIndex.values.forEach(v => sum += v)
+      (sum, total)
+    }
+  }
 
   /** The LAZY planning relation: metadata JSON + ONE manifest-list
     * Avro (plus the few DELETE manifests, on a merge-on-read snapshot)
@@ -1742,7 +1827,7 @@ object Iceberg {
     * `spark.graft.iceberg.manifestListPruning=false` (the A/B seam the
     * equivalence spec compares through). */
   private[interop] def lazyPlanFor(spark: SparkSession, path: String,
-      snapshotId: Option[Long]): Option[LazyIcebergPlan] = {
+      snapshotId: Option[Long]): Option[IcebergLazyPlan] = {
     if (!manifestPruningEnabled(spark)) return None
     val (fs, root) = Writers.fsFor(path)
     if (metaVersions(fs, root).isEmpty) return None // not a table: eager path's require reports
@@ -1787,7 +1872,8 @@ object Iceberg {
           liveCount(mf),
           avroOpt(mf, "added_rows_count").map(_.asInstanceOf[Number].longValue).getOrElse(0L) +
             avroOpt(mf, "existing_rows_count").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-          summaries)
+          summaries,
+          avroOpt(mf, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
       }
     if (dataRefs.isEmpty) return None
     // same spec-evolution gate as the eager walk
@@ -1815,22 +1901,24 @@ object Iceberg {
     val exactBytes: Option[Long] = Option(snapNode.get("summary")).filterNot(_.isNull)
       .flatMap(s => Option(s.get("total-files-size")).filterNot(_.isNull))
       .flatMap(_.asText.toLongOption)
-    val index = new IcebergManifestListIndex(classic, path, root, dataRefs,
-      allSpecs, schema, scanSchema, partCols,
-      load = m => decodeDataManifest(fs, path, m.path, m.seq, m.firstRowId, m.specId,
-        allSpecs.getOrElse(m.specId, partFields), schema, decodeBounds),
-      mkSnapshot = files => Snapshot(wantId, seqNum, tsMs, schema, partCols, files,
-        Nil, partFields, Nil, fieldIds, Nil, allSpecs, defaultSpecId),
-      exactBytes = exactBytes)
+    val loadRef: IcebergManifestRef => Seq[DataFileRef] =
+      m => decodeDataManifest(fs, path, m.path, m.seq, m.firstRowId, m.specId,
+        allSpecs.getOrElse(m.specId, partFields), schema, decodeBounds)
+    val mkSnapshot: Seq[DataFileRef] => Snapshot =
+      files => Snapshot(wantId, seqNum, tsMs, schema, partCols, files,
+        Nil, partFields, Nil, fieldIds, Nil, allSpecs, defaultSpecId)
     val dataSchema =
       StructType(scanSchema.fields.filterNot(f => partCols.contains(f.name)))
+    def relOf(index: IcebergManifestListIndex) =
+      new org.apache.spark.sql.graft.GraftIcebergRelation(
+        classic, path, index, index.partitionSchema, dataSchema, partCols)
     // merge-on-read debt: decode the (few) delete manifests NOW and
     // build the descriptor-only filter the read will apply — DVs keyed
     // by their referenced data file, v2 position-delete parquets as
     // wildcards (their targets live inside the parquet; see scaladoc
     // for why path-named deletes need no per-file sequence probe)
-    val morFilter: Option[graft.functions.DvFilter] =
-      if (deleteManifestRecs.isEmpty) None
+    val (morFilter: Option[graft.functions.DvFilter], eqDeletes: Seq[EqDeleteRef]) =
+      if (deleteManifestRecs.isEmpty) (None, Nil)
       else {
         val idToField: Map[Int, StructField] = {
           val sn = currentSchemaNode(meta)
@@ -1845,11 +1933,8 @@ object Iceberg {
             idToField)
         }
         val posDeletes = decoded.flatMap(_._1)
-        val eqDeletes = decoded.flatMap(_._2)
+        val eqs = decoded.flatMap(_._2)
         val dvDeletes = decoded.flatMap(_._3)
-        // equality deletes apply version-sequenced over per-file
-        // sequence GROUPS — that needs the data inventory: eager path
-        if (eqDeletes.nonEmpty) return None
         val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
@@ -1863,12 +1948,51 @@ object Iceberg {
           posDeletes.map(d => DvSources.WildcardPosDeletes(new HPath(d.path).toString, conf))
         DvIntrospect.lastReadDescriptors =
           keyed.valuesIterator.map(_.size).sum + wildcards.size
-        Some(new graft.functions.BroadcastDvFilter(trackBroadcast(
+        (Some(new graft.functions.BroadcastDvFilter(trackBroadcast(
           spark.sparkContext.broadcast(
-            new graft.functions.DvDescriptorMap(rootPrefix, keyed, wildcards)))))
+            new graft.functions.DvDescriptorMap(rootPrefix, keyed, wildcards))))), eqs)
       }
-    Some(LazyIcebergPlan(new org.apache.spark.sql.graft.GraftIcebergRelation(
-      classic, path, index, index.partitionSchema, dataSchema, partCols), morFilter))
+    if (eqDeletes.isEmpty) {
+      val index = new IcebergManifestListIndex(classic, path, root, dataRefs,
+        allSpecs, schema, scanSchema, partCols,
+        load = loadRef, mkSnapshot = mkSnapshot, exactBytes = exactBytes)
+      return Some(LazyIcebergPlan(relOf(index), morFilter))
+    }
+    // EQUALITY-delete debt: deletes apply version-sequenced (to data
+    // files with a STRICTLY smaller data sequence). The manifest-list
+    // bounds [minSeq, seq] classify most manifests WITHOUT fetching
+    // them: a manifest wholly inside one inter-delete sequence window
+    // keeps its files' applicable-delete subset known from the list
+    // record alone, and stays lazily planned (field-507 pruning and
+    // all). Only manifests STRADDLING a delete's sequence number are
+    // fetched now — their files need per-file sequence assignment.
+    val delSeqs = eqDeletes.map(_.seq).distinct.sorted
+    // group index of a data sequence q = how many delete seqs are <= q
+    // (deletes with seq > q apply); equal group index = equal subset
+    def grpIdx(q: Long): Int = delSeqs.count(_ <= q)
+    val (uniform, straddlers) =
+      dataRefs.partition(m => grpIdx(m.minSeq) == grpIdx(m.seq))
+    val straddlerFiles: Seq[(Int, DataFileRef)] =
+      straddlers.flatMap(m => loadRef(m).map(f => grpIdx(f.seq) -> f))
+    val scope = new EqPlanningScope(dataRefs.size, straddlers.size)
+    val groups = (0 to delSeqs.length).flatMap { i =>
+      val refs = uniform.filter(m => grpIdx(m.seq) == i)
+      val files = straddlerFiles.collect { case (gi, f) if gi == i => f }
+      if (refs.isEmpty && files.isEmpty) None
+      else {
+        val lazyRel =
+          if (refs.isEmpty) None
+          else Some(relOf(new IcebergManifestListIndex(classic, path, root, refs,
+            allSpecs, schema, scanSchema, partCols,
+            load = loadRef, mkSnapshot = mkSnapshot,
+            planningScope = Some(scope))))
+        // applicable deletes: those whose seq exceeds every data seq in
+        // the group — i.e. rank(delete seq) among delSeqs is > i
+        val dels = eqDeletes.filter(d => delSeqs.count(_ <= d.seq) > i)
+        Some(LazyEqGroup(lazyRel, files, dels))
+      }
+    }
+    Some(LazyIcebergEqPlan(groups, morFilter, mkSnapshot))
   }
 
   /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] over
@@ -1894,7 +2018,12 @@ object Iceberg {
       partCols: Seq[String],
       load: IcebergManifestRef => Seq[DataFileRef],
       mkSnapshot: Seq[DataFileRef] => Snapshot,
-      exactBytes: Option[Long] = None)
+      exactBytes: Option[Long] = None,
+      // set when this index serves ONE equality-delete group of a
+      // [[LazyIcebergEqPlan]]: planning introspection then aggregates
+      // across the plan's group indexes instead of reporting this
+      // index's subset as if it were the whole table
+      planningScope: Option[EqPlanningScope] = None)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
@@ -1944,7 +2073,11 @@ object Iceberg {
       // the manifest-level planning this index exists for
       org.apache.spark.sql.graft.VersionedFileIndex.recordPlanned(
         tablePath, dirs.map(_.files.length).sum, totalLiveFiles)
-      IcebergIntrospect.recordManifestPlanning(tablePath, loaded.size, manifests.size)
+      val (fetched, total) = planningScope match {
+        case Some(sc) => sc.record(this, loaded.size)
+        case None => (loaded.size, manifests.size)
+      }
+      IcebergIntrospect.recordManifestPlanning(tablePath, fetched, total)
       dirs
     }
 

@@ -376,7 +376,7 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
     assert(lzAll == egAll && lzAll.size == 5, s"full scan rows: $lzAll")
   }
 
-  test("equality-delete debt: lazy planner declines, reads stay exact through the eager walk") {
+  test("equality-delete debt: bounds-classified groups plan lazily and version-sequence exactly") {
     import spark.implicits._
     val path = freshDir("ice_mfprune_mor_eq")
     Iceberg.write(df((1, 10L, "a"), (2, 11L, "b")), path, partitionBy = Seq("p"))
@@ -384,15 +384,43 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
       mode = org.apache.spark.sql.SaveMode.Append)
     Iceberg.deleteEquality(spark, path, Seq(11L).toDF("k"))
     // a row with the deleted key appended AFTER the delete: the
-    // version-sequenced semantics only the eager walk implements
+    // version-sequenced semantics (delete applies only to STRICTLY
+    // older data sequences)
     Iceberg.write(df((5, 11L, "z")), path, partitionBy = Seq("p"),
       mode = org.apache.spark.sql.SaveMode.Append)
     val (lz, eg) = collectBoth(path, identity)
     assert(lz == eg && lz.size == 3 && lz.exists(_.startsWith("11|z")),
       s"re-inserted key must survive: $lz")
-    // the lazy planner declined (equality debt): even the pruning-ON
-    // run walked eagerly and recorded (total, total)
-    assert(lastLazyPlanning.get._1 == lastLazyPlanning.get._2,
-      s"equality debt must fall back to the eager walk, planned $lastLazyPlanning")
+    // every manifest's [min_seq, seq] bounds sit wholly on one side of
+    // the delete's sequence number, so NO manifest was fetched for
+    // group assignment — and a partition probe fetches ONLY its own
+    // manifest (1 of 3) even with the equality debt outstanding
+    val (lzP, egP) = collectBoth(path, _.filter(col("p") === 4).select(col("v")))
+    assert(lzP == egP && lzP == Seq("c"), s"partition probe under eq debt: $lzP")
+    assert(lastLazyPlanning.contains((1, 3)),
+      s"eq-debted probe must stay manifest-list-pruned, planned $lastLazyPlanning")
+  }
+
+  test("equality-delete debt: a straddling merged manifest is fetched and grouped per-file") {
+    import spark.implicits._
+    val path = freshDir("ice_mfprune_mor_eq_straddle")
+    Iceberg.write(df((1, 10L, "a")), path, partitionBy = Seq("p"))
+    Iceberg.write(df((2, 11L, "b")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Iceberg.deleteEquality(spark, path, Seq(11L).toDF("k"))
+    Iceberg.write(df((5, 11L, "z")), path, partitionBy = Seq("p"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // bin-pack ALL data manifests into one: its [min_seq, seq] bounds
+    // now STRADDLE the delete's sequence number, so group assignment
+    // needs the per-file sequence numbers — the planner must fetch it
+    // eagerly and still version-sequence exactly (pre-delete 11|b
+    // deleted, post-delete 11|z kept)
+    val (before, after) = Iceberg.rewriteManifests(spark, path,
+      targetSizeBytes = Some(1L << 30))
+    assert(before == 3 && after == 1, s"bin-pack: $before -> $after")
+    val (lz, eg) = collectBoth(path, identity)
+    assert(lz == eg && lz.size == 2 && lz.exists(_.startsWith("11|z")) &&
+      !lz.exists(_.startsWith("11|b")),
+      s"straddler per-file grouping must stay version-sequenced: $lz")
   }
 }
