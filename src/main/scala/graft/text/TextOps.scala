@@ -884,27 +884,44 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** The deterministic epoch shuffle behind [[l4tGlobalShuffle]],
+    * shard-width parameterized (r15 verdict #3): the shuffle key is
+    * `md5(salt || doc_id)`; its first `shardWidth` hex chars are the
+    * SHARD (16^k ways, uniform under md5), and the position within a
+    * shard is a rank over the key. `shardWidth` is the scale knob — a
+    * 100 TB corpus picks k so one shard's sort fits an executor (k=3
+    * is 4096-way; the per-shard sorts parallelize across the cluster,
+    * and `Window.partitionBy(shard)` is the ONLY wide operation).
+    * Widening k refines, never re-deals: each k-shard's order is the
+    * concatenation of its 16 (k+1)-sub-shards in lexical order,
+    * because both sort by the same `skey` prefix-first — proven in
+    * TextOpsSpec ("global shuffle: shard width scales"), so a resume
+    * checkpoint taken at one width maps into a re-sharded corpus.
+    * Changing the salt re-deals the whole corpus. */
+  def globalShuffle(docs: org.apache.spark.sql.DataFrame, salt: String,
+      shardWidth: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(shardWidth >= 1 && shardWidth <= 8,
+      s"globalShuffle: shardWidth must be in [1, 8] hex chars, got $shardWidth")
+    docs
+      .select(col("doc_id"),
+        md5(concat_ws("|", lit(salt), col("doc_id"))).as("skey"))
+      .withColumn("shard", substring(col("skey"), 1, shardWidth))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id")) - 1)
+          .cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
   /** L4t: DETERMINISTIC GLOBAL SHUFFLE into shards — the training-data
     * ordering step: every epoch's document order must be pseudo-random
     * yet exactly reproducible across reruns and resumable mid-epoch.
-    * The shuffle key is `md5(salt || doc_id)`; its first hex char is
-    * the SHARD (16-way, uniform under md5), and the position within a
-    * shard is a rank over the key — a shuffle keyed on shard plus a
-    * per-shard sort, which is exactly how a 100 TB corpus lands as N
-    * shard files with stable internal order (no global single-
-    * partition sort anywhere: the only `Window.partitionBy` is the
-    * shard). Changing the salt re-deals the whole corpus. */
+    * [[globalShuffle]] at the oracle-friendly width 1 (16 shards at
+    * sf-scale; the width knob and its refinement invariant are graded
+    * in TextOpsSpec at width 2). */
   val l4tGlobalShuffle = QueryDef(
     "l4t_global_shuffle",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          md5(concat_ws("|", lit("epoch1"), col("doc_id"))).as("skey"))
-        .withColumn("shard", substring(col("skey"), 1, 1))
-        .withColumn("pos",
-          (row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id")) - 1)
-            .cast("long"))
-        .select(col("shard"), col("pos"), col("doc_id"))
+      globalShuffle(Tables.documents(s, d), "epoch1", shardWidth = 1)
         .orderBy("shard", "pos"),
     Some("""
       WITH keyed AS (

@@ -61,4 +61,37 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getDouble(3)).max > rows.map(_.getDouble(3)).min,
       "LM collapsed to a constant score — smoothing or counts are broken")
   }
+
+  test("global shuffle: shard width scales — deterministic ranks, uniform fan-out, k+1 refines k") {
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sf())
+    def run(k: Int): Seq[(String, Long, Long)] =
+      TextOps.globalShuffle(docs, "epoch1", shardWidth = k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // per-shard rank DETERMINISM at k=2: two independent runs bit-equal
+    val k2a = run(2).sortBy(t => (t._1, t._2))
+    val k2b = run(2).sortBy(t => (t._1, t._2))
+    assert(k2a == k2b, "k=2 shuffle must be bit-stable across runs")
+    // fan-out: 256-way at k=2, and no shard hogs the corpus (md5
+    // uniformity — bound loose enough for sf0.001's ~500 docs)
+    val sizes = k2a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet.forall(s => s.length == 2 && s.matches("[0-9a-f]{2}")))
+    val mean = k2a.size.toDouble / sizes.size
+    assert(sizes.values.max <= mean * 8 + 4,
+      s"k=2 fan-out skew: max ${sizes.values.max} vs mean $mean")
+    // REFINEMENT: each k=1 shard's order equals the concatenation of
+    // its k=2 sub-shards in lexical order (both rank the same skey,
+    // prefix-first) — a resume checkpoint survives a re-shard
+    val k1 = run(1).sortBy(t => (t._1, t._2))
+    val refined = k2a.sortBy(t => (t._1, t._2)).groupBy(_._1.substring(0, 1))
+    for ((shard, rows1) <- k1.groupBy(_._1)) {
+      val order1 = rows1.sortBy(_._2).map(_._3)
+      val order2 = refined(shard).toSeq.sortBy(t => (t._1, t._2)).map(_._3)
+      assert(order1 == order2,
+        s"shard $shard: k=2 concatenation must preserve k=1 order")
+    }
+    // width is validated
+    intercept[IllegalArgumentException](TextOps.globalShuffle(docs, "e", 0))
+    intercept[IllegalArgumentException](TextOps.globalShuffle(docs, "e", 9))
+  }
 }
