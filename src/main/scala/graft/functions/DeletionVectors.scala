@@ -96,6 +96,14 @@ trait WildcardDvSource extends Serializable {
   /** The concrete per-target source for one probed data file, given
     * its raw absolute path (the manifest-convention decoded form). */
   def sourceFor(rawTargetPath: String): DvPositionSource
+
+  /** Whether this wildcard COULD reference `rawTargetPath` — a cheap,
+    * metadata-only veto consulted before [[sourceFor]] (default:
+    * always possible). An implementation backed by recorded target
+    * bounds can skip the probe (and its IO) entirely for files the
+    * delete cannot name; it must only ever veto paths that are
+    * PROVABLY out of range. */
+  def mayApply(rawTargetPath: String): Boolean = true
 }
 
 /** Descriptor-only deletion-vector filter: the serialized plan ships
@@ -119,10 +127,19 @@ final class DvDescriptorMap(
   private def runsFor(key: String): (Array[Long], Array[Long]) = {
     val keyed = sources.getOrElse(key, Nil)
     // wildcards target by the raw absolute path (marker is the table
-    // root prefix the probe key was stripped through)
+    // root prefix the probe key was stripped through); a wildcard
+    // whose recorded target bounds cannot cover the path is vetoed
+    // BEFORE any per-target source (and its IO) exists
     val ss =
       if (wildcards.isEmpty) keyed
-      else keyed ++ wildcards.map(_.sourceFor(marker + key))
+      else {
+        val raw = marker + key
+        val applicable = wildcards.filter(_.mayApply(raw))
+        if (applicable.size < wildcards.size)
+          DvDescriptorMap.wildcardProbesSkipped.addAndGet(
+            (wildcards.size - applicable.size).toLong): Unit
+        keyed ++ applicable.map(_.sourceFor(raw))
+      }
     if (ss.isEmpty) DvFilter.Empty
     else {
       loaded.add(key)
@@ -188,6 +205,12 @@ object DvDescriptorMap {
 
   /** Test seam: entries currently cached in this JVM. */
   def cachedEntries: Int = global.size
+
+  /** JVM-global count of wildcard probes vetoed by
+    * [[WildcardDvSource.mayApply]] bounds before any IO — the test
+    * seam for the bounds-skip claim (executors each count their own;
+    * in local mode this is the full figure). */
+  val wildcardProbesSkipped = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** A [[DvFilter]] shipped by TORRENT BROADCAST instead of riding the

@@ -105,9 +105,32 @@ private[graft] object DvSources {
     * is identical to the eager path's descriptor for the same
     * (delete file, target) pair — decode work is shared. */
   final case class WildcardPosDeletes(deleteFileAbs: String,
-      conf: SerializableConfiguration) extends graft.functions.WildcardDvSource {
+      conf: SerializableConfiguration,
+      // the delete entry's file_path column bounds, when the writer
+      // recorded them (spec reserved field 2147483546): a probed path
+      // outside [pathLo, pathHi] is provably unreferenced — skip the
+      // per-target scan entirely. Bounds may be spec-truncated
+      // (lower truncated down, upper truncated-and-incremented up),
+      // which only ever WIDENS the window, so the veto stays exact.
+      pathLo: Option[String] = None, pathHi: Option[String] = None)
+      extends graft.functions.WildcardDvSource {
     override def sourceFor(rawTargetPath: String): DvPositionSource =
       ParquetPosDeletes(deleteFileAbs, rawTargetPath, conf)
+    override def mayApply(rawTargetPath: String): Boolean =
+      boundsAdmit(rawTargetPath, pathLo, pathHi)
+  }
+
+  /** Spec bound comparison is byte-wise over UTF-8; JVM String order
+    * is UTF-16 code-unit order. The two agree on ASCII — compare only
+    * when everything involved is ASCII, else admit (never a wrong
+    * skip, just a probe). */
+  private[interop] def boundsAdmit(path: String,
+      lo: Option[String], hi: Option[String]): Boolean = {
+    def ascii(s: String): Boolean = s.forall(_ < 128)
+    if (!ascii(path)) return true
+    val below = lo.exists(l => ascii(l) && path < l)
+    val above = hi.exists(h => ascii(h) && path > h)
+    !below && !above
   }
 }
 

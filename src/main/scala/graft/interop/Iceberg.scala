@@ -83,8 +83,13 @@ object Iceberg {
 
   /** A v2 POSITION DELETE file (`content=1`): rows of
     * `(file_path, pos)` naming deleted row positions. Applies to data
-    * files whose data sequence number is <= `seq`. */
-  final case class DeleteFileRef(path: String, seq: Long, recordCount: Long)
+    * files whose data sequence number is <= `seq`. `pathLo`/`pathHi`
+    * are the manifest entry's lower/upper bounds of the reserved
+    * `file_path` column (field id 2147483546) when the writer recorded
+    * them — the spec's channel for skipping a delete file that cannot
+    * reference a given data file, without opening it. */
+  final case class DeleteFileRef(path: String, seq: Long, recordCount: Long,
+      pathLo: Option[String] = None, pathHi: Option[String] = None)
 
   /** A v2 EQUALITY DELETE file (`content=2`): rows of delete-key
     * values over `columns` (resolved from the spec's `equality_ids`).
@@ -1172,8 +1177,24 @@ object Iceberg {
               ref.get, off.get, sz.get,
               cardinality = df.get("record_count").asInstanceOf[Long])
           case 1 =>
+            // file_path bounds (reserved field id 2147483546), when
+            // the writer recorded them: the skip channel that lets a
+            // probe veto this delete file without opening it
+            def pathBound(field: String): Option[String] =
+              if (df.getSchema.getField(field) == null) None
+              else df.get(field) match {
+                case l: java.util.List[_] =>
+                  l.toArray.collectFirst {
+                    case kv: GenericRecord if kv.get("key").asInstanceOf[Int] == 2147483546 =>
+                      val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+                      val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+                      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                  }
+                case _ => None
+              }
             deletes += DeleteFileRef(df.get("file_path").toString, seq,
-              df.get("record_count").asInstanceOf[Long])
+              df.get("record_count").asInstanceOf[Long],
+              pathLo = pathBound("lower_bounds"), pathHi = pathBound("upper_bounds"))
           case 2 =>
             val ids: Seq[Int] =
               (if (df.getSchema.getField("equality_ids") == null) null
@@ -1501,10 +1522,12 @@ object Iceberg {
       (): Unit
     }
     // v2 position-delete parquets: every data file the sequence rule
-    // admits gets a descriptor over the delete parquet (the task-side
-    // read filters to its own file's rows; spec-sorted delete files
-    // keep that probe row-group-bounded)
-    for (d <- s.deletes; (raw, fseq) <- dataSeq if fseq <= d.seq)
+    // admits — and the entry's file_path bounds don't rule out — gets
+    // a descriptor over the delete parquet (the task-side read filters
+    // to its own file's rows; spec-sorted delete files keep that probe
+    // row-group-bounded)
+    for (d <- s.deletes; (raw, fseq) <- dataSeq
+         if fseq <= d.seq && DvSources.boundsAdmit(raw, d.pathLo, d.pathHi))
       add(raw, DvSources.ParquetPosDeletes(new HPath(d.path).toString, raw, conf))
     // v3 DVs: one blob per data file, located by the manifest entry
     val dataSeqMap = dataSeq.toMap
@@ -1945,7 +1968,8 @@ object Iceberg {
               DvSources.PuffinBlob(new HPath(d.path).toString,
                 d.contentOffset, d.contentSize, conf): graft.functions.DvPositionSource) }
         val wildcards: Seq[graft.functions.WildcardDvSource] =
-          posDeletes.map(d => DvSources.WildcardPosDeletes(new HPath(d.path).toString, conf))
+          posDeletes.map(d => DvSources.WildcardPosDeletes(new HPath(d.path).toString, conf,
+            pathLo = d.pathLo, pathHi = d.pathHi))
         DvIntrospect.lastReadDescriptors =
           keyed.valuesIterator.map(_.size).sum + wildcards.size
         (Some(new graft.functions.BroadcastDvFilter(trackBroadcast(
@@ -3016,9 +3040,15 @@ object Iceberg {
       case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
     val staged = Staging.walk(fs, tmp)
-    val n =
-      if (staged.isEmpty) 0L
-      else spark.read.parquet(tmp.toString).count()
+    // one pass over the staged file: the row count AND the file_path
+    // min/max (recorded as the entry's bounds — what lets readers skip
+    // this delete file for data files outside its path range)
+    val stats =
+      if (staged.isEmpty) null
+      else spark.read.parquet(tmp.toString)
+        .agg(expr("count(*)"), expr("min(file_path)"), expr("max(file_path)"))
+        .head()
+    val n = if (stats == null) 0L else stats.getLong(0)
     if (n == 0L) { fs.delete(tmp, true); return s.snapshotId }
     val (_, from, size) = staged.head
     val dest = new HPath(root, s"data/${java.util.UUID.randomUUID()}-deletes.parquet")
@@ -3026,7 +3056,8 @@ object Iceberg {
     require(fs.rename(from, dest), s"Iceberg.deleteMergeOnRead: rename $from -> $dest failed")
     fs.delete(tmp, true): Unit
     commitDeleteFile(fs, root, metaV, meta, s, Seq(DeleteEntrySpec(
-      dest.toUri.getPath, n, fs.getFileStatus(dest).getLen, "PARQUET", fileContent = 1)))
+      dest.toUri.getPath, n, fs.getFileStatus(dest).getLen, "PARQUET", fileContent = 1,
+      pathBounds = Some((stats.getString(1), stats.getString(2))))))
   }
 
   /** The v3 POSITION-DELETE commit: the matched `(file_path, pos)`
@@ -3179,7 +3210,11 @@ object Iceberg {
       filePath: String, recordCount: Long, sizeInBytes: Long,
       fileFormat: String, fileContent: Int, equalityIds: Seq[Int] = Nil,
       referencedDataFile: Option[String] = None,
-      contentOffset: Option[Long] = None, contentSize: Option[Long] = None)
+      contentOffset: Option[Long] = None, contentSize: Option[Long] = None,
+      // min/max of the delete parquet's file_path column, recorded as
+      // the spec's lower/upper bounds under the reserved field id so
+      // readers can skip files the delete cannot reference
+      pathBounds: Option[(String, String)] = None)
 
   /** The shared delete-file commit: one DELETE manifest (`content=1`)
     * naming the staged delete files, the current manifests carried,
@@ -3213,6 +3248,20 @@ object Iceberg {
         ids.foreach(id => arr.add(Integer.valueOf(id)): Unit)
         new GenericData.Array[Integer](arrSchema, arr)
       }
+    // the delete parquet's file_path min/max as the spec's bounds map
+    // under the reserved field id (2147483545 is pos, 2147483546 is
+    // file_path) — the reader-side skip channel for wildcard probes
+    def pathBoundsArray(fieldName: String, v: Option[String]): AnyRef =
+      v.map { s0 =>
+        val arrSchema = r2Schema.getField(fieldName).schema().getTypes.get(1)
+        val kv = new GenericData.Record(arrSchema.getElementType)
+        kv.put("key", 2147483546)
+        kv.put("value", java.nio.ByteBuffer.wrap(
+          s0.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val arr = new java.util.ArrayList[GenericRecord]()
+        arr.add(kv): Unit
+        new GenericData.Array(arrSchema, arr)
+      }.orNull
     val added = entries.map { spec =>
       val dfr = new GenericData.Record(r2Schema)
       dfr.put("content", spec.fileContent)
@@ -3221,8 +3270,8 @@ object Iceberg {
       dfr.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
       dfr.put("record_count", spec.recordCount)
       dfr.put("file_size_in_bytes", spec.sizeInBytes)
-      dfr.put("lower_bounds", null)
-      dfr.put("upper_bounds", null)
+      dfr.put("lower_bounds", pathBoundsArray("lower_bounds", spec.pathBounds.map(_._1)))
+      dfr.put("upper_bounds", pathBoundsArray("upper_bounds", spec.pathBounds.map(_._2)))
       dfr.put("equality_ids", mkEqIds(spec.equalityIds))
       spec.referencedDataFile.foreach(v => dfr.put("referenced_data_file", v))
       spec.contentOffset.foreach(v => dfr.put("content_offset", v))
@@ -3330,8 +3379,27 @@ object Iceberg {
       ndf.put("partition", new GenericData.Record(r102Schema)) // null values: path-scoped
       ndf.put("record_count", odf.get("record_count"))
       ndf.put("file_size_in_bytes", odf.get("file_size_in_bytes"))
-      ndf.put("lower_bounds", null)
-      ndf.put("upper_bounds", null)
+      // survivors keep their recorded bounds (re-encoded under the new
+      // entry schema): dropping them would cost readers the
+      // file_path-bounds probe skip for the manifest's remaining life
+      def copyBounds(field: String): AnyRef =
+        if (odf.getSchema.getField(field) == null) null
+        else odf.get(field) match {
+          case l: java.util.List[_] if !l.isEmpty =>
+            val arrSchema = r2Schema.getField(field).schema().getTypes.get(1)
+            val arr = new java.util.ArrayList[GenericRecord]()
+            l.forEach { kvo =>
+              val kv0 = kvo.asInstanceOf[GenericRecord]
+              val kv = new GenericData.Record(arrSchema.getElementType)
+              kv.put("key", kv0.get("key"))
+              kv.put("value", kv0.get("value"))
+              arr.add(kv): Unit
+            }
+            new GenericData.Array(arrSchema, arr)
+          case _ => null
+        }
+      ndf.put("lower_bounds", copyBounds("lower_bounds"))
+      ndf.put("upper_bounds", copyBounds("upper_bounds"))
       val eqIds: Seq[Int] = avroOpt(odf, "equality_ids") match {
         case Some(l: java.util.List[_]) => l.toArray.toSeq.map(_.asInstanceOf[Int])
         case _ => Nil

@@ -260,4 +260,36 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
         s"eager path expected 3 descriptors, got ${DvIntrospect.lastReadDescriptors}")
     } finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
   }
+
+  test("Iceberg v2: recorded file_path bounds veto wildcard probes for untouched files") {
+    import graft.functions.DvDescriptorMap
+    val path = freshDir("dvd_ice_v2bounds")
+    Iceberg.write(
+      spark.range(0, 3000).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(3, col("k")),
+      path)
+    // delete rows from the LOW range only: the committed delete
+    // parquet's file_path min/max both name the first data file, and
+    // the entry records them as the spec's reserved-field bounds
+    Iceberg.deleteMergeOnRead(spark, path, col("k") < 500L && col("k") % 2L === 1L)
+    val skippedBefore = DvDescriptorMap.wildcardProbesSkipped.get()
+    val df = Iceberg.read(spark, path)
+    assert(df.count() == 2750L)
+    assert(df.filter(col("k") < 500L && col("k") % 2L === 1L).count() == 0L)
+    // the two untouched files' wildcard probes were vetoed from the
+    // bounds alone — no Group-reader scan of the delete parquet for
+    // files it provably cannot reference
+    val skipped = DvDescriptorMap.wildcardProbesSkipped.get() - skippedBefore
+    assert(skipped >= 2L, s"expected >= 2 bounds-vetoed wildcard probes, got $skipped")
+    // the eager walk applies the same bounds when PAIRING: only the
+    // referenced file gets a descriptor (3 admissible without bounds)
+    DvIntrospect.lastReadDescriptors = -1
+    spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+    try {
+      val eager = Iceberg.read(spark, path)
+      assert(eager.count() == 2750L)
+      assert(DvIntrospect.lastReadDescriptors == 1,
+        s"bounds must narrow eager pairing to 1 descriptor, got ${DvIntrospect.lastReadDescriptors}")
+    } finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+  }
 }
