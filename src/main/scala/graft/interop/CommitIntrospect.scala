@@ -37,7 +37,14 @@ object CommitFiles {
       try java.nio.file.Files.createFile(p)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          throw new java.io.IOException(s"$dest already exists", e)
+          // the TYPED exists-failure (it extends IOException, so every
+          // caller's ConcurrentModificationException translation still
+          // fires) — callers distinguishing a lost race from a genuine
+          // IO failure (disk full, permissions) match on this type
+          val ex = new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$dest already exists")
+          ex.initCause(e)
+          throw ex
       }
       // the claim is ours; open it for the payload (truncating our own
       // zero-byte claim, never a rival's — they failed above)

@@ -339,6 +339,14 @@ object MultimodalOps extends QueryModule {
       var out: Option[(Int, Long, Long, Int)] = None
       while (out.isEmpty && bb.remaining() >= 8) {
         val id = ascii(4); val sz = bb.getInt()
+        // RIFF rule: a chunk's declared size must fit the container,
+        // and chunks are WORD-aligned — an odd-sized chunk (a LIST/INFO
+        // text payload, commonly) is followed by one pad byte that is
+        // NOT part of the size. Skipping without the pad would misread
+        // every later chunk id by one byte.
+        require(sz >= 0 && sz <= bb.remaining(),
+          s"Wav: chunk '$id' declares $sz bytes but only ${bb.remaining()} remain")
+        val pad = sz & 1
         id match {
           case "fmt " =>
             val fmt = bb.getShort(); val ch = bb.getShort()
@@ -346,7 +354,7 @@ object MultimodalOps extends QueryModule {
             val bits = bb.getShort()
             require(fmt == 1 && ch == 1 && bits == 16,
               s"Wav: only PCM s16 mono is implemented (fmt=$fmt ch=$ch bits=$bits)")
-            bb.position(bb.position() + (sz - 16))
+            bb.position(bb.position() + (sz - 16) + pad)
           case "data" =>
             require(rate > 0, "Wav: data chunk before fmt")
             val n = sz / 2
@@ -357,7 +365,7 @@ object MultimodalOps extends QueryModule {
               i += 1
             }
             out = Some((rate, n.toLong, sumSq, peak))
-          case _ => bb.position(bb.position() + sz)
+          case _ => bb.position(bb.position() + sz + pad)
         }
       }
       out.getOrElse(throw new IllegalArgumentException("Wav: no data chunk"))

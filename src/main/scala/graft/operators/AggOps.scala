@@ -148,7 +148,7 @@ object AggOps extends QueryModule {
       // (measured 40x slower at sf0.1) — and ONCE per corpus dir (the
       // estimates are deterministic for a fixed input, so re-gating
       // every execution only re-proves the same arithmetic)
-      a4Gated.computeIfAbsent(d, _ => {
+      gateOnce(a4Gated, d) {
         val exact = Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
@@ -164,15 +164,38 @@ object AggOps extends QueryModule {
           gate(r.getLong(1), eParts, "l_partkey")
           gate(r.getLong(2), eOrders, "l_orderkey")
         }
-        java.lang.Boolean.TRUE
-      })
+      }
       out
     },
     None,
   )
 
   /** Corpus dirs whose a4 accuracy gate already ran this session. */
-  private val a4Gated = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val a4Gated = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
+
+  /** Run `work` exactly once per key WITHOUT holding the map's bin
+    * lock for its duration (r15 ADVICE): the gates run full Spark
+    * jobs, and `computeIfAbsent` would stall concurrent gating of any
+    * key hashing to the same bin (and throw on re-entrant use). The
+    * winner claims the key with a `putIfAbsent` future and completes
+    * it OUTSIDE the lock; rivals wait on that future and see its
+    * result or exception. A failed gate removes its claim so the next
+    * execution retries instead of caching the failure. */
+  private def gateOnce(
+      map: java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.CompletableFuture[java.lang.Boolean]],
+      key: String)(work: => Unit): Unit = {
+    val fut = new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
+    val prior = map.putIfAbsent(key, fut)
+    if (prior == null) {
+      try { work; fut.complete(java.lang.Boolean.TRUE); (): Unit }
+      catch {
+        case t: Throwable =>
+          fut.completeExceptionally(t); map.remove(key, fut); throw t
+      }
+    } else { prior.join(); (): Unit }
+  }
 
   /** A12 (r15): ORDERED-SET / OCCURRENCE aggregates — Spark 4's
     * `listagg ... WITHIN GROUP` (deterministic because DISTINCT +
@@ -307,7 +330,7 @@ object AggOps extends QueryModule {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
         )
         .orderBy("l_returnflag")
-      a6Gated.computeIfAbsent(d, _ => {
+      gateOnce(a6Gated, d) {
         val exact = Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
@@ -323,15 +346,15 @@ object AggOps extends QueryModule {
           gate(r.getDouble(1), e50, "p50(l_quantity)")
           gate(r.getDouble(2), e95, "p95(l_extendedprice)")
         }
-        java.lang.Boolean.TRUE
-      })
+      }
       out
     },
     None,
   )
 
   /** Corpus dirs whose a6b accuracy gate already ran this session. */
-  private val a6Gated = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val a6Gated = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
 
   /** A7: aggregate over a computed expression, keyed by supplier. */
   val a7AggExpr = QueryDef(

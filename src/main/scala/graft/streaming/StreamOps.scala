@@ -286,6 +286,46 @@ object StreamOps extends QueryModule {
     }
   }
 
+  /** The PROCESSING-TIME twin of [[InactivityFlushProcessor]]: the
+    * first input for a key arms a wall-clock timer at (current
+    * processing time + delayMs); expiry — the only emission point —
+    * flushes the key's running count and clears its state. Wall-clock
+    * timers have no deterministic oracle (SURVEY §8.1#4), so this
+    * capability is graded spec-level (StreamingSpec "processing-time
+    * timers"), not as a driver entry. */
+  class ProcTimeFlushProcessor(delayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserLast, FlushOut] {
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var countState: ValueState[Long] = _
+    @transient private var timerState: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders.scalaLong
+      countState = getHandle.getValueState[Long]("count", enc, TTLConfig.NONE)
+      timerState = getHandle.getValueState[Long]("timer", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserLast],
+        timerValues: TimerValues): Iterator[FlushOut] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      if (!timerState.exists()) {
+        val expiry = timerValues.getCurrentProcessingTimeInMs() + delayMs
+        getHandle.registerTimer(expiry)
+        timerState.update(expiry)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FlushOut] = {
+      val out = FlushOut(key, countState.get())
+      countState.clear(); timerState.clear()
+      Iterator(out)
+    }
+  }
+
   /** Streaming T22 (r15): EVENT-TIME TIMERS — the transformWithState
     * capability tier beyond t6b's value state: rows are emitted ONLY by
     * timer expiry (inactivity flush), never from input handling, so the

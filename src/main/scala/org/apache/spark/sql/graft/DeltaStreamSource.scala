@@ -93,7 +93,11 @@ object StreamSchemaTracking {
     val out = try graft.interop.CommitFiles.createExclusive(
       fs, new org.apache.hadoop.fs.Path(d, s"$next.json"))
     catch {
-      case e: java.io.IOException =>
+      // ONLY the typed exists-failure is a lost O_EXCL race; a genuine
+      // IO failure (disk full, permissions) propagates unchanged
+      // instead of masquerading as a shared-tracking-location conflict
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         // lost the slot: a rival recorded first — same schema is the
         // benign double-fire, anything else is a real conflict
         if (read(dir).exists { case (s, _) => canonical(s) == canonical(schema) }) return

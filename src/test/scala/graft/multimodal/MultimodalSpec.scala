@@ -74,4 +74,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](sampleFrames(empty, 0, 2))
     intercept[IllegalArgumentException](sampleFrames(empty, 100, 0))
   }
+
+  test("Wav chunk walk honors RIFF word padding and rejects truncated chunks") {
+    import graft.multimodal.MultimodalOps.Wav
+    val plain = Wav.render(7L, 50)
+    val expected = Wav.decode(plain)
+    // splice an ODD-sized LIST/INFO-style chunk between WAVE and fmt:
+    // 8-byte header + 3 payload bytes + 1 pad byte (NOT in the size)
+    val chunk = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put("abc".getBytes("US-ASCII")).put(0.toByte)
+    val spliced = plain.take(12) ++ chunk.array() ++ plain.drop(12)
+    assert(Wav.decode(spliced) == expected,
+      "an odd-sized chunk must not misalign the walk")
+    // a chunk whose declared size exceeds the container fails loudly
+    val truncated = spliced.take(12 + 8 + 2)
+    intercept[IllegalArgumentException](Wav.decode(truncated))
+  }
 }

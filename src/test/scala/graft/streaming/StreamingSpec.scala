@@ -258,6 +258,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("processing-time timers: wall-clock expiry flushes armed keys, spares fresh ones") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, expr}
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "t_proctime")
+    graft.ingest.Writers.deleteTree(base)
+    val src = base.resolve("src").toString
+    def at(min: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // batch 1 arms 1.5 s wall-clock timers for users 1 and 2
+    Seq((1L, at(0)), (1L, at(5)), (2L, at(0)))
+      .toDF("user_id", "ets").coalesce(1).write.parquet(src + "/f1")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val previous = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val flushed = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ets", org.apache.spark.sql.types.TimestampType))))
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select(col("user_id"), expr("unix_millis(ets)").as("ts_ms"))
+        .as[StreamOps.UserLast]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.ProcTimeFlushProcessor(1500L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      spark.streams.active.filter(_.name == "t_proctime").foreach(_.stop())
+      val q = flushed.toDF().writeStream.format("memory").queryName("t_proctime")
+        .outputMode("update").trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+      try {
+        // let the timers pass wall-clock, then land a late file: the
+        // batch that reads it runs with processing time PAST the armed
+        // expiries — users 1 and 2 flush; user 3's fresh timer does not
+        Thread.sleep(2500L)
+        Seq((3L, at(120))).toDF("user_id", "ets").coalesce(1).write.parquet(src + "/f2")
+        val deadline = System.currentTimeMillis() + 30000L
+        def rows(): Seq[(Long, Long)] = spark.table("t_proctime")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+        while (rows().size < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200L)
+        assert(rows() == Seq(1L -> 2L, 2L -> 1L),
+          s"wall-clock expiry must flush exactly the armed users once: ${rows()}")
+      } finally q.stop()
+    } finally {
+      previous match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("_schema_log journal: rival writers lose the O_EXCL claim loudly, never clobber") {
     import java.nio.file.Paths
     import org.apache.spark.sql.graft.StreamSchemaTracking
