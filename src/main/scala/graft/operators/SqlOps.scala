@@ -263,6 +263,35 @@ object SqlOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** SQL5: EXECUTE IMMEDIATE (Spark 4) — dynamic SQL with positional
+    * `?` parameter markers bound via USING, the surface a metadata-
+    * driven pipeline uses to run generated statements without string
+    * interpolation (injection-safe: parameters bind as literals, never
+    * splice as text). The query text itself arrives through a session
+    * variable, and one binding is an expression over another variable —
+    * both halves of the dynamic-SQL contract. */
+  val sql5ExecuteImmediate = QueryDef(
+    "sql5_execute_immediate",
+    (s, d) => {
+      withViews(s, d)("DECLARE OR REPLACE graft_dyn_sql STRING")
+      // integer-cents before the sum: a double sum is order-dependent
+      // across engines (Casts.scala's DuckDB-parity rule)
+      s.sql("""SET VAR graft_dyn_sql =
+        'SELECT o_orderpriority, count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders WHERE o_orderkey % ? = 0 AND o_orderpriority <> ?
+         GROUP BY o_orderpriority ORDER BY o_orderpriority'""")
+      s.sql("DECLARE OR REPLACE graft_dyn_mod BIGINT DEFAULT 3")
+      s.sql("EXECUTE IMMEDIATE graft_dyn_sql USING graft_dyn_mod + 2, '1-URGENT'")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderpriority <> '1-URGENT'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.stripMargin.trim),
+  )
+
   /** S50: the DataSourceV2 TableCatalog surface (r8 verdict #1) — SQL
     * over NAMES instead of paths, through
     * [[org.apache.spark.sql.graft.GraftCatalog]] (registered by the
@@ -562,6 +591,7 @@ object SqlOps extends QueryModule {
   )
 
   def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, sub5Recursive,
-    sql1SqlUdf, sql2PipeSyntax, sql3Collation, sql4SessionVars, s50CatalogSql,
+    sql1SqlUdf, sql2PipeSyntax, sql3Collation, sql4SessionVars, sql5ExecuteImmediate,
+    s50CatalogSql,
     s56TableChanges, s64SqlMaintenance, s71IcebergView)
 }

@@ -67,6 +67,15 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface) extends 
   override def parsePlan(sqlText: String): LogicalPlan =
     rewrite(delegate.parsePlan(sqlText))
 
+  /** MUST delegate (not inherit): the interface default parses WITHOUT
+    * the [[ParameterContext]], which leaves `?`/`:name` markers in a
+    * parameterized statement (EXECUTE IMMEDIATE ... USING, `sql(...,
+    * args)`) unbound — the real parser threads the context through the
+    * parse. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
         originalText, query, allowExisting, replace, _) =>
