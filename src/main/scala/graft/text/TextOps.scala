@@ -982,9 +982,76 @@ object TextOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** L4v: BLOOM-PREFILTERED DECONTAMINATION — [[l4iDecontaminate]]'s
+    * 100 TB shape. The benchmark set's 4-gram inventory folds into ONE
+    * Bloom filter (`bloom_filter_agg`, a mergeable sketch built in one
+    * distributed pass) that broadcasts to the corpus scan as a few KB;
+    * `might_contain` (codegen'd, no UDF) discards the overwhelming
+    * majority of training grams BEFORE anything reaches the join. The
+    * survivors — true hits plus the Bloom's false positives — then
+    * pass the same exact broadcast join as l4i, which removes the
+    * false positives, so the RESULT is exact (Bloom filters have no
+    * false negatives) and the DuckDB oracle is the plain exact join.
+    * At scale this is the difference between shuffling/probing every
+    * corpus gram and probing ~FP-rate of them; the bench-set side
+    * stays a broadcast either way. */
+  val l4vBloomDecontaminate = QueryDef(
+    "l4v_bloom_decontaminate",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), explode(gramArray(4)).as("gram"))
+      val bench = grams.filter(col("doc_id") < 50).select(col("gram")).distinct()
+      // BloomFilterAggregate/BloomFilterMightContain are the codegen'd
+      // Catalyst expressions behind Spark's own runtime-filter
+      // injection — not SQL-registered in 4.1, so built directly
+      import org.apache.spark.sql.graft.ColumnBridge
+      val bfAgg = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(expr("xxhash64(gram)")),
+          org.apache.spark.sql.catalyst.expressions.Literal(100000L),
+          org.apache.spark.sql.catalyst.expressions.Literal(800000L))
+          .toAggregateExpression())
+      val bloom = bench.agg(bfAgg.as("bf"))
+      // might_contain requires its filter side constant-foldable: ship
+      // the one-row sketch as a SCALAR SUBQUERY (what Spark's own
+      // InjectRuntimeFilter emits), evaluated once and broadcast
+      val mightContain = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+            bloom.queryExecution.analyzed),
+          ColumnBridge.expression(expr("xxhash64(gram)"))))
+      grams.filter(col("doc_id") >= 50)
+        .filter(mightContain)
+        .join(broadcast(bench), Seq("gram")) // exact verify: kills Bloom FPs
+        .groupBy("doc_id")
+        .agg(count_distinct(col("gram")).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+      ), e AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 3),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        FROM toks
+      )
+      SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_contaminated_grams
+      FROM e tr
+      WHERE tr.doc_id >= 50
+        AND tr.gram IN (SELECT gram FROM e WHERE doc_id < 50)
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(l4aStats, l4bWordcount, l4cTfDf, l4dLangId, l4eQuality,
     l4fFingerprint, l4gTokenCount, l4hBoilerplate, l4iDecontaminate, l4jSeqPacking,
     l4kStratifiedSample, l4lRepetition, l4mPiiScrub, l4nHashSplit, l4oUnicodeNfc,
     l4pUrlCanonical, l4qBigramLm, l4rNgramCensus, l4sChunkOverlap, l4tGlobalShuffle,
-    l4uLangRebalance)
+    l4uLangRebalance, l4vBloomDecontaminate)
 }

@@ -94,4 +94,30 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](TextOps.globalShuffle(docs, "e", 0))
     intercept[IllegalArgumentException](TextOps.globalShuffle(docs, "e", 9))
   }
+
+  test("bloom prefilter: zero false negatives, high selectivity on non-members") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+    val s = spark
+    import s.implicits._
+    val members = (0 until 1000).map(i => s"member_$i")
+    val bench = members.toDF("gram")
+    val bfAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(expr("xxhash64(gram)")),
+        Literal(100000L), Literal(800000L)).toAggregateExpression())
+    val bloom = bench.agg(bfAgg.as("bf"))
+    def mightContain = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        ColumnBridge.expression(expr("xxhash64(gram)"))))
+    // no false negatives: EVERY member passes (what makes the exact
+    // verify join sufficient for an exact final answer)
+    assert(bench.filter(mightContain).count() == members.size.toLong)
+    // selectivity: non-members overwhelmingly vetoed (8 bits/item
+    // gives ~2% FP; bound loosely so the spec never flakes)
+    val nonMembers = (0 until 20000).map(i => s"other_$i").toDF("gram")
+    val fp = nonMembers.filter(mightContain).count()
+    assert(fp < 2000, s"bloom passed $fp of 20000 non-members — prefilter not selective")
+  }
 }
