@@ -233,6 +233,32 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A13: APPROX TOP-K (Spark 4's ApproxTopK sketch) — heavy-hitter
+    * extraction in one pass, the 100 TB answer to "what dominates this
+    * column" without a full groupBy+sort. EXACT-under-capacity oracle:
+    * the sketch is exact whenever its tracked-item capacity covers the
+    * column's distinct count (here 5 event types vs the 10 000
+    * default), so the DuckDB twin is the plain top-3 — a true hash
+    * oracle, unlike the rows-only sketch entries. The array result is
+    * exploded and re-sorted so the sketch's internal tie order never
+    * leaks into the graded rows. */
+  val a13ApproxTopK = QueryDef(
+    "a13_approx_topk",
+    (s, d) =>
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY n_events DESC, event_type
+      LIMIT 3
+    """.stripMargin.trim),
+  )
+
   /** A5: ROLLUP over two keys. NULL super-aggregate rows force explicit
     * NULLS FIRST on both sides (Spark defaults nulls-first, DuckDB
     * nulls-last — SURVEY R1). */
@@ -538,6 +564,6 @@ object AggOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
-    a10Moments, a11SketchRollup, a12OrderedAgg,
+    a10Moments, a11SketchRollup, a12OrderedAgg, a13ApproxTopK,
   )
 }

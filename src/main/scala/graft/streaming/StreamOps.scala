@@ -1476,9 +1476,71 @@ object StreamOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** Streaming T23: STREAM-STATIC ENRICHMENT — the most common
+    * production join: a fact stream decorated with a batch DIMENSION
+    * table. The static side resolves once per microbatch plan and
+    * broadcast-joins into the stream (no state store involved — unlike
+    * t8's stream-stream join there is nothing to expire, which is why
+    * this shape is preferred whenever one side is bounded). The
+    * enriched stream rolls up per market segment; `broadcast()` pins
+    * the dimension side so a cold statistics estimate can never demote
+    * the join to a shuffle. */
+  val streamStaticEnrich = QueryDef(
+    "stream_t23_static_enrich",
+    (s, d) => {
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = eventStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unscale(sum(cents("value")), 2).as("sum_value"))
+      drain(s, enriched, "graft_stream_t23", OutputMode.Complete())
+        .orderBy("segment")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, count(*) AS n_events,
+        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1
+      ORDER BY 1
+    """.stripMargin.trim),
+  )
+
+  /** Streaming T24: `dropDuplicatesWithinWatermark` — the Spark-4 dedup
+    * variant whose state EXPIRES with the watermark (t5's
+    * dropDuplicates holds every seen key forever — unbounded state at
+    * 100 TB/day; this one is the production shape for at-least-once
+    * sources whose duplicates arrive close together). With the delay
+    * chosen to cover the corpus span, every duplicate lands inside its
+    * first occurrence's watermark window and the output keys are
+    * exactly the distinct pairs — the oracle. The semantic DIFFERENCE
+    * (a duplicate arriving after expiry is re-emitted) cannot be shown
+    * on a single static drain, so it is spec-locked in StreamingSpec
+    * ("dropDuplicatesWithinWatermark re-admits a key after its state
+    * expires"). */
+  val streamDedupWithinWm = QueryDef(
+    "stream_t24_dedup_within_wm",
+    (s, d) => {
+      val deduped = eventStream(s, d)
+        .withWatermark("ts2", "3650 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      drain(s, deduped, "graft_stream_t24", OutputMode.Append())
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT DISTINCT user_id, event_type
+      FROM events
+      ORDER BY user_id, event_type
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSessions, streamLateDrop,
     streamDedup, streamStateful, streamTws, streamFileSink, streamStreamJoin, streamForeachUpsert,
     streamVersionedSink, streamCdfConsumer, streamVersionedSource, streamStatsTail,
     streamConnectorSink, streamCdfSource, streamPartitionedTail, streamVersionedLateDrop,
-    streamDeltaTail, streamIcebergTail, streamDeltaSink, streamIcebergSink, streamEventTimers)
+    streamDeltaTail, streamIcebergTail, streamDeltaSink, streamIcebergSink, streamEventTimers,
+    streamStaticEnrich, streamDedupWithinWm)
 }

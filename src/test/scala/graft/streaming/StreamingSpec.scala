@@ -314,6 +314,61 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dropDuplicatesWithinWatermark re-admits a key after its state expires") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "t24_readmit")
+    graft.ingest.Writers.deleteTree(base)
+    val src = base.resolve("src").toString
+    def at(min: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // batch 1: key (1, click) at T0 — arms dedup state expiring at
+    // T0 + 1 minute
+    Seq((1L, "click", at(0)))
+      .toDF("user_id", "event_type", "ets").coalesce(1).write.parquet(src + "/f1")
+    // batch 2: an event 2h ahead ADVANCES the watermark past the key's
+    // expiry (the new watermark becomes current one batch later)
+    Seq((9L, "click", at(120)))
+      .toDF("user_id", "event_type", "ets").coalesce(1).write.parquet(src + "/f2")
+    // batch 3: runs WITH the advanced watermark — its end-of-batch
+    // state cleanup evicts the expired key
+    Seq((8L, "click", at(121)))
+      .toDF("user_id", "event_type", "ets").coalesce(1).write.parquet(src + "/f3")
+    // batch 4: the SAME key again, above the watermark — with expired
+    // state it must be re-emitted (plain dropDuplicates, whose state
+    // never expires, would suppress it forever)
+    Seq((1L, "click", at(125)))
+      .toDF("user_id", "event_type", "ets").coalesce(1).write.parquet(src + "/f4")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def onlyParquet(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.setTimes(onlyParquet(src + "/f1"), System.currentTimeMillis() - 180000, -1)
+    fs.setTimes(onlyParquet(src + "/f2"), System.currentTimeMillis() - 120000, -1)
+    fs.setTimes(onlyParquet(src + "/f3"), System.currentTimeMillis() - 60000, -1)
+    val deduped = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ets", org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+      .withWatermark("ets", "1 minute")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    spark.streams.active.filter(_.name == "t24_readmit").foreach(_.stop())
+    val q = deduped.writeStream.format("memory").queryName("t24_readmit")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("t24_readmit")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq((1L, "click"), (1L, "click"), (8L, "click"), (9L, "click")),
+      s"expired key must re-emit exactly once more: $rows")
+  }
+
   test("_schema_log journal: rival writers lose the O_EXCL claim loudly, never clobber") {
     import java.nio.file.Paths
     import org.apache.spark.sql.graft.StreamSchemaTracking
