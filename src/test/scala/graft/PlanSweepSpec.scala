@@ -39,6 +39,12 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "l4u_lang_rebalance" -> (2,
       "min over the per-language counts (1-row global agg over n_langs rows) feeds the " +
         "threshold join twice — both exchanges carry O(languages) rows, never documents"),
+    "a13_approx_topk" -> (1,
+      "global ApproxTopK: per-partition sketches merge into one 1-row final"),
+    "l4v_bloom_decontaminate" -> (2,
+      "the Bloom sketch build (scalar subquery): distinct BENCHMARK grams collapse to a " +
+        "1-row sketch final, once on the prefilter side and once where the exact verify " +
+        "join reuses the subquery — both carry benchmark grams, never the corpus"),
   )
 
   test("no registry entry plans a cartesian product or an unjustified single-task collapse") {
