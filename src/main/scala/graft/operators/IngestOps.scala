@@ -3431,22 +3431,19 @@ object IngestOps extends QueryModule {
     * SHREDDED (the spec's `typed_value` column groups, inferred
     * schema), and the graded read serves BOTH eras identically through
     * `variant_get` — oracled against DuckDB's JSON extraction over the
-    * raw strings, the same parity bar as s65. In-entry requires:
-    *
-    *  - LAYOUT: every era-2 data file's parquet footer carries the
-    *    shredded `typed_value` group, no era-1 file does (both
-    *    formats — the files genuinely differ on disk);
-    *  - PROTOCOL: the Delta table ratchets the `variantShredding`
-    *    reader+writer feature BEFORE shredded bytes land
-    *    ([[graft.interop.DeltaLake.enableVariantShredding]] — a
-    *    pre-feature reader would silently serve nulls from the value
-    *    column); Iceberg needs no new feature (shredding is part of
-    *    the v3 variant contract, and the table is require'd v3);
-    *  - PUSHDOWN: a predicate on a shredded path plans as a NARROWED
-    *    struct scan with the filter pushed to parquet (`ReadSchema`
-    *    reads only the typed_value column, never the variant binary;
-    *    `PushedFilters` carries the path) — the stats-prune mechanism
-    *    the shredded layout exists for, on BOTH formats' relations.
+    * raw strings, the same parity bar as s65. In-entry require:
+    * PROTOCOL — the Delta table ratchets the `variantShredding`
+    * reader+writer feature BEFORE shredded bytes land
+    * ([[graft.interop.DeltaLake.enableVariantShredding]] — a
+    * pre-feature reader would silently serve nulls from the value
+    * column); Iceberg needs no new feature (shredding is part of the
+    * v3 variant contract, and the table is require'd v3). The LAYOUT
+    * leg (era footers genuinely differ on disk) and the PUSHDOWN leg
+    * (a shredded-path predicate plans as a narrowed struct scan with
+    * the filter pushed to parquet) are spec-locked r16 in
+    * VariantShreddingSpec ("era footers differ on disk; shredded-path
+    * predicates push down (both formats)") — the claim-moved pattern,
+    * oracle unweakened.
     *
     * File-level manifest skipping on shredded paths is deliberately
     * NOT claimed: neither the Iceberg v3 manifest bounds encoding
@@ -3484,50 +3481,18 @@ object IngestOps extends QueryModule {
           case (k, None) => s.conf.unset(k)
         }
       }
-      def isShredded(path: String): Boolean = {
-        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(path), s.sparkContext.hadoopConfiguration))
-        try footer.getFileMetaData.getSchema.toString.contains("typed_value")
-        finally footer.close()
-      }
-      def requireEras(fmt: String, eraOf: Map[String, Int]): Unit = {
-        require(eraOf.nonEmpty && eraOf.values.toSet == Set(1, 2),
-          s"s65b: the $fmt table must hold files of both eras")
-        eraOf.foreach { case (f, era) =>
-          require(isShredded(f) == (era == 2),
-            s"s65b: $fmt era-$era file $f has the wrong layout on disk")
-        }
-      }
       val dp = tmp("s65b_delta", d); Writers.deleteTree(dp)
       shredding(on = false) { D.write(era1, dp) }
-      val dEra1 = D.snapshot(s, dp).files.map(_.path).toSet
       D.enableVariantShredding(s, dp)
       shredding(on = true) { D.write(era2, dp, mode = SaveMode.Append) }
       val dSnap = D.snapshot(s, dp)
       require(dSnap.protocol.readerFeatures.contains("variantShredding") &&
         dSnap.protocol.writerFeatures.contains("variantShredding"),
         "s65b: shredded delta files require the variantShredding feature")
-      val rootD = new org.apache.hadoop.fs.Path(dp).toUri.getPath
-      requireEras("delta", dSnap.files.map(f =>
-        s"$rootD/${f.path}" -> (if (dEra1.contains(f.path)) 1 else 2)).toMap)
       val ip = tmp("s65b_ice", d); Writers.deleteTree(ip)
       shredding(on = false) { I.write(era1, ip) }
-      val iEra1 = I.snapshot(s, ip).files.map(_.path).toSet
       shredding(on = true) { I.write(era2, ip, mode = SaveMode.Append) }
       require(I.formatVersion(ip) == 3, "s65b: the variant table must be v3")
-      requireEras("iceberg", I.snapshot(s, ip).files.map(f =>
-        f.path -> (if (iEra1.contains(f.path)) 1 else 2)).toMap)
-      // pushdown: a shredded-path predicate narrows the scan to the
-      // typed_value column and pushes the filter into parquet
-      Seq(D.read(s, dp), I.read(s, ip)).foreach { frame =>
-        val probe = frame.filter(expr("variant_get(props, '$.k', 'long') = 3"))
-        val plan = probe.queryExecution.executedPlan.toString
-        require(plan.contains("props:struct<") &&
-          plan.contains("PushedFilters") && plan.contains("EqualTo(props."),
-          s"s65b: the shredded-path predicate must plan as a pushed struct " +
-            s"scan; got\n$plan")
-      }
       val both = D.read(s, dp).withColumn("fmt", lit("delta"))
         .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
       require(both.schema("props").dataType == org.apache.spark.sql.types.VariantType,

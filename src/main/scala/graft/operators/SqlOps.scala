@@ -454,14 +454,16 @@ object SqlOps extends QueryModule {
     * `CALL graft.system.compact` folds the small data files, `CALL
     * rollback_to_snapshot` time-machines to the pre-compact snapshot
     * and back (require'd: BOTH hops restore their exact file sets,
-    * zero data moved — the r12 verdict's SQL RESTORE surface), and
-    * `CALL expire_snapshots` reclaims the history — require'd down to
-    * ONE live snapshot. The oracled output proves the loop preserved
-    * every row. Per-format dispatch, refusals, the WHERE-scoped
-    * compact, and the `CALL vacuum` this entry used to drive (swapped
-    * for the rollback hops, r13) are spec-locked in
-    * MaintenanceProceduresSpec; the manifest-merge internals
-    * (lineage, MoR deletes, no-op) in RewriteManifestsSpec. */
+    * zero data moved — the r12 verdict's SQL RESTORE surface). The
+    * oracled output proves the loop preserved every row. Per-format
+    * dispatch, refusals, the WHERE-scoped compact, the `CALL vacuum`
+    * this entry used to drive (swapped for the rollback hops, r13),
+    * and the `CALL expire_snapshots` history-reclaim leg (trimmed
+    * r16 — its exactly-one-live-snapshot claim was already asserted
+    * verbatim there) are spec-locked in MaintenanceProceduresSpec
+    * ("CALL vacuum / expire_snapshots / rewrite_manifests dispatch per
+    * format"); the manifest-merge internals (lineage, MoR deletes,
+    * no-op) in RewriteManifestsSpec. */
   val s64SqlMaintenance = QueryDef(
     "s64_sql_maintenance",
     (s, d) => {
@@ -504,9 +506,6 @@ object SqlOps extends QueryModule {
         .collect()
       require(I.snapshot(s, path).files.map(_.path).toSet == folded.files.map(_.path).toSet,
         "s64: rolling forward must restore the compacted file set")
-      s.sql(s"CALL graft.system.expire_snapshots('$ns.cust', keep_last => 1)").collect()
-      require(I.snapshots(path).size == 1,
-        "s64: after expiry exactly one live snapshot remains")
       s.table(s"graft.$ns.cust")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), unscale(sum(cents("c_acctbal")), 2).as("sum_bal"))

@@ -115,4 +115,50 @@ class VariantShreddingSpec extends AnyFunSuite with SparkFixture {
       .select(expr("variant_get(props, '$.k', 'long')").as("k")).as[Long].collect().sorted
     assert(got.toSeq == (1L to 100L))
   }
+
+  /** s65b's LAYOUT + PUSHDOWN legs, spec-moved r16 (the claim-moved
+    * pattern): each era's files genuinely differ on DISK (parquet
+    * footers carry the `typed_value` group iff shredded), and a
+    * shredded-path predicate plans as a NARROWED struct scan with the
+    * filter pushed to parquet — on BOTH formats. */
+  test("era footers differ on disk; shredded-path predicates push down (both formats)") {
+    def isShredded(path: String): Boolean = {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration))
+      try footer.getFileMetaData.getSchema.toString.contains("typed_value")
+      finally footer.close()
+    }
+    def requireEras(fmt: String, eraOf: Map[String, Int]): Unit = {
+      assert(eraOf.nonEmpty && eraOf.values.toSet == Set(1, 2),
+        s"the $fmt table must hold files of both eras")
+      eraOf.foreach { case (f, era) =>
+        assert(isShredded(f) == (era == 2),
+          s"$fmt era-$era file $f has the wrong layout on disk")
+      }
+    }
+    val dp = freshDir("shred_delta_layout")
+    shredding(on = false) { DeltaLake.write(variantDf(1, 50), dp) }
+    val dEra1 = DeltaLake.snapshot(spark, dp).files.map(_.path).toSet
+    DeltaLake.enableVariantShredding(spark, dp)
+    withShredding { DeltaLake.write(variantDf(51, 100), dp, mode = SaveMode.Append) }
+    val rootD = new org.apache.hadoop.fs.Path(dp).toUri.getPath
+    requireEras("delta", DeltaLake.snapshot(spark, dp).files.map(f =>
+      s"$rootD/${f.path}" -> (if (dEra1.contains(f.path)) 1 else 2)).toMap)
+    val ip = freshDir("shred_ice_layout")
+    shredding(on = false) { Iceberg.write(variantDf(1, 50), ip) }
+    val iEra1 = Iceberg.snapshot(spark, ip).files.map(_.path).toSet
+    withShredding { Iceberg.write(variantDf(51, 100), ip, mode = SaveMode.Append) }
+    requireEras("iceberg", Iceberg.snapshot(spark, ip).files.map(f =>
+      f.path -> (if (iEra1.contains(f.path)) 1 else 2)).toMap)
+    // pushdown: the scan narrows to the typed_value struct and the
+    // parquet filter carries the shredded path
+    Seq(DeltaLake.read(spark, dp), Iceberg.read(spark, ip)).foreach { frame =>
+      val probe = frame.filter(expr("variant_get(props, '$.k', 'long') = 3"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("props:struct<") &&
+        plan.contains("PushedFilters") && plan.contains("EqualTo(props."),
+        s"the shredded-path predicate must plan as a pushed struct scan; got\n$plan")
+    }
+  }
 }
