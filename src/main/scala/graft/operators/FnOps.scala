@@ -320,5 +320,50 @@ object FnOps extends QueryModule {
     """.stripMargin.trim),
   )
 
-  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f4bArraySets, f5Map, f6Json, f7Null)
+  /** F8: HIGHER-ORDER FUNCTIONS as a first-class family — the lambda
+    * surface (`transform`/`filter`/`exists`/`forall`/`aggregate`/
+    * `zip_with`) that replaces per-row UDFs with codegen'd array
+    * kernels; the whole pipeline below runs inside one projection with
+    * no explode/shuffle and would map over a 100 TB corpus unchanged.
+    * All reductions are INTEGER (token lengths cast long before any
+    * product/sum) so both engines agree bit-for-bit. DuckDB twins:
+    * list_transform / list_filter / list_reduce / list_zip. */
+  val f8HigherOrder = QueryDef(
+    "f8_higher_order",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("lens", transform(col("toks"), x => length(x).cast("long")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(filter(col("lens"), _ > 5L)).cast("long").as("n_long"),
+          exists(col("toks"), _.rlike("[0-9]")).as("has_digit"),
+          forall(col("lens"), _ < 50L).as("all_short"),
+          aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("total_chars"),
+          aggregate(zip_with(col("lens"), reverse(col("lens")), _ * _),
+            lit(0L), (acc, x) => acc + x).as("mirror_dot"),
+        )
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), x -> CAST(len(x) AS BIGINT)) AS lens,
+               string_split(text, ' ') AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        CAST(len(list_filter(lens, x -> x > 5)) AS BIGINT) AS n_long,
+        len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+        len(list_filter(lens, x -> x >= 50)) = 0 AS all_short,
+        CAST(list_reduce(list_prepend(0, lens), (a, b) -> a + b) AS BIGINT) AS total_chars,
+        CAST(list_reduce(list_prepend(0,
+          list_transform(list_zip(lens, list_reverse(lens)), p -> p[1] * p[2])),
+          (a, b) -> a + b) AS BIGINT) AS mirror_dot
+      FROM t
+      ORDER BY doc_id
+    """.stripMargin.trim),
+  )
+
+  def defs: Seq[QueryDef] = Seq(f1String, f1bStringMore, f2Datetime, f2bDatetimeMore, f3Math, f4Array, f4bArraySets, f5Map, f6Json, f7Null, f8HigherOrder)
 }
