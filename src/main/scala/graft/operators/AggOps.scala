@@ -259,6 +259,35 @@ object AggOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** A13b: the MERGEABLE two-phase ApproxTopK surface
+    * (`approx_top_k_accumulate` → `approx_top_k_combine` →
+    * `approx_top_k_estimate`, Spark 4.1) — the a11 theta-rollup story
+    * on the heavy-hitter sketch: per-shard sketches build where the
+    * data lives, and only the FIXED-SIZE sketch states travel to the
+    * final merge — the cube/rollup materialization pattern that makes
+    * "top sellers per region AND overall" one pass at 100 TB instead
+    * of a re-scan per grain. Same exact-under-capacity oracle as a13:
+    * each shard sketch tracks more items than the column's distinct
+    * count, and exact sketches merge exactly. */
+  val a13bTopKRollup = QueryDef(
+    "a13b_topk_rollup",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("user_id % 4").as("shard"))
+        .agg(expr("approx_top_k_accumulate(event_type, 100)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY n_events DESC, event_type
+      LIMIT 3
+    """.stripMargin.trim),
+  )
+
   /** A5: ROLLUP over two keys. NULL super-aggregate rows force explicit
     * NULLS FIRST on both sides (Spark defaults nulls-first, DuckDB
     * nulls-last — SURVEY R1). */
@@ -564,6 +593,6 @@ object AggOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
-    a10Moments, a11SketchRollup, a12OrderedAgg, a13ApproxTopK,
+    a10Moments, a11SketchRollup, a12OrderedAgg, a13ApproxTopK, a13bTopKRollup,
   )
 }

@@ -41,6 +41,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
         "threshold join twice — both exchanges carry O(languages) rows, never documents"),
     "a13_approx_topk" -> (1,
       "global ApproxTopK: per-partition sketches merge into one 1-row final"),
+    "a13b_topk_rollup" -> (1,
+      "the combine phase merges O(shards) fixed-size sketch states into one 1-row final"),
     "l4v_bloom_decontaminate" -> (2,
       "the Bloom sketch build (scalar subquery): distinct BENCHMARK grams collapse to a " +
         "1-row sketch final, once on the prefilter side and once where the exact verify " +
