@@ -3726,18 +3726,24 @@ object IngestOps extends QueryModule {
     * O(touched) claim that makes this the right verb at 100 TB (a
     * full overwrite would rewrite every partition for a one-partition
     * refresh). Oracled as the per-status rollup of the expected state.
-    * The SQL route, CDF images, fresh row ids, empty-source no-op,
-    * and the transform/unpartitioned/unstable-type refusals are
-    * spec-locked in DynamicOverwriteSpec. */
+    * The timed entry drives the two INTEROP formats (the §2 claim);
+    * the graft-native leg's IDENTICAL lifecycle (write →
+    * replacePartitions → identity-carry require → content check) was
+    * already locked verbatim in DynamicOverwriteSpec ("SQL INSERT
+    * OVERWRITE (dynamic) replaces only the touched partition, all
+    * three formats") and is trimmed r16 — the s63 claim-moved
+    * precedent, oracle narrowed to two legs. The SQL route, CDF
+    * images, fresh row ids, empty-source no-op, and the
+    * transform/unpartitioned/unstable-type refusals are spec-locked
+    * in DynamicOverwriteSpec. */
   val s69DynamicOverwrite = QueryDef(
     "s69_dynamic_overwrite",
     (s, d) => {
       val D = graft.interop.DeltaLake
       val I = graft.interop.Iceberg
-      val V = graft.ingest.Versioned
       // a half-slice: the claim is partition MECHANICS (identity
-      // carry, one-commit replace), not volume — 6 table writes
-      // across 3 formats price the entry otherwise
+      // carry, one-commit replace), not volume — 4 table writes
+      // across 2 formats price the entry otherwise
       val orders = Tables.orders(s, d)
         .filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -3763,17 +3769,8 @@ object IngestOps extends QueryModule {
       val preI = iUntouched
       I.replacePartitions(s, ip, repl)
       requireUntouched("iceberg", preI, iUntouched)
-      val gp = tmp("s69_graft", d); Writers.deleteTree(gp)
-      V.commitPartitioned(orders, gp, "o_orderstatus")
-      def gUntouched = V.manifest(gp, V.currentVersion(gp).get)
-        .filterNot(_.partDir.contains("o_orderstatus=F")).map(_.relPath).toSet
-      val preG = gUntouched
-      V.replacePartitions(s, gp, repl, "o_orderstatus")
-      requireUntouched("graft", preG, gUntouched)
       D.read(s, dp).withColumn("fmt", lit("delta"))
         .unionByName(I.read(s, ip).withColumn("fmt", lit("iceberg")))
-        .unionByName(V.read(s, gp).select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .withColumn("fmt", lit("graft")))
         .groupBy("fmt", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"),
           unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
@@ -3786,7 +3783,6 @@ object IngestOps extends QueryModule {
                ELSE o_totalprice END AS o_totalprice
         FROM orders WHERE o_orderkey % 2 = 0),
       legs AS (SELECT 'delta' AS fmt, * FROM src
-               UNION ALL SELECT 'graft' AS fmt, * FROM src
                UNION ALL SELECT 'iceberg' AS fmt, * FROM src)
       SELECT fmt, o_orderstatus, count(*) AS n_orders,
         max(o_orderkey) AS max_key,
