@@ -443,4 +443,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(bnlj == 1, s"expected exactly the vocab broadcast as a BNLJ, found $bnlj:\n$p")
     assert(p.contains("BroadcastExchange"), s"vocab side must broadcast, not shuffle:\n$p")
   }
+
+  test("l4v: the Bloom prefilter sits BELOW the exact join; bench side broadcasts") {
+    val p = plan("l4v_bloom_decontaminate")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"the Bloom probe must be in the corpus-side filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact verify join must broadcast the benchmark grams:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no non-equi join anywhere:\n$p")
+    // the prefilter must be a FILTER below the join, not a post-join
+    // predicate: the Filter node carrying might_contain appears before
+    // (deeper than) the BroadcastHashJoin in the plan string
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt,
+      s"prefilter must be on the scan side UNDER the join (plan prints top-down):\n$p")
+  }
 }
