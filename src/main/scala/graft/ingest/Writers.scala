@@ -251,6 +251,26 @@ object Writers {
     finally walk.close()
   }
 
+  /** Recursive local copy (java.nio) — what lets a session-cached
+    * IMMUTABLE fixture (e.g. a producer-table prefix built once per
+    * corpus) be cloned into each execution's scratch dir so the
+    * execution can mutate its copy freely. Destination must not
+    * exist. */
+  def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    require(java.nio.file.Files.exists(src), s"copyTree: missing source $src")
+    require(!java.nio.file.Files.exists(dst), s"copyTree: destination exists $dst")
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { f =>
+      val to = dst.resolve(src.relativize(f))
+      if (java.nio.file.Files.isDirectory(f)) {
+        java.nio.file.Files.createDirectories(to): Unit
+      } else {
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(f, to): Unit
+      }
+    } finally walk.close()
+  }
+
   /** A real MERGE rejects duplicate source keys; silently unioning both
     * copies would corrupt the keyed dataset's uniqueness invariant. One
     * extra aggregate job is the price of failing fast. NULL keys are
