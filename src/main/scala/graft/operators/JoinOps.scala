@@ -458,9 +458,65 @@ object JoinOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** J11: SCD2 POINT-IN-TIME LOOKUP — the slowly-changing-dimension
+    * join every warehouse fact pipeline runs: each order resolves the
+    * customer attribute AS OF its order date against a two-era
+    * validity-interval dimension (era split per customer,
+    * deterministic). The scale-critical property: this is an
+    * EQUI-join on the customer key with the validity window as a
+    * post-join predicate — never a range-only join — so it
+    * shuffles/broadcasts exactly like J1 regardless of how many eras
+    * the dimension accretes. The dimension is derived in-query (no
+    * table write prices the entry); S10 grades the SCD2 WRITE side. */
+  val j11Scd2Lookup = QueryDef(
+    "j11_scd2_pointlookup",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("date_add(DATE'1996-01-01', CAST(c_custkey % 730 AS INT))").as("split_d"))
+      val dim = cust.select(col("c_custkey"), lit("v1").as("era"),
+          lit(java.sql.Date.valueOf("1990-01-01")).as("valid_from"),
+          col("split_d").as("valid_to"), col("c_mktsegment").as("segment"))
+        .unionAll(cust.select(col("c_custkey"), lit("v2").as("era"),
+          col("split_d").as("valid_from"),
+          lit(java.sql.Date.valueOf("9999-12-31")).as("valid_to"),
+          concat(col("c_mktsegment"), lit("_R")).as("segment")))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"))
+        .join(dim, col("o_custkey") === dim("c_custkey") &&
+          col("o_date") >= dim("valid_from") && col("o_date") < dim("valid_to"))
+        .groupBy("era", "segment")
+        .agg(count(lit(1)).as("n_orders"),
+          unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("era", "segment")
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+          DATE '1996-01-01' + CAST(c_custkey % 730 AS INT) AS split_d
+        FROM customer
+      ), dim AS (
+        SELECT c_custkey, 'v1' AS era, DATE '1990-01-01' AS valid_from,
+          split_d AS valid_to, c_mktsegment AS segment FROM cust
+        UNION ALL
+        SELECT c_custkey, 'v2', split_d, DATE '9999-12-31',
+          c_mktsegment || '_R' FROM cust
+      )
+      SELECT era, segment, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders o JOIN dim
+        ON o.o_custkey = dim.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= dim.valid_from
+        AND CAST(o.o_orderdate AS DATE) < dim.valid_to
+      GROUP BY era, segment
+      ORDER BY era, segment
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(
     j1Inner, j2Broadcast, j2PromoShare, j3LeftOuter, j3RightOuter, j3FullOuter, j4Semi, j4Anti,
     j5RangeJoin, j6AsOf, j7Multiway, j7ShippingPriority, j7ReturnedItems, j8Cross, j9SkewSalted,
-    j10Bucketed,
+    j10Bucketed, j11Scd2Lookup,
   )
 }

@@ -444,6 +444,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastExchange"), s"vocab side must broadcast, not shuffle:\n$p")
   }
 
+  test("j11: the SCD2 point-in-time lookup is an EQUI join; the window is a residual predicate") {
+    val p = plan("j11_scd2_pointlookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"validity-interval lookup must never plan as a non-equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"expected a keyed join on c_custkey:\n$p")
+  }
+
   test("l4v: the Bloom prefilter sits BELOW the exact join; bench side broadcasts") {
     val p = plan("l4v_bloom_decontaminate")
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
