@@ -261,6 +261,29 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
   }
 
+  test("boundsAdmit: missing/truncated bounds only widen; non-ASCII always admits") {
+    import DvSources.boundsAdmit
+    // no bounds recorded: always admit (pre-r16 delete files)
+    assert(boundsAdmit("/t/data/x.parquet", None, None))
+    // inside / at the edges / outside
+    assert(boundsAdmit("/t/b.parquet", Some("/t/a.parquet"), Some("/t/c.parquet")))
+    assert(boundsAdmit("/t/a.parquet", Some("/t/a.parquet"), Some("/t/c.parquet")))
+    assert(boundsAdmit("/t/c.parquet", Some("/t/a.parquet"), Some("/t/c.parquet")))
+    assert(!boundsAdmit("/t/d.parquet", Some("/t/a.parquet"), Some("/t/c.parquet")))
+    assert(!boundsAdmit("/t/0.parquet", Some("/t/a.parquet"), Some("/t/c.parquet")))
+    // spec-truncated upper (truncate-and-increment) only WIDENS: a path
+    // under the widened bound still admits
+    assert(boundsAdmit("/t/ab.parquet", Some("/t/a"), Some("/u")))
+    // one-sided bounds
+    assert(!boundsAdmit("/t/0.parquet", Some("/t/a"), None))
+    assert(!boundsAdmit("/t/z.parquet", None, Some("/t/c")))
+    // non-ASCII anywhere: UTF-16 vs UTF-8 byte order can disagree —
+    // admit (a probe, never a wrong skip)
+    assert(boundsAdmit("/t/é.parquet", Some("/t/a"), Some("/t/c")))
+    assert(boundsAdmit("/t/b.parquet", Some("/t/é"), Some("/t/c")))
+    assert(boundsAdmit("/t/b.parquet", Some("/t/a"), Some("/t/é")))
+  }
+
   test("Iceberg v2: recorded file_path bounds veto wildcard probes for untouched files") {
     import graft.functions.DvDescriptorMap
     val path = freshDir("dvd_ice_v2bounds")

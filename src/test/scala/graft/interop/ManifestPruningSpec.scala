@@ -267,6 +267,32 @@ class ManifestPruningSpec extends AnyFunSuite with SparkFixture {
       assert(lazyRows == eagerRows,
         s"[$label] lazy (${lazyRows.size} rows) != eager (${eagerRows.size} rows)")
     }
+    // now put the SAME battery under EQUALITY-DELETE debt: delete one
+    // key, re-insert it after (the version-sequenced trap), and run
+    // every predicate through the bounds-classified group plan vs the
+    // eager walk — filters must push through the union + anti-joins
+    // without changing a single row
+    Iceberg.deleteEquality(spark, path, Seq(13L).toDF("k"))
+    Iceberg.write(batch(Seq((Some(0), "2024-01-01", 13L, "d2"))), path,
+      partitionBy = Seq("p", "d", "bucket(4, k)"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    preds.foreach { case (label, pred) =>
+      def run(): Seq[String] =
+        Iceberg.read(spark, path).filter(pred).collect().map(_.mkString("|")).toSeq.sorted
+      val lazyRows = run()
+      spark.conf.set("spark.graft.iceberg.manifestListPruning", "false")
+      val eagerRows = try run()
+      finally spark.conf.unset("spark.graft.iceberg.manifestListPruning")
+      assert(lazyRows == eagerRows,
+        s"[eq-debt $label] lazy (${lazyRows.size}) != eager (${eagerRows.size})")
+      assert(!lazyRows.exists(_.contains("13|d|")),
+        s"[eq-debt $label] the deleted row 13|d must not surface: $lazyRows")
+      (): Unit
+    }
+    // the re-inserted key survives, the deleted image never returns
+    val full = Iceberg.read(spark, path).collect().map(_.mkString("|")).toSeq
+    assert(full.exists(_.contains("13|d2|")) && !full.exists(_.contains("13|d|")),
+      s"version-sequencing under the battery table: $full")
   }
 
   test("timestamp identity partitions: micros-domain bounds prune and stay exact") {
