@@ -123,13 +123,42 @@ private[graft] object DvSources {
   /** Spec bound comparison is byte-wise over UTF-8; JVM String order
     * is UTF-16 code-unit order. The two agree on ASCII — compare only
     * when everything involved is ASCII, else admit (never a wrong
-    * skip, just a probe). */
+    * skip, just a probe).
+    *
+    * The probe arrives scheme-stripped ([[Hive.fsPathNoDecode]] form,
+    * `/tbl/data/f.parquet`), but external Iceberg writers commonly
+    * record `file_path` — and therefore its column bounds — as full
+    * URIs (`s3://…`, `file:/…`). Comparing those forms raw would put
+    * every probe below the bound (`'/' < 's'`) and wrongly veto the
+    * delete file, silently resurrecting deleted rows. So each bound is
+    * brought into the probe's form first: textually strip a
+    * `scheme:[//authority]` prefix (truncated bounds may chop inside
+    * that prefix — then no path remains and the bound is dropped).
+    * Dropping a bound only ever admits — the row-level probe itself
+    * normalizes paths, so a spurious admit is just a probe, never a
+    * wrong row. Stripping DISTINCT authorities is not order-preserving;
+    * bounds that cross after stripping are incoherent in the stripped
+    * domain and both are dropped. */
   private[interop] def boundsAdmit(path: String,
       lo: Option[String], hi: Option[String]): Boolean = {
     def ascii(s: String): Boolean = s.forall(_ < 128)
-    if (!ascii(path)) return true
-    val below = lo.exists(l => ascii(l) && path < l)
-    val above = hi.exists(h => ascii(h) && path > h)
+    if (!ascii(path) || !path.startsWith("/")) return true
+    val schemePrefix = "^[A-Za-z][A-Za-z0-9+.\\-]*:(?://[^/]*)?(/.*)$".r
+    def norm(b: String): Option[String] =
+      if (!ascii(b)) None
+      else if (b.startsWith("/")) Some(b)
+      else b match {
+        case schemePrefix(rest) => Some(rest)
+        case _                  => None // truncated inside the prefix, or relative
+      }
+    val (loN, hiN) = (lo.flatMap(norm), hi.flatMap(norm))
+    val coherent = (loN, hiN) match {
+      case (Some(l), Some(h)) => l <= h
+      case _                  => true
+    }
+    if (!coherent) return true
+    val below = loN.exists(l => path < l)
+    val above = hiN.exists(h => path > h)
     !below && !above
   }
 }

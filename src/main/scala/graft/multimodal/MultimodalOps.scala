@@ -343,12 +343,19 @@ object MultimodalOps extends QueryModule {
         // and chunks are WORD-aligned — an odd-sized chunk (a LIST/INFO
         // text payload, commonly) is followed by one pad byte that is
         // NOT part of the size. Skipping without the pad would misread
-        // every later chunk id by one byte.
+        // every later chunk id by one byte. Sloppy encoders omit the
+        // FINAL pad byte when the odd chunk is the last one — skip the
+        // pad only when a byte actually remains past the payload, so an
+        // otherwise-decodable file doesn't throw on the clamp.
         require(sz >= 0 && sz <= bb.remaining(),
           s"Wav: chunk '$id' declares $sz bytes but only ${bb.remaining()} remain")
-        val pad = sz & 1
+        val pad = if ((sz & 1) == 1 && bb.remaining() > sz) 1 else 0
         id match {
           case "fmt " =>
+            // the PCM fmt payload is 16 bytes; a smaller declared size is
+            // malformed and would move the cursor BACKWARDS (sz - 16 < 0),
+            // re-reading bytes forever
+            require(sz >= 16, s"Wav: fmt chunk declares $sz bytes, need >= 16")
             val fmt = bb.getShort(); val ch = bb.getShort()
             rate = bb.getInt(); bb.getInt(); bb.getShort()
             val bits = bb.getShort()

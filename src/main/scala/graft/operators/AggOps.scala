@@ -171,31 +171,15 @@ object AggOps extends QueryModule {
   )
 
   /** Corpus dirs whose a4 accuracy gate already ran this session. */
-  private val a4Gated = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
+  private val a4Gated = graft.core.Once.futures[java.lang.Boolean]()
 
-  /** Run `work` exactly once per key WITHOUT holding the map's bin
-    * lock for its duration (r15 ADVICE): the gates run full Spark
-    * jobs, and `computeIfAbsent` would stall concurrent gating of any
-    * key hashing to the same bin (and throw on re-entrant use). The
-    * winner claims the key with a `putIfAbsent` future and completes
-    * it OUTSIDE the lock; rivals wait on that future and see its
-    * result or exception. A failed gate removes its claim so the next
-    * execution retries instead of caching the failure. */
+  /** The gates run full Spark jobs, so they must not run under a
+    * `computeIfAbsent` bin lock (r15 ADVICE) — shared claim-future
+    * implementation hoisted to [[graft.core.Once]] (r17). */
   private def gateOnce(
-      map: java.util.concurrent.ConcurrentHashMap[
-        String, java.util.concurrent.CompletableFuture[java.lang.Boolean]],
-      key: String)(work: => Unit): Unit = {
-    val fut = new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
-    val prior = map.putIfAbsent(key, fut)
-    if (prior == null) {
-      try { work; fut.complete(java.lang.Boolean.TRUE); (): Unit }
-      catch {
-        case t: Throwable =>
-          fut.completeExceptionally(t); map.remove(key, fut); throw t
-      }
-    } else { prior.join(); (): Unit }
-  }
+      map: graft.core.Once.Futures[java.lang.Boolean],
+      key: String)(work: => Unit): Unit =
+    graft.core.Once.gate(map, key)(work)
 
   /** A12 (r15): ORDERED-SET / OCCURRENCE aggregates — Spark 4's
     * `listagg ... WITHIN GROUP` (deterministic because DISTINCT +
@@ -241,14 +225,22 @@ object AggOps extends QueryModule {
     * default), so the DuckDB twin is the plain top-3 — a true hash
     * oracle, unlike the rows-only sketch entries. The array result is
     * exploded and re-sorted so the sketch's internal tie order never
-    * leaks into the graded rows. */
+    * leaks into the graded rows — and the sketch is asked for MORE
+    * items than the column's distinct count (10 vs 5) with the top-3
+    * cut applied by an explicit Spark-side orderBy+limit (r16 ADVICE):
+    * if two items tied exactly at the rank-3 boundary, the sketch's
+    * internal selection could surface a different tied item than the
+    * oracle's `ORDER BY count DESC, item` tie-break; cutting outside
+    * the sketch makes both engines tie-break identically. */
   val a13ApproxTopK = QueryDef(
     "a13_approx_topk",
     (s, d) =>
       Tables.events(s, d)
-        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .agg(expr("approx_top_k(event_type, 10)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col("event_type"))
+        .limit(3)
         .orderBy(col("n_events").desc, col("event_type")),
     Some("""
       SELECT event_type, count(*) AS n_events
@@ -268,16 +260,21 @@ object AggOps extends QueryModule {
     * "top sellers per region AND overall" one pass at 100 TB instead
     * of a re-scan per grain. Same exact-under-capacity oracle as a13:
     * each shard sketch tracks more items than the column's distinct
-    * count, and exact sketches merge exactly. */
+    * count, and exact sketches merge exactly. The estimate pulls the
+    * full tracked set (k=10 > 5 distinct) and the top-3 cut is an
+    * explicit Spark-side orderBy+limit — rank-boundary ties break by
+    * the same `count DESC, item` rule as the oracle (r16 ADVICE). */
   val a13bTopKRollup = QueryDef(
     "a13b_topk_rollup",
     (s, d) =>
       Tables.events(s, d)
         .groupBy(expr("user_id % 4").as("shard"))
         .agg(expr("approx_top_k_accumulate(event_type, 100)").as("sk"))
-        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 3)").as("tk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col("event_type"))
+        .limit(3)
         .orderBy(col("n_events").desc, col("event_type")),
     Some("""
       SELECT event_type, count(*) AS n_events
@@ -408,8 +405,7 @@ object AggOps extends QueryModule {
   )
 
   /** Corpus dirs whose a6b accuracy gate already ran this session. */
-  private val a6Gated = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
+  private val a6Gated = graft.core.Once.futures[java.lang.Boolean]()
 
   /** A7: aggregate over a computed expression, keyed by supplier. */
   val a7AggExpr = QueryDef(

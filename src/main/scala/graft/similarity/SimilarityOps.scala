@@ -251,7 +251,7 @@ object SimilarityOps extends QueryModule {
     * nlist×dim centroid doubles, so caching per sfDir is cheap and
     * session-independent. */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+    graft.core.Once.futures[org.apache.spark.ml.clustering.KMeansModel]()
 
   /** Fit-and-cache the IVF quantizer for `d` without running a search —
     * the "offline index build" step. Bench calls this in its warmup so
@@ -292,7 +292,7 @@ object SimilarityOps extends QueryModule {
       // rows, so per-iteration task overhead dwarfs the math if it stays
       // spread over the session's shuffle partitions. Assignment/search
       // below remain fully distributed — only training is small-data.
-      val model = quantizerCache.computeIfAbsent(d, _ => {
+      val model = graft.core.Once.build(quantizerCache, d) {
         val trainSet = emb.select("features").sample(withReplacement = false, 0.5, seed = 7L)
           .coalesce(1).persist()
         try new KMeans()
@@ -300,7 +300,7 @@ object SimilarityOps extends QueryModule {
           .setFeaturesCol("features").setPredictionCol("cell")
           .fit(trainSet)
         finally trainSet.unpersist()
-      })
+      }
       val assigned = model.transform(emb)
       locally {
         // nlist×dim doubles — a driver-side constant, broadcast to probes
@@ -429,7 +429,7 @@ object SimilarityOps extends QueryModule {
   /** Fitted PQ codebooks, one per corpus dir — like [[quantizerCache]],
     * the codebook is built ONCE offline and every query serves off it. */
   private val pqCodebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+    graft.core.Once.futures[org.apache.spark.ml.clustering.KMeansModel]()
 
   /** The PQ-encoded corpus (vec_id → 8 codes) per corpus dir, written
     * ONCE to scratch parquet (r13): real PQ encodes at INDEX BUILD,
@@ -440,7 +440,7 @@ object SimilarityOps extends QueryModule {
     * graded operator. Both are deterministic functions of the
     * immutable corpus + the cached codebook. */
   private val pqIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    graft.core.Once.futures[(String, String)]()
 
   /** L3f: PRODUCT-QUANTIZATION ANN (the memory-bound tier of the FAISS
     * playbook, beside l3d's IVF compute tier) — each 64-d vector
@@ -489,7 +489,7 @@ object SimilarityOps extends QueryModule {
         col(idCol),
         posexplode(transform(sequence(lit(0), lit(M - 1)),
           m => slice(col("unit"), m * lit(sub) + lit(1), lit(sub)))).as(Seq("m", "subvec")))
-      val model = pqCodebookCache.computeIfAbsent(d, _ => {
+      val model = graft.core.Once.build(pqCodebookCache, d) {
         // codebook training: K centroids over a subvector sample —
         // the offline index build (cached; Bench warms it like l3d's)
         val train = subvectors(emb, "vec_id")
@@ -499,7 +499,7 @@ object SimilarityOps extends QueryModule {
         try new KMeans().setK(K).setSeed(42L).setMaxIter(4)
           .setFeaturesCol("features").setPredictionCol("code").fit(train)
         finally train.unpersist()
-      })
+      }
       val cents = s.createDataFrame(
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
         .toDF("code", "centroid")
@@ -518,7 +518,7 @@ object SimilarityOps extends QueryModule {
       // struct order as the deterministic tie rule. The exact top-5
       // (brute force) caches beside it: it is the recall gate's ground
       // truth — the GRADE, not the graded operator.
-      val (codesPath, exactPath) = pqIndexCache.computeIfAbsent(d, _ => {
+      val (codesPath, exactPath) = graft.core.Once.build(pqIndexCache, d) {
         val base = graft.ingest.Scratch.dir("similarity", "l3f_index", d)
         graft.ingest.Writers.deleteTree(base)
         val cp = base.resolve("codes").toString
@@ -540,7 +540,7 @@ object SimilarityOps extends QueryModule {
           .select("q_id", "n_id")
           .write.parquet(ep)
         (cp, ep)
-      })
+      }
       val codes = s.read.parquet(codesPath)
       // ADC LOOKUP TABLE: partial dot of every query subvector with
       // every centroid — 10×8×16 rows, broadcast to the code scan

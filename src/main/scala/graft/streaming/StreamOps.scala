@@ -735,9 +735,9 @@ object StreamOps extends QueryModule {
     * t11Src fixture pattern): v1 snapshot commit + v2 keyed MERGE are
     * deterministic for a corpus and the entry never mutates the prefix
     * — each execution clones it and applies its own v3 delete. */
-  private val t15PrefixCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val t15PrefixCache = graft.core.Once.futures[String]()
   private def t15Prefix(s: SparkSession, d: String): String =
-    t15PrefixCache.computeIfAbsent(d, _ => {
+    graft.core.Once.build(t15PrefixCache, d) {
       val base = graft.ingest.Scratch.dir("streaming", "t15prefix", d)
       graft.ingest.Writers.deleteTree(base)
       val tbl = base.resolve("tbl").toString
@@ -747,11 +747,11 @@ object StreamOps extends QueryModule {
       V.upsert(s, tbl, ev.filter(col("event_id") % 30 === 0)
         .withColumn("event_type", lit("edited")), "event_id") // v2: keyed MERGE
       tbl
-    })
+    }
 
-  private val t11SrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val t11SrcCache = graft.core.Once.futures[String]()
   private def t11Src(s: SparkSession, d: String): String =
-    t11SrcCache.computeIfAbsent(d, _ => {
+    graft.core.Once.build(t11SrcCache, d) {
       val base = graft.ingest.Scratch.dir("streaming", "t11src", d)
       graft.ingest.Writers.deleteTree(base)
       val src = base.resolve("src").toString
@@ -781,7 +781,7 @@ object StreamOps extends QueryModule {
           "event_id"): Unit
       }
       src
-    })
+    }
 
   val streamCdfConsumer = QueryDef(
     "stream_t11_cdf_consumer",

@@ -284,6 +284,34 @@ class DvDistributedSpec extends AnyFunSuite with SparkFixture {
     assert(boundsAdmit("/t/b.parquet", Some("/t/a"), Some("/t/é")))
   }
 
+  test("boundsAdmit: URI-scheme bounds from external writers normalize to the probe's form") {
+    import DvSources.boundsAdmit
+    // external writers record file_path as full URIs; the probe is
+    // scheme-stripped — bounds must strip to the same form or every
+    // probe would compare below them ('/' < 's') and wrongly veto
+    assert(boundsAdmit("/t/b.parquet",
+      Some("s3://bucket/t/a.parquet"), Some("s3://bucket/t/c.parquet")))
+    assert(!boundsAdmit("/t/d.parquet",
+      Some("s3://bucket/t/a.parquet"), Some("s3://bucket/t/c.parquet")))
+    assert(!boundsAdmit("/t/0.parquet",
+      Some("s3a://bucket/t/a.parquet"), Some("s3a://bucket/t/c.parquet")))
+    // file:/ single-slash and file:/// triple-slash forms
+    assert(boundsAdmit("/t/b.parquet",
+      Some("file:/t/a.parquet"), Some("file:///t/c.parquet")))
+    // a bound spec-truncated INSIDE the scheme/authority prefix has no
+    // usable path — that side drops (admit), the other still applies
+    assert(boundsAdmit("/t/b.parquet", Some("s3://buck"), Some("s3://bucket/t/c.parquet")))
+    assert(!boundsAdmit("/t/d.parquet", Some("s3://buck"), Some("s3://bucket/t/c.parquet")))
+    // stripping DISTINCT authorities is not order-preserving: crossed
+    // stripped bounds are incoherent — admit, never a wrong veto
+    assert(boundsAdmit("/t/a.parquet",
+      Some("s3://a/z.parquet"), Some("s3://b/a.parquet")))
+    // mixed forms: one raw-path bound, one URI bound
+    assert(boundsAdmit("/t/b.parquet", Some("/t/a.parquet"), Some("s3://bucket/t/c.parquet")))
+    // relative-looking bound (no scheme, no leading slash): drop that side
+    assert(boundsAdmit("/t/b.parquet", Some("t/zz.parquet"), None))
+  }
+
   test("Iceberg v2: recorded file_path bounds veto wildcard probes for untouched files") {
     import graft.functions.DvDescriptorMap
     val path = freshDir("dvd_ice_v2bounds")
