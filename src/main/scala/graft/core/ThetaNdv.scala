@@ -81,7 +81,7 @@ object ThetaNdv {
     * row, which is what makes distinct-count rollups O(sketches) at
     * 100 TB instead of one full scan per window. */
   def groupedSketches(df: DataFrame, groupCol: String,
-      valueCol: String): Map[String, Array[Byte]] = {
+      valueCol: String, nominalEntries: Int = 4096): Map[String, Array[Byte]] = {
     import org.apache.spark.sql.functions.col
     df.select(col(groupCol).cast("string"), col(valueCol)).rdd.mapPartitions { it =>
       val m = scala.collection.mutable.Map.empty[
@@ -89,7 +89,8 @@ object ThetaNdv {
       it.foreach { r =>
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
           val sk = m.getOrElseUpdate(r.getString(0),
-            org.apache.datasketches.theta.UpdateSketch.builder().build())
+            org.apache.datasketches.theta.UpdateSketch.builder()
+              .setNominalEntries(nominalEntries).build())
           r.get(1) match {
             case v: java.lang.Long => sk.update(v.longValue())
             case v: java.lang.Integer => sk.update(v.longValue())
@@ -99,18 +100,31 @@ object ThetaNdv {
         }
       }
       m.iterator.map { case (g, sk) => (g, sk.compact().toByteArray) }
-    }.reduceByKey(union).collect().toMap
+    }.reduceByKey(union(_, _, nominalEntries)).collect().toMap
   }
 
-  /** Union two compact sketches — the merge the rollup rides. */
-  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+  /** Union two compact sketches — the merge the rollup rides. The
+    * union gate must be AT LEAST as wide as the inputs' build size:
+    * a default-width union of wider exact sketches would downsample
+    * them back into estimation mode. */
+  def union(a: Array[Byte], b: Array[Byte], nominalEntries: Int = 4096): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder()
+      .setNominalEntries(nominalEntries).buildUnion()
     u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
       org.apache.datasketches.memory.Memory.wrap(a)))
     u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
       org.apache.datasketches.memory.Memory.wrap(b)))
     u.getResult.toByteArray
   }
+
+  /** True while the sketch never sampled (theta == 1.0): every hash is
+    * retained and `estimate` IS the exact distinct count — the
+    * exact-under-capacity property that turns a sketch entry into a
+    * hash-oracle-able one (the a13 pattern applied to distinct
+    * counting). */
+  def isExact(bytes: Array[Byte]): Boolean =
+    !org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)).isEstimationMode
 
   def emptySketch(): Array[Byte] =
     org.apache.datasketches.theta.UpdateSketch.builder().build().compact().toByteArray

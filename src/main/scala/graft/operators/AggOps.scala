@@ -170,6 +170,53 @@ object AggOps extends QueryModule {
     None,
   )
 
+  /** A4b: EXACT-UNDER-CAPACITY sketch distinct (r16 verdict #5 — the
+    * a13 pattern applied to distinct counting, giving the A4 row its
+    * true hash oracle): per-group theta sketches built with a nominal
+    * capacity ABOVE the value domain retain every hash (theta = 1.0),
+    * so `estimate` IS the exact distinct count, and exact sketches
+    * UNION exactly — the merged all-groups sketch equals the global
+    * distinct. Both properties are `require`d in-entry at whatever sf
+    * the entry runs ([[graft.core.ThetaNdv.isExact]]), so the DuckDB
+    * twin is plain COUNT(DISTINCT) per group plus its global rollup —
+    * a true hash oracle for a sketch entry. At 100 TB this is the
+    * bounded-domain tier of the sketch ladder: dimension-keyed distinct
+    * counts (suppliers, SKUs, country codes) stay EXACT at fixed
+    * memory, and only unbounded domains pay the approximation.
+    * Shuffle is O(partitions × groups × sketch), values never move
+    * ([[graft.core.ThetaNdv.groupedSketches]]). */
+  val a4bSketchDistinctExact = QueryDef(
+    "a4b_sketch_distinct_exact",
+    (s, d) => {
+      import graft.core.ThetaNdv
+      // lgK 18 (262 144 entries) covers the supplier domain through
+      // sf ~26 000; the in-entry exactness require turns a silent
+      // over-capacity decay into a loud failure, not a wrong answer
+      val cap = 1 << 18
+      val perFlag = ThetaNdv.groupedSketches(
+        Tables.lineitem(s, d).select("l_returnflag", "l_suppkey"),
+        "l_returnflag", "l_suppkey", nominalEntries = cap)
+      perFlag.foreach { case (g, b) =>
+        require(ThetaNdv.isExact(b),
+          s"a4b: sketch for flag $g sampled — raise capacity (the exact-under-capacity claim)")
+      }
+      val global = perFlag.values.reduce(ThetaNdv.union(_, _, cap))
+      require(ThetaNdv.isExact(global),
+        "a4b: the merged sketch must stay exact (exact sketches union exactly)")
+      val rows = perFlag.toSeq.map { case (g, b) => (g, ThetaNdv.estimate(b)) } :+
+        (("~all", ThetaNdv.estimate(global)))
+      s.createDataFrame(rows).toDF("l_returnflag", "n_supp")
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT '~all', CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+      ORDER BY l_returnflag
+    """.stripMargin.trim),
+  )
+
   /** Corpus dirs whose a4 accuracy gate already ran this session. */
   private val a4Gated = graft.core.Once.futures[java.lang.Boolean]()
 
@@ -556,8 +603,8 @@ object AggOps extends QueryModule {
       // day → week → global: pure sketch unions, zero data re-reads
       val weekly: Map[Long, Array[Byte]] =
         daily.groupBy { case (day, _) => weekOf(day) }
-          .map { case (w, sks) => w -> sks.values.reduce(T.union) }
-      val globalEst = T.estimate(weekly.values.reduce(T.union))
+          .map { case (w, sks) => w -> sks.values.reduce(T.union(_, _)) }
+      val globalEst = T.estimate(weekly.values.reduce(T.union(_, _)))
       val exact = ev
         .groupBy(floor(datediff(col("day"), lit("2024-01-01")) / 7).cast("long").as("week"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
@@ -588,6 +635,7 @@ object AggOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     a1PricingSummary, a2GlobalAgg, a3CountDistinct, a4ApproxDistinct,
+    a4bSketchDistinctExact,
     a5Rollup, a5Cube, a6Percentiles, a6Approx, a7AggExpr, a8CollectSet, a9Having,
     a10Moments, a11SketchRollup, a12OrderedAgg, a13ApproxTopK, a13bTopKRollup,
   )
