@@ -3969,6 +3969,75 @@ object IngestOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S73 (r16 verdict #6): EQUALITY-DELETE debt stays LAZILY PLANNED —
+    * the r16 sequence-bounds planner graded by the driver, mirroring
+    * s72's DV claim on the one MoR shape that used to force the eager
+    * walk. Lifecycle: two partitioned single-status appends, an
+    * EQUALITY delete (spec content=2 — keys, not positions), then a
+    * post-delete append RE-INSERTING the deleted keys (marker price) —
+    * the version-sequenced semantics (a delete applies only to strictly
+    * older data sequences) that the oracle's CASE reconstructs. The
+    * status-filtered aggregate must plan through
+    * [[graft.interop.Iceberg.EqPlanningScope]]: every manifest's
+    * [min_seq, seq] bounds sit wholly on one side of the delete's
+    * sequence, so NO manifest is fetched for group assignment, and the
+    * partition probe fetches exactly the two O-partition manifests of
+    * three (`IcebergIntrospect.lastManifestPlanning`). At 100 TB this
+    * is what keeps CDC-style keyed retractions (the commonest equality
+    * deletes) from degrading every later query to an eager
+    * full-manifest walk. Straddling merged manifests, bit-equality
+    * with the eager path, and the adversarial predicate battery are
+    * spec-locked in ManifestPruningSpec ("equality-delete debt: …"). */
+  val s73EqDeletePlanning = QueryDef(
+    "s73_eq_delete_planning",
+    (s, d) => {
+      val I = graft.interop.Iceberg
+      // the debted table is never mutated after the producer commits —
+      // built once per corpus ([[graft.ingest.Prefix]], the t11Src
+      // direct-read precedent); the graded PLANNING (lazy read +
+      // introspection requires) runs against it every execution
+      val prefix = graft.ingest.Prefix.once("s73_eq", d) { base =>
+        val ipB = base.resolve("tbl").toString
+        // a 1/3 key slice, like s72: the claim is metadata shape, not volume
+        val orders = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def leg(status: String) = orders.filter(col("o_orderstatus") === status)
+        I.write(leg("F"), ipB, partitionBy = Seq("o_orderstatus"))
+        I.write(leg("O"), ipB, partitionBy = Seq("o_orderstatus"), mode = SaveMode.Append)
+        val gone = leg("O").filter(col("o_orderkey") % 10 === 0)
+        I.deleteEquality(s, ipB, gone.select("o_orderkey"))
+        // re-insert the deleted keys AFTER the delete with a marker price:
+        // version sequencing must keep them (strictly-newer data sequence)
+        I.write(gone.withColumn("o_totalprice", lit(0.0)), ipB,
+          partitionBy = Seq("o_orderstatus"), mode = SaveMode.Append)
+      }
+      val ip = prefix.resolve("tbl").toString
+      require(I.snapshot(s, ip).eqDeletes.nonEmpty,
+        "s73: the keyed delete must land as an equality-delete file")
+      val out = I.read(s, ip).filter(col("o_orderstatus") === "O")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), unscale(sum(cents("o_totalprice")), 2).as("sum_val"))
+        .select(col("o_orderstatus").as("grp"), col("n_rows"), col("sum_val"))
+        .orderBy("grp")
+      require(out.count() > 0, "s73: empty result")
+      val (fetched, total) = graft.interop.IcebergIntrospect.lastManifestPlanning(ip).get
+      require(total == 3 && fetched == 2,
+        s"s73: eq debt must stay manifest-list-pruned (bounds-classified groups, " +
+          s"partition veto) — planned ($fetched, $total)")
+      out
+    },
+    Some("""
+      SELECT o_orderstatus AS grp, count(*) AS n_rows,
+        sum(CAST(round(CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END
+          * 100) AS BIGINT)) / 100.0 AS sum_val
+      FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderstatus = 'O'
+      GROUP BY o_orderstatus
+      ORDER BY grp
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(s1Scan, s2Csv, s2bPipeline, s3Json, s4Jdbc, s4bJdbcIncremental,
     s5Xlsx, s6Orc, s6cAvro, s7Partitioned, s8Incremental, s10Scd2, s11DqReport, s12Xml,
     s13Compaction, s14SchemaDrift, s15SortedLayout, s16StatsCbo, s17Snapshot,
@@ -3984,5 +4053,5 @@ object IngestOps extends QueryModule {
     s59IcebergSortOrder, s60ColumnDefaults, s61MergeEvolution, s62DropColumn,
     s63TypeWidening, s65Variant, s65bVariantShredding, s66PartitionEvolution,
     s67ConcurrentAppends, s68PuffinStats, s69DynamicOverwrite, s70IdentityColumns,
-    s72MorPrunedPlanning)
+    s72MorPrunedPlanning, s73EqDeletePlanning)
 }
