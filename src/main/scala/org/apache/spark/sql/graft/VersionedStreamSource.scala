@@ -232,6 +232,20 @@ object StreamIntrospect {
         f.relation.location.inputFiles.toSeq
     }.flatten)
   }
+
+  /** Re-flag a source's `getBatch` frame as a BATCH frame so a contract
+    * spec can collect it outside MicroBatchExecution (the engine itself
+    * does this substitution internally; `isStreaming` and
+    * `Dataset.ofRows` are private[sql], hence this shim seam). Test
+    * seam only — production consumption always goes through the
+    * engine. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[ClassicSession]
+    val batchPlan = df.queryExecution.logical.transform {
+      case lr: LogicalRelation if lr.isStreaming => lr.copy(isStreaming = false)
+    }
+    Dataset.ofRows(session, batchPlan)
+  }
 }
 
 /** `format("graft-versioned")` provider (registered via

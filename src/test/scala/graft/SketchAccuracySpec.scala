@@ -46,8 +46,8 @@ class SketchAccuracySpec extends AnyFunSuite with SparkFixture {
     }
     // union order must not matter (mergeability): forward == reversed == exact global
     val global = ev.select(countDistinct(col("user_id"))).head().getLong(0)
-    val fwd = T.estimate(daily.values.reduce(T.union))
-    val rev = T.estimate(daily.values.toSeq.reverse.reduce(T.union))
+    val fwd = T.estimate(daily.values.reduce(T.union(_, _)))
+    val rev = T.estimate(daily.values.toSeq.reverse.reduce(T.union(_, _)))
     assert(fwd == global && rev == global,
       s"sketch union must be order-independent and exact here ($fwd/$rev vs $global)")
   }
