@@ -31,6 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.create_ref('ns.tbl', name => 'audit', type => 'tag')  -- iceberg
   *   CALL graft.system.fast_forward('ns.tbl', branch => 'staging')  -- WAP publish
   *   CALL graft.system.clone('ns.tbl', target => 'ns.tbl_dev')  -- delta zero-copy
+  *   CALL graft.system.rewrite_table_path('ns.tbl', target => 'ns.tbl_dr')  -- iceberg DR copy
   * }}}
   *
   * Each procedure dispatches to the format's existing Scala
@@ -45,7 +46,7 @@ object GraftProcedures {
     Seq("compact", "vacuum", "expire_snapshots", "rewrite_manifests",
       "analyze_table", "replace_partition_spec", "rollback_to_snapshot",
       "sync_identity", "create_ref", "drop_ref", "fast_forward", "clone",
-      "maintain_clustered")
+      "maintain_clustered", "rewrite_table_path")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -135,6 +136,9 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "clone" => Array(
       p("table", StringType).build(),
       p("target", StringType).build())
+    case "rewrite_table_path" => Array(
+      p("table", StringType).build(),
+      p("target", StringType).build())
     case "rollback_to_snapshot" => Array(
       p("table", StringType).build(),
       // exactly ONE of the two selectors: `version` is the Delta/graft
@@ -167,6 +171,7 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
     case "create_ref" | "fast_forward" => StructType(Nil).add("snapshot_id", LongType)
     case "drop_ref" => StructType(Nil).add("dropped", LongType)
     case "clone" => StructType(Nil).add("version", LongType)
+    case "rewrite_table_path" => StructType(Nil).add("copied", LongType)
     case _ => StructType(Nil).add("result_version", LongType)
   }
 
@@ -231,6 +236,27 @@ private[graft] final class GraftProcedure(cat: GraftCatalog, procName: String)
       val tdir = cat.tableDirFor(Identifier.of(Array(tparts.head), tparts(1)))
       val v = graft.interop.DeltaLake.shallowClone(spark, path, tdir.toString)
       return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](v))))
+    }
+    if (procName == "rewrite_table_path") {
+      // Iceberg's rewrite_table_path DR verb ([[graft.interop
+      // .IcebergRelocate]]): copy the tree under a NEW catalog name and
+      // rewrite every absolute self-reference (metadata.json strings,
+      // manifest path/file_path/referenced_data_file strings, byte-
+      // encoded file_path bounds) so the copy is fully self-contained.
+      // Iceberg-only: Delta/graft metadata is table-relative, so their
+      // DR copy is a plain byte copy (and Delta's zero-copy verb is
+      // `clone`). Parquet-stored delete debt refuses inside relocate.
+      require(fmt == "iceberg",
+        s"GraftCatalog rewrite_table_path: $fmt metadata is table-relative — a " +
+          "byte copy relocates it; this verb rewrites Iceberg's absolute paths")
+      val tgtName = input.getUTF8String(1).toString
+      val tparts0 = tgtName.split('.').toSeq.filter(_.nonEmpty)
+      val tparts = if (tparts0.headOption.contains("graft")) tparts0.tail else tparts0
+      require(tparts.size == 2,
+        s"GraftCatalog rewrite_table_path: target '$tgtName' must name [graft.]namespace.table")
+      val tdir = cat.tableDirFor(Identifier.of(Array(tparts.head), tparts(1)))
+      graft.interop.IcebergRelocate.relocate(path, tdir.toString)
+      return resultScan(Array[InternalRow](new GenericInternalRow(Array[Any](1L))))
     }
     if (procName == "create_ref" || procName == "drop_ref" || procName == "fast_forward") {
       // Iceberg's refs layer (spec `refs` map): tags pin snapshots

@@ -279,4 +279,28 @@ class MaintenanceProceduresSpec extends AnyFunSuite with SparkFixture {
       "CALL graft.system.rollback_to_snapshot('dbmr.tg', version => 999)").collect())
     assert(e4.getMessage.contains("not committed"), e4.getMessage)
   }
+
+  test("CALL rewrite_table_path copies an iceberg table under a new name; refusals loud") {
+    import spark.implicits._
+    val whd = wh("dbrt"); Writers.deleteTree(whd)
+    spark.sql("DROP NAMESPACE IF EXISTS graft.dbrt CASCADE")
+    spark.sql("CREATE NAMESPACE graft.dbrt")
+    val src = whd.resolve("ti").toString
+    Iceberg.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+    Iceberg.write(Seq((3L, "c")).toDF("k", "v"), src, mode = SaveMode.Append)
+    val res = spark.sql("CALL graft.system.rewrite_table_path('dbrt.ti', target => 'dbrt.ti_dr')")
+      .collect()
+    assert(res.length == 1)
+    // the copy serves under its catalog NAME, self-contained, and
+    // diverges independently of the source
+    assert(spark.table("graft.dbrt.ti_dr").count() == 3L)
+    spark.sql("INSERT INTO graft.dbrt.ti_dr VALUES (9, 'z')")
+    assert(spark.table("graft.dbrt.ti_dr").count() == 4L)
+    assert(spark.table("graft.dbrt.ti").count() == 3L, "source must not see copy commits")
+    // non-iceberg formats refuse (their metadata is table-relative)
+    DeltaLake.write(Seq((1L, "a")).toDF("k", "v"), whd.resolve("td").toString)
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.rewrite_table_path('dbrt.td', target => 'dbrt.td_dr')").collect())
+    assert(e.getMessage.contains("table-relative"), e.getMessage)
+  }
 }
