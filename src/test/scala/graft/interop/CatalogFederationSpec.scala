@@ -39,7 +39,10 @@ class CatalogFederationSpec extends AnyFunSuite with SparkFixture {
 
   private def reset(): Unit = {
     fed2Ready
-    spark.sql("USE graft") // tests must not depend on suite order
+    // the session is JVM-shared: every statement here is fully
+    // qualified, and any USE below must restore spark_catalog or later
+    // suites' unqualified session-catalog DDL would resolve into graft
+    spark.sql("USE spark_catalog")
     Seq("graft", "fed2").foreach(c =>
       spark.sql(s"DROP NAMESPACE IF EXISTS $c.fedns CASCADE"))
     Seq("graft", "fed2").foreach(c => spark.sql(s"CREATE NAMESPACE $c.fedns"))
@@ -86,7 +89,7 @@ class CatalogFederationSpec extends AnyFunSuite with SparkFixture {
       spark.sql("USE fed2.fedns")
       assert(spark.sql("SELECT k FROM cur").head().getLong(0) == 7L,
         "an unqualified name must bind to the current catalog+namespace")
-    } finally spark.sql("USE graft")
+    } finally spark.sql("USE spark_catalog")
   }
 
   test("stored procedures and time travel dispatch against the owning instance") {

@@ -95,6 +95,27 @@ class IcebergRelocateSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("delete file stored as parquet"))
   }
 
+  test("statistics (Puffin) and refs survive relocation and serve from the new root") {
+    val src = freshDir("reloc_stats_src")
+    val dst = freshDir("reloc_stats_dst")
+    java.nio.file.Files.deleteIfExists(Paths.get(dst))
+    Iceberg.write(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") % 10).as("v")), src)
+    // Puffin ndv blobs + the metadata `statistics` entry (absolute
+    // statistics-path) + a named ref — the richer metadata surfaces
+    // whose self-references must re-root too
+    Iceberg.analyzeTable(spark, src)
+    Iceberg.createRef(spark, src, "audit", Iceberg.snapshot(spark, src).snapshotId, "tag")
+    IcebergRelocate.relocate(src, dst)
+    assert(metaMentions(dst, src) == 0,
+      "statistics-path and every other self-reference must re-root")
+    // the relocated statistics still serve (ndv from the copied blob)
+    val ndv = Iceberg.readTableStatistics(spark, dst)
+    assert(ndv.get("k").exists(n => n > 900 && n <= 1100),
+      s"relocated Puffin ndv must still serve: $ndv")
+    assert(Iceberg.refs(dst).contains("audit"), "refs ride metadata — must survive")
+  }
+
   test("refuses a non-table source and an existing destination") {
     val notATable = freshDir("reloc_not_table")
     java.nio.file.Files.createDirectories(Paths.get(notATable))
