@@ -1238,7 +1238,13 @@ object StreamOps extends QueryModule {
           .start()
         q.awaitTermination()
       }
-      V.commit(ev.filter(col("ts") >= splitNs), tbl)
+      // the post-split bootstrap commit is corpus-immutable — built
+      // once ([[graft.ingest.Prefix]], r17) and cloned per run (the
+      // run appends its own pre-split commit below)
+      val t17Prefix = graft.ingest.Prefix.once("t17_boot", d) { b =>
+        V.commit(ev.filter(col("ts") >= splitNs), b.resolve("tbl").toString): Unit
+      }
+      graft.ingest.Writers.copyTree(t17Prefix.resolve("tbl"), java.nio.file.Paths.get(tbl))
       runOnce() // watermark climbs to max(ts) − 10 min, weeks past the split
       V.appendCommit(ev.filter(col("ts") < splitNs), tbl)
       runOnce() // the appended commit is entirely behind the watermark → dropped
@@ -1280,8 +1286,13 @@ object StreamOps extends QueryModule {
       val ckpt = base.resolve("ckpt").toString
       val sink = base.resolve("sink").toString
       val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-      ev.filter(col("event_id") % 2 === 0)
-        .write.format("delta").partitionBy("event_type").save(tbl) // v0: bootstrap
+      // v0 bootstrap is corpus-immutable — built once ([[graft.ingest
+      // .Prefix]], r17), cloned per run (this run appends v1/v2 below)
+      val t18Prefix = graft.ingest.Prefix.once("t18_boot", d) { b =>
+        ev.filter(col("event_id") % 2 === 0)
+          .write.format("delta").partitionBy("event_type").save(b.resolve("tbl").toString)
+      }
+      graft.ingest.Writers.copyTree(t18Prefix.resolve("tbl"), java.nio.file.Paths.get(tbl))
       def drainOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
         val q = s.readStream.format("delta").load(tbl)
           .writeStream.format("parquet")
@@ -1344,8 +1355,14 @@ object StreamOps extends QueryModule {
       val ckpt = base.resolve("ckpt").toString
       val sink = base.resolve("sink").toString
       val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-      ev.filter(col("event_id") % 2 === 0)
-        .write.format("iceberg").partitionBy("event_type").save(tbl)
+      // v0 bootstrap is corpus-immutable — built once ([[graft.ingest
+      // .Prefix]], r17) and cloned per run via [[graft.interop
+      // .IcebergRelocate]] (absolute-path metadata); v1/v2 land below
+      val t19Prefix = graft.ingest.Prefix.once("t19_boot", d) { b =>
+        ev.filter(col("event_id") % 2 === 0)
+          .write.format("iceberg").partitionBy("event_type").save(b.resolve("tbl").toString)
+      }
+      graft.interop.IcebergRelocate.relocate(t19Prefix.resolve("tbl").toString, tbl)
       def drainOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
         val q = s.readStream.format("iceberg").load(tbl)
           .writeStream.format("parquet")
