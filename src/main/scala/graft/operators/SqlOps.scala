@@ -600,8 +600,85 @@ object SqlOps extends QueryModule {
     """.stripMargin.trim),
   )
 
+  /** S74 (r17): Iceberg TABLE RELOCATION graded — `CALL graft.system
+    * .rewrite_table_path` (the spec's rewrite_table_path DR verb,
+    * [[graft.interop.IcebergRelocate]]) driven on a DELETION-VECTOR-
+    * DEBTED v3 table, the sharp case: the copy's manifests must
+    * re-root `referenced_data_file` pointers AND the byte-encoded
+    * `file_path` column bounds, or the relocated read would resurrect
+    * (or wrongly re-delete) rows. In-entry requires: not one metadata
+    * byte of the copy references the source root (the DR
+    * self-containment claim — a copy that still points home is lost
+    * with the home region), and the debt RODE ALONG (dvDeletes
+    * non-empty on the copy). The oracle grades the relocated read's
+    * content: slice minus the deleted keys, served through relocated
+    * DV pointers. Independence of source/copy commits, stats/refs
+    * relocation, and the parquet-delete refusal are spec-locked in
+    * IcebergRelocateSpec; the refusal matrix for non-Iceberg formats
+    * in MaintenanceProceduresSpec. At 100 TB this is the
+    * region-migration/DR story: O(metadata) rewrite + an
+    * embarrassingly-parallel byte copy, zero data-file decode. */
+  val s74RewriteTablePath = QueryDef(
+    "s74_rewrite_table_path",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import graft.core.Casts.{cents, unscale}
+      val I = graft.interop.Iceberg
+      val ns = "rt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+      s.sql(s"CREATE NAMESPACE graft.$ns")
+      val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+      val srcPath = java.nio.file.Paths.get(wh, ns, "src").toString
+      // the DV-debted producer is corpus-immutable — built once
+      // ([[graft.ingest.Prefix]]); each run lands its own fresh copy
+      // pair in the warehouse and drives the graded CALL
+      val prefix = graft.ingest.Prefix.once("s74_dr", d) { base =>
+        val tbl = base.resolve("tbl").toString
+        val orders = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        I.write(orders, tbl)
+        I.upgradeToV3(s, tbl)
+        I.deleteMergeOnRead(s, tbl, col("o_orderkey") % 10 === 0): Unit
+      }
+      graft.interop.IcebergRelocate.relocate(prefix.resolve("tbl").toString, srcPath)
+      s.sql(s"CALL graft.system.rewrite_table_path('$ns.src', target => '$ns.dr')").collect()
+      val drPath = java.nio.file.Paths.get(wh, ns, "dr")
+      // DR self-containment: no metadata byte of the copy mentions the
+      // source root (paths live as plain UTF-8 in both JSON and Avro,
+      // so a raw scan finds any stale reference regardless of container)
+      locally {
+        val walk = java.nio.file.Files.walk(drPath.resolve("metadata"))
+        try {
+          import scala.jdk.CollectionConverters._
+          val stale = walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .count(f => new String(java.nio.file.Files.readAllBytes(f),
+              java.nio.charset.StandardCharsets.ISO_8859_1).contains(srcPath))
+          require(stale == 0,
+            s"s74: $stale metadata files of the copy still reference the source root")
+        } finally walk.close()
+      }
+      require(I.snapshot(s, drPath.toString).dvDeletes.nonEmpty,
+        "s74: the deletion-vector debt must ride the relocation")
+      s.table(s"graft.$ns.dr")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), unscale(sum(cents("o_totalprice")), 2).as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+      FROM orders
+      WHERE o_orderkey % 3 = 2 AND o_orderkey % 10 <> 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """.stripMargin.trim),
+  )
+
   def defs: Seq[QueryDef] = Seq(sub1Scalar, sub2In, sub3Exists, sub4Lateral, sub5Recursive,
     sql1SqlUdf, sql2PipeSyntax, sql3Collation, sql4SessionVars, sql5ExecuteImmediate,
     s50CatalogSql,
-    s56TableChanges, s64SqlMaintenance, s71IcebergView)
+    s56TableChanges, s64SqlMaintenance, s71IcebergView, s74RewriteTablePath)
 }
