@@ -52,6 +52,14 @@ object Xlsx {
 
   /** Parse one workbook's bytes into header + string rows. */
   private[ingest] def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
+    // legacy binary .xls is an OLE2/CFB container (magic D0 CF 11 E0),
+    // not a zip of XML parts — a DOCUMENTED refusal (SURVEY §7.4): name
+    // the format instead of failing later with "no worksheets"
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
+        (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0)
+      throw new IllegalArgumentException(
+        "legacy binary .xls (OLE2/CFB container) is not supported — " +
+          "re-save as .xlsx (Office Open XML); only the zip-of-XML format is implemented")
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var shared = IndexedSeq.empty[String]
     // only the first-ordered sheet is parsed — keep best-so-far while

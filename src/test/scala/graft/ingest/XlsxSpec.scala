@@ -83,6 +83,14 @@ class XlsxSpec extends AnyFunSuite with SparkFixture {
     assert(Xlsx.parseWorkbook(evil)._1 == Seq("k"))
   }
 
+  test("parseWorkbook names the legacy OLE2 .xls format in its refusal") {
+    // the CFB magic D0 CF 11 E0: the documented refusal must say what
+    // the file IS, not fail later with "no worksheets"
+    val ole2 = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte, 0, 0, 0, 0)
+    val e = intercept[IllegalArgumentException](Xlsx.parseWorkbook(ole2))
+    assert(e.getMessage.contains("OLE2") && e.getMessage.contains(".xlsx"))
+  }
+
   test("read: distributed parse, sanitized headers, coercible output") {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_test", "xlsx")
     Files.createDirectories(dir)
