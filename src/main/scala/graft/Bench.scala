@@ -69,16 +69,23 @@ object Bench {
       V.commit(spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v"), p)
       spark.sql("DROP TABLE IF EXISTS graft_bench_warm_dml")
       spark.sql(s"CREATE TABLE graft_bench_warm_dml USING `graft-versioned` OPTIONS (path '$p')")
-      spark.range(3, 5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
-        .createOrReplaceTempView("graft_bench_warm_src")
-      spark.sql("INSERT INTO graft_bench_warm_dml SELECT * FROM graft_bench_warm_src")
-      spark.sql("""MERGE INTO graft_bench_warm_dml t USING graft_bench_warm_src s
-        ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
-      spark.sql("UPDATE graft_bench_warm_dml SET v = 'u' WHERE k = 1")
-      spark.sql("DELETE FROM graft_bench_warm_dml WHERE k = 2")
-      spark.sql("REFRESH TABLE graft_bench_warm_dml")
-      spark.sql("SELECT count(*) FROM graft_bench_warm_dml").collect()
-      spark.sql("DROP TABLE graft_bench_warm_dml")
+      try {
+        spark.range(3, 5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+          .createOrReplaceTempView("graft_bench_warm_src")
+        spark.sql("INSERT INTO graft_bench_warm_dml SELECT * FROM graft_bench_warm_src")
+        spark.sql("""MERGE INTO graft_bench_warm_dml t USING graft_bench_warm_src s
+          ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+        spark.sql("UPDATE graft_bench_warm_dml SET v = 'u' WHERE k = 1")
+        spark.sql("DELETE FROM graft_bench_warm_dml WHERE k = 2")
+        spark.sql("REFRESH TABLE graft_bench_warm_dml")
+        spark.sql("SELECT count(*) FROM graft_bench_warm_dml").collect()
+      } finally {
+        // drop BOTH registrations even on a mid-warm failure — a leaked
+        // table/view over a scratch path would surface in every later
+        // session-catalog listing an entry or spec performs
+        spark.sql("DROP TABLE IF EXISTS graft_bench_warm_dml")
+        spark.sql("DROP VIEW IF EXISTS graft_bench_warm_src")
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] dml warm failed: ${e.getMessage}") }
     locally {
       import org.apache.spark.sql.streaming.Trigger

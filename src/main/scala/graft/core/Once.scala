@@ -22,17 +22,31 @@ object Once {
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.CompletableFuture[V]]()
 
+  /** Keys this THREAD is currently building — a re-entrant build of
+    * the same key would otherwise `join()` the thread's own incomplete
+    * future and hang forever with no diagnostic (strictly worse than
+    * `computeIfAbsent`'s loud "Recursive update"); detect and throw. */
+  private val building = new ThreadLocal[scala.collection.mutable.Set[(Int, String)]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[(Int, String)]
+  }
+
   /** Run `work` at most once per `key` (retrying after a failure),
     * returning the built value to the builder and every waiter. */
   def build[V](map: Futures[V], key: String)(work: => V): V = {
+    val claim = (System.identityHashCode(map), key)
+    if (building.get.contains(claim))
+      throw new IllegalStateException(
+        s"Once.build: re-entrant build of '$key' — the work function " +
+          "(transitively) requested its own fixture")
     val fut = new java.util.concurrent.CompletableFuture[V]()
     val prior = map.putIfAbsent(key, fut)
     if (prior == null) {
+      building.get += claim
       try { val v = work; fut.complete(v); v }
       catch {
         case t: Throwable =>
           fut.completeExceptionally(t); map.remove(key, fut); throw t
-      }
+      } finally building.get -= claim
     } else prior.join()
   }
 

@@ -32,4 +32,17 @@ object Prefix {
       build(base)
       base
     }
+
+  /** Build-once + clone-per-run in one call: the fixture's `sub` tree
+    * clones into `dest` (deleted first — [[Writers.copyTree]] requires
+    * a fresh destination). For RELATIVE-PATH trees only (Delta and the
+    * graft-native format); Iceberg clones must go through
+    * [[graft.interop.IcebergRelocate]] instead (absolute-path
+    * metadata). */
+  def cloneTo(name: String, d: String, sub: String, dest: String)(
+      build: java.nio.file.Path => Unit): Unit = {
+    val p = once(name, d)(build)
+    Writers.deleteTree(java.nio.file.Paths.get(dest))
+    Writers.copyTree(p.resolve(sub), java.nio.file.Paths.get(dest))
+  }
 }

@@ -148,7 +148,7 @@ object AggOps extends QueryModule {
       // (measured 40x slower at sf0.1) — and ONCE per corpus dir (the
       // estimates are deterministic for a fixed input, so re-gating
       // every execution only re-proves the same arithmetic)
-      gateOnce(a4Gated, d) {
+      graft.core.Once.gate(a4Gated, d) {
         val exact = Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
@@ -189,9 +189,10 @@ object AggOps extends QueryModule {
     "a4b_sketch_distinct_exact",
     (s, d) => {
       import graft.core.ThetaNdv
-      // lgK 18 (262 144 entries) covers the supplier domain through
-      // sf ~26 000; the in-entry exactness require turns a silent
-      // over-capacity decay into a loud failure, not a wrong answer
+      // lgK 18 (262 144 entries) covers the supplier domain (10 000 ×
+      // sf) through sf ~26 — far past any bench sf here; the in-entry
+      // exactness require turns a silent over-capacity decay into a
+      // loud failure, not a wrong answer
       val cap = 1 << 18
       val perFlag = ThetaNdv.groupedSketches(
         Tables.lineitem(s, d).select("l_returnflag", "l_suppkey"),
@@ -220,13 +221,6 @@ object AggOps extends QueryModule {
   /** Corpus dirs whose a4 accuracy gate already ran this session. */
   private val a4Gated = graft.core.Once.futures[java.lang.Boolean]()
 
-  /** The gates run full Spark jobs, so they must not run under a
-    * `computeIfAbsent` bin lock (r15 ADVICE) — shared claim-future
-    * implementation hoisted to [[graft.core.Once]] (r17). */
-  private def gateOnce(
-      map: graft.core.Once.Futures[java.lang.Boolean],
-      key: String)(work: => Unit): Unit =
-    graft.core.Once.gate(map, key)(work)
 
   /** A12 (r15): ORDERED-SET / OCCURRENCE aggregates — Spark 4's
     * `listagg ... WITHIN GROUP` (deterministic because DISTINCT +
@@ -429,7 +423,7 @@ object AggOps extends QueryModule {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
         )
         .orderBy("l_returnflag")
-      gateOnce(a6Gated, d) {
+      graft.core.Once.gate(a6Gated, d) {
         val exact = Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(

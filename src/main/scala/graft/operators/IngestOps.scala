@@ -925,15 +925,13 @@ object IngestOps extends QueryModule {
       // per run (relative-path manifests); the graded operators —
       // plan-shape proof, compaction, no-op re-compaction, vacuum —
       // mutate the clone every time
-      val prefix = graft.ingest.Prefix.once("s21_history", d) { base =>
+      val path = tmp("s21_history", d)
+      graft.ingest.Prefix.cloneTo("s21_history", d, "tbl", path) { base =>
         val tbl = base.resolve("tbl").toString
         val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         for (slice <- 0 until 12)
           V.appendCommit(src.filter(col("o_orderkey") % 12 === slice), tbl)
       }
-      val path = tmp("s21_history", d)
-      Writers.deleteTree(path)
-      Writers.copyTree(prefix.resolve("tbl"), java.nio.file.Paths.get(path))
       val longRead = V.read(s, path)
       val scans = "Scan parquet".r
         .findAllIn(longRead.queryExecution.executedPlan.toString).length
@@ -2138,7 +2136,8 @@ object IngestOps extends QueryModule {
     "s43_interop_compaction",
     (s, d) => {
       val D = graft.interop.DeltaLake
-      val prefix = graft.ingest.Prefix.once("s43_compact", d) { base =>
+      val path = tmp("s43_compact", d)
+      graft.ingest.Prefix.cloneTo("s43_compact", d, "tbl", path) { base =>
         val tbl = base.resolve("tbl").toString
         val orders = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -2147,9 +2146,6 @@ object IngestOps extends QueryModule {
             mode = if (i == 0) org.apache.spark.sql.SaveMode.Overwrite
               else org.apache.spark.sql.SaveMode.Append)
       }
-      val path = tmp("s43_compact", d)
-      Writers.deleteTree(path)
-      Writers.copyTree(prefix.resolve("tbl"), java.nio.file.Paths.get(path))
       val before = D.snapshot(s, path)
       require(before.files.size >= 8, s"s43: expected a small-file mess, got ${before.files.size}")
       val v = D.compact(s, path)
@@ -2192,16 +2188,14 @@ object IngestOps extends QueryModule {
     "s44_delta_cdf",
     (s, d) => {
       val D = graft.interop.DeltaLake
-      val prefix = graft.ingest.Prefix.once("s44_cdf", d) { base =>
+      val path = tmp("s44_cdf", d)
+      graft.ingest.Prefix.cloneTo("s44_cdf", d, "tbl", path) { base =>
         val tbl = base.resolve("tbl").toString
         val orders = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
         D.write(orders, tbl) // v0: derived inserts
         D.enableChangeDataFeed(s, tbl) // v1: metadata only
       }
-      val path = tmp("s44_cdf", d)
-      Writers.deleteTree(path)
-      Writers.copyTree(prefix.resolve("tbl"), java.nio.file.Paths.get(path))
       D.updateWhere(s, path, Map("o_totalprice" -> lit(0.0)),
         Some(col("o_orderkey") % 10 === 0)) // v2: pre/post images
       D.deleteWhere(s, path, col("o_orderkey") % 10 === 5) // v3: delete images
@@ -2771,7 +2765,8 @@ object IngestOps extends QueryModule {
       // once ([[graft.ingest.Prefix]], r17) and CLONED per run
       // (relative-path Delta log); the graded operator — compaction
       // preserving every row identity — mutates the clone every time
-      val prefix = graft.ingest.Prefix.once("s53_delta_rt", d) { base =>
+      val path = tmp("s53_delta_rt", d)
+      graft.ingest.Prefix.cloneTo("s53_delta_rt", d, "tbl", path) { base =>
         val tbl = base.resolve("tbl").toString
         val orders = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -2782,9 +2777,6 @@ object IngestOps extends QueryModule {
         D.deleteMergeOnRead(s, tbl,
           col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
       }
-      val path = tmp("s53_delta_rt", d)
-      Writers.deleteTree(path)
-      Writers.copyTree(prefix.resolve("tbl"), java.nio.file.Paths.get(path))
       val pre = D.readWithRowTracking(s, path)
         .select(col("o_orderkey").as("k"), col("_row_id").as("pre_id"))
       D.compact(s, path)

@@ -646,20 +646,12 @@ object SqlOps extends QueryModule {
       s.sql(s"CALL graft.system.rewrite_table_path('$ns.src', target => '$ns.dr')").collect()
       val drPath = java.nio.file.Paths.get(wh, ns, "dr")
       // DR self-containment: no metadata byte of the copy mentions the
-      // source root (paths live as plain UTF-8 in both JSON and Avro,
-      // so a raw scan finds any stale reference regardless of container)
-      locally {
-        val walk = java.nio.file.Files.walk(drPath.resolve("metadata"))
-        try {
-          import scala.jdk.CollectionConverters._
-          val stale = walk.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .count(f => new String(java.nio.file.Files.readAllBytes(f),
-              java.nio.charset.StandardCharsets.ISO_8859_1).contains(srcPath))
-          require(stale == 0,
-            s"s74: $stale metadata files of the copy still reference the source root")
-        } finally walk.close()
-      }
+      // source root (the shared [[graft.interop.IcebergRelocate
+      // .mentions]] probe — relocate itself re-asserts this internally,
+      // and the entry re-proves it as its graded claim)
+      require(graft.interop.IcebergRelocate.mentions(
+          drPath.resolve("metadata"), srcPath) == 0L,
+        "s74: the copy's metadata must not reference the source root")
       require(I.snapshot(s, drPath.toString).dvDeletes.nonEmpty,
         "s74: the deletion-vector debt must ride the relocation")
       s.table(s"graft.$ns.dr")

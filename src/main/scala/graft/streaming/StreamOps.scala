@@ -1241,10 +1241,9 @@ object StreamOps extends QueryModule {
       // the post-split bootstrap commit is corpus-immutable — built
       // once ([[graft.ingest.Prefix]], r17) and cloned per run (the
       // run appends its own pre-split commit below)
-      val t17Prefix = graft.ingest.Prefix.once("t17_boot", d) { b =>
+      graft.ingest.Prefix.cloneTo("t17_boot", d, "tbl", tbl) { b =>
         V.commit(ev.filter(col("ts") >= splitNs), b.resolve("tbl").toString): Unit
       }
-      graft.ingest.Writers.copyTree(t17Prefix.resolve("tbl"), java.nio.file.Paths.get(tbl))
       runOnce() // watermark climbs to max(ts) − 10 min, weeks past the split
       V.appendCommit(ev.filter(col("ts") < splitNs), tbl)
       runOnce() // the appended commit is entirely behind the watermark → dropped
@@ -1288,11 +1287,10 @@ object StreamOps extends QueryModule {
       val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
       // v0 bootstrap is corpus-immutable — built once ([[graft.ingest
       // .Prefix]], r17), cloned per run (this run appends v1/v2 below)
-      val t18Prefix = graft.ingest.Prefix.once("t18_boot", d) { b =>
+      graft.ingest.Prefix.cloneTo("t18_boot", d, "tbl", tbl) { b =>
         ev.filter(col("event_id") % 2 === 0)
           .write.format("delta").partitionBy("event_type").save(b.resolve("tbl").toString)
       }
-      graft.ingest.Writers.copyTree(t18Prefix.resolve("tbl"), java.nio.file.Paths.get(tbl))
       def drainOnce(): Unit = ScaleOps.withShuffleWidth(s, 4) {
         val q = s.readStream.format("delta").load(tbl)
           .writeStream.format("parquet")

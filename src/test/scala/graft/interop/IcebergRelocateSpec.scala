@@ -19,21 +19,10 @@ class IcebergRelocateSpec extends AnyFunSuite with SparkFixture {
     p.toString
   }
 
-  /** Every metadata byte-stream mention of `root` — the self-containment
-    * probe. JSON and Avro both store paths as plain UTF-8 strings, so a
-    * raw substring scan over the metadata files finds any stale
-    * reference regardless of container format. */
-  private def metaMentions(tableRoot: String, needle: String): Int = {
-    val meta = Paths.get(tableRoot, "metadata")
-    val walk = java.nio.file.Files.walk(meta)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).count { f =>
-        new String(java.nio.file.Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.ISO_8859_1).contains(needle)
-      }
-    } finally walk.close()
-  }
+  /** Every metadata byte-stream mention of `root` — the shared
+    * self-containment probe ([[IcebergRelocate.mentions]]). */
+  private def metaMentions(tableRoot: String, needle: String): Long =
+    IcebergRelocate.mentions(Paths.get(tableRoot, "metadata"), needle)
 
   test("relocated multi-commit table is self-contained, reads bit-equal, diverges independently") {
     val src = freshDir("reloc_src")

@@ -97,35 +97,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     import graft.multimodal.MultimodalOps.Wav
     val plain = Wav.render(7L, 50)
     val expected = Wav.decode(plain)
-    // sloppy encoders omit the pad byte after a trailing odd-sized
-    // chunk: append an odd LIST chunk with NO pad as the LAST chunk —
-    // decode already found data, and the clamped pad skip must not
-    // throw walking past it. (Walk order means data precedes it, so
-    // also exercise the odd-last-chunk walk directly by putting the
-    // unpadded odd chunk before fmt and truncating data away.)
     val oddTail = java.nio.ByteBuffer.allocate(11)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     oddTail.put("LIST".getBytes("US-ASCII")).putInt(3)
       .put("abc".getBytes("US-ASCII")) // 3 payload bytes, NO pad
-    // spliced before fmt: the walk must cross the unpadded odd chunk
-    // only when nothing follows; here bytes DO follow, so the pad rule
-    // applies — instead build a file where the odd chunk is genuinely
-    // last: header + fmt + data + odd chunk, decode stops at data.
-    val withTail = plain ++ oddTail.array()
-    assert(Wav.decode(withTail) == expected,
-      "a trailing unpadded odd chunk must not break decode")
-    // an unpadded odd chunk that IS the last thing the walk crosses
-    // (no data yet): clamp skips to the end, then 'no data chunk'
+    // trailing junk after the data chunk is ignored (decode returns at
+    // data; this does NOT exercise the pad clamp — the cases below do)
+    assert(Wav.decode(plain ++ oddTail.array()) == expected)
+    // THE CLAMP CASES: the walk must cross an unpadded odd chunk that
+    // is the FINAL chunk without running past the buffer limit.
+    // (a) odd chunk directly after the RIFF header, nothing follows
     val headerOnly = plain.take(12) ++ oddTail.array()
     val e = intercept[IllegalArgumentException](Wav.decode(headerOnly))
-    assert(e.getMessage.contains("no data chunk"))
+    assert(e.getMessage.contains("no data chunk"),
+      s"the clamp must walk to a clean end, not overrun: ${e.getMessage}")
+    // (b) odd chunk after a parsed fmt chunk, nothing follows — the
+    // walk crosses fmt first, then clamps on the trailing odd chunk
+    val fmtLen = 12 + 8 + 16 // RIFF header + fmt header + PCM fmt payload
+    val fmtThenOdd = plain.take(fmtLen) ++ oddTail.array()
+    val e2 = intercept[IllegalArgumentException](Wav.decode(fmtThenOdd))
+    assert(e2.getMessage.contains("no data chunk"),
+      s"clamp after fmt must also end cleanly: ${e2.getMessage}")
     // fmt chunk declaring < 16 bytes must fail, not walk backwards
     val badFmt = java.nio.ByteBuffer.allocate(12 + 8 + 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     badFmt.put("RIFF".getBytes("US-ASCII")).putInt(16)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(4).putInt(0)
-    val e2 = intercept[IllegalArgumentException](Wav.decode(badFmt.array()))
-    assert(e2.getMessage.contains("need >= 16"))
+    val e3 = intercept[IllegalArgumentException](Wav.decode(badFmt.array()))
+    assert(e3.getMessage.contains("need >= 16"))
   }
 }
