@@ -209,6 +209,20 @@ object Bench {
     }
     val obJson = overBudget.take(8).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","value_first_run":${sec(totalFirst)},"n_queries":${results.size + failed.size},"runs_per_query":$runsPerQuery,"failed":$failedJson,"failed_sec":${sec(failedSec)},"over_budget_n":${overBudget.size},"over_budget":$obJson,"calibration":{"cpu_sec":${sec(calCpu)},"scan_sec":${sec(calScan)}},"queries":$qs,"queries_worst":$qs2,"sf":"$sfDir"}"""
+    // Dev aid (guide §1 "measure first"): the driver-contract line above is
+    // size-capped to the slowest 16, which hides where the OTHER ~200
+    // entries' time goes. When SPARK_GRAFT_TIMINGS_OUT names a file, dump
+    // every entry's (best, worst, first) there — opt-in only, so driver
+    // runs (which don't set it) are byte-identical.
+    sys.env.get("SPARK_GRAFT_TIMINGS_OUT").foreach { out =>
+      try {
+        val body = results.sortBy(-_._2).map { case (n, b, w, f) =>
+          s""""$n":[${sec(b)},${sec(w)},${sec(f)}]"""
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable => System.err.println(s"[bench] timings dump failed: ${e.getMessage}") }
+    }
     spark.stop()
     // Printed last, post-stop: no Spark thread can interleave with it.
     println(line)
