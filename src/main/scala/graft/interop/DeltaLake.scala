@@ -3771,14 +3771,29 @@ object DeltaLake {
       : Seq[(String, Map[String, Option[String]], Long, Option[String])] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = df.write.mode(SaveMode.Overwrite)
-    if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
-    else w.parquet(tmp.toString)
+    // TIMESTAMP as INT64 micros, not Spark's legacy INT96 default: INT96
+    // carries no footer statistics (so timestamp columns would lose
+    // their stats window) and is the deprecated physical type foreign
+    // readers are moving away from
+    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
+      else w.parquet(tmp.toString)
+    } finally prevTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
     val staged = Staging.walk(fs, tmp)
-    // per-file stats: ONE distributed pass over the staged files (an
-    // EMPTY frame stages no files — nothing to scan)
+    // per-file stats decoded from the parquet FOOTERS the write just
+    // produced — driver-side metadata, no second scan of the data
+    // (guide §1.2; an EMPTY frame stages no files — nothing to read)
     val stats = statsCols match {
-      case Some(cols) if staged.nonEmpty => stageStats(spark, tmp, cols)
+      case Some(cols) if staged.nonEmpty =>
+        staged.map { case (_, from, _) =>
+          from.toUri.getPath -> footerStatsJson(fs.getConf, from, cols)
+        }.toMap
       case _ => Map.empty[String, String]
     }
     val placed = staged.map { case (rel, from, size) =>
@@ -3974,57 +3989,51 @@ object DeltaLake {
   }
 
 
-  /** numRecords/minValues/maxValues/nullCount per staged file, one
-    * distributed aggregation grouped by input_file_name — never a
-    * per-file job. Returns tmp-file path -> Delta stats JSON. */
-  private def stageStats(spark: SparkSession, tmp: HPath,
-      dataCols: Seq[StructField]): Map[String, String] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+  /** numRecords/minValues/maxValues/nullCount for ONE staged file as
+    * Delta stats JSON, decoded from the file's parquet footer
+    * ([[FooterStats]]) — the write already computed every one of these
+    * per column chunk, so the old second distributed pass over the
+    * staged data was pure re-computation (optimization guide §1.2). */
+  private def footerStatsJson(conf: org.apache.hadoop.conf.Configuration,
+      file: HPath, dataCols: Seq[StructField]): String = {
     val statable = dataCols.filter(_.dataType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: FloatType |
           _: DoubleType | _: DecimalType | _: StringType | _: DateType | _: TimestampType |
           _: BooleanType => true
       case _ => false
     })
-    val dfAll = spark.read.parquet(tmp.toString)
-    val aggs = count(lit(1)).as("__n") +: statable.flatMap { f =>
-      Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc_${f.name}"))
+    val fst = FooterStats.read(conf, file, statable)
+    val o = Json.createObjectNode()
+    o.put("numRecords", fst.records)
+    val mins = o.putObject("minValues"); val maxs = o.putObject("maxValues")
+    val ncs = o.putObject("nullCount")
+    statable.foreach { f =>
+      def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode, v: Any,
+          ceil: Boolean): Unit = v match {
+        case null => () // spec: omit missing stats rather than write nulls
+        case n: Byte => tgt.put(f.name, n.toLong): Unit
+        case n: Short => tgt.put(f.name, n.toLong): Unit
+        case n: Int => tgt.put(f.name, n.toLong): Unit
+        case n: Long => tgt.put(f.name, n): Unit
+        case n: Float => tgt.put(f.name, n.toDouble): Unit
+        case n: Double => tgt.put(f.name, n): Unit
+        case n: java.math.BigDecimal => tgt.put(f.name, n): Unit
+        case b: Boolean => tgt.put(f.name, b): Unit
+        case d: java.sql.Date => tgt.put(f.name, d.toString): Unit
+        // the LOG stores zone-independent UTC ISO (the protocol
+        // shape foreign readers parse); [[StatsTime.canonicalize]]
+        // maps it into the session compare domain at read time.
+        // Min floors, max ceils, so the [lo, hi] window only widens
+        case t: java.sql.Timestamp =>
+          tgt.put(f.name, StatsTime.renderUtcIso(t.toInstant, ceil)): Unit
+        case s: String => tgt.put(f.name, s): Unit
+        case other => tgt.put(f.name, other.toString): Unit
+      }
+      put(mins, fst.mins.getOrElse(f.name, null), ceil = false)
+      put(maxs, fst.maxs.getOrElse(f.name, null), ceil = true)
+      fst.nullCounts.get(f.name).foreach(n => ncs.put(f.name, n): Unit)
     }
-    dfAll.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val o = Json.createObjectNode()
-        o.put("numRecords", r.getAs[Long]("__n"))
-        val mins = o.putObject("minValues"); val maxs = o.putObject("maxValues")
-        val ncs = o.putObject("nullCount")
-        statable.foreach { f =>
-          def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode, v: Any,
-              ceil: Boolean): Unit = v match {
-            case null => () // spec: omit missing stats rather than write nulls
-            case n: Byte => tgt.put(f.name, n.toLong): Unit
-            case n: Short => tgt.put(f.name, n.toLong): Unit
-            case n: Int => tgt.put(f.name, n.toLong): Unit
-            case n: Long => tgt.put(f.name, n): Unit
-            case n: Float => tgt.put(f.name, n.toDouble): Unit
-            case n: Double => tgt.put(f.name, n): Unit
-            case n: java.math.BigDecimal => tgt.put(f.name, n): Unit
-            case b: Boolean => tgt.put(f.name, b): Unit
-            case d: java.sql.Date => tgt.put(f.name, d.toString): Unit
-            // the LOG stores zone-independent UTC ISO (the protocol
-            // shape foreign readers parse); [[StatsTime.canonicalize]]
-            // maps it into the session compare domain at read time.
-            // Min floors, max ceils, so the [lo, hi] window only widens
-            case t: java.sql.Timestamp =>
-              tgt.put(f.name, StatsTime.renderUtcIso(t.toInstant, ceil)): Unit
-            case s: String => tgt.put(f.name, s): Unit
-            case other => tgt.put(f.name, other.toString): Unit
-          }
-          put(mins, r.getAs[Any](s"__mn_${f.name}"), ceil = false)
-          put(maxs, r.getAs[Any](s"__mx_${f.name}"), ceil = true)
-          ncs.put(f.name, r.getAs[Long](s"__nc_${f.name}")): Unit
-        }
-        new java.net.URI(r.getAs[String]("__f")).getPath -> Json.writeValueAsString(o)
-      }.toMap
+    Json.writeValueAsString(o)
   }
 
   private def metaDataLine(schema: StructType, partitionBy: Seq[String], now: Long,

@@ -6014,37 +6014,31 @@ object Iceberg {
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
     val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // the spec's timestamp physical type is INT64 micros — Spark's
+    // legacy INT96 default is not a valid Iceberg mapping and carries
+    // no footer statistics for the bounds decode below
+    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       val w = dfIds.write.mode(SaveMode.Overwrite)
       if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
       else w.parquet(tmp.toString)
-    } finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    } finally {
+      prevConf match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+      prevTsType match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
     }
-    // per-file record counts AND column bounds: one distributed pass
+    // per-file record counts AND column bounds decoded from the staged
+    // files' parquet FOOTERS ([[FooterStats]]) — driver metadata, no
+    // second distributed scan of the data (optimization guide §1.2)
     val boundCols = df.schema.fields.toSeq
       .filterNot(f => partCols.contains(f.name))
       .filter(f => boundable(f.dataType))
-    val fileAgg: Map[String, (Long, Map[String, (Any, Any)])] = {
-      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
-      if (Staging.walk(fs, tmp).isEmpty) Map.empty
-      else {
-        val aggs = count(lit(1)).as("__n") +: boundCols.flatMap(f =>
-          Seq(min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
-        spark.read.parquet(tmp.toString)
-          .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val bounds = boundCols.flatMap { f =>
-              (r.getAs[Any](s"__mn_${f.name}"), r.getAs[Any](s"__mx_${f.name}")) match {
-                case (null, _) | (_, null) => None
-                case (lo, hi) => Some(f.name -> (lo, hi))
-              }
-            }.toMap
-            new java.net.URI(r.getString(0)).getPath -> (r.getAs[Long]("__n"), bounds)
-          }.toMap
-      }
-    }
     val moved = Staging.walk(fs, tmp).map { case (rel, from, size) =>
       val segs = rel.split("/").dropRight(1).toSeq
       val pv: Map[String, Option[String]] = segs.map { seg =>
@@ -6056,10 +6050,17 @@ object Iceberg {
       val fileName = s"${java.util.UUID.randomUUID()}.parquet"
       val relOut = (Seq("data") ++ segs :+ fileName).mkString("/")
       val dest = new HPath(root, relOut)
+      // footer read BEFORE the rename (the staged path is the open handle)
+      val fst = FooterStats.read(fs.getConf, from, boundCols)
+      val bounds = boundCols.flatMap { f =>
+        (fst.mins.get(f.name), fst.maxs.get(f.name)) match {
+          case (Some(lo), Some(hi)) => Some(f.name -> (lo, hi))
+          case _ => None
+        }
+      }.toMap
       fs.mkdirs(dest.getParent)
       require(fs.rename(from, dest), s"Iceberg.write: rename $from -> $dest failed")
-      val (n, bounds) = fileAgg.getOrElse(from.toUri.getPath, (0L, Map.empty[String, (Any, Any)]))
-      DataFileRef(dest.toUri.getPath, pv, n, size, bounds)
+      DataFileRef(dest.toUri.getPath, pv, fst.records, size, bounds)
     }
     fs.delete(tmp, true): Unit
     moved
