@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNDECORATED: sbt's default logged
+// strategy prefixes every line with "[info] ", which is why the driver
+// has never been able to parse graft.Bench's one-line JSON contract
+// (every BENCH_r*.json through r17 shows `parsed: null` with the line
+// intact behind the prefix — r17 verdict #2). StdoutOutput applies to
+// run/runMain only; test reporting is unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

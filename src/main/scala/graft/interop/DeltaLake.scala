@@ -3774,17 +3774,14 @@ object DeltaLake {
     // TIMESTAMP as INT64 micros, not Spark's legacy INT96 default: INT96
     // carries no footer statistics (so timestamp columns would lose
     // their stats window) and is the deprecated physical type foreign
-    // readers are moving away from
-    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
-      val w = df.write.mode(SaveMode.Overwrite)
-      if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
-      else w.parquet(tmp.toString)
-    } finally prevTsType match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
-    }
+    // readers are moving away from. The conf rides an ISOLATED session
+    // clone — never the shared session, whose set/restore escaped into
+    // an unrelated entry's dump in r17 (verdict #1).
+    val isolatedDf = org.apache.spark.sql.graft.StagedWrite.isolated(df,
+      Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+    val w = isolatedDf.write.mode(SaveMode.Overwrite)
+    if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
+    else w.parquet(tmp.toString)
     val staged = Staging.walk(fs, tmp)
     // per-file stats decoded from the parquet FOOTERS the write just
     // produced — driver-side metadata, no second scan of the data

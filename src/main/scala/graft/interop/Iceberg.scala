@@ -3032,13 +3032,10 @@ object Iceberg {
     val sorted = spark.createDataFrame(
       matches.repartition(1).sortWithinPartitions("file_path", "pos").rdd, delSchema)
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-    }
+    // field-id conf on an isolated clone, never the shared session (r17 verdict #1)
+    org.apache.spark.sql.graft.StagedWrite.isolated(sorted,
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val staged = Staging.walk(fs, tmp)
     // one pass over the staged file: the row count AND the file_path
     // min/max (recorded as the entry's bounds — what lets readers skip
@@ -3183,13 +3180,10 @@ object Iceberg {
     val distinctKeys = keys.distinct()
     val staged = spark.createDataFrame(distinctKeys.repartition(1).rdd, withIds)
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-    }
+    // field-id conf on an isolated clone, never the shared session (r17 verdict #1)
+    org.apache.spark.sql.graft.StagedWrite.isolated(staged,
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val stagedFiles = Staging.walk(fs, tmp)
     val n = if (stagedFiles.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
     if (n == 0L) { fs.delete(tmp, true); return s.snapshotId }
@@ -5779,14 +5773,11 @@ object Iceberg {
         }) +: counts)
       }
     val tmp = new HPath(root, s".staged-pstats-${java.util.UUID.randomUUID().toString.take(8)}")
-    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    try spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // field-id conf on an isolated clone, never the shared session (r17 verdict #1)
+    org.apache.spark.sql.graft.StagedWrite.isolated(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-    }
     val staged = Staging.walk(fs, tmp)
     require(staged.nonEmpty, "Iceberg.writePartitionStats: nothing staged")
     val dest = new HPath(metaDir(root),
@@ -6005,34 +5996,30 @@ object Iceberg {
     * copy-on-write rewrite paths. */
   private def stageDataFiles(spark: SparkSession, df: DataFrame, fs: FileSystem,
       root: HPath, partCols: Seq[String], fieldIds: Map[String, Int]): Seq[DataFileRef] = {
-    val withIds = StructType(df.schema.fields.map { f =>
+    // field ids attach as ALIAS METADATA on a projection — r17 went
+    // through `spark.createDataFrame(df.rdd, withIds)`, which pays two
+    // full row conversions (InternalRow → Row → InternalRow) per staged
+    // row and severs the write from the scan's codegen pipeline; the
+    // alias keeps the plan whole-stage and pushes nothing off the fast
+    // path (optimization guide §1.2 per-task work)
+    val dfIds = df.select(df.schema.fields.toIndexedSeq.map { f =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)
         .putLong("parquet.field.id", fieldIds(f.name).toLong)
-      f.copy(metadata = mb.build())
-    })
-    val dfIds = spark.createDataFrame(df.rdd, withIds)
+      org.apache.spark.sql.functions.col(f.name).as(f.name, mb.build())
+    }: _*)
     val tmp = new HPath(root, s".staged-${java.util.UUID.randomUUID().toString.take(8)}")
-    val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     // the spec's timestamp physical type is INT64 micros — Spark's
     // legacy INT96 default is not a valid Iceberg mapping and carries
-    // no footer statistics for the bounds decode below
-    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
-      val w = dfIds.write.mode(SaveMode.Overwrite)
-      if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
-      else w.parquet(tmp.toString)
-    } finally {
-      prevConf match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
-        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
-      }
-      prevTsType match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
-      }
-    }
+    // no footer statistics for the bounds decode below. Both encoding
+    // keys ride an ISOLATED session clone — never the shared session,
+    // whose set/restore escaped into an unrelated entry's dump in r17
+    // (verdict #1).
+    val staged = org.apache.spark.sql.graft.StagedWrite.isolated(dfIds, Map(
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+    val w = staged.write.mode(SaveMode.Overwrite)
+    if (partCols.nonEmpty) w.partitionBy(partCols: _*).parquet(tmp.toString)
+    else w.parquet(tmp.toString)
     // per-file record counts AND column bounds decoded from the staged
     // files' parquet FOOTERS ([[FooterStats]]) — driver metadata, no
     // second distributed scan of the data (optimization guide §1.2)

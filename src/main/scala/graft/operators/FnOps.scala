@@ -121,7 +121,13 @@ object FnOps extends QueryModule {
           month(col("o_orderdate")).cast("long").as("mo"),
           quarter(col("o_orderdate")).cast("long").as("qtr"),
           dayofweek(col("o_orderdate")).cast("long").as("dow1"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          // NTZ cast like f2b's last_day: Spark's date_trunc returns
+          // session-local TIMESTAMP (LTZ), the registry's lone raw LTZ
+          // output — its dump schema depended on which parquet physical
+          // type erases the tz flag, which is exactly what broke r17
+          // when a staged write's INT64-micros conf leaked (verdict #1).
+          // Values are unchanged (session tz is UTC end to end).
+          date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
           datediff(col("o_orderdate"), lit("1995-01-01 00:00:00").cast(TimestampNTZType)).cast("long").as("days_since_epoch95"),
           (col("o_orderdate") + expr("INTERVAL 3 MONTH")).as("plus_3mo"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),

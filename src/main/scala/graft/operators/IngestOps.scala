@@ -3526,20 +3526,15 @@ object IngestOps extends QueryModule {
       val era1 = src(col("event_id") % 2 === 0)
       val era2 = src(col("event_id") % 2 === 1)
       // Spark 4.1 shreds by DEFAULT — the unshredded era is the
-      // explicit opt-out (a legacy/foreign pre-shredding writer);
-      // the wrapper restores whatever the SESSION had before (set or
-      // unset), not a hardcoded "true" — a caller that disabled
-      // shredding must not find it silently re-enabled
-      def shredding[T](on: Boolean)(body: => T): T = {
-        val keys = Seq("spark.sql.variant.writeShredding.enabled",
-          "spark.sql.variant.inferShreddingSchema")
-        val prev = keys.map(k => k -> s.conf.getOption(k))
-        keys.foreach(k => s.conf.set(k, on.toString))
-        try body finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
-      }
+      // explicit opt-out (a legacy/foreign pre-shredding writer).
+      // The flags are WRITE-ENCODING conf, so they must never touch
+      // the shared session (r17 verdict #1 — a set/restore of exactly
+      // this kind escaped into another entry's dump): they scope over
+      // the staged write's isolated session clone instead.
+      def shredding[T](on: Boolean)(body: => T): T =
+        org.apache.spark.sql.graft.StagedWrite.withWriterConf(
+          "spark.sql.variant.writeShredding.enabled" -> on.toString,
+          "spark.sql.variant.inferShreddingSchema" -> on.toString)(body)
       // the two-era tables are never mutated after the producer writes:
       // built once per corpus ([[graft.ingest.Prefix]], r17 — the
       // t11Src direct-read precedent); the protocol requires and the
